@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.functions._
+
+/** Session-level entry point: registers the engine's native Catalyst
+  * functions (idempotent) and exposes them as `Column` helpers.
+  *
+  * Registration goes through the session FunctionRegistry (not
+  * `spark.udf`) so the functions are real expressions — codegen'd,
+  * null-propagating, usable from both the DataFrame API and SQL text.
+  */
+object Graft {
+
+  /** Idempotent; call once per session (cheap enough to call per query). */
+  def init(spark: SparkSession): SparkSession = {
+    Shim.registerFunction(spark, "cosine_sim",
+      es => CosineSimilarity(es(0), es(1)))
+    Shim.registerFunction(spark, "dot_product",
+      es => DotProduct(es(0), es(1)))
+    Shim.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
+    Shim.registerFunction(spark, "topk_by_score",
+      es => TopKByScore(es(0), es(1), es(2)).toAggregateExpression())
+    spark
+  }
+
+  // ---- Column-API faces of the native expressions ----
+
+  def cosineSim(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+
+  def l2Norm(a: Column): Column =
+    Shim.column(L2Norm(Shim.expression(a)))
+
+  /** Aggregate: top-k (score desc, id asc) pairs per group as
+    * array<struct<score,id>> — map-side bounded heap, no window sort. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    Shim.column(
+      TopKByScore(Shim.expression(score), Shim.expression(id),
+        Shim.expression(lit(k))).toAggregateExpression())
+
+  /** Weaviate cosine distance -> txtai similarity (weaviate.py:17-20). */
+  def normalizeCosineDistance(d: Column): Column = lit(1.0) - d
+}
+
+/** Loaders for the driver testdata tables (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views for spark.sql use. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

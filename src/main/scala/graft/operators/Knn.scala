@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Exact k-nearest-neighbor search over an `array<float>` column.
+  *
+  * Replaces the reference's delegated ANN path (weaviate.py:175-201:
+  * GraphQL `nearVector` + `with_limit` against a Weaviate HNSW server)
+  * with Spark-native plans:
+  *
+  *  - single query: codegen'd score + `orderBy(desc).limit(k)` — Catalyst
+  *    lowers this to `TakeOrderedAndProject` (per-partition bounded heap,
+  *    no global sort; only numPartitions*k rows reach the driver side of
+  *    the final ordering). This is the right 100 TB plan: one scan, no
+  *    wide shuffle.
+  *  - query batch: broadcast the (small) query set against the (huge)
+  *    document side, score in codegen, then `topk_by_score` — a
+  *    TypedImperativeAggregate bounded heap with map-side partial
+  *    aggregation, so the shuffle carries ≤ numPartitions*k rows per
+  *    query instead of every scored pair (a window row_number would sort
+  *    ALL pairs). Fixes the reference's single-query limitation
+  *    (weaviate.py:177 serves only queries[0]).
+  *
+  * Scores are txtai cosine *similarity* (higher = closer), i.e. the
+  * reference's `1 - cosine_distance` normalization (weaviate.py:17-20)
+  * already applied. Ties break on ascending id for determinism.
+  */
+object Knn {
+
+  /** Top-k rows most similar to `queryVec`; appends a `score` column. */
+  def search(
+      index: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Array[Float],
+      k: Int): DataFrame = {
+    val scored = index.withColumn(
+      "score", Graft.cosineSim(col(vecCol), typedlit(queryVec)))
+    scored.orderBy(desc("score"), col(idCol).asc).limit(k)
+  }
+
+  /** Batch kNN: for every row of `queries` (small side — broadcast),
+    * the top-k ids of `index` by cosine similarity.
+    * Output: (qid, rank starting at 1, id, score). */
+  def searchBatch(
+      index: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qidCol: String,
+      k: Int): DataFrame = {
+    Graft.init(index.sparkSession)
+    val q = broadcast(queries.select(
+      col(qidCol).as("qid"), col(qVecCol).as("__qvec")))
+    val scored = index
+      .crossJoin(q)
+      .select(
+        col("qid"),
+        col(idCol).cast("long").as("__id"),
+        Graft.cosineSim(col(vecCol), col("__qvec")).as("__score"))
+    scored
+      .groupBy("qid")
+      .agg(Graft.topKByScore(col("__score"), col("__id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("id"),
+        col("hit.score").as("score"))
+  }
+
+  /** Brute-force similarity of a query against an ephemeral corpus —
+    * txtai `Embeddings.similarity` (01_simple.ipynb cell 7): same kernel
+    * as search, no index. */
+  def similarity(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Array[Float]): DataFrame =
+    corpus
+      .withColumn("score", Graft.cosineSim(col(vecCol), typedlit(queryVec)))
+      .orderBy(desc("score"), col(idCol).asc)
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, SparkTestBase}
+
+class VectorExpressionsSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(Graft.cosineSim(col("a"), col("b")))
+      .head().getDouble(0)
+  }
+
+  test("cosine of identical vectors is 1") {
+    assert(math.abs(cosineOf(Array(1f, 2f, 3f), Array(1f, 2f, 3f)) - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    assert(cosineOf(Array(1f, 0f), Array(0f, 1f)) == 0.0)
+  }
+
+  test("cosine of opposite vectors is -1") {
+    assert(math.abs(cosineOf(Array(1f, 2f), Array(-1f, -2f)) + 1.0) < 1e-12)
+  }
+
+  test("cosine with zero vector is 0 (no NaN)") {
+    assert(cosineOf(Array(0f, 0f), Array(1f, 2f)) == 0.0)
+  }
+
+  test("cosine is null-propagating") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(Graft.cosineSim(col("a"), col("b")).as("c"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("cosine_sim ∈ [-1, 1] and self-similarity = 1 (seeded random property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(50) {
+      val d = 1 + rnd.nextInt(32)
+      (Array.fill(d)(rnd.nextFloat() * 200f - 100f),
+       Array.fill(d)(rnd.nextFloat() * 200f - 100f))
+    }
+    val rows = pairs.toDF("a", "b").select(
+      Graft.cosineSim(col("a"), col("b")).as("c"),
+      Graft.cosineSim(col("a"), col("a")).as("self")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    }
+  }
+
+  test("dot_product and l2_norm agree with cosine") {
+    import spark.implicits._
+    val a = Array(1f, 2f, 3f); val b = Array(4f, 5f, 6f)
+    val row = Seq((a, b)).toDF("a", "b").select(
+      Graft.dotProduct(col("a"), col("b")).as("dot"),
+      Graft.l2Norm(col("a")).as("na"),
+      Graft.l2Norm(col("b")).as("nb"),
+      Graft.cosineSim(col("a"), col("b")).as("cos")).head()
+    val expected = row.getDouble(0) / (row.getDouble(1) * row.getDouble(2))
+    assert(math.abs(row.getDouble(3) - expected) < 1e-12)
+  }
+
+  test("SQL registration works: cosine_sim usable from spark.sql") {
+    import spark.implicits._
+    Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b")
+      .createOrReplaceTempView("vex_t")
+    val r = spark.sql("SELECT cosine_sim(a, b) AS c FROM vex_t").head()
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("normalizeCosineDistance maps [0,2] -> [1,-1] (weaviate.py:17-20)") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.0).toDF("d")
+      .select(Graft.normalizeCosineDistance(col("d")).as("s"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("topk_by_score keeps k best, score desc, ties by id asc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (1L, 0.1, 13L),
+      (2L, 0.3, 20L), (2L, 0.7, 21L)
+    ).toDF("qid", "score", "id")
+    val out = df.groupBy("qid")
+      .agg(Graft.topKByScore(col("score"), col("id"), 2).as("topk"))
+      .orderBy("qid")
+      .collect()
+    val q1 = out(0).getSeq[Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(q1 == Seq((0.9, 11L), (0.9, 12L)))
+    val q2 = out(1).getSeq[Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(q2 == Seq((0.7, 21L), (0.3, 20L)))
+  }
+}
