@@ -1,0 +1,218 @@
+package graft.index
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Ids, Knn}
+
+/** Schema rejected by [[IndexSchema.validate]] — port of the reference's
+  * `SchemaValidationException` (weaviate.py:13-14,115-118). */
+class SchemaValidationException(msg: String) extends RuntimeException(msg)
+
+/** Operation on a dropped/missing index — port of the
+  * `@check_index_exists` guard (weaviate.py:41-52). */
+class IndexNotFoundException(msg: String) extends RuntimeException(msg)
+
+/** Index configuration ≈ the reference's DEFAULT_SCHEMA + client config
+  * (weaviate.py:23-27,60-73). `overwriteIndex` mirrors `overwrite_index`
+  * (weaviate.py:68): true → existing index is dropped and recreated;
+  * false → warn and reuse the existing one. */
+case class IndexConfig(
+    className: String = "Document",
+    distance: String = "cosine",
+    overwriteIndex: Boolean = true)
+
+object IndexSchema {
+
+  /** The engine-managed core fields of every index. */
+  val core: StructType = StructType(Seq(
+    StructField("docid", LongType, nullable = false),
+    StructField("uid", StringType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false),
+      nullable = false),
+    StructField("tags", StringType, nullable = true)))
+
+  /** Port of `_is_valid_schema` (weaviate.py:97-110): a `docid` property
+    * of integral type must exist and the distance metric must be exactly
+    * `cosine` — any other metric is rejected
+    * (test_weaviate.py:75-85,116-125). */
+  def validate(schema: StructType, distance: String): Unit = {
+    if (distance != "cosine")
+      throw new SchemaValidationException(
+        s"Invalid distance metric '$distance': only 'cosine' is supported")
+    val docid = schema.fields.find(_.name == "docid").getOrElse(
+      throw new SchemaValidationException(
+        "Invalid schema: required property 'docid' (integer) is missing"))
+    docid.dataType match {
+      case LongType | IntegerType => ()
+      case other => throw new SchemaValidationException(
+        s"Invalid schema: 'docid' must be an integer type, got ${other.simpleString}")
+    }
+  }
+}
+
+/** A persistent vector index: an immutable columnar Parquet table of
+  * `(docid, uid, vector, tags, …props)` rows, with the reference's ANN
+  * contract (`index/append/delete/search/count/save/load`,
+  * weaviate.py:132-224) re-expressed as DataFrame transforms.
+  *
+  * Unlike the reference — where state lives only in a Weaviate server and
+  * `save`/`load` are warning no-ops (weaviate.py:208-224) — the Parquet
+  * path IS the index: save/load are real, and every mutation is a
+  * set-oriented rewrite (delete = anti-join, one pass for any id-list
+  * size, vs the reference's 2-HTTP-round-trips-per-id loop,
+  * weaviate.py:167-173).
+  */
+class VectorIndex private (
+    val spark: SparkSession,
+    val path: String,
+    val config: IndexConfig) extends Logging {
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataPath = new Path(path, "data")
+
+  def exists: Boolean = fs.exists(dataPath)
+
+  private def requireExists(op: String): Unit =
+    if (!exists) throw new IndexNotFoundException(
+      s"Index '${config.className}' at $path does not exist (op: $op)")
+
+  /** The index contents as a DataFrame. */
+  def df: DataFrame = { requireExists("read"); spark.read.parquet(dataPath.toString) }
+
+  /** Next docid = dense count so far (reference `config["offset"]`,
+    * weaviate.py:67,149; observable postcondition test_weaviate.py:141). */
+  def offset: Long =
+    if (!exists) 0L
+    else df.agg(coalesce(max("docid") + 1, lit(0L))).head().getLong(0)
+
+  def count(): Long = { requireExists("count"); df.count() }
+
+  /** Full rebuild: docids start at 0 (weaviate.py:132-133). Input:
+    * (uid, vector, …props) — docid is engine-assigned, dense by uid. */
+  def index(docs: DataFrame): VectorIndex = writeRows(docs, 0L, overwrite = true)
+
+  /** Append: docids continue from the current offset (weaviate.py:135-149). */
+  def append(docs: DataFrame): VectorIndex = {
+    requireExists("append")
+    writeRows(docs, offset, overwrite = false)
+  }
+
+  private def writeRows(docs: DataFrame, base: Long, overwrite: Boolean): VectorIndex = {
+    val withId = Ids.withDenseId(
+      docs, "docid", Seq(col("uid")), offset = base)
+    val cols = col("docid") +: docs.columns.map(col)
+    val out = withId.select(cols: _*)
+    if (overwrite) replaceData(out)
+    else out.write.mode("append").parquet(dataPath.toString)
+    this
+  }
+
+  /** Delete by docid: one anti-join pass, any id-list size — the
+    * set-oriented fix for the reference's N+1 loop (weaviate.py:167-173,
+    * TODO at :170-171 wishing for an `IN` operator). */
+  def delete(ids: Seq[Long]): VectorIndex = {
+    requireExists("delete")
+    import spark.implicits._
+    val idsDf = ids.toDF("docid")
+    replaceData(df.join(broadcast(idsDf), Seq("docid"), "left_anti"))
+    this
+  }
+
+  /** Delete by uid (the id space txtai exposes to users). */
+  def deleteUids(uids: Seq[String]): VectorIndex = {
+    requireExists("delete")
+    import spark.implicits._
+    replaceData(df.join(broadcast(uids.toDF("uid")), Seq("uid"), "left_anti"))
+    this
+  }
+
+  /** Upsert: last-wins per uid (txtai-layer semantics,
+    * test_weaviate.py:254-317 — after upsert the new row is searchable;
+    * deleting the uid removes it entirely). New rows get fresh docids
+    * continuing from the current offset. */
+  def upsert(docs: DataFrame): VectorIndex = {
+    requireExists("upsert")
+    val base = offset
+    val incoming = Ids.withDenseId(docs, "docid", Seq(col("uid")), offset = base)
+      .select((col("docid") +: docs.columns.map(col)): _*)
+    val unioned = df.unionByName(incoming, allowMissingColumns = true)
+    val w = Window.partitionBy("uid").orderBy(desc("docid"))
+    replaceData(
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+    this
+  }
+
+  /** Top-k cosine search (weaviate.py:175-201) — scores are txtai
+    * similarity (1 - cosine distance) in [-1, 1]. */
+  def search(queryVec: Array[Float], k: Int): DataFrame = {
+    requireExists("search")
+    Knn.search(df, "vector", "docid", queryVec, k)
+  }
+
+  /** Batch search — fixes the reference's queries[0]-only limitation
+    * (weaviate.py:177). */
+  def searchBatch(queries: DataFrame, qVecCol: String, qidCol: String, k: Int): DataFrame = {
+    requireExists("search")
+    Knn.searchBatch(df, "vector", "docid", queries, qVecCol, qidCol, k)
+  }
+
+  /** Real persistence (the reference warns and does nothing,
+    * weaviate.py:208-224): copy the index to another path. */
+  def save(dest: String): Unit = {
+    requireExists("save")
+    df.write.mode("overwrite").parquet(new Path(dest, "data").toString)
+  }
+
+  /** Rewrite-and-swap: materialize to a tmp dir, then atomically replace
+    * the data dir (Parquet can't overwrite a path it is lazily reading). */
+  private def replaceData(newData: DataFrame): Unit = {
+    val tmp = new Path(path, s"data_tmp")
+    newData.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dataPath)) fs.delete(dataPath, true)
+    fs.rename(tmp, dataPath)
+  }
+
+  def drop(): Unit = if (exists) fs.delete(new Path(path), true)
+}
+
+object VectorIndex extends Logging {
+
+  /** Create-or-open, port of `__init__` → `_create_schema`
+    * (weaviate.py:60-73,112-130): validates the schema, and when an index
+    * already exists either drops+recreates (`overwriteIndex=true`) or
+    * warns and reuses it (test_weaviate.py:97-113). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = IndexSchema.core,
+      config: IndexConfig = IndexConfig()): VectorIndex = {
+    IndexSchema.validate(schema, config.distance)
+    val idx = new VectorIndex(spark, path, config)
+    if (idx.exists) {
+      if (config.overwriteIndex) {
+        logWarning(s"Index '${config.className}' at $path exists: overwriting")
+        idx.drop()
+      } else {
+        logWarning(
+          s"Index '${config.className}' at $path already exists: reusing")
+      }
+    }
+    idx
+  }
+
+  /** Open an existing index (real `load`, vs weaviate.py:216-224 no-op). */
+  def load(spark: SparkSession, path: String,
+      config: IndexConfig = IndexConfig()): VectorIndex = {
+    val idx = new VectorIndex(spark, path, config)
+    if (!idx.exists) throw new IndexNotFoundException(s"No index at $path")
+    idx
+  }
+}

@@ -1,0 +1,181 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.operators.Ids
+
+/** Ports the observable semantics of the reference's integration suite
+  * (tests/ann/test_weaviate.py) onto the Parquet-backed VectorIndex. */
+class VectorIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-idx").toString
+
+  /** One-hot style deterministic vectors (FIXTURES.md: offline stand-in
+    * for sentence-transformer embeddings; tests ranking machinery). */
+  private def basis(dim: Int, i: Int, w: Float = 1f): Array[Float] = {
+    val a = Array.fill(dim)(0f); a(i) = w; a
+  }
+
+  private def docsDF(rows: Seq[(String, Array[Float], String)]): DataFrame =
+    rows.toDF("uid", "vector", "tags")
+
+  // --- schema validation (test_weaviate.py:47-57,60-72,75-85,116-125) ---
+
+  test("default schema validates") {
+    IndexSchema.validate(IndexSchema.core, "cosine")
+  }
+
+  test("custom schema with extra properties validates (Post/content)") {
+    val s = IndexSchema.core.add("content", StringType)
+    IndexSchema.validate(s, "cosine")
+  }
+
+  test("non-cosine metric is rejected") {
+    val e = intercept[SchemaValidationException] {
+      IndexSchema.validate(IndexSchema.core, "dot")
+    }
+    assert(e.getMessage.contains("cosine"))
+  }
+
+  test("schema without docid is rejected") {
+    val s = StructType(Seq(StructField("content", StringType)))
+    val e = intercept[SchemaValidationException] {
+      IndexSchema.validate(s, "cosine")
+    }
+    assert(e.getMessage.contains("docid"))
+  }
+
+  test("docid with non-integer type is rejected") {
+    val s = StructType(Seq(StructField("docid", StringType)))
+    intercept[SchemaValidationException] {
+      IndexSchema.validate(s, "cosine")
+    }
+  }
+
+  // --- index/count/offset (test_weaviate.py:128-148) ---
+
+  test("index two docs: count=2, offset=2, vectors present") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF(Seq(
+      ("0", basis(4, 0), null), ("1", basis(4, 1), null))))
+    assert(idx.count() == 2)
+    assert(idx.offset == 2)
+    assert(idx.df.filter(col("vector").isNull).count() == 0)
+    // docids dense from 0
+    assert(idx.df.select("docid").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("append continues docids from offset (weaviate.py:135-149)") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF(Seq(("a", basis(4, 0), null))))
+    idx.append(docsDF(Seq(("b", basis(4, 1), null), ("c", basis(4, 2), null))))
+    assert(idx.count() == 3)
+    assert(idx.df.select("docid").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  // --- overwrite/reuse (test_weaviate.py:88-113) ---
+
+  test("create on existing path: overwrite=true drops, overwrite=false reuses") {
+    val dir = tmpDir()
+    VectorIndex.create(spark, dir)
+      .index(docsDF(Seq(("0", basis(4, 0), null))))
+    val reused = VectorIndex.create(spark, dir,
+      config = IndexConfig(overwriteIndex = false))
+    assert(reused.exists && reused.count() == 1)
+    val overwritten = VectorIndex.create(spark, dir)
+    assert(!overwritten.exists)
+  }
+
+  // --- relevance ranking (test_weaviate.py:151-170, string uids) ---
+
+  test("search ranks by similarity: vixen→foo, puppy→bar, markets→baz") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF(Seq(
+      ("foo", basis(4, 0), null),   // "the quick brown fox"
+      ("bar", basis(4, 1), null),   // "jumps over the lazy dog"
+      ("baz", basis(4, 2), null)))) // "Stock futures fall..."
+    val queries = Map(
+      "foo" -> Array(0.9f, 0.1f, 0f, 0f),  // vixen
+      "bar" -> Array(0.1f, 0.9f, 0f, 0f),  // puppy
+      "baz" -> Array(0f, 0.1f, 0.9f, 0.1f)) // financial markets
+    queries.foreach { case (expected, qv) =>
+      val top = idx.search(qv, 3).select("uid").head().getString(0)
+      assert(top == expected)
+      val scores = idx.search(qv, 3).select("score").as[Double].collect()
+      assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    }
+  }
+
+  // --- upsert/delete ranking stability (test_weaviate.py:254-317) ---
+
+  test("upsert changes top hit; delete of upserted uid restores prior ranking") {
+    val dim = 8
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF((0 to 5).map(i => (i.toString, basis(dim, i), null))))
+    val feelGood = { val a = Array.fill(dim)(0f); a(4) = 0.8f; a(5) = 0.1f; a }
+    assert(idx.search(feelGood, 1).select("uid").head().getString(0) == "4")
+    // upsert doc 0 → "baby panda born" = vector equal to the query
+    idx.upsert(docsDF(Seq(("0", feelGood, null))))
+    assert(idx.count() == 6)
+    assert(idx.search(feelGood, 1).select("uid").head().getString(0) == "0")
+    // delete uid 0 → ranking reverts to doc 4
+    idx.deleteUids(Seq("0"))
+    assert(idx.count() == 5)
+    assert(idx.search(feelGood, 1).select("uid").head().getString(0) == "4")
+  }
+
+  test("delete by docid is set-oriented and excludes from search") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF((0 to 9).map(i => (i.toString, basis(16, i), null))))
+    idx.delete(Seq(0L, 1L, 2L, 3L))
+    assert(idx.count() == 6)
+    val hits = idx.search(basis(16, 0), 10).select("docid").as[Long].collect()
+    assert(hits.forall(_ > 3))
+  }
+
+  // --- save/load are real (vs weaviate.py:208-224 no-ops) ---
+
+  test("save then load preserves contents and search results") {
+    val src = tmpDir(); val dst = tmpDir()
+    val idx = VectorIndex.create(spark, src)
+    idx.index(docsDF((0 to 4).map(i => (i.toString, basis(8, i), null))))
+    idx.save(dst)
+    val loaded = VectorIndex.load(spark, dst)
+    assert(loaded.count() == 5)
+    val a = idx.search(basis(8, 2), 3).select("uid").as[String].collect().toSeq
+    val b = loaded.search(basis(8, 2), 3).select("uid").as[String].collect().toSeq
+    assert(a == b)
+  }
+
+  // --- guard (weaviate.py:41-52, test_weaviate.py:240-246) ---
+
+  test("operations on a dropped index raise IndexNotFoundException") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF(Seq(("0", basis(4, 0), null))))
+    idx.drop()
+    intercept[IndexNotFoundException] { idx.count() }
+    intercept[IndexNotFoundException] { idx.search(basis(4, 0), 1) }
+    intercept[IndexNotFoundException] { idx.delete(Seq(0L)) }
+    intercept[IndexNotFoundException] { VectorIndex.load(spark, idx.path) }
+  }
+
+  // --- dense id assignment (SURVEY §7.4 risk 1) ---
+
+  test("withDenseId: dense, deterministic, offset-respecting, multi-partition") {
+    val df = spark.range(1000).select(
+      concat(lit("u"), format_string("%04d", col("id"))).as("uid"))
+      .repartition(7)
+    val ids = Ids.withDenseId(df, "docid", Seq(col("uid")), offset = 100L)
+    val rows = ids.select("uid", "docid").as[(String, Long)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == (100L until 1100L))
+    // deterministic: docid order == uid order
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+}
