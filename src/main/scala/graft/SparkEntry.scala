@@ -1,13 +1,434 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one declared operator from SURVEY §2 (or
+  * the LLM-pipeline extension set); [[oracleSql]] holds the equivalent
+  * ANSI SQL the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism rules used throughout (SURVEY §7.4 risk 2):
+  *  - money/value sums go through exact integer cents
+  *    (`sum(cast(round(x*100) as bigint))`) — no float-order drift;
+  *  - cosine scores are computed in double precision with the same
+  *    sequential reduction on both sides (`embedding::DOUBLE[]` in
+  *    DuckDB) and projected `round(.., 6)`;
+  *  - every result has a total ORDER BY and matching column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The stored embedding of `vec_id = 0` — the flagship query vector
+    * (the reference's single-query search path, weaviate.py:177). */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100, 0).cast("long"))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * exact top-10 cosine kNN — the reference's hot read path
+    * (weaviate.py:175-201) as one Spark plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.init(spark)
+    val dir = "/root/testdata/sf0.001"
+    Knn.search(t(spark, dir, "embeddings"), "embedding", "vec_id",
+      queryVec(spark, dir), 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference core surface -------------------------------------
+
+    // Q1 kNN single query (weaviate.py:175-201): TakeOrderedAndProject
+    "knn_topk" -> ((s, dir) => {
+      Graft.init(s)
+      Knn.search(t(s, dir, "embeddings"), "embedding", "vec_id",
+        queryVec(s, dir), 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // Q1 batch (fixes weaviate.py:177 single-query limitation):
+    // broadcast queries + map-side bounded-heap topk aggregate
+    "knn_batch" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Knn.searchBatch(emb, "embedding", "vec_id", queries, "qvec", "qid", 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("id"), round(col("score"), 6).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Q9 brute-force similarity + Q2 normalization (01_simple.ipynb cell 7)
+    "similarity_rank" -> ((s, dir) => {
+      Graft.init(s)
+      Knn.similarity(t(s, dir, "embeddings"), "embedding", "vec_id",
+        queryVec(s, dir))
+        .select(col("vec_id"), round(col("score"), 6).as("score"),
+          round(lit(1.0) - col("score"), 6).as("distance"))
+    }),
+
+    // Q3 count aggregate (weaviate.py:203-206)
+    "count_docs" -> ((s, dir) =>
+      t(s, dir, "documents").agg(count(lit(1)).as("cnt"))),
+
+    // Q4 point lookup / equality predicate (weaviate.py:151-165)
+    "point_lookup" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") === 42)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // Q5 delete = set-oriented anti-join (vs weaviate.py:167-173 N+1 loop)
+    "delete_antijoin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+      docs.join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_ids"))
+    }),
+
+    // Q8 upsert = union + last-wins window per key (test_weaviate.py:254-317)
+    "upsert_lastwins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("version", lit(0))
+      val updates = docs.filter(col("doc_id") < 100)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("version", lit(1))
+      val w = Window.partitionBy("doc_id").orderBy(desc("version"))
+      docs.unionByName(updates)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .filter(col("doc_id").between(90, 109))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // L3 global hash aggregate (01_simple.ipynb:490, golden row at :482)
+    "l3_agg" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("cnt"),
+        min("n_chars").as("min_len"),
+        max("n_chars").as("max_len"),
+        sum("n_chars").as("sum_len"))),
+
+    // L1/L2 hybrid: semantic score + metadata predicate + projection
+    "hybrid_filter" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val scored = emb.select(col("vec_id"),
+        Graft.cosineSim(col("embedding"), typedlit(queryVec(s, dir)))
+          .as("score"))
+      scored.join(docs, scored("vec_id") === docs("doc_id"))
+        .filter(col("score") >= 0.0 && col("n_chars") >= 200)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("n_chars"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+    }),
+
+    // ---- relational analytics over the star schema -------------------
+
+    // TPC-H Q1-style pricing summary: partial-agg-friendly group-by
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          cents(col("l_extendedprice")).as("base_cents"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("disc_cents"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // star-schema join: broadcast dims, shuffle only the fact table once
+    "star_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("r_name", "n_name")),
+
+    // join + group-by on the biggest pair, revenue per brand
+    "brand_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue_cents"))
+        .orderBy("p_brand")),
+
+    // window function: top-3 orders per market segment
+    "window_topk" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      joined
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // tumbling-window aggregation over the events stream table (batch).
+    // ts arrives as long nanos (parquet TIMESTAMP(NANOS) is read via
+    // nanosAsLong); the hour bucket is emitted as a string for a
+    // type-robust oracle compare.
+    "events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hour", date_format(
+          timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), cents(col("value")).as("value_cents"))
+        .orderBy("hour", "event_type")),
+
+    // set op: customers with no orders (EXCEPT ≈ anti-join)
+    "except_customers" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey")
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    // grouped HAVING (semi-join shape): high-frequency customers
+    "frequent_customers" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("c_custkey")),
+
+    // ---- LLM-pipeline operators -------------------------------------
+
+    // exact dedup fingerprint: distinct-vs-total (hash groupBy)
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("total"),
+        countDistinct("text").as("distinct_texts"))),
+
+    // embedding-cosine near-dup pairs, blocked by cluster label so the
+    // self-join is label-co-partitioned (not an all-pairs cross join)
+    "dedup_embedding" -> ((s, dir) => {
+      Graft.init(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val a = e.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("label"))
+      val b = e.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("label"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", Graft.cosineSim(col("va"), col("vb")))
+        .filter(col("score") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // n-gram Jaccard near-dup pairs over document text (3-gram shingles).
+    // NOT an all-pairs cross join (O(n²) — 12.5M pairs already at sf0.1):
+    // an inverted-index self-join on shingle generates only pairs that
+    // actually share a shingle (any pair with jaccard ≥ t must), then
+    // |A∩B| comes from a count per pair and |A∪B| = |A|+|B|-|A∩B|.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      operators.TextDedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // text analysis: token counts + stopword-ratio quality signal
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(
+            size(expr("filter(toks, x -> x IN ('the', 'a'))")).cast("double")
+              / size(col("toks")), 6).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    // per-language corpus stats (group-by + min/max/avg)
+    "lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("lang"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+
+    "knn_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS score
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid,
+        |       row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank,
+        |       id, round(s, 6) AS score
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "similarity_rank" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS score,
+        |       round(1.0 - list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS distance
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id""".stripMargin,
+
+    "count_docs" -> "SELECT count(*) AS cnt FROM documents",
+
+    "point_lookup" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+
+    "delete_antijoin" ->
+      """SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
+
+    "upsert_lastwins" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id < 100 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 90 AND 109 ORDER BY doc_id""".stripMargin,
+
+    "l3_agg" ->
+      """SELECT count(*) AS cnt, min(n_chars) AS min_len, max(n_chars) AS max_len,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_len FROM documents""".stripMargin,
+
+    "hybrid_filter" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) AS s
+        |  FROM embeddings)
+        |SELECT d.doc_id, round(s.s, 6) AS score, d.n_chars
+        |FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+        |WHERE s.s >= 0.0 AND d.n_chars >= 200
+        |ORDER BY s.s DESC, d.doc_id
+        |LIMIT 20""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS base_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS disc_cents,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "window_topk" ->
+      """SELECT c_mktsegment,
+        |       row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |       o_orderkey,
+        |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |QUALIFY rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "except_customers" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "frequent_customers" ->
+      """SELECT o_custkey AS c_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY 1 HAVING count(*) >= 15 ORDER BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts FROM documents",
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS score
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(len(t) - 2),
+        |                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |      FROM d WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |       round(len(list_filter(string_split(text, ' '),
+        |                             x -> x IN ('the', 'a')))::DOUBLE
+        |             / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
 }

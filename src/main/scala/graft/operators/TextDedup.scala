@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text near-duplicate detection operators for LLM-data pipelines.
+  *
+  * The reference stack has no dedup surface at all (SURVEY §2.5) — these
+  * are the north-star extension set, designed Spark-first:
+  * set-oriented plans whose cost scales with the number of *candidate*
+  * pairs (pairs that can actually be duplicates), never O(n²) all-pairs.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles per document:
+    * (id, sh array<string>, nsh). */
+  def shingles(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= n)
+      .select(
+        col(idCol).as("id"),
+        array_distinct(expr(
+          s"transform(sequence(0, size(__toks) - $n), i -> " +
+            s"concat_ws(' ', ${(0 until n).map(j => s"__toks[i+$j]").mkString(", ")}))"))
+          .as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  /** Exact n-gram Jaccard similarity over all pairs with
+    * jaccard ≥ threshold.
+    *
+    * Plan: inverted-index self-join. Explode shingles, equi-join on the
+    * shingle, count matches per (id_a, id_b) → |A∩B|; then
+    * |A∪B| = |A|+|B|-|A∩B|. Any pair with jaccard ≥ t > 0 shares at
+    * least one shingle, so the result is identical to the O(n²)
+    * cross-join formulation while the cost is Σ_s df(s)² over shingles —
+    * proportional to real textual overlap, not corpus size squared.
+    *
+    * Scale note: an ultra-frequent shingle with document frequency m
+    * contributes m² join rows (classic skew). For web-scale corpora cap
+    * it with `maxShingleDf` (drops shingles present in more than that
+    * many docs — a standard "stop-shingle" approximation) or use
+    * MinHash+LSH ([[MinHashLsh]]) which bounds work per doc by the
+    * signature size.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    var exploded = sh.select(col("id"), col("nsh"),
+      explode(col("sh")).as("shingle"))
+    maxShingleDf.foreach { cap =>
+      val hot = exploded.groupBy("shingle").count()
+        .filter(col("count") > cap).select("shingle")
+      exploded = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val a = exploded.select(col("shingle"), col("id").as("id_a"),
+      col("nsh").as("nsh_a"))
+    val b = exploded.select(col("shingle"), col("id").as("id_b"),
+      col("nsh").as("nsh_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "nsh_a", "id_b", "nsh_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact-duplicate groups by full-text hash: (text-group key, ids).
+    * One hash-partitioned groupBy — the trivially-scalable exact dedup. */
+  def exactDupGroups(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol).cast("binary"), 256).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_dups") > 1)
+
+  /** Keep one representative (min id) per exact-duplicate text. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}
