@@ -273,7 +273,91 @@ object SparkEntry {
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"),
           round(avg("n_chars"), 6).as("avg_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // MinHash+LSH near-dup (scale path): banded signature join + exact
+    // verify. Oracle is the exact-Jaccard result: all true pairs in the
+    // corpus sit at j≥0.9 where the r=4,b=16 miss probability is ~4e-8.
+    "minhash_lsh" -> ((s, dir) =>
+      operators.MinHashLsh.nearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash Hamming-ball near-dup (pigeonhole block join; xxhash64
+    // fingerprints are not SQL-portable → rows-only check)
+    "simhash_pairs" -> ((s, dir) =>
+      operators.SimHash.nearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")),
+
+    // approximate kNN via hyperplane-LSH bucket pruning (seeded planes
+    // are engine-side → rows-only check; exactness covered by knn_topk)
+    "ann_lsh" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val lsh = operators.HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
+      operators.AnnLsh.search(
+        operators.AnnLsh.bucketize(emb, "embedding", lsh),
+        "embedding", "vec_id", queryVec(s, dir), 10, lsh, probes = 2)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // deterministic rolling-hash document fingerprint (dedup primitive)
+    "fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          operators.TextAnalysis.fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+
+    // regex token counting (BPE-ish lower bound) next to whitespace count
+    "regex_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("ws_tokens"),
+          operators.TextAnalysis.regexTokenCount(col("text"))
+            .cast("long").as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // stopword-profile language-ID heuristic (argmax over marker sets)
+    "langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          operators.TextAnalysis.langId("text", Map(
+            "de" -> Seq("join", "merge"),
+            "en" -> Seq("the", "a"),
+            "es" -> Seq("sort", "key"))).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // multimodal: binary media column → typed metadata via the decode
+    // stage (codec stubbed deterministically; plumbing is real)
+    "multimodal_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      operators.Multimodal.decodeMeta(media, "media")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // gap-based sessionization over events (batch twin of the
+    // flatMapGroupsWithState streaming operator)
+    "sessionize" -> ((s, dir) =>
+      streaming.EventStream.sessionizeBatch(t(s, dir, "events"), 600)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -429,6 +513,82 @@ object SparkEntry {
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(len(t) - 2),
+        |                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |      FROM d WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_transform(string_split(text, ''),
+        |                                  c -> ascii(c)::BIGINT),
+        |                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "regex_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS re_tokens
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "langid" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t IN ('join', 'merge')))::DOUBLE
+        |           / greatest(len(string_split(text, ' ')), 1) AS s_de,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t IN ('the', 'a')))::DOUBLE
+        |           / greatest(len(string_split(text, ' ')), 1) AS s_en,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t IN ('sort', 'key')))::DOUBLE
+        |           / greatest(len(string_split(text, ' ')), 1) AS s_es
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |       CASE WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+        |            WHEN s_en >= s_es THEN 'en'
+        |            ELSE 'es' END AS pred_lang
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       16 + octet_length(text::BLOB) % 1024 AS width,
+        |       16 + (octet_length(text::BLOB) // 3) % 1024 AS height,
+        |       CAST(CASE WHEN octet_length(text::BLOB) % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+        |       CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, sum(new_session) OVER
+        |         (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |       strftime(to_timestamp(CAST(floor(epoch(min(ts))) AS BIGINT)),
+        |                '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(to_timestamp(CAST(floor(epoch(max(ts))) AS BIGINT)),
+        |                '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

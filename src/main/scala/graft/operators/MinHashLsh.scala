@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — the scale path for
+  * n-gram Jaccard dedup when even the inverted-index join is too wide.
+  *
+  * Work per document is bounded by the signature size (numHashes), not
+  * the document length × corpus overlap, and candidate generation is a
+  * hash-partitioned self-join on (band index, band signature) — no
+  * all-pairs stage anywhere. Candidates are then verified with the exact
+  * Jaccard, so false positives never escape; false-negative probability
+  * for a pair with true Jaccard j is (1 - j^r)^b (standard LSH bound —
+  * e.g. r=4, b=16: j=0.8 → 0.1%, j=0.9 → ~0).
+  *
+  * Hash family: `xxhash64(shingle, i)` for i in [0, numHashes) — Spark's
+  * codegen'd 64-bit hash seeded per-position via the extra column.
+  */
+object MinHashLsh {
+
+  /** MinHash signatures: (id, sig array<bigint> of length numHashes). */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    TextDedup.shingles(docs, idCol, textCol, n)
+      .select(col("id"), expr(
+        s"transform(sequence(0, ${numHashes - 1}), i -> " +
+          "array_min(transform(sh, s -> xxhash64(s, i))))").as("sig"))
+
+  /** Candidate pairs from banded LSH: any pair agreeing on at least one
+    * full band of the signature. rows = numHashes / bands. */
+  def candidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
+    val bandArrays = expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands))")
+    val banded = signatures
+      .select(col("id"), posexplode(bandArrays))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** End-to-end: LSH candidates verified with exact n-gram Jaccard.
+    * Output: (id_a, id_b, jaccard) for verified pairs ≥ threshold. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = TextDedup.shingles(docs, idCol, textCol, n)
+      .select(col("id"), col("sh"), col("nsh"))
+    val cands = candidatePairs(signatures(docs, idCol, textCol, n, numHashes), bands)
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha"),
+        col("nsh").as("nsh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb"),
+        col("nsh").as("nsh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for LLM-data
+  * pipelines: media travel as opaque `binary` columns with typed
+  * metadata structs (the reference's `"objects": True` binary store,
+  * 01_simple.ipynb cell 29 / SURVEY §1.3).
+  *
+  * The Spark-side machinery — schema, per-partition batch decode loop,
+  * deterministic output shape — is real and tested. The codec itself is
+  * STUBBED with a deterministic fake (this container ships no image /
+  * audio libraries): `FakeCodec` derives metadata and features purely
+  * from the bytes, so tests and oracles are reproducible. Swapping in a
+  * real decoder is a one-function change inside the `mapPartitions`
+  * loop; the plan shape (no shuffle, one pass over binary blobs,
+  * decode parallelism = partition count) is exactly what a production
+  * decode stage looks like.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB decoder — deterministic fake in place of a real image codec.
+    * Real implementation: replace the body with e.g. ImageIO /
+    * ffmpeg-cli per partition; everything around it stays. */
+  object FakeCodec {
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val n = bytes.length
+      val w = 16 + math.floorMod(n, 1024)
+      val h = 16 + math.floorMod(n / 3, 1024)
+      val c = if (math.floorMod(n, 2) == 0) 3 else 1
+      val fmt = if (math.floorMod(n, 3) == 0) "png" else "jpeg"
+      (w, h, c, fmt)
+    }
+
+    /** Fake feature vector: dim fixed-size chunked byte sums, L1-scaled —
+      * deterministic, shaped like a real embedding head. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % dim) += (bytes(i) & 0xff); i += 1
+      }
+      val total = math.max(1L, acc.sum)
+      acc.map(v => v.toFloat / total)
+    }
+
+    /** Fake frame sampler: n evenly-spaced fixed-width byte windows
+      * (a video decoder would emit decoded frames here). */
+    def sampleFrames(bytes: Array[Byte], n: Int, width: Int): Seq[Array[Byte]] =
+      if (bytes.isEmpty) Seq.empty
+      else (0 until n).map { i =>
+        val start = (bytes.length.toLong * i / n).toInt
+        bytes.slice(start, math.min(start + width, bytes.length))
+      }
+  }
+
+  /** Decode metadata for every blob: one `mapPartitions` pass, no
+    * shuffle; output = input columns + `meta` struct. */
+  def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add("meta", metaSchema, nullable = true)
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val meta = if (bytes == null) null else {
+          val (w, h, c, f) = FakeCodec.decodeMeta(bytes)
+          Row(w, h, c, f)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Feature-extract every blob into `features array<float>` (dim). */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add("features",
+      ArrayType(FloatType, containsNull = false), nullable = true)
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val feats = if (bytes == null) null
+          else FakeCodec.features(bytes, dim).toSeq
+        Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Sample `n` frames per blob into `frames array<binary>`. */
+  def sampleFrames(df: DataFrame, binCol: String, n: Int,
+      frameWidth: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add("frames",
+      ArrayType(BinaryType, containsNull = false), nullable = true)
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val frames = if (bytes == null) null
+          else FakeCodec.sampleFrames(bytes, n, frameWidth)
+        Row.fromSeq(row.toSeq :+ frames)
+      }
+    }(enc)
+  }
+}

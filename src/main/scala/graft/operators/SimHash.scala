@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash (Charikar) fingerprinting + Hamming-ball near-dup search.
+  *
+  * A document's 64-bit simhash is the signwise majority of its tokens'
+  * hash bits; near-duplicates differ in ≤ maxHamming bits. Pair search
+  * uses the pigeonhole block trick (Manku/Jain/Sarma, WWW'07 — the
+  * Google web-dedup construction): split the 64 bits into
+  * `maxHamming + 1` blocks; any pair within distance maxHamming must
+  * agree on at least one full block, so candidates come from equi-joins
+  * on (block index, block value) and are verified with
+  * `bit_count(xor)` — never an all-pairs scan.
+  *
+  * Pure `functions` composition: the per-token bit loop is a
+  * higher-order `aggregate` over a 64-slot counter array — stays in
+  * codegen, no UDF.
+  */
+object SimHash {
+
+  /** (id, simhash bigint) per document. */
+  def fingerprints(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__toks",
+        array_distinct(split(col(textCol), " ")))
+      .filter(size(col("__toks")) > 0)
+      .select(
+        col(idCol).as("id"),
+        // counters[i] = Σ_tokens (bit i of xxhash64(token) ? +1 : -1);
+        // simhash bit i = counters[i] > 0
+        expr(
+          """aggregate(
+            |  transform(sequence(0, 63), i ->
+            |    aggregate(__toks, 0L, (acc, t) ->
+            |      acc + CASE WHEN (shiftright(xxhash64(t), i) & 1L) = 1L
+            |                 THEN 1L ELSE -1L END)),
+            |  CAST(0 AS BIGINT),
+            |  (h, c) -> shiftleft(h, 1) | CASE WHEN c > 0 THEN 1L ELSE 0L END
+            |)""".stripMargin).as("simhash"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val fp = fingerprints(docs, idCol, textCol)
+    val blocked = fp.select(
+      col("id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${blocks - 1}), b -> " +
+          s"shiftright(simhash, b * $width) & ${(1L << width) - 1}L)")))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "block_val")
+    val a = blocked.select(col("block"), col("block_val"),
+      col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = blocked.select(col("block"), col("block_val"),
+      col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+}

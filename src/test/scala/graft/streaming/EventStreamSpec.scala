@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private lazy val events = spark.read.parquet(s"$sf/events.parquet")
+
+  test("windowedCounts (batch) matches a plain groupBy on the hour") {
+    val win = EventStream.windowedCounts(events, "1 hour")
+      .select(col("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    val plain = EventStream.withEventTime(events)
+      .groupBy(date_trunc("hour", col("event_time")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(win.length == plain.length && win.length > 0)
+    assert(win.zip(plain).forall { case (a, b) =>
+      a.getTimestamp(0) == b.getTimestamp(0) &&
+        a.getString(1) == b.getString(1) && a.getLong(2) == b.getLong(2)
+    })
+  }
+
+  test("sessionizeBatch: gap splits sessions, aggregates are correct") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val e = Seq(
+      // user 1: events at 0,1,2 min (one session), then 60,61 (second)
+      (1L, ts(0), 1.0), (1L, ts(1), 2.0), (1L, ts(2), 3.0),
+      (1L, ts(60), 4.0), (1L, ts(61), 5.0),
+      // user 2: single event
+      (2L, ts(5), 10.0))
+      .toDF("user_id", "event_time", "value")
+      .withColumn("ts", unix_timestamp(col("event_time")) * 1000000000L)
+      .select("user_id", "ts", "value")
+    val out = EventStream.sessionizeBatch(e, gapSeconds = 600)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("user_id") == 1L &&
+      s1.getAs[Long]("n_events") == 3L &&
+      s1.getAs[Double]("sum_value") == 6.0)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_events") == 2L &&
+      s2.getAs[Double]("sum_value") == 9.0)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("sessionize (flatMapGroupsWithState) closes sessions on gap") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val e = Seq(
+      EventStream.SessionEvent(1L, ts(0), 1.0),
+      EventStream.SessionEvent(1L, ts(1), 2.0),
+      EventStream.SessionEvent(1L, ts(60), 4.0), // closes the first
+      EventStream.SessionEvent(2L, ts(0), 7.0)).toDS()
+    val closed = EventStream.sessionize(e, gapSeconds = 600).collect()
+    // only user 1's first session closed (user 2's stays open in state)
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.user_id == 1L && s.n_events == 2L && s.sum_value == 3.0)
+    assert(s.session_start == ts(0) && s.session_end == ts(1))
+  }
+
+  test("windowedCounts runs as a real stream (rate-limited file source)") {
+    // same transform, streaming source: prove the batch/stream contract
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-stream").toString
+    events.limit(200).write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; the important
+      // assertion is that the plan runs as a stream at all — state,
+      // watermark, and window wiring are valid
+      assert(spark.table("wc_test").schema.fieldNames.toSeq ==
+        Seq("window_start", "event_type", "n", "sum_value"))
+    } finally q.stop()
+  }
+}
