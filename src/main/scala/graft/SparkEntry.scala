@@ -288,7 +288,7 @@ object SparkEntry {
     // fingerprints are not SQL-portable → rows-only check)
     "simhash_pairs" -> ((s, dir) =>
       operators.SimHash.nearDupPairs(t(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 12)
+        "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // approximate kNN via hyperplane-LSH bucket pruning (seeded planes

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hashing kernels for the dedup operators.
+  *
+  * The naive formulation (`transform(seq, i -> array_min(transform(sh,
+  * s -> xxhash64(s, i))))`) evaluates interpreted higher-order lambdas
+  * and re-hashes every string `numHashes` times — O(k·|sh|) string
+  * hashes per row. These expressions hash each element ONCE (XXH64, the
+  * same kernel as Spark's `xxhash64`) and derive the k hash family
+  * members by multiply-add mixing with SplitMix64 constants — O(|sh|)
+  * string hashes + O(k·|sh|) long arithmetic in a tight Java loop.
+  */
+private[functions] object HashMix {
+  /** SplitMix64 — generates the per-position mixing constants. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def constants(k: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = splitmix64(2L * i) | 1L // odd multiplier
+      b(i) = splitmix64(2L * i + 1)
+      i += 1
+    }
+    (a, b)
+  }
+
+  def hashUtf8(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+}
+
+/** minhash_signature(shingles array<string>, k) -> array<bigint>:
+  * the k-position MinHash signature. Null shingle elements are skipped;
+  * an empty/null array yields null. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val (consA, consB) = HashMix.constants(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashMix.hashUtf8(arr.getUTF8String(i))
+        var j = 0
+        while (j < numHashes) {
+          val v = h * consA(j) + consB(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** simhash64(tokens array<string>) -> bigint: Charikar fingerprint —
+  * bit i of the result is the sign of Σ_tokens (±1 per token's hash
+  * bit i). Empty/null arrays yield null. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashMix.hashUtf8(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var result = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) result |= (1L << j)
+      j += 1
+    }
+    result
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

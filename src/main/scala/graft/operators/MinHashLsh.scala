@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** MinHash signatures: (id, sig array<bigint> of length numHashes). */
+  /** MinHash signatures: (id, sig array<bigint> of length numHashes).
+    * One native-expression pass: each shingle is hashed once and the k
+    * family members derive by multiply-add mixing
+    * ([[graft.functions.MinHashSignature]]). */
   def signatures(
       docs: DataFrame,
       idCol: String,
@@ -27,18 +30,24 @@ object MinHashLsh {
       n: Int = 3,
       numHashes: Int = 64): DataFrame =
     TextDedup.shingles(docs, idCol, textCol, n)
-      .select(col("id"), expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> " +
-          "array_min(transform(sh, s -> xxhash64(s, i))))").as("sig"))
+      .select(col("id"), org.apache.spark.sql.graftshim.Shim.column(
+        graft.functions.MinHashSignature(
+          org.apache.spark.sql.graftshim.Shim.expression(col("sh")),
+          numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Candidate pairs from banded LSH: any pair agreeing on at least one
-    * full band of the signature. rows = numHashes / bands. */
+    * full band of the signature. rows = numHashes / bands. The band
+    * content is collapsed to one 64-bit key (`xxhash64` over the band
+    * slice) so the self-join is a plain long-keyed hash join instead of
+    * an array-equality sort-merge; a hash collision can only ADD a
+    * candidate, and the exact verify step removes false positives. */
   def candidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val bandArrays = expr(
+    val bandKeys = expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands))")
+        s"xxhash64(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))")
     val banded = signatures
-      .select(col("id"), posexplode(bandArrays))
+      .select(col("id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))

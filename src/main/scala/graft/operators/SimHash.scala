@@ -20,26 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash bigint) per document. */
+  /** (id, simhash bigint) per document — one native-expression pass
+    * ([[graft.functions.SimHash64]]: each token hashed once, bit
+    * counters in a tight loop). */
   def fingerprints(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = math.max(docs.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
     docs
-      .withColumn("__toks",
-        array_distinct(split(col(textCol), " ")))
+      .repartition(parts)
+      .withColumn("__toks", array_distinct(split(col(textCol), " ")))
       .filter(size(col("__toks")) > 0)
       .select(
         col(idCol).as("id"),
-        // counters[i] = Σ_tokens (bit i of xxhash64(token) ? +1 : -1);
-        // simhash bit i = counters[i] > 0
-        expr(
-          """aggregate(
-            |  transform(sequence(0, 63), i ->
-            |    aggregate(__toks, 0L, (acc, t) ->
-            |      acc + CASE WHEN (shiftright(xxhash64(t), i) & 1L) = 1L
-            |                 THEN 1L ELSE -1L END)),
-            |  CAST(0 AS BIGINT),
-            |  (h, c) -> shiftleft(h, 1) | CASE WHEN c > 0 THEN 1L ELSE 0L END
-            |)""".stripMargin).as("simhash"))
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.functions.SimHash64(
+            org.apache.spark.sql.graftshim.Shim.expression(col("__toks"))))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming. */
   def nearDupPairs(

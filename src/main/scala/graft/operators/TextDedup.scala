@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Distinct word n-gram shingles per document:
-    * (id, sh array<string>, nsh). */
+    * (id, sh array<string>, nsh).
+    *
+    * Repartitions up to the session default parallelism first: shingle
+    * consumers are compute-heavy per row, and a small source file
+    * (one parquet block) would otherwise pin the whole stage to one
+    * task. */
   def shingles(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
+      .repartition(math.max(docs.rdd.getNumPartitions,
+        docs.sparkSession.sparkContext.defaultParallelism))
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= n)
       .select(
