@@ -15,15 +15,13 @@ import graft.functions._
   */
 object Graft {
 
-  /** Idempotent; call once per session (cheap enough to call per query). */
+  /** Idempotent; call once per session (cheap enough to call per query).
+    * Sessions built with `withExtensions(new GraftExtensions)` (or the
+    * `spark.sql.extensions` conf) get the same functions without this. */
   def init(spark: SparkSession): SparkSession = {
-    Shim.registerFunction(spark, "cosine_sim",
-      es => CosineSimilarity(es(0), es(1)))
-    Shim.registerFunction(spark, "dot_product",
-      es => DotProduct(es(0), es(1)))
-    Shim.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
-    Shim.registerFunction(spark, "topk_by_score",
-      es => TopKByScore(es(0), es(1), es(2)).toAggregateExpression())
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      Shim.registerFunction(spark, name, builder)
+    }
     spark
   }
 

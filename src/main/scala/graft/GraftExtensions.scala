@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** Session-extension deployment of the engine's native functions — the
+  * idiomatic way to ship Catalyst extensions to a cluster:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * `Graft.init(spark)` registers the same functions imperatively for
+  * sessions created without extensions.
+  *
+  * `similar(vec, queryVec)` is the engine's rendition of the txtai SQL
+  * dialect's `similar('query text')` predicate (SURVEY §2.3 L1-L4,
+  * §3.3): text→vector encoding happens outside the engine (SURVEY S6),
+  * so in SQL the query arrives as a vector literal/column and `similar`
+  * evaluates to the cosine *similarity* score (1 − cosine distance,
+  * weaviate.py:17-20). Standard usage:
+  *
+  * {{{
+  * SELECT text, similar(vector, array(...)) AS score FROM docs
+  * WHERE similar(vector, array(...)) >= 0.0
+  * ORDER BY score DESC LIMIT 10
+  * }}}
+  *
+  * Catalyst's common-subexpression elimination computes the score once,
+  * and the ORDER BY/LIMIT shape lowers to TakeOrderedAndProject.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (es: Seq[Expression]) => builder(es)))
+    }
+}
+
+object GraftExtensions {
+  /** Name → expression builder for every native function. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "similar" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_norm" -> (es => L2Norm(es.head)),
+    "minhash_signature" -> (es => MinHashSignature(es(0),
+      es(1) match {
+        case Literal(k: Int, _) => k
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(arr, k): k must be an int literal, got $other")
+      })),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "topk_by_score" -> (es =>
+      TopKByScore(es(0), es(1), es(2)).toAggregateExpression()))
+}

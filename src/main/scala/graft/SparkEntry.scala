@@ -275,6 +275,42 @@ object SparkEntry {
           round(avg("n_chars"), 6).as("avg_chars"))
         .orderBy("lang")),
 
+    // JSON property extraction over the events payload column
+    "events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), cents(col("value")).as("value_cents"))
+        .orderBy("k")),
+
+    // calendar bucketing on a proper timestamp column
+    "orders_monthly" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("month")),
+
+    // grouping sets: ROLLUP over returnflag/linestatus
+    "rollup_sales" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // exact interpolated percentiles over the price distribution
+    "quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("q90"))),
+
     // MinHash+LSH near-dup (scale path): banded signature join + exact
     // verify. Oracle is the exact-Jaccard result: all true pairs in the
     // corpus sit at j≥0.9 where the r=4,b=16 miss probability is ~4e-8.
@@ -514,6 +550,32 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_monthly" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rollup_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+        |FROM lineitem""".stripMargin,
 
     "minhash_lsh" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
