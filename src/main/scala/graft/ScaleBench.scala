@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnLsh, HyperplaneLsh, Knn}
+
+/** Scale probe: replicates the embeddings corpus N× (perturbed ids) to
+  * measure kNN/ANN throughput well beyond the testdata row counts —
+  * the "would this hold at 100×" check the small SFs can't give.
+  * Not part of the driver contract; run manually:
+  *
+  * {{{ sbt "runMain graft.ScaleBench [replicas]" }}}
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(500)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark)
+
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = base.count()
+    // replicate with distinct ids; rotate vector values per replica so
+    // buckets stay spread (slice-and-concat is a cheap deterministic mix)
+    val big = base.crossJoin(
+        spark.range(replicas).select(col("id").as("rep")))
+      .select(
+        (col("vec_id") + col("rep") * n).as("vec_id"),
+        when(col("rep") % 2 === 0, col("embedding"))
+          .otherwise(concat(slice(col("embedding"), 33, 32),
+            slice(col("embedding"), 1, 32))).as("embedding"))
+      .repartition(cpus.toInt)
+      .cache()
+    val total = big.count()
+    println(s"corpus: $total vectors x 64 dims")
+
+    val q = base.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label: $s%.2f s (${total / s / 1e6}%.1f Mvec/s)")
+      s
+    }
+
+    time("exact knn k=10 (cold)") {
+      Knn.search(big, "embedding", "vec_id", q, 10).collect()
+    }
+    time("exact knn k=10 (warm)") {
+      Knn.search(big, "embedding", "vec_id", q, 10).collect()
+    }
+    val queries = base.limit(32)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    time("batch knn 32 queries k=10") {
+      Knn.searchBatch(big, "embedding", "vec_id", queries, "qvec", "qid", 10)
+        .collect()
+    }
+    // storage-level pruning: the bucket-partitioned index skips unprobed
+    // files entirely (a cached/in-memory filter cannot prune — it still
+    // scans every row, which is why AnnLsh on a cached DF ties exact)
+    val lsh = HyperplaneLsh(dim = 64, nbits = 8, seed = 42L)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-lsh").toString
+    time("build bucket-partitioned index (write)") {
+      graft.index.LshVectorIndex.build(
+        big, "embedding", "vec_id", idxDir, lsh)
+    }
+    val idx = graft.index.LshVectorIndex.load(spark, idxDir, lsh)
+    // apples-to-apples: exact scan over the same on-disk parquet
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-flat").toString
+    big.write.mode("overwrite").parquet(flatDir)
+    val flat = spark.read.parquet(flatDir)
+    time("exact knn from parquet (no pruning)") {
+      Knn.search(flat, "embedding", "vec_id", q, 10).collect()
+    }
+    time("ann search probes=1 (partition-pruned parquet)") {
+      idx.search(q, 10, probes = 1).collect()
+    }
+    time("ann search probes=2") {
+      idx.search(q, 10, probes = 2).collect()
+    }
+    spark.stop()
+  }
+}

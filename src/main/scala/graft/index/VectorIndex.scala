@@ -164,6 +164,22 @@ class VectorIndex private (
     Knn.searchBatch(df, "vector", "docid", queries, qVecCol, qidCol, k)
   }
 
+  /** Drop-in compat shape of the reference's `search(queries, limit)`
+    * (weaviate.py:175-201): takes a list of query vectors but serves
+    * ONLY `queries[0]`, returning a list-of-one result list of
+    * (docid, similarity) — bug-for-bug faithful (SURVEY §7.4 risk 5).
+    * Native callers should use [[search]]/[[searchBatch]]. */
+  def searchCompat(
+      queries: Seq[Array[Float]], limit: Int): Seq[Seq[(Long, Double)]] = {
+    requireExists("search")
+    val hits = search(queries.head, limit)
+      .select("docid", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+    Seq(hits)
+  }
+
   /** Real persistence (the reference warns and does nothing,
     * weaviate.py:208-224): copy the index to another path. */
   def save(dest: String): Unit = {
