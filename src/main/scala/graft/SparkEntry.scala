@@ -304,12 +304,14 @@ object SparkEntry {
         .orderBy("returnflag", "linestatus")),
 
     // exact interpolated percentiles over the price distribution
+    // (parallel sort + rank lookup — Spark's builtin percentile
+    // aggregates a value->count map on one reducer, Stats.quantilesExact
+    // doesn't; same quantile_cont definition as the oracle)
     "quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("q90"))),
+      operators.Stats.quantilesExact(
+        t(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9))
+        .select(round(col("q25"), 4).as("q25"), round(col("q50"), 4).as("q50"),
+          round(col("q75"), 4).as("q75"), round(col("q90"), 4).as("q90"))),
 
     // MinHash+LSH near-dup (scale path): banded signature join + exact
     // verify. Oracle is the exact-Jaccard result: all true pairs in the

@@ -42,6 +42,53 @@ private[functions] object HashMix {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
 }
 
+/** ngram_shingles(text, n) -> array<string>: the DISTINCT word n-gram
+  * shingles of a whitespace-tokenized document, in one pass (split +
+  * n-gram build + dedup in tight Java; the `transform`/`concat_ws`
+  * higher-order formulation evaluates interpreted lambdas per shingle).
+  * Fewer than n tokens → null. */
+case class NgramShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    if (toks.length < n) return null
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      // concat tokens i..i+n-1 with single spaces
+      var j = 1
+      var sh = toks(i)
+      while (j < n) {
+        sh = UTF8String.concat(sh, space, toks(i + j))
+        j += 1
+      }
+      seen.add(sh)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_signature(shingles array<string>, k) -> array<bigint>:
   * the k-position MinHash signature. Null shingle elements are skipped;
   * an empty/null array yields null. */

@@ -68,9 +68,18 @@ object MinHashLsh {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    // one shingle pass feeds both the signature branch and the verify
+    // branch: the id-keyed repartition materializes shingles into a
+    // shuffle that Spark's ReuseExchange dedups across the two subtrees
     val sh = TextDedup.shingles(docs, idCol, textCol, n)
       .select(col("id"), col("sh"), col("nsh"))
-    val cands = candidatePairs(signatures(docs, idCol, textCol, n, numHashes), bands)
+      .repartition(col("id"))
+    val sigs = sh.select(col("id"), org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graftshim.Shim.expression(col("sh")),
+        numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val cands = candidatePairs(sigs, bands)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sha"),
         col("nsh").as("nsh_a")), Seq("id_a"))

@@ -24,14 +24,13 @@ object TextDedup {
     docs
       .repartition(math.max(docs.rdd.getNumPartitions,
         docs.sparkSession.sparkContext.defaultParallelism))
-      .withColumn("__toks", split(col(textCol), " "))
-      .filter(size(col("__toks")) >= n)
       .select(
         col(idCol).as("id"),
-        array_distinct(expr(
-          s"transform(sequence(0, size(__toks) - $n), i -> " +
-            s"concat_ws(' ', ${(0 until n).map(j => s"__toks[i+$j]").mkString(", ")}))"))
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.functions.NgramShingles(
+            org.apache.spark.sql.graftshim.Shim.expression(col(textCol)), n))
           .as("sh"))
+      .filter(col("sh").isNotNull)
       .withColumn("nsh", size(col("sh")))
 
   /** Exact n-gram Jaccard similarity over all pairs with
@@ -70,8 +69,13 @@ object TextDedup {
       col("nsh").as("nsh_a"))
     val b = exploded.select(col("shingle"), col("id").as("id_b"),
       col("nsh").as("nsh_b"))
+    // size-ratio prune: jaccard ≥ t forces min(|A|,|B|)/max(|A|,|B|) ≥ t,
+    // so mismatched-size pairs drop during the join probe instead of
+    // flooding the pair-count aggregate
     a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("nsh_a"), col("nsh_b")).cast("double") >=
+          greatest(col("nsh_a"), col("nsh_b")) * threshold)
       .groupBy("id_a", "nsh_a", "id_b", "nsh_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -80,6 +80,23 @@ object EventStream {
       }
   }
 
+  /** Sessionization via Spark's native `session_window` — the built-in
+    * gap-window aggregate (works streaming with watermark and batch).
+    * Note the boundary difference vs [[sessionizeBatch]]: session_window
+    * merges events with gap STRICTLY LESS than `gapSeconds` (window end
+    * is exclusive), while the lag-based twin uses `diff > gap` to split
+    * (i.e. merges on `diff == gap`). */
+  def sessionizeNative(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val timed = withEventTime(events)
+    timed
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Batch-mode sessionization over the full table — same gap semantics
     * expressed relationally (lag + cumulative session ids), used as the
     * batch backfill twin and oracle for [[sessionize]]. */

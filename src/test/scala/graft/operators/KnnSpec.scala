@@ -56,6 +56,17 @@ class KnnSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("null vectors rank last (null scores sort after real scores)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array(1f, 0f))),
+      (2L, Option.empty[Array[Float]]),
+      (3L, Some(Array(0.9f, 0.1f)))).toDF("vec_id", "embedding")
+    val res = Knn.search(df, "embedding", "vec_id", Array(1f, 0f), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res.take(2) == Seq(1L, 3L)) // null-scored row never outranks
+  }
+
   test("similarity ranks the full corpus with scores in [-1,1]") {
     val q = emb.select("embedding").head().getSeq[Float](0).toArray
     val res = Knn.similarity(emb, "embedding", "vec_id", q).collect()
