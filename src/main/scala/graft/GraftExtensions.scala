@@ -46,19 +46,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(k: Int, _) => k
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an int literal argument, got $other")
+  }
+
   /** Name → expression builder for every native function. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "similar" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_norm" -> (es => L2Norm(es.head)),
-    "minhash_signature" -> (es => MinHashSignature(es(0),
-      es(1) match {
-        case Literal(k: Int, _) => k
-        case other => throw new IllegalArgumentException(
-          s"minhash_signature(arr, k): k must be an int literal, got $other")
-      })),
+    "minhash_signature" -> (es =>
+      MinHashSignature(es(0), intLit(es(1), "minhash_signature"))),
     "simhash64" -> (es => SimHash64(es.head)),
+    "ngram_shingles" -> (es => NgramShingles(es(0), intLit(es(1), "ngram_shingles"))),
+    "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), es(2)).toAggregateExpression()))
 }

@@ -385,6 +385,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // model-free hashed embedding of the documents table + kNN over it
+    // (engine-side encode stand-in; hash family not SQL-portable →
+    // rows-only check)
+    "hash_embed_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val embedded = t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.hashEmbed("text", 64).as("vec"))
+      val q = embedded.filter(col("doc_id") === 0)
+        .select("vec").head().getSeq[Float](0).toArray
+      operators.Knn.search(embedded, "vec", "doc_id", q, 10)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
     // gap-based sessionization over events (batch twin of the
     // flatMapGroupsWithState streaming operator)
     "sessionize" -> ((s, dir) =>

@@ -89,6 +89,48 @@ case class NgramShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** hash_embed(text, dim) -> array<float>: L2-normalized hashed
+  * bag-of-words embedding (HashingTF-style) — token t increments slot
+  * `xxhash64(t) mod dim`. One pass, tight loop; model-free stand-in
+  * for the out-of-engine encode step (SURVEY S6). */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0)
+
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < toks.length) {
+      val slot = java.lang.Math.floorMod(HashMix.hashUtf8(toks(i)), dim.toLong)
+      acc(slot.toInt) += 1.0
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    val norm = if (ss > 0) math.sqrt(ss) else 1.0
+    val out = new Array[Any](dim)
+    j = 0
+    while (j < dim) { out(j) = (acc(j) / norm).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_signature(shingles array<string>, k) -> array<bigint>:
   * the k-position MinHash signature. Null shingle elements are skipped;
   * an empty/null array yields null. */

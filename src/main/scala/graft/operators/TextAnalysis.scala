@@ -60,6 +60,17 @@ object TextAnalysis {
           s"CAST(ascii(substring($textCol, 1, 1)) AS BIGINT), " +
           s"(acc, x) -> (acc * 31 + x) % 1000000007)"))
 
+  /** Deterministic hashed bag-of-words embedding (HashingTF-style):
+    * each token increments slot `xxhash64(token) mod dim`, then the
+    * vector is L2-normalized. A model-free, engine-side stand-in for
+    * the reference's sentence-transformer encode step (SURVEY S6) —
+    * same trick as txtai's fallback hash vectorizers — that makes the
+    * documents table directly searchable with the kNN operators. */
+  def hashEmbed(textCol: String, dim: Int): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.HashEmbed(
+        org.apache.spark.sql.graftshim.Shim.expression(col(textCol)), dim))
+
   /** N-gram-profile language identification: scores the document's token
     * overlap against per-language marker-word sets and picks the argmax
     * (ties broken by language code order). `profiles` maps language code

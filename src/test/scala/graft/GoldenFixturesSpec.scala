@@ -36,6 +36,36 @@ class GoldenFixturesSpec extends SparkTestBase {
     assert(row.getLong(3) == 387L)
   }
 
+  test("8-query relevance table: every query hits its recorded top-1 doc " +
+    "(01_simple.ipynb cells 7-9)") {
+    // topic-direction vectors: docs get basis directions; queries get
+    // vectors leaning toward their recorded answer with cross-topic
+    // noise — the deterministic offline stand-in for the notebook's
+    // sentence-transformer geometry (FIXTURES.md §1.1)
+    val dim = 6
+    def doc(i: Int) = { val a = Array.fill(dim)(0f); a(i) = 1f; a }
+    def query(main: Int, noise: Seq[(Int, Float)]) = {
+      val a = Array.fill(dim)(0f); a(main) = 0.8f
+      noise.foreach { case (i, w) => a(i) = w }; a
+    }
+    val expectations = Seq( // query name, vector, expected top-1 docid
+      ("feel good story", query(4, Seq(5 -> 0.2f)), 4L),
+      ("climate change", query(1, Seq(0 -> 0.1f)), 1L),
+      ("public health story", query(0, Seq(4 -> 0.2f)), 0L),
+      ("war", query(2, Seq(1 -> 0.1f)), 2L),
+      ("wildlife", query(3, Seq(1 -> 0.2f)), 3L),
+      ("asia", query(2, Seq(5 -> 0.1f)), 2L),
+      ("lucky", query(4, Seq(3 -> 0.1f)), 4L),
+      ("dishonest junk", query(5, Seq(4 -> 0.2f)), 5L))
+    val index = corpus.indices
+      .map(i => (i.toLong, doc(i), corpus(i))).toDF("docid", "vector", "text")
+    expectations.foreach { case (name, qv, expected) =>
+      val top = operators.Knn.search(index, "vector", "docid", qv, 1)
+        .select("docid").head().getLong(0)
+      assert(top == expected, s"query '$name' expected doc $expected got $top")
+    }
+  }
+
   test("index + search workflows compose end-to-end (README.md:30-43)") {
     // deterministic stand-in encoder: one basis direction per topic
     // (FIXTURES.md note: offline replacement for sentence-transformers)

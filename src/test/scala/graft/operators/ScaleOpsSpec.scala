@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join == plain join on skewed data") {
+    // 90% of fact rows share one key — the classic skew shape
+    val fact = spark.range(10000).select(
+      when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+      col("id").as("fact_id"))
+    val dim = spark.range(10000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("attr"))
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "fact_id", "attr").as[(Long, Long, String)]
+      .collect().toSet
+    val salted = SkewJoin.salted(fact, dim, "k", col("fact_id"), salt = 8)
+      .select("k", "fact_id", "attr").as[(Long, Long, String)]
+      .collect().toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("salted join spreads the hot key across salt sub-keys") {
+    val fact = spark.range(1000).select(lit(1L).as("k"), col("id").as("fact_id"))
+    val salts = fact.withColumn("__salt",
+      pmod(xxhash64(col("fact_id")), lit(8L)))
+      .groupBy("__salt").count().collect()
+    assert(salts.length == 8)
+    assert(salts.map(_.getLong(1)).max < 1000 * 0.3) // no reducer owns it all
+  }
+
+  test("hashEmbed: unit norm, deterministic, knn self-match on documents") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val embedded = docs.select(col("doc_id"),
+      TextAnalysis.hashEmbed("text", 32).as("vec")).cache()
+    val norms = embedded.select(graft.Graft.l2Norm(col("vec")).as("n"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    val q = embedded.filter(col("doc_id") === 5)
+      .select("vec").head().getSeq[Float](0).toArray
+    val top = Knn.search(embedded, "vec", "doc_id", q, 3)
+      .select("doc_id").as[Long].collect()
+    assert(top.head == 5L) // self-similarity wins
+    embedded.unpersist()
+  }
+
+  test("hash_embed + ngram_shingles usable from SQL text") {
+    graft.Graft.init(spark)
+    val r = spark.sql(
+      "SELECT size(hash_embed('a b c', 16)) AS d, " +
+        "ngram_shingles('a b c d', 2) AS sh").head()
+    assert(r.getInt(0) == 16)
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+  }
+}
