@@ -43,6 +43,15 @@ object Graft {
       TopKByScore(Shim.expression(score), Shim.expression(id),
         Shim.expression(lit(k))).toAggregateExpression())
 
+  def packVector(a: Column): Column =
+    Shim.column(PackVector(Shim.expression(a)))
+
+  def unpackVector(a: Column): Column =
+    Shim.column(UnpackVector(Shim.expression(a)))
+
+  def cosineSimPacked(a: Column, b: Column): Column =
+    Shim.column(CosineSimPacked(Shim.expression(a), Shim.expression(b)))
+
   /** Weaviate cosine distance -> txtai similarity (weaviate.py:17-20). */
   def normalizeCosineDistance(d: Column): Column = lit(1.0) - d
 }

@@ -65,5 +65,8 @@ object GraftExtensions {
     "ngram_shingles" -> (es => NgramShingles(es(0), intLit(es(1), "ngram_shingles"))),
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),
     "topk_by_score" -> (es =>
-      TopKByScore(es(0), es(1), es(2)).toAggregateExpression()))
+      TopKByScore(es(0), es(1), es(2)).toAggregateExpression()),
+    "pack_vector" -> (es => PackVector(es.head)),
+    "unpack_vector" -> (es => UnpackVector(es.head)),
+    "cosine_sim_packed" -> (es => CosineSimPacked(es(0), es(1))))
 }

@@ -89,6 +89,25 @@ object ScaleBench {
     time("ann search probes=2") {
       idx.search(q, 10, probes = 2).collect()
     }
+
+    // packed-binary layout: fixed-width blobs skip parquet array
+    // assembly on every scan
+    val packedDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-packed").toString
+    big.select(col("vec_id"), Graft.packVector(col("embedding")).as("vec"))
+      .write.mode("overwrite").parquet(packedDir)
+    val packed = spark.read.parquet(packedDir)
+    val qPacked = {
+      val bb = java.nio.ByteBuffer.allocate(q.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      q.foreach(bb.putFloat); bb.array()
+    }
+    def knnPacked() = packed
+      .select(col("vec_id"),
+        Graft.cosineSimPacked(col("vec"), lit(qPacked)).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10).collect()
+    time("exact knn from parquet, PACKED binary (cold)") { knnPacked() }
+    time("exact knn from parquet, PACKED binary (warm)") { knnPacked() }
     spark.stop()
   }
 }

@@ -82,6 +82,24 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, -1.0))
   }
 
+  test("pack/unpack roundtrip; packed cosine == array cosine bitwise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(30)(
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      Graft.cosineSim(col("a"), col("b")).as("plain"),
+      Graft.cosineSimPacked(
+        Graft.packVector(col("a")), Graft.packVector(col("b"))).as("packed"),
+      Graft.unpackVector(Graft.packVector(col("a"))).as("rt"),
+      col("a")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // identical reduction
+      assert(r.getSeq[Float](2) == r.getSeq[Float](3))
+    }
+  }
+
   test("topk_by_score keeps k best, score desc, ties by id asc") {
     import spark.implicits._
     val df = Seq(
