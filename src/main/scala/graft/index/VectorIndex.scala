@@ -20,11 +20,14 @@ class IndexNotFoundException(msg: String) extends RuntimeException(msg)
 /** Index configuration ≈ the reference's DEFAULT_SCHEMA + client config
   * (weaviate.py:23-27,60-73). `overwriteIndex` mirrors `overwrite_index`
   * (weaviate.py:68): true → existing index is dropped and recreated;
-  * false → warn and reuse the existing one. */
+  * false → warn and reuse the existing one. `packed` stores vectors as
+  * fixed-width binary blobs instead of `array<float>` — ~3× faster
+  * scans (see BASELINE.md scale probe); scores are bitwise identical. */
 case class IndexConfig(
     className: String = "Document",
     distance: String = "cosine",
-    overwriteIndex: Boolean = true)
+    overwriteIndex: Boolean = true,
+    packed: Boolean = false)
 
 object IndexSchema {
 
@@ -105,9 +108,14 @@ class VectorIndex private (
   }
 
   private def writeRows(docs: DataFrame, base: Long, overwrite: Boolean): VectorIndex = {
+    val packedDocs =
+      if (config.packed && docs.schema.fieldNames.contains("vector") &&
+        docs.schema("vector").dataType != org.apache.spark.sql.types.BinaryType)
+        docs.withColumn("vector", graft.Graft.packVector(col("vector")))
+      else docs
     val withId = Ids.withDenseId(
-      docs, "docid", Seq(col("uid")), offset = base)
-    val cols = col("docid") +: docs.columns.map(col)
+      packedDocs, "docid", Seq(col("uid")), offset = base)
+    val cols = col("docid") +: packedDocs.columns.map(col)
     val out = withId.select(cols: _*)
     if (overwrite) replaceData(out)
     else out.write.mode("append").parquet(dataPath.toString)
@@ -151,10 +159,22 @@ class VectorIndex private (
   }
 
   /** Top-k cosine search (weaviate.py:175-201) — scores are txtai
-    * similarity (1 - cosine distance) in [-1, 1]. */
+    * similarity (1 - cosine distance) in [-1, 1]. Dispatches on the
+    * stored layout: packed-binary indexes score via the packed kernel
+    * (same math, no array assembly). */
   def search(queryVec: Array[Float], k: Int): DataFrame = {
     requireExists("search")
-    Knn.search(df, "vector", "docid", queryVec, k)
+    val data = df
+    if (data.schema("vector").dataType == org.apache.spark.sql.types.BinaryType) {
+      val bb = java.nio.ByteBuffer.allocate(queryVec.length * 4)
+        .order(java.nio.ByteOrder.nativeOrder())
+      queryVec.foreach(bb.putFloat)
+      data
+        .withColumn("score",
+          graft.Graft.cosineSimPacked(col("vector"), lit(bb.array())))
+        .orderBy(desc("score"), col("docid").asc)
+        .limit(k)
+    } else Knn.search(data, "vector", "docid", queryVec, k)
   }
 
   /** Batch search — fixes the reference's queries[0]-only limitation

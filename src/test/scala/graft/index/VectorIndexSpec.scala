@@ -154,6 +154,25 @@ class VectorIndexSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  // --- packed storage layout ---
+
+  test("packed index: same search results as array layout, binary storage") {
+    val rnd = new scala.util.Random(11)
+    val docs = docsDF((0 until 50).map(i =>
+      (i.toString, Array.fill(16)(rnd.nextFloat()), null)))
+    val arrIdx = VectorIndex.create(spark, tmpDir()).index(docs)
+    val packIdx = VectorIndex.create(spark, tmpDir(),
+      config = IndexConfig(packed = true)).index(docs)
+    assert(packIdx.df.schema("vector").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val q = Array.fill(16)(rnd.nextFloat())
+    val a = arrIdx.search(q, 5).select("uid", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val p = packIdx.search(q, 5).select("uid", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a == p) // bitwise-identical scores, same ranking
+  }
+
   // --- guard (weaviate.py:41-52, test_weaviate.py:240-246) ---
 
   test("operations on a dropped index raise IndexNotFoundException") {
