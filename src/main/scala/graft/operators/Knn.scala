@@ -54,14 +54,26 @@ object Knn {
       qidCol: String,
       k: Int): DataFrame = {
     Graft.init(index.sparkSession)
+    // packed-layout dispatch: if the index stores fixed-width binary
+    // vectors, pack the (small) query side too and use the packed kernel
+    val packed = index.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val qvec =
+      if (packed && queries.schema(qVecCol).dataType !=
+        org.apache.spark.sql.types.BinaryType)
+        Graft.packVector(col(qVecCol))
+      else col(qVecCol)
     val q = broadcast(queries.select(
-      col(qidCol).as("qid"), col(qVecCol).as("__qvec")))
+      col(qidCol).as("qid"), qvec.as("__qvec")))
+    val score =
+      if (packed) Graft.cosineSimPacked(col(vecCol), col("__qvec"))
+      else Graft.cosineSim(col(vecCol), col("__qvec"))
     val scored = index
       .crossJoin(q)
       .select(
         col("qid"),
         col(idCol).cast("long").as("__id"),
-        Graft.cosineSim(col(vecCol), col("__qvec")).as("__score"))
+        score.as("__score"))
     scored
       .groupBy("qid")
       .agg(Graft.topKByScore(col("__score"), col("__id"), k).as("topk"))
