@@ -97,11 +97,7 @@ object ScaleBench {
     big.select(col("vec_id"), Graft.packVector(col("embedding")).as("vec"))
       .write.mode("overwrite").parquet(packedDir)
     val packed = spark.read.parquet(packedDir)
-    val qPacked = {
-      val bb = java.nio.ByteBuffer.allocate(q.length * 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      q.foreach(bb.putFloat); bb.array()
-    }
+    val qPacked = graft.functions.PackedVectors.packFloats(q)
     def knnPacked() = packed
       .select(col("vec_id"),
         Graft.cosineSimPacked(col("vec"), lit(qPacked)).as("score"))

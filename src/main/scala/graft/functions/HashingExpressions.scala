@@ -54,6 +54,9 @@ case class NgramShingles(child: Expression, n: Int)
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "ngram_shingles"
+  // returns null for sub-threshold/empty inputs even when the
+  // child is non-nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -140,6 +143,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  // returns null for sub-threshold/empty inputs even when the
+  // child is non-nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -181,6 +187,9 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  // returns null for sub-threshold/empty inputs even when the
+  // child is non-nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

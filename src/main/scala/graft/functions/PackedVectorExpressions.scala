@@ -8,7 +8,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 
 /** Packed vector storage: a dim-d float vector as a 4·d-byte binary
-  * blob (little-endian IEEE754).
+  * blob, **little-endian IEEE754 by contract** — persisted packed
+  * indexes stay portable across architectures.
   *
   * Parquet `array<float>` pays per-element assembly (offsets,
   * definition levels, object headers) on every scan; a fixed-width
@@ -18,14 +19,44 @@ import org.apache.spark.unsafe.Platform
   * first-class (`pack_vector` / `unpack_vector` convert).
   */
 object PackedVectors {
+  /** Whether the fast native-order Platform path already IS the
+    * contract order (true everywhere Spark commonly runs: x86, arm). */
+  private val nativeIsLE =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
+  def putFloatLE(out: Array[Byte], i: Int, v: Float): Unit =
+    if (nativeIsLE)
+      Platform.putFloat(out, Platform.BYTE_ARRAY_OFFSET + i * 4L, v)
+    else {
+      val bits = java.lang.Float.floatToIntBits(v)
+      out(i * 4) = bits.toByte
+      out(i * 4 + 1) = (bits >>> 8).toByte
+      out(i * 4 + 2) = (bits >>> 16).toByte
+      out(i * 4 + 3) = (bits >>> 24).toByte
+    }
+
+  def getFloatLE(bytes: Array[Byte], i: Int): Float =
+    if (nativeIsLE)
+      Platform.getFloat(bytes, Platform.BYTE_ARRAY_OFFSET + i * 4L)
+    else java.lang.Float.intBitsToFloat(
+      (bytes(i * 4) & 0xff) | ((bytes(i * 4 + 1) & 0xff) << 8) |
+        ((bytes(i * 4 + 2) & 0xff) << 16) | ((bytes(i * 4 + 3) & 0xff) << 24))
+
   def pack(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val out = new Array[Byte](n * 4)
     var i = 0
     while (i < n) {
-      Platform.putFloat(out, Platform.BYTE_ARRAY_OFFSET + i * 4L, arr.getFloat(i))
+      putFloatLE(out, i, arr.getFloat(i))
       i += 1
     }
+    out
+  }
+
+  def packFloats(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length * 4)
+    var i = 0
+    while (i < v.length) { putFloatLE(out, i, v(i)); i += 1 }
     out
   }
 }
@@ -68,7 +99,7 @@ case class UnpackVector(child: Expression) extends UnaryExpression
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = Platform.getFloat(bytes, Platform.BYTE_ARRAY_OFFSET + i * 4L)
+      out(i) = PackedVectors.getFloatLE(bytes, i)
       i += 1
     }
     new GenericArrayData(out)
@@ -100,9 +131,8 @@ case class CosineSimPacked(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val off = Platform.BYTE_ARRAY_OFFSET + i * 4L
-      val xi = Platform.getFloat(x, off).toDouble
-      val yi = Platform.getFloat(y, off).toDouble
+      val xi = PackedVectors.getFloatLE(x, i).toDouble
+      val yi = PackedVectors.getFloatLE(y, i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -114,15 +144,14 @@ case class CosineSimPacked(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi"); val off = ctx.freshName("off")
-      val P = "org.apache.spark.unsafe.Platform"
+      val yi = ctx.freshName("yi")
+      val P = "graft.functions.PackedVectors"
       s"""
         int $n = Math.min($a.length, $b.length) / 4;
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          long $off = $P.BYTE_ARRAY_OFFSET + $i * 4L;
-          double $xi = (double) $P.getFloat($a, $off);
-          double $yi = (double) $P.getFloat($b, $off);
+          double $xi = (double) $P.getFloatLE($a, $i);
+          double $yi = (double) $P.getFloatLE($b, $i);
           $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         }
         ${ev.value} = ($nx == 0.0 || $ny == 0.0)

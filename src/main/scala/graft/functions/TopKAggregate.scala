@@ -54,14 +54,33 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
 
-  private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"topk k must be a literal int, got $other")
+  private lazy val k: Int = {
+    val v = kExpr.eval(InternalRow.empty) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"topk k must be a literal int, got $other")
+    }
+    require(v >= 1, s"topk k must be >= 1, got $v")
+    v
   }
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false
+
+  // analysis-time type check instead of blind runtime casts in update()
+  // (ExpectsInputTypes is private[sql]; same effect by hand)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (score.dataType, id.dataType) match {
+      case (org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint, int) arguments, got " +
+          s"(${s.simpleString}, ${i.simpleString}); cast explicitly")
+    }
+  }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", DoubleType, nullable = false),

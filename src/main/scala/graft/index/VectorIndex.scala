@@ -107,12 +107,29 @@ class VectorIndex private (
     writeRows(docs, offset, overwrite = false)
   }
 
-  private def writeRows(docs: DataFrame, base: Long, overwrite: Boolean): VectorIndex = {
-    val packedDocs =
-      if (config.packed && docs.schema.fieldNames.contains("vector") &&
-        docs.schema("vector").dataType != org.apache.spark.sql.types.BinaryType)
+  /** The layout incoming vectors must land in: the STORED column type
+    * when the index already has data (so an index opened with a
+    * mismatched config can't mix layouts in one directory), else the
+    * configured preference. */
+  private def packedTarget(forOverwrite: Boolean): Boolean =
+    if (!forOverwrite && exists)
+      df.schema("vector").dataType == org.apache.spark.sql.types.BinaryType
+    else config.packed
+
+  /** Conform `docs`' vector column to the target layout. */
+  private def conformLayout(docs: DataFrame, packed: Boolean): DataFrame =
+    if (!docs.schema.fieldNames.contains("vector")) docs
+    else (packed,
+      docs.schema("vector").dataType == org.apache.spark.sql.types.BinaryType) match {
+      case (true, false) =>
         docs.withColumn("vector", graft.Graft.packVector(col("vector")))
-      else docs
+      case (false, true) =>
+        docs.withColumn("vector", graft.Graft.unpackVector(col("vector")))
+      case _ => docs
+    }
+
+  private def writeRows(docs: DataFrame, base: Long, overwrite: Boolean): VectorIndex = {
+    val packedDocs = conformLayout(docs, packedTarget(overwrite))
     val withId = Ids.withDenseId(
       packedDocs, "docid", Seq(col("uid")), offset = base)
     val cols = col("docid") +: packedDocs.columns.map(col)
@@ -148,8 +165,9 @@ class VectorIndex private (
   def upsert(docs: DataFrame): VectorIndex = {
     requireExists("upsert")
     val base = offset
-    val incoming = Ids.withDenseId(docs, "docid", Seq(col("uid")), offset = base)
-      .select((col("docid") +: docs.columns.map(col)): _*)
+    val conformed = conformLayout(docs, packedTarget(forOverwrite = false))
+    val incoming = Ids.withDenseId(conformed, "docid", Seq(col("uid")), offset = base)
+      .select((col("docid") +: conformed.columns.map(col)): _*)
     val unioned = df.unionByName(incoming, allowMissingColumns = true)
     val w = Window.partitionBy("uid").orderBy(desc("docid"))
     replaceData(
@@ -166,12 +184,10 @@ class VectorIndex private (
     requireExists("search")
     val data = df
     if (data.schema("vector").dataType == org.apache.spark.sql.types.BinaryType) {
-      val bb = java.nio.ByteBuffer.allocate(queryVec.length * 4)
-        .order(java.nio.ByteOrder.nativeOrder())
-      queryVec.foreach(bb.putFloat)
       data
         .withColumn("score",
-          graft.Graft.cosineSimPacked(col("vector"), lit(bb.array())))
+          graft.Graft.cosineSimPacked(col("vector"),
+            lit(graft.functions.PackedVectors.packFloats(queryVec))))
         .orderBy(desc("score"), col("docid").asc)
         .limit(k)
     } else Knn.search(data, "vector", "docid", queryVec, k)

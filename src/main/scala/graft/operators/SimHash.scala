@@ -47,14 +47,20 @@ object SimHash {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
+    // (1L << 64) wraps to 1 in JVM shift semantics — full-width mask
+    // must be -1L (maxHamming = 0 → one block = the whole fingerprint,
+    // i.e. an exact-duplicate equi-join, not an all-pairs degeneration)
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val fp = fingerprints(docs, idCol, textCol)
     val blocked = fp.select(
       col("id"), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> " +
-          s"shiftright(simhash, b * $width) & ${(1L << width) - 1}L)")))
+          s"shiftright(simhash, b * $width) & ${mask}L)")))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
     val a = blocked.select(col("block"), col("block_val"),

@@ -22,11 +22,12 @@ object TextAnalysis {
   def regexTokenCount(text: Column, pattern: String = "[a-z]+|[0-9]+"): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
 
-  /** Ratio of tokens found in `stopwords` (quality / language signal). */
+  /** Ratio of tokens found in `stopwords` (quality / language signal).
+    * Built from Column combinators (no SQL-string splicing — words may
+    * contain quotes, and the scored column is exactly `text`). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val list = stopwords.map(w => s"'$w'").mkString(", ")
     val toks = split(text, " ")
-    size(expr(s"filter(split(text, ' '), x -> x IN ($list))"))
+    size(filter(toks, x => array_contains(typedlit(stopwords), x)))
       .cast("double") / size(toks)
   }
 
@@ -77,11 +78,11 @@ object TextAnalysis {
     * to its marker words. This is the classic stopword-profile heuristic
     * (van Noord's textcat family) — cheap, no model, runs in codegen. */
   def langId(textCol: String, profiles: Map[String, Seq[String]]): Column = {
+    val toks = split(col(textCol), " ")
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val list = words.map(w => s"'$w'").mkString(", ")
       struct(
-        (size(expr(s"filter(split($textCol, ' '), x -> x IN ($list))"))
-          .cast("double") / greatest(size(split(col(textCol), " ")), lit(1)))
+        (size(filter(toks, x => array_contains(typedlit(words), x)))
+          .cast("double") / greatest(size(toks), lit(1)))
           .as("score"),
         lit(lang).as("lang"))
     }

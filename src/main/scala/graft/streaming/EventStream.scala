@@ -47,35 +47,43 @@ object EventStream {
 
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): a session closes after `gapSeconds` of
-    * user inactivity (by processing-time timeout in streaming; in tests
-    * the final state flush emits open sessions). */
+    * user inactivity. `flushOpen = true` (batch semantics) also emits
+    * each user's still-open trailing session at end of input — matching
+    * [[sessionizeBatch]]; set it false for incremental/streaming use,
+    * where open sessions must stay in state across micro-batches (close
+    * them with a state timeout in a production streaming job). */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapSeconds: Long): Dataset[UserSession] = {
+      gapSeconds: Long,
+      flushOpen: Boolean = true): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], UserSession](
+      .flatMapGroupsWithState[Option[SessionState], UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, it, state: GroupState[List[SessionState]]) =>
+        case (uid, it, state: GroupState[Option[SessionState]]) =>
+          def emit(s: SessionState) = UserSession(uid,
+            new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
           val sorted = it.toSeq.sortBy(_.event_time.getTime)
-          var sessions = state.getOption.getOrElse(Nil)
+          var open = state.getOption.flatten
           val closed = scala.collection.mutable.ListBuffer[UserSession]()
           sorted.foreach { e =>
             val t = e.event_time.getTime
-            sessions match {
-              case cur :: rest if t - cur.end <= gapSeconds * 1000 =>
-                sessions = cur.copy(end = t, n = cur.n + 1,
-                  sum = cur.sum + e.value) :: rest
-              case cur :: rest =>
-                closed += UserSession(uid, new Timestamp(cur.start),
-                  new Timestamp(cur.end), cur.n, cur.sum)
-                sessions = SessionState(t, t, 1, e.value) :: rest
-              case Nil =>
-                sessions = List(SessionState(t, t, 1, e.value))
+            open match {
+              case Some(cur) if t - cur.end <= gapSeconds * 1000 =>
+                open = Some(cur.copy(end = t, n = cur.n + 1,
+                  sum = cur.sum + e.value))
+              case Some(cur) =>
+                closed += emit(cur)
+                open = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
             }
           }
-          state.update(sessions)
+          if (flushOpen) {
+            open.foreach(closed += emit(_))
+            state.remove()
+          } else state.update(open)
           closed.iterator
       }
   }

@@ -156,6 +156,25 @@ class VectorIndexSpec extends SparkTestBase {
 
   // --- packed storage layout ---
 
+  test("packed index: append/upsert with mismatched config keep the " +
+    "stored layout (no mixed-schema directory)") {
+    val dir = tmpDir()
+    val rnd = new scala.util.Random(3)
+    def mk(ids: Range) = docsDF(ids.map(i =>
+      (i.toString, Array.fill(8)(rnd.nextFloat()), null)))
+    VectorIndex.create(spark, dir, config = IndexConfig(packed = true))
+      .index(mk(0 until 10))
+    // reopened with DEFAULT config (packed=false): must still pack
+    val reopened = VectorIndex.load(spark, dir)
+    reopened.append(mk(10 until 15))
+    reopened.upsert(mk(0 until 3))
+    assert(reopened.count() == 15)
+    assert(reopened.df.schema("vector").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val q = Array.fill(8)(rnd.nextFloat())
+    assert(reopened.search(q, 5).count() == 5)
+  }
+
   test("packed index: same search results as array layout, binary storage") {
     val rnd = new scala.util.Random(11)
     val docs = docsDF((0 until 50).map(i =>

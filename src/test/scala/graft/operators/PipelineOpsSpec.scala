@@ -90,6 +90,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("simhash maxHamming=0 degenerates to exact-fingerprint equality " +
+    "(not an all-pairs join)") {
+    val d = Seq(
+      (1L, "same words here"), (2L, "same words here"),
+      (3L, "different content entirely")).toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairs(d, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram_shingles yields null (not a crash) for sub-n token counts " +
+    "even on non-nullable input") {
+    graft.Graft.init(spark)
+    val r = spark.sql("SELECT ngram_shingles('a b', 3) AS sh").head()
+    assert(r.isNullAt(0))
+    // and through a non-nullable column (constant-folding would have
+    // dropped the isNotNull filter when nullable was mis-declared)
+    val sh2 = TextDedup.shingles(
+      Seq(("x", "a b"), ("y", "a b c d")).toDF("id0", "text"), "id0", "text", 3)
+      .collect()
+    assert(sh2.length == 1) // short doc filtered, long doc kept
+  }
+
+  test("stopwordRatio respects the passed column and quoted words") {
+    val d = Seq(("don't stop me now", "unused")).toDF("body", "text")
+    val r = d.select(TextAnalysis.stopwordRatio(col("body"),
+      Seq("don't", "me")).as("r")).head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-9)
+  }
+
   // ---------- TextAnalysis ----------
 
   test("fingerprint matches the reference fold and is null/empty safe") {

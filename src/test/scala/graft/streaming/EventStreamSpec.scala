@@ -67,19 +67,42 @@ class EventStreamSpec extends SparkTestBase {
       a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) })
   }
 
-  test("sessionize (flatMapGroupsWithState) closes sessions on gap") {
+  test("sessionize (flatMapGroupsWithState) closes sessions on gap; " +
+    "flushOpen controls trailing-session emission") {
     def ts(min: Int) = new Timestamp(min * 60000L)
     val e = Seq(
       EventStream.SessionEvent(1L, ts(0), 1.0),
       EventStream.SessionEvent(1L, ts(1), 2.0),
       EventStream.SessionEvent(1L, ts(60), 4.0), // closes the first
       EventStream.SessionEvent(2L, ts(0), 7.0)).toDS()
-    val closed = EventStream.sessionize(e, gapSeconds = 600).collect()
-    // only user 1's first session closed (user 2's stays open in state)
-    assert(closed.length == 1)
-    val s = closed.head
+    // streaming semantics: open sessions stay in state
+    val gapOnly = EventStream.sessionize(e, 600, flushOpen = false).collect()
+    assert(gapOnly.length == 1)
+    val s = gapOnly.head
     assert(s.user_id == 1L && s.n_events == 2L && s.sum_value == 3.0)
     assert(s.session_start == ts(0) && s.session_end == ts(1))
+    // batch semantics: trailing sessions flushed — matches sessionizeBatch
+    val flushed = EventStream.sessionize(e, 600).collect()
+      .sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(flushed.length == 3)
+    assert(flushed(1).user_id == 1L && flushed(1).n_events == 1L &&
+      flushed(1).sum_value == 4.0)
+    assert(flushed(2).user_id == 2L && flushed(2).n_events == 1L)
+  }
+
+  test("sessionize (flushOpen) agrees with sessionizeBatch on real events") {
+    val se = EventStream.withEventTime(events)
+      .select(col("user_id"), col("event_time"), col("value"))
+      .as[EventStream.SessionEvent]
+    val fm = EventStream.sessionize(se, 600).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events, s.sum_value))
+      .toSet
+    val batch = EventStream.sessionizeBatch(events, 600).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSet
+    assert(fm.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)))
   }
 
   test("windowedCounts runs as a real stream (rate-limited file source)") {
