@@ -223,6 +223,18 @@ class VectorIndex private (
     df.write.mode("overwrite").parquet(new Path(dest, "data").toString)
   }
 
+  /** Compact the index's data files: every `append` adds a file set,
+    * and at scale the accumulated small files dominate scan planning
+    * (the classic small-files problem). One rewrite into
+    * `ceil(count / rowsPerFile)` evenly-sized files; contents unchanged. */
+  def compact(rowsPerFile: Long = 5000000L): VectorIndex = {
+    requireExists("compact")
+    val n = count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    replaceData(df.repartition(files))
+    this
+  }
+
   /** Rewrite-and-swap: materialize to a tmp dir, then atomically replace
     * the data dir (Parquet can't overwrite a path it is lazily reading). */
   private def replaceData(newData: DataFrame): Unit = {

@@ -154,6 +154,22 @@ class VectorIndexSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("compact merges append-accumulated small files, data unchanged") {
+    val dir = tmpDir()
+    val idx = VectorIndex.create(spark, dir)
+    idx.index(docsDF(Seq(("0", basis(4, 0), null))))
+    (1 to 5).foreach(i => idx.append(docsDF(Seq((i.toString, basis(8, 2), null)))))
+    def dataFiles() = new java.io.File(s"$dir/data")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val contents = idx.df.select("docid", "uid").as[(Long, String)]
+      .collect().toSet
+    idx.compact(rowsPerFile = 100)
+    assert(dataFiles() < before)
+    assert(idx.df.select("docid", "uid").as[(Long, String)]
+      .collect().toSet == contents)
+  }
+
   // --- packed storage layout ---
 
   test("packed index: append/upsert with mismatched config keep the " +
