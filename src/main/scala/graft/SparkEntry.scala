@@ -175,6 +175,40 @@ object SparkEntry {
             .as("revenue_cents"))
         .orderBy("p_brand")),
 
+    // TPC-H Q3 shape: date-bounded 3-way join, grouped revenue, top-10
+    "q3_unshipped" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey")
+        .agg(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-table join with the local-supplier correlation
+    // (customer and supplier in the same nation), revenue per nation
+    "q5_local_supplier" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue_cents"))
+        .orderBy("r_name", "n_name")),
+
     // window function: top-3 orders per market segment
     "window_topk" -> ((s, dir) => {
       val joined = t(s, dir, "orders")
@@ -501,6 +535,31 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "q3_unshipped" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "window_topk" ->
       """SELECT c_mktsegment,
