@@ -1,0 +1,54 @@
+// End-to-end user journey — what a weaviate-txtai user does today,
+// expressed against this engine. Run with:
+//   sbt package
+//   /opt/spark/bin/spark-shell \
+//     --jars target/scala-2.13/weaviatetxtaispark_2.13-0.1.0.jar \
+//     -I examples/demo.scala
+// (REPL-loaded: multi-line chains keep a paren open at line ends)
+import org.apache.spark.sql.functions._
+import graft.{Graft, Tables}
+import graft.index.{VectorIndex, IndexConfig}
+import graft.operators.{Knn, MinHashLsh, TextAnalysis}
+
+Graft.init(spark)
+val sf = "/root/testdata/sf0.001"
+
+// 1. index build (reference: Embeddings.index -> Weaviate class).
+//    encode is model-free here: hashed bag-of-words (swap in real
+//    vectors from embeddings.parquet or any encoder output)
+val docs = Tables.load(spark, sf, "documents").select(
+  col("doc_id").cast("string").as("uid"),
+  TextAnalysis.hashEmbed("text", 64).as("vector"),
+  col("text"),
+  lit(null).cast("string").as("tags"))
+val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString
+val idx = VectorIndex.create(
+  spark, dir, config = IndexConfig(packed = true)).index(docs)
+println(s"indexed ${idx.count()} docs (packed layout)")
+
+// 2. search (reference: embeddings.search / GraphQL nearVector)
+val qVec = Tables.load(spark, sf, "documents").filter(
+  col("doc_id") === 7).select(
+  TextAnalysis.hashEmbed("text", 64)).head.getSeq[Float](0).toArray
+println("top-5 neighbours of doc 7:")
+idx.search(qVec, 5).select("uid", "score").show(false)
+
+// 3. SQL surface (reference: txtai SQL dialect L1-L4)
+idx.df.createOrReplaceTempView("txtai")
+spark.sql(
+  "SELECT count(*) AS cnt, min(length(text)) AS min_len, " +
+    "max(length(text)) AS max_len FROM txtai").show()
+
+// 4. pipeline ops the reference never had: near-dup + quality filter
+val dups = MinHashLsh.nearDupPairs(
+  Tables.load(spark, sf, "documents"), "doc_id", "text", threshold = 0.5)
+println(s"near-duplicate pairs: ${dups.count()}")
+val quality = Tables.load(spark, sf, "documents").select(
+  col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")).filter(
+  col("q") >= 0.5)
+println(s"docs passing quality gate: ${quality.count()}")
+
+// 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
+idx.deleteUids(Seq("0", "1"))
+println(s"after delete: ${idx.count()}")
+sys.exit(0)
