@@ -79,6 +79,19 @@ class VectorIndex private (
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dataPath = new Path(path, "data")
+  private def metaPath = new Path(path, "_index_meta.json")
+
+  /** Persist the config next to the data so a later [[VectorIndex.load]]
+    * recovers className/distance/layout without the caller knowing them
+    * (the reference keeps this in the server-side class schema,
+    * weaviate.py:112-130). */
+  private[index] def writeMeta(): Unit = {
+    val json =
+      s"""{"className":"${config.className}","distance":"${config.distance}",
+         |"packed":${config.packed}}""".stripMargin.replace("\n", "")
+    val out = fs.create(metaPath, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+  }
 
   def exists: Boolean = fs.exists(dataPath)
 
@@ -242,6 +255,7 @@ class VectorIndex private (
     newData.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(dataPath)) fs.delete(dataPath, true)
     fs.rename(tmp, dataPath)
+    writeMeta()
   }
 
   def drop(): Unit = if (exists) fs.delete(new Path(path), true)
@@ -272,11 +286,34 @@ object VectorIndex extends Logging {
     idx
   }
 
-  /** Open an existing index (real `load`, vs weaviate.py:216-224 no-op). */
+  /** Open an existing index (real `load`, vs weaviate.py:216-224 no-op).
+    * Recovers the persisted config from `_index_meta.json` when
+    * present; an explicit `config` argument overrides it. */
   def load(spark: SparkSession, path: String,
-      config: IndexConfig = IndexConfig()): VectorIndex = {
-    val idx = new VectorIndex(spark, path, config)
+      config: Option[IndexConfig] = None): VectorIndex = {
+    val cfg = config.orElse(readMeta(spark, path)).getOrElse(IndexConfig())
+    val idx = new VectorIndex(spark, path, cfg)
     if (!idx.exists) throw new IndexNotFoundException(s"No index at $path")
     idx
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Option[IndexConfig] = {
+    val p = new Path(path, "_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      def str(k: String) =
+        s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+      def bool(k: String) =
+        s""""$k":(true|false)""".r.findFirstMatchIn(json).map(_.group(1).toBoolean)
+      Some(IndexConfig(
+        className = str("className").getOrElse("Document"),
+        distance = str("distance").getOrElse("cosine"),
+        packed = bool("packed").getOrElse(false)))
+    }
   }
 }

@@ -82,6 +82,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(generated.contains("Math.sqrt"), generated.take(2000))
   }
 
+  test("q3_unshipped: both date predicates pushed to their scans") {
+    val plan = physical(run("q3_unshipped"))
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("q5_local_supplier: 6-table join broadcasts dims, no cartesian") {
+    val plan = physical(run("q5_local_supplier"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("hybrid_filter: metadata predicate pushed to documents scan") {
     val plan = physical(run("hybrid_filter"))
     assert(plan.contains("GreaterThanOrEqual(n_chars,200)"), plan)

@@ -154,6 +154,19 @@ class VectorIndexSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("load recovers persisted config (packed layout) from index metadata") {
+    val dir = tmpDir()
+    VectorIndex.create(spark, dir,
+      config = IndexConfig(className = "Post", packed = true))
+      .index(docsDF(Seq(("0", basis(4, 0), null))))
+    val loaded = VectorIndex.load(spark, dir)
+    assert(loaded.config.packed && loaded.config.className == "Post")
+    // append through the recovered config keeps the packed layout
+    loaded.append(docsDF(Seq(("1", basis(4, 1), null))))
+    assert(loaded.df.schema("vector").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
   test("compact merges append-accumulated small files, data unchanged") {
     val dir = tmpDir()
     val idx = VectorIndex.create(spark, dir)
