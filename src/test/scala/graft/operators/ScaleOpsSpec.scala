@@ -48,6 +48,34 @@ class ScaleOpsSpec extends SparkTestBase {
     embedded.unpersist()
   }
 
+  test("quantilesExact matches the quantile_cont definition on known data") {
+    val df = spark.range(1, 6).select(col("id").cast("double").as("v")) // 1..5
+    val r = Stats.quantilesExact(df, "v", Seq(0.0, 0.25, 0.5, 0.75, 1.0)).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 2.0)  // 0.25*(5-1)=1 -> exact element
+    assert(r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 5.0)
+    val even = spark.range(1, 5).select(col("id").cast("double").as("v")) // 1..4
+    val m = Stats.quantilesExact(even, "v", Seq(0.5)).head()
+    assert(m.getDouble(0) == 2.5) // interpolated between 2 and 3
+  }
+
+  test("TopKBuffer == sort-based top-k on random inputs (seeded)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(20)
+      val rows = Seq.fill(n)((rnd.nextInt(10) / 10.0, rnd.nextLong() % 1000))
+      val buf = new graft.functions.TopKBuffer(k)
+      rows.foreach { case (s, i) => buf.add(s, i) }
+      val expectedAll = rows
+        .sortWith((a, b) => if (a._1 != b._1) a._1 > b._1 else a._2 < b._2)
+        .take(k)
+      assert(buf.sorted.toSeq == expectedAll)
+    }
+  }
+
   test("hash_embed + ngram_shingles usable from SQL text") {
     graft.Graft.init(spark)
     val r = spark.sql(
