@@ -145,7 +145,7 @@ class VectorIndex private (
     val packedDocs = conformLayout(docs, packedTarget(overwrite))
     val withId = Ids.withDenseId(
       packedDocs, "docid", Seq(col("uid")), offset = base)
-    val cols = col("docid") +: packedDocs.columns.map(col)
+    val cols = col("docid") +: packedDocs.columns.toIndexedSeq.map(col)
     val out = withId.select(cols: _*)
     if (overwrite) replaceData(out)
     else out.write.mode("append").parquet(dataPath.toString)
@@ -180,7 +180,7 @@ class VectorIndex private (
     val base = offset
     val conformed = conformLayout(docs, packedTarget(forOverwrite = false))
     val incoming = Ids.withDenseId(conformed, "docid", Seq(col("uid")), offset = base)
-      .select((col("docid") +: conformed.columns.map(col)): _*)
+      .select((col("docid") +: conformed.columns.toIndexedSeq.map(col)): _*)
     val unioned = df.unionByName(incoming, allowMissingColumns = true)
     val w = Window.partitionBy("uid").orderBy(desc("docid"))
     replaceData(
