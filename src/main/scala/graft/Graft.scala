@@ -69,3 +69,36 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }
+
+/** Format-generic source/sink helpers: the engine's tables round-trip
+  * through any Spark DataSource format (parquet is the primary store;
+  * CSV/JSON cover interchange).  Vector columns (`array<float>`) are
+  * JSON-representable directly; for CSV they must be packed (binary →
+  * base64) or exported without vectors. */
+object Sources {
+
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.options(options)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "json" => r.json(path)
+      case "csv" => r.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case "orc" => r.orc(path)
+      case other => r.format(other).load(path)
+    }
+  }
+
+  def write(df: DataFrame, path: String, format: String = "parquet",
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    format match {
+      case "parquet" => w.parquet(path)
+      case "json" => w.json(path)
+      case "csv" => w.option("header", "true").csv(path)
+      case "orc" => w.orc(path)
+      case other => w.format(other).save(path)
+    }
+  }
+}

@@ -78,8 +78,41 @@ class VectorIndex private (
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def dataPath = new Path(path, "data")
+  // ---- versioned storage layout -----------------------------------
+  // Destructive ops (index/delete/upsert/compact) never rewrite in
+  // place: each writes a fresh `data_v{N}` directory and then flips the
+  // `_latest` pointer — in-flight readers of the previous version keep
+  // their file list and finish cleanly (delete-and-rename of a live
+  // directory would fail them mid-scan). Appends are additive and go
+  // into the current version directly. Old versions remain readable
+  // (`dfAt`) until `vacuum()`.
+
+  private def pointerPath = new Path(path, "_latest")
   private def metaPath = new Path(path, "_index_meta.json")
+
+  /** Latest committed version, if any. */
+  def currentVersion: Option[Long] =
+    if (!fs.exists(pointerPath)) None
+    else {
+      val in = fs.open(pointerPath)
+      val s = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      in.close()
+      s.toLongOption
+    }
+
+  private def versionPath(v: Long) = new Path(path, s"data_v$v")
+
+  private def dataPath: Path =
+    currentVersion.map(versionPath).getOrElse(versionPath(0L))
+
+  /** Current data directory (tests/tools). */
+  def dataDir: String = dataPath.toString
+
+  private def commitVersion(v: Long): Unit = {
+    val out = fs.create(pointerPath, true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+  }
 
   /** Persist the config next to the data so a later [[VectorIndex.load]]
     * recovers className/distance/layout without the caller knowing them
@@ -230,10 +263,12 @@ class VectorIndex private (
   }
 
   /** Real persistence (the reference warns and does nothing,
-    * weaviate.py:208-224): copy the index to another path. */
+    * weaviate.py:208-224): copy the current version to another path as
+    * a fresh v0 index (pointer + config metadata included). */
   def save(dest: String): Unit = {
     requireExists("save")
-    df.write.mode("overwrite").parquet(new Path(dest, "data").toString)
+    val destIdx = new VectorIndex(spark, dest, config)
+    destIdx.replaceData(df)
   }
 
   /** Compact the index's data files: every `append` adds a file set,
@@ -248,14 +283,34 @@ class VectorIndex private (
     this
   }
 
-  /** Rewrite-and-swap: materialize to a tmp dir, then atomically replace
-    * the data dir (Parquet can't overwrite a path it is lazily reading). */
+  /** Write the next version, then flip the pointer (readers of the old
+    * version are undisturbed; Parquet also can't overwrite a path it is
+    * lazily reading, which this sidesteps entirely). */
   private def replaceData(newData: DataFrame): Unit = {
-    val tmp = new Path(path, s"data_tmp")
-    newData.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
-    fs.rename(tmp, dataPath)
+    val next = currentVersion.map(_ + 1).getOrElse(0L)
+    newData.write.mode("overwrite").parquet(versionPath(next).toString)
+    commitVersion(next)
     writeMeta()
+  }
+
+  /** Read an older committed version (time travel across mutations). */
+  def dfAt(version: Long): DataFrame = {
+    val p = versionPath(version)
+    if (!fs.exists(p)) throw new IndexNotFoundException(
+      s"No version $version at $path")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Drop all versions except the newest `keepLast` (reclaims space;
+    * run when no readers of old versions remain). */
+  def vacuum(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1)
+    currentVersion.foreach { cur =>
+      (0L until math.max(0L, cur - keepLast + 1)).foreach { v =>
+        val p = versionPath(v)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
   }
 
   def drop(): Unit = if (exists) fs.delete(new Path(path), true)

@@ -172,7 +172,7 @@ class VectorIndexSpec extends SparkTestBase {
     val idx = VectorIndex.create(spark, dir)
     idx.index(docsDF(Seq(("0", basis(4, 0), null))))
     (1 to 5).foreach(i => idx.append(docsDF(Seq((i.toString, basis(8, 2), null)))))
-    def dataFiles() = new java.io.File(s"$dir/data")
+    def dataFiles() = new java.io.File(idx.dataDir)
       .listFiles().count(_.getName.endsWith(".parquet"))
     val before = dataFiles()
     val contents = idx.df.select("docid", "uid").as[(Long, String)]
@@ -181,6 +181,23 @@ class VectorIndexSpec extends SparkTestBase {
     assert(dataFiles() < before)
     assert(idx.df.select("docid", "uid").as[(Long, String)]
       .collect().toSet == contents)
+  }
+
+  test("destructive ops create new versions; old versions stay readable " +
+    "until vacuum (reader isolation)") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF((0 to 4).map(i => (i.toString, basis(4, i % 4), null))))
+    assert(idx.currentVersion.contains(0L))
+    // a reader planning against v0 keeps its files while we delete
+    val v0Reader = idx.df
+    idx.deleteUids(Seq("0"))
+    assert(idx.currentVersion.contains(1L))
+    assert(idx.count() == 4)
+    assert(v0Reader.count() == 5)        // in-flight reader unbroken
+    assert(idx.dfAt(0).count() == 5)     // time travel
+    idx.vacuum(keepLast = 1)
+    intercept[IndexNotFoundException] { idx.dfAt(0) }
+    assert(idx.count() == 4)             // current version untouched
   }
 
   // --- packed storage layout ---
