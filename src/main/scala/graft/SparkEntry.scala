@@ -433,6 +433,15 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // per-cluster embedding centroids: array analytics via posexplode +
+    // grouped average (the aggregation step of IVF/k-means pipelines)
+    "label_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg("col"), 6).as("v"))
+        .orderBy("label", "pos")),
+
     // gap-based sessionization over events (batch twin of the
     // flatMapGroupsWithState streaming operator)
     "sessionize" -> ((s, dir) =>
@@ -705,6 +714,12 @@ object SparkEntry {
         |       CAST(CASE WHEN octet_length(text::BLOB) % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
         |       CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "label_centroids" ->
+      """SELECT label, r.range AS pos, round(avg(embedding[r.range + 1]), 6) AS v
+        |FROM embeddings, range(64) r
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "sessionize" ->
       """WITH x AS (
