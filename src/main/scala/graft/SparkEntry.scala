@@ -337,6 +337,18 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy("returnflag", "linestatus")),
 
+    // grouping sets: CUBE over returnflag/linestatus (all subtotal
+    // combinations, complementing rollup_sales)
+    "cube_sales" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
     // exact interpolated percentiles over the price distribution
     // (parallel sort + rank lookup — Spark's builtin percentile
     // aggregates a value->count map on one reducer, Stats.quantilesExact
@@ -652,6 +664,14 @@ object SparkEntry {
         |       count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "cube_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "quantiles" ->
