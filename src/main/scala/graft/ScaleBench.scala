@@ -74,7 +74,7 @@ object ScaleBench {
       graft.index.LshVectorIndex.build(
         big, "embedding", "vec_id", idxDir, lsh)
     }
-    val idx = graft.index.LshVectorIndex.load(spark, idxDir, lsh)
+    val idx = graft.index.LshVectorIndex.load(spark, idxDir)
     // apples-to-apples: exact scan over the same on-disk parquet
     val flatDir = java.nio.file.Files
       .createTempDirectory("graft-scale-flat").toString

@@ -47,6 +47,10 @@ object PackedVectors {
     val out = new Array[Byte](n * 4)
     var i = 0
     while (i < n) {
+      // fail fast: silently packing a null element as 0.0 would corrupt
+      // similarities with no error surface
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"pack_vector: null element at position $i")
       putFloatLE(out, i, arr.getFloat(i))
       i += 1
     }

@@ -37,9 +37,14 @@ class LshVectorIndex private (
 
 object LshVectorIndex {
 
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_lsh_meta.json")
+
   /** Build from (docid, vector, …) rows: assign buckets, write
     * partitioned. `maxRecordsPerFile` keeps any hot bucket from
-    * producing a single giant file. */
+    * producing a single giant file. The LSH parameters (dim, nbits,
+    * seed — hyperplanes are fully determined by them) are persisted so
+    * `load` cannot silently search with mismatched planes. */
   def build(
       docs: DataFrame,
       vecCol: String,
@@ -56,9 +61,47 @@ object LshVectorIndex {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
       .parquet(path)
+    val fs = metaPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath(path), true)
+    out.write(
+      s"""{"dim":${lsh.dim},"nbits":${lsh.nbits},"seed":${lsh.seed}}"""
+        .getBytes("UTF-8"))
+    out.close()
     new LshVectorIndex(spark, path, lsh)
   }
 
-  def load(spark: SparkSession, path: String, lsh: HyperplaneLsh): LshVectorIndex =
-    new LshVectorIndex(spark, path, lsh)
+  /** Open an index, recovering the persisted LSH parameters. An
+    * explicitly passed `lsh` must match them (wrong planes would
+    * silently probe the wrong buckets). */
+  def load(spark: SparkSession, path: String,
+      lsh: Option[HyperplaneLsh] = None): LshVectorIndex = {
+    val stored = readMeta(spark, path)
+    (stored, lsh) match {
+      case (Some(s), Some(l)) =>
+        require(s == l,
+          s"LSH config mismatch: index built with $s, caller passed $l")
+        new LshVectorIndex(spark, path, l)
+      case (Some(s), None) => new LshVectorIndex(spark, path, s)
+      case (None, Some(l)) => new LshVectorIndex(spark, path, l)
+      case (None, None) => throw new IndexNotFoundException(
+        s"No LSH metadata at $path and no HyperplaneLsh supplied")
+    }
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Option[HyperplaneLsh] = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      def num(k: String) =
+        s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      for (d <- num("dim"); n <- num("nbits"); s <- num("seed"))
+        yield HyperplaneLsh(d.toInt, n.toInt, s)
+    }
+  }
 }

@@ -87,20 +87,21 @@ class VectorIndex private (
   // into the current version directly. Old versions remain readable
   // (`dfAt`) until `vacuum()`.
 
-  private def pointerPath = new Path(path, "_latest")
   private def metaPath = new Path(path, "_index_meta.json")
 
-  /** Latest committed version, if any. */
+  /** Latest committed version, if any. A version is committed by the
+    * atomic creation of an empty `_commit_v{N}` marker — there is no
+    * pointer file to half-write or truncate, so readers can never
+    * observe a torn commit (they see either N or N+1, nothing else). */
   def currentVersion: Option[Long] =
-    if (!fs.exists(pointerPath)) None
-    else {
-      val in = fs.open(pointerPath)
-      val s = new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      in.close()
-      s.toLongOption
-    }
+    if (!fs.exists(new Path(path))) None
+    else fs.listStatus(new Path(path)).toSeq
+      .map(_.getPath.getName)
+      .collect { case CommitMarker(v) => v.toLong }
+      .maxOption
 
+  private val CommitMarker = "_commit_v(\\d+)".r
+  private def markerPath(v: Long) = new Path(path, s"_commit_v$v")
   private def versionPath(v: Long) = new Path(path, s"data_v$v")
 
   private def dataPath: Path =
@@ -109,18 +110,17 @@ class VectorIndex private (
   /** Current data directory (tests/tools). */
   def dataDir: String = dataPath.toString
 
-  private def commitVersion(v: Long): Unit = {
-    val out = fs.create(pointerPath, true)
-    out.write(v.toString.getBytes("UTF-8")); out.close()
-  }
+  private def commitVersion(v: Long): Unit =
+    fs.create(markerPath(v), false).close()
 
   /** Persist the config next to the data so a later [[VectorIndex.load]]
     * recovers className/distance/layout without the caller knowing them
     * (the reference keeps this in the server-side class schema,
     * weaviate.py:112-130). */
   private[index] def writeMeta(): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
-      s"""{"className":"${config.className}","distance":"${config.distance}",
+      s"""{"className":"${esc(config.className)}","distance":"${esc(config.distance)}",
          |"packed":${config.packed}}""".stripMargin.replace("\n", "")
     val out = fs.create(metaPath, true)
     out.write(json.getBytes("UTF-8")); out.close()
@@ -174,10 +174,17 @@ class VectorIndex private (
       case _ => docs
     }
 
+  /** Total order for docid assignment: uid first, remaining columns as
+    * deterministic tiebreakers (withDenseId requires a total order —
+    * duplicate uids in one batch would otherwise get run-dependent
+    * docids, and upsert's last-wins would keep a different row each run). */
+  private def idOrder(docs: DataFrame) =
+    col("uid") +: docs.columns.filter(_ != "uid").sorted.toIndexedSeq.map(col)
+
   private def writeRows(docs: DataFrame, base: Long, overwrite: Boolean): VectorIndex = {
     val packedDocs = conformLayout(docs, packedTarget(overwrite))
     val withId = Ids.withDenseId(
-      packedDocs, "docid", Seq(col("uid")), offset = base)
+      packedDocs, "docid", idOrder(packedDocs), offset = base)
     val cols = col("docid") +: packedDocs.columns.toIndexedSeq.map(col)
     val out = withId.select(cols: _*)
     if (overwrite) replaceData(out)
@@ -212,7 +219,7 @@ class VectorIndex private (
     requireExists("upsert")
     val base = offset
     val conformed = conformLayout(docs, packedTarget(forOverwrite = false))
-    val incoming = Ids.withDenseId(conformed, "docid", Seq(col("uid")), offset = base)
+    val incoming = Ids.withDenseId(conformed, "docid", idOrder(conformed), offset = base)
       .select((col("docid") +: conformed.columns.toIndexedSeq.map(col)): _*)
     val unioned = df.unionByName(incoming, allowMissingColumns = true)
     val w = Window.partitionBy("uid").orderBy(desc("docid"))
@@ -302,13 +309,17 @@ class VectorIndex private (
   }
 
   /** Drop all versions except the newest `keepLast` (reclaims space;
-    * run when no readers of old versions remain). */
+    * run when no readers of old versions remain). Data dirs go first,
+    * markers after — a crash mid-vacuum can't leave a marker pointing
+    * at deleted data as the newest version. */
   def vacuum(keepLast: Int = 1): Unit = {
     require(keepLast >= 1)
     currentVersion.foreach { cur =>
       (0L until math.max(0L, cur - keepLast + 1)).foreach { v =>
         val p = versionPath(v)
         if (fs.exists(p)) fs.delete(p, true)
+        val m = markerPath(v)
+        if (fs.exists(m)) fs.delete(m, false)
       }
     }
   }
@@ -362,7 +373,8 @@ object VectorIndex extends Logging {
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       in.close()
       def str(k: String) =
-        s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(json)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       def bool(k: String) =
         s""""$k":(true|false)""".r.findFirstMatchIn(json).map(_.group(1).toBoolean)
       Some(IndexConfig(

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * skew (e.g. aggregation keys, or joins below AQE's size thresholds)
   * or when the salt must be deterministic for reproducibility.
   *
-  * The left salt comes from a hash of the whole row (xxhash64 over the
-  * join key + a disambiguating column) rather than `rand()` — same
-  * output every run.
+  * The left salt is `xxhash64(leftSaltBy) mod salt` rather than
+  * `rand()` — deterministic, same output every run. `leftSaltBy` MUST
+  * vary within a key group (e.g. the fact table's primary key); a
+  * per-key-constant column would put every hot-key row on one salt
+  * value and spread nothing.
   */
 object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
 
   /** Equi-join `left ⋈ right ON key`, salted `salt` ways.
     * `leftSaltBy` should be a column (or expression) that varies within
@@ -34,12 +38,14 @@ object SkewJoin {
       leftSaltBy: Column,
       salt: Int): DataFrame = {
     require(salt >= 1)
-    val saltedLeft = left.withColumn("__salt",
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"inputs must not already contain a '$SaltCol' column")
+    val saltedLeft = left.withColumn(SaltCol,
       pmod(xxhash64(leftSaltBy), lit(salt.toLong)))
     val saltedRight = right.crossJoin(
-        right.sparkSession.range(salt).select(col("id").as("__salt")))
+        right.sparkSession.range(salt).select(col("id").as(SaltCol)))
     saltedLeft
-      .join(saltedRight, Seq(key, "__salt"))
-      .drop("__salt")
+      .join(saltedRight, Seq(key, SaltCol))
+      .drop(SaltCol)
   }
 }

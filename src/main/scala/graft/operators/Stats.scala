@@ -34,13 +34,10 @@ object Stats {
     try {
       val n = sorted.count()
       require(n > 0, "quantilesExact on empty input")
-      val wanted: Map[Long, Seq[(Double, Boolean)]] = ps.flatMap { p =>
+      val idx: Set[Long] = ps.flatMap { p =>
         val pos = p * (n - 1)
-        val lo = math.floor(pos).toLong
-        val hi = math.ceil(pos).toLong
-        Seq(lo -> (p, true), hi -> (p, false))
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      val idx = wanted.keySet
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
       val boundary = sorted.filter { case (i, _) => idx.contains(i) }
         .collect().toMap
       val values = ps.map { p =>
@@ -50,8 +47,18 @@ object Stats {
         val frac = pos - lo
         boundary(lo) + frac * (boundary(hi) - boundary(lo))
       }
-      val schema = StructType(ps.map(p =>
-        StructField(s"q${math.round(p * 100)}", DoubleType, nullable = false)))
+      // label by basis points when the percent isn't integral so e.g.
+      // p=0.054 and p=0.046 can't both land on "q5"
+      def label(p: Double): String = {
+        val pct = p * 100
+        if (pct == math.floor(pct)) s"q${pct.toInt}"
+        else s"q${math.round(p * 10000)}bp"
+      }
+      val labels = ps.map(label)
+      require(labels.distinct.size == labels.size,
+        s"quantile labels collide: $labels — use more distinct percentiles")
+      val schema = StructType(labels.map(l =>
+        StructField(l, DoubleType, nullable = false)))
       spark.createDataFrame(
         java.util.List.of(Row.fromSeq(values)), schema)
     } finally sorted.unpersist(blocking = false)

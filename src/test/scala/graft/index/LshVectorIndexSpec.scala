@@ -13,6 +13,20 @@ class LshVectorIndexSpec extends SparkTestBase {
   private lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("load recovers persisted LSH params; mismatched params rejected") {
+    val lsh = HyperplaneLsh(dim = 64, nbits = 4, seed = 13L)
+    val dir = Files.createTempDirectory("lshmeta").toString
+    LshVectorIndex.build(emb, "embedding", "vec_id", dir, lsh)
+    val loaded = LshVectorIndex.load(spark, dir)
+    assert(loaded.lsh == lsh)
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(loaded.search(q, 3, probes = 4).count() == 3)
+    intercept[IllegalArgumentException] {
+      LshVectorIndex.load(spark, dir, Some(HyperplaneLsh(64, 4, seed = 99L)))
+    }
+  }
+
   test("bucket-partitioned build + pruned search (PartitionFilters visible)") {
     val lsh = HyperplaneLsh(dim = 64, nbits = 5, seed = 7L)
     val dir = Files.createTempDirectory("lshidx").toString

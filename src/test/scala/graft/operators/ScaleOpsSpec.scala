@@ -61,6 +61,12 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(m.getDouble(0) == 2.5) // interpolated between 2 and 3
   }
 
+  test("quantile labels: basis-point naming avoids collisions") {
+    val df = spark.range(1, 101).select(col("id").cast("double").as("v"))
+    val r = Stats.quantilesExact(df, "v", Seq(0.054, 0.046))
+    assert(r.schema.fieldNames.toSeq == Seq("q540bp", "q460bp"))
+  }
+
   test("TopKBuffer == sort-based top-k on random inputs (seeded)") {
     val rnd = new scala.util.Random(99)
     (1 to 20).foreach { _ =>
