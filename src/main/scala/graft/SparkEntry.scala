@@ -286,6 +286,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // end-to-end near-dup dedup: detect pairs, drop the larger-id side,
+    // keep representatives (what a training-data pipeline actually ships)
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.TextDedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.2)
+      operators.TextDedup.keepRepresentatives(docs, "doc_id", pairs)
+        .agg(count(lit(1)).as("kept"), sum("doc_id").as("sum_ids"))
+    }),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -633,6 +643,20 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(a.sh || b.sh)) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_keep" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(len(t) - 2),
+        |                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |      FROM d WHERE len(t) >= 3),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.2)
+        |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

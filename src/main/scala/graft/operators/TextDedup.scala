@@ -94,6 +94,18 @@ object TextDedup {
         sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_dups") > 1)
 
+  /** Keep-representatives pass for NEAR-dup pairs: greedy min-id —
+    * every doc that appears as the larger id of any pair is dropped,
+    * smaller ids survive. (The standard single-pass approximation of
+    * connected-component dedup: for a chain a-b, b-c it drops b and c
+    * even if a-c were not individually similar — the usual, and
+    * conservative, choice for training-data dedup.) One anti-join. */
+  def keepRepresentatives(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(
+      pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Keep one representative (min id) per exact-duplicate text. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -105,6 +105,29 @@ class EventStreamSpec extends SparkTestBase {
     assert(fm.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)))
   }
 
+  test("windowedCounts streamed (complete mode) == batch results") {
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-wc-eq").toString
+    events.limit(300).write.mode("overwrite").parquet(streamDir)
+    val batchSrc = spark.read.parquet(streamDir)
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = EventStream.windowedCounts(stream)
+      .drop("sum_value") // double sums drift across arrival orders
+      .writeStream.format("memory").queryName("wc_eq")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc_eq")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = EventStream.windowedCounts(batchSrc)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize runs as a real stream (stateful flatMapGroupsWithState)") {
     val streamDir = java.nio.file.Files
       .createTempDirectory("graft-sess-stream").toString
