@@ -238,6 +238,40 @@ class VectorIndexSpec extends SparkTestBase {
     assert(a == p) // bitwise-identical scores, same ranking
   }
 
+  test("upsert is idempotent: applying the same batch twice == once") {
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF((0 to 4).map(i => (i.toString, basis(8, i), null))))
+    val batch = docsDF(Seq(("1", basis(8, 6), null), ("9", basis(8, 7), null)))
+    idx.upsert(batch)
+    val once = idx.df.select("uid", "vector").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toSeq)).toSet
+    idx.upsert(batch)
+    val twice = idx.df.select("uid", "vector").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toSeq)).toSet
+    assert(once == twice && idx.count() == 6)
+  }
+
+  test("index-level batch search matches per-query single search") {
+    val rnd = new scala.util.Random(5)
+    val idx = VectorIndex.create(spark, tmpDir())
+    idx.index(docsDF((0 until 40).map(i =>
+      (f"u$i%03d", Array.fill(8)(rnd.nextFloat()), null))))
+    val queries = idx.df.filter(col("docid") < 3)
+      .select(col("docid").as("qid"), col("vector").as("qvec"))
+    val batch = idx.searchBatch(queries, "qvec", "qid", 4)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("id")).toSeq).toMap
+    idx.df.filter(col("docid") < 3)
+      .select("docid", "vector").collect()
+      .foreach { r =>
+        val single = idx.search(r.getSeq[Float](1).toArray, 4)
+          .select("docid").as[Long].collect().toSeq
+        assert(batch(r.getLong(0)) == single, s"qid=${r.getLong(0)}")
+      }
+  }
+
   // --- guard (weaviate.py:41-52, test_weaviate.py:240-246) ---
 
   test("operations on a dropped index raise IndexNotFoundException") {

@@ -191,6 +191,26 @@ class PipelineOpsSpec extends SparkTestBase {
 
   // ---------- Multimodal ----------
 
+  test("multimodal pipeline composes: frames -> per-frame features") {
+    val media = Seq(
+      (1L, Array.tabulate(256)(_.toByte)),
+      (2L, Array.tabulate(64)(i => (i * 3).toByte))).toDF("id", "media")
+    val framed = Multimodal.sampleFrames(media, "media", n = 4, frameWidth = 16)
+      .select(col("id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+    val feats = Multimodal.extractFeatures(framed, "frame", dim = 4)
+    val rows = feats.collect()
+    assert(rows.length == 8) // 2 blobs x 4 frames
+    rows.foreach { r =>
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      assert(f.length == 4)
+    }
+    // deterministic across runs (compare by value, not blob identity)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getSeq[Float](r.fieldIndex("features")).toSeq)
+    val again = Multimodal.extractFeatures(framed, "frame", dim = 4).collect()
+    assert(rows.map(key).toSet == again.map(key).toSet)
+  }
+
   test("multimodal: decodeMeta/extractFeatures/sampleFrames shapes + nulls") {
     val media = Seq(
       (1L, "some media bytes payload".getBytes("UTF-8")),
