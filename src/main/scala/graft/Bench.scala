@@ -21,21 +21,30 @@ object Bench {
     Graft.init(spark)
 
     // JVM/codegen warm-up on the smallest SF so measured numbers reflect
-    // steady-state execution, not first-query classloading.
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // steady-state execution, not first-query classloading. Guarded:
+    // a missing warm-up dataset must not abort the measured run.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a failed query reports -1, never a flattering near-zero time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // Locale.ROOT: comma-decimal default locales would emit invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

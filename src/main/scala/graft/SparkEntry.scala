@@ -300,13 +300,12 @@ object SparkEntry {
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(col("doc_id") < 100)
-        .withColumn("toks", split(col("text"), " "))
         .select(
           col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          round(
-            size(expr("filter(toks, x -> x IN ('the', 'a'))")).cast("double")
-              / size(col("toks")), 6).as("stopword_ratio"))
+          operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          round(operators.TextAnalysis.stopwordRatio(
+            col("text"), Seq("the", "a")), 6).as("stopword_ratio"))
         .orderBy("doc_id")),
 
     // per-language corpus stats (group-by + min/max/avg)
@@ -370,11 +369,14 @@ object SparkEntry {
           round(col("q75"), 4).as("q75"), round(col("q90"), 4).as("q90"))),
 
     // MinHash+LSH near-dup (scale path): banded signature join + exact
-    // verify. Oracle is the exact-Jaccard result: all true pairs in the
-    // corpus sit at j≥0.9 where the r=4,b=16 miss probability is ~4e-8.
+    // verify. Oracle is the exact-Jaccard result, so band the signature
+    // for near-total recall at the declared threshold: r=2,b=32 misses a
+    // j=0.5 pair with probability (1-0.25)^32 ≈ 1e-4 (and ~0 above 0.6);
+    // extra candidates from the shorter bands are removed by the exact
+    // verify stage, never surfacing as false positives.
     "minhash_lsh" -> ((s, dir) =>
       operators.MinHashLsh.nearDupPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
@@ -430,10 +432,12 @@ object SparkEntry {
     // multimodal: binary media column → typed metadata via the decode
     // stage (codec stubbed deterministically; plumbing is real)
     "multimodal_meta" -> ((s, dir) => {
+      // filter BEFORE the decode stage: mapPartitions blocks predicate
+      // pushdown, and a real codec would dominate cost on skipped rows
       val media = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
       operators.Multimodal.decodeMeta(media, "media")
-        .filter(col("doc_id") < 200)
         .select(col("doc_id"), col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
           col("meta.channels").cast("long").as("channels"),
@@ -721,9 +725,11 @@ object SparkEntry {
 
     "fingerprint" ->
       """SELECT doc_id,
-        |       list_reduce(list_transform(string_split(text, ''),
-        |                                  c -> ascii(c)::BIGINT),
-        |                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |       CASE WHEN text IS NULL OR length(text) = 0 THEN -1
+        |            ELSE list_reduce(list_transform(string_split(text, ''),
+        |                                            c -> ascii(c)::BIGINT),
+        |                             (acc, x) -> (acc * 31 + x) % 1000000007)
+        |       END AS fp
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "regex_tokens" ->

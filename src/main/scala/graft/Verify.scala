@@ -18,11 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += 1
+        // remove any stale result from a previous run: a leftover
+        // parquet would let the oracle compare silently validate old
+        // data for a now-broken query
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          stale.listFiles().foreach(_.delete()); stale.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,5 +50,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // non-zero exit when any query failed so exit-status-only automation
+    // can't mistake a partial dump for success (the driver still gets
+    // per-query results: missing dirs read as failures)
+    if (failures > 0) {
+      System.err.println(s"[verify] $failures quer${if (failures == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -71,7 +71,12 @@ object EventStream {
             val t = e.event_time.getTime
             open match {
               case Some(cur) if t - cur.end <= gapSeconds * 1000 =>
-                open = Some(cur.copy(end = t, n = cur.n + 1,
+                // late events (t < cur.end across micro-batches) merge
+                // but must never move the session end backwards
+                open = Some(cur.copy(
+                  start = math.min(cur.start, t),
+                  end = math.max(cur.end, t),
+                  n = cur.n + 1,
                   sum = cur.sum + e.value))
               case Some(cur) =>
                 closed += emit(cur)
