@@ -44,7 +44,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: sbt wraps stdout in [info] decoration, which
+    // broke the driver's JSON-line parse in round 1 (BENCH_r01 parsed:null).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

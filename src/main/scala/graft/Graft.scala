@@ -43,6 +43,11 @@ object Graft {
       TopKByScore(Shim.expression(score), Shim.expression(id),
         Shim.expression(lit(k))).toAggregateExpression())
 
+  /** Aggregate: elementwise mean of array<float|double> vectors per
+    * group (map-side partial buffers — never explodes rows ×dim). */
+  def vectorAvg(vec: Column): Column =
+    Shim.column(VectorAvg(Shim.expression(vec)).toAggregateExpression())
+
   def packVector(a: Column): Column =
     Shim.column(PackVector(Shim.expression(a)))
 

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
 
 import graft.functions._
 
@@ -56,7 +58,8 @@ object GraftExtensions {
   /** Name → expression builder for every native function. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "similar" -> (es => CosineSimilarity(es(0), es(1))),
+    "similar" -> (es => Similar.build(es)),
+    "fingerprint" -> (es => Fingerprint(es.head)),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_norm" -> (es => L2Norm(es.head)),
     "minhash_signature" -> (es =>
@@ -66,7 +69,43 @@ object GraftExtensions {
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), es(2)).toAggregateExpression()),
+    "vector_avg" -> (es => VectorAvg(es.head).toAggregateExpression()),
     "pack_vector" -> (es => PackVector(es.head)),
     "unpack_vector" -> (es => UnpackVector(es.head)),
     "cosine_sim_packed" -> (es => CosineSimPacked(es(0), es(1))))
+}
+
+/** The txtai SQL dialect's `similar` in all its forms
+  * (examples/01_simple.ipynb:446,468,490,550):
+  *
+  *  - `similar('query text')` — the notebook's verbatim form: the string
+  *    literal is encoded driver-side via [[TextEncoder]] (pluggable;
+  *    defaults to the deterministic hashing encoder) and the score binds
+  *    to the `vector` column of the FROM relation (the registered
+  *    [[Txtai.register]] virtual table exposes one);
+  *  - `similar(vecCol, 'query text')` — explicit vector column, encoded
+  *    literal;
+  *  - `similar(vecCol, textCol)` — non-literal string argument: encoded
+  *    in-engine with `hash_embed` (a driver-side encoder function cannot
+  *    run per row; swap in a real model via [[TextEncoder.encodeColumn]]
+  *    upstream instead);
+  *  - `similar(vecCol, vecCol)` — the engine form (cosine similarity,
+  *    round-1 surface), unchanged.
+  */
+object Similar {
+  def build(es: Seq[Expression]): Expression = es match {
+    case Seq(q) =>
+      CosineSimilarity(UnresolvedAttribute("vector"), encoded(q))
+    case Seq(v, q) => CosineSimilarity(v, encoded(q))
+    case other => throw new IllegalArgumentException(
+      s"similar expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  private def encoded(q: Expression): Expression =
+    Txtai.literalText(q) match {
+      case Some(text) => Txtai.encodedLiteral(text)
+      case None if q.resolved && q.dataType == StringType =>
+        HashEmbed(q, 64)
+      case None => q
+    }
 }

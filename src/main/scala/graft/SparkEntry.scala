@@ -380,15 +380,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
-    // SimHash Hamming-ball near-dup (pigeonhole block join; xxhash64
-    // fingerprints are not SQL-portable → rows-only check)
+    // SimHash Hamming-ball near-dup (pigeonhole block join). The token
+    // hash family is SQL-portable (HashMix.portableHash61), so the
+    // oracle recomputes every fingerprint from scratch and brute-forces
+    // all pairs — verifying both the hash and that the pigeonhole
+    // blocking loses no pair.
     "simhash_pairs" -> ((s, dir) =>
       operators.SimHash.nearDupPairs(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
-    // approximate kNN via hyperplane-LSH bucket pruning (seeded planes
-    // are engine-side → rows-only check; exactness covered by knn_topk)
+    // approximate kNN via hyperplane-LSH bucket pruning. The seeded
+    // planes are engine-side, so Verify dumps the bucket/probe
+    // assignments (auxiliary "ann_lsh_candidates") and the oracle
+    // re-ranks the probed candidate set with exact cosine.
     "ann_lsh" -> ((s, dir) => {
       Graft.init(s)
       val emb = t(s, dir, "embeddings")
@@ -445,9 +450,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // model-free hashed embedding of the documents table + kNN over it
-    // (engine-side encode stand-in; hash family not SQL-portable →
-    // rows-only check)
+    // model-free hashed embedding of the documents table + kNN over it.
+    // The xxhash embedding isn't SQL-recomputable, so Verify dumps the
+    // engine-computed vectors (auxiliary "hash_embed_vecs") and the
+    // oracle re-derives the ranking with DuckDB's own cosine.
     "hash_embed_knn" -> ((s, dir) => {
       Graft.init(s)
       val embedded = t(s, dir, "documents")
@@ -459,14 +465,38 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
-    // per-cluster embedding centroids: array analytics via posexplode +
-    // grouped average (the aggregation step of IVF/k-means pipelines)
-    "label_centroids" -> ((s, dir) =>
+    // per-cluster embedding centroids (the aggregation step of IVF /
+    // k-means pipelines): one vector_avg buffer per label with map-side
+    // partial aggregation — the posexplode-first formulation multiplied
+    // every row ×dim through the shuffle; here the explode happens on
+    // #labels rows AFTER the aggregate
+    "label_centroids" -> ((s, dir) => {
+      Graft.init(s)
       t(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos").cast("long").as("pos"))
-        .agg(round(avg("col"), 6).as("v"))
-        .orderBy("label", "pos")),
+        .groupBy("label")
+        .agg(Graft.vectorAvg(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          round(col("col"), 6).as("v"))
+        .orderBy("label", "pos")
+    }),
+
+    // txtai SQL dialect as verbatim text (01_simple.ipynb:446,468):
+    // similar('query text') against the registered `txtai` virtual
+    // table — the one-arg form binds to the table's `vector` column and
+    // the literal is encoded driver-side (TextEncoder; deterministic
+    // hashing encoder by default, dumped as auxiliary "sql_text_qvec"
+    // so the oracle scores the same query vector).
+    "l1_sql_text" -> ((s, dir) => {
+      Graft.init(s)
+      Txtai.register(t(s, dir, "documents"), t(s, dir, "embeddings"))
+      s.sql("""
+        SELECT id, round(similar('machine learning'), 6) AS score, n_chars
+        FROM txtai
+        WHERE similar('machine learning') >= 0.0 AND n_chars >= 100
+        ORDER BY similar('machine learning') DESC, id
+        LIMIT 10""")
+    }),
 
     // gap-based sessionization over events (batch twin of the
     // flatMapGroupsWithState streaming operator)
@@ -479,6 +509,39 @@ object SparkEntry {
             .as("session_end"),
           col("n_events"))
         .orderBy("user_id", "session_start"))
+  )
+
+  /** Engine-computed intermediates that [[Verify]] dumps as parquet next
+    * to the query results (`<outDir>/_aux/<name>`), so oracle SQL can
+    * verify queries whose inputs depend on engine-seeded hash families:
+    * the oracle reads the dump via `read_parquet('__AUX__/<name>/...')`
+    * (Verify substitutes `__AUX__` with the absolute dump dir) and
+    * re-derives the result with DuckDB's own operators. */
+  def auxiliary: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // hash_embed_knn: the hashed document embeddings
+    "hash_embed_vecs" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        operators.TextAnalysis.hashEmbed("text", 64).as("vec"))
+    }),
+
+    // ann_lsh: per-vector bucket assignment + whether the query probes it
+    "ann_lsh_candidates" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val lsh = operators.HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
+      val buckets = lsh.probeSet(queryVec(s, dir), probes = 2)
+      operators.AnnLsh.bucketize(emb, "embedding", lsh)
+        .select(col("vec_id"), col("bucket"),
+          col("bucket").isin(buckets: _*).as("probed"))
+    }),
+
+    // l1_sql_text: the encoded query vector for similar('machine learning')
+    "sql_text_qvec" -> ((s, dir) => {
+      val v = TextEncoder.encode("machine learning")
+      s.createDataFrame(Seq(Tuple1(v))).toDF("qv")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -722,6 +785,88 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(a.sh || b.sh)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recomputes every simhash from scratch with the portable hash
+    // family (HashMix.portableHash61: two codepoint folds + xorshift-
+    // multiply finalizer, packed h1 * 2^31 + h2; [0] || codes emulates a
+    // zero-seeded fold since DuckDB 1.0 list_reduce has no init
+    // argument) and brute-forces all pairs — proving the engine's
+    // pigeonhole block join is lossless.
+    "simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |             FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(t, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(t, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |      FROM tok),
+        |m1 AS (SELECT doc_id,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c),
+        |m2 AS (SELECT doc_id,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM m1),
+        |hh AS (SELECT doc_id,
+        |         xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16) AS h
+        |       FROM m2),
+        |bits AS (SELECT doc_id, r.range AS j,
+        |           CASE WHEN sum(((h >> r.range) & 1) * 2 - 1) > 0
+        |                THEN (1::BIGINT << r.range) ELSE 0 END AS bit
+        |         FROM hh, range(61) r
+        |         GROUP BY doc_id, r.range),
+        |f AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact-cosine re-rank of the engine's probed-bucket candidate set
+    // (bucket membership dumped by Verify — the seeded hyperplanes are
+    // engine-side; the ranking, filter, tie-break, and limit are fully
+    // re-derived here).
+    "ann_lsh" ->
+      """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ann_lsh_candidates/*.parquet')
+        |           WHERE probed),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score
+        |FROM e JOIN c USING (vec_id)
+        |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // kNN re-derived over the engine-dumped hashed embeddings with
+    // DuckDB's own cosine (same double-sequential reduction).
+    "hash_embed_knn" ->
+      """WITH v AS (SELECT doc_id, vec::DOUBLE[] AS v
+        |           FROM read_parquet('__AUX__/hash_embed_vecs/*.parquet')),
+        |q AS (SELECT v AS qv FROM v WHERE doc_id = 0)
+        |SELECT doc_id,
+        |       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score
+        |FROM v
+        |ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
+    // The txtai-dialect text query: scores every embedding against the
+    // dumped encoded query vector, reapplying the WHERE/ORDER BY/LIMIT.
+    "l1_sql_text" ->
+      """WITH q AS (SELECT qv::DOUBLE[] AS qv
+        |           FROM read_parquet('__AUX__/sql_text_qvec/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT d.doc_id AS id,
+        |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score,
+        |       d.n_chars
+        |FROM e JOIN documents d ON e.vec_id = d.doc_id
+        |WHERE list_cosine_similarity(e.v, (SELECT qv FROM q)) >= 0.0
+        |  AND d.n_chars >= 100
+        |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, d.doc_id
+        |LIMIT 10""".stripMargin,
 
     "fingerprint" ->
       """SELECT doc_id,

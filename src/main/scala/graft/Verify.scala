@@ -19,6 +19,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failures = 0
+    // engine-computed intermediates some oracles re-derive results from
+    // (seeded hash families the oracle can't recompute); dumped first so
+    // a later query failure still leaves the oracle inputs in place
+    val auxDir = new java.io.File(outDir, "_aux").getAbsolutePath
+    SparkEntry.auxiliary.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$auxDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+        failures += 1
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -46,8 +58,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolve the __AUX__ placeholder to the absolute dump dir so the
+    // driver's DuckDB run reads the intermediates regardless of its cwd
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     // non-zero exit when any query failed so exit-status-only automation

@@ -40,6 +40,48 @@ private[functions] object HashMix {
 
   def hashUtf8(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** SQL-portable 61-bit string hash: two polynomial folds over the
+    * Unicode codepoints (mod two ~2^30 primes), each finished with two
+    * xorshift-multiply rounds (a raw polynomial fold leaves short
+    * strings clustered in the low bits — the finalizer spreads them so
+    * per-bit balance holds), packed `h1 * 2^31 + h2`. Every intermediate
+    * stays < 2^62, so overflow-checked engines (DuckDB BIGINT)
+    * reproduce it exactly; the zero-seeded fold is emulated in DuckDB
+    * 1.0 (whose `list_reduce` has no init argument) by prepending 0:
+    *
+    * {{{
+    * r = list_reduce([0::BIGINT] || list_transform(string_split(t, ''),
+    *                 c -> ascii(c)::BIGINT),
+    *                 (a, x) -> (a * 31 + x) % 1000000007)
+    * r = (xor(r, r >> 16) * 73244475) % 1000000007   -- twice
+    * h1 = xor(r, r >> 16)
+    * -- h2 likewise with (131, 2654435761, 998244353)
+    * h = h1 * 2147483648 + h2
+    * }}}
+    *
+    * Weaker avalanche than XXH64 (keep xxhash for pure-engine paths like
+    * MinHash); use this where an external SQL oracle must recompute the
+    * same fingerprints (SimHash near-dup verification). */
+  def portableHash61(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31 + cp) % 1000000007L
+      h2 = (h2 * 131 + cp) % 998244353L
+      i += Character.charCount(cp)
+    }
+    h1 = ((h1 ^ (h1 >>> 16)) * 73244475L) % 1000000007L
+    h1 = ((h1 ^ (h1 >>> 16)) * 73244475L) % 1000000007L
+    h1 ^= h1 >>> 16
+    h2 = ((h2 ^ (h2 >>> 16)) * 2654435761L) % 998244353L
+    h2 = ((h2 ^ (h2 >>> 16)) * 2654435761L) % 998244353L
+    h2 ^= h2 >>> 16
+    (h1 << 31) + h2
+  }
 }
 
 /** ngram_shingles(text, n) -> array<string>: the DISTINCT word n-gram
@@ -109,10 +151,25 @@ case class HashEmbed(child: Expression, dim: Int)
       s"$prettyName requires string, got ${other.simpleString}")
   }
 
+  override def nullSafeEval(input: Any): Any = {
+    val floats = HashEmbed.compute(input.asInstanceOf[UTF8String], dim)
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < dim) { out(j) = floats(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HashEmbed {
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+  /** The kernel, exposed so the driver-side / mapPartitions text-encoder
+    * seam ([[graft.TextEncoder]]) computes bit-identical embeddings. */
+  def compute(text: UTF8String, dim: Int): Array[Float] = {
+    val toks = text.split(space, -1)
     val acc = new Array[Double](dim)
     var i = 0
     while (i < toks.length) {
@@ -124,14 +181,11 @@ case class HashEmbed(child: Expression, dim: Int)
     var j = 0
     while (j < dim) { ss += acc(j) * acc(j); j += 1 }
     val norm = if (ss > 0) math.sqrt(ss) else 1.0
-    val out = new Array[Any](dim)
+    val out = new Array[Float](dim)
     j = 0
     while (j < dim) { out(j) = (acc(j) / norm).toFloat; j += 1 }
-    new GenericArrayData(out)
+    out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 /** minhash_signature(shingles array<string>, k) -> array<bigint>:
@@ -181,7 +235,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** simhash64(tokens array<string>) -> bigint: Charikar fingerprint —
   * bit i of the result is the sign of Σ_tokens (±1 per token's hash
-  * bit i). Empty/null arrays yield null. */
+  * bit i). Empty/null arrays yield null.
+  *
+  * Token hashes are [[HashMix.portableHash61]] (61 effective bits; bits
+  * 61-63 are always 0) so an external SQL oracle can recompute identical
+  * fingerprints and brute-force-verify the pigeonhole pair search. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -204,7 +262,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = HashMix.hashUtf8(arr.getUTF8String(i))
+        val h = HashMix.portableHash61(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
@@ -224,4 +282,52 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** fingerprint(text) -> bigint: deterministic polynomial rolling hash of
+  * the whole document — left fold `(acc * 31 + codepoint) mod 1e9+7`
+  * seeded with the first codepoint (the DuckDB `list_reduce` fold shape,
+  * bit-for-bit oracle-matchable). Empty string yields -1.
+  *
+  * Replaces the interpreted `aggregate(split(text, ''), ...)` HOF
+  * formulation (per-character lambda invocations) with one tight loop
+  * that stays inside whole-stage codegen via a static call. */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Fingerprint$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Fingerprint {
+  /** The fold kernel; public so generated code can call it. */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return -1L
+    var acc = str.codePointAt(0).toLong
+    var i = Character.charCount(str.codePointAt(0))
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }

@@ -115,11 +115,15 @@ case class UnpackVector(child: Expression) extends UnaryExpression
 
 /** cosine_sim_packed(binary, binary) -> double — the packed-layout twin
   * of [[CosineSimilarity]]: identical math (double accumulation in
-  * array order), reads floats straight out of the blob. */
+  * array order), reads floats straight out of the blob.
+  * Mismatched blob lengths yield NULL, matching the unpacked kernel's
+  * dim-mismatch contract. */
 case class CosineSimPacked(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim_packed"
+  // null on dim mismatch even for non-null inputs
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
@@ -131,7 +135,8 @@ case class CosineSimPacked(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length) / 4
+    if (x.length != y.length) return null
+    val n = x.length / 4
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -151,15 +156,19 @@ case class CosineSimPacked(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val P = "graft.functions.PackedVectors"
       s"""
-        int $n = Math.min($a.length, $b.length) / 4;
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $P.getFloatLE($a, $i);
-          double $yi = (double) $P.getFloatLE($b, $i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        if ($a.length != $b.length) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.length / 4;
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = (double) $P.getFloatLE($a, $i);
+            double $yi = (double) $P.getFloatLE($b, $i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+            ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
         }
-        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
-          ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
       """
     })
 

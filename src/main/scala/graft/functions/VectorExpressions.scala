@@ -41,22 +41,24 @@ private[functions] object VectorTypeSupport {
         types.map(_.simpleString).mkString(", "))
 }
 
-/** cosine_sim(a, b) -> double in [-1, 1]; 0.0 for a zero vector. */
+/** cosine_sim(a, b) -> double in [-1, 1]; 0.0 for a zero vector.
+  * Mismatched vector lengths yield NULL — scoring the common prefix of
+  * a wrong-dimension query would be a quietly wrong answer. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   import VectorTypeSupport._
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null on dim mismatch even for non-null inputs
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     check(prettyName, Seq(left.dataType, right.dataType))
-
-  @inline private def elem(dt: DataType, x: ArrayData, i: Int): Double =
-    if (isFloatElem(dt)) x.getFloat(i).toDouble else x.getDouble(i)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = isFloatElem(left.dataType); val rf = isFloatElem(right.dataType)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
@@ -76,15 +78,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = ${getter(left.dataType, a, i)};
-          double $yi = ${getter(right.dataType, b, i)};
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = ${getter(left.dataType, a, i)};
+            double $yi = ${getter(right.dataType, b, i)};
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+            ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
         }
-        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
-          ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
       """
     })
 
@@ -95,19 +101,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** dot_product(a, b) -> double. Equal to cosine similarity when both sides
   * are L2-normalized — the cheap path the reference never takes
-  * (it always recomputes full cosine server-side). */
+  * (it always recomputes full cosine server-side).
+  * Mismatched vector lengths yield NULL (see [[CosineSimilarity]]). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   import VectorTypeSupport._
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null on dim mismatch even for non-null inputs
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     check(prettyName, Seq(left.dataType, right.dataType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = isFloatElem(left.dataType); val rf = isFloatElem(right.dataType)
     var dot = 0.0
     var i = 0
@@ -125,12 +135,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-        int $n = Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $dot += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+          }
+          ${ev.value} = $dot;
         }
-        ${ev.value} = $dot;
       """
     })
 

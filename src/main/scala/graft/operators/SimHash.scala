@@ -26,10 +26,11 @@ object SimHash {
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val parts = math.max(docs.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism)
-    docs
-      .repartition(parts)
+    // widen a narrow source for the compute-heavy hash stage, but never
+    // reshuffle an already-parallel corpus (see TextDedup.shingles)
+    val target = spark.sparkContext.defaultParallelism
+    val cur = docs.rdd.getNumPartitions
+    (if (cur < target) docs.repartition(target) else docs)
       .withColumn("__toks", array_distinct(split(col(textCol), " ")))
       .filter(size(col("__toks")) > 0)
       .select(

@@ -50,16 +50,17 @@ object TextAnalysis {
   }
 
   /** Deterministic polynomial rolling-hash fingerprint of the document:
-    * left fold `(acc * 31 + ascii(char)) mod 1e9+7` seeded with the first
-    * character — the DuckDB `list_reduce` fold shape, so oracles match
-    * bit-for-bit. Null/empty-safe (returns -1). */
+    * left fold `(acc * 31 + codepoint) mod 1e9+7` seeded with the first
+    * codepoint — the DuckDB `list_reduce` fold shape, so oracles match
+    * bit-for-bit. Null/empty-safe (returns -1). Native tight-loop
+    * expression ([[graft.functions.Fingerprint]]); the interpreted
+    * `aggregate(split(text, ''), ...)` HOF formulation evaluated two
+    * lambda calls per character. */
   def fingerprint(textCol: String): Column =
-    when(length(col(textCol)) === 0 || col(textCol).isNull, lit(-1L))
-      .otherwise(expr(
-        s"aggregate(slice(transform(split($textCol, ''), c -> ascii(c)), 2, " +
-          s"greatest(size(split($textCol, '')) - 1, 0)), " +
-          s"CAST(ascii(substring($textCol, 1, 1)) AS BIGINT), " +
-          s"(acc, x) -> (acc * 31 + x) % 1000000007)"))
+    when(col(textCol).isNull, lit(-1L))
+      .otherwise(org.apache.spark.sql.graftshim.Shim.column(
+        graft.functions.Fingerprint(
+          org.apache.spark.sql.graftshim.Shim.expression(col(textCol)))))
 
   /** Deterministic hashed bag-of-words embedding (HashingTF-style):
     * each token increments slot `xxhash64(token) mod dim`, then the

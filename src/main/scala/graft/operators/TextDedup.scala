@@ -15,15 +15,19 @@ object TextDedup {
   /** Distinct word n-gram shingles per document:
     * (id, sh array<string>, nsh).
     *
-    * Repartitions up to the session default parallelism first: shingle
-    * consumers are compute-heavy per row, and a small source file
-    * (one parquet block) would otherwise pin the whole stage to one
-    * task. */
+    * Repartitions to the session default parallelism ONLY when the
+    * source has fewer partitions: shingle consumers are compute-heavy
+    * per row, and a small source file (one parquet block) would
+    * otherwise pin the whole stage to one task — but an already-wide
+    * source must not pay a full-corpus text shuffle on every dedup call
+    * (at 100 TB that shuffle would dominate the job). The partition
+    * count probe converts the plan to an RDD lineage (no job runs);
+    * that one-time planning cost buys skipping the shuffle entirely. */
   def shingles(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .repartition(math.max(docs.rdd.getNumPartitions,
-        docs.sparkSession.sparkContext.defaultParallelism))
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val cur = docs.rdd.getNumPartitions
+    (if (cur < target) docs.repartition(target) else docs)
       .select(
         col(idCol).as("id"),
         org.apache.spark.sql.graftshim.Shim.column(
@@ -32,6 +36,7 @@ object TextDedup {
           .as("sh"))
       .filter(col("sh").isNotNull)
       .withColumn("nsh", size(col("sh")))
+  }
 
   /** Exact n-gram Jaccard similarity over all pairs with
     * jaccard ≥ threshold.
@@ -44,10 +49,17 @@ object TextDedup {
     * proportional to real textual overlap, not corpus size squared.
     *
     * Scale note: an ultra-frequent shingle with document frequency m
-    * contributes m² join rows (classic skew). For web-scale corpora cap
-    * it with `maxShingleDf` (drops shingles present in more than that
-    * many docs — a standard "stop-shingle" approximation) or use
-    * MinHash+LSH ([[MinHashLsh]]) which bounds work per doc by the
+    * contributes m² join rows (classic skew). `maxShingleDf` caps it by
+    * dropping shingles present in more than that many docs — a standard
+    * "stop-shingle" approximation (such shingles are boilerplate and
+    * carry no near-dup signal; capped shingles don't count toward the
+    * intersection, so reported jaccard becomes a lower bound for pairs
+    * whose overlap is mostly boilerplate). Defaulted ON at 10000 so the
+    * pipeline entry point survives a skewed corpus out of the box: at
+    * the default, one hot shingle is bounded to 10⁸ join rows instead
+    * of (corpus size)², and any pair of genuinely similar documents
+    * still shares plenty of sub-cap shingles. `None` disables.
+    * [[MinHashLsh]] is the alternative that bounds per-doc work by the
     * signature size.
     */
   def ngramJaccardPairs(
@@ -56,7 +68,7 @@ object TextDedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     var exploded = sh.select(col("id"), col("nsh"),
       explode(col("sh")).as("shingle"))

@@ -37,6 +37,25 @@ object Workflows {
       .index(prepared)
   }
 
+  /** Index workflow over RAW TEXT: batch-encodes `textCol` into the
+    * index's `vector` column with the supplied encoder (the S6 seam —
+    * [[graft.TextEncoder.encodeColumn]] runs it as a distributed
+    * mapPartitions stage; [[graft.HashingEncoder]] is the in-repo
+    * model-free implementation, a real model drops in as any
+    * serializable `String => Array[Float]`), then runs the standard
+    * index workflow. This is the reference's `[nop, transform] → index`
+    * pipeline with the transform step inside the engine. */
+  def indexTextWorkflow(
+      docs: DataFrame,
+      textCol: String,
+      path: String,
+      encoder: String => Array[Float] = graft.HashingEncoder(64),
+      stages: Seq[Stage] = Seq(nop),
+      config: IndexConfig = IndexConfig()): VectorIndex = {
+    val encoded = graft.TextEncoder.encodeColumn(docs, textCol, "vector", encoder)
+    indexWorkflow(encoded, path, stages, config)
+  }
+
   /** Search workflow: encode the query (caller-supplied encoder — the
     * engine consumes vectors, SURVEY S6), then run top-k search. */
   def searchWorkflow(

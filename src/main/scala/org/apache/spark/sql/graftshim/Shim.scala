@@ -13,11 +13,19 @@ object Shim {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Register a native expression builder under `name` (idempotent). */
+  /** Register a native expression builder under `name` (idempotent and
+    * silent: re-registering an already-present function would log a
+    * "replaced a temporary function" warning per call, which pollutes
+    * harness stdout/stderr — skip when the name is already bound). */
   def registerFunction(
       spark: SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry =
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }

@@ -44,4 +44,51 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     assert(scores.forall(_ >= 0.0))
   }
+
+  test("txtai dialect: verbatim similar('query text') string against the " +
+    "registered txtai view (01_simple.ipynb:446)") {
+    Graft.init(spark)
+    val dir = "/root/testdata/sf0.001"
+    Txtai.register(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    // the notebook's L1 shape, pasted as-is (only the query text differs)
+    val out = spark.sql(
+      """SELECT id, text, similar('feel good story') AS score
+        |FROM txtai
+        |WHERE similar('feel good story') >= 0.0
+        |ORDER BY score DESC, id LIMIT 3""".stripMargin).collect()
+    assert(out.length == 3)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    // the one-arg form must equal the explicit two-arg encoded form
+    val q = TextEncoder.encode("feel good story")
+    val explicit = spark.sql(
+      s"""SELECT id, similar(vector, array(${q.map(v => s"cast($v as float)").mkString(",")})) AS score
+         |FROM txtai ORDER BY score DESC, id LIMIT 3""".stripMargin)
+      .collect().map(_.getDouble(1))
+    assert(out.map(_.getDouble(2)).sameElements(explicit))
+  }
+
+  test("similar('text') uses the pluggable TextEncoder") {
+    Graft.init(spark)
+    val dir = "/root/testdata/sf0.001"
+    Txtai.register(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    try {
+      // a "model" that always returns the stored embedding of vec 0 —
+      // so similar('anything') must score vec 0 at exactly 1.0
+      val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      TextEncoder.set(_ => v0)
+      val top = spark.sql(
+        """SELECT id, similar('anything at all') AS score
+          |FROM txtai ORDER BY score DESC, id LIMIT 1""".stripMargin).head()
+      assert(top.getLong(0) == 0L)
+      assert(math.abs(top.getDouble(1) - 1.0) < 1e-12)
+    } finally TextEncoder.reset()
+  }
 }

@@ -99,4 +99,26 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = physical(run("hybrid_filter"))
     assert(plan.contains("GreaterThanOrEqual(n_chars,200)"), plan)
   }
+
+  test("label_centroids: vector_avg partial aggregation; rows are NOT " +
+    "exploded x dim before the shuffle") {
+    val plan = physical(run("label_centroids"))
+    assert(plan.contains("partial_vector_avg"), plan)
+    // the only Generate (posexplode) must sit ABOVE the aggregation
+    // shuffle (plan strings print top-down: downstream operators first;
+    // the orderBy's rangepartitioning exchange sits above both)
+    val gen = plan.indexOf("Generate")
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    assert(gen >= 0 && exch >= 0 && gen < exch, plan)
+  }
+
+  test("fingerprint runs inside WholeStageCodegen (no interpreted HOF)") {
+    val df = run("fingerprint")
+    df.collect()
+    val generated = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(generated.contains("Fingerprint"), generated.take(2000))
+    val plan = physical(df)
+    assert(!plan.contains("aggregate(lambda"), plan)
+  }
 }

@@ -100,6 +100,52 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("dimension mismatch yields NULL, never a prefix score " +
+    "(cosine_sim, dot_product, cosine_sim_packed)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val r = df.select(
+      Graft.cosineSim(col("a"), col("b")).as("cos"),
+      Graft.dotProduct(col("a"), col("b")).as("dot"),
+      Graft.cosineSimPacked(
+        Graft.packVector(col("a")), Graft.packVector(col("b"))).as("pk")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // interpreted path too (eval, not codegen)
+    val e = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f, 3f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)))
+    assert(e.eval(null) == null)
+  }
+
+  test("vector_avg: elementwise mean per group, null vectors skipped, " +
+    "matches the posexplode formulation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(Array(1f, 2f))), ("a", Some(Array(3f, 6f))),
+      ("a", None), ("b", Some(Array(10f, 20f)))
+    ).toDF("label", "vec")
+    val out = df.groupBy("label")
+      .agg(Graft.vectorAvg(col("vec")).as("c"))
+      .orderBy("label").collect()
+    assert(out(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(out(1).getSeq[Double](1) == Seq(10.0, 20.0))
+    // SQL registration
+    Graft.init(spark)
+    df.createOrReplaceTempView("vavg_t")
+    val viaSql = spark.sql(
+      "SELECT label, vector_avg(vec) AS c FROM vavg_t GROUP BY label ORDER BY label")
+      .collect()
+    assert(viaSql(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    // all-null group -> null
+    val nul = Seq(("z", Option.empty[Array[Float]])).toDF("label", "vec")
+      .groupBy("label").agg(Graft.vectorAvg(col("vec")).as("c")).head()
+    assert(nul.isNullAt(1))
+  }
+
   test("topk_by_score keeps k best, score desc, ties by id asc") {
     import spark.implicits._
     val df = Seq(

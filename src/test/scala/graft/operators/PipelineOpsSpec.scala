@@ -100,6 +100,54 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hot-shingle cap: a boilerplate shingle shared by every doc does " +
+    "not generate all-pairs candidates (skew guard)") {
+    // 60 docs that share ONE ubiquitous 3-gram ("terms of service") but
+    // are otherwise unique — uncapped, that shingle alone contributes
+    // 60*59/2 candidate pairs; with the cap it contributes none, and no
+    // pair is similar enough to report
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"terms of service u$i v$i w$i x$i y$i z$i q$i r$i")
+    }.toDF("doc_id", "text")
+    val capped = TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(10))
+    assert(capped.count() == 0)
+    // two real near-dups still surface through sub-cap shingles
+    val withDup = docs.union(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text"))
+    val pairs = TextDedup.ngramJaccardPairs(
+      withDup, "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = Some(10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+
+  test("TextEncoder seam: batch encodeColumn matches the hash_embed " +
+    "expression; a custom encoder drives indexTextWorkflow end-to-end") {
+    val docs = Seq(
+      ("u1", "spark shuffles wide joins"),
+      ("u2", "catalyst prunes parquet columns")
+    ).toDF("uid", "text")
+    // distributed batch path == Catalyst expression, bit for bit
+    val viaSeam = graft.TextEncoder
+      .encodeColumn(docs, "text", "vector", graft.HashingEncoder(16))
+      .select("uid", "vector").as[(String, Seq[Float])].collect().toMap
+    val viaExpr = docs.select(col("uid"),
+      TextAnalysis.hashEmbed("text", 16).as("v"))
+      .as[(String, Seq[Float])].collect().toMap
+    assert(viaSeam == viaExpr)
+    // a swapped-in "model" flows through the index workflow
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc-wf").toString
+    val constant = new (String => Array[Float]) with Serializable {
+      override def apply(t: String): Array[Float] =
+        if (t.contains("spark")) Array(1f, 0f) else Array(0f, 1f)
+    }
+    val idx = Workflows.indexTextWorkflow(docs, "text", dir, constant)
+    val hit = idx.search(Array(1f, 0f), 1).head()
+    assert(hit.getAs[String]("uid") == "u1")
+  }
+
   test("ngram_shingles yields null (not a crash) for sub-n token counts " +
     "even on non-nullable input") {
     graft.Graft.init(spark)
