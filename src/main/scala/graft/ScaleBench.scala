@@ -10,11 +10,17 @@ import graft.operators.{AnnLsh, HyperplaneLsh, Knn}
   * the "would this hold at 100×" check the small SFs can't give.
   * Not part of the driver contract; run manually:
   *
-  * {{{ sbt "runMain graft.ScaleBench [replicas]" }}}
+  * {{{ sbt "runMain graft.ScaleBench [replicas] [batchQueries]" }}}
+  *
+  * replicas=500 → 1M vectors; replicas=5000 → 10M vectors (the r2
+  * probe). batchQueries sizes the batch-kNN fan-out (default 32; 1000
+  * probes the many-query regime where the broadcast+heap plan must not
+  * degrade into a window sort).
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(500)
+    val batchQueries = args.lift(1).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,9 +64,9 @@ object ScaleBench {
     time("exact knn k=10 (warm)") {
       Knn.search(big, "embedding", "vec_id", q, 10).collect()
     }
-    val queries = base.limit(32)
+    val queries = base.limit(batchQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    time("batch knn 32 queries k=10") {
+    time(s"batch knn $batchQueries queries k=10") {
       Knn.searchBatch(big, "embedding", "vec_id", queries, "qvec", "qid", 10)
         .collect()
     }

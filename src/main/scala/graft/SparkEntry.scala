@@ -404,6 +404,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // approximate kNN via IVF cluster pruning (faiss-style: codebook
+    // trained driver-side on a bounded sample — deterministic — then
+    // distributed assign + probe; Verify dumps the cluster/probe
+    // assignments as auxiliary "ivf_candidates" for the oracle re-rank)
+    "ivf_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      operators.Ivf.search(operators.Ivf.assign(emb, "embedding", model),
+        "embedding", "vec_id", queryVec(s, dir), 10, model, nprobe = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // deterministic rolling-hash document fingerprint (dedup primitive)
     "fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -535,6 +548,17 @@ object SparkEntry {
       operators.AnnLsh.bucketize(emb, "embedding", lsh)
         .select(col("vec_id"), col("bucket"),
           col("bucket").isin(buckets: _*).as("probed"))
+    }),
+
+    // ivf_knn: per-vector cluster assignment + whether the query probes it
+    "ivf_candidates" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      val probes = model.nearest(queryVec(s, dir), 4)
+      operators.Ivf.assign(emb, "embedding", model)
+        .select(col("vec_id"), col("cluster"),
+          col("cluster").isin(probes: _*).as("probed"))
     }),
 
     // l1_sql_text: the encoded query vector for similar('machine learning')
@@ -832,6 +856,20 @@ object SparkEntry {
     // re-derived here).
     "ann_lsh" ->
       """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ann_lsh_candidates/*.parquet')
+        |           WHERE probed),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score
+        |FROM e JOIN c USING (vec_id)
+        |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Exact-cosine re-rank of the engine's probed-cluster candidate set
+    // (cluster membership dumped by Verify — the trained codebook is
+    // engine-side, like ann_lsh's hyperplanes).
+    "ivf_knn" ->
+      """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ivf_candidates/*.parquet')
         |           WHERE probed),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

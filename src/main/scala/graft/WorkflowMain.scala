@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.VectorIndex
+import graft.operators.Workflows
+
+/** The reference's workflow entry point (F3) as a batch main — the
+  * engine-side equivalent of `POST /workflow` (api.http:4-23), which
+  * accepts `{"name": "index"|"search", "elements": [...]}`:
+  *
+  *  - `index`: encode every element with the [[TextEncoder]] seam and
+  *    sink into the vector index at `indexPath` (the reference's
+  *    `[nop, transform] → weaviate sink` task list, README.md:30-43);
+  *  - `search`: encode each element and run top-k cosine search against
+  *    the same index (the reference's `transform → search` task list) —
+  *    all elements are served, not just `elements[0]`.
+  *
+  * {{{ sbt "runMain graft.WorkflowMain <request.json> <indexPath> [k]" }}}
+  *
+  * Prints one JSON line (results to stdout, and to
+  * `SPARK_GRAFT_WORKFLOW_OUT` when set).
+  */
+object WorkflowMain {
+
+  /** Execute a workflow request; returns the response JSON line. */
+  def run(spark: SparkSession, reqPath: String, indexPath: String,
+      k: Int = 10): String = {
+    Graft.init(spark)
+    val req = spark.read.option("multiLine", "true").json(reqPath).head()
+    val name = req.getAs[String]("name")
+    val elements = req.getSeq[String](req.fieldIndex("elements"))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    name match {
+      case "index" =>
+        import spark.implicits._
+        // uid = zero-padded element position, so engine-assigned dense
+        // docids follow the input order like the reference's offset
+        // counter (weaviate.py:132-149)
+        val docs = elements.zipWithIndex
+          .map { case (t, i) => (f"$i%09d", t) }.toDF("uid", "text")
+        val idx = Workflows.indexTextWorkflow(docs, "text", indexPath)
+        s"""{"name":"index","indexed":${idx.count()}}"""
+      case "search" =>
+        val idx = VectorIndex.load(spark, indexPath)
+        val results = elements.map { q =>
+          val hits = idx.search(TextEncoder.encode(q), k)
+            .select(col("uid"), col("docid"), round(col("score"), 6).as("score"))
+            .collect()
+            .map(r => s"""{"uid":"${esc(r.getString(0))}","docid":${r.getLong(1)},""" +
+              s""""score":${r.getDouble(2)}}""")
+          hits.mkString("[", ",", "]")
+        }
+        s"""{"name":"search","results":${results.mkString("[", ",", "]")}}"""
+      case other => throw new IllegalArgumentException(
+        s"unknown workflow '$other' (expected 'index' or 'search')")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: WorkflowMain <request.json> <indexPath> [k]")
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = run(spark, args(0), args(1), k)
+    println(json)
+    sys.env.get("SPARK_GRAFT_WORKFLOW_OUT").foreach { out =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+}

@@ -17,17 +17,62 @@ class SchemaValidationException(msg: String) extends RuntimeException(msg)
   * `@check_index_exists` guard (weaviate.py:41-52). */
 class IndexNotFoundException(msg: String) extends RuntimeException(msg)
 
+/** The reference's 8-knob client batch config, knob for knob
+  * (`DEFAULT_BATCH_CONFIG`, weaviate.py:29-38; partial-override
+  * semantics tested test_weaviate.py:221-237 — a Scala case class
+  * `copy` IS partial override). Engine mapping of each knob:
+  *
+  *  - `batchSize` (ref default None) → `maxRecordsPerFile` on the index
+  *    write: the reference flushes an HTTP batch every N objects; the
+  *    engine rolls a new file every N rows.
+  *  - `dynamic` (ref False) → when the size is None Spark's AQE already
+  *    sizes write partitions dynamically; the knob is honored by doing
+  *    nothing — dynamic sizing is the engine default.
+  *  - `numWorkers` (ref 1) → minimum write parallelism: the reference's
+  *    1 reflects a single HTTP client thread, so it is a floor, not a
+  *    cap (a distributed writer must not be serialized by default).
+  *  - `timeoutRetries` / `connectionErrorRetries` /
+  *    `weaviateErrorRetries` (ref 3/3/3) → transient-failure retry is
+  *    Spark task retry (`spark.task.maxFailures`, cluster-level);
+  *    carried for config fidelity and surfaced by [[describe]].
+  *  - `creationTime` / `callback` → no engine equivalent (HTTP batch
+  *    latency target / per-batch hook); documented no-ops.
+  */
+case class BatchConfig(
+    batchSize: Option[Long] = None,
+    creationTime: Option[Double] = None,
+    timeoutRetries: Int = 3,
+    connectionErrorRetries: Int = 3,
+    weaviateErrorRetries: Int = 3,
+    callback: Option[String] = None,
+    dynamic: Boolean = false,
+    numWorkers: Int = 1) {
+
+  def describe: String =
+    s"batchSize=${batchSize.getOrElse("dynamic")} numWorkers>=$numWorkers " +
+      s"retries(task-level)=$timeoutRetries/$connectionErrorRetries/$weaviateErrorRetries"
+
+  /** Apply the write-side knobs to a prepared batch. */
+  private[index] def applyTo(docs: DataFrame): DataFrame =
+    if (numWorkers > 1) {
+      val cur = docs.rdd.getNumPartitions
+      if (cur < numWorkers) docs.repartition(numWorkers) else docs
+    } else docs
+}
+
 /** Index configuration ≈ the reference's DEFAULT_SCHEMA + client config
   * (weaviate.py:23-27,60-73). `overwriteIndex` mirrors `overwrite_index`
   * (weaviate.py:68): true → existing index is dropped and recreated;
   * false → warn and reuse the existing one. `packed` stores vectors as
   * fixed-width binary blobs instead of `array<float>` — ~3× faster
-  * scans (see BASELINE.md scale probe); scores are bitwise identical. */
+  * scans (see BASELINE.md scale probe); scores are bitwise identical.
+  * `batch` carries the reference's client batch knobs ([[BatchConfig]]). */
 case class IndexConfig(
     className: String = "Document",
     distance: String = "cosine",
     overwriteIndex: Boolean = true,
-    packed: Boolean = false)
+    packed: Boolean = false,
+    batch: BatchConfig = BatchConfig())
 
 object IndexSchema {
 
@@ -186,9 +231,14 @@ class VectorIndex private (
     val withId = Ids.withDenseId(
       packedDocs, "docid", idOrder(packedDocs), offset = base)
     val cols = col("docid") +: packedDocs.columns.toIndexedSeq.map(col)
-    val out = withId.select(cols: _*)
+    val out = config.batch.applyTo(withId.select(cols: _*))
     if (overwrite) replaceData(out)
-    else out.write.mode("append").parquet(dataPath.toString)
+    else {
+      val w = out.write.mode("append")
+      config.batch.batchSize
+        .foreach(n => w.option("maxRecordsPerFile", n))
+      w.parquet(dataPath.toString)
+    }
     this
   }
 
@@ -295,7 +345,9 @@ class VectorIndex private (
     * lazily reading, which this sidesteps entirely). */
   private def replaceData(newData: DataFrame): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
-    newData.write.mode("overwrite").parquet(versionPath(next).toString)
+    val w = newData.write.mode("overwrite")
+    config.batch.batchSize.foreach(n => w.option("maxRecordsPerFile", n))
+    w.parquet(versionPath(next).toString)
     commitVersion(next)
     writeMeta()
   }

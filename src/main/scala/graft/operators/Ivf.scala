@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NearestCentroid
+
+/** IVF (inverted-file) approximate nearest neighbor — the k-means twin
+  * of [[AnnLsh]]'s hyperplane bucketing, and the second scale path the
+  * north-star extension set calls for.
+  *
+  * Industry-standard split (what faiss does): TRAIN the codebook on a
+  * bounded sample driver-side — deterministic, seconds — then ASSIGN and
+  * SEARCH distributed. At 100 TB the corpus never moves for training
+  * (a codebook needs ~256·k sample vectors, not the corpus); assignment
+  * is one map-side pass (`nearest_centroid` native expression, k×dim
+  * tight loop per row); storage partitioned by cluster gives the same
+  * scan pruning as [[graft.index.LshVectorIndex]]: a search touching
+  * `nprobe` of `k` clusters never opens the other files.
+  *
+  * Spherical k-means (centroids L2-normalized each round) because the
+  * engine metric is cosine (weaviate.py:26 `distance: cosine`).
+  * Training is bit-deterministic for a fixed input: seeds are evenly
+  * spaced sample rows, iteration is sequential driver-side — so two
+  * calls in one session produce identical codebooks (the correctness
+  * dump relies on this).
+  */
+object Ivf {
+
+  /** A trained codebook. */
+  case class Model(centroids: Array[Array[Float]]) {
+    require(centroids.nonEmpty)
+    val dim: Int = centroids(0).length
+
+    private def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    /** The `n` centroid ids nearest to `v` (cosine desc, ties by id). */
+    def nearest(v: Array[Float], n: Int = 1): Seq[Int] =
+      centroids.indices
+        .map(c => (cosine(v, centroids(c)), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(n).map(_._2)
+  }
+
+  /** Train a k-cluster spherical-k-means codebook on the first
+    * `sampleSize` vectors (faiss-style bounded sample; deterministic
+    * for a fixed source). Empty clusters keep their previous centroid. */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleSize: Int = 16384): Model = {
+    require(k >= 1 && iters >= 1)
+    val sample = df.select(vecCol).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k,
+      s"ivf train: need at least k=$k sample vectors, got ${sample.length}")
+    val dim = sample(0).length
+
+    def normalize(v: Array[Double]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * v(i); i += 1 }
+      val n = if (s > 0) math.sqrt(s) else 1.0
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+
+    // evenly-spaced seeds: spread across the sample, deterministic
+    var model = Model(Array.tabulate(k) { c =>
+      normalize(sample((c.toLong * sample.length / k).toInt)
+        .map(_.toDouble))
+    })
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = model.nearest(v).head
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      model = Model(Array.tabulate(k) { c =>
+        if (counts(c) == 0) model.centroids(c) else normalize(sums(c))
+      })
+      it += 1
+    }
+    model
+  }
+
+  /** Add the `cluster` column (write partitioned/clustered by it for
+    * scan pruning, exactly like LshVectorIndex's `bucket`). */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("cluster",
+      org.apache.spark.sql.graftshim.Shim.column(
+        NearestCentroid(
+          org.apache.spark.sql.graftshim.Shim.expression(col(vecCol)),
+          model.centroids)))
+
+  /** Approximate top-k: exact cosine re-rank inside the `nprobe`
+    * clusters nearest to the query. `nprobe = k` degrades gracefully to
+    * exact search. */
+  def search(
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      model: Model,
+      nprobe: Int = 1): DataFrame = {
+    val probes = model.nearest(queryVec, nprobe)
+    Knn.search(
+      assigned.filter(col("cluster").isin(probes: _*)),
+      vecCol, idCol, queryVec, k)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+/** F3 workflow entry point: the api.http:4-23 request shapes, end to
+  * end — index six elements, then search with an exact indexed text
+  * (self-match must rank first with score 1.0 under any encoder). */
+class WorkflowMainSpec extends SparkTestBase {
+
+  private def write(name: String, body: String): String = {
+    val p = Files.createTempFile(name, ".json")
+    Files.writeString(p, body)
+    p.toString
+  }
+
+  test("index + search workflow requests (api.http payloads)") {
+    val dir = Files.createTempDirectory("graft-wf-main").toString
+    val indexReq = write("wf-index",
+      """{"name": "index",
+        | "elements": [
+        |   "US tops 5 million confirmed virus cases",
+        |   "Canadas last fully intact ice shelf has suddenly collapsed, forming a Manhattan-sized iceberg",
+        |   "Beijing mobilises invasion craft along coast as Taiwan tensions escalate",
+        |   "The National Park Service warns against sacrificing slower friends in a bear attack",
+        |   "Maine man wins $1M from $25 lottery ticket",
+        |   "Make huge profits without work, earn up to $100,000 a day"
+        | ]}""".stripMargin)
+    val out = WorkflowMain.run(spark, indexReq, dir)
+    assert(out == """{"name":"index","indexed":6}""")
+
+    val searchReq = write("wf-search",
+      """{"name": "search",
+        | "elements": ["Maine man wins $1M from $25 lottery ticket",
+        |              "feel good story"]}""".stripMargin)
+    val res = WorkflowMain.run(spark, searchReq, dir, k = 3)
+    assert(res.startsWith("""{"name":"search","results":[["""), res)
+    // element 0 is an exact indexed text: its top hit is itself, score 1
+    val first = res.split("\\[\\[")(1).split("\\}")(0)
+    assert(first.contains("\"docid\":4") && first.contains("\"score\":1.0"), res)
+    // both elements served (the reference serves only queries[0])
+    assert(res.split("\\],\\[").length == 2, res)
+  }
+
+  test("unknown workflow name is a loud error") {
+    val bad = write("wf-bad", """{"name": "nope", "elements": ["x"]}""")
+    intercept[IllegalArgumentException] {
+      WorkflowMain.run(spark, bad, "/tmp/unused")
+    }
+  }
+}

@@ -284,6 +284,32 @@ class VectorIndexSpec extends SparkTestBase {
     intercept[IndexNotFoundException] { VectorIndex.load(spark, idx.path) }
   }
 
+  // --- client batch config (weaviate.py:29-38, test_weaviate.py:221-237) ---
+
+  test("BatchConfig: partial override keeps the other knobs at defaults " +
+    "(the reference's _configure_client merge semantics)") {
+    val d = BatchConfig()
+    assert(d.batchSize.isEmpty && !d.dynamic && d.numWorkers == 1 &&
+      d.timeoutRetries == 3 && d.connectionErrorRetries == 3 &&
+      d.weaviateErrorRetries == 3)
+    val o = d.copy(batchSize = Some(64L), dynamic = true)
+    assert(o.batchSize.contains(64L) && o.dynamic)
+    assert(o.numWorkers == 1 && o.timeoutRetries == 3) // untouched knobs
+  }
+
+  test("BatchConfig.batchSize rolls index files every N rows " +
+    "(the engine face of the reference's batch flush)") {
+    val dir = tmpDir()
+    val docs = docsDF((0 until 10).map(i => (f"u$i%02d", basis(4, i % 4), "t")))
+    val idx = VectorIndex.create(spark, dir,
+      config = IndexConfig(batch = BatchConfig(batchSize = Some(3L))))
+      .index(docs.coalesce(1))
+    val files = new java.io.File(idx.dataDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 4, s"expected >=4 rolled files for 10 rows @ batch 3, got $files")
+    assert(idx.count() == 10)
+  }
+
   // --- dense id assignment (SURVEY §7.4 risk 1) ---
 
   test("withDenseId: dense, deterministic, offset-respecting, multi-partition") {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** IVF approximate kNN: training determinism, assignment sanity, and
+  * the graceful-degradation contract (nprobe = k ⇒ exact search). */
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val q = emb.filter(col("vec_id") === 0)
+    .select("embedding").head().getSeq[Float](0).toArray
+
+  test("training is deterministic: two train calls give identical codebooks") {
+    val m1 = Ivf.train(emb, "embedding", k = 8)
+    val m2 = Ivf.train(emb, "embedding", k = 8)
+    assert(m1.centroids.length == 8)
+    m1.centroids.zip(m2.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("every vector lands in the cluster whose centroid it is nearest " +
+    "(assignment expression == driver-side model.nearest)") {
+    val model = Ivf.train(emb, "embedding", k = 8)
+    val rows = Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .collect()
+    rows.take(50).foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      assert(r.getInt(1) == model.nearest(v).head)
+    }
+    // all k clusters are populated on the test corpus (sane codebook)
+    assert(rows.map(_.getInt(1)).distinct.length == 8)
+  }
+
+  test("self-query is found (its own cluster is always probed) and " +
+    "nprobe = k degrades to exact search") {
+    val model = Ivf.train(emb, "embedding", k = 8)
+    val assigned = Ivf.assign(emb, "embedding", model).cache()
+    val top = Ivf.search(assigned, "embedding", "vec_id", q, 5, model).head()
+    assert(top.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.getAs[Double]("score") - 1.0) < 1e-12)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = Ivf.search(assigned, "embedding", "vec_id", q, 10, model,
+      nprobe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    assigned.unpersist()
+  }
+
+  test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
+    val model = Ivf.train(emb, "embedding", k = 16)
+    val assigned = Ivf.assign(emb, "embedding", model)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Ivf.search(assigned, "embedding", "vec_id", q, 10, model,
+      nprobe = 4).select("vec_id").as[Long].collect().toSet
+    // embeddings are label-clustered (TESTDATA.md) — the query's own
+    // cluster holds its neighbors; require >= 80% overlap
+    assert(exact.intersect(approx).size >= 8,
+      s"recall too low: ${exact.intersect(approx).size}/10")
+  }
+}
