@@ -34,10 +34,31 @@ println("top-5 neighbours of doc 7:")
 idx.search(qVec, 5).select("uid", "score").show(false)
 
 // 3. SQL surface (reference: txtai SQL dialect L1-L4)
-idx.df.createOrReplaceTempView("txtai")
+idx.df.createOrReplaceTempView("txtai_idx")
 spark.sql(
   "SELECT count(*) AS cnt, min(length(text)) AS min_len, " +
-    "max(length(text)) AS max_len FROM txtai").show()
+    "max(length(text)) AS max_len FROM txtai_idx").show()
+
+// 3b. the dialect's verbatim text form (01_simple.ipynb:446): the
+//     one-arg similar('...') encodes via the pluggable TextEncoder and
+//     binds to the `vector` column of the registered txtai view
+graft.Txtai.register(
+  Tables.load(spark, sf, "documents"), Tables.load(spark, sf, "embeddings"))
+spark.sql(
+  "SELECT id, similar('feel good story') AS score FROM txtai " +
+    "WHERE similar('feel good story') >= 0.0 " +
+    "ORDER BY score DESC, id LIMIT 3").show()
+
+// 3c. IVF ANN (faiss-style): sample-trained codebook, cluster-pruned
+//     search — the second scale path next to hyperplane LSH
+val emb = Tables.load(spark, sf, "embeddings")
+val ivfModel = graft.operators.Ivf.train(emb, "embedding", 8)
+val qv = emb.filter(col("vec_id") === 0).select(
+  "embedding").head.getSeq[Float](0).toArray
+graft.operators.Ivf.search(
+  graft.operators.Ivf.assign(emb, "embedding", ivfModel),
+  "embedding", "vec_id", qv, 3, ivfModel, 2).select(
+  "vec_id", "score").show()
 
 // 4. pipeline ops the reference never had: near-dup + quality filter
 val dups = MinHashLsh.nearDupPairs(

@@ -54,6 +54,19 @@ object Knn {
       qidCol: String,
       k: Int): DataFrame = {
     Graft.init(index.sparkSession)
+    // ObjectHashAggregate falls back to SORT-based aggregation once a
+    // partition's hash map passes `fallbackThreshold` DISTINCT KEYS
+    // (default 128). Every partition sees every qid here, so a batch of
+    // >128 queries would sort-and-spill the entire scored cross product
+    // (measured: 1000 queries x 10M vectors tried to spill ~240 GB and
+    // died; the heaps themselves are k x 16 bytes per query — trivial).
+    // Raise the threshold so the bounded-heap plan stays hash-based up
+    // to 64K queries per batch (~tens of MB of heap buffers); beyond
+    // that, chunk the query side.
+    val spark = index.sparkSession
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(fallbackKey).forall(_.toInt < 65536))
+      spark.conf.set(fallbackKey, "65536")
     // packed-layout dispatch: if the index stores fixed-width binary
     // vectors, pack the (small) query side too and use the packed kernel
     val packed = index.schema(vecCol).dataType ==

@@ -52,6 +52,24 @@ class IvfSpec extends SparkTestBase {
     assigned.unpersist()
   }
 
+  test("IvfVectorIndex: cluster-partitioned storage round-trips the " +
+    "codebook and prunes unprobed partitions at the scan") {
+    val model = Ivf.train(emb, "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    graft.index.IvfVectorIndex.build(emb, "embedding", "vec_id", dir, model)
+    val idx = graft.index.IvfVectorIndex.load(spark, dir)
+    // codebook round-trip is bit-exact
+    idx.model.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val res = idx.search(q, 5, nprobe = 2)
+    assert(res.head().getAs[Long]("docid") == 0L)
+    // partition pruning is visible in the physical plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
+    assert(idx.count() == emb.count())
+  }
+
   test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
     val model = Ivf.train(emb, "embedding", k = 16)
     val assigned = Ivf.assign(emb, "embedding", model)
