@@ -417,6 +417,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // approximate kNN via product quantization (the compression half of
+    // the faiss IVF+PQ recipe): deterministic per-subspace codebooks,
+    // m-byte codes (32x smaller scan), ADC shortlist, exact cosine
+    // re-rank. Final scores are exact, so the oracle re-derives the
+    // ranking from the dumped shortlist ("pq_candidates").
+    "pq_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Pq.train(emb, "embedding", m = 8, ksub = 64)
+      operators.Pq.search(operators.Pq.encode(emb, "embedding", model),
+        "embedding", "code", "vec_id", queryVec(s, dir), 10, model)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // deterministic rolling-hash document fingerprint (dedup primitive)
     "fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -559,6 +573,19 @@ object SparkEntry {
       operators.Ivf.assign(emb, "embedding", model)
         .select(col("vec_id"), col("cluster"),
           col("cluster").isin(probes: _*).as("probed"))
+    }),
+
+    // pq_knn: the ADC shortlist (k*refine ids) the exact re-rank runs over
+    "pq_candidates" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Pq.train(emb, "embedding", m = 8, ksub = 64)
+      operators.Pq.adcScore(
+          operators.Pq.encode(emb, "embedding", model).select("vec_id", "code"),
+          "code", queryVec(s, dir), model)
+        .orderBy(desc("adc_score"), col("vec_id").asc)
+        .limit(50)
+        .select(col("vec_id"), lit(true).as("shortlisted"))
     }),
 
     // l1_sql_text: the encoded query vector for similar('machine learning')
@@ -871,6 +898,21 @@ object SparkEntry {
     "ivf_knn" ->
       """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ivf_candidates/*.parquet')
         |           WHERE probed),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score
+        |FROM e JOIN c USING (vec_id)
+        |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Exact-cosine re-rank of the engine's ADC shortlist (shortlist
+    // membership dumped by Verify — the trained PQ codebooks are
+    // engine-side, like ivf_knn's; the re-rank stage uses exact cosine
+    // so the ranking, tie-break, and limit are fully re-derived here).
+    "pq_knn" ->
+      """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/pq_candidates/*.parquet')
+        |           WHERE shortlisted),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT e.vec_id,

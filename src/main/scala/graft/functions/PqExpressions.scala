@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** pq_encode(vec) -> binary: product-quantization code — the vector is
+  * split into `m` contiguous subvectors and each is replaced by the id
+  * (one byte, ksub <= 256) of its nearest sub-codebook centroid by L2
+  * distance (Jegou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011). dim-64 float vectors (256 B) become m=8 bytes:
+  * a 32x smaller scan — at 100 TB of embeddings that is the difference
+  * between reading 100 TB and reading ~3 TB.
+  *
+  * The codebooks ride inside the expression (m x ksub x dsub floats —
+  * a few hundred KB — broadcast with the serialized plan), same pattern
+  * as [[NearestCentroid]]. A vector whose dimension doesn't match
+  * m*dsub yields null (same loud-mismatch contract as the cosine
+  * kernels). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks(0).nonEmpty &&
+    codebooks(0)(0).nonEmpty, "pq_encode: empty codebook")
+  require(codebooks(0).length <= 256,
+    s"pq_encode: ksub must fit one byte, got ${codebooks(0).length}")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (v.numElements() != m * dsub) return null
+    val code = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val off = j * dsub
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var dist = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) v.getFloat(off + i).toDouble
+                  else v.getDouble(off + i)
+          val d = x - cen(i)
+          dist += d * d
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      code(j) = best.toByte
+      j += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc_score(code) -> double: asymmetric distance computation — the
+  * approximate cosine similarity between the (uncompressed) query and a
+  * PQ-coded vector, via per-query lookup tables built once driver-side:
+  *
+  *   dot(q, v~)    = sum_j dots(j, code_j)      (q_j . centroid)
+  *   ||v~||^2      = sum_j normsq(j, code_j)    (centroid norm^2)
+  *   score         = dot / (||q|| * sqrt(||v~||^2))
+  *
+  * Scoring a row is m table lookups + adds — no per-dimension work at
+  * scan time, which is the whole point of ADC: the 100 TB scan touches
+  * only the m-byte codes and a lookup table that fits in L1.
+  *
+  * `dots` and `normsq` are flattened m x ksub row-major. Null when the
+  * code length doesn't match m (loud-mismatch contract). */
+case class PqAdcScore(
+    child: Expression,
+    dots: Array[Float],
+    normsq: Array[Float],
+    qNorm: Double,
+    m: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(m > 0 && dots.length == normsq.length && dots.length % m == 0,
+    "pq_adc_score: table shape mismatch")
+
+  private val ksub = dots.length / m
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val code = input.asInstanceOf[Array[Byte]]
+    if (code.length != m) return null
+    var dot = 0.0
+    var nsq = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + (code(j) & 0xff)
+      dot += dots(idx)
+      nsq += normsq(idx)
+      j += 1
+    }
+    if (qNorm == 0.0 || nsq <= 0.0) 0.0
+    else dot / (qNorm * math.sqrt(nsq))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
