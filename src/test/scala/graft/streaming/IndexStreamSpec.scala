@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.index.VectorIndex
+
+/** Streaming index ingestion: micro-batches land in the index with the
+  * declared delivery semantics (upsert idempotent on uid; append
+  * at-least-once), and the text path encodes through the S6 seam. */
+class IndexStreamSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def rows(lo: Int, hi: Int) = emb
+    .filter(col("vec_id") >= lo && col("vec_id") < hi)
+    .select(col("vec_id").cast("string").as("uid"),
+      col("embedding").as("vector"))
+
+  test("streamed micro-batches land in the index; searchable afterwards") {
+    val srcDir = tmp("graft-is-src")
+    rows(0, 60).repartition(3).write.mode("overwrite").parquet(srcDir)
+    val idx = VectorIndex.create(spark, tmp("graft-is-idx"))
+    idx.index(rows(60, 70)) // pre-existing contents
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = IndexStream.ingest(stream, idx, tmp("graft-is-ck"))
+    try q.processAllAvailable() finally q.stop()
+    assert(idx.count() == 70)
+    // the streamed rows are searchable: self-match top-1 at 1.0
+    val qv = emb.filter(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val hit = idx.search(qv, 1).select("uid", "score").head()
+    assert(hit.getString(0) == "3" &&
+      math.abs(hit.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("upsert mode is idempotent on uid when a batch replays") {
+    val srcDir = tmp("graft-is-up-src")
+    rows(0, 20).coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val idx = VectorIndex.create(spark, tmp("graft-is-up-idx"))
+    idx.index(rows(0, 20)) // same uids already present
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    // fresh checkpoint replays the whole source = a replayed batch
+    val q = IndexStream.ingest(stream, idx, tmp("graft-is-up-ck"))
+    try q.processAllAvailable() finally q.stop()
+    assert(idx.count() == 20, "upsert replay must not duplicate uids")
+    // append mode WOULD duplicate (the documented at-least-once trade)
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q2 = IndexStream.ingest(stream2, idx, tmp("graft-is-ap-ck"),
+      mode = "append")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(idx.count() == 40)
+  }
+
+  test("ingestText encodes through the S6 seam; stream result matches " +
+    "the batch indexTextWorkflow vectors") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id").cast("string").as("uid"), col("text"))
+    val srcDir = tmp("graft-is-txt-src")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    // no pre-existing contents: the first micro-batch bootstraps the index
+    val idx = VectorIndex.create(spark, tmp("graft-is-txt-idx"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = IndexStream.ingestText(stream, "text", idx, tmp("graft-is-txt-ck"))
+    try q.processAllAvailable() finally q.stop()
+    assert(idx.count() == 30)
+    // vectors are bit-identical to the batch-side HashingEncoder
+    val batchVecs = graft.TextEncoder
+      .encodeColumn(docs, "text", "vector", graft.HashingEncoder(64))
+      .select("uid", "vector").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val streamed = idx.df.select("uid", "vector").collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      assert(r.getSeq[Float](1) == batchVecs(r.getString(0)))
+    }
+  }
+}
