@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ivf, Knn}
+import graft.operators.{Ivf, Knn, Pq}
 
 /** Vector index stored *partitioned by IVF cluster* — the k-means twin
   * of [[LshVectorIndex]], same 100 TB storage story: vectors land in
@@ -14,14 +14,24 @@ import graft.operators.{Ivf, Knn}
   * better recall per file read on clustered corpora (the usual case for
   * embedding spaces).
   *
-  * The codebook is persisted next to the data (`_centroids/`, an
-  * underscore-prefixed dir the partition reader ignores) so `load`
-  * searches with exactly the centroids the index was built with —
+  * With a PQ model supplied at build time this becomes the full faiss
+  * IVF+PQ layout: each row also carries an m-byte `code` column, and
+  * [[search]] runs ADC first — the probed-cluster scan touches only
+  * (docid, code), i.e. partition pruning × column pruning together cut
+  * a 100 TB corpus to a few GB of actual read — then re-ranks the
+  * shortlist by exact cosine from the `vector` column (predicate-pushed
+  * id fetch). At small scale the two-phase cost exceeds the savings;
+  * at cluster scale the scan reduction is the whole game.
+  *
+  * The codebooks are persisted next to the data (`_centroids/` and
+  * `_pq/`, underscore-prefixed dirs the partition reader ignores) so
+  * `load` searches with exactly the models the index was built with —
   * floats round-trip bit-exact through parquet. */
 class IvfVectorIndex private (
     val spark: SparkSession,
     val path: String,
-    val model: Ivf.Model) {
+    val model: Ivf.Model,
+    val pqModel: Option[Pq.Model]) {
 
   def df: DataFrame = spark.read.parquet(path)
 
@@ -33,24 +43,53 @@ class IvfVectorIndex private (
       "vector", "docid", queryVec, k)
   }
 
+  /** IVF+PQ two-phase search (requires a PQ-coded index): ADC shortlist
+    * of k*refine over the probed clusters' (docid, code) columns only,
+    * then exact cosine re-rank from the `vector` column. */
+  def searchAdc(
+      queryVec: Array[Float],
+      k: Int,
+      nprobe: Int = 1,
+      refine: Int = 5): DataFrame = {
+    val pq = pqModel.getOrElse(throw new IllegalStateException(
+      s"Index at $path was built without a PQ model — use search()"))
+    val probes = model.nearest(queryVec, nprobe)
+    val probed = df.filter(col("cluster").isin(probes: _*))
+    val shortlist = Pq.adcScore(probed.select("docid", "code"), "code",
+        queryVec, pq)
+      .orderBy(desc("adc_score"), col("docid").asc)
+      .limit(k * refine)
+      .select("docid")
+      .collect().map(_.getLong(0)) // boundary set: k*refine ids
+    Knn.search(
+      probed.filter(col("docid").isin(shortlist.toIndexedSeq: _*)),
+      "vector", "docid", queryVec, k)
+  }
+
   def count(): Long = df.count()
 }
 
 object IvfVectorIndex {
 
-  /** Build from (docid, vector, …) rows with a trained codebook. */
+  /** Build from (docid, vector, …) rows with a trained codebook; pass
+    * `pqModel` to also store m-byte PQ codes (the IVF+PQ layout). */
   def build(
       docs: DataFrame,
       vecCol: String,
       idCol: String,
       path: String,
       model: Ivf.Model,
+      pqModel: Option[Pq.Model] = None,
       maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
     val spark = docs.sparkSession
-    Ivf.assign(docs, vecCol, model)
+    val assigned = Ivf.assign(docs, vecCol, model)
       .withColumnRenamed(vecCol, "vector")
       .withColumnRenamed(idCol, "docid")
-      .write
+    val coded = pqModel match {
+      case Some(pq) => Pq.encode(assigned, "vector", pq)
+      case None => assigned
+    }
+    coded.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")
@@ -61,18 +100,37 @@ object IvfVectorIndex {
       .toDF("cluster", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
-    new IvfVectorIndex(spark, path, model)
+    pqModel.foreach { pq =>
+      // flatten m x ksub x dsub to rows (subspace, centroid, values)
+      pq.codebooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
+      }.toSeq.toDF("subspace", "centroid", "values")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_pq")
+    }
+    new IvfVectorIndex(spark, path, model, pqModel)
   }
 
-  /** Open an index, recovering the persisted codebook. */
+  /** Open an index, recovering the persisted codebook(s). */
   def load(spark: SparkSession, path: String): IvfVectorIndex = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_centroids")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new IndexNotFoundException(
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    if (!exists("_centroids")) throw new IndexNotFoundException(
       s"No IVF codebook at $path/_centroids")
     val rows = spark.read.parquet(s"$path/_centroids")
       .orderBy("cluster").collect()
     val centroids = rows.map(_.getSeq[Float](1).toArray)
-    new IvfVectorIndex(spark, path, Ivf.Model(centroids))
+    val pq =
+      if (!exists("_pq")) None
+      else {
+        val cells = spark.read.parquet(s"$path/_pq")
+          .orderBy("subspace", "centroid").collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+        Some(Pq.Model(cells.groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.map(_._2)).toArray))
+      }
+    new IvfVectorIndex(spark, path, Ivf.Model(centroids), pq)
   }
 }

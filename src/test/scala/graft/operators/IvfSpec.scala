@@ -70,6 +70,38 @@ class IvfSpec extends SparkTestBase {
     assert(idx.count() == emb.count())
   }
 
+  test("IVF+PQ: codes round-trip with the index, searchAdc re-ranks to " +
+    "exact scores, and the ADC scan reads only (docid, code)") {
+    val model = Ivf.train(emb, "embedding", k = 8)
+    val pq = Pq.train(emb, "embedding", m = 8, ksub = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    graft.index.IvfVectorIndex.build(
+      emb, "embedding", "vec_id", dir, model, Some(pq))
+    val idx = graft.index.IvfVectorIndex.load(spark, dir)
+    // PQ codebook round-trips bit-exact
+    val loaded = idx.pqModel.get
+    assert(loaded.m == pq.m && loaded.ksub == pq.ksub)
+    loaded.codebooks.zip(pq.codebooks).foreach { case (ba, bb) =>
+      ba.zip(bb).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+    // the ADC stage prunes the vector column from the scan entirely
+    val adcPlan = Pq.adcScore(
+        idx.df.filter(col("cluster").isin(0, 1)).select("docid", "code"),
+        "code", q, pq)
+      .queryExecution.executedPlan.toString
+    assert(adcPlan.contains("ReadSchema") && !adcPlan.contains("vector"),
+      adcPlan)
+    val res = idx.searchAdc(q, 5, nprobe = 3)
+    val top = res.select("docid", "score").head()
+    assert(top.getLong(0) == 0L &&
+      math.abs(top.getDouble(1) - 1.0) < 1e-9)
+    // recall vs exact search within the same probed clusters
+    val exact = idx.search(q, 5, nprobe = 3)
+      .collect().map(_.getAs[Long]("docid")).toSet
+    val got = res.collect().map(_.getAs[Long]("docid")).toSet
+    assert(exact.intersect(got).size >= 4, s"recall ${exact.intersect(got)}")
+  }
+
   test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
     val model = Ivf.train(emb, "embedding", k = 16)
     val assigned = Ivf.assign(emb, "embedding", model)
