@@ -296,6 +296,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept"), sum("doc_id").as("sum_ids"))
     }),
 
+    // near-dup pairs -> duplicate CLUSTERS (distributed connected
+    // components, min-label propagation): the canonical dedup-pipeline
+    // step between pair detection and keep-one-per-group
+    "dup_components" -> ((s, dir) => {
+      val pairs = operators.TextDedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+      operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -761,6 +772,27 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(a.sh || b.sh)) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Components re-derived with a recursive CTE: same brute-force pair
+    // set as dedup_ngram_jaccard, then min-label reachability.
+    "dup_components" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(len(t) - 2),
+        |                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |      FROM d WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |            / len(list_distinct(a.sh || b.sh)) >= 0.2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, src AS lbl FROM e
+        |      UNION
+        |      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |       CAST(min(lbl) AS BIGINT) AS component
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_keep" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

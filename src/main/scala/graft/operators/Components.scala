@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step that
+  * turns pairwise near-dup output ([[TextDedup.ngramJaccardPairs]],
+  * [[MinHashLsh.nearDupPairs]], [[SimHash.nearDupPairs]]) into
+  * duplicate CLUSTERS, so a pipeline can keep one representative per
+  * group rather than reasoning about pairs (the canonical web-dedup
+  * shape: near-dup graph → components → keep min-id per component).
+  *
+  * Algorithm: min-label propagation ("hash-min") — every round each
+  * node takes the minimum label among itself and its neighbors; rounds
+  * are one hash join + one partial-aggregated groupBy on the (small)
+  * pair list, never touching the corpus. Converges in O(diameter)
+  * rounds, which for near-dup graphs is small (dup clusters are
+  * cliquish by construction — every member overlaps the same content).
+  * For adversarially long chain graphs the O(log n) two-phase
+  * large-star/small-star of Kiveris et al., "Connected Components in
+  * MapReduce and Beyond" (SoCC 2014) drops in as the same edge-set
+  * iteration; the propagation loop here keeps the round primitive
+  * simple. Each round localCheckpoints the label table: iterative
+  * DataFrame lineage would otherwise grow a plan per round and
+  * re-execute the whole history at every action.
+  *
+  * The per-round convergence check is one count on the label table
+  * (#nodes rows — bounded by 2x the pair count, not the corpus). */
+object Components {
+
+  /** Component label (= min reachable id) for every node appearing in
+    * `pairs`. Output: (id, component), one row per distinct node. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .cache() // reused every round; small (2x pair count)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("component").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_comp").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-one-per-cluster over a full corpus: every document keeps its
+    * component label (singletons label themselves), and `keep` marks
+    * the component representative (min id). One broadcastable join
+    * against the corpus — the label table is pair-bounded, tiny next
+    * to the documents. */
+  def labelCorpus(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component"))
+    docs.join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("keep", col(idCol).cast("long") === col("component"))
+  }
+}
