@@ -307,6 +307,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic train/valid/test split: membership is a pure
+    // function of the id (portable integer mix, builtins only), so the
+    // oracle re-derives the whole assignment from scratch
+    "sample_split" -> ((s, dir) =>
+      operators.Sampling.withSplit(t(s, dir, "documents"),
+          "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -807,6 +816,23 @@ object SparkEntry {
         |        / len(list_distinct(a.sh || b.sh)) >= 0.2)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
+    // The portable mix recomputed inline (every intermediate < 2^62,
+    // exact in DuckDB BIGINT): bucket -> 80/10/10 carve-up.
+    "sample_split" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |  FROM documents),
+        |m1 AS (SELECT doc_id,
+        |              xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m),
+        |m2 AS (SELECT doc_id,
+        |              xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1)
+        |SELECT doc_id,
+        |       CASE WHEN h2 % 100 < 80 THEN 'train'
+        |            WHEN h2 % 100 < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM m2 ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
