@@ -60,6 +60,14 @@ graft.operators.Ivf.search(
   "embedding", "vec_id", qv, 3, ivfModel, 2).select(
   "vec_id", "score").show()
 
+// 3d. IVF+PQ: the full faiss recipe — cluster-partitioned storage of
+//     8-byte codes; search = partition pruning x column pruning + ADC
+//     + exact re-rank of the shortlist
+val pqModel = graft.operators.Pq.train(emb, "embedding", 8, 64)
+val ivfpqDir = java.nio.file.Files.createTempDirectory("graft-demo-ivfpq").toString
+graft.index.IvfVectorIndex.build(emb, "embedding", "vec_id", ivfpqDir, ivfModel, Some(pqModel))
+graft.index.IvfVectorIndex.load(spark, ivfpqDir).searchAdc(qv, 3, 2).select("docid", "score").show()
+
 // 4. pipeline ops the reference never had: near-dup + quality filter
 val dups = MinHashLsh.nearDupPairs(
   Tables.load(spark, sf, "documents"), "doc_id", "text", threshold = 0.5)
@@ -68,6 +76,26 @@ val quality = Tables.load(spark, sf, "documents").select(
   col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")).filter(
   col("q") >= 0.5)
 println(s"docs passing quality gate: ${quality.count()}")
+
+// 4b. the whole training-data pipeline: pair detection -> duplicate
+//     CLUSTERS (connected components) -> keep one representative ->
+//     deterministic train/valid/test split (pure function of the id)
+val allDocs = Tables.load(spark, sf, "documents")
+val pairs = graft.operators.TextDedup.ngramJaccardPairs(allDocs, "doc_id", "text", 3, 0.2)
+val labeled = graft.operators.Components.labelCorpus(allDocs, "doc_id", pairs, "id_a", "id_b")
+val kept = labeled.filter(col("keep"))
+println(s"kept ${kept.count()} of ${allDocs.count()} after cluster dedup")
+graft.operators.Sampling.withSplit(kept, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10)).groupBy("split").count().orderBy("split").show()
+
+// 4c. continuous ingestion: a stream of raw text lands in an index via
+//     checkpointed micro-batches (upsert = idempotent under replay)
+val streamSrc = java.nio.file.Files.createTempDirectory("graft-demo-stream").toString
+allDocs.limit(50).select(col("doc_id").cast("string").as("uid"), col("text")).coalesce(1).write.mode("overwrite").parquet(streamSrc)
+val streamIdx = VectorIndex.create(spark, java.nio.file.Files.createTempDirectory("graft-demo-sidx").toString)
+val stream = spark.readStream.schema(spark.read.parquet(streamSrc).schema).parquet(streamSrc)
+val sq = graft.streaming.IndexStream.ingestText(stream, "text", streamIdx, java.nio.file.Files.createTempDirectory("graft-demo-ck").toString)
+sq.processAllAvailable(); sq.stop()
+println(s"streamed into index: ${streamIdx.count()} docs")
 
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))

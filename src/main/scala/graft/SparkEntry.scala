@@ -316,6 +316,27 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // the whole training-data pipeline as ONE declared query: near-dup
+    // clusters -> keep one representative per cluster -> token-count
+    // quality floor -> deterministic split. Every stage is individually
+    // oracle-proven; this verifies their composition end-to-end.
+    "corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.TextDedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.2)
+      val labeled = operators.Components.labelCorpus(
+        docs, "doc_id", pairs, "id_a", "id_b")
+      val kept = labeled.filter(col("keep") &&
+        operators.TextAnalysis.tokenCount(col("text")) >= 10)
+      operators.Sampling.withSplit(kept, "doc_id",
+          Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .select(col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -816,6 +837,41 @@ object SparkEntry {
         |        / len(list_distinct(a.sh || b.sh)) >= 0.2)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
+    // The full pipeline re-derived: recursive-CTE components ->
+    // min-id representatives -> token floor -> portable-mix split.
+    "corpus_clean" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(len(t) - 2),
+        |                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |      FROM d WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |            / len(list_distinct(a.sh || b.sh)) >= 0.2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, src AS lbl FROM e
+        |      UNION
+        |      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+        |kept AS (SELECT doc_id, len(t) AS ntok FROM d
+        |         LEFT JOIN comp ON comp.id = d.doc_id
+        |         WHERE COALESCE(comp.component, doc_id) = doc_id
+        |           AND len(t) >= 10),
+        |m AS (SELECT doc_id, ntok,
+        |             (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |      FROM kept),
+        |m1 AS (SELECT doc_id, ntok,
+        |              xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m),
+        |m2 AS (SELECT doc_id, ntok,
+        |              xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |       CASE WHEN h2 % 100 < 80 THEN 'train'
+        |            WHEN h2 % 100 < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM m2 ORDER BY doc_id""".stripMargin,
 
     // The portable mix recomputed inline (every intermediate < 2^62,
     // exact in DuckDB BIGINT): bucket -> 80/10/10 carve-up.
