@@ -307,6 +307,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // passage chunking: overlapping token windows (the unit an
+    // embedding index actually stores), one shuffle-free pass
+    "chunk_docs" -> ((s, dir) =>
+      operators.TextChunk.chunk(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", size = 40, overlap = 10)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_id")),
+
     // deterministic train/valid/test split: membership is a pure
     // function of the id (portable integer mix, builtins only), so the
     // oracle re-derives the whole assignment from scratch
@@ -872,6 +883,21 @@ object SparkEntry {
         |            WHEN h2 % 100 < 90 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // Window arithmetic re-derived: a window exists only when it adds
+    // tokens beyond its predecessor (1 + ceil((n-size)/stride) windows).
+    "chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, t, n,
+        |             unnest(range(0, 1 + greatest(0,
+        |               ceil((n - 40) / 30.0)::BIGINT))) AS k
+        |      FROM d)
+        |SELECT doc_id, k AS chunk_id,
+        |       CAST(least(40, n - k * 30) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(t, k * 30 + 1, k * 30 + 40), ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // The portable mix recomputed inline (every intermediate < 2^62,
     // exact in DuckDB BIGINT): bucket -> 80/10/10 carve-up.
