@@ -112,6 +112,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(gen >= 0 && exch >= 0 && gen < exch, plan)
   }
 
+  test("pq_knn: the ADC shortlist ranking is TakeOrderedAndProject and " +
+    "the code column scan stays narrow") {
+    val plan = physical(run("pq_knn"))
+    // the re-rank stage: shortlist ids as a pushed isin filter
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("In(vec_id"), plan)
+  }
+
+  test("dup_components: corpus labeling is a broadcast join (the label " +
+    "table never shuffles the corpus)") {
+    val plan = physical(SparkEntry.queries("corpus_clean")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sample_split: the mix is pure projection — no exchange except " +
+    "the final order") {
+    val plan = physical(run("sample_split"))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("chunk_docs: chunking plans with no hash-partition exchange " +
+    "(map-side explode only)") {
+    val plan = physical(run("chunk_docs"))
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("fingerprint runs inside WholeStageCodegen (no interpreted HOF)") {
     val df = run("fingerprint")
     df.collect()
