@@ -110,6 +110,23 @@ object ScaleBench {
       .orderBy(desc("score"), col("vec_id")).limit(10).collect()
     time("exact knn from parquet, PACKED binary (cold)") { knnPacked() }
     time("exact knn from parquet, PACKED binary (warm)") { knnPacked() }
+
+    // product quantization: 8-byte codes (32x smaller than the floats);
+    // the ADC scan touches only (vec_id, code) — measure both the
+    // one-time encode and the per-query approximate scan
+    val pq = operators.Pq.train(big, "embedding", m = 8, ksub = 256)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-pq").toString
+    time("pq encode 10M vectors -> 8-byte codes (write)") {
+      operators.Pq.encode(big, "embedding", pq)
+        .select("vec_id", "code")
+        .write.mode("overwrite").parquet(pqDir)
+    }
+    val codes = spark.read.parquet(pqDir)
+    def adcScan() = operators.Pq.adcScore(codes, "code", q, pq)
+      .orderBy(desc("adc_score"), col("vec_id").asc).limit(50).collect()
+    time("pq ADC scan from parquet, top-50 (cold)") { adcScan() }
+    time("pq ADC scan from parquet, top-50 (warm)") { adcScan() }
     spark.stop()
   }
 }

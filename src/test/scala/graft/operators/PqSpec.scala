@@ -105,4 +105,13 @@ class PqSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("pq_adc_score runs inside whole-stage codegen (the lookup tables " +
+    "ride as reference objects, not an interpreted fallback)") {
+    val df = Pq.adcScore(Pq.encode(emb, "embedding", model), "code", q, model)
+    df.collect()
+    val generated = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(generated.contains("adcDots"), generated.take(2000))
+  }
 }
