@@ -66,6 +66,25 @@ class IvfVectorIndex private (
       "vector", "docid", queryVec, k)
   }
 
+  /** Incremental maintenance: assign new rows with the STORED codebook
+    * (so existing partition pruning stays valid — the codebook is the
+    * index's contract, never retrained on append) and append their
+    * files into the matching `cluster=` partitions; optionally PQ-code
+    * them when the index carries codes. Unprobed clusters still never
+    * open; a drifted corpus wants a rebuild, not an append — same
+    * trade faiss documents for IVF. */
+  def append(docs: DataFrame, vecCol: String, idCol: String): IvfVectorIndex = {
+    val assigned = Ivf.assign(docs, vecCol, model)
+      .withColumnRenamed(vecCol, "vector")
+      .withColumnRenamed(idCol, "docid")
+    val coded = pqModel match {
+      case Some(pq) => Pq.encode(assigned, "vector", pq)
+      case None => assigned
+    }
+    coded.write.mode("append").partitionBy("cluster").parquet(path)
+    this
+  }
+
   def count(): Long = df.count()
 }
 

@@ -52,17 +52,16 @@ object Components {
           col("component").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nbr_comp").as("nbr_min"))
-      val next = labels
+      // carry old + new through ONE checkpoint so the convergence count
+      // is a cheap scan of materialized rows, not a second join pass
+      val step = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"),
             coalesce(col("nbr_min"), col("component"))).as("component"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") =!= col("old"))
-        .count()
-      labels = next
+      changed = step.filter(col("component") =!= col("old")).count()
+      labels = step.drop("old")
       it += 1
     }
     edges.unpersist()

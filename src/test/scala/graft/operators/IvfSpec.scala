@@ -102,6 +102,24 @@ class IvfSpec extends SparkTestBase {
     assert(exact.intersect(got).size >= 4, s"recall ${exact.intersect(got)}")
   }
 
+  test("IvfVectorIndex.append assigns with the stored codebook and the " +
+    "appended rows are immediately searchable") {
+    val model = Ivf.train(emb, "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    graft.index.IvfVectorIndex.build(half, "embedding", "vec_id", dir, model)
+    val idx = graft.index.IvfVectorIndex.load(spark, dir)
+      .append(rest, "embedding", "vec_id")
+    assert(idx.count() == emb.count())
+    // a query vector from the appended half self-matches at 1.0
+    val qv = emb.filter(col("vec_id") === 300)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val top = idx.search(qv, 1, nprobe = 1).select("docid", "score").head()
+    assert(top.getLong(0) == 300L &&
+      math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
     val model = Ivf.train(emb, "embedding", k = 16)
     val assigned = Ivf.assign(emb, "embedding", model)
