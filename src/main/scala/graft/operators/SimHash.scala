@@ -27,10 +27,15 @@ object SimHash {
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     // widen a narrow source for the compute-heavy hash stage, but never
-    // reshuffle an already-parallel corpus (see TextDedup.shingles)
+    // reshuffle an already-parallel corpus (see TextDedup.shingles);
+    // a STREAMING source cannot be probed (`.rdd` is a batch action) —
+    // micro-batch parallelism is the source's business there
     val target = spark.sparkContext.defaultParallelism
-    val cur = docs.rdd.getNumPartitions
-    (if (cur < target) docs.repartition(target) else docs)
+    val widened =
+      if (docs.isStreaming) docs
+      else if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    widened
       .withColumn("__toks", array_distinct(split(col(textCol), " ")))
       .filter(size(col("__toks")) > 0)
       .select(
