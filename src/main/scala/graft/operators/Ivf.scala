@@ -108,6 +108,52 @@ object Ivf {
           org.apache.spark.sql.graftshim.Shim.expression(col(vecCol)),
           model.centroids)))
 
+  /** Batch IVF search: every query scores ONLY the clusters it probes.
+    * Probe sets are computed driver-side from the (small, by the same
+    * contract as [[Knn.searchBatch]]) query side and broadcast as
+    * (qid, cluster, qvec) rows, so the probed-cluster equi-join does
+    * Σ_q nprobe·|cluster| scoring work — the IVF saving — instead of
+    * the exact batch's full cross product, and the corpus scan is
+    * pruned to the UNION of probed clusters (isin pushdown; on an
+    * [[graft.index.IvfVectorIndex]] layout that is partition pruning).
+    * Output (qid, rank, id, score), same shape as [[Knn.searchBatch]]. */
+  def searchBatch(
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qidCol: String,
+      k: Int,
+      model: Model,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = assigned.sparkSession
+    graft.Graft.init(spark)
+    Knn.ensureHashAggCapacity(spark)
+    val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+    val probeRows = qRows.flatMap { r =>
+      val vec = r.getSeq[Float](1).toArray
+      model.nearest(vec, nprobe).map(c =>
+        org.apache.spark.sql.Row(r.get(0), c, vec.toSeq))
+    }
+    val schema = StructType(Seq(
+      StructField("qid", queries.schema(qidCol).dataType),
+      StructField("cluster", IntegerType),
+      StructField("__qvec", ArrayType(FloatType, containsNull = false))))
+    val probeDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), schema))
+    val allClusters = probeRows.map(_.getInt(1)).distinct.toIndexedSeq
+    val scored = assigned
+      .filter(col("cluster").isin(allClusters: _*))
+      .join(probeDf, "cluster")
+      .select(
+        col("qid"),
+        col(idCol).cast("long").as("__id"),
+        graft.Graft.cosineSim(col(vecCol), col("__qvec")).as("__score"))
+    Knn.topKPerQuery(scored, k)
+  }
+
   /** Approximate top-k: exact cosine re-rank inside the `nprobe`
     * clusters nearest to the query. `nprobe = k` degrades gracefully to
     * exact search. */

