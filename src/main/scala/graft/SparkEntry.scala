@@ -469,6 +469,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // batch IVF: 5 queries, each scoring only its probed clusters
+    // (aux dump "ivf_batch_candidates" records per-query candidacy;
+    // scores are exact cosine within the probed set, so the oracle
+    // re-ranks per qid)
+    "ivf_batch" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      operators.Ivf.searchBatch(
+          operators.Ivf.assign(emb, "embedding", model),
+          "embedding", "vec_id", queries, "qvec", "qid", 5, model, nprobe = 4)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("id"), round(col("score"), 6).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
     // approximate kNN via product quantization (the compression half of
     // the faiss IVF+PQ recipe): deterministic per-subspace codebooks,
     // m-byte codes (32x smaller scan), ADC shortlist, exact cosine
@@ -625,6 +643,24 @@ object SparkEntry {
       operators.Ivf.assign(emb, "embedding", model)
         .select(col("vec_id"), col("cluster"),
           col("cluster").isin(probes: _*).as("probed"))
+    }),
+
+    // ivf_batch: per-query probed-cluster candidacy for the 5 queries
+    "ivf_batch_candidates" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      val assigned = operators.Ivf.assign(emb, "embedding", model)
+      val probeRows = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .flatMap { r =>
+          model.nearest(r.getSeq[Float](1).toArray, 4)
+            .map(c => (r.getLong(0), c))
+        }.toIndexedSeq
+      import s.implicits._
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(broadcast(probeRows.toDF("qid", "cluster")), Seq("cluster"))
+        .select(col("qid"), col("vec_id"), lit(true).as("probed"))
     }),
 
     // pq_knn: the ADC shortlist (k*refine ids) the exact re-rank runs over
@@ -1045,6 +1081,25 @@ object SparkEntry {
         |FROM e JOIN c USING (vec_id)
         |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+
+    // Per-query exact-cosine re-rank over the engine-dumped probed
+    // candidacy (the codebook and probe sets are engine-side).
+    "ivf_batch" ->
+      """WITH c AS (SELECT qid, vec_id
+        |           FROM read_parquet('__AUX__/ivf_batch_candidates/*.parquet')
+        |           WHERE probed),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT c.qid, c.vec_id,
+        |             list_cosine_similarity(e.v, q.qv) AS sc
+        |      FROM c JOIN e USING (vec_id) JOIN q ON q.qid = c.qid),
+        |r AS (SELECT qid, vec_id, sc,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sc DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |       CAST(vec_id AS BIGINT) AS id, round(sc, 6) AS score
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // Exact-cosine re-rank of the engine's ADC shortlist (shortlist
     // membership dumped by Verify — the trained PQ codebooks are
