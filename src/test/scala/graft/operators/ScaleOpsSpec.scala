@@ -82,6 +82,29 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents at volume: 100k-edge clique+chain graph " +
+    "converges and matches union-find") {
+    import spark.implicits._
+    // 30k triangles (90k edges) + one 1k-node chain (worst diameter in
+    // a realistic dup graph is the chain; cliques converge in 1 round)
+    val triangles = (0L until 30000L).flatMap { t =>
+      val b = 10000L + t * 3
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    val pairs = (triangles ++ chain).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(pairs, "id_a", "id_b",
+        maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30000 * 3 + 1001)
+    // chain collapses to 0, each triangle to its base id
+    assert((0L to 1000L).forall(got(_) == 0L))
+    assert((0L until 30000L).forall { t =>
+      val b = 10000L + t * 3
+      got(b) == b && got(b + 1) == b && got(b + 2) == b
+    })
+  }
+
   test("hash_embed + ngram_shingles usable from SQL text") {
     graft.Graft.init(spark)
     val r = spark.sql(
