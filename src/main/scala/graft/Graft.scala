@@ -22,6 +22,12 @@ object Graft {
     GraftExtensions.functions.foreach { case (name, builder) =>
       Shim.registerFunction(spark, name, builder)
     }
+    // opt-in ANN routing (spark.graft.ann.autoRoute): same injection the
+    // extensions path does, for sessions created without extensions
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnRouteRule]))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.AnnRouteRule(spark)
     spark
   }
 

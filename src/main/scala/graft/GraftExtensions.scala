@@ -38,13 +38,16 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (es: Seq[Expression]) => builder(es)))
     }
+    // opt-in ANN auto-routing (fires only under spark.graft.ann.autoRoute)
+    ext.injectOptimizerRule(session => graft.plans.AnnRouteRule(session))
+  }
 }
 
 object GraftExtensions {
