@@ -68,6 +68,20 @@ val ivfpqDir = java.nio.file.Files.createTempDirectory("graft-demo-ivfpq").toStr
 graft.index.IvfVectorIndex.build(emb, "embedding", "vec_id", ivfpqDir, ivfModel, Some(pqModel))
 graft.index.IvfVectorIndex.load(spark, ivfpqDir).searchAdc(qv, 3, 2).select("docid", "score").show()
 
+// 3e. ANN auto-routing (opt-in optimizer rule): build the IVF index
+//     once, then the PLAIN exact query — DataFrame or SQL text — gets
+//     cluster pruning injected by the Catalyst rule; no index class in
+//     user code
+val ivfDir = java.nio.file.Files.createTempDirectory("graft-demo-ivf").toString
+graft.index.IvfVectorIndex.build(emb, "embedding", "vec_id", ivfDir, ivfModel)
+val ivfIdx = graft.index.IvfVectorIndex.load(spark, ivfDir)
+spark.conf.set("spark.graft.ann.autoRoute", "true")
+spark.conf.set("spark.graft.ann.nprobe", "3")
+val autoRouted = graft.operators.Knn.search(ivfIdx.df, "vector", "docid", qv, 3)
+println("auto-routed scan: " + autoRouted.queryExecution.executedPlan.toString.linesIterator.find(_.contains("PartitionFilters")).map(_.trim.take(120)).getOrElse("(not routed)"))
+autoRouted.select("docid", "score").show()
+spark.conf.set("spark.graft.ann.autoRoute", "false")
+
 // 4. pipeline ops the reference never had: near-dup + quality filter
 val dups = MinHashLsh.nearDupPairs(
   Tables.load(spark, sf, "documents"), "doc_id", "text", threshold = 0.5)

@@ -348,6 +348,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // vocabulary heavy hitters: corpus token frequencies, top 20 —
+    // explode -> partial-aggregated count -> bounded TakeOrdered
+    "top_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(20)),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -951,6 +962,14 @@ object SparkEntry {
         |            WHEN h2 % 100 < 90 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    "top_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -74,6 +74,20 @@ class AnnRouteRuleSpec extends SparkTestBase {
     }
   }
 
+  test("the txtai dialect's similar('query text') routes too: encode " +
+    "to a vector literal, then cluster-prune") {
+    val idx = buildIndex()
+    idx.df.createOrReplaceTempView("routed_sim_tbl")
+    withRouting(nprobe = 3) {
+      val routed = spark.sql(
+        "SELECT docid, similar(vector, 'deep learning') AS score " +
+          "FROM routed_sim_tbl ORDER BY score DESC, docid LIMIT 5")
+      val plan = routed.queryExecution.executedPlan.toString
+      assert("""cluster#\d+ IN""".r.findFirstIn(plan).nonEmpty, plan)
+      assert(routed.count() == 5)
+    }
+  }
+
   test("the rule leaves tables WITHOUT an IVF sidecar untouched even " +
     "when enabled") {
     withRouting(nprobe = 2) {
