@@ -348,6 +348,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // as-of join (trade-attribution shape): each purchase matched to
+    // the user's latest prior-or-simultaneous click. Single union +
+    // window pass (no join node); microsecond precision on both sides;
+    // right side deduped per (user, time) by max event_id so the match
+    // is deterministic. Oracle = DuckDB's native ASOF LEFT JOIN.
+    "asof_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        (col("ts").cast("long") / 1000).cast("long").as("us"),
+        col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("c_us"))
+        .agg(max(struct(col("event_id"), col("value"))).as("s"))
+        .select(col("user_id"), col("c_us"),
+          col("s.event_id").as("click_id"),
+          col("s.value").as("click_value"))
+      operators.AsOfJoin.asof(purchases, clicks, "user_id",
+          "p_us", "c_us", Seq("click_id", "click_value"))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(timestamp_seconds(
+            expr("p_us div 1000000")), "yyyy-MM-dd HH:mm:ss")
+            .as("purchase_time"),
+          col("click_id"),
+          round(col("click_value") * 100, 0).cast("long").as("click_cents"))
+        .orderBy("purchase_id")
+    }),
+
     // vocabulary heavy hitters: corpus token frequencies, top 20 —
     // explode -> partial-aggregated count -> bounded TakeOrdered
     "top_tokens" -> ((s, dir) =>
@@ -962,6 +992,25 @@ object SparkEntry {
         |            WHEN h2 % 100 < 90 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN re-derives the attribution
+    // (timestamps are microsecond precision on both sides: the engine
+    // divides nanos by 1000, DuckDB's TIMESTAMP truncates to micros).
+    "asof_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id,
+        |             arg_max(value, event_id) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_value
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+        |       CAST(user_id AS BIGINT) AS user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |       click_id,
+        |       CAST(round(click_value * 100) AS BIGINT) AS click_cents
+        |FROM j ORDER BY purchase_id""".stripMargin,
 
     "top_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
