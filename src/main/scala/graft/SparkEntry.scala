@@ -378,6 +378,21 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // range join (binned equi-join, not a nested loop): lineitem
+    // quantities against overlapping quantity bands, aggregated per band
+    "range_band_sales" -> ((s, dir) => {
+      val bands = s.range(0, 10).select(col("id").as("band_id"),
+        (col("id") * 5 + 1).as("lo"), (col("id") * 5 + 10).as("hi"))
+      val items = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+      operators.RangeJoin.binned(items, "qty", bands, "lo", "hi",
+          binWidth = 5)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("band_id")
+    }),
+
     // vocabulary heavy hitters: corpus token frequencies, top 20 —
     // explode -> partial-aggregated count -> bounded TakeOrdered
     "top_tokens" -> ((s, dir) =>
@@ -1011,6 +1026,19 @@ object SparkEntry {
         |       click_id,
         |       CAST(round(click_value * 100) AS BIGINT) AS click_cents
         |FROM j ORDER BY purchase_id""".stripMargin,
+
+    // Plain non-equi BETWEEN join re-derives the banded aggregation.
+    "range_band_sales" ->
+      """WITH bands AS (SELECT i AS band_id, i*5+1 AS lo, i*5+10 AS hi
+        |               FROM range(10) t(i)),
+        |j AS (SELECT b.band_id, l.l_extendedprice
+        |      FROM lineitem l JOIN bands b
+        |        ON CAST(l.l_quantity AS BIGINT) BETWEEN b.lo AND b.hi)
+        |SELECT CAST(band_id AS BIGINT) AS band_id,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "top_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
