@@ -174,4 +174,31 @@ class EventStreamSpec extends SparkTestBase {
         Seq("window_start", "event_type", "n", "sum_value"))
     } finally q.stop()
   }
+
+  test("the custom topk_by_score aggregate is streaming-safe: streamed " +
+    "(complete mode) == batch per-type top-3") {
+    graft.Graft.init(spark)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-topk-stream").toString
+    events.limit(400).repartition(3).write.mode("overwrite").parquet(streamDir)
+    val src = spark.read.parquet(streamDir)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(graft.Graft.topKByScore(col("value"),
+        col("event_id"), 3).as("topk"))
+    val q = topk(spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def flat(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("event_type"), explode(col("topk")).as("hit"))
+        .select(col("event_type"), col("hit.id"), col("hit.score"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val streamed = flat(spark.table("topk_stream"))
+      val batch = flat(topk(src))
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
