@@ -86,6 +86,36 @@ class IvfVectorIndex private (
   }
 
   def count(): Long = df.count()
+
+  /** Offline maintenance: rewrite the data files at the target file
+    * size (repeated appends leave one small file per append per
+    * cluster; small files tax every scan's task scheduling). Rewrites
+    * into a sibling directory then swaps — NOT safe against concurrent
+    * readers (this index trades the flat [[VectorIndex]]'s versioned
+    * storage for partition layout; compact during a maintenance
+    * window, or rebuild to a fresh path). */
+  def compact(maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cluster")
+      .parquet(tmp.toString)
+    // carry the codebook sidecars over, then swap
+    val cur = new org.apache.hadoop.fs.Path(path)
+    Seq("_centroids", "_pq").foreach { sub =>
+      val src = new org.apache.hadoop.fs.Path(cur, sub)
+      if (fs.exists(src)) org.apache.hadoop.fs.FileUtil.copy(
+        fs, src, fs, new org.apache.hadoop.fs.Path(tmp, sub),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    graft.plans.AnnRouteRule.invalidate(path)
+    this
+  }
 }
 
 object IvfVectorIndex {

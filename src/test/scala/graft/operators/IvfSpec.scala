@@ -150,6 +150,36 @@ class IvfSpec extends SparkTestBase {
     assigned.unpersist()
   }
 
+  test("compact merges append-fragmented files; contents, codebook, " +
+    "and search results survive") {
+    val model = Ivf.train(emb, "embedding", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
+    graft.index.IvfVectorIndex.build(
+      emb.filter(col("vec_id") < 200), "embedding", "vec_id", dir, model)
+    var idx = graft.index.IvfVectorIndex.load(spark, dir)
+    (200L until 500L by 100L).foreach { lo =>
+      idx = idx.append(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100),
+        "embedding", "vec_id")
+    }
+    def dataFiles(): Int = {
+      val d = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).count(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles()
+    idx.compact()
+    val reloaded = graft.index.IvfVectorIndex.load(spark, dir)
+    assert(dataFiles() < before, s"files: $before -> ${dataFiles()}")
+    assert(reloaded.count() == 500)
+    reloaded.model.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val top = reloaded.search(q, 1, nprobe = 1).select("docid", "score").head()
+    assert(top.getLong(0) == 0L && math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
     val model = Ivf.train(emb, "embedding", k = 16)
     val assigned = Ivf.assign(emb, "embedding", model)
