@@ -15,17 +15,23 @@ import graft.index.VectorIndex
   * Delivery semantics are explicit, not accidental:
   *  - `upsert` (default): idempotent on `uid` under micro-batch REPLAY
   *    (a batch re-run after a failure rewrites the same uids last-wins),
-  *    i.e. effectively-once for the searchable state. This is the mode
-  *    a production ingest wants.
-  *  - `append`: cheapest path (no rewrite), but a replayed batch appends
-  *    its rows again — at-least-once, duplicate uids possible. Use for
-  *    sources that never replay (or dedup downstream).
+  *    i.e. effectively-once for the searchable state.
+  *  - `append`: cheapest path, but a replayed batch appends its rows
+  *    again — at-least-once, duplicate uids possible. Use for sources
+  *    that never replay (or dedup downstream).
   *
-  * Scale notes: each micro-batch touches only its own rows plus (for
-  * upsert) one last-wins window over uid; the index data itself is never
-  * re-shuffled. Checkpointing is the standard Structured Streaming
-  * contract — the stream resumes from the last committed source offsets
-  * after a crash. */
+  * COST, stated plainly: the index is copy-on-write versioned parquet,
+  * so `upsert` rewrites the current data version EVERY micro-batch —
+  * per-batch work is O(index), not O(batch). That is the right trade
+  * for modest indexes or coarse triggers (the rewrite IS what buys
+  * replay idempotence on this storage); for high-rate ingest at large
+  * index sizes, run `append` (O(batch) per batch, files accumulate
+  * per [[graft.index.VectorIndex.compact]]) and reconcile duplicates
+  * downstream or with a periodic batch `upsert` during maintenance —
+  * a merge-on-read delta log is deliberately out of scope. Append-mode
+  * state never re-shuffles existing data. Checkpointing is the
+  * standard Structured Streaming contract — the stream resumes from
+  * the last committed source offsets after a crash. */
 object IndexStream {
 
   /** Start ingesting `docs` (a STREAMING DataFrame with the index row
