@@ -378,6 +378,15 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // exact per-group quantiles (quantile_cont interpolation): one
+    // window sort per group + boundary-row aggregation, no driver state
+    "group_quantiles" -> ((s, dir) =>
+      operators.Stats.groupedQuantiles(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.95))
+        .select(col("l_returnflag"), round(col("q25"), 6).as("q25"),
+          round(col("q50"), 6).as("q50"), round(col("q95"), 6).as("q95"))
+        .orderBy("l_returnflag")),
+
     // range join (binned equi-join, not a nested loop): lineitem
     // quantities against overlapping quantity bands, aggregated per band
     "range_band_sales" -> ((s, dir) => {
@@ -1026,6 +1035,13 @@ object SparkEntry {
         |       click_id,
         |       CAST(round(click_value * 100) AS BIGINT) AS click_cents
         |FROM j ORDER BY purchase_id""".stripMargin,
+
+    "group_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+        |       round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Plain non-equi BETWEEN join re-derives the banded aggregation.
     "range_band_sales" ->

@@ -63,4 +63,57 @@ object Stats {
         java.util.List.of(Row.fromSeq(values)), schema)
     } finally sorted.unpersist(blocking = false)
   }
+
+  private[operators] def quantileLabel(p: Double): String = {
+    val pct = p * 100
+    if (pct == math.floor(pct)) s"q${pct.toInt}"
+    else s"q${math.round(p * 10000)}bp"
+  }
+
+  /** Exact per-GROUP quantiles, same `quantile_cont` interpolation as
+    * [[quantilesExact]]: one window sort within each group (the
+    * irreducible cost of exact grouped quantiles — a per-key sort
+    * through one shuffle, the same bound as any grouped sort) plus one
+    * hash aggregation that keeps only the two boundary rows per
+    * requested p. No driver-side state, no per-group collect; group
+    * count and interpolation run as column arithmetic.
+    *
+    * Output: keyCols + one `q<percent>` double column per p. */
+  def groupedQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(keyCols.nonEmpty && ps.nonEmpty &&
+      ps.forall(p => p >= 0.0 && p <= 1.0))
+    val labels = ps.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide: $labels — use more distinct percentiles")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys: _*)
+    val ranked = df
+      .select(keys :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("double") - 1)
+      .withColumn("__n", count(lit(1)).over(wAll).cast("double"))
+    val posOf = ps.map(p => (col("__n") - 1) * p)
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        max(when(col("__rn") === floor(posOf(i)), col("__v")))
+          .as(s"__lo$i"),
+        max(when(col("__rn") === ceil(posOf(i)), col("__v")))
+          .as(s"__hi$i"))
+    } :+ max("__n").as("__gn")
+    val out = ps.indices.map { i =>
+      val pos = (col("__gn") - 1) * ps(i)
+      val frac = pos - floor(pos)
+      (col(s"__lo$i") + frac * (col(s"__hi$i") - col(s"__lo$i")))
+        .as(labels(i))
+    }
+    ranked.groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keys ++ out: _*)
+  }
 }

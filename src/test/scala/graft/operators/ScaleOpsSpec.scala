@@ -61,6 +61,28 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(m.getDouble(0) == 2.5) // interpolated between 2 and 3
   }
 
+  test("groupedQuantiles matches quantilesExact per group and handles " +
+    "1-row groups") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0), ("b", 20.0), ("b", 21.0), ("b", 40.0),
+      ("c", 7.0)).toDF("k", "v")
+    val got = Stats.groupedQuantiles(df, Seq("k"), "v", Seq(0.25, 0.5))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got(0) == (("a", 2.0, 3.0)))
+    // b: pos(0.25)=0.75 -> 10+0.75*10=17.5; pos(0.5)=1.5 -> 20.5
+    assert(got(1) == (("b", 17.5, 20.5)))
+    assert(got(2) == (("c", 7.0, 7.0))) // singleton group
+    // agrees with the global path when there is one group
+    val single = df.filter(col("k") === "b")
+    val grouped = Stats.groupedQuantiles(single, Seq("k"), "v", Seq(0.5))
+      .head().getDouble(1)
+    val global = Stats.quantilesExact(single, "v", Seq(0.5))
+      .head().getDouble(0)
+    assert(grouped == global)
+  }
+
   test("quantile labels: basis-point naming avoids collisions") {
     val df = spark.range(1, 101).select(col("id").cast("double").as("v"))
     val r = Stats.quantilesExact(df, "v", Seq(0.054, 0.046))
