@@ -111,6 +111,11 @@ val sq = graft.streaming.IndexStream.ingestText(stream, "text", streamIdx, java.
 sq.processAllAvailable(); sq.stop()
 println(s"streamed into index: ${streamIdx.count()} docs")
 
+// 4d. relational extensions Spark lacks: as-of join (attribution) and
+//     exact per-group quantiles — both single-shuffle plans
+val li = Tables.load(spark, sf, "lineitem")
+graft.operators.Stats.groupedQuantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.95)).orderBy("l_returnflag").show()
+
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))
 println(s"after delete: ${idx.count()}")

@@ -92,12 +92,20 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
-    val wAll = Window.partitionBy(keys: _*)
-    val ranked = df
+    val values = df
       .select(keys :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
+    // group sizes via a small aggregate instead of a second
+    // full-partition window pass (a frameless count().over(partition)
+    // buffers every row again in WindowExec). No broadcast hint: AQE
+    // broadcasts when #groups is small and falls back to a co-located
+    // join otherwise — the window output is already hash-partitioned
+    // on the keys, so the big side never reshuffles.
+    val counts = values.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val ranked = values
       .withColumn("__rn", row_number().over(w).cast("double") - 1)
-      .withColumn("__n", count(lit(1)).over(wAll).cast("double"))
+      .join(counts, keyCols)
     val posOf = ps.map(p => (col("__n") - 1) * p)
     val aggs = ps.indices.flatMap { i =>
       Seq(
