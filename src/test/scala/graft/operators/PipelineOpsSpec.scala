@@ -278,4 +278,27 @@ class PipelineOpsSpec extends SparkTestBase {
       .filter(col("id") === 1).select("frames").head().getSeq[Array[Byte]](0)
     assert(frames.length == 3 && frames.forall(_.length <= 4))
   }
+
+  test("RAG composition e2e: chunk -> encode -> index -> search returns " +
+    "the right document AND the right passage within it") {
+    val corpus = docs.filter(col("doc_id") < 60)
+    // chunk to passages; uid identifies (doc, chunk)
+    val chunks = TextChunk.chunk(corpus, "doc_id", "text",
+        size = 25, overlap = 5)
+      .select(concat(col("doc_id"), lit("#"), col("chunk_id")).as("uid"),
+        col("doc_id"), col("chunk_id"), col("chunk").as("text"))
+    assert(chunks.count() > corpus.count(), "long docs must multi-chunk")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rag").toString
+    val idx = Workflows.indexTextWorkflow(chunks, "text", dir)
+    assert(idx.count() == chunks.count())
+    // query with the exact text of a KNOWN chunk: its uid must be top-1
+    // with score 1.0 (hash encoding is deterministic)
+    val probe = chunks.filter(col("doc_id") === 7 && col("chunk_id") === 1)
+      .select("uid", "text").head()
+    val hits = Workflows.searchWorkflow(
+      idx, graft.HashingEncoder(64), probe.getString(1), 3)
+    val top = hits.select("uid", "score").head()
+    assert(top.getString(0) == probe.getString(0), s"got ${top.getString(0)}")
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-6)
+  }
 }
