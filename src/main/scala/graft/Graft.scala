@@ -112,4 +112,27 @@ object Sources {
       case other => w.format(other).save(path)
     }
   }
+
+  /** Save as a BUCKETED catalog table: rows are hash-clustered into
+    * `buckets` files by `keyCols` at WRITE time, so every later
+    * equi-join or aggregation on those keys reads pre-partitioned data
+    * and plans with NO shuffle of this table (SortMergeJoin over the
+    * bucket layout — `Exchange`-free, spec-pinned). This is the
+    * co-located-join story for fact tables that are joined on the same
+    * key query after query: pay the shuffle once at ingest, never
+    * again. Bucket counts should match between tables joined together
+    * (Spark joins equal-bucketed tables shuffle-free; mismatched
+    * counts fall back to a shuffle of one side). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      buckets: Int,
+      mode: String = "overwrite"): Unit = {
+    require(keyCols.nonEmpty && buckets > 0)
+    df.write.mode(mode)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+  }
 }
