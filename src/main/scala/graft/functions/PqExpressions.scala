@@ -158,3 +158,82 @@ case class PqAdcScore(
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** pq_adc_score_at(code, ord) -> double: the BATCH form of
+  * [[PqAdcScore]] — one expression carries the stacked lookup tables
+  * of EVERY query in the batch ([nq][m*ksub] flattened row-major), and
+  * `ord` selects the query's slice at eval time. The (code x query)
+  * pair scan stays m lookups + adds per pair, and the tables ride the
+  * serialized plan once per batch instead of once per query. */
+case class PqAdcScoreAt(
+    left: Expression,   // code: binary
+    right: Expression,  // ord: int — query ordinal in the batch
+    dots: Array[Float],
+    normsq: Array[Float],
+    qNorms: Array[Double],
+    m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(m > 0 && dots.length == normsq.length && qNorms.nonEmpty &&
+    dots.length % qNorms.length == 0 &&
+    (dots.length / qNorms.length) % m == 0,
+    "pq_adc_score_at: table shape mismatch")
+
+  private val perQuery = dots.length / qNorms.length
+  private val ksub = perQuery / m
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_at"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got $other")
+    }
+
+  override def nullSafeEval(code0: Any, ord0: Any): Any = {
+    val code = code0.asInstanceOf[Array[Byte]]
+    val ord = ord0.asInstanceOf[Int]
+    if (code.length != m || ord < 0 || ord >= qNorms.length) return null
+    val base = ord * perQuery
+    var dot = 0.0
+    var nsq = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = base + j * ksub + (code(j) & 0xff)
+      dot += dots(idx)
+      nsq += normsq(idx)
+      j += 1
+    }
+    val qn = qNorms(ord)
+    if (qn == 0.0 || nsq <= 0.0) 0.0 else dot / (qn * math.sqrt(nsq))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, ord) => {
+      val dotsRef = ctx.addReferenceObj("adcDotsAll", dots, "float[]")
+      val normRef = ctx.addReferenceObj("adcNormsqAll", normsq, "float[]")
+      val qnRef = ctx.addReferenceObj("adcQNorms", qNorms, "double[]")
+      val dot = ctx.freshName("dot"); val nsq = ctx.freshName("nsq")
+      val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val base = ctx.freshName("base"); val qn = ctx.freshName("qn")
+      s"""
+        if ($code.length != $m || $ord < 0 || $ord >= ${qNorms.length}) {
+          ${ev.isNull} = true;
+        } else {
+          int $base = $ord * $perQuery;
+          double $dot = 0.0; double $nsq = 0.0;
+          for (int $j = 0; $j < $m; $j++) {
+            int $idx = $base + $j * $ksub + ($code[$j] & 0xff);
+            $dot += $dotsRef[$idx]; $nsq += $normRef[$idx];
+          }
+          double $qn = $qnRef[$ord];
+          ${ev.value} = ($qn == 0.0 || $nsq <= 0.0)
+            ? 0.0 : $dot / ($qn * Math.sqrt($nsq));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

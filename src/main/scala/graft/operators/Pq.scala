@@ -183,6 +183,71 @@ object Pq {
       PqAdcScore(Shim.expression(col(codeCol)), dots, normsq, qn, model.m)))
   }
 
+  /** Batch two-phase search: every query ADC-scans the codes (m
+    * lookups per (code, query) pair — the tables of the whole batch
+    * ride one [[graft.functions.PqAdcScoreAt]] expression), bounded
+    * heaps keep k*refine per query, and the union of shortlists is
+    * exact-re-ranked in ONE pass (broadcast shortlist pairs joined to
+    * the corpus, then per-query heaps again). Output (qid, rank, id,
+    * score) with exact scores — same shape as [[Knn.searchBatch]]. */
+  def searchBatch(
+      encoded: DataFrame,
+      vecCol: String,
+      codeCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qidCol: String,
+      k: Int,
+      model: Model,
+      refine: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = encoded.sparkSession
+    graft.Graft.init(spark)
+    Knn.ensureHashAggCapacity(spark)
+    val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+    require(qRows.nonEmpty, "pq searchBatch: empty query set")
+    val nq = qRows.length
+    val per = model.m * model.ksub
+    val dotsAll = new Array[Float](nq * per)
+    val normsqAll = new Array[Float](nq * per)
+    val qNorms = new Array[Double](nq)
+    qRows.zipWithIndex.foreach { case (r, i) =>
+      val (d, n, qn) = model.adcTables(r.getSeq[Float](1).toArray)
+      System.arraycopy(d, 0, dotsAll, i * per, per)
+      System.arraycopy(n, 0, normsqAll, i * per, per)
+      qNorms(i) = qn
+    }
+    val ordSchema = StructType(Seq(
+      StructField("qid", queries.schema(qidCol).dataType),
+      StructField("__ord", IntegerType),
+      StructField("__qvec", ArrayType(FloatType, containsNull = false))))
+    val ordDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i, r.getSeq[Float](1))
+        }.toIndexedSeq, 1), ordSchema))
+    // phase 1: ADC shortlist of k*refine per query (bounded heaps)
+    val adcScored = encoded.select(col(idCol), col(codeCol))
+      .crossJoin(ordDf.select("qid", "__ord"))
+      .select(col("qid"),
+        col(idCol).cast("long").as("__id"),
+        Shim.column(graft.functions.PqAdcScoreAt(
+          Shim.expression(col(codeCol)), Shim.expression(col("__ord")),
+          dotsAll, normsqAll, qNorms, model.m)).as("__score"))
+    val shortlist = Knn.topKPerQuery(adcScored, k * refine)
+      .select(col("qid"), col("id").as("__sid"))
+    // phase 2: exact cosine re-rank of the shortlist union, one pass
+    val exact = encoded
+      .join(broadcast(shortlist),
+        col(idCol).cast("long") === col("__sid"))
+      .join(ordDf.select("qid", "__qvec"), "qid")
+      .select(col("qid"),
+        col(idCol).cast("long").as("__id"),
+        graft.Graft.cosineSim(col(vecCol), col("__qvec")).as("__score"))
+    Knn.topKPerQuery(exact, k)
+  }
+
   /** Two-phase search: ADC shortlist of k*refine over the codes, then
     * exact cosine re-rank of the shortlist against `vecCol`. Output
     * (idCol, score) with exact scores — same shape as [[Knn.search]]. */

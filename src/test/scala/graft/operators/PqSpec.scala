@@ -91,6 +91,37 @@ class PqSpec extends SparkTestBase {
     encoded.unpersist()
   }
 
+  test("searchBatch matches per-query Pq.search for every query") {
+    val encoded = Pq.encode(emb, "embedding", model).cache()
+    val queries = emb.filter(col("vec_id") < 60)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Pq.searchBatch(encoded, "embedding", "code", "vec_id",
+        queries, "qvec", "qid", 5, model)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("id"),
+            math.round(r.getAs[Double]("score") * 1e9))).toSeq
+      }
+    assert(batch.size == 60)
+    (0L until 60L by 7L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val single = Pq.search(encoded, "embedding", "code", "vec_id",
+          qv, 5, model)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          math.round(r.getAs[Double]("score") * 1e9))).toSeq
+      assert(batch(qid) == single, s"qid $qid: ${batch(qid)} vs $single")
+    }
+    // every query self-matches at exact 1.0
+    batch.foreach { case (qid, hits) =>
+      assert(hits.head == ((qid, 1000000000L)), s"qid $qid: ${hits.head}")
+    }
+    encoded.unpersist()
+  }
+
   test("dimension mismatch yields null code (loud, not truncated)") {
     Graft.init(spark)
     val bad = emb.limit(5)
