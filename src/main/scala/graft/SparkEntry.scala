@@ -413,6 +413,15 @@ object SparkEntry {
         .orderBy(desc("n"), col("token"))
         .limit(20)),
 
+    // stratified split: exact per-language proportions (rank within
+    // stratum over the portable mix — a plain hash split drifts on
+    // small strata)
+    "stratified_split" -> ((s, dir) =>
+      operators.Sampling.stratifiedSplit(t(s, dir, "documents"),
+          "doc_id", Seq("lang"), Seq("train" -> 80, "test" -> 20))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -999,6 +1008,27 @@ object SparkEntry {
         |       CAST(least(40, n - k * 30) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(list_slice(t, k * 30 + 1, k * 30 + 40), ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same portable mix + rank-within-stratum re-derived with window
+    // functions; identical (rn-1)/(n-1) quantile arithmetic.
+    "stratified_split" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |  FROM documents),
+        |m1 AS (SELECT doc_id, lang,
+        |              xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m),
+        |m2 AS (SELECT doc_id, lang,
+        |              xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1),
+        |r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang ORDER BY h2, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |      FROM m2)
+        |SELECT doc_id, lang,
+        |       CASE WHEN (rn - 1)::DOUBLE
+        |                 / greatest(n - 1, 1)::DOUBLE * 100 < 80
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // The portable mix recomputed inline (every intermediate < 2^62,
     // exact in DuckDB BIGINT): bucket -> 80/10/10 carve-up.

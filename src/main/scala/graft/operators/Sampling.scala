@@ -56,4 +56,34 @@ object Sampling {
     require(percent >= 0 && percent <= 100)
     df.filter(bucket(col(idCol)) < percent)
   }
+
+  /** STRATIFIED split: exact per-stratum proportions (a plain id-hash
+    * split only converges to the requested mix for large strata — a
+    * 20-document language would drift badly). Rows are ranked within
+    * each stratum by the portable mix (deterministic, content-
+    * addressed — no RNG state) and the rank quantile picks the split,
+    * so every stratum independently lands `percent`-exact (±1 row).
+    * One window per stratum — a per-key sort through one shuffle, the
+    * same bound as any grouped sort. */
+  def stratifiedSplit(
+      df: DataFrame,
+      idCol: String,
+      strataCols: Seq[String],
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(strataCols.nonEmpty &&
+      splits.nonEmpty && splits.map(_._2).sum <= 100,
+      "splits must be (name, percent) with percents summing to <= 100")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(portableMix(col(idCol)), col(idCol))
+    val wAll = Window.partitionBy(strataCols.map(col): _*)
+    val pct = (row_number().over(w).cast("double") - 1) /
+      greatest(count(lit(1)).over(wAll) - 1, lit(1)).cast("double") * 100
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(bounds).init.foldRight(
+        lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
+      when(pct < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -50,6 +50,33 @@ class SamplingSpec extends SparkTestBase {
     assert(s20.subsetOf(s30) && s20.nonEmpty && s30.size > s20.size)
   }
 
+  test("stratifiedSplit: EXACT proportions inside every stratum, " +
+    "including small ones where hash splitting drifts") {
+    val df = spark.range(0, 1030).select(col("id"),
+      when(col("id") < 1000, "en").otherwise("de").as("lang"))
+    val got = Sampling.stratifiedSplit(df, "id", Seq("lang"),
+        Seq("train" -> 80, "test" -> 20))
+      .groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("en", "train")) == 800 && got(("en", "test")) == 200)
+    // the 30-row stratum still lands exactly 80/20 (24/6); an id-hash
+    // split would drift by several rows here
+    assert(got(("de", "train")) == 24 && got(("de", "test")) == 6, got)
+  }
+
+  test("stratifiedSplit is deterministic and partitioning-independent") {
+    val df = spark.range(0, 500).select(col("id"),
+      (col("id") % 7).cast("string").as("g"))
+    val a = Sampling.stratifiedSplit(df, "id", Seq("g"),
+        Seq("train" -> 90, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.stratifiedSplit(df.repartition(11), "id", Seq("g"),
+        Seq("train" -> 90, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
   test("bucket values stay in [0,100) and every intermediate is " +
     "non-negative (the DuckDB-portability contract)") {
     val buckets = ids.select(Sampling.bucket(col("id")).as("b"))
