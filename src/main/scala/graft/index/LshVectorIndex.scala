@@ -32,6 +32,18 @@ class LshVectorIndex private (
       "vector", "docid", queryVec, k)
   }
 
+  /** Incremental maintenance: bucketize new rows with the STORED
+    * hyperplanes (the pruning contract — planes are never reseeded on
+    * append) and append into the matching `bucket=` partitions; same
+    * trade as [[IvfVectorIndex.append]]. */
+  def append(docs: DataFrame, vecCol: String, idCol: String): LshVectorIndex = {
+    AnnLsh.bucketize(docs, vecCol, lsh)
+      .withColumnRenamed(vecCol, "vector")
+      .withColumnRenamed(idCol, "docid")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    this
+  }
+
   def count(): Long = df.count()
 }
 

@@ -53,4 +53,20 @@ class LshVectorIndexSpec extends SparkTestBase {
       .select("docid").as[Long].collect().toSeq
     assert(fullProbe == exact)
   }
+
+  test("append bucketizes with the stored planes; appended rows are " +
+    "searchable via the same pruned scan") {
+    val lsh = graft.operators.HyperplaneLsh(dim = 64, nbits = 4, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-app").toString
+    LshVectorIndex.build(
+      emb.filter(col("vec_id") < 250), "embedding", "vec_id", dir, lsh)
+    val idx = LshVectorIndex.load(spark, dir)
+      .append(emb.filter(col("vec_id") >= 250), "embedding", "vec_id")
+    assert(idx.count() == emb.count())
+    val qv = emb.filter(col("vec_id") === 321)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val top = idx.search(qv, 1, probes = 1).select("docid", "score").head()
+    assert(top.getLong(0) == 321L &&
+      math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
 }
