@@ -78,6 +78,15 @@ object Stats {
     * requested p. No driver-side state, no per-group collect; group
     * count and interpolation run as column arithmetic.
     *
+    * Parallelism note, stated plainly: with FEW huge groups the window
+    * partition count equals the group count (3 groups = 3 sort tasks,
+    * whatever the cluster size). That regime wants the
+    * [[quantilesExact]] construction generalized per key
+    * (repartitionByRange over (key, value) + per-partition prefix-sum
+    * ranks, the `Ids.withDenseId` pattern); with many groups — the
+    * common case for per-language/per-source corpus stats — the window
+    * spreads naturally and this plan is the right one.
+    *
     * Output: keyCols + one `q<percent>` double column per p. */
   def groupedQuantiles(
       df: DataFrame,
