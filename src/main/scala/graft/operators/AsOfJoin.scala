@@ -40,6 +40,9 @@ object AsOfJoin {
     val leftCols = left.columns.toIndexedSeq
     require(!rightPayload.exists(leftCols.contains),
       s"asof: payload columns ${rightPayload.mkString(",")} collide with left")
+    val reserved = Set("__k", "__t", "__side", "__tie")
+    require(!(leftCols ++ rightPayload).exists(reserved.contains),
+      s"asof: column names $reserved are reserved by the implementation")
     val payloadTypes = rightPayload.map(c => c -> right.schema(c).dataType)
 
     def nullOf(dt: org.apache.spark.sql.types.DataType): Column =

@@ -74,16 +74,21 @@ object DedupStream {
           // deterministic intra-batch order: smaller ids are "earlier"
           val arrivals = it.toSeq.sortBy(_.id)
           val out = scala.collection.mutable.ListBuffer[DupPair]()
+          // first-wins per id: a replayed or duplicate arrival must not
+          // re-enter state (it would double every future pair) nor
+          // re-emit its pairs
+          val ids = scala.collection.mutable.Set(seen.map(_._1): _*)
           var acc = seen
           arrivals.foreach { d =>
-            acc.foreach { case (oid, osim) =>
-              if (oid != d.id) {
+            if (!ids.contains(d.id)) {
+              acc.foreach { case (oid, osim) =>
                 val ham = java.lang.Long.bitCount(osim ^ d.simhash)
                 if (ham <= maxHamming && owningBlock(osim, d.simhash) == block)
                   out += DupPair(math.min(oid, d.id), math.max(oid, d.id), ham)
               }
+              acc = (d.id, d.simhash) :: acc
+              ids += d.id
             }
-            acc = (d.id, d.simhash) :: acc
           }
           state.update(acc)
           out.iterator

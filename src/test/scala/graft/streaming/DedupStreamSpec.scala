@@ -39,11 +39,15 @@ class DedupStreamSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    val got = spark.table("dedup_stream")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = spark.table("dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = rows.toSet
     val want = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == want, s"streamed ${got.size} vs batch ${want.size}")
+    // unique-emission contract: each pair appears EXACTLY once
+    assert(rows.length == got.size,
+      s"${rows.length - got.size} duplicate emissions")
     // the stateful path genuinely fired: some pair crosses the
     // even/odd file split
     assert(want.exists { case (a, b, _) => (a + b) % 2 == 1 },
