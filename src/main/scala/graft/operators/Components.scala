@@ -91,9 +91,12 @@ object Components {
 
   /** Keep-one-per-cluster over a full corpus: every document keeps its
     * component label (singletons label themselves), and `keep` marks
-    * the component representative (min id). One broadcastable join
-    * against the corpus — the label table is pair-bounded, tiny next
-    * to the documents. */
+    * the component representative (min id). One left join against the
+    * corpus; the label table is pair-bounded — usually tiny next to
+    * the documents, so AQE broadcasts it, but it is NOT force-broadcast:
+    * a web-scale dup graph can have billions of pair nodes, and a
+    * forced broadcast there would OOM the driver where a shuffled join
+    * simply runs. */
   def labelCorpus(
       docs: DataFrame,
       idCol: String,
@@ -102,7 +105,7 @@ object Components {
       bCol: String): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol)
       .select(col("id").as(idCol), col("component"))
-    docs.join(broadcast(comp), Seq(idCol), "left")
+    docs.join(comp, Seq(idCol), "left")
       .withColumn("component",
         coalesce(col("component"), col(idCol).cast("long")))
       .withColumn("keep", col(idCol).cast("long") === col("component"))
