@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Misuse must fail LOUDLY at the API boundary — not produce quietly
+  * wrong results. Pins the error contracts of the round-2 surface. */
+class ContractErrorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("Pq.train rejects a dimension not divisible by m") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.train(emb, "embedding", m = 7)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("Pq.Model.encode/decode reject wrong shapes") {
+    val model = Pq.train(emb, "embedding", m = 8, ksub = 16)
+    intercept[IllegalArgumentException] { model.encode(new Array[Float](32)) }
+    intercept[IllegalArgumentException] { model.decode(new Array[Byte](4)) }
+  }
+
+  test("AsOfJoin rejects payload/left collisions and reserved names") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, "y")).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "t", "rt", Seq("v")) // v exists on left
+    }
+    val bad = Seq((1L, 10L, 1.0)).toDF("k", "t", "__tie")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(bad, r.withColumnRenamed("v", "p"),
+        "k", "t", "rt", Seq("p"))
+    }
+  }
+
+  test("RangeJoin rejects non-positive bin widths") {
+    val df = Seq((1L, 1L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      RangeJoin.binned(df, "a", df, "a", "b", binWidth = 0)
+    }
+  }
+
+  test("Sampling rejects percents over 100 and empty splits") {
+    val df = spark.range(5).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(df, "id", Seq("a" -> 80, "b" -> 30))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "id", Seq.empty, Seq("a" -> 50))
+    }
+  }
+
+  test("TextChunk rejects overlap >= size") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextChunk.chunk(df, "doc_id", "text", size = 10, overlap = 10)
+    }
+  }
+
+  test("Stats.groupedQuantiles rejects out-of-range percentiles and " +
+    "colliding labels") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Stats.groupedQuantiles(df, Seq("k"), "v", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.groupedQuantiles(df, Seq("k"), "v", Seq(0.054, 0.054))
+    }
+  }
+
+  test("IvfVectorIndex: searchAdc without a PQ model and load without " +
+    "a codebook fail loudly") {
+    val model = Ivf.train(emb, "embedding", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-err").toString
+    val idx = graft.index.IvfVectorIndex.build(
+      emb, "embedding", "vec_id", dir, model)
+    intercept[IllegalStateException] {
+      idx.searchAdc(new Array[Float](64), 5)
+    }
+    intercept[graft.index.IndexNotFoundException] {
+      graft.index.IvfVectorIndex.load(spark, dir + "-nope")
+    }
+  }
+}
