@@ -378,10 +378,13 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
-    // exact per-group quantiles (quantile_cont interpolation): one
-    // window sort per group + boundary-row aggregation, no driver state
+    // exact per-group quantiles (quantile_cont interpolation). Three
+    // groups = the few-huge-groups regime, so the PARALLEL construction
+    // (range-partitioned sort + prefix-sum ranks; every core sorts a
+    // slice) rather than the window plan (one sort task per group);
+    // both are bit-identical (spec-enforced)
     "group_quantiles" -> ((s, dir) =>
-      operators.Stats.groupedQuantiles(t(s, dir, "lineitem"),
+      operators.Stats.groupedQuantilesSorted(t(s, dir, "lineitem"),
           Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.95))
         .select(col("l_returnflag"), round(col("q25"), 6).as("q25"),
           round(col("q50"), 6).as("q50"), round(col("q95"), 6).as("q95"))

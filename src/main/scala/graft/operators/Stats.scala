@@ -78,13 +78,11 @@ object Stats {
     * requested p. No driver-side state, no per-group collect; group
     * count and interpolation run as column arithmetic.
     *
-    * Parallelism note, stated plainly: with FEW huge groups the window
-    * partition count equals the group count (3 groups = 3 sort tasks,
-    * whatever the cluster size). That regime wants the
-    * [[quantilesExact]] construction generalized per key
-    * (repartitionByRange over (key, value) + per-partition prefix-sum
-    * ranks, the `Ids.withDenseId` pattern); with many groups — the
-    * common case for per-language/per-source corpus stats — the window
+    * Parallelism regime: with FEW huge groups the window partition
+    * count equals the group count (3 groups = 3 sort tasks, whatever
+    * the cluster size) — use [[groupedQuantilesSorted]] there (parallel
+    * range sort, bit-identical results). With many groups — the common
+    * case for per-language/per-source corpus stats — the window
     * spreads naturally and this plan is the right one.
     *
     * Output: keyCols + one `q<percent>` double column per p. */
@@ -132,5 +130,98 @@ object Stats {
     ranked.groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(keys ++ out: _*)
+  }
+
+  /** [[groupedQuantiles]] for the FEW-HUGE-GROUPS regime, where the
+    * window plan degrades to one sort task per group: this is
+    * [[quantilesExact]]'s construction generalized per key — a
+    * range-partitioned PARALLEL sort over (key, value) (every core
+    * sorts a slice regardless of group count), per-partition per-key
+    * counts + driver prefix sums (the `Ids.withDenseId` pattern, tiny:
+    * partitions × groups entries), then a second pass that emits ONLY
+    * the ≤ 2·|ps| boundary rows per group. Same `quantile_cont`
+    * interpolation, bit-identical results to [[groupedQuantiles]]
+    * (spec-enforced). Driver state is O(groups), so this variant
+    * assumes group count is modest (its design regime). */
+  def groupedQuantilesSorted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(keyCols.nonEmpty && ps.nonEmpty &&
+      ps.forall(p => p >= 0.0 && p <= 1.0))
+    val labels = ps.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide: $labels — use more distinct percentiles")
+    val spark = df.sparkSession
+    val keys = keyCols.map(col)
+    val parts = spark.sparkContext.defaultParallelism
+    val parted = df
+      .select(keys :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(parts, keys :+ col("__v"): _*)
+      .sortWithinPartitions(keys :+ col("__v"): _*)
+    val nk = keyCols.size
+    def keyOf(r: Row): Seq[Any] = (0 until nk).map(r.get)
+    // pass 1: per-partition per-key counts, preserving encounter order
+    val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+      it.foreach { r => val k = keyOf(r); m(k) = m.getOrElse(k, 0L) + 1 }
+      m.iterator.map { case (k, c) => (pid, k, c) }
+    }.collect()
+    val totals = counts.groupBy(_._2).map { case (k, cs) =>
+      k -> cs.map(_._3).sum
+    }
+    // global start offset of each key within each partition
+    val offsets: Map[(Int, Seq[Any]), Long] = counts.groupBy(_._2)
+      .flatMap { case (k, cs) =>
+        var run = 0L
+        cs.sortBy(_._1).map { case (pid, _, c) =>
+          val o = ((pid, k), run); run += c; o
+        }
+      }
+    // boundary ranks per key (the only rows pass 2 must emit)
+    val boundary: Map[Seq[Any], Set[Long]] = totals.map { case (k, n) =>
+      k -> ps.flatMap { p =>
+        val pos = p * (n - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+    }
+    val bBoundary = spark.sparkContext.broadcast(boundary)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val picked = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      it.flatMap { r =>
+        val k = keyOf(r)
+        val idx = local.getOrElse(k, 0L)
+        local(k) = idx + 1
+        val rank = bOffsets.value.getOrElse((pid, k), 0L) + idx
+        if (bBoundary.value.get(k).exists(_.contains(rank)))
+          Some((k, rank, r.getDouble(nk)))
+        else None
+      }
+    }.collect()
+    val byKey = picked.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(r => r._2 -> r._3).toMap
+    }
+    val keySchema = org.apache.spark.sql.types.StructType(
+      df.select(keys: _*).schema.fields)
+    val schema = org.apache.spark.sql.types.StructType(
+      keySchema.fields ++ labels.map(l =>
+        org.apache.spark.sql.types.StructField(l,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val resultRows = totals.toSeq.map { case (k, n) =>
+      val vals = byKey(k)
+      val qs = ps.map { p =>
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val frac = pos - lo
+        vals(lo) + frac * (vals(hi) - vals(lo))
+      }
+      Row.fromSeq(k ++ qs)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(resultRows, 1), schema)
   }
 }

@@ -83,6 +83,24 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(grouped == global)
   }
 
+  test("groupedQuantilesSorted (parallel few-group path) == window " +
+    "groupedQuantiles bit-for-bit on real lineitem groups") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ps = Seq(0.25, 0.5, 0.95)
+    val win = Stats.groupedQuantiles(li, Seq("l_returnflag"),
+        "l_extendedprice", ps)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val par = Stats.groupedQuantilesSorted(li, Seq("l_returnflag"),
+        "l_extendedprice", ps)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(win.nonEmpty && par.toSeq == win.toSeq)
+  }
+
   test("quantile labels: basis-point naming avoids collisions") {
     val df = spark.range(1, 101).select(col("id").cast("double").as("v"))
     val r = Stats.quantilesExact(df, "v", Seq(0.054, 0.046))
