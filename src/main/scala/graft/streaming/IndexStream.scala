@@ -62,6 +62,33 @@ object IndexStream {
       .start()
   }
 
+  /** Continuous ingestion into a cluster-partitioned
+    * [[graft.index.IvfVectorIndex]]: each micro-batch is assigned with
+    * the STORED codebook (PQ-coded when the index carries codes) and
+    * appended into its cluster partitions — O(batch) per batch, no
+    * rewrite; the pruning contract never changes mid-stream.
+    * At-least-once (appends replay on failure): pair with upstream
+    * exactly-once sources or downstream id dedup; periodic
+    * [[graft.index.IvfVectorIndex.compact]] absorbs the per-batch
+    * small files during maintenance windows. */
+  def ingestIvf(
+      docs: DataFrame,
+      index: graft.index.IvfVectorIndex,
+      vecCol: String,
+      idCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    require(docs.isStreaming, "IndexStream.ingestIvf needs a streaming DataFrame")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) index.append(batch, vecCol, idCol)
+        ()
+      }
+      .start()
+  }
+
   /** Raw-TEXT ingestion: batch-encode `textCol` into the `vector`
     * column through the S6 encoder seam (distributed mapPartitions,
     * [[graft.TextEncoder.encodeColumn]]), then ingest. The default

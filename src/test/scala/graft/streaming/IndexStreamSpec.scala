@@ -62,6 +62,31 @@ class IndexStreamSpec extends SparkTestBase {
     assert(idx.count() == 40)
   }
 
+  test("ingestIvf streams micro-batches into a cluster-partitioned " +
+    "index with the stored codebook; rows searchable via pruned scan") {
+    val model = graft.operators.Ivf.train(emb, "embedding", 4)
+    val idxDir = tmp("graft-is-ivf-idx")
+    graft.index.IvfVectorIndex.build(
+      emb.filter(col("vec_id") < 100), "embedding", "vec_id", idxDir, model)
+    val idx = graft.index.IvfVectorIndex.load(spark, idxDir)
+    val srcDir = tmp("graft-is-ivf-src")
+    emb.filter(col("vec_id") >= 100)
+      .select("vec_id", "embedding")
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
+      tmp("graft-is-ivf-ck"))
+    try q.processAllAvailable() finally q.stop()
+    assert(idx.count() == emb.count())
+    val qv = emb.filter(col("vec_id") === 321)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val top = idx.search(qv, 1, nprobe = 1).select("docid", "score").head()
+    assert(top.getLong(0) == 321L &&
+      math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("ingestText encodes through the S6 seam; stream result matches " +
     "the batch indexTextWorkflow vectors") {
     val docs = spark.read
