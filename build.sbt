@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE raw JSON line from `sbt "runMain graft.Bench"`
+// stdout. By default sbt routes forked-run output through its logger,
+// prefixing every line with "[info] " — which made BENCH_r01/r02
+// unparseable ("parsed": null). StdoutOutput passes the program's
+// stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
