@@ -108,7 +108,20 @@ object Similar {
     Txtai.literalText(q) match {
       case Some(text) => Txtai.encodedLiteral(text)
       case None if q.resolved && q.dataType == StringType =>
-        HashEmbed(q, 64)
+        // Per-row text must be encoded IN-ENGINE; that is only sound
+        // when the registered encoder IS the hash kernel (then the dim
+        // is plumbed through, not hardcoded). With a custom model
+        // registered, a hash fallback would emit vectors in a different
+        // space/dimension — rows would silently score NULL and vanish
+        // from top-k — so fail analysis loudly instead.
+        TextEncoder.registered match {
+          case HashingEncoder(d) => HashEmbed(q, d)
+          case _ => throw new IllegalArgumentException(
+            "similar(vec, textCol): a custom encoder is registered via " +
+            "TextEncoder.set, and a driver-side encoder cannot run per " +
+            "row — pre-encode the column with TextEncoder.encodeColumn " +
+            "and pass the vector column instead")
+        }
       case None => q
     }
 }

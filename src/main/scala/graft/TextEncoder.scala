@@ -34,6 +34,10 @@ object TextEncoder {
   def set(encoder: String => Array[Float]): Unit = { current = encoder }
   def reset(): Unit = { current = HashingEncoder(64) }
 
+  /** The encoder currently registered — dialect rewrites inspect it to
+    * decide whether the in-engine hash kernel can stand in per row. */
+  def registered: String => Array[Float] = current
+
   /** Encode one string with the registered encoder (driver-side). */
   def encode(text: String): Array[Float] = current(text)
 

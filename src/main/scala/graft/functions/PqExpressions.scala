@@ -125,7 +125,12 @@ case class PqAdcScore(
     var nsq = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * ksub + (code(j) & 0xff)
+      val cell = code(j) & 0xff
+      // a cell id past ksub means the code came from a different-ksub
+      // model (or is corrupt): null, same loud-mismatch contract as the
+      // length check — never an index error or a silent wrong lookup
+      if (cell >= ksub) return null
+      val idx = j * ksub + cell
       dot += dots(idx)
       nsq += normsq(idx)
       j += 1
@@ -140,17 +145,25 @@ case class PqAdcScore(
       val normRef = ctx.addReferenceObj("adcNormsq", normsq, "float[]")
       val dot = ctx.freshName("dot"); val nsq = ctx.freshName("nsq")
       val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val cell = ctx.freshName("cell"); val bad = ctx.freshName("bad")
       s"""
         if ($code.length != $m) {
           ${ev.isNull} = true;
         } else {
           double $dot = 0.0; double $nsq = 0.0;
+          boolean $bad = false;
           for (int $j = 0; $j < $m; $j++) {
-            int $idx = $j * $ksub + ($code[$j] & 0xff);
+            int $cell = $code[$j] & 0xff;
+            if ($cell >= $ksub) { $bad = true; break; }
+            int $idx = $j * $ksub + $cell;
             $dot += $dotsRef[$idx]; $nsq += $normRef[$idx];
           }
-          ${ev.value} = (${qNorm}D == 0.0 || $nsq <= 0.0)
-            ? 0.0 : $dot / (${qNorm}D * Math.sqrt($nsq));
+          if ($bad) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = (${qNorm}D == 0.0 || $nsq <= 0.0)
+              ? 0.0 : $dot / (${qNorm}D * Math.sqrt($nsq));
+          }
         }
       """
     })
@@ -200,7 +213,11 @@ case class PqAdcScoreAt(
     var nsq = 0.0
     var j = 0
     while (j < m) {
-      val idx = base + j * ksub + (code(j) & 0xff)
+      val cell = code(j) & 0xff
+      // out-of-range cell would silently read into the NEXT query's
+      // table slice — null instead (loud-mismatch contract)
+      if (cell >= ksub) return null
+      val idx = base + j * ksub + cell
       dot += dots(idx)
       nsq += normsq(idx)
       j += 1
@@ -217,19 +234,27 @@ case class PqAdcScoreAt(
       val dot = ctx.freshName("dot"); val nsq = ctx.freshName("nsq")
       val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
       val base = ctx.freshName("base"); val qn = ctx.freshName("qn")
+      val cell = ctx.freshName("cell"); val bad = ctx.freshName("bad")
       s"""
         if ($code.length != $m || $ord < 0 || $ord >= ${qNorms.length}) {
           ${ev.isNull} = true;
         } else {
           int $base = $ord * $perQuery;
           double $dot = 0.0; double $nsq = 0.0;
+          boolean $bad = false;
           for (int $j = 0; $j < $m; $j++) {
-            int $idx = $base + $j * $ksub + ($code[$j] & 0xff);
+            int $cell = $code[$j] & 0xff;
+            if ($cell >= $ksub) { $bad = true; break; }
+            int $idx = $base + $j * $ksub + $cell;
             $dot += $dotsRef[$idx]; $nsq += $normRef[$idx];
           }
-          double $qn = $qnRef[$ord];
-          ${ev.value} = ($qn == 0.0 || $nsq <= 0.0)
-            ? 0.0 : $dot / ($qn * Math.sqrt($nsq));
+          if ($bad) {
+            ${ev.isNull} = true;
+          } else {
+            double $qn = $qnRef[$ord];
+            ${ev.value} = ($qn == 0.0 || $nsq <= 0.0)
+              ? 0.0 : $dot / ($qn * Math.sqrt($nsq));
+          }
         }
       """
     })

@@ -157,6 +157,11 @@ object IvfVectorIndex {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/_pq")
     }
+    // A rebuild over an existing path replaces the codebook: sessions
+    // with spark.graft.ann.autoRoute=true must not keep routing with
+    // the stale cached centroids (probes against old centroids over new
+    // cluster assignments silently return wrong top-k).
+    graft.plans.AnnRouteRule.invalidate(path)
     new IvfVectorIndex(spark, path, model, pqModel)
   }
 

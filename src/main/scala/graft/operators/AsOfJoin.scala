@@ -40,10 +40,17 @@ object AsOfJoin {
     val leftCols = left.columns.toIndexedSeq
     require(!rightPayload.exists(leftCols.contains),
       s"asof: payload columns ${rightPayload.mkString(",")} collide with left")
-    val reserved = Set("__k", "__t", "__side", "__tie")
+    val reserved = Set("__k", "__t", "__side", "__tie", "__p")
     require(!(leftCols ++ rightPayload).exists(reserved.contains),
       s"asof: column names $reserved are reserved by the implementation")
-    val payloadTypes = rightPayload.map(c => c -> right.schema(c).dataType)
+    // The payload is carried as ONE struct so the match is row-atomic:
+    // per-column last(ignoreNulls) would fill a NULL payload field from
+    // an OLDER right row, stitching together values that never coexisted.
+    // A struct is non-null for every right row, so last(ignoreNulls) over
+    // it always lands on the nearest prior right row wholesale — NULL
+    // fields inside it stay NULL, matching ASOF semantics.
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
 
     def nullOf(dt: org.apache.spark.sql.types.DataType): Column =
       lit(null).cast(dt)
@@ -52,28 +59,32 @@ object AsOfJoin {
       tieBreak.map(df(_).cast("long")).getOrElse(lit(0L))
 
     val l = left.select(
-      (col(keyCol).as("__k") +:
+      col(keyCol).as("__k") +:
         col(leftTimeCol).cast("long").as("__t") +:
         lit(1).as("__side") +:
         lit(0L).as("__tie") +:
-        leftCols.map(c => col(c))) ++
-        payloadTypes.map { case (c, dt) => nullOf(dt).as(c) }: _*)
-    val r = right.select(
-      (col(keyCol).as("__k") +:
+        leftCols.map(c => col(c)) :+
+        nullOf(payloadStruct).as("__p"): _*)
+    // A right row with NULL time would cast to a NULL sort key, order
+    // before every real time, and be carried into all left rows as
+    // "earlier than everything" — it can never be a valid match, drop it.
+    val r = right.filter(col(rightTimeCol).isNotNull).select(
+      col(keyCol).as("__k") +:
         col(rightTimeCol).cast("long").as("__t") +:
         lit(0).as("__side") +:
         tieCol(right).as("__tie") +:
-        leftCols.map(c => nullOf(left.schema(c).dataType).as(c))) ++
-        rightPayload.map(col): _*)
+        leftCols.map(c => nullOf(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__p"): _*)
 
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .select(
-        (col("__side") +: leftCols.map(col)) ++
-          rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        (col("__side") +: leftCols.map(col)) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p"): _*)
     filled.filter(col("__side") === 1)
-      .select((leftCols ++ rightPayload).map(col): _*)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

@@ -130,8 +130,8 @@ object Ivf {
     import org.apache.spark.sql.types._
     val spark = assigned.sparkSession
     graft.Graft.init(spark)
-    Knn.ensureHashAggCapacity(spark)
     val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+    Knn.ensureHashAggCapacity(spark, qRows.length)
     val probeRows = qRows.flatMap { r =>
       val vec = r.getSeq[Float](1).toArray
       model.nearest(vec, nprobe).map(c =>

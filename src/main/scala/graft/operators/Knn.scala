@@ -51,14 +51,26 @@ object Knn {
     * so a batch of >128 queries would sort-and-spill the entire scored
     * cross product (measured: 1000 queries x 10M vectors tried to
     * spill ~240 GB and died; the heaps themselves are k x 16 bytes per
-    * query — trivial). Raise the threshold so the bounded-heap plan
-    * stays hash-based up to 64K queries per batch (~tens of MB of heap
-    * buffers); beyond that, chunk the query side. */
+    * query — trivial).
+    *
+    * The raise is scoped to need, not a blanket 65536: batches that fit
+    * the session's current threshold leave the conf UNTOUCHED (no
+    * hidden memory-behavior change for other object-hash aggregates),
+    * and larger batches raise it only to the next power of two >= 2x
+    * the batch (capped at 64K — beyond that, chunk the query side).
+    * The conf must hold at ACTION time (execution reads it), so a
+    * save/restore around this lazy plan-build would be a no-op; opt out
+    * entirely with spark.graft.knn.autoRaiseHashAggThreshold=false. */
   private[operators] def ensureHashAggCapacity(
-      spark: SparkSession): Unit = {
+      spark: SparkSession, nQueries: Long): Unit = {
+    if (!spark.conf.get("spark.graft.knn.autoRaiseHashAggThreshold", "true")
+          .toBoolean) return
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.getOption(fallbackKey).forall(_.toInt < 65536))
-      spark.conf.set(fallbackKey, "65536")
+    val cur = spark.conf.getOption(fallbackKey).map(_.toInt).getOrElse(128)
+    if (nQueries <= cur) return
+    var needed = 256
+    while (needed < nQueries * 2 && needed < 65536) needed <<= 1
+    if (needed > cur) spark.conf.set(fallbackKey, needed.toString)
   }
 
   /** Bounded-heap top-k per qid over (qid, __id, __score) rows →
@@ -84,7 +96,9 @@ object Knn {
       qidCol: String,
       k: Int): DataFrame = {
     Graft.init(index.sparkSession)
-    ensureHashAggCapacity(index.sparkSession)
+    // the query side is small by contract (it is broadcast below), so
+    // counting it here is one tiny job, not a corpus scan
+    ensureHashAggCapacity(index.sparkSession, queries.count())
     // packed-layout dispatch: if the index stores fixed-width binary
     // vectors, pack the (small) query side too and use the packed kernel
     val packed = index.schema(vecCol).dataType ==

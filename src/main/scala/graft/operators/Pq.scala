@@ -204,9 +204,9 @@ object Pq {
     import org.apache.spark.sql.types._
     val spark = encoded.sparkSession
     graft.Graft.init(spark)
-    Knn.ensureHashAggCapacity(spark)
     val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
     require(qRows.nonEmpty, "pq searchBatch: empty query set")
+    Knn.ensureHashAggCapacity(spark, qRows.length)
     val nq = qRows.length
     val per = model.m * model.ksub
     val dotsAll = new Array[Float](nq * per)

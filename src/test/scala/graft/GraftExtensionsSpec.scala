@@ -91,4 +91,30 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(math.abs(top.getDouble(1) - 1.0) < 1e-12)
     } finally TextEncoder.reset()
   }
+
+  test("similar(vec, textCol) plumbs the registered hash encoder's dim " +
+    "and fails loudly under a custom encoder") {
+    Graft.init(spark)
+    import spark.implicits._
+    val df = Seq(("hello", 1), ("world", 2)).toDF("text", "id")
+    df.createOrReplaceTempView("simdim")
+    try {
+      // dim-32 hash encoder: per-row scores must match hash_embed(text, 32)
+      TextEncoder.set(HashingEncoder(32))
+      val got = spark.sql(
+        """SELECT similar(hash_embed(text, 32), text) AS s
+          |FROM simdim ORDER BY id""".stripMargin)
+        .collect().map(_.getDouble(0))
+      // self-similarity of the same 32-dim vector is exactly 1
+      assert(got.forall(s => math.abs(s - 1.0) < 1e-12), got.toSeq)
+      // a custom (non-hash) encoder cannot run per row: loud error, not
+      // a silently mismatched hash fallback
+      TextEncoder.set(_ => Array.fill(16)(0.5f))
+      val err = intercept[Exception] {
+        spark.sql("SELECT similar(hash_embed(text, 32), text) FROM simdim")
+          .collect()
+      }
+      assert(err.getMessage.contains("encodeColumn"), err.getMessage)
+    } finally TextEncoder.reset()
+  }
 }

@@ -68,6 +68,28 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a NULL payload field in the matched right row stays NULL " +
+    "(row-atomic carry, no mixing of right rows)") {
+    val one = Seq((1L, 300L, "x")).toDF("key", "t", "trade")
+    val q = Seq(
+      (1L, 100L, Some(1.0), Some("a")),
+      (1L, 200L, None: Option[Double], Some("b")))
+      .toDF("key", "qt", "px", "src")
+    val got = AsOfJoin.asof(one, q, "key", "t", "qt", Seq("px", "src")).head()
+    // the match is quote@200 wholesale: px NULL (NOT 1.0 from quote@100)
+    assert(Option(got.get(3)).isEmpty, got)
+    assert(got.getString(4) == "b")
+  }
+
+  test("right rows with NULL time are never matched") {
+    val one = Seq((1L, 300L, "x")).toDF("key", "t", "trade")
+    val q = Seq((1L, Some(400L), 9.0), (1L, None: Option[Long], 7.0))
+      .toDF("key", "qt", "px")
+    // candidates: quote@400 (future) and a NULL-time quote -> no match
+    val got = AsOfJoin.asof(one, q, "key", "t", "qt", Seq("px")).head()
+    assert(Option(got.get(3)).isEmpty, got)
+  }
+
   test("plan shape: one exchange (the window partition), no join node, " +
     "no row multiplication") {
     val plan = AsOfJoin.asof(trades, quotes, "key", "t", "qt", Seq("px"))

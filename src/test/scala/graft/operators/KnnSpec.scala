@@ -56,6 +56,31 @@ class KnnSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("hash-agg threshold raise is scoped to need: small batches leave " +
+    "the session conf untouched, large ones raise to the next pow2") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      Knn.ensureHashAggCapacity(spark, 100)   // fits the default 128
+      assert(spark.conf.get(key) == "128")    // still the default
+      Knn.ensureHashAggCapacity(spark, 1000)  // needs a raise: pow2 >= 2000
+      assert(spark.conf.get(key) == "2048")
+      Knn.ensureHashAggCapacity(spark, 500)   // already covered: no lowering
+      assert(spark.conf.get(key) == "2048")
+      Knn.ensureHashAggCapacity(spark, 1 << 20) // capped at 64K
+      assert(spark.conf.get(key) == "65536")
+      spark.conf.set(key, "131072")           // a user-raised value survives
+      Knn.ensureHashAggCapacity(spark, 1000)
+      assert(spark.conf.get(key) == "131072")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("null vectors rank last (null scores sort after real scores)") {
     import spark.implicits._
     val df = Seq(

@@ -130,6 +130,26 @@ class PqSpec extends SparkTestBase {
     assert(codes.forall(_.isNullAt(0)))
   }
 
+  test("a code cell >= ksub scores null in both ADC forms (foreign-model " +
+    "or corrupt codes never index-error or cross-read)") {
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.PqAdcScoreAt
+    import spark.implicits._
+    // length is the correct m=8, but cell 255 >= ksub=64
+    val corrupt = Array.fill[Byte](model.m)(255.toByte)
+    val good = model.encode(q)
+    val df = Seq((0, corrupt), (1, good)).toDF("id", "code")
+    val single = Pq.adcScore(df, "code", q, model)
+      .orderBy("id").select("adc_score").collect()
+    assert(single(0).isNullAt(0) && !single(1).isNullAt(0))
+    val (dots, normsq, qn) = model.adcTables(q)
+    val batch = df.withColumn("s", Shim.column(PqAdcScoreAt(
+        Shim.expression(col("code")), Shim.expression(lit(0)),
+        dots, normsq, Array(qn), model.m)))
+      .orderBy("id").select("s").collect()
+    assert(batch(0).isNullAt(0) && !batch(1).isNullAt(0))
+  }
+
   test("ADC shortlist stage plans as TakeOrderedAndProject (no global sort)") {
     val plan = Pq.adcScore(Pq.encode(emb, "embedding", model), "code", q, model)
       .orderBy(desc("adc_score"), col("vec_id").asc).limit(50)
