@@ -682,7 +682,25 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
             .as("session_end"),
           col("n_events"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // BM25 keyword top-k: inverted postings + broadcast df/stats, per-
+    // term integer micro-scores so the per-doc sum is associative
+    "bm25_topk" -> ((s, dir) =>
+      operators.Bm25.topK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("vector", "hash", "join"), 10)),
+
+    // hybrid lexical+semantic: min-max-normalized BM25 blended 50/50
+    // with cosine against the flagship query vector (txtai hybrid:true)
+    "hybrid_rank" -> ((s, dir) => {
+      Graft.init(s)
+      operators.Bm25.hybrid(
+          t(s, dir, "documents"), "text", "doc_id",
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          Seq("vector", "hash", "join"), queryVec(s, dir), alpha = 0.5)
+        .orderBy(desc("hybrid_micros"), col("docid").asc)
+        .limit(10)
+    })
   )
 
   /** Engine-computed intermediates that [[Verify]] dumps as parquet next
@@ -1356,6 +1374,78 @@ object SparkEntry {
         |                '%Y-%m-%d %H:%M:%S') AS session_end,
         |       count(*) AS n_events
         |FROM y GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |scored AS (
+        |  SELECT m.docid,
+        |         CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT) AS micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st)
+        |SELECT CAST(docid AS BIGINT) AS docid,
+        |       CAST(sum(micros) AS BIGINT) AS bm25_micros
+        |FROM scored GROUP BY 1
+        |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    "hybrid_rank" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |lex AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT l.docid, l.bm25_micros,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM lex l JOIN embeddings e ON l.docid = e.vec_id CROSS JOIN q),
+        |bounds AS (
+        |  SELECT min(bm25_micros) AS bmin, max(bm25_micros) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM cand)
+        |SELECT docid,
+        |       CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+        |                   ELSE (cos - cmin) / (cmax - cmin) END)
+        |             + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+        |                 ELSE CAST(bm25_micros - bmin AS DOUBLE)
+        |                      / CAST(bmax - bmin AS DOUBLE) END))
+        |             * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |FROM cand CROSS JOIN bounds
+        |ORDER BY hybrid_micros DESC, docid LIMIT 10""".stripMargin
   )
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword relevance — the lexical half of a txtai-family hybrid
+  * engine (the reference family's `scoring="bm25"` / hybrid search
+  * config; the studied repo itself delegates keyword scoring to the
+  * server it wraps). Spark-first shapes:
+  *
+  *  - posting construction is one `explode` + partial-aggregated
+  *    `groupBy` (map-side combine collapses per-doc term repeats before
+  *    the shuffle);
+  *  - ad-hoc scoring keeps the whole plan declarative: corpus stats ride
+  *    a broadcast 1-row crossJoin, per-term document frequencies ride a
+  *    broadcast hash join, and the final top-k lowers to
+  *    TakeOrderedAndProject;
+  *  - at scale, [[Bm25Index]] persists postings partitioned by a hashed
+  *    term bucket: a query prunes to its terms' buckets (Hive partition
+  *    pruning — unmatched buckets are never opened), which is the
+  *    inverted-index read pattern at 100 TB.
+  *
+  * Scoring is Okapi BM25 with the Lucene idf (ln(1 + (N-df+0.5)/(df+0.5)),
+  * always positive). Per-term contributions are rounded to integer
+  * MICROS before the per-doc sum so the aggregate is associative —
+  * float summation order varies across partitions, integer sums don't —
+  * making results reproducible and oracle-checkable bit-for-bit.
+  * Constants (2.2, 1.2, 0.25, 0.75) are written as literals on both the
+  * engine and oracle sides so they parse to identical doubles.
+  */
+object Bm25 {
+
+  /** Tokenizer shared with the oracle side: RE2/Java-compatible, no
+    * lookarounds, reproducible in DuckDB's regexp_extract_all. */
+  val TokenPattern = "[a-z]+|[0-9]+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Inverted-index rows: (docid, dl, term, tf) — one row per distinct
+    * (document, term), `dl` the document's token count carried
+    * denormalized so scoring never joins back to the corpus. */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("docid"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("docid"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("docid", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** 1-row corpus stats (n docs, mean token count) — broadcast into the
+    * scoring plan, never collected to the driver. */
+  def stats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(size(tokens(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("__sumdl"))
+      .select(col("n"),
+        (col("__sumdl").cast("double") / col("n")).as("avgdl"))
+
+  /** Per-term micro-score column (see scoring notes above). Callers
+    * provide tf/dl/df/n/avgdl columns; k1/b default to the standard
+    * 1.2/0.75 (0.25 = 1-b and 2.2 = k1+1 are written out so the doubles
+    * are literal-identical to the oracle SQL). */
+  private[operators] def termMicros(
+      tf: Column, dl: Column, df: Column, n: Column, avgdl: Column): Column = {
+    val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+    val tfn = tf * lit(2.2) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+    round(idf * tfn * lit(1000000.0), 0).cast("long")
+  }
+
+  /** Ad-hoc BM25: (docid, bm25_micros) for every document matching at
+    * least one query term, scored in ONE declarative plan over the raw
+    * corpus. Use [[Bm25Index]] when the corpus is indexed ahead of
+    * time. */
+  def score(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val p = postings(docs, textCol, idCol)
+    val matched = p.filter(col("term").isin(terms: _*))
+    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    matched
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats(docs, textCol)))
+      .select(col("docid"),
+        termMicros(col("tf"), col("dl"), col("df"), col("n"),
+          col("avgdl")).as("__micros"))
+      .groupBy("docid")
+      .agg(sum("__micros").as("bm25_micros"))
+  }
+
+  /** Top-k convenience over [[score]]: deterministic ties on docid;
+    * lowers to TakeOrderedAndProject. */
+  def topK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int): DataFrame =
+    score(docs, textCol, idCol, queryTerms)
+      .orderBy(desc("bm25_micros"), col("docid").asc)
+      .limit(k)
+
+  /** Hybrid lexical+semantic ranking — txtai's `hybrid: true` blend.
+    * BM25 micro-scores and cosine similarities are min-max normalized
+    * over the MATCHED candidate set (deterministic: both aggregates are
+    * order-independent) and blended `alpha*semantic + (1-alpha)*lexical`
+    * (txtai's weight convention). Output (docid, hybrid_micros) rounded
+    * so ordering is reproducible.
+    *
+    * `embeddings` supplies (embIdCol, embVecCol); candidates missing an
+    * embedding drop out (inner join) — at scale both sides shuffle on
+    * the id, and the candidate side is already pruned to term matches. */
+  def hybrid(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      embVecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      alpha: Double = 0.5): DataFrame = {
+    val lex = score(docs, textCol, idCol, queryTerms)
+    val sem = embeddings.select(
+      col(embIdCol).cast("long").as("docid"),
+      graft.Graft.cosineSim(col(embVecCol), typedlit(queryVec)).as("__cos"))
+    val cand = lex.join(sem, "docid")
+    val bounds = cand.agg(
+      min("bm25_micros").as("__bmin"), max("bm25_micros").as("__bmax"),
+      min("__cos").as("__cmin"), max("__cos").as("__cmax"))
+    val normB = when(col("__bmax") === col("__bmin"), lit(1.0))
+      .otherwise((col("bm25_micros") - col("__bmin")).cast("double") /
+        (col("__bmax") - col("__bmin")).cast("double"))
+    val normC = when(col("__cmax") === col("__cmin"), lit(1.0))
+      .otherwise((col("__cos") - col("__cmin")) /
+        (col("__cmax") - col("__cmin")))
+    cand.crossJoin(broadcast(bounds))
+      .select(col("docid"),
+        round((lit(alpha) * normC + lit(1.0 - alpha) * normB) *
+          lit(1000000.0), 0).cast("long").as("hybrid_micros"))
+  }
+}
+
+/** Persisted inverted index: postings stored partitioned by
+  * `bucket = pmod(hash(term), nBuckets)` so a keyword query opens ONLY
+  * its terms' buckets (Hive partition pruning — same 100 TB storage
+  * story as [[graft.index.LshVectorIndex]]), with the corpus stats in a
+  * `_stats` sidecar the partition reader ignores. */
+class Bm25Index private (
+    val spark: SparkSession,
+    val path: String,
+    val n: Long,
+    val avgdl: Double,
+    val nBuckets: Int) {
+
+  def postings: DataFrame = spark.read.parquet(path)
+
+  /** Partition-pruned BM25 top-k. df is computed from the pruned
+    * postings themselves (exact: every posting of a matched term lives
+    * in the matched bucket). */
+  def search(queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val buckets = terms.map(t => Bm25Index.bucketOf(t, nBuckets)).distinct
+    val matched = postings
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    matched
+      .join(broadcast(dfs), "term")
+      .select(col("docid"),
+        Bm25.termMicros(col("tf"), col("dl"), col("df"), lit(n),
+          lit(avgdl)).as("__micros"))
+      .groupBy("docid")
+      .agg(sum("__micros").as("bm25_micros"))
+      .orderBy(desc("bm25_micros"), col("docid").asc)
+      .limit(k)
+  }
+}
+
+object Bm25Index {
+
+  /** Engine-side twin of the storage bucketing: Spark's `hash` (Murmur3
+    * seed 42) mod nBuckets, computed driver-side for pruning. */
+  private[operators] def bucketOf(term: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      term.getBytes("UTF-8"),
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      term.getBytes("UTF-8").length, 42)
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  def build(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      nBuckets: Int = 64): Bm25Index = {
+    val spark = docs.sparkSession
+    Bm25.postings(docs, textCol, idCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val Array(st) = Bm25.stats(docs, textCol).collect()
+    import spark.implicits._
+    Seq((st.getLong(0), st.getDouble(1), nBuckets))
+      .toDF("n", "avgdl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    new Bm25Index(spark, path, st.getLong(0), st.getDouble(1), nBuckets)
+  }
+
+  def load(spark: SparkSession, path: String): Bm25Index = {
+    val st = spark.read.parquet(s"$path/_stats").head()
+    new Bm25Index(spark, path, st.getLong(0), st.getDouble(1), st.getInt(2))
+  }
+}

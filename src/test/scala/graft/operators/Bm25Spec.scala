@@ -1,0 +1,132 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class Bm25Spec extends SparkTestBase {
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark vector join"),
+      (2L, "vector vector hash"),
+      (3L, "the quick brown fox"),
+      (4L, "hash join hash join hash")
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings carry one row per distinct (doc, term) with dl and tf") {
+    val p = Bm25.postings(docs, "text", "doc_id").collect()
+    val d2 = p.filter(_.getAs[Long]("docid") == 2L)
+    assert(d2.length == 2) // vector, hash
+    val vec = d2.find(_.getAs[String]("term") == "vector").get
+    assert(vec.getAs[Long]("tf") == 2L && vec.getAs[Long]("dl") == 3L)
+  }
+
+  test("score ranks higher-tf and rarer-term docs above common matches") {
+    val res = Bm25.score(docs, "text", "doc_id", Seq("vector", "hash"))
+      .collect().map(r => r.getAs[Long]("docid") -> r.getAs[Long]("bm25_micros"))
+      .toMap
+    // d3 has no query term → absent
+    assert(res.keySet == Set(1L, 2L, 4L))
+    // d2 (vector x2 + hash) beats d1 (vector x1)
+    assert(res(2L) > res(1L))
+    // all scores positive (Lucene idf is always > 0)
+    assert(res.values.forall(_ > 0))
+  }
+
+  test("hand-computed micro-scores match the Okapi/Lucene formula") {
+    val res = Bm25.score(docs, "text", "doc_id", Seq("vector"))
+      .collect().map(r => r.getAs[Long]("docid") -> r.getAs[Long]("bm25_micros"))
+      .toMap
+    // N=4, avgdl=(3+3+4+5)/4=3.75, df(vector)=2
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.75))
+    assert(res(1L) == math.round(idf * tfn(1, 3) * 1e6))
+    assert(res(2L) == math.round(idf * tfn(2, 3) * 1e6))
+  }
+
+  test("topK is deterministic: score desc, docid asc on ties") {
+    val top = Bm25.topK(docs, "text", "doc_id", Seq("vector", "hash"), 2)
+      .collect().map(_.getAs[Long]("docid")).toSeq
+    val all = Bm25.score(docs, "text", "doc_id", Seq("vector", "hash"))
+      .orderBy(desc("bm25_micros"), col("docid"))
+      .collect().map(_.getAs[Long]("docid")).toSeq
+    assert(top == all.take(2))
+  }
+
+  test("query terms are lowercased and deduplicated") {
+    val a = Bm25.score(docs, "text", "doc_id", Seq("VECTOR", "vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Bm25.score(docs, "text", "doc_id", Seq("vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("hybrid blends normalized lexical and semantic scores") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.6f, 0.8f)), (4L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val res = Bm25.hybrid(docs, "text", "doc_id", emb, "vec_id", "embedding",
+        Seq("vector", "hash"), Array(1f, 0f), alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("docid") -> r.getAs[Long]("hybrid_micros"))
+      .toMap
+    assert(res.keySet == Set(1L, 2L, 4L))
+    // min-max puts every blend in [0, 1e6]
+    assert(res.values.forall(v => v >= 0 && v <= 1000000L))
+    // d1: cosine=1 (max semantic); d4: max lexical. With alpha=1 the
+    // ranking is purely semantic → d1 on top.
+    val sem = Bm25.hybrid(docs, "text", "doc_id", emb, "vec_id", "embedding",
+        Seq("vector", "hash"), Array(1f, 0f), alpha = 1.0)
+      .orderBy(desc("hybrid_micros")).collect()
+    assert(sem.head.getAs[Long]("docid") == 1L)
+  }
+
+  test("Bm25Index search matches ad-hoc topK and prunes buckets") {
+    val dir = Files.createTempDirectory("bm25idx").toString
+    val idx = Bm25Index.build(docs, "text", "doc_id", dir, nBuckets = 8)
+    val fromIndex = idx.search(Seq("vector", "hash"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adHoc = Bm25.topK(docs, "text", "doc_id", Seq("vector", "hash"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromIndex == adHoc)
+
+    // reload from disk → same stats, same results
+    val re = Bm25Index.load(spark, dir)
+    assert(re.n == idx.n && math.abs(re.avgdl - idx.avgdl) < 1e-12)
+    assert(re.search(Seq("vector", "hash"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == adHoc)
+
+    // the pruned plan touches only the query terms' buckets
+    val plan = idx.search(Seq("vector"), 3).queryExecution.executedPlan.toString
+    val bucket = Bm25Index.bucketOf("vector", 8)
+    assert(plan.contains(s"bucket#") || plan.contains("PartitionFilters"))
+    val scanned = idx.postings
+      .filter(col("bucket").isin(bucket))
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(scanned.contains("vector"))
+  }
+
+  test("driver-side bucketOf matches Spark's hash(term) pmod nBuckets") {
+    val terms = Seq("vector", "hash", "join", "spark", "the", "fox")
+    import spark.implicits._
+    val sparkSide = terms.toDF("t")
+      .select(col("t"), pmod(hash(col("t")), lit(8)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(Bm25Index.bucketOf(t, 8) == sparkSide(t), s"term $t")
+    }
+  }
+
+  test("empty query is a loud error") {
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "text", "doc_id", Seq.empty)
+    }
+  }
+}
