@@ -58,6 +58,28 @@ object Bm25 {
       .select(col("n"),
         (col("__sumdl").cast("double") / col("n")).as("avgdl"))
 
+  /** Per-document marker term injected into [[postingsWithMarker]]: the
+    * tokenizer can never produce it ([a-z]+|[0-9]+ excludes NUL), so
+    * marker rows are invisible to term matching while letting corpus
+    * stats (n, avgdl) ride the SAME postings pass — including docs with
+    * zero tokens, which a plain explode would drop. */
+  private[operators] val DocMarker = "\u0000"
+
+  /** Postings plus one marker row per document (see [[DocMarker]]).
+    * `dl` is the REAL token count (marker excluded); a null text yields
+    * just its marker row with a null dl, mirroring [[stats]] (counted
+    * in n, skipped by the dl sum). */
+  private[operators] def postingsWithMarker(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("docid"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("docid"), size(col("__toks")).cast("long").as("dl"),
+        explode(concat(array(lit(DocMarker)),
+          coalesce(col("__toks"), array()))).as("term"))
+      .groupBy("docid", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
   /** Per-term micro-score column (see scoring notes above). Callers
     * provide tf/dl/df/n/avgdl columns; k1/b default to the standard
     * 1.2/0.75 (0.25 = 1-b and 2.2 = k1+1 are written out so the doubles
@@ -71,22 +93,57 @@ object Bm25 {
   }
 
   /** Ad-hoc BM25: (docid, bm25_micros) for every document matching at
-    * least one query term, scored in ONE declarative plan over the raw
-    * corpus. Use [[Bm25Index]] when the corpus is indexed ahead of
-    * time. */
+    * least one query term, scored in ONE declarative plan that scans
+    * and tokenizes the corpus exactly ONCE. Use [[Bm25Index]] when the
+    * corpus is indexed ahead of time.
+    *
+    * Single-scan mechanics (the naive formulation re-tokenized the
+    * corpus three times — once each for matched postings, per-term df,
+    * and n/avgdl stats):
+    *  - [[postingsWithMarker]] carries corpus stats IN the postings
+    *    (one un-matchable marker row per doc), so n/avgdl derive from
+    *    the same shuffled postings;
+    *  - both consumers keep the postings exchange byte-identical so
+    *    Spark's ReuseExchange runs it once: term matching is a
+    *    broadcast JOIN (an `isin` filter would push below the
+    *    aggregate and fork the exchange into a filtered twin) and the
+    *    stats aggregate consumes every posting column (column pruning
+    *    would otherwise rewrite the shared subtree per-branch);
+    *  - per-term df is a window count over the matched rows (a
+    *    separate groupBy branch would be a third consumer shape and,
+    *    pre-reuse, was the second corpus scan).
+    * The full-postings shuffle this shares is the same volume the
+    * matched-side aggregation already paid; what disappears is two
+    * extra corpus scans + regex tokenization passes — the measured
+    * cost driver for text pipelines. */
   def score(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
-    val terms = queryTerms.map(_.toLowerCase).distinct
-    val p = postings(docs, textCol, idCol)
-    val matched = p.filter(col("term").isin(terms: _*))
-    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val terms = queryTerms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
+    require(terms.nonEmpty, "bm25: empty query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = postingsWithMarker(docs, textCol, idCol)
+    val st = p
+      .join(broadcast(Seq(DocMarker).toDF("term")), "term")
+      // count(docid) + sum(dl*tf), not count(*) + sum(dl): a marker
+      // row's tf is exactly 1, so the numbers are identical — but this
+      // form consumes all four posting columns, which keeps the
+      // postings aggregate byte-identical to the matched branch's (the
+      // optimizer prunes unused aggregate functions per-branch, and a
+      // pruned twin would fork the shared exchange — see reuse note)
+      .agg(count(col("docid")).as("n"),
+        sum(col("dl") * col("tf")).as("__sumdl"))
+      .select(col("n"),
+        (col("__sumdl").cast("double") / col("n")).as("avgdl"))
+    val matched = p.join(broadcast(terms.toDF("term")), "term")
     matched
-      .join(broadcast(dfs), "term")
-      .crossJoin(broadcast(stats(docs, textCol)))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .crossJoin(broadcast(st))
       .select(col("docid"),
         termMicros(col("tf"), col("dl"), col("df"), col("n"),
           col("avgdl")).as("__micros"))
@@ -115,7 +172,17 @@ object Bm25 {
     *
     * `embeddings` supplies (embIdCol, embVecCol); candidates missing an
     * embedding drop out (inner join) — at scale both sides shuffle on
-    * the id, and the candidate side is already pruned to term matches. */
+    * the id, and the candidate side is already pruned to term matches.
+    *
+    * The cosine projection sits ABOVE the candidate join, so the
+    * semantic side scores only the keyword-matched survivors — never a
+    * full-corpus scan of the embedding table (the join itself prunes:
+    * column pruning reaches the embedding scan, and Catalyst never
+    * pushes expression projections below a join). The candidate set is
+    * read twice (min/max bounds + final blend) but its expensive
+    * lineage — postings shuffle, BM25 aggregation, embedding scan — is
+    * shared via ReuseExchange; only the candidate-bounded join and
+    * cosine re-run. */
   def hybrid(
       docs: DataFrame,
       textCol: String,
@@ -127,10 +194,11 @@ object Bm25 {
       queryVec: Array[Float],
       alpha: Double = 0.5): DataFrame = {
     val lex = score(docs, textCol, idCol, queryTerms)
-    val sem = embeddings.select(
-      col(embIdCol).cast("long").as("docid"),
-      graft.Graft.cosineSim(col(embVecCol), typedlit(queryVec)).as("__cos"))
-    val cand = lex.join(sem, "docid")
+    val emb = embeddings.select(
+      col(embIdCol).cast("long").as("docid"), col(embVecCol).as("__v"))
+    val cand = lex.join(emb, "docid")
+      .select(col("docid"), col("bm25_micros"),
+        graft.Graft.cosineSim(col("__v"), typedlit(queryVec)).as("__cos"))
     val bounds = cand.agg(
       min("bm25_micros").as("__bmin"), max("bm25_micros").as("__bmax"),
       min("__cos").as("__cmin"), max("__cos").as("__cmax"))
@@ -203,10 +271,14 @@ object Bm25Index {
       path: String,
       nBuckets: Int = 64): Bm25Index = {
     val spark = docs.sparkSession
+    // stats first: an empty corpus must fail loudly BEFORE the postings
+    // write mutates the target path (n=0 would also make avgdl NULL and
+    // surface later as an opaque NPE)
+    val Array(st) = Bm25.stats(docs, textCol).collect()
+    require(st.getLong(0) > 0, s"bm25: empty corpus, refusing to build $path")
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val Array(st) = Bm25.stats(docs, textCol).collect()
     import spark.implicits._
     Seq((st.getLong(0), st.getDouble(1), nBuckets))
       .toDF("n", "avgdl", "n_buckets")
