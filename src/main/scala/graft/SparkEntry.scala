@@ -700,6 +700,49 @@ object SparkEntry {
           Seq("vector", "hash", "join"), queryVec(s, dir), alpha = 0.5)
         .orderBy(desc("hybrid_micros"), col("docid").asc)
         .limit(10)
+    }),
+
+    // the 100 TB keyword path: BM25 over the PERSISTED bucket-
+    // partitioned inverted index — a query opens only its terms' hashed
+    // buckets (Hive partition pruning, plan-pinned in PlanAuditSpec).
+    // Scores are identical to the ad-hoc bm25_topk by construction
+    // (same postings, same n/avgdl), so the oracle SQL is shared.
+    "bm25_index_topk" -> ((s, dir) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).toString
+      val idx = operators.Bm25Index.build(
+        t(s, dir, "documents"), "text", "doc_id", path, nBuckets = 64)
+      idx.search(Seq("vector", "hash", "join"), 10)
+    }),
+
+    // the composed faiss recipe, IVF + PQ: cluster-partitioned storage,
+    // ADC over the probed clusters' 8-byte codes, exact-cosine re-rank
+    // of the k*refine shortlist. Final scores are exact, so the oracle
+    // re-ranks the dumped shortlist ("ivfpq_candidates") like pq_knn's.
+    "ivfpq_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val ivf = operators.Ivf.train(emb, "embedding", k = 16)
+      val pq = operators.Pq.train(emb, "embedding", m = 8, ksub = 64)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivfpq_index_" + Integer.toHexString(dir.hashCode)).toString
+      val idx = index.IvfVectorIndex.build(
+        emb, "embedding", "vec_id", path, ivf, Some(pq))
+      idx.searchAdc(queryVec(s, dir), 10, nprobe = 4, refine = 5)
+        .select(col("docid").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // hybrid over raw query TEXT (txtai `hybrid: true` over the same
+    // search(text) entry): BM25-tokenized lexical half + encoded-vector
+    // semantic half, blended like hybrid_rank. The encoded qvec is
+    // engine-side (TextEncoder), dumped as aux "hybrid_text_qvec" so
+    // the oracle re-derives the blend from the same vector.
+    "hybrid_sql_text" -> ((s, dir) => {
+      Graft.init(s)
+      operators.Workflows.hybridSearch(
+        t(s, dir, "documents"), "text", "doc_id",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        "vector hash join", k = 10, alpha = 0.5)
     })
   )
 
@@ -775,6 +818,32 @@ object SparkEntry {
     "sql_text_qvec" -> ((s, dir) => {
       val v = TextEncoder.encode("machine learning")
       s.createDataFrame(Seq(Tuple1(v))).toDF("qv")
+    }),
+
+    // hybrid_sql_text: the encoded query vector for the hybrid query
+    "hybrid_text_qvec" -> ((s, dir) => {
+      val v = TextEncoder.encode("vector hash join")
+      s.createDataFrame(Seq(Tuple1(v))).toDF("qv")
+    }),
+
+    // ivfpq_knn: the ADC shortlist over the probed clusters (both
+    // codebooks are engine-side; deterministic training makes this
+    // re-derivation identical to the one inside searchAdc)
+    "ivfpq_candidates" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val ivf = operators.Ivf.train(emb, "embedding", k = 16)
+      val pq = operators.Pq.train(emb, "embedding", m = 8, ksub = 64)
+      val probes = ivf.nearest(queryVec(s, dir), 4)
+      val probed = operators.Ivf.assign(emb, "embedding", ivf)
+        .filter(col("cluster").isin(probes: _*))
+      operators.Pq.adcScore(
+          operators.Pq.encode(probed, "embedding", pq)
+            .select("vec_id", "code"),
+          "code", queryVec(s, dir), pq)
+        .orderBy(desc("adc_score"), col("vec_id").asc)
+        .limit(50)
+        .select(col("vec_id"), lit(true).as("shortlisted"))
     })
   )
 
@@ -1375,6 +1444,100 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // identical by construction to bm25_topk (same postings, stats,
+    // and scoring — the index only changes the storage/read path), so
+    // the oracle re-derives the same ranking from the raw corpus
+    "bm25_index_topk" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |scored AS (
+        |  SELECT m.docid,
+        |         CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT) AS micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st)
+        |SELECT CAST(docid AS BIGINT) AS docid,
+        |       CAST(sum(micros) AS BIGINT) AS bm25_micros
+        |FROM scored GROUP BY 1
+        |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    // exact-cosine re-rank of the engine's IVF+PQ shortlist (both
+    // codebooks are engine-side; the re-rank uses exact cosine, so
+    // ranking, tie-break, and limit are fully re-derived — the
+    // pq_knn pattern over the composed index's candidates)
+    "ivfpq_knn" ->
+      """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ivfpq_candidates/*.parquet')
+        |           WHERE shortlisted),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score
+        |FROM e JOIN c USING (vec_id)
+        |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // hybrid_rank's blend re-derived against the engine-dumped encoded
+    // query vector (the lexical half is identical; the semantic half
+    // scores the aux qvec instead of a stored embedding)
+    "hybrid_sql_text" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |lex AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1),
+        |q AS (SELECT qv::DOUBLE[] AS qvec
+        |      FROM read_parquet('__AUX__/hybrid_text_qvec/*.parquet')),
+        |cand AS (
+        |  SELECT l.docid, l.bm25_micros,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                q.qvec) AS cos
+        |  FROM lex l JOIN embeddings e ON l.docid = e.vec_id CROSS JOIN q),
+        |bounds AS (
+        |  SELECT min(bm25_micros) AS bmin, max(bm25_micros) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM cand)
+        |SELECT docid,
+        |       CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+        |                   ELSE (cos - cmin) / (cmax - cmin) END)
+        |             + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+        |                 ELSE CAST(bm25_micros - bmin AS DOUBLE)
+        |                      / CAST(bmax - bmin AS DOUBLE) END))
+        |             * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |FROM cand CROSS JOIN bounds
+        |ORDER BY hybrid_micros DESC, docid LIMIT 10""".stripMargin,
 
     "bm25_topk" ->
       """WITH p AS (

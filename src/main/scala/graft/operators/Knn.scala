@@ -95,10 +95,8 @@ object Knn {
       qVecCol: String,
       qidCol: String,
       k: Int): DataFrame = {
-    Graft.init(index.sparkSession)
-    // the query side is small by contract (it is broadcast below), so
-    // counting it here is one tiny job, not a corpus scan
-    ensureHashAggCapacity(index.sparkSession, queries.count())
+    val spark = index.sparkSession
+    Graft.init(spark)
     // packed-layout dispatch: if the index stores fixed-width binary
     // vectors, pack the (small) query side too and use the packed kernel
     val packed = index.schema(vecCol).dataType ==
@@ -108,8 +106,15 @@ object Knn {
         org.apache.spark.sql.types.BinaryType)
         Graft.packVector(col(qVecCol))
       else col(qVecCol)
-    val q = broadcast(queries.select(
-      col(qidCol).as("qid"), qvec.as("__qvec")))
+    // the query side is small by contract: collect it ONCE — the row
+    // count sizes the hash-agg threshold and the rows become a local
+    // relation, so the (possibly expensive) query lineage is never
+    // executed a second time by a separate count() job or the broadcast
+    val qSel = queries.select(col(qidCol).as("qid"), qvec.as("__qvec"))
+    val qRows = qSel.collect()
+    ensureHashAggCapacity(spark, qRows.length)
+    val q = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSel.schema))
     val score =
       if (packed) Graft.cosineSimPacked(col(vecCol), col("__qvec"))
       else Graft.cosineSim(col(vecCol), col("__qvec"))

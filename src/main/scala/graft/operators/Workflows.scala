@@ -64,4 +64,34 @@ object Workflows {
       query: String,
       limit: Int): DataFrame =
     index.search(encode(query), limit)
+
+  /** Hybrid search over raw query TEXT — the engine face of txtai's
+    * `hybrid: true` config (one `search(text)` entry scoring both
+    * lexically and semantically; the reference family delegates the
+    * keyword half to its server). The text is used twice, both
+    * driver-side: tokenized with the engine's BM25 tokenizer for the
+    * lexical half, and encoded with the registered [[graft.TextEncoder]]
+    * (pluggable; hashing encoder by default) for the semantic half.
+    * Returns the top-k (docid, hybrid_micros), ties on ascending docid. */
+  def hybridSearch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      embVecCol: String,
+      queryText: String,
+      k: Int,
+      alpha: Double = 0.5,
+      encode: String => Array[Float] = graft.TextEncoder.registered)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val terms = Bm25.TokenPattern.r
+      .findAllIn(queryText.toLowerCase).toSeq.distinct
+    require(terms.nonEmpty, s"hybrid: no query terms in '$queryText'")
+    Bm25.hybrid(docs, textCol, idCol, embeddings, embIdCol, embVecCol,
+        terms, encode(queryText), alpha)
+      .orderBy(desc("hybrid_micros"), col("docid").asc)
+      .limit(k)
+  }
 }

@@ -140,6 +140,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  /** The truly-executed region of an AQE plan string: executedPlan
+    * .toString appends the pre-execution "Initial Plan" section, which
+    * still shows the un-reused duplicate subtrees — cut it off. */
+  private def executedRegion(df: DataFrame): String = {
+    df.collect()
+    physical(df).split("== Initial Plan ==").head
+  }
+
+  test("bm25_topk: ONE corpus scan (stats/df/match share the postings " +
+    "exchange via ReuseExchange); top-k is TakeOrderedAndProject") {
+    val region = executedRegion(run("bm25_topk"))
+    val scans = region.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, region)
+    assert(region.contains("ReusedExchange"), region)
+    assert(region.contains("TakeOrderedAndProject"), region)
+  }
+
+  test("hybrid_rank: cosine scores only candidate-join survivors, " +
+    "never a full embedding scan") {
+    val region = executedRegion(run("hybrid_rank"))
+    // every cosine projection must sit DIRECTLY above a join: its child
+    // (the next printed line) is the candidate join, not a file scan
+    val lines = region.linesIterator.toVector
+    val cosIdx = lines.zipWithIndex
+      .filter(_._1.contains("cosine_sim")).map(_._2)
+    assert(cosIdx.nonEmpty, region)
+    cosIdx.foreach { i =>
+      val child = lines(i + 1)
+      assert(child.contains("Join"), s"cosine fed by non-join:\n$child\n$region")
+    }
+    // and the heavy lineage below the candidate set is shared, not
+    // recomputed for the min/max bounds pass
+    assert(region.contains("ReusedExchange"), region)
+  }
+
+  test("bm25_index_topk: the postings scan prunes to the query terms' " +
+    "bucket partitions") {
+    val plan = physical(run("bm25_index_topk"))
+    // bucket=... is a PARTITION filter (pruned directories, like
+    // LshVectorIndexSpec), never a post-scan data filter
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("fingerprint runs inside WholeStageCodegen (no interpreted HOF)") {
     val df = run("fingerprint")
     df.collect()
