@@ -608,14 +608,17 @@ object SparkEntry {
             "es" -> Seq("sort", "key"))).as("pred_lang"))
         .orderBy("doc_id")),
 
-    // multimodal: binary media column → typed metadata via the decode
-    // stage (codec stubbed deterministically; plumbing is real)
+    // multimodal: binary media column → typed metadata via a REAL
+    // header parse (MediaCodec: PNG IHDR / JPEG SOFn). Fixture bytes
+    // are generated (valid signatures/chunks/CRCs — no image libs in
+    // this container) and dumped as aux "media_blobs"; the oracle
+    // re-parses the same blobs byte-for-byte in SQL over hex().
     "multimodal_meta" -> ((s, dir) => {
       // filter BEFORE the decode stage: mapPartitions blocks predicate
       // pushdown, and a real codec would dominate cost on skipped rows
-      val media = t(s, dir, "documents")
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      val media = operators.MediaFixtures.withMedia(
+        t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id"),
+        "doc_id", "media")
       operators.Multimodal.decodeMeta(media, "media")
         .select(col("doc_id"), col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
@@ -819,6 +822,13 @@ object SparkEntry {
       val v = TextEncoder.encode("machine learning")
       s.createDataFrame(Seq(Tuple1(v))).toDF("qv")
     }),
+
+    // multimodal_meta: the generated media bytes, so the oracle can
+    // re-parse the PNG/JPEG headers independently (DuckDB hex() SQL)
+    "media_blobs" -> ((s, dir) =>
+      operators.MediaFixtures.withMedia(
+        t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id"),
+        "doc_id", "media")),
 
     // hybrid_sql_text: the encoded query vector for the hybrid query
     "hybrid_text_qvec" -> ((s, dir) => {
@@ -1409,13 +1419,38 @@ object SparkEntry {
         |            ELSE 'es' END AS pred_lang
         |FROM x ORDER BY doc_id""".stripMargin,
 
+    // Independent SQL re-parse of the dumped media blobs: PNG headers
+    // are fixed-offset (signature 8 bytes, IHDR width/height/colortype
+    // at bytes 17/21/26 → hex chars 33/41/51), JPEG via the first SOF0
+    // marker (fixture APP0 payloads contain no FF bytes, so the first
+    // FFC0 in the hex string IS the frame header).
     "multimodal_meta" ->
-      """SELECT doc_id,
-        |       16 + octet_length(text::BLOB) % 1024 AS width,
-        |       16 + (octet_length(text::BLOB) // 3) % 1024 AS height,
-        |       CAST(CASE WHEN octet_length(text::BLOB) % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
-        |       CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+      """WITH h AS (SELECT doc_id, hex(media) AS x
+        |           FROM read_parquet('__AUX__/media_blobs/*.parquet')),
+        |png AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(x, 33, 8)) AS BIGINT) AS width,
+        |         CAST(('0x' || substr(x, 41, 8)) AS BIGINT) AS height,
+        |         CAST(CASE substr(x, 51, 2)
+        |              WHEN '00' THEN 1 WHEN '02' THEN 3 WHEN '03' THEN 1
+        |              WHEN '04' THEN 2 WHEN '06' THEN 4 END AS BIGINT) AS channels,
+        |         'png' AS format
+        |  FROM h
+        |  WHERE substr(x, 1, 16) = '89504E470D0A1A0A'
+        |    AND substr(x, 25, 8) = '49484452'),
+        |jp AS (SELECT doc_id, x, position('FFC0' IN x) AS p
+        |       FROM h WHERE substr(x, 1, 4) = 'FFD8'),
+        |jpeg AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(x, p + 14, 4)) AS BIGINT) AS width,
+        |         CAST(('0x' || substr(x, p + 10, 4)) AS BIGINT) AS height,
+        |         CAST(('0x' || substr(x, p + 18, 2)) AS BIGINT) AS channels,
+        |         'jpeg' AS format
+        |  FROM jp WHERE p > 0)
+        |SELECT doc_id, width, height, channels, format FROM png
+        |UNION ALL
+        |SELECT doc_id, width, height, channels, format FROM jpeg
+        |ORDER BY doc_id""".stripMargin,
 
     "label_centroids" ->
       """SELECT label, r.range AS pos, round(avg(embedding[r.range + 1]), 6) AS v

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+/** Real image-header codecs for the two ubiquitous public formats —
+  * the decode half of the multimodal column story (the reference
+  * stores raw image bytes per object, 01_simple.ipynb cell 29
+  * `"object": request.read()` with `"objects": True`).
+  *
+  * Pure functions over bytes, no image library needed:
+  *  - PNG (ISO/IEC 15948): 8-byte signature, then the IHDR chunk —
+  *    width/height as big-endian ints, channel count from the color
+  *    type byte;
+  *  - JPEG (ITU-T T.81 / JFIF): a marker-segment walk to the first
+  *    frame header (SOFn), which carries height, width, and the
+  *    component count.
+  *
+  * Unknown, truncated, or corrupt bytes parse to None — a decode
+  * stage over 100 TB of crawled media must tolerate dirty rows, never
+  * throw. */
+object MediaCodec {
+
+  final case class Meta(width: Int, height: Int, channels: Int, format: String)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def parse(bytes: Array[Byte]): Option[Meta] =
+    if (bytes == null) None
+    else parsePng(bytes).orElse(parseJpeg(bytes))
+
+  /** Signature + IHDR (must be the first chunk per the spec). */
+  def parsePng(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 26) return None
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette index
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) None else Some(Meta(w, h, channels, "png"))
+  }
+
+  /** SOI, then walk marker segments to the first SOFn frame header
+    * (C0-CF minus C4/C8/CC, which are huffman/arithmetic tables). */
+  def parseJpeg(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      // standalone markers carry no length field
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { i += 2 }
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 9 >= b.length) return None
+          val h0 = be16(b, i + 5)
+          val w0 = be16(b, i + 7)
+          val nc = b(i + 9) & 0xff
+          return if (w0 > 0 && h0 > 0 && nc > 0) Some(Meta(w0, h0, nc, "jpeg"))
+          else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+}
+
+/** Deterministic generators of VALID media bytes — the writer half,
+  * used by fixtures and the declared multimodal query (this container
+  * ships no image libraries, so fixture media are generated; the bytes
+  * are real format structure: correct signatures, chunk layout, and
+  * CRCs, parseable by any standards-compliant reader). */
+object MediaFixtures {
+
+  /** Header-complete PNG: signature + IHDR (+ real CRC32) + IEND. */
+  def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val chunk = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(chunk)
+    d.writeBytes("IHDR"); d.writeInt(w); d.writeInt(h)
+    d.write(8); d.write(colorType); d.write(0); d.write(0); d.write(0)
+    val body = chunk.toByteArray
+    out.writeInt(body.length - 4) // chunk length excludes the type tag
+    out.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    out.writeInt(crc.getValue.toInt)
+    out.writeInt(0)
+    val iend = "IEND".getBytes("US-ASCII")
+    out.write(iend)
+    val c2 = new java.util.zip.CRC32(); c2.update(iend)
+    out.writeInt(c2.getValue.toInt)
+    bos.toByteArray
+  }
+
+  /** Minimal JFIF: SOI + APP0 + SOF0 frame header + EOI. */
+  def jpeg(w: Int, h: Int, nComponents: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0
+    out.writeShort(16)
+    out.writeBytes("JFIF"); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0) // aspect-ratio units
+    out.writeShort(1); out.writeShort(1) // density
+    out.write(0); out.write(0) // no thumbnail
+    out.write(0xff); out.write(0xc0) // SOF0 (baseline)
+    out.writeShort(8 + 3 * nComponents)
+    out.write(8) // precision
+    out.writeShort(h); out.writeShort(w)
+    out.write(nComponents)
+    var c = 0
+    while (c < nComponents) {
+      out.write(c + 1); out.write(0x11); out.write(0); c += 1
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** The media bytes for one row id: format, size, and channel count
+    * all vary deterministically so a fixture table exercises every
+    * parse path. */
+  def mediaFor(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id * 7, 480)).toInt
+    val h = (16 + math.floorMod(id * 13, 360)).toInt
+    if (id % 2 == 0) png(w, h, if (id % 4 == 0) 2 else 0)
+    else jpeg(w, h, if (math.floorMod(id, 4) == 1) 3 else 1)
+  }
+
+  /** Attach a deterministic `binary` media column keyed on `idCol` —
+    * one shuffle-free pass, like every decode stage here. */
+  def withMedia(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val inSchema: StructType = df.schema
+    val outSchema = inSchema.add(outCol, BinaryType, nullable = false)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getAs[Number](idIdx).longValue()
+        Row.fromSeq(row.toSeq :+ mediaFor(id))
+      }
+    }(enc)
+  }
+}

@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * metadata structs (the reference's `"objects": True` binary store,
   * 01_simple.ipynb cell 29 / SURVEY §1.3).
   *
-  * The Spark-side machinery — schema, per-partition batch decode loop,
-  * deterministic output shape — is real and tested. The codec itself is
-  * STUBBED with a deterministic fake (this container ships no image /
-  * audio libraries): `FakeCodec` derives metadata and features purely
-  * from the bytes, so tests and oracles are reproducible. Swapping in a
-  * real decoder is a one-function change inside the `mapPartitions`
+  * The metadata decode is REAL: [[MediaCodec]] parses PNG IHDR and
+  * JPEG SOFn headers (public formats, pure byte functions — no image
+  * library needed); unparseable bytes yield a null `meta`, never an
+  * exception. Pixel-level stages (feature extraction, frame sampling)
+  * remain honestly stubbed with deterministic byte-level fakes
+  * (`FakeCodec` — this container ships no pixel decoder): swapping in
+  * a real model is a one-function change inside the `mapPartitions`
   * loop; the plan shape (no shuffle, one pass over binary blobs,
   * decode parallelism = partition count) is exactly what a production
   * decode stage looks like.
@@ -28,19 +29,11 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB decoder — deterministic fake in place of a real image codec.
+  /** STUB pixel stages — deterministic fakes in place of a real pixel
+    * decoder (header METADATA parsing is real, see [[MediaCodec]]).
     * Real implementation: replace the body with e.g. ImageIO /
     * ffmpeg-cli per partition; everything around it stays. */
   object FakeCodec {
-    def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) = {
-      val n = bytes.length
-      val w = 16 + math.floorMod(n, 1024)
-      val h = 16 + math.floorMod(n / 3, 1024)
-      val c = if (math.floorMod(n, 2) == 0) 3 else 1
-      val fmt = if (math.floorMod(n, 3) == 0) "png" else "jpeg"
-      (w, h, c, fmt)
-    }
-
     /** Fake feature vector: dim fixed-size chunked byte sums, L1-scaled —
       * deterministic, shaped like a real embedding head. */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -63,8 +56,10 @@ object Multimodal {
       }
   }
 
-  /** Decode metadata for every blob: one `mapPartitions` pass, no
-    * shuffle; output = input columns + `meta` struct. */
+  /** Decode metadata for every blob — REAL header parse
+    * ([[MediaCodec]]: PNG IHDR / JPEG SOFn): one `mapPartitions` pass,
+    * no shuffle; output = input columns + `meta` struct (null for
+    * null/unparseable bytes). */
   def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add("meta", metaSchema, nullable = true)
@@ -73,10 +68,9 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val meta = if (bytes == null) null else {
-          val (w, h, c, f) = FakeCodec.decodeMeta(bytes)
-          Row(w, h, c, f)
-        }
+        val meta = MediaCodec.parse(bytes)
+          .map(m => Row(m.width, m.height, m.channels, m.format))
+          .orNull
         Row.fromSeq(row.toSeq :+ meta)
       }
     }(enc)

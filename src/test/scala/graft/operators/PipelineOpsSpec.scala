@@ -261,13 +261,24 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("multimodal: decodeMeta/extractFeatures/sampleFrames shapes + nulls") {
     val media = Seq(
-      (1L, "some media bytes payload".getBytes("UTF-8")),
-      (2L, Array[Byte]()),
+      (1L, MediaFixtures.png(640, 480, 2)),
+      (2L, MediaFixtures.jpeg(320, 200, 3)),
+      (4L, "not an image at all".getBytes("UTF-8")),
+      (5L, Array[Byte]()),
       (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
     val meta = Multimodal.decodeMeta(media, "media")
     assert(meta.schema("meta").dataType == Multimodal.metaSchema)
-    val m1 = meta.filter(col("id") === 1).select("meta.width", "meta.format").head()
-    assert(m1.getInt(0) == 16 + 24 % 1024 && m1.getString(1) == "png")
+    val m1 = meta.filter(col("id") === 1)
+      .select("meta.width", "meta.height", "meta.channels", "meta.format").head()
+    assert(m1.getInt(0) == 640 && m1.getInt(1) == 480 &&
+      m1.getInt(2) == 3 && m1.getString(3) == "png")
+    val m2 = meta.filter(col("id") === 2)
+      .select("meta.width", "meta.height", "meta.channels", "meta.format").head()
+    assert(m2.getInt(0) == 320 && m2.getInt(1) == 200 &&
+      m2.getInt(2) == 3 && m2.getString(3) == "jpeg")
+    // non-image and empty bytes parse to null meta, never throw
+    assert(meta.filter(col("id") === 4).select("meta").head().isNullAt(0))
+    assert(meta.filter(col("id") === 5).select("meta").head().isNullAt(0))
     assert(meta.filter(col("id") === 3).select("meta").head().isNullAt(0))
 
     val feats = Multimodal.extractFeatures(media, "media", dim = 8)
