@@ -614,12 +614,13 @@ object SparkEntry {
     // this container) and dumped as aux "media_blobs"; the oracle
     // re-parses the same blobs byte-for-byte in SQL over hex().
     "multimodal_meta" -> ((s, dir) => {
-      // filter BEFORE the decode stage: mapPartitions blocks predicate
-      // pushdown, and a real codec would dominate cost on skipped rows
+      // the decode is a codegen'd expression, not an optimizer barrier:
+      // the doc_id filter is written AFTER the generate→decode stages
+      // and Catalyst still pushes it to the parquet scan (plan-pinned)
       val media = operators.MediaFixtures.withMedia(
-        t(s, dir, "documents").filter(col("doc_id") < 200).select("doc_id"),
-        "doc_id", "media")
+        t(s, dir, "documents").select("doc_id"), "doc_id", "media")
       operators.Multimodal.decodeMeta(media, "media")
+        .filter(col("doc_id") < 200)
         .select(col("doc_id"), col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
           col("meta.channels").cast("long").as("channels"),

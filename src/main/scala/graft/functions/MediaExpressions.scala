@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.operators.{MediaCodec, MediaFixtures}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** parse_media(bytes) -> struct<width:int, height:int, channels:int,
+  * format:string>: REAL PNG IHDR / JPEG SOFn header decode
+  * ([[graft.operators.MediaCodec]]) as a codegen'd Catalyst expression.
+  *
+  * The parse is a pure `Array[Byte] => struct` function, so it belongs
+  * in the expression layer, not a `mapPartitions` stage: here it stays
+  * inside whole-stage codegen, costs no RowEncoder round-trip, and —
+  * critically for a decode stage over 100 TB of crawled media — leaves
+  * Catalyst free to push filters and prune columns THROUGH the decode
+  * (a mapPartitions is an optimizer barrier; callers had to hand-order
+  * filters before it). Dirty rows (unknown/truncated/corrupt bytes)
+  * yield null, never an exception. */
+case class ParseMedia(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ParseMedia.schema
+  override def prettyName: String = "parse_media"
+  // unparseable bytes → null even when the child is non-nullable
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ParseMedia.parseToRow(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.ParseMedia$$.MODULE$$.parseToRow($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ParseMedia {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  // the codec emits exactly two format tags — intern them once
+  private val png = UTF8String.fromString("png")
+  private val jpeg = UTF8String.fromString("jpeg")
+
+  /** The kernel; public so generated code can call it. Null = no parse. */
+  def parseToRow(bytes: Array[Byte]): InternalRow =
+    MediaCodec.parse(bytes) match {
+      case Some(m) =>
+        val fmt = if (m.format == "png") png else jpeg
+        new GenericInternalRow(Array[Any](m.width, m.height, m.channels, fmt))
+      case None => null
+    }
+}
+
+/** media_for_id(id) -> binary: the deterministic fixture media bytes for
+  * one row id ([[graft.operators.MediaFixtures.mediaFor]]) as a codegen'd
+  * expression, so fixture attachment is not an optimizer barrier either —
+  * scan-pushdown and whole-stage codegen survive the whole
+  * generate → decode pipeline. */
+case class MediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.mediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.mediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,8 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
-import org.apache.spark.sql.types.{BinaryType, StructType}
+import org.apache.spark.sql.DataFrame
 
 /** Real image-header codecs for the two ubiquitous public formats —
   * the decode half of the multimodal column story (the reference
@@ -154,18 +152,15 @@ object MediaFixtures {
     else jpeg(w, h, if (math.floorMod(id, 4) == 1) 3 else 1)
   }
 
-  /** Attach a deterministic `binary` media column keyed on `idCol` —
-    * one shuffle-free pass, like every decode stage here. */
+  /** Attach a deterministic `binary` media column keyed on `idCol` — a
+    * codegen'd expression ([[graft.functions.MediaBytes]]), so fixture
+    * attachment is not an optimizer barrier: the whole
+    * generate → decode pipeline stays in one WholeStageCodegen span with
+    * scan-pushdown intact. */
   def withMedia(df: DataFrame, idCol: String, outCol: String): DataFrame = {
-    val inSchema: StructType = df.schema
-    val outSchema = inSchema.add(outCol, BinaryType, nullable = false)
-    val idIdx = inSchema.fieldIndex(idCol)
-    val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { it =>
-      it.map { row =>
-        val id = row.getAs[Number](idIdx).longValue()
-        Row.fromSeq(row.toSeq :+ mediaFor(id))
-      }
-    }(enc)
+    import org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.functions.col
+    df.withColumn(outCol, Shim.column(
+      graft.functions.MediaBytes(Shim.expression(col(idCol).cast("long")))))
   }
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   *
   * The metadata decode is REAL: [[MediaCodec]] parses PNG IHDR and
   * JPEG SOFn headers (public formats, pure byte functions — no image
-  * library needed); unparseable bytes yield a null `meta`, never an
+  * library needed) via the codegen'd [[graft.functions.ParseMedia]]
+  * expression; unparseable bytes yield a null `meta`, never an
   * exception. Pixel-level stages (feature extraction, frame sampling)
   * remain honestly stubbed with deterministic byte-level fakes
   * (`FakeCodec` — this container ships no pixel decoder): swapping in
@@ -23,11 +24,7 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  val metaSchema: StructType = StructType(Seq(
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+  val metaSchema: StructType = graft.functions.ParseMedia.schema
 
   /** STUB pixel stages — deterministic fakes in place of a real pixel
     * decoder (header METADATA parsing is real, see [[MediaCodec]]).
@@ -57,23 +54,15 @@ object Multimodal {
   }
 
   /** Decode metadata for every blob — REAL header parse
-    * ([[MediaCodec]]: PNG IHDR / JPEG SOFn): one `mapPartitions` pass,
-    * no shuffle; output = input columns + `meta` struct (null for
-    * null/unparseable bytes). */
+    * ([[MediaCodec]]: PNG IHDR / JPEG SOFn) as a codegen'd Catalyst
+    * expression ([[graft.functions.ParseMedia]]): no shuffle, no
+    * RowEncoder round-trip, no optimizer barrier — filters and pruning
+    * push THROUGH the decode to the scan. Output = input columns +
+    * `meta` struct (null for null/unparseable bytes). */
   def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = inSchema.add("meta", metaSchema, nullable = true)
-    val binIdx = inSchema.fieldIndex(binCol)
-    val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binIdx)
-        val meta = MediaCodec.parse(bytes)
-          .map(m => Row(m.width, m.height, m.channels, m.format))
-          .orNull
-        Row.fromSeq(row.toSeq :+ meta)
-      }
-    }(enc)
+    import org.apache.spark.sql.graftshim.Shim
+    df.withColumn("meta",
+      Shim.column(graft.functions.ParseMedia(Shim.expression(col(binCol)))))
   }
 
   /** Feature-extract every blob into `features array<float>` (dim). */
