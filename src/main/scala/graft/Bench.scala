@@ -65,20 +65,28 @@ object Bench {
       "\"" + k + "\":[" + num(a) + "," + num(b) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
+    // stdout gets the COMPACT line only: the driver captures the last
+    // 2000 chars of output and parses the JSON line out of that tail.
+    // The "runs" pairs added in round 4 pushed the line past 2000 chars
+    // and the artifact came back parsed:null in r4 AND r5 — raw runs now
+    // live only in the bench.json file.
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$raws,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: sbt wraps stdout in [info] decoration, which
-    // broke the driver's JSON-line parse in round 1 (BENCH_r01 parsed:null).
+    // Persist the full record first so the compact stdout line is the
+    // LAST thing printed (fewer trailing chars eating into the tail
+    // window; sbt still appends its own [success] footer).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] wrote $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
+    println(line)
   }
 }

@@ -15,7 +15,12 @@ import graft.operators.Workflows
   *    `[nop, transform] → weaviate sink` task list, README.md:30-43);
   *  - `search`: encode each element and run top-k cosine search against
   *    the same index (the reference's `transform → search` task list) —
-  *    all elements are served, not just `elements[0]`.
+  *    all elements are served, not just `elements[0]`;
+  *  - `hybrid`: each element scored lexically (BM25 over the indexed
+  *    `text` column) AND semantically (encoded vector), blended by
+  *    `alpha` (optional request field, default 0.5) — the txtai
+  *    `hybrid: true` config served through the same POST /workflow
+  *    surface ([[Workflows.hybridSearch]]).
   *
   * {{{ sbt "runMain graft.WorkflowMain <request.json> <indexPath> [k]" }}}
   *
@@ -53,8 +58,33 @@ object WorkflowMain {
           hits.mkString("[", ",", "]")
         }
         s"""{"name":"search","results":${results.mkString("[", ",", "]")}}"""
+      case "hybrid" =>
+        val idx = VectorIndex.load(spark, indexPath)
+        val data = idx.df // (docid, uid, text, vector, …props)
+        require(data.schema.fieldNames.contains("text"),
+          "hybrid workflow requires an index built over a 'text' column")
+        // packed-binary indexes unpack for the cosine half (same floats)
+        val emb =
+          if (data.schema("vector").dataType ==
+              org.apache.spark.sql.types.BinaryType)
+            data.withColumn("vector", Graft.unpackVector(col("vector")))
+          else data
+        val alpha = scala.util.Try(req.getAs[Double]("alpha")).getOrElse(0.5)
+        val results = elements.map { q =>
+          val hits = Workflows.hybridSearch(data, "text", "docid",
+              emb, "docid", "vector", q, k, alpha)
+            .join(data.select(col("docid"), col("uid")), "docid")
+            .select(col("uid"), col("docid"),
+              round(col("hybrid_micros") / 1000000.0, 6).as("score"))
+            .orderBy(desc("score"), col("docid").asc)
+            .collect()
+            .map(r => s"""{"uid":"${esc(r.getString(0))}","docid":${r.getLong(1)},""" +
+              s""""score":${r.getDouble(2)}}""")
+          hits.mkString("[", ",", "]")
+        }
+        s"""{"name":"hybrid","results":${results.mkString("[", ",", "]")}}"""
       case other => throw new IllegalArgumentException(
-        s"unknown workflow '$other' (expected 'index' or 'search')")
+        s"unknown workflow '$other' (expected 'index', 'search' or 'hybrid')")
     }
   }
 

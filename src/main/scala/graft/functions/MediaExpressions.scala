@@ -60,7 +60,13 @@ object ParseMedia {
   def parseToRow(bytes: Array[Byte]): InternalRow =
     MediaCodec.parse(bytes) match {
       case Some(m) =>
-        val fmt = if (m.format == "png") png else jpeg
+        // explicit per-tag interning: a future third codec format must
+        // surface as itself, never silently mislabeled as jpeg
+        val fmt = m.format match {
+          case "png" => png
+          case "jpeg" => jpeg
+          case other => UTF8String.fromString(other)
+        }
         new GenericInternalRow(Array[Any](m.width, m.height, m.channels, fmt))
       case None => null
     }

@@ -58,6 +58,16 @@ object Bm25 {
       .select(col("n"),
         (col("__sumdl").cast("double") / col("n")).as("avgdl"))
 
+  /** Raw mergeable stats: (n, sumdl) as LONGS — the exact form
+    * [[Bm25Index]] persists so an append merges bit-exactly (long
+    * addition is associative; a stored double avgdl would drift from
+    * the full-rebuild value). Null texts count in n, contribute 0 dl. */
+  private[operators] def statsRaw(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(size(tokens(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("sumdl"))
+
   /** Per-document marker term injected into [[postingsWithMarker]]: the
     * tokenizer can never produce it ([a-z]+|[0-9]+ excludes NUL), so
     * marker rows are invisible to term matching while letting corpus
@@ -224,10 +234,44 @@ class Bm25Index private (
     val spark: SparkSession,
     val path: String,
     val n: Long,
-    val avgdl: Double,
+    val sumdl: Long,
     val nBuckets: Int) {
 
+  /** Derived exactly as a full rebuild would: one double division over
+    * the exact long totals — so build(A)+append(B) scores are
+    * bit-identical to build(A∪B). */
+  val avgdl: Double = sumdl.toDouble / n
+
   def postings: DataFrame = spark.read.parquet(path)
+
+  /** Incremental append — the growing-corpus path (a day's crawl lands
+    * without re-tokenizing the existing 100 TB): the new docs' postings
+    * append into their term-bucket partitions (existing files
+    * untouched; unmatched buckets still never open on read), and the
+    * `(n, sumdl)` sidecar merges with exact long addition, so ranking
+    * after append is bit-identical to a full rebuild over the union.
+    *
+    * Caller contract (mirror of [[graft.index.VectorIndex.append]]'s
+    * offset-continuing semantics): `idCol` values must be disjoint from
+    * the already-indexed corpus — re-appending an indexed doc would
+    * double-count its postings, same as the reference family's append
+    * (weaviate.py:135-149) which never dedups server-side. Repeated
+    * appends leave one small file per append per bucket; rebuild (or
+    * copy-compact) during maintenance windows, as [[IvfVectorIndex
+    * .compact]] documents for the vector twin. */
+  def append(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    val Array(st) = Bm25.statsRaw(docs, textCol).collect()
+    val (nNew, sumdlNew) = (st.getLong(0), st.getLong(1))
+    if (nNew == 0L) return this
+    Bm25.postings(docs, textCol, idCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    // postings first, stats second: a crash in between leaves the
+    // sidecar undercounting (scores slightly conservative), never a
+    // stats-without-postings index
+    Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+    new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+  }
 
   /** Partition-pruned BM25 top-k. df is computed from the pruned
     * postings themselves (exact: every posting of a matched term lives
@@ -257,11 +301,21 @@ object Bm25Index {
   /** Engine-side twin of the storage bucketing: Spark's `hash` (Murmur3
     * seed 42) mod nBuckets, computed driver-side for pruning. */
   private[operators] def bucketOf(term: String, nBuckets: Int): Int = {
+    val bytes = term.getBytes("UTF-8")
     val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-      term.getBytes("UTF-8"),
-      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-      term.getBytes("UTF-8").length, 42)
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42)
     ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** `(n, sumdl, n_buckets)` sidecar — sumdl kept as a LONG so append
+    * merges are exact (see [[Bm25Index.append]]). */
+  private def writeStats(spark: SparkSession, path: String,
+      n: Long, sumdl: Long, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((n, sumdl, nBuckets))
+      .toDF("n", "sumdl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
   def build(
@@ -274,20 +328,17 @@ object Bm25Index {
     // stats first: an empty corpus must fail loudly BEFORE the postings
     // write mutates the target path (n=0 would also make avgdl NULL and
     // surface later as an opaque NPE)
-    val Array(st) = Bm25.stats(docs, textCol).collect()
+    val Array(st) = Bm25.statsRaw(docs, textCol).collect()
     require(st.getLong(0) > 0, s"bm25: empty corpus, refusing to build $path")
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    import spark.implicits._
-    Seq((st.getLong(0), st.getDouble(1), nBuckets))
-      .toDF("n", "avgdl", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
-    new Bm25Index(spark, path, st.getLong(0), st.getDouble(1), nBuckets)
+    writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets)
+    new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nBuckets)
   }
 
   def load(spark: SparkSession, path: String): Bm25Index = {
     val st = spark.read.parquet(s"$path/_stats").head()
-    new Bm25Index(spark, path, st.getLong(0), st.getDouble(1), st.getInt(2))
+    new Bm25Index(spark, path, st.getLong(0), st.getLong(1), st.getInt(2))
   }
 }

@@ -159,8 +159,18 @@ object MediaFixtures {
     * scan-pushdown intact. */
   def withMedia(df: DataFrame, idCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    // idCol must cast to a non-null long: a null-producing cast would
+    // otherwise silently yield null media, turning a caller bug into
+    // missing fixture rows — fail loudly instead. (RaiseError is
+    // deterministic, so filter pushdown through this projection — the
+    // plan-pinned multimodal_meta property — is unaffected.)
+    val id = col(idCol).cast("long")
+    val guarded = when(id.isNull,
+      raise_error(lit(s"media fixture: id column '$idCol' cast to null"))
+        .cast("long"))
+      .otherwise(id)
     df.withColumn(outCol, Shim.column(
-      graft.functions.MediaBytes(Shim.expression(col(idCol).cast("long")))))
+      graft.functions.MediaBytes(Shim.expression(guarded))))
   }
 }

@@ -185,6 +185,48 @@ class PlanAuditSpec extends SparkTestBase {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("multimodal_meta: the doc_id predicate pushes THROUGH the " +
+    "generate→decode projection to the parquet scan (ParseMedia is an " +
+    "expression, not a mapPartitions barrier)") {
+    val plan = physical(run("multimodal_meta"))
+    assert(plan.contains("LessThan(doc_id,200)"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("ivfpq_knn: probed-cluster partition pruning + In(docid shortlist " +
+    "pushdown on the re-rank scan") {
+    val plan = physical(run("ivfpq_knn"))
+    assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*IN".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("In(docid"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hybrid_sql_text: cosine scores only candidate-join survivors " +
+    "(the SQL-text path inherits hybrid_rank's pruned shape)") {
+    val region = executedRegion(run("hybrid_sql_text"))
+    val lines = region.linesIterator.toVector
+    val cosIdx = lines.zipWithIndex
+      .filter(_._1.contains("cosine_sim")).map(_._2)
+    assert(cosIdx.nonEmpty, region)
+    cosIdx.foreach { i =>
+      val child = lines(i + 1)
+      assert(child.contains("Join"), s"cosine fed by non-join:\n$child\n$region")
+    }
+    assert(region.contains("ReusedExchange"), region)
+  }
+
+  test("packed_knn: packed cosine ranks via TakeOrderedAndProject and " +
+    "the kernel is codegen'd (direct LE float reads)") {
+    val df = run("packed_knn")
+    df.collect()
+    assert(physical(df).contains("TakeOrderedAndProject"), physical(df))
+    val generated = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(generated.contains("getFloatLE"), generated.take(2000))
+  }
+
   test("fingerprint runs inside WholeStageCodegen (no interpreted HOF)") {
     val df = run("fingerprint")
     df.collect()

@@ -41,6 +41,38 @@ class WorkflowMainSpec extends SparkTestBase {
     assert(res.split("\\],\\[").length == 2, res)
   }
 
+  test("hybrid workflow request: lexical+semantic blend over the same " +
+    "index, JSON shape parity with search") {
+    val dir = Files.createTempDirectory("graft-wf-hybrid").toString
+    val indexReq = write("wf-index-h",
+      """{"name": "index",
+        | "elements": [
+        |   "spark vector join engine",
+        |   "vector vector hash",
+        |   "the quick brown fox",
+        |   "hash join hash join hash"
+        | ]}""".stripMargin)
+    WorkflowMain.run(spark, indexReq, dir)
+
+    val hybridReq = write("wf-hybrid",
+      """{"name": "hybrid", "elements": ["vector hash join"]}""")
+    val res = WorkflowMain.run(spark, hybridReq, dir, k = 3)
+    assert(res.startsWith("""{"name":"hybrid","results":[["""), res)
+    // same per-hit shape as search: uid, docid, score
+    assert(res.contains("\"uid\":\"") && res.contains("\"docid\":") &&
+      res.contains("\"score\":"), res)
+    // "the quick brown fox" matches no query term → at most 3 hits from
+    // the 3 keyword-matched docs
+    val hits = res.split("\\{\"uid\"").length - 1
+    assert(hits == 3, res)
+    // alpha=0 → purely lexical: doc with most keyword mass ranks first
+    // and gets the max normalized score 1.0
+    val lexReq = write("wf-hybrid-lex",
+      """{"name": "hybrid", "alpha": 0.0, "elements": ["vector hash join"]}""")
+    val lex = WorkflowMain.run(spark, lexReq, dir, k = 1)
+    assert(lex.contains("\"score\":1.0"), lex)
+  }
+
   test("unknown workflow name is a loud error") {
     val bad = write("wf-bad", """{"name": "nope", "elements": ["x"]}""")
     intercept[IllegalArgumentException] {

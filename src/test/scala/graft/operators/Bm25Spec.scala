@@ -113,6 +113,29 @@ class Bm25Spec extends SparkTestBase {
     assert(scanned.contains("vector"))
   }
 
+  test("append: build(A)+append(B) is bit-identical to build(A∪B)") {
+    val a = docs.filter(col("doc_id") <= 2)
+    val b = docs.filter(col("doc_id") > 2)
+    val dirA = Files.createTempDirectory("bm25app").toString
+    val incr = Bm25Index.build(a, "text", "doc_id", dirA, nBuckets = 8)
+      .append(b, "text", "doc_id")
+    val dirF = Files.createTempDirectory("bm25full").toString
+    val full = Bm25Index.build(docs, "text", "doc_id", dirF, nBuckets = 8)
+    // stats merge exactly (long addition), so avgdl is bit-identical
+    assert(incr.n == full.n && incr.sumdl == full.sumdl)
+    assert(incr.avgdl == full.avgdl)
+    def top(i: Bm25Index) = i.search(Seq("vector", "hash", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(incr) == top(full))
+    // a reload sees the merged sidecar, not the pre-append one
+    val re = Bm25Index.load(spark, dirA)
+    assert(re.n == full.n && re.sumdl == full.sumdl)
+    assert(top(re) == top(full))
+    // appending zero docs is a no-op
+    val same = incr.append(docs.filter(col("doc_id") > 100), "text", "doc_id")
+    assert(same.n == incr.n && same.sumdl == incr.sumdl)
+  }
+
   test("driver-side bucketOf matches Spark's hash(term) pmod nBuckets") {
     val terms = Seq("vector", "hash", "join", "spark", "the", "fox")
     import spark.implicits._
