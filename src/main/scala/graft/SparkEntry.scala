@@ -49,6 +49,31 @@ object SparkEntry {
       s"graft_${tag}_" + Integer.toHexString(key.hashCode)).toString
   }
 
+  /** Load-or-build the 64-bucket BM25 index over `documents` (shared by
+    * bm25_index_topk / hybrid_index / keyword-routed SQL). */
+  private def bm25IndexAt(s: SparkSession, dir: String): operators.Bm25Index = {
+    val path = cachedIndexPath(dir, "documents", "bm25v2_64")
+    if (new java.io.File(s"$path/_stats").exists)
+      operators.Bm25Index.load(s, path)
+    else operators.Bm25Index.build(
+      t(s, dir, "documents"), "text", "doc_id", path, nBuckets = 64)
+  }
+
+  /** Load-or-build the IVF+PQ index over `embeddings` (shared by
+    * ivfpq_knn / hybrid_index). Training is deterministic and the
+    * codebooks round-trip bit-exact, so load ≡ rebuild. */
+  private def ivfpqIndexAt(s: SparkSession, dir: String): index.IvfVectorIndex = {
+    val path = cachedIndexPath(dir, "embeddings", "ivfpq_16_8_64")
+    if (new java.io.File(s"$path/_pq").exists)
+      index.IvfVectorIndex.load(s, path)
+    else {
+      val emb = t(s, dir, "embeddings")
+      val ivf = operators.Ivf.train(emb, "embedding", k = 16)
+      val pq = operators.Pq.train(emb, "embedding", m = 8, ksub = 64)
+      index.IvfVectorIndex.build(emb, "embedding", "vec_id", path, ivf, Some(pq))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * exact top-10 cosine kNN — the reference's hot read path
     * (weaviate.py:175-201) as one Spark plan. */

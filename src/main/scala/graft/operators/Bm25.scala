@@ -209,6 +209,14 @@ object Bm25 {
     val cand = lex.join(emb, "docid")
       .select(col("docid"), col("bm25_micros"),
         graft.Graft.cosineSim(col("__v"), typedlit(queryVec)).as("__cos"))
+    blendMinMax(cand, alpha)
+  }
+
+  /** Min-max blend over a candidate set `(docid, bm25_micros, __cos)` —
+    * the shared tail of [[hybrid]] and [[Bm25Index.hybridSearch]]; both
+    * therefore produce bit-identical micros for the same candidates. */
+  private[operators] def blendMinMax(
+      cand: DataFrame, alpha: Double): DataFrame = {
     val bounds = cand.agg(
       min("bm25_micros").as("__bmin"), max("bm25_micros").as("__bmax"),
       min("__cos").as("__cmin"), max("__cos").as("__cmax"))
@@ -273,10 +281,11 @@ class Bm25Index private (
     new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
   }
 
-  /** Partition-pruned BM25 top-k. df is computed from the pruned
-    * postings themselves (exact: every posting of a matched term lives
-    * in the matched bucket). */
-  def search(queryTerms: Seq[String], k: Int): DataFrame = {
+  /** Partition-pruned BM25 scores for EVERY matching document (no
+    * top-k) — the candidate source for [[hybridSearch]]. df is computed
+    * from the pruned postings themselves (exact: every posting of a
+    * matched term lives in the matched bucket). */
+  def scores(queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val buckets = terms.map(t => Bm25Index.bucketOf(t, nBuckets)).distinct
@@ -291,7 +300,57 @@ class Bm25Index private (
           lit(avgdl)).as("__micros"))
       .groupBy("docid")
       .agg(sum("__micros").as("bm25_micros"))
+  }
+
+  /** Partition-pruned BM25 top-k over [[scores]]. */
+  def search(queryTerms: Seq[String], k: Int): DataFrame =
+    scores(queryTerms)
       .orderBy(desc("bm25_micros"), col("docid").asc)
+      .limit(k)
+
+  /** Index-routed hybrid — txtai `hybrid: true` shaped for 100 TB:
+    * BOTH halves read index storage, neither scans a full table.
+    *
+    *  - lexical: top-`candidates` from the bucket-pruned postings (only
+    *    the query terms' partitions open — same read path as [[search]]);
+    *  - semantic: the candidate ids (a bounded boundary set, collected
+    *    once like [[graft.index.IvfVectorIndex.searchAdc]]'s shortlist)
+    *    fetch their vectors from `vectors` — e.g. an IVF index's `df` —
+    *    via an `In` predicate the parquet scan pushes down (row groups
+    *    outside the id set are skipped by min/max stats), never a
+    *    full-corpus embedding scan;
+    *  - blend: exact cosine + the SAME min-max blend as [[Bm25.hybrid]]
+    *    ([[Bm25.blendMinMax]]), so scores are bit-identical to the
+    *    ad-hoc hybrid restricted to the same candidate set — which is
+    *    what keeps the result SQL-oracle-derivable.
+    *
+    * The lexical candidates replay as a ≤`candidates`-row local
+    * relation in the final plan (the postings lineage runs exactly
+    * once, at the collect). */
+  def hybridSearch(
+      vectors: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      k: Int,
+      alpha: Double = 0.5,
+      candidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    val lexRows = search(queryTerms, candidates).collect()
+    if (lexRows.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("docid", "hybrid_micros")
+    val lex = lexRows.toIndexedSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("docid", "bm25_micros")
+    val ids = lexRows.map(_.getLong(0)).toIndexedSeq
+    val fetched = vectors
+      .select(col(vecIdCol).cast("long").as("docid"), col(vecCol).as("__v"))
+      .filter(col("docid").isin(ids: _*))
+    val cand = lex.join(fetched, "docid")
+      .select(col("docid"), col("bm25_micros"),
+        graft.Graft.cosineSim(col("__v"), typedlit(queryVec)).as("__cos"))
+    Bm25.blendMinMax(cand, alpha)
+      .orderBy(desc("hybrid_micros"), col("docid").asc)
       .limit(k)
   }
 }
