@@ -770,18 +770,11 @@ object SparkEntry {
     // buckets (Hive partition pruning, plan-pinned in PlanAuditSpec).
     // Scores are identical to the ad-hoc bm25_topk by construction
     // (same postings, same n/avgdl), so the oracle SQL is shared.
-    "bm25_index_topk" -> ((s, dir) => {
+    "bm25_index_topk" -> ((s, dir) =>
       // build once per dataset (cachedIndexPath keys on the table's
       // identity), load thereafter: the benched number is the pruned
       // READ path, not the one-time index build
-      val path = cachedIndexPath(dir, "documents", "bm25v2_64")
-      val idx =
-        if (new java.io.File(s"$path/_stats").exists)
-          operators.Bm25Index.load(s, path)
-        else operators.Bm25Index.build(
-          t(s, dir, "documents"), "text", "doc_id", path, nBuckets = 64)
-      idx.search(Seq("vector", "hash", "join"), 10)
-    }),
+      bm25IndexAt(s, dir).search(Seq("vector", "hash", "join"), 10)),
 
     // the composed faiss recipe, IVF + PQ: cluster-partitioned storage,
     // ADC over the probed clusters' 8-byte codes, exact-cosine re-rank
@@ -793,17 +786,8 @@ object SparkEntry {
       // deterministic and codebooks round-trip bit-exact, so loading
       // is result-identical to rebuilding): the benched number is the
       // two-phase ADC search, not the one-time train+build
-      val path = cachedIndexPath(dir, "embeddings", "ivfpq_16_8_64")
-      val idx =
-        if (new java.io.File(s"$path/_pq").exists)
-          index.IvfVectorIndex.load(s, path)
-        else {
-          val emb = t(s, dir, "embeddings")
-          val ivf = operators.Ivf.train(emb, "embedding", k = 16)
-          val pq = operators.Pq.train(emb, "embedding", m = 8, ksub = 64)
-          index.IvfVectorIndex.build(emb, "embedding", "vec_id", path, ivf, Some(pq))
-        }
-      idx.searchAdc(queryVec(s, dir), 10, nprobe = 4, refine = 5)
+      ivfpqIndexAt(s, dir)
+        .searchAdc(queryVec(s, dir), 10, nprobe = 4, refine = 5)
         .select(col("docid").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -818,6 +802,26 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id",
         t(s, dir, "embeddings"), "vec_id", "embedding",
         "vector hash join", k = 10, alpha = 0.5)
+    }),
+
+    // the fully index-routed hybrid (txtai hybrid:true at 100 TB):
+    // BOTH halves read index storage — lexical candidates from the
+    // bucket-pruned Bm25Index (only the query terms' partitions open),
+    // their vectors fetched from the IVF+PQ index's cluster-partitioned
+    // files via an In(docid) pushdown (row groups outside the bounded
+    // candidate set skip on min/max stats) — neither half ever scans a
+    // full table. Blend is Bm25.blendMinMax, bit-identical to the
+    // ad-hoc hybrid over the same candidates, so the oracle re-derives
+    // the whole result from the raw corpus: same top-50 lexical
+    // candidates (deterministic bm25_micros/docid order), same cosine,
+    // same min-max blend.
+    "hybrid_index" -> ((s, dir) => {
+      Graft.init(s)
+      val idx = bm25IndexAt(s, dir)
+      val vectors = ivfpqIndexAt(s, dir).df
+      idx.hybridSearch(vectors, "docid", "vector",
+        Seq("vector", "hash", "join"), queryVec(s, dir),
+        k = 10, alpha = 0.5, candidates = 50)
     })
   )
 
@@ -1684,6 +1688,57 @@ object SparkEntry {
         |       CAST(sum(micros) AS BIGINT) AS bm25_micros
         |FROM scored GROUP BY 1
         |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    // hybrid_index is fully SQL-derivable: the lexical candidate set is
+    // the deterministic top-50 by (bm25_micros DESC, docid) — identical
+    // scoring to bm25_topk — and the blend is hybrid_rank's min-max
+    // restricted to that candidate set. The index only changes WHICH
+    // FILES are read (pruned postings buckets + In-pushed vector
+    // fetch), never the values.
+    "hybrid_index" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |lex AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1
+        |  ORDER BY bm25_micros DESC, docid LIMIT 50),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT l.docid, l.bm25_micros,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM lex l JOIN embeddings e ON l.docid = e.vec_id CROSS JOIN q),
+        |bounds AS (
+        |  SELECT min(bm25_micros) AS bmin, max(bm25_micros) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM cand)
+        |SELECT docid,
+        |       CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+        |                   ELSE (cos - cmin) / (cmax - cmin) END)
+        |             + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+        |                 ELSE CAST(bm25_micros - bmin AS DOUBLE)
+        |                      / CAST(bmax - bmin AS DOUBLE) END))
+        |             * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |FROM cand CROSS JOIN bounds
+        |ORDER BY hybrid_micros DESC, docid LIMIT 10""".stripMargin,
 
     "hybrid_rank" ->
       """WITH p AS (

@@ -217,6 +217,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(region.contains("ReusedExchange"), region)
   }
 
+  test("hybrid_index: both halves read index storage — postings prune " +
+    "to term buckets at candidate time, and the final plan fetches " +
+    "vectors by In(docid) pushdown with no full-table scan") {
+    // candidate selection happens eagerly inside hybridSearch (the
+    // bucket-pruned search() path already pinned above); the RETURNED
+    // plan must show (a) the bounded In(docid) vector fetch reaching
+    // the index scan and (b) no lineage over the raw documents or
+    // embeddings tables at all
+    val plan = physical(run("hybrid_index"))
+    assert(plan.contains("In(docid"), plan)
+    assert(!plan.contains("documents.parquet") &&
+      !plan.contains("embeddings.parquet"), plan)
+    // the ≤50-row lexical candidates replay as a local relation, not a
+    // postings re-scan: no bucket-partitioned read remains in the plan
+    assert(!plan.contains("PartitionFilters: [bucket"), plan)
+  }
+
   test("packed_knn: packed cosine ranks via TakeOrderedAndProject and " +
     "the kernel is codegen'd (direct LE float reads)") {
     val df = run("packed_knn")
