@@ -62,6 +62,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "similar" -> (es => Similar.build(es)),
+    "keyword_score" -> (es => Keyword.build(es)),
     "fingerprint" -> (es => Fingerprint(es.head)),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_norm" -> (es => L2Norm(es.head)),

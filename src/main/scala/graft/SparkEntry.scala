@@ -822,6 +822,57 @@ object SparkEntry {
       idx.hybridSearch(vectors, "docid", "vector",
         Seq("vector", "hash", "join"), queryVec(s, dir),
         k = 10, alpha = 0.5, candidates = 50)
+    }),
+
+    // keyword search as verbatim SQL text — the lexical twin of
+    // l1_sql_text: keyword_score('terms') resolves BM25 corpus stats at
+    // analysis time (Keyword; df/n/avgdl over the registered txtai
+    // view) and scores per-row in a codegen'd kernel, bit-identical to
+    // Bm25.score over the same corpus. No API call, no join in the
+    // final plan.
+    "keyword_sql_text" -> ((s, dir) => {
+      Graft.init(s)
+      Txtai.register(t(s, dir, "documents"), t(s, dir, "embeddings"))
+      s.sql("""
+        SELECT id, keyword_score('vector hash join') AS bm25_micros
+        FROM txtai
+        WHERE keyword_score('vector hash join') > 0
+        ORDER BY bm25_micros DESC, id LIMIT 10""")
+    }),
+
+    // the whole txtai hybrid (lexical BM25 + semantic cosine, min-max
+    // blended) as ONE verbatim SQL statement — keyword_score +
+    // similar + a 1-row bounds aggregate, no engine API at all. Blend
+    // math and weights mirror Bm25.hybrid, and so does the plan shape:
+    // the bounds CTE is an aggregate the optimizer broadcasts into the
+    // cross join (an `OVER ()` window would instead drag every
+    // candidate to ONE partition — the single-partition-window trap).
+    // The candidate set is every keyword-matched row of the view (the
+    // WHERE prunes before the cosine evaluates). The encoded query
+    // vector is the same TextEncoder output hybrid_sql_text dumps as
+    // aux "hybrid_text_qvec", so the oracle re-derives the blend.
+    "hybrid_pure_sql" -> ((s, dir) => {
+      Graft.init(s)
+      Txtai.register(t(s, dir, "documents"), t(s, dir, "embeddings"))
+      s.sql("""
+        WITH scored AS (
+          SELECT id, keyword_score('vector hash join') AS bm,
+                 similar('vector hash join') AS cos
+          FROM txtai
+          WHERE keyword_score('vector hash join') > 0),
+        bounds AS (
+          SELECT min(bm) AS bmin, max(bm) AS bmax,
+                 min(cos) AS cmin, max(cos) AS cmax
+          FROM scored)
+        SELECT id,
+               CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+                           ELSE (cos - cmin) / (cmax - cmin) END)
+                     + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+                           ELSE CAST(bm - bmin AS DOUBLE)
+                                / CAST(bmax - bmin AS DOUBLE) END))
+                     * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        FROM scored CROSS JOIN bounds
+        ORDER BY hybrid_micros DESC, id LIMIT 10""")
     })
   )
 
@@ -1688,6 +1739,93 @@ object SparkEntry {
         |       CAST(sum(micros) AS BIGINT) AS bm25_micros
         |FROM scored GROUP BY 1
         |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    // keyword_score resolves its stats over the registered txtai VIEW
+    // (documents that have an embedding — the join is the view's
+    // definition), so the oracle's corpus CTE joins the same way; the
+    // scoring math is bm25_topk's
+    "keyword_sql_text" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id AS docid, d.text
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |p AS (
+        |  SELECT docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM corpus),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM corpus),
+        |scored AS (
+        |  SELECT m.docid,
+        |         CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT) AS micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st)
+        |SELECT CAST(docid AS BIGINT) AS id,
+        |       CAST(sum(micros) AS BIGINT) AS bm25_micros
+        |FROM scored GROUP BY 1
+        |ORDER BY bm25_micros DESC, id LIMIT 10""".stripMargin,
+
+    // hybrid_pure_sql: keyword_score expands to the view-corpus BM25
+    // above; similar('...') scores the aux-dumped encoded vector
+    // (hybrid_text_qvec — same query text); the blend is the engine
+    // statement's own min-max windows verbatim
+    "hybrid_pure_sql" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id AS docid, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |p AS (
+        |  SELECT docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM corpus),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM corpus),
+        |lex AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1),
+        |q AS (SELECT qv::DOUBLE[] AS qvec
+        |      FROM read_parquet('__AUX__/hybrid_text_qvec/*.parquet')),
+        |scored AS (
+        |  SELECT l.docid AS id, l.bm,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                q.qvec) AS cos
+        |  FROM lex l JOIN corpus c ON l.docid = c.docid CROSS JOIN q),
+        |bounds AS (
+        |  SELECT min(bm) AS bmin, max(bm) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM scored)
+        |SELECT id,
+        |       CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+        |                   ELSE (cos - cmin) / (cmax - cmin) END)
+        |             + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+        |                   ELSE CAST(bm - bmin AS DOUBLE)
+        |                        / CAST(bmax - bmin AS DOUBLE) END))
+        |             * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |FROM scored CROSS JOIN bounds
+        |ORDER BY hybrid_micros DESC, id LIMIT 10""".stripMargin,
 
     // hybrid_index is fully SQL-derivable: the lexical candidate set is
     // the deterministic top-50 by (bm25_micros DESC, docid) — identical

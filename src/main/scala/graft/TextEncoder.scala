@@ -100,9 +100,12 @@ object Txtai {
       embeddings: DataFrame,
       name: String = "txtai"): Unit = {
     import org.apache.spark.sql.functions.col
-    docs.join(embeddings, docs("doc_id") === embeddings("vec_id"))
+    val view = docs.join(embeddings, docs("doc_id") === embeddings("vec_id"))
       .select(docs("doc_id").as("id"), col("text"), col("lang"),
         col("source"), col("n_chars"), col("embedding").as("vector"))
-      .createOrReplaceTempView(name)
+    view.createOrReplaceTempView(name)
+    // the view doubles as keyword_score's stats corpus (swap in a
+    // persisted Bm25Index via Keyword.registerIndex at scale)
+    Keyword.registerCorpus(view, "text")
   }
 }

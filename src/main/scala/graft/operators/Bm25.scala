@@ -302,6 +302,22 @@ class Bm25Index private (
       .agg(sum("__micros").as("bm25_micros"))
   }
 
+  /** Per-term document frequencies, reading ONLY the query terms'
+    * bucket partitions (exact: every posting of a term lives in its
+    * hashed bucket) — the stats source behind index-registered
+    * `keyword_score` ([[graft.Keyword.registerIndex]]); terms absent
+    * from the corpus are absent from the map. */
+  def dfOf(queryTerms: Seq[String]): Map[String, Long] = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val buckets = terms.map(t => Bm25Index.bucketOf(t, nBuckets)).distinct
+    postings
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Partition-pruned BM25 top-k over [[scores]]. */
   def search(queryTerms: Seq[String], k: Int): DataFrame =
     scores(queryTerms)

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, Bm25Index}
+
+/** `keyword_score` — the SQL-dialect lexical scorer ([[Keyword]]):
+  * analysis-time stats resolution, bit-parity with the declarative
+  * [[Bm25.score]] plan, and the index-backed stats path. */
+class KeywordScoreSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("keyword_score over txtai view is bit-identical to Bm25.score " +
+    "over the view corpus") {
+    Txtai.register(docs, emb)
+    val got = spark.sql(
+      """SELECT id, keyword_score('vector hash join') AS bm25_micros
+        |FROM txtai WHERE keyword_score('vector hash join') > 0""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id").as("id"), col("text"))
+    val want = Bm25.score(corpus, "text", "id",
+        Seq("vector", "hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("index-registered stats score identically to corpus-scan stats " +
+    "(df from pruned buckets, n/avgdl from the sidecar)") {
+    Txtai.register(docs, emb)
+    val q = """SELECT id, keyword_score('vector hash') AS bm
+              |FROM txtai WHERE keyword_score('vector hash') > 0""".stripMargin
+    val fromCorpus = spark.sql(q).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("kwidx").toString
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id").as("id"), col("text"))
+    val idx = Bm25Index.build(corpus, "text", "id", s"$dir/idx", nBuckets = 8)
+    Keyword.registerIndex(idx)
+    try {
+      val fromIndex = spark.sql(q).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fromIndex == fromCorpus)
+    } finally Txtai.register(docs, emb) // restore corpus-backed stats
+  }
+
+  test("two-argument form names the text column explicitly") {
+    Txtai.register(docs, emb)
+    val a = spark.sql(
+      "SELECT id, keyword_score(text, 'vector') AS bm FROM txtai")
+    val b = spark.sql(
+      "SELECT id, keyword_score('vector') AS bm FROM txtai")
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+
+  test("query must be a string literal (per-row terms need per-row " +
+    "corpus stats)") {
+    Txtai.register(docs, emb)
+    val e = intercept[Exception] {
+      spark.sql("SELECT keyword_score(text, text) FROM txtai").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
+  test("terms absent from the corpus contribute zero, never NULL") {
+    Txtai.register(docs, emb)
+    val r = spark.sql(
+      """SELECT count(*) AS n
+        |FROM txtai WHERE keyword_score('qqqzzzxyzzy') > 0""".stripMargin)
+      .head().getLong(0)
+    assert(r == 0L)
+  }
+
+  test("keyword_score is codegen'd (no interpreted fallback in the plan)") {
+    Txtai.register(docs, emb)
+    val df = spark.sql(
+      "SELECT id, keyword_score('vector hash') AS bm FROM txtai")
+    df.collect()
+    val generated = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(generated.contains("bm25QueryModel"), generated.take(2000))
+  }
+}

@@ -234,6 +234,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("keyword_sql_text: BM25 stats ride as literals — no stats join " +
+    "or shuffle (the only join is the view's own docs⋈embeddings, " +
+    "broadcast), and the keyword filter pushes below it onto the " +
+    "documents scan side") {
+    val plan = physical(run("keyword_sql_text"))
+    // stats are inside the literal model, not joined at runtime
+    assert(plan.contains("Bm25QueryModel"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffleExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the score filter runs on the documents branch BEFORE the view's
+    // broadcast join — a post-join filter would score unmatched rows
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("keyword_score"))
+    assert(filterLine.isDefined, plan)
+    assert(plan.indexOf(filterLine.get) >
+      plan.indexOf("BroadcastHashJoin"), plan)
+  }
+
+  test("hybrid_pure_sql: the bounds aggregate broadcasts into the " +
+    "blend (no single-partition window over the candidate set)") {
+    val plan = physical(run("hybrid_pure_sql"))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("packed_knn: packed cosine ranks via TakeOrderedAndProject and " +
     "the kernel is codegen'd (direct LE float reads)") {
     val df = run("packed_knn")
