@@ -59,7 +59,14 @@ object Bench {
     }
     // Locale.ROOT: comma-decimal default locales would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
+    // stdout per-query values get 2 decimals: at 61 queries the compact
+    // line is ~1.6k chars against the harness's 2000-char tail window —
+    // centisecond resolution buys ~60 chars of safety margin, and the
+    // full-precision record lives in bench.json anyway
+    def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + num2(v) }
+      .mkString("{", ",", "}")
+    val qs3 = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val raws = results.map { case (k, _, a, b) =>
       "\"" + k + "\":[" + num(a) + "," + num(b) + "]"
@@ -73,7 +80,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$raws,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs3,"runs":$raws,"sf":"$sfDir"}"""
     // Persist the full record first so the compact stdout line is the
     // LAST thing printed (fewer trailing chars eating into the tail
     // window; sbt still appends its own [success] footer).

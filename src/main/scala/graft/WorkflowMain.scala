@@ -83,8 +83,32 @@ object WorkflowMain {
           hits.mkString("[", ",", "]")
         }
         s"""{"name":"hybrid","results":${results.mkString("[", ",", "]")}}"""
+      case "keyword" =>
+        // keyword-only ranking (the txtai scoring="bm25" config without
+        // the semantic half): BM25 over the indexed text column, scores
+        // reported as micros/1e6 like the hybrid action
+        val idx = VectorIndex.load(spark, indexPath)
+        val data = idx.df
+        require(data.schema.fieldNames.contains("text"),
+          "keyword workflow requires an index built over a 'text' column")
+        val results = elements.map { q =>
+          val terms = operators.Bm25.TokenPattern.r
+            .findAllIn(q.toLowerCase).toSeq.distinct
+          require(terms.nonEmpty, s"keyword: no query terms in '$q'")
+          val hits = operators.Bm25.topK(data, "text", "docid", terms, k)
+            .join(data.select(col("docid"), col("uid")), "docid")
+            .select(col("uid"), col("docid"),
+              round(col("bm25_micros") / 1000000.0, 6).as("score"))
+            .orderBy(desc("score"), col("docid").asc)
+            .collect()
+            .map(r => s"""{"uid":"${esc(r.getString(0))}","docid":${r.getLong(1)},""" +
+              s""""score":${r.getDouble(2)}}""")
+          hits.mkString("[", ",", "]")
+        }
+        s"""{"name":"keyword","results":${results.mkString("[", ",", "]")}}"""
       case other => throw new IllegalArgumentException(
-        s"unknown workflow '$other' (expected 'index', 'search' or 'hybrid')")
+        s"unknown workflow '$other' (expected 'index', 'search', " +
+        "'keyword' or 'hybrid')")
     }
   }
 

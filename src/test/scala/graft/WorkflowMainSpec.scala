@@ -73,6 +73,30 @@ class WorkflowMainSpec extends SparkTestBase {
     assert(lex.contains("\"score\":1.0"), lex)
   }
 
+  test("keyword workflow request: BM25-only ranking (txtai " +
+    "scoring=bm25 without the semantic half)") {
+    val dir = Files.createTempDirectory("graft-wf-kw").toString
+    val indexReq = write("wf-index-k",
+      """{"name": "index",
+        | "elements": [
+        |   "spark vector join engine",
+        |   "vector vector hash",
+        |   "the quick brown fox",
+        |   "hash join hash join hash"
+        | ]}""".stripMargin)
+    WorkflowMain.run(spark, indexReq, dir)
+
+    val kwReq = write("wf-keyword",
+      """{"name": "keyword", "elements": ["vector hash join"]}""")
+    val res = WorkflowMain.run(spark, kwReq, dir, k = 3)
+    assert(res.startsWith("""{"name":"keyword","results":[["""), res)
+    assert(res.contains("\"uid\":\"") && res.contains("\"docid\":") &&
+      res.contains("\"score\":"), res)
+    // the no-match doc never appears
+    val hits = res.split("\\{\"uid\"").length - 1
+    assert(hits == 3, res)
+  }
+
   test("unknown workflow name is a loud error") {
     val bad = write("wf-bad", """{"name": "nope", "elements": ["x"]}""")
     intercept[IllegalArgumentException] {
