@@ -81,7 +81,8 @@ class IvfVectorIndex private (
       case Some(pq) => Pq.encode(assigned, "vector", pq)
       case None => assigned
     }
-    coded.write.mode("append").partitionBy("cluster").parquet(path)
+    coded.sortWithinPartitions("cluster", "docid")
+      .write.mode("append").partitionBy("cluster").parquet(path)
     this
   }
 
@@ -138,7 +139,13 @@ object IvfVectorIndex {
       case Some(pq) => Pq.encode(assigned, "vector", pq)
       case None => assigned
     }
-    coded.write
+    // docid-sorted files: parquet row-group min/max stats on docid are
+    // then disjoint ranges, so the shortlist re-rank (searchAdc) and
+    // candidate-vector fetches (Bm25Index.hybridSearch) prune to the
+    // few row groups holding their In(docid) set instead of decoding
+    // every group — unsorted files have near-full-range stats and
+    // prune nothing. Local sort only (no shuffle added).
+    coded.sortWithinPartitions("cluster", "docid").write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")

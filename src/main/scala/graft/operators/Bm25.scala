@@ -273,6 +273,7 @@ class Bm25Index private (
     if (nNew == 0L) return this
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "term")
       .write.mode("append").partitionBy("bucket").parquet(path)
     // postings first, stats second: a crash in between leaves the
     // sidecar undercounting (scores slightly conservative), never a
@@ -405,8 +406,14 @@ object Bm25Index {
     // surface later as an opaque NPE)
     val Array(st) = Bm25.statsRaw(docs, textCol).collect()
     require(st.getLong(0) > 0, s"bm25: empty corpus, refusing to build $path")
+    // term-sorted files: row-group min/max stats on term then carve the
+    // bucket into disjoint term ranges, so a query's term filter prunes
+    // row groups INSIDE its matched buckets too (partition pruning
+    // picks the buckets; the sort makes the within-bucket read
+    // proportional to the matched posting lists). Local sort only.
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets)
     new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nBuckets)
