@@ -99,7 +99,11 @@ class IvfVectorIndex private (
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    // re-sort while rewriting: reading the old files yields arbitrary
+    // row order, and compaction must restore the docid-sorted layout
+    // the fetch-path row-group pruning depends on (see build)
     spark.read.parquet(path)
+      .sortWithinPartitions("cluster", "docid")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")

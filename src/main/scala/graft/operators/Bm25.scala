@@ -282,6 +282,33 @@ class Bm25Index private (
     new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
   }
 
+  /** Offline maintenance after repeated [[append]]s (each leaves one
+    * small file per touched bucket; small files tax listing and lose
+    * the term-sorted row-group layout across files): rewrite each
+    * bucket's postings term-sorted into a sibling directory, carry the
+    * stats sidecar, swap. Same concurrency contract as
+    * [[graft.index.IvfVectorIndex.compact]] — maintenance windows
+    * only, not safe against concurrent readers. */
+  def compact(maxRecordsPerFile: Long = 5000000L): Bm25Index = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path)
+      .sortWithinPartitions("bucket", "term")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(tmp.toString)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val statsSrc = new org.apache.hadoop.fs.Path(cur, "_stats")
+    org.apache.hadoop.fs.FileUtil.copy(fs, statsSrc, fs,
+      new org.apache.hadoop.fs.Path(tmp, "_stats"), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    new Bm25Index(spark, path, n, sumdl, nBuckets)
+  }
+
   /** Partition-pruned BM25 scores for EVERY matching document (no
     * top-k) — the candidate source for [[hybridSearch]]. df is computed
     * from the pruned postings themselves (exact: every posting of a

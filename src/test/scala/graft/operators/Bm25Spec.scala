@@ -136,6 +136,32 @@ class Bm25Spec extends SparkTestBase {
     assert(same.n == incr.n && same.sumdl == incr.sumdl)
   }
 
+  test("compact after appends: identical stats and ranking, fewer files") {
+    val dir = Files.createTempDirectory("bm25cpt").toString
+    val idx = Bm25Index.build(docs.filter(col("doc_id") <= 1),
+        "text", "doc_id", dir, nBuckets = 4)
+      .append(docs.filter(col("doc_id") === 2), "text", "doc_id")
+      .append(docs.filter(col("doc_id") > 2), "text", "doc_id")
+    def top(i: Bm25Index) = i.search(Seq("vector", "hash", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = top(idx)
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val filesBefore = parquetFiles()
+    val compacted = idx.compact()
+    assert(compacted.n == idx.n && compacted.sumdl == idx.sumdl)
+    assert(top(compacted) == before)
+    // three writes into overlapping buckets collapse to one pass
+    assert(parquetFiles() < filesBefore, s"$filesBefore -> ${parquetFiles()}")
+    // a reload of the compacted path agrees
+    val re = Bm25Index.load(spark, dir)
+    assert(re.n == idx.n && top(re) == before)
+  }
+
   test("driver-side bucketOf matches Spark's hash(term) pmod nBuckets") {
     val terms = Seq("vector", "hash", "join", "spark", "the", "fox")
     import spark.implicits._
