@@ -824,6 +824,22 @@ object SparkEntry {
         k = 10, alpha = 0.5, candidates = 50)
     }),
 
+    // train/test decontamination (GPT-3 appendix C / The Pile): flag
+    // training docs sharing >= 2 distinct 5-gram shingles with any
+    // "benchmark" doc (here: the corpus tail as a stand-in eval set).
+    // Engine: inverted shingle join with the test side broadcast —
+    // never |train|x|test| document pairs; the oracle brute-forces
+    // every cross pair (list_intersect), so a hash match proves the
+    // inverted-join blocking lossless, like simhash_pairs' oracle.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Decontaminate.overlaps(
+          docs.filter(col("doc_id") < 450), "doc_id", "text",
+          docs.filter(col("doc_id") >= 450), "doc_id", "text",
+          n = 5, minHits = 2)
+        .orderBy("train_id", "test_id")
+    }),
+
     // keyword search as verbatim SQL text — the lexical twin of
     // l1_sql_text: keyword_score('terms') resolves BM25 corpus stats at
     // analysis time (Keyword; df/n/avgdl over the registered txtai
@@ -1739,6 +1755,22 @@ object SparkEntry {
         |       CAST(sum(micros) AS BIGINT) AS bm25_micros
         |FROM scored GROUP BY 1
         |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    // brute-force cross-pair re-derivation (the engine's inverted
+    // shingle join must be lossless vs trying every train×test pair)
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(len(t) - 4),
+        |               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                    || ' ' || t[i+4] || ' ' || t[i+5])) AS sh
+        |      FROM d WHERE len(t) >= 5),
+        |tr AS (SELECT * FROM s WHERE doc_id < 450),
+        |te AS (SELECT * FROM s WHERE doc_id >= 450)
+        |SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared
+        |FROM tr a JOIN te b ON len(list_intersect(a.sh, b.sh)) >= 2
+        |ORDER BY train_id, test_id""".stripMargin,
 
     // keyword_score resolves its stats over the registered txtai VIEW
     // (documents that have an embedding — the join is the view's

@@ -234,6 +234,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("decontaminate: the shingle join broadcasts the (small) test " +
+    "side — the 100 TB train side never shuffles, and no cartesian") {
+    val plan = physical(run("decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("keyword_sql_text: BM25 stats ride as literals — no stats join " +
     "or shuffle (the only join is the view's own docs⋈embeddings, " +
     "broadcast), and the keyword filter pushes below it onto the " +

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Decontamination: the inverted shingle join must flag exactly the
+  * pairs a brute-force cross-corpus intersection flags, and clean()
+  * must drop exactly the flagged training docs. */
+class DecontaminateSpec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val train = docs.filter(col("doc_id") < 400)
+  private lazy val evalSet = docs.filter(col("doc_id") >= 400)
+
+  test("inverted join equals brute-force cross-pair intersection") {
+    val got = Decontaminate.overlaps(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: distinct shingle sets per doc, intersect every pair
+    def sh(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        r.getLong(0) -> toks.sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val trSh = sh(train)
+    val teSh = sh(evalSet)
+    val want = (for {
+      (a, sa) <- trSh; (b, sb) <- teSh
+      n = (sa & sb).size if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain at least one leak pair")
+  }
+
+  test("clean() drops exactly the flagged training docs") {
+    val flagged = Decontaminate.overlaps(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5, minHits = 2)
+      .select("train_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val kept = Decontaminate.clean(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- flagged)
+    assert(flagged.nonEmpty && kept.nonEmpty)
+  }
+
+  test("stop-shingle cap drops boilerplate evidence (shared becomes a " +
+    "lower bound, pairs below minHits vanish)") {
+    import spark.implicits._
+    val boiler = "standard header line one two three four five"
+    val tr = Seq((0L, s"$boiler alpha beta"), (1L, s"$boiler gamma delta"))
+      .toDF("doc_id", "text")
+    val te = Seq((100L, s"$boiler epsilon zeta")).toDF("doc_id", "text")
+    val uncapped = Decontaminate.overlaps(tr, "doc_id", "text",
+      te, "doc_id", "text", n = 5, minHits = 1, maxShingleDf = None)
+    assert(uncapped.count() == 2) // both train docs share the boilerplate
+    val capped = Decontaminate.overlaps(tr, "doc_id", "text",
+      te, "doc_id", "text", n = 5, minHits = 1, maxShingleDf = Some(1))
+    assert(capped.count() == 0) // the shared shingles exceed df cap 1
+  }
+}
