@@ -833,10 +833,14 @@ object SparkEntry {
     // inverted-join blocking lossless, like simhash_pairs' oracle.
     "decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the eval set is the FIXED window [450, 500) so it stays
+      // benchmark-sized at every SF (at sf0.1 the whole tail would be
+      // 10× the train side — broadcasting it would invert the
+      // small-side-broadcast design the plan pin asserts)
       operators.Decontaminate.overlaps(
           docs.filter(col("doc_id") < 450), "doc_id", "text",
-          docs.filter(col("doc_id") >= 450), "doc_id", "text",
-          n = 5, minHits = 2)
+          docs.filter(col("doc_id") >= 450 && col("doc_id") < 500),
+          "doc_id", "text", n = 5, minHits = 2)
         .orderBy("train_id", "test_id")
     }),
 
@@ -1766,7 +1770,7 @@ object SparkEntry {
         |                    || ' ' || t[i+4] || ' ' || t[i+5])) AS sh
         |      FROM d WHERE len(t) >= 5),
         |tr AS (SELECT * FROM s WHERE doc_id < 450),
-        |te AS (SELECT * FROM s WHERE doc_id >= 450)
+        |te AS (SELECT * FROM s WHERE doc_id >= 450 AND doc_id < 500)
         |SELECT a.doc_id AS train_id, b.doc_id AS test_id,
         |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared
         |FROM tr a JOIN te b ON len(list_intersect(a.sh, b.sh)) >= 2
