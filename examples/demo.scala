@@ -49,6 +49,17 @@ spark.sql(
     "WHERE similar('feel good story') >= 0.0 " +
     "ORDER BY score DESC, id LIMIT 3").show()
 
+// 3b'. the lexical twin: keyword_score('terms') is per-row BM25 with
+//      corpus stats resolved once at analysis time — and the whole
+//      txtai hybrid (BM25 + cosine, min-max blended) runs as ONE SQL
+//      statement, no API call
+spark.sql(
+  "SELECT id, keyword_score('vector hash join') AS bm FROM txtai " +
+    "WHERE keyword_score('vector hash join') > 0 " +
+    "ORDER BY bm DESC, id LIMIT 3").show()
+spark.sql(
+  "WITH scored AS (SELECT id, keyword_score('vector hash') AS bm, similar('vector hash') AS cos FROM txtai WHERE keyword_score('vector hash') > 0), bounds AS (SELECT min(bm) AS bmin, max(bm) AS bmax, min(cos) AS cmin, max(cos) AS cmax FROM scored) SELECT id, round(0.5 * (CASE WHEN cmax = cmin THEN 1.0 ELSE (cos - cmin) / (cmax - cmin) END) + 0.5 * (CASE WHEN bmax = bmin THEN 1.0 ELSE (bm - bmin) / CAST(bmax - bmin AS DOUBLE) END), 4) AS hybrid FROM scored CROSS JOIN bounds ORDER BY hybrid DESC, id LIMIT 3").show()
+
 // 3c. IVF ANN (faiss-style): sample-trained codebook, cluster-pruned
 //     search — the second scale path next to hyperplane LSH
 val emb = Tables.load(spark, sf, "embeddings")
@@ -100,6 +111,14 @@ val labeled = graft.operators.Components.labelCorpus(allDocs, "doc_id", pairs, "
 val kept = labeled.filter(col("keep"))
 println(s"kept ${kept.count()} of ${allDocs.count()} after cluster dedup")
 graft.operators.Sampling.withSplit(kept, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10)).groupBy("split").count().orderBy("split").show()
+
+// 4b'. eval decontamination (GPT-3 appx C): flag training docs leaking
+//      a benchmark's 5-grams, then drop them — the eval-side twin of
+//      dedup, test side broadcast so the train side never shuffles
+val evalSet = allDocs.filter(col("doc_id") >= 450)
+val trainSet = allDocs.filter(col("doc_id") < 450)
+val leaks = graft.operators.Decontaminate.overlaps(trainSet, "doc_id", "text", evalSet, "doc_id", "text", 5, 2)
+println(s"benchmark-leak pairs: ${leaks.count()}; clean train size: " + graft.operators.Decontaminate.clean(trainSet, "doc_id", "text", evalSet, "doc_id", "text", 5, 2).count())
 
 // 4c. continuous ingestion: a stream of raw text lands in an index via
 //     checkpointed micro-batches (upsert = idempotent under replay)
