@@ -74,6 +74,82 @@ case class Bm25QueryModel(
   }
 }
 
+/** Driver-collected benchmark shingle set for the stateless per-row
+  * leak test ([[ShingleHits]]): the benchmark side of decontamination
+  * is small by definition (an eval set, not a corpus), so its distinct
+  * n-gram shingles ride into executors as one reference object and a
+  * row is tested with ZERO joins, shuffles, or state — the shape that
+  * works identically over a batch table and a structured stream.
+  * Keys are stored as [[UTF8String]] so row-side lookups allocate
+  * nothing beyond the shingle under test. */
+case class ShingleSetRef(shingles: Seq[String], n: Int) {
+  require(n >= 1)
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](shingles.size * 2)
+    shingles.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Count of DISTINCT shingles of `text` present in the set —
+    * tokenization and windowing identical to
+    * [[NgramShingles.nullSafeEval]] (split on single spaces, windows
+    * joined by single spaces, distinct), so batch and streaming
+    * decontamination agree on every row. */
+  def hits(text: UTF8String): Int = {
+    val toks = text.split(space, -1)
+    if (toks.length < n) return 0
+    var matched: java.util.HashSet[UTF8String] = null
+    var i = 0
+    while (i <= toks.length - n) {
+      var sh = toks(i)
+      var j = 1
+      while (j < n) {
+        sh = UTF8String.concat(sh, space, toks(i + j))
+        j += 1
+      }
+      if (set.contains(sh)) {
+        if (matched == null) matched = new java.util.HashSet[UTF8String]()
+        matched.add(sh)
+      }
+      i += 1
+    }
+    if (matched == null) 0 else matched.size
+  }
+}
+
+/** `shingle_hits(text)` under a [[ShingleSetRef]] → INT: how many
+  * distinct n-grams of the row appear in the benchmark set. Codegen'd
+  * like [[Bm25Score]]; null text → null. */
+case class ShingleHits(child: Expression, set: ShingleSetRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "shingle_hits"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    set.hits(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", set,
+      classOf[ShingleSetRef].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.hits($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `keyword_score(text)` under a resolved [[Bm25QueryModel]] → BIGINT
   * micros (0 = no query term present). Codegen'd: the model rides as a
   * codegen reference object and the generated code calls the kernel

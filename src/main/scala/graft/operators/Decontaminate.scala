@@ -53,6 +53,44 @@ object Decontaminate {
       .filter(col("shared") >= minHits)
   }
 
+  /** The benchmark's distinct n-gram shingles collected to the driver —
+    * the one-time prep for [[cleanWithSet]]. Bounded by the eval set's
+    * size by definition (a benchmark is thousands of docs, not a
+    * corpus); guard rails belong to the caller choosing what counts as
+    * a benchmark. */
+  def benchmarkShingles(
+      test: DataFrame,
+      testIdCol: String,
+      testTextCol: String,
+      n: Int): Seq[String] =
+    TextDedup.shingles(test, testIdCol, testTextCol, n)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+
+  /** Stateless leak filter against a pre-collected benchmark shingle
+    * set ([[benchmarkShingles]]): drops every row whose text shares at
+    * least `minHits` distinct n-grams with the benchmark UNION (the
+    * GPT-3 appendix C semantics — any long-n-gram collision with any
+    * eval document dirties the row; for minHits > 1 this is a
+    * conservative superset of [[clean]]'s per-pair counting, since
+    * hits may come from different eval docs). The test is one
+    * codegen'd per-row expression ([[graft.functions.ShingleHits]]) —
+    * no join, no shuffle, no state — so the SAME call cleans a batch
+    * table or a structured stream (crawl filtering at ingest), where
+    * a join-based plan would need stream-state machinery. */
+  def cleanWithSet(
+      docs: DataFrame,
+      textCol: String,
+      benchmark: Seq[String],
+      n: Int,
+      minHits: Int = 1): DataFrame = {
+    val hits = org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.ShingleHits(
+        org.apache.spark.sql.graftshim.Shim.expression(col(textCol)),
+        graft.functions.ShingleSetRef(benchmark, n)))
+    docs.filter(hits < minHits)
+  }
+
   /** The training corpus minus every document [[overlaps]] flags — one
     * broadcast anti-join on the (small, pair-bounded) flag set. */
   def clean(

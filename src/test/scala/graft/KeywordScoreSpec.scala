@@ -76,6 +76,39 @@ class KeywordScoreSpec extends SparkTestBase {
     assert(r == 0L)
   }
 
+  test("kernel tokenizer matches the regex tokenizer on adversarial " +
+    "strings (unicode, case, digit/letter boundaries, empty)") {
+    import graft.functions.Bm25QueryModel
+    import org.apache.spark.unsafe.types.UTF8String
+    val terms = Seq("abc", "123", "a", "0", "vector")
+    // fixed stats so the score is a pure function of (tf per term, dl)
+    val model = Bm25QueryModel(terms, terms.map(_ => 1.0), avgdl = 10.0)
+    def reference(text: String): Long = {
+      val s = UTF8String.fromString(text).toLowerCase.toString
+      val toks = graft.operators.Bm25.TokenPattern.r.findAllIn(s).toVector
+      val dl = toks.length.toLong
+      terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0L
+        else {
+          val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 10.0))
+          java.math.BigDecimal.valueOf(1.0 * tfn * 1000000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }
+      }.sum
+    }
+    val cases = Seq(
+      "", " ", "abc", "ABC", "abc123", "123abc", "ABC123abc",
+      "a b c", "a1b2c3", "0", "00", "a-b_c.d", "abc\tabc\nabc",
+      "Ångström abc", "ÄBC", "naïve abc", "日本語 abc 123",
+      "vector,vector;vector", "VeCtOr123VECTOR", "𝕍ector abc",
+      "a" * 1000 + " abc", ("abc " * 50).trim)
+    cases.foreach { c =>
+      assert(model.score(UTF8String.fromString(c)) == reference(c),
+        s"mismatch on: '$c'")
+    }
+  }
+
   test("keyword_score is codegen'd (no interpreted fallback in the plan)") {
     Txtai.register(docs, emb)
     val df = spark.sql(

@@ -48,6 +48,51 @@ class DecontaminateSpec extends SparkTestBase {
     assert(flagged.nonEmpty && kept.nonEmpty)
   }
 
+  test("cleanWithSet at minHits=1 equals the join-based clean, and " +
+    "union semantics are a conservative superset at minHits>1") {
+    val shingleSet = Decontaminate.benchmarkShingles(
+      evalSet, "doc_id", "text", n = 5)
+    val viaSet = Decontaminate.cleanWithSet(train, "text", shingleSet,
+        n = 5, minHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = Decontaminate.clean(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5, minHits = 1, maxShingleDf = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSet == viaJoin)
+    // at minHits=2 union-counting can only drop MORE rows than
+    // per-pair counting (hits may come from different eval docs)
+    val set2 = Decontaminate.cleanWithSet(train, "text", shingleSet,
+        n = 5, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val join2 = Decontaminate.clean(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5, minHits = 2, maxShingleDf = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(set2.subsetOf(join2))
+  }
+
+  test("cleanWithSet filters a structured stream (stateless — no " +
+    "watermark or state store), streamed == batch") {
+    val shingleSet = Decontaminate.benchmarkShingles(
+      evalSet, "doc_id", "text", n = 5)
+    val want = Decontaminate.cleanWithSet(train, "text", shingleSet,
+        n = 5, minHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-decon-stream").toString
+    train.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Decontaminate.cleanWithSet(src, "text", shingleSet,
+        n = 5, minHits = 1)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("decon_stream")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stop-shingle cap drops boilerplate evidence (shared becomes a " +
     "lower bound, pairs below minHits vanish)") {
     import spark.implicits._
