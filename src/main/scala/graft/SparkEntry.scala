@@ -824,6 +824,28 @@ object SparkEntry {
         k = 10, alpha = 0.5, candidates = 50)
     }),
 
+    // REAL pixel-level PNG decode (zlib inflate + spec unfiltering —
+    // java.util.zip ships in the JDK, so this stage needs no external
+    // image library): fixture PNGs carry genuine compressed IDAT whose
+    // decoded pixels follow the pure contract PngPixels.pix(id,x,y,c),
+    // with scanline filters cycling through all five spec types. The
+    // oracle re-derives the exact integer pixel sums ANALYTICALLY from
+    // the contract (brute-force generate_series over x,y,c), so a bug
+    // anywhere in write→deflate→inflate→unfilter breaks the match.
+    "png_pixels" -> ((s, dir) => {
+      val media = operators.MediaFixtures.withPixelMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "media")
+      operators.Multimodal.decodePixelStats(media, "media")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          col("pixstats.width").cast("long").as("width"),
+          col("pixstats.height").cast("long").as("height"),
+          col("pixstats.channels").cast("long").as("channels"),
+          col("pixstats.pix_sum").as("pix_sum"),
+          col("pixstats.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // train/test decontamination (GPT-3 appendix C / The Pile): flag
     // training docs sharing >= 2 distinct 5-gram shingles with any
     // "benchmark" doc (here: the corpus tail as a stand-in eval set).
@@ -1759,6 +1781,31 @@ object SparkEntry {
         |       CAST(sum(micros) AS BIGINT) AS bm25_micros
         |FROM scored GROUP BY 1
         |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    // analytic re-derivation of the decoded pixel statistics from the
+    // fixture contract pix(id,x,y,c) = (3x+5y+7id+11c) mod 256 — the
+    // engine value went through a real zlib+filter encode/decode, the
+    // oracle never touches the bytes
+    "png_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.ch,
+        |         (xx.x * 3 + yy.y * 5 + d.doc_id * 7 + cc.c * 11) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM px GROUP BY doc_id, w, h, ch
+        |ORDER BY doc_id""".stripMargin,
 
     // brute-force cross-pair re-derivation (the engine's inverted
     // shingle join must be lossless vs trying every train×test pair)

@@ -72,6 +72,82 @@ object ParseMedia {
     }
 }
 
+/** png_stats(bytes) -> struct<width:int, height:int, channels:int,
+  * pix_sum:bigint, pix_count:bigint>: REAL pixel-level PNG decode
+  * ([[graft.operators.PngPixels]] — chunk walk with CRC checks,
+  * `java.util.zip.Inflater`, spec unfiltering) reduced to exact
+  * integer statistics, as a codegen'd expression like [[ParseMedia]].
+  * Integer sums (not float means) so the SQL oracle compares exactly.
+  * Dirty bytes → null. */
+case class PngStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PngStats.schema
+  override def prettyName: String = "png_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngStats.statsToRow(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PngStats$$.MODULE$$.statsToRow($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PngStats {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("pix_count", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def statsToRow(bytes: Array[Byte]): InternalRow =
+    graft.operators.PngPixels.decode(bytes) match {
+      case Some(d) =>
+        var sum = 0L
+        var i = 0
+        while (i < d.pixels.length) { sum += d.pixels(i) & 0xff; i += 1 }
+        new GenericInternalRow(Array[Any](
+          d.width, d.height, d.channels, sum, d.pixels.length.toLong))
+      case None => null
+    }
+}
+
+/** pixel_media_for_id(id) -> binary: the pixel-bearing PNG fixture
+  * bytes ([[graft.operators.MediaFixtures.pixelMediaFor]]) — the
+  * codegen'd writer half of the pixel pipeline. */
+case class PixelMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pixel_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.pixelMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.pixelMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** media_for_id(id) -> binary: the deterministic fixture media bytes for
   * one row id ([[graft.operators.MediaFixtures.mediaFor]]) as a codegen'd
   * expression, so fixture attachment is not an optimizer barrier either —

@@ -142,6 +142,16 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** Full pixel-bearing PNG for one row id ([[PngPixels]]): small
+    * deterministic dimensions (the SQL oracle brute-forces every
+    * pixel), both supported color types, and — via the (y+id)%5
+    * filter cycle inside the writer — all five scanline filters. */
+  def pixelMediaFor(id: Long): Array[Byte] = {
+    val w = (8 + math.floorMod(id, 40)).toInt
+    val h = (8 + math.floorMod(id, 30)).toInt
+    PngPixels.pngWithPixels(id, w, h, if (id % 2 == 0) 2 else 0)
+  }
+
   /** The media bytes for one row id: format, size, and channel count
     * all vary deterministically so a fixture table exercises every
     * parse path. */
@@ -172,5 +182,22 @@ object MediaFixtures {
       .otherwise(id)
     df.withColumn(outCol, Shim.column(
       graft.functions.MediaBytes(Shim.expression(guarded))))
+  }
+
+  /** Pixel-bearing twin of [[withMedia]]: attaches the full PNG bytes
+    * of [[pixelMediaFor]] via the codegen'd
+    * [[graft.functions.PixelMediaBytes]] — same non-null id guard,
+    * same no-barrier property. */
+  def withPixelMedia(df: DataFrame, idCol: String, outCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    val id = col(idCol).cast("long")
+    val guarded = when(id.isNull,
+      raise_error(lit(s"media fixture: id column '$idCol' cast to null"))
+        .cast("long"))
+      .otherwise(id)
+    df.withColumn(outCol, Shim.column(
+      graft.functions.PixelMediaBytes(Shim.expression(guarded))))
   }
 }

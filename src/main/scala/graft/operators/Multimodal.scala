@@ -65,6 +65,20 @@ object Multimodal {
       Shim.column(graft.functions.ParseMedia(Shim.expression(col(binCol)))))
   }
 
+  /** REAL pixel-level decode for PNG blobs ([[PngPixels]]: zlib
+    * inflate + spec unfiltering, the full 8-bit gray/truecolor subset)
+    * reduced to exact integer statistics — same codegen'd-expression
+    * shape as [[decodeMeta]]. Output = input columns + `pixstats`
+    * struct(width, height, channels, pix_sum, pix_count); null for
+    * non-PNG, corrupt, or unsupported bytes. JPEG has no pixel path
+    * (baseline entropy decode needs Huffman+DCT libraries this
+    * container lacks) — [[FakeCodec]] stays its honest stand-in. */
+  def decodePixelStats(df: DataFrame, binCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    df.withColumn("pixstats",
+      Shim.column(graft.functions.PngStats(Shim.expression(col(binCol)))))
+  }
+
   /** Feature-extract every blob into `features array<float>` (dim). */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int): DataFrame = {
     val inSchema = df.schema

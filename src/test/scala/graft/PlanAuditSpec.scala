@@ -234,6 +234,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("png_pixels: the pixel decode is an expression, not a barrier — " +
+    "doc_id pushes to the scan and no mapPartitions appears") {
+    val plan = physical(run("png_pixels"))
+    assert(plan.contains("LessThan(doc_id,30)"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("decontaminate: the shingle join broadcasts the (small) test " +
     "side — the 100 TB train side never shuffles, and no cartesian") {
     val plan = physical(run("decontaminate"))

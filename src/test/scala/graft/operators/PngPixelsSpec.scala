@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Real PNG pixel codec: every decoded byte must equal the pixel
+  * contract after a genuine zlib round-trip, across all five scanline
+  * filters and both color types; dirty bytes must be rejected, never
+  * thrown on. */
+class PngPixelsSpec extends SparkTestBase {
+
+  test("decode(encode) recovers the exact pixel contract — all five " +
+    "filters, both color types") {
+    // ids 0..9 with h >= 8 cycle the (y+id)%5 filter through all types
+    // in both gray (odd id) and truecolor (even id)
+    (0L until 10L).foreach { id =>
+      val bytes = MediaFixtures.pixelMediaFor(id)
+      val d = PngPixels.decode(bytes).getOrElse(
+        fail(s"id=$id did not decode"))
+      assert(d.width == 8 + id % 40 && d.height == 8 + id % 30)
+      assert(d.channels == (if (id % 2 == 0) 3 else 1))
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / d.channels) % d.width
+        val y = i / (d.width * d.channels)
+        val c = i % d.channels
+        assert((d.pixels(i) & 0xff) == PngPixels.pix(id, x, y, c),
+          s"id=$id x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("large image round-trips (multi-buffer inflate)") {
+    val bytes = PngPixels.pngWithPixels(7L, 200, 150, 2)
+    val d = PngPixels.decode(bytes).get
+    assert(d.width == 200 && d.height == 150 && d.channels == 3)
+    assert(d.pixels.length == 200 * 150 * 3)
+    assert((d.pixels(0) & 0xff) == PngPixels.pix(7L, 0, 0, 0))
+    assert((d.pixels.last & 0xff) == PngPixels.pix(7L, 199, 149, 2))
+  }
+
+  test("dirty bytes are rejected, never thrown on") {
+    val good = MediaFixtures.pixelMediaFor(4L)
+    // flip one byte inside the IDAT payload → CRC mismatch
+    val corrupt = good.clone()
+    corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x5a).toByte
+    assert(PngPixels.decode(corrupt).isEmpty)
+    // truncated stream
+    assert(PngPixels.decode(good.take(good.length - 9)).isEmpty)
+    // header-only PNG (no IDAT) — parseable header, no pixels
+    assert(PngPixels.decode(MediaFixtures.png(16, 16, 2)).isEmpty)
+    // not a PNG at all
+    assert(PngPixels.decode(MediaFixtures.jpeg(16, 16, 3)).isEmpty)
+    assert(PngPixels.decode(Array[Byte]()).isEmpty)
+    assert(PngPixels.decode("hello".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("the header parse still reads pixel-bearing PNGs (same IHDR)") {
+    val m = MediaCodec.parse(MediaFixtures.pixelMediaFor(6L)).get
+    assert(m.format == "png" && m.width == 8 + 6 % 40 && m.channels == 3)
+  }
+}
