@@ -846,6 +846,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image feature extraction: luminance histogram over the
+    // decoded pixels (integer luma, exact counts). Oracle recomputes
+    // the histogram analytically from the pixel contract — bit-exact.
+    "png_histogram" -> ((s, dir) => {
+      val media = operators.MediaFixtures.withPixelMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "media")
+      media.filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftshim.Shim.column(
+            functions.PngHistogram(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")),
+              16))))
+        .select(col("doc_id"), col("pos").cast("long").as("bin"),
+          col("col").as("cnt"))
+        .orderBy("doc_id", "bin")
+    }),
+
+    // image near-dup search over REAL pixel content: cosine kNN on the
+    // luminance histograms — the multimodal → ANN composition
+    // (decode → feature → search) end-to-end with no stub in the path.
+    "png_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val media = operators.MediaFixtures.withPixelMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "media")
+      val feats = media.filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.PngHistogram(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")),
+              16)).as("hist"))
+        .select(col("doc_id"),
+          expr("transform(hist, x -> cast(x as float))").as("vec"))
+      val q = feats.filter(col("doc_id") === 0)
+        .select("vec").head().getSeq[Float](0).toArray
+      operators.Knn.search(feats, "vec", "doc_id", q, 5)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
     // train/test decontamination (GPT-3 appendix C / The Pile): flag
     // training docs sharing >= 2 distinct 5-gram shingles with any
     // "benchmark" doc (here: the corpus tail as a stand-in eval set).
@@ -1806,6 +1844,73 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h, ch
         |ORDER BY doc_id""".stripMargin,
+
+    // analytic luminance histogram from the pixel contract (integer
+    // luma + integer bucket math mirror the kernel exactly)
+    "png_histogram" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |lum AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.ch = 3 THEN
+        |           (299 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256)
+        |            + 587 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 11) % 256)
+        |            + 114 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 22) % 256))
+        |           // 1000
+        |         ELSE (xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256 END AS luma
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |bins AS (SELECT unnest(range(0, 16)) AS bin),
+        |counts AS (
+        |  SELECT doc_id, luma * 16 // 256 AS bin, count(*) AS cnt
+        |  FROM lum GROUP BY 1, 2)
+        |SELECT i.doc_id, CAST(b.bin AS BIGINT) AS bin,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM ids i CROSS JOIN bins b
+        |LEFT JOIN counts c ON c.doc_id = i.doc_id AND c.bin = b.bin
+        |ORDER BY i.doc_id, bin""".stripMargin,
+
+    // same analytic histograms, normalized cosine top-5 vs doc 0
+    "png_knn" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |lum AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.ch = 3 THEN
+        |           (299 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256)
+        |            + 587 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 11) % 256)
+        |            + 114 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 22) % 256))
+        |           // 1000
+        |         ELSE (xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256 END AS luma
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |bins AS (SELECT unnest(range(0, 16)) AS bin),
+        |counts AS (
+        |  SELECT doc_id, luma * 16 // 256 AS bin, count(*) AS cnt
+        |  FROM lum GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT i.doc_id,
+        |         list(CAST(coalesce(c.cnt, 0) AS DOUBLE)
+        |              ORDER BY b.bin) AS v
+        |  FROM ids i CROSS JOIN bins b
+        |  LEFT JOIN counts c ON c.doc_id = i.doc_id AND c.bin = b.bin
+        |  GROUP BY i.doc_id),
+        |q AS (SELECT v AS qv FROM hist WHERE doc_id = 0)
+        |SELECT h.doc_id,
+        |       round(list_cosine_similarity(h.v, (SELECT qv FROM q)), 6)
+        |         AS score
+        |FROM hist h
+        |ORDER BY list_cosine_similarity(h.v, (SELECT qv FROM q)) DESC,
+        |         h.doc_id
+        |LIMIT 5""".stripMargin,
 
     // brute-force cross-pair re-derivation (the engine's inverted
     // shingle join must be lossless vs trying every train×test pair)

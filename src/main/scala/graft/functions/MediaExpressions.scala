@@ -124,6 +124,70 @@ object PngStats {
     }
 }
 
+/** png_histogram(bytes, bins) -> array<bigint>: REAL image feature
+  * extraction over decoded pixels — the luminance histogram (integer
+  * luma `(299r + 587g + 114b) / 1000` for truecolor, the sample value
+  * for grayscale) bucketed into `bins` equal ranges of 0..255. Exact
+  * integer counts, so the SQL oracle re-derives the histogram
+  * analytically from the pixel contract and compares bit-for-bit; the
+  * normalized float form feeds cosine kNN (image near-dup search over
+  * REAL pixel content). Dirty bytes → null. */
+case class PngHistogram(child: Expression, bins: Int)
+    extends UnaryExpression {
+  require(bins >= 1 && bins <= 256, s"bins must be in [1,256], got $bins")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "png_histogram"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngHistogram.compute(input.asInstanceOf[Array[Byte]], bins)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PngHistogram$$.MODULE$$.compute($c, $bins);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PngHistogram {
+  /** The kernel; public so generated code can call it. Null = no decode.
+    * Bucket of luma v is `v * bins / 256` (exact integer math). */
+  def compute(bytes: Array[Byte], bins: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.PngPixels.decode(bytes) match {
+      case Some(d) =>
+        val counts = new Array[Long](bins)
+        val px = d.pixels
+        var i = 0
+        if (d.channels == 3) {
+          while (i < px.length) {
+            val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
+              114 * (px(i + 2) & 0xff)) / 1000
+            counts(luma * bins / 256) += 1
+            i += 3
+          }
+        } else {
+          while (i < px.length) {
+            counts((px(i) & 0xff) * bins / 256) += 1
+            i += 1
+          }
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          counts.map(x => x: Any))
+      case None => null
+    }
+}
+
 /** pixel_media_for_id(id) -> binary: the pixel-bearing PNG fixture
   * bytes ([[graft.operators.MediaFixtures.pixelMediaFor]]) — the
   * codegen'd writer half of the pixel pipeline. */
