@@ -824,6 +824,25 @@ object SparkEntry {
         k = 10, alpha = 0.5, candidates = 50)
     }),
 
+    // batch hybrid: three (terms, vector) queries served by ONE plan —
+    // one shared postings pass, per-qid df/bounds, bounded-heap top-k
+    // (the txtai workflow's element-list shape without N driver jobs)
+    "hybrid_batch" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val qvecs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val queries = Seq(
+        (0L, Seq("vector", "hash", "join"), qvecs(0L)),
+        (1L, Seq("sort", "merge"), qvecs(1L)),
+        (2L, Seq("hash", "index", "scan"), qvecs(2L)))
+      operators.Bm25.hybridBatch(
+          t(s, dir, "documents"), "text", "doc_id",
+          emb, "vec_id", "embedding", queries, k = 5, alpha = 0.5)
+        .orderBy("qid", "rank")
+    }),
+
     // REAL pixel-level PNG decode (zlib inflate + spec unfiltering —
     // java.util.zip ships in the JDK, so this stage needs no external
     // image library): fixture PNGs carry genuine compressed IDAT whose
@@ -1819,6 +1838,72 @@ object SparkEntry {
         |       CAST(sum(micros) AS BIGINT) AS bm25_micros
         |FROM scored GROUP BY 1
         |ORDER BY bm25_micros DESC, docid LIMIT 10""".stripMargin,
+
+    // per-qid replication of hybrid_rank's pipeline over a VALUES
+    // query table; rank = row_number with the engine's (score desc,
+    // docid asc) tie-break
+    "hybrid_batch" ->
+      """WITH qt(qid, term) AS (VALUES
+        |    (0, 'vector'), (0, 'hash'), (0, 'join'),
+        |    (1, 'sort'), (1, 'merge'),
+        |    (2, 'hash'), (2, 'index'), (2, 'scan')),
+        |p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT q.qid, t.docid, t.dl, t.term, t.tf
+        |  FROM tfs t JOIN qt q USING (term)),
+        |dfs AS (SELECT qid, term, count(*) AS df FROM matched GROUP BY 1, 2),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |lex AS (
+        |  SELECT m.qid, CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m
+        |  JOIN dfs d ON d.qid = m.qid AND d.term = m.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |       WHERE vec_id < 3),
+        |cand AS (
+        |  SELECT l.qid, l.docid, l.bm25_micros,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM lex l
+        |  JOIN embeddings e ON l.docid = e.vec_id
+        |  JOIN qv q ON q.qid = l.qid),
+        |bounds AS (
+        |  SELECT qid, min(bm25_micros) AS bmin, max(bm25_micros) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM cand GROUP BY 1),
+        |blend AS (
+        |  SELECT c.qid, c.docid,
+        |         CAST(round((0.5 * (CASE WHEN b.cmax = b.cmin THEN 1.0
+        |                     ELSE (c.cos - b.cmin) / (b.cmax - b.cmin) END)
+        |               + 0.5 * (CASE WHEN b.bmax = b.bmin THEN 1.0
+        |                   ELSE CAST(c.bm25_micros - b.bmin AS DOUBLE)
+        |                        / CAST(b.bmax - b.bmin AS DOUBLE) END))
+        |               * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |  FROM cand c JOIN bounds b USING (qid)),
+        |ranked AS (
+        |  SELECT qid, docid, hybrid_micros,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY hybrid_micros DESC, docid) AS rank
+        |  FROM blend)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |       docid, hybrid_micros
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     // analytic re-derivation of the decoded pixel statistics from the
     // fixture contract pix(id,x,y,c) = (3x+5y+7id+11c) mod 256 — the

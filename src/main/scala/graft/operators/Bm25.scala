@@ -212,6 +212,91 @@ object Bm25 {
     blendMinMax(cand, alpha)
   }
 
+  /** Batch hybrid — N queries in ONE declarative plan (the reference's
+    * workflow surface serves element LISTS; a per-element driver loop
+    * runs N full jobs and re-tokenizes the corpus N times):
+    *
+    *  - the corpus postings pass runs ONCE and is shared by every
+    *    query: matching joins a broadcast (qid, term) table, so a
+    *    posting matched by m queries fans out m-fold AFTER the shared
+    *    exchange, never by re-scanning;
+    *  - per-(qid, term) document frequency is a window count over the
+    *    matched rows — identical to [[score]]'s df (each (term, docid)
+    *    posting appears exactly once per matching qid);
+    *  - the semantic half joins candidates to embeddings once and
+    *    scores each row against its own query's vector (broadcast
+    *    (qid, qvec) table) — Σq |cand(q)| cosine evaluations, never
+    *    queries × corpus;
+    *  - per-qid min-max bounds ride a broadcast groupBy join (the
+    *    batch twin of [[blendMinMax]], same literal math), and the
+    *    final top-k is the bounded-heap partial aggregate shared with
+    *    [[Knn.searchBatch]] — the shuffle carries per-partition heaps,
+    *    not scored candidates.
+    *
+    * Output (qid, rank, docid, hybrid_micros), rank 1-based, ties on
+    * docid ascending — bit-identical per qid to [[hybrid]] over the
+    * same corpus. */
+  def hybridBatch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      embVecCol: String,
+      queries: Seq[(Long, Seq[String], Array[Float])],
+      k: Int,
+      alpha: Double = 0.5): DataFrame = {
+    require(queries.nonEmpty, "bm25: empty query batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, terms, _) =>
+      val t = terms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
+      require(t.nonEmpty, s"bm25: empty query $qid")
+      t.map(term => (qid, term))
+    }.toDF("qid", "term")
+    val p = postingsWithMarker(docs, textCol, idCol)
+    val st = p
+      .join(broadcast(Seq(DocMarker).toDF("term")), "term")
+      .agg(count(col("docid")).as("n"),
+        sum(col("dl") * col("tf")).as("__sumdl"))
+      .select(col("n"),
+        (col("__sumdl").cast("double") / col("n")).as("avgdl"))
+    val matched = p.join(broadcast(qTerms), "term")
+    val lex = matched
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid", "term")))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("docid"),
+        termMicros(col("tf"), col("dl"), col("df"), col("n"),
+          col("avgdl")).as("__micros"))
+      .groupBy("qid", "docid")
+      .agg(sum("__micros").as("bm25_micros"))
+    val qVecs = queries.map { case (qid, _, v) => (qid, v.toSeq) }
+      .toDF("qid", "__qvec")
+      .select(col("qid"), col("__qvec").cast("array<float>").as("__qvec"))
+    val emb = embeddings.select(
+      col(embIdCol).cast("long").as("docid"), col(embVecCol).as("__v"))
+    val cand = lex.join(emb, "docid").join(broadcast(qVecs), "qid")
+      .select(col("qid"), col("docid"), col("bm25_micros"),
+        graft.Graft.cosineSim(col("__v"), col("__qvec")).as("__cos"))
+    val bounds = cand.groupBy("qid").agg(
+      min("bm25_micros").as("__bmin"), max("bm25_micros").as("__bmax"),
+      min("__cos").as("__cmin"), max("__cos").as("__cmax"))
+    val normB = when(col("__bmax") === col("__bmin"), lit(1.0))
+      .otherwise((col("bm25_micros") - col("__bmin")).cast("double") /
+        (col("__bmax") - col("__bmin")).cast("double"))
+    val normC = when(col("__cmax") === col("__cmin"), lit(1.0))
+      .otherwise((col("__cos") - col("__cmin")) /
+        (col("__cmax") - col("__cmin")))
+    val blended = cand.join(broadcast(bounds), "qid")
+      .select(col("qid"), col("docid").as("__id"),
+        round((lit(alpha) * normC + lit(1.0 - alpha) * normB) *
+          lit(1000000.0), 0).as("__score"))
+    Knn.topKPerQuery(blended, k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("docid"), col("score").cast("long").as("hybrid_micros"))
+  }
+
   /** Min-max blend over a candidate set `(docid, bm25_micros, __cos)` —
     * the shared tail of [[hybrid]] and [[Bm25Index.hybridSearch]]; both
     * therefore produce bit-identical micros for the same candidates. */

@@ -234,6 +234,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("hybrid_batch: one shared postings pass for N queries (reused " +
+    "exchange), broadcast query/bounds joins, bounded-heap top-k") {
+    val region = executedRegion(run("hybrid_batch"))
+    assert(region.contains("ReusedExchange"), region)
+    assert(region.contains("partial_topk_by_score"), region)
+    assert(!region.contains("CartesianProduct"), region)
+  }
+
   test("png_pixels: the pixel decode is an expression, not a barrier — " +
     "doc_id pushes to the scan and no mapPartitions appears") {
     val plan = physical(run("png_pixels"))

@@ -162,6 +162,33 @@ class Bm25Spec extends SparkTestBase {
     assert(re.n == idx.n && top(re) == before)
   }
 
+  test("hybridBatch: every qid's ranking is bit-identical to the " +
+    "single-query hybrid over the same corpus") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qvecs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = Seq(
+      (0L, Seq("vector", "hash"), qvecs(0L)),
+      (1L, Seq("sort", "merge", "join"), qvecs(1L)))
+    val batch = Bm25.hybridBatch(docs, "text", "doc_id",
+        emb, "vec_id", "embedding", queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms, qv) =>
+      val single = Bm25.hybrid(docs, "text", "doc_id",
+          emb, "vec_id", "embedding", terms, qv)
+        .orderBy(desc("hybrid_micros"), col("docid").asc)
+        .limit(5).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          (qid, i + 1L, r.getLong(0), r.getLong(1)) }
+      assert(batch(qid).sortBy(_._2).toSeq == single.toSeq, s"qid=$qid")
+    }
+  }
+
   test("driver-side bucketOf matches Spark's hash(term) pmod nBuckets") {
     val terms = Seq("vector", "hash", "join", "spark", "the", "fox")
     import spark.implicits._
