@@ -70,17 +70,21 @@ object WorkflowMain {
             data.withColumn("vector", Graft.unpackVector(col("vector")))
           else data
         val alpha = scala.util.Try(req.getAs[Double]("alpha")).getOrElse(0.5)
-        val results = elements.map { q =>
-          val hits = Workflows.hybridSearch(data, "text", "docid",
-              emb, "docid", "vector", q, k, alpha)
-            .join(data.select(col("docid"), col("uid")), "docid")
-            .select(col("uid"), col("docid"),
-              round(col("hybrid_micros") / 1000000.0, 6).as("score"))
-            .orderBy(desc("score"), col("docid").asc)
-            .collect()
-            .map(r => s"""{"uid":"${esc(r.getString(0))}","docid":${r.getLong(1)},""" +
-              s""""score":${r.getDouble(2)}}""")
-          hits.mkString("[", ",", "]")
+        // the whole element list is served by ONE batch plan (shared
+        // postings pass, per-qid bounds + heap top-k) instead of one
+        // job per element; rankings are bit-identical per element
+        val hits = Workflows.hybridSearchBatch(data, "text", "docid",
+            emb, "docid", "vector", elements, k, alpha)
+          .join(data.select(col("docid"), col("uid")), "docid")
+          .select(col("qid"), col("rank"), col("uid"), col("docid"),
+            round(col("hybrid_micros") / 1000000.0, 6).as("score"))
+          .orderBy(col("qid"), col("rank"))
+          .collect()
+        val results = elements.indices.map { i =>
+          hits.filter(_.getLong(0) == i.toLong)
+            .map(r => s"""{"uid":"${esc(r.getString(2))}","docid":${r.getLong(3)},""" +
+              s""""score":${r.getDouble(4)}}""")
+            .mkString("[", ",", "]")
         }
         s"""{"name":"hybrid","results":${results.mkString("[", ",", "]")}}"""
       case "keyword" =>

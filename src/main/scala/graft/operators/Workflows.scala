@@ -94,4 +94,33 @@ object Workflows {
       .orderBy(desc("hybrid_micros"), col("docid").asc)
       .limit(k)
   }
+
+  /** Batch form of [[hybridSearch]]: tokenize + encode every query
+    * text driver-side, serve the whole list from ONE
+    * [[Bm25.hybridBatch]] plan (qid = position in `queryTexts`).
+    * Output (qid, rank, docid, hybrid_micros) — per-qid rankings
+    * bit-identical to N separate [[hybridSearch]] calls, at one
+    * corpus-tokenization instead of N. */
+  def hybridSearchBatch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      embVecCol: String,
+      queryTexts: Seq[String],
+      k: Int,
+      alpha: Double = 0.5,
+      encode: String => Array[Float] = graft.TextEncoder.registered)
+      : DataFrame = {
+    require(queryTexts.nonEmpty, "hybrid: empty query batch")
+    val queries = queryTexts.zipWithIndex.map { case (q, i) =>
+      val terms = Bm25.TokenPattern.r
+        .findAllIn(q.toLowerCase).toSeq.distinct
+      require(terms.nonEmpty, s"hybrid: no query terms in '$q'")
+      (i.toLong, terms, encode(q))
+    }
+    Bm25.hybridBatch(docs, textCol, idCol, embeddings, embIdCol,
+      embVecCol, queries, k, alpha)
+  }
 }

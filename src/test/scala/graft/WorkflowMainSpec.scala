@@ -71,6 +71,19 @@ class WorkflowMainSpec extends SparkTestBase {
       """{"name": "hybrid", "alpha": 0.0, "elements": ["vector hash join"]}""")
     val lex = WorkflowMain.run(spark, lexReq, dir, k = 1)
     assert(lex.contains("\"score\":1.0"), lex)
+
+    // multi-element batch: every element served (one plan), and each
+    // element's hits equal its own single-element run
+    val multiReq = write("wf-hybrid-multi",
+      """{"name": "hybrid", "elements": ["vector hash join", "hash join"]}""")
+    val multi = WorkflowMain.run(spark, multiReq, dir, k = 3)
+    assert(multi.split("\\],\\[\\{").length == 2, multi)
+    val soloReq = write("wf-hybrid-solo",
+      """{"name": "hybrid", "elements": ["hash join"]}""")
+    val solo = WorkflowMain.run(spark, soloReq, dir, k = 3)
+    val soloHits = solo.stripPrefix("""{"name":"hybrid","results":[""")
+      .stripSuffix("]}")
+    assert(multi.contains(soloHits), s"$multi\nvs\n$solo")
   }
 
   test("keyword workflow request: BM25-only ranking (txtai " +
