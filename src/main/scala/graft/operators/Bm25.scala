@@ -249,6 +249,11 @@ object Bm25 {
     require(queries.nonEmpty, "bm25: empty query batch")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the r2 scale lesson (BASELINE.md): ObjectHashAggregate falls back
+    // to sort-based at 128 distinct keys per partition, which would
+    // sort-and-spill every scored candidate — raise the threshold to
+    // the batch size like Knn.searchBatch does
+    Knn.ensureHashAggCapacity(spark, queries.length)
     val qTerms = queries.flatMap { case (qid, terms, _) =>
       val t = terms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
       require(t.nonEmpty, s"bm25: empty query $qid")
