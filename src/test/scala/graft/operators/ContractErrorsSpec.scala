@@ -73,6 +73,53 @@ class ContractErrorsSpec extends SparkTestBase {
     }
   }
 
+  test("hybridBatch rejects an empty batch and an empty-terms query") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val qv = new Array[Float](64)
+    intercept[IllegalArgumentException] {
+      Bm25.hybridBatch(docs, "text", "doc_id",
+        emb, "vec_id", "embedding", Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.hybridBatch(docs, "text", "doc_id",
+        emb, "vec_id", "embedding", Seq((0L, Seq.empty, qv)), k = 5)
+    }
+  }
+
+  test("keyword_score rejects a non-string-literal query at analysis " +
+    "(per-row terms would need per-row corpus statistics)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.Keyword.build(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(1)))
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
+  test("Decontaminate on a shingle-free side returns empty, never " +
+    "throws (documents shorter than n tokens)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val tiny = Seq((900L, "too short")).toDF("doc_id", "text")
+    // train side real, test side sub-threshold: no pairs, no crash
+    assert(Decontaminate.overlaps(docs, "doc_id", "text",
+      tiny, "doc_id", "text", n = 5).count() == 0)
+    // set path likewise
+    val set = Decontaminate.benchmarkShingles(tiny, "doc_id", "text", 5)
+    assert(set.isEmpty)
+    assert(Decontaminate.cleanWithSet(docs, "text", set, 5).count() ==
+      docs.count())
+  }
+
+  test("Bm25Index.dfOf rejects an empty term list") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-err-bm25").toString
+    val idx = Bm25Index.build(docs, "text", "doc_id", s"$dir/idx", 4)
+    intercept[IllegalArgumentException] { idx.dfOf(Seq.empty) }
+  }
+
   test("IvfVectorIndex: searchAdc without a PQ model and load without " +
     "a codebook fail loudly") {
     val model = Ivf.train(emb, "embedding", k = 4)
