@@ -95,19 +95,26 @@ object WorkflowMain {
         val data = idx.df
         require(data.schema.fieldNames.contains("text"),
           "keyword workflow requires an index built over a 'text' column")
-        val results = elements.map { q =>
+        // one batch plan for the whole element list (shared postings
+        // pass + per-qid heap top-k), like the hybrid action
+        val queries = elements.zipWithIndex.map { case (q, i) =>
           val terms = operators.Bm25.TokenPattern.r
             .findAllIn(q.toLowerCase).toSeq.distinct
           require(terms.nonEmpty, s"keyword: no query terms in '$q'")
-          val hits = operators.Bm25.topK(data, "text", "docid", terms, k)
-            .join(data.select(col("docid"), col("uid")), "docid")
-            .select(col("uid"), col("docid"),
-              round(col("bm25_micros") / 1000000.0, 6).as("score"))
-            .orderBy(desc("score"), col("docid").asc)
-            .collect()
-            .map(r => s"""{"uid":"${esc(r.getString(0))}","docid":${r.getLong(1)},""" +
-              s""""score":${r.getDouble(2)}}""")
-          hits.mkString("[", ",", "]")
+          (i.toLong, terms)
+        }
+        val hits = operators.Bm25
+          .topKBatch(data, "text", "docid", queries, k)
+          .join(data.select(col("docid"), col("uid")), "docid")
+          .select(col("qid"), col("rank"), col("uid"), col("docid"),
+            round(col("bm25_micros") / 1000000.0, 6).as("score"))
+          .orderBy(col("qid"), col("rank"))
+          .collect()
+        val results = elements.indices.map { i =>
+          hits.filter(_.getLong(0) == i.toLong)
+            .map(r => s"""{"uid":"${esc(r.getString(2))}","docid":${r.getLong(3)},""" +
+              s""""score":${r.getDouble(4)}}""")
+            .mkString("[", ",", "]")
         }
         s"""{"name":"keyword","results":${results.mkString("[", ",", "]")}}"""
       case other => throw new IllegalArgumentException(

@@ -212,6 +212,61 @@ object Bm25 {
     blendMinMax(cand, alpha)
   }
 
+  /** Batch keyword scoring — the lexical half of [[hybridBatch]] as
+    * its own operator: (qid, docid, bm25_micros) for every document
+    * matching at least one of its query's terms, all queries served by
+    * ONE shared postings pass. Per-qid scores are bit-identical to
+    * [[score]] with that query's terms. */
+  def scoreBatch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "bm25: empty query batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, terms) =>
+      val t = terms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
+      require(t.nonEmpty, s"bm25: empty query $qid")
+      t.map(term => (qid, term))
+    }.toDF("qid", "term")
+    val p = postingsWithMarker(docs, textCol, idCol)
+    val st = p
+      .join(broadcast(Seq(DocMarker).toDF("term")), "term")
+      .agg(count(col("docid")).as("n"),
+        sum(col("dl") * col("tf")).as("__sumdl"))
+      .select(col("n"),
+        (col("__sumdl").cast("double") / col("n")).as("avgdl"))
+    p.join(broadcast(qTerms), "term")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid", "term")))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("docid"),
+        termMicros(col("tf"), col("dl"), col("df"), col("n"),
+          col("avgdl")).as("__micros"))
+      .groupBy("qid", "docid")
+      .agg(sum("__micros").as("bm25_micros"))
+  }
+
+  /** Bounded-heap top-k per qid over [[scoreBatch]] →
+    * (qid, rank, docid, bm25_micros). */
+  def topKBatch(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    Knn.ensureHashAggCapacity(spark, queries.length)
+    Knn.topKPerQuery(
+        scoreBatch(docs, textCol, idCol, queries)
+          .select(col("qid"), col("docid").as("__id"),
+            col("bm25_micros").cast("double").as("__score")),
+        k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("docid"), col("score").cast("long").as("bm25_micros"))
+  }
+
   /** Batch hybrid — N queries in ONE declarative plan (the reference's
     * workflow surface serves element LISTS; a per-element driver loop
     * runs N full jobs and re-tokenizes the corpus N times):
@@ -254,28 +309,8 @@ object Bm25 {
     // sort-and-spill every scored candidate — raise the threshold to
     // the batch size like Knn.searchBatch does
     Knn.ensureHashAggCapacity(spark, queries.length)
-    val qTerms = queries.flatMap { case (qid, terms, _) =>
-      val t = terms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
-      require(t.nonEmpty, s"bm25: empty query $qid")
-      t.map(term => (qid, term))
-    }.toDF("qid", "term")
-    val p = postingsWithMarker(docs, textCol, idCol)
-    val st = p
-      .join(broadcast(Seq(DocMarker).toDF("term")), "term")
-      .agg(count(col("docid")).as("n"),
-        sum(col("dl") * col("tf")).as("__sumdl"))
-      .select(col("n"),
-        (col("__sumdl").cast("double") / col("n")).as("avgdl"))
-    val matched = p.join(broadcast(qTerms), "term")
-    val lex = matched
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid", "term")))
-      .crossJoin(broadcast(st))
-      .select(col("qid"), col("docid"),
-        termMicros(col("tf"), col("dl"), col("df"), col("n"),
-          col("avgdl")).as("__micros"))
-      .groupBy("qid", "docid")
-      .agg(sum("__micros").as("bm25_micros"))
+    val lex = scoreBatch(docs, textCol, idCol,
+      queries.map { case (qid, terms, _) => (qid, terms) })
     val qVecs = queries.map { case (qid, _, v) => (qid, v.toSeq) }
       .toDF("qid", "__qvec")
       .select(col("qid"), col("__qvec").cast("array<float>").as("__qvec"))

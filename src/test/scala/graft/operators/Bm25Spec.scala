@@ -162,6 +162,22 @@ class Bm25Spec extends SparkTestBase {
     assert(re.n == idx.n && top(re) == before)
   }
 
+  test("topKBatch: every qid's ranking is bit-identical to the " +
+    "single-query topK") {
+    val queries = Seq(
+      (0L, Seq("vector", "hash")), (1L, Seq("sort", "merge", "join")))
+    val batch = Bm25.topKBatch(docs, "text", "doc_id", queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms) =>
+      val single = Bm25.topK(docs, "text", "doc_id", terms, 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getLong(1)) }
+      assert(batch(qid).sortBy(_._2).toSeq == single.toSeq, s"qid=$qid")
+    }
+  }
+
   test("hybridBatch: every qid's ranking is bit-identical to the " +
     "single-query hybrid over the same corpus") {
     val emb = spark.read
