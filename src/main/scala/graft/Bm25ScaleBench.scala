@@ -125,6 +125,20 @@ object Bm25ScaleBench {
         .orderBy(desc("hybrid_micros"), col("docid").asc)
         .limit(10).collect()
     }
+
+    // batch keyword: 32 queries over ONE shared postings pass — the
+    // sequential equivalent costs 32 × the single ad-hoc number above
+    val vocab = corpus
+      .select(explode(Bm25.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .orderBy(desc("count")).limit(64)
+      .collect().map(_.getString(0))
+    val batch = (0 until 32).map { i =>
+      (i.toLong, Seq(vocab(i % vocab.length), vocab((i + 17) % vocab.length)))
+    }
+    time("batch keyword: 32 queries, ONE shared pass (topKBatch)") {
+      Bm25.topKBatch(corpus, "text", "doc_id", batch, 10).collect()
+    }
     spark.stop()
   }
 }
