@@ -903,6 +903,35 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // REAL baseline-JPEG entropy decode (DC-only subset — JpegDc):
+    // real marker walk, canonical Huffman bitstream with byte
+    // stuffing, DC prediction, dequant; blocks are flat so the flat
+    // IDCT is exact integer math. Oracle re-derives the pixel sums
+    // analytically from the block contract (64 pixels per flat block)
+    // — the oracle never touches the bytes, so a bug anywhere in the
+    // Huffman encode/decode or DC chain breaks the hash.
+    "jpeg_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.JpegPixelMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.JpegStats(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))
+            .as("st"))
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // train/test decontamination (GPT-3 appendix C / The Pile): flag
     // training docs sharing >= 2 distinct 5-gram shingles with any
     // "benchmark" doc (here: the corpus tail as a stand-in eval set).
@@ -1904,6 +1933,31 @@ object SparkEntry {
         |       docid, hybrid_micros
         |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    // analytic block-contract re-derivation: every 8x8 block of
+    // component c is flat at (3bx+5by+7id+11c) mod 256, so the pixel
+    // sum is 64 x the block-value sum
+    "jpeg_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 6) AS w,
+        |         8 * (1 + doc_id % 5) AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |blocks AS (
+        |  SELECT d.doc_id, d.w, d.h, d.ch,
+        |         (bx.x * 3 + by.y * 5 + d.doc_id * 7 + cc.c * 11) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w // 8)) AS bx(x),
+        |       LATERAL unnest(range(0, d.h // 8)) AS by(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(64 * sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(64 * count(*) AS BIGINT) AS pix_count
+        |FROM blocks GROUP BY doc_id, w, h, ch
+        |ORDER BY doc_id""".stripMargin,
 
     // analytic re-derivation of the decoded pixel statistics from the
     // fixture contract pix(id,x,y,c) = (3x+5y+7id+11c) mod 256 — the

@@ -124,6 +124,71 @@ object PngStats {
     }
 }
 
+/** jpeg_stats(bytes) -> the [[PngStats]] schema over a REAL baseline
+  * JPEG entropy decode ([[graft.operators.JpegDc]]: marker walk,
+  * canonical Huffman, DC prediction, dequant — the DC-only subset).
+  * Dirty or out-of-subset bytes → null. */
+case class JpegStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PngStats.schema
+  override def prettyName: String = "jpeg_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    JpegStats.statsToRow(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.JpegStats$$.MODULE$$.statsToRow($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object JpegStats {
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def statsToRow(bytes: Array[Byte]): InternalRow =
+    graft.operators.JpegDc.decode(bytes) match {
+      case Some(d) =>
+        var sum = 0L
+        var i = 0
+        while (i < d.pixels.length) { sum += d.pixels(i) & 0xff; i += 1 }
+        new GenericInternalRow(Array[Any](
+          d.width, d.height, d.channels, sum, d.pixels.length.toLong))
+      case None => null
+    }
+}
+
+/** jpeg_pixel_media_for_id(id) -> binary: the DC-only JPEG fixture
+  * bytes ([[graft.operators.MediaFixtures.jpegPixelMediaFor]]). */
+case class JpegPixelMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_pixel_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.jpegPixelMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.jpegPixelMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** png_histogram(bytes, bins) -> array<bigint>: REAL image feature
   * extraction over decoded pixels — the luminance histogram (integer
   * luma `(299r + 587g + 114b) / 1000` for truecolor, the sample value

@@ -152,6 +152,15 @@ object MediaFixtures {
     PngPixels.pngWithPixels(id, w, h, if (id % 2 == 0) 2 else 0)
   }
 
+  /** Full pixel-bearing DC-only JPEG for one row id ([[JpegDc]]):
+    * block-grid dimensions, both component counts, and a real Huffman
+    * entropy stream. */
+  def jpegPixelMediaFor(id: Long): Array[Byte] = {
+    val w = 8 * (1 + math.floorMod(id, 6)).toInt
+    val h = 8 * (1 + math.floorMod(id, 5)).toInt
+    JpegDc.jpegWithPixels(id, w, h, if (id % 2 == 0) 3 else 1)
+  }
+
   /** The media bytes for one row id: format, size, and channel count
     * all vary deterministically so a fixture table exercises every
     * parse path. */

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** DC-only baseline JPEG: the entropy round-trip must be bit-exact
+  * against the block contract, and out-of-subset or corrupt streams
+  * must be rejected, never thrown on. */
+class JpegDcSpec extends SparkTestBase {
+
+  test("decode(encode) recovers the exact block contract — both " +
+    "component counts, varied dims, many DC categories") {
+    (0L until 12L).foreach { id =>
+      val bytes = MediaFixtures.jpegPixelMediaFor(id)
+      val d = JpegDc.decode(bytes).getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == 8 * (1 + id % 6) && d.height == 8 * (1 + id % 5))
+      assert(d.channels == (if (id % 2 == 0) 3 else 1))
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / d.channels) % d.width
+        val y = i / (d.width * d.channels)
+        val c = i % d.channels
+        assert((d.pixels(i) & 0xff) == JpegDc.blockVal(id, x / 8, y / 8, c),
+          s"id=$id x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("extreme DC swings (category-11 diffs) survive the bitstream") {
+    // adjacent blocks at value 0 and 255 force diff = ±255 → the
+    // widest category the standard DC table carries per block pair
+    val w = 48; val h = 8
+    val bytes = JpegDc.jpegWithPixels(151L, w, h, 1)
+    val d = JpegDc.decode(bytes).get
+    assert(d.width == w && d.pixels.length == w * h)
+  }
+
+  test("the shared header parser reads the DC-only frames (SOF0 after " +
+    "DQT/DHT)") {
+    val m = MediaCodec.parse(MediaFixtures.jpegPixelMediaFor(4L)).get
+    assert(m.format == "jpeg" && m.width == 8 * (1 + 4 % 6) &&
+      m.channels == 3)
+  }
+
+  test("out-of-subset and corrupt streams are rejected, never thrown on") {
+    val good = MediaFixtures.jpegPixelMediaFor(6L)
+    // corrupt a byte inside the entropy stream
+    val corrupt = good.clone()
+    corrupt(good.length - 10) = (corrupt(good.length - 10) ^ 0x55).toByte
+    // either decodes to wrong-but-bounded pixels... no: a flipped bit
+    // desyncs Huffman — the decoder must reject or at minimum not throw
+    JpegDc.decode(corrupt) // must not throw
+    // truncation mid-stream
+    assert(JpegDc.decode(good.take(good.length / 2)).isEmpty)
+    // the header-only fixture has no entropy data
+    assert(JpegDc.decode(MediaFixtures.jpeg(16, 16, 3)).isEmpty)
+    // PNG bytes are not a JPEG
+    assert(JpegDc.decode(MediaFixtures.pixelMediaFor(2L)).isEmpty)
+    assert(JpegDc.decode(Array[Byte]()).isEmpty)
+    // non-multiple-of-8 dims are outside the subset
+    assert(JpegDc.decode(MediaFixtures.jpeg(20, 16, 1)).isEmpty)
+  }
+
+  test("PNG and JPEG pixel decoders are mutually exclusive on the " +
+    "same fixture ids (format routing is unambiguous)") {
+    (0L until 6L).foreach { id =>
+      assert(PngPixels.decode(MediaFixtures.jpegPixelMediaFor(id)).isEmpty)
+      assert(JpegDc.decode(MediaFixtures.pixelMediaFor(id)).isEmpty)
+    }
+  }
+}
