@@ -135,6 +135,12 @@ println(s"streamed into index: ${streamIdx.count()} docs")
 val li = Tables.load(spark, sf, "lineitem")
 graft.operators.Stats.groupedQuantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.95)).orderBy("l_returnflag").show()
 
+// 4e. multimodal: REAL pixel decodes — PNG via JDK zlib (all five
+//     scanline filters), JPEG via the DC-only baseline entropy subset
+val png = graft.operators.PngPixels.decode(graft.operators.MediaFixtures.pixelMediaFor(2L)).get
+val jpg = graft.operators.JpegDc.decode(graft.operators.MediaFixtures.jpegPixelMediaFor(2L)).get
+println(s"decoded png ${png.width}x${png.height}x${png.channels} (${png.pixels.length} bytes), jpeg ${jpg.width}x${jpg.height}x${jpg.channels} (${jpg.pixels.length} bytes)")
+
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))
 println(s"after delete: ${idx.count()}")
