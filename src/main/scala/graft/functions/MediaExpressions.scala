@@ -166,6 +166,73 @@ object JpegStats {
     }
 }
 
+/** media_features(bytes, dim) -> array<float>: THE feature stage of
+  * the multimodal pipeline, real where a decoder exists — bytes that
+  * decode as PNG ([[graft.operators.PngPixels]]) or DC-only JPEG
+  * ([[graft.operators.JpegDc]]) yield the L1-normalized dim-bin
+  * luminance histogram of their REAL pixels; anything else falls back
+  * to the deterministic [[graft.operators.Multimodal.FakeCodec]]
+  * byte-sum head (the external-codec seam, e.g. video). Codegen'd, so
+  * the decode-to-feature stage is not an optimizer barrier. */
+case class MediaFeatures(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
+
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "media_features"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFeatures.compute(input.asInstanceOf[Array[Byte]], dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaFeatures$$.MODULE$$.compute($c, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MediaFeatures {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte], dim: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val decoded = graft.operators.PngPixels.decode(bytes)
+      .orElse(graft.operators.JpegDc.decode(bytes))
+    val feats: Array[Float] = decoded match {
+      case Some(d) =>
+        val counts = new Array[Long](dim)
+        val px = d.pixels
+        var i = 0
+        if (d.channels == 3) {
+          while (i < px.length) {
+            val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
+              114 * (px(i + 2) & 0xff)) / 1000
+            counts(luma * dim / 256) += 1
+            i += 3
+          }
+        } else {
+          while (i < px.length) {
+            counts((px(i) & 0xff) * dim / 256) += 1
+            i += 1
+          }
+        }
+        val total = math.max(1L, counts.sum)
+        counts.map(v => v.toFloat / total)
+      case None =>
+        graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      feats.map(x => x: Any))
+  }
+}
+
 /** jpeg_pixel_media_for_id(id) -> binary: the DC-only JPEG fixture
   * bytes ([[graft.operators.MediaFixtures.jpegPixelMediaFor]]). */
 case class JpegPixelMediaBytes(child: Expression) extends UnaryExpression {

@@ -79,21 +79,18 @@ object Multimodal {
       Shim.column(graft.functions.PngStats(Shim.expression(col(binCol)))))
   }
 
-  /** Feature-extract every blob into `features array<float>` (dim). */
+  /** Feature-extract every blob into `features array<float>` (dim):
+    * REAL L1-normalized luminance histograms where a pixel decoder
+    * exists (PNG via [[PngPixels]], DC-only JPEG via [[JpegDc]]),
+    * the [[FakeCodec]] byte-sum head for everything else (the
+    * external-codec seam). A codegen'd expression
+    * ([[graft.functions.MediaFeatures]]) — the old mapPartitions
+    * formulation was an optimizer barrier blocking pushdown through
+    * the feature stage. */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = inSchema.add("features",
-      ArrayType(FloatType, containsNull = false), nullable = true)
-    val binIdx = inSchema.fieldIndex(binCol)
-    val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binIdx)
-        val feats = if (bytes == null) null
-          else FakeCodec.features(bytes, dim).toSeq
-        Row.fromSeq(row.toSeq :+ feats)
-      }
-    }(enc)
+    import org.apache.spark.sql.graftshim.Shim
+    df.withColumn("features", Shim.column(
+      graft.functions.MediaFeatures(Shim.expression(col(binCol)), dim)))
   }
 
   /** Sample `n` frames per blob into `frames array<binary>`. */

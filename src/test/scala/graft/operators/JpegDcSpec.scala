@@ -61,6 +61,45 @@ class JpegDcSpec extends SparkTestBase {
     assert(JpegDc.decode(MediaFixtures.jpeg(20, 16, 1)).isEmpty)
   }
 
+  test("extractFeatures routes decodable media to REAL pixel " +
+    "histograms and everything else to the FakeCodec seam") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (0L, MediaFixtures.pixelMediaFor(4L)),     // real PNG pixels
+      (1L, MediaFixtures.jpegPixelMediaFor(4L)), // real JPEG pixels
+      (2L, MediaFixtures.png(16, 16, 2)),        // header-only → seam
+      (3L, "not media at all".getBytes("UTF-8")) // opaque → seam
+    ).toDF("id", "media")
+    val out = Multimodal.extractFeatures(rows, "media", dim = 8)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // decodable rows: the L1-normalized luminance histogram of the
+    // REAL pixels (recompute from the decoder directly)
+    def histo(d: PngPixels.Decoded): Seq[Float] = {
+      val counts = new Array[Long](8)
+      d.pixels.grouped(d.channels).foreach { p =>
+        val luma =
+          if (d.channels == 3)
+            (299 * (p(0) & 0xff) + 587 * (p(1) & 0xff) +
+              114 * (p(2) & 0xff)) / 1000
+          else p(0) & 0xff
+        counts(luma * 8 / 256) += 1
+      }
+      val t = math.max(1L, counts.sum)
+      counts.map(_.toFloat / t).toSeq
+    }
+    assert(out(0L) == histo(PngPixels.decode(
+      MediaFixtures.pixelMediaFor(4L)).get))
+    assert(out(1L) == histo(JpegDc.decode(
+      MediaFixtures.jpegPixelMediaFor(4L)).get))
+    // non-decodable rows: byte-identical to the FakeCodec head
+    assert(out(2L) == Multimodal.FakeCodec
+      .features(MediaFixtures.png(16, 16, 2), 8).toSeq)
+    assert(out(3L) == Multimodal.FakeCodec
+      .features("not media at all".getBytes("UTF-8"), 8).toSeq)
+  }
+
   test("PNG and JPEG pixel decoders are mutually exclusive on the " +
     "same fixture ids (format routing is unambiguous)") {
     (0L until 6L).foreach { id =>
