@@ -83,4 +83,35 @@ class GoldenFixturesSpec extends SparkTestBase {
     val hits = Workflows.searchWorkflow(idx, enc, corpus(4), 1)
     assert(hits.select("uid").head().getString(0) == "4")
   }
+
+  test("image corpus end-to-end: REAL pixel decode -> real features -> " +
+    "vector index -> self-match search (no stub in the path)") {
+    import org.apache.spark.sql.functions.col
+    // 20 pixel-bearing PNGs + 20 DC-only JPEGs in one binary column
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    val media = ids.withColumn("media",
+      org.apache.spark.sql.functions.when(col("doc_id") % 2 === 0,
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.PixelMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id")))))
+        .otherwise(org.apache.spark.sql.graftshim.Shim.column(
+          functions.JpegPixelMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id"))))))
+    val feats = operators.Multimodal.extractFeatures(media, "media", 16)
+      .select(col("doc_id").cast("string").as("uid"),
+        col("features").as("vector"))
+    val dir = Files.createTempDirectory("wf-img").toString
+    val idx = Workflows.indexWorkflow(feats, dir)
+    assert(idx.count() == 40)
+    // every image's own histogram must self-match at score 1.0
+    Seq(6L, 7L).foreach { probe =>
+      val qv = feats.filter(col("uid") === probe.toString)
+        .select("vector").head().getSeq[Float](0).toArray
+      val top = idx.search(qv, 1).head()
+      assert(top.getAs[String]("uid") == probe.toString, s"probe $probe")
+      assert(math.abs(top.getAs[Double]("score") - 1.0) < 1e-9)
+    }
+  }
 }
