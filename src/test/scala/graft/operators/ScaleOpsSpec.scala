@@ -145,6 +145,25 @@ class ScaleOpsSpec extends SparkTestBase {
     })
   }
 
+  test("topKBatch at 200 queries: hash-agg threshold auto-raises past " +
+    "the 128-key sort fallback and every qid is served") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = Seq("vector", "hash", "join", "sort", "merge", "scan",
+      "index", "key", "table", "row")
+    val queries = (0 until 200).map { i =>
+      (i.toLong, Seq(vocab(i % vocab.length), vocab((i + 3) % vocab.length)))
+    }
+    val out = Bm25.topKBatch(docs, "text", "doc_id", queries, 3)
+    val perQid = out.groupBy("qid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQid.size == 200 && perQid.values.forall(_ == 3))
+    // the conf the r2 10M probe showed is load-bearing at >128 keys
+    val thr = spark.conf
+      .get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    assert(thr.toInt >= 400, thr)
+  }
+
   test("hash_embed + ngram_shingles usable from SQL text") {
     graft.Graft.init(spark)
     val r = spark.sql(
