@@ -76,7 +76,19 @@ object GraftExtensions {
     "vector_avg" -> (es => VectorAvg(es.head).toAggregateExpression()),
     "pack_vector" -> (es => PackVector(es.head)),
     "unpack_vector" -> (es => UnpackVector(es.head)),
-    "cosine_sim_packed" -> (es => CosineSimPacked(es(0), es(1))))
+    "cosine_sim_packed" -> (es => CosineSimPacked(es(0), es(1))),
+    // multimodal kernels for SQL-text users: real header parse, real
+    // pixel decodes, feature extraction, and the fixture writers
+    "parse_media" -> (es => ParseMedia(es.head)),
+    "png_stats" -> (es => PngStats(es.head)),
+    "jpeg_stats" -> (es => JpegStats(es.head)),
+    "png_histogram" -> (es =>
+      PngHistogram(es(0), intLit(es(1), "png_histogram"))),
+    "media_features" -> (es =>
+      MediaFeatures(es(0), intLit(es(1), "media_features"))),
+    "media_for_id" -> (es => MediaBytes(es.head)),
+    "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
+    "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)))
 }
 
 /** The txtai SQL dialect's `similar` in all its forms

@@ -100,6 +100,19 @@ class JpegDcSpec extends SparkTestBase {
       .features("not media at all".getBytes("UTF-8"), 8).toSeq)
   }
 
+  test("the multimodal kernels are callable from verbatim SQL text") {
+    val r = spark.sql("""
+      SELECT parse_media(pixel_media_for_id(4L)).format AS fmt,
+             png_stats(pixel_media_for_id(4L)).pix_sum AS psum,
+             jpeg_stats(jpeg_pixel_media_for_id(4L)).pix_count AS jcount,
+             size(png_histogram(pixel_media_for_id(4L), 16)) AS bins,
+             size(media_features(jpeg_pixel_media_for_id(4L), 8)) AS dim
+      """).head()
+    assert(r.getString(0) == "png")
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(r.getInt(3) == 16 && r.getInt(4) == 8)
+  }
+
   test("PNG and JPEG pixel decoders are mutually exclusive on the " +
     "same fixture ids (format routing is unambiguous)") {
     (0L until 6L).foreach { id =>
