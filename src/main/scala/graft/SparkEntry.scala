@@ -903,6 +903,26 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // the last cell of the hybrid matrix: BATCH + INDEXED — three
+    // queries served from one bucket-pruned postings read, candidate
+    // vectors fetched by one In(docid) scan over the IVF+PQ index
+    // files; per-qid results bit-identical to hybrid_index's path
+    "hybrid_index_batch" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val qvecs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val queries = Seq(
+        (0L, Seq("vector", "hash", "join"), qvecs(0L)),
+        (1L, Seq("sort", "merge"), qvecs(1L)),
+        (2L, Seq("hash", "index", "scan"), qvecs(2L)))
+      bm25IndexAt(s, dir).hybridSearchBatch(
+          ivfpqIndexAt(s, dir).df, "docid", "vector",
+          queries, k = 5, alpha = 0.5, candidates = 50)
+        .orderBy("qid", "rank")
+    }),
+
     // REAL baseline-JPEG entropy decode (DC-only subset — JpegDc):
     // real marker walk, canonical Huffman bitstream with byte
     // stuffing, DC prediction, dequant; blocks are flat so the flat
@@ -1902,6 +1922,78 @@ object SparkEntry {
         |  JOIN dfs d ON d.qid = m.qid AND d.term = m.term
         |  CROSS JOIN st
         |  GROUP BY 1, 2),
+        |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |       WHERE vec_id < 3),
+        |cand AS (
+        |  SELECT l.qid, l.docid, l.bm25_micros,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.qvec AS DOUBLE[])) AS cos
+        |  FROM lex l
+        |  JOIN embeddings e ON l.docid = e.vec_id
+        |  JOIN qv q ON q.qid = l.qid),
+        |bounds AS (
+        |  SELECT qid, min(bm25_micros) AS bmin, max(bm25_micros) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM cand GROUP BY 1),
+        |blend AS (
+        |  SELECT c.qid, c.docid,
+        |         CAST(round((0.5 * (CASE WHEN b.cmax = b.cmin THEN 1.0
+        |                     ELSE (c.cos - b.cmin) / (b.cmax - b.cmin) END)
+        |               + 0.5 * (CASE WHEN b.bmax = b.bmin THEN 1.0
+        |                   ELSE CAST(c.bm25_micros - b.bmin AS DOUBLE)
+        |                        / CAST(b.bmax - b.bmin AS DOUBLE) END))
+        |               * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |  FROM cand c JOIN bounds b USING (qid)),
+        |ranked AS (
+        |  SELECT qid, docid, hybrid_micros,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY hybrid_micros DESC, docid) AS rank
+        |  FROM blend)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |       docid, hybrid_micros
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // hybrid_batch's per-qid pipeline restricted to the deterministic
+    // top-50 lexical candidates per qid (the index only changes which
+    // files are read, never the values)
+    "hybrid_index_batch" ->
+      """WITH qt(qid, term) AS (VALUES
+        |    (0, 'vector'), (0, 'hash'), (0, 'join'),
+        |    (1, 'sort'), (1, 'merge'),
+        |    (2, 'hash'), (2, 'index'), (2, 'scan')),
+        |p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT q.qid, t.docid, t.dl, t.term, t.tf
+        |  FROM tfs t JOIN qt q USING (term)),
+        |dfs AS (SELECT qid, term, count(*) AS df FROM matched GROUP BY 1, 2),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |lexall AS (
+        |  SELECT m.qid, CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m
+        |  JOIN dfs d ON d.qid = m.qid AND d.term = m.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT * FROM (
+        |    SELECT qid, docid, bm25_micros,
+        |           row_number() OVER (PARTITION BY qid
+        |             ORDER BY bm25_micros DESC, docid) AS rn
+        |    FROM lexall) WHERE rn <= 50),
         |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
         |       WHERE vec_id < 3),
         |cand AS (

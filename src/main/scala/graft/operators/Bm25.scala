@@ -477,6 +477,98 @@ class Bm25Index private (
       .orderBy(desc("bm25_micros"), col("docid").asc)
       .limit(k)
 
+  /** Batch form of [[hybridSearch]] — the last cell of the
+    * (single/batch) × (ad-hoc/indexed) matrix: N hybrid queries where
+    * BOTH halves read index storage and the postings open ONCE for the
+    * whole batch.
+    *
+    *  - one partition-pruned postings read covers the UNION of every
+    *    query's term buckets; per-term df comes from those pruned
+    *    postings (qid-independent, exact — same stats as [[scores]]);
+    *  - per-qid candidate selection is the bounded-heap top-`candidates`
+    *    (ties on docid ascending — the same order [[search]] produces),
+    *    collected once as a bounded boundary set (≤ queries ×
+    *    candidates rows);
+    *  - the union of candidate ids fetches vectors in ONE In(docid)
+    *    scan (row groups outside the id set skip on min/max stats —
+    *    the sorted-write layout);
+    *  - per-qid min-max blend (literal-identical math to
+    *    [[Bm25.blendMinMax]]) and bounded-heap top-k finish the job.
+    *
+    * Output (qid, rank, docid, hybrid_micros); per-qid results are
+    * bit-identical to [[hybridSearch]] with that query's terms/vector. */
+  def hybridSearchBatch(
+      vectors: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[String], Array[Float])],
+      k: Int,
+      alpha: Double = 0.5,
+      candidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25: empty query batch")
+    Knn.ensureHashAggCapacity(spark, queries.length)
+    val qt = queries.flatMap { case (qid, ts, _) =>
+      val t = ts.map(_.toLowerCase).distinct
+      require(t.nonEmpty, s"bm25: empty query $qid")
+      t.map(term => (qid, term))
+    }
+    val terms = qt.map(_._2).distinct
+    val buckets = terms.map(t => Bm25Index.bucketOf(t, nBuckets)).distinct
+    val matched = postings
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfs = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = matched
+      .join(broadcast(dfs), "term")
+      .select(col("term"), col("docid"),
+        Bm25.termMicros(col("tf"), col("dl"), col("df"), lit(n),
+          lit(avgdl)).as("__micros"))
+    val lex = perTerm
+      .join(broadcast(qt.toDF("qid", "term")), "term")
+      .groupBy("qid", "docid")
+      .agg(sum("__micros").as("bm25_micros"))
+    val candRows = Knn.topKPerQuery(
+        lex.select(col("qid"), col("docid").as("__id"),
+          col("bm25_micros").cast("double").as("__score")),
+        candidates)
+      .select(col("qid"), col("id").as("docid"),
+        col("score").cast("long").as("bm25_micros"))
+      .collect()
+    if (candRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("qid", "rank", "docid", "hybrid_micros")
+    val cand = candRows.toIndexedSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("qid", "docid", "bm25_micros")
+    val ids = candRows.map(_.getLong(1)).distinct.toIndexedSeq
+    val fetched = vectors
+      .select(col(vecIdCol).cast("long").as("docid"), col(vecCol).as("__v"))
+      .filter(col("docid").isin(ids: _*))
+    val qVecs = queries.map { case (qid, _, v) => (qid, v.toSeq) }
+      .toDF("qid", "__qvec")
+      .select(col("qid"), col("__qvec").cast("array<float>").as("__qvec"))
+    val scored = cand.join(fetched, "docid").join(broadcast(qVecs), "qid")
+      .select(col("qid"), col("docid"), col("bm25_micros"),
+        graft.Graft.cosineSim(col("__v"), col("__qvec")).as("__cos"))
+    val bounds = scored.groupBy("qid").agg(
+      min("bm25_micros").as("__bmin"), max("bm25_micros").as("__bmax"),
+      min("__cos").as("__cmin"), max("__cos").as("__cmax"))
+    val normB = when(col("__bmax") === col("__bmin"), lit(1.0))
+      .otherwise((col("bm25_micros") - col("__bmin")).cast("double") /
+        (col("__bmax") - col("__bmin")).cast("double"))
+    val normC = when(col("__cmax") === col("__cmin"), lit(1.0))
+      .otherwise((col("__cos") - col("__cmin")) /
+        (col("__cmax") - col("__cmin")))
+    val blended = scored.join(broadcast(bounds), "qid")
+      .select(col("qid"), col("docid").as("__id"),
+        round((lit(alpha) * normC + lit(1.0 - alpha) * normB) *
+          lit(1000000.0), 0).as("__score"))
+    Knn.topKPerQuery(blended, k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("docid"), col("score").cast("long").as("hybrid_micros"))
+  }
+
   /** Index-routed hybrid — txtai `hybrid: true` shaped for 100 TB:
     * BOTH halves read index storage, neither scans a full table.
     *

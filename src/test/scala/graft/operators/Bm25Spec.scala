@@ -205,6 +205,32 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("Bm25Index.hybridSearchBatch: per-qid results bit-identical to " +
+    "hybridSearch, one pruned postings read for the batch") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qvecs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dir = Files.createTempDirectory("bm25hsb").toString
+    val idx = Bm25Index.build(docs, "text", "doc_id", s"$dir/idx", 8)
+    val queries = Seq(
+      (0L, Seq("vector", "hash"), qvecs(0L)),
+      (1L, Seq("sort", "merge", "join"), qvecs(1L)))
+    val batch = idx.hybridSearchBatch(emb, "vec_id", "embedding",
+        queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms, qv) =>
+      val single = idx.hybridSearch(emb, "vec_id", "embedding",
+          terms, qv, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getLong(1)) }
+      assert(batch(qid).sortBy(_._2).toSeq == single.toSeq, s"qid=$qid")
+    }
+  }
+
   test("driver-side bucketOf matches Spark's hash(term) pmod nBuckets") {
     val terms = Seq("vector", "hash", "join", "spark", "the", "fox")
     import spark.implicits._
