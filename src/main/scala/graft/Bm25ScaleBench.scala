@@ -112,6 +112,23 @@ object Bm25ScaleBench {
           idx.hybridSearch(vectors, "vec_id", "embedding",
             terms, qv, k = 10).collect()
         }
+        // batch indexed hybrid: 32 queries, ONE pruned postings read +
+        // ONE In(union-ids) vector fetch — the flagship serving path
+        val vocab32 = spark.read.parquet(corpusDir)
+          .select(explode(Bm25.tokens(col("text"))).as("t"))
+          .groupBy("t").count()
+          .orderBy(desc("count")).limit(64)
+          .collect().map(_.getString(0))
+        val hq = (0 until 32).map { i =>
+          (i.toLong,
+            Seq(vocab32(i % vocab32.length),
+              vocab32((i + 17) % vocab32.length)),
+            qv)
+        }
+        time("batch indexed hybrid: 32 queries, one pruned pass") {
+          idx.hybridSearchBatch(vectors, "vec_id", "embedding",
+            hq, k = 10).collect()
+        }
       }
     }
     probe(64)
