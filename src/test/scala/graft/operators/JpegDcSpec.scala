@@ -35,6 +35,29 @@ class JpegDcSpec extends SparkTestBase {
     assert(d.width == w && d.pixels.length == w * h)
   }
 
+  test("seeded fuzz: 50 random (id, blocks, components) combos " +
+    "round-trip bit-exactly") {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextLong(1000000L)
+      val w = 8 * (1 + rnd.nextInt(10))
+      val h = 8 * (1 + rnd.nextInt(8))
+      val nc = if (rnd.nextBoolean()) 3 else 1
+      val d = JpegDc.decode(JpegDc.jpegWithPixels(id, w, h, nc))
+        .getOrElse(fail(s"id=$id ${w}x$h nc=$nc did not decode"))
+      assert(d.width == w && d.height == h && d.channels == nc)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / nc) % w
+        val y = i / (w * nc)
+        assert((d.pixels(i) & 0xff) ==
+          JpegDc.blockVal(id, x / 8, y / 8, i % nc),
+          s"id=$id ${w}x$h nc=$nc i=$i")
+        i += 1
+      }
+    }
+  }
+
   test("the shared header parser reads the DC-only frames (SOF0 after " +
     "DQT/DHT)") {
     val m = MediaCodec.parse(MediaFixtures.jpegPixelMediaFor(4L)).get

@@ -55,6 +55,28 @@ class PngPixelsSpec extends SparkTestBase {
     assert(PngPixels.decode("hello".getBytes("UTF-8")).isEmpty)
   }
 
+  test("seeded fuzz: 50 random (id, w, h, colorType) combos round-trip " +
+    "bit-exactly") {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextLong(1000000L)
+      val w = 1 + rnd.nextInt(80)
+      val h = 1 + rnd.nextInt(60)
+      val ct = if (rnd.nextBoolean()) 2 else 0
+      val d = PngPixels.decode(PngPixels.pngWithPixels(id, w, h, ct))
+        .getOrElse(fail(s"id=$id ${w}x$h ct=$ct did not decode"))
+      assert(d.width == w && d.height == h)
+      val ch = d.channels
+      var i = 0
+      while (i < d.pixels.length) {
+        assert((d.pixels(i) & 0xff) ==
+          PngPixels.pix(id, (i / ch) % w, i / (w * ch), i % ch),
+          s"id=$id ${w}x$h ct=$ct i=$i")
+        i += 1
+      }
+    }
+  }
+
   test("the header parse still reads pixel-bearing PNGs (same IHDR)") {
     val m = MediaCodec.parse(MediaFixtures.pixelMediaFor(6L)).get
     assert(m.format == "png" && m.width == 8 + 6 % 40 && m.channels == 3)
