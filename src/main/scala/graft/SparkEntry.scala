@@ -903,6 +903,14 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // faceted keyword search (the reference family's Aggregate over a
+    // filtered search): per-language hit counts + score mass over the
+    // BM25-matched set, one corpus pass + one facet groupBy
+    "keyword_facets" -> ((s, dir) =>
+      operators.Bm25.facets(t(s, dir, "documents"), "text", "doc_id",
+          Seq("vector", "hash", "join"), "lang")
+        .orderBy("facet")),
+
     // the last cell of the hybrid matrix: BATCH + INDEXED — three
     // queries served from one bucket-pruned postings read, candidate
     // vectors fetched by one In(docid) scan over the IVF+PQ index
@@ -1953,6 +1961,39 @@ object SparkEntry {
         |       docid, hybrid_micros
         |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    // bm25_topk's scoring CTE reduced per facet instead of top-k'd
+    "keyword_facets" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |scored AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1)
+        |SELECT doc.lang AS facet,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(s.bm25_micros) AS BIGINT) AS sum_micros,
+        |       CAST(max(s.bm25_micros) AS BIGINT) AS max_micros
+        |FROM scored s JOIN documents doc ON s.docid = doc.doc_id
+        |GROUP BY doc.lang
+        |ORDER BY facet""".stripMargin,
 
     // hybrid_batch's per-qid pipeline restricted to the deterministic
     // top-50 lexical candidates per qid (the index only changes which

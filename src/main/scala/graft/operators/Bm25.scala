@@ -212,6 +212,32 @@ object Bm25 {
     blendMinMax(cand, alpha)
   }
 
+  /** Faceted keyword search — the reference family's
+    * Aggregate-over-filtered-search (Weaviate's GraphQL `Aggregate`
+    * with a `where`/`near` restriction): per-facet statistics over the
+    * documents matching the query, computed in the SAME plan as the
+    * match itself. One corpus pass produces the scored candidate set
+    * ([[score]]'s single-scan plan), one hash-partitioned groupBy on
+    * the facet column reduces it — candidates join their facet values
+    * by id, so the corpus text is never carried through the facet
+    * shuffle. Output (facet value, n_docs, sum/max micros) — the hit
+    * counts and score mass a search UI renders next to the top-k. */
+  def facets(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      facetCol: String): DataFrame = {
+    val matched = score(docs, textCol, idCol, queryTerms)
+    val sides = docs.select(col(idCol).cast("long").as("docid"),
+      col(facetCol).as("facet"))
+    matched.join(sides, "docid")
+      .groupBy("facet")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bm25_micros").as("sum_micros"),
+        max("bm25_micros").as("max_micros"))
+  }
+
   /** Batch keyword scoring — the lexical half of [[hybridBatch]] as
     * its own operator: (qid, docid, bm25_micros) for every document
     * matching at least one of its query's terms, all queries served by

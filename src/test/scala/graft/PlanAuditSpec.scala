@@ -234,6 +234,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("keyword_facets: the facet side carries (id, facet) only — the " +
+    "corpus text never rides the facet shuffle, and no cartesian") {
+    val plan = physical(run("keyword_facets"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the docs relation is scanned for the facet join with a pruned
+    // schema: id + facet, never the text column again
+    val facetScan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("lang"))
+      .mkString("\n")
+    assert(facetScan.nonEmpty && !facetScan.contains("text"), plan)
+  }
+
   test("hybrid_batch: one shared postings pass for N queries (reused " +
     "exchange), broadcast query/bounds joins, bounded-heap top-k") {
     val region = executedRegion(run("hybrid_batch"))
