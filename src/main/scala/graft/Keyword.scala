@@ -1,10 +1,9 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
 
 import graft.functions.{Bm25QueryModel, Bm25Score}
 import graft.operators.{Bm25, Bm25Index}
@@ -35,6 +34,17 @@ import graft.operators.{Bm25, Bm25Index}
   *    from the stats sidecar — nothing scans the corpus, which is the
   *    100 TB path.
   *
+  * Registrations are SCOPED, not one global slot: each source (keyed
+  * by corpus plan identity or index path) keeps its own stats and df
+  * caches in a bounded registry, and the ACTIVE source is tracked per
+  * SparkSession (weakly — dead sessions drop their entry). Two
+  * sessions never clobber each other, and one session flipping between
+  * corpora re-activates warm caches instead of recomputing. An
+  * [[Bm25Index.append]] invalidates that path's registration (the
+  * pre-append n/sumdl/df are wrong for the grown corpus): scoring
+  * against it afterwards fails loudly until the appended index is
+  * re-registered — never silently serving stale statistics.
+  *
   * One-argument form binds to the FROM relation's `text` column
   * (mirroring one-argument `similar`'s `vector` binding);
   * `keyword_score(col, 'terms')` names the column explicitly. The terms
@@ -43,29 +53,71 @@ import graft.operators.{Bm25, Bm25Index}
   * corpus by construction (same stats, same literal math). */
 object Keyword {
 
-  private case class Source(corpus: Option[(DataFrame, String)],
-      index: Option[Bm25Index])
+  /** One registered stats source with its own caches — never shared
+    * across sources (the round-6 staleness/clobber fix). */
+  private final class Registration(
+      val corpus: Option[(DataFrame, String)],
+      val index: Option[Bm25Index]) {
+    var statsCache: Option[(Long, Double)] = None
+    val dfCache =
+      scala.collection.mutable.Map.empty[Seq[String], Map[String, Long]]
+  }
 
-  private var source: Source = Source(None, None)
-  private var statsCache: Option[(Long, Double)] = None
-  private val dfCache =
-    scala.collection.mutable.Map.empty[Seq[String], Map[String, Long]]
+  /** Bounds: distinct registered sources, and distinct query term-sets
+    * cached per source — both driver-memory-only; overflow clears (the
+    * dropped stats re-derive in one small job, so eviction policy is
+    * not worth state). */
+  private val MaxRegistrations = 64
+  private val MaxDfEntries = 1024
+
+  private val registry =
+    new scala.collection.mutable.LinkedHashMap[String, Registration]
+  // active source PER SESSION — weak keys so a dropped session frees
+  // its entry; values are registry keys
+  private val active = new java.util.WeakHashMap[SparkSession, String]
+
+  private def corpusKey(docs: DataFrame, textCol: String): String =
+    "corpus:" + System.identityHashCode(docs.sparkSession) + ":" +
+      docs.queryExecution.analyzed.semanticHash() + ":" + textCol
+
+  private def indexKey(path: String): String = "index:" + path
+
+  private def activate(session: SparkSession, key: String,
+      fresh: => Registration): Unit = {
+    if (!registry.contains(key)) {
+      if (registry.size >= MaxRegistrations)
+        registry.remove(registry.head._1) // drop eldest
+      registry(key) = fresh
+    }
+    active.put(session, key)
+  }
 
   /** Register a corpus DataFrame as the stats source (what
-    * [[Txtai.register]] does with its view). */
+    * [[Txtai.register]] does with its view) and make it this session's
+    * active source. Re-registering the same corpus (same plan
+    * identity) re-activates its still-warm caches. */
   def registerCorpus(docs: DataFrame, textCol: String): Unit = synchronized {
-    source = Source(Some((docs, textCol)), None)
-    statsCache = None
-    dfCache.clear()
+    activate(docs.sparkSession, corpusKey(docs, textCol),
+      new Registration(Some((docs, textCol)), None))
   }
 
   /** Register a persisted [[Bm25Index]] as the stats source: df reads
     * only the query terms' bucket partitions, n/avgdl come from the
-    * sidecar — the no-corpus-scan path. */
+    * sidecar — the no-corpus-scan path. A DIFFERENT index object at
+    * the same path (e.g. the one [[Bm25Index.append]] returned)
+    * replaces the cached statistics rather than reusing them. */
   def registerIndex(idx: Bm25Index): Unit = synchronized {
-    source = Source(None, Some(idx))
-    statsCache = None
-    dfCache.clear()
+    val key = indexKey(idx.path)
+    if (registry.get(key).exists(_.index.exists(_ ne idx)))
+      registry.remove(key) // same path, new object: stats changed
+    activate(idx.spark, key, new Registration(None, Some(idx)))
+  }
+
+  /** Drop any registration backed by the index at `path` — called by
+    * [[Bm25Index.append]] so post-append scoring fails loudly (asking
+    * for a re-register) instead of silently using pre-append stats. */
+  private[graft] def invalidateIndex(path: String): Unit = synchronized {
+    registry.remove(indexKey(path))
   }
 
   /** The `keyword_score` function builder (registered via
@@ -85,12 +137,34 @@ object Keyword {
       "query terms would need per-row corpus statistics; score a fixed " +
       "query per pass instead"))
 
+  private def current(): Registration =
+    SparkSession.getActiveSession.flatMap(s => Option(active.get(s))) match {
+      case Some(key) => registry.getOrElse(key,
+        // the session HAD a source but it was invalidated — never fall
+        // back to some other registration (silently wrong stats)
+        throw new IllegalStateException(
+          "keyword_score: this session's stats source was invalidated " +
+          "(Bm25Index.append invalidates its registration — the " +
+          "pre-append statistics are stale) — re-register the appended " +
+          "index (Keyword.registerIndex) or the corpus (Txtai.register)"))
+      case None =>
+        // never activated in this session: unambiguous only when
+        // exactly one source exists
+        if (registry.size == 1) registry.head._2
+        else throw new IllegalStateException(
+          "keyword_score: no active stats source for this session — " +
+          "call Txtai.register (corpus stats) or Keyword.registerIndex " +
+          "(Bm25Index stats) first")
+    }
+
   private[graft] def model(text: String): Bm25QueryModel = synchronized {
     val terms = Bm25.TokenPattern.r
-      .findAllIn(text.toLowerCase).toSeq.distinct
+      .findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
     require(terms.nonEmpty, s"keyword_score: no query terms in '$text'")
-    val (n, avgdl) = stats()
-    val dfs = dfCache.getOrElseUpdate(terms, dfOf(terms))
+    val reg = current()
+    val (n, avgdl) = stats(reg)
+    if (reg.dfCache.size >= MaxDfEntries) reg.dfCache.clear()
+    val dfs = reg.dfCache.getOrElseUpdate(terms, dfOf(reg, terms))
     val idfs = terms.map { t =>
       val df = dfs.getOrElse(t, 0L)
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))
@@ -98,31 +172,29 @@ object Keyword {
     Bm25QueryModel(terms, idfs, avgdl)
   }
 
-  private def stats(): (Long, Double) = statsCache.getOrElse {
-    val st = source match {
-      case Source(_, Some(idx)) => (idx.n, idx.avgdl)
-      case Source(Some((docs, textCol)), _) =>
-        val row = Bm25.stats(docs, textCol).head()
-        (row.getLong(0), row.getDouble(1))
-      case _ => throw new IllegalStateException(
-        "keyword_score: no corpus registered — call Txtai.register " +
-        "(corpus stats) or Keyword.registerIndex (Bm25Index stats) first")
+  private def stats(reg: Registration): (Long, Double) =
+    reg.statsCache.getOrElse {
+      val st = reg.index match {
+        case Some(idx) => (idx.n, idx.avgdl)
+        case None =>
+          val (docs, textCol) = reg.corpus.get
+          val row = Bm25.stats(docs, textCol).head()
+          (row.getLong(0), row.getDouble(1))
+      }
+      reg.statsCache = Some(st)
+      st
     }
-    statsCache = Some(st)
-    st
-  }
 
-  private def dfOf(terms: Seq[String]): Map[String, Long] = source match {
-    case Source(_, Some(idx)) => idx.dfOf(terms)
-    case Source(Some((docs, textCol)), _) =>
+  private def dfOf(reg: Registration, terms: Seq[String])
+      : Map[String, Long] = reg.index match {
+    case Some(idx) => idx.dfOf(terms)
+    case None =>
+      val (docs, textCol) = reg.corpus.get
       docs
         .select(explode(array_distinct(Bm25.tokens(col(textCol))))
           .as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    case _ => throw new IllegalStateException(
-      "keyword_score: no corpus registered — call Txtai.register " +
-      "(corpus stats) or Keyword.registerIndex (Bm25Index stats) first")
   }
 }

@@ -53,10 +53,15 @@ object SparkEntry {
     * bm25_index_topk / hybrid_index / keyword-routed SQL). */
   private def bm25IndexAt(s: SparkSession, dir: String): operators.Bm25Index = {
     val path = cachedIndexPath(dir, "documents", "bm25v2_64")
-    if (new java.io.File(s"$path/_stats").exists)
+    val idx = if (new java.io.File(s"$path/_stats").exists)
       operators.Bm25Index.load(s, path)
     else operators.Bm25Index.build(
       t(s, dir, "documents"), "text", "doc_id", path, nBuckets = 64)
+    // docid-sorted metadata sidecar backing index-routed facets —
+    // written once next to the postings (older cached builds lack it)
+    if (!new java.io.File(s"$path/_meta").exists)
+      idx.writeMeta(t(s, dir, "documents"), "doc_id", Seq("lang"))
+    idx
   }
 
   /** Load-or-build the IVF+PQ index over `embeddings` (shared by
@@ -911,6 +916,29 @@ object SparkEntry {
           Seq("vector", "hash", "join"), "lang")
         .orderBy("facet")),
 
+    // the 100 TB Aggregate-over-search: same facet stats, but the
+    // candidates come from the bucket-pruned postings and the facet
+    // values from the docid-sorted _meta sidecar via In(docid)
+    // pushdown — NO corpus scan anywhere in the plan (pinned).
+    // Bit-identical to keyword_facets, so the oracle is shared.
+    "keyword_facets_index" -> ((s, dir) =>
+      bm25IndexAt(s, dir).facets(Seq("vector", "hash", "join"), "lang")
+        .orderBy("facet")),
+
+    // batch keyword serving (the reference's workflow element lists,
+    // README.md:38-43): three term queries, ONE shared postings pass
+    // (per-qid df via window, pinned), bounded-heap per-qid top-k —
+    // the keyword-only cell of the serving matrix, previously the one
+    // surface without its own oracle row
+    "keyword_batch" -> ((s, dir) => {
+      Graft.init(s)
+      operators.Bm25.topKBatch(t(s, dir, "documents"), "text", "doc_id",
+          Seq((0L, Seq("vector", "hash", "join")),
+            (1L, Seq("sort", "merge")),
+            (2L, Seq("hash", "index", "scan"))), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // the last cell of the hybrid matrix: BATCH + INDEXED — three
     // queries served from one bucket-pruned postings read, candidate
     // vectors fetched by one In(docid) scan over the IVF+PQ index
@@ -957,6 +985,31 @@ object SparkEntry {
           col("st.channels").cast("long").as("channels"),
           col("st.pix_sum").as("pix_sum"),
           col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
+    // MIXED-format pixel decode (the crawl reality): ONE binary column
+    // carrying PNG and JPEG rows, decoded by the format-dispatching
+    // PixelStats expression — each row runs exactly one real decoder
+    // (magic-byte dispatch), so neither format silently nulls. Oracle
+    // re-derives both contracts analytically (per-pixel for PNG,
+    // 64×per-block for JPEG) and the format tag per parity.
+    "pixel_stats_mixed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.MixedPixelMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      val decoded = operators.Multimodal.decodePixelStats(
+        operators.Multimodal.decodeMeta(media, "media"), "media")
+      decoded.filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("pixstats.width").cast("long").as("width"),
+          col("pixstats.height").cast("long").as("height"),
+          col("pixstats.channels").cast("long").as("channels"),
+          col("pixstats.pix_sum").as("pix_sum"),
+          col("pixstats.pix_count").as("pix_count"))
         .orderBy("doc_id")
     }),
 
@@ -1995,6 +2048,83 @@ object SparkEntry {
         |GROUP BY doc.lang
         |ORDER BY facet""".stripMargin,
 
+    // keyword_facets' oracle verbatim: the index routes WHICH files are
+    // read (pruned postings + meta sidecar), never the values
+    "keyword_facets_index" ->
+      """WITH p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |scored AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1)
+        |SELECT doc.lang AS facet,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(s.bm25_micros) AS BIGINT) AS sum_micros,
+        |       CAST(max(s.bm25_micros) AS BIGINT) AS max_micros
+        |FROM scored s JOIN documents doc ON s.docid = doc.doc_id
+        |GROUP BY doc.lang
+        |ORDER BY facet""".stripMargin,
+
+    // hybrid_batch's lexical half ranked per qid — the keyword-only
+    // batch surface with its own direct oracle row
+    "keyword_batch" ->
+      """WITH qt(qid, term) AS (VALUES
+        |    (0, 'vector'), (0, 'hash'), (0, 'join'),
+        |    (1, 'sort'), (1, 'merge'),
+        |    (2, 'hash'), (2, 'index'), (2, 'scan')),
+        |p AS (
+        |  SELECT doc_id AS docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM documents),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT q.qid, t.docid, t.dl, t.term, t.tf
+        |  FROM tfs t JOIN qt q USING (term)),
+        |dfs AS (SELECT qid, term, count(*) AS df FROM matched GROUP BY 1, 2),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents),
+        |lex AS (
+        |  SELECT m.qid, CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM matched m
+        |  JOIN dfs d ON d.qid = m.qid AND d.term = m.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, docid, bm25_micros,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY bm25_micros DESC, docid) AS rank
+        |  FROM lex)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |       docid, bm25_micros
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
     // hybrid_batch's per-qid pipeline restricted to the deterministic
     // top-50 lexical candidates per qid (the index only changes which
     // files are read, never the values)
@@ -2090,6 +2220,41 @@ object SparkEntry {
         |       CAST(64 * sum(v) AS BIGINT) AS pix_sum,
         |       CAST(64 * count(*) AS BIGINT) AS pix_count
         |FROM blocks GROUP BY doc_id, w, h, ch
+        |ORDER BY doc_id""".stripMargin,
+
+    // the two analytic contracts unified: per-pixel for PNG rows (even
+    // ids, inner shape key k=id//2), 64×per-block for JPEG rows (odd
+    // ids) — the engine dispatched on real magic bytes, the oracle on
+    // parity, so a dispatch bug (either format nulled or misrouted)
+    // breaks rows/hash
+    "pixel_stats_mixed" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |dims AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS is_png, doc_id // 2 AS k
+        |  FROM ids),
+        |d2 AS (
+        |  SELECT doc_id, is_png,
+        |    CASE WHEN is_png THEN 8 + k % 40 ELSE 8 * (1 + k % 6) END AS w,
+        |    CASE WHEN is_png THEN 8 + k % 30 ELSE 8 * (1 + k % 5) END AS h,
+        |    CASE WHEN k % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    CASE WHEN is_png THEN 1 ELSE 64 END AS mult,
+        |    CASE WHEN is_png THEN 8 + k % 40 ELSE 1 + k % 6 END AS nx,
+        |    CASE WHEN is_png THEN 8 + k % 30 ELSE 1 + k % 5 END AS ny
+        |  FROM dims),
+        |cells AS (
+        |  SELECT d.doc_id, d.is_png, d.w, d.h, d.ch, d.mult,
+        |         (xx.x * 3 + yy.y * 5 + d.doc_id * 7 + cc.c * 11) % 256 AS v
+        |  FROM d2 d,
+        |       LATERAL unnest(range(0, d.nx)) AS xx(x),
+        |       LATERAL unnest(range(0, d.ny)) AS yy(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id,
+        |       CASE WHEN is_png THEN 'png' ELSE 'jpeg' END AS format,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(mult * sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(mult * count(*) AS BIGINT) AS pix_count
+        |FROM cells GROUP BY doc_id, is_png, w, h, ch, mult
         |ORDER BY doc_id""".stripMargin,
 
     // analytic re-derivation of the decoded pixel statistics from the

@@ -99,7 +99,7 @@ object WorkflowMain {
         // pass + per-qid heap top-k), like the hybrid action
         val queries = elements.zipWithIndex.map { case (q, i) =>
           val terms = operators.Bm25.TokenPattern.r
-            .findAllIn(q.toLowerCase).toSeq.distinct
+            .findAllIn(q.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
           require(terms.nonEmpty, s"keyword: no query terms in '$q'")
           (i.toLong, terms)
         }

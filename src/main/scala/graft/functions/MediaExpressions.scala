@@ -166,6 +166,48 @@ object JpegStats {
     }
 }
 
+/** pixel_stats(bytes) -> the [[PngStats]] schema, FORMAT-DISPATCHING: a
+  * mixed-format media table (PNG and JPEG rows in one binary column —
+  * the crawl reality) gets real pixel statistics for every row either
+  * decoder covers, instead of silently nulling whichever format the
+  * caller didn't pick. Dispatch is on the magic bytes (PNG signature
+  * `\x89PNG` vs JPEG SOI `\xFF\xD8`), so each blob runs exactly one
+  * decoder; unknown/corrupt/out-of-subset bytes → null, never a throw. */
+case class PixelStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PngStats.schema
+  override def prettyName: String = "pixel_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PixelStats.statsToRow(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PixelStats$$.MODULE$$.statsToRow($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PixelStats {
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def statsToRow(bytes: Array[Byte]): InternalRow =
+    if (bytes == null || bytes.length < 2) null
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      PngStats.statsToRow(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      JpegStats.statsToRow(bytes)
+    else null
+}
+
 /** media_features(bytes, dim) -> array<float>: THE feature stage of
   * the multimodal pipeline, real where a decoder exists — bytes that
   * decode as PNG ([[graft.operators.PngPixels]]) or DC-only JPEG
@@ -318,6 +360,30 @@ object PngHistogram {
           counts.map(x => x: Any))
       case None => null
     }
+}
+
+/** mixed_pixel_media_for_id(id) -> binary: the MIXED-format pixel
+  * fixture bytes ([[graft.operators.MediaFixtures.mixedPixelMediaFor]]
+  * — PNG even ids, JPEG odd ids, real pixels in both). */
+case class MixedPixelMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mixed_pixel_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.mixedPixelMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.mixedPixelMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** pixel_media_for_id(id) -> binary: the pixel-bearing PNG fixture

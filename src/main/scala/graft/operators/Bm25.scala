@@ -61,12 +61,16 @@ object Bm25 {
   /** Raw mergeable stats: (n, sumdl) as LONGS — the exact form
     * [[Bm25Index]] persists so an append merges bit-exactly (long
     * addition is associative; a stored double avgdl would drift from
-    * the full-rebuild value). Null texts count in n, contribute 0 dl. */
-  private[operators] def statsRaw(docs: DataFrame, textCol: String): DataFrame =
+    * the full-rebuild value) — plus the batch's (min_id, max_id) for
+    * the append overlap guard. Null texts count in n, contribute 0 dl. */
+  private[operators] def statsRaw(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
-      .select(size(tokens(col(textCol))).cast("long").as("__dl"))
+      .select(size(tokens(col(textCol))).cast("long").as("__dl"),
+        col(idCol).cast("long").as("__id"))
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__dl")), lit(0L)).as("sumdl"))
+        coalesce(sum(col("__dl")), lit(0L)).as("sumdl"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
 
   /** Per-document marker term injected into [[postingsWithMarker]]: the
     * tokenizer can never produce it ([a-z]+|[0-9]+ excludes NUL), so
@@ -132,7 +136,7 @@ object Bm25 {
       idCol: String,
       queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
-    val terms = queryTerms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.filter(_ != DocMarker)
     require(terms.nonEmpty, "bm25: empty query")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -252,7 +256,7 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = queries.flatMap { case (qid, terms) =>
-      val t = terms.map(_.toLowerCase).distinct.filter(_ != DocMarker)
+      val t = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.filter(_ != DocMarker)
       require(t.nonEmpty, s"bm25: empty query $qid")
       t.map(term => (qid, term))
     }.toDF("qid", "term")
@@ -414,14 +418,38 @@ class Bm25Index private (
     * offset-continuing semantics): `idCol` values must be disjoint from
     * the already-indexed corpus — re-appending an indexed doc would
     * double-count its postings, same as the reference family's append
-    * (weaviate.py:135-149) which never dedups server-side. Repeated
-    * appends leave one small file per append per bucket; rebuild (or
-    * copy-compact) during maintenance windows, as [[IvfVectorIndex
-    * .compact]] documents for the vector twin. */
-  def append(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
-    val Array(st) = Bm25.statsRaw(docs, textCol).collect()
+    * (weaviate.py:135-149) which never dedups server-side. The
+    * contract is ENFORCED cheaply: every build/append records its
+    * docid [min,max] in a `_ranges` sidecar, and an append whose id
+    * range intersects a recorded one throws instead of silently
+    * corrupting scores (ranges, not exact sets — O(appends) driver
+    * memory at any corpus size; disjoint-range batches, the normal
+    * ingest pattern, never false-positive). `force = true` skips the
+    * guard for callers interleaving id ranges ON PURPOSE — the
+    * double-count risk is then theirs. Repeated appends leave one
+    * small file per append per bucket; rebuild (or copy-[[compact]])
+    * during maintenance windows, as [[graft.index.IvfVectorIndex
+    * .compact]] documents for the vector twin.
+    *
+    * Appending also invalidates any `keyword_score` registration of
+    * this index ([[graft.Keyword.invalidateIndex]]) — the pre-append
+    * stats are wrong for the grown corpus, so scoring must re-register
+    * the RETURNED index rather than silently using stale n/df. */
+  def append(docs: DataFrame, textCol: String, idCol: String,
+      force: Boolean = false): Bm25Index = {
+    val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
     val (nNew, sumdlNew) = (st.getLong(0), st.getLong(1))
     if (nNew == 0L) return this
+    require(!st.isNullAt(2),
+      s"bm25 append: every value of id column '$idCol' casts to null")
+    val (lo, hi) = (st.getLong(2), st.getLong(3))
+    if (!force) Bm25Index.readRanges(spark, path)
+      .find { case (l, h) => lo <= h && l <= hi }
+      .foreach { case (l, h) => throw new IllegalArgumentException(
+        s"bm25 append: id range [$lo,$hi] intersects already-indexed " +
+        s"[$l,$h] — re-appending an indexed doc double-counts its " +
+        "postings; use force=true only if the overlap is intentional")
+      }
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .sortWithinPartitions("bucket", "term")
@@ -430,6 +458,8 @@ class Bm25Index private (
     // sidecar undercounting (scores slightly conservative), never a
     // stats-without-postings index
     Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+    Bm25Index.appendRange(spark, path, lo, hi)
+    graft.Keyword.invalidateIndex(path)
     new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
   }
 
@@ -451,13 +481,79 @@ class Bm25Index private (
       .partitionBy("bucket")
       .parquet(tmp.toString)
     val cur = new org.apache.hadoop.fs.Path(path)
-    val statsSrc = new org.apache.hadoop.fs.Path(cur, "_stats")
-    org.apache.hadoop.fs.FileUtil.copy(fs, statsSrc, fs,
-      new org.apache.hadoop.fs.Path(tmp, "_stats"), false,
-      spark.sparkContext.hadoopConfiguration)
+    // carry every sidecar: stats, append id-ranges, metadata store
+    Seq("_stats", "_ranges", "_meta").foreach { side =>
+      val src = new org.apache.hadoop.fs.Path(cur, side)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(tmp, side), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
     fs.delete(cur, true)
     fs.rename(tmp, cur)
     new Bm25Index(spark, path, n, sumdl, nBuckets)
+  }
+
+  /** Docid-sorted metadata sidecar (`path/_meta`): `cols` keyed by
+    * docid, range-partitioned and sorted ON docid so a bounded
+    * `In(docid)` fetch skips row groups on min/max stats — the same
+    * write-time layout lesson as the vector fetch (BASELINE.md finding
+    * #4). This is the fetch-side store for index-routed [[facets]]
+    * (and any candidates-then-attributes pattern): object attributes
+    * come from here, never from a corpus re-scan. Full overwrite —
+    * after an [[append]], re-run with the grown corpus (attribute
+    * rows are tiny next to postings; an appendable meta store would
+    * buy little and lose the global docid sort). */
+  def writeMeta(docs: DataFrame, idCol: String, cols: Seq[String])
+      : Bm25Index = {
+    docs
+      .select(col(idCol).cast("long").as("docid") +: cols.map(col): _*)
+      .repartitionByRange(col("docid"))
+      .sortWithinPartitions("docid")
+      .write.mode("overwrite").parquet(s"$path/_meta")
+    this
+  }
+
+  /** The [[writeMeta]] store (throws if never written). */
+  def meta: DataFrame = spark.read.parquet(s"$path/_meta")
+
+  /** Index-routed faceted search — [[Bm25.facets]]' Aggregate-over-
+    * search (Weaviate's filtered `Aggregate`, api.http:26-57) without
+    * ANY corpus scan:
+    *
+    *  - candidates: [[scores]] over the bucket-pruned postings (only
+    *    the query terms' partitions open);
+    *  - facet values: fetched from the docid-sorted [[writeMeta]]
+    *    sidecar. Up to `maxFetch` matched docs ride the same bounded
+    *    collect + `In(docid)` pushdown as [[hybridSearch]] (row groups
+    *    outside the candidate set skip on min/max stats); a LARGER
+    *    matched set (stop-word-ish terms) falls back to a distributed
+    *    join of the scores against the skinny (docid, facet) sidecar —
+    *    still never the corpus, and the shuffle carries ids+facets
+    *    only;
+    *  - the same facet groupBy as the ad-hoc path, so results are
+    *    bit-identical to [[Bm25.facets]] over the indexed corpus.
+    *
+    * Output (facet, n_docs, sum_micros, max_micros). */
+  def facets(queryTerms: Seq[String], facetCol: String,
+      maxFetch: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val sc = scores(queryTerms)
+    val matched = sc.limit(maxFetch + 1).collect()
+    val facetSide = meta.select(col("docid"), col(facetCol).as("facet"))
+    val joined =
+      if (matched.length > maxFetch) sc.join(facetSide, "docid")
+      else {
+        val ids = matched.map(_.getLong(0)).toIndexedSeq
+        matched.toIndexedSeq.map(r => (r.getLong(0), r.getLong(1)))
+          .toDF("docid", "bm25_micros")
+          .join(facetSide.filter(col("docid").isin(ids: _*)), "docid")
+      }
+    joined
+      .groupBy("facet")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bm25_micros").as("sum_micros"),
+        max("bm25_micros").as("max_micros"))
   }
 
   /** Partition-pruned BM25 scores for EVERY matching document (no
@@ -466,7 +562,7 @@ class Bm25Index private (
     * matched term lives in the matched bucket). */
   def scores(queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val buckets = terms.map(t => Bm25Index.bucketOf(t, nBuckets)).distinct
     val matched = postings
       .filter(col("bucket").isin(buckets: _*))
@@ -488,7 +584,7 @@ class Bm25Index private (
     * from the corpus are absent from the map. */
   def dfOf(queryTerms: Seq[String]): Map[String, Long] = {
     require(queryTerms.nonEmpty, "bm25: empty query")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val buckets = terms.map(t => Bm25Index.bucketOf(t, nBuckets)).distinct
     postings
       .filter(col("bucket").isin(buckets: _*))
@@ -535,7 +631,7 @@ class Bm25Index private (
     require(queries.nonEmpty, "bm25: empty query batch")
     Knn.ensureHashAggCapacity(spark, queries.length)
     val qt = queries.flatMap { case (qid, ts, _) =>
-      val t = ts.map(_.toLowerCase).distinct
+      val t = ts.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
       require(t.nonEmpty, s"bm25: empty query $qid")
       t.map(term => (qid, term))
     }
@@ -654,6 +750,27 @@ object Bm25Index {
     ((h % nBuckets) + nBuckets) % nBuckets
   }
 
+  /** Sentinel default for [[build]]'s `nBuckets`: derive the bucket
+    * count from the corpus itself via [[autoBuckets]]. */
+  val AutoBuckets: Int = 0
+
+  /** Bucket count from postings volume — BASELINE.md's bucket-count
+    * probe found the sweet spot SCALES with corpus size (64 buckets win
+    * at 100k docs ≈ 5.4M tokens, 256 at 5M docs ≈ 270M tokens: listing
+    * overhead dominates small corpora, per-bucket data volume dominates
+    * large ones). Both measured optima sit on `cbrt(tokens / 20)`
+    * rounded to the nearest power of two (5.4M → 64, 270M → 256;
+    * cube-root growth keeps BOTH the bucket count and the per-bucket
+    * bytes growing as the corpus grows, splitting the overhead), so
+    * that is the recorded rule, clamped to [16, 4096]. Power of two
+    * only for layout familiarity — the pmod hash needs no alignment. */
+  def autoBuckets(totalTokens: Long): Int = {
+    val target = math.cbrt(math.max(1L, totalTokens) / 20.0)
+    val pow2 =
+      math.pow(2.0, math.round(math.log(target) / math.log(2.0)).toDouble)
+    math.min(4096, math.max(16, pow2.toInt))
+  }
+
   /** `(n, sumdl, n_buckets)` sidecar — sumdl kept as a LONG so append
     * merges are exact (see [[Bm25Index.append]]). */
   private def writeStats(spark: SparkSession, path: String,
@@ -664,29 +781,57 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
+  /** `_ranges` sidecar: one (lo, hi) docid interval per build/append —
+    * the [[Bm25Index.append]] overlap guard's memory. Tiny (O(appends)
+    * rows), read driver-side only. */
+  private[operators] def readRanges(spark: SparkSession, path: String)
+      : Seq[(Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty // pre-guard index: unknowable
+    spark.read.parquet(dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+  }
+
+  private[operators] def appendRange(spark: SparkSession, path: String,
+      lo: Long, hi: Long): Unit = {
+    import spark.implicits._
+    Seq((lo, hi)).toDF("lo", "hi")
+      .coalesce(1).write.mode("append").parquet(s"$path/_ranges")
+  }
+
   def build(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       path: String,
-      nBuckets: Int = 64): Bm25Index = {
+      nBuckets: Int = AutoBuckets): Bm25Index = {
     val spark = docs.sparkSession
     // stats first: an empty corpus must fail loudly BEFORE the postings
     // write mutates the target path (n=0 would also make avgdl NULL and
     // surface later as an opaque NPE)
-    val Array(st) = Bm25.statsRaw(docs, textCol).collect()
+    val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
     require(st.getLong(0) > 0, s"bm25: empty corpus, refusing to build $path")
+    require(!st.isNullAt(2),
+      s"bm25: every value of id column '$idCol' casts to null")
+    val nb = if (nBuckets == AutoBuckets) autoBuckets(st.getLong(1))
+      else nBuckets
     // term-sorted files: row-group min/max stats on term then carve the
     // bucket into disjoint term ranges, so a query's term filter prunes
     // row groups INSIDE its matched buckets too (partition pruning
     // picks the buckets; the sort makes the within-bucket read
     // proportional to the matched posting lists). Local sort only.
     Bm25.postings(docs, textCol, idCol)
-      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nb)))
       .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeStats(spark, path, st.getLong(0), st.getLong(1), nBuckets)
-    new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nBuckets)
+    writeStats(spark, path, st.getLong(0), st.getLong(1), nb)
+    // fresh build: reset the range log to exactly this corpus's interval
+    val rangesDir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
+    val fs = rangesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rangesDir)) fs.delete(rangesDir, true)
+    appendRange(spark, path, st.getLong(2), st.getLong(3))
+    new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nb)
   }
 
   def load(spark: SparkSession, path: String): Bm25Index = {

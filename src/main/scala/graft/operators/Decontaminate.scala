@@ -88,7 +88,9 @@ object Decontaminate {
       graft.functions.ShingleHits(
         org.apache.spark.sql.graftshim.Shim.expression(col(textCol)),
         graft.functions.ShingleSetRef(benchmark, n)))
-    docs.filter(hits < minHits)
+    // null text → 0 hits, keeping batch/stream parity with [[clean]]'s
+    // join path (which keeps null-text train docs: they can't collide)
+    docs.filter(coalesce(hits, lit(0)) < minHits)
   }
 
   /** The training corpus minus every document [[overlaps]] flags — one

@@ -268,6 +268,9 @@ object JpegDc {
       return None
     val br = new BitReader(b, sosAt)
     val ch = nComp
+    // untrusted dims: size the buffer in Long and cap BEFORE allocating
+    // (same contract as PngPixels — dirty bytes → None, never an OOM)
+    if (w.toLong * ch * h > PngPixels.MaxDecodedBytes) return None
     val stride = w * ch
     val pixels = new Array[Byte](stride * h)
     val pred = new Array[Int](ch)

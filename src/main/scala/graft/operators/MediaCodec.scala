@@ -161,6 +161,24 @@ object MediaFixtures {
     JpegDc.jpegWithPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** Mixed-format pixel fixture — PNG for even ids, DC-only JPEG for
+    * odd ids, both with real pixel content, so ONE binary column
+    * carries both formats (the crawl reality the format-dispatching
+    * [[graft.functions.PixelStats]] exists for). Inner variation uses
+    * id/2 so each format still cycles its own shapes/channel counts. */
+  def mixedPixelMediaFor(id: Long): Array[Byte] =
+    if (id % 2 == 0) {
+      val k = id / 2
+      val w = (8 + math.floorMod(k, 40)).toInt
+      val h = (8 + math.floorMod(k, 30)).toInt
+      PngPixels.pngWithPixels(id, w, h, if (k % 2 == 0) 2 else 0)
+    } else {
+      val k = id / 2
+      val w = 8 * (1 + math.floorMod(k, 6)).toInt
+      val h = 8 * (1 + math.floorMod(k, 5)).toInt
+      JpegDc.jpegWithPixels(id, w, h, if (k % 2 == 0) 3 else 1)
+    }
+
   /** The media bytes for one row id: format, size, and channel count
     * all vary deterministically so a fixture table exercises every
     * parse path. */

@@ -14,13 +14,15 @@ import org.apache.spark.sql.types._
   * JPEG SOFn headers (public formats, pure byte functions — no image
   * library needed) via the codegen'd [[graft.functions.ParseMedia]]
   * expression; unparseable bytes yield a null `meta`, never an
-  * exception. Pixel-level stages (feature extraction, frame sampling)
-  * remain honestly stubbed with deterministic byte-level fakes
-  * (`FakeCodec` — this container ships no pixel decoder): swapping in
-  * a real model is a one-function change inside the `mapPartitions`
-  * loop; the plan shape (no shuffle, one pass over binary blobs,
-  * decode parallelism = partition count) is exactly what a production
-  * decode stage looks like.
+  * exception. Pixel-level IMAGE decode is real too: [[PngPixels]]
+  * (zlib + all five scanline filters) and [[JpegDc]] (baseline
+  * Huffman entropy decode) back [[decodePixelStats]] /
+  * [[extractFeatures]]. Only VIDEO frame sampling stays honestly
+  * stubbed ([[FakeCodec.sampleFrames]] — this container ships no
+  * video codec): swapping in a real one is a one-function change
+  * inside the `mapPartitions` loop; the plan shape (no shuffle, one
+  * pass over binary blobs, decode parallelism = partition count) is
+  * exactly what a production decode stage looks like.
   */
 object Multimodal {
 
@@ -65,18 +67,19 @@ object Multimodal {
       Shim.column(graft.functions.ParseMedia(Shim.expression(col(binCol)))))
   }
 
-  /** REAL pixel-level decode for PNG blobs ([[PngPixels]]: zlib
-    * inflate + spec unfiltering, the full 8-bit gray/truecolor subset)
-    * reduced to exact integer statistics — same codegen'd-expression
-    * shape as [[decodeMeta]]. Output = input columns + `pixstats`
-    * struct(width, height, channels, pix_sum, pix_count); null for
-    * non-PNG, corrupt, or unsupported bytes. JPEG has no pixel path
-    * (baseline entropy decode needs Huffman+DCT libraries this
-    * container lacks) — [[FakeCodec]] stays its honest stand-in. */
+  /** REAL pixel-level decode reduced to exact integer statistics —
+    * same codegen'd-expression shape as [[decodeMeta]], FORMAT-
+    * DISPATCHING on the magic bytes ([[graft.functions.PixelStats]]):
+    * PNG blobs run [[PngPixels]] (zlib inflate + spec unfiltering, the
+    * full 8-bit gray/truecolor subset), JPEG blobs run [[JpegDc]]
+    * (real baseline entropy decode), so a mixed-format media table
+    * gets stats for every decodable row. Output = input columns +
+    * `pixstats` struct(width, height, channels, pix_sum, pix_count);
+    * null for unknown-format, corrupt, or out-of-subset bytes. */
   def decodePixelStats(df: DataFrame, binCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
     df.withColumn("pixstats",
-      Shim.column(graft.functions.PngStats(Shim.expression(col(binCol)))))
+      Shim.column(graft.functions.PixelStats(Shim.expression(col(binCol)))))
   }
 
   /** Feature-extract every blob into `features array<float>` (dim):

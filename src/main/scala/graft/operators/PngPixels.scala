@@ -1,9 +1,8 @@
 package graft.operators
 
-/** REAL PNG pixel codec — closes the pixel-level half of the multimodal
-  * story for PNG (JPEG stays honestly stubbed: baseline entropy
-  * decoding needs Huffman+DCT machinery this sandbox has no library
-  * for, but PNG's whole compression stack — zlib — ships in the JDK).
+/** REAL PNG pixel codec — the PNG half of the pixel-level multimodal
+  * story (PNG's whole compression stack — zlib — ships in the JDK;
+  * the JPEG half is [[JpegDc]]'s baseline Huffman entropy decoder).
   *
   * Writer: full PNG with a genuine zlib-compressed IDAT; scanline `y`
   * uses filter `(y + id) % 5`, so every fixture image exercises ALL
@@ -24,6 +23,17 @@ object PngPixels {
     * `(x*3 + y*5 + id*7 + c*11) mod 256`. */
   def pix(id: Long, x: Int, y: Int, c: Int): Int =
     math.floorMod(x * 3L + y * 5L + id * 7L + c * 11L, 256L).toInt
+
+  /** Decoded-buffer allocation cap shared by both pixel codecs (PNG
+    * here, [[JpegDc]]): header dims are UNTRUSTED on crawled media, so
+    * sizes are computed in Long and anything above this bound decodes
+    * to None — without the cap, adversarial w×h overflows Int math
+    * (wrong geometry / NegativeArraySizeException) or allocates
+    * multi-GB buffers whose OutOfMemoryError is an Error the
+    * `catch Exception` contract never sees. 256 MiB comfortably covers
+    * any sane image while keeping one row's failure mode "null",
+    * never an executor kill. */
+  private[operators] val MaxDecodedBytes: Long = 1L << 28
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -144,6 +154,8 @@ object PngPixels {
     }
     if (colorType < 0 || idat.size == 0) return None
     val ch = if (colorType == 2) 3 else 1
+    // untrusted dims: size the buffers in Long and cap BEFORE allocating
+    if ((w.toLong * ch + 1L) * h > MaxDecodedBytes) return None
     val stride = w * ch
     val expected = (stride + 1) * h
     val inflater = new java.util.zip.Inflater()

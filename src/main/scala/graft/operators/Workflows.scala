@@ -87,7 +87,7 @@ object Workflows {
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, desc}
     val terms = Bm25.TokenPattern.r
-      .findAllIn(queryText.toLowerCase).toSeq.distinct
+      .findAllIn(queryText.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
     require(terms.nonEmpty, s"hybrid: no query terms in '$queryText'")
     Bm25.hybrid(docs, textCol, idCol, embeddings, embIdCol, embVecCol,
         terms, encode(queryText), alpha)
@@ -116,7 +116,7 @@ object Workflows {
     require(queryTexts.nonEmpty, "hybrid: empty query batch")
     val queries = queryTexts.zipWithIndex.map { case (q, i) =>
       val terms = Bm25.TokenPattern.r
-        .findAllIn(q.toLowerCase).toSeq.distinct
+        .findAllIn(q.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
       require(terms.nonEmpty, s"hybrid: no query terms in '$q'")
       (i.toLong, terms, encode(q))
     }

@@ -118,4 +118,44 @@ class KeywordScoreSpec extends SparkTestBase {
       .codegenString(df.queryExecution.executedPlan)
     assert(generated.contains("bm25QueryModel"), generated.take(2000))
   }
+
+  test("registrations are scoped per corpus: flipping between two " +
+    "registered corpora resolves each one's own (cached) stats — no " +
+    "global-slot clobbering") {
+    import spark.implicits._
+    val a = Seq((1L, "vector vector hash"), (2L, "join")).toDF("id", "text")
+    val b = Seq((1L, "vector"), (2L, "vector"), (3L, "vector"))
+      .toDF("id", "text")
+    Keyword.registerCorpus(a, "text")
+    val mA = Keyword.model("vector")
+    Keyword.registerCorpus(b, "text")
+    val mB = Keyword.model("vector")
+    // different corpora → different stats (A: n=2 df=1; B: n=3 df=3)
+    assert(mA != mB)
+    // flipping back re-activates A's registration with identical stats
+    Keyword.registerCorpus(a, "text")
+    assert(Keyword.model("vector") == mA)
+    // and B's registration survived the flip
+    Keyword.registerCorpus(b, "text")
+    assert(Keyword.model("vector") == mB)
+  }
+
+  test("Bm25Index.append invalidates its keyword_score registration: " +
+    "stale stats fail loudly, re-registering the appended index " +
+    "resolves the GROWN corpus's stats") {
+    import spark.implicits._
+    import graft.operators.Bm25Index
+    val a = Seq((1L, "vector hash"), (2L, "join scan")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kwinv").toString
+    val idx = Bm25Index.build(a, "text", "id", s"$dir/idx", nBuckets = 4)
+    Keyword.registerIndex(idx)
+    val before = Keyword.model("vector")
+    val grown = idx.append(
+      Seq((3L, "vector vector")).toDF("id", "text"), "text", "id")
+    val e = intercept[IllegalStateException] { Keyword.model("vector") }
+    assert(e.getMessage.contains("re-register"), e.getMessage)
+    Keyword.registerIndex(grown)
+    val after = Keyword.model("vector")
+    assert(after != before, "post-append stats must reflect the growth")
+  }
 }

@@ -246,6 +246,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(facetScan.nonEmpty && !facetScan.contains("text"), plan)
   }
 
+  test("keyword_facets_index: NO corpus scan anywhere — facet values " +
+    "come from the docid-sorted _meta sidecar via In(docid) pushdown, " +
+    "candidates replay as a local relation") {
+    val plan = physical(run("keyword_facets_index"))
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(plan.contains("In(docid"), plan)
+    // the ≤maxFetch candidates replay locally; no postings re-scan
+    assert(!plan.contains("PartitionFilters: [bucket"), plan)
+  }
+
+  test("keyword_batch: one shared postings pass for N term queries " +
+    "(single documents scan + reused exchange), bounded-heap top-k") {
+    val region = executedRegion(run("keyword_batch"))
+    val scans = region.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, region)
+    assert(region.contains("ReusedExchange"), region)
+    assert(region.contains("partial_topk_by_score"), region)
+    assert(!region.contains("CartesianProduct"), region)
+  }
+
+  test("pixel_stats_mixed: BOTH real decoders ride the scan as " +
+    "expressions — doc_id pushes through generate→decode, no barrier") {
+    val plan = physical(run("pixel_stats_mixed"))
+    assert(plan.contains("LessThan(doc_id,40)"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("hybrid_batch: one shared postings pass for N queries (reused " +
     "exchange), broadcast query/bounds joins, bounded-heap top-k") {
     val region = executedRegion(run("hybrid_batch"))

@@ -136,6 +136,85 @@ class Bm25Spec extends SparkTestBase {
     assert(same.n == incr.n && same.sumdl == incr.sumdl)
   }
 
+  test("append overlap guard: an id range intersecting an indexed one " +
+    "throws (silent double-count becomes a loud error); force " +
+    "overrides; disjoint ranges never trip") {
+    val dir = Files.createTempDirectory("bm25grd").toString
+    val idx = Bm25Index.build(docs.filter(col("doc_id") <= 2),
+      "text", "doc_id", dir, nBuckets = 8)
+    // doc 2 is already indexed: re-appending it must throw
+    val e = intercept[IllegalArgumentException] {
+      idx.append(docs.filter(col("doc_id") >= 2), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("double-count"), e.getMessage)
+    // stats are untouched by the rejected append
+    assert(Bm25Index.load(spark, dir).n == idx.n)
+    // disjoint append passes, and the guard then knows BOTH ranges
+    val grown = idx.append(docs.filter(col("doc_id") > 2), "text", "doc_id")
+    intercept[IllegalArgumentException] {
+      grown.append(docs.filter(col("doc_id") === 4), "text", "doc_id")
+    }
+    // documented escape: force=true skips the guard
+    val forced = grown.append(docs.filter(col("doc_id") === 4),
+      "text", "doc_id", force = true)
+    assert(forced.n == grown.n + 1)
+  }
+
+  test("append overlap guard survives compact (the _ranges sidecar is " +
+    "carried)") {
+    val dir = Files.createTempDirectory("bm25grc").toString
+    val idx = Bm25Index.build(docs.filter(col("doc_id") <= 2),
+        "text", "doc_id", dir, nBuckets = 4)
+      .append(docs.filter(col("doc_id") === 3), "text", "doc_id")
+      .compact()
+    intercept[IllegalArgumentException] {
+      idx.append(docs.filter(col("doc_id") === 3), "text", "doc_id")
+    }
+    val ok = idx.append(docs.filter(col("doc_id") === 4), "text", "doc_id")
+    assert(ok.n == 4)
+  }
+
+  test("autoBuckets follows the recorded cbrt(tokens/20) rule at both " +
+    "measured optima and clamps to [16, 4096]") {
+    // BASELINE.md probe: 100k docs ≈ 5.4M tokens → 64 buckets won;
+    // 5M docs ≈ 270M tokens → 256 won
+    assert(Bm25Index.autoBuckets(5400000L) == 64)
+    assert(Bm25Index.autoBuckets(270000000L) == 256)
+    assert(Bm25Index.autoBuckets(1L) == 16) // floor
+    assert(Bm25Index.autoBuckets(Long.MaxValue / 4) == 4096) // ceiling
+    // the default build derives from the corpus (tiny fixture → floor)
+    val dir = Files.createTempDirectory("bm25auto").toString
+    val idx = Bm25Index.build(docs, "text", "doc_id", dir)
+    assert(idx.nBuckets == 16)
+    assert(Bm25Index.load(spark, dir).nBuckets == 16)
+    val adHoc = Bm25.topK(docs, "text", "doc_id", Seq("vector", "hash"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idx.search(Seq("vector", "hash"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == adHoc)
+  }
+
+  test("index-routed facets are bit-identical to ad-hoc Bm25.facets on " +
+    "BOTH serving paths (bounded In(docid) fetch and the distributed " +
+    "fallback)") {
+    import spark.implicits._
+    val faceted = docs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val want = Bm25.facets(faceted, "text", "doc_id",
+        Seq("vector", "hash"), "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val dir = Files.createTempDirectory("bm25fct").toString
+    val idx = Bm25Index.build(faceted, "text", "doc_id", dir, nBuckets = 8)
+      .writeMeta(faceted, "doc_id", Seq("lang"))
+    def got(maxFetch: Int) =
+      idx.facets(Seq("vector", "hash"), "lang", maxFetch)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(got(10000) == want) // In(docid) fetch path
+    assert(got(1) == want)     // > maxFetch → distributed-join path
+    assert(want.nonEmpty)
+  }
+
   test("compact after appends: identical stats and ranking, fewer files") {
     val dir = Files.createTempDirectory("bm25cpt").toString
     val idx = Bm25Index.build(docs.filter(col("doc_id") <= 1),

@@ -70,6 +70,27 @@ class DecontaminateSpec extends SparkTestBase {
     assert(set2.subsetOf(join2))
   }
 
+  test("cleanWithSet keeps null-text rows — set/join parity (a null " +
+    "text can't collide, so both paths must keep it)") {
+    import spark.implicits._
+    val tr = Seq(
+      (0L, "alpha leaked shingle text one two three four five"),
+      (1L, null.asInstanceOf[String]),
+      (2L, "totally different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val te = Seq((9L, "leaked shingle text one two three four five six"))
+      .toDF("doc_id", "text")
+    val set = Decontaminate.benchmarkShingles(te, "doc_id", "text", n = 5)
+    val viaSet = Decontaminate.cleanWithSet(tr, "text", set, n = 5,
+        minHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = Decontaminate.clean(tr, "doc_id", "text",
+        te, "doc_id", "text", n = 5, minHits = 1, maxShingleDf = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSet == Set(1L, 2L), "null-text row must be KEPT")
+    assert(viaSet == viaJoin)
+  }
+
   test("cleanWithSet filters a structured stream (stateless — no " +
     "watermark or state store), streamed == batch") {
     val shingleSet = Decontaminate.benchmarkShingles(

@@ -84,6 +84,20 @@ class JpegDcSpec extends SparkTestBase {
     assert(JpegDc.decode(MediaFixtures.jpeg(20, 16, 1)).isEmpty)
   }
 
+  test("adversarial SOF0 dims are rejected before allocation (Long " +
+    "size math + decode cap)") {
+    val good = MediaFixtures.jpegPixelMediaFor(4L) // 3-component
+    // SOF0 sits after APP0 (ends at 20) and DQT (ends at 89): marker
+    // 89-90, len 91-92, precision 93, h 94-95, w 96-97
+    assert((good(89) & 0xff) == 0xff && (good(90) & 0xff) == 0xc0)
+    val huge = good.clone()
+    // 65528×65528×3 ≈ 12.9 GB decoded — far over the cap; the buffer
+    // must never be sized/allocated (w*ch*h also overflows Int)
+    huge(94) = 0xff.toByte; huge(95) = 0xf8.toByte
+    huge(96) = 0xff.toByte; huge(97) = 0xf8.toByte
+    assert(JpegDc.decode(huge).isEmpty)
+  }
+
   test("extractFeatures routes decodable media to REAL pixel " +
     "histograms and everything else to the FakeCodec seam") {
     import org.apache.spark.sql.functions._

@@ -39,6 +39,30 @@ class PngPixelsSpec extends SparkTestBase {
     assert((d.pixels.last & 0xff) == PngPixels.pix(7L, 199, 149, 2))
   }
 
+  test("adversarial header dims are rejected before allocation (Long " +
+    "size math + decode cap — no OOM, no negative-size throw)") {
+    def patchDims(png: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = png.clone()
+      def be(o: Int, v: Int): Unit = {
+        out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+        out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      }
+      be(16, w); be(20, h) // IHDR body starts at 16 (8 sig + len + tag)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 12, 4 + 13)
+      be(29, crc.getValue.toInt)
+      out
+    }
+    val base = MediaFixtures.pixelMediaFor(3L)
+    // (w*ch+1)*h overflows Int; must return None, not misdecode
+    assert(PngPixels.decode(patchDims(base, 0x41000000, 0x2000)).isEmpty)
+    // under Int.MaxValue but over the decode cap: reject BEFORE the
+    // multi-hundred-MB allocation (OOM would be an uncatchable Error)
+    assert(PngPixels.decode(patchDims(base, 1 << 20, 1 << 10)).isEmpty)
+    // the patch helper itself is sound: identity patch still decodes
+    assert(PngPixels.decode(patchDims(base, 11, 11)).isDefined)
+  }
+
   test("dirty bytes are rejected, never thrown on") {
     val good = MediaFixtures.pixelMediaFor(4L)
     // flip one byte inside the IDAT payload → CRC mismatch
