@@ -988,6 +988,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FULL baseline JPEG: real AC coefficients through the complete
+    // pipeline — Annex K Huffman entropy decode (run-length + ZRL +
+    // EOB), zigzag→natural dequant, a REAL separable 2-D IDCT, and
+    // edge-block cropping (non-multiple-of-8 dims). The fixture places
+    // coefficients only at (0,0)/(0,4)/(4,4), whose IDCT basis is
+    // exactly ±1/8, so every decoded sample is the exact integer
+    // acPix(id,x,y,c) — and the oracle compares EVERY pixel
+    // POSITIONALLY (aggregate sums are blind to where energy lands;
+    // a zigzag/run-length/IDCT bug breaks this match).
+    "jpeg_full_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.JpegAcMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.filter(col("doc_id") < 6)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftshim.Shim.column(
+            functions.DecodedPixels(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          col("col").cast("long").as("v"))
+        .orderBy("doc_id", "i")
+    }),
+
     // MIXED-format pixel decode (the crawl reality): ONE binary column
     // carrying PNG and JPEG rows, decoded by the format-dispatching
     // PixelStats expression — each row runs exactly one real decoder
@@ -2221,6 +2247,37 @@ object SparkEntry {
         |       CAST(64 * count(*) AS BIGINT) AS pix_count
         |FROM blocks GROUP BY doc_id, w, h, ch
         |ORDER BY doc_id""".stripMargin,
+
+    // per-pixel analytic re-derivation of the AC contract: sample =
+    // base + a·sgn(y) + b·sgn(x)·sgn(y) with sgn(t) = +1 iff t%8 in
+    // {0,3,4,7} (the sign of cos((2t+1)·4π/16)) — the engine value
+    // went through Huffman entropy decode, dequant, and a real IDCT;
+    // the oracle never touches a cosine
+    "jpeg_full_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |dims AS (
+        |  SELECT doc_id, 10 + (doc_id * 7) % 29 AS w,
+        |         9 + (doc_id * 5) % 23 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, ii.i,
+        |         ((ii.i // d.ch) % d.w) AS x,
+        |         (ii.i // (d.w * d.ch)) AS y,
+        |         (ii.i % d.ch) AS c
+        |  FROM dims d, LATERAL unnest(range(0, d.w * d.h * d.ch)) AS ii(i)),
+        |sg AS (
+        |  SELECT doc_id, i, c, x // 8 AS bx, y // 8 AS by,
+        |         CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
+        |         CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
+        |  FROM px)
+        |SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |       CAST(64 + (3*bx + 5*by + 7*doc_id + 11*c) % 128
+        |            + ((2*bx + 3*by + 5*doc_id + 7*c) % 31 - 15) * sy
+        |            + ((bx + 2*by + 3*doc_id + 5*c) % 31 - 15) * sx * sy
+        |            AS BIGINT) AS v
+        |FROM sg
+        |ORDER BY doc_id, i""".stripMargin,
 
     // the two analytic contracts unified: per-pixel for PNG rows (even
     // ids, inner shape key k=id//2), 64×per-block for JPEG rows (odd

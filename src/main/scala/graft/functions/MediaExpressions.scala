@@ -362,6 +362,85 @@ object PngHistogram {
     }
 }
 
+/** decoded_pixels(bytes) -> array<int>: the FULL decoded pixel dump
+  * (scanline-major, channel-interleaved, unsigned byte values) of a
+  * PNG or baseline-JPEG blob, format-dispatched on the magic bytes
+  * like [[PixelStats]]. This is the strongest oracle surface the
+  * codecs expose: a SQL oracle can compare every sample POSITIONALLY,
+  * so zigzag/run-length/IDCT bugs that cancel in aggregate statistics
+  * (sums are blind to where the energy landed) still break the match.
+  * Dirty/unknown bytes → null. */
+case class DecodedPixels(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "decoded_pixels"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DecodedPixels.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.DecodedPixels$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DecodedPixels {
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (bytes == null || bytes.length < 2) return null
+    val decoded =
+      if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+        graft.operators.PngPixels.decode(bytes)
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        graft.operators.JpegDc.decode(bytes)
+      else None
+    decoded match {
+      case Some(d) =>
+        val out = new Array[Any](d.pixels.length)
+        var i = 0
+        while (i < d.pixels.length) { out(i) = d.pixels(i) & 0xff; i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case None => null
+    }
+  }
+}
+
+/** jpeg_ac_media_for_id(id) -> binary: the full-baseline JPEG fixture
+  * bytes with real AC coefficients
+  * ([[graft.operators.MediaFixtures.jpegAcMediaFor]]). */
+case class JpegAcMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_ac_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.jpegAcMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.jpegAcMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** mixed_pixel_media_for_id(id) -> binary: the MIXED-format pixel
   * fixture bytes ([[graft.operators.MediaFixtures.mixedPixelMediaFor]]
   * — PNG even ids, JPEG odd ids, real pixels in both). */

@@ -1,47 +1,128 @@
 package graft.operators
 
-/** Restricted-but-REAL baseline JPEG codec — the JPEG twin of
-  * [[PngPixels]]'s subset approach. Full baseline JPEG needs AC
-  * coefficient entropy decoding + 2-D IDCT; the DC-ONLY subset (every
-  * 8×8 block flat) keeps all the *format* machinery real while the
-  * pixel math stays exact:
+/** REAL baseline JPEG codec — the JPEG twin of [[PngPixels]].
   *
-  *  - real marker structure (SOI, APP0/JFIF, DQT, SOF0, two DHTs,
-  *    SOS, EOI) that any standards-compliant parser walks;
-  *  - a real entropy bitstream: canonical Huffman codes (the Annex K
-  *    standard DC luminance table), DC prediction with the spec's
-  *    category + one's-complement value bits, MSB-first bit packing
-  *    with 0xFF→0xFF00 byte stuffing and 1-padded flush;
-  *  - real dequantization and the (exact, integer) flat-block IDCT:
-  *    with q0=8 the DC round-trips bit-exactly, so decoded samples
-  *    equal the writer's contract with no rounding slack.
+  * The READER is a general baseline (SOF0) decoder: marker walk, full
+  * zigzag-ordered quantization tables (up to 4, per-component Tq),
+  * canonical Huffman tables from DHT (up to 4 DC + 4 AC, per-component
+  * Td/Ta from SOS), DC prediction with the spec's category +
+  * one's-complement value bits, run-length AC coefficient decode
+  * (ZRL/EOB), dequantization, dezigzag, a real separable 2-D IDCT
+  * (spec A.3.3), level shift + clamp, and edge-block cropping for
+  * non-multiple-of-8 dimensions. Byte stuffing (0xFF→0xFF00) and
+  * 1-padded flush are handled in the bit reader. Outside the subset —
+  * progressive/extended frames, subsampling (≠4:4:4), restart
+  * markers, 16-bit quant tables, truncation, corrupt streams — the
+  * decoder returns None, never throws. 3-component output is the raw
+  * Y/Cb/Cr planes interleaved (no color transform — what a baseline
+  * decoder holds before color conversion).
   *
-  * The writer emits one flat 8×8 block per (component, block-x,
-  * block-y) with value [[blockVal]] — a pure function the SQL oracle
-  * recomputes analytically. The reader decodes the DC coefficient per
-  * block and rejects (None, never a throw) anything outside the
-  * subset: AC coefficients present, subsampling, progressive frames,
-  * restart markers, 16-bit quant tables, truncation, or a corrupt
-  * stream. 3-component output is the raw Y/Cb/Cr component planes
-  * interleaved (no color transform — what a baseline decoder holds
-  * before color conversion). */
+  * Two WRITERS give the decoder analytic oracles:
+  *
+  *  - [[jpegWithPixels]] (DC-only): every 8×8 block flat at
+  *    [[blockVal]] — one Huffman-coded DC diff + EOB per block.
+  *  - [[jpegWithAcPixels]] (real AC): each block carries DC plus TWO
+  *    AC coefficients, at zigzag 10 = (u=0,v=4) and zigzag 39 =
+  *    (u=4,v=4). Those basis functions are EXACTLY ±1/8 at every
+  *    sample — cos((2t+1)·4π/16) = ±√2/2, and the √2 factors cancel
+  *    against C(u)C(v)/4 — so with quant step 8 at those slots the
+  *    decoded sample is the exact integer
+  *    `base + a·sgn(y) + b·sgn(x)·sgn(y)` ([[acPix]]): a SQL oracle
+  *    re-derives every pixel with no DCT at all, while the engine ran
+  *    the full entropy-decode → dequant → IDCT pipeline. A zigzag,
+  *    dequant, run-length, or IDCT bug lands the energy on the wrong
+  *    samples and breaks the per-pixel match.
+  */
 object JpegDc {
 
-  /** Flat value of block (bx, by) in component c — the oracle
+  /** Flat value of block (bx, by) in component c — the DC-only oracle
     * contract: `(3bx + 5by + 7id + 11c) mod 256`. */
   def blockVal(id: Long, bx: Int, by: Int, c: Int): Int =
     math.floorMod(bx * 3L + by * 5L + id * 7L + c * 11L, 256L).toInt
+
+  // ---- the AC pixel contract ---------------------------------------
+
+  /** Sign of cos((2t+1)·4π/16): +1 for t ≡ 0,3,4,7 (mod 8), else −1. */
+  def sgn(t: Int): Int = {
+    val m = t % 8
+    if (m == 0 || m == 3 || m == 4 || m == 7) 1 else -1
+  }
+
+  /** Per-block DC level of the AC writer, in [64, 191] so the ±30 AC
+    * swing never clamps. */
+  def acBase(id: Long, bx: Int, by: Int, c: Int): Int =
+    64 + math.floorMod(bx * 3L + by * 5L + id * 7L + c * 11L, 128L).toInt
+
+  /** Quantized (u=0, v=4) coefficient, in [−15, 15]. */
+  def acA(id: Long, bx: Int, by: Int, c: Int): Int =
+    math.floorMod(bx * 2L + by * 3L + id * 5L + c * 7L, 31L).toInt - 15
+
+  /** Quantized (u=4, v=4) coefficient, in [−15, 15]. */
+  def acB(id: Long, bx: Int, by: Int, c: Int): Int =
+    math.floorMod(bx * 1L + by * 2L + id * 3L + c * 5L, 31L).toInt - 15
+
+  /** The decoded sample [[jpegWithAcPixels]] produces at (x, y, c) —
+    * exact integer math, no DCT: the two AC basis functions are ±1/8
+    * everywhere and the quant step at their slots is 8. */
+  def acPix(id: Long, x: Int, y: Int, c: Int): Int = {
+    val bx = x / 8; val by = y / 8
+    acBase(id, bx, by, c) + acA(id, bx, by, c) * sgn(y) +
+      acB(id, bx, by, c) * sgn(x) * sgn(y)
+  }
+
+  // ---- tables ------------------------------------------------------
+
+  /** Zigzag scan position → natural (v*8 + u) position, per spec
+    * Figure A.6. DQT values and entropy-coded coefficients arrive in
+    * this order. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
 
   // Annex K.3 standard DC luminance Huffman spec: codes/length 1..16,
   // then the 12 category symbols
   private val DcBits =
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val DcVals = Array.tabulate(12)(identity)
-  // minimal AC table: the single EOB symbol (0x00) as a 1-bit code —
-  // legal DHT, and the only AC symbol a DC-only stream ever emits
+
+  // Annex K.3 standard AC luminance table: 162 run/size symbols
   private val AcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // minimal AC table used by the DC-only writer: the single EOB symbol
+  // (0x00) as a 1-bit code — legal DHT, and the only AC symbol a
+  // DC-only stream ever emits
+  private val AcBitsMin =
     Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-  private val AcVals = Array(0)
+  private val AcValsMin = Array(0)
 
   /** Canonical code assignment per Annex C: (code, length) per symbol. */
   private def canonical(bits: Array[Int], vals: Array[Int])
@@ -63,6 +144,16 @@ object JpegDc {
   }
 
   private val q0 = 8 // quant[0]: 8 divides the flat-block DC exactly
+
+  /** IDCT basis with normalization folded in:
+    * `CosT(u)(x) = C(u)/2 · cos((2x+1)uπ/16)` — the separable halves
+    * of spec A.3.3's `1/4·C(u)C(v)` 2-D kernel. */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ---- writers -----------------------------------------------------
 
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
@@ -88,13 +179,12 @@ object JpegDc {
     }
   }
 
-  /** Full DC-only baseline JPEG; `w`/`h` multiples of 8, `nComp` 1
-    * (grayscale) or 3 (4:4:4, no subsampling). */
-  def jpegWithPixels(id: Long, w: Int, h: Int, nComp: Int): Array[Byte] = {
-    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
-      s"dims must be positive multiples of 8, got ${w}x$h")
-    require(nComp == 1 || nComp == 3, s"nComp $nComp")
-    val bos = new java.io.ByteArrayOutputStream()
+  /** Shared header emitter: SOI..SOS for a baseline 4:4:4 frame. The
+    * quant table arrives in NATURAL order and is emitted in zigzag
+    * order as DQT requires. */
+  private def writeHeaders(bos: java.io.ByteArrayOutputStream,
+      w: Int, h: Int, nComp: Int, quantNat: Array[Int],
+      acBits: Array[Int], acVals: Array[Int]): Unit = {
     def b(x: Int): Unit = bos.write(x & 0xff)
     def b16(x: Int): Unit = { b(x >> 8); b(x) }
     def marker(m: Int): Unit = { b(0xff); b(m) }
@@ -103,20 +193,42 @@ object JpegDc {
     Seq('J', 'F', 'I', 'F', 0).foreach(c => b(c.toInt))
     b(1); b(1); b(0); b16(1); b16(1); b(0); b(0)
     marker(0xdb); b16(67); b(0x00) // DQT: Pq=0 (8-bit), Tq=0
-    b(q0); (1 until 64).foreach(_ => b(16))
+    (0 until 64).foreach(i => b(quantNat(Zigzag(i))))
     marker(0xc0); b16(8 + 3 * nComp) // SOF0 baseline
     b(8); b16(h); b16(w); b(nComp)
     (0 until nComp).foreach { c => b(c + 1); b(0x11); b(0) }
     marker(0xc4); b16(2 + 1 + 16 + DcVals.length); b(0x00) // DHT DC 0
     DcBits.foreach(b); DcVals.foreach(b)
-    marker(0xc4); b16(2 + 1 + 16 + AcVals.length); b(0x10) // DHT AC 0
-    AcBits.foreach(b); AcVals.foreach(b)
+    marker(0xc4); b16(2 + 1 + 16 + acVals.length); b(0x10) // DHT AC 0
+    acBits.foreach(b); acVals.foreach(b)
     marker(0xda); b16(6 + 2 * nComp); b(nComp) // SOS
     (0 until nComp).foreach { c => b(c + 1); b(0x00) }
     b(0); b(63); b(0) // Ss, Se, Ah/Al
+  }
 
+  private def emitDc(bw: BitWriter, dcCodes: Map[Int, (Int, Int)],
+      diff: Int): Unit = {
+    val t = if (diff == 0) 0
+      else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    val (code, len) = dcCodes(t)
+    bw.put(code, len)
+    if (t > 0) {
+      val v = if (diff > 0) diff else diff + (1 << t) - 1
+      bw.put(v, t)
+    }
+  }
+
+  /** Full DC-only baseline JPEG; `w`/`h` multiples of 8, `nComp` 1
+    * (grayscale) or 3 (4:4:4, no subsampling). */
+  def jpegWithPixels(id: Long, w: Int, h: Int, nComp: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"dims must be positive multiples of 8, got ${w}x$h")
+    require(nComp == 1 || nComp == 3, s"nComp $nComp")
+    val bos = new java.io.ByteArrayOutputStream()
+    val quantNat = Array.fill(64)(16); quantNat(0) = q0
+    writeHeaders(bos, w, h, nComp, quantNat, AcBitsMin, AcValsMin)
     val dcCodes = canonical(DcBits, DcVals)
-    val acCodes = canonical(AcBits, AcVals)
+    val acCodes = canonical(AcBitsMin, AcValsMin)
     val bw = new BitWriter(bos)
     val pred = new Array[Int](nComp)
     var by = 0
@@ -126,16 +238,8 @@ object JpegDc {
         var c = 0
         while (c < nComp) {
           val dcq = blockVal(id, bx, by, c) - 128 // exact: DC/q0
-          val diff = dcq - pred(c)
+          emitDc(bw, dcCodes, dcq - pred(c))
           pred(c) = dcq
-          val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(
-            math.abs(diff))
-          val (code, len) = dcCodes(t)
-          bw.put(code, len)
-          if (t > 0) {
-            val v = if (diff > 0) diff else diff + (1 << t) - 1
-            bw.put(v, t)
-          }
           val (eob, eobLen) = acCodes(0)
           bw.put(eob, eobLen)
           c += 1
@@ -145,9 +249,79 @@ object JpegDc {
       by += 1
     }
     bw.flush()
-    marker(0xd9) // EOI
+    bos.write(0xff); bos.write(0xd9) // EOI
     bos.toByteArray
   }
+
+  /** Baseline JPEG with REAL AC coefficients: per block, DC =
+    * [[acBase]]−128 plus [[acA]] at zigzag 10 and [[acB]] at zigzag
+    * 39, entropy-coded with the full Annex K AC table (run-length 9,
+    * a ZRL for the 28-zero gap, EOB). Quant steps are 8 at the three
+    * used slots, so decoded samples equal [[acPix]] exactly (see the
+    * header note). Arbitrary positive dims — edge blocks crop. */
+  def jpegWithAcPixels(id: Long, w: Int, h: Int, nComp: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+    require(nComp == 1 || nComp == 3, s"nComp $nComp")
+    val bos = new java.io.ByteArrayOutputStream()
+    val quantNat = Array.fill(64)(16)
+    quantNat(0) = q0
+    quantNat(Zigzag(10)) = 8 // (u=0, v=4)
+    quantNat(Zigzag(39)) = 8 // (u=4, v=4)
+    writeHeaders(bos, w, h, nComp, quantNat, AcBits, AcVals)
+    val dcCodes = canonical(DcBits, DcVals)
+    val acCodes = canonical(AcBits, AcVals)
+    val bw = new BitWriter(bos)
+    def emitAcCoef(run: Int, v: Int): Unit = {
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      val (code, len) = acCodes((run << 4) | s)
+      bw.put(code, len)
+      val bits = if (v > 0) v else v + (1 << s) - 1
+      bw.put(bits, s)
+    }
+    val pred = new Array[Int](nComp)
+    val blocksY = (h + 7) / 8
+    val blocksX = (w + 7) / 8
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        var c = 0
+        while (c < nComp) {
+          val dcq = acBase(id, bx, by, c) - 128
+          emitDc(bw, dcCodes, dcq - pred(c))
+          pred(c) = dcq
+          val a = acA(id, bx, by, c)
+          val bq = acB(id, bx, by, c)
+          // zigzag 1..63 (a at 10, bq at 39, zeros elsewhere) through
+          // the generic spec F.1.2.2 run-length coder: a ZRL symbol
+          // per 16 zeros of run, EOB iff zeros trail the last nonzero
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val v = if (k == 10) a else if (k == 39) bq else 0
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
+              }
+              emitAcCoef(run, v)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  // ---- reader ------------------------------------------------------
 
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
@@ -200,7 +374,11 @@ object JpegDc {
   private def invert(m: Map[Int, (Int, Int)]): Map[(Int, Int), Int] =
     m.map { case (sym, (code, len)) => (code, len) -> sym }
 
-  /** Real decode of the DC-only subset; None on anything else. */
+  /** Spec F.12 EXTEND: value bits → signed coefficient. */
+  private def extend(v: Int, t: Int): Int =
+    if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Real decode of the baseline 4:4:4 subset; None on anything else. */
   def decode(bytes: Array[Byte]): Option[PngPixels.Decoded] = {
     try decode0(bytes)
     catch { case _: Exception => None }
@@ -211,9 +389,12 @@ object JpegDc {
       return None
     var i = 2
     var w = 0; var h = 0; var nComp = 0
-    var quant0 = -1
-    var dcTable: Map[(Int, Int), Int] = null
-    var acTable: Map[(Int, Int), Int] = null
+    val quant = new Array[Array[Int]](4) // natural order, per Tq
+    val dcTables = new Array[Map[(Int, Int), Int]](4)
+    val acTables = new Array[Map[(Int, Int), Int]](4)
+    val compQuant = new Array[Int](3) // per frame component: Tq
+    val compDc = new Array[Int](3) // per scan component: Td
+    val compAc = new Array[Int](3) // per scan component: Ta
     var sosAt = -1
     def be16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     while (sosAt < 0) {
@@ -226,23 +407,28 @@ object JpegDc {
         if (len < 2 || i + 2 + len > b.length) return None
         m match {
           case 0xdb =>
-            // possibly several tables per segment
+            // possibly several tables per segment; values arrive in
+            // zigzag order, stored natural
             var o = i + 4
             while (o < i + 2 + len) {
               val pq = (b(o) & 0xff) >> 4
               val tq = b(o) & 0x0f
-              if (pq != 0) return None // 16-bit tables unsupported
-              if (tq == 0) quant0 = b(o + 1) & 0xff
+              if (pq != 0 || tq > 3) return None // 16-bit unsupported
+              val nat = new Array[Int](64)
+              var j = 0
+              while (j < 64) { nat(Zigzag(j)) = b(o + 1 + j) & 0xff; j += 1 }
+              quant(tq) = nat
               o += 1 + 64
             }
           case 0xc0 =>
             h = be16(i + 5); w = be16(i + 7)
             nComp = b(i + 9) & 0xff
-            if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+            if (w <= 0 || h <= 0) return None
             if (nComp != 1 && nComp != 3) return None
             var c = 0
             while (c < nComp) {
               if ((b(i + 11 + 3 * c) & 0xff) != 0x11) return None // 4:4:4 only
+              compQuant(c) = b(i + 12 + 3 * c) & 0x0f
               c += 1
             }
           case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
@@ -251,57 +437,125 @@ object JpegDc {
             var o = i + 4
             while (o < i + 2 + len) {
               val tc = (b(o) & 0xff) >> 4
+              val th = b(o) & 0x0f
+              if (th > 3) return None
               val bits = Array.tabulate(16)(j => b(o + 1 + j) & 0xff)
               val n = bits.sum
               val vals = Array.tabulate(n)(j => b(o + 17 + j) & 0xff)
               val tbl = invert(canonical(bits, vals))
-              if (tc == 0) dcTable = tbl else acTable = tbl
+              if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
               o += 17 + n
             }
-          case 0xda => sosAt = i + 2 + len
+          case 0xda =>
+            val ns = b(i + 4) & 0xff
+            if (ns != nComp) return None // one full interleaved scan only
+            var c = 0
+            while (c < ns) {
+              // writer emits components in frame order; require that
+              // (general component re-mapping is outside the subset)
+              if ((b(i + 5 + 2 * c) & 0xff) != c + 1) return None
+              compDc(c) = (b(i + 6 + 2 * c) & 0xff) >> 4
+              compAc(c) = b(i + 6 + 2 * c) & 0x0f
+              c += 1
+            }
+            sosAt = i + 2 + len
           case _ => ()
         }
         i += 2 + len
       }
     }
-    if (w == 0 || quant0 <= 0 || dcTable == null || acTable == null)
-      return None
+    if (w == 0) return None
+    var c0 = 0
+    while (c0 < nComp) {
+      if (quant(compQuant(c0)) == null || dcTables(compDc(c0)) == null ||
+        acTables(compAc(c0)) == null) return None
+      c0 += 1
+    }
     val br = new BitReader(b, sosAt)
     val ch = nComp
     // untrusted dims: size the buffer in Long and cap BEFORE allocating
     // (same contract as PngPixels — dirty bytes → None, never an OOM)
     if (w.toLong * ch * h > PngPixels.MaxDecodedBytes) return None
-    val stride = w * ch
-    val pixels = new Array[Byte](stride * h)
+    val pixels = new Array[Byte](w * ch * h)
     val pred = new Array[Int](ch)
+    val zz = new Array[Int](64)
+    val freq = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val blocksY = (h + 7) / 8
+    val blocksX = (w + 7) / 8
     var by = 0
-    while (by < h / 8) {
+    while (by < blocksY) {
       var bx = 0
-      while (bx < w / 8) {
+      while (bx < blocksX) {
         var c = 0
         while (c < ch) {
-          val t = decodeSym(br, dcTable)
+          // ---- entropy decode: 64 quantized coefficients ----
+          java.util.Arrays.fill(zz, 0)
+          val dcT = dcTables(compDc(c))
+          val acT = acTables(compAc(c))
+          val t = decodeSym(br, dcT)
           if (br.bad || t > 11) return None
-          val diff =
-            if (t == 0) 0
-            else {
-              val v = br.bits(t)
-              if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
-            }
+          val diff = if (t == 0) 0 else extend(br.bits(t), t)
           pred(c) += diff
-          // AC run: a DC-only stream EOBs immediately; anything else
-          // needs the full IDCT machinery — outside the subset
-          if (decodeSym(br, acTable) != 0x00 || br.bad) return None
-          val dc = pred(c) * quant0
-          val sample = math.max(0, math.min(255,
-            math.round(dc / 8.0).toInt + 128))
+          zz(0) = pred(c)
+          var k = 1
+          var done = false
+          while (!done && k < 64) {
+            val rs = decodeSym(br, acT)
+            if (br.bad) return None
+            if (rs == 0x00) done = true // EOB
+            else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
+            else {
+              val r = rs >> 4
+              val s = rs & 0x0f
+              k += r
+              if (s == 0 || s > 10 || k > 63) return None
+              zz(k) = extend(br.bits(s), s)
+              if (br.bad) return None
+              k += 1
+            }
+          }
+          if (k > 64) return None
+          // ---- dequant + dezigzag ----
+          val q = quant(compQuant(c))
+          java.util.Arrays.fill(freq, 0.0)
+          var j = 0
+          while (j < 64) {
+            if (zz(j) != 0) freq(Zigzag(j)) = (zz(j) * q(Zigzag(j))).toDouble
+            j += 1
+          }
+          // ---- separable 2-D IDCT (spec A.3.3) ----
+          // rows: for each v, 1-D over u → tmp(v*8 + x)
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) { s += CosT(u)(x) * freq(v * 8 + u); u += 1 }
+              tmp(v * 8 + x) = s
+              x += 1
+            }
+            v += 1
+          }
+          // cols: for each x, 1-D over v → sample(y*8 + x)
           var yy = 0
           while (yy < 8) {
-            val rowOff = ((by * 8 + yy) * w + bx * 8) * ch + c
-            var xx = 0
-            while (xx < 8) {
-              pixels(rowOff + xx * ch) = sample.toByte
-              xx += 1
+            val py = by * 8 + yy
+            if (py < h) {
+              var xx = 0
+              while (xx < 8) {
+                val px = bx * 8 + xx
+                if (px < w) {
+                  var s = 0.0
+                  var vv = 0
+                  while (vv < 8) { s += CosT(vv)(yy) * tmp(vv * 8 + xx); vv += 1 }
+                  val sample = math.max(0, math.min(255,
+                    math.round(s).toInt + 128))
+                  pixels((py.toLong * w + px).toInt * ch + c) = sample.toByte
+                }
+                xx += 1
+              }
             }
             yy += 1
           }

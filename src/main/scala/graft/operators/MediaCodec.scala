@@ -161,6 +161,17 @@ object MediaFixtures {
     JpegDc.jpegWithPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** Full-baseline JPEG fixture with REAL AC coefficients
+    * ([[JpegDc.jpegWithAcPixels]]): non-multiple-of-8 dims (edge-block
+    * cropping on the decode path), both component counts, run-length
+    * AC entropy coding through the full Annex K table. Decoded pixels
+    * follow the exact-integer contract [[JpegDc.acPix]]. */
+  def jpegAcMediaFor(id: Long): Array[Byte] = {
+    val w = (10 + math.floorMod(id * 7, 29)).toInt
+    val h = (9 + math.floorMod(id * 5, 23)).toInt
+    JpegDc.jpegWithAcPixels(id, w, h, if (id % 2 == 0) 3 else 1)
+  }
+
   /** Mixed-format pixel fixture — PNG for even ids, DC-only JPEG for
     * odd ids, both with real pixel content, so ONE binary column
     * carries both formats (the crawl reality the format-dispatching

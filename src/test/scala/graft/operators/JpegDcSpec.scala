@@ -80,8 +80,66 @@ class JpegDcSpec extends SparkTestBase {
     // PNG bytes are not a JPEG
     assert(JpegDc.decode(MediaFixtures.pixelMediaFor(2L)).isEmpty)
     assert(JpegDc.decode(Array[Byte]()).isEmpty)
-    // non-multiple-of-8 dims are outside the subset
+    // header-only bytes (no tables, no entropy data) — dims are fine
+    // now (edge blocks crop) but there is nothing to decode
     assert(JpegDc.decode(MediaFixtures.jpeg(20, 16, 1)).isEmpty)
+  }
+
+  test("full baseline decode: AC coefficients through Annex K Huffman " +
+    "+ zigzag dequant + real IDCT recover the exact acPix contract, " +
+    "including cropped edge blocks") {
+    (0L until 8L).foreach { id =>
+      val bytes = MediaFixtures.jpegAcMediaFor(id)
+      val d = JpegDc.decode(bytes).getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == 10 + (id * 7 % 29) && d.height == 9 + (id * 5 % 23))
+      assert(d.channels == (if (id % 2 == 0) 3 else 1))
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / d.channels) % d.width
+        val y = i / (d.width * d.channels)
+        val c = i % d.channels
+        assert((d.pixels(i) & 0xff) == JpegDc.acPix(id, x, y, c),
+          s"id=$id x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("seeded fuzz: 50 random (id, w, h, components) AC images " +
+    "round-trip bit-exact (arbitrary dims, both component counts)") {
+    val rnd = new scala.util.Random(4242)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextInt(10000).toLong
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(45)
+      val nc = if (rnd.nextBoolean()) 3 else 1
+      val d = JpegDc.decode(JpegDc.jpegWithAcPixels(id, w, h, nc))
+        .getOrElse(fail(s"id=$id ${w}x$h nc=$nc did not decode"))
+      assert(d.width == w && d.height == h && d.channels == nc)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / nc) % w
+        val y = i / (w * nc)
+        val c = i % nc
+        assert((d.pixels(i) & 0xff) == JpegDc.acPix(id, x, y, c),
+          s"id=$id ${w}x$h nc=$nc x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("the DC-only stream decodes identically through the general " +
+    "baseline path (flat blocks are just the all-AC-zero case)") {
+    val d = JpegDc.decode(MediaFixtures.jpegPixelMediaFor(4L)).get
+    var i = 0
+    while (i < d.pixels.length) {
+      val x = (i / d.channels) % d.width
+      val y = i / (d.width * d.channels)
+      val c = i % d.channels
+      assert((d.pixels(i) & 0xff) ==
+        JpegDc.blockVal(4L, x / 8, y / 8, c), s"x=$x y=$y c=$c")
+      i += 1
+    }
   }
 
   test("adversarial SOF0 dims are rejected before allocation (Long " +
