@@ -28,6 +28,10 @@ object Graft {
     if (!em.extraOptimizations.exists(_.isInstanceOf[graft.plans.AnnRouteRule]))
       em.extraOptimizations =
         em.extraOptimizations :+ graft.plans.AnnRouteRule(spark)
+    if (!em.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.KeywordRouteRule]))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.KeywordRouteRule(spark)
     spark
   }
 

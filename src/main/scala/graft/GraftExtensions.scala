@@ -45,8 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         (es: Seq[Expression]) => builder(es)))
     }
-    // opt-in ANN auto-routing (fires only under spark.graft.ann.autoRoute)
+    // opt-in ANN + keyword auto-routing (fire only under
+    // spark.graft.ann.autoRoute)
     ext.injectOptimizerRule(session => graft.plans.AnnRouteRule(session))
+    ext.injectOptimizerRule(session => graft.plans.KeywordRouteRule(session))
   }
 }
 

@@ -54,10 +54,14 @@ import graft.operators.{Bm25, Bm25Index}
 object Keyword {
 
   /** One registered stats source with its own caches — never shared
-    * across sources (the round-6 staleness/clobber fix). */
+    * across sources (the round-6 staleness/clobber fix). `routeIdCol`
+    * additionally opts the index into [[graft.plans.KeywordRouteRule]]
+    * plan rewriting (the name of the corpus id column the index was
+    * built on). */
   private final class Registration(
       val corpus: Option[(DataFrame, String)],
-      val index: Option[Bm25Index]) {
+      val index: Option[Bm25Index],
+      val routeIdCol: Option[String] = None) {
     var statsCache: Option[(Long, Double)] = None
     val dfCache =
       scala.collection.mutable.Map.empty[Seq[String], Map[String, Long]]
@@ -106,11 +110,29 @@ object Keyword {
     * sidecar — the no-corpus-scan path. A DIFFERENT index object at
     * the same path (e.g. the one [[Bm25Index.append]] returned)
     * replaces the cached statistics rather than reusing them. */
-  def registerIndex(idx: Bm25Index): Unit = synchronized {
-    val key = indexKey(idx.path)
-    if (registry.get(key).exists(_.index.exists(_ ne idx)))
-      registry.remove(key) // same path, new object: stats changed
-    activate(idx.spark, key, new Registration(None, Some(idx)))
+  def registerIndex(idx: Bm25Index): Unit = registerIndex(idx, None)
+
+  /** [[registerIndex]] plus routing opt-in: `routeIdCol` names the
+    * corpus id column the index was built on, which additionally lets
+    * [[graft.plans.KeywordRouteRule]] rewrite eligible
+    * `keyword_score(...) > 0` SQL onto the index's pruned postings
+    * (under `spark.graft.ann.autoRoute=true`). */
+  def registerIndex(idx: Bm25Index, routeIdCol: Option[String]): Unit =
+    synchronized {
+      val key = indexKey(idx.path)
+      if (registry.get(key).exists(r =>
+        r.index.exists(_ ne idx) || r.routeIdCol != routeIdCol))
+        registry.remove(key) // same path, new object/route: refresh
+      activate(idx.spark, key, new Registration(None, Some(idx), routeIdCol))
+    }
+
+  /** The session's active index route, if the active source is an
+    * index registered with a `routeIdCol` — what
+    * [[graft.plans.KeywordRouteRule]] rewrites onto. */
+  private[graft] def activeRoute(session: SparkSession)
+      : Option[(Bm25Index, String)] = synchronized {
+    Option(active.get(session)).flatMap(registry.get).flatMap(r =>
+      for (idx <- r.index; idCol <- r.routeIdCol) yield (idx, idCol))
   }
 
   /** Drop any registration backed by the index at `path` — called by

@@ -1108,6 +1108,54 @@ object SparkEntry {
                      * 1000000.0, 0) AS BIGINT) AS hybrid_micros
         FROM scored CROSS JOIN bounds
         ORDER BY hybrid_micros DESC, id LIMIT 10""")
+    }),
+
+    // hybrid_pure_sql's VERBATIM statement auto-routed onto index
+    // storage (KeywordRouteRule, opt-in conf): the keyword_score guard
+    // is rewritten to a broadcast join against the Bm25Index's bucket-
+    // pruned postings, the corpus scan drops the text column, and the
+    // values are bit-identical — same oracle as hybrid_pure_sql. The
+    // builder REQUIRES the routed plan shape (postings partition
+    // filters), so a silently-unfired rule turns this row red instead
+    // of green-by-fallback; conf and registration are restored so no
+    // other declared query is affected.
+    "hybrid_routed_sql" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      Txtai.register(docs, emb)
+      Keyword.registerIndex(bm25IndexAt(s, dir), routeIdCol = Some("doc_id"))
+      s.conf.set("spark.graft.ann.autoRoute", "true")
+      try {
+        val df = s.sql("""
+          WITH scored AS (
+            SELECT id, keyword_score('vector hash join') AS bm,
+                   similar('vector hash join') AS cos
+            FROM txtai
+            WHERE keyword_score('vector hash join') > 0),
+          bounds AS (
+            SELECT min(bm) AS bmin, max(bm) AS bmax,
+                   min(cos) AS cmin, max(cos) AS cmax
+            FROM scored)
+          SELECT id,
+                 CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+                             ELSE (cos - cmin) / (cmax - cmin) END)
+                       + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+                             ELSE CAST(bm - bmin AS DOUBLE)
+                                  / CAST(bmax - bmin AS DOUBLE) END))
+                       * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+          FROM scored CROSS JOIN bounds
+          ORDER BY hybrid_micros DESC, id LIMIT 10""")
+        require("PartitionFilters: \\[[^\\]]*bucket".r
+          .findFirstIn(df.queryExecution.executedPlan.toString).isDefined,
+          "hybrid_routed_sql: KeywordRouteRule did not fire")
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        import s.implicits._
+        rows.toSeq.toDF("id", "hybrid_micros")
+      } finally {
+        s.conf.set("spark.graft.ann.autoRoute", "false")
+        Txtai.register(docs, emb) // restore corpus-backed stats
+      }
     })
   )
 
@@ -2462,6 +2510,56 @@ object SparkEntry {
     // (hybrid_text_qvec — same query text); the blend is the engine
     // statement's own min-max windows verbatim
     "hybrid_pure_sql" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id AS docid, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |p AS (
+        |  SELECT docid,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS dl,
+        |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+        |  FROM corpus),
+        |tfs AS (
+        |  SELECT docid, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |matched AS (
+        |  SELECT * FROM tfs WHERE term IN ('vector', 'hash', 'join')),
+        |dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |              AS DOUBLE) / count(*) AS avgdl
+        |  FROM corpus),
+        |lex AS (
+        |  SELECT CAST(m.docid AS BIGINT) AS docid,
+        |         CAST(sum(CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |               * (m.tf * 2.2
+        |                  / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / st.avgdl)))
+        |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm
+        |  FROM matched m JOIN dfs d USING (term) CROSS JOIN st
+        |  GROUP BY 1),
+        |q AS (SELECT qv::DOUBLE[] AS qvec
+        |      FROM read_parquet('__AUX__/hybrid_text_qvec/*.parquet')),
+        |scored AS (
+        |  SELECT l.docid AS id, l.bm,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                q.qvec) AS cos
+        |  FROM lex l JOIN corpus c ON l.docid = c.docid CROSS JOIN q),
+        |bounds AS (
+        |  SELECT min(bm) AS bmin, max(bm) AS bmax,
+        |         min(cos) AS cmin, max(cos) AS cmax
+        |  FROM scored)
+        |SELECT id,
+        |       CAST(round((0.5 * (CASE WHEN cmax = cmin THEN 1.0
+        |                   ELSE (cos - cmin) / (cmax - cmin) END)
+        |             + 0.5 * (CASE WHEN bmax = bmin THEN 1.0
+        |                   ELSE CAST(bm - bmin AS DOUBLE)
+        |                        / CAST(bmax - bmin AS DOUBLE) END))
+        |             * 1000000.0, 0) AS BIGINT) AS hybrid_micros
+        |FROM scored CROSS JOIN bounds
+        |ORDER BY hybrid_micros DESC, id LIMIT 10""".stripMargin,
+
+    // hybrid_routed_sql: identical VALUES to hybrid_pure_sql (routing
+    // changes which files are read, never the scores) — oracle shared
+    "hybrid_routed_sql" ->
       """WITH corpus AS (
         |  SELECT d.doc_id AS docid, d.text, e.embedding
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
