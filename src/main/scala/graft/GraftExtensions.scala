@@ -88,9 +88,15 @@ object GraftExtensions {
       PngHistogram(es(0), intLit(es(1), "png_histogram"))),
     "media_features" -> (es =>
       MediaFeatures(es(0), intLit(es(1), "media_features"))),
+    "pixel_stats" -> (es => PixelStats(es.head)),
+    "decoded_pixels" -> (es => DecodedPixels(es.head)),
+    "wav_stats" -> (es => WavStats(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
-    "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)))
+    "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),
+    "jpeg_ac_media_for_id" -> (es => JpegAcMediaBytes(es.head)),
+    "mixed_pixel_media_for_id" -> (es => MixedPixelMediaBytes(es.head)),
+    "wav_media_for_id" -> (es => WavMediaBytes(es.head)))
 }
 
 /** The txtai SQL dialect's `similar` in all its forms

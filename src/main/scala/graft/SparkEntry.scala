@@ -988,6 +988,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode — the multimodal story's third modality, fully
+    // real like the image codecs (RIFF/WAVE + PCM16 need no library):
+    // chunk walk, fmt validation, little-endian sample extraction,
+    // reduced to exact integer stats (sum + energy). The oracle
+    // re-derives both analytically from the sample contract.
+    "wav_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.WavMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.WavStats(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))
+            .as("st"))
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
     // FULL baseline JPEG: real AC coefficients through the complete
     // pipeline — Annex K Huffman entropy decode (run-length + ZRL +
     // EOB), zigzag→natural dequant, a REAL separable 2-D IDCT, and
@@ -2294,6 +2321,27 @@ object SparkEntry {
         |       CAST(64 * sum(v) AS BIGINT) AS pix_sum,
         |       CAST(64 * count(*) AS BIGINT) AS pix_count
         |FROM blocks GROUP BY doc_id, w, h, ch
+        |ORDER BY doc_id""".stripMargin,
+
+    // analytic re-derivation of the PCM sample statistics from the
+    // contract samp(id,i) = ((3i+7id) mod 4096) - 2048 — the engine
+    // value went through a real RIFF walk + little-endian decode
+    "wav_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, d.frames, d.ch, d.rate,
+        |         (ii.i * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d, LATERAL unnest(range(0, d.frames * d.ch)) AS ii(i))
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |       CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(frames AS BIGINT) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(v * v) AS BIGINT) AS samp_energy
+        |FROM smp GROUP BY doc_id, ch, rate, frames
         |ORDER BY doc_id""".stripMargin,
 
     // per-pixel analytic re-derivation of the AC contract: sample =

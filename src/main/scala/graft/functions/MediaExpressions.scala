@@ -362,6 +362,85 @@ object PngHistogram {
     }
 }
 
+/** wav_stats(bytes) -> struct<channels:int, sample_rate:int,
+  * n_frames:bigint, samp_sum:bigint, samp_energy:bigint>: REAL
+  * RIFF/WAVE PCM16 decode ([[graft.operators.WavPcm]] — chunk walk,
+  * fmt validation, little-endian sample extraction) reduced to exact
+  * integer statistics (sum + energy = Σv²), the audio twin of
+  * [[PngStats]]. Dirty or out-of-subset bytes → null. */
+case class WavStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WavStats.schema
+  override def prettyName: String = "wav_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavStats.statsToRow(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavStats$$.MODULE$$.statsToRow($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavStats {
+  val schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("samp_sum", LongType, nullable = false),
+    StructField("samp_energy", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def statsToRow(bytes: Array[Byte]): InternalRow =
+    graft.operators.WavPcm.decode(bytes) match {
+      case Some(d) =>
+        var sum = 0L
+        var energy = 0L
+        var i = 0
+        while (i < d.samples.length) {
+          val v = d.samples(i).toLong
+          sum += v; energy += v * v
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](
+          d.channels, d.sampleRate, d.frames.toLong, sum, energy))
+      case None => null
+    }
+}
+
+/** wav_media_for_id(id) -> binary: the PCM16 WAV fixture bytes
+  * ([[graft.operators.MediaFixtures.wavMediaFor]]). */
+case class WavMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.wavMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.wavMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** decoded_pixels(bytes) -> array<int>: the FULL decoded pixel dump
   * (scanline-major, channel-interleaved, unsigned byte values) of a
   * PNG or baseline-JPEG blob, format-dispatched on the magic bytes

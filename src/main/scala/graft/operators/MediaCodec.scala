@@ -161,6 +161,16 @@ object MediaFixtures {
     JpegDc.jpegWithPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** PCM16 WAV fixture ([[WavPcm.wavWithSamples]]): frame count, layout
+    * (mono/stereo), and sample rate all vary deterministically; samples
+    * follow the pure contract [[WavPcm.samp]]. */
+  def wavMediaFor(id: Long): Array[Byte] = {
+    val frames = (100 + math.floorMod(id * 13, 400)).toInt
+    val channels = (1 + id % 2).toInt
+    val rate = (8000 * (1 + id % 3)).toInt
+    WavPcm.wavWithSamples(id, frames, channels, rate)
+  }
+
   /** Full-baseline JPEG fixture with REAL AC coefficients
     * ([[JpegDc.jpegWithAcPixels]]): non-multiple-of-8 dims (edge-block
     * cropping on the decode path), both component counts, run-length

@@ -1,0 +1,110 @@
+package graft.operators
+
+/** REAL WAV/PCM audio codec — the audio leg of the multimodal story,
+  * fully real like [[PngPixels]] and [[JpegDc]] (RIFF/WAVE is a plain
+  * chunked container and PCM16 needs no codec library at all).
+  *
+  * Writer: canonical RIFF → `fmt ` (PCM, 16-bit, little-endian) →
+  * `data` with interleaved samples following the pure contract
+  * [[samp]], so a SQL oracle re-derives exact integer statistics with
+  * no audio machinery. Reader: full chunk walk (unknown chunks — LIST,
+  * cue, bext… — are skipped by size, odd sizes padded per RIFF),
+  * `fmt ` validation, untrusted-size caps in Long before allocation.
+  * Outside the subset — non-PCM formats (float, ADPCM, extensible),
+  * bit depths ≠ 16, truncated or corrupt chunks — the decoder returns
+  * None, never throws: the dirty-crawl-bytes contract shared by all
+  * three media codecs. */
+object WavPcm {
+
+  /** The sample contract the oracle recomputes over the FLAT
+    * interleaved index: `((i*3 + id*7) mod 4096) − 2048` — a full
+    * 16-bit-safe swing crossing zero, so sums exercise sign handling. */
+  def samp(id: Long, i: Long): Int =
+    math.floorMod(i * 3L + id * 7L, 4096L).toInt - 2048
+
+  /** Decoded PCM16 audio: interleaved samples, frame-major. */
+  final case class Decoded(
+      channels: Int, sampleRate: Int, frames: Int, samples: Array[Short])
+
+  /** Complete RIFF/WAVE file whose PCM16 samples equal
+    * [[samp]]`(id, i)` at flat interleaved index i. */
+  def wavWithSamples(
+      id: Long, frames: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    require(frames > 0 && channels > 0 && channels <= 8 && sampleRate > 0,
+      s"frames=$frames channels=$channels rate=$sampleRate")
+    val n = frames * channels
+    val dataBytes = n * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    tag("RIFF"); le32(4 + 24 + 8 + dataBytes); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1) // PCM
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * channels * 2) // byte rate
+    le16(channels * 2) // block align
+    le16(16) // bits per sample
+    tag("data"); le32(dataBytes)
+    var i = 0
+    while (i < n) { le16(samp(id, i) & 0xffff); i += 1 }
+    bos.toByteArray
+  }
+
+  /** Real decode of the PCM16 subset; None on anything dirty. */
+  def decode(bytes: Array[Byte]): Option[Decoded] = {
+    try decode0(bytes)
+    catch { case _: Exception => None }
+  }
+
+  private def decode0(b: Array[Byte]): Option[Decoded] = {
+    def tagAt(o: Int, t: String): Boolean =
+      o + 4 <= b.length && new String(b, o, 4, "US-ASCII") == t
+    def le32(o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    if (b.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE")) return None
+    var pos = 12
+    var channels = 0; var sampleRate = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val isFmt = tagAt(pos, "fmt ")
+      val isData = tagAt(pos, "data")
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      if (isFmt) {
+        if (size < 16) return None
+        val fmt = le16(pos + 8)
+        if (fmt != 1) return None // PCM only (no float/ADPCM/extensible)
+        channels = le16(pos + 10)
+        sampleRate = le32(pos + 12).toInt
+        if (channels <= 0 || channels > 8 || sampleRate <= 0) return None
+        if (le16(pos + 22) != 16) return None // 16-bit only
+      } else if (isData) {
+        dataOff = pos + 8
+        dataLen = size
+      }
+      // unknown chunks (LIST, cue, bext, …) skip by size; odd chunk
+      // sizes are padded to even per RIFF
+      pos += 8 + size.toInt + (size % 2).toInt
+    }
+    if (channels == 0 || dataOff < 0) return None
+    // untrusted sizes: whole-sample frames only, capped before allocating
+    if (dataLen % (2L * channels) != 0L) return None
+    if (dataLen > PngPixels.MaxDecodedBytes) return None
+    val n = (dataLen / 2L).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((b(dataOff + 2 * i) & 0xff) |
+        ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    Some(Decoded(channels, sampleRate, n / channels, samples))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Real WAV/PCM codec: decoded samples must equal the contract after a
+  * genuine RIFF round-trip; unknown chunks skip; dirty and
+  * out-of-subset bytes are rejected, never thrown on. */
+class WavPcmSpec extends SparkTestBase {
+
+  test("decode(encode) recovers the exact sample contract — mono and " +
+    "stereo, varied frame counts and rates") {
+    (0L until 10L).foreach { id =>
+      val d = WavPcm.decode(MediaFixtures.wavMediaFor(id)).getOrElse(
+        fail(s"id=$id did not decode"))
+      assert(d.frames == 100 + (id * 13 % 400))
+      assert(d.channels == 1 + id % 2)
+      assert(d.sampleRate == 8000 * (1 + id % 3))
+      var i = 0
+      while (i < d.samples.length) {
+        assert(d.samples(i) == WavPcm.samp(id, i), s"id=$id i=$i")
+        i += 1
+      }
+    }
+  }
+
+  test("seeded fuzz: 50 random (id, frames, channels, rate) combos " +
+    "round-trip bit-exact") {
+    val rnd = new scala.util.Random(777)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextInt(100000).toLong
+      val frames = 1 + rnd.nextInt(2000)
+      val ch = 1 + rnd.nextInt(8)
+      val rate = 1 + rnd.nextInt(96000)
+      val d = WavPcm.decode(WavPcm.wavWithSamples(id, frames, ch, rate)).get
+      assert(d.frames == frames && d.channels == ch && d.sampleRate == rate)
+      var i = 0
+      while (i < d.samples.length) {
+        assert(d.samples(i) == WavPcm.samp(id, i),
+          s"id=$id frames=$frames ch=$ch i=$i")
+        i += 1
+      }
+    }
+  }
+
+  test("unknown RIFF chunks are skipped by size (LIST metadata before " +
+    "data), odd sizes padded") {
+    val base = WavPcm.wavWithSamples(3L, 50, 2, 8000)
+    // splice a LIST chunk (odd payload size -> 1 pad byte) between
+    // fmt (ends at offset 12+8+16=36) and data
+    val meta = "INFOx".getBytes("US-ASCII") // 5 bytes, odd
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 36)
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(Array[Byte](5, 0, 0, 0)) // LE size 5
+    out.write(meta); out.write(0) // pad to even
+    out.write(base, 36, base.length - 36)
+    val spliced = out.toByteArray
+    // patch the RIFF size (offset 4): grew by 8 + 5 + 1
+    val grown = spliced.length - 8
+    spliced(4) = (grown & 0xff).toByte
+    spliced(5) = ((grown >> 8) & 0xff).toByte
+    val d = WavPcm.decode(spliced).getOrElse(fail("spliced did not decode"))
+    assert(d.frames == 50 && d.channels == 2)
+    assert((0 until d.samples.length).forall(i =>
+      d.samples(i) == WavPcm.samp(3L, i)))
+  }
+
+  test("out-of-subset and corrupt bytes are rejected, never thrown on") {
+    val good = WavPcm.wavWithSamples(1L, 100, 1, 16000)
+    assert(WavPcm.decode(Array[Byte]()).isEmpty)
+    assert(WavPcm.decode("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+    assert(WavPcm.decode(good.take(good.length / 2)).isEmpty) // truncated
+    // float PCM (format 3) is outside the subset
+    val float = good.clone(); float(20) = 3
+    assert(WavPcm.decode(float).isEmpty)
+    // 8-bit depth is outside the subset
+    val depth8 = good.clone(); depth8(34) = 8
+    assert(WavPcm.decode(depth8).isEmpty)
+    // a data length that is not whole frames
+    val ragged = good.clone()
+    ragged(40) = ((ragged(40) & 0xff) - 1).toByte
+    assert(WavPcm.decode(ragged).isEmpty)
+    // PNG bytes are not a WAV
+    assert(WavPcm.decode(MediaFixtures.pixelMediaFor(2L)).isEmpty)
+  }
+
+  test("wav_stats kernel matches a direct fold over decoded samples " +
+    "and is callable from verbatim SQL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.Graft.init(spark)
+    val row = spark.sql(
+      """SELECT wav_stats(wav_media_for_id(CAST(5 AS BIGINT))) AS st""")
+      .select("st.channels", "st.n_frames", "st.samp_sum", "st.samp_energy")
+      .head()
+    val d = WavPcm.decode(MediaFixtures.wavMediaFor(5L)).get
+    val sum = d.samples.map(_.toLong).sum
+    val energy = d.samples.map(s => s.toLong * s).sum
+    assert(row.getInt(0) == d.channels && row.getLong(1) == d.frames)
+    assert(row.getLong(2) == sum && row.getLong(3) == energy)
+  }
+}
