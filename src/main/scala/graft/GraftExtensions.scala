@@ -91,12 +91,15 @@ object GraftExtensions {
     "pixel_stats" -> (es => PixelStats(es.head)),
     "decoded_pixels" -> (es => DecodedPixels(es.head)),
     "wav_stats" -> (es => WavStats(es.head)),
+    "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
+    "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),
     "jpeg_ac_media_for_id" -> (es => JpegAcMediaBytes(es.head)),
     "mixed_pixel_media_for_id" -> (es => MixedPixelMediaBytes(es.head)),
-    "wav_media_for_id" -> (es => WavMediaBytes(es.head)))
+    "wav_media_for_id" -> (es => WavMediaBytes(es.head)),
+    "gif_media_for_id" -> (es => GifMediaBytes(es.head)))
 }
 
 /** The txtai SQL dialect's `similar` in all its forms

@@ -1015,6 +1015,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Windowed audio features over the REAL PCM decode — per-window
+    // energy (Σv²) and zero-crossing count over channel 0, the classic
+    // VAD/segmentation pair, exploded to one row per complete window.
+    // Integer-exact, so the oracle re-derives every value from the
+    // sample contract with a lag() window.
+    "wav_windows" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 40).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.WavMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.WavWindows(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")),
+              64))).as("w"))
+        .select(col("doc_id"), col("w.win").cast("long").as("win"),
+          col("w.energy"), col("w.zcr"))
+        .orderBy("doc_id", "win")
+    }),
+
+    // REAL animated-GIF frame decode — the frame-sampling modality made
+    // real (full variable-width LZW, no library): one row per frame with
+    // exact integer pixel sums, oracle re-derived from the pixel
+    // contract pix = (3x+5y+11f+7id) mod 251.
+    "gif_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 30).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.GifMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.GifFrameStats(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+          .as("f"))
+        .select(col("doc_id"), col("f.frame").cast("long").as("frame"),
+          col("f.width").cast("long").as("width"),
+          col("f.height").cast("long").as("height"), col("f.pix_sum"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // FULL baseline JPEG: real AC coefficients through the complete
     // pipeline — Annex K Huffman entropy decode (run-length + ZRL +
     // EOB), zigzag→natural dequant, a REAL separable 2-D IDCT, and
@@ -2343,6 +2389,52 @@ object SparkEntry {
         |       CAST(sum(v * v) AS BIGINT) AS samp_energy
         |FROM smp GROUP BY doc_id, ch, rate, frames
         |ORDER BY doc_id""".stripMargin,
+
+    // per-window re-derivation of energy + zero-crossing count from the
+    // same sample contract (channel 0 at frame f = flat index f·ch);
+    // full 64-frame windows only, crossings via lag() inside the window
+    "wav_windows" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, ff.f // 64 AS win, ff.f AS f,
+        |         (ff.f * d.ch * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, 64 * (d.frames // 64))) AS ff(f)),
+        |lagged AS (
+        |  SELECT doc_id, win, f, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        |  FROM smp)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(sum(CASE WHEN f % 64 > 0 AND ((v >= 0) != (pv >= 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM lagged GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin,
+
+    // per-frame re-derivation of the GIF pixel contract
+    // pix(id,f,x,y) = (3x+5y+11f+7id) mod 251 — the engine value went
+    // through a real LZW entropy decode + palette mapping
+    "gif_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + (doc_id * 5) % 25 AS w,
+        |         6 + (doc_id * 7) % 20 AS h
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, fr.f, d.w, d.h,
+        |         (3 * xx.x + 5 * yy.y + 11 * fr.f + 7 * d.doc_id) % 251 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.nf)) AS fr(f),
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height, CAST(sum(v) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame""".stripMargin,
 
     // per-pixel analytic re-derivation of the AC contract: sample =
     // base + a·sgn(y) + b·sgn(x)·sgn(y) with sgn(t) = +1 iff t%8 in

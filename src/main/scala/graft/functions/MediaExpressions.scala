@@ -593,3 +593,156 @@ case class MediaBytes(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** gif_frame_stats(bytes) -> array<struct<frame:int, width:int,
+  * height:int, pix_sum:bigint>>: REAL animated-GIF decode
+  * ([[graft.operators.Gif]] — full variable-width LZW, extension
+  * skipping, palette→luminance) reduced to exact per-frame integer
+  * statistics — the multi-frame twin of [[PixelStats]]. Dirty or
+  * out-of-subset bytes → null. */
+case class GifFrameStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(GifFrameStats.frameSchema, containsNull = false)
+  override def prettyName: String = "gif_frame_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifFrameStats.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.GifFrameStats$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GifFrameStats {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.Gif.decode(bytes) match {
+      case Some(d) =>
+        val rows = new Array[Any](d.frames.length)
+        var f = 0
+        while (f < d.frames.length) {
+          val fr = d.frames(f)
+          var sum = 0L
+          var i = 0
+          while (i < fr.luma.length) { sum += (fr.luma(i) & 0xff); i += 1 }
+          rows(f) = new GenericInternalRow(
+            Array[Any](f, fr.width, fr.height, sum))
+          f += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}
+
+/** gif_media_for_id(id) -> binary: the animated-GIF fixture bytes
+  * ([[graft.operators.MediaFixtures.gifMediaFor]]). */
+case class GifMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gif_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.gifMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.gifMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** wav_windows(bytes, win_frames) -> array<struct<win:int,
+  * energy:bigint, zcr:bigint>>: REAL PCM16 decode ([[WavStats]]'
+  * codec) reduced to per-window integer features over channel 0 —
+  * energy Σv² and zero-crossing count (sign flips between adjacent
+  * frames within a window), the classic VAD/segmentation pair.
+  * Only complete windows are emitted (the trailing partial window is
+  * dropped); dirty or out-of-subset bytes → null. */
+case class WavWindows(child: Expression, winFrames: Int)
+    extends UnaryExpression {
+  require(winFrames >= 2, s"winFrames must be >= 2, got $winFrames")
+
+  override def dataType: DataType =
+    ArrayType(WavWindows.windowSchema, containsNull = false)
+  override def prettyName: String = "wav_windows"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavWindows.compute(input.asInstanceOf[Array[Byte]], winFrames)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavWindows$$.MODULE$$.compute($c, $winFrames);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavWindows {
+  val windowSchema: StructType = StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("zcr", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no
+    * decode. Channel 0 at frame f is interleaved sample f·channels;
+    * a crossing is (v≥0) ≠ (prev≥0) for adjacent frames in-window. */
+  def compute(bytes: Array[Byte], winFrames: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.WavPcm.decode(bytes) match {
+      case Some(d) =>
+        val nWin = d.frames / winFrames
+        val rows = new Array[Any](nWin)
+        var w = 0
+        while (w < nWin) {
+          var energy = 0L
+          var zcr = 0L
+          var i = 0
+          var prevNonNeg = false
+          while (i < winFrames) {
+            val v = d.samples((w * winFrames + i) * d.channels).toLong
+            energy += v * v
+            val nonNeg = v >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zcr += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          rows(w) = new GenericInternalRow(Array[Any](w, energy, zcr))
+          w += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}

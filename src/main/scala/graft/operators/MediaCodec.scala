@@ -161,6 +161,16 @@ object MediaFixtures {
     JpegDc.jpegWithPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** Animated-GIF fixture ([[Gif.gifWithFrames]]): frame count and
+    * dims vary deterministically; frame pixels follow the pure
+    * contract [[Gif.pix]]. */
+  def gifMediaFor(id: Long): Array[Byte] = {
+    val frames = (2 + id % 3).toInt
+    val w = (8 + math.floorMod(id * 5, 25)).toInt
+    val h = (6 + math.floorMod(id * 7, 20)).toInt
+    Gif.gifWithFrames(id, w, h, frames)
+  }
+
   /** PCM16 WAV fixture ([[WavPcm.wavWithSamples]]): frame count, layout
     * (mono/stereo), and sample rate all vary deterministically; samples
     * follow the pure contract [[WavPcm.samp]]. */

@@ -15,14 +15,16 @@ import org.apache.spark.sql.types._
   * library needed) via the codegen'd [[graft.functions.ParseMedia]]
   * expression; unparseable bytes yield a null `meta`, never an
   * exception. Pixel-level IMAGE decode is real too: [[PngPixels]]
-  * (zlib + all five scanline filters) and [[JpegDc]] (baseline
-  * Huffman entropy decode) back [[decodePixelStats]] /
-  * [[extractFeatures]]. Only VIDEO frame sampling stays honestly
-  * stubbed ([[FakeCodec.sampleFrames]] — this container ships no
-  * video codec): swapping in a real one is a one-function change
-  * inside the `mapPartitions` loop; the plan shape (no shuffle, one
-  * pass over binary blobs, decode parallelism = partition count) is
-  * exactly what a production decode stage looks like.
+  * (zlib + all five scanline filters) and [[JpegDc]] (full baseline
+  * Huffman entropy decode + IDCT) back [[decodePixelStats]] /
+  * [[extractFeatures]]; AUDIO decode is real via [[WavPcm]]; and
+  * frame sampling is REAL for animated GIF ([[Gif]] — full LZW).
+  * Only CONTAINER-VIDEO frame extraction stays honestly stubbed
+  * ([[FakeCodec.sampleFrames]] — this container ships no mp4/webm
+  * codec): swapping in a real one is one branch in
+  * [[sampleFramesKernel]]; the plan shape (no shuffle, one pass over
+  * binary blobs, decode parallelism = partition count) is exactly
+  * what a production decode stage looks like.
   */
 object Multimodal {
 
@@ -46,7 +48,7 @@ object Multimodal {
     }
 
     /** Fake frame sampler: n evenly-spaced fixed-width byte windows
-      * (a video decoder would emit decoded frames here). */
+      * (a container-video decoder would emit decoded frames here). */
     def sampleFrames(bytes: Array[Byte], n: Int, width: Int): Seq[Array[Byte]] =
       if (bytes.isEmpty) Seq.empty
       else (0 until n).map { i =>
@@ -54,6 +56,25 @@ object Multimodal {
         bytes.slice(start, math.min(start + width, bytes.length))
       }
   }
+
+  /** Frame sampling kernel: REAL for animated GIF ([[Gif.decode]] —
+    * full LZW; frames are decoded luminance rasters, n evenly spaced
+    * across the animation, all frames when n ≥ frame count), the
+    * [[FakeCodec]] byte-window fallback for container video formats
+    * (mp4/webm — no codec library ships in this container; that seam
+    * is one branch here). Undecodable GIF bytes fall back rather than
+    * null: a sampler's contract is "give me n byte windows". */
+  def sampleFramesKernel(
+      bytes: Array[Byte], n: Int, width: Int): Seq[Array[Byte]] =
+    if (Gif.isGif(bytes)) {
+      Gif.decode(bytes) match {
+        case Some(d) =>
+          val total = d.frames.length
+          if (total <= n) d.frames.map(_.luma)
+          else (0 until n).map(i => d.frames(total * i / n).luma)
+        case None => FakeCodec.sampleFrames(bytes, n, width)
+      }
+    } else FakeCodec.sampleFrames(bytes, n, width)
 
   /** Decode metadata for every blob — REAL header parse
     * ([[MediaCodec]]: PNG IHDR / JPEG SOFn) as a codegen'd Catalyst
@@ -96,7 +117,9 @@ object Multimodal {
       graft.functions.MediaFeatures(Shim.expression(col(binCol)), dim)))
   }
 
-  /** Sample `n` frames per blob into `frames array<binary>`. */
+  /** Sample `n` frames per blob into `frames array<binary>` —
+    * REAL decoded frames for animated GIF, the byte-window seam for
+    * container video ([[sampleFramesKernel]]). */
   def sampleFrames(df: DataFrame, binCol: String, n: Int,
       frameWidth: Int = 64): DataFrame = {
     val inSchema = df.schema
@@ -108,7 +131,7 @@ object Multimodal {
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val frames = if (bytes == null) null
-          else FakeCodec.sampleFrames(bytes, n, frameWidth)
+          else sampleFramesKernel(bytes, n, frameWidth)
         Row.fromSeq(row.toSeq :+ frames)
       }
     }(enc)

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Real animated-GIF codec: decoded frames must equal the pixel
+  * contract after a genuine LZW round-trip (including 12-bit
+  * dictionary growth and mid-stream resets), extensions skip, dirty
+  * and out-of-subset bytes are rejected, never thrown on — and
+  * [[Multimodal.sampleFrames]] serves REAL decoded frames for GIF. */
+class GifSpec extends SparkTestBase {
+
+  private def checkFrames(id: Long, d: Gif.Decoded): Unit =
+    d.frames.zipWithIndex.foreach { case (fr, f) =>
+      var y = 0
+      while (y < fr.height) {
+        var x = 0
+        while (x < fr.width) {
+          assert((fr.luma(y * fr.width + x) & 0xff) == Gif.pix(id, f, x, y),
+            s"id=$id f=$f x=$x y=$y")
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+  test("decode(encode) recovers the exact pixel contract for every " +
+    "frame — varied dims and frame counts") {
+    (0L until 10L).foreach { id =>
+      val d = Gif.decode(MediaFixtures.gifMediaFor(id)).getOrElse(
+        fail(s"id=$id did not decode"))
+      assert(d.frames.length == 2 + id % 3)
+      assert(d.frames.head.width == 8 + (id * 5 % 25))
+      assert(d.frames.head.height == 6 + (id * 7 % 20))
+      checkFrames(id, d)
+    }
+  }
+
+  test("seeded fuzz: 50 random (id, w, h, frames) combos round-trip " +
+    "bit-exact through real LZW") {
+    val rnd = new scala.util.Random(4242)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextInt(100000).toLong
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(40)
+      val nf = 1 + rnd.nextInt(5)
+      val d = Gif.decode(Gif.gifWithFrames(id, w, h, nf)).getOrElse(
+        fail(s"id=$id w=$w h=$h nf=$nf did not decode"))
+      assert(d.frames.length == nf && d.frames.head.width == w &&
+        d.frames.head.height == h)
+      checkFrames(id, d)
+    }
+  }
+
+  test("a large frame drives the LZW dictionary through 12-bit growth " +
+    "and a clear/reset, still bit-exact") {
+    // 300x200 = 60k pixels: the greedy dictionary exceeds 4096 entries,
+    // so the stream contains width-10/11/12 codes AND a mid-stream
+    // clear — the decoder paths a small fixture never touches
+    val d = Gif.decode(Gif.gifWithFrames(99L, 300, 200, 1)).getOrElse(
+      fail("large frame did not decode"))
+    assert(d.frames.head.width == 300 && d.frames.head.height == 200)
+    checkFrames(99L, d)
+  }
+
+  test("raw LZW round-trips pathological inputs: constant runs (KwKwK " +
+    "chains) and a 0-260 ramp (width growth at the boundary)") {
+    // constant run: immediately exercises the code==next (KwKwK) case
+    val run = Array.fill[Byte](5000)(7)
+    assert(Gif.lzwDecode(Gif.lzwEncode(run, 8), 8, run.length).toSeq
+      == run.toSeq)
+    // sawtooth over the full byte alphabet
+    val saw = Array.tabulate[Byte](9000)(i => (i % 256).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(saw, 8), 8, saw.length).toSeq
+      == saw.toSeq)
+    // tiny alphabet with minimum code size 2 (the spec's own example size)
+    val quad = Array.tabulate[Byte](400)(i => (i % 4).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(quad, 2), 2, quad.length).toSeq
+      == quad.toSeq)
+    // seeded random bytes: incompressible, so emissions far exceed the
+    // 4096-entry dictionary — GUARANTEES the mid-stream clear/reset path
+    val rnd = new scala.util.Random(31337)
+    val noise = Array.fill[Byte](60000)(rnd.nextInt(256).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(noise, 8), 8, noise.length).toSeq
+      == noise.toSeq)
+  }
+
+  test("extensions (comment + graphic control) and GIF87a headers are " +
+    "handled; local color tables override the global one") {
+    // fixture already carries comment + per-frame GCE blocks — decoded
+    // above; here: GIF87a, no GCT, local grayscale table on the frame
+    val base = Gif.gifWithFrames(5L, 10, 8, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(Array[Byte](10, 0, 8, 0)) // screen 10x8
+    out.write(0x00); out.write(0); out.write(0) // NO global color table
+    // image descriptor with local table flag, 256 entries
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0, 10, 0, 8, 0))
+    out.write(0x87) // LCT present, 256 entries
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // reuse the fixture's LZW payload for frame 0: find it in `base`
+    // (fixture layout: 6+7+768 header/GCT, comment ext, GCE, descriptor)
+    val descriptorAt = base.indexOfSlice(Array[Byte](0x2c, 0, 0, 0, 0, 10, 0, 8, 0))
+    assert(descriptorAt > 0, "fixture descriptor not found")
+    out.write(base, descriptorAt + 10, base.length - (descriptorAt + 10) - 1)
+    out.write(0x3b)
+    val d = Gif.decode(out.toByteArray).getOrElse(fail("87a did not decode"))
+    assert(d.frames.length == 1)
+    checkFrames(5L, d)
+  }
+
+  test("out-of-subset and corrupt bytes are rejected, never thrown on") {
+    val good = Gif.gifWithFrames(1L, 12, 9, 2)
+    assert(Gif.decode(Array[Byte]()).isEmpty)
+    assert(Gif.decode("GIF90a".getBytes("US-ASCII")).isEmpty)
+    assert(Gif.decode(good.take(good.length / 2)).isEmpty) // truncated
+    assert(Gif.decode(good.dropRight(1)).isEmpty) // missing trailer
+    // interlace flag is outside the subset
+    val descriptorAt = good.indexOfSlice(Array[Byte](0x2c, 0, 0, 0, 0, 12, 0, 9, 0))
+    val inter = good.clone(); inter(descriptorAt + 9) = 0x40.toByte
+    assert(Gif.decode(inter).isEmpty)
+    // a WAV is not a GIF
+    assert(Gif.decode(MediaFixtures.wavMediaFor(2L)).isEmpty)
+    // huge declared dims must refuse before allocating
+    val wide = good.clone()
+    wide(descriptorAt + 5) = 0xff.toByte; wide(descriptorAt + 6) = 0xff.toByte
+    wide(descriptorAt + 7) = 0xff.toByte; wide(descriptorAt + 8) = 0xff.toByte
+    assert(Gif.decode(wide).isEmpty)
+  }
+
+  test("sampleFrames serves REAL decoded GIF frames (n-spaced, all " +
+    "when n >= count) and falls back to byte windows elsewhere") {
+    import org.apache.spark.sql.functions._
+    val gif = MediaFixtures.gifMediaFor(7L) // 3 frames
+    val decoded = Gif.decode(gif).get
+    // n >= frames: every decoded frame, in order
+    val all = Multimodal.sampleFramesKernel(gif, 5, 64)
+    assert(all.length == decoded.frames.length)
+    all.zip(decoded.frames).foreach { case (a, fr) =>
+      assert(a.toSeq == fr.luma.toSeq)
+    }
+    // n < frames: evenly spaced subset — first frame always included
+    val two = Multimodal.sampleFramesKernel(gif, 2, 64)
+    assert(two.length == 2 && two.head.toSeq == decoded.frames.head.luma.toSeq)
+    // non-GIF bytes keep the documented byte-window fallback
+    val fake = Multimodal.sampleFramesKernel(Array[Byte](1, 2, 3, 4), 2, 2)
+    assert(fake.length == 2 && fake.head.toSeq == Seq[Byte](1, 2))
+    // and the DataFrame surface wires the kernel in
+    val df = spark.range(3, 4).selectExpr("id AS doc_id",
+      "gif_media_for_id(id) AS media")
+    val rows = Multimodal.sampleFrames(df, "media", 8)
+      .select(size(col("frames")).as("n")).head()
+    assert(rows.getInt(0) == (2 + 3 % 3))
+  }
+
+  test("gif_frame_stats kernel matches a direct fold over decoded " +
+    "frames and is callable from verbatim SQL") {
+    graft.Graft.init(spark)
+    val rows = spark.sql(
+      """SELECT f.frame, f.width, f.height, f.pix_sum
+        |FROM (SELECT explode(gif_frame_stats(
+        |        gif_media_for_id(CAST(4 AS BIGINT)))) AS f)""".stripMargin)
+      .collect()
+    val d = Gif.decode(MediaFixtures.gifMediaFor(4L)).get
+    assert(rows.length == d.frames.length)
+    rows.zipWithIndex.foreach { case (r, f) =>
+      val fr = d.frames(f)
+      assert(r.getInt(0) == f && r.getInt(1) == fr.width &&
+        r.getInt(2) == fr.height)
+      assert(r.getLong(3) == fr.luma.map(_ & 0xff).map(_.toLong).sum)
+    }
+  }
+}

@@ -99,4 +99,27 @@ class WavPcmSpec extends SparkTestBase {
     assert(row.getInt(0) == d.channels && row.getLong(1) == d.frames)
     assert(row.getLong(2) == sum && row.getLong(3) == energy)
   }
+
+  test("wav_windows matches a direct per-window fold over channel 0 " +
+    "(energy + zero crossings), drops the trailing partial window, " +
+    "and is callable from verbatim SQL") {
+    graft.Graft.init(spark)
+    (0L until 6L).foreach { id =>
+      val d = WavPcm.decode(MediaFixtures.wavMediaFor(id)).get
+      val w = 64
+      val rows = spark.sql(
+        s"""SELECT w.win, w.energy, w.zcr
+           |FROM (SELECT explode(wav_windows(
+           |        wav_media_for_id(CAST($id AS BIGINT)), $w)) AS w)"""
+          .stripMargin).collect()
+      assert(rows.length == d.frames / w, s"id=$id")
+      rows.zipWithIndex.foreach { case (r, wi) =>
+        val ch0 = (0 until w).map(i => d.samples((wi * w + i) * d.channels).toLong)
+        val energy = ch0.map(v => v * v).sum
+        val zcr = ch0.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+        assert(r.getInt(0) == wi && r.getLong(1) == energy &&
+          r.getLong(2) == zcr.toLong, s"id=$id win=$wi")
+      }
+    }
+  }
 }
