@@ -1061,6 +1061,28 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // Scene-cut detection over the REAL decoded GIF frames — adjacent-
+    // frame sum-of-absolute-differences (the classic shot-boundary
+    // signal), one row per frame pair, integer-exact against an
+    // analytic oracle over the pixel contract.
+    "gif_scene_cuts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 30).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.GifMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.GifFrameDiffs(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+          .as("d"))
+        .select(col("doc_id"), col("d.frame").cast("long").as("frame"),
+          col("d.sad"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // FULL baseline JPEG: real AC coefficients through the complete
     // pipeline — Annex K Huffman entropy decode (run-length + ZRL +
     // EOB), zigzag→natural dequant, a REAL separable 2-D IDCT, and
@@ -2434,6 +2456,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(w AS BIGINT) AS width,
         |       CAST(h AS BIGINT) AS height, CAST(sum(v) AS BIGINT) AS pix_sum
         |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame""".stripMargin,
+
+    // adjacent-frame SAD re-derived from the same pixel contract —
+    // the engine value compared two independently LZW-decoded rasters
+    "gif_scene_cuts" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + (doc_id * 5) % 25 AS w,
+        |         6 + (doc_id * 7) % 20 AS h
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, fr.f,
+        |         abs((3 * xx.x + 5 * yy.y + 11 * fr.f + 7 * d.doc_id) % 251
+        |           - (3 * xx.x + 5 * yy.y + 11 * (fr.f - 1) + 7 * d.doc_id) % 251)
+        |           AS dv
+        |  FROM dims d,
+        |       LATERAL unnest(range(1, d.nf)) AS fr(f),
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |       CAST(sum(dv) AS BIGINT) AS sad
+        |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame""".stripMargin,
 
     // per-pixel analytic re-derivation of the AC contract: sample =

@@ -746,3 +746,64 @@ object WavWindows {
       case None => null
     }
 }
+
+/** gif_frame_diffs(bytes) -> array<struct<frame:int, sad:bigint>>:
+  * adjacent-frame sum-of-absolute-differences over the REAL decoded
+  * luminance rasters ([[GifFrameStats]]' codec) — the classic
+  * shot-boundary/scene-cut signal of a video ingest pipeline, one row
+  * per frame pair (frame = the later index). Pairs whose dims differ
+  * are skipped (no comparable raster); dirty bytes → null. */
+case class GifFrameDiffs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(GifFrameDiffs.diffSchema, containsNull = false)
+  override def prettyName: String = "gif_frame_diffs"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifFrameDiffs.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.GifFrameDiffs$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GifFrameDiffs {
+  val diffSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("sad", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.Gif.decode(bytes) match {
+      case Some(d) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var f = 1
+        while (f < d.frames.length) {
+          val a = d.frames(f - 1); val b = d.frames(f)
+          if (a.width == b.width && a.height == b.height) {
+            var sad = 0L
+            var i = 0
+            while (i < b.luma.length) {
+              sad += math.abs((b.luma(i) & 0xff) - (a.luma(i) & 0xff))
+              i += 1
+            }
+            out += new GenericInternalRow(Array[Any](f, sad))
+          }
+          f += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+      case None => null
+    }
+}

@@ -345,4 +345,22 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = physical(df)
     assert(!plan.contains("aggregate(lambda"), plan)
   }
+
+  test("gif_frames: the LZW frame decode is an expression feeding " +
+    "Generate — doc_id pushes to the scan, no mapPartitions barrier") {
+    val plan = physical(run("gif_frames"))
+    assert(plan.contains("LessThan(doc_id,30)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("wav_windows: the PCM window decode is an expression feeding " +
+    "Generate — doc_id pushes to the scan, no mapPartitions barrier") {
+    val plan = physical(run("wav_windows"))
+    assert(plan.contains("LessThan(doc_id,40)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
 }

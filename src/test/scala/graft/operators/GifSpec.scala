@@ -154,6 +154,31 @@ class GifSpec extends SparkTestBase {
     assert(rows.getInt(0) == (2 + 3 % 3))
   }
 
+  test("gif_frame_diffs (scene-cut SAD) matches a direct fold over " +
+    "adjacent decoded frames and skips unequal-dim pairs") {
+    graft.Graft.init(spark)
+    (0L until 6L).foreach { id =>
+      val d = Gif.decode(MediaFixtures.gifMediaFor(id)).get
+      val rows = spark.sql(
+        s"""SELECT d.frame, d.sad
+           |FROM (SELECT explode(gif_frame_diffs(
+           |        gif_media_for_id(CAST($id AS BIGINT)))) AS d)"""
+          .stripMargin).collect()
+      assert(rows.length == d.frames.length - 1, s"id=$id")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val f = i + 1
+        val sad = d.frames(f).luma.zip(d.frames(f - 1).luma)
+          .map { case (b, a) => math.abs((b & 0xff) - (a & 0xff)).toLong }.sum
+        assert(r.getInt(0) == f && r.getLong(1) == sad, s"id=$id f=$f")
+      }
+    }
+    // dirty bytes null out; a single-frame GIF has zero pairs
+    assert(spark.sql("SELECT gif_frame_diffs(CAST('x' AS BINARY)) AS d")
+      .head().isNullAt(0))
+    val one = Gif.gifWithFrames(11L, 9, 7, 1)
+    assert(graft.functions.GifFrameDiffs.compute(one).numElements() == 0)
+  }
+
   test("gif_frame_stats kernel matches a direct fold over decoded " +
     "frames and is callable from verbatim SQL") {
     graft.Graft.init(spark)
