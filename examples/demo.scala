@@ -141,6 +141,14 @@ val png = graft.operators.PngPixels.decode(graft.operators.MediaFixtures.pixelMe
 val jpg = graft.operators.JpegDc.decode(graft.operators.MediaFixtures.jpegPixelMediaFor(2L)).get
 println(s"decoded png ${png.width}x${png.height}x${png.channels} (${png.pixels.length} bytes), jpeg ${jpg.width}x${jpg.height}x${jpg.channels} (${jpg.pixels.length} bytes)")
 
+// 4f. multimodal, audio + video legs: REAL WAV/PCM16 decode (RIFF walk)
+//     and REAL animated-GIF frame decode (full variable-width LZW) —
+//     windowed VAD features and scene-cut SAD straight from SQL
+spark.sql("SELECT w.win, w.energy, w.zcr FROM (SELECT explode(wav_windows(wav_media_for_id(CAST(7 AS BIGINT)), 64)) AS w)").show(3)
+spark.sql("SELECT d.frame, d.sad FROM (SELECT explode(gif_frame_diffs(gif_media_for_id(CAST(7 AS BIGINT)))) AS d)").show(3)
+val gifFrames = graft.operators.Multimodal.sampleFrames(spark.range(0, 5).selectExpr("id AS doc_id", "gif_media_for_id(id) AS media"), "media", 8)
+println(s"sampled REAL gif frames: " + gifFrames.selectExpr("sum(size(frames))").head().getLong(0))
+
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))
 println(s"after delete: ${idx.count()}")
