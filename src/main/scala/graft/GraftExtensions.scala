@@ -94,6 +94,7 @@ object GraftExtensions {
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_frame_diffs" -> (es => GifFrameDiffs(es.head)),
+    "gif_frame_bytes" -> (es => GifFrameBytes(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),

@@ -1083,6 +1083,46 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // Frame-level exact dedup across a video corpus: decode every
+    // animation independently (real LZW), fingerprint each frame
+    // raster, and join on (fingerprint, dims) with a byte-equality
+    // verify — the video twin of dedup_exact. Fixtures are seeded by
+    // doc_id % 8, so distinct docs carry byte-identical animations and
+    // the duplicate pairs are fully analytic. At 100 TB the shuffle
+    // carries (fp, dims, raster) only for frames, and the join is
+    // hash-partitioned on the fingerprint — never all-pairs.
+    "gif_frame_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 60)
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.GifMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              (col("doc_id") % 8).cast("long")))))
+      val frames = media
+        .select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.GifFrameBytes(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+          .as(Seq("frame", "fr")))
+        .select(col("doc_id"), col("frame"),
+          col("fr.width").as("w"), col("fr.height").as("h"),
+          col("fr.px").as("px"))
+        .withColumn("fp", xxhash64(col("px")))
+      val a = frames.select(col("doc_id").as("doc_a"),
+        col("frame").as("frame_a"), col("w"), col("h"),
+        col("fp"), col("px"))
+      val b = frames.select(col("doc_id").as("doc_b"),
+        col("frame").as("frame_b"), col("w").as("w2"), col("h").as("h2"),
+        col("fp").as("fp2"), col("px").as("px2"))
+      a.join(b, a("fp") === b("fp2") && a("w") === b("w2") &&
+          a("h") === b("h2") && a("px") === b("px2") &&
+          a("doc_a") < b("doc_b"))
+        .select(col("doc_a"), col("frame_a").cast("long").as("frame_a"),
+          col("doc_b"), col("frame_b").cast("long").as("frame_b"))
+        .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
+    }),
+
     // FULL baseline JPEG: real AC coefficients through the complete
     // pipeline — Annex K Huffman entropy decode (run-length + ZRL +
     // EOB), zigzag→natural dequant, a REAL separable 2-D IDCT, and
@@ -2479,6 +2519,23 @@ object SparkEntry {
         |       CAST(sum(dv) AS BIGINT) AS sad
         |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame""".stripMargin,
+
+    // analytic duplicate pairs: media is seeded by doc_id % 8, so two
+    // docs' frames are byte-identical iff the seeds and frame indices
+    // match (within a seed, frames differ — 11Δf ≢ 0 mod 251; across
+    // seeds, dims differ). The engine had to prove it by decoding and
+    // comparing actual rasters.
+    "gif_frame_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |fr AS (
+        |  SELECT doc_id, doc_id % 8 AS seed, f.f AS frame
+        |  FROM ids,
+        |       LATERAL unnest(range(0, 2 + (doc_id % 8) % 3)) AS f(f))
+        |SELECT a.doc_id AS doc_a, CAST(a.frame AS BIGINT) AS frame_a,
+        |       b.doc_id AS doc_b, CAST(b.frame AS BIGINT) AS frame_b
+        |FROM fr a JOIN fr b
+        |  ON a.seed = b.seed AND a.frame = b.frame AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin,
 
     // per-pixel analytic re-derivation of the AC contract: sample =
     // base + a·sgn(y) + b·sgn(x)·sgn(y) with sgn(t) = +1 iff t%8 in

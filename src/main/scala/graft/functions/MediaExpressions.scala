@@ -807,3 +807,57 @@ object GifFrameDiffs {
       case None => null
     }
 }
+
+/** gif_frame_bytes(bytes) -> array<struct<width:int, height:int,
+  * px:binary>>: the REAL decoded per-frame luminance rasters
+  * ([[GifFrameStats]]' codec) as raw bytes — the input shape for
+  * frame-level dedup/fingerprinting across a video corpus. Dirty
+  * bytes → null. */
+case class GifFrameBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(GifFrameBytes.frameSchema, containsNull = false)
+  override def prettyName: String = "gif_frame_bytes"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifFrameBytes.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.GifFrameBytes$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GifFrameBytes {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("px", BinaryType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.Gif.decode(bytes) match {
+      case Some(d) =>
+        val rows = new Array[Any](d.frames.length)
+        var f = 0
+        while (f < d.frames.length) {
+          val fr = d.frames(f)
+          rows(f) = new GenericInternalRow(
+            Array[Any](fr.width, fr.height, fr.luma))
+          f += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}

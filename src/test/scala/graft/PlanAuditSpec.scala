@@ -355,6 +355,16 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("gif_frame_dedup: the raster join is hash-partitioned on the " +
+    "frame fingerprint — no cartesian, no mapPartitions") {
+    val plan = physical(run("gif_frame_dedup"))
+    assert(plan.contains("xxhash64"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("MapPartitions") &&
+      !plan.contains("SerializeFromObject"), plan)
+  }
+
   test("wav_windows: the PCM window decode is an expression feeding " +
     "Generate — doc_id pushes to the scan, no mapPartitions barrier") {
     val plan = physical(run("wav_windows"))
