@@ -92,6 +92,7 @@ object GraftExtensions {
     "decoded_pixels" -> (es => DecodedPixels(es.head)),
     "wav_stats" -> (es => WavStats(es.head)),
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
+    "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_frame_diffs" -> (es => GifFrameDiffs(es.head)),
     "gif_frame_bytes" -> (es => GifFrameBytes(es.head)),
@@ -101,6 +102,7 @@ object GraftExtensions {
     "jpeg_ac_media_for_id" -> (es => JpegAcMediaBytes(es.head)),
     "mixed_pixel_media_for_id" -> (es => MixedPixelMediaBytes(es.head)),
     "wav_media_for_id" -> (es => WavMediaBytes(es.head)),
+    "wav_tagged_media_for_id" -> (es => WavTaggedMediaBytes(es.head)),
     "gif_media_for_id" -> (es => GifMediaBytes(es.head)))
 }
 

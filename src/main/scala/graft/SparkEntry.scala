@@ -1123,6 +1123,39 @@ object SparkEntry {
         .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
     }),
 
+    // Container-robust audio dedup: fixtures share PCM content (seed =
+    // doc_id % 8) but each file carries a distinct LIST metadata chunk,
+    // so a byte-level file hash finds ZERO duplicates — only hashing
+    // the decoded samples does. Join on (xxhash64(pcm), layout) with a
+    // byte-equality verify; hash-partitioned, never all-pairs.
+    "wav_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 60)
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.WavTaggedMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      val pcm = media
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.WavPcmBytes(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))
+            .as("p"))
+        .select(col("doc_id"), col("p.channels").as("ch"),
+          col("p.sample_rate").as("rate"), col("p.pcm").as("pcm"))
+        .withColumn("fp", xxhash64(col("pcm")))
+      val a = pcm.select(col("doc_id").as("doc_a"), col("ch"), col("rate"),
+        col("fp"), col("pcm"))
+      val b = pcm.select(col("doc_id").as("doc_b"), col("ch").as("ch2"),
+        col("rate").as("rate2"), col("fp").as("fp2"), col("pcm").as("pcm2"))
+      a.join(b, a("fp") === b("fp2") && a("ch") === b("ch2") &&
+          a("rate") === b("rate2") && a("pcm") === b("pcm2") &&
+          a("doc_a") < b("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // FULL baseline JPEG: real AC coefficients through the complete
     // pipeline — Annex K Huffman entropy decode (run-length + ZRL +
     // EOB), zigzag→natural dequant, a REAL separable 2-D IDCT, and
@@ -2519,6 +2552,17 @@ object SparkEntry {
         |       CAST(sum(dv) AS BIGINT) AS sad
         |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame""".stripMargin,
+
+    // analytic duplicate pairs: PCM content is seeded by doc_id % 8
+    // (identical samples/layout iff same residue), while the container
+    // bytes all differ (per-id LIST chunk) — the engine had to decode
+    // through the metadata to find the pairs
+    "wav_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // analytic duplicate pairs: media is seeded by doc_id % 8, so two
     // docs' frames are byte-identical iff the seeds and frame indices

@@ -861,3 +861,81 @@ object GifFrameBytes {
       case None => null
     }
 }
+
+/** wav_pcm_bytes(bytes) -> struct<channels:int, sample_rate:int,
+  * pcm:binary>: the REAL decoded PCM16 payload ([[WavStats]]' codec)
+  * as raw little-endian bytes — the input shape for CONTENT-level
+  * audio dedup: two files whose containers differ (metadata chunks,
+  * chunk order) but whose samples match hash identically here, where
+  * a byte-level file hash would miss them. Dirty bytes → null. */
+case class WavPcmBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WavPcmBytes.schema
+  override def prettyName: String = "wav_pcm_bytes"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavPcmBytes.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavPcmBytes$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavPcmBytes {
+  val schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("pcm", BinaryType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no
+    * decode. PCM rides out exactly as decoded (LE int16, interleaved). */
+  def compute(bytes: Array[Byte]): InternalRow =
+    graft.operators.WavPcm.decode(bytes) match {
+      case Some(d) =>
+        val out = new Array[Byte](d.samples.length * 2)
+        var i = 0
+        while (i < d.samples.length) {
+          out(2 * i) = (d.samples(i) & 0xff).toByte
+          out(2 * i + 1) = ((d.samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](d.channels, d.sampleRate, out))
+      case None => null
+    }
+}
+
+/** wav_tagged_media_for_id(id) -> binary: the container-robust-dedup
+  * fixture ([[graft.operators.MediaFixtures.wavTaggedMediaFor]]) —
+  * PCM content seeded by id % 8, but a per-id LIST metadata chunk
+  * spliced into the container so the FILE bytes are all distinct. */
+case class WavTaggedMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_tagged_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.wavTaggedMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.wavTaggedMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

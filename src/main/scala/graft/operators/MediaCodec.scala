@@ -181,6 +181,32 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** Container-robust audio-dedup fixture: PCM content seeded by
+    * `id % 8` (so distinct docs carry byte-identical SAMPLES), with a
+    * per-id LIST metadata chunk spliced between `fmt ` and `data` (so
+    * the FILE bytes are all distinct — a byte-level hash finds no
+    * duplicates, only a decode-level hash does). */
+  def wavTaggedMediaFor(id: Long): Array[Byte] = {
+    val base = wavMediaFor(id % 8)
+    val tag = s"INFO doc $id".getBytes("US-ASCII")
+    val pad = tag.length % 2 // RIFF: odd chunk sizes pad to even
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 36) // RIFF header + fmt chunk (12 + 8 + 16)
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(tag.length & 0xff); out.write((tag.length >> 8) & 0xff)
+    out.write(0); out.write(0)
+    out.write(tag, 0, tag.length)
+    if (pad == 1) out.write(0)
+    out.write(base, 36, base.length - 36)
+    val b = out.toByteArray
+    val grown = b.length - 8
+    b(4) = (grown & 0xff).toByte
+    b(5) = ((grown >> 8) & 0xff).toByte
+    b(6) = ((grown >> 16) & 0xff).toByte
+    b(7) = ((grown >> 24) & 0xff).toByte
+    b
+  }
+
   /** Full-baseline JPEG fixture with REAL AC coefficients
     * ([[JpegDc.jpegWithAcPixels]]): non-multiple-of-8 dims (edge-block
     * cropping on the decode path), both component counts, run-length

@@ -100,6 +100,26 @@ class WavPcmSpec extends SparkTestBase {
     assert(row.getLong(2) == sum && row.getLong(3) == energy)
   }
 
+  test("container-robust dedup: tagged fixtures decode to the seed's " +
+    "exact samples, file bytes are all distinct, content hashes collide " +
+    "exactly on the seed residue") {
+    graft.Graft.init(spark)
+    // decode-through-metadata: tagged id 13 carries seed 5's samples
+    val tagged = WavPcm.decode(MediaFixtures.wavTaggedMediaFor(13L)).get
+    val seed = WavPcm.decode(MediaFixtures.wavMediaFor(5L)).get
+    assert(tagged.samples.toSeq == seed.samples.toSeq &&
+      tagged.channels == seed.channels && tagged.sampleRate == seed.sampleRate)
+    // the containers themselves never collide, the decoded PCM does
+    val df = spark.range(0, 24).selectExpr("id",
+      "wav_tagged_media_for_id(id) AS media")
+    val byteDups = df.selectExpr("xxhash64(media) AS h")
+      .groupBy("h").count().filter("count > 1").count()
+    assert(byteDups == 0L, "file-level hashing must find nothing")
+    val pcmDups = df.selectExpr("xxhash64(wav_pcm_bytes(media).pcm) AS h")
+      .groupBy("h").count().filter("count > 1").count()
+    assert(pcmDups == 8L, "one colliding group per seed residue")
+  }
+
   test("wav_windows matches a direct per-window fold over channel 0 " +
     "(energy + zero crossings), drops the trailing partial window, " +
     "and is callable from verbatim SQL") {
