@@ -1123,6 +1123,30 @@ object SparkEntry {
         .orderBy("doc_a", "frame_a", "doc_b", "frame_b")
     }),
 
+    // Gopher-style intra-document repetition signals (Rae et al. 2021
+    // §A1.1: repetition filters): token counts, distinct-token count,
+    // and the most-repeated adjacent bigram — all integer-exact. The
+    // per-row pieces (size/array_distinct on the split) never shuffle;
+    // only the bigram top-1 runs a two-level partial aggregate.
+    "doc_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", split(col("text"), " "))
+      val perRow = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val bigrams = docs
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+            |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+          .as("bigram"))
+        .groupBy("doc_id", "bigram").count()
+        .groupBy("doc_id").agg(
+          sum("count").cast("long").as("n_bigrams"),
+          max("count").cast("long").as("top_bigram_n"))
+      perRow.join(bigrams, Seq("doc_id")).orderBy("doc_id")
+    }),
+
     // Container-robust audio dedup: fixtures share PCM content (seed =
     // doc_id % 8) but each file carries a distinct LIST metadata chunk,
     // so a byte-level file hash finds ZERO duplicates — only hashing
@@ -2552,6 +2576,32 @@ object SparkEntry {
         |       CAST(sum(dv) AS BIGINT) AS sad
         |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame""".stripMargin,
+
+    // independent re-derivation of the repetition signals via
+    // lead()-built bigrams (vs the engine's transform/sequence path)
+    "doc_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |bg AS (
+        |  SELECT doc_id, toks[ii.i] || ' ' || toks[ii.i + 1] AS bigram
+        |  FROM docs,
+        |       LATERAL unnest(range(1, len(toks))) AS ii(i)),
+        |bgc AS (
+        |  SELECT doc_id, bigram, count(*) AS c
+        |  FROM bg GROUP BY doc_id, bigram),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(max(c) AS BIGINT) AS top_bigram_n
+        |  FROM bgc GROUP BY doc_id),
+        |per AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM docs)
+        |SELECT p.doc_id, p.n_tokens, p.n_distinct, a.n_bigrams,
+        |       a.top_bigram_n
+        |FROM per p JOIN agg a ON p.doc_id = a.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // analytic duplicate pairs: PCM content is seeded by doc_id % 8
     // (identical samples/layout iff same residue), while the container
