@@ -1147,6 +1147,38 @@ object SparkEntry {
       perRow.join(bigrams, Seq("doc_id")).orderBy("doc_id")
     }),
 
+    // The GROUP form of frame dedup — the 100 TB shape (BASELINE.md's
+    // pair-vs-group lesson): one representative (min doc, min frame)
+    // per distinct raster plus its multiplicity. Each frame shuffles
+    // ONCE to its fingerprint group; the quadratic pair set is never
+    // materialized.
+    "gif_frame_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 60)
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.GifMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              (col("doc_id") % 8).cast("long")))))
+      media
+        .select(col("doc_id"), posexplode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.GifFrameBytes(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+          .as(Seq("frame", "fr")))
+        .select(col("doc_id"), col("frame"),
+          col("fr.width").as("w"), col("fr.height").as("h"),
+          xxhash64(col("fr.px")).as("fp"), col("fr.px").as("px"))
+        .groupBy("fp", "w", "h", "px")
+        .agg(min(struct(col("doc_id"), col("frame"))).as("rep"),
+          count(lit(1)).as("copies"))
+        .select(col("rep.doc_id").as("doc_id"),
+          col("rep.frame").cast("long").as("frame"),
+          col("w").cast("long").as("width"),
+          col("h").cast("long").as("height"), col("copies"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // Container-robust audio dedup: fixtures share PCM content (seed =
     // doc_id % 8) but each file carries a distinct LIST metadata chunk,
     // so a byte-level file hash finds ZERO duplicates — only hashing
@@ -2602,6 +2634,25 @@ object SparkEntry {
         |       a.top_bigram_n
         |FROM per p JOIN agg a ON p.doc_id = a.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // group form: the representative of each raster class is the min
+    // doc of the seed residue (= the residue itself), carrying the
+    // class size; dims derive from the seed
+    "gif_frame_keep" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |grp AS (
+        |  SELECT doc_id % 8 AS seed, count(*) AS copies,
+        |         min(doc_id) AS rep
+        |  FROM ids GROUP BY doc_id % 8),
+        |fr AS (
+        |  SELECT g.rep AS doc_id, f.f AS frame, g.seed, g.copies
+        |  FROM grp g,
+        |       LATERAL unnest(range(0, 2 + g.seed % 3)) AS f(f))
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |       CAST(8 + (seed * 5) % 25 AS BIGINT) AS width,
+        |       CAST(6 + (seed * 7) % 20 AS BIGINT) AS height,
+        |       CAST(copies AS BIGINT) AS copies
+        |FROM fr ORDER BY doc_id, frame""".stripMargin,
 
     // analytic duplicate pairs: PCM content is seeded by doc_id % 8
     // (identical samples/layout iff same residue), while the container

@@ -365,6 +365,17 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("SerializeFromObject"), plan)
   }
 
+  test("gif_frame_keep: the group form is join-free — each frame " +
+    "shuffles once into its fingerprint group (partial count), the " +
+    "quadratic pair set never exists") {
+    val plan = physical(run("gif_frame_keep"))
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("MapPartitions") &&
+      !plan.contains("SerializeFromObject"), plan)
+  }
+
   test("wav_windows: the PCM window decode is an expression feeding " +
     "Generate — doc_id pushes to the scan, no mapPartitions barrier") {
     val plan = physical(run("wav_windows"))
