@@ -105,4 +105,32 @@ object IndexStream {
     ingest(
       graft.TextEncoder.encodeColumn(docs, textCol, "vector", encoder),
       index, checkpointDir, mode, trigger)
+
+  /** Raw-MEDIA ingestion — the crawl shape: a stream of binary blobs is
+    * feature-extracted by the REAL decoders
+    * ([[graft.operators.Multimodal.extractFeatures]]: PNG/JPEG
+    * luminance histograms, byte-sum head for other formats) and lands
+    * in the index continuously. The decode is a stateless codegen'd
+    * expression, so the streaming micro-batch plan is the batch plan —
+    * no state store, no watermark (streamed==batch spec-pinned). The
+    * binary column itself is dropped before the sink (the index keeps
+    * uid + vector + remaining props; blob storage stays with the
+    * source), and undecodable-null blobs are filtered, never thrown
+    * on. */
+  def ingestMedia(
+      docs: DataFrame,
+      mediaCol: String,
+      index: VectorIndex,
+      checkpointDir: String,
+      dim: Int = 64,
+      mode: String = "upsert",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val withVec = graft.operators.Multimodal
+      .extractFeatures(docs, mediaCol, dim)
+      .withColumnRenamed("features", "vector")
+      .filter(col("vector").isNotNull)
+      .drop(mediaCol)
+    ingest(withVec, index, checkpointDir, mode, trigger)
+  }
 }

@@ -113,4 +113,37 @@ class IndexStreamSpec extends SparkTestBase {
       assert(r.getSeq[Float](1) == batchVecs(r.getString(0)))
     }
   }
+
+  test("ingestMedia runs the REAL decoders in the stream; vectors " +
+    "match the batch feature head and the result is searchable") {
+    graft.Graft.init(spark)
+    // mixed real formats: PNG + JPEG blobs (the pixel-decode head)
+    val blobs = spark.range(0, 30).selectExpr("CAST(id AS STRING) AS uid",
+      "mixed_pixel_media_for_id(id) AS media")
+    val srcDir = tmp("graft-is-med-src")
+    blobs.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val idx = VectorIndex.create(spark, tmp("graft-is-med-idx"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = IndexStream.ingestMedia(stream, "media", idx,
+      tmp("graft-is-med-ck"))
+    try q.processAllAvailable() finally q.stop()
+    assert(idx.count() == 30)
+    // the media column never reaches the sink
+    assert(!idx.df.columns.contains("media"))
+    // vectors == the batch extractFeatures head, bit-identical
+    val batchVecs = graft.operators.Multimodal
+      .extractFeatures(blobs, "media", 64)
+      .select("uid", "features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    idx.df.select("uid", "vector").collect().foreach { r =>
+      assert(r.getSeq[Float](1) == batchVecs(r.getString(0)))
+    }
+    // and a decoded-content query self-matches at 1.0
+    val qv = batchVecs("7").toArray
+    val hit = idx.search(qv, 1).select("uid", "score").head()
+    assert(hit.getString(0) == "7" &&
+      math.abs(hit.getDouble(1) - 1.0) < 1e-9)
+  }
 }
