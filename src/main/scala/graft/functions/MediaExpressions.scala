@@ -242,36 +242,74 @@ case class MediaFeatures(child: Expression, dim: Int)
 }
 
 object MediaFeatures {
-  /** The kernel; public so generated code can call it. */
+  /** The kernel; public so generated code can call it. Every format
+    * with an in-repo decoder gets REAL content features — images (PNG /
+    * baseline JPEG) an L1-normalized luminance histogram, animated GIF
+    * the same histogram over ALL decoded frames, WAV/PCM16 an
+    * L1-normalized temporal |amplitude| profile (dim time buckets over
+    * the flat sample stream — the envelope shape used for coarse audio
+    * matching). Only formats with no decoder (container video, unknown
+    * bytes) fall to the byte-sum head — the external-codec seam. */
   def compute(bytes: Array[Byte], dim: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val decoded = graft.operators.PngPixels.decode(bytes)
-      .orElse(graft.operators.JpegDc.decode(bytes))
-    val feats: Array[Float] = decoded match {
-      case Some(d) =>
-        val counts = new Array[Long](dim)
-        val px = d.pixels
-        var i = 0
-        if (d.channels == 3) {
-          while (i < px.length) {
-            val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
-              114 * (px(i + 2) & 0xff)) / 1000
-            counts(luma * dim / 256) += 1
-            i += 3
-          }
-        } else {
-          while (i < px.length) {
-            counts((px(i) & 0xff) * dim / 256) += 1
-            i += 1
-          }
+    val feats: Array[Float] =
+      if (graft.operators.Gif.isGif(bytes))
+        graft.operators.Gif.decode(bytes) match {
+          case Some(d) =>
+            val counts = new Array[Long](dim)
+            d.frames.foreach { fr =>
+              var i = 0
+              while (i < fr.luma.length) {
+                counts((fr.luma(i) & 0xff) * dim / 256) += 1; i += 1
+              }
+            }
+            normalize(counts)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
         }
-        val total = math.max(1L, counts.sum)
-        counts.map(v => v.toFloat / total)
-      case None =>
-        graft.operators.Multimodal.FakeCodec.features(bytes, dim)
-    }
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F')
+        graft.operators.WavPcm.decode(bytes) match {
+          case Some(d) =>
+            val acc = new Array[Long](dim)
+            val n = d.samples.length
+            var i = 0
+            while (i < n) {
+              acc((i.toLong * dim / n).toInt) += math.abs(d.samples(i).toLong)
+              i += 1
+            }
+            normalize(acc)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
+      else graft.operators.PngPixels.decode(bytes)
+        .orElse(graft.operators.JpegDc.decode(bytes)) match {
+        case Some(d) =>
+          val counts = new Array[Long](dim)
+          val px = d.pixels
+          var i = 0
+          if (d.channels == 3) {
+            while (i < px.length) {
+              val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
+                114 * (px(i + 2) & 0xff)) / 1000
+              counts(luma * dim / 256) += 1
+              i += 3
+            }
+          } else {
+            while (i < px.length) {
+              counts((px(i) & 0xff) * dim / 256) += 1
+              i += 1
+            }
+          }
+          normalize(counts)
+        case None =>
+          graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+      }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       feats.map(x => x: Any))
+  }
+
+  private def normalize(counts: Array[Long]): Array[Float] = {
+    val total = math.max(1L, counts.sum)
+    counts.map(v => v.toFloat / total)
   }
 }
 

@@ -104,10 +104,12 @@ object Multimodal {
   }
 
   /** Feature-extract every blob into `features array<float>` (dim):
-    * REAL L1-normalized luminance histograms where a pixel decoder
-    * exists (PNG via [[PngPixels]], DC-only JPEG via [[JpegDc]]),
-    * the [[FakeCodec]] byte-sum head for everything else (the
-    * external-codec seam). A codegen'd expression
+    * REAL content features for every format with an in-repo decoder —
+    * luminance histograms for PNG ([[PngPixels]]) and baseline JPEG
+    * ([[JpegDc]]), an all-frames histogram for animated GIF ([[Gif]]),
+    * a temporal |amplitude| profile for WAV ([[WavPcm]]); the
+    * [[FakeCodec]] byte-sum head only for formats with no decoder
+    * (the external-codec seam). A codegen'd expression
     * ([[graft.functions.MediaFeatures]]) — the old mapPartitions
     * formulation was an optimizer barrier blocking pushdown through
     * the feature stage. */

@@ -195,6 +195,35 @@ class JpegDcSpec extends SparkTestBase {
       .features("not media at all".getBytes("UTF-8"), 8).toSeq)
   }
 
+  test("extractFeatures routes GIF to an all-frames histogram and WAV " +
+    "to the temporal amplitude profile — real content, not byte sums") {
+    import spark.implicits._
+    val gifBytes = MediaFixtures.gifMediaFor(6L)
+    val wavBytes = MediaFixtures.wavMediaFor(6L)
+    val out = Multimodal.extractFeatures(
+        Seq((0L, gifBytes), (1L, wavBytes)).toDF("id", "media"),
+        "media", dim = 8)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // GIF: luminance histogram over every decoded frame
+    val g = Gif.decode(gifBytes).get
+    val gc = new Array[Long](8)
+    g.frames.foreach(_.luma.foreach(b => gc((b & 0xff) * 8 / 256) += 1))
+    val gt = gc.sum.max(1L)
+    assert(out(0L) == gc.map(_.toFloat / gt).toSeq)
+    // WAV: |amplitude| summed into 8 time buckets, L1-normalized
+    val w = WavPcm.decode(wavBytes).get
+    val wc = new Array[Long](8)
+    w.samples.zipWithIndex.foreach { case (s, i) =>
+      wc((i.toLong * 8 / w.samples.length).toInt) += math.abs(s.toLong)
+    }
+    val wt = wc.sum.max(1L)
+    assert(out(1L) == wc.map(_.toFloat / wt).toSeq)
+    // neither equals the old byte-sum head (the routing is live)
+    assert(out(0L) != Multimodal.FakeCodec.features(gifBytes, 8).toSeq)
+    assert(out(1L) != Multimodal.FakeCodec.features(wavBytes, 8).toSeq)
+  }
+
   test("the multimodal kernels are callable from verbatim SQL text") {
     val r = spark.sql("""
       SELECT parse_media(pixel_media_for_id(4L)).format AS fmt,
