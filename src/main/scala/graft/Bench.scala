@@ -59,13 +59,32 @@ object Bench {
     }
     // Locale.ROOT: comma-decimal default locales would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // stdout per-query values get 2 decimals: at 61 queries the compact
-    // line is ~1.6k chars against the harness's 2000-char tail window —
-    // centisecond resolution buys ~60 chars of safety margin, and the
-    // full-precision record lives in bench.json anyway
-    def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + num2(v) }
-      .mkString("{", ",", "}")
+    // stdout per-query precision is ADAPTIVE: the harness captures the
+    // last 2000 chars of output and parses the JSON line out of that
+    // tail, so the line must fit the window whole. Two decimals fit
+    // ~80 queries; the suite is now past that, so try centisecond
+    // resolution first and degrade to decisecond if the line would
+    // overflow the window (full 3-decimal precision always lives in
+    // bench.json, which is committed to the repo).
+    def numAt(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
+    def queriesJson(decimals: Int): String =
+      results.map { case (k, v, _, _) => "\"" + k + "\":" + numAt(v, decimals) }
+        .mkString("{", ",", "}")
+    // window minus wrapper/footer slack; measured r6 tail layout
+    val budget = 1950
+    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 90)
+      .getOrElse {
+        // last resort: per-query values only for queries ≥ 0.1 s, the
+        // sub-deciseconds folded into one bucket — nothing informative
+        // is lost (they are noise-floor queries) and the line stays
+        // parseable, which r4/r5 proved matters more than completeness
+        val (slow, fast) = results.partition(_._2 >= 0.1)
+        (slow.map { case (k, v, _, _) => "\"" + k + "\":" + numAt(v, 1) } :+
+          ("\"_fast_n\":" + fast.size) :+
+          ("\"_fast_total\":" + numAt(fast.map(_._2).sum, 1)))
+          .mkString("{", ",", "}")
+      }
     val qs3 = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val raws = results.map { case (k, _, a, b) =>

@@ -96,6 +96,8 @@ object GraftExtensions {
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_frame_diffs" -> (es => GifFrameDiffs(es.head)),
     "gif_frame_bytes" -> (es => GifFrameBytes(es.head)),
+    "avi_frame_stats" -> (es => AviFrameStats(es.head)),
+    "avi_frame_diffs" -> (es => AviFrameDiffs(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),
@@ -103,7 +105,8 @@ object GraftExtensions {
     "mixed_pixel_media_for_id" -> (es => MixedPixelMediaBytes(es.head)),
     "wav_media_for_id" -> (es => WavMediaBytes(es.head)),
     "wav_tagged_media_for_id" -> (es => WavTaggedMediaBytes(es.head)),
-    "gif_media_for_id" -> (es => GifMediaBytes(es.head)))
+    "gif_media_for_id" -> (es => GifMediaBytes(es.head)),
+    "avi_media_for_id" -> (es => AviMediaBytes(es.head)))
 }
 
 /** The txtai SQL dialect's `similar` in all its forms

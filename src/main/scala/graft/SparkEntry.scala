@@ -1083,6 +1083,57 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // REAL container-video decode — MJPEG-AVI (RIFF chunk walk + one
+    // complete baseline JPEG per frame, operators/Avi.scala): one row
+    // per frame with exact integer sums over ALL raw component
+    // samples; the oracle re-derives every value from the per-frame
+    // DC block contract at seed doc_id*31 + frame*17 — the engine
+    // value went through the container walk AND a real per-frame
+    // Huffman entropy decode.
+    "avi_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 24).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.AviMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.AviFrameStats(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+          .as("f"))
+        .select(col("doc_id"), col("f.frame").cast("long").as("frame"),
+          col("f.width").cast("long").as("width"),
+          col("f.height").cast("long").as("height"),
+          col("f.channels").cast("long").as("channels"), col("f.pix_sum"))
+        .orderBy("doc_id", "frame")
+    }),
+
+    // Scene-cut detection over REAL decoded container video: adjacent
+    // MJPEG frames' luminance sum-of-absolute-differences. Truecolor
+    // frames reduce through the integer Rec.601 luma ((299R + 587G +
+    // 114B)/1000), which the oracle replays block-analytically — a
+    // component-order or IDCT bug shifts the luma and breaks the
+    // integer-exact match.
+    "avi_scene_cuts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 24).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.AviMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.AviFrameDiffs(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+          .as("d"))
+        .select(col("doc_id"), col("d.frame").cast("long").as("frame"),
+          col("d.sad"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // Frame-level exact dedup across a video corpus: decode every
     // animation independently (real LZW), fingerprint each frame
     // raster, and join on (fingerprint, dims) with a byte-equality
@@ -2608,6 +2659,71 @@ object SparkEntry {
         |       CAST(sum(dv) AS BIGINT) AS sad
         |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame""".stripMargin,
+
+    // per-frame analytic re-derivation of the MJPEG-AVI fixture: frame
+    // f of doc id is the DC-only JPEG contract at seed id*31 + f*17,
+    // so every 8×8 block of component c is flat at (3bx+5by+7s+11c)
+    // mod 256 — the engine decoded the container AND every frame's
+    // entropy stream; the oracle sums blocks
+    "avi_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        |dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + (doc_id * 3) % 4 AS bw,
+        |         1 + (doc_id * 5) % 3 AS bh,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |blocks AS (
+        |  SELECT d.doc_id, fr.f, d.bw, d.bh, d.ch,
+        |         (bx.x * 3 + by.y * 5 + (d.doc_id * 31 + fr.f * 17) * 7
+        |           + cc.c * 11) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.nf)) AS fr(f),
+        |       LATERAL unnest(range(0, d.bw)) AS bx(x),
+        |       LATERAL unnest(range(0, d.bh)) AS by(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |       CAST(8 * bw AS BIGINT) AS width,
+        |       CAST(8 * bh AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(64 * sum(v) AS BIGINT) AS pix_sum
+        |FROM blocks GROUP BY doc_id, f, bw, bh, ch
+        |ORDER BY doc_id, frame""".stripMargin,
+
+    // adjacent-frame luminance SAD from the same block contract; the
+    // truecolor branch replays the integer Rec.601 reduction the
+    // engine applies per decoded pixel (flat blocks make per-pixel and
+    // per-block luma identical)
+    "avi_scene_cuts" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        |dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + (doc_id * 3) % 4 AS bw,
+        |         1 + (doc_id * 5) % 3 AS bh,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |lum AS (
+        |  SELECT d.doc_id, fr.f, bx.x, by.y,
+        |         CASE WHEN d.ch = 1
+        |           THEN (bx.x * 3 + by.y * 5
+        |             + (d.doc_id * 31 + fr.f * 17) * 7) % 256
+        |           ELSE (299 * ((bx.x * 3 + by.y * 5
+        |               + (d.doc_id * 31 + fr.f * 17) * 7) % 256)
+        |             + 587 * ((bx.x * 3 + by.y * 5
+        |               + (d.doc_id * 31 + fr.f * 17) * 7 + 11) % 256)
+        |             + 114 * ((bx.x * 3 + by.y * 5
+        |               + (d.doc_id * 31 + fr.f * 17) * 7 + 22) % 256)) // 1000
+        |         END AS l
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.nf)) AS fr(f),
+        |       LATERAL unnest(range(0, d.bw)) AS bx(x),
+        |       LATERAL unnest(range(0, d.bh)) AS by(y))
+        |SELECT a.doc_id, CAST(a.f AS BIGINT) AS frame,
+        |       CAST(64 * sum(abs(a.l - b.l)) AS BIGINT) AS sad
+        |FROM lum a JOIN lum b
+        |  ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y
+        |    AND b.f = a.f - 1
+        |WHERE a.f >= 1
+        |GROUP BY a.doc_id, a.f
+        |ORDER BY a.doc_id, frame""".stripMargin,
 
     // independent re-derivation of the repetition signals via
     // lead()-built bigrams (vs the engine's transform/sequence path)

@@ -210,12 +210,15 @@ object PixelStats {
 
 /** media_features(bytes, dim) -> array<float>: THE feature stage of
   * the multimodal pipeline, real where a decoder exists — bytes that
-  * decode as PNG ([[graft.operators.PngPixels]]) or DC-only JPEG
-  * ([[graft.operators.JpegDc]]) yield the L1-normalized dim-bin
-  * luminance histogram of their REAL pixels; anything else falls back
-  * to the deterministic [[graft.operators.Multimodal.FakeCodec]]
-  * byte-sum head (the external-codec seam, e.g. video). Codegen'd, so
-  * the decode-to-feature stage is not an optimizer barrier. */
+  * decode as PNG ([[graft.operators.PngPixels]]), baseline JPEG
+  * ([[graft.operators.JpegDc]]), animated GIF
+  * ([[graft.operators.Gif]]), MJPEG-AVI container video
+  * ([[graft.operators.Avi]]) or WAV/PCM16
+  * ([[graft.operators.WavPcm]]) yield real content features; anything
+  * else falls back to the deterministic
+  * [[graft.operators.Multimodal.FakeCodec]] byte-sum head (the
+  * external-codec seam, e.g. mp4/webm). Codegen'd, so the
+  * decode-to-feature stage is not an optimizer barrier. */
 case class MediaFeatures(child: Expression, dim: Int)
     extends UnaryExpression {
   require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
@@ -245,11 +248,12 @@ object MediaFeatures {
   /** The kernel; public so generated code can call it. Every format
     * with an in-repo decoder gets REAL content features — images (PNG /
     * baseline JPEG) an L1-normalized luminance histogram, animated GIF
-    * the same histogram over ALL decoded frames, WAV/PCM16 an
-    * L1-normalized temporal |amplitude| profile (dim time buckets over
-    * the flat sample stream — the envelope shape used for coarse audio
-    * matching). Only formats with no decoder (container video, unknown
-    * bytes) fall to the byte-sum head — the external-codec seam. */
+    * and MJPEG-AVI container video the same histogram over ALL decoded
+    * frames, WAV/PCM16 an L1-normalized temporal |amplitude| profile
+    * (dim time buckets over the flat sample stream — the envelope
+    * shape used for coarse audio matching). Only formats with no
+    * decoder (inter-frame video codecs, unknown bytes) fall to the
+    * byte-sum head — the external-codec seam. */
   def compute(bytes: Array[Byte], dim: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val feats: Array[Float] =
@@ -261,6 +265,20 @@ object MediaFeatures {
               var i = 0
               while (i < fr.luma.length) {
                 counts((fr.luma(i) & 0xff) * dim / 256) += 1; i += 1
+              }
+            }
+            normalize(counts)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
+      else if (graft.operators.Avi.isAvi(bytes))
+        graft.operators.Avi.decode(bytes) match {
+          case Some(d) =>
+            val counts = new Array[Long](dim)
+            d.frames.foreach { fr =>
+              val lm = graft.operators.Avi.luma(fr)
+              var i = 0
+              while (i < lm.length) {
+                counts((lm(i) & 0xff) * dim / 256) += 1; i += 1
               }
             }
             normalize(counts)
@@ -976,4 +994,148 @@ case class WavTaggedMediaBytes(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** avi_media_for_id(id) -> binary: the MJPEG-AVI container-video
+  * fixture bytes ([[graft.operators.MediaFixtures.aviMediaFor]]). */
+case class AviMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avi_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.aviMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.aviMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** avi_frame_stats(bytes) -> array<struct<frame:int, width:int,
+  * height:int, channels:int, pix_sum:bigint>>: REAL MJPEG-AVI decode
+  * ([[graft.operators.Avi]] — RIFF walk + per-frame baseline-JPEG
+  * entropy decode) reduced to exact per-frame integer statistics —
+  * the container-video twin of [[GifFrameStats]]. `pix_sum` sums the
+  * RAW component samples (all channels), so the oracle re-derives it
+  * straight from the block contract. Dirty or out-of-subset bytes →
+  * null. */
+case class AviFrameStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(AviFrameStats.frameSchema, containsNull = false)
+  override def prettyName: String = "avi_frame_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AviFrameStats.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.AviFrameStats$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AviFrameStats {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.Avi.decode(bytes) match {
+      case Some(d) =>
+        val rows = new Array[Any](d.frames.length)
+        var f = 0
+        while (f < d.frames.length) {
+          val fr = d.frames(f)
+          var sum = 0L
+          var i = 0
+          while (i < fr.pixels.length) { sum += (fr.pixels(i) & 0xff); i += 1 }
+          rows(f) = new GenericInternalRow(
+            Array[Any](f, fr.width, fr.height, fr.channels, sum))
+          f += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}
+
+/** avi_frame_diffs(bytes) -> array<struct<frame:int, sad:bigint>>:
+  * adjacent-frame sum-of-absolute-differences over the REAL decoded
+  * MJPEG frames' luminance rasters ([[graft.operators.Avi.luma]]) —
+  * the scene-cut signal of [[GifFrameDiffs]] applied to container
+  * video. One row per frame pair (frame = the later index); pairs
+  * whose dims differ are skipped; dirty bytes → null. */
+case class AviFrameDiffs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(GifFrameDiffs.diffSchema, containsNull = false)
+  override def prettyName: String = "avi_frame_diffs"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AviFrameDiffs.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.AviFrameDiffs$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AviFrameDiffs {
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.Avi.decode(bytes) match {
+      case Some(d) =>
+        val lumas = d.frames.map(graft.operators.Avi.luma)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var f = 1
+        while (f < d.frames.length) {
+          val a = d.frames(f - 1); val b = d.frames(f)
+          if (a.width == b.width && a.height == b.height) {
+            val la = lumas(f - 1); val lb = lumas(f)
+            var sad = 0L
+            var i = 0
+            while (i < lb.length) {
+              sad += math.abs((lb(i) & 0xff) - (la(i) & 0xff))
+              i += 1
+            }
+            out += new GenericInternalRow(Array[Any](f, sad))
+          }
+          f += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+      case None => null
+    }
 }

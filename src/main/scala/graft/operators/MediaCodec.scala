@@ -218,6 +218,18 @@ object MediaFixtures {
     JpegDc.jpegWithAcPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** MJPEG-AVI container-video fixture ([[Avi.aviWithFrames]]): frame
+    * count, block-grid dims, and component count vary
+    * deterministically; frame `f` pixels follow the DC contract at
+    * seed [[Avi.frameSeed]]. Small shapes on purpose — the SQL oracle
+    * brute-forces every block of every frame. */
+  def aviMediaFor(id: Long): Array[Byte] = {
+    val frames = (2 + id % 3).toInt
+    val w = 8 * (1 + math.floorMod(id * 3, 4)).toInt
+    val h = 8 * (1 + math.floorMod(id * 5, 3)).toInt
+    Avi.aviWithFrames(id, w, h, frames, if (id % 2 == 0) 3 else 1)
+  }
+
   /** Mixed-format pixel fixture — PNG for even ids, DC-only JPEG for
     * odd ids, both with real pixel content, so ONE binary column
     * carries both formats (the crawl reality the format-dispatching

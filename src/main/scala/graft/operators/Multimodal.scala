@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   * (zlib + all five scanline filters) and [[JpegDc]] (full baseline
   * Huffman entropy decode + IDCT) back [[decodePixelStats]] /
   * [[extractFeatures]]; AUDIO decode is real via [[WavPcm]]; and
-  * frame sampling is REAL for animated GIF ([[Gif]] — full LZW).
-  * Only CONTAINER-VIDEO frame extraction stays honestly stubbed
-  * ([[FakeCodec.sampleFrames]] — this container ships no mp4/webm
-  * codec): swapping in a real one is one branch in
+  * frame sampling is REAL for animated GIF ([[Gif]] — full LZW) AND
+  * for MJPEG-AVI container video ([[Avi]] — RIFF walk + per-frame
+  * baseline-JPEG decode). Only INTER-FRAME video codecs (mp4/h264,
+  * webm/vp9 — motion compensation needs a codec library this
+  * container doesn't ship) stay honestly stubbed
+  * ([[FakeCodec.sampleFrames]]): swapping one in is one branch in
   * [[sampleFramesKernel]]; the plan shape (no shuffle, one pass over
   * binary blobs, decode parallelism = partition count) is exactly
   * what a production decode stage looks like.
@@ -48,7 +50,8 @@ object Multimodal {
     }
 
     /** Fake frame sampler: n evenly-spaced fixed-width byte windows
-      * (a container-video decoder would emit decoded frames here). */
+      * (an inter-frame video decoder — mp4/webm — would emit decoded
+      * frames here; MJPEG-AVI already decodes for real via [[Avi]]). */
     def sampleFrames(bytes: Array[Byte], n: Int, width: Int): Seq[Array[Byte]] =
       if (bytes.isEmpty) Seq.empty
       else (0 until n).map { i =>
@@ -58,12 +61,14 @@ object Multimodal {
   }
 
   /** Frame sampling kernel: REAL for animated GIF ([[Gif.decode]] —
-    * full LZW; frames are decoded luminance rasters, n evenly spaced
-    * across the animation, all frames when n ≥ frame count), the
-    * [[FakeCodec]] byte-window fallback for container video formats
-    * (mp4/webm — no codec library ships in this container; that seam
-    * is one branch here). Undecodable GIF bytes fall back rather than
-    * null: a sampler's contract is "give me n byte windows". */
+    * full LZW) and for MJPEG-AVI container video ([[Avi.decode]] —
+    * RIFF walk + per-frame baseline-JPEG decode); frames are decoded
+    * luminance rasters, n evenly spaced across the animation, all
+    * frames when n ≥ frame count. The [[FakeCodec]] byte-window
+    * fallback remains only for inter-frame video codecs (mp4/webm —
+    * no codec library ships in this container; that seam is one
+    * branch here). Undecodable bytes fall back rather than null: a
+    * sampler's contract is "give me n byte windows". */
   def sampleFramesKernel(
       bytes: Array[Byte], n: Int, width: Int): Seq[Array[Byte]] =
     if (Gif.isGif(bytes)) {
@@ -72,6 +77,14 @@ object Multimodal {
           val total = d.frames.length
           if (total <= n) d.frames.map(_.luma)
           else (0 until n).map(i => d.frames(total * i / n).luma)
+        case None => FakeCodec.sampleFrames(bytes, n, width)
+      }
+    } else if (Avi.isAvi(bytes)) {
+      Avi.decode(bytes) match {
+        case Some(d) =>
+          val total = d.frames.length
+          if (total <= n) d.frames.map(Avi.luma)
+          else (0 until n).map(i => Avi.luma(d.frames(total * i / n)))
         case None => FakeCodec.sampleFrames(bytes, n, width)
       }
     } else FakeCodec.sampleFrames(bytes, n, width)
@@ -120,8 +133,9 @@ object Multimodal {
   }
 
   /** Sample `n` frames per blob into `frames array<binary>` —
-    * REAL decoded frames for animated GIF, the byte-window seam for
-    * container video ([[sampleFramesKernel]]). */
+    * REAL decoded frames for animated GIF and MJPEG-AVI container
+    * video, the byte-window seam only for inter-frame codecs
+    * ([[sampleFramesKernel]]). */
   def sampleFrames(df: DataFrame, binCol: String, n: Int,
       frameWidth: Int = 64): DataFrame = {
     val inSchema = df.schema

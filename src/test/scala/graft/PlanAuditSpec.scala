@@ -384,4 +384,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
   }
+
+  test("avi_frames: the container-video decode (RIFF walk + per-frame " +
+    "JPEG entropy decode) is an expression feeding Generate — doc_id " +
+    "pushes to the scan, no mapPartitions barrier") {
+    val plan = physical(run("avi_frames"))
+    assert(plan.contains("LessThan(doc_id,24)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("avi_scene_cuts: frame SADs compute inside the decode " +
+    "expression — one pass over the blobs, no join between frames, " +
+    "no barrier") {
+    val plan = physical(run("avi_scene_cuts"))
+    assert(plan.contains("LessThan(doc_id,24)"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
 }

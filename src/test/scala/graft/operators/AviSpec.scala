@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Real MJPEG-AVI container-video codec: decoded frames must equal
+  * the per-frame DC block contract after a genuine RIFF chunk walk
+  * plus a real baseline-JPEG entropy decode per frame; `rec ` nesting
+  * and word alignment follow the spec; dirty, truncated, and
+  * over-budget bytes are rejected, never thrown on — and
+  * [[Multimodal.sampleFrames]] serves REAL decoded frames for AVI. */
+class AviSpec extends SparkTestBase {
+
+  /** Every pixel of every frame against the block contract: frame f
+    * of doc id is [[JpegDc.blockVal]] at seed [[Avi.frameSeed]]. */
+  private def checkFrames(id: Long, d: Avi.Decoded): Unit =
+    d.frames.zipWithIndex.foreach { case (fr, f) =>
+      val seed = Avi.frameSeed(id, f)
+      var y = 0
+      while (y < fr.height) {
+        var x = 0
+        while (x < fr.width) {
+          var c = 0
+          while (c < fr.channels) {
+            val got =
+              fr.pixels((y * fr.width + x) * fr.channels + c) & 0xff
+            assert(got == JpegDc.blockVal(seed, x / 8, y / 8, c),
+              s"id=$id f=$f x=$x y=$y c=$c")
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+  test("decode(encode) recovers the exact pixel contract for every " +
+    "frame — fixture dims, frame counts, and both component layouts") {
+    (0L until 10L).foreach { id =>
+      val d = Avi.decode(MediaFixtures.aviMediaFor(id)).getOrElse(
+        fail(s"id=$id did not decode"))
+      assert(d.frames.length == 2 + id % 3)
+      assert(d.width == 8 * (1 + math.floorMod(id * 3, 4)).toInt)
+      assert(d.height == 8 * (1 + math.floorMod(id * 5, 3)).toInt)
+      assert(d.frames.head.channels == (if (id % 2 == 0) 3 else 1))
+      assert(d.usPerFrame == 33333)
+      checkFrames(id, d)
+    }
+  }
+
+  test("seeded fuzz: 50 random (id, w, h, frames, comps) combos " +
+    "round-trip bit-exact through the container + entropy decode") {
+    val rnd = new scala.util.Random(2718)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextInt(100000).toLong
+      val w = 8 * (1 + rnd.nextInt(6))
+      val h = 8 * (1 + rnd.nextInt(5))
+      val nf = 1 + rnd.nextInt(5)
+      val nc = if (rnd.nextBoolean()) 3 else 1
+      val d = Avi.decode(Avi.aviWithFrames(id, w, h, nf, nc)).getOrElse(
+        fail(s"id=$id w=$w h=$h nf=$nf nc=$nc did not decode"))
+      assert(d.frames.length == nf && d.frames.head.width == w &&
+        d.frames.head.height == h && d.frames.head.channels == nc)
+      checkFrames(id, d)
+    }
+  }
+
+  // chunk/list builders mirroring the spec grammar, local to the
+  // tests that hand-assemble containers
+  private def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+  private def chunk(o: java.io.ByteArrayOutputStream, id4: String,
+      body: Array[Byte]): Unit = {
+    o.write(id4.getBytes("US-ASCII")); le32(o, body.length)
+    o.write(body, 0, body.length)
+    if ((body.length & 1) == 1) o.write(0)
+  }
+  private def list(o: java.io.ByteArrayOutputStream, lt: String,
+      body: Array[Byte]): Unit = {
+    o.write("LIST".getBytes("US-ASCII")); le32(o, 4 + body.length)
+    o.write(lt.getBytes("US-ASCII")); o.write(body, 0, body.length)
+    if ((body.length & 1) == 1) o.write(0)
+  }
+  /** Reassemble a fixture AVI with a custom movi body (keeps hdrl). */
+  private def withMovi(base: Array[Byte],
+      movi: Array[Byte]): Array[Byte] = {
+    val moviAt = base.indexOfSlice("movi".getBytes("US-ASCII"))
+    assert(moviAt > 0, "movi not found in base fixture")
+    val listAt = moviAt - 8 // LIST <size> movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 12, listAt - 12) // hdrl (skip RIFF header)
+    list(out, "movi", movi)
+    val body = out.toByteArray
+    val full = new java.io.ByteArrayOutputStream()
+    full.write("RIFF".getBytes("US-ASCII")); le32(full, 4 + body.length)
+    full.write("AVI ".getBytes("US-ASCII")); full.write(body, 0, body.length)
+    full.toByteArray
+  }
+
+  test("frames nested inside a `rec ` LIST (interleave grouping) " +
+    "decode identically to flat movi chunks") {
+    val id = 21L
+    val base = Avi.aviWithFrames(id, 16, 8, 3, 1)
+    val flat = Avi.decode(base).getOrElse(fail("flat base did not decode"))
+    // rebuild movi: frame 0 flat, frames 1-2 inside one rec LIST
+    val jpegs = (0 until 3)
+      .map(f => JpegDc.jpegWithPixels(Avi.frameSeed(id, f), 16, 8, 1))
+    val rec = new java.io.ByteArrayOutputStream()
+    chunk(rec, "01dc", jpegs(1)); chunk(rec, "01dc", jpegs(2))
+    val movi = new java.io.ByteArrayOutputStream()
+    chunk(movi, "00dc", jpegs(0))
+    list(movi, "rec ", rec.toByteArray)
+    val d = Avi.decode(withMovi(base, movi.toByteArray))
+      .getOrElse(fail("rec-nested did not decode"))
+    assert(d.frames.length == 3)
+    d.frames.zip(flat.frames).foreach { case (a, b) =>
+      assert(a.pixels.toSeq == b.pixels.toSeq)
+    }
+    checkFrames(id, d)
+  }
+
+  test("mixed frame geometries decode per-frame; the SAD kernel " +
+    "skips unequal-dim pairs") {
+    val base = Avi.aviWithFrames(3L, 16, 16, 1, 1)
+    val movi = new java.io.ByteArrayOutputStream()
+    chunk(movi, "00dc", JpegDc.jpegWithPixels(7L, 16, 16, 1))
+    chunk(movi, "00dc", JpegDc.jpegWithPixels(8L, 24, 8, 1)) // other dims
+    chunk(movi, "00dc", JpegDc.jpegWithPixels(9L, 16, 16, 1))
+    val bytes = withMovi(base, movi.toByteArray)
+    val d = Avi.decode(bytes).getOrElse(fail("mixed-dims did not decode"))
+    assert(d.frames.map(f => (f.width, f.height)) ==
+      Vector((16, 16), (24, 8), (16, 16)))
+    // only pairs (0,1) and (1,2) exist adjacently; both straddle the
+    // dim change, so the diff array is empty — no pair is fabricated
+    assert(graft.functions.AviFrameDiffs.compute(bytes).numElements() == 0)
+  }
+
+  test("out-of-subset and corrupt bytes are rejected, never thrown on") {
+    val good = Avi.aviWithFrames(5L, 16, 8, 2, 3)
+    assert(Avi.decode(null).isEmpty)
+    assert(Avi.decode(Array[Byte]()).isEmpty)
+    // RIFF but not AVI: the WAV fixture takes the audio path, not this
+    assert(Avi.decode(MediaFixtures.wavMediaFor(2L)).isEmpty)
+    assert(Avi.decode(good.take(good.length / 2)).isEmpty) // truncated
+    // declared RIFF size beyond the buffer
+    val oversize = good.clone(); oversize(4) = (oversize(4) + 16).toByte
+    assert(Avi.decode(oversize).isEmpty)
+    // a corrupt frame poisons the file (silent skip would shift indices)
+    val jpegAt = good.indexOfSlice(Array[Byte](0xff.toByte, 0xd8.toByte))
+    val bad = good.clone(); bad(jpegAt) = 0x00
+    assert(Avi.decode(bad).isEmpty)
+    // no avih header → reject
+    val headerless = {
+      val movi = new java.io.ByteArrayOutputStream()
+      chunk(movi, "00dc", JpegDc.jpegWithPixels(1L, 8, 8, 1))
+      val form = new java.io.ByteArrayOutputStream()
+      list(form, "movi", movi.toByteArray)
+      val body = form.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); le32(out, 4 + body.length)
+      out.write("AVI ".getBytes("US-ASCII")); out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    assert(Avi.decode(headerless).isEmpty)
+  }
+
+  test("the cumulative decode budget rejects a container whose many " +
+    "in-cap frames sum past MaxDecodedBytes — before the builder grows") {
+    // 65 gray 2048×2048 frames = 4 MiB raster each; frame 65 pushes
+    // the running total past the 256 MiB cap (each frame alone is
+    // fine — the per-frame JPEG cap never fires)
+    val bytes = Avi.aviWithFrames(1L, 2048, 2048, 65, 1)
+    assert(Avi.decode(bytes).isEmpty)
+    // the same geometry under the budget decodes
+    val ok = Avi.decode(Avi.aviWithFrames(1L, 2048, 2048, 2, 1))
+    assert(ok.exists(_.frames.length == 2))
+  }
+
+  test("luma: identity for gray frames, integer Rec.601 for truecolor") {
+    val gray = Avi.decode(Avi.aviWithFrames(2L, 8, 8, 1, 1)).get.frames.head
+    assert(Avi.luma(gray).toSeq == gray.pixels.toSeq)
+    val rgb = Avi.decode(Avi.aviWithFrames(2L, 8, 8, 1, 3)).get.frames.head
+    val lm = Avi.luma(rgb)
+    assert(lm.length == 64)
+    val exp = (299 * JpegDc.blockVal(Avi.frameSeed(2L, 0), 0, 0, 0) +
+      587 * JpegDc.blockVal(Avi.frameSeed(2L, 0), 0, 0, 1) +
+      114 * JpegDc.blockVal(Avi.frameSeed(2L, 0), 0, 0, 2)) / 1000
+    assert((lm(0) & 0xff) == exp)
+  }
+
+  test("sampleFrames serves REAL decoded AVI frames (n-spaced, all " +
+    "when n >= count) — the container-video modality is no longer " +
+    "the byte-window stub") {
+    import org.apache.spark.sql.functions._
+    val avi = MediaFixtures.aviMediaFor(7L) // 3 frames
+    val decoded = Avi.decode(avi).get
+    val all = Multimodal.sampleFramesKernel(avi, 5, 64)
+    assert(all.length == decoded.frames.length)
+    all.zip(decoded.frames).foreach { case (a, fr) =>
+      assert(a.toSeq == Avi.luma(fr).toSeq)
+    }
+    val two = Multimodal.sampleFramesKernel(avi, 2, 64)
+    assert(two.length == 2 &&
+      two.head.toSeq == Avi.luma(decoded.frames.head).toSeq)
+    // the DataFrame surface wires the kernel in
+    val df = spark.range(4, 5).selectExpr("id AS doc_id",
+      "avi_media_for_id(id) AS media")
+    graft.Graft.init(spark)
+    val rows = Multimodal.sampleFrames(df, "media", 8)
+      .select(size(col("frames")).as("n")).head()
+    assert(rows.getInt(0) == (2 + 4 % 3))
+  }
+
+  test("avi_frame_stats kernel matches a direct fold over decoded " +
+    "frames and is callable from verbatim SQL") {
+    graft.Graft.init(spark)
+    val rows = spark.sql(
+      """SELECT f.frame, f.width, f.height, f.channels, f.pix_sum
+        |FROM (SELECT explode(avi_frame_stats(
+        |        avi_media_for_id(CAST(6 AS BIGINT)))) AS f)""".stripMargin)
+      .collect()
+    val d = Avi.decode(MediaFixtures.aviMediaFor(6L)).get
+    assert(rows.length == d.frames.length)
+    rows.zipWithIndex.foreach { case (r, f) =>
+      val fr = d.frames(f)
+      assert(r.getInt(0) == f && r.getInt(1) == fr.width &&
+        r.getInt(2) == fr.height && r.getInt(3) == fr.channels)
+      assert(r.getLong(4) == fr.pixels.map(_ & 0xff).map(_.toLong).sum)
+    }
+    // dirty bytes null out
+    assert(spark.sql("SELECT avi_frame_stats(CAST('x' AS BINARY)) AS f")
+      .head().isNullAt(0))
+  }
+
+  test("avi_frame_diffs (scene-cut SAD) matches a direct fold over " +
+    "adjacent decoded luma rasters") {
+    graft.Graft.init(spark)
+    (0L until 6L).foreach { id =>
+      val d = Avi.decode(MediaFixtures.aviMediaFor(id)).get
+      val rows = spark.sql(
+        s"""SELECT d.frame, d.sad
+           |FROM (SELECT explode(avi_frame_diffs(
+           |        avi_media_for_id(CAST($id AS BIGINT)))) AS d)"""
+          .stripMargin).collect()
+      assert(rows.length == d.frames.length - 1, s"id=$id")
+      val lumas = d.frames.map(Avi.luma)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val f = i + 1
+        val sad = lumas(f).zip(lumas(f - 1))
+          .map { case (b, a) => math.abs((b & 0xff) - (a & 0xff)).toLong }
+          .sum
+        assert(r.getInt(0) == f && r.getLong(1) == sad, s"id=$id f=$f")
+      }
+    }
+  }
+
+  test("media_features on AVI bytes is the L1-normalized luminance " +
+    "histogram over ALL decoded frames — not the byte-sum fallback") {
+    graft.Graft.init(spark)
+    val id = 9L
+    val feats = spark.sql(
+      s"SELECT media_features(avi_media_for_id(CAST($id AS BIGINT)), 16) AS f")
+      .head().getSeq[Float](0)
+    val d = Avi.decode(MediaFixtures.aviMediaFor(id)).get
+    val counts = new Array[Long](16)
+    d.frames.foreach { fr =>
+      Avi.luma(fr).foreach(b => counts((b & 0xff) * 16 / 256) += 1)
+    }
+    val total = counts.sum.toFloat
+    counts.zip(feats).foreach { case (c, f) =>
+      assert(math.abs(c / total - f) < 1e-6f)
+    }
+  }
+}
