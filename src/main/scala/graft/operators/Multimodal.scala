@@ -119,10 +119,10 @@ object Multimodal {
   /** Feature-extract every blob into `features array<float>` (dim):
     * REAL content features for every format with an in-repo decoder —
     * luminance histograms for PNG ([[PngPixels]]) and baseline JPEG
-    * ([[JpegDc]]), an all-frames histogram for animated GIF ([[Gif]]),
-    * a temporal |amplitude| profile for WAV ([[WavPcm]]); the
-    * [[FakeCodec]] byte-sum head only for formats with no decoder
-    * (the external-codec seam). A codegen'd expression
+    * ([[JpegDc]]), an all-frames histogram for animated GIF ([[Gif]])
+    * and MJPEG-AVI container video ([[Avi]]), a temporal |amplitude|
+    * profile for WAV ([[WavPcm]]); the [[FakeCodec]] byte-sum head
+    * only for formats with no decoder (the external-codec seam). A codegen'd expression
     * ([[graft.functions.MediaFeatures]]) — the old mapPartitions
     * formulation was an optimizer barrier blocking pushdown through
     * the feature stage. */
