@@ -1198,6 +1198,53 @@ object SparkEntry {
       perRow.join(bigrams, Seq("doc_id")).orderBy("doc_id")
     }),
 
+    // PII scrub (C4/RefinedWeb-style): deterministic fixture PII is
+    // appended per doc (email / grouped phone / nnn-nn-nnnn id / IPv4,
+    // each on its own residue class), then TextClean's RE2-subset
+    // regex chain redacts and accounts — the oracle replays the SAME
+    // patterns in DuckDB, so a pattern-dialect or replacement-order
+    // difference breaks the full-text hash.
+    "pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200)
+      val id = col("doc_id")
+      val aug = docs.withColumn("text", concat(
+        col("text"),
+        when(id % 2 === 0, concat(lit(" contact user"),
+          id.cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" call +1-555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id * 3 % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" id "),
+          lpad((id % 900 + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 90 + 10).cast("string"), 2, "0"), lit("-"),
+          lpad((id % 9000 + 1000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" from 10."),
+          (id % 256).cast("string"), lit(".0."),
+          (id * 7 % 256).cast("string"))).otherwise(lit(""))))
+      operators.TextClean.redactPii(aug, "text")
+        .select(col("doc_id"), col("text").as("clean"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_id").cast("long").as("n_id"),
+          col("n_ip").cast("long").as("n_ip"))
+        .orderBy("doc_id")
+    }),
+
+    // Concat-and-chunk sequence packing — documents laid end to end in
+    // doc_id order, fixed 256-token training sequences, one row per
+    // (doc, sequence) overlap. The global prefix sum is bucketed
+    // (range rule + per-bucket totals + intra-bucket window), never a
+    // one-partition sort; the oracle computes the same offsets with a
+    // plain global window, which only DuckDB can afford.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      operators.TextChunk.packSequences(docs, "doc_id", "text", 256)
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // The GROUP form of frame dedup — the 100 TB shape (BASELINE.md's
     // pair-vs-group lesson): one representative (min doc, min frame)
     // per distinct raster plus its multiplicity. Each frame shuffles
@@ -2750,6 +2797,73 @@ object SparkEntry {
         |       a.top_bigram_n
         |FROM per p JOIN agg a ON p.doc_id = a.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // the SAME RE2-subset patterns and replacement order as
+    // TextClean, applied by DuckDB's regex engine on the same
+    // fixture-augmented text — counts on the pre-redaction text
+    "pii_redact" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' id '
+        |      || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-'
+        |      || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |      || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        |    AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS BIGINT) AS n_ip
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    // the oracle packs with a plain global window over the same token
+    // stream — the engine's bucketed prefix sum must land every doc at
+    // the identical global offset or tok_from/n_toks shift
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, n, off, s.k
+        |  FROM o, LATERAL unnest(
+        |    range(off // 256, (off + n - 1) // 256 + 1)) AS s(k))
+        |SELECT doc_id, CAST(k AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, k * 256 - off) AS BIGINT) AS tok_from,
+        |  CAST(least((k + 1) * 256, off + n)
+        |    - greatest(k * 256, off) AS BIGINT) AS n_toks
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
 
     // group form: the representative of each raster class is the min
     // doc of the seed residue (= the residue itself), carrying the

@@ -57,6 +57,73 @@ object TextChunk {
   }
 
   // scala-side alias: functions.size shadows the param name `size`
+  /** Concat-and-chunk sequence packing — the standard shape that turns
+    * a document corpus into fixed-length training sequences: documents
+    * are laid end to end in `idCol` order into one global token
+    * stream, and sequence `k` is tokens `[k*seqLen, (k+1)*seqLen)`.
+    * Output is the crosswalk a trainer (and attribution tooling)
+    * needs: one row per (document, sequence) overlap with `seq_id`,
+    * `tok_from` (first packed token's position IN the document) and
+    * `n_toks` (tokens of this document in that sequence).
+    *
+    * The global prefix sum does NOT use a global window (a one-
+    * partition sort — the classic scale killer). Instead: documents
+    * bucket by a deterministic id-range rule, per-bucket token totals
+    * come back as one bounded row per bucket (`buckets` rows total),
+    * their running sum broadcasts back as each bucket's base offset,
+    * and the intra-bucket cumsum is a window WITHIN the bucket — the
+    * same parallel-prefix shape as [[Stats.groupedQuantilesSorted]].
+    * At 100 TB: one shuffle (bucket range), bounded driver state.
+    *
+    * Empty/blank docs still occupy their `split` token count (≥ 1),
+    * matching [[chunk]]'s tokenizer exactly. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      buckets: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    val counted = docs
+      .select(col(idCol).cast("long").as("__id"),
+        size_(split(col(textCol), " ")).cast("long").as("__n"))
+    val bounds = counted.agg(min("__id"), max("__id")).head()
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("seq_id"),
+          lit(0L).as("tok_from"), lit(0L).as("n_toks")).limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // deterministic range rule (no sampled partitioner: the bucket of a
+    // doc must be identical across the totals pass and the main pass)
+    val span = math.max(1L, (hi - lo) / buckets + 1L)
+    val bucketed = counted
+      .withColumn("__bucket", expr(s"(__id - ${lo}L) div ${span}L"))
+    // bounded collect: one row per bucket
+    val totals = bucketed.groupBy("__bucket").agg(sum("__n").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseOffsets = totals.keys.toSeq.sorted
+      .scanLeft((-1L, 0L)) { case ((_, acc), b) => (b, acc + totals(b)) }
+      .sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }
+      .toMap
+    // bucket → base offset as a literal map expression (≤ `buckets`
+    // entries), not a UDF — element_at stays inside codegen
+    val offMap = typedLit(baseOffsets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy("__id")
+    bucketed
+      .withColumn("__off",
+        element_at(offMap, col("__bucket")) + sum("__n").over(w) - col("__n"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__off div $seqLen"),
+        expr(s"(__off + __n - 1) div $seqLen"))))
+      .select(col("__id").as(idCol), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__off"))
+          .as("tok_from"),
+        (least((col("seq_id") + 1) * seqLen, col("__off") + col("__n"))
+          - greatest(col("seq_id") * seqLen, col("__off"))).as("n_toks"))
+  }
+
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)
 }

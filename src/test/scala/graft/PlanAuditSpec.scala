@@ -385,6 +385,25 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("pii_redact: the regex scrub is a projection over the scan — " +
+    "doc_id pushes down, no exchange above the scan, no UDF") {
+    val plan = physical(run("pii_redact"))
+    assert(plan.contains("LessThan(doc_id,200)"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("pack_sequences: the global prefix sum is bucketed — no " +
+    "single-partition exchange anywhere in the plan") {
+    val plan = physical(run("pack_sequences"))
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("avi_frames: the container-video decode (RIFF walk + per-frame " +
     "JPEG entropy decode) is an expression feeding Generate — doc_id " +
     "pushes to the scan, no mapPartitions barrier") {

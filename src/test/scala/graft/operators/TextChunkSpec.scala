@@ -57,4 +57,86 @@ class TextChunkSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  /** Local reference packer: lay docs end to end in id order, emit
+    * every (doc, sequence) overlap. */
+  private def packRef(docs: Seq[(Long, String)], seqLen: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    var off = 0L
+    docs.sortBy(_._1).flatMap { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val rows = (off / seqLen to (off + n - 1) / seqLen).map { k =>
+        val from = math.max(0L, k * seqLen - off)
+        val nt = math.min((k + 1) * seqLen, off + n) -
+          math.max(k * seqLen, off)
+        (id, k, from, nt)
+      }
+      off += n
+      rows
+    }
+  }
+
+  test("packSequences matches the reference packer and conserves " +
+    "every token exactly once") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until 1 + rnd.nextInt(40)).map(j => s"w$j").mkString(" ")))
+    val out = TextChunk.packSequences(
+        docs.toDF("doc_id", "text"), "doc_id", "text", seqLen = 64)
+      .orderBy("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == packRef(docs, 64))
+    // conservation: per-doc n_toks sums to the doc's token count, and
+    // per-sequence sums hit seqLen exactly (except the final sequence)
+    val totalToks = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(out.map(_._4).sum == totalToks)
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (k, s) =>
+      assert(k == lastSeq || s == 64L, s"seq $k holds $s tokens")
+    }
+  }
+
+  test("packSequences is bucket-invariant: sparse ids and any bucket " +
+    "count land every doc at the same global offset") {
+    val docs = Seq(3L, 900L, 901L, 50000L, 123456789L)
+      .map(i => (i, (0 until (i % 37 + 1).toInt).map(_ => "x")
+        .mkString(" ")))
+    val expected = packRef(docs, 32)
+    Seq(1, 7, 32).foreach { b =>
+      val out = TextChunk.packSequences(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 32, buckets = b)
+        .orderBy("doc_id", "seq_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(out == expected, s"buckets=$b")
+    }
+  }
+
+  test("packSequences boundary cases: a doc ending exactly on a " +
+    "sequence boundary, and a doc spanning several sequences") {
+    // doc 0: 64 tokens = exactly sequence 0; doc 1: 200 tokens spans
+    // sequences 1..4 (offsets 64..263)
+    val docs = Seq(
+      (0L, (1 to 64).map(_ => "a").mkString(" ")),
+      (1L, (1 to 200).map(_ => "b").mkString(" ")))
+    val out = TextChunk.packSequences(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 64)
+      .orderBy("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq((0L, 0L, 0L, 64L), (1L, 1L, 0L, 64L),
+      (1L, 2L, 64L, 64L), (1L, 3L, 128L, 64L), (1L, 4L, 192L, 8L)))
+  }
+
+  test("packSequences never plans a single-partition global sort — " +
+    "the prefix sum is bucketed") {
+    val docs = spark.range(1000)
+      .selectExpr("id AS doc_id", "'a b c d e' AS text")
+    val plan = TextChunk.packSequences(docs, "doc_id", "text", 128)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
