@@ -85,9 +85,14 @@ object TextChunk {
       buckets: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = docs.sparkSession
+    // persist the (id, n) projection: the op takes three passes over
+    // it (bounds, per-bucket totals, the packing itself) and without
+    // the persist each pass re-tokenizes the full corpus — measured
+    // 2× at 1M docs (BASELINE.md). 16 bytes/doc, LRU-evictable.
     val counted = docs
       .select(col(idCol).cast("long").as("__id"),
         size_(split(col(textCol), " ")).cast("long").as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = counted.agg(min("__id"), max("__id")).head()
     if (bounds.isNullAt(0))
       return spark.emptyDataFrame
