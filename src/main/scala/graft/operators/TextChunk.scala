@@ -76,7 +76,12 @@ object TextChunk {
     * At 100 TB: one shuffle (bucket range), bounded driver state.
     *
     * Empty/blank docs still occupy their `split` token count (≥ 1),
-    * matching [[chunk]]'s tokenizer exactly. */
+    * matching [[chunk]]'s tokenizer exactly.
+    *
+    * A BATCH operator by design: packing is a global property of the
+    * corpus (three bounded passes), so a streaming ingest should pack
+    * per micro-batch via `foreachBatch` — unlike the stateless
+    * [[TextClean.redactPii]], which streams unchanged. */
   def packSequences(
       docs: DataFrame,
       idCol: String,
