@@ -1233,6 +1233,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet/Gopher-style LM quality scoring: add-k unigram model
+    // estimated from the corpus itself, per-doc bits-per-token — the
+    // perplexity-filter signal. One token shuffle for counts, a
+    // one-row broadcast normalizer, a token-keyed join; the oracle
+    // re-derives every probability in DuckDB (round-6 both sides).
+    "lm_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      operators.LmScore.score(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Concat-and-chunk sequence packing — documents laid end to end in
     // doc_id order, fixed 256-token training sequences, one row per
     // (doc, sequence) overlap. The global prefix sum is bucketed
@@ -2843,6 +2854,21 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
         |    AS BIGINT) AS n_ip
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // independent re-derivation of the add-k unigram model: same
+    // counts, same (N, V) normalizer, same log2 sum — a smoothing or
+    // normalization slip shifts every score
+    "lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(-log2((c + 0.5) / (n + 0.5 * v))) / count(*), 6)
+        |    AS bits_per_token
+        |FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // the oracle packs with a plain global window over the same token
     // stream — the engine's bucketed prefix sum must land every doc at

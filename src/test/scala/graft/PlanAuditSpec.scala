@@ -395,6 +395,22 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("lm_quality: word-count plan — partial aggregation before the " +
+    "token shuffle, one-row broadcast normalizer, no cartesian") {
+    val plan = physical(run("lm_quality"))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (N, V) normalizer is a ONE-ROW broadcast: its global agg is
+    // the plan's only SinglePartition exchange, and it reduces
+    // partial_sum/partial_count rows (one per upstream partition), not
+    // data — the correct global-aggregate shape at any scale
+    assert(plan.split("SinglePartition").length - 1 == 1, plan)
+    assert(plan.contains("IdentityBroadcastMode"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))
