@@ -470,6 +470,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy("doc_id")),
 
+    // temperature-scaled domain mixing (XLM-R α-smoothing / Pile-style
+    // source weights): exact rank-cut form — precisely k_g docs per
+    // language, k_g from the α=0.5 share. The oracle re-derives the
+    // targets AND the content-addressed rank from scratch.
+    "domain_mix" -> ((s, dir) =>
+      operators.DataMix.temperatureMixExact(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", 0.5, 300)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // the same mix as the map-only threshold form — the 100 TB shape:
+    // the corpus is never shuffled (plan-pinned no Window), membership
+    // is a per-row predicate under a broadcast (lang, threshold) map
+    "domain_mix_fast" -> ((s, dir) =>
+      operators.DataMix.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", 0.5, 300)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1872,6 +1893,50 @@ object SparkEntry {
         |                 / greatest(n - 1, 1)::DOUBLE * 100 < 80
         |            THEN 'train' ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // α-temperature targets re-derived independently: counts → pow →
+    // round(·,6)-floored k_g (the float convention), then the portable
+    // mix rank picks the SAME k_g docs or the hash breaks
+    "domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |d AS (SELECT sum(pow(n, 0.5)) AS denom FROM c),
+        |t AS (SELECT lang, least(n,
+        |        CAST(floor(round(300 * pow(n, 0.5) / denom, 6)) AS BIGINT)) AS k
+        |      FROM c CROSS JOIN d),
+        |m AS (SELECT doc_id, lang,
+        |        (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |      FROM documents),
+        |m1 AS (SELECT doc_id, lang,
+        |         xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m),
+        |m2 AS (SELECT doc_id, lang,
+        |         xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h2, doc_id) AS rn
+        |      FROM m2)
+        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
+        |WHERE rn <= k ORDER BY doc_id""".stripMargin,
+
+    // threshold form: same targets, membership by mix < ⌊P·k/n⌋ — the
+    // IEEE multiply+divide is exactly rounded in both engines, so the
+    // integer threshold (and therefore the kept set) is bit-portable
+    "domain_mix_fast" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |d AS (SELECT sum(pow(n, 0.5)) AS denom FROM c),
+        |t AS (SELECT lang, n, least(n,
+        |        CAST(floor(round(300 * pow(n, 0.5) / denom, 6)) AS BIGINT)) AS k
+        |      FROM c CROSS JOIN d),
+        |th AS (SELECT lang,
+        |         CAST(floor(1000000007 * (k::DOUBLE / n::DOUBLE)) AS BIGINT) AS t
+        |       FROM t),
+        |m AS (SELECT doc_id, lang,
+        |        (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |      FROM documents),
+        |m1 AS (SELECT doc_id, lang,
+        |         xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m),
+        |m2 AS (SELECT doc_id, lang,
+        |         xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1)
+        |SELECT m2.doc_id, m2.lang FROM m2 JOIN th USING (lang)
+        |WHERE h2 < th.t ORDER BY doc_id""".stripMargin,
 
     // The portable mix recomputed inline (every intermediate < 2^62,
     // exact in DuckDB BIGINT): bucket -> 80/10/10 carve-up.

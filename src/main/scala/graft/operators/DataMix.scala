@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temperature-scaled domain mixing — the data-mix step every public
+  * LLM recipe runs before training (XLM-R's α-smoothed multinomial,
+  * the Pile's per-subset weights, Llama's source mix): given a corpus
+  * grouped by domain with counts n_g, sample group g toward the
+  * α-temperature share q_g = n_g^α / Σ_h n_h^α. α = 1 preserves the
+  * natural mix, α = 0 flattens to uniform, α ∈ (0,1) upsamples tail
+  * domains relative to their natural share. This is the KEEP side
+  * (targets are capped at n_g — no replication); an epochs-style
+  * upsample is a `crossJoin(range(ceil))` the caller composes.
+  *
+  * Membership is content-addressed through [[Sampling.portableMix]]
+  * (no RNG state): the same doc survives the mix on every run, every
+  * partitioning, every engine — the DuckDB oracle re-derives the whole
+  * assignment from scratch. Per-group targets use the repo's float
+  * convention (`round(·, 6)` before the floor) so a last-ulp `pow`
+  * difference between JVM and C math libraries cannot move an integer
+  * boundary.
+  *
+  * Two shapes, one contract:
+  *  - [[temperatureMixExact]]: rank-within-group cut — EXACTLY k_g
+  *    rows per group, one window (a per-key sort through one shuffle).
+  *    Right when groups are many or the run wants exact counts.
+  *  - [[temperatureMix]]: threshold form — keep iff
+  *    mix(id) < P·k_g/n_g, a map-only filter under a broadcast of the
+  *    (group, threshold) table. ZERO shuffles of the corpus (no
+  *    window, plan-pinned), so it is the 100 TB shape; group sizes
+  *    land binomially around k_g instead of exactly.
+  */
+object DataMix {
+
+  private val P = 1000000007L
+
+  /** Per-group α-temperature targets: (groupCol, __n, __k) where
+    * __k = min(n_g, ⌊round(totalOut·n_g^α / Σ_h n_h^α, 6)⌋). A tiny
+    * aggregate (one row per domain) — both consumers broadcast it. */
+  private def targets(
+      docs: DataFrame,
+      groupCol: String,
+      alpha: Double,
+      totalOut: Long): DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val denom = counts.agg(sum(pow(col("__n"), alpha)).as("__denom"))
+    counts.crossJoin(broadcast(denom))
+      .select(col(groupCol), col("__n"),
+        least(col("__n"),
+          floor(round(lit(totalOut.toDouble) * pow(col("__n"), alpha) /
+            col("__denom"), 6)).cast("long")).as("__k"))
+  }
+
+  /** Exact form: precisely k_g rows from each group — the k_g
+    * lowest-mix docs, ties broken by id. One window over the corpus
+    * (per-key sort through one shuffle) + a broadcast join against the
+    * one-row-per-domain target table. */
+  def temperatureMixExact(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double,
+      totalOut: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in [0, 1], got $alpha")
+    require(totalOut > 0, s"totalOut must be positive, got $totalOut")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(Sampling.portableMix(col(idCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets(docs, groupCol, alpha, totalOut)), groupCol)
+      .filter(col("__rn") <= col("__k"))
+      .drop("__rn", "__n", "__k")
+  }
+
+  /** Threshold form: keep iff mix(id) < ⌊P · k_g/n_g⌋ — a pure
+    * per-row predicate under a broadcast (group → threshold) map. The
+    * corpus is never shuffled, windowed, or sorted: the plan is scan →
+    * broadcast-hash-join → filter, which survives any corpus size.
+    * Group sizes are binomial around k_g (the price of map-only).
+    * P·(k/n) stays below 2^30 so the IEEE multiply+divide (exactly
+    * rounded in both engines) makes the threshold bit-portable. */
+  def temperatureMix(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double,
+      totalOut: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in [0, 1], got $alpha")
+    require(totalOut > 0, s"totalOut must be positive, got $totalOut")
+    val thresholds = targets(docs, groupCol, alpha, totalOut)
+      .select(col(groupCol),
+        floor(lit(P).cast("double") *
+          (col("__k").cast("double") / col("__n").cast("double")))
+          .cast("long").as("__t"))
+    docs.join(broadcast(thresholds), groupCol)
+      .filter(Sampling.portableMix(col(idCol)) < col("__t"))
+      .drop("__t")
+  }
+}

@@ -411,6 +411,26 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("domain_mix_fast: the corpus is never shuffled — membership is " +
+    "a per-row predicate under a broadcast threshold map: no Window, " +
+    "no sort-merge join, no cartesian") {
+    val plan = physical(run("domain_mix_fast"))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("domain_mix: exact rank cut — one window, targets ride a " +
+    "broadcast join, no cartesian") {
+    val plan = physical(run("domain_mix"))
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Temperature mixing: hand-computed α-share targets, the α=0 / α=1
+  * endpoints, determinism under repartitioning, the exact/threshold
+  * agreement at full keep, and the parameter contract. */
+class DataMixSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 12 a / 4 b / 4 c — a skewed three-domain corpus
+  private def corpus = ((0 until 12).map(i => (i.toLong, "a")) ++
+    (12 until 16).map(i => (i.toLong, "b")) ++
+    (16 until 20).map(i => (i.toLong, "c"))).toDF("doc_id", "dom")
+
+  test("exact form hits the hand-computed per-group targets") {
+    // alpha=0.5: shares sqrt(12):sqrt(4):sqrt(4) = 3.4641:2:2
+    // totalOut=10, denom=7.4641 -> k_a=floor(4.6412)=4, k_b=k_c=2
+    val out = DataMix.temperatureMixExact(corpus, "doc_id", "dom", 0.5, 10)
+    val sizes = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 4L, "b" -> 2L, "c" -> 2L), sizes)
+  }
+
+  test("alpha=1 preserves the natural mix; alpha=0 flattens to uniform") {
+    val natural = DataMix.temperatureMixExact(corpus, "doc_id", "dom", 1.0, 10)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shares 12:4:4 of 10 -> 6 / 2 / 2
+    assert(natural == Map("a" -> 6L, "b" -> 2L, "c" -> 2L), natural)
+    val flat = DataMix.temperatureMixExact(corpus, "doc_id", "dom", 0.0, 9)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat == Map("a" -> 3L, "b" -> 3L, "c" -> 3L), flat)
+  }
+
+  test("membership is content-addressed: identical rows across " +
+    "repartitionings, and k_g lowest-mix docs win") {
+    val once = DataMix.temperatureMixExact(corpus, "doc_id", "dom", 0.5, 10)
+      .select("doc_id").as[Long].collect().sorted
+    val again = DataMix.temperatureMixExact(
+        corpus.repartition(7), "doc_id", "dom", 0.5, 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(once.sameElements(again), s"${once.toSeq} vs ${again.toSeq}")
+  }
+
+  test("totalOut >= corpus keeps everything in BOTH forms (targets cap " +
+    "at n_g, threshold reaches P)") {
+    val exact = DataMix.temperatureMixExact(corpus, "doc_id", "dom", 0.5, 100)
+    val fast = DataMix.temperatureMix(corpus, "doc_id", "dom", 0.5, 100)
+    assert(exact.count() == 20 && fast.count() == 20)
+  }
+
+  test("threshold form is a strict subset of the corpus and " +
+    "deterministic") {
+    val kept = DataMix.temperatureMix(corpus, "doc_id", "dom", 0.5, 10)
+      .select("doc_id").as[Long].collect().sorted
+    val again = DataMix.temperatureMix(
+        corpus.repartition(5), "doc_id", "dom", 0.5, 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(again))
+    assert(kept.length < 20 && kept.toSet.subsetOf((0L until 20L).toSet))
+  }
+
+  test("parameter contract") {
+    intercept[IllegalArgumentException] {
+      DataMix.temperatureMixExact(corpus, "doc_id", "dom", 1.5, 10)
+    }
+    intercept[IllegalArgumentException] {
+      DataMix.temperatureMix(corpus, "doc_id", "dom", 0.5, 0)
+    }
+  }
+}
