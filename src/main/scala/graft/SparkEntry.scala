@@ -481,6 +481,14 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // data-mix diagnostic: per-language unigram KL from the corpus
+    // blend, MLE vs MLE over the group's own support (no smoothing,
+    // every probability oracle-exact)
+    "domain_kl" -> ((s, dir) =>
+      operators.DataMix.domainDivergence(
+          t(s, dir, "documents").select("lang", "text"), "lang", "text")
+        .orderBy("lang")),
+
     // the same mix as the map-only threshold form — the 100 TB shape:
     // the corpus is never shuffled (plan-pinned no Window), membership
     // is a per-row predicate under a broadcast (lang, threshold) map
@@ -1915,6 +1923,21 @@ object SparkEntry {
         |      FROM m2)
         |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
         |WHERE rn <= k ORDER BY doc_id""".stripMargin,
+
+    // every count, marginal, and probability re-derived from scratch;
+    // a wrong total or a support/smoothing slip shifts every kl_bits
+    "domain_kl" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |lt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |lg AS (SELECT lang, sum(c) AS ng FROM lt GROUP BY 1),
+        |g AS (SELECT tok, sum(c) AS cg FROM lt GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM lt)
+        |SELECT lt.lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum((c / ng) * log2((c / ng) / (cg / n))), 6) AS kl_bits
+        |FROM lt JOIN lg USING (lang) JOIN g USING (tok) CROSS JOIN n
+        |GROUP BY lt.lang ORDER BY lt.lang""".stripMargin,
 
     // threshold form: same targets, membership by mix < ⌊P·k/n⌋ — the
     // IEEE multiply+divide is exactly rounded in both engines, so the

@@ -74,6 +74,45 @@ object DataMix {
       .drop("__rn", "__n", "__k")
   }
 
+  /** Per-domain token-distribution divergence from the corpus — the
+    * diagnostic read alongside the mix decision (which domains are
+    * linguistically far from the blend they're entering): for each
+    * group g, KL(p_g ‖ q) in bits, p_g the group's unigram MLE and q
+    * the corpus unigram MLE, summed over the group's own support (so
+    * q > 0 always — no smoothing needed; both are maximum-likelihood,
+    * re-derivable exactly by the oracle). Output: (groupCol, n_terms,
+    * kl_bits), n_terms = the group's distinct-token support size.
+    *
+    * Shape at 100 TB: ONE token shuffle builds the (group, tok, c)
+    * table — the only pass over the corpus — and it is persisted
+    * because three bounded aggregates read it (group totals, corpus
+    * token totals, the grand total; the same load-bearing persist as
+    * `packSequences`). Everything downstream works on |V|·|G| rows,
+    * not corpus rows: group totals and the grand total are one-row-
+    * per-group / one-row broadcasts; the corpus-marginal join
+    * re-shuffles only the bounded count table on `tok`. */
+  def domainDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val lt = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(groupCol, "tok").agg(count(lit(1)).as("__c"))
+      .persist()
+    val lg = lt.groupBy(groupCol)
+      .agg(sum("__c").cast("double").as("__ng"))
+    val marginal = lt.groupBy("tok").agg(sum("__c").cast("double").as("__cg"))
+    val total = lt.agg(sum("__c").cast("double").as("__n"))
+    val p = col("__c").cast("double") / col("__ng")
+    val q = col("__cg") / col("__n")
+    lt.join(broadcast(lg), groupCol)
+      .join(marginal, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(p * log2(p / q)), 6).as("kl_bits"))
+  }
+
   /** Threshold form: keep iff mix(id) < ⌊P · k_g/n_g⌋ — a pure
     * per-row predicate under a broadcast (group → threshold) map. The
     * corpus is never shuffled, windowed, or sorted: the plan is scan →

@@ -431,6 +431,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("domain_kl: ONE corpus pass — the (group, tok) count table is " +
+    "persisted and every downstream aggregate reads the cache; the " +
+    "only single-partition reduce is the one-row grand total") {
+    val plan = physical(run("domain_kl"))
+    // every FileScan in the text is the cached plan re-printed inside
+    // an InMemoryRelation — none executes outside the cache
+    assert(plan.split("FileScan").length == plan.split("InMemoryRelation").length,
+      plan)
+    assert(plan.split("InMemoryTableScan").length - 1 >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))

@@ -63,6 +63,27 @@ class DataMixSpec extends SparkTestBase {
     assert(kept.length < 20 && kept.toSet.subsetOf((0L until 20L).toSet))
   }
 
+  test("domainDivergence matches the hand-computed unigram KL") {
+    // corpus: a=2 b=2 c=1 (N=5); g1 = {a:2, b:1}, g2 = {b:1, c:1}
+    val docs = Seq(("g1", "a a b"), ("g2", "b c")).toDF("dom", "text")
+    val out = DataMix.domainDivergence(docs, "dom", "text")
+      .orderBy("dom").collect()
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val kl1 = 2.0 / 3 * l2((2.0 / 3) / (2.0 / 5)) +
+      1.0 / 3 * l2((1.0 / 3) / (2.0 / 5))
+    val kl2 = 0.5 * l2(0.5 / (2.0 / 5)) + 0.5 * l2(0.5 / (1.0 / 5))
+    assert(out(0).getString(0) == "g1" && out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - kl1) < 1e-6, out(0))
+    assert(math.abs(out(1).getDouble(2) - kl2) < 1e-6, out(1))
+  }
+
+  test("a domain distributed exactly like the corpus has zero KL") {
+    val docs = Seq(("g1", "a a b"), ("g2", "a a b")).toDF("dom", "text")
+    val out = DataMix.domainDivergence(docs, "dom", "text").collect()
+    assert(out.length == 2 && out.forall(r => r.getDouble(2) == 0.0),
+      out.mkString(", "))
+  }
+
   test("parameter contract") {
     intercept[IllegalArgumentException] {
       DataMix.temperatureMixExact(corpus, "doc_id", "dom", 1.5, 10)
