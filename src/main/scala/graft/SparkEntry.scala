@@ -481,6 +481,15 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // tokenizer-coverage diagnostic: per-doc OOV rate against the
+    // corpus's own top-20 vocabulary (deterministic K-boundary:
+    // count desc, token asc)
+    "oov_rate" -> ((s, dir) =>
+      operators.TextAnalysis.oovRate(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", 20)
+        .orderBy("doc_id")),
+
     // data-mix diagnostic: per-language unigram KL from the corpus
     // blend, MLE vs MLE over the group's own support (no smoothing,
     // every probability oracle-exact)
@@ -1923,6 +1932,24 @@ object SparkEntry {
         |      FROM m2)
         |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
         |WHERE rn <= k ORDER BY doc_id""".stripMargin,
+
+    // the oracle rebuilds the top-20 vocabulary with the same
+    // (count desc, token asc) boundary rule — an off-by-one at the
+    // K-th slot flips n_oov on every doc containing that token
+    "oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |        ORDER BY c DESC, tok LIMIT 20))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS oov_rate
+        |FROM toks LEFT JOIN v ON toks.tok = v.tok
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every count, marginal, and probability re-derived from scratch;
     // a wrong total or a support/smoothing slip shifts every kl_bits

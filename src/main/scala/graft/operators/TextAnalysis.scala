@@ -16,6 +16,39 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` token vocabulary — the coverage read that sizes a
+    * tokenizer (a vocab that leaves long OOV tails fragments every
+    * downstream sequence). Vocabulary membership is deterministic:
+    * top-K by count, ties broken by token, so the K-boundary is
+    * engine-portable and the oracle re-derives the identical set.
+    * Output: (idCol, n_tokens, n_oov, oov_rate).
+    *
+    * Shape at 100 TB: the vocabulary is a BOUNDED top-K (partial
+    * count + TakeOrdered — never a full sort) broadcast to a map-side
+    * left join against the token stream; the corpus shuffles once,
+    * for the per-doc reduce. */
+  def oovRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Regex token count — a BPE-ish word/number/punct tokenizer lower
     * bound. Keep the pattern RE2/Java-compatible (no lookarounds) so
     * oracles can reproduce it. */

@@ -443,6 +443,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("oov_rate: the vocabulary is a bounded TakeOrdered broadcast — " +
+    "the token stream joins map-side, no sort-merge join, no full " +
+    "vocabulary sort") {
+    val plan = physical(run("oov_rate"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))
