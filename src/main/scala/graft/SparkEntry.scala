@@ -1282,6 +1282,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the CCNet deployment shape: a FROZEN bounded unigram model (top
+    // 25 of the 31-term vocabulary — six tokens exercise the OOV
+    // floor) scoring every row as a pure map, no join/shuffle/state —
+    // the same call scores a structured stream (spec-pinned)
+    "lm_model_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.LmScore.model(docs, "text", vocabSize = 25)
+      operators.LmScore.scoreWithModel(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
     // Concat-and-chunk sequence packing — documents laid end to end in
     // doc_id order, fixed 256-token training sequences, one row per
     // (doc, sequence) overlap. The global prefix sum is bucketed
@@ -2983,6 +2994,22 @@ object SparkEntry {
         |  round(sum(-log2((c + 0.5) / (n + 0.5 * v))) / count(*), 6)
         |    AS bits_per_token
         |FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // the oracle refits the bounded model from scratch — same top-25
+    // boundary rule, same (N, V) normalizer, OOV at the add-k floor;
+    // a vocabulary off-by-one or a wrong floor shifts affected docs
+    "lm_model_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 25)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(-log2((coalesce(vb.c, 0) + 0.5) / (n + 0.5 * v)))
+        |    / count(*), 6) AS bits_per_token
+        |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // the oracle packs with a plain global window over the same token

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Frozen add-k unigram model for per-row LM quality scoring
+  * ([[UnigramBits]]): the bounded top-`vocab` token counts plus the
+  * FULL corpus normalizer (N, V) ride into executors as one codegen
+  * reference object, so scoring a row is a zero-join, zero-shuffle,
+  * zero-state map — the shape that runs identically over a batch
+  * table and a structured stream (the CCNet deployment: model fit on
+  * a reference corpus, applied to the crawl as it arrives).
+  *
+  * Contract tying the frozen form to [[graft.operators.LmScore.score]]
+  * exactly: an in-vocab token scores with its true count; an
+  * out-of-vocab token scores as count 0 — the add-k floor
+  * −log2(k / (N + k·V)). With `vocab` ≥ the corpus vocabulary the two
+  * paths agree on every document (spec-pinned); with a smaller vocab
+  * the frozen score upper-bounds the exact one (dropped counts only
+  * lower p), which is the conservative direction for a keep/drop
+  * filter. Tokenization is the same single-space split as the
+  * DataFrame path, so batch and stream agree row-for-row. */
+case class UnigramModelRef(
+    vocab: Seq[(String, Long)],
+    n: Double,
+    v: Double,
+    k: Double) {
+  require(k > 0, s"smoothing k must be positive, got $k")
+
+  @transient private lazy val counts: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, c) => m.put(UTF8String.fromString(t), c) }
+    m
+  }
+
+  private val space = UTF8String.fromString(" ")
+  @transient private lazy val denom = n + k * v
+  @transient private lazy val ln2 = math.log(2.0)
+
+  /** Total bits −Σ log2 p(tok) of the row (the caller divides by the
+    * token count); public so generated code can call it. */
+  def bits(text: UTF8String): Double = {
+    val toks = text.split(space, -1)
+    var total = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.get(toks(i))
+      val ct = if (c == null) 0L else c.longValue
+      total += -(math.log((ct + k) / denom) / ln2)
+      i += 1
+    }
+    total
+  }
+}
+
+/** `unigram_bits(text)` under a [[UnigramModelRef]] → DOUBLE total
+  * bits. Codegen'd like [[Bm25Score]]; null text → null. */
+case class UnigramBits(child: Expression, model: UnigramModelRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "unigram_bits"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.bits(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("unigramModel", model,
+      classOf[UnigramModelRef].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bits($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.functions.{UnigramBits, UnigramModelRef}
 
 /** Language-model quality scoring — the perplexity-style filter every
   * public web-scale pipeline runs (CCNet buckets documents by LM
@@ -48,4 +51,48 @@ object LmScore {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(sum("__lp") / count(lit(1)), 6).as("bits_per_token"))
   }
+
+  /** Fit a FROZEN bounded model on a reference corpus: the top
+    * `vocabSize` tokens by count (ties broken by token — the same
+    * deterministic K-boundary as [[TextAnalysis.oovRate]]) with the
+    * full-corpus (N, V) normalizer. The vocabulary collect is bounded
+    * by `vocabSize` (TakeOrdered, the codebook-training pattern) —
+    * never the whole vocabulary. */
+  def model(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      k: Double = 0.5): UnigramModelRef = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val nv = counts.agg(
+      sum("__c").cast("double"), count(lit(1)).cast("double")).head()
+    val top = counts.orderBy(desc("__c"), col("tok")).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    UnigramModelRef(top, nv.getDouble(0), nv.getDouble(1), k)
+  }
+
+  /** Per-row bits-per-token under a frozen model — a pure map (no
+    * join, no shuffle, no state): scores a structured stream exactly
+    * as it scores a batch table. In-vocab tokens use true counts;
+    * OOV tokens the add-k floor (see [[UnigramModelRef]]). */
+  def bitsPerToken(text: Column, m: UnigramModelRef): Column = {
+    val total = Shim.column(UnigramBits(Shim.expression(text), m))
+    round(total / size(split(text, " ")), 6)
+  }
+
+  /** [[score]]'s output shape under a frozen model: (idCol, n_tokens,
+    * bits_per_token) — with `m` covering the full vocabulary this
+    * matches [[score]] on every document. */
+  def scoreWithModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: UnigramModelRef): DataFrame =
+    docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      bitsPerToken(col(textCol), m).as("bits_per_token"))
 }

@@ -455,6 +455,19 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("lm_model_score: the frozen model is a pure map over the scan " +
+    "— no join, no window, no aggregation exchange; the kernel stays " +
+    "inside WholeStageCodegen") {
+    val plan = physical(run("lm_model_score"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("unigram_bits") || plan.contains("UnigramBits"),
+      plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))

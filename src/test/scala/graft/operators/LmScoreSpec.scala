@@ -38,5 +38,59 @@ class LmScoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       LmScore.score(docs, "doc_id", "text", k = 0.0)
     }
+    intercept[IllegalArgumentException] {
+      LmScore.model(docs, "text", vocabSize = 0)
+    }
+  }
+
+  test("a full-vocabulary frozen model reproduces score() on every " +
+    "document") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    val exact = LmScore.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val m = LmScore.model(docs, "text", vocabSize = 100)
+    val frozen = LmScore.scoreWithModel(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(frozen.keySet == exact.keySet)
+    frozen.foreach { case (id, (nt, bpt)) =>
+      assert(nt == exact(id)._1)
+      assert(math.abs(bpt - exact(id)._2) < 1e-6, s"doc $id: $bpt vs ${exact(id)._2}")
+    }
+  }
+
+  test("a truncated vocabulary only raises bits (OOV scores at the " +
+    "add-k floor — the conservative direction for a filter)") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    val full = LmScore.scoreWithModel(docs, "doc_id", "text",
+        LmScore.model(docs, "text", 100))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = LmScore.scoreWithModel(docs, "doc_id", "text",
+        LmScore.model(docs, "text", 2)) // vocab {a, b}; c is OOV
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cut(1L) == full(1L)) // doc 1 fully in-vocab
+    assert(cut(2L) > full(2L) && cut(3L) > full(3L), s"$cut vs $full")
+  }
+
+  test("frozen-model scoring runs on a structured stream (pure map, " +
+    "no state), streamed == batch") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    val m = LmScore.model(docs, "text", vocabSize = 2)
+    val want = LmScore.scoreWithModel(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-stream").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = LmScore.scoreWithModel(src, "doc_id", "text", m)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lm_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
   }
 }
