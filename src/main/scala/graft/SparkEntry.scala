@@ -1396,6 +1396,32 @@ object SparkEntry {
         .orderBy("doc_id", "i")
     }),
 
+    // CHROMA-SUBSAMPLED baseline JPEG (what web crawls actually
+    // contain — 4:2:0 dominates, with 4:2:2/4:4:0 in the tail): the
+    // fixture cycles all three layouts with non-multiple-of-16 dims,
+    // so the decoder runs real interleaved MCUs (yH·yV luma blocks +
+    // Cb + Cr per MCU, per-component DC prediction), per-component
+    // plane crop, and sample-replication upsampling. The oracle
+    // compares EVERY pixel POSITIONALLY against the subPix contract —
+    // an MCU-ordering, predictor, plane, or upsample-phase bug moves
+    // samples and breaks the match.
+    "jpeg_420_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.JpegSubMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.filter(col("doc_id") < 6)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftshim.Shim.column(
+            functions.DecodedPixels(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          col("col").cast("long").as("v"))
+        .orderBy("doc_id", "i")
+    }),
+
     // MIXED-format pixel decode (the crawl reality): ONE binary column
     // carrying PNG and JPEG rows, decoded by the format-dispatching
     // PixelStats expression — each row runs exactly one real decoder
@@ -3103,6 +3129,44 @@ object SparkEntry {
         |         CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
         |         CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
         |  FROM px)
+        |SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |       CAST(64 + (3*bx + 5*by + 7*doc_id + 11*c) % 128
+        |            + ((2*bx + 3*by + 5*doc_id + 7*c) % 31 - 15) * sy
+        |            + ((bx + 2*by + 3*doc_id + 5*c) % 31 - 15) * sx * sy
+        |            AS BIGINT) AS v
+        |FROM sg
+        |ORDER BY doc_id, i""".stripMargin,
+
+    // the subsampled AC contract: chroma samples are the SAME analytic
+    // formula evaluated at the floor-divided chroma-plane coordinate
+    // (sample-replication upsampling), luma on the full grid; the
+    // layout cycles 4:2:0 / 4:2:2 / 4:4:0 by doc_id % 3 — the engine
+    // value went through real interleaved-MCU entropy decode, per-
+    // plane IDCT, and upsampling; the oracle is pure integer math
+    "jpeg_420_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |dims AS (
+        |  SELECT doc_id, 10 + (doc_id * 7) % 29 AS w,
+        |         9 + (doc_id * 5) % 23 AS h,
+        |         CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 2 END AS yh,
+        |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 2 END AS yv
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, ii.i,
+        |         ((ii.i // 3) % d.w) AS x,
+        |         (ii.i // (d.w * 3)) AS y,
+        |         (ii.i % 3) AS c, d.yh, d.yv
+        |  FROM dims d, LATERAL unnest(range(0, d.w * d.h * 3)) AS ii(i)),
+        |pc AS (
+        |  SELECT doc_id, i, c,
+        |         CASE WHEN c = 0 THEN x ELSE x // yh END AS px,
+        |         CASE WHEN c = 0 THEN y ELSE y // yv END AS py
+        |  FROM px),
+        |sg AS (
+        |  SELECT doc_id, i, c, px // 8 AS bx, py // 8 AS by,
+        |         CASE WHEN (px % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
+        |         CASE WHEN (py % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
+        |  FROM pc)
         |SELECT doc_id, CAST(i AS BIGINT) AS i,
         |       CAST(64 + (3*bx + 5*by + 7*doc_id + 11*c) % 128
         |            + ((2*bx + 3*by + 5*doc_id + 7*c) % 31 - 15) * sy

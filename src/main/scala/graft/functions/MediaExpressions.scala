@@ -576,6 +576,31 @@ case class JpegAcMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** jpeg_sub_media_for_id(id) -> binary: the CHROMA-SUBSAMPLED
+  * full-baseline JPEG fixture bytes
+  * ([[graft.operators.MediaFixtures.jpegSubMediaFor]] — 4:2:0/4:2:2/
+  * 4:4:0 cycling by id, real interleaved MCUs). */
+case class JpegSubMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_sub_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.jpegSubMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.jpegSubMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** mixed_pixel_media_for_id(id) -> binary: the MIXED-format pixel
   * fixture bytes ([[graft.operators.MediaFixtures.mixedPixelMediaFor]]
   * — PNG even ids, JPEG odd ids, real pixels in both). */

@@ -9,15 +9,20 @@ package graft.operators
   * one's-complement value bits, run-length AC coefficient decode
   * (ZRL/EOB), dequantization, dezigzag, a real separable 2-D IDCT
   * (spec A.3.3), level shift + clamp, and edge-block cropping for
-  * non-multiple-of-8 dimensions. Byte stuffing (0xFF→0xFF00) and
-  * 1-padded flush are handled in the bit reader. Outside the subset —
-  * progressive/extended frames, subsampling (≠4:4:4), restart
-  * markers, 16-bit quant tables, truncation, corrupt streams — the
-  * decoder returns None, never throws. 3-component output is the raw
-  * Y/Cb/Cr planes interleaved (no color transform — what a baseline
-  * decoder holds before color conversion).
+  * non-multiple-of-8 dimensions. CHROMA SUBSAMPLING is real: sampling
+  * factors h,v ∈ {1,2} per component (4:4:4, 4:2:2, 4:4:0, 4:2:0 —
+  * what web crawls actually contain) decode through interleaved
+  * multi-block MCUs (spec A.2.3) into per-component planes, then
+  * nearest-neighbor (sample-replication) upsampling to the full grid.
+  * Byte stuffing (0xFF→0xFF00) and 1-padded flush are handled in the
+  * bit reader. Outside the subset — progressive/extended frames,
+  * sampling factors > 2, restart markers, 16-bit quant tables,
+  * truncation, corrupt streams — the decoder returns None, never
+  * throws. 3-component output is the raw Y/Cb/Cr planes interleaved
+  * (no color transform — what a baseline decoder holds before color
+  * conversion).
   *
-  * Two WRITERS give the decoder analytic oracles:
+  * Three WRITERS give the decoder analytic oracles:
   *
   *  - [[jpegWithPixels]] (DC-only): every 8×8 block flat at
   *    [[blockVal]] — one Huffman-coded DC diff + EOB per block.
@@ -32,6 +37,14 @@ package graft.operators
   *    the full entropy-decode → dequant → IDCT pipeline. A zigzag,
   *    dequant, run-length, or IDCT bug lands the energy on the wrong
   *    samples and breaks the per-pixel match.
+  *  - [[jpegWithAcPixelsSampled]] (subsampled): the AC writer with Y
+  *    at sampling (yH, yV) and 1×1 chroma, emitting real interleaved
+  *    MCUs (yH·yV luma blocks + Cb + Cr per MCU). Decoded luma is
+  *    [[acPix]] on the full grid; decoded chroma at (x, y) is
+  *    [[acPix]] evaluated at the CHROMA-PLANE coordinate
+  *    (x/yH, y/yV) — [[subPix]] — because upsampling is sample
+  *    replication. An MCU-ordering, plane, or upsampling bug moves
+  *    samples and breaks the positional match.
   */
 object JpegDc {
 
@@ -69,6 +82,15 @@ object JpegDc {
     acBase(id, bx, by, c) + acA(id, bx, by, c) * sgn(y) +
       acB(id, bx, by, c) * sgn(x) * sgn(y)
   }
+
+  /** The decoded sample [[jpegWithAcPixelsSampled]] produces at
+    * (x, y, c): luma is [[acPix]] on the full grid; chroma (1×1
+    * against luma (yH, yV)) lives on a ceil(w/yH)×ceil(h/yV) plane and
+    * replicates, so the full-grid sample is [[acPix]] at the
+    * floor-divided plane coordinate. */
+  def subPix(id: Long, x: Int, y: Int, c: Int, yH: Int, yV: Int): Int =
+    if (c == 0) acPix(id, x, y, 0)
+    else acPix(id, x / yH, y / yV, c)
 
   // ---- tables ------------------------------------------------------
 
@@ -179,12 +201,14 @@ object JpegDc {
     }
   }
 
-  /** Shared header emitter: SOI..SOS for a baseline 4:4:4 frame. The
-    * quant table arrives in NATURAL order and is emitted in zigzag
-    * order as DQT requires. */
+  /** Shared header emitter: SOI..SOS for a baseline frame. `samp` is
+    * the packed (h<<4)|v sampling byte per component (null = all
+    * 0x11, i.e. 4:4:4). The quant table arrives in NATURAL order and
+    * is emitted in zigzag order as DQT requires. */
   private def writeHeaders(bos: java.io.ByteArrayOutputStream,
       w: Int, h: Int, nComp: Int, quantNat: Array[Int],
-      acBits: Array[Int], acVals: Array[Int]): Unit = {
+      acBits: Array[Int], acVals: Array[Int],
+      samp: Array[Int] = null): Unit = {
     def b(x: Int): Unit = bos.write(x & 0xff)
     def b16(x: Int): Unit = { b(x >> 8); b(x) }
     def marker(m: Int): Unit = { b(0xff); b(m) }
@@ -196,7 +220,9 @@ object JpegDc {
     (0 until 64).foreach(i => b(quantNat(Zigzag(i))))
     marker(0xc0); b16(8 + 3 * nComp) // SOF0 baseline
     b(8); b16(h); b16(w); b(nComp)
-    (0 until nComp).foreach { c => b(c + 1); b(0x11); b(0) }
+    (0 until nComp).foreach { c =>
+      b(c + 1); b(if (samp == null) 0x11 else samp(c)); b(0)
+    }
     marker(0xc4); b16(2 + 1 + 16 + DcVals.length); b(0x00) // DHT DC 0
     DcBits.foreach(b); DcVals.foreach(b)
     marker(0xc4); b16(2 + 1 + 16 + acVals.length); b(0x10) // DHT AC 0
@@ -253,6 +279,44 @@ object JpegDc {
     bos.toByteArray
   }
 
+  /** One AC-contract block for component `c` at block coords
+    * (bx, by): DC = [[acBase]]−128 plus [[acA]] at zigzag 10 and
+    * [[acB]] at zigzag 39, pushed through the generic spec F.1.2.2
+    * run-length coder (a ZRL symbol per 16 zeros of run, EOB iff
+    * zeros trail the last nonzero). Shared by the 4:4:4 and
+    * subsampled writers so both exercise identical entropy coding. */
+  private def emitAcBlock(bw: BitWriter, dcCodes: Map[Int, (Int, Int)],
+      acCodes: Map[Int, (Int, Int)], pred: Array[Int],
+      id: Long, bx: Int, by: Int, c: Int): Unit = {
+    def emitAcCoef(run: Int, v: Int): Unit = {
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      val (code, len) = acCodes((run << 4) | s)
+      bw.put(code, len)
+      val bits = if (v > 0) v else v + (1 << s) - 1
+      bw.put(bits, s)
+    }
+    val dcq = acBase(id, bx, by, c) - 128
+    emitDc(bw, dcCodes, dcq - pred(c))
+    pred(c) = dcq
+    val a = acA(id, bx, by, c)
+    val bq = acB(id, bx, by, c)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = if (k == 10) a else if (k == 39) bq else 0
+      if (v == 0) run += 1
+      else {
+        while (run > 15) {
+          val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
+        }
+        emitAcCoef(run, v)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+  }
+
   /** Baseline JPEG with REAL AC coefficients: per block, DC =
     * [[acBase]]−128 plus [[acA]] at zigzag 10 and [[acB]] at zigzag
     * 39, entropy-coded with the full Annex K AC table (run-length 9,
@@ -271,13 +335,6 @@ object JpegDc {
     val dcCodes = canonical(DcBits, DcVals)
     val acCodes = canonical(AcBits, AcVals)
     val bw = new BitWriter(bos)
-    def emitAcCoef(run: Int, v: Int): Unit = {
-      val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-      val (code, len) = acCodes((run << 4) | s)
-      bw.put(code, len)
-      val bits = if (v > 0) v else v + (1 << s) - 1
-      bw.put(bits, s)
-    }
     val pred = new Array[Int](nComp)
     val blocksY = (h + 7) / 8
     val blocksX = (w + 7) / 8
@@ -287,34 +344,66 @@ object JpegDc {
       while (bx < blocksX) {
         var c = 0
         while (c < nComp) {
-          val dcq = acBase(id, bx, by, c) - 128
-          emitDc(bw, dcCodes, dcq - pred(c))
-          pred(c) = dcq
-          val a = acA(id, bx, by, c)
-          val bq = acB(id, bx, by, c)
-          // zigzag 1..63 (a at 10, bq at 39, zeros elsewhere) through
-          // the generic spec F.1.2.2 run-length coder: a ZRL symbol
-          // per 16 zeros of run, EOB iff zeros trail the last nonzero
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val v = if (k == 10) a else if (k == 39) bq else 0
-            if (v == 0) run += 1
-            else {
-              while (run > 15) {
-                val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
-              }
-              emitAcCoef(run, v)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+          emitAcBlock(bw, dcCodes, acCodes, pred, id, bx, by, c)
           c += 1
         }
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** CHROMA-SUBSAMPLED baseline JPEG with real AC coefficients: Y at
+    * sampling (yH, yV) ∈ {1,2}², chroma 1×1 — (2,2) is 4:2:0 (the
+    * dominant web-crawl layout), (2,1) is 4:2:2, (1,2) is 4:4:0. The
+    * scan is genuinely interleaved per spec A.2.3: each MCU carries
+    * yH·yV luma blocks (raster order) then one Cb and one Cr block,
+    * with per-component DC prediction across the whole scan — so a
+    * decoder that mis-orders blocks within the MCU, mixes up the
+    * per-component predictors, or upsamples with the wrong phase
+    * fails positionally. Decoded samples equal [[subPix]] exactly.
+    * Arbitrary positive dims — luma edge blocks crop against (w, h),
+    * chroma edge blocks against the ceil-divided plane. */
+  def jpegWithAcPixelsSampled(id: Long, w: Int, h: Int,
+      yH: Int, yV: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+    require(yH >= 1 && yH <= 2 && yV >= 1 && yV <= 2,
+      s"sampling factors must be 1 or 2, got ${yH}x$yV")
+    val bos = new java.io.ByteArrayOutputStream()
+    val quantNat = Array.fill(64)(16)
+    quantNat(0) = q0
+    quantNat(Zigzag(10)) = 8 // (u=0, v=4)
+    quantNat(Zigzag(39)) = 8 // (u=4, v=4)
+    writeHeaders(bos, w, h, 3, quantNat, AcBits, AcVals,
+      samp = Array((yH << 4) | yV, 0x11, 0x11))
+    val dcCodes = canonical(DcBits, DcVals)
+    val acCodes = canonical(AcBits, AcVals)
+    val bw = new BitWriter(bos)
+    val pred = new Array[Int](3)
+    val mcusX = (w + 8 * yH - 1) / (8 * yH)
+    val mcusY = (h + 8 * yV - 1) / (8 * yV)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var j = 0
+        while (j < yV) {
+          var i = 0
+          while (i < yH) {
+            emitAcBlock(bw, dcCodes, acCodes, pred, id,
+              mx * yH + i, my * yV + j, 0)
+            i += 1
+          }
+          j += 1
+        }
+        emitAcBlock(bw, dcCodes, acCodes, pred, id, mx, my, 1)
+        emitAcBlock(bw, dcCodes, acCodes, pred, id, mx, my, 2)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     bos.write(0xff); bos.write(0xd9) // EOI
@@ -378,7 +467,8 @@ object JpegDc {
   private def extend(v: Int, t: Int): Int =
     if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** Real decode of the baseline 4:4:4 subset; None on anything else. */
+  /** Real decode of the baseline subset (sampling factors ≤ 2, so
+    * 4:4:4/4:2:2/4:4:0/4:2:0); None on anything else. */
   def decode(bytes: Array[Byte]): Option[PngPixels.Decoded] = {
     try decode0(bytes)
     catch { case _: Exception => None }
@@ -393,6 +483,8 @@ object JpegDc {
     val dcTables = new Array[Map[(Int, Int), Int]](4)
     val acTables = new Array[Map[(Int, Int), Int]](4)
     val compQuant = new Array[Int](3) // per frame component: Tq
+    val compH = new Array[Int](3) // per frame component: sampling h
+    val compV = new Array[Int](3) // per frame component: sampling v
     val compDc = new Array[Int](3) // per scan component: Td
     val compAc = new Array[Int](3) // per scan component: Ta
     var sosAt = -1
@@ -427,7 +519,13 @@ object JpegDc {
             if (nComp != 1 && nComp != 3) return None
             var c = 0
             while (c < nComp) {
-              if ((b(i + 11 + 3 * c) & 0xff) != 0x11) return None // 4:4:4 only
+              val hv = b(i + 11 + 3 * c) & 0xff
+              compH(c) = hv >> 4
+              compV(c) = hv & 0x0f
+              // h,v ∈ {1,2} covers 4:4:4/4:2:2/4:4:0/4:2:0 — factors
+              // of 3 or 4 are outside the subset
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
               compQuant(c) = b(i + 12 + 3 * c) & 0x0f
               c += 1
             }
@@ -473,97 +571,156 @@ object JpegDc {
     }
     val br = new BitReader(b, sosAt)
     val ch = nComp
-    // untrusted dims: size the buffer in Long and cap BEFORE allocating
-    // (same contract as PngPixels — dirty bytes → None, never an OOM)
+    // a single-component scan is NON-interleaved (spec A.2.2): one
+    // data unit per MCU, whatever the declared sampling factors say
+    if (ch == 1) { compH(0) = 1; compV(0) = 1 }
+    var hMax = 1; var vMax = 1
+    var cm = 0
+    while (cm < ch) {
+      if (compH(cm) > hMax) hMax = compH(cm)
+      if (compV(cm) > vMax) vMax = compV(cm)
+      cm += 1
+    }
+    // untrusted dims: size the buffers in Long and cap BEFORE
+    // allocating (same contract as PngPixels — dirty bytes → None,
+    // never an OOM); per-component planes total ≤ the output size
     if (w.toLong * ch * h > PngPixels.MaxDecodedBytes) return None
-    val pixels = new Array[Byte](w * ch * h)
+    // per-component plane dims, ceil-divided (spec A.1.1)
+    val cw = Array.tabulate(ch)(c =>
+      ((w.toLong * compH(c) + hMax - 1) / hMax).toInt)
+    val chh = Array.tabulate(ch)(c =>
+      ((h.toLong * compV(c) + vMax - 1) / vMax).toInt)
+    val planes = Array.tabulate(ch)(c => new Array[Byte](cw(c) * chh(c)))
     val pred = new Array[Int](ch)
     val zz = new Array[Int](64)
     val freq = new Array[Double](64)
     val tmp = new Array[Double](64)
-    val blocksY = (h + 7) / 8
-    val blocksX = (w + 7) / 8
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+
+    // one data unit: entropy decode → dequant/dezigzag → IDCT →
+    // clamp into component c's plane at block (bx, by); false = bad
+    // stream (the caller turns that into None)
+    def decodeBlock(c: Int, bx: Int, by: Int): Boolean = {
+      // ---- entropy decode: 64 quantized coefficients ----
+      java.util.Arrays.fill(zz, 0)
+      val dcT = dcTables(compDc(c))
+      val acT = acTables(compAc(c))
+      val t = decodeSym(br, dcT)
+      if (br.bad || t > 11) return false
+      val diff = if (t == 0) 0 else extend(br.bits(t), t)
+      pred(c) += diff
+      zz(0) = pred(c)
+      var k = 1
+      var done = false
+      while (!done && k < 64) {
+        val rs = decodeSym(br, acT)
+        if (br.bad) return false
+        if (rs == 0x00) done = true // EOB
+        else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
+        else {
+          val r = rs >> 4
+          val s = rs & 0x0f
+          k += r
+          if (s == 0 || s > 10 || k > 63) return false
+          zz(k) = extend(br.bits(s), s)
+          if (br.bad) return false
+          k += 1
+        }
+      }
+      if (k > 64) return false
+      // ---- dequant + dezigzag ----
+      val q = quant(compQuant(c))
+      java.util.Arrays.fill(freq, 0.0)
+      var j = 0
+      while (j < 64) {
+        if (zz(j) != 0) freq(Zigzag(j)) = (zz(j) * q(Zigzag(j))).toDouble
+        j += 1
+      }
+      // ---- separable 2-D IDCT (spec A.3.3) ----
+      // rows: for each v, 1-D over u → tmp(v*8 + x)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += CosT(u)(x) * freq(v * 8 + u); u += 1 }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
+      // cols: for each x, 1-D over v → plane sample (py, px), cropped
+      // against THIS component's plane (luma crops at w×h, subsampled
+      // chroma at the ceil-divided plane)
+      val pw = cw(c); val ph = chh(c)
+      val plane = planes(c)
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < ph) {
+          var xx = 0
+          while (xx < 8) {
+            val px = bx * 8 + xx
+            if (px < pw) {
+              var s = 0.0
+              var vv = 0
+              while (vv < 8) { s += CosT(vv)(yy) * tmp(vv * 8 + xx); vv += 1 }
+              val sample = math.max(0, math.min(255,
+                math.round(s).toInt + 128))
+              plane(py * pw + px) = sample.toByte
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+      true
+    }
+
+    // interleaved MCU walk (spec A.2.3): each MCU carries h_c×v_c
+    // blocks per component in raster order — for 4:4:4 this is the
+    // one-block-per-component degenerate case
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var c = 0
         while (c < ch) {
-          // ---- entropy decode: 64 quantized coefficients ----
-          java.util.Arrays.fill(zz, 0)
-          val dcT = dcTables(compDc(c))
-          val acT = acTables(compAc(c))
-          val t = decodeSym(br, dcT)
-          if (br.bad || t > 11) return None
-          val diff = if (t == 0) 0 else extend(br.bits(t), t)
-          pred(c) += diff
-          zz(0) = pred(c)
-          var k = 1
-          var done = false
-          while (!done && k < 64) {
-            val rs = decodeSym(br, acT)
-            if (br.bad) return None
-            if (rs == 0x00) done = true // EOB
-            else if (rs == 0xf0) k += 16 // ZRL: 16 zeros
-            else {
-              val r = rs >> 4
-              val s = rs & 0x0f
-              k += r
-              if (s == 0 || s > 10 || k > 63) return None
-              zz(k) = extend(br.bits(s), s)
-              if (br.bad) return None
-              k += 1
+          var bj = 0
+          while (bj < compV(c)) {
+            var bi = 0
+            while (bi < compH(c)) {
+              if (!decodeBlock(c, mx * compH(c) + bi, my * compV(c) + bj))
+                return None
+              bi += 1
             }
-          }
-          if (k > 64) return None
-          // ---- dequant + dezigzag ----
-          val q = quant(compQuant(c))
-          java.util.Arrays.fill(freq, 0.0)
-          var j = 0
-          while (j < 64) {
-            if (zz(j) != 0) freq(Zigzag(j)) = (zz(j) * q(Zigzag(j))).toDouble
-            j += 1
-          }
-          // ---- separable 2-D IDCT (spec A.3.3) ----
-          // rows: for each v, 1-D over u → tmp(v*8 + x)
-          var v = 0
-          while (v < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var u = 0
-              while (u < 8) { s += CosT(u)(x) * freq(v * 8 + u); u += 1 }
-              tmp(v * 8 + x) = s
-              x += 1
-            }
-            v += 1
-          }
-          // cols: for each x, 1-D over v → sample(y*8 + x)
-          var yy = 0
-          while (yy < 8) {
-            val py = by * 8 + yy
-            if (py < h) {
-              var xx = 0
-              while (xx < 8) {
-                val px = bx * 8 + xx
-                if (px < w) {
-                  var s = 0.0
-                  var vv = 0
-                  while (vv < 8) { s += CosT(vv)(yy) * tmp(vv * 8 + xx); vv += 1 }
-                  val sample = math.max(0, math.min(255,
-                    math.round(s).toInt + 128))
-                  pixels((py.toLong * w + px).toInt * ch + c) = sample.toByte
-                }
-                xx += 1
-              }
-            }
-            yy += 1
+            bj += 1
           }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
+    }
+
+    // nearest-neighbor (sample replication) upsample to the full grid;
+    // for 4:4:4 this degenerates to an interleaving copy
+    val pixels = new Array[Byte](w * ch * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          pixels((y * w + x) * ch + c) =
+            planes(c)((y * compV(c) / vMax) * cw(c) + x * compH(c) / hMax)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
     }
     Some(PngPixels.Decoded(w, h, ch, pixels))
   }

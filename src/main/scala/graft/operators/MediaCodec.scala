@@ -218,6 +218,24 @@ object MediaFixtures {
     JpegDc.jpegWithAcPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** CHROMA-SUBSAMPLED full-baseline JPEG fixture
+    * ([[JpegDc.jpegWithAcPixelsSampled]]): the id cycles through the
+    * three subsampled layouts real crawls contain — 4:2:0 (id%3=0,
+    * the dominant web layout), 4:2:2 (id%3=1), 4:4:0 (id%3=2) — with
+    * non-multiple-of-16 dims so both luma AND chroma edge blocks
+    * crop. Decoded pixels follow the exact-integer contract
+    * [[JpegDc.subPix]]. */
+  def jpegSubMediaFor(id: Long): Array[Byte] = {
+    val w = (10 + math.floorMod(id * 7, 29)).toInt
+    val h = (9 + math.floorMod(id * 5, 23)).toInt
+    val (yH, yV) = (id % 3) match {
+      case 0 => (2, 2) // 4:2:0
+      case 1 => (2, 1) // 4:2:2
+      case _ => (1, 2) // 4:4:0
+    }
+    JpegDc.jpegWithAcPixelsSampled(id, w, h, yH, yV)
+  }
+
   /** MJPEG-AVI container-video fixture ([[Avi.aviWithFrames]]): frame
     * count, block-grid dims, and component count vary
     * deterministically; frame `f` pixels follow the DC contract at

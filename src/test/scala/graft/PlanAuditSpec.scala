@@ -283,6 +283,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!region.contains("CartesianProduct"), region)
   }
 
+  test("jpeg_420_pixels: the chroma-subsampled decode is an expression " +
+    "riding the scan — doc_id pushes through, no barrier") {
+    val plan = physical(run("jpeg_420_pixels"))
+    assert(plan.contains("LessThan(doc_id,6)"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("png_pixels: the pixel decode is an expression, not a barrier — " +
     "doc_id pushes to the scan and no mapPartitions appears") {
     val plan = physical(run("png_pixels"))

@@ -128,6 +128,77 @@ class JpegDcSpec extends SparkTestBase {
     }
   }
 
+  test("chroma subsampling: 4:2:0 / 4:2:2 / 4:4:0 fixtures decode " +
+    "through real interleaved MCUs to the exact subPix contract, " +
+    "including cropped luma AND chroma edge blocks") {
+    (0L until 9L).foreach { id =>
+      val bytes = MediaFixtures.jpegSubMediaFor(id)
+      val d = JpegDc.decode(bytes).getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == 10 + (id * 7 % 29) && d.height == 9 + (id * 5 % 23))
+      assert(d.channels == 3)
+      val (yH, yV) = (id % 3) match {
+        case 0 => (2, 2); case 1 => (2, 1); case _ => (1, 2)
+      }
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / 3) % d.width
+        val y = i / (d.width * 3)
+        val c = i % 3
+        assert((d.pixels(i) & 0xff) == JpegDc.subPix(id, x, y, c, yH, yV),
+          s"id=$id ${yH}x$yV x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("seeded fuzz: 60 random (id, w, h, sampling) subsampled images " +
+    "round-trip bit-exact across the full {1,2}x{1,2} factor matrix") {
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 60).foreach { _ =>
+      val id = rnd.nextInt(10000).toLong
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(45)
+      val yH = 1 + rnd.nextInt(2)
+      val yV = 1 + rnd.nextInt(2)
+      val d = JpegDc.decode(JpegDc.jpegWithAcPixelsSampled(id, w, h, yH, yV))
+        .getOrElse(fail(s"id=$id ${w}x$h samp=${yH}x$yV did not decode"))
+      assert(d.width == w && d.height == h && d.channels == 3)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / 3) % w
+        val y = i / (w * 3)
+        val c = i % 3
+        assert((d.pixels(i) & 0xff) == JpegDc.subPix(id, x, y, c, yH, yV),
+          s"id=$id ${w}x$h samp=${yH}x$yV x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("sampling factors above 2 are outside the subset and rejected, " +
+    "and the header parser still reads subsampled frames") {
+    // patch the Y sampling byte of a good 4:2:0 frame to 3x1
+    val good = JpegDc.jpegWithAcPixelsSampled(5L, 24, 16, 2, 2)
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        val m = good(i + 1) & 0xff
+        if (m == 0xc0) at = i
+        else i += 2 + (((good(i + 2) & 0xff) << 8) | (good(i + 3) & 0xff))
+      }
+      at
+    }
+    assert((good(sofAt + 11) & 0xff) == 0x22) // Y sampling byte: 2x2
+    val bad = good.clone()
+    bad(sofAt + 11) = 0x31.toByte
+    assert(JpegDc.decode(bad).isEmpty)
+    // the shared header parser reads dims/channels from the 4:2:0 frame
+    val m = MediaCodec.parse(good).get
+    assert(m.format == "jpeg" && m.width == 24 && m.height == 16 &&
+      m.channels == 3)
+  }
+
   test("the DC-only stream decodes identically through the general " +
     "baseline path (flat blocks are just the all-AC-zero case)") {
     val d = JpegDc.decode(MediaFixtures.jpegPixelMediaFor(4L)).get
