@@ -52,11 +52,34 @@ object Bench {
     // the two passes instead of hitting both runs of the same query
     val pass1 = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
     val pass2 = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
+    // SPREAD GUARD (added r8): min-of-2 was not enough in r7 — a box
+    // draining its correctness sweep inflated the carried subset 1.35×
+    // with a 36% mean pass-to-pass spread. Any query whose two runs
+    // disagree by >1.5× gets a third pass; the artifact records the
+    // suite-level spread so a contended run is self-describing.
+    val needThird = ordered.filter { case (n, _) =>
+      val (a, b) = (pass1(n), pass2(n))
+      a >= 0 && b >= 0 && math.max(a, b) > 1.5 * math.max(math.min(a, b), 1e-9)
+    }
+    if (needThird.nonEmpty)
+      System.err.println(s"[bench] third pass for ${needThird.size} " +
+        s"queries with >1.5x pass spread: ${needThird.map(_._1).mkString(",")}")
+    val pass3 = needThird.map { case (n, fn) => n -> once(n, fn) }.toMap
     val results = ordered.map { case (name, _) =>
       val (a, b) = (pass1(name), pass2(name))
-      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      (name, best, a, b)
+      // a third-pass failure never erases two good runs; a failure in
+      // either primary pass still reports -1, never a flattering time
+      val runs = Seq(a, b) ++ pass3.get(name)
+      val best = if (a < 0 || b < 0) -1.0 else runs.filter(_ >= 0).min
+      (name, best, runs)
     }
+    // mean min/max ratio of the two primary passes: 1.0 = perfectly
+    // repeatable, r7's contended run measured 0.64
+    val spreads = results.collect { case (_, best, a +: b +: _) if best >= 0 =>
+      math.min(a, b) / math.max(math.max(a, b), 1e-9)
+    }
+    val meanSpread =
+      if (spreads.isEmpty) 1.0 else spreads.sum / spreads.size
     // Locale.ROOT: comma-decimal default locales would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // stdout per-query precision is ADAPTIVE: the harness captures the
@@ -69,26 +92,35 @@ object Bench {
     def numAt(v: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
     def queriesJson(decimals: Int): String =
-      results.map { case (k, v, _, _) => "\"" + k + "\":" + numAt(v, decimals) }
+      results.map { case (k, v, _) => "\"" + k + "\":" + numAt(v, decimals) }
         .mkString("{", ",", "}")
     // window minus wrapper/footer slack; measured r6 tail layout
     val budget = 1950
-    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 90)
+    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 120)
       .getOrElse {
-        // last resort: per-query values only for queries ≥ 0.1 s, the
-        // sub-deciseconds folded into one bucket — nothing informative
-        // is lost (they are noise-floor queries) and the line stays
-        // parseable, which r4/r5 proved matters more than completeness
-        val (slow, fast) = results.partition(_._2 >= 0.1)
-        (slow.map { case (k, v, _, _) => "\"" + k + "\":" + numAt(v, 1) } :+
-          ("\"_fast_n\":" + fast.size) :+
-          ("\"_fast_total\":" + numAt(fast.map(_._2).sum, 1)))
-          .mkString("{", ",", "}")
+        // last resort: per-query values only for queries above the
+        // fold threshold, the rest folded into one bucket — nothing
+        // informative is lost (they are noise-floor queries) and the
+        // line stays parseable, which r4/r5 proved matters more than
+        // completeness. The fold threshold RISES until the line fits:
+        // a future suite of many slow queries must not overflow the
+        // very window this fallback exists to respect.
+        def fold(thresh: Double): String = {
+          val (slow, fast) = results.partition(_._2 >= thresh)
+          (slow.map { case (k, v, _) => "\"" + k + "\":" + numAt(v, 1) } :+
+            ("\"_fast_n\":" + fast.size) :+
+            ("\"_fast_total\":" + numAt(fast.map(_._2).sum, 1)))
+            .mkString("{", ",", "}")
+        }
+        Seq(0.1, 0.25, 0.5, 1.0, 2.0).map(fold)
+          .find(_.length <= budget - 120)
+          // everything folded always fits: {"_fast_n":N,"_fast_total":X}
+          .getOrElse(fold(Double.MaxValue))
       }
-    val qs3 = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
+    val qs3 = results.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val raws = results.map { case (k, _, a, b) =>
-      "\"" + k + "\":[" + num(a) + "," + num(b) + "]"
+    val raws = results.map { case (k, _, runs) =>
+      "\"" + k + "\":[" + runs.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // stdout gets the COMPACT line only: the driver captures the last
@@ -97,9 +129,9 @@ object Bench {
     // and the artifact came back parsed:null in r4 AND r5 — raw runs now
     // live only in the bench.json file.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","spread":${num(meanSpread)},"retried":${needThird.size},"queries":$qs,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs3,"runs":$raws,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","spread":${num(meanSpread)},"retried":${needThird.size},"queries":$qs3,"runs":$raws,"sf":"$sfDir"}"""
     // Persist the full record first so the compact stdout line is the
     // LAST thing printed (fewer trailing chars eating into the tail
     // window; sbt still appends its own [success] footer).
