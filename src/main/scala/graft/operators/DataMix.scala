@@ -84,13 +84,22 @@ object DataMix {
     * kl_bits), n_terms = the group's distinct-token support size.
     *
     * Shape at 100 TB: ONE token shuffle builds the (group, tok, c)
-    * table — the only pass over the corpus — and it is persisted
-    * because three bounded aggregates read it (group totals, corpus
-    * token totals, the grand total; the same load-bearing persist as
-    * `packSequences`). Everything downstream works on |V|·|G| rows,
-    * not corpus rows: group totals and the grand total are one-row-
-    * per-group / one-row broadcasts; the corpus-marginal join
-    * re-shuffles only the bounded count table on `tok`. */
+    * table — the only pass over the corpus — materialized once via an
+    * eager localCheckpoint because three bounded aggregates plus the
+    * final join read it (the same load-bearing boundary as
+    * `packSequences`). localCheckpoint, not persist: a persist()
+    * pins its plan in the driver's CacheManager until an unpersist()
+    * that a lazy-returning function has no place to call (repeated
+    * calls accumulated cache entries for the driver's lifetime —
+    * round-7 finding); checkpoint blocks are instead released by the
+    * ContextCleaner when the caller drops the result. The trade is
+    * recompute-on-executor-loss: lineage is truncated, so losing a
+    * block fails the query and it retries from source — acceptable
+    * for a deterministic derived table, unlike an unbounded driver
+    * leak. Everything downstream works on |V|·|G| rows, not corpus
+    * rows: group totals and the grand total are one-row-per-group /
+    * one-row broadcasts; the corpus-marginal join re-shuffles only
+    * the bounded count table on `tok`. */
   def domainDivergence(
       docs: DataFrame,
       groupCol: String,
@@ -98,7 +107,7 @@ object DataMix {
     val lt = docs
       .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(groupCol, "tok").agg(count(lit(1)).as("__c"))
-      .persist()
+      .localCheckpoint(true)
     val lg = lt.groupBy(groupCol)
       .agg(sum("__c").cast("double").as("__ng"))
     val marginal = lt.groupBy("tok").agg(sum("__c").cast("double").as("__cg"))

@@ -90,14 +90,20 @@ object TextChunk {
       buckets: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = docs.sparkSession
-    // persist the (id, n) projection: the op takes three passes over
-    // it (bounds, per-bucket totals, the packing itself) and without
-    // the persist each pass re-tokenizes the full corpus — measured
-    // 2× at 1M docs (BASELINE.md). 16 bytes/doc, LRU-evictable.
+    // materialize the (id, n) projection ONCE via eager
+    // localCheckpoint: the op takes three passes over it (bounds,
+    // per-bucket totals, the packing itself) and without the boundary
+    // each pass re-tokenizes the full corpus — measured 2× at 1M docs
+    // (BASELINE.md). 16 bytes/doc. localCheckpoint, not persist: a
+    // persist() here has no unpersist() site (the result is lazy and
+    // still reads the projection), so each call pinned a CacheManager
+    // entry for the driver's lifetime (round-7 finding); checkpoint
+    // blocks are released by the ContextCleaner when the caller drops
+    // the result, at the cost of retry-from-source on executor loss.
     val counted = docs
       .select(col(idCol).cast("long").as("__id"),
         size_(split(col(textCol), " ")).cast("long").as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bounds = counted.agg(min("__id"), max("__id")).head()
     if (bounds.isNullAt(0))
       return spark.emptyDataFrame

@@ -13,6 +13,15 @@ object Shim {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** True iff the session's CacheManager holds no cached-plan entries.
+    * Test-support: operators that materialize bounded intermediates
+    * must not leave driver-lifetime cache registrations behind
+    * (a `persist()` without `unpersist()` pins its plan in the
+    * CacheManager forever; `localCheckpoint` blocks are instead
+    * released by the ContextCleaner when the consumer drops them). */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Register a native expression builder under `name` (idempotent and
     * silent: re-registering an already-present function would log a
     * "replaced a temporary function" warning per call, which pollutes

@@ -440,15 +440,16 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("domain_kl: ONE corpus pass — the (group, tok) count table is " +
-    "persisted and every downstream aggregate reads the cache; the " +
-    "only single-partition reduce is the one-row grand total") {
+    "materialized once (eager localCheckpoint) and every downstream " +
+    "aggregate reads the checkpointed blocks; the corpus file is " +
+    "never re-scanned and no cache entry outlives the call") {
     val plan = physical(run("domain_kl"))
-    // every FileScan in the text is the cached plan re-printed inside
-    // an InMemoryRelation — none executes outside the cache
-    assert(plan.split("FileScan").length == plan.split("InMemoryRelation").length,
-      plan)
-    assert(plan.split("InMemoryTableScan").length - 1 >= 3, plan)
+    // the only corpus scan ran at checkpoint time — the final plan
+    // reads the bounded |V|·|G| block table, not the files
+    assert(!plan.contains("FileScan"), plan)
+    assert(plan.split("Scan ExistingRDD").length - 1 >= 3, plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(org.apache.spark.sql.graftshim.Shim.cacheIsEmpty(spark), plan)
   }
 
   test("oov_rate: the vocabulary is a bounded TakeOrdered broadcast — " +

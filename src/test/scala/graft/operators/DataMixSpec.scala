@@ -84,6 +84,16 @@ class DataMixSpec extends SparkTestBase {
       out.mkString(", "))
   }
 
+  test("domainDivergence leaves no cached-plan entry behind — the " +
+    "count-table boundary is a localCheckpoint whose blocks die with " +
+    "the result, not a driver-lifetime CacheManager registration") {
+    spark.catalog.clearCache()
+    val docs = Seq(("g1", "a a b"), ("g2", "b c")).toDF("dom", "text")
+    DataMix.domainDivergence(docs, "dom", "text").collect()
+    assert(org.apache.spark.sql.graftshim.Shim.cacheIsEmpty(spark),
+      "domainDivergence registered a cached plan it never releases")
+  }
+
   test("parameter contract") {
     intercept[IllegalArgumentException] {
       DataMix.temperatureMixExact(corpus, "doc_id", "dom", 1.5, 10)

@@ -130,6 +130,17 @@ class TextChunkSpec extends SparkTestBase {
       (1L, 2L, 64L, 64L), (1L, 3L, 128L, 64L), (1L, 4L, 192L, 8L)))
   }
 
+  test("packSequences leaves no cached-plan entry behind — the " +
+    "(id, n) boundary is a localCheckpoint whose blocks die with the " +
+    "result, not a driver-lifetime CacheManager registration") {
+    spark.catalog.clearCache()
+    val docs = spark.range(100)
+      .selectExpr("id AS doc_id", "'a b c d e' AS text")
+    TextChunk.packSequences(docs, "doc_id", "text", 7).collect()
+    assert(org.apache.spark.sql.graftshim.Shim.cacheIsEmpty(spark),
+      "packSequences registered a cached plan it never releases")
+  }
+
   test("packSequences never plans a single-partition global sort — " +
     "the prefix sum is bucketed") {
     val docs = spark.range(1000)
