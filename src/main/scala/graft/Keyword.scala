@@ -86,13 +86,46 @@ object Keyword {
 
   private def indexKey(path: String): String = "index:" + path
 
+  // keys removed by [[invalidateIndex]] (append made the stats stale),
+  // so [[current]] can name the real cause instead of blaming an
+  // append that never happened when a key was merely EVICTED; bounded
+  // like the registry itself
+  private val invalidatedKeys =
+    new scala.collection.mutable.LinkedHashMap[String, Unit]
+  private def markInvalidated(key: String): Unit = {
+    if (invalidatedKeys.size >= MaxRegistrations)
+      invalidatedKeys.remove(invalidatedKeys.head._1)
+    invalidatedKeys(key) = ()
+  }
+
   private def activate(session: SparkSession, key: String,
       fresh: => Registration): Unit = {
-    if (!registry.contains(key)) {
-      if (registry.size >= MaxRegistrations)
-        registry.remove(registry.head._1) // drop eldest
-      registry(key) = fresh
+    registry.remove(key) match {
+      // re-activation: re-insert so the LinkedHashMap's insertion
+      // order tracks RECENCY of activation, not first registration —
+      // an insertion-ordered "eldest" can be a session's hot source
+      case Some(existing) => registry(key) = existing
+      case None =>
+        if (registry.size >= MaxRegistrations) {
+          // evict the least-recently-activated entry that is no live
+          // session's CURRENT source — evicting an active one would
+          // break a session that did everything right. The calling
+          // session's own about-to-be-replaced key does not count as
+          // in use (it is garbage the moment this activation lands).
+          // If every entry is some OTHER session's active source the
+          // bound is hard anyway: drop the eldest and its session
+          // re-registers on next use.
+          val inUse = {
+            import scala.jdk.CollectionConverters._
+            active.values.asScala.toSet -- Option(active.get(session))
+          }
+          val victim = registry.keys.find(!inUse.contains(_))
+            .getOrElse(registry.head._1)
+          registry.remove(victim)
+        }
+        registry(key) = fresh
     }
+    invalidatedKeys.remove(key) // a fresh registration clears the flag
     active.put(session, key)
   }
 
@@ -139,7 +172,8 @@ object Keyword {
     * [[Bm25Index.append]] so post-append scoring fails loudly (asking
     * for a re-register) instead of silently using pre-append stats. */
   private[graft] def invalidateIndex(path: String): Unit = synchronized {
-    registry.remove(indexKey(path))
+    if (registry.remove(indexKey(path)).isDefined)
+      markInvalidated(indexKey(path))
   }
 
   /** The `keyword_score` function builder (registered via
@@ -161,14 +195,23 @@ object Keyword {
 
   private def current(): Registration =
     SparkSession.getActiveSession.flatMap(s => Option(active.get(s))) match {
-      case Some(key) => registry.getOrElse(key,
-        // the session HAD a source but it was invalidated — never fall
-        // back to some other registration (silently wrong stats)
+      case Some(key) => registry.getOrElse(key, {
+        // the session HAD a source but it is gone — never fall back to
+        // some other registration (silently wrong stats). Name the
+        // actual cause: append invalidation and registry eviction ask
+        // for the same remedy but are different events.
+        val cause =
+          if (invalidatedKeys.contains(key))
+            "Bm25Index.append invalidated it — the pre-append " +
+              "statistics are stale for the grown corpus"
+          else
+            s"it was evicted when the registry exceeded " +
+              s"$MaxRegistrations distinct sources"
         throw new IllegalStateException(
-          "keyword_score: this session's stats source was invalidated " +
-          "(Bm25Index.append invalidates its registration — the " +
-          "pre-append statistics are stale) — re-register the appended " +
-          "index (Keyword.registerIndex) or the corpus (Txtai.register)"))
+          s"keyword_score: this session's stats source was dropped " +
+          s"($cause) — re-register the index (Keyword.registerIndex) " +
+          "or the corpus (Txtai.register)")
+      })
       case None =>
         // never activated in this session: unambiguous only when
         // exactly one source exists

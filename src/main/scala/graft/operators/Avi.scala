@@ -71,9 +71,15 @@ object Avi {
     var decodedBytes = 0L
 
     // walk the sub-chunks of [from, to); `inMovi` routes video chunks
-    // through the JPEG decoder. Recursion depth is bounded by the
-    // grammar (RIFF → LIST hdrl/movi → LIST strl/rec ), not the data.
-    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+    // through the JPEG decoder. The REAL grammar nests at most two
+    // LIST levels (RIFF → hdrl/movi → strl/rec ), but nothing forces
+    // dirty bytes to follow the grammar — a crafted blob of nested
+    // `LIST strl` headers would otherwise recurse thousands deep, and
+    // a StackOverflowError is an Error the `catch Exception` contract
+    // does not convert to None. Cap the depth explicitly (8 ≫ the
+    // grammar's 2, ≪ any stack limit).
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 8) return false
       var i = from
       while (i + 8 <= to) {
         val id = fourcc(b, i)
@@ -85,7 +91,7 @@ object Avi {
           val listType = fourcc(b, body)
           val isMovi = listType == "movi" || (inMovi && listType == "rec ")
           if (listType == "hdrl" || listType == "strl" || isMovi) {
-            if (!walk(body + 4, body + size, isMovi)) return false
+            if (!walk(body + 4, body + size, isMovi, depth + 1)) return false
           } // other LISTs (INFO, odml…) skip whole
         } else if (id == "avih") {
           if (size < 40) return false
@@ -110,7 +116,7 @@ object Avi {
       }
       true
     }
-    if (!walk(12, end, inMovi = false)) return None
+    if (!walk(12, end, inMovi = false, depth = 0)) return None
     val out = frames.result()
     if (width < 0 || out.isEmpty) return None
     Some(Decoded(width, height, usPerFrame, out))

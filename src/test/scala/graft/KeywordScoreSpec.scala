@@ -140,6 +140,43 @@ class KeywordScoreSpec extends SparkTestBase {
     assert(Keyword.model("vector") == mB)
   }
 
+  test("registry overflow prefers non-active victims (a session " +
+    "re-registering abandons its old key; nobody else breaks) and " +
+    "under the hard all-active bound the broken session gets the " +
+    "EVICTION message, never the misleading append one") {
+    import org.apache.spark.sql.SparkSession
+    val saved = SparkSession.getActiveSession
+    try {
+      // 64 sessions, one active corpus each: the registry is full and
+      // every entry is some live session's current source
+      val sessions = (0 until 64).map(_ => spark.newSession())
+      sessions.foreach { s =>
+        Keyword.registerCorpus(
+          s.range(2).selectExpr("id", "'vector hash' AS text"), "text")
+      }
+      // sessions(1) re-registers: its OLD key is the garbage the
+      // eviction should pick — sessions(0), the insertion-eldest,
+      // must survive (insertion-eldest eviction broke exactly this)
+      Keyword.registerCorpus(
+        sessions(1).range(3).selectExpr("id", "'vector scan' AS text"),
+        "text")
+      SparkSession.setActiveSession(sessions(0))
+      Keyword.model("vector") // still resolves — not evicted
+      // a 65th session under the all-active bound: the eldest
+      // (sessions(0)) is sacrificed, and its error names eviction
+      Keyword.registerCorpus(
+        spark.newSession().range(2)
+          .selectExpr("id", "'vector join' AS text"), "text")
+      SparkSession.setActiveSession(sessions(0))
+      val e = intercept[IllegalStateException] { Keyword.model("vector") }
+      assert(e.getMessage.contains("evicted"), e.getMessage)
+      assert(!e.getMessage.contains("append"), e.getMessage)
+      // everyone else still works
+      SparkSession.setActiveSession(sessions(2))
+      Keyword.model("vector")
+    } finally saved.foreach(SparkSession.setActiveSession)
+  }
+
   test("Bm25Index.append invalidates its keyword_score registration: " +
     "stale stats fail loudly, re-registering the appended index " +
     "resolves the GROWN corpus's stats") {

@@ -165,6 +165,31 @@ class AviSpec extends SparkTestBase {
     assert(Avi.decode(headerless).isEmpty)
   }
 
+  test("a crafted blob of deeply nested LIST strl headers is rejected " +
+    "by the explicit depth cap — None, not a StackOverflowError (an " +
+    "Error would escape the catch-Exception contract and kill the task)") {
+    // 4000 nested `LIST strl` shells around an empty core: each shell
+    // is 12 bytes (id + size + type), total ~48 KB — small enough for
+    // a crawl row, deep enough to blow an unguarded recursion
+    var body = Array[Byte]()
+    (0 until 4000).foreach { _ =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("LIST".getBytes("US-ASCII")); le32(out, 4 + body.length)
+      out.write("strl".getBytes("US-ASCII")); out.write(body, 0, body.length)
+      body = out.toByteArray
+    }
+    val blob = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); le32(out, 4 + body.length)
+      out.write("AVI ".getBytes("US-ASCII")); out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    assert(Avi.decode(blob).isEmpty)
+    // the cap is far above anything grammatical: the nested-rec
+    // fixture (depth 3) still decodes
+    assert(Avi.decode(Avi.aviWithFrames(5L, 16, 8, 2, 3)).nonEmpty)
+  }
+
   test("the cumulative decode budget rejects a container whose many " +
     "in-cap frames sum past MaxDecodedBytes — before the builder grows") {
     // 65 gray 2048×2048 frames = 4 MiB raster each; frame 65 pushes
