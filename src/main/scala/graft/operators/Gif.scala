@@ -10,12 +10,15 @@ package graft.operators
   * extension blocks (graphic control, comment, application, …) skipped
   * by sub-block length, and a complete variable-width LZW decode —
   * 9→12-bit code growth, clear/reset, the KwKwK self-reference case —
-  * per image descriptor. Untrusted dims are validated in Long against
-  * [[PngPixels.MaxDecodedBytes]] before any allocation. Outside the
-  * subset — interlaced frames, a frame with no active color table,
-  * out-of-palette indices, truncated or corrupt streams — the decoder
-  * returns None, never throws: the dirty-crawl-bytes contract shared
-  * by all four media codecs.
+  * per image descriptor. INTERLACED frames decode for real: the
+  * stored rows arrive in the spec's four-pass order (8-strided from
+  * row 0, 8-strided from 4, 4-strided from 2, 2-strided from 1) and
+  * are permuted back to raster order after LZW. Untrusted dims are
+  * validated in Long against [[PngPixels.MaxDecodedBytes]] before any
+  * allocation. Outside the subset — a frame with no active color
+  * table, out-of-palette indices, truncated or corrupt streams — the
+  * decoder returns None, never throws: the dirty-crawl-bytes contract
+  * shared by all four media codecs.
   *
   * Writer: a REAL greedy LZW compressor (longest-match dictionary,
   * width growth, clear-on-full) — not the fixed-width "uncompressed
@@ -45,14 +48,38 @@ object Gif {
   /** Decoded GIF: logical screen dims + every frame. */
   final case class Decoded(width: Int, height: Int, frames: Vector[Frame])
 
+  /** Source-row order of an interlaced frame (GIF89a §20): pass 1
+    * every 8th row from 0, pass 2 every 8th from 4, pass 3 every 4th
+    * from 2, pass 4 every 2nd from 1. `result(j)` = the raster row
+    * the j-th STORED row lands on — the writer emits rows in this
+    * order and the reader permutes them back. */
+  private[operators] def interlaceRows(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var j = 0
+    val starts = Array(0, 4, 2, 1)
+    val steps = Array(8, 8, 4, 2)
+    var p = 0
+    while (p < 4) {
+      var row = starts(p)
+      while (row < h) { out(j) = row; j += 1; row += steps(p) }
+      p += 1
+    }
+    out
+  }
+
   // ---------------------------------------------------------------- writer
 
   /** Complete animated GIF89a whose frame `f` pixel (x, y) equals
     * [[pix]]`(id, f, x, y)`: grayscale global color table (entry i =
     * (i,i,i), so index == luminance exactly), a comment extension and
     * per-frame graphic-control extensions (exercising the reader's
-    * block skipper), full-size non-interlaced frames, real LZW. */
-  def gifWithFrames(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    * block skipper), full-size frames, real LZW. `interlaced` stores
+    * every frame's rows in the four-pass order with the descriptor
+    * flag set — same pixels, permuted layout, so decoded output is
+    * bit-identical to the sequential form (the oracle is
+    * layout-independent by construction). */
+  def gifWithFrames(id: Long, w: Int, h: Int, nFrames: Int,
+      interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && nFrames > 0 && w * h.toLong * nFrames < (1L << 26),
       s"w=$w h=$h frames=$nFrames")
     val bos = new java.io.ByteArrayOutputStream()
@@ -74,16 +101,22 @@ object Gif {
       // graphic control extension (delay 10 cs, no transparency)
       bos.write(0x21); bos.write(0xf9); bos.write(4)
       bos.write(0); le16(10); bos.write(0); bos.write(0)
-      // image descriptor: full-size, no local table, not interlaced
-      bos.write(0x2c); le16(0); le16(0); le16(w); le16(h); bos.write(0)
+      // image descriptor: full-size, no local table; the interlace
+      // flag changes the stored ROW ORDER, not the pixels
+      bos.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+      bos.write(if (interlaced) 0x40 else 0)
+      val rowOf: Int => Int =
+        if (interlaced) { val order = interlaceRows(h); order(_) }
+        else identity
       val indices = new Array[Byte](w * h)
-      var y = 0
-      while (y < h) {
+      var j = 0
+      while (j < h) {
+        val y = rowOf(j) // stored row j carries raster row y
         var x = 0
         while (x < w) {
-          indices(y * w + x) = pix(id, f, x, y).toByte; x += 1
+          indices(j * w + x) = pix(id, f, x, y).toByte; x += 1
         }
-        y += 1
+        j += 1
       }
       bos.write(8) // LZW minimum code size
       val lzw = lzwEncode(indices, 8)
@@ -152,7 +185,7 @@ object Gif {
 
   // ---------------------------------------------------------------- reader
 
-  /** Real decode of the non-interlaced subset; None on anything dirty. */
+  /** Real decode (sequential AND interlaced row layouts); None on dirty bytes. */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     try decode0(bytes)
     catch { case _: Exception => None }
@@ -203,7 +236,7 @@ object Gif {
           val fw = le16(pos + 4); val fh = le16(pos + 6)
           val fpacked = b(pos + 8) & 0xff
           pos += 9
-          if ((fpacked & 0x40) != 0) return None // interlaced: out of subset
+          val interlaced = (fpacked & 0x40) != 0
           var table = gct
           if ((fpacked & 0x80) != 0) {
             val entries = 1 << ((fpacked & 7) + 1)
@@ -240,7 +273,21 @@ object Gif {
             luma(i) = table(idx)
             i += 1
           }
-          frames += Frame(left, top, fw, fh, luma)
+          // interlaced: stored row j belongs at raster row order(j) —
+          // a four-pass row permutation, same bytes per row
+          val raster =
+            if (!interlaced) luma
+            else {
+              val order = interlaceRows(fh)
+              val out = new Array[Byte](luma.length)
+              var j = 0
+              while (j < fh) {
+                System.arraycopy(luma, j * fw, out, order(j) * fw, fw)
+                j += 1
+              }
+              out
+            }
+          frames += Frame(left, top, fw, fh, raster)
         case _ => return None
       }
     }

@@ -162,13 +162,15 @@ object MediaFixtures {
   }
 
   /** Animated-GIF fixture ([[Gif.gifWithFrames]]): frame count and
-    * dims vary deterministically; frame pixels follow the pure
-    * contract [[Gif.pix]]. */
+    * dims vary deterministically; ODD ids store their rows in the
+    * four-pass INTERLACED layout (the decoder permutes them back, so
+    * the pixel contract [[Gif.pix]] — and every oracle built on it —
+    * is layout-independent). */
   def gifMediaFor(id: Long): Array[Byte] = {
     val frames = (2 + id % 3).toInt
     val w = (8 + math.floorMod(id * 5, 25)).toInt
     val h = (6 + math.floorMod(id * 7, 20)).toInt
-    Gif.gifWithFrames(id, w, h, frames)
+    Gif.gifWithFrames(id, w, h, frames, interlaced = id % 2 == 1)
   }
 
   /** PCM16 WAV fixture ([[WavPcm.wavWithSamples]]): frame count, layout

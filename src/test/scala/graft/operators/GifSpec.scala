@@ -36,18 +36,35 @@ class GifSpec extends SparkTestBase {
   }
 
   test("seeded fuzz: 50 random (id, w, h, frames) combos round-trip " +
-    "bit-exact through real LZW") {
+    "bit-exact through real LZW — half in the interlaced row layout") {
     val rnd = new scala.util.Random(4242)
     (0 until 50).foreach { _ =>
       val id = rnd.nextInt(100000).toLong
       val w = 1 + rnd.nextInt(60)
       val h = 1 + rnd.nextInt(40)
       val nf = 1 + rnd.nextInt(5)
-      val d = Gif.decode(Gif.gifWithFrames(id, w, h, nf)).getOrElse(
-        fail(s"id=$id w=$w h=$h nf=$nf did not decode"))
+      val il = rnd.nextBoolean()
+      val d = Gif.decode(Gif.gifWithFrames(id, w, h, nf, il)).getOrElse(
+        fail(s"id=$id w=$w h=$h nf=$nf interlaced=$il did not decode"))
       assert(d.frames.length == nf && d.frames.head.width == w &&
         d.frames.head.height == h)
       checkFrames(id, d)
+    }
+  }
+
+  test("interlaced and sequential forms of the same frames store " +
+    "DIFFERENT bytes but decode to IDENTICAL rasters — the four-pass " +
+    "permutation round-trips exactly at every height including h < 8") {
+    (1 to 11).foreach { h =>
+      val seq = Gif.gifWithFrames(7L, 13, h, 2, interlaced = false)
+      val il = Gif.gifWithFrames(7L, 13, h, 2, interlaced = true)
+      if (h > 1) assert(!seq.sameElements(il), s"h=$h layouts must differ")
+      val a = Gif.decode(seq).get
+      val b = Gif.decode(il).get
+      a.frames.zip(b.frames).foreach { case (fa, fb) =>
+        assert(fa.luma.sameElements(fb.luma), s"h=$h")
+      }
+      checkFrames(7L, b)
     }
   }
 
@@ -116,10 +133,15 @@ class GifSpec extends SparkTestBase {
     assert(Gif.decode("GIF90a".getBytes("US-ASCII")).isEmpty)
     assert(Gif.decode(good.take(good.length / 2)).isEmpty) // truncated
     assert(Gif.decode(good.dropRight(1)).isEmpty) // missing trailer
-    // interlace flag is outside the subset
+    // the interlace flag is HONORED, not rejected: flipping it on a
+    // sequentially-stored stream decodes fine but lands the stored
+    // rows on their four-pass positions — stored row 1 of an h=9
+    // frame becomes raster row 8 (order 0,8,4,2,6,1,3,5,7)
     val descriptorAt = good.indexOfSlice(Array[Byte](0x2c, 0, 0, 0, 0, 12, 0, 9, 0))
     val inter = good.clone(); inter(descriptorAt + 9) = 0x40.toByte
-    assert(Gif.decode(inter).isEmpty)
+    val permuted = Gif.decode(inter).getOrElse(fail("flag flip must decode"))
+    val seqRow1 = (0 until 12).map(x => Gif.pix(1L, 0, x, 1).toByte)
+    assert(permuted.frames.head.luma.slice(8 * 12, 9 * 12).sameElements(seqRow1))
     // a WAV is not a GIF
     assert(Gif.decode(MediaFixtures.wavMediaFor(2L)).isEmpty)
     // huge declared dims must refuse before allocating
