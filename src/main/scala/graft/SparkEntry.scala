@@ -1293,6 +1293,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style composite quality gate (Rae et al. §A1.1): SIX
+    // signals — token bounds, distinct ratio, stopword presence, mean
+    // word length, top-bigram repetition, frozen-LM bits-per-token —
+    // and their conjunction, in ONE corpus pass with ZERO shuffles:
+    // even the per-doc top-bigram count (a groupBy in doc_repetition)
+    // runs inside the row as a sorted-array longest-run aggregate.
+    // The vocab-1024 model covers the full corpus vocabulary, so the
+    // oracle re-derives the LM term with lm_quality's exact formula.
+    // Thresholds chosen to split the corpus (not all-keep/all-drop).
+    "quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.LmScore.model(docs, "text", vocabSize = 1024)
+      operators.QualityGate.gate(docs, "doc_id", "text", m,
+          minTokens = 25, maxTokens = 100000,
+          minDistinctRatio = 0.45, minStopwords = 1,
+          maxTopBigramFrac = 0.18, maxBitsPerToken = 4.91)
+        .orderBy("doc_id")
+    }),
+
     // Concat-and-chunk sequence packing — documents laid end to end in
     // doc_id order, fixed 256-token training sequences, one row per
     // (doc, sequence) overlap. The global prefix sum is bucketed
@@ -3037,6 +3056,54 @@ object SparkEntry {
         |    / count(*), 6) AS bits_per_token
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // every gate signal re-derived independently: bigram repetition
+    // via the explode/group form (the engine used an in-row sorted
+    // longest-run), the LM term via lm_quality's full formula (the
+    // engine used the frozen vocab-1024 model, which covers the whole
+    // vocabulary), and the keep boolean from the same thresholds over
+    // the same 6-decimal roundings — a drift in ANY signal or in the
+    // conjunction flips booleans and breaks the hash
+    "quality_gate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |bpt AS (
+        |  SELECT t.doc_id,
+        |    round(sum(-log2((c + 0.5) / (n + 0.5 * v))) / count(*), 6)
+        |      AS bits_per_token
+        |  FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+        |  GROUP BY t.doc_id),
+        |bg AS (
+        |  SELECT doc_id, toks[ii.i] || ' ' || toks[ii.i + 1] AS b
+        |  FROM docs, LATERAL unnest(range(1, len(toks))) AS ii(i)),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, max(c) AS best, sum(c) AS nb
+        |          FROM bgc GROUP BY 1),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |    round(len(list_distinct(d.toks)) * 1.0 / len(d.toks), 6)
+        |      AS distinct_ratio,
+        |    CAST(len(list_filter(d.toks, x -> x IN ('the', 'be', 'to',
+        |      'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
+        |      AS n_stopwords,
+        |    round(list_sum(list_transform(d.toks, x -> len(x))) * 1.0
+        |      / len(d.toks), 6) AS mean_word_len,
+        |    round(coalesce(t.best * 1.0 / t.nb, 0), 6) AS top_bigram_frac,
+        |    b.bits_per_token
+        |  FROM docs d LEFT JOIN topbg t USING (doc_id)
+        |  JOIN bpt b USING (doc_id))
+        |SELECT doc_id, n_tokens, distinct_ratio, n_stopwords,
+        |  mean_word_len, top_bigram_frac, bits_per_token,
+        |  (n_tokens BETWEEN 25 AND 100000 AND distinct_ratio >= 0.45
+        |   AND n_stopwords >= 1 AND mean_word_len BETWEEN 3 AND 10
+        |   AND top_bigram_frac <= 0.18 AND bits_per_token <= 4.91)
+        |    AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     // the oracle packs with a plain global window over the same token
     // stream — the engine's bucketed prefix sum must land every doc at

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.UnigramModelRef
+
+/** Gopher-style document quality gate (Rae et al. 2021 §A1.1): the
+  * composite keep/drop filter every pretraining pipeline actually
+  * runs, combining the repo's individually-proven signals — token
+  * count bounds, distinct-token ratio, stopword presence, mean word
+  * length, top-bigram repetition fraction, and frozen-model LM
+  * bits-per-token — into one boolean per document.
+  *
+  * Shape at 100 TB: a PURE MAP — one pass over the corpus, zero
+  * shuffles, zero joins. Every signal that looks aggregate-shaped is
+  * per-document and therefore computable inside a row: the bigram
+  * repetition fraction (a groupBy(doc, bigram) in
+  * [[graft.SparkEntry]]'s `doc_repetition` form) here sorts the
+  * row's own bigram array and takes the longest equal run with an
+  * `aggregate` higher-order function, and the LM score is the frozen
+  * [[UnigramModelRef]] map ([[LmScore.bitsPerToken]]). The only jobs
+  * beyond the scan are the model fit's bounded aggregates, which run
+  * once BEFORE the query plan exists (CCNet's fit-once/score-forever
+  * deployment shape). Streams score exactly like batches — no state.
+  *
+  * Thresholds compare against the ROUNDED (6-decimal) signal values,
+  * so an oracle re-deriving the signals with the same rounding makes
+  * the same keep/drop call on every document — boundary cases
+  * included.
+  */
+object QualityGate {
+
+  /** Gopher's §A1.1 stop list (must appear ≥ `minStopwords` times). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Longest equal run in the row's SORTED bigram list = the top
+    * bigram's occurrence count, with no per-key shuffle. Guarded for
+    * n < 2 tokens (`slice(toks, 1, 0)` keeps the empty branch typed
+    * array<string>). */
+  private def topBigramCountExpr(toksCol: String): String =
+    s"""aggregate(
+       |  array_sort(CASE WHEN size($toksCol) < 2 THEN slice($toksCol, 1, 0)
+       |    ELSE transform(sequence(0, size($toksCol) - 2),
+       |      i -> concat($toksCol[i], ' ', $toksCol[i + 1])) END),
+       |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+       |    'best', CAST(0 AS BIGINT)),
+       |  (acc, b) -> named_struct(
+       |    'prev', b,
+       |    'run', CAST(IF(b = acc.prev, acc.run + 1, 1) AS BIGINT),
+       |    'best', greatest(acc.best,
+       |      CAST(IF(b = acc.prev, acc.run + 1, 1) AS BIGINT))),
+       |  acc -> acc.best)""".stripMargin
+
+  /** Score and gate every document. Output: (idCol, n_tokens,
+    * distinct_ratio, n_stopwords, mean_word_len, top_bigram_frac,
+    * bits_per_token, keep) — all ratios rounded to 6 decimals, `keep`
+    * the conjunction of the six threshold tests. `m` is a frozen
+    * model from [[LmScore.model]] (fit it on the same corpus for the
+    * self-scoring CCNet shape, or on a reference corpus to score
+    * against external quality). */
+  def gate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: UnigramModelRef,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minDistinctRatio: Double = 0.45,
+      minStopwords: Long = 1,
+      stopwords: Seq[String] = GopherStopwords,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopBigramFrac: Double = 0.18,
+      maxBitsPerToken: Double = 1e9): DataFrame = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"token bounds [$minTokens, $maxTokens]")
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      s"stopwords must be plain lowercase words, got $stopwords")
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    val base = docs.withColumn("__toks", split(col(textCol), " "))
+    val sig = base.select(
+      col(idCol),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      expr("size(array_distinct(__toks))").cast("long").as("__nd"),
+      expr(s"size(filter(__toks, t -> t IN ($stopList)))")
+        .cast("long").as("n_stopwords"),
+      expr("aggregate(__toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+        .as("__chars"),
+      expr(topBigramCountExpr("__toks")).as("__topbg"),
+      graft.operators.LmScore.bitsPerToken(col(textCol), m)
+        .as("bits_per_token"))
+    sig
+      .withColumn("distinct_ratio",
+        round(col("__nd").cast("double") / col("n_tokens"), 6))
+      .withColumn("mean_word_len",
+        round(col("__chars").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") < 2, lit(0.0)).otherwise(
+          round(col("__topbg").cast("double") / (col("n_tokens") - 1), 6)))
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("distinct_ratio") >= minDistinctRatio &&
+          col("n_stopwords") >= minStopwords &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("bits_per_token") <= maxBitsPerToken)
+      .select(col(idCol), col("n_tokens"), col("distinct_ratio"),
+        col("n_stopwords"), col("mean_word_len"), col("top_bigram_frac"),
+        col("bits_per_token"), col("keep"))
+  }
+}

@@ -477,6 +477,20 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("quality_gate: six signals and the keep boolean in ONE corpus " +
+    "pass with ZERO data shuffles — no join, no aggregate, no window; " +
+    "the only exchange is the output sort") {
+    val plan = physical(run("quality_gate"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.split("FileScan").length - 1 == 1, plan)
+    assert(plan.contains("unigram_bits") || plan.contains("UnigramBits"),
+      plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class QualityGateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def m(docs: org.apache.spark.sql.DataFrame) =
+    LmScore.model(docs, "text", vocabSize = 1024)
+
+  test("every signal matches a hand computation on a tiny corpus, " +
+    "and keep is their conjunction") {
+    val docs = Seq(
+      // 6 tokens, all distinct, 1 stopword, mean len 20/6, no repeat
+      (1L, "the quick brown fox jumps high"),
+      // heavy bigram repetition: "go go" appears 4x of 5 bigrams
+      (2L, "go go go go go stop"),
+      // no stopwords at all
+      (3L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = QualityGate.gate(docs, "doc_id", "text", m(docs),
+        minTokens = 2, maxTokens = 100, minDistinctRatio = 0.4,
+        minStopwords = 1, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+        maxTopBigramFrac = 0.5, maxBitsPerToken = 1e9)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 6L) // n_tokens
+    assert(r1.getDouble(2) == 1.0) // distinct_ratio
+    assert(r1.getLong(3) == 1L) // n_stopwords ("the")
+    assert(r1.getDouble(4) == math.rint(25.0 / 6 * 1e6) / 1e6, r1) // mean_word_len
+    assert(r1.getDouble(5) == 0.2) // "quick brown" etc all unique: 1/5
+    assert(r1.getBoolean(7), r1) // keep
+    val r2 = out(1)
+    assert(r2.getLong(1) == 6L)
+    assert(r2.getDouble(2) == math.rint(2.0 / 6 * 1e6) / 1e6) // go, stop
+    assert(r2.getDouble(5) == 0.8) // "go go" 4 of 5 bigrams
+    assert(!r2.getBoolean(7), "bigram repetition + distinct ratio drop it")
+    val r3 = out(2)
+    assert(r3.getLong(3) == 0L)
+    assert(!r3.getBoolean(7), "no stopwords drops it")
+  }
+
+  test("edge shapes: a 1-token doc has zero bigram fraction and is " +
+    "droppable only by the token bound; thresholds compare on the " +
+    "rounded values (boundary docs keep deterministically)") {
+    val docs = Seq((1L, "word"), (2L, "the the")).toDF("doc_id", "text")
+    val out = QualityGate.gate(docs, "doc_id", "text", m(docs),
+        minTokens = 1, maxTokens = 10, minDistinctRatio = 0.5,
+        minStopwords = 0, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+        maxTopBigramFrac = 1.0, maxBitsPerToken = 1e9)
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(5) == 0.0 && out(0).getBoolean(7))
+    // "the the": distinct_ratio 0.5 lands EXACTLY on the threshold —
+    // rounded-value comparison keeps it on both engines
+    assert(out(1).getDouble(2) == 0.5 && out(1).getBoolean(7))
+  }
+
+  test("the gate's LM term equals lm_quality's full-vocabulary score " +
+    "when the frozen model covers the whole vocabulary") {
+    val docs = Seq((1L, "a b c a"), (2L, "c c d")).toDF("doc_id", "text")
+    val viaGate = QualityGate.gate(docs, "doc_id", "text", m(docs))
+      .select("doc_id", "bits_per_token").orderBy("doc_id").collect()
+    val viaScore = LmScore.score(docs, "doc_id", "text")
+      .select("doc_id", "bits_per_token").orderBy("doc_id").collect()
+    assert(viaGate.map(_.getDouble(1)).toSeq ==
+      viaScore.map(_.getDouble(1)).toSeq)
+  }
+
+  test("parameter contract: stopwords are validated (they are spliced " +
+    "into an expression) and token bounds sanity-checked") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val model = m(docs)
+    intercept[IllegalArgumentException] {
+      QualityGate.gate(docs, "doc_id", "text", model,
+        stopwords = Seq("bad') OR ('1"))
+    }
+    intercept[IllegalArgumentException] {
+      QualityGate.gate(docs, "doc_id", "text", model,
+        minTokens = 10, maxTokens = 5)
+    }
+  }
+}
