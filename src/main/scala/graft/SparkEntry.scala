@@ -1312,6 +1312,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The full pretraining pipeline — PII scrub → benchmark
+    // decontamination → exact dedup → quality gate → temperature
+    // domain mix → sequence packing — as ONE composition
+    // (operators.Pipeline), every stage individually oracle-proven
+    // elsewhere in this file. Fixture dirtying (pii_redact's pattern):
+    // every doc_id % 10 == 9 becomes the same boilerplate error page
+    // and even ids grow a synthetic contact email — so post-scrub the
+    // even boilerplate copies are byte-identical and the dedup stage
+    // catches duplicates a raw-byte dedup NEVER could (their dirty
+    // bytes differ by the email local-part). The benchmark is the raw
+    // [450, 500) window (decontaminate's fixed eval set); the gate
+    // model is fit on the scrubbed train corpus (self-scoring CCNet
+    // shape). Output: one row per surviving (document, training
+    // sequence) overlap.
+    "pretrain_pipeline" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val id = col("doc_id")
+      val boiler = "error 503 the service is temporarily unavailable " +
+        "the server is busy please try again later we apologize for " +
+        "the inconvenience if the problem persists contact support " +
+        "and check the status page for updates"
+      val dirty = raw
+        .withColumn("text",
+          when(id % 10 === 9, lit(boiler)).otherwise(col("text")))
+        .withColumn("text", concat(col("text"),
+          when(id % 2 === 0, concat(lit(" contact user"),
+            id.cast("string"), lit("@example.com"))).otherwise(lit(""))))
+      val train = dirty.filter(id < 450)
+      val bench = operators.Decontaminate.benchmarkShingles(
+        raw.filter(id >= 450 && id < 500), "doc_id", "text", n = 5)
+      val m = operators.LmScore.model(
+        operators.TextClean.redactPii(train, "text"), "text",
+        vocabSize = 1024)
+      operators.Pipeline.pretrain(train, "doc_id", "text", "lang",
+          bench, shingleN = 5, minHits = 2, m,
+          operators.Pipeline.GateConfig(minTokens = 25,
+            maxTokens = 100000, minDistinctRatio = 0.45,
+            minStopwords = 1, maxTopBigramFrac = 0.18,
+            maxBitsPerToken = 5.06),
+          alpha = 0.5, totalOut = 30, seqLen = 256)
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // Concat-and-chunk sequence packing — documents laid end to end in
     // doc_id order, fixed 256-token training sequences, one row per
     // (doc, sequence) overlap. The global prefix sum is bucketed
@@ -3104,6 +3147,118 @@ object SparkEntry {
         |   AND top_bigram_frac <= 0.18 AND bits_per_token <= 4.91)
         |    AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // the WHOLE pipeline re-derived stage by stage from the raw
+    // table: dirtying, the 4-regex scrub, shingle hits vs the raw
+    // eval window's union set, row_number dedup over the SCRUBBED
+    // text, all six gate signals (LM fit = all scrubbed train docs;
+    // vocab 1024 covers the full corpus vocabulary so the inner join
+    // is total), the α=0.5 temperature thresholds with the portable
+    // mix hash, and the global prefix-sum pack — a drift in ANY stage
+    // moves doc offsets and breaks the hash
+    "pretrain_pipeline" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN doc_id % 10 = 9 THEN
+        |      'error 503 the service is temporarily unavailable the server is busy please try again later we apologize for the inconvenience if the problem persists contact support and check the status page for updates'
+        |      ELSE text END) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tt AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |        '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |        '<IP>', 'g') AS text
+        |    FROM dirty WHERE doc_id < 450)),
+        |evd AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id >= 450 AND doc_id < 500),
+        |evsh AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_transform(range(len(tk) - 4),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+        |      || tk[i+4] || ' ' || tk[i+5])) AS sh
+        |  FROM evd WHERE len(tk) >= 5)),
+        |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(tk) - 4),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+        |      || tk[i+4] || ' ' || tk[i+5]))) AS sh
+        |  FROM tt WHERE len(tk) >= 5),
+        |hits AS (SELECT t.doc_id, count(*) AS h
+        |         FROM tsh t JOIN evsh USING (sh) GROUP BY 1),
+        |dec AS (SELECT tt.* FROM tt LEFT JOIN hits USING (doc_id)
+        |        WHERE coalesce(h, 0) < 2),
+        |ded AS (SELECT doc_id, lang, tk FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY text ORDER BY doc_id) AS rn FROM dec)
+        |  WHERE rn = 1),
+        |ftk AS (SELECT unnest(tk) AS tok FROM tt),
+        |counts AS (SELECT tok, count(*) AS c FROM ftk GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |dtk AS (SELECT doc_id, unnest(tk) AS tok FROM ded),
+        |bpt AS (SELECT d.doc_id,
+        |    round(sum(-log2((c + 0.5) / (n + 0.5 * v))) / count(*), 6)
+        |      AS bpt
+        |  FROM dtk d JOIN counts USING (tok) CROSS JOIN tot
+        |  GROUP BY 1),
+        |bg AS (SELECT doc_id, tk[ii.i] || ' ' || tk[ii.i + 1] AS b
+        |       FROM ded, LATERAL unnest(range(1, len(tk))) AS ii(i)),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, max(c) AS best FROM bgc GROUP BY 1),
+        |gated AS (
+        |  SELECT d.doc_id, d.lang, d.tk
+        |  FROM ded d LEFT JOIN topbg t USING (doc_id)
+        |       JOIN bpt b USING (doc_id)
+        |  WHERE len(d.tk) BETWEEN 25 AND 100000
+        |    AND round(len(list_distinct(d.tk)) * 1.0 / len(d.tk), 6)
+        |        >= 0.45
+        |    AND len(list_filter(d.tk, x -> x IN ('the', 'be', 'to',
+        |      'of', 'and', 'that', 'have', 'with'))) >= 1
+        |    AND round(list_sum(list_transform(d.tk, x -> len(x))) * 1.0
+        |        / len(d.tk), 6) BETWEEN 3 AND 10
+        |    AND round(coalesce(t.best, 0) * 1.0 / (len(d.tk) - 1), 6)
+        |        <= 0.18
+        |    AND b.bpt <= 5.06),
+        |c AS (SELECT lang, count(*) AS n FROM gated GROUP BY lang),
+        |dnm AS (SELECT sum(pow(n, 0.5)) AS denom FROM c),
+        |tg AS (SELECT lang, n, least(n,
+        |         CAST(floor(round(30 * pow(n, 0.5) / denom, 6))
+        |           AS BIGINT)) AS k
+        |       FROM c CROSS JOIN dnm),
+        |th AS (SELECT lang,
+        |         CAST(floor(1000000007 * (k::DOUBLE / n::DOUBLE))
+        |           AS BIGINT) AS t
+        |       FROM tg),
+        |mx0 AS (SELECT doc_id, lang, tk,
+        |          (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |        FROM gated),
+        |mx1 AS (SELECT doc_id, lang, tk,
+        |          xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1
+        |        FROM mx0),
+        |mx2 AS (SELECT doc_id, lang, tk,
+        |          xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2
+        |        FROM mx1),
+        |mixed AS (SELECT mx2.doc_id, mx2.tk FROM mx2
+        |          JOIN th USING (lang) WHERE h2 < th.t),
+        |o AS (SELECT doc_id, len(tk) AS n,
+        |        CAST(sum(len(tk)) OVER (ORDER BY doc_id) - len(tk)
+        |          AS BIGINT) AS off
+        |      FROM mixed),
+        |x AS (SELECT doc_id, n, off, s.k
+        |      FROM o, LATERAL unnest(
+        |        range(off // 256, (off + n - 1) // 256 + 1)) AS s(k))
+        |SELECT doc_id, CAST(k AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, k * 256 - off) AS BIGINT) AS tok_from,
+        |  CAST(least((k + 1) * 256, off + n)
+        |    - greatest(k * 256, off) AS BIGINT) AS n_toks
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
 
     // the oracle packs with a plain global window over the same token
     // stream — the engine's bucketed prefix sum must land every doc at

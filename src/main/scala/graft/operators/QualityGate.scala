@@ -53,6 +53,61 @@ object QualityGate {
        |      CAST(IF(b = acc.prev, acc.run + 1, 1) AS BIGINT))),
        |  acc -> acc.best)""".stripMargin
 
+  private val SignalCols = Seq("n_tokens", "distinct_ratio",
+    "n_stopwords", "mean_word_len", "top_bigram_frac", "bits_per_token",
+    "keep")
+
+  /** All six signals plus `keep` APPENDED to the input's columns (one
+    * projection — the composition form: a pipeline stage that filters
+    * on `keep` and passes the document through). See [[gate]] for
+    * semantics. */
+  def signals(
+      docs: DataFrame,
+      textCol: String,
+      m: UnigramModelRef,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minDistinctRatio: Double = 0.45,
+      minStopwords: Long = 1,
+      stopwords: Seq[String] = GopherStopwords,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopBigramFrac: Double = 0.18,
+      maxBitsPerToken: Double = 1e9): DataFrame = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"token bounds [$minTokens, $maxTokens]")
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      s"stopwords must be plain lowercase words, got $stopwords")
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("__nd",
+        expr("size(array_distinct(__toks))").cast("long"))
+      .withColumn("n_stopwords",
+        expr(s"size(filter(__toks, t -> t IN ($stopList)))").cast("long"))
+      .withColumn("__chars",
+        expr("aggregate(__toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"))
+      .withColumn("__topbg", expr(topBigramCountExpr("__toks")))
+      .withColumn("bits_per_token",
+        graft.operators.LmScore.bitsPerToken(col(textCol), m))
+      .withColumn("distinct_ratio",
+        round(col("__nd").cast("double") / col("n_tokens"), 6))
+      .withColumn("mean_word_len",
+        round(col("__chars").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") < 2, lit(0.0)).otherwise(
+          round(col("__topbg").cast("double") / (col("n_tokens") - 1), 6)))
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("distinct_ratio") >= minDistinctRatio &&
+          col("n_stopwords") >= minStopwords &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("bits_per_token") <= maxBitsPerToken)
+      .drop("__toks", "__nd", "__chars", "__topbg")
+  }
+
   /** Score and gate every document. Output: (idCol, n_tokens,
     * distinct_ratio, n_stopwords, mean_word_len, top_bigram_frac,
     * bits_per_token, keep) — all ratios rounded to 6 decimals, `keep`
@@ -73,41 +128,30 @@ object QualityGate {
       minMeanWordLen: Double = 3.0,
       maxMeanWordLen: Double = 10.0,
       maxTopBigramFrac: Double = 0.18,
-      maxBitsPerToken: Double = 1e9): DataFrame = {
-    require(minTokens >= 1 && maxTokens >= minTokens,
-      s"token bounds [$minTokens, $maxTokens]")
-    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
-      s"stopwords must be plain lowercase words, got $stopwords")
-    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    val base = docs.withColumn("__toks", split(col(textCol), " "))
-    val sig = base.select(
-      col(idCol),
-      size(col("__toks")).cast("long").as("n_tokens"),
-      expr("size(array_distinct(__toks))").cast("long").as("__nd"),
-      expr(s"size(filter(__toks, t -> t IN ($stopList)))")
-        .cast("long").as("n_stopwords"),
-      expr("aggregate(__toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
-        .as("__chars"),
-      expr(topBigramCountExpr("__toks")).as("__topbg"),
-      graft.operators.LmScore.bitsPerToken(col(textCol), m)
-        .as("bits_per_token"))
-    sig
-      .withColumn("distinct_ratio",
-        round(col("__nd").cast("double") / col("n_tokens"), 6))
-      .withColumn("mean_word_len",
-        round(col("__chars").cast("double") / col("n_tokens"), 6))
-      .withColumn("top_bigram_frac",
-        when(col("n_tokens") < 2, lit(0.0)).otherwise(
-          round(col("__topbg").cast("double") / (col("n_tokens") - 1), 6)))
-      .withColumn("keep",
-        col("n_tokens").between(minTokens, maxTokens) &&
-          col("distinct_ratio") >= minDistinctRatio &&
-          col("n_stopwords") >= minStopwords &&
-          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
-          col("top_bigram_frac") <= maxTopBigramFrac &&
-          col("bits_per_token") <= maxBitsPerToken)
-      .select(col(idCol), col("n_tokens"), col("distinct_ratio"),
-        col("n_stopwords"), col("mean_word_len"), col("top_bigram_frac"),
-        col("bits_per_token"), col("keep"))
-  }
+      maxBitsPerToken: Double = 1e9): DataFrame =
+    signals(docs, textCol, m, minTokens, maxTokens, minDistinctRatio,
+      minStopwords, stopwords, minMeanWordLen, maxMeanWordLen,
+      maxTopBigramFrac, maxBitsPerToken)
+      .select(col(idCol) +: SignalCols.map(col): _*)
+
+  /** The FILTER form: documents surviving the gate, original columns
+    * only (signals computed, tested, and dropped in one projection). */
+  def filterKept(
+      docs: DataFrame,
+      textCol: String,
+      m: UnigramModelRef,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minDistinctRatio: Double = 0.45,
+      minStopwords: Long = 1,
+      stopwords: Seq[String] = GopherStopwords,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopBigramFrac: Double = 0.18,
+      maxBitsPerToken: Double = 1e9): DataFrame =
+    signals(docs, textCol, m, minTokens, maxTokens, minDistinctRatio,
+      minStopwords, stopwords, minMeanWordLen, maxMeanWordLen,
+      maxTopBigramFrac, maxBitsPerToken)
+      .filter(col("keep"))
+      .drop(SignalCols: _*)
 }

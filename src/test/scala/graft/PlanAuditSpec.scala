@@ -491,6 +491,34 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("pretrain_pipeline: the four cleaning stages (scrub → " +
+    "decontaminate → dedup → gate) read the corpus text exactly ONCE " +
+    "— one FileScan with text in its ReadSchema, no Join (the set-" +
+    "form decontaminate and the gate are maps; dedup is one window)") {
+    import graft.operators._
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet").select("doc_id", "text", "lang")
+    val m = LmScore.model(docs, "text", vocabSize = 1024)
+    val plan = physical(Pipeline.cleaned(docs, "doc_id", "text",
+      Seq("never present shingle text here x"), 5, 2, m))
+    assert(plan.split("FileScan").length - 1 == 1, plan)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text"), readSchema)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("pretrain_pipeline: downstream of the clean-corpus boundary " +
+    "nothing re-reads the raw files — ZERO FileScans in the final " +
+    "plan (mix + pack run over the one materialized corpus) and no " +
+    "single-partition exchange (the pack prefix sum stays bucketed)") {
+    val plan = physical(run("pretrain_pipeline"))
+    assert(!plan.contains("FileScan"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("pack_sequences: the global prefix sum is bucketed — no " +
     "single-partition exchange anywhere in the plan") {
     val plan = physical(run("pack_sequences"))
