@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are parquet TIMESTAMP(NANOS) which Spark
-      // cannot scan natively; read them as long nanos-since-epoch.
+      // testdata timestamps are parquet TIMESTAMP(MICROS) (scanned
+      // natively as TIMESTAMP_NTZ); this flag is a no-op for them and
+      // stays only so a NANOS-stamped regeneration reads as long
+      // instead of failing the whole scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

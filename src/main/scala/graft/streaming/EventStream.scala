@@ -17,11 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Event with a proper timestamp column (the testdata parquet stores
-    * TIMESTAMP(NANOS) which we scan as long nanos — see nanosAsLong). */
+  /** Event time as a session-zoned TIMESTAMP truncated to whole
+    * seconds (the testdata parquet stores TIMESTAMP(MICROS) without a
+    * zone, which Spark scans as TIMESTAMP_NTZ; sessions run UTC, so
+    * the cast is instant-preserving). Second truncation keeps session
+    * boundaries and window buckets bit-stable against sub-second
+    * jitter — and matches the oracle's floor(epoch(ts)). */
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("event_time",
-      timestamp_seconds(expr("ts div 1000000000")))
+      date_trunc("second", col("ts")).cast("timestamp"))
 
   /** Tumbling-window counts per event type, watermarked for state
     * cleanup when run as a stream; identical results in batch mode. */

@@ -43,7 +43,7 @@ class AsOfJoinSpec extends SparkTestBase {
     val ev = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
-        (col("ts").cast("long") / 1000).cast("long").as("us"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
         col("value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

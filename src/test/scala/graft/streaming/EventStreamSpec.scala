@@ -39,7 +39,7 @@ class EventStreamSpec extends SparkTestBase {
       // user 2: single event
       (2L, ts(5), 10.0))
       .toDF("user_id", "event_time", "value")
-      .withColumn("ts", unix_timestamp(col("event_time")) * 1000000000L)
+      .withColumn("ts", col("event_time"))
       .select("user_id", "ts", "value")
     val out = EventStream.sessionizeBatch(e, gapSeconds = 600)
       .orderBy("user_id", "session_start").collect()
