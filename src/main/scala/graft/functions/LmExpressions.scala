@@ -55,6 +55,101 @@ case class UnigramModelRef(
   }
 }
 
+/** Frozen add-k BIGRAM model — [[UnigramModelRef]] generalized to
+  * order-sensitive scoring ([[graft.operators.LmScore.scoreBigram]]'s
+  * frozen deployment form): the bounded top-`vocab` unigram counts,
+  * the bounded top-`bigrams` (prev, tok) counts, and the FULL corpus
+  * (N, V) normalizer ride into executors as one codegen reference
+  * object. Scoring stays a zero-join, zero-shuffle, zero-state map —
+  * batch and stream agree row-for-row.
+  *
+  * Contract tying the frozen form to `scoreBigram` exactly: token 0
+  * scores under the add-k unigram (OOV → count 0, the add-k floor);
+  * token i ≥ 1 under (c(prev,tok) + k) / (c(prev) + k·V) with an
+  * absent bigram backing off to count 0 and an out-of-vocab PREV
+  * backing off to c(prev) = 0 (denominator k·V — the maximum-entropy
+  * floor). With both budgets covering the corpus the frozen and
+  * corpus-native paths agree on every document (spec-pinned); smaller
+  * budgets only drop counts, which only raises bits — the
+  * conservative direction for a keep/drop filter. */
+case class BigramModelRef(
+    vocab: Seq[(String, Long)],
+    bigrams: Seq[((String, String), Long)],
+    n: Double,
+    v: Double,
+    k: Double) {
+  require(k > 0, s"smoothing k must be positive, got $k")
+
+  @transient private lazy val uniCounts
+      : java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, c) => m.put(UTF8String.fromString(t), c) }
+    m
+  }
+
+  // (prev, tok) keyed by the concatenation with the same single-space
+  // separator as tokenization: tokens cannot contain a space, so the
+  // joined key is collision-free.
+  @transient private lazy val biCounts
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](bigrams.size * 2)
+    bigrams.foreach { case ((p, t), c) => m.put(p + " " + t, c) }
+    m
+  }
+
+  private val space = UTF8String.fromString(" ")
+  @transient private lazy val ln2 = math.log(2.0)
+
+  /** Total bits of the row under the frozen bigram model; public so
+    * generated code can call it. */
+  def bits(text: UTF8String): Double = {
+    val toks = text.split(space, -1)
+    if (toks.length == 0) return 0.0
+    val c0 = uniCounts.get(toks(0))
+    val ct0 = if (c0 == null) 0L else c0.longValue
+    var total = -(math.log((ct0 + k) / (n + k * v)) / ln2)
+    var i = 1
+    while (i < toks.length) {
+      val cb = biCounts.get(toks(i - 1).toString + " " + toks(i).toString)
+      val cbt = if (cb == null) 0L else cb.longValue
+      val cp = uniCounts.get(toks(i - 1))
+      val cpt = if (cp == null) 0L else cp.longValue
+      total += -(math.log((cbt + k) / (cpt + k * v)) / ln2)
+      i += 1
+    }
+    total
+  }
+}
+
+/** `bigram_bits(text)` under a [[BigramModelRef]] → DOUBLE total
+  * bits. Codegen'd like [[UnigramBits]]; null text → null. */
+case class BigramBits(child: Expression, model: BigramModelRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bigram_bits"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.bits(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bigramModel", model,
+      classOf[BigramModelRef].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bits($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `unigram_bits(text)` under a [[UnigramModelRef]] → DOUBLE total
   * bits. Codegen'd like [[Bm25Score]]; null text → null. */
 case class UnigramBits(child: Expression, model: UnigramModelRef)

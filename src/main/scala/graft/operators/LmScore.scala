@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 
-import graft.functions.{UnigramBits, UnigramModelRef}
+import graft.functions.{BigramBits, BigramModelRef, UnigramBits, UnigramModelRef}
 
 /** Language-model quality scoring — the perplexity-style filter every
   * public web-scale pipeline runs (CCNet buckets documents by LM
@@ -52,6 +52,67 @@ object LmScore {
         round(sum("__lp") / count(lit(1)), 6).as("bits_per_token"))
   }
 
+  /** Per-document add-k BIGRAM score against the corpus itself — the
+    * order-sensitive generalization of [[score]] (a unigram model
+    * cannot see "the the the" as atypical when "the" is common; a
+    * bigram model can). Token 0 scores under the add-k unigram
+    * (exactly [[score]]'s formula); token i ≥ 1 under the add-k
+    * conditional p(tᵢ | tᵢ₋₁) = (c(tᵢ₋₁,tᵢ) + k) / (c(tᵢ₋₁) + k·V)
+    * with V the UNIGRAM vocabulary size — an unseen continuation
+    * backs off to the add-k floor k / (c(prev) + k·V). Output shape
+    * identical to [[score]]: (idCol, n_tokens, bits_per_token).
+    *
+    * Shape at 100 TB: the same word-count plan as [[score]] run
+    * twice — one token shuffle for the unigram table, one pair
+    * shuffle for the bigram table (both with map-side partial
+    * aggregation; the pair table is built per-row from the token
+    * array, no self-join on position) — then token-keyed joins that
+    * AQE broadcasts when the vocabularies are small. Nothing is
+    * single-partition; driver state is zero. */
+  def scoreBigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val uni = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__cu"))
+    val totals = uni.agg(
+      sum("__cu").cast("double").as("__N"),
+      count(lit(1)).cast("double").as("__V"))
+    // (prev, tok) pairs straight from the row's token array — the
+    // positional self-join a naive plan would run is a second corpus
+    // shuffle for nothing. slice(_, 2, n-1) of a 1-token array is
+    // empty, so 1-token docs contribute only the unigram leg.
+    val pairs = toks.select(col(idCol), explode(expr(
+      """transform(slice(__toks, 2, size(__toks) - 1),
+        |  (t, j) -> struct(__toks[j] AS prev, t AS tok))""".stripMargin))
+      .as("__p"))
+      .select(col(idCol), col("__p.prev").as("prev"), col("__p.tok").as("tok"))
+    val bg = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("__cb"))
+    val leg1 = toks
+      .select(col(idCol), element_at(col("__toks"), 1).as("tok"))
+      .join(uni, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (-log2((col("__cu") + lit(k)) / (col("__N") + lit(k) * col("__V"))))
+          .as("__lp"))
+    val leg2 = pairs
+      .join(bg, Seq("prev", "tok"))
+      .join(uni.withColumnRenamed("tok", "prev")
+        .withColumnRenamed("__cu", "__cp"), "prev")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (-log2((col("__cb") + lit(k)) / (col("__cp") + lit(k) * col("__V"))))
+          .as("__lp"))
+    leg1.unionByName(leg2)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum("__lp") / count(lit(1)), 6).as("bits_per_token"))
+  }
+
   /** Fit a FROZEN bounded model on a reference corpus: the top
     * `vocabSize` tokens by count (ties broken by token — the same
     * deterministic K-boundary as [[TextAnalysis.oovRate]]) with the
@@ -83,6 +144,60 @@ object LmScore {
     val total = Shim.column(UnigramBits(Shim.expression(text), m))
     round(total / size(split(text, " ")), 6)
   }
+
+  /** Fit a FROZEN bounded BIGRAM model on a reference corpus: the top
+    * `vocabSize` unigrams (exactly [[model]]'s boundary rule) plus the
+    * top `bigramBudget` (prev, tok) pairs by count — ties broken by
+    * (prev, tok), the same deterministic K-boundary convention — with
+    * the full-corpus (N, V) normalizer. Both collects are bounded by
+    * their budgets (TakeOrdered), never the whole table. */
+  def bigramModel(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      bigramBudget: Int,
+      k: Double = 0.5): BigramModelRef = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(bigramBudget > 0, s"bigramBudget must be positive, got $bigramBudget")
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val nv = counts.agg(
+      sum("__c").cast("double"), count(lit(1)).cast("double")).head()
+    val top = counts.orderBy(desc("__c"), col("tok")).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val bg = docs
+      .select(split(col(textCol), " ").as("__toks"))
+      .select(explode(expr(
+        """transform(slice(__toks, 2, size(__toks) - 1),
+          |  (t, j) -> struct(__toks[j] AS prev, t AS tok))""".stripMargin))
+        .as("__p"))
+      .groupBy("__p.prev", "__p.tok").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), col("prev"), col("tok")).limit(bigramBudget)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toSeq
+    BigramModelRef(top, bg, nv.getDouble(0), nv.getDouble(1), k)
+  }
+
+  /** Per-row bits-per-token under a frozen bigram model — the same
+    * pure map as [[bitsPerToken]] (no join, no shuffle, no state). */
+  def bitsPerTokenBigram(text: Column, m: BigramModelRef): Column = {
+    val total = Shim.column(BigramBits(Shim.expression(text), m))
+    round(total / size(split(text, " ")), 6)
+  }
+
+  /** [[scoreBigram]]'s output shape under a frozen bigram model —
+    * with budgets covering the corpus the two paths agree on every
+    * document (spec-pinned). */
+  def scoreWithBigramModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: BigramModelRef): DataFrame =
+    docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      bitsPerTokenBigram(col(textCol), m).as("bits_per_token"))
 
   /** [[score]]'s output shape under a frozen model: (idCol, n_tokens,
     * bits_per_token) — with `m` covering the full vocabulary this
