@@ -134,17 +134,42 @@ object DataMix {
       idCol: String,
       groupCol: String,
       alpha: Double,
+      totalOut: Long): DataFrame =
+    applyMix(docs, idCol, groupCol,
+      mixThresholds(docs, groupCol, alpha, totalOut))
+
+  /** The frozen half of the threshold form: the tiny (group, __t)
+    * table — one row per domain. Fit it once on a reference snapshot
+    * and [[applyMix]] it anywhere, exactly like the frozen LM model
+    * ([[LmScore.model]]): the CCNet deployment split, here for the
+    * mix stage. */
+  def mixThresholds(
+      docs: DataFrame,
+      groupCol: String,
+      alpha: Double,
       totalOut: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"temperature alpha must be in [0, 1], got $alpha")
     require(totalOut > 0, s"totalOut must be positive, got $totalOut")
-    val thresholds = targets(docs, groupCol, alpha, totalOut)
+    targets(docs, groupCol, alpha, totalOut)
       .select(col(groupCol),
         floor(lit(P).cast("double") *
           (col("__k").cast("double") / col("__n").cast("double")))
           .cast("long").as("__t"))
+  }
+
+  /** The map half: keep iff mix(id) < threshold, a pure per-row
+    * predicate under a broadcast of the threshold table. Since the
+    * corpus side is never shuffled, windowed, or sorted, the SAME
+    * call mixes a structured stream (stream–static broadcast join +
+    * filter — spec-pinned streamed == batch) as it mixes a batch
+    * table. */
+  def applyMix(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      thresholds: DataFrame): DataFrame =
     docs.join(broadcast(thresholds), groupCol)
       .filter(Sampling.portableMix(col(idCol)) < col("__t"))
       .drop("__t")
-  }
 }

@@ -102,4 +102,39 @@ class DataMixSpec extends SparkTestBase {
       DataMix.temperatureMix(corpus, "doc_id", "dom", 0.5, 0)
     }
   }
+
+  test("applyMix over a file stream == batch under batch-fit " +
+    "thresholds — the mix stage streams like cleanWithSet and the " +
+    "frozen LM (map-only under a stream-static broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mix-stream").toString
+    val docs = spark.range(0, 400).selectExpr("id AS doc_id",
+      "CASE WHEN id % 7 < 4 THEN 'web' WHEN id % 7 < 6 THEN 'code' " +
+        "ELSE 'wiki' END AS dom")
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+    // thresholds frozen on the batch snapshot (the reference corpus)
+    val th = DataMix.mixThresholds(batchSrc, "dom", 0.5, 200)
+    val want = DataMix.applyMix(batchSrc, "doc_id", "dom", th)
+      .select("doc_id", "dom").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = DataMix.applyMix(stream, "doc_id", "dom", th)
+      .select("doc_id", "dom")
+      .writeStream.format("memory").queryName("mix_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mix_eq").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want && got.nonEmpty && got.size < 400)
+      // and batch temperatureMix is the same composition end-to-end
+      val direct = DataMix.temperatureMix(batchSrc, "doc_id", "dom", 0.5, 200)
+        .select("doc_id", "dom").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(direct == want)
+    } finally q.stop()
+  }
 }
