@@ -98,6 +98,7 @@ object GraftExtensions {
     "gif_frame_bytes" -> (es => GifFrameBytes(es.head)),
     "avi_frame_stats" -> (es => AviFrameStats(es.head)),
     "avi_frame_diffs" -> (es => AviFrameDiffs(es.head)),
+    "avi_av_features" -> (es => AviAvFeatures(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),
@@ -107,7 +108,8 @@ object GraftExtensions {
     "wav_media_for_id" -> (es => WavMediaBytes(es.head)),
     "wav_tagged_media_for_id" -> (es => WavTaggedMediaBytes(es.head)),
     "gif_media_for_id" -> (es => GifMediaBytes(es.head)),
-    "avi_media_for_id" -> (es => AviMediaBytes(es.head)))
+    "avi_media_for_id" -> (es => AviMediaBytes(es.head)),
+    "avi_av_media_for_id" -> (es => AviAvMediaBytes(es.head)))
 }
 
 /** The txtai SQL dialect's `similar` in all its forms

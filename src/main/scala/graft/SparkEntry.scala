@@ -269,13 +269,12 @@ object SparkEntry {
     }),
 
     // tumbling-window aggregation over the events stream table (batch).
-    // ts arrives as long nanos (parquet TIMESTAMP(NANOS) is read via
-    // nanosAsLong); the hour bucket is emitted as a string for a
-    // type-robust oracle compare.
+    // ts arrives as TIMESTAMP_NTZ (parquet TIMESTAMP(MICROS), no
+    // zone); the hour bucket is emitted as a string for a type-robust
+    // oracle compare.
     "events_hourly" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("hour", date_format(
-          timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd HH:00:00"))
+        .withColumn("hour", date_format(col("ts"), "yyyy-MM-dd HH:00:00"))
         .groupBy("hour", "event_type")
         .agg(count(lit(1)).as("n"), cents(col("value")).as("value_cents"))
         .orderBy("hour", "event_type")),
@@ -401,7 +400,7 @@ object SparkEntry {
     "asof_attribution" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("event_type"),
-        (col("ts").cast("long") / 1000).cast("long").as("us"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
         col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -1172,6 +1171,36 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // Mixed-track container decode — MJPEG video AND a PCM16 audio
+    // stream in ONE RIFF walk (operators/Avi.decodeAv): per-doc frame
+    // count, exact pixel sum over every decoded frame, and exact
+    // integer statistics over every reassembled audio sample. The
+    // engine value crossed the stream-header parse (strh/strf), the
+    // 01wb chunk reassembly, AND the per-frame entropy decode; the
+    // oracle re-derives video from the per-frame DC block contract
+    // and audio from the WavPcm.samp closed form.
+    "avi_av_features" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 24).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.AviAvMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.AviAvFeatures(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))
+            .as("f"))
+        .select(col("doc_id"),
+          col("f.n_frames").cast("long").as("n_frames"),
+          col("f.pix_sum"),
+          col("f.a_channels").cast("long").as("a_channels"),
+          col("f.a_rate").cast("long").as("a_rate"),
+          col("f.a_samples"), col("f.a_sum"), col("f.a_abs_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Frame-level exact dedup across a video corpus: decode every
     // animation independently (real LZW), fingerprint each frame
     // raster, and join on (fingerprint, dims) with a byte-equality
@@ -1290,6 +1319,31 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val m = operators.LmScore.model(docs, "text", vocabSize = 25)
       operators.LmScore.scoreWithModel(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
+    // order-sensitive LM quality: add-k BIGRAM bits-per-token — token
+    // 0 under the unigram, token i under p(tᵢ|tᵢ₋₁) with the add-k
+    // continuation floor. Two count shuffles (tokens, pairs — pairs
+    // built per-row from the array, no positional self-join), then
+    // token-keyed joins; the oracle re-derives both tables and every
+    // conditional probability in DuckDB.
+    "lm_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      operators.LmScore.scoreBigram(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // the frozen-deployment form of the bigram scorer: a BOUNDED model
+    // (top 25 unigrams of 31, top 150 bigrams — both boundaries
+    // exercise the OOV floors) scoring every row as a pure map; the
+    // oracle refits both bounded tables from scratch with the same
+    // deterministic tie-break boundaries
+    "lm_bigram_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.LmScore.bigramModel(docs, "text",
+        vocabSize = 25, bigramBudget = 150)
+      operators.LmScore.scoreWithBigramModel(docs, "doc_id", "text", m)
         .orderBy("doc_id")
     }),
 
@@ -2106,7 +2160,8 @@ object SparkEntry {
 
     // DuckDB's native ASOF LEFT JOIN re-derives the attribution
     // (timestamps are microsecond precision on both sides: the engine
-    // divides nanos by 1000, DuckDB's TIMESTAMP truncates to micros).
+    // takes unix_micros of the scanned TIMESTAMP(MICROS), DuckDB's
+    // TIMESTAMP is natively micros).
     "asof_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
         |           FROM events WHERE event_type = 'purchase'),
@@ -2961,6 +3016,49 @@ object SparkEntry {
         |FROM blocks GROUP BY doc_id, f, bw, bh, ch
         |ORDER BY doc_id, frame""".stripMargin,
 
+    // both tracks re-derived analytically: video from the DC block
+    // contract at seed id*31 + f*17 (as avi_frames, summed over
+    // frames), audio from samp(id,i) = ((i*3 + id*7) mod 4096) − 2048
+    // over the flat interleaved index — a chunk-reassembly slip, a
+    // sign error in the 16-bit decode, or a dropped frame breaks an
+    // integer-exact column
+    "avi_av_features" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        |dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + (doc_id * 3) % 4 AS bw,
+        |         1 + (doc_id * 5) % 3 AS bh,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |         40 + (doc_id * 11) % 100 AS af,
+        |         1 + doc_id % 2 AS ach,
+        |         8000 * (1 + doc_id % 3) AS arate
+        |  FROM ids),
+        |vid AS (
+        |  SELECT d.doc_id,
+        |         CAST(64 * sum((bx.x * 3 + by.y * 5
+        |           + (d.doc_id * 31 + fr.f * 17) * 7 + cc.c * 11) % 256)
+        |           AS BIGINT) AS pix_sum
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.nf)) AS fr(f),
+        |       LATERAL unnest(range(0, d.bw)) AS bx(x),
+        |       LATERAL unnest(range(0, d.bh)) AS by(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c)
+        |  GROUP BY d.doc_id),
+        |aud AS (
+        |  SELECT d.doc_id,
+        |         CAST(count(*) AS BIGINT) AS a_samples,
+        |         CAST(sum((ii.i * 3 + d.doc_id * 7) % 4096 - 2048)
+        |           AS BIGINT) AS a_sum,
+        |         CAST(sum(abs((ii.i * 3 + d.doc_id * 7) % 4096 - 2048))
+        |           AS BIGINT) AS a_abs_sum
+        |  FROM dims d, LATERAL unnest(range(0, d.af * d.ach)) AS ii(i)
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames, v.pix_sum,
+        |       CAST(d.ach AS BIGINT) AS a_channels,
+        |       CAST(d.arate AS BIGINT) AS a_rate,
+        |       a.a_samples, a.a_sum, a.a_abs_sum
+        |FROM dims d JOIN vid v USING (doc_id) JOIN aud a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // adjacent-frame luminance SAD from the same block contract; the
     // truecolor branch replays the integer Rec.601 reduction the
     // engine applies per decoded pixel (flat blocks make per-pixel and
@@ -3099,6 +3197,73 @@ object SparkEntry {
         |    / count(*), 6) AS bits_per_token
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // independent re-derivation of the bigram model: the pair table
+    // from 1-based positional indexing (vs the engine's slice/
+    // transform array path), the unigram-leg first token, and every
+    // add-k conditional — a prev/tok swap, an off-by-one in the pair
+    // window, or a wrong denominator shifts every affected doc
+    "lm_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |counts AS (
+        |  SELECT tok, count(*) AS cu
+        |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM counts),
+        |pairs AS (
+        |  SELECT doc_id, toks[ii.i] AS prev, toks[ii.i + 1] AS tok
+        |  FROM d, LATERAL unnest(range(1, len(toks))) AS ii(i)),
+        |bg AS (SELECT prev, tok, count(*) AS cb FROM pairs
+        |       GROUP BY prev, tok),
+        |leg1 AS (
+        |  SELECT d.doc_id, -log2((c.cu + 0.5) / (t.n + 0.5 * t.v)) AS bits
+        |  FROM d JOIN counts c ON d.toks[1] = c.tok CROSS JOIN tot t),
+        |leg2 AS (
+        |  SELECT p.doc_id,
+        |         -log2((b.cb + 0.5) / (cp.cu + 0.5 * t.v)) AS bits
+        |  FROM pairs p JOIN bg b USING (prev, tok)
+        |    JOIN counts cp ON p.prev = cp.tok CROSS JOIN tot t),
+        |allb AS (SELECT doc_id, bits FROM leg1
+        |         UNION ALL SELECT doc_id, bits FROM leg2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(bits) / count(*), 6) AS bits_per_token
+        |FROM allb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle refits BOTH bounded tables from scratch — top-25
+    // unigrams by (c desc, tok), top-150 bigrams by (c desc, prev,
+    // tok) — and applies the same OOV floors (absent bigram → 0,
+    // out-of-vocab prev → denominator k·V); a boundary off-by-one in
+    // either table shifts affected docs
+    "lm_bigram_model" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |counts AS (
+        |  SELECT tok, count(*) AS cu
+        |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM counts),
+        |vocab AS (SELECT tok, cu FROM counts ORDER BY cu DESC, tok LIMIT 25),
+        |pairs AS (
+        |  SELECT doc_id, toks[ii.i] AS prev, toks[ii.i + 1] AS tok
+        |  FROM d, LATERAL unnest(range(1, len(toks))) AS ii(i)),
+        |bg AS (
+        |  SELECT prev, tok, count(*) AS cb FROM pairs GROUP BY prev, tok
+        |  ORDER BY cb DESC, prev, tok LIMIT 150),
+        |leg1 AS (
+        |  SELECT d.doc_id,
+        |         -log2((coalesce(vb.cu, 0) + 0.5) / (t.n + 0.5 * t.v))
+        |           AS bits
+        |  FROM d LEFT JOIN vocab vb ON d.toks[1] = vb.tok CROSS JOIN tot t),
+        |leg2 AS (
+        |  SELECT p.doc_id,
+        |         -log2((coalesce(b.cb, 0) + 0.5)
+        |           / (coalesce(vp.cu, 0) + 0.5 * t.v)) AS bits
+        |  FROM pairs p LEFT JOIN bg b USING (prev, tok)
+        |    LEFT JOIN vocab vp ON p.prev = vp.tok CROSS JOIN tot t),
+        |allb AS (SELECT doc_id, bits FROM leg1
+        |         UNION ALL SELECT doc_id, bits FROM leg2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(bits) / count(*), 6) AS bits_per_token
+        |FROM allb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every gate signal re-derived independently: bigram repetition
     // via the explode/group form (the engine used an in-row sorted

@@ -1044,6 +1044,96 @@ case class AviMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** avi_av_media_for_id(id) -> binary: the mixed-track audio+video AVI
+  * fixture bytes ([[graft.operators.MediaFixtures.aviAvMediaFor]]). */
+case class AviAvMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avi_av_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.aviAvMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.aviAvMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** avi_av_features(bytes) -> struct<n_frames:int, pix_sum:bigint,
+  * a_channels:int, a_rate:int, a_samples:bigint, a_sum:bigint,
+  * a_abs_sum:bigint>: BOTH tracks of a mixed-track AVI decoded in one
+  * pass ([[graft.operators.Avi.decodeAv]] — RIFF walk + per-frame
+  * baseline-JPEG entropy decode + PCM16 chunk reassembly) and reduced
+  * to exact integer statistics. Dirty bytes, out-of-subset streams,
+  * or a missing audio track → null (the query contract is the MIXED
+  * container; video-only stats are [[AviFrameStats]]). */
+case class AviAvFeatures(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AviAvFeatures.schema
+  override def prettyName: String = "avi_av_features"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AviAvFeatures.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.AviAvFeatures$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AviAvFeatures {
+  val schema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("a_channels", IntegerType, nullable = false),
+    StructField("a_rate", IntegerType, nullable = false),
+    StructField("a_samples", LongType, nullable = false),
+    StructField("a_sum", LongType, nullable = false),
+    StructField("a_abs_sum", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no
+    * decode or no audio track. */
+  def compute(bytes: Array[Byte]): GenericInternalRow =
+    graft.operators.Avi.decodeAv(bytes) match {
+      case Some(av) if av.audio.isDefined =>
+        var pix = 0L
+        av.video.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.pixels.length) { pix += (fr.pixels(i) & 0xff); i += 1 }
+        }
+        val a = av.audio.get
+        var s = 0L; var sAbs = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = a.samples(i).toLong
+          s += v; sAbs += math.abs(v)
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](
+          av.video.frames.length, pix, a.channels, a.sampleRate,
+          a.samples.length.toLong, s, sAbs))
+      case _ => null
+    }
+}
+
 /** avi_frame_stats(bytes) -> array<struct<frame:int, width:int,
   * height:int, channels:int, pix_sum:bigint>>: REAL MJPEG-AVI decode
   * ([[graft.operators.Avi]] — RIFF walk + per-frame baseline-JPEG

@@ -36,6 +36,16 @@ object Avi {
       width: Int, height: Int, usPerFrame: Int,
       frames: Vector[PngPixels.Decoded])
 
+  /** Decoded PCM16 audio track of a mixed-track AVI: interleaved
+    * samples in `movi` chunk order — the same sample layout as
+    * [[WavPcm.Decoded]] (AVI audio chunks are raw WAVE data; the
+    * `strf` of an `auds` stream IS a WAVEFORMAT header). */
+  final case class Audio(channels: Int, sampleRate: Int, samples: Array[Short])
+
+  /** Both tracks of one container: the video frames plus the first
+    * PCM16 audio stream, if the file declares one. */
+  final case class DecodedAv(video: Decoded, audio: Option[Audio])
+
   /** True iff the magic bytes say RIFF/AVI — the dispatch predicate
     * ([[Multimodal.sampleFramesKernel]], [[graft.functions
     * .MediaFeatures]]) for the real container-video path. */
@@ -45,6 +55,14 @@ object Avi {
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
   def decode(bytes: Array[Byte]): Option[Decoded] = {
+    try decode0(bytes).map(_.video)
+    catch { case _: Exception => None }
+  }
+
+  /** Video + audio decode of the same subset; None on anything dirty.
+    * Files with no `auds` stream decode with `audio = None` — the
+    * video-only contract of [[decode]] is a strict projection. */
+  def decodeAv(bytes: Array[Byte]): Option[DecodedAv] = {
     try decode0(bytes)
     catch { case _: Exception => None }
   }
@@ -52,6 +70,9 @@ object Avi {
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
@@ -61,7 +82,12 @@ object Avi {
     id.length == 4 && id(0).isDigit && id(1).isDigit &&
       id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
 
-  private def decode0(b: Array[Byte]): Option[Decoded] = {
+  /** `NNwb` = a wave (audio) data chunk of stream NN. */
+  private def isAudioChunk(id: String): Boolean =
+    id.length == 4 && id(0).isDigit && id(1).isDigit &&
+      id(2) == 'w' && id(3) == 'b'
+
+  private def decode0(b: Array[Byte]): Option[DecodedAv] = {
     if (!isAvi(b) || b.length < 24) return None
     val riffSize = le32(b, 4)
     if (riffSize < 4 || 8L + riffSize > b.length) return None
@@ -69,6 +95,14 @@ object Avi {
     var width = -1; var height = -1; var usPerFrame = -1
     val frames = Vector.newBuilder[PngPixels.Decoded]
     var decodedBytes = 0L
+    // stream bookkeeping: AVI numbers streams by `strl` order; an
+    // `auds` strl whose `strf` (a WAVEFORMAT header) says PCM16 makes
+    // its `NNwb` chunks the audio track. First PCM16 stream wins;
+    // other audio streams' chunks are skipped like any unknown chunk.
+    val streamTypes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var audioStream = -1
+    var audioCh = 0; var audioRate = 0
+    val audioBytes = new java.io.ByteArrayOutputStream()
 
     // walk the sub-chunks of [from, to); `inMovi` routes video chunks
     // through the JPEG decoder. The REAL grammar nests at most two
@@ -78,7 +112,8 @@ object Avi {
     // a StackOverflowError is an Error the `catch Exception` contract
     // does not convert to None. Cap the depth explicitly (8 ≫ the
     // grammar's 2, ≪ any stack limit).
-    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Boolean = {
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int,
+        strl: Int): Boolean = {
       if (depth > 8) return false
       var i = from
       while (i + 8 <= to) {
@@ -90,8 +125,14 @@ object Avi {
           if (size < 4) return false
           val listType = fourcc(b, body)
           val isMovi = listType == "movi" || (inMovi && listType == "rec ")
-          if (listType == "hdrl" || listType == "strl" || isMovi) {
-            if (!walk(body + 4, body + size, isMovi, depth + 1)) return false
+          if (listType == "strl") {
+            val sIdx = streamTypes.length
+            streamTypes += "????"
+            if (!walk(body + 4, body + size, inMovi = false, depth + 1, sIdx))
+              return false
+          } else if (listType == "hdrl" || isMovi) {
+            if (!walk(body + 4, body + size, isMovi, depth + 1, -1))
+              return false
           } // other LISTs (INFO, odml…) skip whole
         } else if (id == "avih") {
           if (size < 40) return false
@@ -99,6 +140,30 @@ object Avi {
           width = le32(b, body + 32)
           height = le32(b, body + 36)
           if (width <= 0 || height <= 0 || usPerFrame < 0) return false
+        } else if (id == "strh" && strl >= 0) {
+          if (size < 8) return false
+          streamTypes(strl) = fourcc(b, body) // fccType: vids/auds/txts…
+        } else if (id == "strf" && strl >= 0 &&
+            streamTypes(strl) == "auds" && audioStream < 0) {
+          // WAVEFORMAT: tag(2) channels(2) rate(4) avgBps(4) align(2)
+          // bits(2); only plain PCM16 is in-subset — anything else
+          // leaves the stream unrouted (its NNwb chunks skip)
+          if (size >= 16 && le16(b, body) == 1 && le16(b, body + 14) == 16) {
+            val ch = le16(b, body + 2)
+            val rate = le32(b, body + 4)
+            if (ch >= 1 && ch <= 8 && rate > 0) {
+              audioStream = strl; audioCh = ch; audioRate = rate
+            }
+          }
+        } else if (inMovi && isAudioChunk(id)) {
+          val sNum = (id(0) - '0') * 10 + (id(1) - '0')
+          if (sNum == audioStream) {
+            // cumulative cap shared with the frame builder: a container
+            // of many audio chunks must not out-allocate the budget
+            if (decodedBytes + audioBytes.size.toLong + size >
+              PngPixels.MaxDecodedBytes) return false
+            audioBytes.write(b, body, size)
+          }
         } else if (inMovi && isVideoChunk(id)) {
           val frameBytes = java.util.Arrays.copyOfRange(b, body, body + size)
           JpegDc.decode(frameBytes) match {
@@ -116,10 +181,27 @@ object Avi {
       }
       true
     }
-    if (!walk(12, end, inMovi = false, depth = 0)) return None
+    if (!walk(12, end, inMovi = false, depth = 0, strl = -1)) return None
     val out = frames.result()
     if (width < 0 || out.isEmpty) return None
-    Some(Decoded(width, height, usPerFrame, out))
+    val audio =
+      if (audioStream < 0) None
+      else {
+        val ab = audioBytes.toByteArray
+        // whole interleaved PCM16 blocks only — a torn sample or a
+        // torn frame means the chunk stream is corrupt
+        if (ab.length % (2 * audioCh) != 0) return None
+        val n = ab.length / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) =
+            ((ab(2 * i) & 0xff) | ((ab(2 * i + 1) & 0xff) << 8)).toShort
+          i += 1
+        }
+        Some(Audio(audioCh, audioRate, samples))
+      }
+    Some(DecodedAv(Decoded(width, height, usPerFrame, out), audio))
   }
 
   /** Integer Rec.601 luminance raster of one decoded frame —
@@ -155,7 +237,27 @@ object Avi {
     * follow [[frameSeed]] exactly, which is what the SQL oracle
     * re-derives. */
   def aviWithFrames(id: Long, w: Int, h: Int, nFrames: Int,
-      nComp: Int, usPerFrame: Int = 33333): Array[Byte] = {
+      nComp: Int, usPerFrame: Int = 33333): Array[Byte] =
+    buildAvi(id, w, h, nFrames, nComp, usPerFrame, audio = None)
+
+  /** Mixed-track MJPEG AVI: the [[aviWithFrames]] video stream plus a
+    * second `auds`/PCM16 stream (stream 01) whose interleaved samples
+    * follow the SAME pure contract as the WAV fixture —
+    * [[WavPcm.samp]]`(id, i)` at flat index i — split across one
+    * `01wb` chunk per video frame (the real interleaving shape).
+    * `aFrames` counts per-channel sample frames. */
+  def aviWithAv(id: Long, w: Int, h: Int, nFrames: Int, nComp: Int,
+      aFrames: Int, aChannels: Int, aRate: Int,
+      usPerFrame: Int = 33333): Array[Byte] = {
+    require(aFrames > 0 && aChannels >= 1 && aChannels <= 8 && aRate > 0,
+      s"aFrames=$aFrames aChannels=$aChannels aRate=$aRate")
+    buildAvi(id, w, h, nFrames, nComp, usPerFrame,
+      audio = Some((aFrames, aChannels, aRate)))
+  }
+
+  private def buildAvi(id: Long, w: Int, h: Int, nFrames: Int,
+      nComp: Int, usPerFrame: Int,
+      audio: Option[(Int, Int, Int)]): Array[Byte] = {
     require(nFrames > 0, s"nFrames $nFrames")
     val jpegs = (0 until nFrames)
       .map(f => JpegDc.jpegWithPixels(frameSeed(id, f), w, h, nComp))
@@ -186,7 +288,7 @@ object Avi {
     le32out(avih, 0) // flags: no idx1 index is written, so none set
     le32out(avih, nFrames)
     le32out(avih, 0) // initial frames
-    le32out(avih, 1) // streams
+    le32out(avih, 1 + audio.size) // streams
     le32out(avih, maxJpeg)
     le32out(avih, w); le32out(avih, h)
     le32out(avih, 0); le32out(avih, 0); le32out(avih, 0); le32out(avih, 0)
@@ -218,8 +320,57 @@ object Avi {
     val hdrl = new java.io.ByteArrayOutputStream()
     chunk(hdrl, "avih", avih.toByteArray)
     list(hdrl, "strl", strl.toByteArray)
+    audio.foreach { case (aFrames, aCh, aRate) =>
+      // stream 01: auds strl — strh (fccType auds) + strf (WAVEFORMAT)
+      val ash = new java.io.ByteArrayOutputStream()
+      tag(ash, "auds"); le32out(ash, 0) // handler: 0 for raw PCM
+      le32out(ash, 0) // flags
+      le32out(ash, 0) // priority + language
+      le32out(ash, 0) // initial frames
+      le32out(ash, 1) // dwScale
+      le32out(ash, aRate) // dwRate → rate/scale = samples/s
+      le32out(ash, 0) // start
+      le32out(ash, aFrames) // length in sample frames
+      le32out(ash, aFrames * aCh * 2) // suggested buffer
+      le32out(ash, -1) // quality: default
+      le32out(ash, aCh * 2) // sample size = block align
+      le32out(ash, 0); le32out(ash, 0) // rcFrame (unused for audio)
+      val asf = new java.io.ByteArrayOutputStream()
+      // WAVEFORMAT(EX sans cbSize): PCM needs exactly these 16 bytes
+      asf.write(1); asf.write(0) // wFormatTag = PCM
+      asf.write(aCh & 0xff); asf.write(0)
+      le32out(asf, aRate)
+      le32out(asf, aRate * aCh * 2)
+      asf.write((aCh * 2) & 0xff); asf.write(0) // block align
+      asf.write(16); asf.write(0) // bits per sample
+      val astrl = new java.io.ByteArrayOutputStream()
+      chunk(astrl, "strh", ash.toByteArray)
+      chunk(astrl, "strf", asf.toByteArray)
+      list(hdrl, "strl", astrl.toByteArray)
+    }
     val movi = new java.io.ByteArrayOutputStream()
-    jpegs.foreach(j => chunk(movi, "00dc", j))
+    audio match {
+      case None => jpegs.foreach(j => chunk(movi, "00dc", j))
+      case Some((aFrames, aCh, _)) =>
+        // interleave: frame f's 00dc, then the 01wb slice covering
+        // sample-frame blocks [f·aF/nF, (f+1)·aF/nF) — whole blocks,
+        // so the decoded concatenation is samp(id, ·) at flat index
+        var f = 0
+        while (f < nFrames) {
+          chunk(movi, "00dc", jpegs(f))
+          val startBlock = f.toLong * aFrames / nFrames
+          val endBlock = (f + 1).toLong * aFrames / nFrames
+          val ab = new java.io.ByteArrayOutputStream()
+          var i = startBlock * aCh
+          while (i < endBlock * aCh) {
+            val v = WavPcm.samp(id, i) & 0xffff
+            ab.write(v & 0xff); ab.write((v >> 8) & 0xff)
+            i += 1
+          }
+          chunk(movi, "01wb", ab.toByteArray)
+          f += 1
+        }
+    }
     val form = new java.io.ByteArrayOutputStream()
     list(form, "hdrl", hdrl.toByteArray)
     list(form, "movi", movi.toByteArray)

@@ -250,6 +250,22 @@ object MediaFixtures {
     Avi.aviWithFrames(id, w, h, frames, if (id % 2 == 0) 3 else 1)
   }
 
+  /** Mixed-track audio+video AVI fixture ([[Avi.aviWithAv]]): the
+    * [[aviMediaFor]] video shapes plus a PCM16 `auds` stream whose
+    * interleaved samples follow [[WavPcm.samp]]`(id, i)` — sample
+    * count, layout, and rate vary deterministically, so the SQL
+    * oracle re-derives BOTH tracks analytically. */
+  def aviAvMediaFor(id: Long): Array[Byte] = {
+    val frames = (2 + id % 3).toInt
+    val w = 8 * (1 + math.floorMod(id * 3, 4)).toInt
+    val h = 8 * (1 + math.floorMod(id * 5, 3)).toInt
+    val aFrames = (40 + math.floorMod(id * 11, 100)).toInt
+    val aCh = (1 + id % 2).toInt
+    val aRate = (8000 * (1 + id % 3)).toInt
+    Avi.aviWithAv(id, w, h, frames, if (id % 2 == 0) 3 else 1,
+      aFrames, aCh, aRate)
+  }
+
   /** Mixed-format pixel fixture — PNG for even ids, DC-only JPEG for
     * odd ids, both with real pixel content, so ONE binary column
     * carries both formats (the crawl reality the format-dispatching

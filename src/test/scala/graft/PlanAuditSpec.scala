@@ -477,6 +477,39 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("lm_bigram_model: the frozen bigram model is the same pure " +
+    "map as the unigram form — no join, no window, no aggregation " +
+    "exchange; the kernel stays inside WholeStageCodegen") {
+    val plan = physical(run("lm_bigram_model"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("bigram_bits") || plan.contains("BigramBits"),
+      plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("lm_bigram: the pair table derives from the row's token array " +
+    "— no positional self-join (ONE corpus file scan per count table " +
+    "+ the scoring legs, never a (doc, pos)⋈(doc, pos+1) join) and " +
+    "no cartesian") {
+    val plan = physical(run("lm_bigram"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every join key is a token/prev string — a positional self-join
+    // would join on (doc_id, pos) pairs
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("pos")), plan)
+  }
+
+  test("avi_av_features: both tracks decode in ONE expression riding " +
+    "the scan — doc_id pushes through, no barrier") {
+    val plan = physical(run("avi_av_features"))
+    assert(plan.contains("LessThan(doc_id,24)"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("quality_gate: six signals and the keep boolean in ONE corpus " +
     "pass with ZERO data shuffles — no join, no aggregate, no window; " +
     "the only exchange is the output sort") {

@@ -280,6 +280,91 @@ class AviSpec extends SparkTestBase {
     }
   }
 
+  test("mixed-track round trip: decodeAv recovers every video frame " +
+    "AND every PCM16 audio sample from the interleaved 01wb chunks") {
+    for (id <- 0L until 8L) {
+      val bytes = MediaFixtures.aviAvMediaFor(id)
+      val av = Avi.decodeAv(bytes).get
+      // video identical to the video-only fixture contract
+      val nf = (2 + id % 3).toInt
+      assert(av.video.frames.length == nf, s"id=$id")
+      val a = av.audio.get
+      val aFrames = (40 + math.floorMod(id * 11, 100)).toInt
+      val aCh = (1 + id % 2).toInt
+      assert(a.channels == aCh && a.sampleRate == (8000 * (1 + id % 3)).toInt)
+      assert(a.samples.length == aFrames * aCh, s"id=$id")
+      a.samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s.toInt == WavPcm.samp(id, i), s"id=$id i=$i")
+      }
+      // the video-only reader skips the audio chunks: same frames
+      val vOnly = Avi.decode(bytes).get
+      assert(vOnly.frames.map(_.pixels.toSeq) ==
+        av.video.frames.map(_.pixels.toSeq))
+    }
+  }
+
+  test("decodeAv contract edges: no auds stream -> audio None; " +
+    "non-PCM strf -> unrouted; torn sample bytes -> None") {
+    val vOnly = MediaFixtures.aviMediaFor(3L)
+    val av = Avi.decodeAv(vOnly).get
+    assert(av.audio.isEmpty && av.video.frames.nonEmpty)
+    val mixed = MediaFixtures.aviAvMediaFor(2L) // stereo: block = 4 bytes
+    // flip the strf wFormatTag (PCM=1) to 2: audio must unroute but
+    // video still decodes — find the 16-byte WAVEFORMAT after 'auds'
+    val tagIdx = {
+      val s = mixed.indexOfSlice("auds".getBytes("US-ASCII"))
+      val strfTag = mixed.indexOfSlice("strf".getBytes("US-ASCII"), s)
+      strfTag + 8
+    }
+    val nonPcm = mixed.clone(); nonPcm(tagIdx) = 2
+    val np = Avi.decodeAv(nonPcm).get
+    assert(np.audio.isEmpty && np.video.frames.nonEmpty)
+    // shrink the LAST 01wb chunk by 2 bytes (half a stereo block):
+    // the reassembled stream tears mid-block -> whole file is dirty
+    val lastWb = {
+      var i = -1; var at = mixed.indexOfSlice("01wb".getBytes("US-ASCII"))
+      while (at >= 0) { i = at
+        at = mixed.indexOfSlice("01wb".getBytes("US-ASCII"), at + 1) }
+      i
+    }
+    val torn = java.util.Arrays.copyOf(mixed, mixed.length - 2)
+    val oldSize = (torn(lastWb + 4) & 0xff) | ((torn(lastWb + 5) & 0xff) << 8)
+    torn(lastWb + 4) = ((oldSize - 2) & 0xff).toByte
+    val riffSz = ((torn(4) & 0xff) | ((torn(5) & 0xff) << 8) |
+      ((torn(6) & 0xff) << 16) | ((torn(7) & 0xff) << 24)) - 2
+    torn(4) = (riffSz & 0xff).toByte; torn(5) = ((riffSz >> 8) & 0xff).toByte
+    torn(6) = ((riffSz >> 16) & 0xff).toByte
+    torn(7) = ((riffSz >> 24) & 0xff).toByte
+    assert(Avi.decodeAv(torn).isEmpty)
+  }
+
+  test("avi_av_features (SQL) reduces both tracks to the exact " +
+    "integer statistics the oracle re-derives") {
+    graft.Graft.init(spark)
+    val rows = spark.sql(
+      """SELECT f.n_frames, f.pix_sum, f.a_channels, f.a_rate,
+        |       f.a_samples, f.a_sum, f.a_abs_sum
+        |FROM (SELECT avi_av_features(
+        |        avi_av_media_for_id(CAST(5 AS BIGINT))) AS f)""".stripMargin)
+      .head()
+    val av = Avi.decodeAv(MediaFixtures.aviAvMediaFor(5L)).get
+    assert(rows.getInt(0) == av.video.frames.length)
+    assert(rows.getLong(1) ==
+      av.video.frames.map(_.pixels.map(_ & 0xff).map(_.toLong).sum).sum)
+    val a = av.audio.get
+    assert(rows.getInt(2) == a.channels && rows.getInt(3) == a.sampleRate)
+    assert(rows.getLong(4) == a.samples.length.toLong)
+    assert(rows.getLong(5) == a.samples.map(_.toLong).sum)
+    assert(rows.getLong(6) == a.samples.map(s => math.abs(s.toLong)).sum)
+    // a video-only container has no audio track to featurize: null
+    assert(spark.sql(
+      "SELECT avi_av_features(avi_media_for_id(CAST(3 AS BIGINT))) AS f")
+      .head().isNullAt(0))
+    // dirty bytes null out
+    assert(spark.sql("SELECT avi_av_features(CAST('x' AS BINARY)) AS f")
+      .head().isNullAt(0))
+  }
+
   test("media_features on AVI bytes is the L1-normalized luminance " +
     "histogram over ALL decoded frames — not the byte-sum fallback") {
     graft.Graft.init(spark)
