@@ -2,8 +2,64 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** `token_bigrams(text)` → array<string> of adjacent-token pairs
+  * joined by one space — "a b c" → ["a b", "b c"] — WITH multiplicity
+  * (unlike the deduplicating [[NgramShingles]], counts need every
+  * occurrence). The codegen'd kernel replaces a
+  * `transform(slice(...))` higher-order pipeline, whose interpreted
+  * per-element lambda measured ~7× slower over a 53M-pair corpus:
+  * bigram counting runs twice per [[graft.operators.LmScore
+  * .scoreBigram]] call, so the pair explode must ride whole-stage
+  * codegen like the token explode does. Under-2-token rows → empty
+  * array (explode drops them); null text → null. Tokens cannot
+  * contain the separator (they come from a space split), so the
+  * joined pair string is collision-free and `substring_index(bg,
+  * ' ', 1)` recovers `prev` exactly. */
+case class TokenBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_bigrams"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenBigrams.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenBigrams$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenBigrams {
+  private val space = UTF8String.fromString(" ")
+
+  /** The kernel; public so generated code can call it. */
+  def compute(text: UTF8String): GenericArrayData = {
+    val toks = text.split(space, -1)
+    if (toks.length < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](toks.length - 1)
+    var i = 1
+    while (i < toks.length) {
+      out(i - 1) = UTF8String.concat(toks(i - 1), space, toks(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
 
 /** Frozen add-k unigram model for per-row LM quality scoring
   * ([[UnigramBits]]): the bounded top-`vocab` token counts plus the

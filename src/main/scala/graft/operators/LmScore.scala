@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 
-import graft.functions.{BigramBits, BigramModelRef, UnigramBits, UnigramModelRef}
+import graft.functions.{BigramBits, BigramModelRef, TokenBigrams, UnigramBits, UnigramModelRef}
 
 /** Language-model quality scoring — the perplexity-style filter every
   * public web-scale pipeline runs (CCNet buckets documents by LM
@@ -75,32 +75,32 @@ object LmScore {
       textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
     val uni = docs
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__cu"))
     val totals = uni.agg(
       sum("__cu").cast("double").as("__N"),
       count(lit(1)).cast("double").as("__V"))
-    // (prev, tok) pairs straight from the row's token array — the
-    // positional self-join a naive plan would run is a second corpus
-    // shuffle for nothing. slice(_, 2, n-1) of a 1-token array is
-    // empty, so 1-token docs contribute only the unigram leg.
-    val pairs = toks.select(col(idCol), explode(expr(
-      """transform(slice(__toks, 2, size(__toks) - 1),
-        |  (t, j) -> struct(__toks[j] AS prev, t AS tok))""".stripMargin))
-      .as("__p"))
-      .select(col(idCol), col("__p.prev").as("prev"), col("__p.tok").as("tok"))
-    val bg = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("__cb"))
-    val leg1 = toks
-      .select(col(idCol), element_at(col("__toks"), 1).as("tok"))
+    // (prev, tok) pairs straight from the row — one codegen'd kernel
+    // ([[TokenBigrams]]; a transform(slice(...)) higher-order pipeline
+    // measured 7× slower interpreted, and this explode runs twice).
+    // The positional self-join a naive plan would run is a second
+    // corpus shuffle for nothing. Under-2-token docs contribute only
+    // the unigram leg.
+    val pairs = docs.select(col(idCol),
+      explode(Shim.column(TokenBigrams(Shim.expression(col(textCol)))))
+        .as("bg"))
+    val bg = pairs.groupBy("bg").agg(count(lit(1)).as("__cb"))
+    val leg1 = docs
+      .select(col(idCol), substring_index(col(textCol), " ", 1).as("tok"))
       .join(uni, "tok")
       .crossJoin(broadcast(totals))
       .select(col(idCol),
         (-log2((col("__cu") + lit(k)) / (col("__N") + lit(k) * col("__V"))))
           .as("__lp"))
     val leg2 = pairs
-      .join(bg, Seq("prev", "tok"))
+      .join(bg, "bg")
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
       .join(uni.withColumnRenamed("tok", "prev")
         .withColumnRenamed("__cu", "__cp"), "prev")
       .crossJoin(broadcast(totals))
@@ -168,12 +168,14 @@ object LmScore {
     val top = counts.orderBy(desc("__c"), col("tok")).limit(vocabSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val bg = docs
-      .select(split(col(textCol), " ").as("__toks"))
-      .select(explode(expr(
-        """transform(slice(__toks, 2, size(__toks) - 1),
-          |  (t, j) -> struct(__toks[j] AS prev, t AS tok))""".stripMargin))
-        .as("__p"))
-      .groupBy("__p.prev", "__p.tok").agg(count(lit(1)).as("__c"))
+      .select(explode(
+        Shim.column(TokenBigrams(Shim.expression(col(textCol))))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("__c"))
+      // one space per pair string, so the two substring_index calls
+      // split it back exactly; ordering on (prev, tok) keeps the
+      // oracle's deterministic K-boundary
+      .select(substring_index(col("bg"), " ", 1).as("prev"),
+        substring_index(col("bg"), " ", -1).as("tok"), col("__c"))
       .orderBy(desc("__c"), col("prev"), col("tok")).limit(bigramBudget)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toSeq

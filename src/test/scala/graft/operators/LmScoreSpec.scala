@@ -93,6 +93,18 @@ class LmScoreSpec extends SparkTestBase {
     assert(math.abs(out(2).getDouble(2) - d3) < 1e-6)
   }
 
+  test("token_bigrams keeps multiplicity (unlike ngram_shingles) and " +
+    "is callable from verbatim SQL; short rows explode to nothing") {
+    graft.Graft.init(spark)
+    val got = spark.sql("SELECT token_bigrams('a b a b a') AS bg").head()
+      .getSeq[String](0)
+    assert(got == Seq("a b", "b a", "a b", "b a")) // repeats preserved
+    assert(spark.sql("SELECT size(token_bigrams('solo')) AS n")
+      .head().getInt(0) == 0)
+    assert(spark.sql("SELECT token_bigrams(CAST(NULL AS STRING)) AS bg")
+      .head().isNullAt(0))
+  }
+
   test("the bigram model separates scrambled word order the unigram " +
     "model cannot see — the order-sensitive signal") {
     // same token multiset per doc, so unigram bits are identical; the
