@@ -66,6 +66,39 @@ class QualityGateSpec extends SparkTestBase {
       viaScore.map(_.getDouble(1)).toSeq)
   }
 
+  test("gate over a file stream == batch under a batch-fit frozen " +
+    "model — all six signals and the conjunction are per-row maps, " +
+    "so the SAME call gates a streaming ingest") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gate-stream").toString
+    val docs = spark.range(0, 120).selectExpr("id AS doc_id",
+      "CASE WHEN id % 5 = 0 THEN 'the the the the the' " +
+        "ELSE concat('the quick doc ', id, ' talks about topic ', " +
+        "id % 7, ' and more') END AS text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+    val model = m(batchSrc)
+    def g(df: org.apache.spark.sql.DataFrame) =
+      QualityGate.gate(df, "doc_id", "text", model,
+        minTokens = 3, minDistinctRatio = 0.5, maxTopBigramFrac = 0.5)
+    val want = g(batchSrc).collect()
+      .map(r => (r.getLong(0), r.getDouble(6), r.getBoolean(7))).toSet
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = g(stream)
+      .writeStream.format("memory").queryName("gate_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gate_eq").collect()
+        .map(r => (r.getLong(0), r.getDouble(6), r.getBoolean(7))).toSet
+      assert(got == want && got.size == 120)
+      // the thresholds actually split this corpus both ways
+      assert(want.exists(_._3) && want.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("parameter contract: stopwords are validated (they are spliced " +
     "into an expression) and token bounds sanity-checked") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
