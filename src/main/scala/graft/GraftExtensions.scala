@@ -100,6 +100,7 @@ object GraftExtensions {
     "avi_frame_stats" -> (es => AviFrameStats(es.head)),
     "avi_frame_diffs" -> (es => AviFrameDiffs(es.head)),
     "avi_av_features" -> (es => AviAvFeatures(es.head)),
+    "avi_audio_wav" -> (es => AviAudioWav(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),

@@ -1201,6 +1201,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Container audio through the WAV toolkit: the avi_audio_wav
+    // bridge re-wraps a mixed-track AVI's PCM16 stream as a canonical
+    // WAV, so the SAME windowed energy/zero-crossing kernel that
+    // serves .wav corpora serves container audio — no second audio
+    // analysis path. The value crossed the RIFF walk, the 01wb
+    // reassembly, the WAV re-wrap, AND the window fold; the oracle
+    // re-derives every window from the samp closed form.
+    "avi_audio_windows" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 24).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.AviAvMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .withColumn("wav", org.apache.spark.sql.graftshim.Shim.column(
+          functions.AviAudioWav(
+            org.apache.spark.sql.graftshim.Shim.expression(col("media")))))
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.WavWindows(
+              org.apache.spark.sql.graftshim.Shim.expression(col("wav")),
+              16))).as("w"))
+        .select(col("doc_id"), col("w.win").cast("long").as("win"),
+          col("w.energy"), col("w.zcr"))
+        .orderBy("doc_id", "win")
+    }),
+
     // Frame-level exact dedup across a video corpus: decode every
     // animation independently (real LZW), fingerprint each frame
     // raster, and join on (fingerprint, dims) with a byte-equality
@@ -3058,6 +3086,32 @@ object SparkEntry {
         |       a.a_samples, a.a_sum, a.a_abs_sum
         |FROM dims d JOIN vid v USING (doc_id) JOIN aud a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // windows re-derived from the same samp closed form as
+    // avi_av_features' audio leg (channel-0 flat index = f·ch), with
+    // wav_windows' exact lag/boundary semantics — a re-wrap header
+    // slip or a window-boundary off-by-one breaks integer columns
+    "avi_audio_windows" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        |dims AS (
+        |  SELECT doc_id, 40 + (doc_id * 11) % 100 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, ff.f // 16 AS win, ff.f AS f,
+        |         (ff.f * d.ch * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, 16 * (d.frames // 16))) AS ff(f)),
+        |lagged AS (
+        |  SELECT doc_id, win, f, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        |  FROM smp)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(sum(CASE WHEN f % 16 > 0 AND ((v >= 0) != (pv >= 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM lagged GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin,
 
     // adjacent-frame luminance SAD from the same block contract; the
     // truecolor branch replays the integer Rec.601 reduction the

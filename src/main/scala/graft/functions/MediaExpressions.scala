@@ -1134,6 +1134,52 @@ object AviAvFeatures {
     }
 }
 
+/** avi_audio_wav(bytes) -> binary: the PCM16 audio track of a
+  * mixed-track AVI re-wrapped as a canonical RIFF/WAVE file
+  * ([[graft.operators.Avi.decodeAv]] →
+  * [[graft.operators.WavPcm.wavFromSamples]]) — the bridge that lets
+  * container audio flow through EVERY existing WAV kernel unchanged:
+  * `wav_windows(avi_audio_wav(v), 64)`, `wav_stats(...)`, decoded-
+  * content dedup via `wav_pcm_bytes`. Dirty bytes or no routed audio
+  * track → null. */
+case class AviAudioWav(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avi_audio_wav"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AviAudioWav.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.AviAudioWav$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AviAudioWav {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): Array[Byte] =
+    graft.operators.Avi.decodeAv(bytes) match {
+      case Some(av) => av.audio match {
+        case Some(a) if a.samples.nonEmpty =>
+          graft.operators.WavPcm.wavFromSamples(
+            a.channels, a.sampleRate, a.samples)
+        case _ => null
+      }
+      case None => null
+    }
+}
+
 /** avi_frame_stats(bytes) -> array<struct<frame:int, width:int,
   * height:int, channels:int, pix_sum:bigint>>: REAL MJPEG-AVI decode
   * ([[graft.operators.Avi]] — RIFF walk + per-frame baseline-JPEG

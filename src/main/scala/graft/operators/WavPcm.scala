@@ -55,6 +55,35 @@ object WavPcm {
     bos.toByteArray
   }
 
+  /** Canonical RIFF/WAVE container around GIVEN interleaved PCM16
+    * samples — the re-wrap half that lets any decoded audio track
+    * (e.g. an AVI `auds` stream, [[Avi.decodeAv]]) flow into every
+    * WAV kernel (`wav_stats`, `wav_windows`, `wav_pcm_bytes`)
+    * unchanged. Whole frames only. */
+  def wavFromSamples(
+      channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && channels <= 8 && sampleRate > 0,
+      s"channels=$channels rate=$sampleRate")
+    require(samples.length > 0 && samples.length % channels == 0,
+      s"${samples.length} samples do not tile $channels channels")
+    val dataBytes = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    tag("RIFF"); le32(4 + 24 + 8 + dataBytes); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate * channels * 2); le16(channels * 2); le16(16)
+    tag("data"); le32(dataBytes)
+    var i = 0
+    while (i < samples.length) { le16(samples(i) & 0xffff); i += 1 }
+    bos.toByteArray
+  }
+
   /** Real decode of the PCM16 subset; None on anything dirty. */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     try decode0(bytes)

@@ -365,6 +365,31 @@ class AviSpec extends SparkTestBase {
       .head().isNullAt(0))
   }
 
+  test("avi_audio_wav bridges container audio into the WAV toolkit: " +
+    "the re-wrapped track round-trips through WavPcm.decode and " +
+    "wav_stats/wav_windows serve it like any .wav") {
+    graft.Graft.init(spark)
+    val av = Avi.decodeAv(MediaFixtures.aviAvMediaFor(4L)).get
+    val a = av.audio.get
+    // direct kernel: decode(re-wrap) == the track
+    val wav = graft.functions.AviAudioWav.compute(
+      MediaFixtures.aviAvMediaFor(4L))
+    val rt = WavPcm.decode(wav).get
+    assert(rt.channels == a.channels && rt.sampleRate == a.sampleRate)
+    assert(rt.samples.toSeq == a.samples.toSeq)
+    // SQL composition: wav_stats over the bridge matches the track
+    val st = spark.sql(
+      """SELECT wav_stats(avi_audio_wav(
+        |  avi_av_media_for_id(CAST(4 AS BIGINT)))) AS s""".stripMargin)
+      .head().getStruct(0)
+    assert(st.getInt(0) == a.channels && st.getInt(1) == a.sampleRate)
+    assert(st.getLong(3) == a.samples.map(_.toLong).sum)
+    // a video-only container bridges to null
+    assert(spark.sql(
+      "SELECT avi_audio_wav(avi_media_for_id(CAST(3 AS BIGINT))) AS w")
+      .head().isNullAt(0))
+  }
+
   test("media_features on AVI bytes is the L1-normalized luminance " +
     "histogram over ALL decoded frames — not the byte-sum fallback") {
     graft.Graft.init(spark)
