@@ -789,6 +789,22 @@ object SparkEntry {
           col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    // Spark's NATIVE session_window gap aggregate over the same
+    // events — the built-in twin of the lag-based sessionize. The
+    // merge boundary is end-INCLUSIVE (sessions merge when
+    // next.start <= current.end, so a gap of exactly 600 s still
+    // merges — verified against this data, where one exact-600 pair
+    // exists), identical to the lag twin's diff > 600 split. Float
+    // sums are projected out (order-dependent); counts and starts
+    // are exact.
+    "sessionize_native" -> ((s, dir) =>
+      streaming.EventStream.sessionizeNative(t(s, dir, "events"), 600)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     // BM25 keyword top-k: inverted postings + broadcast df/stats, per-
     // term integer micro-scores so the per-doc sum is associative
     "bm25_topk" -> ((s, dir) =>
@@ -2528,6 +2544,30 @@ object SparkEntry {
         |       strftime(to_timestamp(CAST(floor(epoch(max(ts))) AS BIGINT)),
         |                '%Y-%m-%d %H:%M:%S') AS session_end,
         |       count(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // the lag-based re-derivation of session_window's end-INCLUSIVE
+    // merge: split on diff > 600 (an exactly-600 gap merges; this
+    // data contains one such pair, so a boundary slip on either side
+    // is off by a whole session row)
+    "sessionize_native" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, sum(new_session) OVER
+        |         (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |       strftime(to_timestamp(CAST(floor(epoch(min(ts))) AS BIGINT)),
+        |                '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 

@@ -99,10 +99,12 @@ object EventStream {
 
   /** Sessionization via Spark's native `session_window` — the built-in
     * gap-window aggregate (works streaming with watermark and batch).
-    * Note the boundary difference vs [[sessionizeBatch]]: session_window
-    * merges events with gap STRICTLY LESS than `gapSeconds` (window end
-    * is exclusive), while the lag-based twin uses `diff > gap` to split
-    * (i.e. merges on `diff == gap`). */
+    * The merge boundary is end-INCLUSIVE: sessions merge when
+    * `next.start <= current.end`, so a gap of exactly `gapSeconds`
+    * still merges — the SAME boundary as [[sessionizeBatch]]'s
+    * `diff > gap` split (oracle-verified on data containing an
+    * exact-gap pair; an earlier note here claimed the end was
+    * exclusive, which one extra session row disproved). */
   def sessionizeNative(events: DataFrame, gapSeconds: Long): DataFrame = {
     val timed = withEventTime(events)
     timed

@@ -60,8 +60,10 @@ class EventStreamSpec extends SparkTestBase {
       .groupBy("user_id").count().orderBy("user_id").collect()
     val twin = EventStream.sessionizeBatch(events, 600)
       .groupBy("user_id").count().orderBy("user_id").collect()
-    // boundary semantics differ only when a gap is EXACTLY 600s —
-    // absent in this data, so counts match
+    // the boundaries are IDENTICAL (session_window's merge is
+    // end-inclusive, same as the twin's diff > gap split) — this
+    // data contains an exactly-600s pair and both sides merge it
+    // (oracle-verified via sessionize_native)
     assert(native.length == twin.length)
     assert(native.zip(twin).forall { case (a, b) =>
       a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) })
