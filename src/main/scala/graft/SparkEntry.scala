@@ -1453,6 +1453,36 @@ object SparkEntry {
         .orderBy("doc_id", "seq_id")
     }),
 
+    // The map-only INGEST half of the pipeline — scrub →
+    // set-decontaminate → frozen-model gate → frozen-threshold mix —
+    // the filter a crawler runs on documents AS THEY ARRIVE, before
+    // anything is persisted (dedup, which needs corpus-wide state,
+    // runs in the batch compaction pass = pretrain_pipeline). Every
+    // stage is a per-row map or a stream-static broadcast filter, so
+    // the same call filters a structured stream (spec-pinned); model
+    // and thresholds are fit once on the train snapshot (the frozen
+    // deployment split). Output: the surviving rows WITH the scrubbed
+    // text, so the oracle must reproduce every stage verbatim.
+    "ingest_filter" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val id = col("doc_id")
+      val train = raw.filter(id < 450)
+      val bench = operators.Decontaminate.benchmarkShingles(
+        raw.filter(id >= 450 && id < 500), "doc_id", "text", n = 5)
+      val m = operators.LmScore.model(
+        operators.TextClean.redactPii(train, "text"), "text",
+        vocabSize = 1024)
+      val gcfg = operators.Pipeline.GateConfig(minTokens = 25,
+        maxTokens = 100000, minDistinctRatio = 0.45, minStopwords = 1,
+        maxTopBigramFrac = 0.18, maxBitsPerToken = 4.91)
+      val gated = operators.Pipeline.ingestGate(train, "text", bench,
+        shingleN = 5, minHits = 2, m, gcfg)
+      val th = operators.DataMix.mixThresholds(gated, "lang", 0.5, 120)
+      operators.Pipeline.ingestFilter(train, "doc_id", "text", "lang",
+          bench, shingleN = 5, minHits = 2, m, gcfg, th)
+        .orderBy("doc_id")
+    }),
+
     // Concat-and-chunk sequence packing — documents laid end to end in
     // doc_id order, fixed 256-token training sequences, one row per
     // (doc, sequence) overlap. The global prefix sum is bucketed
@@ -3415,6 +3445,88 @@ object SparkEntry {
     // is total), the α=0.5 temperature thresholds with the portable
     // mix hash, and the global prefix-sum pack — a drift in ANY stage
     // moves doc offsets and breaks the hash
+    // every ingest stage re-derived verbatim: the four scrub regexes,
+    // the 5-shingle hit count against the eval window, all six gate
+    // signals over the scrubbed-train LM counts, and the portable-mix
+    // threshold keep — the final SELECT carries the scrubbed TEXT, so
+    // a drift in any stage (or in the scrub itself) breaks the hash
+    "ingest_filter" ->
+      """WITH tt AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |        '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |        '<IP>', 'g') AS text
+        |    FROM documents WHERE doc_id < 450)),
+        |evd AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id >= 450 AND doc_id < 500),
+        |evsh AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_transform(range(len(tk) - 4),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+        |      || tk[i+4] || ' ' || tk[i+5])) AS sh
+        |  FROM evd WHERE len(tk) >= 5)),
+        |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(tk) - 4),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+        |      || tk[i+4] || ' ' || tk[i+5]))) AS sh
+        |  FROM tt WHERE len(tk) >= 5),
+        |hits AS (SELECT t.doc_id, count(*) AS h
+        |         FROM tsh t JOIN evsh USING (sh) GROUP BY 1),
+        |dec AS (SELECT tt.* FROM tt LEFT JOIN hits USING (doc_id)
+        |        WHERE coalesce(h, 0) < 2),
+        |ftk AS (SELECT unnest(tk) AS tok FROM tt),
+        |counts AS (SELECT tok, count(*) AS c FROM ftk GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |dtk AS (SELECT doc_id, unnest(tk) AS tok FROM dec),
+        |bpt AS (SELECT d.doc_id,
+        |    round(sum(-log2((c + 0.5) / (n + 0.5 * v))) / count(*), 6)
+        |      AS bpt
+        |  FROM dtk d JOIN counts USING (tok) CROSS JOIN tot
+        |  GROUP BY 1),
+        |bg AS (SELECT doc_id, tk[ii.i] || ' ' || tk[ii.i + 1] AS b
+        |       FROM dec, LATERAL unnest(range(1, len(tk))) AS ii(i)),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, max(c) AS best FROM bgc GROUP BY 1),
+        |gated AS (
+        |  SELECT d.doc_id, d.lang, d.text, d.tk
+        |  FROM dec d LEFT JOIN topbg t USING (doc_id)
+        |       JOIN bpt b USING (doc_id)
+        |  WHERE len(d.tk) BETWEEN 25 AND 100000
+        |    AND round(len(list_distinct(d.tk)) * 1.0 / len(d.tk), 6)
+        |        >= 0.45
+        |    AND len(list_filter(d.tk, x -> x IN ('the', 'be', 'to',
+        |      'of', 'and', 'that', 'have', 'with'))) >= 1
+        |    AND round(list_sum(list_transform(d.tk, x -> len(x))) * 1.0
+        |        / len(d.tk), 6) BETWEEN 3 AND 10
+        |    AND round(coalesce(t.best, 0) * 1.0 / (len(d.tk) - 1), 6)
+        |        <= 0.18
+        |    AND b.bpt <= 4.91),
+        |c AS (SELECT lang, count(*) AS n FROM gated GROUP BY lang),
+        |dnm AS (SELECT sum(pow(n, 0.5)) AS denom FROM c),
+        |tg AS (SELECT lang, n, least(n,
+        |         CAST(floor(round(120 * pow(n, 0.5) / denom, 6))
+        |           AS BIGINT)) AS k
+        |       FROM c CROSS JOIN dnm),
+        |th AS (SELECT lang,
+        |         CAST(floor(1000000007 * (k::DOUBLE / n::DOUBLE))
+        |           AS BIGINT) AS t
+        |       FROM tg),
+        |mm AS (SELECT doc_id, lang, text,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |       FROM gated),
+        |m1 AS (SELECT doc_id, lang, text,
+        |         xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM mm),
+        |m2 AS (SELECT doc_id, lang, text,
+        |         xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1)
+        |SELECT m2.doc_id, m2.lang, m2.text FROM m2 JOIN th USING (lang)
+        |WHERE h2 < th.t ORDER BY doc_id""".stripMargin,
+
     "pretrain_pipeline" ->
       """WITH dirty AS (
         |  SELECT doc_id, lang,

@@ -79,6 +79,57 @@ object Pipeline {
       gate.maxMeanWordLen, gate.maxTopBigramFrac, gate.maxBitsPerToken)
   }
 
+  /** Stages every crawler runs AT INGEST — scrub → set-decontaminate
+    * → frozen-model gate — with the corpus-wide stage (dedup) left
+    * out: dedup needs cross-row state and lives in the batch
+    * compaction pass ([[cleaned]]). Everything here is a per-row
+    * map, so the three stages fuse with the scan into one codegen
+    * stage and the same call filters a structured stream
+    * row-for-row. */
+  def ingestGate(
+      docs: DataFrame,
+      textCol: String,
+      benchmark: Seq[String],
+      shingleN: Int,
+      minHits: Int,
+      m: UnigramModelRef,
+      gate: GateConfig = GateConfig()): DataFrame = {
+    val scrubbed = TextClean.redactPii(docs, textCol)
+      .drop("n_email", "n_phone", "n_id", "n_ip")
+    val decontaminated =
+      Decontaminate.cleanWithSet(scrubbed, textCol, benchmark, shingleN,
+        minHits)
+    QualityGate.filterKept(decontaminated, textCol, m,
+      gate.minTokens, gate.maxTokens, gate.minDistinctRatio,
+      gate.minStopwords, gate.stopwords, gate.minMeanWordLen,
+      gate.maxMeanWordLen, gate.maxTopBigramFrac, gate.maxBitsPerToken)
+  }
+
+  /** The COMPLETE map-only ingest filter: [[ingestGate]] plus the
+    * frozen-threshold domain mix ([[DataMix.applyMix]] under
+    * `thresholds` fit ONCE on a reference snapshot via
+    * [[DataMix.mixThresholds]]). Every stage is a per-row map or a
+    * stream-static broadcast filter — no shuffle, no window, no
+    * state — so the identical call filters a batch table and a
+    * structured streaming ingest (spec-pinned streamed == batch).
+    * This is the deployment split the frozen LM model uses: heavy
+    * statistics are fit offline, the crawl is filtered as it
+    * arrives. */
+  def ingestFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      benchmark: Seq[String],
+      shingleN: Int,
+      minHits: Int,
+      m: UnigramModelRef,
+      gate: GateConfig,
+      thresholds: DataFrame): DataFrame =
+    DataMix.applyMix(
+      ingestGate(docs, textCol, benchmark, shingleN, minHits, m, gate),
+      idCol, groupCol, thresholds)
+
   /** The full pipeline: [[cleaned]], materialized once, then mixed
     * ([[DataMix.temperatureMix]] over `domainCol`) and packed
     * ([[TextChunk.packSequences]] at `seqLen`). Output: one row per

@@ -510,6 +510,21 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("ingest_filter: the corpus side is never shuffled — scrub, " +
+    "shingle filter, and gate fuse into the scan as per-row maps and " +
+    "the mix is a broadcast-threshold filter: no window, no " +
+    "sort-merge join, no cartesian, no barrier on the corpus path") {
+    val plan = physical(run("ingest_filter"))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    assert(plan.contains("unigram_bits") || plan.contains("UnigramBits"),
+      plan)
+  }
+
   test("quality_gate: six signals and the keep boolean in ONE corpus " +
     "pass with ZERO data shuffles — no join, no aggregate, no window; " +
     "the only exchange is the output sort") {

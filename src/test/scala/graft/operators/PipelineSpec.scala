@@ -92,6 +92,44 @@ class PipelineSpec extends SparkTestBase {
     assert(docs.nonEmpty && docs.size < 5, docs)
   }
 
+  test("ingestFilter over a file stream == batch — the map-only " +
+    "ingest half (scrub -> set-decontaminate -> gate -> threshold " +
+    "mix) filters a streaming crawl exactly as it filters a batch " +
+    "table, under a model and thresholds frozen on the batch " +
+    "snapshot") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-stream").toString
+    corpus.repartition(2).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+    val m = model
+    val th = DataMix.mixThresholds(
+      Pipeline.ingestGate(batchSrc, "text", bench, 5, 1, m, gateCfg),
+      "lang", 0.5, 6)
+    def f(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.ingestFilter(df, "doc_id", "text", "lang",
+        bench, 5, 1, m, gateCfg, th)
+    val want = f(batchSrc).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the stages actually fire: the contaminated doc and the junk doc
+    // are gone, survivors carry the SCRUBBED text
+    assert(!want.exists(_._1 == 3L) && !want.exists(_._1 == 4L))
+    assert(want.nonEmpty)
+    assert(want.filter(t => t._1 == 1L || t._1 == 2L)
+      .forall(_._2.endsWith("<EMAIL>")))
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = f(stream).select("doc_id", "text")
+      .writeStream.format("memory").queryName("ingest_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ingest_eq").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("no cached relations survive the pipeline (the clean-corpus " +
     "boundary is a checkpoint, not an unreleased persist)") {
     val before = spark.sparkContext.getPersistentRDDs.size
