@@ -142,7 +142,17 @@ object DataMix {
     * table — one row per domain. Fit it once on a reference snapshot
     * and [[applyMix]] it anywhere, exactly like the frozen LM model
     * ([[LmScore.model]]): the CCNet deployment split, here for the
-    * mix stage. */
+    * mix stage.
+    *
+    * MATERIALIZED eagerly (localCheckpoint): the fit is "once" in
+    * fact, not just in intent — a lazy return would re-run the whole
+    * upstream pipeline (possibly a scrub→gate chain over the full
+    * corpus) inside every consumer's broadcast build. Measured at 1M
+    * docs with the ingest-filter chain upstream: materializing cut
+    * the filtering pass 3× (80 s lazy → 27 s). The table is one row
+    * per domain, so the checkpoint itself is free; blocks are
+    * released by the ContextCleaner when the caller drops the
+    * result (the [[domainDivergence]] boundary pattern). */
   def mixThresholds(
       docs: DataFrame,
       groupCol: String,
@@ -156,6 +166,7 @@ object DataMix {
         floor(lit(P).cast("double") *
           (col("__k").cast("double") / col("__n").cast("double")))
           .cast("long").as("__t"))
+      .localCheckpoint(true)
   }
 
   /** The map half: keep iff mix(id) < threshold, a pure per-row

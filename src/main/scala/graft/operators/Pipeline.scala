@@ -114,7 +114,16 @@ object Pipeline {
     * structured streaming ingest (spec-pinned streamed == batch).
     * This is the deployment split the frozen LM model uses: heavy
     * statistics are fit offline, the crawl is filtered as it
-    * arrives. */
+    * arrives.
+    *
+    * Operational note: BECAUSE nothing shuffles, parallelism equals
+    * the source partitioning — there is no exchange to rebalance
+    * behind. A crawl written as a handful of fat files serializes
+    * the whole regex/gate chain into that many tasks (measured: the
+    * same 1M-doc corpus runs ~100× slower from 1 input split than
+    * from 64). Size `spark.sql.files.maxPartitionBytes` or
+    * repartition the source once; at 100 TB the input is thousands
+    * of splits and this is free. */
   def ingestFilter(
       docs: DataFrame,
       idCol: String,
