@@ -35,24 +35,6 @@ object QualityGate {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Longest equal run in the row's SORTED bigram list = the top
-    * bigram's occurrence count, with no per-key shuffle. Guarded for
-    * n < 2 tokens (`slice(toks, 1, 0)` keeps the empty branch typed
-    * array<string>). */
-  private def topBigramCountExpr(toksCol: String): String =
-    s"""aggregate(
-       |  array_sort(CASE WHEN size($toksCol) < 2 THEN slice($toksCol, 1, 0)
-       |    ELSE transform(sequence(0, size($toksCol) - 2),
-       |      i -> concat($toksCol[i], ' ', $toksCol[i + 1])) END),
-       |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
-       |    'best', CAST(0 AS BIGINT)),
-       |  (acc, b) -> named_struct(
-       |    'prev', b,
-       |    'run', CAST(IF(b = acc.prev, acc.run + 1, 1) AS BIGINT),
-       |    'best', greatest(acc.best,
-       |      CAST(IF(b = acc.prev, acc.run + 1, 1) AS BIGINT))),
-       |  acc -> acc.best)""".stripMargin
-
   private val SignalCols = Seq("n_tokens", "distinct_ratio",
     "n_stopwords", "mean_word_len", "top_bigram_frac", "bits_per_token",
     "keep")
@@ -78,17 +60,21 @@ object QualityGate {
       s"token bounds [$minTokens, $maxTokens]")
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
       s"stopwords must be plain lowercase words, got $stopwords")
-    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    // all five integer signals in ONE codegen'd tokenization
+    // ([[graft.functions.GateSignals]]); the higher-order-builtin
+    // pipeline it replaced ran five interpreted lambdas per row and
+    // dominated the ingest chain at 1M docs — see BASELINE.md
+    val kernel = graft.functions.GateSignalsKernel(stopwords)
     docs
-      .withColumn("__toks", split(col(textCol), " "))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("__nd",
-        expr("size(array_distinct(__toks))").cast("long"))
-      .withColumn("n_stopwords",
-        expr(s"size(filter(__toks, t -> t IN ($stopList)))").cast("long"))
-      .withColumn("__chars",
-        expr("aggregate(__toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"))
-      .withColumn("__topbg", expr(topBigramCountExpr("__toks")))
+      .withColumn("__sig", org.apache.spark.sql.graftshim.Shim.column(
+        graft.functions.GateSignals(
+          org.apache.spark.sql.graftshim.Shim.expression(col(textCol)),
+          kernel)))
+      .withColumn("n_tokens", col("__sig.n_tokens"))
+      .withColumn("__nd", col("__sig.n_distinct"))
+      .withColumn("n_stopwords", col("__sig.n_stopwords"))
+      .withColumn("__chars", col("__sig.n_chars"))
+      .withColumn("__topbg", col("__sig.top_bigram"))
       .withColumn("bits_per_token",
         graft.operators.LmScore.bitsPerToken(col(textCol), m))
       .withColumn("distinct_ratio",
@@ -105,7 +91,7 @@ object QualityGate {
           col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
           col("top_bigram_frac") <= maxTopBigramFrac &&
           col("bits_per_token") <= maxBitsPerToken)
-      .drop("__toks", "__nd", "__chars", "__topbg")
+      .drop("__sig", "__nd", "__chars", "__topbg")
   }
 
   /** Score and gate every document. Output: (idCol, n_tokens,
