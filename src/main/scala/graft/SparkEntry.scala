@@ -1410,6 +1410,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the ORDER-SENSITIVE gate: same six signals, but the LM term is
+    // the frozen bigram model (budgets 1024/4096 cover the corpus's
+    // 31-term / 916-bigram tables, so the oracle re-derives the exact
+    // conditional formula). 4.91 bits sits at the bigram-score median
+    // here, so the corpus splits on the LM term itself — the signal a
+    // unigram gate cannot see (word order), thresholded where it
+    // actually discriminates.
+    "quality_gate_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.LmScore.bigramModel(docs, "text",
+        vocabSize = 1024, bigramBudget = 4096)
+      operators.QualityGate.gateBigram(docs, "doc_id", "text", m,
+          minTokens = 25, maxTokens = 100000,
+          minDistinctRatio = 0.45, minStopwords = 1,
+          maxTopBigramFrac = 0.18, maxBitsPerToken = 4.91)
+        .orderBy("doc_id")
+    }),
+
     // The full pretraining pipeline — PII scrub → benchmark
     // decontamination → exact dedup → quality gate → temperature
     // domain mix → sequence packing — as ONE composition
@@ -3409,6 +3427,64 @@ object SparkEntry {
         |      AS bits_per_token
         |  FROM toks t JOIN counts USING (tok) CROSS JOIN tot
         |  GROUP BY t.doc_id),
+        |bg AS (
+        |  SELECT doc_id, toks[ii.i] || ' ' || toks[ii.i + 1] AS b
+        |  FROM docs, LATERAL unnest(range(1, len(toks))) AS ii(i)),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, max(c) AS best, sum(c) AS nb
+        |          FROM bgc GROUP BY 1),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |    round(len(list_distinct(d.toks)) * 1.0 / len(d.toks), 6)
+        |      AS distinct_ratio,
+        |    CAST(len(list_filter(d.toks, x -> x IN ('the', 'be', 'to',
+        |      'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
+        |      AS n_stopwords,
+        |    round(list_sum(list_transform(d.toks, x -> len(x))) * 1.0
+        |      / len(d.toks), 6) AS mean_word_len,
+        |    round(coalesce(t.best * 1.0 / t.nb, 0), 6) AS top_bigram_frac,
+        |    b.bits_per_token
+        |  FROM docs d LEFT JOIN topbg t USING (doc_id)
+        |  JOIN bpt b USING (doc_id))
+        |SELECT doc_id, n_tokens, distinct_ratio, n_stopwords,
+        |  mean_word_len, top_bigram_frac, bits_per_token,
+        |  (n_tokens BETWEEN 25 AND 100000 AND distinct_ratio >= 0.45
+        |   AND n_stopwords >= 1 AND mean_word_len BETWEEN 3 AND 10
+        |   AND top_bigram_frac <= 0.18 AND bits_per_token <= 4.91)
+        |    AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // the bigram gate's five non-LM signals re-derived exactly as in
+    // quality_gate; the LM term via lm_bigram's full add-k
+    // conditional formula (budgets cover the corpus, so frozen ==
+    // corpus-native) — a backoff-floor or denominator slip flips
+    // keeps at the median-threshold boundary
+    "quality_gate_bigram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        |counts AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM counts),
+        |pairs AS (
+        |  SELECT doc_id, toks[ii.i] AS prev, toks[ii.i + 1] AS tok
+        |  FROM docs, LATERAL unnest(range(1, len(toks))) AS ii(i)),
+        |bgt AS (SELECT prev, tok, count(*) AS cb FROM pairs
+        |        GROUP BY prev, tok),
+        |leg1 AS (
+        |  SELECT d.doc_id, -log2((c.cu + 0.5) / (t.n + 0.5 * t.v)) AS bits
+        |  FROM docs d JOIN counts c ON d.toks[1] = c.tok CROSS JOIN tot t),
+        |leg2 AS (
+        |  SELECT p.doc_id,
+        |         -log2((b.cb + 0.5) / (cp.cu + 0.5 * t.v)) AS bits
+        |  FROM pairs p JOIN bgt b USING (prev, tok)
+        |    JOIN counts cp ON p.prev = cp.tok CROSS JOIN tot t),
+        |allb AS (SELECT doc_id, bits FROM leg1
+        |         UNION ALL SELECT doc_id, bits FROM leg2),
+        |bpt AS (
+        |  SELECT doc_id, round(sum(bits) / count(*), 6) AS bits_per_token
+        |  FROM allb GROUP BY doc_id),
         |bg AS (
         |  SELECT doc_id, toks[ii.i] || ' ' || toks[ii.i + 1] AS b
         |  FROM docs, LATERAL unnest(range(1, len(toks))) AS ii(i)),

@@ -55,7 +55,49 @@ object QualityGate {
       minMeanWordLen: Double = 3.0,
       maxMeanWordLen: Double = 10.0,
       maxTopBigramFrac: Double = 0.18,
-      maxBitsPerToken: Double = 1e9): DataFrame = {
+      maxBitsPerToken: Double = 1e9): DataFrame =
+    signalsWith(docs, textCol,
+      graft.operators.LmScore.bitsPerToken(col(textCol), m),
+      minTokens, maxTokens, minDistinctRatio, minStopwords, stopwords,
+      minMeanWordLen, maxMeanWordLen, maxTopBigramFrac, maxBitsPerToken)
+
+  /** [[signals]] with the ORDER-SENSITIVE LM term: bits-per-token
+    * under a frozen BIGRAM model ([[LmScore.bitsPerTokenBigram]]) —
+    * catches the scrambled-word-order junk a unigram perplexity is
+    * blind to (spec-pinned in LmScoreSpec). Same pure-map shape,
+    * same streaming story; only the reference object riding into
+    * executors changes. */
+  def signalsBigram(
+      docs: DataFrame,
+      textCol: String,
+      m: graft.functions.BigramModelRef,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minDistinctRatio: Double = 0.45,
+      minStopwords: Long = 1,
+      stopwords: Seq[String] = GopherStopwords,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopBigramFrac: Double = 0.18,
+      maxBitsPerToken: Double = 1e9): DataFrame =
+    signalsWith(docs, textCol,
+      graft.operators.LmScore.bitsPerTokenBigram(col(textCol), m),
+      minTokens, maxTokens, minDistinctRatio, minStopwords, stopwords,
+      minMeanWordLen, maxMeanWordLen, maxTopBigramFrac, maxBitsPerToken)
+
+  private def signalsWith(
+      docs: DataFrame,
+      textCol: String,
+      bits: org.apache.spark.sql.Column,
+      minTokens: Long,
+      maxTokens: Long,
+      minDistinctRatio: Double,
+      minStopwords: Long,
+      stopwords: Seq[String],
+      minMeanWordLen: Double,
+      maxMeanWordLen: Double,
+      maxTopBigramFrac: Double,
+      maxBitsPerToken: Double): DataFrame = {
     require(minTokens >= 1 && maxTokens >= minTokens,
       s"token bounds [$minTokens, $maxTokens]")
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
@@ -75,8 +117,7 @@ object QualityGate {
       .withColumn("n_stopwords", col("__sig.n_stopwords"))
       .withColumn("__chars", col("__sig.n_chars"))
       .withColumn("__topbg", col("__sig.top_bigram"))
-      .withColumn("bits_per_token",
-        graft.operators.LmScore.bitsPerToken(col(textCol), m))
+      .withColumn("bits_per_token", bits)
       .withColumn("distinct_ratio",
         round(col("__nd").cast("double") / col("n_tokens"), 6))
       .withColumn("mean_word_len",
@@ -118,6 +159,27 @@ object QualityGate {
     signals(docs, textCol, m, minTokens, maxTokens, minDistinctRatio,
       minStopwords, stopwords, minMeanWordLen, maxMeanWordLen,
       maxTopBigramFrac, maxBitsPerToken)
+      .select(col(idCol) +: SignalCols.map(col): _*)
+
+  /** [[gate]] under the frozen BIGRAM model — same output shape,
+    * order-sensitive LM term (see [[signalsBigram]]). */
+  def gateBigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: graft.functions.BigramModelRef,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minDistinctRatio: Double = 0.45,
+      minStopwords: Long = 1,
+      stopwords: Seq[String] = GopherStopwords,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopBigramFrac: Double = 0.18,
+      maxBitsPerToken: Double = 1e9): DataFrame =
+    signalsBigram(docs, textCol, m, minTokens, maxTokens,
+      minDistinctRatio, minStopwords, stopwords, minMeanWordLen,
+      maxMeanWordLen, maxTopBigramFrac, maxBitsPerToken)
       .select(col(idCol) +: SignalCols.map(col): _*)
 
   /** The FILTER form: documents surviving the gate, original columns

@@ -139,7 +139,11 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.sharedState.cacheManager.isEmpty,
       "pipeline must not leave CacheManager entries")
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after <= before + 2,
+    // one run leaves at most its OWN checkpoint blocks pending GC:
+    // the clean-corpus boundary plus the (tiny, eager) mixThresholds
+    // table — both reclaimed by the ContextCleaner, never CacheManager
+    // registrations
+    assert(after <= before + 3,
       s"checkpoint RDDs must be reclaimable: $before -> $after")
   }
 }

@@ -66,6 +66,33 @@ class QualityGateSpec extends SparkTestBase {
       viaScore.map(_.getDouble(1)).toSeq)
   }
 
+  test("gateBigram's LM term equals scoreBigram's full-formula score " +
+    "under covering budgets, and the non-LM signals match gate()") {
+    val docs = Seq((1L, "the cat sat on the mat with a hat"),
+      (2L, "the the the the the and and and and and"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val bm = LmScore.bigramModel(docs, "text", 1024, 4096)
+    val viaGate = QualityGate.gateBigram(docs, "doc_id", "text", bm,
+        minTokens = 2, minDistinctRatio = 0.1, minMeanWordLen = 1.0,
+        maxTopBigramFrac = 1.0)
+      .orderBy("doc_id").collect()
+    val viaScore = LmScore.scoreBigram(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    viaGate.zip(viaScore).foreach { case (g, sc) =>
+      assert(math.abs(g.getDouble(6) - sc.getDouble(2)) < 1e-6,
+        s"doc ${g.getLong(0)}")
+    }
+    val um = m(docs)
+    val uni = QualityGate.gate(docs, "doc_id", "text", um,
+        minTokens = 2, minDistinctRatio = 0.1, minMeanWordLen = 1.0,
+        maxTopBigramFrac = 1.0)
+      .orderBy("doc_id").collect()
+    viaGate.zip(uni).foreach { case (b, u) =>
+      (1 to 5).foreach(i => assert(b.get(i) == u.get(i),
+        s"non-LM signal $i diverged"))
+    }
+  }
+
   test("gate over a file stream == batch under a batch-fit frozen " +
     "model — all six signals and the conjunction are per-row maps, " +
     "so the SAME call gates a streaming ingest") {
