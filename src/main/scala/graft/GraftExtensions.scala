@@ -106,6 +106,8 @@ object GraftExtensions {
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),
     "jpeg_ac_media_for_id" -> (es => JpegAcMediaBytes(es.head)),
     "jpeg_sub_media_for_id" -> (es => JpegSubMediaBytes(es.head)),
+    "jpeg_rst_media_for_id" -> (es => JpegRstMediaBytes(es.head)),
+    "jpeg_prog_media_for_id" -> (es => JpegProgMediaBytes(es.head)),
     "mixed_pixel_media_for_id" -> (es => MixedPixelMediaBytes(es.head)),
     "wav_media_for_id" -> (es => WavMediaBytes(es.head)),
     "wav_tagged_media_for_id" -> (es => WavTaggedMediaBytes(es.head)),

@@ -601,6 +601,55 @@ case class JpegSubMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** jpeg_rst_media_for_id(id) -> binary: the RESTART-MARKER
+  * full-baseline JPEG fixture bytes
+  * ([[graft.operators.MediaFixtures.jpegRstMediaFor]] — DRI + cycling
+  * RSTn every 1..5 MCUs, per-interval DC prediction). */
+case class JpegRstMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_rst_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.jpegRstMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.jpegRstMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** jpeg_prog_media_for_id(id) -> binary: the PROGRESSIVE (SOF2) JPEG
+  * fixture bytes ([[graft.operators.MediaFixtures.jpegProgMediaFor]]
+  * — 6-scan successive approximation, layout cycling by id). */
+case class JpegProgMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_prog_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.jpegProgMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.jpegProgMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** mixed_pixel_media_for_id(id) -> binary: the MIXED-format pixel
   * fixture bytes ([[graft.operators.MediaFixtures.mixedPixelMediaFor]]
   * — PNG even ids, JPEG odd ids, real pixels in both). */

@@ -220,6 +220,21 @@ object MediaFixtures {
     JpegDc.jpegWithAcPixels(id, w, h, if (id % 2 == 0) 3 else 1)
   }
 
+  /** RESTART-MARKER full-baseline JPEG fixture
+    * ([[JpegDc.jpegWithAcPixelsRestart]]): the [[jpegAcMediaFor]]
+    * shapes cut into restart intervals of 1..5 MCUs — every fixture
+    * carries a DRI segment and real RSTn markers (cycling past RST7
+    * for the small intervals), with DC prediction restarting at zero
+    * in each interval. Decoded pixels follow the same exact-integer
+    * contract [[JpegDc.acPix]], so a decoder that skips the predictor
+    * reset or mis-aligns at a marker fails positionally. */
+  def jpegRstMediaFor(id: Long): Array[Byte] = {
+    val w = (10 + math.floorMod(id * 7, 29)).toInt
+    val h = (9 + math.floorMod(id * 5, 23)).toInt
+    JpegDc.jpegWithAcPixelsRestart(id, w, h,
+      if (id % 2 == 0) 3 else 1, ri = (1 + id % 5).toInt)
+  }
+
   /** CHROMA-SUBSAMPLED full-baseline JPEG fixture
     * ([[JpegDc.jpegWithAcPixelsSampled]]): the id cycles through the
     * three subsampled layouts real crawls contain — 4:2:0 (id%3=0,
@@ -236,6 +251,24 @@ object MediaFixtures {
       case _ => (1, 2) // 4:4:0
     }
     JpegDc.jpegWithAcPixelsSampled(id, w, h, yH, yV)
+  }
+
+  /** PROGRESSIVE (SOF2) JPEG fixture ([[JpegDc.jpegProgressive]]):
+    * the id cycles layout — 4:2:0 subsampled color (id%3=0, the
+    * dominant progressive web layout), grayscale (id%3=1), 4:4:4
+    * color (id%3=2) — through the full 6-scan successive-approximation
+    * script (DC first/refine interleaved, AC first/refine per
+    * component per spectral band, real EOB runs and correction bits).
+    * Decoded pixels follow [[JpegDc.subPix]] (luma-subsampled cases)
+    * / [[JpegDc.acPix]] (which subPix degenerates to at 1×1). */
+  def jpegProgMediaFor(id: Long): Array[Byte] = {
+    val w = (10 + math.floorMod(id * 7, 29)).toInt
+    val h = (9 + math.floorMod(id * 5, 23)).toInt
+    (id % 3) match {
+      case 0 => JpegDc.jpegProgressive(id, w, h, 3, 2, 2)
+      case 1 => JpegDc.jpegProgressive(id, w, h, 1)
+      case _ => JpegDc.jpegProgressive(id, w, h, 3)
+    }
   }
 
   /** MJPEG-AVI container-video fixture ([[Avi.aviWithFrames]]): frame

@@ -175,6 +175,187 @@ class JpegDcSpec extends SparkTestBase {
     }
   }
 
+  test("restart markers: DRI fixtures decode to the exact acPix " +
+    "contract — per-interval DC prediction, cycling RSTn, real " +
+    "markers present in the stream") {
+    (0L until 10L).foreach { id =>
+      val bytes = MediaFixtures.jpegRstMediaFor(id)
+      // the fixture genuinely contains restart markers (0xFF 0xD0-D7)
+      val nRst = (0 until bytes.length - 1).count { j =>
+        (bytes(j) & 0xff) == 0xff &&
+        (bytes(j + 1) & 0xff) >= 0xd0 && (bytes(j + 1) & 0xff) <= 0xd7
+      }
+      assert(nRst > 0, s"id=$id fixture carries no RSTn markers")
+      val d = JpegDc.decode(bytes).getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == 10 + (id * 7 % 29) && d.height == 9 + (id * 5 % 23))
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / d.channels) % d.width
+        val y = i / (d.width * d.channels)
+        val c = i % d.channels
+        assert((d.pixels(i) & 0xff) == JpegDc.acPix(id, x, y, c),
+          s"id=$id x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("seeded fuzz: 50 random (id, w, h, nc, ri) restart images " +
+    "round-trip bit-exact, including ri past the 8-marker cycle") {
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 50).foreach { _ =>
+      val id = rnd.nextInt(10000).toLong
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(45)
+      val nc = if (rnd.nextBoolean()) 3 else 1
+      val ri = 1 + rnd.nextInt(7)
+      val d = JpegDc.decode(JpegDc.jpegWithAcPixelsRestart(id, w, h, nc, ri))
+        .getOrElse(fail(s"id=$id ${w}x$h nc=$nc ri=$ri did not decode"))
+      assert(d.width == w && d.height == h && d.channels == nc)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / nc) % w
+        val y = i / (w * nc)
+        assert((d.pixels(i) & 0xff) == JpegDc.acPix(id, x, y, i % nc),
+          s"id=$id ${w}x$h nc=$nc ri=$ri i=$i")
+        i += 1
+      }
+    }
+  }
+
+  test("progressive (SOF2): the 6-scan successive-approximation " +
+    "script decodes to the exact acPix contract — DC first/refine, " +
+    "AC first with real EOB runs, AC refinement with interleaved " +
+    "correction bits") {
+    (0L until 8L).foreach { id =>
+      val w = (10 + id * 7 % 29).toInt
+      val h = (9 + id * 5 % 23).toInt
+      val nc = if (id % 2 == 0) 3 else 1
+      val bytes = JpegDc.jpegProgressive(id, w, h, nc)
+      // the stream is genuinely progressive: SOF2 frame, multiple SOS
+      assert((2 until bytes.length - 1).exists { j =>
+        (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xc2
+      })
+      val nSos = (2 until bytes.length - 1).count { j =>
+        (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xda
+      }
+      assert(nSos == 2 + 4 * nc, s"id=$id expected ${2 + 4 * nc} scans")
+      val d = JpegDc.decode(bytes).getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == w && d.height == h && d.channels == nc)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / nc) % w
+        val y = i / (w * nc)
+        assert((d.pixels(i) & 0xff) == JpegDc.acPix(id, x, y, i % nc),
+          s"id=$id x=$x y=$y c=${i % nc}")
+        i += 1
+      }
+    }
+  }
+
+  test("progressive + chroma subsampling: 4:2:0/4:2:2/4:4:0 SOF2 " +
+    "streams decode through interleaved DC MCUs and non-interleaved " +
+    "AC scans to the exact subPix contract") {
+    ((0L until 9L)).foreach { id =>
+      val w = (10 + id * 7 % 29).toInt
+      val h = (9 + id * 5 % 23).toInt
+      val (yH, yV) = (id % 3) match {
+        case 0 => (2, 2); case 1 => (2, 1); case _ => (1, 2)
+      }
+      val d = JpegDc.decode(JpegDc.jpegProgressive(id, w, h, 3, yH, yV))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == w && d.height == h && d.channels == 3)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / 3) % w
+        val y = i / (w * 3)
+        val c = i % 3
+        assert((d.pixels(i) & 0xff) == JpegDc.subPix(id, x, y, c, yH, yV),
+          s"id=$id ${yH}x$yV x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("seeded fuzz: 60 random progressive (id, w, h, nc, sampling) " +
+    "round-trip bit-exact") {
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 60).foreach { _ =>
+      val id = rnd.nextInt(10000).toLong
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(45)
+      val nc = if (rnd.nextBoolean()) 3 else 1
+      val yH = 1 + rnd.nextInt(2)
+      val yV = 1 + rnd.nextInt(2)
+      val d = JpegDc.decode(JpegDc.jpegProgressive(id, w, h, nc, yH, yV))
+        .getOrElse(fail(s"id=$id ${w}x$h nc=$nc ${yH}x$yV did not decode"))
+      assert(d.width == w && d.height == h && d.channels == nc)
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / nc) % w
+        val y = i / (w * nc)
+        val c = i % nc
+        val want =
+          if (nc == 1) JpegDc.acPix(id, x, y, 0)
+          else JpegDc.subPix(id, x, y, c, yH, yV)
+        assert((d.pixels(i) & 0xff) == want,
+          s"id=$id ${w}x$h nc=$nc ${yH}x$yV x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
+  test("progressive damage is rejected, never thrown on: truncation, " +
+    "a missing scan tail, and refinement-before-first scans") {
+    val good = JpegDc.jpegProgressive(3L, 24, 16, 1)
+    assert(JpegDc.decode(good.take(good.length / 3)).isEmpty)
+    // chop after the 2nd SOS: EOI never arrives
+    val sos2 = {
+      var seen = 0; var at = -1
+      (2 until good.length - 1).foreach { j =>
+        if (at < 0 && (good(j) & 0xff) == 0xff &&
+          (good(j + 1) & 0xff) == 0xda) {
+          seen += 1; if (seen == 2) at = j
+        }
+      }
+      at
+    }
+    assert(JpegDc.decode(good.take(sos2 + 6)).isEmpty)
+    // flip Ah/Al of the first AC scan to a non-successive pair (Ah=3
+    // refining onto Al=0 history jumps 3 bits — out of subset)
+    val bad = good.clone()
+    var fixed = false
+    (sos2 until bad.length - 10).foreach { j =>
+      if (!fixed && (bad(j) & 0xff) == 0xff && (bad(j + 1) & 0xff) == 0xda) {
+        // SOS: len(2) ns(1) comp pairs(2*ns=2) Ss Se AhAl
+        bad(j + 9) = 0x30.toByte; fixed = true
+      }
+    }
+    assert(fixed && JpegDc.decode(bad).isEmpty)
+  }
+
+  test("restart damage is rejected, never thrown on: out-of-sequence " +
+    "RSTn, and a declared DRI whose markers are absent") {
+    val good = JpegDc.jpegWithAcPixelsRestart(7L, 40, 24, 1, 2)
+    // find the first RSTn in the entropy stream and bump its sequence
+    val at = (2 until good.length - 1).find { j =>
+      (good(j) & 0xff) == 0xff &&
+      (good(j + 1) & 0xff) >= 0xd0 && (good(j + 1) & 0xff) <= 0xd7
+    }.get
+    assert((good(at + 1) & 0xff) == 0xd0) // first marker is RST0
+    val wrongSeq = good.clone()
+    wrongSeq(at + 1) = 0xd3.toByte
+    assert(JpegDc.decode(wrongSeq).isEmpty)
+    // same coefficients, no DRI and no markers — but declare DRI by
+    // hand: the decoder expects a marker that never comes
+    val noRst = JpegDc.jpegWithAcPixels(7L, 40, 24, 1)
+    val withDri = new java.io.ByteArrayOutputStream()
+    withDri.write(noRst, 0, 2) // SOI
+    withDri.write(Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 2), 0, 6)
+    withDri.write(noRst, 2, noRst.length - 2)
+    assert(JpegDc.decode(withDri.toByteArray).isEmpty)
+  }
+
   test("sampling factors above 2 are outside the subset and rejected, " +
     "and the header parser still reads subsampled frames") {
     // patch the Y sampling byte of a good 4:2:0 frame to 3x1
