@@ -34,6 +34,110 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     sum(round(c * 100, 0).cast("long"))
 
+  /** LINE-STRUCTURED corpus fixture for the line-level operators
+    * (boilerplate strip, C4 line filter): the flat `documents.text` is
+    * deterministically reshaped into multi-line pages the way the
+    * media fixtures derive images from ids — a shared header line, the
+    * body split into 8-word lines, and one of four footer variants —
+    * so "boilerplate" (lines repeated across many documents) exists by
+    * construction and the DuckDB oracle re-derives the SAME pages in
+    * SQL. Pure projection: codegen'd builtins, no shuffle. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nl = greatest(
+      floor((size(words) + lit(7)) / lit(8)).cast("int"), lit(1))
+    val body = transform(sequence(lit(0), nl - 1),
+      i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n",
+        lit("subscribe to our newsletter today"),
+        array_join(body, "\n"),
+        concat(lit("copyright footer "),
+          (col("doc_id") % 4).cast("string"))).as("text"))
+  }
+
+  /** C4-shaped page fixture: like [[linedDocs]] but with per-line
+    * terminal-punctuation cycling ((i+id)%5: none/./!/?/."), a short
+    * 2-word line on every (i+id)%7 == 0, and whole-page junk markers
+    * (`lorem ipsum` on id%31, a `{` code line on id%37) — so every C4
+    * rule fires on real rows. Pure projection, construction mirrored
+    * verbatim by [[C4PageSql]]. */
+  private def c4Docs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val words = split(col("text"), " ")
+    val nl = greatest(
+      floor((size(words) + lit(7)) / lit(8)).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nl - 1), i => {
+      val raw = array_join(slice(words, i * 8 + 1,
+        when((i + id) % 7 === 0, lit(2)).otherwise(lit(8))), " ")
+      val p = (i + id) % 5
+      concat(raw,
+        when(p === 1, lit(".")).when(p === 2, lit("!"))
+          .when(p === 3, lit("?")).when(p === 4, lit(".\""))
+          .otherwise(lit("")))
+    })
+    t(s, dir, "documents").select(
+      id,
+      concat(
+        array_join(lines, "\n"),
+        when(id % 31 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(id % 37 === 0, lit("\nvar f = function() { return 1; }."))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** The DuckDB twin of [[c4Docs]] (prefix CTEs ending in
+    * `c4page(doc_id, text)`). */
+  private val C4PageSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |c4ln AS (
+      |  SELECT doc_id, t.i,
+      |    array_to_string(list_slice(words, t.i*8+1,
+      |      t.i*8 + CASE WHEN (t.i + doc_id) % 7 = 0
+      |              THEN 2 ELSE 8 END), ' ')
+      |    || CASE (t.i + doc_id) % 5
+      |         WHEN 1 THEN '.' WHEN 2 THEN '!' WHEN 3 THEN '?'
+      |         WHEN 4 THEN '."' ELSE '' END AS line
+      |  FROM w, LATERAL unnest(
+      |    range(0, GREATEST(CAST(ceil(len(words)/8.0) AS BIGINT), 1)))
+      |    AS t(i)),
+      |c4body AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+      |  FROM c4ln GROUP BY doc_id),
+      |c4page AS (
+      |  SELECT doc_id, b ||
+      |    CASE WHEN doc_id % 31 = 0
+      |         THEN chr(10) || 'lorem ipsum dolor sit amet.'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 37 = 0
+      |         THEN chr(10) || 'var f = function() { return 1; }.'
+      |         ELSE '' END AS text
+      |  FROM c4body)""".stripMargin
+
+  /** The DuckDB twin of [[linedDocs]], shared by the line-level
+    * oracles (prefix CTEs ending in `lined(doc_id, text)`). */
+  private val LinedSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |ln0 AS (
+      |  SELECT doc_id, t.i,
+      |         array_to_string(list_slice(words, t.i*8+1, t.i*8+8), ' ')
+      |           AS line
+      |  FROM w, LATERAL unnest(
+      |    range(0, GREATEST(CAST(ceil(len(words)/8.0) AS BIGINT), 1)))
+      |    AS t(i)),
+      |body AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS b
+      |  FROM ln0 GROUP BY doc_id),
+      |lined AS (
+      |  SELECT d.doc_id,
+      |         'subscribe to our newsletter today' || chr(10) || b.b ||
+      |         chr(10) || 'copyright footer ' ||
+      |         CAST(d.doc_id % 4 AS VARCHAR) AS text
+      |  FROM documents d JOIN body b ON d.doc_id = b.doc_id)""".stripMargin
+
   /** Temp-dir cache path for an index built inside a declared query,
     * keyed on the source table's identity (absolute path + mtime +
     * size): the same input reuses the already-built index — so the
@@ -1344,6 +1448,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LINE-level boilerplate detection (CCNet §3.1 / RefinedWeb §3.2
+    // — the pass that precedes document dedup in every public web
+    // pipeline): over the line-structured fixture pages, the lines
+    // repeated in >= 10 distinct documents are exactly the injected
+    // header + the four footer variants. One explode + a two-level
+    // hash groupBy — the trivially-scalable distinct-doc frequency.
+    "boilerplate_lines" -> ((s, dir) => {
+      operators.Boilerplate.lineDocFreq(linedDocs(s, dir), "doc_id", "text")
+        .filter(col("ndocs") >= 10)
+        .orderBy(col("ndocs").desc, col("line"))
+    }),
+
+    // corpus-native line-level strip: remove every >= 10-doc line,
+    // reassemble pages in original line order. The oracle replays the
+    // whole construction + frequency + reassembly in SQL — a join
+    // miss, an order-unstable reassembly, or an off-by-one in the
+    // line split breaks the full-text hash.
+    "line_dedup" -> ((s, dir) => {
+      operators.Boilerplate.strip(linedDocs(s, dir), "doc_id", "text", 10)
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // the FROZEN deployment shape (same split as lm_model_score /
+    // domain_mix_fast): fit the bounded boilerplate set once, then
+    // strip as a PURE MAP — builtin filter over the split array
+    // against the set literal, zero shuffles, stream-safe. Same
+    // output as line_dedup (spec-pinned plan shape).
+    "line_dedup_fast" -> ((s, dir) => {
+      val lined = linedDocs(s, dir)
+      val set = operators.Boilerplate.boilerplateSet(
+        lined, "doc_id", "text", 10)
+      operators.Boilerplate.stripWithSet(lined, "text", set)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 heuristic clean (Raffel et al. 2020 §2.2) — the line-level
+    // quality gate next to the Gopher document gate: terminal-punct /
+    // min-words / javascript line rules, lorem-ipsum and `{` page
+    // rules, min surviving lines. ONE map-only projection (builtin
+    // higher-order filter + array_join — plan-pinned no shuffle), so
+    // the same call gates a crawl stream at ingest. The oracle
+    // replays every rule AND the page construction in SQL — a regex
+    // dialect difference or a keep-count off-by-one breaks the hash.
+    "c4_filter" -> ((s, dir) => {
+      operators.TextClean.c4Filter(c4Docs(s, dir), "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("keep"), col("text").as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet/Gopher-style LM quality scoring: add-k unigram model
     // estimated from the corpus itself, per-doc bits-per-token — the
     // perplexity-filter signal. One token shuffle for counts, a
@@ -1618,6 +1774,59 @@ object SparkEntry {
       val media = docs.withColumn("media",
         org.apache.spark.sql.graftshim.Shim.column(
           functions.JpegSubMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.filter(col("doc_id") < 6)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftshim.Shim.column(
+            functions.DecodedPixels(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          col("col").cast("long").as("v"))
+        .orderBy("doc_id", "i")
+    }),
+
+    // RESTART-MARKER baseline JPEG (how real crawl JPEGs arrive —
+    // cameras emit DRI almost universally): the fixture cuts the
+    // entropy stream into 1..5-MCU restart intervals with cycling
+    // RSTn markers and per-interval DC prediction. The oracle is the
+    // SAME per-pixel acPix contract as jpeg_full_pixels — a decoder
+    // that misses the predictor reset shifts every post-restart DC
+    // level and fails positionally; one that doesn't byte-align at
+    // the marker desyncs the Huffman stream entirely.
+    "jpeg_restart_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.JpegRstMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.filter(col("doc_id") < 6)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftshim.Shim.column(
+            functions.DecodedPixels(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media"))))))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          col("col").cast("long").as("v"))
+        .orderBy("doc_id", "i")
+    }),
+
+    // PROGRESSIVE JPEG (SOF2 — how large web JPEGs typically ship):
+    // the fixture runs the full 6-scan successive-approximation
+    // script — DC first/refine interleaved, per-component AC scans
+    // over two spectral bands with real multi-block EOB runs, and the
+    // G.2.2.3 refinement walk with interleaved correction bits —
+    // cycling 4:2:0 / grayscale / 4:4:4 layouts. The oracle compares
+    // EVERY pixel positionally against the same integer contract as
+    // the baseline queries: progressive changes the SCAN STRUCTURE,
+    // not the pixels, so any spectral/approximation bookkeeping bug
+    // (band offsets, EOBRUN accounting, correction-bit sync) lands
+    // energy in the wrong place and breaks the hash.
+    "jpeg_progressive_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.JpegProgMediaBytes(
             org.apache.spark.sql.graftshim.Shim.expression(
               col("doc_id").cast("long")))))
       media.filter(col("doc_id") < 6)
@@ -3309,6 +3518,96 @@ object SparkEntry {
         |    AS BIGINT) AS n_ip
         |FROM base ORDER BY doc_id""".stripMargin,
 
+    // C4 rules replayed in SQL over the same re-derived pages:
+    // list_filter with the identical line predicate, page-level junk
+    // checks, and the min-lines verdict
+    "c4_filter" -> (C4PageSql +
+      """,
+        |flt AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(x, '[.!?"]$')
+        |      AND len(string_split(x, ' ')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kept,
+        |    text
+        |  FROM c4page)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (NOT contains(text, '{') AND
+        |   NOT contains(lower(text), 'lorem ipsum') AND
+        |   len(kept) >= 3) AS keep,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean
+        |FROM flt ORDER BY doc_id""".stripMargin),
+
+    // line-structured pages re-derived in SQL, then distinct-doc line
+    // frequency — the >= 10-doc lines are the injected header + the
+    // four footers (plus any naturally repeated body line, which both
+    // sides would count identically)
+    "boilerplate_lines" -> (LinedSql +
+      """,
+        |alllines AS (
+        |  SELECT doc_id, u.line
+        |  FROM lined, LATERAL unnest(string_split(text, chr(10)))
+        |    AS u(line)),
+        |freq AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS ndocs
+        |  FROM alllines GROUP BY line)
+        |SELECT line, CAST(ndocs AS BIGINT) AS ndocs
+        |FROM freq WHERE ndocs >= 10
+        |ORDER BY ndocs DESC, line""".stripMargin),
+
+    // full strip replay: same pages, same frequency rule, lines kept
+    // in original order via WITH ORDINALITY, empty-page docs restored
+    // by the left join — byte-identical reassembly or the hash breaks
+    "line_dedup" -> (LinedSql +
+      """,
+        |ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines
+        |  FROM lined),
+        |pos AS (
+        |  SELECT doc_id, t.i, lines[t.i] AS line
+        |  FROM ls, LATERAL unnest(range(1, len(lines) + 1)) AS t(i)),
+        |freq AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS ndocs
+        |  FROM pos GROUP BY line),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.line
+        |  FROM pos p JOIN freq f ON p.line = f.line
+        |  WHERE f.ndocs < 10),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, COALESCE(r.text, '') AS text
+        |FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+        |ORDER BY l.doc_id""".stripMargin),
+
+    // the frozen map-only form produces the identical corpus (the
+    // bounded set covers every >= 10-doc line here), so the oracle is
+    // the same replay
+    "line_dedup_fast" -> (LinedSql +
+      """,
+        |ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines
+        |  FROM lined),
+        |pos AS (
+        |  SELECT doc_id, t.i, lines[t.i] AS line
+        |  FROM ls, LATERAL unnest(range(1, len(lines) + 1)) AS t(i)),
+        |freq AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS ndocs
+        |  FROM pos GROUP BY line),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.line
+        |  FROM pos p JOIN freq f ON p.line = f.line
+        |  WHERE f.ndocs < 10),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, COALESCE(r.text, '') AS text
+        |FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+        |ORDER BY l.doc_id""".stripMargin),
+
     // independent re-derivation of the add-k unigram model: same
     // counts, same (N, V) normalizer, same log2 sum — a smoothing or
     // normalization slip shifts every score
@@ -3798,6 +4097,75 @@ object SparkEntry {
         |         CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
         |         CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
         |  FROM px)
+        |SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |       CAST(64 + (3*bx + 5*by + 7*doc_id + 11*c) % 128
+        |            + ((2*bx + 3*by + 5*doc_id + 7*c) % 31 - 15) * sy
+        |            + ((bx + 2*by + 3*doc_id + 5*c) % 31 - 15) * sx * sy
+        |            AS BIGINT) AS v
+        |FROM sg
+        |ORDER BY doc_id, i""".stripMargin,
+
+    // the restart fixture decodes to the IDENTICAL analytic contract
+    // as jpeg_full_pixels (restart markers change the entropy-stream
+    // framing, not the pixels) — the engine additionally byte-aligned
+    // at every RSTn, checked the mod-8 sequence, and reset DC
+    // predictors per interval; the oracle is pure integer math
+    "jpeg_restart_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |dims AS (
+        |  SELECT doc_id, 10 + (doc_id * 7) % 29 AS w,
+        |         9 + (doc_id * 5) % 23 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, ii.i,
+        |         ((ii.i // d.ch) % d.w) AS x,
+        |         (ii.i // (d.w * d.ch)) AS y,
+        |         (ii.i % d.ch) AS c
+        |  FROM dims d, LATERAL unnest(range(0, d.w * d.h * d.ch)) AS ii(i)),
+        |sg AS (
+        |  SELECT doc_id, i, c, x // 8 AS bx, y // 8 AS by,
+        |         CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
+        |         CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
+        |  FROM px)
+        |SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |       CAST(64 + (3*bx + 5*by + 7*doc_id + 11*c) % 128
+        |            + ((2*bx + 3*by + 5*doc_id + 7*c) % 31 - 15) * sy
+        |            + ((bx + 2*by + 3*doc_id + 5*c) % 31 - 15) * sx * sy
+        |            AS BIGINT) AS v
+        |FROM sg
+        |ORDER BY doc_id, i""".stripMargin,
+
+    // the progressive fixture decodes to the same analytic contract
+    // family: layout cycles 4:2:0 color / grayscale / 4:4:4 color by
+    // id%3 — the engine ran six entropy scans (spectral selection +
+    // successive approximation) per image; the oracle is pure integer
+    // math on the per-component plane coordinate
+    "jpeg_progressive_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |dims AS (
+        |  SELECT doc_id, 10 + (doc_id * 7) % 29 AS w,
+        |         9 + (doc_id * 5) % 23 AS h,
+        |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS ch,
+        |         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS yh,
+        |         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS yv
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, ii.i,
+        |         ((ii.i // d.ch) % d.w) AS x,
+        |         (ii.i // (d.w * d.ch)) AS y,
+        |         (ii.i % d.ch) AS c, d.yh, d.yv
+        |  FROM dims d, LATERAL unnest(range(0, d.w * d.h * d.ch)) AS ii(i)),
+        |pc AS (
+        |  SELECT doc_id, i, c,
+        |         CASE WHEN c = 0 THEN x ELSE x // yh END AS px,
+        |         CASE WHEN c = 0 THEN y ELSE y // yv END AS py
+        |  FROM px),
+        |sg AS (
+        |  SELECT doc_id, i, c, px // 8 AS bx, py // 8 AS by,
+        |         CASE WHEN (px % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
+        |         CASE WHEN (py % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
+        |  FROM pc)
         |SELECT doc_id, CAST(i AS BIGINT) AS i,
         |       CAST(64 + (3*bx + 5*by + 7*doc_id + 11*c) % 128
         |            + ((2*bx + 3*by + 5*doc_id + 7*c) % 31 - 15) * sy

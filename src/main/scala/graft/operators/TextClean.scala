@@ -62,4 +62,49 @@ object TextClean {
       .withColumn("n_id", countMatches(col(textCol), IdPattern))
       .withColumn("n_ip", countMatches(col(textCol), IpPattern))
       .withColumn(textCol, redact(col(textCol)))
+
+  // ---- C4 heuristic line filter ------------------------------------
+
+  /** A kept line ends in terminal punctuation (`.`/`!`/`?`/closing
+    * quote), carries at least `minWords` whitespace words, and does
+    * not mention javascript — C4's line rules (Raffel et al. 2020
+    * §2.2) in the RE2-compatible subset so the oracle applies them
+    * verbatim. */
+  def c4LineKeep(line: Column, minWords: Int): Column =
+    line.rlike("[.!?\"]$") &&
+      size(split(line, " ")) >= minWords &&
+      !contains(lower(line), lit("javascript"))
+
+  /** The C4 heuristic clean (Raffel et al. 2020 §2.2) — the OTHER
+    * public-reference quality gate next to [[graft.operators
+    * .QualityGate]]'s Gopher rules, operating at LINE granularity
+    * where Gopher scores whole documents:
+    *
+    *  - keep only lines that end in terminal punctuation, have at
+    *    least `minWords` words, and don't mention javascript;
+    *  - drop any page containing `{` (code) or the phrase
+    *    `lorem ipsum` (placeholder text);
+    *  - drop pages with fewer than `minLines` surviving lines.
+    *
+    * Output: input columns plus `n_lines` (original), `n_kept`,
+    * `keep` (the page-level verdict), and `textCol` rewritten to the
+    * kept lines. ONE map-only projection — builtin higher-order
+    * `filter` + `array_join`, no UDF, no shuffle, no state — so the
+    * same call gates a structured stream at ingest, and at 100 TB the
+    * cost is the text scan itself. Dropping the failed pages is
+    * `.filter(col("keep"))` — left to the caller so accounting stays
+    * observable (same contract as [[QualityGate]]). */
+  def c4Filter(docs: DataFrame, textCol: String, minWords: Int = 3,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => c4LineKeep(l, minWords))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("keep",
+        !contains(col(textCol), lit("{")) &&
+        !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+        size(kept) >= minLines)
+      .withColumn(textCol, array_join(kept, "\n"))
+  }
 }
