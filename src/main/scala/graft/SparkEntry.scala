@@ -1027,6 +1027,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the WEB PNG subset end-to-end (r8): one fixture table cycling
+    // ALL FIVE depth-8 color types — gray, truecolor, palette (PLTE
+    // expansion), gray+alpha, RGBA — with every third image stored in
+    // the Adam7 interlaced layout. The oracle re-derives the decoded
+    // sums analytically (palette rows compose the index contract with
+    // the palette contract); interlace must be invisible to it — a
+    // wrong pass geometry or cross-pass unfilter breaks the hash.
+    "png_web_pixels" -> ((s, dir) => {
+      val media = operators.MediaFixtures.withWebPixelMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "media")
+      operators.Multimodal.decodePixelStats(media, "media")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          col("pixstats.width").cast("long").as("width"),
+          col("pixstats.height").cast("long").as("height"),
+          col("pixstats.channels").cast("long").as("channels"),
+          col("pixstats.pix_sum").as("pix_sum"),
+          col("pixstats.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // REAL image feature extraction: luminance histogram over the
     // decoded pixels (integer luma, exact counts). Oracle recomputes
     // the histogram analytically from the pixel contract — bit-exact.
@@ -4261,6 +4282,42 @@ object SparkEntry {
         |  SELECT d.doc_id, d.w, d.h, d.ch,
         |         (xx.x * 3 + yy.y * 5 + d.doc_id * 7 + cc.c * 11) % 256 AS v
         |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM px GROUP BY doc_id, w, h, ch
+        |ORDER BY doc_id""".stripMargin,
+
+    // web-subset analytic re-derivation: channel count follows the
+    // color type; palette pixels compose the two affine-mod contracts
+    // (index = (3x+5y+7id) mod 256, then PLTE entry (7j+31c+5) mod
+    // 256); interlace changes only the STORED layout, so the oracle
+    // never mentions it
+    "png_web_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 2
+        |              WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 6 END AS ct
+        |  FROM ids),
+        |d2 AS (
+        |  SELECT doc_id, w, h, ct,
+        |         CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 3
+        |              WHEN 4 THEN 2 ELSE 4 END AS ch
+        |  FROM dims),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.ch,
+        |         CASE WHEN d.ct = 3 THEN
+        |           (((xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256) * 7
+        |            + cc.c * 31 + 5) % 256
+        |         ELSE (xx.x * 3 + yy.y * 5 + d.doc_id * 7 + cc.c * 11) % 256
+        |         END AS v
+        |  FROM d2 d,
         |       LATERAL unnest(range(0, d.w)) AS xx(x),
         |       LATERAL unnest(range(0, d.h)) AS yy(y),
         |       LATERAL unnest(range(0, d.ch)) AS cc(c))

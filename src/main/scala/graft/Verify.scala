@@ -33,7 +33,13 @@ object Verify {
         failures += 1
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // opt-in comma-separated name filter for fast local iteration on a
+    // single query; the driver never sets it, so its runs dump everything
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

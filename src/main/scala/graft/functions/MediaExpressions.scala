@@ -303,18 +303,19 @@ object MediaFeatures {
         case Some(d) =>
           val counts = new Array[Long](dim)
           val px = d.pixels
+          val step = d.channels // alpha (2/4-channel PNG) never enters luma
           var i = 0
-          if (d.channels == 3) {
+          if (d.channels >= 3) {
             while (i < px.length) {
               val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
                 114 * (px(i + 2) & 0xff)) / 1000
               counts(luma * dim / 256) += 1
-              i += 3
+              i += step
             }
           } else {
             while (i < px.length) {
               counts((px(i) & 0xff) * dim / 256) += 1
-              i += 1
+              i += step
             }
           }
           normalize(counts)
@@ -398,18 +399,19 @@ object PngHistogram {
       case Some(d) =>
         val counts = new Array[Long](bins)
         val px = d.pixels
+        val step = d.channels // alpha (2/4-channel) never enters luma
         var i = 0
-        if (d.channels == 3) {
+        if (d.channels >= 3) {
           while (i < px.length) {
             val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
               114 * (px(i + 2) & 0xff)) / 1000
             counts(luma * bins / 256) += 1
-            i += 3
+            i += step
           }
         } else {
           while (i < px.length) {
             counts((px(i) & 0xff) * bins / 256) += 1
-            i += 1
+            i += step
           }
         }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -693,6 +695,30 @@ case class PixelMediaBytes(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.operators.MediaFixtures$$.MODULE$$.pixelMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** web_pixel_media_for_id(id) -> binary: the WEB-subset PNG fixture
+  * bytes ([[graft.operators.MediaFixtures.webPixelMediaFor]] — all
+  * five depth-8 color types, a third of them Adam7-interlaced). */
+case class WebPixelMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "web_pixel_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.webPixelMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.webPixelMediaFor($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -152,6 +152,20 @@ object MediaFixtures {
     PngPixels.pngWithPixels(id, w, h, if (id % 2 == 0) 2 else 0)
   }
 
+  /** WEB-subset PNG fixture for one row id: cycles through ALL FIVE
+    * depth-8 color types (0 gray, 2 truecolor, 3 palette, 4
+    * gray+alpha, 6 RGBA) and stores every third image in the Adam7
+    * interlaced layout — the crawl-reality PNG grammar. Decoded
+    * pixels stay on the analytic contracts ([[PngPixels.pix]],
+    * [[PngPixels.pal]]) so the SQL oracle brute-forces every pixel. */
+  def webPixelMediaFor(id: Long): Array[Byte] = {
+    val types = Array(0, 2, 3, 4, 6)
+    val w = (8 + math.floorMod(id, 40)).toInt
+    val h = (8 + math.floorMod(id, 30)).toInt
+    PngPixels.pngWithPixels(id, w, h, types(math.floorMod(id, 5).toInt),
+      interlaced = id % 3 == 0)
+  }
+
   /** Full pixel-bearing DC-only JPEG for one row id ([[JpegDc]]):
     * block-grid dimensions, both component counts, and a real Huffman
     * entropy stream. */
@@ -364,5 +378,21 @@ object MediaFixtures {
       .otherwise(id)
     df.withColumn(outCol, Shim.column(
       graft.functions.PixelMediaBytes(Shim.expression(guarded))))
+  }
+
+  /** Web-subset twin of [[withPixelMedia]]: attaches
+    * [[webPixelMediaFor]] bytes via the codegen'd
+    * [[graft.functions.WebPixelMediaBytes]]. */
+  def withWebPixelMedia(df: DataFrame, idCol: String, outCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    val id = col(idCol).cast("long")
+    val guarded = when(id.isNull,
+      raise_error(lit(s"media fixture: id column '$idCol' cast to null"))
+        .cast("long"))
+      .otherwise(id)
+    df.withColumn(outCol, Shim.column(
+      graft.functions.WebPixelMediaBytes(Shim.expression(guarded))))
   }
 }

@@ -9,20 +9,35 @@ package graft.operators
   * FIVE spec filters (None/Sub/Up/Average/Paeth) and a decoder bug in
   * any unfilter path breaks the oracle match. Reader: chunk walk with
   * CRC verification, IDAT concat, `java.util.zip.Inflater`, per-line
-  * unfiltering per the PNG spec (RFC 2083 §6). 8-bit depth, color
-  * types 0 (grayscale) and 2 (truecolor), no interlace — the subset
-  * the fixtures write; anything else → None, never an exception.
+  * unfiltering per the PNG spec (RFC 2083 §6).
+  *
+  * Subset (r8 — the WEB subset, mirroring the JPEG chroma work): 8-bit
+  * depth, color types 0 (grayscale), 2 (truecolor), 3 (palette — PLTE
+  * expansion to RGB), 4 (gray+alpha), 6 (RGBA), and BOTH interlace
+  * methods (none / Adam7 seven-pass). That is the whole color-type
+  * grammar at depth 8 — a typical web PNG decodes. Anything else
+  * (other depths, missing/short PLTE, out-of-range palette index,
+  * truncated deflate) → None, never an exception.
   *
   * Pixels follow the deterministic contract [[pix]] — a pure function
   * of (id, x, y, channel) — so a SQL oracle can re-derive exact pixel
   * statistics with no image library: the declared query proves
-  * write→deflate→inflate→unfilter ends at the analytic form. */
+  * write→deflate→inflate→unfilter(→palette-expand) ends at the
+  * analytic form. For palette images the stored sample is
+  * `pix(id,x,y,0)` and the palette itself follows [[pal]], so the
+  * decoded RGB is the composition of two affine-mod contracts. */
 object PngPixels {
 
   /** The pixel contract the oracle recomputes:
     * `(x*3 + y*5 + id*7 + c*11) mod 256`. */
   def pix(id: Long, x: Int, y: Int, c: Int): Int =
     math.floorMod(x * 3L + y * 5L + id * 7L + c * 11L, 256L).toInt
+
+  /** The palette contract (color type 3): entry `j`, channel `c` is
+    * `(j*7 + c*31 + 5) mod 256` — affine in (j, c) so the oracle
+    * composes it with [[pix]] analytically. */
+  def pal(j: Int, c: Int): Int =
+    math.floorMod(j * 7L + c * 31L + 5L, 256L).toInt
 
   /** Decoded-buffer allocation cap shared by both pixel codecs (PNG
     * here, [[JpegDc]]): header dims are UNTRUSTED on crawled media, so
@@ -35,48 +50,93 @@ object PngPixels {
     * never an executor kill. */
   private[operators] val MaxDecodedBytes: Long = 1L << 28
 
+  /** Adam7 pass geometry (PNG spec §8.2): x/y origins and steps for
+    * the seven progressive passes. */
+  private val A7X0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7Y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7DX = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7DY = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Samples per pixel as STORED (palette stores 1 index byte). */
+  private def storageChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+  }
+
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Full PNG (signature, IHDR, IDAT, IEND — all real CRCs) whose
-    * decoded pixels equal [[pix]]`(id, x, y, c)`. colorType 0 = 1
-    * channel, 2 = 3 channels. */
-  def pngWithPixels(id: Long, w: Int, h: Int, colorType: Int): Array[Byte] = {
-    require(colorType == 0 || colorType == 2, s"colorType $colorType")
-    val ch = if (colorType == 2) 3 else 1
+  /** Full PNG (signature, IHDR, [PLTE,] IDAT, IEND — all real CRCs)
+    * whose decoded pixels equal [[pix]]`(id, x, y, c)` (for color
+    * type 3: `pal(pix(id,x,y,0), c)` after expansion). `interlaced`
+    * stores the rows in the Adam7 seven-pass layout — the decoder
+    * permutes them back, so every pixel-level oracle is
+    * layout-independent. Non-interlaced byte output is identical to
+    * the pre-r8 writer for types 0/2. */
+  def pngWithPixels(id: Long, w: Int, h: Int, colorType: Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 3 ||
+      colorType == 4 || colorType == 6, s"colorType $colorType")
+    val ch = storageChannels(colorType)
     val stride = w * ch
-    val raw = new java.io.ByteArrayOutputStream()
-    val prior = new Array[Int](stride)
-    val cur = new Array[Int](stride)
+    // full-resolution stored samples (palette: the index plane)
+    val samp = new Array[Int](stride * h)
     var y = 0
     while (y < h) {
       var i = 0
       while (i < stride) {
-        cur(i) = pix(id, i / ch, y, i % ch)
+        samp(y * stride + i) = pix(id, i / ch, y, i % ch)
         i += 1
       }
-      val f = ((y + id) % 5).toInt
-      raw.write(f)
-      i = 0
-      while (i < stride) {
-        val a = if (i >= ch) cur(i - ch) else 0
-        val b = prior(i)
-        val c = if (i >= ch) prior(i - ch) else 0
-        val v = f match {
-          case 0 => cur(i)
-          case 1 => cur(i) - a
-          case 2 => cur(i) - b
-          case 3 => cur(i) - (a + b) / 2
-          case 4 => cur(i) - paeth(a, b, c)
-        }
-        raw.write(v & 0xff)
-        i += 1
-      }
-      System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    // one filtered sub-image: rows (ys + j*dy), pixels (xs + i*dx);
+    // filter type cycles (j + id + passIdx) % 5 so every pass still
+    // exercises all five filters (passIdx = 0 on the sequential path
+    // keeps pre-r8 fixtures byte-identical)
+    def writePass(xs: Int, ys: Int, dx: Int, dy: Int, passIdx: Int): Unit = {
+      val pw = if (w > xs) (w - xs + dx - 1) / dx else 0
+      val ph = if (h > ys) (h - ys + dy - 1) / dy else 0
+      if (pw == 0 || ph == 0) return
+      val ps = pw * ch
+      val prior = new Array[Int](ps)
+      val cur = new Array[Int](ps)
+      var j = 0
+      while (j < ph) {
+        var i = 0
+        while (i < ps) {
+          cur(i) = samp((ys + j * dy) * stride + (xs + (i / ch) * dx) * ch +
+            i % ch)
+          i += 1
+        }
+        val f = math.floorMod(j + id + passIdx, 5).toInt
+        raw.write(f)
+        i = 0
+        while (i < ps) {
+          val a = if (i >= ch) cur(i - ch) else 0
+          val b = if (j > 0) prior(i) else 0
+          val c = if (j > 0 && i >= ch) prior(i - ch) else 0
+          val v = f match {
+            case 0 => cur(i)
+            case 1 => cur(i) - a
+            case 2 => cur(i) - b
+            case 3 => cur(i) - (a + b) / 2
+            case 4 => cur(i) - paeth(a, b, c)
+          }
+          raw.write(v & 0xff)
+          i += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, ps)
+        j += 1
+      }
+    }
+    if (!interlaced) writePass(0, 0, 1, 1, 0)
+    else {
+      var p = 0
+      while (p < 7) { writePass(A7X0(p), A7Y0(p), A7DX(p), A7DY(p), p); p += 1 }
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw.toByteArray); deflater.finish()
@@ -99,20 +159,35 @@ object PngPixels {
     val ihdr = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(ihdr)
     d.writeInt(w); d.writeInt(h)
-    d.write(8); d.write(colorType); d.write(0); d.write(0); d.write(0)
+    d.write(8); d.write(colorType); d.write(0); d.write(0)
+    d.write(if (interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
+    if (colorType == 3) {
+      // full 256-entry palette per the pal contract (stored indices
+      // span 0..255, and PLTE's max is exactly 256 entries)
+      val plte = new Array[Byte](256 * 3)
+      var j = 0
+      while (j < 256) {
+        var c = 0
+        while (c < 3) { plte(j * 3 + c) = pal(j, c).toByte; c += 1 }
+        j += 1
+      }
+      chunk("PLTE", plte)
+    }
     chunk("IDAT", zout.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     bos.toByteArray
   }
 
-  /** Decoded 8-bit pixels, scanline-major, `channels` bytes per pixel. */
+  /** Decoded 8-bit pixels, scanline-major, `channels` bytes per pixel
+    * (palette images arrive EXPANDED: channels = 3). */
   final case class Decoded(
       width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
   /** Real decode of the supported subset; None on anything dirty:
-    * wrong signature, CRC mismatch, unsupported depth/type/interlace,
-    * truncated or corrupt deflate stream, short pixel data. */
+    * wrong signature, CRC mismatch, unsupported depth/type, missing or
+    * short PLTE, out-of-range palette index, truncated or corrupt
+    * deflate stream, short pixel data. */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     try decode0(bytes)
     catch { case _: Exception => None }
@@ -123,7 +198,8 @@ object PngPixels {
       .map(_.toByte)
     if (bytes.length < 8 || !bytes.take(8).sameElements(sig)) return None
     var pos = 8
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     def beInt(o: Int): Int =
       ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
@@ -143,9 +219,17 @@ object PngPixels {
           w = beInt(pos + 8); h = beInt(pos + 12)
           val depth = bytes(pos + 16) & 0xff
           colorType = bytes(pos + 17) & 0xff
-          val interlace = bytes(pos + 20) & 0xff
-          if (depth != 8 || (colorType != 0 && colorType != 2) ||
-            interlace != 0 || w <= 0 || h <= 0) return None
+          interlace = bytes(pos + 20) & 0xff
+          if (depth != 8 ||
+            (colorType != 0 && colorType != 2 && colorType != 3 &&
+              colorType != 4 && colorType != 6) ||
+            (interlace != 0 && interlace != 1) || w <= 0 || h <= 0)
+            return None
+        case "PLTE" =>
+          // spec: length a multiple of 3, 1..256 entries, before IDAT
+          if (len % 3 != 0 || len == 0 || len > 256 * 3 ||
+            idat.size > 0) return None
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
@@ -153,48 +237,114 @@ object PngPixels {
       pos += 12 + len
     }
     if (colorType < 0 || idat.size == 0) return None
-    val ch = if (colorType == 2) 3 else 1
+    if (colorType == 3 && palette == null) return None
+    val ch = storageChannels(colorType)
+    val outCh = if (colorType == 3) 3 else ch
     // untrusted dims: size the buffers in Long and cap BEFORE allocating
-    if ((w.toLong * ch + 1L) * h > MaxDecodedBytes) return None
+    if ((w.toLong * outCh + 1L) * h > MaxDecodedBytes ||
+      (w.toLong * ch + 1L) * h > MaxDecodedBytes) return None
     val stride = w * ch
-    val expected = (stride + 1) * h
+    // filtered stream length: one filter byte per stored scanline —
+    // sequential = h rows of `stride`; Adam7 = each non-empty pass's
+    // own sub-image rows
+    var expected = 0L
+    if (interlace == 0) expected = (stride + 1).toLong * h
+    else {
+      var p = 0
+      while (p < 7) {
+        val pw = if (w > A7X0(p)) (w - A7X0(p) + A7DX(p) - 1) / A7DX(p) else 0
+        val ph = if (h > A7Y0(p)) (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p) else 0
+        if (pw > 0 && ph > 0) expected += (pw.toLong * ch + 1L) * ph
+        p += 1
+      }
+    }
+    if (expected > MaxDecodedBytes) return None
+    val expectedI = expected.toInt
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val filtered = new Array[Byte](expected)
+    val filtered = new Array[Byte](expectedI)
     var off = 0
-    while (off < expected && !inflater.finished()) {
-      val got = inflater.inflate(filtered, off, expected - off)
+    while (off < expectedI && !inflater.finished()) {
+      val got = inflater.inflate(filtered, off, expectedI - off)
       if (got == 0 && inflater.needsInput()) return None // truncated
       off += got
     }
     inflater.end()
-    if (off != expected) return None
-    val pixels = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val f = filtered((stride + 1) * y) & 0xff
-      if (f > 4) return None
-      val rowOff = (stride + 1) * y + 1
-      val outOff = stride * y
-      var i = 0
-      while (i < stride) {
-        val x = filtered(rowOff + i) & 0xff
-        val a = if (i >= ch) pixels(outOff + i - ch) & 0xff else 0
-        val b = if (y > 0) pixels(outOff - stride + i) & 0xff else 0
-        val c = if (y > 0 && i >= ch) pixels(outOff - stride + i - ch) & 0xff
-          else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b
-          case 3 => x + (a + b) / 2
-          case 4 => x + paeth(a, b, c)
+    if (off != expectedI) return None
+    val stored = new Array[Byte](stride * h)
+    // unfilter one pass's sub-image (neighbors are WITHIN the pass,
+    // PNG spec §8.2) and scatter it onto the full-resolution grid
+    var fpos = 0
+    def runPass(xs: Int, ys: Int, dx: Int, dy: Int): Boolean = {
+      val pw = if (w > xs) (w - xs + dx - 1) / dx else 0
+      val ph = if (h > ys) (h - ys + dy - 1) / dy else 0
+      if (pw == 0 || ph == 0) return true
+      val ps = pw * ch
+      val sub = new Array[Byte](ps * ph)
+      var j = 0
+      while (j < ph) {
+        val f = filtered(fpos) & 0xff
+        if (f > 4) return false
+        fpos += 1
+        val outOff = ps * j
+        var i = 0
+        while (i < ps) {
+          val x = filtered(fpos + i) & 0xff
+          val a = if (i >= ch) sub(outOff + i - ch) & 0xff else 0
+          val b = if (j > 0) sub(outOff - ps + i) & 0xff else 0
+          val c = if (j > 0 && i >= ch) sub(outOff - ps + i - ch) & 0xff
+            else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => x + paeth(a, b, c)
+          }
+          sub(outOff + i) = (v & 0xff).toByte
+          i += 1
         }
-        pixels(outOff + i) = (v & 0xff).toByte
-        i += 1
+        fpos += ps
+        j += 1
       }
-      y += 1
+      j = 0
+      while (j < ph) {
+        var px = 0
+        while (px < pw) {
+          var c = 0
+          while (c < ch) {
+            stored(((ys + j * dy) * w + (xs + px * dx)) * ch + c) =
+              sub(j * ps + px * ch + c)
+            c += 1
+          }
+          px += 1
+        }
+        j += 1
+      }
+      true
     }
-    Some(Decoded(w, h, ch, pixels))
+    if (interlace == 0) { if (!runPass(0, 0, 1, 1)) return None }
+    else {
+      var p = 0
+      while (p < 7) {
+        if (!runPass(A7X0(p), A7Y0(p), A7DX(p), A7DY(p))) return None
+        p += 1
+      }
+    }
+    if (colorType != 3) return Some(Decoded(w, h, ch, stored))
+    // palette expansion: index sample -> PLTE RGB triple; an index
+    // past the palette end is a spec violation -> dirty, not a clamp
+    val nEntries = palette.length / 3
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < stored.length) {
+      val idx = stored(i) & 0xff
+      if (idx >= nEntries) return None
+      out(i * 3) = palette(idx * 3)
+      out(i * 3 + 1) = palette(idx * 3 + 1)
+      out(i * 3 + 2) = palette(idx * 3 + 2)
+      i += 1
+    }
+    Some(Decoded(w, h, 3, out))
   }
 }

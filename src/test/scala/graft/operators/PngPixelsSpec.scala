@@ -101,6 +101,89 @@ class PngPixelsSpec extends SparkTestBase {
     }
   }
 
+  test("web subset: all five color types round-trip, interlaced and " +
+    "sequential, and Adam7 is invisible to the pixel contract") {
+    val types = Array(0, 2, 3, 4, 6)
+    for (ct <- types; inter <- Seq(false, true); (w, h) <- Seq(
+      (1, 1), (3, 2), (7, 5), (8, 8), (13, 11), (40, 23))) {
+      val id = 11L + ct * 7 + w
+      val d = PngPixels.decode(PngPixels.pngWithPixels(id, w, h, ct, inter))
+        .getOrElse(fail(s"ct=$ct inter=$inter ${w}x$h did not decode"))
+      assert(d.width == w && d.height == h)
+      val expCh = ct match {
+        case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case 6 => 4
+      }
+      assert(d.channels == expCh, s"ct=$ct")
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / expCh) % w; val y = i / (w * expCh); val c = i % expCh
+        val want =
+          if (ct == 3) PngPixels.pal(PngPixels.pix(id, x, y, 0), c)
+          else PngPixels.pix(id, x, y, c)
+        assert((d.pixels(i) & 0xff) == want,
+          s"ct=$ct inter=$inter ${w}x$h x=$x y=$y c=$c")
+        i += 1
+      }
+      // layout independence: interlaced bytes differ, pixels match
+      if (inter) {
+        val seq = PngPixels.decode(
+          PngPixels.pngWithPixels(id, w, h, ct, interlaced = false)).get
+        assert(java.util.Arrays.equals(seq.pixels, d.pixels))
+      }
+    }
+  }
+
+  test("palette spec violations are rejected: missing PLTE, " +
+    "out-of-range index") {
+    val good = PngPixels.pngWithPixels(5L, 12, 9, 3)
+    // strip the PLTE chunk (starts after sig(8) + IHDR(12+13))
+    val plteStart = 8 + 12 + 13
+    val plteLen = 12 + 256 * 3
+    val noPlte = good.take(plteStart) ++ good.drop(plteStart + plteLen)
+    assert(PngPixels.decode(noPlte).isEmpty)
+    // shrink PLTE to 16 entries (indices reach 255 -> out of range);
+    // rebuild the chunk with a valid CRC so ONLY the range check fires
+    val shortBody = new Array[Byte](4 + 16 * 3)
+    System.arraycopy("PLTE".getBytes("US-ASCII"), 0, shortBody, 0, 4)
+    var j = 0
+    while (j < 16 * 3) {
+      shortBody(4 + j) = PngPixels.pal(j / 3, j % 3).toByte; j += 1
+    }
+    val crc = new java.util.zip.CRC32(); crc.update(shortBody)
+    val lenB = java.nio.ByteBuffer.allocate(4).putInt(16 * 3).array()
+    val crcB = java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array()
+    val shortPlte = good.take(plteStart) ++ lenB ++ shortBody ++ crcB ++
+      good.drop(plteStart + plteLen)
+    assert(PngPixels.decode(shortPlte).isEmpty)
+  }
+
+  test("web-subset fuzz: 60 random (id, w, h, type, interlace) combos " +
+    "round-trip bit-exactly") {
+    val rnd = new scala.util.Random(20260814L)
+    val types = Array(0, 2, 3, 4, 6)
+    (0 until 60).foreach { _ =>
+      val id = rnd.nextLong(1000000L)
+      val w = 1 + rnd.nextInt(50)
+      val h = 1 + rnd.nextInt(40)
+      val ct = types(rnd.nextInt(5))
+      val inter = rnd.nextBoolean()
+      val d = PngPixels.decode(PngPixels.pngWithPixels(id, w, h, ct, inter))
+        .getOrElse(fail(s"id=$id ${w}x$h ct=$ct inter=$inter"))
+      val ch = d.channels
+      var i = 0
+      while (i < d.pixels.length) {
+        val x = (i / ch) % w; val y = i / (w * ch); val c = i % ch
+        val want =
+          if (ct == 3) PngPixels.pal(PngPixels.pix(id, x, y, 0), c)
+          else PngPixels.pix(id, x, y, c)
+        assert((d.pixels(i) & 0xff) == want,
+          s"id=$id ${w}x$h ct=$ct inter=$inter i=$i")
+        i += 1
+      }
+    }
+  }
+
   test("the header parse still reads pixel-bearing PNGs (same IHDR)") {
     val m = MediaCodec.parse(MediaFixtures.pixelMediaFor(6L)).get
     assert(m.format == "png" && m.width == 8 + 6 % 40 && m.channels == 3)
