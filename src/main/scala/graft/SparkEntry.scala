@@ -434,6 +434,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // exact substring dedup (Lee et al. 2021 ExactSubstr, r8): maximal
+    // per-doc spans of tokens covered by an 8-token window whose text
+    // occurs >= 2x corpus-wide — the linear Spark shape (gram-window
+    // count + gaps-and-islands), not the paper's suffix array. Exact
+    // string keys here so the oracle re-derives every gram verbatim;
+    // the spec pins hashed == exact.
+    "substr_dup_spans" -> ((s, dir) =>
+      operators.SubstrDedup.dupSpans(
+        t(s, dir, "documents"), "text", "doc_id", k = 8)
+        .orderBy("doc_id", "span_start")),
+
+    // the removal half: every covered token dropped from ALL copies,
+    // untouched documents pass through verbatim — full-text hash oracle
+    "substr_dedup_text" -> ((s, dir) =>
+      operators.SubstrDedup.clean(
+        t(s, dir, "documents"), "text", "doc_id", k = 8,
+        hashKeys = false)
+        .orderBy("doc_id")),
+
     // end-to-end near-dup dedup: detect pairs, drop the larger-id side,
     // keep representatives (what a training-data pipeline actually ships)
     "dedup_keep" -> ((s, dir) => {
@@ -2279,6 +2298,64 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(a.sh || b.sh)) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ExactSubstr spans re-derived from scratch: every 8-gram by list
+    // slicing, corpus counts, then the same gaps-and-islands merge
+    // (overlap-or-adjacency) in window SQL
+    "substr_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |             array_to_string(t[i+1:i+8], ' ') AS gram
+        |      FROM d, LATERAL unnest(range(0, len(t) - 7)) AS r(i)
+        |      WHERE len(t) >= 8),
+        |c AS (SELECT doc_id, pos,
+        |             count(*) OVER (PARTITION BY gram) AS cnt FROM g),
+        |dup AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM c WHERE cnt >= 2),
+        |m AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS pmax
+        |      FROM dup),
+        |fl AS (SELECT doc_id, s, e,
+        |              CASE WHEN pmax IS NULL OR s > pmax + 1
+        |                   THEN 1 ELSE 0 END AS flag
+        |       FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |               sum(flag) OVER (PARTITION BY doc_id ORDER BY s)
+        |                 AS grp
+        |        FROM fl)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |       CAST(max(e) AS BIGINT) AS span_end,
+        |       CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the cleaned text re-built token-by-token: a token survives iff no
+    // duplicated window covers its position; fully-covered docs end as
+    // '' (matching concat_ws), untouched docs re-join verbatim
+    "substr_dedup_text" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |             array_to_string(t[i+1:i+8], ' ') AS gram
+        |      FROM d, LATERAL unnest(range(0, len(t) - 7)) AS r(i)
+        |      WHERE len(t) >= 8),
+        |c AS (SELECT doc_id, pos,
+        |             count(*) OVER (PARTITION BY gram) AS cnt FROM g),
+        |dup AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM c WHERE cnt >= 2),
+        |cov AS (SELECT DISTINCT doc_id, r.i
+        |        FROM dup, LATERAL unnest(range(s, e + 1)) AS r(i)),
+        |tok AS (SELECT doc_id, r.i, t[r.i + 1] AS tok
+        |        FROM d, LATERAL unnest(range(0, len(t))) AS r(i)),
+        |keep AS (SELECT tk.doc_id, tk.i, tk.tok
+        |         FROM tok tk LEFT JOIN cov cv
+        |           ON tk.doc_id = cv.doc_id AND tk.i = cv.i
+        |         WHERE cv.i IS NULL)
+        |SELECT d.doc_id,
+        |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+        |         AS text_clean
+        |FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Components re-derived with a recursive CTE: same brute-force pair
     // set as dedup_ngram_jaccard, then min-label reachability.
