@@ -1562,6 +1562,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail triage (r8): frozen-model bits-per-token
+    // bucketed at each language's terciles — thresholds from the exact
+    // grouped-quantile pass, labels as a broadcast-join map. Both sides
+    // of every comparison round to the 1e-6 grid so the oracle's
+    // quantile_cont interpolation can't flip a boundary label.
+    "ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = operators.LmScore.model(docs, "text", vocabSize = 25)
+      operators.CcNet.perplexityBuckets(docs, "doc_id", "text", "lang", m)
+        .orderBy("doc_id")
+    }),
+
     // order-sensitive LM quality: add-k BIGRAM bits-per-token — token
     // 0 under the unigram, token i under p(tᵢ|tᵢ₋₁) with the add-k
     // continuation floor. Two count shuffles (tokens, pairs — pairs
@@ -3736,6 +3748,35 @@ object SparkEntry {
         |    / count(*), 6) AS bits_per_token
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // CCNet buckets re-derived end to end: the bounded model's bits
+    // (lm_model_score's formula), per-language terciles via
+    // quantile_cont, both rounded to 6 before the CASE — a wrong
+    // interpolation, tie-break, or boundary direction shifts labels
+    "ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 25),
+        |bits AS (
+        |  SELECT t.doc_id, t.lang,
+        |    round(sum(-log2((coalesce(vb.c, 0) + 0.5) / (n + 0.5 * v)))
+        |      / count(*), 6) AS bits_per_token
+        |  FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
+        |  GROUP BY t.doc_id, t.lang),
+        |th AS (
+        |  SELECT lang,
+        |         round(quantile_cont(bits_per_token, 1.0/3), 6) AS t_head,
+        |         round(quantile_cont(bits_per_token, 2.0/3), 6) AS t_mid
+        |  FROM bits GROUP BY lang)
+        |SELECT b.doc_id, b.lang, b.bits_per_token,
+        |       CASE WHEN b.bits_per_token <= th.t_head THEN 'head'
+        |            WHEN b.bits_per_token <= th.t_mid THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM bits b JOIN th USING (lang)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // independent re-derivation of the bigram model: the pair table
     // from 1-based positional indexing (vs the engine's slice/
