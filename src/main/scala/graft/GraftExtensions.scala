@@ -93,6 +93,8 @@ object GraftExtensions {
     "decoded_pixels" -> (es => DecodedPixels(es.head)),
     "wav_stats" -> (es => WavStats(es.head)),
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
+    "wav_spectral" -> (es =>
+      WavSpectral(es(0), intLit(es(1), "wav_spectral"))),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_frame_diffs" -> (es => GifFrameDiffs(es.head)),
@@ -103,6 +105,7 @@ object GraftExtensions {
     "avi_audio_wav" -> (es => AviAudioWav(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
+    "web_pixel_media_for_id" -> (es => WebPixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),
     "jpeg_ac_media_for_id" -> (es => JpegAcMediaBytes(es.head)),
     "jpeg_sub_media_for_id" -> (es => JpegSubMediaBytes(es.head)),

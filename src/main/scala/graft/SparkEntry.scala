@@ -1235,6 +1235,29 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // REAL frequency-domain audio features (r8): a per-window direct
+    // DFT over the decoded PCM — dominant bin + spectral centroid per
+    // 16-frame window. The oracle recomputes every cos/sin term from
+    // the analytic sample contract with the SAME association order, so
+    // engine and oracle agree to the double before the 1e-6 rounding.
+    "wav_spectral" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 30).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.WavMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.WavSpectral(
+              org.apache.spark.sql.graftshim.Shim.expression(col("media")),
+              16))).as("w"))
+        .select(col("doc_id"), col("w.win").cast("long").as("win"),
+          col("w.dom_bin").cast("long").as("dom_bin"), col("w.centroid"))
+        .orderBy("doc_id", "win")
+    }),
+
     // REAL animated-GIF frame decode — the frame-sampling modality made
     // real (full variable-width LZW, no library): one row per frame with
     // exact integer pixel sums, oracle re-derived from the pixel
@@ -3378,6 +3401,44 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
         |FROM lagged GROUP BY doc_id, win
         |ORDER BY doc_id, win""".stripMargin,
+
+    // the DFT re-derived term-for-term from the sample contract:
+    // per-bin cos/sin sums with the engine's association order
+    // (2 * pi() * k * n / 16), magnitude, argmax with the lowest-bin
+    // tie-break, magnitude-weighted centroid — all before one final
+    // 1e-6 rounding
+    "wav_spectral" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, ff.f // 16 AS win, ff.f % 16 AS n,
+        |         (ff.f * d.ch * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, 16 * (d.frames // 16))) AS ff(f)),
+        |spec AS (
+        |  SELECT s.doc_id, s.win, kk.k,
+        |         sqrt(pow(sum(s.v * cos(2 * pi() * kk.k * s.n / 16)), 2)
+        |            + pow(sum(s.v * sin(2 * pi() * kk.k * s.n / 16)), 2))
+        |           AS mag
+        |  FROM smp s, LATERAL unnest(range(1, 9)) AS kk(k)
+        |  GROUP BY s.doc_id, s.win, kk.k),
+        |ranked AS (
+        |  SELECT doc_id, win, k, mag,
+        |         row_number() OVER (PARTITION BY doc_id, win
+        |                            ORDER BY mag DESC, k ASC) AS rn
+        |  FROM spec),
+        |cent AS (
+        |  SELECT doc_id, win,
+        |         round(sum(k * mag) / sum(mag), 6) AS centroid
+        |  FROM spec GROUP BY doc_id, win)
+        |SELECT c.doc_id, CAST(c.win AS BIGINT) AS win,
+        |       CAST(r.k AS BIGINT) AS dom_bin, c.centroid
+        |FROM cent c JOIN ranked r
+        |  ON r.doc_id = c.doc_id AND r.win = c.win AND r.rn = 1
+        |ORDER BY c.doc_id, c.win""".stripMargin,
 
     // per-frame re-derivation of the GIF pixel contract
     // pix(id,f,x,y) = (3x+5y+11f+7id) mod 251 — the engine value went

@@ -903,6 +903,103 @@ object WavWindows {
     }
 }
 
+/** wav_spectral(bytes, winFrames) -> array<struct<win:int,
+  * dom_bin:int, centroid:double>>: REAL frequency-domain audio
+  * features — a per-window discrete Fourier transform over channel 0
+  * of the decoded PCM ([[graft.operators.WavPcm]]), reduced to the
+  * two classic spectral-shape signals: the dominant frequency bin
+  * (argmax magnitude over bins 1..N/2, DC excluded; ties take the
+  * lowest bin) and the spectral centroid (magnitude-weighted mean
+  * bin, rounded to 6 so the SQL oracle — which re-derives the DFT
+  * with cos/sin sums over the analytic sample contract — compares on
+  * the same 1e-6 grid). Complete windows only; O(N) bins x O(N)
+  * samples per window = O(N²) per window, the direct-DFT cost the
+  * small analysis windows of VAD/segmentation pipelines pay happily
+  * (a radix-2 FFT changes summation ORDER, which an exact-sum oracle
+  * can see — the direct form keeps engine and oracle term-for-term
+  * identical). Dirty or out-of-subset bytes → null. */
+case class WavSpectral(child: Expression, winFrames: Int)
+    extends UnaryExpression {
+  require(winFrames >= 4 && winFrames % 2 == 0,
+    s"winFrames must be even and >= 4, got $winFrames")
+
+  override def dataType: DataType =
+    ArrayType(WavSpectral.windowSchema, containsNull = false)
+  override def prettyName: String = "wav_spectral"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavSpectral.compute(input.asInstanceOf[Array[Byte]], winFrames)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavSpectral$$.MODULE$$.compute($c, $winFrames);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavSpectral {
+  val windowSchema: StructType = StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("dom_bin", IntegerType, nullable = false),
+    StructField("centroid", DoubleType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no
+    * decode. Bin k's magnitude is |Σ_n v(n)·e^{-i2πkn/N}|; the
+    * argument is computed as `2.0 * π * k * n / N` term-for-term so a
+    * SQL oracle using `2 * pi() * k * n / N` produces bit-identical
+    * doubles before the final rounding. */
+  def compute(bytes: Array[Byte], winFrames: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.WavPcm.decode(bytes) match {
+      case Some(d) =>
+        val nWin = d.frames / winFrames
+        val nBins = winFrames / 2
+        val rows = new Array[Any](nWin)
+        var w = 0
+        while (w < nWin) {
+          var domBin = 0
+          var domMag = -1.0
+          var wsum = 0.0
+          var msum = 0.0
+          var k = 1
+          while (k <= nBins) {
+            var re = 0.0
+            var im = 0.0
+            var n = 0
+            while (n < winFrames) {
+              val v = d.samples((w * winFrames + n) * d.channels).toDouble
+              val arg = 2.0 * math.Pi * k * n / winFrames
+              re += v * math.cos(arg)
+              im += v * math.sin(arg)
+              n += 1
+            }
+            val mag = math.sqrt(re * re + im * im)
+            if (mag > domMag) { domMag = mag; domBin = k }
+            wsum += k * mag
+            msum += mag
+            k += 1
+          }
+          val centroid =
+            if (msum == 0.0) 0.0
+            else BigDecimal(wsum / msum)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          rows(w) = new GenericInternalRow(Array[Any](w, domBin, centroid))
+          w += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}
+
 /** gif_frame_diffs(bytes) -> array<struct<frame:int, sad:bigint>>:
   * adjacent-frame sum-of-absolute-differences over the REAL decoded
   * luminance rasters ([[GifFrameStats]]' codec) — the classic

@@ -142,4 +142,48 @@ class WavPcmSpec extends SparkTestBase {
       }
     }
   }
+
+  test("wav_spectral: a pure sinusoid lands on its own bin, the " +
+    "centroid tracks it, and the kernel matches a direct DFT fold") {
+    graft.Graft.init(spark)
+    // hand-build a mono WAV whose channel-0 samples are a clean k=3
+    // tone over N=16 windows: v(n) = 1000*cos(2*pi*3*n/16)
+    val frames = 64
+    val tone = (0 until frames).map { n =>
+      math.round(1000.0 * math.cos(2.0 * math.Pi * 3 * n / 16)).toInt
+    }
+    val bytes = {
+      val data = new java.io.ByteArrayOutputStream()
+      tone.foreach { v => data.write(v & 0xff); data.write((v >> 8) & 0xff) }
+      val pcm = data.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      def le32(v: Int): Unit = { d.write(v & 0xff); d.write((v >> 8) & 0xff)
+        d.write((v >> 16) & 0xff); d.write((v >> 24) & 0xff) }
+      def le16(v: Int): Unit = { d.write(v & 0xff); d.write((v >> 8) & 0xff) }
+      d.writeBytes("RIFF"); le32(36 + pcm.length); d.writeBytes("WAVE")
+      d.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(8000)
+      le32(16000); le16(2); le16(16)
+      d.writeBytes("data"); le32(pcm.length); d.write(pcm)
+      out.toByteArray
+    }
+    val decoded = WavPcm.decode(bytes).get
+    assert(decoded.frames == frames && decoded.channels == 1)
+    val rows = graft.functions.WavSpectral.compute(bytes, 16)
+    assert(rows != null && rows.numElements() == frames / 16)
+    (0 until rows.numElements()).foreach { w =>
+      val r = rows.getStruct(w, 3)
+      assert(r.getInt(1) == 3, s"win $w dominant bin")
+      // rounding to the int grid leaks tiny energy into other bins;
+      // the centroid must still sit within 0.05 of the tone bin
+      assert(math.abs(r.getDouble(2) - 3.0) < 0.05, s"win $w centroid")
+    }
+    // SQL surface + null on dirty bytes
+    val viaSql = spark.sql(
+      "SELECT size(wav_spectral(wav_media_for_id(CAST(2 AS BIGINT)), 16))")
+      .head().getInt(0)
+    val d2 = WavPcm.decode(MediaFixtures.wavMediaFor(2L)).get
+    assert(viaSql == d2.frames / 16)
+    assert(graft.functions.WavSpectral.compute("junk".getBytes, 16) == null)
+  }
 }
