@@ -97,6 +97,8 @@ object GraftExtensions {
       WavSpectral(es(0), intLit(es(1), "wav_spectral"))),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
+    "gif_composite_stats" -> (es => GifCompositeStats(es.head)),
+    "gif_delta_media_for_id" -> (es => GifDeltaMediaBytes(es.head)),
     "gif_frame_diffs" -> (es => GifFrameDiffs(es.head)),
     "gif_frame_bytes" -> (es => GifFrameBytes(es.head)),
     "avi_frame_stats" -> (es => AviFrameStats(es.head)),

@@ -1258,6 +1258,30 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // GIF ANIMATION COMPOSITING (r8): delta-frame fixtures — frame 0
+    // full canvas, later frames sub-rects with transparency holes —
+    // rendered through the GIF89a animation model (placement,
+    // show-through, disposal). The oracle computes, per canvas pixel,
+    // the most recent opaque covering frame and its contract value:
+    // any placement, transparency, or state-carry bug shifts a sum.
+    "gif_composited" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = docs.filter(col("doc_id") < 30).withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.GifDeltaMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftshim.Shim.column(
+            functions.GifCompositeStats(
+              org.apache.spark.sql.graftshim.Shim.expression(
+                col("media"))))).as("f"))
+        .select(col("doc_id"), col("f.frame").cast("long").as("frame"),
+          col("f.pix_sum"), col("f.pix_count"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // REAL animated-GIF frame decode — the frame-sampling modality made
     // real (full variable-width LZW, no library): one row per frame with
     // exact integer pixel sums, oracle re-derived from the pixel
@@ -3439,6 +3463,58 @@ object SparkEntry {
         |FROM cent c JOIN ranked r
         |  ON r.doc_id = c.doc_id AND r.win = c.win AND r.rn = 1
         |ORDER BY c.doc_id, c.win""".stripMargin,
+
+    // the composited canvas re-derived per pixel: rectangle geometry
+    // from the affine-mod contract, then for each (frame, x, y) the
+    // LATEST covering frame g <= f that is opaque there ((pix mod 251)
+    // mod 7 != 0); uncovered pixels show the index-0 background (luma
+    // 0). Engine state-threading (canvas carry, disposal) must land on
+    // exactly this closed form.
+    "gif_composited" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 + (doc_id * 5) % 17 AS w,
+        |         6 + (doc_id * 7) % 13 AS h, 2 + doc_id % 3 AS nf
+        |  FROM ids),
+        |rects AS (
+        |  SELECT d.doc_id, d.w, d.h, ff.f,
+        |    CASE WHEN ff.f = 0 THEN d.w
+        |         ELSE d.w - (3 * ff.f + d.doc_id) % (d.w // 2) END AS fw,
+        |    CASE WHEN ff.f = 0 THEN d.h
+        |         ELSE d.h - (5 * ff.f + d.doc_id) % (d.h // 2) END AS fh
+        |  FROM dims d, LATERAL unnest(range(0, d.nf)) AS ff(f)),
+        |r2 AS (
+        |  SELECT doc_id, w, h, f, fw, fh,
+        |    CASE WHEN f = 0 THEN 0
+        |         ELSE (7 * f + doc_id) % (w - fw + 1) END AS lf,
+        |    CASE WHEN f = 0 THEN 0
+        |         ELSE (11 * f + doc_id) % (h - fh + 1) END AS tp
+        |  FROM rects),
+        |px AS (
+        |  SELECT d.doc_id, ff.f, xx.x, yy.y
+        |  FROM dims d, LATERAL unnest(range(0, d.nf)) AS ff(f),
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |src AS (
+        |  SELECT p.doc_id, p.f, p.x, p.y, max(r.f) AS g
+        |  FROM px p JOIN r2 r ON r.doc_id = p.doc_id AND r.f <= p.f
+        |    AND p.x >= r.lf AND p.x < r.lf + r.fw
+        |    AND p.y >= r.tp AND p.y < r.tp + r.fh
+        |    AND (3 * p.x + 5 * p.y + 11 * r.f + 7 * p.doc_id) % 251 % 7
+        |        != 0
+        |  GROUP BY p.doc_id, p.f, p.x, p.y),
+        |vals AS (
+        |  SELECT p.doc_id, p.f,
+        |    coalesce((3 * p.x + 5 * p.y + 11 * s.g + 7 * p.doc_id) % 251,
+        |             0) AS v
+        |  FROM px p LEFT JOIN src s
+        |    ON s.doc_id = p.doc_id AND s.f = p.f
+        |   AND s.x = p.x AND s.y = p.y)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |       CAST(sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM vals GROUP BY doc_id, f
+        |ORDER BY doc_id, frame""".stripMargin,
 
     // per-frame re-derivation of the GIF pixel contract
     // pix(id,f,x,y) = (3x+5y+11f+7id) mod 251 — the engine value went

@@ -809,6 +809,89 @@ object GifFrameStats {
     }
 }
 
+/** gif_composite_stats(bytes) -> array<struct<frame:int, pix_sum:
+  * bigint, pix_count:bigint>>: per-frame integer luminance stats over
+  * the COMPOSITED animation canvas
+  * ([[graft.operators.Gif.decodeComposited]] — sub-rect placement,
+  * transparency show-through, disposal methods), the delta-frame
+  * animation surface per-frame-independent [[GifFrameStats]] cannot
+  * express. Dirty bytes → null. */
+case class GifCompositeStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(GifCompositeStats.frameSchema, containsNull = false)
+  override def prettyName: String = "gif_composite_stats"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GifCompositeStats.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.GifCompositeStats$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GifCompositeStats {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("pix_count", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no decode. */
+  def compute(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.Gif.decodeComposited(bytes) match {
+      case Some(d) =>
+        val rows = new Array[Any](d.frames.length)
+        var f = 0
+        while (f < d.frames.length) {
+          val fr = d.frames(f)
+          var sum = 0L
+          var i = 0
+          while (i < fr.luma.length) { sum += (fr.luma(i) & 0xff); i += 1 }
+          rows(f) = new GenericInternalRow(
+            Array[Any](f, sum, fr.luma.length.toLong))
+          f += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}
+
+/** gif_delta_media_for_id(id) -> binary: the delta-frame animated-GIF
+  * fixture bytes ([[graft.operators.MediaFixtures.gifDeltaMediaFor]]
+  * — sub-rect frames, transparency holes, disposal 1). */
+case class GifDeltaMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gif_delta_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.gifDeltaMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.gifDeltaMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** gif_media_for_id(id) -> binary: the animated-GIF fixture bytes
   * ([[graft.operators.MediaFixtures.gifMediaFor]]). */
 case class GifMediaBytes(child: Expression) extends UnaryExpression {

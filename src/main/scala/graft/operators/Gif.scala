@@ -132,6 +132,68 @@ object Gif {
     bos.toByteArray
   }
 
+  /** Delta-frame animated GIF (r8): frame 0 paints the full canvas;
+    * every later frame is a SUB-RECTANGLE at a deterministic position
+    * with transparency holes (pixels where `pix % 7 == 0` carry the
+    * transparent index 255 — never used by opaque pixels, whose values
+    * stay < 251), disposal "do not dispose". The composited canvas at
+    * frame f therefore shows, at each (x, y), the most recent frame
+    * g <= f whose rectangle covers the pixel AND is opaque there —
+    * a pure integer contract a SQL oracle brute-forces. Rectangle
+    * geometry (all affine-mod, 1-based-free):
+    * `fw = w - (3f+id) mod (w/2)`, `fh = h - (5f+id) mod (h/2)`,
+    * `left = (7f+id) mod (w-fw+1)`, `top = (11f+id) mod (h-fh+1)`. */
+  def gifWithDeltaFrames(id: Long, w: Int, h: Int, nFrames: Int)
+      : Array[Byte] = {
+    require(w >= 2 && h >= 2 && nFrames > 0 &&
+      w * h.toLong * nFrames < (1L << 26), s"w=$w h=$h frames=$nFrames")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    bos.write(0xf7); bos.write(0); bos.write(0)
+    var i = 0
+    while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 }
+    var f = 0
+    while (f < nFrames) {
+      val fw = if (f == 0) w
+        else w - math.floorMod(3L * f + id, (w / 2).toLong).toInt
+      val fh = if (f == 0) h
+        else h - math.floorMod(5L * f + id, (h / 2).toLong).toInt
+      val left = if (f == 0) 0
+        else math.floorMod(7L * f + id, (w - fw + 1).toLong).toInt
+      val top = if (f == 0) 0
+        else math.floorMod(11L * f + id, (h - fh + 1).toLong).toInt
+      // graphic control: disposal 1 (leave), transparent index 255
+      bos.write(0x21); bos.write(0xf9); bos.write(4)
+      bos.write(0x05); le16(10); bos.write(255); bos.write(0)
+      bos.write(0x2c); le16(left); le16(top); le16(fw); le16(fh)
+      bos.write(0)
+      val indices = new Array[Byte](fw * fh)
+      var v = 0
+      while (v < fh) {
+        var u = 0
+        while (u < fw) {
+          val p = pix(id, f, left + u, top + v)
+          indices(v * fw + u) = (if (p % 7 == 0) 255 else p).toByte
+          u += 1
+        }
+        v += 1
+      }
+      bos.write(8)
+      val lzw = lzwEncode(indices, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        bos.write(n); bos.write(lzw, off, n); off += n
+      }
+      bos.write(0)
+      f += 1
+    }
+    bos.write(0x3b)
+    bos.toByteArray
+  }
+
   /** Greedy LZW compress (GIF variant): codes packed LSB-first, width
     * grows when the just-assigned dictionary index reaches 1<<width,
     * clear + reset when the 12-bit dictionary fills. */
@@ -187,7 +249,22 @@ object Gif {
 
   /** Real decode (sequential AND interlaced row layouts); None on dirty bytes. */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
-    try decode0(bytes)
+    try decode0(bytes, composite = false)
+    catch { case _: Exception => None }
+  }
+
+  /** COMPOSITED decode (r8): frames rendered onto the logical screen
+    * per the GIF89a animation model — sub-rectangle frames painted at
+    * (left, top), transparent-index pixels letting the prior canvas
+    * show through, and the graphic-control DISPOSAL methods honored
+    * between frames (1/0 leave, 2 restore-to-background, 3
+    * restore-to-previous). Every returned frame is a full canvas
+    * snapshot (left=0, top=0, canvas dims) — what a delta-frame
+    * animation actually looks like, which per-frame independent
+    * [[decode]] cannot show. A frame rectangle outside the canvas is
+    * dirty → None. */
+  def decodeComposited(bytes: Array[Byte]): Option[Decoded] = {
+    try decode0(bytes, composite = true)
     catch { case _: Exception => None }
   }
 
@@ -197,11 +274,13 @@ object Gif {
     b != null && b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
-  private def decode0(b: Array[Byte]): Option[Decoded] = {
+  private def decode0(b: Array[Byte], composite: Boolean)
+      : Option[Decoded] = {
     if (!isGif(b) || b.length < 13) return None
     def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     val sw = le16(6); val sh = le16(8)
     val packed = b(10) & 0xff
+    val bgIndex = b(11) & 0xff
     var pos = 13
     var gct: Array[Byte] = null
     if ((packed & 0x80) != 0) {
@@ -212,6 +291,20 @@ object Gif {
       }
       pos += 3 * entries
     }
+    // animation canvas state (composite mode only)
+    var canvas: Array[Byte] = null
+    var bgLuma: Byte = 0
+    if (composite) {
+      if (sw <= 0 || sh <= 0 ||
+        sw.toLong * sh > PngPixels.MaxDecodedBytes) return None
+      bgLuma =
+        if (gct != null && bgIndex < gct.length) gct(bgIndex) else 0
+      canvas = new Array[Byte](sw * sh)
+      java.util.Arrays.fill(canvas, bgLuma)
+    }
+    // pending graphic-control state — applies to the NEXT image only
+    var disposal = 0
+    var transparentIdx = -1
     val frames = Vector.newBuilder[Frame]
     var totalPx = 0L
     var done = false
@@ -222,7 +315,17 @@ object Gif {
         case 0x3b => done = true
         case 0x21 => // extension: label byte, then length-prefixed sub-blocks
           if (pos >= b.length) return None
+          val label = b(pos) & 0xff
           pos += 1
+          // graphic control (0xf9): capture disposal + transparency for
+          // the next image before the generic sub-block skip
+          if (label == 0xf9 && pos + 5 <= b.length &&
+            (b(pos) & 0xff) == 4) {
+            val gcPacked = b(pos + 1) & 0xff
+            disposal = (gcPacked >> 2) & 7
+            transparentIdx =
+              if ((gcPacked & 1) != 0) b(pos + 4) & 0xff else -1
+          }
           var len = -1
           while (len != 0) {
             if (pos >= b.length) return None
@@ -248,7 +351,8 @@ object Gif {
           }
           if (table == null) return None // no active color table
           val px = fw.toLong * fh
-          totalPx += px
+          // composite snapshots are canvas-sized — budget the larger
+          totalPx += (if (composite) sw.toLong * sh else px)
           if (fw <= 0 || fh <= 0 || px > PngPixels.MaxDecodedBytes ||
             totalPx > PngPixels.MaxDecodedBytes) return None
           if (pos >= b.length) return None
@@ -265,29 +369,70 @@ object Gif {
           }
           val indices = lzwDecode(data.toByteArray, minCode, (fw * fh.toLong).toInt)
           if (indices == null) return None
-          val luma = new Array[Byte](indices.length)
-          var i = 0
-          while (i < indices.length) {
-            val idx = indices(i) & 0xff
-            if (idx >= table.length) return None // out-of-palette index
-            luma(i) = table(idx)
-            i += 1
-          }
           // interlaced: stored row j belongs at raster row order(j) —
-          // a four-pass row permutation, same bytes per row
-          val raster =
-            if (!interlaced) luma
+          // a four-pass row permutation, same bytes per row (applied
+          // to the INDEX plane so transparency tests see raster order)
+          val rasterIdx =
+            if (!interlaced) indices
             else {
               val order = interlaceRows(fh)
-              val out = new Array[Byte](luma.length)
+              val out = new Array[Byte](indices.length)
               var j = 0
               while (j < fh) {
-                System.arraycopy(luma, j * fw, out, order(j) * fw, fw)
+                System.arraycopy(indices, j * fw, out, order(j) * fw, fw)
                 j += 1
               }
               out
             }
-          frames += Frame(left, top, fw, fh, raster)
+          if (!composite) {
+            val luma = new Array[Byte](rasterIdx.length)
+            var i = 0
+            while (i < rasterIdx.length) {
+              val idx = rasterIdx(i) & 0xff
+              if (idx >= table.length) return None // out-of-palette index
+              luma(i) = table(idx)
+              i += 1
+            }
+            frames += Frame(left, top, fw, fh, luma)
+          } else {
+            // animation model: paint the sub-rect onto the canvas
+            // (transparent index pixels leave it untouched), snapshot,
+            // then apply the pending disposal
+            if (left + fw > sw || top + fh > sh) return None
+            val saved =
+              if (disposal == 3) canvas.clone() else null
+            var v = 0
+            while (v < fh) {
+              var u = 0
+              while (u < fw) {
+                val idx = rasterIdx(v * fw + u) & 0xff
+                if (idx != transparentIdx) {
+                  if (idx >= table.length) return None
+                  canvas((top + v) * sw + (left + u)) = table(idx)
+                }
+                u += 1
+              }
+              v += 1
+            }
+            frames += Frame(0, 0, sw, sh, canvas.clone())
+            disposal match {
+              case 2 => // restore the frame rect to the background
+                var v2 = 0
+                while (v2 < fh) {
+                  var u2 = 0
+                  while (u2 < fw) {
+                    canvas((top + v2) * sw + (left + u2)) = bgLuma
+                    u2 += 1
+                  }
+                  v2 += 1
+                }
+              case 3 => canvas = saved // restore to previous
+              case _ => () // 0/1: leave as rendered
+            }
+          }
+          // graphic control applies to exactly one image
+          disposal = 0
+          transparentIdx = -1
         case _ => return None
       }
     }

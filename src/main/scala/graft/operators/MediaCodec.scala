@@ -187,6 +187,17 @@ object MediaFixtures {
     Gif.gifWithFrames(id, w, h, frames, interlaced = id % 2 == 1)
   }
 
+  /** Delta-frame animated-GIF fixture ([[Gif.gifWithDeltaFrames]]):
+    * frame 0 full-canvas, later frames sub-rects with transparency
+    * holes — the composited-animation surface. Geometry is affine-mod
+    * in (id, f) so the SQL oracle re-derives every rectangle. */
+  def gifDeltaMediaFor(id: Long): Array[Byte] = {
+    val w = (8 + math.floorMod(id * 5, 17)).toInt
+    val h = (6 + math.floorMod(id * 7, 13)).toInt
+    val frames = (2 + id % 3).toInt
+    Gif.gifWithDeltaFrames(id, w, h, frames)
+  }
+
   /** PCM16 WAV fixture ([[WavPcm.wavWithSamples]]): frame count, layout
     * (mono/stereo), and sample rate all vary deterministically; samples
     * follow the pure contract [[WavPcm.samp]]. */

@@ -218,4 +218,113 @@ class GifSpec extends SparkTestBase {
       assert(r.getLong(3) == fr.luma.map(_ & 0xff).map(_.toLong).sum)
     }
   }
+
+  // ---- composited animation model (r8) ----
+
+  /** Minimal hand-rolled GIF: 4x2 canvas, 4-entry GCT (luma 0,1,2,3),
+    * frames described as (left, top, w, h, disposal, transparentIdx,
+    * indices). minCodeSize 2. */
+  private def miniGif(frames: Seq[(Int, Int, Int, Int, Int, Int,
+      Array[Byte])], sw: Int = 4, sh: Int = 2, bg: Int = 0)
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    le16(sw); le16(sh)
+    bos.write(0x80 | 1) // GCT, 4 entries
+    bos.write(bg); bos.write(0)
+    (0 until 4).foreach { i => bos.write(i); bos.write(i); bos.write(i) }
+    frames.foreach { case (l, t, w, h, disp, tr, idx) =>
+      bos.write(0x21); bos.write(0xf9); bos.write(4)
+      bos.write((disp << 2) | (if (tr >= 0) 1 else 0))
+      le16(0); bos.write(math.max(tr, 0)); bos.write(0)
+      bos.write(0x2c); le16(l); le16(t); le16(w); le16(h); bos.write(0)
+      bos.write(2)
+      val lzw = Gif.lzwEncode(idx, 2)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        bos.write(n); bos.write(lzw, off, n); off += n
+      }
+      bos.write(0)
+    }
+    bos.write(0x3b)
+    bos.toByteArray
+  }
+
+  private def canvases(b: Array[Byte]): Seq[Seq[Int]] =
+    Gif.decodeComposited(b).get.frames.map(_.luma.map(_ & 0xff).toSeq)
+
+  test("composited decode: sub-rect placement, transparency " +
+    "show-through, and all three disposal methods") {
+    // frame 0: full canvas of 1s; frame 1: 2x1 rect of 3s at (1,1)
+    val full = Array.fill[Byte](8)(1)
+    val patch = Array.fill[Byte](2)(3)
+    // disposal 1 (leave): frame 2 transparent patch shows frame 1 state
+    val transparent = Array.fill[Byte](2)(2) // idx 2 declared transparent
+    val leave = canvases(miniGif(Seq(
+      (0, 0, 4, 2, 1, -1, full),
+      (1, 1, 2, 1, 1, -1, patch),
+      (1, 1, 2, 1, 0, 2, transparent))))
+    assert(leave(0) == Seq(1, 1, 1, 1, 1, 1, 1, 1))
+    assert(leave(1) == Seq(1, 1, 1, 1, 1, 3, 3, 1))
+    assert(leave(2) == Seq(1, 1, 1, 1, 1, 3, 3, 1),
+      "transparent pixels over disposal-1 show the prior canvas")
+    // disposal 2 (restore to background, bg index 0 -> luma 0)
+    val toBg = canvases(miniGif(Seq(
+      (0, 0, 4, 2, 1, -1, full),
+      (1, 1, 2, 1, 2, -1, patch),
+      (0, 0, 1, 1, 0, 2, Array[Byte](2))))) // all-transparent probe
+    assert(toBg(1) == Seq(1, 1, 1, 1, 1, 3, 3, 1))
+    assert(toBg(2) == Seq(1, 1, 1, 1, 1, 0, 0, 1),
+      "disposal 2 restores the frame rect to background")
+    // disposal 3 (restore to previous)
+    val toPrev = canvases(miniGif(Seq(
+      (0, 0, 4, 2, 1, -1, full),
+      (1, 1, 2, 1, 3, -1, patch),
+      (0, 0, 1, 1, 0, 2, Array[Byte](2)))))
+    assert(toPrev(1) == Seq(1, 1, 1, 1, 1, 3, 3, 1))
+    assert(toPrev(2) == Seq(1, 1, 1, 1, 1, 1, 1, 1),
+      "disposal 3 restores the pre-frame canvas")
+    // a frame rect outside the canvas is dirty, not a paint-over
+    assert(Gif.decodeComposited(miniGif(Seq(
+      (3, 1, 2, 1, 0, -1, patch)))).isEmpty)
+  }
+
+  test("composited delta-frame fixtures match the closed-form contract " +
+    "(latest opaque covering frame per pixel)") {
+    (0L until 12L).foreach { id =>
+      val w = (8 + (id * 5) % 17).toInt
+      val h = (6 + (id * 7) % 13).toInt
+      val nf = (2 + id % 3).toInt
+      val d = Gif.decodeComposited(MediaFixtures.gifDeltaMediaFor(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.frames.length == nf)
+      def rect(f: Int): (Int, Int, Int, Int) =
+        if (f == 0) (0, 0, w, h)
+        else {
+          val fw = w - math.floorMod(3L * f + id, (w / 2).toLong).toInt
+          val fh = h - math.floorMod(5L * f + id, (h / 2).toLong).toInt
+          val lf = math.floorMod(7L * f + id, (w - fw + 1).toLong).toInt
+          val tp = math.floorMod(11L * f + id, (h - fh + 1).toLong).toInt
+          (lf, tp, fw, fh)
+        }
+      (0 until nf).foreach { f =>
+        val fr = d.frames(f)
+        assert(fr.width == w && fr.height == h)
+        (0 until h).foreach { y =>
+          (0 until w).foreach { x =>
+            val g = (0 to f).reverse.find { gg =>
+              val (lf, tp, fw, fh) = rect(gg)
+              x >= lf && x < lf + fw && y >= tp && y < tp + fh &&
+                Gif.pix(id, gg, x, y) % 7 != 0
+            }
+            val want = g.map(Gif.pix(id, _, x, y)).getOrElse(0)
+            assert((fr.luma(y * w + x) & 0xff) == want,
+              s"id=$id f=$f x=$x y=$y")
+          }
+        }
+      }
+    }
+  }
 }
