@@ -91,6 +91,7 @@ object GraftExtensions {
       MediaFeatures(es(0), intLit(es(1), "media_features"))),
     "pixel_stats" -> (es => PixelStats(es.head)),
     "decoded_pixels" -> (es => DecodedPixels(es.head)),
+    "image_dhash" -> (es => ImageDhash(es.head)),
     "wav_stats" -> (es => WavStats(es.head)),
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
     "wav_spectral" -> (es =>

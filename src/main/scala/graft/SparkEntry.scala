@@ -1046,6 +1046,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // perceptual image hashing (r8): dHash — decode → 9x8 box-average
+    // grid → 64 gradient-sign bits, shipped as two 32-bit words so the
+    // oracle assembles every value sign-safely. All-integer math, so
+    // the hash is bit-reproducible in SQL.
+    "image_dhash" -> ((s, dir) => {
+      val media = operators.MediaFixtures.withPixelMedia(
+        t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id").between(1, 30)), "doc_id", "media")
+      operators.ImageDedup.dhashes(media, "media", "doc_id")
+        .select(col("id").as("doc_id"), col("hi"), col("lo"))
+        .orderBy("doc_id")
+    }),
+
+    // perceptual near-dup pairs: the Manku pigeonhole Hamming search
+    // over dHash (four 16-bit blocks, bit_count verify — no all-pairs
+    // scan); oracle brute-forces every cross pair
+    "image_neardup" -> ((s, dir) => {
+      val media = operators.MediaFixtures.withPixelMedia(
+        t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id").between(1, 59)), "doc_id", "media")
+      operators.ImageDedup.nearDupPairs(media, "media", "doc_id", 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // the WEB PNG subset end-to-end (r8): one fixture table cycling
     // ALL FIVE depth-8 color types — gray, truecolor, palette (PLTE
     // expansion), gray+alpha, RGBA — with every third image stored in
@@ -4547,6 +4571,98 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h, ch
         |ORDER BY doc_id""".stripMargin,
+
+    // dHash re-derived all-integer: luminance from the pixel contract,
+    // box cells by the floor-boundary membership join, floor-divide
+    // averages, gradient-sign bits assembled into the two 32-bit words
+    "image_dhash" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id >= 1 AND doc_id <= 30),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |d2 AS (SELECT * FROM dims WHERE w >= 9 AND h >= 8),
+        |lum AS (
+        |  SELECT d.doc_id, d.w, d.h, xx.x, yy.y,
+        |    CASE WHEN d.ch = 3 THEN
+        |      (299 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256)
+        |       + 587 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 11) % 256)
+        |       + 114 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 22) % 256))
+        |      // 1000
+        |    ELSE (xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256 END AS v
+        |  FROM d2 d, LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |cells AS (
+        |  SELECT l.doc_id, ii.i, jj.j, sum(l.v) // count(*) AS a
+        |  FROM lum l, LATERAL unnest(range(0, 9)) AS ii(i),
+        |       LATERAL unnest(range(0, 8)) AS jj(j)
+        |  WHERE l.x >= ii.i * l.w // 9 AND l.x < (ii.i + 1) * l.w // 9
+        |    AND l.y >= jj.j * l.h // 8 AND l.y < (jj.j + 1) * l.h // 8
+        |  GROUP BY l.doc_id, ii.i, jj.j),
+        |bits AS (
+        |  SELECT c1.doc_id, c1.j * 8 + c1.i AS n,
+        |         CASE WHEN c1.a < c2.a THEN 1 ELSE 0 END AS b
+        |  FROM cells c1 JOIN cells c2
+        |    ON c2.doc_id = c1.doc_id AND c2.j = c1.j AND c2.i = c1.i + 1
+        |  WHERE c1.i < 8)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN n >= 32
+        |           THEN b * (CAST(1 AS BIGINT) << (n - 32))
+        |           ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN n < 32
+        |           THEN b * (CAST(1 AS BIGINT) << n)
+        |           ELSE 0 END) AS BIGINT) AS lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the pigeonhole search validated against every cross pair: the
+    // blocking may only ever be an optimization, never a filter
+    "image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id >= 1 AND doc_id <= 59),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |d2 AS (SELECT * FROM dims WHERE w >= 9 AND h >= 8),
+        |lum AS (
+        |  SELECT d.doc_id, d.w, d.h, xx.x, yy.y,
+        |    CASE WHEN d.ch = 3 THEN
+        |      (299 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256)
+        |       + 587 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 11) % 256)
+        |       + 114 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 22) % 256))
+        |      // 1000
+        |    ELSE (xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256 END AS v
+        |  FROM d2 d, LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |cells AS (
+        |  SELECT l.doc_id, ii.i, jj.j, sum(l.v) // count(*) AS a
+        |  FROM lum l, LATERAL unnest(range(0, 9)) AS ii(i),
+        |       LATERAL unnest(range(0, 8)) AS jj(j)
+        |  WHERE l.x >= ii.i * l.w // 9 AND l.x < (ii.i + 1) * l.w // 9
+        |    AND l.y >= jj.j * l.h // 8 AND l.y < (jj.j + 1) * l.h // 8
+        |  GROUP BY l.doc_id, ii.i, jj.j),
+        |bits AS (
+        |  SELECT c1.doc_id, c1.j * 8 + c1.i AS n,
+        |         CASE WHEN c1.a < c2.a THEN 1 ELSE 0 END AS b
+        |  FROM cells c1 JOIN cells c2
+        |    ON c2.doc_id = c1.doc_id AND c2.j = c1.j AND c2.i = c1.i + 1
+        |  WHERE c1.i < 8),
+        |hash AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n >= 32
+        |             THEN b * (CAST(1 AS BIGINT) << (n - 32))
+        |             ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN n < 32
+        |             THEN b * (CAST(1 AS BIGINT) << n)
+        |             ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi))
+        |            + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // web-subset analytic re-derivation: channel count follows the
     // color type; palette pixels compose the two affine-mod contracts
