@@ -1633,6 +1633,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // real BPE tokenizer (r8): merges learned Sennrich-style on a
+    // bounded word-frequency table (the codebook pattern), applied as
+    // a frozen map-only codegen'd expression. Training is driver-
+    // iterative so the oracle replays the DUMPED merges (aux
+    // bpe_merges) with the same canonical single-pass semantics — a
+    // list_reduce fold, not the boundary-unsafe string replace.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.Bpe.train(docs, "text",
+        numMerges = 40, maxWords = 5000)
+      docs.select(col("doc_id"),
+          operators.Bpe.encode(col("text"), m).as("bpe_text"))
+        .withColumn("n_bpe_tokens",
+          size(split(col("bpe_text"), " ")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail triage (r8): frozen-model bits-per-token
     // bucketed at each language's terciles — thresholds from the exact
     // grouped-quantile pass, labels as a broadcast-join map. Both sides
@@ -2114,6 +2131,16 @@ object SparkEntry {
     * (Verify substitutes `__AUX__` with the absolute dump dir) and
     * re-derives the result with DuckDB's own operators. */
   def auxiliary: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // bpe_encode: the learned merge list (idx, l, r) — training is
+    // deterministic but driver-side-iterative, which SQL cannot
+    // replay; the oracle re-applies the dumped merges canonically
+    "bpe_merges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.Bpe.train(docs, "text",
+        numMerges = 40, maxWords = 5000)
+      operators.Bpe.modelDf(s, m)
+    }),
 
     // hash_embed_knn: the hashed document embeddings
     "hash_embed_vecs" -> ((s, dir) => {
@@ -3909,6 +3936,51 @@ object SparkEntry {
         |    / count(*), 6) AS bits_per_token
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // the frozen merges replayed canonically: per word, a list_reduce
+    // fold carrying (emitted ⊕ pending) state — pending==l and x==r
+    // merge and clear; otherwise pending flushes — exactly the
+    // left-to-right scan-resumes-after-the-pair semantics (so 'aaa'
+    // under (a,a) gives 'aa a', and symbol boundaries can never
+    // false-match the way a spaced-string replace does)
+    "bpe_encode" ->
+      """WITH RECURSIVE
+        |mg AS (SELECT idx, l, r
+        |       FROM read_parquet('__AUX__/bpe_merges/*.parquet')),
+        |nm AS (SELECT count(*) AS n FROM mg),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, ii.i AS pos,
+        |         array_to_string(
+        |           list_transform(range(1, length(t[ii.i + 1]) + 1),
+        |                          c -> t[ii.i + 1][c]), ' ') AS s
+        |  FROM d, LATERAL unnest(range(0, len(t))) AS ii(i)),
+        |enc AS (
+        |  SELECT doc_id, pos, s, 0 AS i FROM w0
+        |  UNION ALL
+        |  SELECT e.doc_id, e.pos,
+        |    CASE WHEN e.s NOT LIKE '% %' THEN e.s ELSE
+        |      trim(replace(list_reduce(
+        |        list_prepend(chr(1), string_split(e.s, ' ')),
+        |        (acc, x) -> CASE
+        |          WHEN split_part(acc, chr(1), 2) = m.l AND x = m.r
+        |            THEN split_part(acc, chr(1), 1) || ' ' || m.l || m.r
+        |                 || chr(1)
+        |          WHEN split_part(acc, chr(1), 2) = ''
+        |            THEN split_part(acc, chr(1), 1) || chr(1) || x
+        |          ELSE split_part(acc, chr(1), 1) || ' ' ||
+        |               split_part(acc, chr(1), 2) || chr(1) || x
+        |        END), chr(1), ' '))
+        |    END, e.i + 1
+        |  FROM enc e JOIN mg m ON m.idx = e.i),
+        |fin AS (SELECT e.doc_id, e.pos, e.s
+        |        FROM enc e, nm WHERE e.i = nm.n),
+        |agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS bpe_text
+        |        FROM fin GROUP BY doc_id)
+        |SELECT doc_id, bpe_text,
+        |       CAST(len(string_split(bpe_text, ' ')) AS BIGINT)
+        |         AS n_bpe_tokens
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // CCNet buckets re-derived end to end: the bounded model's bits
     // (lm_model_score's formula), per-language terciles via
