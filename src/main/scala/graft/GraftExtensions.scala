@@ -96,6 +96,7 @@ object GraftExtensions {
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
     "wav_spectral" -> (es =>
       WavSpectral(es(0), intLit(es(1), "wav_spectral"))),
+    "wav_gain_media_for_id" -> (es => WavGainMediaBytes(es.head)),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_composite_stats" -> (es => GifCompositeStats(es.head)),

@@ -1282,6 +1282,31 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // gain-invariant audio dedup (r8): the spectral-fingerprint tier of
+    // the audio-dedup story. Fixtures carry the SAME recording at four
+    // amplitude levels with unique metadata — byte hashing finds
+    // nothing, decoded-PCM hashing (wav_dedup's tier) only groups
+    // same-gain copies, but the per-window dominant-DFT-bin sequence is
+    // invariant under linear scaling and groups every variant. Oracle
+    // re-derives each fingerprint from the scaled analytic samples.
+    "audio_fingerprint_dedup" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 48)
+      val media = docs.withColumn("media",
+        org.apache.spark.sql.graftshim.Shim.column(
+          functions.WavGainMediaBytes(
+            org.apache.spark.sql.graftshim.Shim.expression(
+              col("doc_id").cast("long")))))
+      media.select(col("doc_id"), expr(
+          "array_join(transform(wav_spectral(media, 16), " +
+            "w -> cast(w.dom_bin AS string)), '-')").as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs"))
+        .select(col("rep"), col("n_docs"), col("fp"))
+        .orderBy("rep")
+    }),
+
     // GIF ANIMATION COMPOSITING (r8): delta-frame fixtures — frame 0
     // full canvas, later frames sub-rects with transparency holes —
     // rendered through the GIF89a animation model (placement,
@@ -3514,6 +3539,41 @@ object SparkEntry {
         |FROM cent c JOIN ranked r
         |  ON r.doc_id = c.doc_id AND r.win = c.win AND r.rn = 1
         |ORDER BY c.doc_id, c.win""".stripMargin,
+
+    // the spectral fingerprint re-derived from the scaled sample
+    // contract: v = (samp(seed, i)) * gain, per-window DFT argmax with
+    // the lowest-bin tie-break, bins joined in window order — then the
+    // same group-by-fingerprint
+    "audio_fingerprint_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        |dims AS (
+        |  SELECT doc_id, doc_id % 6 AS seed, 1 + doc_id % 4 AS gain,
+        |         128 + (doc_id % 6) * 13 % 128 AS frames
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, ff.f // 16 AS win, ff.f % 16 AS n,
+        |         ((ff.f * 3 + d.seed * 7) % 4096 - 2048) * d.gain AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, 16 * (d.frames // 16))) AS ff(f)),
+        |spec AS (
+        |  SELECT s.doc_id, s.win, kk.k,
+        |         sqrt(pow(sum(s.v * cos(2 * pi() * kk.k * s.n / 16)), 2)
+        |            + pow(sum(s.v * sin(2 * pi() * kk.k * s.n / 16)), 2))
+        |           AS mag
+        |  FROM smp s, LATERAL unnest(range(1, 9)) AS kk(k)
+        |  GROUP BY s.doc_id, s.win, kk.k),
+        |ranked AS (
+        |  SELECT doc_id, win, k,
+        |         row_number() OVER (PARTITION BY doc_id, win
+        |                            ORDER BY mag DESC, k ASC) AS rn
+        |  FROM spec),
+        |fp AS (
+        |  SELECT doc_id, string_agg(CAST(k AS VARCHAR), '-' ORDER BY win)
+        |           AS fp
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS rep,
+        |       CAST(count(*) AS BIGINT) AS n_docs, fp
+        |FROM fp GROUP BY fp ORDER BY rep""".stripMargin,
 
     // the composited canvas re-derived per pixel: rectangle geometry
     // from the affine-mod contract, then for each (frame, x, y) the

@@ -892,6 +892,30 @@ case class GifDeltaMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** wav_gain_media_for_id(id) -> binary: the gain-variant audio-dedup
+  * fixture bytes ([[graft.operators.MediaFixtures.wavGainMediaFor]] —
+  * the same recording at four amplitude levels + unique metadata). */
+case class WavGainMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_gain_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.wavGainMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.wavGainMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** gif_media_for_id(id) -> binary: the animated-GIF fixture bytes
   * ([[graft.operators.MediaFixtures.gifMediaFor]]). */
 case class GifMediaBytes(child: Expression) extends UnaryExpression {

@@ -234,6 +234,44 @@ object MediaFixtures {
     b
   }
 
+  /** Gain-variant audio-dedup fixture: PCM content is
+    * `samp(id % 6, i) * (1 + id % 4)` — the SAME recording at four
+    * amplitude levels, plus a per-id LIST metadata tag. Three dedup
+    * tiers tell three different stories on this table: byte hashing
+    * finds nothing (tags differ), decoded-PCM hashing groups only
+    * same-gain copies, and the spectral fingerprint (per-window
+    * dominant DFT bin — invariant under linear scaling) groups every
+    * gain variant of a recording. */
+  def wavGainMediaFor(id: Long): Array[Byte] = {
+    val seed = math.floorMod(id, 6L)
+    val gain = (1 + math.floorMod(id, 4L)).toInt
+    val frames = (128 + math.floorMod(seed * 13, 128L)).toInt
+    val samples = new Array[Short](frames)
+    var i = 0
+    while (i < frames) {
+      samples(i) = (WavPcm.samp(seed, i) * gain).toShort
+      i += 1
+    }
+    val base = WavPcm.wavFromSamples(1, 8000, samples)
+    val tag = s"INFO doc $id".getBytes("US-ASCII")
+    val pad = tag.length % 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 36)
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(tag.length & 0xff); out.write((tag.length >> 8) & 0xff)
+    out.write(0); out.write(0)
+    out.write(tag, 0, tag.length)
+    if (pad == 1) out.write(0)
+    out.write(base, 36, base.length - 36)
+    val b = out.toByteArray
+    val grown = b.length - 8
+    b(4) = (grown & 0xff).toByte
+    b(5) = ((grown >> 8) & 0xff).toByte
+    b(6) = ((grown >> 16) & 0xff).toByte
+    b(7) = ((grown >> 24) & 0xff).toByte
+    b
+  }
+
   /** Full-baseline JPEG fixture with REAL AC coefficients
     * ([[JpegDc.jpegWithAcPixels]]): non-multiple-of-8 dims (edge-block
     * cropping on the decode path), both component counts, run-length

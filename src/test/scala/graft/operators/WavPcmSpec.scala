@@ -186,4 +186,39 @@ class WavPcmSpec extends SparkTestBase {
     assert(viaSql == d2.frames / 16)
     assert(graft.functions.WavSpectral.compute("junk".getBytes, 16) == null)
   }
+
+  test("gain-variant fixtures: three dedup tiers tell three stories — " +
+    "bytes find nothing, PCM groups same-gain only, the spectral " +
+    "fingerprint groups across gains") {
+    graft.Graft.init(spark)
+    import spark.implicits._
+    val docs = (0L until 48L).toDF("doc_id")
+    val media = docs.selectExpr("doc_id",
+      "wav_gain_media_for_id(doc_id) AS media")
+    // tier 1: file bytes — all distinct (the LIST tag)
+    val byteGroups = media.selectExpr("xxhash64(media) AS h")
+      .groupBy("h").count().filter("count > 1").count()
+    assert(byteGroups == 0L)
+    // tier 2: decoded PCM — groups only same (seed, gain). Over ids
+    // 0..47 the pair (id%6, id%4) has period lcm(6,4)=12, so exactly
+    // 12 classes — each seed still spans TWO gains, which PCM hashing
+    // keeps apart and the fingerprint must unite
+    val pcmClasses = media
+      .selectExpr("xxhash64(wav_pcm_bytes(media).pcm) AS h")
+      .select("h").distinct().count()
+    assert(pcmClasses == 12L, s"pcm classes $pcmClasses")
+    // tier 3: spectral fingerprint — invariant under gain, so every id
+    // with the same seed lands in one group (<= 6 classes; seeds with
+    // identical dominant-bin tracks may merge further)
+    val fpRows = media.selectExpr("doc_id",
+      "array_join(transform(wav_spectral(media, 16), " +
+        "w -> cast(w.dom_bin AS string)), '-') AS fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySeed = fpRows.groupBy(_._1 % 6)
+    bySeed.foreach { case (seed, rows) =>
+      assert(rows.map(_._2).distinct.length == 1,
+        s"seed $seed gain variants must share one fingerprint")
+      assert(rows.length == 8)
+    }
+  }
 }
