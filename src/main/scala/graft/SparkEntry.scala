@@ -1070,6 +1070,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // perceptual dedup composed to CLUSTERS: dHash near-dup pairs →
+    // pointer-jumped connected components — duplicate image classes,
+    // the form a curation pipeline consumes (one representative per
+    // class). Oracle: brute-force pairs + recursive min-label.
+    "image_components" -> ((s, dir) => {
+      val media = operators.MediaFixtures.withPixelMedia(
+        t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id").between(1, 59)), "doc_id", "media")
+      val pairs = operators.ImageDedup.nearDupPairs(
+        media, "media", "doc_id", 3)
+      operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // the WEB PNG subset end-to-end (r8): one fixture table cycling
     // ALL FIVE depth-8 color types — gray, truecolor, palette (PLTE
     // expansion), gray+alpha, RGBA — with every third image stored in
@@ -1656,6 +1671,21 @@ object SparkEntry {
       val m = operators.LmScore.model(docs, "text", vocabSize = 25)
       operators.LmScore.scoreWithModel(docs, "doc_id", "text", m)
         .orderBy("doc_id")
+    }),
+
+    // the tokenizer composed into the training-batch flow: BPE-encode
+    // the corpus, then pack the SUBWORD stream into fixed-length
+    // sequences — tokenization changes every count, offset, and
+    // crosswalk row, and the oracle re-derives all of it from the
+    // replayed merges + the prefix-sum pack formula.
+    "bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val m = operators.Bpe.train(docs, "text",
+        numMerges = 40, maxWords = 5000)
+      val enc = docs.select(col("doc_id"),
+        operators.Bpe.encode(col("text"), m).as("bpe_text"))
+      operators.TextChunk.packSequences(enc, "doc_id", "bpe_text", 256)
+        .orderBy("doc_id", "seq_id")
     }),
 
     // real BPE tokenizer (r8): merges learned Sennrich-style on a
@@ -4042,6 +4072,57 @@ object SparkEntry {
         |         AS n_bpe_tokens
         |FROM agg ORDER BY doc_id""".stripMargin,
 
+    // the BPE chain composed with the pack formula: replayed merges →
+    // per-doc subword count → global prefix-sum offsets → crosswalk
+    "bpe_pack" ->
+      """WITH RECURSIVE
+        |mg AS (SELECT idx, l, r
+        |       FROM read_parquet('__AUX__/bpe_merges/*.parquet')),
+        |nm AS (SELECT count(*) AS n FROM mg),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, ii.i AS pos,
+        |         array_to_string(
+        |           list_transform(range(1, length(t[ii.i + 1]) + 1),
+        |                          c -> t[ii.i + 1][c]), ' ') AS s
+        |  FROM d, LATERAL unnest(range(0, len(t))) AS ii(i)),
+        |enc AS (
+        |  SELECT doc_id, pos, s, 0 AS i FROM w0
+        |  UNION ALL
+        |  SELECT e.doc_id, e.pos,
+        |    CASE WHEN e.s NOT LIKE '% %' THEN e.s ELSE
+        |      trim(replace(list_reduce(
+        |        list_prepend(chr(1), string_split(e.s, ' ')),
+        |        (acc, x) -> CASE
+        |          WHEN split_part(acc, chr(1), 2) = m.l AND x = m.r
+        |            THEN split_part(acc, chr(1), 1) || ' ' || m.l || m.r
+        |                 || chr(1)
+        |          WHEN split_part(acc, chr(1), 2) = ''
+        |            THEN split_part(acc, chr(1), 1) || chr(1) || x
+        |          ELSE split_part(acc, chr(1), 1) || ' ' ||
+        |               split_part(acc, chr(1), 2) || chr(1) || x
+        |        END), chr(1), ' '))
+        |    END, e.i + 1
+        |  FROM enc e JOIN mg m ON m.idx = e.i),
+        |fin AS (SELECT e.doc_id, e.pos, e.s
+        |        FROM enc e, nm WHERE e.i = nm.n),
+        |tt AS (SELECT doc_id,
+        |              CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n
+        |       FROM fin GROUP BY doc_id),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+        |  FROM tt),
+        |x AS (
+        |  SELECT doc_id, n, off, s.k
+        |  FROM o, LATERAL unnest(
+        |    range(off // 256, (off + n - 1) // 256 + 1)) AS s(k))
+        |SELECT doc_id, CAST(k AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, k * 256 - off) AS BIGINT) AS tok_from,
+        |  CAST(least((k + 1) * 256, off + n)
+        |    - greatest(k * 256, off) AS BIGINT) AS n_toks
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
+
     // CCNet buckets re-derived end to end: the bounded model's bits
     // (lm_model_score's formula), per-language terciles via
     // quantile_cont, both rounded to 6 before the CASE — a wrong
@@ -4795,6 +4876,62 @@ object SparkEntry {
         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force pairs + recursive min-label reachability — the
+    // engine's pointer-jumped rounds must land on the same classes
+    "image_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id >= 1 AND doc_id <= 59),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |d2 AS (SELECT * FROM dims WHERE w >= 9 AND h >= 8),
+        |lum AS (
+        |  SELECT d.doc_id, d.w, d.h, xx.x, yy.y,
+        |    CASE WHEN d.ch = 3 THEN
+        |      (299 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256)
+        |       + 587 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 11) % 256)
+        |       + 114 * ((xx.x * 3 + yy.y * 5 + d.doc_id * 7 + 22) % 256))
+        |      // 1000
+        |    ELSE (xx.x * 3 + yy.y * 5 + d.doc_id * 7) % 256 END AS v
+        |  FROM d2 d, LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |cells AS (
+        |  SELECT l.doc_id, ii.i, jj.j, sum(l.v) // count(*) AS a
+        |  FROM lum l, LATERAL unnest(range(0, 9)) AS ii(i),
+        |       LATERAL unnest(range(0, 8)) AS jj(j)
+        |  WHERE l.x >= ii.i * l.w // 9 AND l.x < (ii.i + 1) * l.w // 9
+        |    AND l.y >= jj.j * l.h // 8 AND l.y < (jj.j + 1) * l.h // 8
+        |  GROUP BY l.doc_id, ii.i, jj.j),
+        |bits AS (
+        |  SELECT c1.doc_id, c1.j * 8 + c1.i AS n,
+        |         CASE WHEN c1.a < c2.a THEN 1 ELSE 0 END AS b
+        |  FROM cells c1 JOIN cells c2
+        |    ON c2.doc_id = c1.doc_id AND c2.j = c1.j AND c2.i = c1.i + 1
+        |  WHERE c1.i < 8),
+        |hash AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n >= 32
+        |             THEN b * (CAST(1 AS BIGINT) << (n - 32))
+        |             ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN n < 32
+        |             THEN b * (CAST(1 AS BIGINT) << n)
+        |             ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |        <= 3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, src AS lbl FROM e
+        |      UNION
+        |      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |       CAST(min(lbl) AS BIGINT) AS component
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // web-subset analytic re-derivation: channel count follows the
     // color type; palette pixels compose the two affine-mod contracts
