@@ -115,4 +115,42 @@ class MediaStreamSpec extends SparkTestBase {
       assert(row7._3 == 1 && row7._4 == 1) // n_email, n_ip
     } finally q.stop()
   }
+
+  test("round-8 kernels over a file stream == batch: web-PNG decode, " +
+    "dHash, spectral DFT, composited GIF") {
+    graft.Graft.init(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-stream-r8").toString
+    spark.range(1, 40).selectExpr("id AS doc_id",
+        "web_pixel_media_for_id(id) AS png",
+        "pixel_media_for_id(id) AS img",
+        "wav_media_for_id(id) AS wav",
+        "gif_delta_media_for_id(id) AS gif")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+
+    def features(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "doc_id",
+      "pixel_stats(png).pix_sum AS web_pix",
+      "image_dhash(img).lo AS dhash_lo",
+      "aggregate(wav_spectral(wav, 16), CAST(0 AS BIGINT), " +
+        "(a, x) -> a + x.dom_bin) AS dom_sum",
+      "aggregate(gif_composite_stats(gif), CAST(0 AS BIGINT), " +
+        "(a, x) -> a + x.pix_sum) AS comp_pix")
+
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = features(stream)
+      .writeStream.format("memory").queryName("media_eq_r8")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val streamed = spark.table("media_eq_r8").collect().map(key).toSet
+      val batch = features(batchSrc).collect().map(key).toSet
+      assert(streamed == batch && batch.size == 39)
+    } finally q.stop()
+  }
 }
