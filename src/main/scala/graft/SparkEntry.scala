@@ -1297,6 +1297,21 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // audio segmentation in the frequency domain (r8): spectral flux —
+    // L1 distance between consecutive DFT magnitude spectra — the
+    // audio twin of the GIF/AVI scene-cut SADs; same term-for-term
+    // oracle discipline as wav_spectral.
+    "wav_flux" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 30)
+      docs.selectExpr("doc_id",
+          "explode(wav_spectral_flux(" +
+            "wav_media_for_id(CAST(doc_id AS BIGINT)), 16)) AS w")
+        .selectExpr("doc_id", "CAST(w.win AS BIGINT) AS win", "w.flux")
+        .orderBy("doc_id", "win")
+    }),
+
     // gain-invariant audio dedup (r8): the spectral-fingerprint tier of
     // the audio-dedup story. Fixtures carry the SAME recording at four
     // amplitude levels with unique metadata — byte hashing finds
@@ -3569,6 +3584,33 @@ object SparkEntry {
         |FROM cent c JOIN ranked r
         |  ON r.doc_id = c.doc_id AND r.win = c.win AND r.rn = 1
         |ORDER BY c.doc_id, c.win""".stripMargin,
+
+    // flux re-derived: the same per-bin DFT sums, then the lagged L1
+    // distance between spectra — a self-join on (doc, win-1)
+    "wav_flux" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, ff.f // 16 AS win, ff.f % 16 AS n,
+        |         (ff.f * d.ch * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, 16 * (d.frames // 16))) AS ff(f)),
+        |spec AS (
+        |  SELECT s.doc_id, s.win, kk.k,
+        |         sqrt(pow(sum(s.v * cos(2 * pi() * kk.k * s.n / 16)), 2)
+        |            + pow(sum(s.v * sin(2 * pi() * kk.k * s.n / 16)), 2))
+        |           AS mag
+        |  FROM smp s, LATERAL unnest(range(1, 9)) AS kk(k)
+        |  GROUP BY s.doc_id, s.win, kk.k)
+        |SELECT a.doc_id, CAST(a.win AS BIGINT) AS win,
+        |       round(sum(abs(a.mag - b.mag)), 6) AS flux
+        |FROM spec a JOIN spec b
+        |  ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.k = a.k
+        |GROUP BY a.doc_id, a.win
+        |ORDER BY a.doc_id, win""".stripMargin,
 
     // the spectral fingerprint re-derived from the scaled sample
     // contract: v = (samp(seed, i)) * gain, per-window DFT argmax with

@@ -1107,6 +1107,96 @@ object WavSpectral {
     }
 }
 
+/** wav_spectral_flux(bytes, winFrames) -> array<struct<win:int,
+  * flux:double>>: onset/segment-boundary detection in the frequency
+  * domain — per consecutive window pair, the L1 distance between DFT
+  * magnitude spectra (Σ_k |mag_k(w) − mag_k(w−1)|, bins 1..N/2), the
+  * audio twin of the GIF/AVI scene-cut SADs. One row per pair (win =
+  * the later index), rounded to 6 like [[WavSpectral]] so the SQL
+  * oracle — same term-for-term DFT — compares on the 1e-6 grid.
+  * Dirty bytes → null. */
+case class WavSpectralFlux(child: Expression, winFrames: Int)
+    extends UnaryExpression {
+  require(winFrames >= 4 && winFrames % 2 == 0,
+    s"winFrames must be even and >= 4, got $winFrames")
+
+  override def dataType: DataType =
+    ArrayType(WavSpectralFlux.fluxSchema, containsNull = false)
+  override def prettyName: String = "wav_spectral_flux"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavSpectralFlux.compute(input.asInstanceOf[Array[Byte]], winFrames)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavSpectralFlux$$.MODULE$$.compute($c, $winFrames);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavSpectralFlux {
+  val fluxSchema: StructType = StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("flux", DoubleType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. Null = no
+    * decode. Shares [[WavSpectral]]'s exact DFT arithmetic. */
+  def compute(bytes: Array[Byte], winFrames: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    graft.operators.WavPcm.decode(bytes) match {
+      case Some(d) =>
+        val nWin = d.frames / winFrames
+        if (nWin < 2)
+          return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array.empty[Any])
+        val nBins = winFrames / 2
+        val mags = Array.ofDim[Double](nWin, nBins)
+        var w = 0
+        while (w < nWin) {
+          var k = 1
+          while (k <= nBins) {
+            var re = 0.0
+            var im = 0.0
+            var n = 0
+            while (n < winFrames) {
+              val v = d.samples((w * winFrames + n) * d.channels).toDouble
+              val arg = 2.0 * math.Pi * k * n / winFrames
+              re += v * math.cos(arg)
+              im += v * math.sin(arg)
+              n += 1
+            }
+            mags(w)(k - 1) = math.sqrt(re * re + im * im)
+            k += 1
+          }
+          w += 1
+        }
+        val rows = new Array[Any](nWin - 1)
+        w = 1
+        while (w < nWin) {
+          var f = 0.0
+          var k = 0
+          while (k < nBins) {
+            f += math.abs(mags(w)(k) - mags(w - 1)(k)); k += 1
+          }
+          rows(w - 1) = new GenericInternalRow(Array[Any](w,
+            BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+          w += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+      case None => null
+    }
+}
+
 /** gif_frame_diffs(bytes) -> array<struct<frame:int, sad:bigint>>:
   * adjacent-frame sum-of-absolute-differences over the REAL decoded
   * luminance rasters ([[GifFrameStats]]' codec) — the classic

@@ -221,4 +221,39 @@ class WavPcmSpec extends SparkTestBase {
       assert(rows.length == 8)
     }
   }
+
+  test("wav_spectral_flux spikes exactly at a tone change and is near " +
+    "zero within steady tones") {
+    // 8 windows of a k=2 tone then 8 windows of k=5: flux must spike
+    // only at the boundary window (index 8)
+    val frames = 256
+    val tone = (0 until frames).map { n =>
+      val k = if (n < 128) 2 else 5
+      math.round(1200.0 * math.cos(2.0 * math.Pi * k * (n % 16) / 16)).toInt
+    }
+    val data = new java.io.ByteArrayOutputStream()
+    tone.foreach { v => data.write(v & 0xff); data.write((v >> 8) & 0xff) }
+    val pcm = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    def le32(v: Int): Unit = { d.write(v & 0xff); d.write((v >> 8) & 0xff)
+      d.write((v >> 16) & 0xff); d.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { d.write(v & 0xff); d.write((v >> 8) & 0xff) }
+    d.writeBytes("RIFF"); le32(36 + pcm.length); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(8000)
+    le32(16000); le16(2); le16(16)
+    d.writeBytes("data"); le32(pcm.length); d.write(pcm)
+    val rows = graft.functions.WavSpectralFlux.compute(out.toByteArray, 16)
+    assert(rows != null && rows.numElements() == 15)
+    val flux = (0 until 15).map(i => rows.getStruct(i, 2).getDouble(1))
+    val boundary = flux(7) // win index 8 vs 7 (first k=5 window)
+    assert(boundary > 10000.0, s"boundary flux $boundary")
+    flux.zipWithIndex.filter(_._2 != 7).foreach { case (f, i) =>
+      assert(f < boundary / 100, s"steady flux $f at pair $i")
+    }
+    // short clips (fewer than 2 windows) give an empty array, not null
+    val short = graft.operators.WavPcm.wavWithSamples(1L, 20, 1, 8000)
+    assert(graft.functions.WavSpectralFlux.compute(short, 16)
+      .numElements() == 0)
+  }
 }
