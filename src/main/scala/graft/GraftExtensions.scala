@@ -99,6 +99,8 @@ object GraftExtensions {
     "wav_gain_media_for_id" -> (es => WavGainMediaBytes(es.head)),
     "wav_spectral_flux" -> (es =>
       WavSpectralFlux(es(0), intLit(es(1), "wav_spectral_flux"))),
+    "wav_resample" -> (es =>
+      WavResample(es(0), intLit(es(1), "wav_resample"))),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_composite_stats" -> (es => GifCompositeStats(es.head)),

@@ -1297,6 +1297,28 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // sample-rate normalization (r8): linear-interpolation resample to
+    // 12 kHz, re-wrapped as canonical WAV and reduced by the EXISTING
+    // wav_stats kernel — fixtures carry three source rates, so up- and
+    // down-sampling both run. Integer-exact interpolation contract
+    // (truncating division == SQL //) lets the oracle re-derive every
+    // output sample.
+    "wav_resample_stats" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 30)
+      docs.selectExpr("doc_id",
+          "wav_stats(wav_resample(" +
+            "wav_media_for_id(CAST(doc_id AS BIGINT)), 12000)) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
     // audio segmentation in the frequency domain (r8): spectral flux —
     // L1 distance between consecutive DFT magnitude spectra — the
     // audio twin of the GIF/AVI scene-cut SADs; same term-for-term
@@ -3584,6 +3606,46 @@ object SparkEntry {
         |FROM cent c JOIN ranked r
         |  ON r.doc_id = c.doc_id AND r.win = c.win AND r.rn = 1
         |ORDER BY c.doc_id, c.win""".stripMargin,
+
+    // every resampled sample re-derived: num = j·src against dst
+    // denominator, i0/rem by truncating division, clamped v1, then
+    // v0 + (v1−v0)·rem // dst — summed to the wav_stats reduction
+    "wav_resample_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS src
+        |  FROM ids),
+        |outn AS (
+        |  SELECT doc_id, frames, ch, src,
+        |         (frames - 1) * 12000 // src + 1 AS n_out
+        |  FROM dims),
+        |samp AS (
+        |  SELECT o.doc_id, o.ch, jj.j, cc.c,
+        |         jj.j * o.src // 12000 AS i0,
+        |         jj.j * o.src % 12000 AS rem,
+        |         o.frames AS frames
+        |  FROM outn o,
+        |       LATERAL unnest(range(0, o.n_out)) AS jj(j),
+        |       LATERAL unnest(range(0, o.ch)) AS cc(c)),
+        |vals AS (
+        |  SELECT doc_id, ch, j, c,
+        |    ((i0 * ch + c) * 3 + doc_id * 7) % 4096 - 2048 AS v0,
+        |    CASE WHEN i0 + 1 < frames THEN
+        |      (((i0 + 1) * ch + c) * 3 + doc_id * 7) % 4096 - 2048
+        |    ELSE ((i0 * ch + c) * 3 + doc_id * 7) % 4096 - 2048 END AS v1,
+        |    rem
+        |  FROM samp),
+        |outs AS (
+        |  SELECT doc_id, ch, v0 + (v1 - v0) * rem // 12000 AS v
+        |  FROM vals)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |       CAST(12000 AS BIGINT) AS sample_rate,
+        |       CAST(count(*) // ch AS BIGINT) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(v * v) AS BIGINT) AS samp_energy
+        |FROM outs GROUP BY doc_id, ch
+        |ORDER BY doc_id""".stripMargin,
 
     // flux re-derived: the same per-bin DFT sums, then the lagged L1
     // distance between spectra — a self-join on (doc, win-1)

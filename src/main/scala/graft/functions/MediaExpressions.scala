@@ -1511,6 +1511,44 @@ object AviAvFeatures {
   * `wav_windows(avi_audio_wav(v), 64)`, `wav_stats(...)`, decoded-
   * content dedup via `wav_pcm_bytes`. Dirty bytes or no routed audio
   * track → null. */
+/** wav_resample(bytes, dstRate) -> binary: linear-interpolation
+  * sample-rate conversion re-wrapped as a canonical WAV
+  * ([[graft.operators.WavPcm.resample]] — integer-exact contract), so
+  * the resampled audio flows through every WAV kernel unchanged. Dirty
+  * bytes → null. */
+case class WavResample(child: Expression, dstRate: Int)
+    extends UnaryExpression {
+  require(dstRate > 0 && dstRate <= 1000000,
+    s"dstRate must be in (0, 1e6], got $dstRate")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_resample"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavResample.compute(input.asInstanceOf[Array[Byte]], dstRate)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavResample$$.MODULE$$.compute($c, $dstRate);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavResample {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte], dstRate: Int): Array[Byte] =
+    graft.operators.WavPcm.resample(bytes, dstRate).orNull
+}
+
 case class AviAudioWav(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType

@@ -55,6 +55,52 @@ object WavPcm {
     bos.toByteArray
   }
 
+  /** Linear-interpolation resample to `dstRate` — the sample-rate
+    * normalization step an audio corpus runs before feature
+    * extraction, re-wrapped as a canonical WAV so every existing
+    * kernel (`wav_stats`, `wav_windows`, `wav_spectral`) consumes the
+    * result unchanged (the [[wavFromSamples]] bridge pattern).
+    *
+    * The contract is INTEGER-EXACT so a SQL oracle re-derives every
+    * output sample: output frame j reads source position
+    * `num = j·srcRate` against denominator dstRate, `i0 = num/dst`
+    * (Long division truncating toward zero — the same semantics as
+    * SQL `//`), `rem = num − i0·dst`, and
+    * `out = v0 + (v1 − v0)·rem/dst` with the last frame clamped (no
+    * extrapolation). Output length `(frames−1)·dst/src + 1`. Dirty
+    * bytes or an unreasonable rate → None. */
+  def resample(bytes: Array[Byte], dstRate: Int): Option[Array[Byte]] =
+    decode(bytes).flatMap { d =>
+      if (dstRate <= 0 || dstRate > 1000000) None
+      else {
+        val nOutL = (d.frames - 1).toLong * dstRate / d.sampleRate + 1
+        if (nOutL * d.channels * 2 > PngPixels.MaxDecodedBytes) None
+        else {
+          val nOut = nOutL.toInt
+          val out = new Array[Short](nOut * d.channels)
+          var j = 0
+          while (j < nOut) {
+            val num = j.toLong * d.sampleRate
+            val i0 = (num / dstRate).toInt
+            val rem = num - i0.toLong * dstRate
+            var c = 0
+            while (c < d.channels) {
+              val v0 = d.samples(i0 * d.channels + c).toLong
+              val v1 =
+                if (i0 + 1 < d.frames)
+                  d.samples((i0 + 1) * d.channels + c).toLong
+                else v0
+              out(j * d.channels + c) =
+                (v0 + (v1 - v0) * rem / dstRate).toShort
+              c += 1
+            }
+            j += 1
+          }
+          Some(wavFromSamples(d.channels, dstRate, out))
+        }
+      }
+    }
+
   /** Canonical RIFF/WAVE container around GIVEN interleaved PCM16
     * samples — the re-wrap half that lets any decoded audio track
     * (e.g. an AVI `auds` stream, [[Avi.decodeAv]]) flow into every

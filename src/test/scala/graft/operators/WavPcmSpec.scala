@@ -256,4 +256,32 @@ class WavPcmSpec extends SparkTestBase {
     assert(graft.functions.WavSpectralFlux.compute(short, 16)
       .numElements() == 0)
   }
+
+  test("wav_resample: identity rate is lossless, 2x upsampling of a " +
+    "ramp interpolates exact midpoints, output re-decodes everywhere") {
+    val src = WavPcm.wavWithSamples(4L, 200, 2, 16000)
+    val d0 = WavPcm.decode(src).get
+    // identity: every output frame lands exactly on a source frame
+    val same = WavPcm.decode(WavPcm.resample(src, 16000).get).get
+    assert(same.sampleRate == 16000 && same.frames == d0.frames)
+    assert(same.samples.toSeq == d0.samples.toSeq)
+    // 2x a pure ramp: odd output frames are exact midpoints
+    val ramp = (0 until 100).map(i => (i * 10).toShort).toArray
+    val rampWav = WavPcm.wavFromSamples(1, 8000, ramp)
+    val up = WavPcm.decode(WavPcm.resample(rampWav, 16000).get).get
+    assert(up.frames == 99 * 2 + 1)
+    (0 until up.frames).foreach { j =>
+      val want = if (j % 2 == 0) ramp(j / 2).toInt
+        else (ramp(j / 2) + ramp(j / 2 + 1)) / 2
+      assert(up.samples(j).toInt == want, s"j=$j")
+    }
+    // downsample length contract + the result feeds existing kernels
+    val down = WavPcm.resample(src, 6000).get
+    val dd = WavPcm.decode(down).get
+    assert(dd.frames == (200 - 1) * 6000 / 16000 + 1 && dd.channels == 2)
+    assert(graft.functions.WavStats.statsToRow(down) != null)
+    assert(graft.functions.WavSpectral.compute(down, 16) != null)
+    // dirty input -> None
+    assert(WavPcm.resample("junk".getBytes, 8000).isEmpty)
+  }
 }
