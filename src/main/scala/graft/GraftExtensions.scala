@@ -92,6 +92,8 @@ object GraftExtensions {
     "pixel_stats" -> (es => PixelStats(es.head)),
     "decoded_pixels" -> (es => DecodedPixels(es.head)),
     "image_dhash" -> (es => ImageDhash(es.head)),
+    "image_resize" -> (es => ImageResize(es(0),
+      intLit(es(1), "image_resize"), intLit(es(2), "image_resize"))),
     "wav_stats" -> (es => WavStats(es.head)),
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
     "wav_spectral" -> (es =>

@@ -1070,6 +1070,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // image resize (r8): box-average downscale / nearest-neighbor
+    // upscale to exact target dims, re-encoded as a REAL PNG and
+    // reduced by the EXISTING pixel_stats kernel — the image twin of
+    // wav_resample's bridge. All-integer cell math (floor boundaries,
+    // integer-division means), so the oracle re-derives every resized
+    // pixel from the contract.
+    "image_resize_stats" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 30)
+      docs.selectExpr("doc_id",
+          "pixel_stats(image_resize(" +
+            "pixel_media_for_id(CAST(doc_id AS BIGINT)), 16, 12)) AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // perceptual dedup composed to CLUSTERS: dHash near-dup pairs →
     // pointer-jumped connected components — duplicate image classes,
     // the form a curation pipeline consumes (one representative per
@@ -4980,6 +5002,41 @@ object SparkEntry {
         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // every resized pixel re-derived: floor cell boundaries with the
+    // empty-box nearest fallback, integer-division box means over the
+    // contract values, reduced to the pixel_stats sums
+    "image_resize_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 30 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |cells AS (
+        |  SELECT d.doc_id, d.ch, ii.i, jj.j,
+        |    ii.i * d.w // 16 AS x0,
+        |    greatest((ii.i + 1) * d.w // 16, ii.i * d.w // 16 + 1) AS x1,
+        |    jj.j * d.h // 12 AS y0,
+        |    greatest((jj.j + 1) * d.h // 12, jj.j * d.h // 12 + 1) AS y1
+        |  FROM dims d, LATERAL unnest(range(0, 16)) AS ii(i),
+        |       LATERAL unnest(range(0, 12)) AS jj(j)),
+        |avgs AS (
+        |  SELECT ce.doc_id, ce.ch, ce.i, ce.j, kk.c,
+        |    sum((xx.x * 3 + yy.y * 5 + ce.doc_id * 7 + kk.c * 11) % 256)
+        |      // ((ce.x1 - ce.x0) * (ce.y1 - ce.y0)) AS v
+        |  FROM cells ce,
+        |       LATERAL unnest(range(ce.x0, ce.x1)) AS xx(x),
+        |       LATERAL unnest(range(ce.y0, ce.y1)) AS yy(y),
+        |       LATERAL unnest(range(0, ce.ch)) AS kk(c)
+        |  GROUP BY ce.doc_id, ce.ch, ce.i, ce.j, kk.c,
+        |           ce.x0, ce.x1, ce.y0, ce.y1)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width,
+        |       CAST(12 AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM avgs GROUP BY doc_id, ch
+        |ORDER BY doc_id""".stripMargin,
 
     // brute-force pairs + recursive min-label reachability — the
     // engine's pointer-jumped rounds must land on the same classes

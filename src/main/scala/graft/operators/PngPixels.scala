@@ -179,6 +179,56 @@ object PngPixels {
     bos.toByteArray
   }
 
+  /** Encode an ARBITRARY 8-bit raster as a real PNG (filter-0 rows,
+    * genuine zlib IDAT, correct CRCs) — the output half of the image
+    * bridge pattern: transforms like resize emit a canonical PNG so
+    * every existing kernel (`pixel_stats`, `image_dhash`,
+    * `png_histogram`) consumes the result unchanged. Channels 1..4
+    * map to color types 0/4/2/6. */
+  def encodeRaster(w: Int, h: Int, channels: Int, pixels: Array[Byte])
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && channels >= 1 && channels <= 4,
+      s"w=$w h=$h channels=$channels")
+    require(pixels.length == w * h * channels,
+      s"${pixels.length} bytes do not tile ${w}x$h x$channels")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      // filter byte 0 already zeroed by allocation
+      System.arraycopy(pixels, y * stride, raw, (stride + 1) * y + 1, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.writeInt(body.length)
+      val tagged = tag.getBytes("US-ASCII") ++ body
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32(); crc.update(tagged)
+      out.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(ihdr)
+    d.writeInt(w); d.writeInt(h)
+    d.write(8); d.write(colorType); d.write(0); d.write(0); d.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
   /** Decoded 8-bit pixels, scanline-major, `channels` bytes per pixel
     * (palette images arrive EXPANDED: channels = 3). */
   final case class Decoded(

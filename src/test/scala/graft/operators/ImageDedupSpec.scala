@@ -95,4 +95,57 @@ class ImageDedupSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
+
+  test("image_resize: identity preserves pixels, downscale matches " +
+    "direct box math, output re-decodes through every kernel, JPEG " +
+    "inputs dispatch") {
+    val src = MediaFixtures.pixelMediaFor(6L) // 14x14 truecolor
+    val d0 = PngPixels.decode(src).get
+    // identity resize: every box is exactly one pixel
+    val same = PngPixels.decode(
+      graft.functions.ImageResize.compute(src, d0.width, d0.height)).get
+    assert(same.channels == d0.channels)
+    assert(java.util.Arrays.equals(same.pixels, d0.pixels))
+    // downscale to 5x4: direct box-average check
+    val down = PngPixels.decode(
+      graft.functions.ImageResize.compute(src, 5, 4)).get
+    assert(down.width == 5 && down.height == 4 &&
+      down.channels == d0.channels)
+    (0 until 4).foreach { j =>
+      (0 until 5).foreach { i =>
+        val x0 = i * d0.width / 5; val x1 = (i + 1) * d0.width / 5
+        val y0 = j * d0.height / 4; val y1 = (j + 1) * d0.height / 4
+        (0 until d0.channels).foreach { c =>
+          var sum = 0L
+          (y0 until y1).foreach { y => (x0 until x1).foreach { x =>
+            sum += d0.pixels((y * d0.width + x) * d0.channels + c) & 0xff
+          }}
+          val want = sum / ((x1 - x0).toLong * (y1 - y0))
+          val got = down.pixels((j * 5 + i) * d0.channels + c) & 0xff
+          assert(got == want, s"cell ($i,$j,$c)")
+        }
+      }
+    }
+    // the resized PNG feeds the other kernels (bridge property)
+    val resized = graft.functions.ImageResize.compute(src, 16, 12)
+    assert(graft.functions.PngStats.statsToRow(resized) != null)
+    assert(graft.functions.ImageDhash.compute(resized) != null)
+    // JPEG input dispatches through the same kernel
+    val jpg = MediaFixtures.jpegPixelMediaFor(4L)
+    val rj = PngPixels.decode(
+      graft.functions.ImageResize.compute(jpg, 10, 8))
+    assert(rj.isDefined && rj.get.width == 10 && rj.get.height == 8)
+    // upscale: nearest-neighbor (empty boxes sample their boundary)
+    val up = PngPixels.decode(
+      graft.functions.ImageResize.compute(src, d0.width * 2, d0.height)).get
+    (0 until d0.width * 2).foreach { i =>
+      val srcX = i * d0.width / (d0.width * 2)
+      (0 until d0.channels).foreach { c =>
+        assert((up.pixels(i * d0.channels + c) & 0xff) ==
+          (d0.pixels(srcX * d0.channels + c) & 0xff), s"up i=$i c=$c")
+      }
+    }
+    // dirty bytes -> null
+    assert(graft.functions.ImageResize.compute("junk".getBytes, 4, 4) == null)
+  }
 }
