@@ -99,6 +99,7 @@ object GraftExtensions {
     "wav_spectral" -> (es =>
       WavSpectral(es(0), intLit(es(1), "wav_spectral"))),
     "wav_gain_media_for_id" -> (es => WavGainMediaBytes(es.head)),
+    "bmp_media_for_id" -> (es => BmpMediaBytes(es.head)),
     "wav_spectral_flux" -> (es =>
       WavSpectralFlux(es(0), intLit(es(1), "wav_spectral_flux"))),
     "wav_resample" -> (es =>

@@ -1070,6 +1070,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // BMP codec (r8): the uncompressed image format — bottom-up AND
+    // top-down row orders, BGR sample order, 4-byte row padding, all
+    // through the explicit data-offset field — reduced by the shared
+    // pixel_stats dispatch. The oracle never mentions storage order:
+    // a row-flip or channel-swap bug breaks the hash.
+    "bmp_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 30)
+      docs.selectExpr("doc_id",
+          "pixel_stats(bmp_media_for_id(CAST(doc_id AS BIGINT))) AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // image resize (r8): box-average downscale / nearest-neighbor
     // upscale to exact target dims, re-encoded as a REAL PNG and
     // reduced by the EXISTING pixel_stats kernel — the image twin of
@@ -5002,6 +5022,30 @@ object SparkEntry {
         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same analytic pixel form as png_pixels with BMP's fixture
+    // dims — storage order (bottom-up vs top-down) and BGR layout are
+    // decode-side concerns the contract never sees
+    "bmp_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 5 + doc_id % 21 AS w, 4 + doc_id % 17 AS h
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (xx.x * 3 + yy.y * 5 + d.doc_id * 7 + cc.c * 11) % 256
+        |           AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y),
+        |       LATERAL unnest(range(0, 3)) AS cc(c))
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
 
     // every resized pixel re-derived: floor cell boundaries with the
     // empty-box nearest fallback, integer-division box means over the

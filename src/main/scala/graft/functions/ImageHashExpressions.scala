@@ -7,22 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
-/** image_dhash(bytes) -> struct<hi:bigint, lo:bigint>: the difference
-  * hash (dHash) — the classic perceptual image fingerprint: decode
-  * (PNG or baseline JPEG, the same format dispatch as `pixel_stats`),
-  * reduce luminance to a 9x8 grid of integer box averages, and emit
-  * bit (j*8+i) = 1 iff cell (i,j) is darker than its right neighbor.
-  * Gradient-structure–invariant: two images differing by noise, mild
-  * recompression, or small luminance shifts land within a few bits,
-  * so near-duplicate search is a Hamming ball — exactly SimHash's
-  * deployment shape, which [[graft.operators.ImageDedup]] reuses.
-  *
-  * The 64 bits ship as two NON-NEGATIVE 32-bit halves (hi = bits
-  * 32..63, lo = bits 0..31) so a SQL oracle can assemble each half as
-  * an exact integer sum without touching the BIGINT sign bit. All
-  * grid math is integer (floor boundaries `i*w/9`, floor-divide
-  * averages) — bit-reproducible in SQL. Images narrower than the grid
-  * (w < 9 or h < 8) and dirty bytes → null. */
 /** image_resize(bytes, w, h) -> binary: resize a decoded image (PNG
   * or baseline JPEG, the `pixel_stats` dispatch) to exact target
   * dimensions and re-encode as a REAL PNG, so the result flows
@@ -71,6 +55,9 @@ object ImageResize {
       else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
         graft.operators.JpegDc.decode(bytes)
           .map(d => (d.width, d.height, d.channels, d.pixels))
+      else if (bytes(0) == 'B' && bytes(1) == 'M')
+        graft.operators.Bmp.decode(bytes)
+          .map(d => (d.width, d.height, d.channels, d.pixels))
       else None
     decoded match {
       case Some((w, h, ch, px)) =>
@@ -111,6 +98,22 @@ object ImageResize {
   }
 }
 
+/** image_dhash(bytes) -> struct<hi:bigint, lo:bigint>: the difference
+  * hash (dHash) — the classic perceptual image fingerprint: decode
+  * (PNG or baseline JPEG, the same format dispatch as `pixel_stats`),
+  * reduce luminance to a 9x8 grid of integer box averages, and emit
+  * bit (j*8+i) = 1 iff cell (i,j) is darker than its right neighbor.
+  * Gradient-structure–invariant: two images differing by noise, mild
+  * recompression, or small luminance shifts land within a few bits,
+  * so near-duplicate search is a Hamming ball — exactly SimHash's
+  * deployment shape, which [[graft.operators.ImageDedup]] reuses.
+  *
+  * The 64 bits ship as two NON-NEGATIVE 32-bit halves (hi = bits
+  * 32..63, lo = bits 0..31) so a SQL oracle can assemble each half as
+  * an exact integer sum without touching the BIGINT sign bit. All
+  * grid math is integer (floor boundaries `i*w/9`, floor-divide
+  * averages) — bit-reproducible in SQL. Images narrower than the grid
+  * (w < 9 or h < 8) and dirty bytes → null. */
 case class ImageDhash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ImageDhash.schema
@@ -153,6 +156,9 @@ object ImageDhash {
           .map(d => (d.width, d.height, d.channels, d.pixels))
       else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
         graft.operators.JpegDc.decode(bytes)
+          .map(d => (d.width, d.height, d.channels, d.pixels))
+      else if (bytes(0) == 'B' && bytes(1) == 'M')
+        graft.operators.Bmp.decode(bytes)
           .map(d => (d.width, d.height, d.channels, d.pixels))
       else None
     decoded match {

@@ -205,6 +205,16 @@ object PixelStats {
       PngStats.statsToRow(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       JpegStats.statsToRow(bytes)
+    else if (bytes(0) == 'B' && bytes(1) == 'M')
+      graft.operators.Bmp.decode(bytes) match {
+        case Some(d) =>
+          var sum = 0L
+          var i = 0
+          while (i < d.pixels.length) { sum += d.pixels(i) & 0xff; i += 1 }
+          new GenericInternalRow(Array[Any](
+            d.width, d.height, d.channels, sum, d.pixels.length.toLong))
+        case None => null
+      }
     else null
 }
 
@@ -911,6 +921,30 @@ case class WavGainMediaBytes(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.operators.MediaFixtures$$.MODULE$$.wavGainMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** bmp_media_for_id(id) -> binary: the pixel-bearing BMP fixture
+  * bytes ([[graft.operators.MediaFixtures.bmpMediaFor]] — both row
+  * orders, every padding residue). */
+case class BmpMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.bmpMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.bmpMediaFor($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -34,7 +34,21 @@ object MediaCodec {
 
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None
-    else parsePng(bytes).orElse(parseJpeg(bytes))
+    else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseBmp(bytes))
+
+  /** 'BM' magic + the shared BITMAPINFOHEADER prefix (24bpp subset,
+    * |height| for the top-down storage convention). */
+  def parseBmp(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def le32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    if (le32(14) < 40 || le16(28) != 24) return None
+    val w = le32(18); val h = math.abs(le32(22))
+    if (w <= 0 || h <= 0) return None
+    Some(Meta(w, h, 3, "bmp"))
+  }
 
   /** Signature + IHDR (must be the first chunk per the spec). */
   def parsePng(b: Array[Byte]): Option[Meta] = {
@@ -270,6 +284,15 @@ object MediaFixtures {
     b(6) = ((grown >> 16) & 0xff).toByte
     b(7) = ((grown >> 24) & 0xff).toByte
     b
+  }
+
+  /** Pixel-bearing BMP fixture ([[Bmp.bmpWithPixels]]): widths cycle
+    * every row-padding residue (w*3 mod 4), odd ids store TOP-DOWN
+    * (negative height) — both storage orders, same analytic pixels. */
+  def bmpMediaFor(id: Long): Array[Byte] = {
+    val w = (5 + math.floorMod(id, 21)).toInt
+    val h = (4 + math.floorMod(id, 17)).toInt
+    Bmp.bmpWithPixels(id, w, h, topDown = id % 2 == 1)
   }
 
   /** Full-baseline JPEG fixture with REAL AC coefficients

@@ -21,7 +21,8 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.gifDeltaMediaFor(3L),
     MediaFixtures.wavMediaFor(8L),
     MediaFixtures.wavGainMediaFor(11L),
-    MediaFixtures.mixedPixelMediaFor(10L))
+    MediaFixtures.mixedPixelMediaFor(10L),
+    MediaFixtures.bmpMediaFor(6L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
     val random = (0 until 40).map { _ =>
@@ -65,6 +66,7 @@ class CodecFuzzSpec extends SparkTestBase {
       check("WavPcm.decode")(WavPcm.decode(b))
       check("Avi.decode")(Avi.decode(b))
       check("MediaCodec.parse")(MediaCodec.parse(b))
+      check("Bmp.decode")(Bmp.decode(b))
       check("PngStats")(graft.functions.PngStats.statsToRow(b))
       check("PngHistogram")(graft.functions.PngHistogram.compute(b, 16))
       check("ImageDhash")(graft.functions.ImageDhash.compute(b))
