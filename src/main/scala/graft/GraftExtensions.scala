@@ -104,6 +104,8 @@ object GraftExtensions {
       WavSpectralFlux(es(0), intLit(es(1), "wav_spectral_flux"))),
     "wav_resample" -> (es =>
       WavResample(es(0), intLit(es(1), "wav_resample"))),
+    "flac_wav" -> (es => FlacWav(es.head)),
+    "flac_media_for_id" -> (es => FlacMediaBytes(es.head)),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),
     "gif_composite_stats" -> (es => GifCompositeStats(es.head)),

@@ -1361,6 +1361,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL FLAC audio decode (r8): the compressed leg of the audio
+    // story. Fixtures share WavPcm.samp and the wavMediaFor dimension
+    // formulas, so the oracle is the SAME closed form as wav_stats —
+    // but the engine value additionally survived a real FLAC encode
+    // (fixed + LPC prediction, Rice residuals with partition orders,
+    // escapes and both parameter widths, stereo decorrelation in all
+    // four assignments, CRC-8/16, whole-stream MD5) and the
+    // canonical-WAV bridge (flac_wav) that lets every existing audio
+    // kernel serve FLAC content unchanged.
+    "flac_stats" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 45)
+      docs.selectExpr("doc_id",
+          "wav_stats(flac_wav(flac_media_for_id(CAST(doc_id AS BIGINT)))) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
+    // windowed VAD features over the FLAC bridge — proves the decoded
+    // stream flows through the whole audio kernel family, not just the
+    // aggregate stats reduction.
+    "flac_windows" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 35)
+      docs.selectExpr("doc_id",
+          "explode(wav_windows(" +
+            "flac_wav(flac_media_for_id(CAST(doc_id AS BIGINT))), 48)) AS w")
+        .selectExpr("doc_id", "CAST(w.win AS BIGINT) AS win",
+          "w.energy", "w.zcr")
+        .orderBy("doc_id", "win")
+    }),
+
     // audio segmentation in the frequency domain (r8): spectral flux —
     // L1 distance between consecutive DFT magnitude spectra — the
     // audio twin of the GIF/AVI scene-cut SADs; same term-for-term
@@ -3607,6 +3646,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(win AS BIGINT) AS win,
         |       CAST(sum(v * v) AS BIGINT) AS energy,
         |       CAST(sum(CASE WHEN f % 64 > 0 AND ((v >= 0) != (pv >= 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM lagged GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin,
+
+    // the SAME closed form as wav_stats (the FLAC fixture shares the
+    // sample contract and dimension formulas) — the engine side
+    // additionally survived real FLAC entropy decode + CRCs + MD5 and
+    // the canonical-WAV re-wrap, so any bit-grammar bug breaks the hash
+    "flac_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 45),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, d.frames, d.ch, d.rate,
+        |         (ii.i * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d, LATERAL unnest(range(0, d.frames * d.ch)) AS ii(i))
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |       CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(frames AS BIGINT) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(v * v) AS BIGINT) AS samp_energy
+        |FROM smp GROUP BY doc_id, ch, rate, frames
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-window energy + zero-crossing re-derivation over the FLAC
+    // bridge — identical construction to the wav_windows oracle at
+    // window 48
+    "flac_windows" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 35),
+        |dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, ff.f // 48 AS win, ff.f AS f,
+        |         (ff.f * d.ch * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, 48 * (d.frames // 48))) AS ff(f)),
+        |lagged AS (
+        |  SELECT doc_id, win, f, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        |  FROM smp)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(sum(CASE WHEN f % 48 > 0 AND ((v >= 0) != (pv >= 0))
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
         |FROM lagged GROUP BY doc_id, win
         |ORDER BY doc_id, win""".stripMargin,

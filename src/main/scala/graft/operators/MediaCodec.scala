@@ -222,6 +222,19 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** FLAC fixture with the SAME dimension formulas as [[wavMediaFor]]
+    * and the same [[WavPcm.samp]] sample contract, so FLAC queries
+    * share the WAV closed-form SQL oracle — the engine value just
+    * additionally survived prediction + Rice coding + CRC-8/16 + MD5
+    * ([[Flac.flacWithSamples]]; the encoder cycles subframe types,
+    * stereo assignments and Rice forms by id). */
+  def flacMediaFor(id: Long): Array[Byte] = {
+    val frames = (100 + math.floorMod(id * 13, 400)).toInt
+    val channels = (1 + id % 2).toInt
+    val rate = (8000 * (1 + id % 3)).toInt
+    Flac.flacWithSamples(id, frames, channels, rate)
+  }
+
   /** Container-robust audio-dedup fixture: PCM content seeded by
     * `id % 8` (so distinct docs carry byte-identical SAMPLES), with a
     * per-id LIST metadata chunk spliced between `fmt ` and `data` (so
