@@ -113,6 +113,10 @@ object GraftExtensions {
     "gif_frame_diffs" -> (es => GifFrameDiffs(es.head)),
     "gif_frame_bytes" -> (es => GifFrameBytes(es.head)),
     "avi_frame_stats" -> (es => AviFrameStats(es.head)),
+    "mp4_frame_stats" -> (es => Mp4FrameStats(es.head)),
+    "mp4_meta" -> (es => Mp4Meta(es.head)),
+    "mp4_media_for_id" -> (es => Mp4MediaBytes(es.head)),
+    "mp4_multi_media_for_id" -> (es => Mp4MultiMediaBytes(es.head)),
     "avi_frame_diffs" -> (es => AviFrameDiffs(es.head)),
     "avi_av_features" -> (es => AviAvFeatures(es.head)),
     "avi_audio_wav" -> (es => AviAudioWav(es.head)),

@@ -1560,6 +1560,48 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // REAL MP4/ISO-BMFF container decode (r8): the same per-frame
+    // MJPEG pixel contract as avi_frames, but the bytes went through
+    // the box-grammar walk + full stsc/stsz/stco sample-table
+    // resolution (the writer stores two samples in the first chunk and
+    // one in each later chunk, so the run expansion is genuinely
+    // exercised) instead of the RIFF chunk walk.
+    "mp4_frames" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 26)
+      docs.selectExpr("doc_id",
+          "explode(mp4_frame_stats(mp4_media_for_id(CAST(doc_id AS BIGINT)))) AS f")
+        .selectExpr("doc_id", "CAST(f.frame AS BIGINT) AS frame",
+          "CAST(f.width AS BIGINT) AS width",
+          "CAST(f.height AS BIGINT) AS height",
+          "CAST(f.channels AS BIGINT) AS channels", "f.pix_sum")
+        .orderBy("doc_id", "frame")
+    }),
+
+    // Container-metadata triage (r8): every track of a multi-track
+    // MP4 — MJPEG video, avc1 video (entropy data the sandbox cannot
+    // decode, container metadata fully real), mp4a audio — typed
+    // fourcc/dims/channels/rate/timescale/duration/samples rows, the
+    // first thing a 100 TB crawl pipeline computes over a video
+    // column. Oracle re-derives all three rows per doc in closed form.
+    "mp4_meta" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 40)
+      docs.selectExpr("doc_id",
+          "explode(mp4_meta(mp4_multi_media_for_id(CAST(doc_id AS BIGINT)))) AS t")
+        .selectExpr("doc_id", "CAST(t.track AS BIGINT) AS track",
+          "t.handler", "t.codec",
+          "CAST(t.width AS BIGINT) AS width",
+          "CAST(t.height AS BIGINT) AS height",
+          "CAST(t.channels AS BIGINT) AS channels",
+          "CAST(t.sample_rate AS BIGINT) AS sample_rate",
+          "CAST(t.timescale AS BIGINT) AS timescale",
+          "t.duration", "CAST(t.n_samples AS BIGINT) AS n_samples")
+        .orderBy("doc_id", "track")
+    }),
+
     // Mixed-track container decode — MJPEG video AND a PCM16 audio
     // stream in ONE RIFF walk (operators/Avi.decodeAv): per-doc frame
     // count, exact pixel sum over every decoded frame, and exact
@@ -3960,6 +4002,66 @@ object SparkEntry {
         |       CAST(64 * sum(v) AS BIGINT) AS pix_sum
         |FROM blocks GROUP BY doc_id, f, bw, bh, ch
         |ORDER BY doc_id, frame""".stripMargin,
+
+    // the SAME closed form as avi_frames (shared frameSeed pixel
+    // contract) — the engine side resolved ISO-BMFF sample tables
+    // (stsc run expansion, per-sample sizes, chunk offsets) instead of
+    // walking RIFF chunks, so a table-resolution slip breaks the hash
+    "mp4_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 26),
+        |dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + (doc_id * 3) % 4 AS bw,
+        |         1 + (doc_id * 5) % 3 AS bh,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |blocks AS (
+        |  SELECT d.doc_id, fr.f, d.bw, d.bh, d.ch,
+        |         (bx.x * 3 + by.y * 5 + (d.doc_id * 31 + fr.f * 17) * 7
+        |           + cc.c * 11) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.nf)) AS fr(f),
+        |       LATERAL unnest(range(0, d.bw)) AS bx(x),
+        |       LATERAL unnest(range(0, d.bh)) AS by(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |       CAST(8 * bw AS BIGINT) AS width,
+        |       CAST(8 * bh AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(64 * sum(v) AS BIGINT) AS pix_sum
+        |FROM blocks GROUP BY doc_id, f, bw, bh, ch
+        |ORDER BY doc_id, frame""".stripMargin,
+
+    // all three tracks' container metadata re-derived in closed form
+    // from the fixture parameters — the engine walked the real box
+    // grammar (tkhd/mdhd/hdlr/stsd/stsz) to produce the same rows
+    "mp4_meta" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS track, 'vide' AS handler,
+        |       'jpeg' AS codec,
+        |       CAST(8 * (1 + (doc_id * 3) % 4) AS BIGINT) AS width,
+        |       CAST(8 * (1 + (doc_id * 5) % 3) AS BIGINT) AS height,
+        |       CAST(0 AS BIGINT) AS channels, CAST(0 AS BIGINT) AS sample_rate,
+        |       CAST(1000 AS BIGINT) AS timescale,
+        |       CAST((2 + doc_id % 3) * 40 AS BIGINT) AS duration,
+        |       CAST(2 + doc_id % 3 AS BIGINT) AS n_samples
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id, 2, 'vide', 'avc1',
+        |       CAST(16 * (1 + doc_id % 4) AS BIGINT),
+        |       CAST(16 * (1 + doc_id % 3) AS BIGINT),
+        |       0, 0, 90000,
+        |       CAST((5 + doc_id % 7) * 3000 AS BIGINT),
+        |       CAST(5 + doc_id % 7 AS BIGINT)
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id, 3, 'soun', 'mp4a', 0, 0,
+        |       CAST(1 + doc_id % 2 AS BIGINT),
+        |       CAST(8000 * (1 + doc_id % 3) AS BIGINT),
+        |       CAST(8000 * (1 + doc_id % 3) AS BIGINT),
+        |       CAST((30 + doc_id % 20) * 1024 AS BIGINT),
+        |       CAST(30 + doc_id % 20 AS BIGINT)
+        |FROM ids
+        |ORDER BY doc_id, track""".stripMargin,
 
     // both tracks re-derived analytically: video from the DC block
     // contract at seed id*31 + f*17 (as avi_frames, summed over

@@ -294,10 +294,40 @@ object MediaFeatures {
             normalize(counts)
           case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
         }
+      else if (graft.operators.Mp4.isMp4(bytes))
+        graft.operators.Mp4.decode(bytes) match {
+          case Some(d) =>
+            val counts = new Array[Long](dim)
+            d.frames.foreach { fr =>
+              val lm = graft.operators.Avi.luma(fr)
+              var i = 0
+              while (i < lm.length) {
+                counts((lm(i) & 0xff) * dim / 256) += 1; i += 1
+              }
+            }
+            normalize(counts)
+          // non-MJPEG (avc1/...) tracks: the inter-frame-codec seam
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
       else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F')
         graft.operators.WavPcm.decode(bytes) match {
           case Some(d) =>
+            val acc = new Array[Long](dim)
+            val n = d.samples.length
+            var i = 0
+            while (i < n) {
+              acc((i.toLong * dim / n).toInt) += math.abs(d.samples(i).toLong)
+              i += 1
+            }
+            normalize(acc)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
+      else if (graft.operators.Flac.isFlac(bytes))
+        graft.operators.Flac.decode(bytes) match {
+          case Some(d) =>
+            // same temporal |amplitude| profile as the WAV branch, so
+            // a recording featurizes identically in either container
             val acc = new Array[Long](dim)
             val n = d.samples.length
             var i = 0

@@ -222,6 +222,34 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** MJPEG-MP4 fixture with the SAME shape formulas and per-frame
+    * pixel contract as [[aviMediaFor]] ([[Avi.frameSeed]]), so the
+    * mp4 frame oracle is the same closed form — the engine value went
+    * through the ISO-BMFF box walk + real stsc/stsz/stco sample-table
+    * resolution instead of the RIFF chunk walk. */
+  def mp4MediaFor(id: Long): Array[Byte] = {
+    val w = 8 * (1 + (id * 3) % 4).toInt
+    val h = 8 * (1 + (id * 5) % 3).toInt
+    val frames = (2 + id % 3).toInt
+    Mp4.mp4WithFrames(id, w, h, frames, if (id % 2 == 0) 3 else 1)
+  }
+
+  /** Multi-track MP4 metadata fixture: the MJPEG track of
+    * [[mp4MediaFor]] plus an `avc1` video track (opaque entropy data
+    * — the honest codec seam, but its container metadata parses
+    * fully) and an `mp4a` audio track; every parameter is a closed
+    * form of id so the SQL oracle re-derives all three rows. */
+  def mp4MultiMediaFor(id: Long): Array[Byte] = {
+    val w = 8 * (1 + (id * 3) % 4).toInt
+    val h = 8 * (1 + (id * 5) % 3).toInt
+    val frames = (2 + id % 3).toInt
+    Mp4.mp4MultiTrack(id, w, h, frames, if (id % 2 == 0) 3 else 1,
+      avcW = 16 * (1 + id % 4).toInt, avcH = 16 * (1 + id % 3).toInt,
+      avcSamples = (5 + id % 7).toInt,
+      aCh = (1 + id % 2).toInt, aRate = 8000 * (1 + id % 3).toInt,
+      aSamples = (30 + id % 20).toInt)
+  }
+
   /** FLAC fixture with the SAME dimension formulas as [[wavMediaFor]]
     * and the same [[WavPcm.samp]] sample contract, so FLAC queries
     * share the WAV closed-form SQL oracle — the engine value just

@@ -61,14 +61,16 @@ object Multimodal {
   }
 
   /** Frame sampling kernel: REAL for animated GIF ([[Gif.decode]] —
-    * full LZW) and for MJPEG-AVI container video ([[Avi.decode]] —
-    * RIFF walk + per-frame baseline-JPEG decode); frames are decoded
-    * luminance rasters, n evenly spaced across the animation, all
-    * frames when n ≥ frame count. The [[FakeCodec]] byte-window
-    * fallback remains only for inter-frame video codecs (mp4/webm —
-    * no codec library ships in this container; that seam is one
-    * branch here). Undecodable bytes fall back rather than null: a
-    * sampler's contract is "give me n byte windows". */
+    * full LZW), MJPEG-AVI container video ([[Avi.decode]] — RIFF walk
+    * + per-frame baseline-JPEG decode) AND MJPEG-MP4 ([[Mp4.decode]]
+    * — ISO-BMFF box walk + sample-table resolution); frames are
+    * decoded luminance rasters, n evenly spaced across the animation,
+    * all frames when n ≥ frame count. The [[FakeCodec]] byte-window
+    * fallback remains only for inter-frame-CODED tracks (h264/vp9 —
+    * no codec library ships in this container; an mp4 whose track is
+    * avc1 falls back here even though its container metadata parses
+    * fully via [[Mp4.meta]]). Undecodable bytes fall back rather than
+    * null: a sampler's contract is "give me n byte windows". */
   def sampleFramesKernel(
       bytes: Array[Byte], n: Int, width: Int): Seq[Array[Byte]] =
     if (Gif.isGif(bytes)) {
@@ -81,6 +83,14 @@ object Multimodal {
       }
     } else if (Avi.isAvi(bytes)) {
       Avi.decode(bytes) match {
+        case Some(d) =>
+          val total = d.frames.length
+          if (total <= n) d.frames.map(Avi.luma)
+          else (0 until n).map(i => Avi.luma(d.frames(total * i / n)))
+        case None => FakeCodec.sampleFrames(bytes, n, width)
+      }
+    } else if (Mp4.isMp4(bytes)) {
+      Mp4.decode(bytes) match {
         case Some(d) =>
           val total = d.frames.length
           if (total <= n) d.frames.map(Avi.luma)

@@ -22,7 +22,10 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.wavMediaFor(8L),
     MediaFixtures.wavGainMediaFor(11L),
     MediaFixtures.mixedPixelMediaFor(10L),
-    MediaFixtures.bmpMediaFor(6L))
+    MediaFixtures.bmpMediaFor(6L),
+    MediaFixtures.flacMediaFor(5L),
+    MediaFixtures.mp4MediaFor(7L),
+    MediaFixtures.mp4MultiMediaFor(4L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
     val random = (0 until 40).map { _ =>
@@ -65,6 +68,9 @@ class CodecFuzzSpec extends SparkTestBase {
       check("Gif.decodeComposited")(Gif.decodeComposited(b))
       check("WavPcm.decode")(WavPcm.decode(b))
       check("Avi.decode")(Avi.decode(b))
+      check("Flac.decode")(Flac.decode(b))
+      check("Mp4.decode")(Mp4.decode(b))
+      check("Mp4.meta")(Mp4.meta(b))
       check("MediaCodec.parse")(MediaCodec.parse(b))
       check("Bmp.decode")(Bmp.decode(b))
       check("PngStats")(graft.functions.PngStats.statsToRow(b))
@@ -87,6 +93,9 @@ class CodecFuzzSpec extends SparkTestBase {
       "pixel_stats(b) IS NULL AS a",
       "image_dhash(b) IS NULL AS c",
       "wav_spectral(b, 16) IS NULL AS d",
+      "flac_wav(b) IS NULL AS g",
+      "mp4_meta(b) IS NULL AS h",
+      "mp4_frame_stats(b) IS NULL AS i",
       "gif_composite_stats(b) IS NULL AS e",
       "media_features(b, 8) IS NOT NULL AS f") // features falls back
     // the action itself passing IS the assertion (no task throw);

@@ -137,6 +137,18 @@ class FlacSpec extends SparkTestBase {
     }
   }
 
+  test("media_features routes FLAC through the real decode: identical " +
+    "temporal-amplitude features to the WAV of the same recording") {
+    (0L until 4L).foreach { id =>
+      val flacFeats = graft.functions.MediaFeatures
+        .compute(MediaFixtures.flacMediaFor(id), 12)
+      val wavFeats = graft.functions.MediaFeatures
+        .compute(MediaFixtures.wavMediaFor(id), 12)
+      assert(flacFeats.toFloatArray().sameElements(wavFeats.toFloatArray()),
+        s"id=$id")
+    }
+  }
+
   test("flac_wav bridge: the re-wrapped WAV is byte-identical to the " +
     "direct WAV fixture of the same id (every audio kernel serves FLAC " +
     "unchanged)") {
