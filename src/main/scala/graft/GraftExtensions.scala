@@ -73,6 +73,9 @@ object GraftExtensions {
     "simhash64" -> (es => SimHash64(es.head)),
     "ngram_shingles" -> (es => NgramShingles(es(0), intLit(es(1), "ngram_shingles"))),
     "token_bigrams" -> (es => TokenBigrams(es.head)),
+    "normalize_text" -> (es => NormalizeText(es.head)),
+    "url_normalize" -> (es => UrlNormalize(es.head)),
+    "url_domain" -> (es => UrlDomain(es.head)),
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), es(2)).toAggregateExpression()),

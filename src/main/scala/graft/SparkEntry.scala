@@ -1759,6 +1759,70 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode canonicalization (r8, CCNet §3.1 / C4): NFC composition
+    // + control strip + whitespace collapse + trim as ONE codegen'd
+    // map-only kernel. The fixture appends a DECOMPOSED 'cafe'+U+0301
+    // next to a precomposed U+00E9, tabs, a control byte and doubled
+    // spaces to every real doc, so the hash only matches if the JDK's
+    // NFC agrees with ICU's (DuckDB nfc_normalize) on real combining
+    // sequences AND the strip/collapse order is replicated exactly.
+    "normalize_text" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .selectExpr("doc_id",
+          "normalize_text(concat(substr(text, 1, 40), " +
+            "' caf\u00e9 vs cafe\u0301  A', chr(9), chr(1), chr(11), " +
+            "'B ')) AS norm")
+        .orderBy("doc_id")
+    }),
+
+    // Crawl-URL canonicalization (r8, the C4/RefinedWeb dedup-key
+    // step): messy fixture URLs (uppercase scheme+host, default and
+    // non-default ports, utm_*/tracking params, fragments, a residue
+    // class of non-URL strings) through the real parsing kernel; the
+    // oracle CONSTRUCTS the expected canonical form per row, so any
+    // parse or rebuild slip breaks the hash.
+    "url_normalize" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """CASE WHEN doc_id % 7 = 0 THEN 'not a url at all'
+            |     ELSE concat(
+            |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END,
+            |  '://WWW.', upper(source), '.Example.COM',
+            |  CASE WHEN doc_id % 5 = 0 THEN ':8080'
+            |       WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END,
+            |  '/Doc/', doc_id,
+            |  '?utm_source=feed&id=', doc_id, '&utm_medium=m',
+            |  CASE WHEN doc_id % 3 = 0 THEN '&ref=r' ELSE '' END,
+            |  '#sec', doc_id) END AS raw""".stripMargin)
+        .selectExpr("doc_id", "url_normalize(raw) AS url")
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain document cap (r8, RefinedWeb §3.1 — no domain may
+    // dominate the corpus): registered-domain extraction over three
+    // suffix families (incl. a multi-label public suffix, co.uk) +
+    // keep-first-K window. One hash shuffle on domain; for
+    // heavy-hitter domains the bounded per-key top-K aggregate
+    // (functions.TopKAggregate) is the drop-in replacement — the cap
+    // is deterministic either way (doc_id order).
+    "domain_cap" -> ((s, dir) => {
+      Graft.init(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """url_domain(concat('http://cdn.', source,
+            |  CASE WHEN doc_id % 3 = 0 THEN '.com'
+            |       WHEN doc_id % 3 = 1 THEN '.co.uk'
+            |       ELSE '.org' END, '/p/', doc_id)) AS domain""".stripMargin)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    }),
+
     // LINE-level boilerplate detection (CCNet §3.1 / RefinedWeb §3.2
     // — the pass that precedes document dedup in every public web
     // pipeline): over the line-structured fixture pages, the lines
@@ -4239,6 +4303,55 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
         |    AS BIGINT) AS n_ip
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // the same four-step canonicalization replayed with DuckDB's ICU
+    // NFC (nfc_normalize) + RE2 strip/collapse + trim — engine (JDK
+    // Normalizer, single-pass kernel) and oracle must agree on real
+    // combining sequences codepoint for codepoint
+    "normalize_text" ->
+      ("WITH aug AS (\n" +
+        "  SELECT doc_id, substr(text, 1, 40) ||\n" +
+        "    ' caf\u00e9 vs cafe\u0301  A' || chr(9) || chr(1) || chr(11) ||\n" +
+        "    'B ' AS t\n" +
+        "  FROM documents WHERE doc_id < 200)\n" +
+        "SELECT doc_id,\n" +
+        "  trim(regexp_replace(regexp_replace(nfc_normalize(t),\n" +
+        "    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),\n" +
+        "    '[ \\t\\n\\r]+', ' ', 'g')) AS norm\n" +
+        "FROM aug ORDER BY doc_id"),
+
+    // the expected canonical URL CONSTRUCTED per row (lowercased
+    // scheme/host, default ports dropped, 8080 kept, fragment gone,
+    // utm_* params removed with order of the rest preserved, non-URL
+    // rows null) — the engine side genuinely parsed the messy form
+    "url_normalize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END ||
+        |  '://www.' || source || '.example.com' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |  '/Doc/' || doc_id || '?id=' || doc_id ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '&ref=r' ELSE '' END
+        |  END AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // registered domains re-derived in closed form (the suffix family
+    // is a function of doc_id % 3) + the same keep-first-5 window
+    "domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |         WHEN doc_id % 3 = 1 THEN '.co.uk'
+        |         ELSE '.org' END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |         row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+        |           AS rn
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
 
     // C4 rules replayed in SQL over the same re-derived pages:
     // list_filter with the identical line predicate, page-level junk
