@@ -595,4 +595,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
   }
+
+  test("flac_stats: the whole decode chain (FLAC entropy decode -> " +
+    "WAV re-wrap -> stats) rides the scan as nested expressions — " +
+    "pushdown intact, no shuffle, no barrier") {
+    val plan = physical(run("flac_stats"))
+    assert(plan.contains("LessThan(doc_id,45)"), plan)
+    // the only exchange is the final orderBy's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("mp4_frames: ISO-BMFF demux + per-sample JPEG decode is an " +
+    "expression feeding Generate — no mapPartitions barrier, filter " +
+    "pushed to the scan") {
+    val plan = physical(run("mp4_frames"))
+    assert(plan.contains("LessThan(doc_id,26)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("normalize_text and url_normalize: map-only projections over " +
+    "the scan — zero exchanges, the trivially-distributable shape") {
+    Seq("normalize_text", "url_normalize").foreach { q =>
+      val plan = physical(run(q))
+      // the only exchange is the final orderBy's range partitioning
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+  }
+
+  test("domain_cap: ONE hash exchange on domain for the per-domain " +
+    "window — the url_domain extraction itself adds no shuffle") {
+    val plan = physical(run("domain_cap"))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, plan) // domain window + final orderBy only
+    assert(plan.contains("Window"), plan)
+  }
 }

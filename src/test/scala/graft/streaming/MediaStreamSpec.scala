@@ -153,4 +153,45 @@ class MediaStreamSpec extends SparkTestBase {
       assert(streamed == batch && batch.size == 39)
     } finally q.stop()
   }
+
+  test("FLAC decode, MP4 demux, NFC normalize and URL kernels over a " +
+    "file stream == batch — all pure map expressions, so a crawl " +
+    "ingest stream runs them unchanged") {
+    graft.Graft.init(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-stream-r8b").toString
+    spark.range(1, 30).selectExpr("id AS doc_id",
+        "flac_media_for_id(id) AS flac",
+        "mp4_media_for_id(id) AS mp4",
+        "mp4_multi_media_for_id(id) AS mp4m",
+        "concat('HTTP://Host', id, '.COM:80/p?utm_s=1&q=', id) AS url")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+
+    def features(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "doc_id",
+      "wav_stats(flac_wav(flac)).samp_energy AS flac_energy",
+      "aggregate(mp4_frame_stats(mp4), CAST(0 AS BIGINT), " +
+        "(a, x) -> a + x.pix_sum) AS mp4_pix",
+      "size(mp4_meta(mp4m)) AS n_tracks",
+      "normalize_text(concat('  a', chr(9), 'b  ')) AS norm",
+      "url_normalize(url) AS nurl",
+      "url_domain(url) AS dom")
+
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = features(stream)
+      .writeStream.format("memory").queryName("media_eq_r8b")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.toSeq
+      val streamed = spark.table("media_eq_r8b").collect().map(key).toSet
+      val batch = features(batchSrc).collect().map(key).toSet
+      assert(streamed == batch && batch.size == 29)
+      // sanity: the kernels actually decoded (3 tracks, energy > 0)
+      val one = features(batchSrc).filter("doc_id = 5").head()
+      assert(one.getInt(3) == 3 && one.getLong(1) > 0)
+    } finally q.stop()
+  }
 }
