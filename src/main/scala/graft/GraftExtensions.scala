@@ -74,6 +74,10 @@ object GraftExtensions {
     "ngram_shingles" -> (es => NgramShingles(es(0), intLit(es(1), "ngram_shingles"))),
     "token_bigrams" -> (es => TokenBigrams(es.head)),
     "normalize_text" -> (es => NormalizeText(es.head)),
+    "html_text" -> (es => HtmlText(es.head)),
+    "mp3_meta" -> (es => Mp3Meta(es.head)),
+    "mp3_media_for_id" -> (es => Mp3MediaBytes(es.head)),
+    "ulaw_media_for_id" -> (es => UlawMediaBytes(es.head)),
     "url_normalize" -> (es => UrlNormalize(es.head)),
     "url_domain" -> (es => UrlDomain(es.head)),
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),

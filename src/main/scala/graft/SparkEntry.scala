@@ -1776,6 +1776,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML-to-text extraction (r8): the step every crawl pipeline
+    // runs before ANY text op (C4 §2.1, RefinedWeb §3.1). Pages are
+    // built around real doc text with the traps that break naive
+    // strippers: a <script> containing quoted tags and comparison
+    // operators, CSS, comments, double-escaped entities (&amp;amp;),
+    // block-break tags. The kernel's regex chain + fixed-order entity
+    // table is replayed VERBATIM by the oracle, so dialect or
+    // ordering drift breaks the full-text hash.
+    "html_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 150)
+        .selectExpr("doc_id",
+          """html_text(concat(
+            |  '<html><head><title>T', doc_id, '</title>',
+            |  '<style type="text/css">p { color: red; }</style>',
+            |  '<script>if (1 < 2 && 2 > 1) { var x = "<p>"; }</script>',
+            |  '</head><body><h1>Doc ', doc_id, '</h1><p>',
+            |  substr(text, 1, 60),
+            |  '</p><!-- hidden ', doc_id, ' --><div>tail &amp;amp; ',
+            |  '&lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end',
+            |  '</div></body></html>')) AS txt""".stripMargin)
+        .orderBy("doc_id")
+    }),
+
+    // MP3 header triage (r8): the most common crawl audio format —
+    // the payload entropy decode stays behind the codec seam, but
+    // version/bitrate/rate/channels/frame-count/duration parse fully
+    // via the real frame-length walk (ID3v2 skipped by syncsafe size,
+    // ID3v1 trailer recognized). Every field is a closed form of
+    // doc_id the oracle re-derives.
+    "mp3_meta" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "mp3_meta(mp3_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id", "m.version", "CAST(m.layer AS BIGINT) AS layer",
+          "CAST(m.bitrate_kbps AS BIGINT) AS bitrate_kbps",
+          "CAST(m.sample_rate AS BIGINT) AS sample_rate",
+          "CAST(m.channels AS BIGINT) AS channels",
+          "CAST(m.n_frames AS BIGINT) AS n_frames",
+          "m.duration_ms", "m.has_id3")
+        .orderBy("doc_id")
+    }),
+
+    // G.711 µ-law audio (r8): telephony-coded speech through the SAME
+    // wav_stats kernel — the decoder expands 8-bit µ-law to PCM16 via
+    // the standard formula, which the oracle replays SYMBOLICALLY on
+    // the closed-form byte contract (complement, mantissa/exponent
+    // expansion, sign) — a table-free cross-check of the expansion.
+    "ulaw_stats" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .selectExpr("doc_id",
+          "wav_stats(ulaw_media_for_id(CAST(doc_id AS BIGINT))) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
     // Crawl-URL canonicalization (r8, the C4/RefinedWeb dedup-key
     // step): messy fixture URLs (uppercase scheme+host, default and
     // non-default ports, utm_*/tracking params, fragments, a residue
@@ -4319,6 +4382,90 @@ object SparkEntry {
         "    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),\n" +
         "    '[ \\t\\n\\r]+', ' ', 'g')) AS norm\n" +
         "FROM aug ORDER BY doc_id"),
+
+    // the identical regex chain + fixed-order entity table replayed
+    // in DuckDB RE2 — script/style/comment removal, break tags to
+    // newlines, tag strip, double-escape-correct entity decode,
+    // whitespace normalization
+    "html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id, '<html><head><title>T' || doc_id || '</title>' ||
+        |    '<style type="text/css">p { color: red; }</style>' ||
+        |    '<script>if (1 < 2 && 2 > 1) { var x = "<p>"; }</script>' ||
+        |    '</head><body><h1>Doc ' || doc_id || '</h1><p>' ||
+        |    substr(text, 1, 60) ||
+        |    '</p><!-- hidden ' || doc_id || ' --><div>tail &amp;amp; ' ||
+        |    '&lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
+        |    '</div></body></html>' AS p
+        |  FROM documents WHERE doc_id < 150),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  p, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |  '(?s)<!--.*?-->', ' ', 'g') AS p FROM page),
+        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  p, '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
+        |  '<[^>]*>', ' ', 'g') AS p FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    p, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS p FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  p, '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+        |  '\n+', chr(10), 'g') AS p FROM s3)
+        |SELECT doc_id, trim(p, ' ' || chr(10)) AS txt
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // every MP3 header field re-derived in closed form from the
+    // fixture parameters — the engine walked real frame lengths
+    // through ID3 wrappers to produce the same row
+    "mp3_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'MPEG1' ELSE 'MPEG2' END AS version,
+        |  CAST(3 AS BIGINT) AS layer,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END
+        |    ELSE
+        |      CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 40 ELSE 80 END
+        |    END AS BIGINT) AS bitrate_kbps,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 22050 END
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END
+        |    AS BIGINT) AS channels,
+        |  CAST(10 + (doc_id * 3) % 40 AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN (10 + (doc_id * 3) % 40) * 1152 * 1000 // 44100
+        |    ELSE (10 + (doc_id * 3) % 40) * 576 * 1000 // 22050
+        |    END AS BIGINT) AS duration_ms,
+        |  doc_id % 2 = 0 AS has_id3
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // the G.711 µ-law expansion replayed SYMBOLICALLY (complement,
+    // mantissa<<3 + 0x84 shifted by the exponent, sign by bit 7) on
+    // the closed-form byte contract — no lookup table on either side
+    "ulaw_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (
+        |  SELECT doc_id, 80 + (doc_id * 11) % 300 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM ids),
+        |smp AS (
+        |  SELECT d.doc_id, d.frames, d.ch,
+        |         255 - (ii.i * 7 + d.doc_id * 13) % 256 AS u
+        |  FROM dims d, LATERAL unnest(range(0, d.frames * d.ch)) AS ii(i)),
+        |pcm AS (
+        |  SELECT doc_id, frames, ch,
+        |    CASE WHEN u >= 128
+        |      THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+        |      ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+        |    END AS v
+        |  FROM smp)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(frames AS BIGINT) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(v * v) AS BIGINT) AS samp_energy
+        |FROM pcm GROUP BY doc_id, ch, frames
+        |ORDER BY doc_id""".stripMargin,
 
     // the expected canonical URL CONSTRUCTED per row (lowercased
     // scheme/host, default ports dropped, 8080 kept, fragment gone,

@@ -222,6 +222,29 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** G.711 µ-law WAV fixture: 8-bit samples `(i*7 + id*13) mod 256`
+    * at flat interleaved index i, telephony-rate mono/stereo — the
+    * decode expands through [[WavPcm.ulawToPcm]], whose formula the
+    * SQL oracle replays symbolically. */
+  def ulawMediaFor(id: Long): Array[Byte] = {
+    val frames = (80 + math.floorMod(id * 11, 300)).toInt
+    val channels = (1 + id % 2).toInt
+    WavPcm.wavWithUlaw(id, frames, channels, 8000)
+  }
+
+  /** MP3 stream fixture: layer-III frames with every header field a
+    * closed form of id (version, bitrate index, mono flag, ID3v2/v1
+    * presence on residue classes) — [[Mp3.mp3WithFrames]]. */
+  def mp3MediaFor(id: Long): Array[Byte] = {
+    Mp3.mp3WithFrames(id,
+      nFrames = (10 + math.floorMod(id * 3, 40)).toInt,
+      mpeg1 = id % 2 == 0,
+      brIdx = (1 + (id % 3) * 4).toInt,
+      mono = id % 3 == 0,
+      id3v2 = id % 2 == 0,
+      id3v1 = id % 5 == 0)
+  }
+
   /** MJPEG-MP4 fixture with the SAME shape formulas and per-frame
     * pixel contract as [[aviMediaFor]] ([[Avi.frameSeed]]), so the
     * mp4 frame oracle is the same closed form — the engine value went

@@ -10,10 +10,11 @@ package graft.operators
   * no audio machinery. Reader: full chunk walk (unknown chunks — LIST,
   * cue, bext… — are skipped by size, odd sizes padded per RIFF),
   * `fmt ` validation, untrusted-size caps in Long before allocation.
-  * Outside the subset — non-PCM formats (float, ADPCM, extensible),
-  * bit depths ≠ 16, truncated or corrupt chunks — the decoder returns
-  * None, never throws: the dirty-crawl-bytes contract shared by all
-  * three media codecs. */
+  * Format subset: linear PCM16 (tag 1) and 8-bit G.711 µ-law (tag 7,
+  * expanded to PCM16 by [[ulawToPcm]]). Outside it — float, ADPCM,
+  * extensible, other bit depths, truncated or corrupt chunks — the
+  * decoder returns None, never throws: the dirty-crawl-bytes contract
+  * shared by all media codecs. */
 object WavPcm {
 
   /** The sample contract the oracle recomputes over the FLAT
@@ -130,10 +131,25 @@ object WavPcm {
     bos.toByteArray
   }
 
-  /** Real decode of the PCM16 subset; None on anything dirty. */
+  /** Real decode of the PCM16 + G.711 µ-law subset; None on anything
+    * dirty. µ-law (format tag 7, 8-bit — the telephony/callcenter
+    * encoding a speech crawl actually contains) expands to PCM16 via
+    * the standard G.711 formula, so every downstream kernel sees the
+    * same `Decoded` shape. */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     try decode0(bytes)
     catch { case _: Exception => None }
+  }
+
+  /** G.711 µ-law byte → linear PCM16 (the standard reference
+    * expansion, SQL-replicable): complement, then
+    * `t = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7)`, sign by bit 7.
+    * Public so fixtures, oracles-by-construction and generated code
+    * share one definition. */
+  def ulawToPcm(uByte: Int): Int = {
+    val u = ~uByte & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
   private def decode0(b: Array[Byte]): Option[Decoded] = {
@@ -145,7 +161,7 @@ object WavPcm {
     def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     if (b.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE")) return None
     var pos = 12
-    var channels = 0; var sampleRate = 0
+    var channels = 0; var sampleRate = 0; var fmtTag = 0
     var dataOff = -1; var dataLen = 0L
     while (pos + 8 <= b.length && (channels == 0 || dataOff < 0)) {
       val isFmt = tagAt(pos, "fmt ")
@@ -154,12 +170,15 @@ object WavPcm {
       if (size < 0 || pos + 8 + size > b.length) return None
       if (isFmt) {
         if (size < 16) return None
-        val fmt = le16(pos + 8)
-        if (fmt != 1) return None // PCM only (no float/ADPCM/extensible)
+        fmtTag = le16(pos + 8)
         channels = le16(pos + 10)
         sampleRate = le32(pos + 12).toInt
         if (channels <= 0 || channels > 8 || sampleRate <= 0) return None
-        if (le16(pos + 22) != 16) return None // 16-bit only
+        val bits = le16(pos + 22)
+        // subset: linear PCM16 or 8-bit µ-law (no float/ADPCM/extensible)
+        if (fmtTag == 1) { if (bits != 16) return None }
+        else if (fmtTag == 7) { if (bits != 8) return None }
+        else return None
       } else if (isData) {
         dataOff = pos + 8
         dataLen = size
@@ -169,17 +188,55 @@ object WavPcm {
       pos += 8 + size.toInt + (size % 2).toInt
     }
     if (channels == 0 || dataOff < 0) return None
+    val bytesPerSample = if (fmtTag == 7) 1L else 2L
     // untrusted sizes: whole-sample frames only, capped before allocating
-    if (dataLen % (2L * channels) != 0L) return None
-    if (dataLen > PngPixels.MaxDecodedBytes) return None
-    val n = (dataLen / 2L).toInt
+    if (dataLen % (bytesPerSample * channels) != 0L) return None
+    if (dataLen * (2 / bytesPerSample) > PngPixels.MaxDecodedBytes) return None
+    val n = (dataLen / bytesPerSample).toInt
     val samples = new Array[Short](n)
     var i = 0
-    while (i < n) {
-      samples(i) = ((b(dataOff + 2 * i) & 0xff) |
-        ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
-      i += 1
+    if (fmtTag == 7) {
+      while (i < n) {
+        samples(i) = ulawToPcm(b(dataOff + i) & 0xff).toShort
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        samples(i) = ((b(dataOff + 2 * i) & 0xff) |
+          ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+        i += 1
+      }
     }
     Some(Decoded(channels, sampleRate, n / channels, samples))
+  }
+
+  /** Complete µ-law RIFF/WAVE whose 8-bit samples equal
+    * `(i*7 + id*13) mod 256` at flat interleaved index i — a closed
+    * form a SQL oracle pushes through [[ulawToPcm]] symbolically. */
+  def wavWithUlaw(
+      id: Long, frames: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    require(frames > 0 && channels > 0 && channels <= 8 && sampleRate > 0,
+      s"frames=$frames channels=$channels rate=$sampleRate")
+    val n = frames * channels
+    val bos = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    tag("RIFF"); le32(4 + 24 + 8 + n + (n % 2)); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(7) // µ-law
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * channels) // byte rate
+    le16(channels) // block align
+    le16(8) // bits per sample
+    tag("data"); le32(n)
+    var i = 0
+    while (i < n) { bos.write(((i * 7 + id * 13) % 256).toInt); i += 1 }
+    if (n % 2 == 1) bos.write(0) // RIFF word alignment
+    bos.toByteArray
   }
 }

@@ -25,7 +25,9 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.bmpMediaFor(6L),
     MediaFixtures.flacMediaFor(5L),
     MediaFixtures.mp4MediaFor(7L),
-    MediaFixtures.mp4MultiMediaFor(4L))
+    MediaFixtures.mp4MultiMediaFor(4L),
+    MediaFixtures.mp3MediaFor(6L),
+    MediaFixtures.ulawMediaFor(9L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
     val random = (0 until 40).map { _ =>
@@ -71,6 +73,10 @@ class CodecFuzzSpec extends SparkTestBase {
       check("Flac.decode")(Flac.decode(b))
       check("Mp4.decode")(Mp4.decode(b))
       check("Mp4.meta")(Mp4.meta(b))
+      check("Mp3.meta")(Mp3.meta(b))
+      check("HtmlText")(graft.functions.HtmlText.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          b.map(x => (x & 0x7f).toByte))))
       check("MediaCodec.parse")(MediaCodec.parse(b))
       check("Bmp.decode")(Bmp.decode(b))
       check("PngStats")(graft.functions.PngStats.statsToRow(b))
