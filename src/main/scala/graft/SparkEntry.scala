@@ -1839,6 +1839,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // End-to-end crawl front-end (r8): raw (url, html) records →
+    // clean candidate text, composing FOUR new kernels in one pass —
+    // html_text → normalize_text (NFC, the html carries a decomposed
+    // combining accent) fused with url_normalize + url_domain, junk
+    // URLs dropped, then the RefinedWeb per-domain cap. Everything
+    // before the single domain-window shuffle rides the scan. The
+    // oracle re-derives every stage independently (and by a SIMPLER
+    // equivalent construction for the tag strip — different path,
+    // same answer).
+    "crawl_ingest" -> ((s, dir) => {
+      Graft.init(s)
+      val raw = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """CASE WHEN doc_id % 13 = 0 THEN 'junk line not a url'
+            |ELSE concat('HTTP://CDN.', upper(source),
+            |  CASE WHEN doc_id % 3 = 0 THEN '.COM'
+            |       WHEN doc_id % 3 = 1 THEN '.CO.UK'
+            |       ELSE '.ORG' END,
+            |  ':80/page/', doc_id, '?utm_c=x&v=', doc_id, '#top')
+            |END AS raw_url""".stripMargin,
+          "concat('<html><head><style>p{}</style>', " +
+            "'<script>var a = \"<div>\";</script></head><body><h1>Doc ', " +
+            "doc_id, '</h1><p>', substr(text, 1, 50), " +
+            "'</p><div>tail cafe\u0301 &amp; end</div></body></html>') " +
+            "AS html")
+      operators.Pipeline.crawlExtract(raw, "doc_id", "raw_url", "html", 4)
+        .select("doc_id", "domain", "url", "txt")
+        .orderBy("doc_id")
+    }),
+
     // Crawl-URL canonicalization (r8, the C4/RefinedWeb dedup-key
     // step): messy fixture URLs (uppercase scheme+host, default and
     // non-default ports, utm_*/tracking params, fragments, a residue
@@ -4382,6 +4412,54 @@ object SparkEntry {
         "    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),\n" +
         "    '[ \\t\\n\\r]+', ' ', 'g')) AS norm\n" +
         "FROM aug ORDER BY doc_id"),
+
+    // every stage re-derived independently: closed-form url/domain,
+    // the html chain via the SIMPLER equivalent (all tags to spaces —
+    // valid because the downstream normalize collapses newlines and
+    // spaces identically), ICU NFC on the decomposed accent, the same
+    // keep-first-4 window
+    "crawl_ingest" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |      ELSE 'http://cdn.' || source ||
+        |        CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |             WHEN doc_id % 3 = 1 THEN '.co.uk'
+        |             ELSE '.org' END ||
+        |        '/page/' || doc_id || '?v=' || doc_id END AS url,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |      ELSE source ||
+        |        CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |             WHEN doc_id % 3 = 1 THEN '.co.uk'
+        |             ELSE '.org' END END AS domain
+        |  FROM documents),
+        |page AS (
+        |  SELECT doc_id, url, domain,
+        |    '<html><head><style>p{}</style><script>var a = "<div>";' ||
+        |    '</script></head><body><h1>Doc ' || doc_id || '</h1><p>' ||
+        |    substr(text, 1, 50) || '</p><div>tail cafe' || chr(769) ||
+        |    ' &amp; end</div></body></html>' AS p
+        |  FROM u WHERE url IS NOT NULL),
+        |t1 AS (SELECT doc_id, url, domain,
+        |  regexp_replace(regexp_replace(regexp_replace(p,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS p FROM page),
+        |t2 AS (SELECT doc_id, url, domain,
+        |  regexp_replace(p, '<[^>]*>', ' ', 'g') AS p FROM t1),
+        |t3 AS (SELECT doc_id, url, domain,
+        |  replace(replace(replace(replace(replace(replace(
+        |    p, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS p FROM t2),
+        |t4 AS (SELECT doc_id, url, domain,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(p),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS txt FROM t3),
+        |r AS (SELECT doc_id, url, domain, txt,
+        |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM t4)
+        |SELECT doc_id, domain, url, txt FROM r WHERE rn <= 4
+        |ORDER BY doc_id""".stripMargin,
 
     // the identical regex chain + fixed-order entity table replayed
     // in DuckDB RE2 — script/style/comment removal, break tags to

@@ -79,6 +79,47 @@ object Pipeline {
       gate.maxMeanWordLen, gate.maxTopBigramFrac, gate.maxBitsPerToken)
   }
 
+  /** The WEB-FACING front half that precedes [[ingestGate]] — from
+    * raw (url, html) crawl records to clean candidate text
+    * (RefinedWeb §3.1's extraction + URL stages): HTML-to-text
+    * ([[graft.functions.HtmlText]]) composed with Unicode
+    * canonicalization ([[graft.functions.NormalizeText]] — so the
+    * output is single-line NFC text ready for hashing/dedup), URL
+    * canonicalization to the dedup key
+    * ([[graft.functions.UrlNormalize]]), registered-domain extraction
+    * ([[graft.functions.UrlDomain]]), rows with unparseable URLs
+    * dropped, and the RefinedWeb per-domain document cap
+    * (keep-first-`maxPerDomain` by id).
+    *
+    * Shape at 100 TB: extraction, normalization and both URL kernels
+    * are per-row codegen'd expressions fused with the scan; the ONLY
+    * shuffle is the per-domain window (hash on domain). For
+    * pathological head domains, swap the window for the bounded
+    * per-key top-K aggregate ([[graft.functions.TopKAggregate]]) —
+    * same deterministic result, no per-domain sort. */
+  def crawlExtract(
+      docs: DataFrame,
+      idCol: String,
+      urlCol: String,
+      htmlCol: String,
+      maxPerDomain: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val extracted = docs
+      .withColumn("url", Shim.column(
+        graft.functions.UrlNormalize(Shim.expression(col(urlCol)))))
+      .withColumn("domain", Shim.column(
+        graft.functions.UrlDomain(Shim.expression(col("url")))))
+      .withColumn("txt", Shim.column(graft.functions.NormalizeText(
+        graft.functions.HtmlText(Shim.expression(col(htmlCol))))))
+      .filter(col("url").isNotNull && col("domain").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(idCol)
+    extracted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerDomain)
+      .drop("rn")
+  }
+
   /** Stages every crawler runs AT INGEST — scrub → set-decontaminate
     * → frozen-model gate — with the corpus-wide stage (dedup) left
     * out: dedup needs cross-row state and lives in the batch

@@ -627,6 +627,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("crawl_ingest: html extraction, NFC normalize and both URL " +
+    "kernels fuse with the scan — the ONLY hash exchange is the " +
+    "per-domain cap window, and no mapPartitions barrier exists") {
+    val plan = physical(run("crawl_ingest"))
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("domain_cap: ONE hash exchange on domain for the per-domain " +
     "window — the url_domain extraction itself adds no shuffle") {
     val plan = physical(run("domain_cap"))
