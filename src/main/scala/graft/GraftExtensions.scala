@@ -78,11 +78,14 @@ object GraftExtensions {
     "mp3_meta" -> (es => Mp3Meta(es.head)),
     "mp3_media_for_id" -> (es => Mp3MediaBytes(es.head)),
     "ulaw_media_for_id" -> (es => UlawMediaBytes(es.head)),
+    "webp_media_for_id" -> (es => WebpMediaBytes(es.head)),
     "url_normalize" -> (es => UrlNormalize(es.head)),
     "url_domain" -> (es => UrlDomain(es.head)),
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), es(2)).toAggregateExpression()),
+    "kmv_distinct" -> (es =>
+      KmvDistinct(es(0), es(1)).toAggregateExpression()),
     "vector_avg" -> (es => VectorAvg(es.head).toAggregateExpression()),
     "pack_vector" -> (es => PackVector(es.head)),
     "unpack_vector" -> (es => UnpackVector(es.head)),

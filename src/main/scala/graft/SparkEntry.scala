@@ -1820,6 +1820,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WebP container metadata (r8): the most common crawl image
+    // format after JPEG/PNG — parse_media now reads all three RIFF
+    // variants (VP8 lossy keyframe header, VP8L packed 14-bit dims +
+    // alpha, VP8X 24-bit canvas). Entropy payloads stay behind the
+    // codec seam; the dims/alpha a pipeline filters on are real.
+    "webp_meta" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 66)
+        .selectExpr("doc_id",
+          "parse_media(webp_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id",
+          "CAST(m.width AS BIGINT) AS width",
+          "CAST(m.height AS BIGINT) AS height",
+          "CAST(m.channels AS BIGINT) AS channels", "m.format")
+        .orderBy("doc_id")
+    }),
+
     // G.711 µ-law audio (r8): telephony-coded speech through the SAME
     // wav_stats kernel — the decoder expands 8-bit µ-law to PCM16 via
     // the standard formula, which the oracle replays SYMBOLICALLY on
@@ -1913,6 +1930,47 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Mergeable distinct-count sketch (r8, KMV — Bar-Yossef et al.
+    // 2002): per-group cardinality with a bounded O(k) buffer that
+    // partially aggregates map-side (numPartitions·k hashes cross the
+    // shuffle; count-distinct shuffles EVERY distinct value) and
+    // composes across batches. Below k distinct the sketch is EXACT
+    // and says so — this query runs in that regime, so the oracle is
+    // plain count(DISTINCT); the estimator regime is spec-verified
+    // statistically (KmvSpec).
+    "kmv_distinct" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("kmv_distinct(xxhash64(l_partkey), 32768)").as("sk"))
+        .selectExpr("l_returnflag", "sk.n_distinct AS n_distinct",
+          "sk.exact AS exact")
+        .orderBy("l_returnflag")
+    }),
+
+    // The no-sort form of the per-domain cap (r8): the bounded
+    // per-key top-K aggregate instead of the window — map-side k-heaps
+    // mean only numPartitions·K rows per domain cross the shuffle and
+    // no per-domain sort ever runs, the shape that survives a
+    // pathological head domain with 10^9 documents. keep-first-K by
+    // doc_id = top-K by score -doc_id; bit-identical output to
+    // domain_cap (same oracle).
+    "domain_cap_fast" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """url_domain(concat('http://cdn.', source,
+            |  CASE WHEN doc_id % 3 = 0 THEN '.com'
+            |       WHEN doc_id % 3 = 1 THEN '.co.uk'
+            |       ELSE '.org' END, '/p/', doc_id)) AS domain""".stripMargin)
+        .groupBy("domain")
+        .agg(expr("topk_by_score(CAST(-doc_id AS DOUBLE), doc_id, 5)")
+          .as("top"))
+        .selectExpr("domain", "explode(top) AS t")
+        .selectExpr("t.id AS doc_id", "domain")
         .orderBy("doc_id")
     }),
 
@@ -4517,6 +4575,20 @@ object SparkEntry {
         |  doc_id % 2 = 0 AS has_id3
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
+    // dims/alpha re-derived in closed form from the fixture
+    // parameters — the engine read them back out of three different
+    // bit layouts (lossy 14-bit LE, lossless packed word, extended
+    // 24-bit LE)
+    "webp_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + (doc_id * 7) % 200 AS BIGINT) AS width,
+        |  CAST(12 + (doc_id * 5) % 150 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+        |            WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+        |    AS BIGINT) AS channels,
+        |  'webp' AS format
+        |FROM documents WHERE doc_id < 66 ORDER BY doc_id""".stripMargin,
+
     // the G.711 µ-law expansion replayed SYMBOLICALLY (complement,
     // mantissa<<3 + 0x84 shifted by the exponent, sign by bit 7) on
     // the closed-form byte contract — no lookup table on either side
@@ -4564,6 +4636,34 @@ object SparkEntry {
     // registered domains re-derived in closed form (the suffix family
     // is a function of doc_id % 3) + the same keep-first-5 window
     "domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |         WHEN doc_id % 3 = 1 THEN '.co.uk'
+        |         ELSE '.org' END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |         row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+        |           AS rn
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    // the sketch's exact regime against plain count(DISTINCT) — a
+    // hash collision, an eviction bug, or a wrong exactness flag
+    // breaks the row
+    "kmv_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+        |       true AS exact
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // identical semantics to domain_cap — the engine side swapped the
+    // window for the bounded per-key heap aggregate; the oracle stays
+    // the window form, so the two plans must agree row for row
+    "domain_cap_fast" ->
       """WITH d AS (
         |  SELECT doc_id, source ||
         |    CASE WHEN doc_id % 3 = 0 THEN '.com'

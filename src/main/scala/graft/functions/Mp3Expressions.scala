@@ -103,3 +103,26 @@ case class UlawMediaBytes(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** webp_media_for_id(id) -> binary: the WebP container fixture bytes
+  * ([[MediaFixtures.webpMediaFor]] — VP8 /VP8L/VP8X cycling). */
+case class WebpMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "webp_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.webpMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.webpMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

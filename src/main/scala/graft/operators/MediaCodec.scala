@@ -35,6 +35,56 @@ object MediaCodec {
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None
     else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseBmp(bytes))
+      .orElse(parseWebp(bytes))
+
+  /** WebP (RIFF container, Google WebP spec / RFC 9649): all three
+    * first-chunk variants — `VP8 ` lossy (keyframe start code +
+    * 14-bit dims), `VP8L` lossless (the packed 14-bit dims + alpha
+    * bit), `VP8X` extended (24-bit canvas dims + alpha flag). The
+    * VP8/VP8L entropy payload needs a codec library (the documented
+    * seam); the dimensions/alpha a pipeline filters on parse for
+    * real. */
+  def parseWebp(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 21 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le24(o: Int): Int = le16(o) | ((b(o + 2) & 0xff) << 16)
+    def le32(o: Int): Long = le24(o).toLong | ((b(o + 3) & 0xffL) << 24)
+    val tag = new String(Array(b(12), b(13), b(14), b(15)), "US-ASCII")
+    val size = le32(16)
+    val d = 20 // chunk payload offset
+    if (d + size > b.length) return None
+    tag match {
+      case "VP8 " =>
+        // 3-byte frame tag, keyframe start code, 14-bit dims
+        if (size < 10 || (b(d + 3) & 0xff) != 0x9d ||
+          (b(d + 4) & 0xff) != 0x01 || (b(d + 5) & 0xff) != 0x2a) None
+        else {
+          val w = le16(d + 6) & 0x3fff
+          val h = le16(d + 8) & 0x3fff
+          if (w > 0 && h > 0) Some(Meta(w, h, 3, "webp")) else None
+        }
+      case "VP8L" =>
+        if (size < 5 || (b(d) & 0xff) != 0x2f) None
+        else {
+          val bits = le32(d + 1)
+          val w = (bits & 0x3fff).toInt + 1
+          val h = ((bits >> 14) & 0x3fff).toInt + 1
+          val alpha = ((bits >> 28) & 1) == 1
+          Some(Meta(w, h, if (alpha) 4 else 3, "webp"))
+        }
+      case "VP8X" =>
+        if (size < 10) None
+        else {
+          val alpha = (b(d) & 0x10) != 0
+          val w = le24(d + 4) + 1
+          val h = le24(d + 7) + 1
+          Some(Meta(w, h, if (alpha) 4 else 3, "webp"))
+        }
+      case _ => None
+    }
+  }
 
   /** 'BM' magic + the shared BITMAPINFOHEADER prefix (24bpp subset,
     * |height| for the top-down storage convention). */
@@ -220,6 +270,61 @@ object MediaFixtures {
     val channels = (1 + id % 2).toInt
     val rate = (8000 * (1 + id % 3)).toInt
     WavPcm.wavWithSamples(id, frames, channels, rate)
+  }
+
+  /** WebP fixture cycling the three container variants (`VP8 ` lossy
+    * keyframe header, `VP8L` lossless packed dims, `VP8X` extended
+    * canvas) with closed-form dims and alpha on the even residue —
+    * real container structure; the entropy payload is filler (the
+    * documented codec seam, exactly what [[MediaCodec.parseWebp]]
+    * reads through). */
+  def webpMediaFor(id: Long): Array[Byte] = {
+    val w = (16 + (id * 7) % 200).toInt
+    val h = (12 + (id * 5) % 150).toInt
+    val alpha = id % 2 == 0
+    val payload = new java.io.ByteArrayOutputStream()
+    val tag = (id % 3).toInt match {
+      case 0 =>
+        payload.write(0x30); payload.write(0x00); payload.write(0x00)
+        payload.write(0x9d); payload.write(0x01); payload.write(0x2a)
+        payload.write(w & 0xff); payload.write((w >> 8) & 0x3f)
+        payload.write(h & 0xff); payload.write((h >> 8) & 0x3f)
+        "VP8 "
+      case 1 =>
+        payload.write(0x2f)
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          (if (alpha) 1L << 28 else 0L)
+        payload.write((bits & 0xff).toInt)
+        payload.write(((bits >> 8) & 0xff).toInt)
+        payload.write(((bits >> 16) & 0xff).toInt)
+        payload.write(((bits >> 24) & 0xff).toInt)
+        "VP8L"
+      case _ =>
+        payload.write(if (alpha) 0x10 else 0x00)
+        payload.write(0); payload.write(0); payload.write(0)
+        payload.write((w - 1) & 0xff); payload.write(((w - 1) >> 8) & 0xff)
+        payload.write(((w - 1) >> 16) & 0xff)
+        payload.write((h - 1) & 0xff); payload.write(((h - 1) >> 8) & 0xff)
+        payload.write(((h - 1) >> 16) & 0xff)
+        "VP8X"
+    }
+    // deterministic entropy-payload filler
+    var i = 0
+    val fill = (6 + id % 20).toInt
+    while (i < fill) { payload.write(((id * 17 + i) & 0xff).toInt); i += 1 }
+    val p = payload.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val riffLen = 4 + 8 + p.length + (p.length % 2)
+    out.write(riffLen & 0xff); out.write((riffLen >> 8) & 0xff)
+    out.write((riffLen >> 16) & 0xff); out.write((riffLen >> 24) & 0xff)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(tag.getBytes("US-ASCII"))
+    out.write(p.length & 0xff); out.write((p.length >> 8) & 0xff)
+    out.write((p.length >> 16) & 0xff); out.write((p.length >> 24) & 0xff)
+    out.write(p, 0, p.length)
+    if (p.length % 2 == 1) out.write(0)
+    out.toByteArray
   }
 
   /** G.711 µ-law WAV fixture: 8-bit samples `(i*7 + id*13) mod 256`
