@@ -79,6 +79,9 @@ object GraftExtensions {
     "mp3_media_for_id" -> (es => Mp3MediaBytes(es.head)),
     "ulaw_media_for_id" -> (es => UlawMediaBytes(es.head)),
     "webp_media_for_id" -> (es => WebpMediaBytes(es.head)),
+    "gunzip" -> (es => Gunzip(es.head)),
+    "warc_records" -> (es => WarcRecords(es.head)),
+    "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),
     "url_normalize" -> (es => UrlNormalize(es.head)),
     "url_domain" -> (es => UrlDomain(es.head)),
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),

@@ -1820,6 +1820,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CommonCrawl file-shape ingest (r8): gzipped WARC → records →
+    // HTML extraction, the literal first three steps of every
+    // crawl-consuming pipeline. The engine really gunzips (JDK
+    // DEFLATE + CRC32), really walks ISO 28500 records with exact
+    // Content-Length accounting, filters to the response record, and
+    // extracts its HTML payload; the oracle re-derives the expected
+    // text from the fixture's closed-form page with no gzip/WARC
+    // machinery at all.
+    "warc_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 120)
+        .selectExpr("doc_id",
+          "warc_records(gunzip(warc_media_for_id(CAST(doc_id AS BIGINT)))) AS rs")
+        .selectExpr("doc_id", "size(rs) AS n_recs",
+          "filter(rs, r -> r.rec_type = 'response')[0] AS r")
+        .selectExpr("doc_id", "CAST(n_recs AS BIGINT) AS n_recs",
+          "r.target_uri AS uri",
+          "html_text(CAST(r.payload AS STRING)) AS txt")
+        .orderBy("doc_id")
+    }),
+
     // WebP container metadata (r8): the most common crawl image
     // format after JPEG/PNG — parse_media now reads all three RIFF
     // variants (VP8 lossy keyframe header, VP8L packed 14-bit dims +
@@ -4574,6 +4595,21 @@ object SparkEntry {
         |    END AS BIGINT) AS duration_ms,
         |  doc_id % 2 = 0 AS has_id3
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // expected uri + extracted text rebuilt from the fixture's
+    // closed forms (12 tokens via ordered string_agg; html_text on
+    // the page reduces to title-line + token-line) — the engine side
+    // went through real gzip inflate + CRC, the WARC record walk,
+    // and the extraction chain
+    "warc_extract" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_recs,
+        |  'http://site' || (doc_id % 37) || '.example.com/p/' || doc_id
+        |    AS uri,
+        |  'Page ' || doc_id || chr(10) ||
+        |  (SELECT string_agg('w' || ((doc_id * 7 + j.j) % 50), ' '
+        |     ORDER BY j.j)
+        |   FROM unnest(range(0, 12)) AS j(j)) AS txt
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
 
     // dims/alpha re-derived in closed form from the fixture
     // parameters — the engine read them back out of three different

@@ -272,6 +272,19 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** Gzipped two-record WARC fixture (warcinfo + response): the
+    * response payload is a deterministic HTML page built entirely
+    * from id (12 closed-form tokens), so the SQL oracle re-derives
+    * the extracted text without any gzip/WARC machinery —
+    * [[Warc.warcGz]]. */
+  def warcMediaFor(id: Long): Array[Byte] = {
+    val toks = (0 until 12).map(j => "w" + ((id * 7 + j) % 50)).mkString(" ")
+    val html =
+      s"<html><body><h1>Page $id</h1><p>$toks</p></body></html>"
+    val uri = s"http://site${id % 37}.example.com/p/$id"
+    Warc.warcGz(uri, html, s"software: graft-fixture $id")
+  }
+
   /** WebP fixture cycling the three container variants (`VP8 ` lossy
     * keyframe header, `VP8L` lossless packed dims, `VP8X` extended
     * canvas) with closed-form dims and alpha on the even residue —

@@ -27,7 +27,9 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.mp4MediaFor(7L),
     MediaFixtures.mp4MultiMediaFor(4L),
     MediaFixtures.mp3MediaFor(6L),
-    MediaFixtures.ulawMediaFor(9L))
+    MediaFixtures.ulawMediaFor(9L),
+    MediaFixtures.webpMediaFor(3L),
+    MediaFixtures.warcMediaFor(5L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
     val random = (0 until 40).map { _ =>
@@ -74,6 +76,8 @@ class CodecFuzzSpec extends SparkTestBase {
       check("Mp4.decode")(Mp4.decode(b))
       check("Mp4.meta")(Mp4.meta(b))
       check("Mp3.meta")(Mp3.meta(b))
+      check("Warc.gunzip")(Warc.gunzip(b))
+      check("Warc.parse")(Warc.parse(b))
       check("HtmlText")(graft.functions.HtmlText.compute(
         org.apache.spark.unsafe.types.UTF8String.fromBytes(
           b.map(x => (x & 0x7f).toByte))))
