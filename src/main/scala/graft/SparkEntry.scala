@@ -1972,6 +1972,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable heavy-hitters sketch (r8, Misra-Gries 1982 /
+    // Agarwal et al. 2012 merge): the "which tokens dominate?"
+    // question with a bounded k-counter buffer per partition — only
+    // numPartitions·k counters cross the shuffle, vs every distinct
+    // value for a groupBy-count. err == 0 (universe fits in k) makes
+    // every count EXACT and flagged so — this query runs there, so
+    // the oracle is a plain frequency table; the estimator regime's
+    // lower-bound/presence guarantee is spec-verified (MgSpec).
+    "heavy_tokens" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS tok")
+        .filter(col("tok") =!= "")
+        .agg(expr("heavy_hitters(tok, 256)").as("hh"))
+        .selectExpr("hh.exact AS exact", "explode(slice(hh.items, 1, 15)) AS t")
+        .selectExpr("t.item AS token", "t.count AS n", "exact")
+    }),
+
     // The no-sort form of the per-domain cap (r8): the bounded
     // per-key top-K aggregate instead of the window — map-side k-heaps
     // mean only numPartitions·K rows per domain cross the shuffle and
@@ -4685,6 +4703,19 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, domain FROM r WHERE rn <= 5
         |ORDER BY doc_id""".stripMargin,
+
+    // exact-regime heavy hitters against the plain frequency table
+    // (count desc, token asc, top 15 — the tie order both sides
+    // share)
+    "heavy_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks WHERE token != '' GROUP BY token)
+        |SELECT token, n, true AS exact
+        |FROM freq ORDER BY n DESC, token LIMIT 15""".stripMargin,
 
     // the sketch's exact regime against plain count(DISTINCT) — a
     // hash collision, an eviction bug, or a wrong exactness flag

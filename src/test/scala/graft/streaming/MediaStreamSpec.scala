@@ -194,4 +194,35 @@ class MediaStreamSpec extends SparkTestBase {
       assert(one.getInt(3) == 3 && one.getLong(1) > 0)
     } finally q.stop()
   }
+
+  test("the WARC crawl chain (gunzip -> record walk -> html_text) " +
+    "over a file stream == batch — the CommonCrawl ingest is map-only") {
+    graft.Graft.init(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-stream").toString
+    spark.range(1, 25).selectExpr("id AS doc_id",
+        "warc_media_for_id(id) AS wz")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+
+    def features(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+        "doc_id", "warc_records(gunzip(wz)) AS rs")
+      .selectExpr("doc_id", "size(rs) AS n",
+        "html_text(CAST(filter(rs, r -> r.rec_type = 'response')[0]" +
+          ".payload AS STRING)) AS txt")
+
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = features(stream)
+      .writeStream.format("memory").queryName("warc_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.toSeq
+      val streamed = spark.table("warc_eq").collect().map(key).toSet
+      val batch = features(batchSrc).collect().map(key).toSet
+      assert(streamed == batch && batch.size == 24)
+      assert(batch.forall(_.toString.contains("Page")))
+    } finally q.stop()
+  }
 }
