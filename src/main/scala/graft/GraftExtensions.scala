@@ -82,6 +82,9 @@ object GraftExtensions {
     "gunzip" -> (es => Gunzip(es.head)),
     "warc_records" -> (es => WarcRecords(es.head)),
     "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),
+    "jpeg_exif" -> (es => JpegExif(es.head)),
+    "tiff_media_for_id" -> (es => TiffMediaBytes(es.head)),
+    "jpeg_exif_media_for_id" -> (es => JpegExifMediaBytes(es.head)),
     "url_normalize" -> (es => UrlNormalize(es.head)),
     "url_domain" -> (es => UrlDomain(es.head)),
     "hash_embed" -> (es => HashEmbed(es(0), intLit(es(1), "hash_embed"))),

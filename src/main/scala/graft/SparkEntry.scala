@@ -1841,6 +1841,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TIFF metadata triage (r8): the scan/archival image format —
+    // parse_media now walks real TIFF 6.0 IFDs (both byte orders;
+    // the entropy payload is the documented codec seam).
+    "tiff_meta" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 55)
+        .selectExpr("doc_id",
+          "parse_media(tiff_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id",
+          "CAST(m.width AS BIGINT) AS width",
+          "CAST(m.height AS BIGINT) AS height",
+          "CAST(m.channels AS BIGINT) AS channels", "m.format")
+        .orderBy("doc_id")
+    }),
+
+    // JPEG EXIF triage (r8): orientation/camera/timestamp from the
+    // APP1 segment via the SAME IFD machinery (IFD0 + the
+    // Exif-private sub-IFD, byte order cycling by id) — AND the
+    // spliced file still pixel-decodes through the full baseline
+    // path, proving APP1 rides transparently (pix_sum against the DC
+    // block contract).
+    "jpeg_exif" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 70)
+        .selectExpr("doc_id",
+          "jpeg_exif(jpeg_exif_media_for_id(CAST(doc_id AS BIGINT))) AS e",
+          "pixel_stats(jpeg_exif_media_for_id(CAST(doc_id AS BIGINT))) AS p")
+        .selectExpr("doc_id",
+          "CAST(e.orientation AS BIGINT) AS orientation",
+          "e.make", "e.model", "e.datetime",
+          "CAST(e.exif_w AS BIGINT) AS exif_w",
+          "CAST(e.exif_h AS BIGINT) AS exif_h",
+          "p.pix_sum")
+        .orderBy("doc_id")
+    }),
+
     // WebP container metadata (r8): the most common crawl image
     // format after JPEG/PNG — parse_media now reads all three RIFF
     // variants (VP8 lossy keyframe header, VP8L packed 14-bit dims +
@@ -4628,6 +4664,42 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // IFD geometry tags re-derived in closed form (byte order varies
+    // by parity — the engine walked both)
+    "tiff_meta" ->
+      """SELECT doc_id,
+        |  CAST(20 + (doc_id * 9) % 300 AS BIGINT) AS width,
+        |  CAST(15 + (doc_id * 4) % 200 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS channels,
+        |  'tiff' AS format
+        |FROM documents WHERE doc_id < 55 ORDER BY doc_id""".stripMargin,
+
+    // EXIF fields in closed form PLUS the pixel sum from the DC block
+    // contract — the engine parsed the APP1 IFDs AND entropy-decoded
+    // the same spliced file
+    "jpeg_exif" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + (doc_id % 3) AS bw, 1 + (doc_id % 2) AS bh
+        |  FROM documents WHERE doc_id < 70),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    CAST(64 * sum((bx.x * 3 + by.y * 5 + d.doc_id * 7) % 256)
+        |      AS BIGINT) AS pix_sum
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.bw)) AS bx(x),
+        |       LATERAL unnest(range(0, d.bh)) AS by(y)
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(1 + d.doc_id % 8 AS BIGINT) AS orientation,
+        |  'Cam' || (d.doc_id % 5) AS make,
+        |  'M' || (d.doc_id % 7) AS model,
+        |  '2020:0' || (1 + d.doc_id % 9) || ':01 12:00:00' AS datetime,
+        |  CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS exif_w,
+        |  CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS exif_h,
+        |  p.pix_sum
+        |FROM dims d JOIN px p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // dims/alpha re-derived in closed form from the fixture
     // parameters — the engine read them back out of three different

@@ -35,7 +35,7 @@ object MediaCodec {
   def parse(bytes: Array[Byte]): Option[Meta] =
     if (bytes == null) None
     else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseBmp(bytes))
-      .orElse(parseWebp(bytes))
+      .orElse(parseWebp(bytes)).orElse(Tiff.parseTiff(bytes))
 
   /** WebP (RIFF container, Google WebP spec / RFC 9649): all three
     * first-chunk variants — `VP8 ` lossy (keyframe start code +
@@ -283,6 +283,29 @@ object MediaFixtures {
       s"<html><body><h1>Page $id</h1><p>$toks</p></body></html>"
     val uri = s"http://site${id % 37}.example.com/p/$id"
     Warc.warcGz(uri, html, s"software: graft-fixture $id")
+  }
+
+  /** Standalone TIFF fixture: both byte orders by parity, closed-form
+    * dims, IFD0 geometry tags ([[Tiff.tiff]]). */
+  def tiffMediaFor(id: Long): Array[Byte] =
+    Tiff.tiff((20 + (id * 9) % 300).toInt, (15 + (id * 4) % 200).toInt,
+      (1 + id % 4).toInt, littleEndian = id % 2 == 0)
+
+  /** JPEG-with-EXIF fixture: a REAL decodable baseline JPEG
+    * ([[JpegDc.jpegWithPixels]], DC block contract at seed id) with an
+    * APP1 Exif segment spliced after SOI — orientation/make/model/
+    * datetime/pixel-dims all closed forms, byte order by parity
+    * ([[Tiff.exifApp1]], [[Tiff.withExif]]). */
+  def jpegExifMediaFor(id: Long): Array[Byte] = {
+    val w = 8 * (1 + id % 3).toInt
+    val h = 8 * (1 + id % 2).toInt
+    val base = JpegDc.jpegWithPixels(id, w, h, 1)
+    val app1 = Tiff.exifApp1(
+      orientation = (1 + id % 8).toInt,
+      make = s"Cam${id % 5}", model = s"M${id % 7}",
+      dateTime = f"2020:0${1 + id % 9}:01 12:00:00",
+      exifW = w, exifH = h, littleEndian = id % 2 == 0)
+    Tiff.withExif(base, app1)
   }
 
   /** WebP fixture cycling the three container variants (`VP8 ` lossy
