@@ -83,6 +83,9 @@ object GraftExtensions {
     "warc_records" -> (es => WarcRecords(es.head)),
     "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),
     "jpeg_exif" -> (es => JpegExif(es.head)),
+    "zip_entries" -> (es => ZipEntries(es.head)),
+    "zip_extract" -> (es => ZipExtract(es(0), es(1))),
+    "zip_media_for_id" -> (es => ZipMediaBytes(es.head)),
     "tiff_media_for_id" -> (es => TiffMediaBytes(es.head)),
     "jpeg_exif_media_for_id" -> (es => JpegExifMediaBytes(es.head)),
     "url_normalize" -> (es => UrlNormalize(es.head)),

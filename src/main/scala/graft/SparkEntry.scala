@@ -1877,6 +1877,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ZIP archive ingest (r8): the other crawl archive shape beside
+    // gzipped WARC — central-directory walk (metadata-only listing)
+    // plus verified extraction (stored copy / raw-DEFLATE inflate,
+    // CRC-32 + exact-length check). Odd ids deflate, even store, so
+    // both paths ride the corpus.
+    "zip_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 60)
+        .selectExpr("doc_id", "zip_media_for_id(CAST(doc_id AS BIGINT)) AS z")
+        .selectExpr("doc_id", "explode(zip_entries(z)) AS e", "z")
+        .selectExpr("doc_id", "e.name",
+          "CAST(e.method AS BIGINT) AS method", "e.size",
+          "CAST(zip_extract(z, e.name) AS STRING) AS text")
+        .orderBy("doc_id", "name")
+    }),
+
     // WebP container metadata (r8): the most common crawl image
     // format after JPEG/PNG — parse_media now reads all three RIFF
     // variants (VP8 lossy keyframe header, VP8L packed 14-bit dims +
@@ -4664,6 +4680,24 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // entry names/methods/sizes/content all re-derived in closed form
+    // — the engine listed the central directory and inflated + CRC-
+    // verified every payload
+    "zip_extract" ->
+      """SELECT d.doc_id,
+        |  'doc_' || d.doc_id || '_' || j.j || '.txt' AS name,
+        |  CAST(CASE WHEN d.doc_id % 2 = 1 THEN 8 ELSE 0 END AS BIGINT)
+        |    AS method,
+        |  CAST(length('file ' || j.j || ' of archive ' || d.doc_id || ' '
+        |    || repeat('x', CAST((d.doc_id + j.j) % 9 AS INT))) AS BIGINT)
+        |    AS size,
+        |  'file ' || j.j || ' of archive ' || d.doc_id || ' '
+        |    || repeat('x', CAST((d.doc_id + j.j) % 9 AS INT)) AS text
+        |FROM documents d,
+        |     LATERAL unnest(range(0, 1 + d.doc_id % 3)) AS j(j)
+        |WHERE d.doc_id < 60
+        |ORDER BY d.doc_id, name""".stripMargin,
 
     // IFD geometry tags re-derived in closed form (byte order varies
     // by parity — the engine walked both)

@@ -308,6 +308,17 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** ZIP fixture: 1 + id%3 text entries with closed-form names and
+    * content; odd ids deflate, even ids store ([[Zip.zip]]) — both
+    * extraction paths cycle through the corpus. */
+  def zipMediaFor(id: Long): Array[Byte] = {
+    val files = (0 until (1 + id % 3).toInt).map { j =>
+      val text = s"file $j of archive $id " + "x" * ((id + j) % 9).toInt
+      (s"doc_${id}_$j.txt", text.getBytes("UTF-8"))
+    }
+    Zip.zip(files, deflate = id % 2 == 1)
+  }
+
   /** WebP fixture cycling the three container variants (`VP8 ` lossy
     * keyframe header, `VP8L` lossless packed dims, `VP8X` extended
     * canvas) with closed-form dims and alpha on the even residue —
