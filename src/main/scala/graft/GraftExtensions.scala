@@ -84,6 +84,9 @@ object GraftExtensions {
     "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),
     "jpeg_exif" -> (es => JpegExif(es.head)),
     "zip_entries" -> (es => ZipEntries(es.head)),
+    "tar_entries" -> (es => TarEntries(es.head)),
+    "tar_extract" -> (es => TarExtract(es(0), es(1))),
+    "targz_media_for_id" -> (es => TarGzMediaBytes(es.head)),
     "zip_extract" -> (es => ZipExtract(es(0), es(1))),
     "zip_media_for_id" -> (es => ZipMediaBytes(es.head)),
     "tiff_media_for_id" -> (es => TiffMediaBytes(es.head)),

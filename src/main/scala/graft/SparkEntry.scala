@@ -1877,6 +1877,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tar.gz ingest (r8): the dataset-dump shape — gunzip (JDK
+    // DEFLATE + CRC32) in front of the ustar header walk, checksums
+    // verified per header. Composes three real codecs in one line.
+    "tar_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "gunzip(targz_media_for_id(CAST(doc_id AS BIGINT))) AS tb")
+        .selectExpr("doc_id", "explode(tar_entries(tb)) AS e", "tb")
+        .selectExpr("doc_id", "e.name", "e.size",
+          "CAST(tar_extract(tb, e.name) AS STRING) AS text")
+        .orderBy("doc_id", "name")
+    }),
+
     // ZIP archive ingest (r8): the other crawl archive shape beside
     // gzipped WARC — central-directory walk (metadata-only listing)
     // plus verified extraction (stored copy / raw-DEFLATE inflate,
@@ -4680,6 +4694,21 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // names/sizes/content in closed form — the engine gunzipped,
+    // walked checksummed ustar headers, and sliced exact byte ranges
+    "tar_extract" ->
+      """SELECT d.doc_id,
+        |  'f_' || d.doc_id || '_' || j.j || '.txt' AS name,
+        |  CAST(length('tar file ' || j.j || ' of ' || d.doc_id || ' '
+        |    || repeat('y', CAST((d.doc_id * 2 + j.j) % 7 AS INT)))
+        |    AS BIGINT) AS size,
+        |  'tar file ' || j.j || ' of ' || d.doc_id || ' '
+        |    || repeat('y', CAST((d.doc_id * 2 + j.j) % 7 AS INT)) AS text
+        |FROM documents d,
+        |     LATERAL unnest(range(0, 1 + d.doc_id % 3)) AS j(j)
+        |WHERE d.doc_id < 60
+        |ORDER BY d.doc_id, name""".stripMargin,
 
     // entry names/methods/sizes/content all re-derived in closed form
     // — the engine listed the central directory and inflated + CRC-

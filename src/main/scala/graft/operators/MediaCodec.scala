@@ -308,6 +308,16 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** tar.gz fixture: 1 + id%3 closed-form text entries through the
+    * ustar writer + gzip ([[Tar.tarGz]]) — the dataset-dump shape. */
+  def tarGzMediaFor(id: Long): Array[Byte] = {
+    val files = (0 until (1 + id % 3).toInt).map { j =>
+      val text = s"tar file $j of $id " + "y" * ((id * 2 + j) % 7).toInt
+      (s"f_${id}_$j.txt", text.getBytes("UTF-8"))
+    }
+    Tar.tarGz(files)
+  }
+
   /** ZIP fixture: 1 + id%3 text entries with closed-form names and
     * content; odd ids deflate, even ids store ([[Zip.zip]]) — both
     * extraction paths cycle through the corpus. */
