@@ -85,6 +85,8 @@ object GraftExtensions {
     "jpeg_exif" -> (es => JpegExif(es.head)),
     "zip_entries" -> (es => ZipEntries(es.head)),
     "tar_entries" -> (es => TarEntries(es.head)),
+    "pdf_text" -> (es => PdfText(es.head)),
+    "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
     "tar_extract" -> (es => TarExtract(es(0), es(1))),
     "targz_media_for_id" -> (es => TarGzMediaBytes(es.head)),
     "zip_extract" -> (es => ZipExtract(es(0), es(1))),

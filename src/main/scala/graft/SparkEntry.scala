@@ -1877,6 +1877,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PDF text extraction (r8): xref table → catalog → page-tree walk
+    // → FlateDecode content streams → Tj/TJ interpretation. Odd ids
+    // carry Flate-compressed streams, so both decode paths ride the
+    // corpus; npages comes from the real tree walk, not /Count.
+    "pdf_text" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "pdf_text(pdf_media_for_id(CAST(doc_id AS BIGINT))) AS p")
+        .selectExpr("doc_id", "CAST(p.npages AS BIGINT) AS npages", "p.text")
+        .orderBy("doc_id")
+    }),
+
     // tar.gz ingest (r8): the dataset-dump shape — gunzip (JDK
     // DEFLATE + CRC32) in front of the ustar header walk, checksums
     // verified per header. Composes three real codecs in one line.
@@ -4694,6 +4707,20 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // page counts and line text re-derived in closed form — the
+    // engine walked xref offsets, the page tree, and inflated +
+    // interpreted every content stream's show operators
+    "pdf_text" ->
+      """SELECT d.doc_id,
+        |  CAST(1 + d.doc_id % 3 AS BIGINT) AS npages,
+        |  (SELECT string_agg(
+        |     'pdf ' || d.doc_id || ' p' || p.p || ' l' || k.k,
+        |     chr(10) ORDER BY p.p, k.k)
+        |   FROM unnest(range(0, 1 + d.doc_id % 3)) AS p(p),
+        |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
+        |    AS text
+        |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
 
     // names/sizes/content in closed form — the engine gunzipped,
     // walked checksummed ustar headers, and sliced exact byte ranges

@@ -308,6 +308,16 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** PDF fixture: 1 + id%3 pages, 2 + (id+p)%3 closed-form lines per
+    * page, alternating Tj/TJ show operators; odd ids wrap content
+    * streams in /FlateDecode ([[Pdf.pdf]]). */
+  def pdfMediaFor(id: Long): Array[Byte] = {
+    val pages = (0 until (1 + id % 3).toInt).map { p =>
+      (0 until (2 + (id + p) % 3).toInt).map(k => s"pdf $id p$p l$k")
+    }
+    Pdf.pdf(pages, deflate = id % 2 == 1)
+  }
+
   /** tar.gz fixture: 1 + id%3 closed-form text entries through the
     * ustar writer + gzip ([[Tar.tarGz]]) — the dataset-dump shape. */
   def tarGzMediaFor(id: Long): Array[Byte] = {

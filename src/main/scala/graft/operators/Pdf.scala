@@ -1,0 +1,608 @@
+package graft.operators
+
+/** PDF text extraction (ISO 32000 subset) — after HTML, the document
+  * format a pretraining pipeline most wants to read: papers, reports,
+  * and scanned-born-digital documents arrive as PDF blobs in a crawl.
+  *
+  * This is the real file grammar, not a string sniff:
+  *
+  *  - `startxref` → classic cross-reference table → trailer dict
+  *    (`/Root`), with every object fetched through its xref offset
+  *    and `N G obj` header re-validated at the landing site;
+  *  - a recursive-descent parser for the full object syntax: dicts,
+  *    arrays, names, numbers, refs (`N G R`), literal strings with
+  *    the escape grammar (octal, nested parens, line continuations),
+  *    hex strings, booleans/null, streams with `/Length` resolved
+  *    through the xref when indirect;
+  *  - the page tree walked from the catalog (`/Pages` → `/Kids`,
+  *    intermediate nodes supported, depth- and count-capped);
+  *  - content streams decoded (`/FlateDecode` via the JDK Inflater —
+  *    zlib-wrapped, same machinery as [[PngPixels]] — or raw), then
+  *    the text-showing operators interpreted: `Tj`, `'`, `"`, `TJ`
+  *    (kerning numbers skipped), with `Td`/`TD`/`T*`/`'`/`"` line
+  *    moves emitting newlines.
+  *
+  * Out of subset (→ None, never a throw): encrypted files, xref
+  * STREAMS (PDF 1.5 compressed xref), filters beyond FlateDecode,
+  * and CID/composite font decoding (text is read through the
+  * single-byte encodings simple generated PDFs use). */
+object Pdf {
+
+  private val MaxObjects = 65536
+  private val MaxPages = 8192
+  private val MaxRefDepth = 32
+
+  // ------------------------------------------------------------- values
+
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PStr(v: Array[Byte]) extends PVal
+  private final case class PArr(v: Vector[PVal]) extends PVal
+  private final case class PDict(v: Map[String, PVal]) extends PVal
+  private final case class PRef(num: Int, gen: Int) extends PVal
+  private final case class PStream(dict: Map[String, PVal],
+      data: Array[Byte]) extends PVal
+  private final case class PBool(v: Boolean) extends PVal
+  private case object PNull extends PVal
+
+  private final class Bad extends RuntimeException
+
+  // ------------------------------------------------------------- lexer
+
+  private final class Lexer(val b: Array[Byte]) {
+    var pos = 0
+
+    private def bad(): Nothing = throw new Bad
+
+    def peek: Int = if (pos < b.length) b(pos) & 0xff else -1
+    def next(): Int = { val c = peek; if (c < 0) bad(); pos += 1; c }
+
+    def isWs(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    def isDelim(c: Int): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+        c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+    def skipWs(): Unit = {
+      var going = true
+      while (going) {
+        while (isWs(peek)) pos += 1
+        if (peek == '%') { // comment to EOL
+          while (peek >= 0 && peek != '\n' && peek != '\r') pos += 1
+        } else going = false
+      }
+    }
+
+    def expect(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { if (next() != s.charAt(i)) bad(); i += 1 }
+    }
+
+    /** Next regular-character token (operator / keyword). */
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (peek >= 0 && !isWs(peek) && !isDelim(peek)) pos += 1
+      if (pos == start) bad()
+      new String(b, start, pos - start, "US-ASCII")
+    }
+
+    def parseName(): String = {
+      if (next() != '/') bad()
+      val sb = new StringBuilder
+      while (peek >= 0 && !isWs(peek) && !isDelim(peek)) {
+        val c = next()
+        if (c == '#') { // hex escape in names
+          val h = Character.digit(next(), 16) * 16 + Character.digit(next(), 16)
+          if (h < 0) bad()
+          sb.append(h.toChar)
+        } else sb.append(c.toChar)
+      }
+      sb.toString
+    }
+
+    /** Literal string: nested parens, backslash escapes. */
+    def parseLiteralString(): Array[Byte] = {
+      if (next() != '(') bad()
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        val c = next()
+        c match {
+          case '(' => depth += 1; out.write(c)
+          case ')' => depth -= 1; if (depth > 0) out.write(c)
+          case '\\' =>
+            val e = next()
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' | ')' | '\\' => out.write(e)
+              case '\r' => if (peek == '\n') pos += 1 // line continuation
+              case '\n' => ()
+              case d if d >= '0' && d <= '7' => // up to 3 octal digits
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (next() - '0'); k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // spec: backslash dropped
+            }
+          case _ => out.write(c)
+        }
+        if (out.size() > (1 << 24)) bad()
+      }
+      out.toByteArray
+    }
+
+    def parseHexString(): Array[Byte] = {
+      // caller consumed '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var going = true
+      while (going) {
+        val c = next()
+        if (c == '>') {
+          if (hi >= 0) out.write(hi * 16) // odd digit: trailing 0
+          going = false
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) bad()
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+        if (out.size() > (1 << 24)) bad()
+      }
+      out.toByteArray
+    }
+
+    def parseNumber(): Double = {
+      skipWs()
+      val start = pos
+      if (peek == '+' || peek == '-') pos += 1
+      var digits = false
+      while (peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      if (peek == '.') {
+        pos += 1
+        while (peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      }
+      if (!digits) bad()
+      java.lang.Double.parseDouble(new String(b, start, pos - start, "US-ASCII"))
+    }
+  }
+
+  // ------------------------------------------------------------- parser
+
+  /** One object at the lexer position; `resolveLen` fetches an
+    * indirect /Length when a stream needs it (null during xref-less
+    * phases). */
+  private def parseVal(lx: Lexer, resolveLen: PRef => Option[Long]): PVal = {
+    lx.skipWs()
+    lx.peek match {
+      case '/' => PName(lx.parseName())
+      case '(' => PStr(lx.parseLiteralString())
+      case '[' =>
+        lx.next()
+        val items = Vector.newBuilder[PVal]
+        var going = true
+        var n = 0
+        while (going) {
+          lx.skipWs()
+          if (lx.peek == ']') { lx.next(); going = false }
+          else {
+            items += parseVal(lx, resolveLen)
+            n += 1
+            if (n > 65536) throw new Bad
+          }
+        }
+        PArr(items.result())
+      case '<' =>
+        lx.next()
+        if (lx.peek == '<') {
+          lx.next()
+          val m = Map.newBuilder[String, PVal]
+          var going = true
+          var n = 0
+          while (going) {
+            lx.skipWs()
+            if (lx.peek == '>') { lx.next(); lx.expect(">"); going = false }
+            else {
+              val k = lx.parseName()
+              m += k -> parseVal(lx, resolveLen)
+              n += 1
+              if (n > 4096) throw new Bad
+            }
+          }
+          val dict = m.result()
+          // a stream may follow a dict
+          val save = lx.pos
+          lx.skipWs()
+          if (lx.pos + 6 <= lx.b.length &&
+            new String(lx.b, lx.pos, 6, "US-ASCII") == "stream") {
+            lx.pos += 6
+            if (lx.peek == '\r') lx.next()
+            if (lx.peek == '\n') lx.next()
+            val len = dict.get("Length") match {
+              case Some(PNum(v)) => v.toLong
+              case Some(r: PRef) if resolveLen != null =>
+                resolveLen(r).getOrElse(throw new Bad)
+              case _ => throw new Bad
+            }
+            if (len < 0 || len > PngPixels.MaxDecodedBytes ||
+              lx.pos + len > lx.b.length) throw new Bad
+            val data = java.util.Arrays.copyOfRange(
+              lx.b, lx.pos, (lx.pos + len).toInt)
+            lx.pos += len.toInt
+            lx.skipWs()
+            lx.expect("endstream")
+            PStream(dict, data)
+          } else { lx.pos = save; PDict(dict) }
+        } else PStr(lx.parseHexString())
+      case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+        val v = lx.parseNumber()
+        // lookahead: "N G R" is a reference
+        if (v == v.toLong.toDouble && v >= 0) {
+          val save = lx.pos
+          try {
+            val g = lx.parseNumber()
+            lx.skipWs()
+            if (g == g.toLong.toDouble && g >= 0 && lx.peek == 'R') {
+              lx.next()
+              // R must be a lone token
+              if (lx.peek < 0 || lx.isWs(lx.peek) || lx.isDelim(lx.peek))
+                return PRef(v.toInt, g.toInt)
+            }
+            lx.pos = save
+          } catch { case _: Bad => lx.pos = save }
+        }
+        PNum(v)
+      case 't' => lx.expect("true"); PBool(true)
+      case 'f' => lx.expect("false"); PBool(false)
+      case 'n' => lx.expect("null"); PNull
+      case _ => throw new Bad
+    }
+  }
+
+  // ------------------------------------------------------------- xref
+
+  /** startxref → classic xref table(s) → (offsets, trailer). Follows
+    * /Prev chains (bounded). Xref streams are out of subset. */
+  private def readXref(b: Array[Byte]): (Map[Int, Long], Map[String, PVal]) = {
+    // find the last "startxref" in the tail window
+    val tailStart = math.max(0, b.length - 2048)
+    val tail = new String(b, tailStart, b.length - tailStart, "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) throw new Bad
+    val lx0 = new Lexer(b)
+    lx0.pos = tailStart + sx + "startxref".length
+    val xrefAt = lx0.parseNumber().toLong
+    var offsets = Map.empty[Int, Long]
+    var trailer: Map[String, PVal] = null
+    var at = xrefAt
+    var hops = 0
+    while (at >= 0 && hops < 32) {
+      if (at > b.length - 4) throw new Bad
+      val lx = new Lexer(b)
+      lx.pos = at.toInt
+      lx.skipWs()
+      lx.expect("xref")
+      var going = true
+      while (going) {
+        lx.skipWs()
+        if (lx.peek == 't') { lx.expect("trailer"); going = false }
+        else {
+          val first = lx.parseNumber().toInt
+          val n = lx.parseNumber().toInt
+          if (first < 0 || n < 0 || first + n > MaxObjects) throw new Bad
+          var i = 0
+          while (i < n) {
+            val off = lx.parseNumber().toLong
+            lx.parseNumber() // generation
+            lx.skipWs()
+            val kind = lx.next()
+            if (kind != 'n' && kind != 'f') throw new Bad
+            // earlier tables in the /Prev chain must not override newer
+            if (kind == 'n' && !offsets.contains(first + i))
+              offsets = offsets.updated(first + i, off)
+            i += 1
+          }
+        }
+      }
+      val t = parseVal(lx, null) match {
+        case PDict(d) => d
+        case _ => throw new Bad
+      }
+      if (trailer == null) trailer = t
+      at = t.get("Prev") match {
+        case Some(PNum(v)) => v.toLong
+        case _ => -1L
+      }
+      hops += 1
+    }
+    if (trailer == null) throw new Bad
+    (offsets, trailer)
+  }
+
+  // ------------------------------------------------------------- loader
+
+  private final class Doc(b: Array[Byte]) {
+    val (offsets, trailer) = readXref(b)
+    private val memo = new java.util.HashMap[Int, PVal]()
+
+    /** Fetch object `num`, validating the `N G obj` header on site. */
+    def fetch(num: Int, depth: Int): PVal = {
+      if (depth > MaxRefDepth) throw new Bad
+      val cached = memo.get(num)
+      if (cached != null) return cached
+      val off = offsets.getOrElse(num, throw new Bad)
+      if (off < 0 || off >= b.length) throw new Bad
+      val lx = new Lexer(b)
+      lx.pos = off.toInt
+      lx.skipWs()
+      if (lx.parseNumber().toInt != num) throw new Bad
+      lx.parseNumber() // generation
+      lx.skipWs()
+      lx.expect("obj")
+      val v = parseVal(lx, r => numOf(fetch(r.num, depth + 1)))
+      memo.put(num, v)
+      v
+    }
+
+    private def numOf(v: PVal): Option[Long] = v match {
+      case PNum(n) => Some(n.toLong)
+      case _ => None
+    }
+
+    def resolve(v: PVal, depth: Int = 0): PVal = v match {
+      case PRef(n, _) => resolve(fetch(n, depth + 1), depth + 1)
+      case other => other
+    }
+
+    def dictGet(d: Map[String, PVal], k: String): Option[PVal] =
+      d.get(k).map(resolve(_))
+  }
+
+  // ------------------------------------------------------------- pages
+
+  /** Page count via the real catalog walk (not the /Count shortcut —
+    * the tree is enumerated so a lying /Count can't inflate it). */
+  def pageCount(bytes: Array[Byte]): Option[Int] =
+    withDoc(bytes)(doc => collectPages(doc).length)
+
+  /** Concatenated text of all pages, in page-tree order. */
+  def text(bytes: Array[Byte]): Option[String] =
+    extract(bytes).map(_._2)
+
+  /** (page count, text) from ONE parse — the expression kernel. */
+  def extract(bytes: Array[Byte]): Option[(Int, String)] =
+    withDoc(bytes) { doc =>
+      val sb = new StringBuilder
+      val pages = collectPages(doc)
+      pages.foreach { page =>
+        doc.dictGet(page, "Contents").foreach {
+          case PStream(d, data) => runContent(decodeStream(d, data, doc), sb)
+          case PArr(items) => items.foreach { it =>
+            doc.resolve(it) match {
+              case PStream(d, data) => runContent(decodeStream(d, data, doc), sb)
+              case _ => throw new Bad
+            }
+          }
+          case _ => throw new Bad
+        }
+      }
+      (pages.length, sb.toString)
+    }
+
+  private def withDoc[A](bytes: Array[Byte])(f: Doc => A): Option[A] = {
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      if (!(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+        bytes(3) == 'F' && bytes(4) == '-')) return None
+      val doc = new Doc(bytes)
+      if (doc.trailer.contains("Encrypt")) return None
+      Some(f(doc))
+    } catch { case _: Exception => None }
+  }
+
+  private def collectPages(doc: Doc): Vector[Map[String, PVal]] = {
+    val root = doc.dictGet(doc.trailer, "Root") match {
+      case Some(PDict(d)) => d
+      case _ => throw new Bad
+    }
+    val pagesRoot = doc.dictGet(root, "Pages") match {
+      case Some(PDict(d)) => d
+      case _ => throw new Bad
+    }
+    val out = Vector.newBuilder[Map[String, PVal]]
+    var count = 0
+    def walk(node: Map[String, PVal], depth: Int): Unit = {
+      if (depth > 64) throw new Bad
+      doc.dictGet(node, "Type") match {
+        case Some(PName("Pages")) =>
+          doc.dictGet(node, "Kids") match {
+            case Some(PArr(kids)) => kids.foreach { k =>
+              doc.resolve(k) match {
+                case PDict(d) => walk(d, depth + 1)
+                case _ => throw new Bad
+              }
+            }
+            case _ => throw new Bad
+          }
+        case Some(PName("Page")) =>
+          count += 1
+          if (count > MaxPages) throw new Bad
+          out += node
+        case _ => throw new Bad
+      }
+    }
+    walk(pagesRoot, 0)
+    out.result()
+  }
+
+  private def decodeStream(dict: Map[String, PVal], data: Array[Byte],
+      doc: Doc): Array[Byte] =
+    doc.dictGet(dict, "Filter") match {
+      case None => data
+      case Some(PName("FlateDecode")) => inflate(data)
+      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(data)
+      case _ => throw new Bad // other filters out of subset
+    }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater() // zlib-wrapped
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) throw new Bad
+        out.write(buf, 0, n)
+        if (out.size() > PngPixels.MaxDecodedBytes) throw new Bad
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // --------------------------------------------------------- content ops
+
+  /** Interpret one content stream's text-showing operators into `sb`.
+    * Line-move operators (`Td`/`TD`/`T*` and the `'`/`"` forms) emit
+    * a newline when text has already accumulated. */
+  private def runContent(content: Array[Byte], sb: StringBuilder): Unit = {
+    val lx = new Lexer(content)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def show(v: PVal): Unit = v match {
+      case PStr(bytes) => sb.append(new String(bytes, "ISO-8859-1"))
+      case _ => ()
+    }
+    var going = true
+    while (going) {
+      lx.skipWs()
+      if (lx.peek < 0) going = false
+      else lx.peek match {
+        case c if c == '/' || c == '(' || c == '[' || c == '<' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          stack += parseVal(lx, null)
+          if (stack.length > 64) stack.remove(0)
+        case _ =>
+          val op = lx.token()
+          op match {
+            case "Tj" => if (stack.nonEmpty) show(stack.last)
+            case "'" =>
+              newline()
+              if (stack.nonEmpty) show(stack.last)
+            case "\"" =>
+              newline()
+              if (stack.nonEmpty) show(stack.last)
+            case "TJ" => stack.lastOption match {
+              case Some(PArr(items)) => items.foreach {
+                case s: PStr => show(s)
+                case _ => () // kerning adjustments
+              }
+              case _ => ()
+            }
+            case "Td" | "TD" | "T*" => newline()
+            case _ => () // all other operators: graphics state etc.
+          }
+          stack.clear()
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** A complete spec-valid PDF: catalog → pages → page leaves, one
+    * content stream per page showing `lines(p)` with alternating
+    * `Tj`/`TJ` forms, a correct xref table (real byte offsets) and
+    * trailer. `deflate` wraps content streams in /FlateDecode. */
+  def pdf(pageLines: Seq[Seq[String]], deflate: Boolean): Array[Byte] = {
+    require(pageLines.nonEmpty && pageLines.length <= 256)
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    val nPages = pageLines.length
+    // object numbering: 1 catalog, 2 pages, 3 font,
+    // 4..3+n page leaves, 4+n..3+2n content streams
+    val pageObj = (p: Int) => 4 + p
+    val contentObj = (p: Int) => 4 + nPages + p
+    val objects = Vector.newBuilder[(Int, Array[Byte])]
+    objects += 1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes("ISO-8859-1")
+    objects += 2 -> (s"<< /Type /Pages /Kids [" +
+      (0 until nPages).map(p => s"${pageObj(p)} 0 R").mkString(" ") +
+      s"] /Count $nPages >>").getBytes("ISO-8859-1")
+    objects += 3 -> ("<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >>").getBytes("ISO-8859-1")
+    (0 until nPages).foreach { p =>
+      objects += pageObj(p) -> (s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${contentObj(p)} 0 R >>").getBytes("ISO-8859-1")
+    }
+    (0 until nPages).foreach { p =>
+      val ops = new StringBuilder
+      ops.append("BT /F1 12 Tf 72 720 Td\n")
+      pageLines(p).zipWithIndex.foreach { case (line, k) =>
+        if (k > 0) ops.append("0 -14 Td\n")
+        if (k % 2 == 0) ops.append(s"(${esc(line)}) Tj\n")
+        else {
+          // TJ with a kern split mid-line
+          val cut = line.length / 2
+          ops.append(s"[(${esc(line.substring(0, cut))}) -250 " +
+            s"(${esc(line.substring(cut))})] TJ\n")
+        }
+      }
+      ops.append("ET")
+      val raw = ops.toString.getBytes("ISO-8859-1")
+      val (data, filter) =
+        if (!deflate) (raw, "")
+        else {
+          val d = new java.util.zip.Deflater()
+          try {
+            d.setInput(raw); d.finish()
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+            (bos.toByteArray, "/Filter /FlateDecode ")
+          } finally d.end()
+        }
+      val head = s"<< ${filter}/Length ${data.length} >>\nstream\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(head.getBytes("ISO-8859-1"))
+      bos.write(data, 0, data.length)
+      bos.write("\nendstream".getBytes("ISO-8859-1"))
+      objects += contentObj(p) -> bos.toByteArray
+    }
+    val objs = objects.result().sortBy(_._1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val offsets = objs.map { case (num, body) =>
+      val off = out.size()
+      w(s"$num 0 obj\n")
+      out.write(body, 0, body.length)
+      w("\nendobj\n")
+      num -> off
+    }.toMap
+    val xrefAt = out.size()
+    val maxObj = objs.map(_._1).max
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to maxObj).foreach { n =>
+      w(f"${offsets(n)}%010d 00000 n \n")
+    }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefAt\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** PDF text extraction: round trips through the real xref/object/
+  * content-stream grammar, both filter paths, the string escape
+  * grammar, multi-page trees, and dirty-byte rejection. */
+class PdfSpec extends SparkTestBase {
+
+  test("text round-trips the writer — raw and FlateDecode streams, " +
+    "Tj and TJ forms, multi-page") {
+    for (deflate <- Seq(false, true)) {
+      val pages = Seq(
+        Seq("first line", "second line spans a TJ"),
+        Seq("page two a", "page two b", "page two c"))
+      val b = Pdf.pdf(pages, deflate)
+      assert(Pdf.pageCount(b).contains(2))
+      val expected = pages.flatten.mkString("\n")
+      assert(Pdf.text(b).contains(expected), s"deflate=$deflate")
+      val (n, t) = Pdf.extract(b).get
+      assert(n == 2 && t == expected)
+    }
+  }
+
+  test("the PDF string escape grammar survives: parens, backslashes, " +
+    "octal escapes, hex strings") {
+    // writer escapes specials; reader must undo them exactly
+    val tricky = Seq(Seq("parens (nested) and \\backslash", "plain"))
+    val b = Pdf.pdf(tricky, deflate = false)
+    assert(Pdf.text(b).contains(tricky.flatten.mkString("\n")))
+    // hand-built content exercising octal + hex + continuation forms
+    val content = "BT (A\\102C) Tj (D\\\n" + // octal 102='B'; continuation
+      "E) Tj <4648> Tj ET" // hex FH
+    val handPdf = handBuilt(content)
+    assert(Pdf.text(handPdf).contains("ABCDEFH"))
+  }
+
+  test("the ' and \" show operators emit line breaks; T* moves lines") {
+    val content = "BT (one) Tj T* (two) Tj (three) ' ET"
+    assert(Pdf.text(handBuilt(content)).contains("one\ntwo\nthree"))
+  }
+
+  test("dirty bytes reject: no header, truncation, bad xref offsets, " +
+    "lying object headers, encryption flag") {
+    val good = Pdf.pdf(Seq(Seq("x")), deflate = false)
+    assert(Pdf.text(good).isDefined)
+    assert(Pdf.text(null).isEmpty)
+    assert(Pdf.text("not a pdf at all, not even close".getBytes).isEmpty)
+    assert(Pdf.text(good.take(good.length / 2)).isEmpty) // no startxref
+    // corrupt the startxref offset digits
+    val s = new String(good, "ISO-8859-1")
+    val sx = s.lastIndexOf("startxref")
+    val bad = good.clone()
+    bad(sx + 10) = '9'; bad(sx + 11) = '9'
+    assert(Pdf.text(bad).isEmpty)
+    // an /Encrypt key in the trailer rejects
+    val enc = new String(good, "ISO-8859-1")
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    // trailer grew: offsets before it are unchanged, so parse reaches
+    // the trailer and must stop on the flag
+    assert(Pdf.text(enc.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("fixtures follow the closed forms the oracle re-derives") {
+    for (id <- 0L to 8L) {
+      val (n, t) = Pdf.extract(MediaFixtures.pdfMediaFor(id)).get
+      assert(n == 1 + id % 3)
+      val expected = (0 until (1 + id % 3).toInt).flatMap { p =>
+        (0 until (2 + (id + p) % 3).toInt).map(k => s"pdf $id p$p l$k")
+      }.mkString("\n")
+      assert(t == expected, s"id=$id")
+    }
+  }
+
+  /** Minimal complete one-page PDF around a given content stream. */
+  private def handBuilt(content: String): Array[Byte] = {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R >>"),
+      4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val out = new StringBuilder
+    out.append("%PDF-1.4\n")
+    val offsets = objs.map { case (n, body) =>
+      val off = out.length
+      out.append(s"$n 0 obj\n").append(body).append("\nendobj\n")
+      n -> off
+    }.toMap
+    val xrefAt = out.length
+    out.append("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => out.append(f"${offsets(n)}%010d 00000 n \n"))
+    out.append("trailer\n<< /Size 5 /Root 1 0 R >>\n")
+    out.append(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toString.getBytes("ISO-8859-1")
+  }
+}
