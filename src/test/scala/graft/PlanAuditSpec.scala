@@ -646,4 +646,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 2, plan) // domain window + final orderBy only
     assert(plan.contains("Window"), plan)
   }
+
+  test("archive/document ingest (zip, tar.gz, pdf, tiff, exif): every " +
+    "codec is a projection/generate over the scan — doc_id pushes " +
+    "down, no UDF, no mapPartitions barrier, no join") {
+    for (q <- Seq("zip_extract", "tar_extract", "pdf_text", "tiff_meta",
+      "jpeg_exif")) {
+      val plan = physical(run(q))
+      assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan"),
+        s"$q: $plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+        s"$q: $plan")
+      assert(!plan.contains("SerializeFromObject") &&
+        !plan.contains("MapPartitions"), s"$q: $plan")
+      assert(!plan.contains("Join"), s"$q: $plan")
+    }
+    // the archive listings explode through a real Generate node
+    assert(physical(run("zip_extract")).contains("Generate explode"))
+    assert(physical(run("tar_extract")).contains("Generate explode"))
+  }
 }

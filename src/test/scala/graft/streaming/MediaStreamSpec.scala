@@ -195,6 +195,49 @@ class MediaStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("archive/document kernels (zip, tar.gz chain, pdf, tiff, exif) " +
+    "over a file stream == batch — all pure map expressions") {
+    graft.Graft.init(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-stream-r8c").toString
+    spark.range(1, 25).selectExpr("id AS doc_id",
+        "zip_media_for_id(id) AS z",
+        "targz_media_for_id(id) AS tgz",
+        "pdf_media_for_id(id) AS pdf",
+        "tiff_media_for_id(id) AS tif",
+        "jpeg_exif_media_for_id(id) AS jx")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+
+    def features(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "doc_id",
+      "size(zip_entries(z)) AS n_zip",
+      "CAST(zip_extract(z, zip_entries(z)[0].name) AS STRING) AS zip0",
+      "size(tar_entries(gunzip(tgz))) AS n_tar",
+      "pdf_text(pdf).npages AS npages",
+      "pdf_text(pdf).text AS ptext",
+      "parse_media(tif).width AS tw",
+      "jpeg_exif(jx).orientation AS orient")
+
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = features(stream)
+      .writeStream.format("memory").queryName("archive_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.toSeq
+      val streamed = spark.table("archive_eq").collect().map(key).toSet
+      val batch = features(batchSrc).collect().map(key).toSet
+      assert(streamed == batch && batch.size == 24)
+      // sanity: the kernels actually decoded
+      val one = features(batchSrc).filter("doc_id = 5").head()
+      assert(one.getInt(1) == 3 && one.getString(2).startsWith("file 0") &&
+        one.getInt(3) == 3 && one.getInt(4) == 3 && one.getInt(6) == 65 &&
+        one.getInt(7) == 6)
+    } finally q.stop()
+  }
+
   test("the WARC crawl chain (gunzip -> record walk -> html_text) " +
     "over a file stream == batch — the CommonCrawl ingest is map-only") {
     graft.Graft.init(spark)
