@@ -100,6 +100,8 @@ object GraftExtensions {
       TopKByScore(es(0), es(1), es(2)).toAggregateExpression()),
     "kmv_distinct" -> (es =>
       KmvDistinct(es(0), es(1)).toAggregateExpression()),
+    "hll_distinct" -> (es =>
+      HllDistinct(es(0), es(1)).toAggregateExpression()),
     "heavy_hitters" -> (es =>
       HeavyHitters(es(0), es(1)).toAggregateExpression()),
     "vector_avg" -> (es => VectorAvg(es.head).toAggregateExpression()),

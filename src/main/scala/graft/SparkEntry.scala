@@ -2051,6 +2051,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // HyperLogLog distinct sketch (r8, Flajolet et al. 2007) over the
+    // SQL-portable mix: unlike the xxhash KMV, the oracle rebuilds
+    // the EXACT register file and estimate from scratch — bucket
+    // math, rho, integer harmonic sum, correction branch — so the
+    // ESTIMATOR regime is oracle-checked, not just spec-checked.
+    "hll_distinct" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "lineitem")
+        .withColumn("h", operators.Sampling.portableMix(col("l_partkey")))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_distinct(h, 8)").as("sk"))
+        .selectExpr("l_returnflag", "sk.n_distinct AS n_distinct",
+          "sk.corrected AS corrected")
+        .orderBy("l_returnflag")
+    }),
+
     // Mergeable heavy-hitters sketch (r8, Misra-Gries 1982 /
     // Agarwal et al. 2012 merge): the "which tokens dominate?"
     // question with a bounded k-counter buffer per partition — only
@@ -4878,6 +4894,40 @@ object SparkEntry {
         |  FROM toks WHERE token != '' GROUP BY token)
         |SELECT token, n, true AS exact
         |FROM freq ORDER BY n DESC, token LIMIT 15""".stripMargin,
+
+    // the FULL HLL pipeline re-derived: portable mix → bucket/rho →
+    // register max → integer harmonic sum (exact in BIGINT on both
+    // engines) → alpha estimate with the linear-counting branch; the
+    // float ops run in the same order on both sides
+    "hll_distinct" ->
+      """WITH m0 AS (SELECT l_returnflag,
+        |    l_partkey % 1000000007 * 2654435761 % 1000000007 AS h0
+        |  FROM lineitem),
+        |m1 AS (SELECT l_returnflag,
+        |    xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m0),
+        |m2 AS (SELECT l_returnflag,
+        |    xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h FROM m1),
+        |rh AS (SELECT l_returnflag, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 23
+        |         ELSE 22 - CAST(floor(log2(h // 256)) AS BIGINT) END AS rho
+        |  FROM m2),
+        |regs AS (SELECT l_returnflag, bucket, max(rho) AS mj
+        |  FROM rh GROUP BY 1, 2),
+        |sums AS (SELECT l_returnflag,
+        |    SUM(CAST(pow(2, 23 - mj) AS BIGINT))
+        |      + (256 - COUNT(*)) * 8388608 AS s,
+        |    256 - COUNT(*) AS v
+        |  FROM regs GROUP BY 1),
+        |est AS (SELECT l_returnflag,
+        |    0.7213::DOUBLE / (1 + 1.079::DOUBLE / 256)
+        |      * 256 * 256 * 8388608 / s AS raw, v
+        |  FROM sums)
+        |SELECT l_returnflag,
+        |  CAST(round(CASE WHEN raw <= 640 AND v > 0
+        |    THEN 256 * ln(CAST(256 AS DOUBLE) / v) ELSE raw END)
+        |    AS BIGINT) AS n_distinct,
+        |  (raw <= 640 AND v > 0) AS corrected
+        |FROM est ORDER BY l_returnflag""".stripMargin,
 
     // the sketch's exact regime against plain count(DISTINCT) — a
     // hash collision, an eviction bug, or a wrong exactness flag
