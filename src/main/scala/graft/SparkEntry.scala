@@ -1877,6 +1877,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // robots.txt governance (r8): the RFC 9309 decision per URL —
+    // grouped directive parse, longest-pattern-wins, Allow on ties,
+    // comments/Sitemap/Crawl-delay skipped. The fixture rules stay in
+    // the literal-prefix subset so the oracle replays the decision;
+    // wildcard/$ matching is spec-verified (RobotsSpec).
+    "robots_filter" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .selectExpr("doc_id",
+          "concat('# governance', chr(10), 'User-agent: *', chr(10), " +
+            "'Disallow: /private', chr(10), 'Allow: /private/ok', " +
+            "chr(10), 'Crawl-delay: 10', chr(10), 'Disallow: /tmp', " +
+            "chr(10), 'Disallow: /d', CAST(doc_id % 7 AS STRING)) " +
+            "AS robots",
+          "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/private/x' " +
+            "WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z' " +
+            "WHEN 3 THEN '/public/a' " +
+            "ELSE concat('/d', CAST(doc_id % 7 AS STRING), '/page') " +
+            "END AS path")
+        .selectExpr("doc_id", "path",
+          "robots_allowed(robots, path) AS allowed")
+        .orderBy("doc_id")
+    }),
+
     // PDF text extraction (r8): xref table → catalog → page-tree walk
     // → FlateDecode content streams → Tj/TJ interpretation. Odd ids
     // carry Flate-compressed streams, so both decode paths ride the
@@ -4723,6 +4747,33 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // the longest-prefix-wins decision replayed rule by rule — the
+    // engine parsed directive groups and matched patterns; the oracle
+    // enumerates the same rules and picks the longest match (tie ->
+    // allow, no match -> allow)
+    "robots_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/private/x'
+        |      WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |      WHEN 3 THEN '/public/a'
+        |      ELSE '/d' || doc_id % 7 || '/page' END AS path
+        |  FROM documents WHERE doc_id < 200),
+        |r AS (SELECT d.doc_id, d.path, t.rule, t.allow
+        |  FROM d, LATERAL (VALUES ('/private', false),
+        |    ('/private/ok', true), ('/tmp', false),
+        |    ('/d' || d.doc_id % 7, false)) AS t(rule, allow)),
+        |m AS (SELECT doc_id, path, rule, allow FROM r
+        |  WHERE starts_with(path, rule)),
+        |best AS (SELECT doc_id, path, max(length(rule)) AS bl
+        |  FROM m GROUP BY 1, 2),
+        |dec AS (SELECT b.doc_id, bool_or(m.allow) AS allowed
+        |  FROM best b JOIN m ON m.doc_id = b.doc_id
+        |    AND length(m.rule) = b.bl
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.path, COALESCE(dec.allowed, true) AS allowed
+        |FROM d LEFT JOIN dec ON dec.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // page counts and line text re-derived in closed form — the
     // engine walked xref offsets, the page tree, and inflated +
