@@ -103,6 +103,9 @@ object GraftExtensions {
       KmvDistinct(es(0), es(1)).toAggregateExpression()),
     "hll_distinct" -> (es =>
       HllDistinct(es(0), es(1)).toAggregateExpression()),
+    "bloom_build" -> (es =>
+      BloomBuild(es(0), es(1), es(2)).toAggregateExpression()),
+    "bloom_contains" -> (es => BloomContains(es(0), es(1))),
     "heavy_hitters" -> (es =>
       HeavyHitters(es(0), es(1)).toAggregateExpression()),
     "vector_avg" -> (es => VectorAvg(es.head).toAggregateExpression()),

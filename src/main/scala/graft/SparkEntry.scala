@@ -2075,6 +2075,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Bloom-filter membership (r8) over the portable mix: the
+    // decontamination-as-broadcast shape — one bounded bit array
+    // built over the benchmark side, broadcast, corpus filtered by a
+    // per-row map (no corpus shuffle, no join). The oracle re-derives
+    // the exact bit set and every verdict INCLUDING which false
+    // positives fire — the probabilistic structure itself is
+    // oracle-checked.
+    "bloom_contains" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 30)
+        .withColumn("h", operators.Sampling.portableMix(col("doc_id")))
+        .agg(expr("bloom_build(h, 1024, 3)").as("bf"))
+      docs.filter(col("doc_id") < 300)
+        .withColumn("h",
+          operators.Sampling.portableMix(pmod(col("doc_id"), lit(97))))
+        .crossJoin(broadcast(bench))
+        .selectExpr("doc_id", "bloom_contains(bf, h) AS hit")
+        .orderBy("doc_id")
+    }),
+
     // HyperLogLog distinct sketch (r8, Flajolet et al. 2007) over the
     // SQL-portable mix: unlike the xxhash KMV, the oracle rebuilds
     // the EXACT register file and estimate from scratch — bucket
@@ -4945,6 +4966,34 @@ object SparkEntry {
         |  FROM toks WHERE token != '' GROUP BY token)
         |SELECT token, n, true AS exact
         |FROM freq ORDER BY n DESC, token LIMIT 15""".stripMargin,
+
+    // the exact bit set and every k-probe verdict replayed: portable
+    // mix → Kirsch-Mitzenmacher positions → distinct set-bit table →
+    // bool_and over probes (false positives included)
+    "bloom_contains" ->
+      """WITH bm0 AS (SELECT
+        |    doc_id % 1000000007 * 2654435761 % 1000000007 AS h0
+        |  FROM documents WHERE doc_id < 30),
+        |bm1 AS (SELECT xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1
+        |  FROM bm0),
+        |bm2 AS (SELECT xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h
+        |  FROM bm1),
+        |bits AS (SELECT DISTINCT
+        |    (h % 1024 + i.i * ((h // 1024) * 2 + 1)) % 1024 AS p
+        |  FROM bm2, unnest(range(0, 3)) AS i(i)),
+        |q0 AS (SELECT doc_id,
+        |    (doc_id % 97) % 1000000007 * 2654435761 % 1000000007 AS h0
+        |  FROM documents WHERE doc_id < 300),
+        |q1 AS (SELECT doc_id,
+        |    xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM q0),
+        |q2 AS (SELECT doc_id,
+        |    xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h FROM q1),
+        |probes AS (SELECT doc_id,
+        |    (h % 1024 + i.i * ((h // 1024) * 2 + 1)) % 1024 AS p
+        |  FROM q2, unnest(range(0, 3)) AS i(i))
+        |SELECT pr.doc_id, bool_and(b.p IS NOT NULL) AS hit
+        |FROM probes pr LEFT JOIN bits b ON b.p = pr.p
+        |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
 
     // the FULL HLL pipeline re-derived: portable mix → bucket/rho →
     // register max → integer harmonic sum (exact in BIGINT on both

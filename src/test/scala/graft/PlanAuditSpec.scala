@@ -665,4 +665,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(physical(run("zip_extract")).contains("Generate explode"))
     assert(physical(run("tar_extract")).contains("Generate explode"))
   }
+
+  test("bloom_contains: the corpus is never shuffled — the filter is a " +
+    "ONE-ROW broadcast and membership a per-row probe (the " +
+    "decontamination-as-broadcast shape)") {
+    val plan = physical(run("bloom_contains"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("IdentityBroadcastMode"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only hash exchanges serve the one-row benchmark aggregate
+    // and the final presentation sort, never the corpus rows
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
 }
