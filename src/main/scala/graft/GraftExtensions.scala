@@ -87,6 +87,7 @@ object GraftExtensions {
     "tar_entries" -> (es => TarEntries(es.head)),
     "pdf_text" -> (es => PdfText(es.head)),
     "robots_allowed" -> (es => RobotsAllowed(es(0), es(1))),
+    "contains_any" -> (es => ContainsAny(es(0), es(1))),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
     "tar_extract" -> (es => TarExtract(es(0), es(1))),
     "targz_media_for_id" -> (es => TarGzMediaBytes(es.head)),

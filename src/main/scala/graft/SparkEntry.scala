@@ -1877,6 +1877,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Blocklist filtering (r8): the C4 "bad words" rule shape — one
+    // Aho-Corasick pass per document finds every listed phrase
+    // simultaneously (the naive form is |patterns| regex scans; at
+    // crawl scale that turns scan-bound ingest CPU-bound). The
+    // automaton builds once per plan from the literal list.
+    "blocklist_filter" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .selectExpr("doc_id",
+          "contains_any(text, array('vector table', 'stream merge', " +
+            "'slow query', 'zz-never-present')) AS blocked")
+        .orderBy("doc_id")
+    }),
+
     // robots.txt governance (r8): the RFC 9309 decision per URL —
     // grouped directive parse, longest-pattern-wins, Allow on ties,
     // comments/Sitemap/Crawl-delay skipped. The fixture rules stay in
@@ -4768,6 +4782,15 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // the automaton's verdict vs four independent substring tests —
+    // a fail-link or output-propagation bug flips a row
+    "blocklist_filter" ->
+      """SELECT doc_id,
+        |  (contains(text, 'vector table') OR contains(text, 'stream merge')
+        |   OR contains(text, 'slow query')
+        |   OR contains(text, 'zz-never-present')) AS blocked
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     // the longest-prefix-wins decision replayed rule by rule — the
     // engine parsed directive groups and matched patterns; the oracle
