@@ -310,12 +310,14 @@ object MediaFixtures {
 
   /** PDF fixture: 1 + id%3 pages, 2 + (id+p)%3 closed-form lines per
     * page, alternating Tj/TJ show operators; odd ids wrap content
-    * streams in /FlateDecode ([[Pdf.pdf]]). */
+    * streams in /FlateDecode, and ids with id%4 >= 2 take the PDF 1.5
+    * container form (xref STREAM + object stream) so both file shapes
+    * ride the corpus under one oracle ([[Pdf.pdf]]). */
   def pdfMediaFor(id: Long): Array[Byte] = {
     val pages = (0 until (1 + id % 3).toInt).map { p =>
       (0 until (2 + (id + p) % 3).toInt).map(k => s"pdf $id p$p l$k")
     }
-    Pdf.pdf(pages, deflate = id % 2 == 1)
+    Pdf.pdf(pages, deflate = id % 2 == 1, xrefStream = id % 4 >= 2)
   }
 
   /** tar.gz fixture: 1 + id%3 closed-form text entries through the

@@ -268,9 +268,16 @@ object Pdf {
 
   // ------------------------------------------------------------- xref
 
-  /** startxref → classic xref table(s) → (offsets, trailer). Follows
-    * /Prev chains (bounded). Xref streams are out of subset. */
-  private def readXref(b: Array[Byte]): (Map[Int, Long], Map[String, PVal]) = {
+  /** Where an object lives: directly at a byte offset, or as entry
+    * `idx` inside the object stream numbered `objStm` (PDF 1.5). */
+  private sealed trait Loc
+  private final case class AtOffset(off: Long) extends Loc
+  private final case class InObjStm(objStm: Int, idx: Int) extends Loc
+
+  /** startxref → either a classic xref table or a PDF 1.5 xref STREAM
+    * (/Type /XRef: W-packed binary rows, FlateDecode, PNG predictors)
+    * → (locations, trailer). Follows /Prev chains (bounded). */
+  private def readXref(b: Array[Byte]): (Map[Int, Loc], Map[String, PVal]) = {
     // find the last "startxref" in the tail window
     val tailStart = math.max(0, b.length - 2048)
     val tail = new String(b, tailStart, b.length - tailStart, "ISO-8859-1")
@@ -279,7 +286,7 @@ object Pdf {
     val lx0 = new Lexer(b)
     lx0.pos = tailStart + sx + "startxref".length
     val xrefAt = lx0.parseNumber().toLong
-    var offsets = Map.empty[Int, Long]
+    var locs = Map.empty[Int, Loc]
     var trailer: Map[String, PVal] = null
     var at = xrefAt
     var hops = 0
@@ -288,33 +295,93 @@ object Pdf {
       val lx = new Lexer(b)
       lx.pos = at.toInt
       lx.skipWs()
-      lx.expect("xref")
-      var going = true
-      while (going) {
-        lx.skipWs()
-        if (lx.peek == 't') { lx.expect("trailer"); going = false }
-        else {
-          val first = lx.parseNumber().toInt
-          val n = lx.parseNumber().toInt
-          if (first < 0 || n < 0 || first + n > MaxObjects) throw new Bad
-          var i = 0
-          while (i < n) {
-            val off = lx.parseNumber().toLong
-            lx.parseNumber() // generation
+      val t =
+        if (lx.peek == 'x') { // classic table
+          lx.expect("xref")
+          var going = true
+          while (going) {
             lx.skipWs()
-            val kind = lx.next()
-            if (kind != 'n' && kind != 'f') throw new Bad
-            // earlier tables in the /Prev chain must not override newer
-            if (kind == 'n' && !offsets.contains(first + i))
-              offsets = offsets.updated(first + i, off)
-            i += 1
+            if (lx.peek == 't') { lx.expect("trailer"); going = false }
+            else {
+              val first = lx.parseNumber().toInt
+              val n = lx.parseNumber().toInt
+              if (first < 0 || n < 0 || first + n > MaxObjects) throw new Bad
+              var i = 0
+              while (i < n) {
+                val off = lx.parseNumber().toLong
+                lx.parseNumber() // generation
+                lx.skipWs()
+                val kind = lx.next()
+                if (kind != 'n' && kind != 'f') throw new Bad
+                // earlier tables in the /Prev chain must not override
+                if (kind == 'n' && !locs.contains(first + i))
+                  locs = locs.updated(first + i, AtOffset(off))
+                i += 1
+              }
+            }
           }
+          parseVal(lx, null) match {
+            case PDict(d) => d
+            case _ => throw new Bad
+          }
+        } else { // PDF 1.5 xref stream: "N G obj << ... >> stream"
+          lx.parseNumber(); lx.parseNumber()
+          lx.skipWs()
+          lx.expect("obj")
+          val (dict, data) = parseVal(lx, null) match {
+            case PStream(d, raw) => (d, decodeXrefStream(d, raw))
+            case _ => throw new Bad
+          }
+          if (dict.get("Type") != Some(PName("XRef"))) throw new Bad
+          val ws = dict.get("W") match {
+            case Some(PArr(a)) if a.length == 3 =>
+              a.map { case PNum(v) => v.toInt; case _ => throw new Bad }
+            case _ => throw new Bad
+          }
+          if (ws.exists(w => w < 0 || w > 8)) throw new Bad
+          val rowLen = ws.sum
+          if (rowLen <= 0) throw new Bad
+          val size = dict.get("Size") match {
+            case Some(PNum(v)) => v.toInt
+            case _ => throw new Bad
+          }
+          val index: Vector[(Int, Int)] = dict.get("Index") match {
+            case Some(PArr(a)) if a.length % 2 == 0 =>
+              a.grouped(2).map {
+                case Vector(PNum(s), PNum(n)) => (s.toInt, n.toInt)
+                case _ => throw new Bad
+              }.toVector
+            case None => Vector((0, size))
+            case _ => throw new Bad
+          }
+          var pos = 0
+          def field(w: Int, dflt: Long): Long = {
+            if (w == 0) return dflt
+            var v = 0L
+            var i = 0
+            while (i < w) { v = (v << 8) | (data(pos + i) & 0xff); i += 1 }
+            pos += w
+            v
+          }
+          index.foreach { case (start, n) =>
+            if (start < 0 || n < 0 || start + n > MaxObjects) throw new Bad
+            var i = 0
+            while (i < n) {
+              if (pos + rowLen > data.length) throw new Bad
+              val typ = field(ws(0), 1L) // absent type field defaults to 1
+              val f2 = field(ws(1), 0L)
+              val f3 = field(ws(2), 0L)
+              val num = start + i
+              if (!locs.contains(num)) typ match {
+                case 1 => locs = locs.updated(num, AtOffset(f2))
+                case 2 => locs = locs.updated(num, InObjStm(f2.toInt, f3.toInt))
+                case _ => () // type 0 free (or unknown: skip, per spec)
+              }
+              i += 1
+            }
+          }
+          dict // the xref stream's dict IS the trailer
         }
-      }
-      val t = parseVal(lx, null) match {
-        case PDict(d) => d
-        case _ => throw new Bad
-      }
       if (trailer == null) trailer = t
       at = t.get("Prev") match {
         case Some(PNum(v)) => v.toLong
@@ -323,7 +390,75 @@ object Pdf {
       hops += 1
     }
     if (trailer == null) throw new Bad
-    (offsets, trailer)
+    (locs, trailer)
+  }
+
+  /** Decode an xref stream's payload: FlateDecode (direct /Length
+    * only, per the chicken-and-egg rule) + the PNG row predictors
+    * (/DecodeParms /Predictor >= 10) modern writers emit. */
+  private def decodeXrefStream(dict: Map[String, PVal],
+      raw: Array[Byte]): Array[Byte] = {
+    val inflated = dict.get("Filter") match {
+      case None => raw
+      case Some(PName("FlateDecode")) => inflate(raw)
+      case _ => throw new Bad
+    }
+    dict.get("DecodeParms") match {
+      case Some(PDict(p)) =>
+        val pred = p.get("Predictor") match {
+          case Some(PNum(v)) => v.toInt
+          case None => 1
+          case _ => throw new Bad
+        }
+        if (pred == 1) inflated
+        else if (pred >= 10) {
+          val cols = p.get("Columns") match {
+            case Some(PNum(v)) => v.toInt
+            case _ => throw new Bad
+          }
+          if (cols <= 0 || cols > 64) throw new Bad
+          pngUnpredict(inflated, cols)
+        } else throw new Bad
+      case None => inflated
+      case _ => throw new Bad
+    }
+  }
+
+  /** PNG row unfiltering with bpp = 1 byte (the xref-stream case):
+    * each row is a filter-type byte + `cols` data bytes. */
+  private def pngUnpredict(data: Array[Byte], cols: Int): Array[Byte] = {
+    if (data.length % (cols + 1) != 0) throw new Bad
+    val rows = data.length / (cols + 1)
+    val out = new Array[Byte](rows * cols)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (cols + 1)) & 0xff
+      var c = 0
+      while (c < cols) {
+        val x = data(r * (cols + 1) + 1 + c) & 0xff
+        val left = if (c > 0) out(r * cols + c - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * cols + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) out((r - 1) * cols + c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left
+            else if (pb <= pc) up else ul)
+          case _ => throw new Bad
+        }
+        out(r * cols + c) = v.toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   // ------------------------------------------------------------- loader
@@ -332,24 +467,76 @@ object Pdf {
     val (offsets, trailer) = readXref(b)
     private val memo = new java.util.HashMap[Int, PVal]()
 
-    /** Fetch object `num`, validating the `N G obj` header on site. */
+    /** Fetch object `num` — at its byte offset (validating the
+      * `N G obj` header on site) or out of its object stream. */
     def fetch(num: Int, depth: Int): PVal = {
       if (depth > MaxRefDepth) throw new Bad
       val cached = memo.get(num)
       if (cached != null) return cached
-      val off = offsets.getOrElse(num, throw new Bad)
-      if (off < 0 || off >= b.length) throw new Bad
-      val lx = new Lexer(b)
-      lx.pos = off.toInt
-      lx.skipWs()
-      if (lx.parseNumber().toInt != num) throw new Bad
-      lx.parseNumber() // generation
-      lx.skipWs()
-      lx.expect("obj")
-      val v = parseVal(lx, r => numOf(fetch(r.num, depth + 1)))
+      val v = offsets.getOrElse(num, throw new Bad) match {
+        case AtOffset(off) =>
+          if (off < 0 || off >= b.length) throw new Bad
+          val lx = new Lexer(b)
+          lx.pos = off.toInt
+          lx.skipWs()
+          if (lx.parseNumber().toInt != num) throw new Bad
+          lx.parseNumber() // generation
+          lx.skipWs()
+          lx.expect("obj")
+          parseVal(lx, r => numOf(fetch(r.num, depth + 1)))
+        case InObjStm(stmNum, idx) => fromObjStm(stmNum, idx, num, depth)
+      }
       memo.put(num, v)
       v
     }
+
+    /** PDF 1.5 object stream (/Type /ObjStm): /N (objnum, offset)
+      * integer pairs, then the objects back to back at /First +
+      * offset — no obj/endobj wrappers, no nested streams. */
+    private def fromObjStm(stmNum: Int, idx: Int, wantNum: Int,
+        depth: Int): PVal = {
+      val (dict, data) = fetch(stmNum, depth + 1) match {
+        case PStream(d, raw) => (d, resolveD(d, "Filter", depth) match {
+          case None => raw
+          case Some(PName("FlateDecode")) => inflate(raw)
+          case _ => throw new Bad
+        })
+        case _ => throw new Bad
+      }
+      if (dict.get("Type") != Some(PName("ObjStm"))) throw new Bad
+      val n = dict.get("N") match {
+        case Some(PNum(v)) => v.toInt
+        case _ => throw new Bad
+      }
+      val first = dict.get("First") match {
+        case Some(PNum(v)) => v.toInt
+        case _ => throw new Bad
+      }
+      if (idx < 0 || idx >= n || n > MaxObjects) throw new Bad
+      val hx = new Lexer(data)
+      var objOff = -1L
+      var i = 0
+      while (i < n) {
+        val on = hx.parseNumber().toLong
+        val off = hx.parseNumber().toLong
+        if (i == idx) {
+          if (on != wantNum) throw new Bad // index must name our object
+          objOff = off
+        }
+        i += 1
+      }
+      if (objOff < 0 || first + objOff >= data.length) throw new Bad
+      val ox = new Lexer(data)
+      ox.pos = (first + objOff).toInt
+      parseVal(ox, null)
+    }
+
+    private def resolveD(d: Map[String, PVal], k: String,
+        depth: Int): Option[PVal] =
+      d.get(k).map {
+        case PRef(rn, _) => fetch(rn, depth + 1)
+        case other => other
+      }
 
     private def numOf(v: PVal): Option[Long] = v match {
       case PNum(n) => Some(n.toLong)
@@ -520,7 +707,16 @@ object Pdf {
   /** A complete spec-valid PDF: catalog → pages → page leaves, one
     * content stream per page showing `lines(p)` with alternating
     * `Tj`/`TJ` forms, a correct xref table (real byte offsets) and
-    * trailer. `deflate` wraps content streams in /FlateDecode. */
+    * trailer. `deflate` wraps content streams in /FlateDecode. With
+    * `xrefStream = true` the file takes the PDF 1.5 shape modern
+    * generators emit: all dict objects packed into one /ObjStm and a
+    * /XRef STREAM (W-packed rows, Flate + PNG Up predictor) instead
+    * of the classic table. */
+  def pdf(pageLines: Seq[Seq[String]], deflate: Boolean,
+      xrefStream: Boolean): Array[Byte] =
+    if (xrefStream) pdf15(pageLines, deflate)
+    else pdf(pageLines, deflate)
+
   def pdf(pageLines: Seq[Seq[String]], deflate: Boolean): Array[Byte] = {
     require(pageLines.nonEmpty && pageLines.length <= 256)
     def esc(s: String): String =
@@ -601,6 +797,147 @@ object Pdf {
       w(f"${offsets(n)}%010d 00000 n \n")
     }
     w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefAt\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** One page's content operators (shared by both writer forms). */
+  private def contentOps(lines: Seq[String]): String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    val ops = new StringBuilder
+    ops.append("BT /F1 12 Tf 72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, k) =>
+      if (k > 0) ops.append("0 -14 Td\n")
+      if (k % 2 == 0) ops.append(s"(${esc(line)}) Tj\n")
+      else {
+        val cut = line.length / 2
+        ops.append(s"[(${esc(line.substring(0, cut))}) -250 " +
+          s"(${esc(line.substring(cut))})] TJ\n")
+      }
+    }
+    ops.append("ET")
+    ops.toString
+  }
+
+  private def flate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      bos.toByteArray
+    } finally d.end()
+  }
+
+  /** The PDF 1.5 form: catalog/pages/font/page dicts packed into one
+    * object stream, content streams standalone, and a /XRef stream
+    * (W = [1 4 2], Flate, PNG Up predictor) closing the file. */
+  private def pdf15(pageLines: Seq[Seq[String]], deflate: Boolean)
+      : Array[Byte] = {
+    require(pageLines.nonEmpty && pageLines.length <= 256)
+    val nPages = pageLines.length
+    val pageObj = (p: Int) => 4 + p
+    val contentObj = (p: Int) => 4 + nPages + p
+    val objStmNum = 4 + 2 * nPages
+    val xrefNum = objStmNum + 1
+    // ---- the object stream: all dict-only objects
+    val dictObjs: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> (s"<< /Type /Pages /Kids [" +
+          (0 until nPages).map(p => s"${pageObj(p)} 0 R").mkString(" ") +
+          s"] /Count $nPages >>"),
+        3 -> ("<< /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >>")) ++
+      (0 until nPages).map { p =>
+        pageObj(p) -> (s"<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents ${contentObj(p)} 0 R >>")
+      }
+    val bodies = dictObjs.map(_._2.getBytes("ISO-8859-1"))
+    val objOffsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1)
+    val header = dictObjs.zip(objOffsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + " "
+    val headerB = header.getBytes("ISO-8859-1")
+    val stmRaw = new java.io.ByteArrayOutputStream()
+    stmRaw.write(headerB, 0, headerB.length)
+    bodies.foreach { bb => stmRaw.write(bb, 0, bb.length); stmRaw.write('\n') }
+    val stmData0 = stmRaw.toByteArray
+    val (stmData, stmFilter) =
+      if (deflate) (flate(stmData0), "/Filter /FlateDecode ") else (stmData0, "")
+    // ---- assemble the file
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    // content streams (standalone, as in the classic form)
+    (0 until nPages).foreach { p =>
+      val raw = contentOps(pageLines(p)).getBytes("ISO-8859-1")
+      val (data, filter) =
+        if (deflate) (flate(raw), "/Filter /FlateDecode ") else (raw, "")
+      offsets(contentObj(p)) = out.size()
+      w(s"${contentObj(p)} 0 obj\n<< ${filter}/Length ${data.length} " +
+        s">>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+    // the object stream
+    offsets(objStmNum) = out.size()
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${dictObjs.length} " +
+      s"/First ${headerB.length} ${stmFilter}/Length ${stmData.length} " +
+      s">>\nstream\n")
+    out.write(stmData, 0, stmData.length)
+    w("\nendstream\nendobj\n")
+    // the xref stream: W = [1 4 2], rows for objects 0..xrefNum
+    val xrefAt = out.size()
+    offsets(xrefNum) = xrefAt
+    val cols = 7
+    val size = xrefNum + 1
+    val rows = new Array[Byte](size * cols)
+    def putRow(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = num * cols
+      rows(o) = t.toByte
+      rows(o + 1) = (f2 >> 24).toByte; rows(o + 2) = (f2 >> 16).toByte
+      rows(o + 3) = (f2 >> 8).toByte; rows(o + 4) = f2.toByte
+      rows(o + 5) = (f3 >> 8).toByte; rows(o + 6) = f3.toByte
+    }
+    putRow(0, 0, 0, 0) // the free-list head
+    dictObjs.zipWithIndex.foreach { case ((num, _), idx) =>
+      putRow(num, 2, objStmNum.toLong, idx)
+    }
+    (0 until nPages).foreach(p =>
+      putRow(contentObj(p), 1, offsets(contentObj(p)).toLong, 0))
+    putRow(objStmNum, 1, offsets(objStmNum).toLong, 0)
+    putRow(xrefNum, 1, xrefAt.toLong, 0)
+    // PNG Up predictor (type 2): row minus previous row, bytewise
+    val pred = new Array[Byte](size * (cols + 1))
+    var r = 0
+    while (r < size) {
+      pred(r * (cols + 1)) = 2
+      var c = 0
+      while (c < cols) {
+        val prev = if (r > 0) rows((r - 1) * cols + c) & 0xff else 0
+        pred(r * (cols + 1) + 1 + c) =
+          (((rows(r * cols + c) & 0xff) - prev) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val xrefData = flate(pred)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Index [0 $size] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 " +
+      s"/Columns $cols >> /Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData, 0, xrefData.length)
+    w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefAt\n")
     w("%%EOF\n")
     out.toByteArray

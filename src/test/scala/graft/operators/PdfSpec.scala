@@ -61,6 +61,46 @@ class PdfSpec extends SparkTestBase {
     assert(Pdf.text(enc.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("the PDF 1.5 container (xref stream + ObjStm + PNG Up " +
+    "predictor) decodes to the same text as the classic form") {
+    for (deflate <- Seq(false, true)) {
+      val pages = Seq(
+        Seq("modern container a", "modern container b"),
+        Seq("page two"), Seq("page three x", "y", "z"))
+      val classic = Pdf.pdf(pages, deflate)
+      val modern = Pdf.pdf(pages, deflate, xrefStream = true)
+      assert(new String(modern, 0, 8, "ISO-8859-1") == "%PDF-1.5")
+      assert(Pdf.extract(modern) == Pdf.extract(classic),
+        s"deflate=$deflate")
+      assert(Pdf.pageCount(modern).contains(3))
+    }
+  }
+
+  test("PDF 1.5 dirty bytes reject: corrupt xref-stream data, ObjStm " +
+    "header/index lies, truncation") {
+    val b = Pdf.pdf(Seq(Seq("line a", "line b")), deflate = true,
+      xrefStream = true)
+    assert(Pdf.text(b).isDefined)
+    assert(Pdf.text(b.take(b.length * 2 / 3)).isEmpty)
+    // flip bytes inside the (flate-compressed) xref stream payload
+    val s = new String(b, "ISO-8859-1")
+    val xs = s.indexOf("stream\n", s.indexOf("/Type /XRef")) + 7
+    val bad = b.clone()
+    bad(xs + 3) = (bad(xs + 3) ^ 0x7f).toByte
+    assert(Pdf.text(bad).isEmpty)
+    // an ObjStm whose header names the wrong object must reject: the
+    // header pairs live in the ObjStm payload — find and corrupt the
+    // first object number digit ('1 0 2 ...' -> '9 0 2 ...') in the
+    // UNCOMPRESSED variant
+    val raw = Pdf.pdf(Seq(Seq("x")), deflate = false, xrefStream = true)
+    val rs = new String(raw, "ISO-8859-1")
+    val stmAt = rs.indexOf("/Type /ObjStm")
+    val dataAt = rs.indexOf("stream\n", stmAt) + 7
+    val lied = raw.clone()
+    lied(dataAt) = '9'
+    assert(Pdf.text(lied).isEmpty)
+  }
+
   test("fixtures follow the closed forms the oracle re-derives") {
     for (id <- 0L to 8L) {
       val (n, t) = Pdf.extract(MediaFixtures.pdfMediaFor(id)).get
