@@ -88,6 +88,8 @@ object GraftExtensions {
     "pdf_text" -> (es => PdfText(es.head)),
     "robots_allowed" -> (es => RobotsAllowed(es(0), es(1))),
     "contains_any" -> (es => ContainsAny(es(0), es(1))),
+    "ogg_meta" -> (es => OggMeta(es.head)),
+    "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
     "tar_extract" -> (es => TarExtract(es(0), es(1))),
     "targz_media_for_id" -> (es => TarGzMediaBytes(es.head)),

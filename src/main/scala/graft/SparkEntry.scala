@@ -1877,6 +1877,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Ogg container triage (r8): the open web audio shapes
+    // (.ogg/.opus) — page walk with every CRC verified, lacing-table
+    // packet accounting, Vorbis/Opus BOS identification.
+    "ogg_meta" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 80)
+        .selectExpr("doc_id",
+          "ogg_meta(ogg_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id", "m.codec",
+          "CAST(m.channels AS BIGINT) AS channels", "m.sample_rate",
+          "CAST(m.pages AS BIGINT) AS pages",
+          "CAST(m.packets AS BIGINT) AS packets", "m.last_granule")
+        .orderBy("doc_id")
+    }),
+
     // Blocklist filtering (r8): the C4 "bad words" rule shape — one
     // Aho-Corasick pass per document finds every listed phrase
     // simultaneously (the naive form is |patterns| regex scans; at
@@ -4782,6 +4797,21 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // every field re-derived in closed form — the engine walked
+    // CRC-verified pages and counted lacing-terminated packets
+    "ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 48000
+        |    ELSE 8000 * (1 + doc_id % 3) END AS BIGINT) AS sample_rate,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS pages,
+        |  CAST(1 + (1 + doc_id % 3) * (2 + doc_id % 2) AS BIGINT)
+        |    AS packets,
+        |  CAST((1 + doc_id % 3) * 960 * (1 + doc_id % 4) AS BIGINT)
+        |    AS last_granule
+        |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin,
 
     // the automaton's verdict vs four independent substring tests —
     // a fail-link or output-propagation bug flips a row

@@ -308,6 +308,20 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** Ogg fixture: Vorbis/Opus alternating by parity; closed-form
+    * page count, packets per page, and granule steps; each audio
+    * page carries one 300-byte packet so the 255-lace continuation
+    * path is always exercised ([[Ogg.ogg]]). */
+  def oggMediaFor(id: Long): Array[Byte] =
+    Ogg.ogg(
+      opus = id % 2 == 1,
+      channels = (1 + id % 2).toInt,
+      rate = if (id % 2 == 1) 48000L else 8000L * (1 + id % 3),
+      nPages = (1 + id % 3).toInt,
+      packetsPerPage = (2 + id % 2).toInt,
+      granuleStep = 960L * (1 + id % 4),
+      seed = id)
+
   /** PDF fixture: 1 + id%3 pages, 2 + (id+p)%3 closed-form lines per
     * page, alternating Tj/TJ show operators; odd ids wrap content
     * streams in /FlateDecode, and ids with id%4 >= 2 take the PDF 1.5
