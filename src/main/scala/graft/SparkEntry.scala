@@ -2105,23 +2105,32 @@ object SparkEntry {
     }),
 
     // Bloom-filter membership (r8) over the portable mix: the
-    // decontamination-as-broadcast shape — one bounded bit array
-    // built over the benchmark side, broadcast, corpus filtered by a
-    // per-row map (no corpus shuffle, no join). The oracle re-derives
-    // the exact bit set and every verdict INCLUDING which false
+    // decontamination-as-broadcast shape, in its FROZEN-MODEL form —
+    // the bounded bit array materializes once (one driver row, like
+    // every frozen model here) and rides the plan as a LITERAL, so
+    // the corpus pays a per-row probe and nothing else. The join
+    // form (crossJoin of a one-row filter) is measurably wrong at
+    // scale: the joined filter column is copied into EVERY output
+    // row — filter-size × corpus-rows of memcpy (30 µs/row at
+    // m = 2^20 vs ~0.3 µs as a literal). The oracle re-derives the
+    // exact bit set and every verdict INCLUDING which false
     // positives fire — the probabilistic structure itself is
     // oracle-checked.
     "bloom_contains" -> ((s, dir) => {
       Graft.init(s)
       val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") < 30)
+      val bf = docs.filter(col("doc_id") < 30)
         .withColumn("h", operators.Sampling.portableMix(col("doc_id")))
-        .agg(expr("bloom_build(h, 1024, 3)").as("bf"))
+        .agg(expr("bloom_build(h, 1024, 3)")).head().getAs[Array[Byte]](0)
       docs.filter(col("doc_id") < 300)
         .withColumn("h",
           operators.Sampling.portableMix(pmod(col("doc_id"), lit(97))))
-        .crossJoin(broadcast(bench))
-        .selectExpr("doc_id", "bloom_contains(bf, h) AS hit")
+        .select(col("doc_id"), org.apache.spark.sql.graftshim.Shim.column(
+          functions.BloomContains(
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(bf, org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.graftshim.Shim.expression(col("h"))))
+          .as("hit"))
         .orderBy("doc_id")
     }),
 

