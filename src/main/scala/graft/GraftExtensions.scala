@@ -89,6 +89,8 @@ object GraftExtensions {
     "robots_allowed" -> (es => RobotsAllowed(es(0), es(1))),
     "contains_any" -> (es => ContainsAny(es(0), es(1))),
     "ogg_meta" -> (es => OggMeta(es.head)),
+    "mime_message" -> (es => MimeMessage(es.head)),
+    "eml_media_for_id" -> (es => EmlMediaBytes(es.head)),
     "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
     "tar_extract" -> (es => TarExtract(es(0), es(1))),

@@ -1877,6 +1877,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Email/MIME extraction (r8): mailing-list archives are a classic
+    // pretraining corpus — header unfolding, RFC 2047 encoded-word
+    // subjects (B and adjacent-Q forms), base64/quoted-printable
+    // reversal, multipart traversal keeping the text/plain leaves.
+    "mime_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 120)
+        .selectExpr("doc_id",
+          "mime_message(eml_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id", "m.`from` AS sender", "m.subject",
+          "m.content_type", "CAST(m.n_parts AS BIGINT) AS n_parts",
+          "m.text")
+        .orderBy("doc_id")
+    }),
+
     // Ogg container triage (r8): the open web audio shapes
     // (.ogg/.opus) — page walk with every CRC verified, lacing-table
     // packet accounting, Vorbis/Opus BOS identification.
@@ -4805,6 +4820,25 @@ object SparkEntry {
         |  (SELECT string_agg('w' || ((doc_id * 7 + j.j) % 50), ' '
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // every decoded field stated plainly — the engine reversed the
+    // base64/QP/encoded-word layers the fixture applied
+    "mime_extract" ->
+      """SELECT doc_id,
+        |  'user' || doc_id || '@example.com' AS sender,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'Résumé ' || doc_id
+        |    WHEN 1 THEN 'part one ' || doc_id
+        |    ELSE 'plain subject ' || doc_id END AS subject,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'multipart/mixed'
+        |    ELSE 'text/plain' END AS content_type,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 3 ELSE 1 END
+        |    AS BIGINT) AS n_parts,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'corps é ' || doc_id || ' ligne'
+        |    WHEN 1 THEN 'part text ' || doc_id
+        |    ELSE 'plain body ' || doc_id END AS text
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
 
     // every field re-derived in closed form — the engine walked

@@ -308,6 +308,54 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** Email fixture cycling three shapes: QP body + B-encoded-word
+    * subject; multipart/mixed (base64 text/plain + an html part kept
+    * out of `text`) + adjacent Q encoded-words; plain 7bit
+    * ([[Mime.parse]] reverses each). */
+  def emlMediaFor(id: Long): Array[Byte] = {
+    val b64 = java.util.Base64.getEncoder
+    val date = s"Thu, 01 Jan 2026 00:00:0${id % 10} +0000"
+    val msg = (id % 3) match {
+      case 0 =>
+        val subj = b64.encodeToString(s"Résumé $id".getBytes("UTF-8"))
+        s"""From: user$id@example.com
+           |To: list@example.com
+           |Subject: =?UTF-8?B?$subj?=
+           |Date: $date
+           |Content-Type: text/plain; charset=utf-8
+           |Content-Transfer-Encoding: quoted-printable
+           |
+           |corps =C3=A9 $id ligne""".stripMargin
+      case 1 =>
+        val body = b64.encodeToString(s"part text $id".getBytes("UTF-8"))
+        s"""From: user$id@example.com
+           |To: list@example.com
+           |Subject: =?UTF-8?Q?part_one_?= =?UTF-8?Q?$id?=
+           |Date: $date
+           |Content-Type: multipart/mixed; boundary="b$id"
+           |
+           |preamble ignored
+           |--b$id
+           |Content-Type: text/plain; charset=utf-8
+           |Content-Transfer-Encoding: base64
+           |
+           |$body
+           |--b$id
+           |Content-Type: text/html
+           |
+           |<p>html $id</p>
+           |--b$id--""".stripMargin
+      case _ =>
+        s"""From: user$id@example.com
+           |To: list@example.com
+           |Subject: plain subject $id
+           |Date: $date
+           |
+           |plain body $id""".stripMargin
+    }
+    msg.getBytes("UTF-8")
+  }
+
   /** Ogg fixture: Vorbis/Opus alternating by parity; closed-form
     * page count, packets per page, and granule steps; each audio
     * page carries one 300-byte packet so the 255-lace continuation
