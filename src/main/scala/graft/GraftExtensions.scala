@@ -90,6 +90,8 @@ object GraftExtensions {
     "contains_any" -> (es => ContainsAny(es(0), es(1))),
     "ogg_meta" -> (es => OggMeta(es.head)),
     "mime_message" -> (es => MimeMessage(es.head)),
+    "subtitle_cues" -> (es => SubtitleCues(es.head)),
+    "subtitle_media_for_id" -> (es => SubtitleMediaText(es.head)),
     "eml_media_for_id" -> (es => EmlMediaBytes(es.head)),
     "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),

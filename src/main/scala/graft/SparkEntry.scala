@@ -1877,6 +1877,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Subtitle extraction (r8): SRT and WebVTT cues — the transcript
+    // side of video-text mining. Both wire formats cycle the corpus;
+    // timings become exact integer milliseconds.
+    "subtitle_cues" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .selectExpr("doc_id",
+          "explode(subtitle_cues(subtitle_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS c")
+        .selectExpr("doc_id", "CAST(c.idx AS BIGINT) AS idx",
+          "c.start_ms", "c.end_ms", "c.text")
+        .orderBy("doc_id", "idx")
+    }),
+
     // Email/MIME extraction (r8): mailing-list archives are a classic
     // pretraining corpus — header unfolding, RFC 2047 encoded-word
     // subjects (B and adjacent-Q forms), base64/quoted-printable
@@ -4821,6 +4835,23 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // timings and text re-derived in closed form — the engine parsed
+    // two timing grammars (comma vs dot decimals, optional hours,
+    // cue ids and settings, NOTE blocks)
+    "subtitle_cues" ->
+      """SELECT d.doc_id,
+        |  CAST(k.k + 1 AS BIGINT) AS idx,
+        |  CAST(k.k * 2000 + (d.doc_id % 7) * 10 AS BIGINT) AS start_ms,
+        |  CAST(k.k * 2000 + (d.doc_id % 7) * 10 + 1500 AS BIGINT)
+        |    AS end_ms,
+        |  'cue ' || k.k || ' of ' || d.doc_id ||
+        |    CASE WHEN k.k % 2 = 1 THEN chr(10) || 'line two'
+        |      ELSE '' END AS text
+        |FROM documents d,
+        |     LATERAL unnest(range(0, 1 + d.doc_id % 4)) AS k(k)
+        |WHERE d.doc_id < 100
+        |ORDER BY d.doc_id, idx""".stripMargin,
 
     // every decoded field stated plainly — the engine reversed the
     // base64/QP/encoded-word layers the fixture applied

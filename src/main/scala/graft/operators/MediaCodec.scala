@@ -308,6 +308,18 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** Subtitle fixture: SRT (even ids, comma decimals) / WebVTT (odd
+    * ids, dot decimals + NOTE block + cue settings) with closed-form
+    * timings and text; odd cues carry a second line. */
+  def subtitleMediaFor(id: Long): String = {
+    val cues = (0 until (1 + id % 4).toInt).map { k =>
+      val start = k * 2000L + (id % 7) * 10
+      val text = s"cue $k of $id" + (if (k % 2 == 1) "\nline two" else "")
+      (start, start + 1500L, text)
+    }
+    if (id % 2 == 0) Subtitles.srt(cues) else Subtitles.vtt(cues)
+  }
+
   /** Email fixture cycling three shapes: QP body + B-encoded-word
     * subject; multipart/mixed (base64 text/plain + an html part kept
     * out of `text`) + adjacent Q encoded-words; plain 7bit
