@@ -91,6 +91,8 @@ object GraftExtensions {
     "ogg_meta" -> (es => OggMeta(es.head)),
     "mime_message" -> (es => MimeMessage(es.head)),
     "subtitle_cues" -> (es => SubtitleCues(es.head)),
+    "parquet_meta" -> (es => ParquetMetaExpr(es.head)),
+    "parquet_media_for_id" -> (es => ParquetMediaBytes(es.head)),
     "subtitle_media_for_id" -> (es => SubtitleMediaText(es.head)),
     "eml_media_for_id" -> (es => EmlMediaBytes(es.head)),
     "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),

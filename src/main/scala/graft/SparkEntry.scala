@@ -1877,6 +1877,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Parquet footer triage (r8): dataset crawls meet parquet BLOBS
+    // before anything mounts them as tables — a real Thrift
+    // compact-protocol decode of FileMetaData (varints, zigzag,
+    // field-delta headers, generic recursive skip) reads schema/
+    // rows/groups/writer from the tail bytes alone.
+    "parquet_triage" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 90)
+        .selectExpr("doc_id",
+          "parquet_meta(parquet_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id", "CAST(m.version AS BIGINT) AS version",
+          "m.num_rows", "CAST(m.row_groups AS BIGINT) AS row_groups",
+          "m.total_byte_size", "m.created_by",
+          "array_join(m.fields, ',') AS fields")
+        .orderBy("doc_id")
+    }),
+
     // Subtitle extraction (r8): SRT and WebVTT cues — the transcript
     // side of video-text mining. Both wire formats cycle the corpus;
     // timings become exact integer milliseconds.
@@ -4835,6 +4852,22 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // every footer field re-derived in closed form — the engine
+    // decoded the Thrift compact protocol from the tail bytes
+    "parquet_triage" ->
+      """SELECT d.doc_id,
+        |  CAST(1 + d.doc_id % 2 AS BIGINT) AS version,
+        |  CAST(100 + d.doc_id % 50 AS BIGINT) AS num_rows,
+        |  CAST(1 + d.doc_id % 2 AS BIGINT) AS row_groups,
+        |  CAST((SELECT sum(4096 * (1 + (d.doc_id + g.g) % 5))
+        |    FROM unnest(range(0, 1 + d.doc_id % 2)) AS g(g)) AS BIGINT)
+        |    AS total_byte_size,
+        |  'graft-fixture ' || d.doc_id AS created_by,
+        |  (SELECT string_agg('c' || d.doc_id || '_' || j.j, ','
+        |     ORDER BY j.j)
+        |   FROM unnest(range(0, 1 + d.doc_id % 3)) AS j(j)) AS fields
+        |FROM documents d WHERE d.doc_id < 90 ORDER BY d.doc_id""".stripMargin,
 
     // timings and text re-derived in closed form — the engine parsed
     // two timing grammars (comma vs dot decimals, optional hours,

@@ -308,6 +308,18 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** Parquet fixture: footer-complete blobs with closed-form schema
+    * names, row counts, row-group sizes and writer string
+    * ([[ParquetMeta.parquet]]). */
+  def parquetMediaFor(id: Long): Array[Byte] =
+    ParquetMeta.parquet(
+      version = (1 + id % 2).toInt,
+      numRows = 100 + id % 50,
+      fieldNames = (0 until (1 + id % 3).toInt).map(j => s"c${id}_$j"),
+      rowGroupBytes = (0 until (1 + id % 2).toInt)
+        .map(g => 4096L * (1 + (id + g) % 5)),
+      createdBy = s"graft-fixture $id")
+
   /** Subtitle fixture: SRT (even ids, comma decimals) / WebVTT (odd
     * ids, dot decimals + NOTE block + cue settings) with closed-form
     * timings and text; odd cues carry a second line. */
