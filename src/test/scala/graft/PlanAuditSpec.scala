@@ -666,6 +666,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(physical(run("tar_extract")).contains("Generate explode"))
   }
 
+  test("document/governance queries (mime, subtitles, parquet, ogg, " +
+    "robots, blocklist): projection/generate over the scan — doc_id " +
+    "pushes down, no UDF, no mapPartitions, no join") {
+    for (q <- Seq("mime_extract", "subtitle_cues", "parquet_triage",
+      "ogg_meta", "robots_filter", "blocklist_filter")) {
+      val plan = physical(run(q))
+      assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan"),
+        s"$q: $plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+        s"$q: $plan")
+      assert(!plan.contains("SerializeFromObject") &&
+        !plan.contains("MapPartitions"), s"$q: $plan")
+      assert(!plan.contains("Join"), s"$q: $plan")
+    }
+    assert(physical(run("subtitle_cues")).contains("Generate explode"))
+  }
+
   test("bloom_contains: the corpus plan has NO join at all — the " +
     "frozen filter rides as a plan literal and membership is a " +
     "per-row probe (the decontamination-as-broadcast shape)") {

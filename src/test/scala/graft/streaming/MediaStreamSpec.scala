@@ -238,6 +238,49 @@ class MediaStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("document/governance kernels (mime, subtitles, parquet triage, " +
+    "ogg, robots, blocklist) over a file stream == batch — all pure " +
+    "map expressions") {
+    graft.Graft.init(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-stream-r8d").toString
+    spark.range(1, 25).selectExpr("id AS doc_id",
+        "eml_media_for_id(id) AS eml",
+        "subtitle_media_for_id(id) AS sub",
+        "parquet_media_for_id(id) AS pq",
+        "ogg_media_for_id(id) AS ogg",
+        "concat('/d', CAST(id % 5 AS STRING), '/p') AS path")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val batchSrc = spark.read.parquet(dir)
+
+    def features(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "doc_id",
+      "mime_message(eml).subject AS subj",
+      "size(subtitle_cues(sub)) AS n_cues",
+      "parquet_meta(pq).num_rows AS pq_rows",
+      "ogg_meta(ogg).packets AS packets",
+      "robots_allowed(concat('User-agent: *', chr(10), " +
+        "'Disallow: /d1'), path) AS allowed",
+      "contains_any(sub, array('cue 1', 'never-there')) AS hit")
+
+    val stream = spark.readStream.schema(batchSrc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = features(stream)
+      .writeStream.format("memory").queryName("doc_gov_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.toSeq
+      val streamed = spark.table("doc_gov_eq").collect().map(key).toSet
+      val batch = features(batchSrc).collect().map(key).toSet
+      assert(streamed == batch && batch.size == 24)
+      val one = features(batchSrc).filter("doc_id = 4").head()
+      assert(one.getString(1) == "part one 4" && one.getInt(2) == 1 &&
+        one.getLong(3) == 104L && one.getInt(4) == 5 &&
+        one.getBoolean(5) && !one.getBoolean(6))
+    } finally q.stop()
+  }
+
   test("the WARC crawl chain (gunzip -> record walk -> html_text) " +
     "over a file stream == batch — the CommonCrawl ingest is map-only") {
     graft.Graft.init(spark)
