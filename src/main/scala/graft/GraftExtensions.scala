@@ -92,6 +92,10 @@ object GraftExtensions {
     "mime_message" -> (es => MimeMessage(es.head)),
     "subtitle_cues" -> (es => SubtitleCues(es.head)),
     "parquet_meta" -> (es => ParquetMetaExpr(es.head)),
+    "zstd_meta" -> (es => ZstdMeta(es.head)),
+    "zst_media_for_id" -> (es => ZstMediaBytes(es.head)),
+    "sitemap_entries" -> (es => SitemapEntries(es.head)),
+    "sitemap_media_for_id" -> (es => SitemapMediaText(es.head)),
     "parquet_media_for_id" -> (es => ParquetMediaBytes(es.head)),
     "subtitle_media_for_id" -> (es => SubtitleMediaText(es.head)),
     "eml_media_for_id" -> (es => EmlMediaBytes(es.head)),

@@ -1877,6 +1877,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Zstd frame-header triage (r8): CommonCrawl's newer dumps ship
+    // .zst — declared size, window budget, dictionary requirement,
+    // checksum, skippable frames, all from the RFC 8878 header bit
+    // layout (block content is the documented codec seam).
+    "zstd_triage" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 96)
+        .selectExpr("doc_id",
+          "zstd_meta(zst_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id", "m.content_size", "m.has_content_size",
+          "m.window_size", "m.dict_id", "m.has_checksum",
+          "CAST(m.skippable AS BIGINT) AS skippable")
+        .orderBy("doc_id")
+    }),
+
+    // Sitemap extraction (r8): the discovery half of crawl governance
+    // — robots.txt says what MAY be fetched, the sitemap says what
+    // EXISTS. Both urlset and sitemapindex forms cycle the corpus.
+    "sitemap_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .selectExpr("doc_id",
+          "posexplode(sitemap_entries(sitemap_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS (j, e)")
+        .selectExpr("doc_id", "CAST(j AS BIGINT) AS j", "e.loc",
+          "e.lastmod", "e.priority")
+        .orderBy("doc_id", "j")
+    }),
+
     // Parquet footer triage (r8): dataset crawls meet parquet BLOBS
     // before anything mounts them as tables — a real Thrift
     // compact-protocol decode of FileMetaData (varints, zigzag,
@@ -4852,6 +4881,44 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // the RFC 8878 bit layout re-derived field by field (FCS widths,
+    // the 2-byte bias, window exponent/mantissa arithmetic)
+    "zstd_triage" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0
+        |    WHEN 1 THEN 300 + doc_id WHEN 2 THEN 70000 + doc_id
+        |    ELSE 5000000000 + doc_id END AS BIGINT) AS content_size,
+        |  (doc_id % 4 <> 0) AS has_content_size,
+        |  CAST(pow(2, 10 + doc_id % 8) AS BIGINT)
+        |    + (doc_id % 7) * (CAST(pow(2, 10 + doc_id % 8) AS BIGINT)
+        |      // 8) AS window_size,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0
+        |    WHEN 1 THEN 200 + doc_id % 50
+        |    ELSE 40000 + doc_id % 100 END AS BIGINT) AS dict_id,
+        |  (doc_id % 2 = 1) AS has_checksum,
+        |  CAST(doc_id % 3 AS BIGINT) AS skippable
+        |FROM documents WHERE doc_id < 96 ORDER BY doc_id""".stripMargin,
+
+    // locs/lastmods/priorities re-derived in closed form for BOTH
+    // container forms — the engine decoded entities and applied the
+    // 0.5 default on index entries
+    "sitemap_extract" ->
+      """SELECT d.doc_id, j.j,
+        |  CASE WHEN d.doc_id % 5 = 4
+        |    THEN 'https://ex' || d.doc_id || '.com/s' || j.j || '.xml.gz'
+        |    ELSE 'https://ex' || d.doc_id || '.com/p' || j.j || '?a=1&b=2'
+        |  END AS loc,
+        |  CASE WHEN d.doc_id % 5 <> 4 AND j.j % 2 = 0
+        |    THEN '2026-01-0' || (1 + j.j % 9) ELSE '' END AS lastmod,
+        |  CASE WHEN d.doc_id % 5 = 4 THEN 0.5
+        |    ELSE (1 + (d.doc_id + j.j) % 9) / 10.0 END AS priority
+        |FROM documents d,
+        |     LATERAL unnest(range(0,
+        |       CASE WHEN d.doc_id % 5 = 4 THEN 1 + d.doc_id % 3
+        |         ELSE 1 + d.doc_id % 4 END)) AS j(j)
+        |WHERE d.doc_id < 100
+        |ORDER BY d.doc_id, j.j""".stripMargin,
 
     // every footer field re-derived in closed form — the engine
     // decoded the Thrift compact protocol from the tail bytes

@@ -308,6 +308,40 @@ object MediaFixtures {
     Tiff.withExif(base, app1)
   }
 
+  /** Zstd fixture: frame headers cycling all four FCS widths (id%4:
+    * undeclared, 2-byte biased, 4-byte, 8-byte), dictionary-ID widths
+    * (id%3), checksum parity, and id%3 leading skippable frames
+    * ([[Zstd.zstHeader]]). */
+  def zstMediaFor(id: Long): Array[Byte] = {
+    val contentSize = (id % 4) match {
+      case 0 => -1L
+      case 1 => 300L + id
+      case 2 => 70000L + id
+      case _ => 5000000000L + id
+    }
+    val dictId = (id % 3) match {
+      case 0 => 0L
+      case 1 => 200L + id % 50
+      case _ => 40000L + id % 100
+    }
+    Zstd.zstHeader(contentSize, (id % 8).toInt, (id % 7).toInt, dictId,
+      checksum = id % 2 == 1, nSkippable = (id % 3).toInt)
+  }
+
+  /** Sitemap fixture: urlset (entities in locs, lastmod on even
+    * entries, explicit priorities) with a sitemapindex on id%5==4
+    * ([[Sitemap.urlset]], [[Sitemap.index]]). */
+  def sitemapMediaFor(id: Long): String =
+    if (id % 5 == 4)
+      Sitemap.index((0 until (1 + id % 3).toInt)
+        .map(j => s"https://ex$id.com/s$j.xml.gz"))
+    else
+      Sitemap.urlset((0 until (1 + id % 4).toInt).map { j =>
+        (s"https://ex$id.com/p$j?a=1&b=2",
+          if (j % 2 == 0) s"2026-01-0${1 + j % 9}" else "",
+          (1 + (id + j) % 9) / 10.0)
+      })
+
   /** Parquet fixture: footer-complete blobs with closed-form schema
     * names, row counts, row-group sizes and writer string
     * ([[ParquetMeta.parquet]]). */
