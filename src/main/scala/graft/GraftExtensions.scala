@@ -93,6 +93,7 @@ object GraftExtensions {
     "subtitle_cues" -> (es => SubtitleCues(es.head)),
     "parquet_meta" -> (es => ParquetMetaExpr(es.head)),
     "zstd_meta" -> (es => ZstdMeta(es.head)),
+    "media_kind" -> (es => MediaKind(es.head)),
     "zst_media_for_id" -> (es => ZstMediaBytes(es.head)),
     "sitemap_entries" -> (es => SitemapEntries(es.head)),
     "sitemap_media_for_id" -> (es => SitemapMediaText(es.head)),

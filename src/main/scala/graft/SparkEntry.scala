@@ -1877,6 +1877,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mixed-blob routing (r8): the dispatch step in front of every
+    // codec — one O(1) magic-byte pass classifies a heterogeneous
+    // binary column (17 formats) so each blob reaches its decoder
+    // without trial parsing. The fixture column really is mixed:
+    // seventeen families cycling by id.
+    "media_route" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 170)
+        .selectExpr("doc_id",
+          ("CASE CAST(doc_id % 17 AS INT) " +
+            "WHEN 0 THEN pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 1 THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 2 THEN bmp_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 3 THEN webp_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 4 THEN tiff_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 5 THEN gif_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 6 THEN wav_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 7 THEN flac_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 8 THEN mp3_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 9 THEN ogg_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 10 THEN avi_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 11 THEN mp4_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 12 THEN pdf_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 13 THEN zip_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 14 THEN targz_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 15 THEN zst_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "ELSE parquet_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "END AS blob"))
+        .selectExpr("doc_id", "media_kind(blob) AS kind")
+        .orderBy("doc_id")
+    }),
+
     // Zstd frame-header triage (r8): CommonCrawl's newer dumps ship
     // .zst — declared size, window budget, dictionary requirement,
     // checksum, skippable frames, all from the RFC 8878 header bit
@@ -4881,6 +4913,19 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // seventeen closed-form verdicts — a wrong magic check or a
+    // signature collision between families flips a row
+    "media_route" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 17 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
+        |    WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'gif'
+        |    WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'mp3'
+        |    WHEN 9 THEN 'ogg' WHEN 10 THEN 'avi' WHEN 11 THEN 'mp4'
+        |    WHEN 12 THEN 'pdf' WHEN 13 THEN 'zip' WHEN 14 THEN 'gzip'
+        |    WHEN 15 THEN 'zstd' ELSE 'parquet' END AS kind
+        |FROM documents WHERE doc_id < 170 ORDER BY doc_id""".stripMargin,
 
     // the RFC 8878 bit layout re-derived field by field (FCS widths,
     // the 2-byte bias, window exponent/mantissa arithmetic)

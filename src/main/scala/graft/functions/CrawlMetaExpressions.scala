@@ -156,3 +156,75 @@ case class SitemapMediaText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** media_kind(bytes) -> string: O(1) magic-byte triage routing a
+  * MIXED binary column to the right decoder family — the dispatch
+  * step in front of every codec here. Seventeen formats recognized
+  * by their signatures (RIFF subtypes split on the form tag, parquet
+  * requires BOTH magics, zstd includes leading skippable frames,
+  * mp3 by ID3 tag or frame sync, tar by the ustar magic at 257);
+  * anything else is "unknown", never a throw. */
+case class MediaKind(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "media_kind"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      MediaKind.kind(input.asInstanceOf[Array[Byte]]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.MediaKind$$.MODULE$$.kind($c))")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MediaKind {
+  /** The kernel; public so generated code can call it. */
+  def kind(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) return "unknown"
+    def at(i: Int): Int = b(i) & 0xff
+    if (at(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b.length >= 12) {
+      val t = new String(b, 8, 4, "US-ASCII")
+      if (t == "WAVE") "wav"
+      else if (t == "WEBP") "webp"
+      else if (t == "AVI ") "avi"
+      else "riff"
+    }
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') "ogg"
+    else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
+    else if (at(0) == 0x1f && at(1) == 0x8b) "gzip"
+    else if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f &&
+      at(3) == 0xfd) "zstd"
+    else if ((at(0) & 0xf0) == 0x50 && at(1) == 0x2a && at(2) == 0x4d &&
+      at(3) == 0x18) "zstd" // leading skippable frame
+    else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-') "pdf"
+    else if (b.length >= 12 && b(0) == 'P' && b(1) == 'A' && b(2) == 'R' &&
+      b(3) == '1' && b(b.length - 4) == 'P' && b(b.length - 3) == 'A' &&
+      b(b.length - 2) == 'R' && b(b.length - 1) == '1') "parquet"
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') "mp4"
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) "tiff"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else if (at(0) == 0xff && (at(1) & 0xe0) == 0xe0) "mp3"
+    else if (b.length >= 262 && b(257) == 'u' && b(258) == 's' &&
+      b(259) == 't' && b(260) == 'a' && b(261) == 'r') "tar"
+    else "unknown"
+  }
+}

@@ -79,6 +79,28 @@ class CrawlMetaSpec extends SparkTestBase {
       "<urlset><url><lastmod>2026</lastmod></url></urlset>").isEmpty)
   }
 
+  test("media_kind routes every fixture family correctly and answers " +
+    "'unknown'/'tar'/'riff' on the edges") {
+    import graft.functions.MediaKind.kind
+    assert(kind(MediaFixtures.pixelMediaFor(3L)) == "png")
+    assert(kind(MediaFixtures.zipMediaFor(3L)) == "zip")
+    assert(kind(MediaFixtures.tarGzMediaFor(3L)) == "gzip")
+    assert(kind(Tar.tar(Seq(("a.txt", "x".getBytes)))) == "tar")
+    assert(kind(MediaFixtures.zstMediaFor(1L)) == "zstd") // skippable lead
+    assert(kind(MediaFixtures.zstMediaFor(3L)) == "zstd")
+    assert(kind(MediaFixtures.parquetMediaFor(3L)) == "parquet")
+    assert(kind(MediaFixtures.pdfMediaFor(3L)) == "pdf")
+    assert(kind(MediaFixtures.oggMediaFor(3L)) == "ogg")
+    assert(kind(MediaFixtures.mp3MediaFor(2L)) == "mp3") // ID3 header
+    assert(kind(MediaFixtures.mp3MediaFor(3L)) == "mp3") // frame sync
+    assert(kind(null) == "unknown")
+    assert(kind("no".getBytes) == "unknown")
+    assert(kind("random text bytes here".getBytes) == "unknown")
+    // an unrecognized RIFF form stays in the family without lying
+    val riff = "RIFF0000XXXX".getBytes("US-ASCII")
+    assert(kind(riff) == "riff")
+  }
+
   test("fixtures follow the closed forms the oracle re-derives") {
     for (id <- 0L to 9L) {
       val z = Zstd.parse(MediaFixtures.zstMediaFor(id)).get
