@@ -1877,6 +1877,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance near-dup (r8, PassJoin segment blocking — Li,
+    // Deng, Feng 2011): the typo tier of the dedup family. Candidates
+    // come from an equi-join on surviving-segment keys (k edits kill
+    // at most k of k+1 segments), never all-pairs; exact levenshtein
+    // verifies, so blocking provably loses nothing (spec-pinned
+    // against brute force).
+    "edit_neardup" -> ((s, dir) => {
+      Graft.init(s)
+      operators.EditDedup.nearPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 250)
+          .selectExpr("doc_id", "substr(text, 1, 12) AS t"),
+        "doc_id", "t", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Mixed-blob routing (r8): the dispatch step in front of every
     // codec — one O(1) magic-byte pass classifies a heterogeneous
     // binary column (17 formats) so each blob reaches its decoder
@@ -4913,6 +4928,18 @@ object SparkEntry {
         |     ORDER BY j.j)
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // the oracle brute-forces ALL pairs with its own levenshtein —
+    // verifying both the distance and that segment blocking lost no
+    // pair
+    "edit_neardup" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 12) AS t
+        |           FROM documents WHERE doc_id < 250)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // seventeen closed-form verdicts — a wrong magic check or a
     // signature collision between families flips a row
