@@ -2387,6 +2387,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the GPT-3/LLaMA supervised quality filter in its closed-form
+    // member: multinomial NB (reference = English docs, negatives =
+    // the rest), weights = exact count ratios the oracle re-derives
+    // to the bit — corpus-native form, one token shuffle + AQE join
+    "nb_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      operators.NbClassifier.score(docs, "doc_id", "text",
+        col("lang") === "en").orderBy("doc_id")
+    }),
+
+    // the deployment shape of the same filter: a FROZEN bounded model
+    // (top 25 tokens — the rest exercise the two-class OOV floor)
+    // scoring every row as a pure map, no join/shuffle/state — the
+    // same call scores a structured stream (spec-pinned)
+    "nb_model_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = operators.NbClassifier.model(docs, "text",
+        col("lang") === "en", vocabSize = 25)
+      operators.NbClassifier.scoreWithModel(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
     // the tokenizer composed into the training-batch flow: BPE-encode
     // the corpus, then pack the SUBWORD stream into fixed-length
     // sequences — tokenization changes every count, offset, and
@@ -5476,6 +5498,59 @@ object SparkEntry {
         |    / count(*), 6) AS bits_per_token
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // the oracle refits the two-class model from scratch: per-token
+    // per-class counts, the (N+, N-, V) normalizer, the document
+    // prior — a wrong smoothing floor or a swapped class sign moves
+    // every row
+    "nb_quality" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos
+        |           FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok
+        |         FROM d),
+        |counts AS (SELECT tok,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn,
+        |               count(*)::DOUBLE AS v FROM counts),
+        |pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS dp,
+        |               sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS dn
+        |        FROM d)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(log2(dp / dn) +
+        |    sum(log2((c.cp + 0.5) / (np + 0.5 * v)) -
+        |        log2((c.cn + 0.5) / (nn + 0.5 * v))), 6) AS log_odds
+        |FROM toks t JOIN counts c ON t.tok = c.tok
+        |CROSS JOIN tot CROSS JOIN pri
+        |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // the bounded refit: top-25 total-count vocabulary (ties by
+    // token), OOV at the two-class add-k floor via coalesce(·, 0)
+    "nb_model_score" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos
+        |           FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok
+        |         FROM d),
+        |counts AS (SELECT tok,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn,
+        |               count(*)::DOUBLE AS v FROM counts),
+        |pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS dp,
+        |               sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS dn
+        |        FROM d),
+        |vocab AS (SELECT tok, cp, cn FROM counts
+        |          ORDER BY cp + cn DESC, tok LIMIT 25)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(log2(dp / dn) +
+        |    sum(log2((coalesce(vb.cp, 0) + 0.5) / (np + 0.5 * v)) -
+        |        log2((coalesce(vb.cn, 0) + 0.5) / (nn + 0.5 * v))), 6)
+        |    AS log_odds
+        |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
+        |CROSS JOIN tot CROSS JOIN pri
+        |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
 
     // the frozen merges replayed canonically: per word, a list_reduce
     // fold carrying (emitted ⊕ pending) state — pending==l and x==r

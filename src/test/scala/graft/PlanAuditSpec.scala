@@ -477,6 +477,30 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("nb_model_score: the frozen NB classifier is a pure map over " +
+    "the scan — no join, no window, no aggregation exchange; the " +
+    "kernel stays inside WholeStageCodegen") {
+    val plan = physical(run("nb_model_score"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("nb_log_odds") || plan.contains("NbLogOdds"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("nb_quality: corpus-native fit is the word-count plan — " +
+    "partial map-side aggregation before the token shuffle, one-row " +
+    "normalizer and prior broadcast, no cartesian corpus blowup") {
+    val plan = physical(run("nb_quality"))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("lm_bigram_model: the frozen bigram model is the same pure " +
     "map as the unigram form — no join, no window, no aggregation " +
     "exchange; the kernel stays inside WholeStageCodegen") {
