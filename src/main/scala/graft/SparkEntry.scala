@@ -2409,6 +2409,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR (Xie et al. 2023): per-doc log importance weight under two
+    // hashed-unigram+bigram bucket models (target = English docs,
+    // raw = the whole pool). B=64 buckets so collisions genuinely
+    // coarsen; the oracle re-derives every bucket id with the
+    // portable hash chain and every ratio in closed form
+    "dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      operators.Dsir.logWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64).orderBy("doc_id")
+    }),
+
+    // the paper's §2 selection step: Gumbel-top-k over frozen-model
+    // weights, derandomized through the portable id-mix — the
+    // selected set is a pure function of (corpus, model, n) the
+    // oracle re-derives including the noise
+    "dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = operators.Dsir.model(docs, "text",
+        col("lang") === "en", buckets = 64)
+      operators.Dsir.gumbelTopK(docs, "doc_id", "text", m, n = 100)
+    }),
+
     // the tokenizer composed into the training-batch flow: BPE-encode
     // the corpus, then pack the SUBWORD stream into fixed-length
     // sequences — tokenization changes every count, offset, and
@@ -5551,6 +5573,98 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // every bucket id re-derived with the portable hash chain (the
+    // simhash emulation, applied per DISTINCT feature), every ratio
+    // in closed form — a wrong bucket or floor moves whole documents
+    "dsir_weights" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS tgt FROM documents),
+        |tk AS (SELECT doc_id, tgt, string_split(text, ' ') AS t FROM d),
+        |feats AS (
+        |  SELECT doc_id, tgt, unnest(t) AS f FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, tgt, unnest(list_transform(range(len(t) - 1),
+        |                              i -> t[i+1] || ' ' || t[i+2])) AS f
+        |  FROM tk),
+        |df AS (SELECT DISTINCT f FROM feats),
+        |c0 AS (SELECT f,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(f, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(f, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |      FROM df),
+        |c1 AS (SELECT f, (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |               (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c0),
+        |c2 AS (SELECT f, (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |               (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c1),
+        |fh AS (SELECT f,
+        |         (xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16)) % 64 AS b
+        |       FROM c2),
+        |bk AS (SELECT doc_id, tgt, b FROM feats JOIN fh USING (f)),
+        |ct AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cp,
+        |              count(*) AS cr FROM bk GROUP BY b),
+        |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cr)::DOUBLE AS nr FROM ct)
+        |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(sum(log2((c.cp + 0.5) / (np + 32.0)) -
+        |            log2((c.cr + 0.5) / (nr + 32.0))), 6) AS log_w
+        |FROM bk k JOIN ct c USING (b) CROSS JOIN tot
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+
+    // the selection replayed noise and all: the Gumbel uniform comes
+    // from the portable id-mix (sample_split's chain), so the top-100
+    // set — not just the weights — must agree
+    "dsir_select" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS tgt FROM documents),
+        |tk AS (SELECT doc_id, tgt, string_split(text, ' ') AS t FROM d),
+        |feats AS (
+        |  SELECT doc_id, tgt, unnest(t) AS f FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, tgt, unnest(list_transform(range(len(t) - 1),
+        |                              i -> t[i+1] || ' ' || t[i+2])) AS f
+        |  FROM tk),
+        |df AS (SELECT DISTINCT f FROM feats),
+        |c0 AS (SELECT f,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(f, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(f, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |      FROM df),
+        |c1 AS (SELECT f, (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |               (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c0),
+        |c2 AS (SELECT f, (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |               (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c1),
+        |fh AS (SELECT f,
+        |         (xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16)) % 64 AS b
+        |       FROM c2),
+        |bk AS (SELECT doc_id, tgt, b FROM feats JOIN fh USING (f)),
+        |ct AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cp,
+        |              count(*) AS cr FROM bk GROUP BY b),
+        |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cr)::DOUBLE AS nr FROM ct),
+        |lwv AS (SELECT k.doc_id,
+        |          sum(log2((c.cp + 0.5) / (np + 32.0)) -
+        |              log2((c.cr + 0.5) / (nr + 32.0))) AS lw
+        |        FROM bk k JOIN ct c USING (b) CROSS JOIN tot
+        |        GROUP BY k.doc_id),
+        |m0 AS (SELECT doc_id, lw,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |       FROM lwv),
+        |m1 AS (SELECT doc_id, lw,
+        |         xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m0),
+        |m2 AS (SELECT doc_id, lw,
+        |         xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1)
+        |SELECT doc_id, round(lw, 6) AS log_w,
+        |  round(lw * ln(2) - ln(-ln((h2 + 1) / 1000000008.0)), 6) AS key
+        |FROM m2
+        |ORDER BY lw * ln(2) - ln(-ln((h2 + 1) / 1000000008.0)) DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // the frozen merges replayed canonically: per word, a list_reduce
     // fold carrying (emitted ⊕ pending) state — pending==l and x==r

@@ -501,6 +501,28 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("dsir_weights: the bucket count table is broadcast (bounded " +
+    "by the bucket count, never vocabulary-sized); fit is the " +
+    "word-count plan; no cartesian corpus blowup") {
+    val plan = physical(run("dsir_weights"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dsir_select: frozen-model weights are a pure map and the " +
+    "selection is a bounded TakeOrdered — no global sort, no join, " +
+    "no aggregation") {
+    val plan = physical(run("dsir_select"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("dsir_log_weight") || plan.contains("DsirLogWeight"),
+      plan)
+  }
+
   test("lm_bigram_model: the frozen bigram model is the same pure " +
     "map as the unigram form — no join, no window, no aggregation " +
     "exchange; the kernel stays inside WholeStageCodegen") {
