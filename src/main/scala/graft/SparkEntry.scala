@@ -2409,6 +2409,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // crawl-frontier prioritization: PageRank over a deterministic
+    // host graph derived from the corpus (hub structure + a dangling
+    // sink so every arm of the update runs); the oracle replays all
+    // 10 power iterations through the dense transition matrix
+    "host_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").selectExpr(
+          "source AS src",
+          """CASE WHEN doc_id % 11 = 0 THEN 'sinkhost'
+            |ELSE concat('src', CAST((doc_id * doc_id + 1) % 13 AS STRING))
+            |END AS dst""".stripMargin)
+        .filter(col("src") =!= col("dst")).distinct()
+      operators.PageRank.hostRank(edges, "src", "dst").orderBy("host")
+    }),
+
     // DSIR (Xie et al. 2023): per-doc log importance weight under two
     // hashed-unigram+bigram bucket models (target = English docs,
     // raw = the whole pool). B=64 buckets so collisions genuinely
@@ -5573,6 +5587,55 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // the 10 power iterations replayed literally (p1..p10) against a
+    // row-stochastic dense transition matrix that folds teleport,
+    // link, and dangling mass into one weight — recursion-free on
+    // purpose (recursive-CTE scoping of non-recursive CTEs differs
+    // across engines); each src row of tm sums to exactly 1
+    "host_pagerank" ->
+      """WITH
+        |e AS (SELECT DISTINCT source AS src,
+        |        CASE WHEN doc_id % 11 = 0 THEN 'sinkhost'
+        |             ELSE 'src' || CAST((doc_id * doc_id + 1) % 13 AS VARCHAR)
+        |        END AS dst
+        |      FROM documents
+        |      WHERE source <> CASE WHEN doc_id % 11 = 0 THEN 'sinkhost'
+        |             ELSE 'src' || CAST((doc_id * doc_id + 1) % 13 AS VARCHAR)
+        |             END),
+        |nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+        |od AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+        |tm AS (
+        |  SELECT u.h AS src, v.h AS dst,
+        |    (1 - 0.85) / nn + CASE WHEN od.deg IS NULL THEN 0.85 / nn
+        |                           WHEN ed.dst IS NOT NULL THEN 0.85 / od.deg
+        |                           ELSE 0 END AS w
+        |  FROM nodes u CROSS JOIN nodes v CROSS JOIN n
+        |  LEFT JOIN od ON od.src = u.h
+        |  LEFT JOIN e ed ON ed.src = u.h AND ed.dst = v.h),
+        |p0 AS (SELECT h, 1.0 / nn AS r FROM nodes CROSS JOIN n),
+        |p1 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p0 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p2 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p1 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p3 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p2 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p4 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p3 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p5 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p4 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p6 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p5 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p7 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p6 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p8 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p7 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p9 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p8 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p10 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p9 p
+        |        JOIN tm t ON t.src = p.h GROUP BY t.dst)
+        |SELECT h AS host, round(r, 6) AS rank FROM p10 ORDER BY host""".stripMargin,
 
     // every bucket id re-derived with the portable hash chain (the
     // simhash emulation, applied per DISTINCT feature), every ratio
