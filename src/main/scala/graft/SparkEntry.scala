@@ -2409,6 +2409,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means clusters (engine-side,
+    // dumped as aux like ivf_knn's), then per-cluster semantic-dup
+    // pruning keeping the LOW cos-to-centroid member; the oracle
+    // re-derives exact centroids, every cosine, and each verdict
+    "semdedup" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      operators.SemDedup.verdicts(
+        operators.Ivf.assign(emb, "embedding", model),
+        "vec_id", "embedding", tau = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // crawl-frontier prioritization: PageRank over a deterministic
     // host graph derived from the corpus (hub structure + a dangling
     // sink so every arm of the update runs); the oracle replays all
@@ -2985,6 +2999,17 @@ object SparkEntry {
       operators.AnnLsh.bucketize(emb, "embedding", lsh)
         .select(col("vec_id"), col("bucket"),
           col("bucket").isin(buckets: _*).as("probed"))
+    }),
+
+    // semdedup: the k-means cluster assignment (training is
+    // engine-side like ivf_knn's; everything downstream — exact
+    // centroids, cosines, verdicts — the oracle re-derives)
+    "semdedup_clusters" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      operators.Ivf.assign(emb, "embedding", model)
+        .select("vec_id", "cluster")
     }),
 
     // ivf_knn: per-vector cluster assignment + whether the query probes it
@@ -5587,6 +5612,32 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // centroids re-derived EXACTLY from the dumped assignment (the
+    // label_centroids per-dim trick), then every cosine and the
+    // pairwise drop predicate replayed — a wrong tie-break or a
+    // swapped keep direction flips verdicts
+    "semdedup" ->
+      """WITH a AS (SELECT vec_id, cluster
+        |           FROM read_parquet('__AUX__/semdedup_clusters/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cd AS (SELECT a.cluster, r.range AS pos, avg(e.v[r.range + 1]) AS cv
+        |       FROM a JOIN e USING (vec_id), range(64) r
+        |       GROUP BY 1, 2),
+        |cent AS (SELECT cluster, list(cv ORDER BY pos) AS cv
+        |         FROM cd GROUP BY cluster),
+        |m AS (SELECT a.vec_id, a.cluster, e.v,
+        |        list_cosine_similarity(e.v, cent.cv) AS ca
+        |      FROM a JOIN e USING (vec_id) JOIN cent USING (cluster)),
+        |drops AS (SELECT DISTINCT x.vec_id
+        |          FROM m x JOIN m y
+        |            ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+        |          WHERE list_cosine_similarity(x.v, y.v) >= 0.35
+        |            AND (y.ca < x.ca OR (y.ca = x.ca AND y.vec_id < x.vec_id)))
+        |SELECT m.vec_id, m.cluster, round(m.ca, 6) AS cos_centroid,
+        |       (d.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
 
     // the 10 power iterations replayed literally (p1..p10) against a
     // row-stochastic dense transition matrix that folds teleport,

@@ -501,6 +501,14 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("semdedup: the pair search is cluster-blocked (equi-join on " +
+    "cluster, no cartesian) and the k-row centroid table is broadcast") {
+    val plan = physical(run("semdedup"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dsir_weights: the bucket count table is broadcast (bounded " +
     "by the bucket count, never vocabulary-sized); fit is the " +
     "word-count plan; no cartesian corpus blowup") {
