@@ -2409,6 +2409,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // metric-learning pair mining (the DPR recipe): positive = top
+    // same-label cosine, hard negative = top different-label cosine
+    // within the anchor's LSH bucket (the same seeded hyperplanes as
+    // ann_lsh, so its aux dump doubles as this query's oracle input)
+    "triplet_mine" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val lsh = operators.HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
+      operators.Triplets.mine(emb, "vec_id", "embedding", "label", lsh)
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means clusters (engine-side,
     // dumped as aux like ivf_knn's), then per-cluster semantic-dup
     // pruning keeping the LOW cos-to-centroid member; the oracle
@@ -5612,6 +5624,36 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // both argmaxes replayed brute-force (exact cosine, score desc /
+    // id asc ties) under the label constraint and the dumped bucket
+    // constraint — ann_lsh's aux provides the bucket assignment
+    "triplet_mine" ->
+      """WITH b AS (SELECT vec_id, bucket
+        |           FROM read_parquet('__AUX__/ann_lsh_candidates/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |pos AS (
+        |  SELECT x.vec_id AS aid, y.vec_id AS pid,
+        |         list_cosine_similarity(x.v, y.v) AS c,
+        |         row_number() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_cosine_similarity(x.v, y.v) DESC,
+        |                      y.vec_id) AS rn
+        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id <> y.vec_id),
+        |neg AS (
+        |  SELECT x.vec_id AS aid, y.vec_id AS nid,
+        |         list_cosine_similarity(x.v, y.v) AS c,
+        |         row_number() OVER (PARTITION BY x.vec_id
+        |             ORDER BY list_cosine_similarity(x.v, y.v) DESC,
+        |                      y.vec_id) AS rn
+        |  FROM e x
+        |  JOIN b bx ON bx.vec_id = x.vec_id
+        |  JOIN b bn ON bn.bucket = bx.bucket
+        |  JOIN e y ON y.vec_id = bn.vec_id AND y.label <> x.label)
+        |SELECT p.aid AS vec_id, p.pid AS pos_id, round(p.c, 6) AS pos_cos,
+        |       n.nid AS neg_id, round(n.c, 6) AS neg_cos
+        |FROM pos p JOIN neg n ON p.aid = n.aid
+        |WHERE p.rn = 1 AND n.rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // centroids re-derived EXACTLY from the dumped assignment (the
     // label_centroids per-dim trick), then every cosine and the

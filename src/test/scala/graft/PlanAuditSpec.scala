@@ -501,6 +501,15 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("triplet_mine: both argmaxes are bounded-heap partial " +
+    "aggregates over blocked equi-joins — no window sort, no " +
+    "cartesian") {
+    val plan = physical(run("triplet_mine"))
+    assert(plan.contains("partial_topk_by_score"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("semdedup: the pair search is cluster-blocked (equi-join on " +
     "cluster, no cartesian) and the k-row centroid table is broadcast") {
     val plan = physical(run("semdedup"))
