@@ -2409,6 +2409,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // scalar (int8) quantization, the faiss SQ8 recipe: 4x smaller
+    // storage, ADC search over dequantized codes; the training
+    // statistic is the EXACT corpus per-dim min/max, so the oracle
+    // replays train -> encode -> search with no aux at all
+    "sq8_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val m = operators.Sq8.train(emb, "embedding")
+      operators.Sq8.search(operators.Sq8.encode(emb, "embedding", m),
+        "code", "vec_id", queryVec(s, dir), 10, m)
+    }),
+
     // metric-learning pair mining (the DPR recipe): positive = top
     // same-label cosine, hard negative = top different-label cosine
     // within the anchor's LSH bucket (the same seeded hyperplanes as
@@ -5624,6 +5636,28 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // the whole pipeline re-derived: per-dim min/max, the affine code
+    // (round clamps are vacuous on the training corpus itself),
+    // dequantization, and the asymmetric cosine — no aux input
+    "sq8_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT r.range AS pos, min(v[r.range + 1]) AS mn,
+        |              max(v[r.range + 1]) AS mx
+        |       FROM e, range(64) r GROUP BY 1),
+        |sc AS (SELECT pos, mn, (mx - mn) / 255.0 AS s FROM mm),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |dq AS (SELECT e.vec_id, sc.pos,
+        |         CASE WHEN sc.s = 0 THEN sc.mn
+        |              ELSE sc.mn + round((e.v[sc.pos + 1] - sc.mn) / sc.s) * sc.s
+        |         END AS x,
+        |         (SELECT qv FROM q)[sc.pos + 1] AS qx
+        |       FROM e CROSS JOIN sc),
+        |scored AS (SELECT vec_id,
+        |             sum(x * qx) / (sqrt(sum(x * x)) * sqrt(sum(qx * qx))) AS c
+        |           FROM dq GROUP BY vec_id)
+        |SELECT vec_id, round(c, 6) AS score
+        |FROM scored ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
     // both argmaxes replayed brute-force (exact cosine, score desc /
     // id asc ties) under the label constraint and the dumped bucket

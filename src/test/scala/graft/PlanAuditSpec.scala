@@ -501,6 +501,14 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("sq8_knn: ADC scan into a bounded TakeOrdered — no join, no " +
+    "global sort; the cosine kernel rides the scan") {
+    val plan = physical(run("sq8_knn"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("sq8_cosine") || plan.contains("Sq8Cosine"), plan)
+  }
+
   test("triplet_mine: both argmaxes are bounded-heap partial " +
     "aggregates over blocked equi-joins — no window sort, no " +
     "cartesian") {
