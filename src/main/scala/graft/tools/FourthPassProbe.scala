@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Scale probes for the round-8 fourth-pass operators (NB classifier,
+  * DSIR, PageRank, SemDeDup, triplet mining, SQ8) at 1M rows on
+  * local[32] — the numbers recorded in BASELINE.md. Synthetic inputs
+  * are generated in-cluster (seeded rand), timed warm (second run). */
+object FourthPassProbe {
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label%-58s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "96g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Graft.init(spark)
+    import spark.implicits._
+
+    val n = 1000000L
+
+    // 1M docs x ~60 tokens from a 5k vocabulary, 30% "target" rows
+    // drawn from a narrower sub-vocabulary (so classifiers separate)
+    lazy val docs: DataFrame = {
+      val d = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 10 < 3).as("tgt"),
+        concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), when(col("id") % 10 < 3,
+            pmod(hash(col("id") * 61 + i), lit(800)))
+            .otherwise(pmod(hash(col("id") * 61 + i), lit(5000))))): _*)
+          .as("text"))
+        .localCheckpoint(true)
+      d
+    }
+
+    lazy val vecs: DataFrame = {
+      val v = spark.range(n).select(col("id").as("vec_id"),
+        (col("id") % 1000).cast("int").as("label"),
+        array((0 until 64).map(i => (sin(col("id") * (i + 1) * 0.37) +
+          (pmod(hash(col("id") * 97 + i), lit(1000)).cast("double") / 1000.0))
+          .cast("float")): _*).as("embedding"))
+        .localCheckpoint(true)
+      v
+    }
+
+    if (which == "all" || which == "nb") {
+      docs.count()
+      val m = time("nb: fit frozen model, 1M docs (64k vocab)") {
+        NbClassifier.model(docs, "text", col("tgt"), 65536)
+      }
+      time("nb: frozen scoring, 1M docs (map-only), warm") {
+        NbClassifier.scoreWithModel(docs, "doc_id", "text", m)
+          .agg(sum("log_odds")).head()
+      }
+      time("nb: corpus-native score(), 1M docs") {
+        NbClassifier.score(docs, "doc_id", "text", col("tgt"))
+          .agg(sum("log_odds")).head()
+      }
+    }
+
+    if (which == "all" || which == "dsir") {
+      docs.count()
+      val m = time("dsir: fit frozen model, 1M docs (10k buckets)") {
+        Dsir.model(docs, "text", col("tgt"), buckets = 10000)
+      }
+      time("dsir: frozen weights, 1M docs (map-only), warm") {
+        Dsir.scoreWithModel(docs, "doc_id", "text", m)
+          .agg(sum("log_w")).head()
+      }
+      time("dsir: gumbel top-100k of 1M (TakeOrdered)") {
+        Dsir.gumbelTopK(docs, "doc_id", "text", m, 100000).count()
+      }
+    }
+
+    if (which == "all" || which == "pagerank") {
+      // 5M-edge host graph over 100k hosts, power-law-ish in-degree
+      val edges = spark.range(5000000L).select(
+        concat(lit("h"), pmod(hash(col("id") * 13), lit(100000))).as("src"),
+        concat(lit("h"), pmod(pmod(hash(col("id") * 29), lit(100000)),
+          pmod(hash(col("id") * 31), lit(1000)) + 1)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      println(s"[probe] pagerank edges: ${edges.count()}")
+      time("pagerank: 10 iterations, ~5M edges / 100k hosts") {
+        PageRank.hostRank(edges, "src", "dst").agg(sum("rank")).head()
+      }
+    }
+
+    if (which == "all" || which == "sq8") {
+      vecs.count()
+      val m = time("sq8: train (exact min/max aggregate), 1M x dim64") {
+        Sq8.train(vecs, "embedding")
+      }
+      val enc = time("sq8: encode 1M (pure map) + materialize") {
+        Sq8.encode(vecs, "embedding", m).select("vec_id", "code")
+          .localCheckpoint(true)
+      }
+      val q = vecs.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      time("sq8: ADC top-10 scan of 1M codes, warm") {
+        Sq8.search(enc, "code", "vec_id", q, 10, m).collect()
+      }
+    }
+
+    if (which == "all" || which == "semdedup") {
+      vecs.count()
+      val model = time("semdedup: k-means train k=1024 (16k sample)") {
+        Ivf.train(vecs, "embedding", k = 1024)
+      }
+      val assigned = time("semdedup: assign 1M") {
+        Ivf.assign(vecs, "embedding", model).localCheckpoint(true)
+      }
+      time("semdedup: verdicts 1M, k=1024 (cluster-blocked pairs)") {
+        SemDedup.verdicts(assigned, "vec_id", "embedding", tau = 0.9)
+          .filter(col("kept")).count()
+      }
+    }
+
+    if (which == "all" || which == "triplets") {
+      // 10k labels (bounded label blocks) + 4096 LSH buckets
+      val v10k = vecs.withColumn("label",
+        (col("vec_id") % 10000).cast("int")).localCheckpoint(true)
+      v10k.count()
+      val lsh = HyperplaneLsh(dim = 64, nbits = 12, seed = 42L)
+      time("triplets: mine 1M anchors (10k labels, 4096 buckets)") {
+        Triplets.mine(v10k, "vec_id", "embedding", "label", lsh).count()
+      }
+    }
+
+    spark.stop()
+  }
+}
