@@ -81,15 +81,44 @@ object Ivf {
       normalize(sample((c.toLong * sample.length / k).toInt)
         .map(_.toDouble))
     })
+    // Assignment is the k·sample·dim hot loop (the 1M-probe measured
+    // it dominating SemDeDup's k=1024 composition at 86 s on one
+    // thread). Parallelize across FIXED sample chunks, then merge
+    // per-chunk partials in chunk order — deterministic regardless of
+    // thread scheduling, because double addition happens in the same
+    // order every run (a naive shared-accumulator parallel loop would
+    // make the centroids run-dependent and break the oracle's aux
+    // replays).
+    val nThreads =
+      math.min(32, Runtime.getRuntime.availableProcessors).max(1)
+    val chunkSize = math.max(1, (sample.length + nThreads - 1) / nThreads)
+    val chunks = sample.grouped(chunkSize).toArray
     var it = 0
     while (it < iters) {
+      val m = model
+      val partials = new Array[(Array[Array[Double]], Array[Long])](chunks.length)
+      java.util.stream.IntStream.range(0, chunks.length).parallel()
+        .forEach { ci =>
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          chunks(ci).foreach { v =>
+            val c = m.nearest(v).head
+            var i = 0
+            while (i < dim) { sums(c)(i) += v(i); i += 1 }
+            counts(c) += 1
+          }
+          partials(ci) = (sums, counts)
+        }
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = model.nearest(v).head
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
-        counts(c) += 1
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < k) {
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
       }
       model = Model(Array.tabulate(k) { c =>
         if (counts(c) == 0) model.centroids(c) else normalize(sums(c))
