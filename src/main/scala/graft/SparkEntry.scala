@@ -2409,6 +2409,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the export stage: deterministic global shuffle + balanced
+    // shards, summarized as the auditable per-shard manifest (counts,
+    // token totals, and the first document of each shard's training
+    // order) — all content-addressed through the portable mix
+    "shard_manifest" -> ((s, dir) =>
+      operators.Sharding.manifest(t(s, dir, "documents"),
+        "doc_id", "text", shards = 8).orderBy("shard")),
+
     // scalar (int8) quantization, the faiss SQ8 recipe: 4x smaller
     // storage, ADC search over dequantized codes; the training
     // statistic is the EXACT corpus per-dim min/max, so the oracle
@@ -5636,6 +5644,29 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // shard id, training order, and each shard's first document all
+    // re-derived through the portable mix chain (sample_split's) —
+    // a wrong tie-break or modulus moves rows across shards
+    "shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |  FROM documents),
+        |m1 AS (SELECT doc_id, n_toks,
+        |         xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m),
+        |m2 AS (SELECT doc_id, n_toks,
+        |         xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1),
+        |sh AS (SELECT doc_id, n_toks, h2 % 8 AS shard, h2 AS ord FROM m2),
+        |fst AS (SELECT shard, doc_id AS first_doc,
+        |          row_number() OVER (PARTITION BY shard
+        |              ORDER BY ord, doc_id) AS rn
+        |        FROM sh)
+        |SELECT s.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(s.n_toks) AS BIGINT) AS n_tokens,
+        |       max(f.first_doc) AS first_doc
+        |FROM sh s JOIN fst f ON f.shard = s.shard AND f.rn = 1
+        |GROUP BY s.shard ORDER BY s.shard""".stripMargin,
 
     // the whole pipeline re-derived: per-dim min/max, the affine code
     // (round clamps are vacuous on the training corpus itself),
