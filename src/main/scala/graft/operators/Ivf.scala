@@ -137,6 +137,59 @@ object Ivf {
           org.apache.spark.sql.graftshim.Shim.expression(col(vecCol)),
           model.centroids)))
 
+  /** Distributed k-means: Lloyd iterations run IN the cluster — the
+    * scale path when the codebook is too large for the sample trainer
+    * ([[train]]'s chunk-parallel driver loop is k·sample·iters on one
+    * box; at k in the tens of thousands, or when the sample must be
+    * the corpus, the update itself has to distribute). Each round is
+    * one codegen'd `nearest_centroid` map over the corpus plus ONE
+    * partial-aggregated groupBy(cluster) → [[graft.Graft.vectorAvg]]
+    * (map-side dim-length buffers), then a collect BOUNDED BY k rows;
+    * lineage on `df` is re-read per round, so callers cache or
+    * checkpoint their input for multi-round training.
+    *
+    * Determinism caveat (and why oracle queries keep [[train]]): the
+    * distributed sum's merge order varies run to run, so centroids
+    * are stable only up to floating-point addition order — identical
+    * clusterings in practice, not bit-identical codebooks. Seeding
+    * reuses [[train]]'s evenly-spaced bounded sample. */
+  def trainDistributed(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleSize: Int = 16384): Model = {
+    require(k >= 1 && iters >= 1)
+    val seedSample = df.select(vecCol).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(seedSample.length >= k,
+      s"ivf trainDistributed: need at least k=$k seed vectors, got ${seedSample.length}")
+    val dim = seedSample(0).length
+    def normalize(v: Array[Double]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * v(i); i += 1 }
+      val n = if (s > 0) math.sqrt(s) else 1.0
+      Array.tabulate(dim)(i => (v(i) / n).toFloat)
+    }
+    var model = Model(Array.tabulate(k) { c =>
+      normalize(seedSample((c.toLong * seedSample.length / k).toInt)
+        .map(_.toDouble))
+    })
+    var it = 0
+    while (it < iters) {
+      val sums = assign(df, vecCol, model)
+        .groupBy("cluster")
+        .agg(graft.Graft.vectorAvg(col(vecCol)).as("c"))
+        .collect() // bounded: at most k rows of dim doubles
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      model = Model(Array.tabulate(k) { c =>
+        sums.get(c).map(normalize).getOrElse(model.centroids(c))
+      })
+      it += 1
+    }
+    model
+  }
+
   /** Batch IVF search: every query scores ONLY the clusters it probes.
     * Probe sets are computed driver-side from the (small, by the same
     * contract as [[Knn.searchBatch]]) query side and broadcast as

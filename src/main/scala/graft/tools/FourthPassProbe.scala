@@ -128,6 +128,13 @@ object FourthPassProbe {
       }
     }
 
+    if (which == "all" || which == "kmeansdist") {
+      vecs.count()
+      time("kmeans distributed: k=1024, 10 rounds over the 1M corpus") {
+        Ivf.trainDistributed(vecs, "embedding", k = 1024, iters = 10)
+      }
+    }
+
     if (which == "all" || which == "triplets") {
       // 10k labels (bounded label blocks) + 4096 LSH buckets
       val v10k = vecs.withColumn("label",

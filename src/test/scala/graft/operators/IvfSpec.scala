@@ -180,6 +180,43 @@ class IvfSpec extends SparkTestBase {
     assert(top.getLong(0) == 0L && math.abs(top.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("trainDistributed recovers well-separated direction groups and " +
+    "matches the sample trainer's clustering on the same data") {
+    val rnd = new scala.util.Random(3)
+    val groups = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val vecs = (0L until 400L).map { i =>
+      val g = (i % 4).toInt
+      (i, g, groups(g).map(x => x + rnd.nextFloat() * 0.2f))
+    }
+    val df = vecs.toDF("vec_id", "g", "embedding")
+    val md = Ivf.trainDistributed(df, "embedding", k = 4, iters = 8)
+    val assigned = Ivf.assign(df, "embedding", md)
+      .select("g", "cluster").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // every ground-truth group maps to exactly one cluster and no two
+    // groups share one (the 4 directions are trivially separable)
+    val byGroup = assigned.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toSet).toMap
+    assert(byGroup.values.forall(_.size == 1), byGroup)
+    assert(byGroup.values.flatten.toSet.size == 4, byGroup)
+    // same partition of the data as the driver-side trainer
+    val ms = Ivf.train(df, "embedding", k = 4, sampleSize = 400)
+    val sampleAssigned = Ivf.assign(df, "embedding", ms)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val distAssigned = Ivf.assign(df, "embedding", md)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // cluster IDS may permute; the induced partition must be equal
+    val p1 = sampleAssigned.groupBy(_._2).values
+      .map(_.keys.toSet).toSet
+    val p2 = distAssigned.groupBy(_._2).values
+      .map(_.keys.toSet).toSet
+    assert(p1 == p2)
+  }
+
   test("recall@10 with nprobe=4 of 16 is high on the clustered corpus") {
     val model = Ivf.train(emb, "embedding", k = 16)
     val assigned = Ivf.assign(emb, "embedding", model)
