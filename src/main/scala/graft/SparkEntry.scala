@@ -2409,6 +2409,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the data-SELECTION pipeline composed from this round's ops:
+    // frozen-NB quality gate (log_odds > 0, map-only) -> DSIR
+    // Gumbel-top-50 over the survivors (models fit on the full
+    // corpus, the frozen-deployment split) -> training-export shard
+    // manifest of the selected set; the oracle replays all three
+    // stages including the selection noise and the shard mix
+    "select_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val nbm = operators.NbClassifier.model(docs, "text",
+        col("lang") === "en", vocabSize = 65536)
+      val gated = docs.filter(
+        operators.NbClassifier.logOddsCol(col("text"), nbm) > 0)
+      val dm = operators.Dsir.model(docs, "text",
+        col("lang") === "en", buckets = 64)
+      val sel = gated.join(
+        operators.Dsir.gumbelTopK(gated, "doc_id", "text", dm, n = 50)
+          .select("doc_id"), "doc_id")
+      operators.Sharding.manifest(sel, "doc_id", "text", shards = 4)
+        .orderBy("shard")
+    }),
+
     // the export stage: deterministic global shuffle + balanced
     // shards, summarized as the auditable per-shard manifest (counts,
     // token totals, and the first document of each shard's training
@@ -5644,6 +5665,92 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // all three stages replayed end-to-end: the NB gate (full-vocab
+    // counts, rounded threshold), DSIR weights restricted to the
+    // survivors, the derandomized Gumbel top-50, and the shard mix —
+    // one wrong stage moves documents across the manifest
+    "select_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok
+        |         FROM d),
+        |counts AS (SELECT tok,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn,
+        |               count(*)::DOUBLE AS v FROM counts),
+        |pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS dp,
+        |               sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS dn
+        |        FROM d),
+        |nb AS (SELECT t.doc_id,
+        |         round(log2(dp / dn) +
+        |           sum(log2((c.cp + 0.5) / (np + 0.5 * v)) -
+        |               log2((c.cn + 0.5) / (nn + 0.5 * v))), 6) AS lo
+        |       FROM toks t JOIN counts c ON t.tok = c.tok
+        |       CROSS JOIN tot CROSS JOIN pri
+        |       GROUP BY t.doc_id, dp, dn),
+        |gated AS (SELECT d.doc_id, d.text
+        |          FROM d JOIN nb ON d.doc_id = nb.doc_id WHERE nb.lo > 0),
+        |tk AS (SELECT doc_id, pos, string_split(text, ' ') AS t FROM d),
+        |feats AS (
+        |  SELECT doc_id, pos, unnest(t) AS f FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, pos, unnest(list_transform(range(len(t) - 1),
+        |                              i -> t[i+1] || ' ' || t[i+2])) AS f
+        |  FROM tk),
+        |dfeat AS (SELECT DISTINCT f FROM feats),
+        |c0 AS (SELECT f,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(f, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(f, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |      FROM dfeat),
+        |c1 AS (SELECT f, (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |               (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c0),
+        |c2 AS (SELECT f, (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |               (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c1),
+        |fh AS (SELECT f,
+        |         (xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16)) % 64 AS b
+        |       FROM c2),
+        |bk AS (SELECT doc_id, pos, b FROM feats JOIN fh USING (f)),
+        |ct AS (SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |              count(*) AS cr FROM bk GROUP BY b),
+        |tot2 AS (SELECT sum(cp)::DOUBLE AS np2, sum(cr)::DOUBLE AS nr2
+        |         FROM ct),
+        |lwv AS (SELECT k.doc_id,
+        |          sum(log2((c.cp + 0.5) / (np2 + 32.0)) -
+        |              log2((c.cr + 0.5) / (nr2 + 32.0))) AS lw
+        |        FROM bk k JOIN ct c USING (b) CROSS JOIN tot2
+        |        JOIN gated g ON g.doc_id = k.doc_id
+        |        GROUP BY k.doc_id),
+        |m0 AS (SELECT doc_id, lw,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS h0
+        |       FROM lwv),
+        |m1 AS (SELECT doc_id, lw,
+        |         xor(h0, h0 >> 16) * 73244475 % 1000000007 AS h1 FROM m0),
+        |m2 AS (SELECT doc_id, lw,
+        |         xor(h1, h1 >> 16) * 73244475 % 1000000007 AS h2 FROM m1),
+        |sel AS (SELECT doc_id, h2 FROM m2
+        |        ORDER BY lw * ln(2) - ln(-ln((h2 + 1) / 1000000008.0)) DESC,
+        |                 doc_id
+        |        LIMIT 50),
+        |man AS (SELECT s.doc_id, s.h2 % 4 AS shard, s.h2 AS ord,
+        |          len(string_split(g.text, ' ')) AS n_toks
+        |        FROM sel s JOIN gated g ON g.doc_id = s.doc_id),
+        |fst AS (SELECT shard, doc_id AS first_doc,
+        |          row_number() OVER (PARTITION BY shard
+        |              ORDER BY ord, doc_id) AS rn
+        |        FROM man)
+        |SELECT m.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(m.n_toks) AS BIGINT) AS n_tokens,
+        |       max(f.first_doc) AS first_doc
+        |FROM man m JOIN fst f ON f.shard = m.shard AND f.rn = 1
+        |GROUP BY m.shard ORDER BY m.shard""".stripMargin,
 
     // shard id, training order, and each shard's first document all
     // re-derived through the portable mix chain (sample_split's) —

@@ -119,6 +119,12 @@ object NbClassifier {
       math.log(pri.getDouble(0) / pri.getDouble(1)) / math.log(2.0), k)
   }
 
+  /** The per-row frozen log-odds as a bare Column (rounded to 6
+    * decimals — the same value [[scoreWithModel]] emits), for gating
+    * compositions that keep the rest of the row: map-only, no join. */
+  def logOddsCol(text: Column, m: NbModelRef): Column =
+    round(Shim.column(NbLogOdds(Shim.expression(text), m)), 6)
+
   /** [[score]]'s output shape under a frozen model — a pure map (no
     * join, no shuffle, no state) that scores a structured stream
     * exactly as it scores a batch table. With `m` covering the

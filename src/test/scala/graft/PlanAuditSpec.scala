@@ -501,6 +501,18 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("select_pipeline: both frozen models ride the scan as pure-map " +
+    "kernels, selection is a bounded TakeOrdered, the 50-row selected " +
+    "set joins back by broadcast — no cartesian") {
+    val plan = physical(run("select_pipeline"))
+    assert(plan.contains("nb_log_odds") || plan.contains("NbLogOdds"), plan)
+    assert(plan.contains("dsir_log_weight") || plan.contains("DsirLogWeight"),
+      plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sq8_knn: ADC scan into a bounded TakeOrdered — no join, no " +
     "global sort; the cosine kernel rides the scan") {
     val plan = physical(run("sq8_knn"))
