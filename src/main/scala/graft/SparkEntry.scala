@@ -2409,6 +2409,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // measure-don't-guess for the LSH banding: recall/precision of
+    // the banded candidate set against EXACT n-gram Jaccard at each
+    // threshold (the s-curve, measured on the corpus instead of
+    // assumed; candidates dumped as aux — the signature hash family
+    // is engine-side XXH64)
+    "minhash_eval" -> ((s, dir) =>
+      operators.MinHashLsh.evaluate(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32,
+        thresholds = Seq(0.2, 0.35, 0.5)).orderBy("threshold")),
+
     // the data-SELECTION pipeline composed from this round's ops:
     // frozen-NB quality gate (log_odds > 0, map-only) -> DSIR
     // Gumbel-top-50 over the survivors (models fit on the full
@@ -3053,6 +3063,14 @@ object SparkEntry {
         .select(col("vec_id"), col("bucket"),
           col("bucket").isin(buckets: _*).as("probed"))
     }),
+
+    // minhash_eval: the banded candidate pairs (XXH64 signatures are
+    // engine-side; the recall/precision arithmetic and the exact
+    // ground truth are the oracle's)
+    "minhash_candidates" -> ((s, dir) =>
+      operators.MinHashLsh.candidatePairs(
+        operators.MinHashLsh.signatures(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, numHashes = 64), bands = 32)),
 
     // semdedup: the k-means cluster assignment (training is
     // engine-side like ivf_knn's; everything downstream — exact
@@ -5665,6 +5683,40 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // exact ground truth re-derived from scratch; the dumped candidate
+    // set only supplies the caught flags — wrong banding arithmetic
+    // shows up as a recall number the oracle disagrees with
+    "minhash_eval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(len(t) - 2),
+        |                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |          AS sh
+        |      FROM d WHERE len(t) >= 3),
+        |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.sh, b.sh))::DOUBLE
+        |           / len(list_distinct(a.sh || b.sh)) AS j
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |             / len(list_distinct(a.sh || b.sh)) >= 0.2),
+        |c AS (SELECT id_a, id_b
+        |      FROM read_parquet('__AUX__/minhash_candidates/*.parquet')),
+        |nc AS (SELECT count(*)::BIGINT AS n FROM c),
+        |mk AS (SELECT ex.j, (c.id_a IS NOT NULL) AS caught
+        |       FROM ex LEFT JOIN c
+        |         ON ex.id_a = c.id_a AND ex.id_b = c.id_b),
+        |th AS (SELECT unnest([0.2, 0.35, 0.5]) AS threshold)
+        |SELECT th.threshold, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN mk.caught THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_caught,
+        |  round(sum(CASE WHEN mk.caught THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS recall,
+        |  max(nc.n) AS n_candidates,
+        |  round(sum(CASE WHEN mk.caught THEN 1 ELSE 0 END)::DOUBLE
+        |        / max(nc.n), 6) AS precision
+        |FROM th JOIN mk ON mk.j >= th.threshold CROSS JOIN nc
+        |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin,
 
     // all three stages replayed end-to-end: the NB gate (full-vocab
     // counts, rounded threshold), DSIR weights restricted to the

@@ -92,4 +92,53 @@ object MinHashLsh {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Candidate-set quality evaluation — "measure, don't guess" for the
+    * banding parameters: recall and precision of the LSH candidate
+    * pairs against EXACT n-gram Jaccard at each threshold. The
+    * s-curve theory (prob. of candidacy ≈ 1−(1−s^r)^b) says where
+    * recall should fall; this measures it on the real corpus, which
+    * is how numHashes/bands get chosen instead of guessed.
+    *
+    * Output, one row per threshold: (threshold, n_true, n_caught,
+    * recall, n_candidates, precision) — n_true = exact pairs with
+    * jaccard ≥ t, n_caught = those also in the candidate set,
+    * precision = n_caught / n_candidates (candidates are threshold-
+    * blind, so the "true at t" candidates ARE the caught set).
+    *
+    * Shape at 100 TB: the exact side reuses the inverted-index pair
+    * join (cap disabled — an eval must not lower-bound its ground
+    * truth), the candidate side the banded hash join; the comparison
+    * is one equi-join on the pair key and one explode of the bounded
+    * threshold list. The candidate COUNT is the one driver scalar. */
+  def evaluate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      thresholds: Seq[Double] = Seq(0.2, 0.35, 0.5, 0.8)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val exact = TextDedup.ngramJaccardPairs(docs, idCol, textCol, n,
+      thresholds.min, maxShingleDf = None)
+    val cands = candidatePairs(
+      signatures(docs, idCol, textCol, n, numHashes), bands)
+    val nCand = cands.count()
+    val marked = exact
+      .join(cands.withColumn("__c", lit(true)), Seq("id_a", "id_b"), "left")
+      .select(col("jaccard"), coalesce(col("__c"), lit(false)).as("__caught"))
+    marked
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"),
+        col("jaccard"), col("__caught"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        sum(when(col("__caught"), 1L).otherwise(0L)).as("n_caught"))
+      .select(col("threshold"), col("n_true"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_true"), 6).as("recall"),
+        lit(nCand).as("n_candidates"),
+        round(col("n_caught").cast("double") / lit(nCand.toDouble), 6)
+          .as("precision"))
+  }
 }
