@@ -2409,6 +2409,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lakehouse layout maintenance (OPTIMIZE ZORDER BY): Morton-key
+    // bucketing of events on (user, day), reporting each bucket's
+    // min/max bounding box — the stats a file-skipping scan consults,
+    // measured on the real data
+    "zorder_layout" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts AS timestamp)) div 86400000000")
+          .as("day"))
+      operators.Layout.zorderStats(ev, "user_id", "day", buckets = 16)
+        .orderBy("bucket")
+    }),
+
     // measure-don't-guess for the LSH banding: recall/precision of
     // the banded candidate set against EXACT n-gram Jaccard at each
     // threshold (the s-curve, measured on the corpus instead of
@@ -5683,6 +5695,26 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // the Morton interleave, the fixed-width bucket rule (integer
+    // division — a float `/` would disagree at boundaries), and every
+    // bounding box re-derived bit-for-bit
+    "zorder_layout" ->
+      """WITH pts AS (
+        |  SELECT user_id AS x, epoch(ts)::BIGINT // 86400 AS y FROM events),
+        |z AS (SELECT x, y,
+        |        list_sum(list_transform(range(21),
+        |          i -> (((x >> i) & 1) << (2 * i)) +
+        |               (((y >> i) & 1) << (2 * i + 1))))::BIGINT AS zv
+        |      FROM pts WHERE x >= 0 AND y >= 0
+        |        AND x < 2097152 AND y < 2097152),
+        |mm AS (SELECT min(zv) AS zmin, max(zv) AS zmax FROM z),
+        |bk AS (SELECT x, y, ((zv - zmin) * 16) // (zmax - zmin + 1) AS bucket
+        |       FROM z CROSS JOIN mm)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(x) AS x_min, max(x) AS x_max,
+        |       min(y) AS y_min, max(y) AS y_max
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // exact ground truth re-derived from scratch; the dumped candidate
     // set only supplies the caught flags — wrong banding arithmetic
