@@ -2409,6 +2409,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental-ingest dedup: the "new crawl vs the lake" shape —
+    // incoming (doc_id >= 250) matches only AGAINST the base
+    // (doc_id < 250), never base x base, then min-id dedup within
+    // the batch; survivors are what the lake ingests
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      operators.TextDedup.incrementalSurvivors(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", n = 3, threshold = 0.35)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // lakehouse layout maintenance (OPTIMIZE ZORDER BY): Morton-key
     // bucketing of events on (user, day), reporting each bucket's
     // min/max bounding box — the stats a file-skipping scan consults,
@@ -5695,6 +5708,32 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // both stages replayed: the cross-corpus jaccard match and the
+    // intra-batch min-id keep rule; sub-3-token docs have no shingles
+    // and survive by construction in both engines
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(len(t) - 2),
+        |                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |          AS sh
+        |      FROM d WHERE len(t) >= 3),
+        |b AS (SELECT * FROM s WHERE doc_id < 250),
+        |i AS (SELECT * FROM s WHERE doc_id >= 250),
+        |vs AS (SELECT DISTINCT i.doc_id FROM i JOIN b
+        |       ON len(list_intersect(i.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(i.sh || b.sh)) >= 0.35),
+        |fresh AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+        |          AND doc_id NOT IN (SELECT doc_id FROM vs)),
+        |fs AS (SELECT s.* FROM s JOIN fresh USING (doc_id)),
+        |intra AS (SELECT DISTINCT y.doc_id FROM fs x JOIN fs y
+        |          ON x.doc_id < y.doc_id
+        |          AND len(list_intersect(x.sh, y.sh))::DOUBLE
+        |              / len(list_distinct(x.sh || y.sh)) >= 0.35)
+        |SELECT doc_id FROM fresh
+        |WHERE doc_id NOT IN (SELECT doc_id FROM intra)
+        |ORDER BY doc_id""".stripMargin,
 
     // the Morton interleave, the fixed-width bucket rule (integer
     // division — a float `/` would disagree at boundaries), and every

@@ -131,4 +131,56 @@ object TextDedup {
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Cross-corpus near-dup pairs: INCOMING docs matched against a
+    * BASE corpus — the incremental-ingest shape (each crawl snapshot
+    * dedups against the lake; re-pairing the lake against itself
+    * every ingest is the quadratic anti-pattern this exists to
+    * avoid). Same inverted-index + size-ratio discipline as
+    * [[ngramJaccardPairs]], but the join is strictly incoming ×
+    * base: no base×base and no incoming×incoming pairs are formed.
+    * Output (new_id, old_id, jaccard ≥ threshold). */
+  def matchesAgainst(
+      base: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val bs = shingles(base, idCol, textCol, n)
+      .select(col("id").as("old_id"), explode(col("sh")).as("shingle"),
+        col("nsh").as("nsh_old"))
+    val is = shingles(incoming, idCol, textCol, n)
+      .select(col("id").as("new_id"), explode(col("sh")).as("shingle"),
+        col("nsh").as("nsh_new"))
+    is.join(bs, "shingle")
+      // size-ratio prune, as in ngramJaccardPairs
+      .filter(least(col("nsh_new"), col("nsh_old")) >=
+        lit(threshold) * greatest(col("nsh_new"), col("nsh_old")))
+      .groupBy("new_id", "nsh_new", "old_id", "nsh_old")
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("nsh_new") + col("nsh_old") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
+  /** The incremental-ingest survivor set: incoming rows that (a) have
+    * no near-dup in the base corpus and (b) survive min-id
+    * representative selection among the incoming batch's own
+    * near-dups. The base is only ever on the build side of the
+    * inverted-index joins — never paired with itself. */
+  def incrementalSurvivors(
+      base: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val vsBase = matchesAgainst(base, incoming, idCol, textCol, n, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    val fresh = incoming.join(vsBase, Seq(idCol), "left_anti")
+    val intra = ngramJaccardPairs(fresh, idCol, textCol, n, threshold)
+    keepRepresentatives(fresh, idCol, intra)
+  }
 }
