@@ -2409,6 +2409,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the crawl scheduler's decision, composed end-to-end: candidate
+    // URLs gated by RFC 9309 robots evaluation, prioritized by the
+    // host graph's PageRank, top-50 to fetch next — governance,
+    // centrality, and the frontier in one declared query
+    "frontier_rank" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+      val edges = docs.selectExpr(
+          "source AS src",
+          """CASE WHEN doc_id % 11 = 0 THEN 'sinkhost'
+            |ELSE concat('src', CAST((doc_id * doc_id + 1) % 13 AS STRING))
+            |END AS dst""".stripMargin)
+        .filter(col("src") =!= col("dst")).distinct()
+      val ranks = operators.PageRank.hostRank(edges, "src", "dst")
+      val cand = docs.filter(col("doc_id") < 200)
+        .selectExpr("doc_id", "source AS host",
+          "concat('# governance', chr(10), 'User-agent: *', chr(10), " +
+            "'Disallow: /private', chr(10), 'Allow: /private/ok', " +
+            "chr(10), 'Crawl-delay: 10', chr(10), 'Disallow: /tmp', " +
+            "chr(10), 'Disallow: /d', CAST(doc_id % 7 AS STRING)) " +
+            "AS robots",
+          "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/private/x' " +
+            "WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z' " +
+            "WHEN 3 THEN '/public/a' " +
+            "ELSE concat('/d', CAST(doc_id % 7 AS STRING), '/page') " +
+            "END AS path")
+        .selectExpr("doc_id", "host", "path",
+          "robots_allowed(robots, path) AS allowed")
+      cand.filter(col("allowed"))
+        .join(ranks, "host")
+        .select(col("doc_id"), col("host"), col("path"), col("rank"))
+        .orderBy(desc("rank"), col("doc_id")).limit(50)
+    }),
+
     // incremental-ingest dedup: the "new crawl vs the lake" shape —
     // incoming (doc_id >= 250) matches only AGAINST the base
     // (doc_id < 250), never base x base, then min-id dedup within
@@ -5708,6 +5742,76 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // the full scheduler replay: the 10 unrolled PageRank iterations
+    // (host_pagerank's chain), the longest-match robots decision
+    // (robots_filter's), the gate, and the rank-ordered top-50
+    "frontier_rank" ->
+      """WITH
+        |e AS (SELECT DISTINCT source AS src,
+        |        CASE WHEN doc_id % 11 = 0 THEN 'sinkhost'
+        |             ELSE 'src' || CAST((doc_id * doc_id + 1) % 13 AS VARCHAR)
+        |        END AS dst
+        |      FROM documents
+        |      WHERE source <> CASE WHEN doc_id % 11 = 0 THEN 'sinkhost'
+        |             ELSE 'src' || CAST((doc_id * doc_id + 1) % 13 AS VARCHAR)
+        |             END),
+        |nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+        |od AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+        |tm AS (
+        |  SELECT u.h AS src, v.h AS dst,
+        |    (1 - 0.85) / nn + CASE WHEN od.deg IS NULL THEN 0.85 / nn
+        |                           WHEN ed.dst IS NOT NULL THEN 0.85 / od.deg
+        |                           ELSE 0 END AS w
+        |  FROM nodes u CROSS JOIN nodes v CROSS JOIN n
+        |  LEFT JOIN od ON od.src = u.h
+        |  LEFT JOIN e ed ON ed.src = u.h AND ed.dst = v.h),
+        |p0 AS (SELECT h, 1.0 / nn AS r FROM nodes CROSS JOIN n),
+        |p1 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p0 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p2 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p1 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p3 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p2 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p4 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p3 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p5 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p4 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p6 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p5 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p7 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p6 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p8 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p7 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p9 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p8 p
+        |       JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |p10 AS (SELECT t.dst AS h, sum(p.r * t.w) AS r FROM p9 p
+        |        JOIN tm t ON t.src = p.h GROUP BY t.dst),
+        |pr AS (SELECT h AS host, round(r, 6) AS rank FROM p10),
+        |d AS (SELECT doc_id, source AS host,
+        |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/private/x'
+        |      WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |      WHEN 3 THEN '/public/a'
+        |      ELSE '/d' || doc_id % 7 || '/page' END AS path
+        |  FROM documents WHERE doc_id < 200),
+        |rl AS (SELECT d.doc_id, d.path, t.rule, t.allow
+        |  FROM d, LATERAL (VALUES ('/private', false),
+        |    ('/private/ok', true), ('/tmp', false),
+        |    ('/d' || d.doc_id % 7, false)) AS t(rule, allow)),
+        |m AS (SELECT doc_id, path, rule, allow FROM rl
+        |  WHERE starts_with(path, rule)),
+        |best AS (SELECT doc_id, path, max(length(rule)) AS bl
+        |  FROM m GROUP BY 1, 2),
+        |dec AS (SELECT b.doc_id, bool_or(m.allow) AS allowed
+        |  FROM best b JOIN m ON m.doc_id = b.doc_id
+        |    AND length(m.rule) = b.bl
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.host, d.path, pr.rank
+        |FROM d JOIN pr ON pr.host = d.host
+        |LEFT JOIN dec ON dec.doc_id = d.doc_id
+        |WHERE COALESCE(dec.allowed, true)
+        |ORDER BY pr.rank DESC, d.doc_id LIMIT 50""".stripMargin,
 
     // both stages replayed: the cross-corpus jaccard match and the
     // intra-batch min-id keep rule; sub-3-token docs have no shingles
