@@ -81,4 +81,34 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
+
+  /** Rows of `incoming` whose fingerprint does NOT appear in `base` —
+    * the STREAM-SAFE half of incremental ingest dedup: one left-anti
+    * stream-static equi-join on the 64-bit fingerprint, no
+    * aggregation, no state, so the same call gates a structured
+    * stream in append mode row-for-row (streamed==batch spec).
+    * Fingerprint equality is token-SET identity in practice (the
+    * SimHash of the distinct-token set): it catches exact dups and
+    * reshuffled-token dups, which is the streaming tier of a real
+    * ingest pipeline — Hamming-ball NEAR-dup gating needs the
+    * block join + aggregation and stays batch
+    * ([[TextDedup.incrementalSurvivors]], [[nearDupPairs]]).
+    * Rows too empty to fingerprint cannot match and pass through. */
+  def filterAgainstExact(
+      base: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val baseFp = fingerprints(base, idCol, textCol)
+      .select(col("simhash").as("__sim_base")).distinct()
+    val toks = array_distinct(split(col(textCol), " "))
+    val withSim = incoming.withColumn("__sim",
+      when(size(toks) > 0,
+        org.apache.spark.sql.graftshim.Shim.column(
+          graft.functions.SimHash64(
+            org.apache.spark.sql.graftshim.Shim.expression(toks)))))
+    withSim
+      .join(baseFp, withSim("__sim") === baseFp("__sim_base"), "left_anti")
+      .drop("__sim")
+  }
 }
