@@ -128,6 +128,39 @@ object FourthPassProbe {
       }
     }
 
+    if (which == "all" || which == "incdedup") {
+      // 1M-doc lake + 100k incoming, 20% of incoming near-dups of lake rows
+      val lake = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(50000)))): _*)
+          .as("text"))
+        .localCheckpoint(true)
+      val incoming = spark.range(2000000L, 2100000L).select(
+        col("id").as("doc_id"),
+        when(col("id") % 5 === 0,
+          // near-dup of lake doc (id%1M): same word stream, one token off
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit(if (i == 39) "x" else "w"),
+              pmod(hash(pmod(col("id"), lit(1000000L)) * 53 + i),
+                lit(50000)))): _*))
+        .otherwise(
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit("n"), pmod(hash(col("id") * 59 + i), lit(50000)))): _*))
+          .as("text"))
+        .localCheckpoint(true)
+      lake.count(); incoming.count()
+      time("incdedup: 100k incoming vs 1M lake + intra-batch, t=0.5") {
+        val n = TextDedup.incrementalSurvivors(lake, incoming,
+          "doc_id", "text", n = 3, threshold = 0.5).count()
+        println(s"[probe]   survivors: $n / 100000")
+      }
+      time("incdedup: stream-tier exact-fingerprint gate, 100k vs 1M") {
+        val n = SimHash.filterAgainstExact(lake, incoming,
+          "doc_id", "text").count()
+        println(s"[probe]   fingerprint-gate survivors: $n / 100000")
+      }
+    }
+
     if (which == "all" || which == "kmeansdist") {
       vecs.count()
       time("kmeans distributed: k=1024, 10 rounds over the 1M corpus") {
