@@ -2409,6 +2409,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multilingual tokenizer audit: per-language fertility (subwords
+    // per word) under the frozen BPE model — the metric that exposes
+    // a tokenizer trained on the wrong language mix (high-fertility
+    // languages pay more sequence length per word)
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = operators.Bpe.train(docs, "text",
+        numMerges = 40, maxWords = 5000)
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("__w"),
+          size(split(operators.Bpe.encode(col("text"), m), " "))
+            .cast("long").as("__s"))
+        .groupBy("lang")
+        .agg(sum("__w").as("n_words"), sum("__s").as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
     // the crawl scheduler's decision, composed end-to-end: candidate
     // URLs gated by RFC 9309 robots evaluation, prioritized by the
     // host graph's PageRank, top-50 to fetch next — governance,
@@ -5742,6 +5762,51 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // the frozen merges replayed per word (bpe_encode's canonical
+    // fold), then rolled up per language — fertility is pure count
+    // arithmetic on top
+    "bpe_fertility" ->
+      """WITH RECURSIVE
+        |mg AS (SELECT idx, l, r
+        |       FROM read_parquet('__AUX__/bpe_merges/*.parquet')),
+        |nm AS (SELECT count(*) AS n FROM mg),
+        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |      FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, ii.i AS pos,
+        |         array_to_string(
+        |           list_transform(range(1, length(t[ii.i + 1]) + 1),
+        |                          c -> t[ii.i + 1][c]), ' ') AS s
+        |  FROM d, LATERAL unnest(range(0, len(t))) AS ii(i)),
+        |enc AS (
+        |  SELECT doc_id, pos, s, 0 AS i FROM w0
+        |  UNION ALL
+        |  SELECT e.doc_id, e.pos,
+        |    CASE WHEN e.s NOT LIKE '% %' THEN e.s ELSE
+        |      trim(replace(list_reduce(
+        |        list_prepend(chr(1), string_split(e.s, ' ')),
+        |        (acc, x) -> CASE
+        |          WHEN split_part(acc, chr(1), 2) = m.l AND x = m.r
+        |            THEN split_part(acc, chr(1), 1) || ' ' || m.l || m.r
+        |                 || chr(1)
+        |          WHEN split_part(acc, chr(1), 2) = ''
+        |            THEN split_part(acc, chr(1), 1) || chr(1) || x
+        |          ELSE split_part(acc, chr(1), 1) || ' ' ||
+        |               split_part(acc, chr(1), 2) || chr(1) || x
+        |        END), chr(1), ' '))
+        |    END, e.i + 1
+        |  FROM enc e JOIN mg m ON m.idx = e.i),
+        |fin AS (SELECT e.doc_id, e.pos, e.s
+        |        FROM enc e, nm WHERE e.i = nm.n),
+        |perdoc AS (SELECT doc_id, count(*) AS w,
+        |             sum(len(string_split(s, ' '))) AS sw
+        |           FROM fin GROUP BY doc_id)
+        |SELECT d2.lang, CAST(sum(p.w) AS BIGINT) AS n_words,
+        |       CAST(sum(p.sw) AS BIGINT) AS n_subwords,
+        |       round(sum(p.sw)::DOUBLE / sum(p.w), 6) AS fertility
+        |FROM perdoc p JOIN documents d2 ON d2.doc_id = p.doc_id
+        |GROUP BY d2.lang ORDER BY d2.lang""".stripMargin,
 
     // the full scheduler replay: the 10 unrolled PageRank iterations
     // (host_pagerank's chain), the longest-match robots decision
