@@ -2409,6 +2409,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // codebook drift monitoring: train the IVF codebook on the first
+    // half of the vectors, score both halves by cosine to their
+    // nearest centroid, report per-cluster means and the fraction of
+    // new rows below the reference band — the retrain trigger of a
+    // long-lived index deployment
+    "ivf_drift" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      val ref = emb.filter(col("vec_id") < 250)
+      val model = operators.Ivf.train(ref, "embedding", k = 16)
+      operators.Ivf.drift(ref, emb.filter(col("vec_id") >= 250),
+        "embedding", model).orderBy("cluster")
+    }),
+
     // multilingual tokenizer audit: per-language fertility (subwords
     // per word) under the frozen BPE model — the metric that exposes
     // a tokenizer trained on the wrong language mix (high-fertility
@@ -3141,6 +3155,15 @@ object SparkEntry {
       operators.AnnLsh.bucketize(emb, "embedding", lsh)
         .select(col("vec_id"), col("bucket"),
           col("bucket").isin(buckets: _*).as("probed"))
+    }),
+
+    // ivf_drift: the trained codebook itself (cluster, centroid) — the
+    // oracle replays assignment, scoring, the band, and every stat
+    // from it
+    "ivf_drift_centroids" -> ((s, dir) => {
+      Graft.init(s)
+      val ref = t(s, dir, "embeddings").filter(col("vec_id") < 250)
+      operators.Ivf.centroidsDf(s, operators.Ivf.train(ref, "embedding", 16))
     }),
 
     // minhash_eval: the banded candidate pairs (XXH64 signatures are
@@ -5762,6 +5785,37 @@ object SparkEntry {
         |FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
         |CROSS JOIN tot CROSS JOIN pri
         |GROUP BY t.doc_id, dp, dn ORDER BY t.doc_id""".stripMargin,
+
+    // assignment (argmax cosine, ties to the lower cluster), scoring,
+    // the mean−2σ band, and every per-cluster stat replayed from the
+    // dumped codebook alone
+    "ivf_drift" ->
+      """WITH c AS (SELECT cluster, centroid::DOUBLE[] AS cv
+        |           FROM read_parquet('__AUX__/ivf_drift_centroids/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT e.vec_id, c.cluster,
+        |         list_cosine_similarity(e.v, c.cv) AS cos,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |                      c.cluster) AS rn
+        |       FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, cluster, cos FROM sc WHERE rn = 1),
+        |ref AS (SELECT * FROM a WHERE vec_id < 250),
+        |inc AS (SELECT * FROM a WHERE vec_id >= 250),
+        |band AS (SELECT avg(cos) AS m,
+        |           sqrt(avg(cos * cos) - avg(cos) * avg(cos)) AS sd
+        |         FROM ref),
+        |ra AS (SELECT cluster, count(*)::BIGINT AS n_ref, avg(cos) AS rm
+        |       FROM ref GROUP BY cluster),
+        |ia AS (SELECT cluster, count(*)::BIGINT AS n_new, avg(cos) AS nm,
+        |         avg(CASE WHEN cos < m - 2 * sd THEN 1.0 ELSE 0.0 END) AS bf
+        |       FROM inc CROSS JOIN band GROUP BY cluster)
+        |SELECT COALESCE(ra.cluster, ia.cluster) AS cluster,
+        |  COALESCE(ra.n_ref, 0) AS n_ref, round(ra.rm, 6) AS ref_mean_cos,
+        |  COALESCE(ia.n_new, 0) AS n_new, round(ia.nm, 6) AS new_mean_cos,
+        |  round(ia.bf, 6) AS drift_frac
+        |FROM ra FULL OUTER JOIN ia ON ra.cluster = ia.cluster
+        |ORDER BY cluster""".stripMargin,
 
     // the frozen merges replayed per word (bpe_encode's canonical
     // fold), then rolled up per language — fertility is pure count

@@ -76,3 +76,66 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** centroid_cosine(vec) -> double: the cosine similarity to the vec's
+  * NEAREST centroid — the quantization-quality signal behind codebook
+  * drift detection ([[graft.operators.Ivf.drift]]): when new data
+  * stops resembling the data the codebook was trained on, this score
+  * sinks, and the retrain trigger fires on the fraction below the
+  * reference band. Same k×dim tight loop and contracts as
+  * [[NearestCentroid]] (dim mismatch → null, zero vector → 0.0). */
+case class CentroidCosine(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "centroid_cosine: empty codebook")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centroid_cosine"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val norms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (v.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var nx = 0.0
+    var i = 0
+    while (i < dim) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      nx += x(i) * x(i)
+      i += 1
+    }
+    if (nx == 0.0) return 0.0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += x(i) * cen(i); i += 1 }
+      val score = if (norms(c) == 0.0) 0.0 else dot / (math.sqrt(nx) * norms(c))
+      if (score > bestScore) bestScore = score
+      c += 1
+    }
+    bestScore
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

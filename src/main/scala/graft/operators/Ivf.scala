@@ -252,4 +252,66 @@ object Ivf {
       assigned.filter(col("cluster").isin(probes: _*)),
       vecCol, idCol, queryVec, k)
   }
+  /** The codebook as a DataFrame (cluster, centroid array<float>) —
+    * the persistable/aux-dumpable artifact a drift oracle or an
+    * external engine re-derives assignments from. */
+  def centroidsDf(
+      spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+  }
+
+  /** Codebook drift detection — the retrain trigger of a long-lived
+    * IVF/SemDeDup deployment: score BOTH a reference window (the data
+    * the codebook was trained on) and an incoming batch by cosine to
+    * their nearest centroid ([[graft.functions.CentroidCosine]] — a
+    * per-row map), then compare per cluster. `drift_frac` is the
+    * fraction of incoming rows scoring below the reference band
+    * (global mean − 2·std, both exact closed-form aggregates); when
+    * it climbs, the codebook no longer represents the data and
+    * [[train]]/[[trainDistributed]] should rerun. Output one row per
+    * cluster: (cluster, n_ref, ref_mean_cos, n_new, new_mean_cos,
+    * drift_frac) — clusters absent from a side carry 0/null there.
+    *
+    * Shape at 100 TB: two pure-map scoring passes + two bounded
+    * per-cluster aggregates + a one-row broadcast band; no joins on
+    * corpus rows, no window. */
+  def drift(
+      reference: DataFrame,
+      incoming: DataFrame,
+      vecCol: String,
+      model: Model): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    def scored(df: DataFrame) = df.select(
+      Shim.column(NearestCentroid(
+        Shim.expression(col(vecCol)), model.centroids)).as("cluster"),
+      Shim.column(graft.functions.CentroidCosine(
+        Shim.expression(col(vecCol)), model.centroids)).as("__cos"))
+      .filter(col("cluster").isNotNull)
+    val ref = scored(reference)
+    val inc = scored(incoming)
+    val band = ref.agg(
+      avg("__cos").as("__m"),
+      avg(col("__cos") * col("__cos")).as("__m2"))
+      .select(col("__m"),
+        sqrt(col("__m2") - col("__m") * col("__m")).as("__sd"))
+    val refAgg = ref.groupBy("cluster").agg(
+      count(lit(1)).cast("long").as("n_ref"),
+      avg("__cos").as("__refMean"))
+    val incAgg = inc.crossJoin(broadcast(band))
+      .groupBy("cluster").agg(
+        count(lit(1)).cast("long").as("n_new"),
+        avg("__cos").as("__newMean"),
+        avg(when(col("__cos") < col("__m") - lit(2.0) * col("__sd"), 1.0)
+          .otherwise(0.0)).as("__belowFrac"))
+    refAgg.join(incAgg, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        round(col("__refMean"), 6).as("ref_mean_cos"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(col("__newMean"), 6).as("new_mean_cos"),
+        round(col("__belowFrac"), 6).as("drift_frac"))
+  }
 }
