@@ -2456,8 +2456,7 @@ object SparkEntry {
             |ELSE concat('src', CAST((doc_id * doc_id + 1) % 13 AS STRING))
             |END AS dst""".stripMargin)
         .filter(col("src") =!= col("dst")).distinct()
-      val ranks = operators.PageRank.hostRank(edges, "src", "dst",
-        checkpointEvery = 5)
+      val ranks = operators.PageRank.hostRank(edges, "src", "dst")
       val cand = docs.filter(col("doc_id") < 200)
         .selectExpr("doc_id", "source AS host",
           "concat('# governance', chr(10), 'User-agent: *', chr(10), " +
@@ -2591,10 +2590,7 @@ object SparkEntry {
             |ELSE concat('src', CAST((doc_id * doc_id + 1) % 13 AS STRING))
             |END AS dst""".stripMargin)
         .filter(col("src") =!= col("dst")).distinct()
-      // tiny graph: the per-round scheduling floor dominates, so
-      // checkpoint sparsely (PageRank.scala's measured cadence note)
-      operators.PageRank.hostRank(edges, "src", "dst",
-        checkpointEvery = 5).orderBy("host")
+      operators.PageRank.hostRank(edges, "src", "dst").orderBy("host")
     }),
 
     // DSIR (Xie et al. 2023): per-doc log importance weight under two

@@ -79,12 +79,14 @@ object PageRank {
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n)))
             .as("r"))
       it += 1
-      // checkpoint cadence, measured both ways: at 4.8M edges,
-      // per-round materialization wins (22.8 s vs 37.7 s at
-      // cadence 3 — re-running multi-round lineage is the expensive
-      // side at scale), so 1 is the default; on tiny graphs the
-      // per-round scheduling floor dominates instead (3.9 s for 10
-      // rounds on 21 nodes) and callers raise the cadence
+      // checkpoint cadence, measured both ways and kept at 1: each
+      // round references `ranks` THREE times (contribution join,
+      // dangling anti-join, node re-expand), so uncheckpointed
+      // lineage grows ~3^cadence — cadence 3 measured 37.7 s vs
+      // 22.8 s at 4.8M edges, and cadence 5 blew a 21-node toy graph
+      // from 3.9 s to 13 s. Per-round materialization is the
+      // scale-correct default; the knob exists for single-reference
+      // variants, not for skipping rounds here
       ranks =
         if (it % checkpointEvery == 0 || it == iterations)
           next.localCheckpoint()
