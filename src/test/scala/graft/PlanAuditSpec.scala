@@ -501,6 +501,36 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("zorder_layout: one-row z-range broadcast, partial min/max " +
+    "aggregation, no cartesian") {
+    val plan = physical(run("zorder_layout"))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_max"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("shard_manifest: one aggregate with min_by — no Window, no join") {
+    val plan = physical(run("shard_manifest"))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_min_by") || plan.contains("min_by"), plan)
+  }
+
+  test("ivf_drift: scoring is a pure map (centroid kernels in the " +
+    "scan), the band is a one-row broadcast, no corpus-row join") {
+    val plan = physical(run("ivf_drift"))
+    assert(plan.contains("nearest_centroid") ||
+      plan.contains("NearestCentroid"), plan)
+    assert(plan.contains("centroid_cosine") ||
+      plan.contains("CentroidCosine"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the one sort-merge join is the FULL OUTER of the two k-row
+    // per-cluster aggregate tables (full-outer cannot broadcast) —
+    // corpus rows are aggregated before any join
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("select_pipeline: both frozen models ride the scan as pure-map " +
     "kernels, selection is a bounded TakeOrdered, the 50-row selected " +
     "set joins back by broadcast — no cartesian") {
