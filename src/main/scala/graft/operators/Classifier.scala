@@ -135,7 +135,11 @@ object NbClassifier {
       idCol: String,
       textCol: String,
       m: NbModelRef): DataFrame =
-    docs.select(col(idCol),
+    // null-text documents are dropped, matching the corpus-native
+    // [[score]] path (which loses them in the token explode) — so
+    // "frozen == corpus-native on every document" holds even on
+    // corpora containing null text
+    docs.filter(col(textCol).isNotNull).select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"),
       round(Shim.column(NbLogOdds(Shim.expression(col(textCol)), m)), 6)
         .as("log_odds"))

@@ -114,7 +114,9 @@ object Dsir {
       idCol: String,
       textCol: String,
       m: DsirModelRef): DataFrame =
-    docs.select(col(idCol),
+    // null-text documents are dropped, matching the corpus-native
+    // [[logWeights]] path (which loses them in the feature explode)
+    docs.filter(col(textCol).isNotNull).select(col(idCol),
       (size(split(col(textCol), " ")).cast("long") * 2 - 1).as("n_feats"),
       round(Shim.column(DsirLogWeight(Shim.expression(col(textCol)), m)), 6)
         .as("log_w"))

@@ -88,10 +88,13 @@ object Ivf {
     // thread scheduling, because double addition happens in the same
     // order every run (a naive shared-accumulator parallel loop would
     // make the centroids run-dependent and break the oracle's aux
-    // replays).
-    val nThreads =
-      math.min(32, Runtime.getRuntime.availableProcessors).max(1)
-    val chunkSize = math.max(1, (sample.length + nThreads - 1) / nThreads)
+    // replays). The chunk size is a hardware-independent CONSTANT —
+    // deriving it from availableProcessors would move chunk boundaries
+    // (and float summation order, and the codebook's low-order bits)
+    // across machines/container CPU limits, silently breaking the
+    // "bit-deterministic for a fixed input" contract; the thread pool
+    // still sizes itself to the box, only the work units are fixed.
+    val chunkSize = 1024
     val chunks = sample.grouped(chunkSize).toArray
     var it = 0
     while (it < iters) {
@@ -178,6 +181,10 @@ object Ivf {
     var it = 0
     while (it < iters) {
       val sums = assign(df, vecCol, model)
+        // dirty-input contract: dim-mismatched vectors assign to a
+        // null cluster — drop them (as [[drift]] does) rather than
+        // NPE on the null-key group's getInt below
+        .filter(col("cluster").isNotNull)
         .groupBy("cluster")
         .agg(graft.Graft.vectorAvg(col(vecCol)).as("c"))
         .collect() // bounded: at most k rows of dim doubles
@@ -212,7 +219,8 @@ object Ivf {
     import org.apache.spark.sql.types._
     val spark = assigned.sparkSession
     graft.Graft.init(spark)
-    val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+    val qRows = Knn.collectBoundedQueries(
+      queries.select(col(qidCol), col(qVecCol)), "ivf searchBatch")
     Knn.ensureHashAggCapacity(spark, qRows.length)
     val probeRows = qRows.flatMap { r =>
       val vec = r.getSeq[Float](1).toArray

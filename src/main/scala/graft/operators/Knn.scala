@@ -73,6 +73,30 @@ object Knn {
     if (needed > cur) spark.conf.set(fallbackKey, needed.toString)
   }
 
+  /** Hard cap on the driver-materialized query side of the batch-search
+    * family (here, [[graft.operators.Ivf.searchBatch]],
+    * [[graft.operators.Pq.searchBatch]]). The batch contract broadcasts
+    * the query set from the driver; past this bound that contract is
+    * being misused, and the guard turns a silent driver OOM into an
+    * error message naming the fix. */
+  val MaxBatchQueries: Int = 65536
+
+  /** Collect a query side that is "small by contract" WITHOUT letting a
+    * contract violation materialize an unbounded set: the plan is capped
+    * at `max + 1` rows before collect (so the driver holds at most that
+    * many), and the guard fires if the cap was reached. Within the
+    * bound, identical to a plain collect(). */
+  private[operators] def collectBoundedQueries(
+      qSel: DataFrame, what: String,
+      max: Int = MaxBatchQueries): Array[org.apache.spark.sql.Row] = {
+    val rows = qSel.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"$what: query side exceeds the $max-row batch contract — the " +
+        "batch form broadcasts the query set from the driver; chunk " +
+        "the query set, or treat the larger side as the corpus")
+    rows
+  }
+
   /** Bounded-heap top-k per qid over (qid, __id, __score) rows →
     * (qid, rank, id, score). The shuffle carries only per-partition
     * heaps (partial topk_by_score), never the scored pairs. */
@@ -111,7 +135,7 @@ object Knn {
     // relation, so the (possibly expensive) query lineage is never
     // executed a second time by a separate count() job or the broadcast
     val qSel = queries.select(col(qidCol).as("qid"), qvec.as("__qvec"))
-    val qRows = qSel.collect()
+    val qRows = collectBoundedQueries(qSel, "knn searchBatch")
     ensureHashAggCapacity(spark, qRows.length)
     val q = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qSel.schema))

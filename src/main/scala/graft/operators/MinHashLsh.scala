@@ -138,7 +138,12 @@ object MinHashLsh {
       .select(col("threshold"), col("n_true"), col("n_caught"),
         round(col("n_caught").cast("double") / col("n_true"), 6).as("recall"),
         lit(nCand).as("n_candidates"),
-        round(col("n_caught").cast("double") / lit(nCand.toDouble), 6)
+        // empty candidate set (aggressive banding / tiny corpus):
+        // precision is undefined — emit null, not NaN/Infinity (which
+        // a SQL oracle would disagree on)
+        when(lit(nCand) > 0L,
+          round(col("n_caught").cast("double") / lit(nCand.toDouble), 6))
+          .otherwise(lit(null).cast("double"))
           .as("precision"))
   }
 }

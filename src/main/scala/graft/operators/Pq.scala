@@ -204,7 +204,8 @@ object Pq {
     import org.apache.spark.sql.types._
     val spark = encoded.sparkSession
     graft.Graft.init(spark)
-    val qRows = queries.select(col(qidCol), col(qVecCol)).collect()
+    val qRows = Knn.collectBoundedQueries(
+      queries.select(col(qidCol), col(qVecCol)), "pq searchBatch")
     require(qRows.nonEmpty, "pq searchBatch: empty query set")
     Knn.ensureHashAggCapacity(spark, qRows.length)
     val nq = qRows.length

@@ -147,7 +147,8 @@ object Stats {
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double],
+      maxGroups: Int = 100000): DataFrame = {
     require(keyCols.nonEmpty && ps.nonEmpty &&
       ps.forall(p => p >= 0.0 && p <= 1.0))
     val labels = ps.map(quantileLabel)
@@ -166,7 +167,24 @@ object Stats {
     // pass 1: per-partition per-key counts, preserving encounter order
     val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
-      it.foreach { r => val k = keyOf(r); m(k) = m.getOrElse(k, 0L) + 1 }
+      it.foreach { r =>
+        val k = keyOf(r)
+        m(k) = m.getOrElse(k, 0L) + 1
+        // Few-huge-groups contract, enforced where it can still be
+        // cheap: keys are range-partitioned contiguously, so the
+        // per-partition distinct-key count is a faithful proxy for the
+        // group count — fail loudly in the EXECUTOR (bounding what the
+        // pass-1 collect can ever send the driver) instead of letting
+        // a many-group misuse materialize partitions×groups driver
+        // state.
+        if (m.size > maxGroups)
+          throw new IllegalArgumentException(
+            s"groupedQuantilesSorted: more than $maxGroups distinct " +
+              "groups — this variant keeps O(partitions x groups) " +
+              "driver state and targets the few-huge-groups regime; " +
+              "use groupedQuantiles (the window form) for many-group " +
+              "inputs, or raise maxGroups deliberately")
+      }
       m.iterator.map { case (k, c) => (pid, k, c) }
     }.collect()
     val totals = counts.groupBy(_._2).map { case (k, cs) =>

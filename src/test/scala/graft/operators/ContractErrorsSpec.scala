@@ -133,4 +133,45 @@ class ContractErrorsSpec extends SparkTestBase {
       graft.index.IvfVectorIndex.load(spark, dir + "-nope")
     }
   }
+
+  test("searchBatch refuses a query side past the broadcast contract " +
+    "BEFORE materializing it (driver holds at most cap+1 rows)") {
+    val index = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // a query side one past the cap: the guard must fire with the
+    // chunking advice, not OOM or silently broadcast
+    val over = spark.range(0, Knn.MaxBatchQueries + 1L)
+      .select(col("id").as("qid"),
+        array(lit(1.0f), lit(0.0f)).as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      Knn.searchBatch(index, "embedding", "vec_id", over, "qv", "qid", 2)
+    }
+    assert(e.getMessage.contains("batch contract"))
+    assert(e.getMessage.contains("chunk"))
+  }
+
+  test("groupedQuantilesSorted fails loudly past the group-count bound, " +
+    "pointing at the window form (few-huge-groups contract enforced)") {
+    val many = spark.range(0, 500)
+      .select(concat(lit("g"), col("id")).as("k"),
+        (col("id") % 7).cast("double").as("v"))
+    val e = intercept[Exception] {
+      Stats.groupedQuantilesSorted(many, Seq("k"), "v", Seq(0.5),
+        maxGroups = 10).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    val msgs = chain(e).mkString("\n")
+    assert(msgs.contains("groupedQuantiles"))
+    assert(msgs.contains("few-huge-groups"))
+    // within the bound the guard is invisible: same rows as the window form
+    val few = spark.range(0, 100)
+      .select((col("id") % 3).cast("string").as("k"),
+        col("id").cast("double").as("v"))
+    val a = Stats.groupedQuantilesSorted(few, Seq("k"), "v", Seq(0.25, 0.9))
+      .orderBy("k").collect().toSeq
+    val b = Stats.groupedQuantiles(few, Seq("k"), "v", Seq(0.25, 0.9))
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+  }
 }

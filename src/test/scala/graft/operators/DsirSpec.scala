@@ -79,6 +79,20 @@ class DsirSpec extends SparkTestBase {
     }
   }
 
+  test("null-text documents are dropped by BOTH paths (frozen == " +
+    "corpus-native even on dirty corpora)") {
+    val docs = Seq((1L, "the quick fox", true),
+      (2L, null.asInstanceOf[String], false), (3L, "lazy dog sat", false))
+      .toDF("doc_id", "text", "tgt")
+    val exact = Dsir.logWeights(docs, "doc_id", "text", col("tgt"), 32)
+      .select("doc_id").as[Long].collect().toSet
+    val m = Dsir.model(docs, "text", col("tgt"), 32)
+    val frozen = Dsir.scoreWithModel(docs, "doc_id", "text", m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L))
+    assert(frozen == exact)
+  }
+
   test("target-like text gets positive weight, off-target negative — " +
     "the resampling signal, including on unseen documents") {
     val tgt = (1 to 20).map(i => (i.toLong, "the quick brown fox", true))

@@ -53,4 +53,29 @@ class MinHashEvalSpec extends SparkTestBase {
     val (t2true, t2caught) = out(0.2)
     assert(t2true == 6L && t2caught < 6L, s"$out") // mid pairs lost
   }
+
+  test("empty candidate set yields null precision, not NaN/Infinity " +
+    "(a SQL oracle would disagree on 0/0)") {
+    // disjoint-vocabulary noise docs only + one wide band: no two
+    // signatures agree, so the candidate set is empty
+    val lonely = (0 until 8).map(i =>
+      (i.toLong, (0 until 8).map(w => s"d${i}v$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = MinHashLsh.evaluate(lonely, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 1, thresholds = Seq(0.1)).collect()
+    // no true pairs either → zero rows survive the >= threshold filter,
+    // which is fine; the contract under test is the guarded column, so
+    // drive it with a corpus that HAS true pairs but no candidates
+    val twins = ((0 until 8).map(i =>
+      (i.toLong, (0 until 8).map(w => s"d${i}v$w").mkString(" "))) ++
+      Seq((100L, "a b c d e f g h"), (101L, "a b c d e f g z")))
+      .toDF("doc_id", "text")
+    val rows = MinHashLsh.evaluate(twins, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 1, thresholds = Seq(0.1)).collect()
+    rows.foreach { r =>
+      if (r.getLong(4) == 0L) assert(r.isNullAt(5), s"$r")
+      else assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+    }
+    assert(out.forall(r => r.getLong(4) > 0L || r.isNullAt(5)))
+  }
 }

@@ -73,6 +73,19 @@ class NbClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("null-text documents are dropped by BOTH paths (frozen == " +
+    "corpus-native even on dirty corpora)") {
+    val docs = Seq((1L, "a a b", true), (2L, null.asInstanceOf[String],
+      false), (3L, "b c", false)).toDF("doc_id", "text", "good")
+    val exact = NbClassifier.score(docs, "doc_id", "text", col("good"))
+      .select("doc_id").as[Long].collect().toSet
+    val m = NbClassifier.model(docs, "text", col("good"), 100)
+    val frozen = NbClassifier.scoreWithModel(docs, "doc_id", "text", m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L))
+    assert(frozen == exact)
+  }
+
   test("OOV tokens score at the two-class add-k floor (count 0 both " +
     "sides), a constant independent of the dropped counts") {
     val docs = Seq((1L, "a a a a", true), (2L, "b b", false),
