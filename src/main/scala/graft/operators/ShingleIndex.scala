@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted shingle index — the storage half of incremental
+  * ingest dedup.
+  *
+  * [[TextDedup.matchesAgainst]] is the right JOIN (incoming × base
+  * only, never base × base), but as a pure function it re-shingles and
+  * re-explodes the BASE corpus on every call — at 100 TB that means
+  * every nightly crawl re-pays a full lake pass (the 1M-lake probe in
+  * BASELINE.md measured the lake explode dominating the per-crawl
+  * cost). This class makes the lake's inverted index a STORED artifact,
+  * following [[Bm25Index]]'s design exactly:
+  *
+  *  - postings `(key, old_id, nsh)` live in parquet partitioned by
+  *    `bucket = pmod(hash(key), nBuckets)` and key-sorted within files,
+  *    so a probe opens only its shingles' buckets (Hive partition
+  *    pruning) and skips row groups on key min/max inside them;
+  *  - `_stats` sidecar pins the shingle parameters (ngram width, key
+  *    hashing, bucket count) so a probe can never silently run with
+  *    mismatched shingling;
+  *  - `_ranges` sidecar records every build/append's docid interval —
+  *    re-appending an indexed doc would double its postings, so an
+  *    overlapping append throws (same guard, and same `force` escape
+  *    hatch, as [[Bm25Index.append]]).
+  *
+  * Keys are 8-byte `xxhash64(shingle)` by default — the
+  * [[SubstrDedup]] precedent: word-trigram strings average ~20 bytes
+  * and the hashed index is ~3× smaller and join-cheaper; a 64-bit
+  * collision adds at most 1 to one pair's intersection count
+  * (ShingleIndexSpec pins hashed == exact-string on the test corpus).
+  * `hashKeys = false` stores the shingle verbatim for exact-at-any-
+  * scale semantics.
+  *
+  * The reference has no dedup surface (SURVEY §2.5) — this is the
+  * north-star extension's production-lifecycle form: build the lake
+  * index once, probe it per crawl, append each accepted batch's own
+  * shingles, never re-shingle the lake.
+  */
+class ShingleIndex private (
+    val spark: SparkSession,
+    val path: String,
+    val nDocs: Long,
+    val ngram: Int,
+    val nBuckets: Int,
+    val hashKeys: Boolean) {
+
+  def postings: DataFrame = spark.read.parquet(path)
+
+  /** Exploded keyed shingles of `docs`: (key, id, nsh) under THIS
+    * index's shingle parameters. */
+  private def keyed(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = TextDedup.shingles(docs, idCol, textCol, ngram)
+      .select(col("id"), explode(col("sh")).as("__shingle"), col("nsh"))
+    val k = if (hashKeys) xxhash64(col("__shingle")) else col("__shingle")
+    sh.select(k.as("key"), col("id"), col("nsh"))
+  }
+
+  /** Cross-corpus near-dup pairs of an incoming batch against the
+    * INDEXED lake: [[TextDedup.matchesAgainst]]'s semantics — output
+    * (new_id, old_id, jaccard ≥ threshold) — with the base side read
+    * from the stored postings. The lake's text is never read and never
+    * re-shingled (plan-pinned): the probe's cost is the incoming
+    * batch's shingling plus a pruned index read.
+    *
+    * Bucket pruning: one bounded aggregate (≤ nBuckets rows) computes
+    * the incoming shingles' bucket set; a small crawl batch then opens
+    * only its matched buckets of the lake index — the same
+    * candidates-read story as [[Bm25Index.search]]. A batch whose
+    * shingles touch every bucket skips the filter (it would prune
+    * nothing). */
+  def probe(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    // ONE shingle pass over the batch: the bucket-set aggregate and
+    // the postings join both reuse the materialized keys (the batch is
+    // the small side by the ingest contract; lineage is released by GC
+    // when the result's reference drops — the DataMix localCheckpoint
+    // pattern)
+    val inc = keyed(incoming, idCol, textCol)
+      .select(col("key"), col("id").as("new_id"), col("nsh").as("nsh_new"))
+      .localCheckpoint()
+    val bSet = inc.select(pmod(hash(col("key")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets rows
+    val all = postings
+    val base = if (bSet.length < nBuckets)
+      all.filter(col("bucket").isin(bSet.map(Integer.valueOf).toSeq: _*))
+    else all
+    // the lake postings NEVER shuffle: when the batch's keyed shingles
+    // fit a broadcast (the normal crawl-vs-lake asymmetry), the join is
+    // a map-side hash probe riding the pruned postings scan, and the
+    // only exchange left is the candidate-pair aggregation — cost
+    // proportional to real overlap, not lake size. An oversized batch
+    // falls back to the shuffle join rather than OOMing executors.
+    val incJ = if (inc.count() <= ShingleIndex.MaxBroadcastKeys)
+      broadcast(inc) else inc
+    incJ.join(
+        base.select(col("key"), col("old_id"), col("nsh").as("nsh_old")),
+        "key")
+      // size-ratio prune, as in TextDedup.ngramJaccardPairs
+      .filter(least(col("nsh_new"), col("nsh_old")) >=
+        lit(threshold) * greatest(col("nsh_new"), col("nsh_old")))
+      .groupBy("new_id", "nsh_new", "old_id", "nsh_old")
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("nsh_new") + col("nsh_old") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
+  /** Index-routed [[TextDedup.incrementalSurvivors]]: incoming rows
+    * with no near-dup in the indexed lake, min-id-deduped within the
+    * batch itself. Intra-batch pairing is [[TextDedup
+    * .ngramJaccardPairs]] over the (small) batch only — the lake side
+    * comes entirely from [[probe]]. */
+  def survivors(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val vsBase = probe(incoming, idCol, textCol, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    val fresh = incoming.join(vsBase, Seq(idCol), "left_anti")
+    val intra = TextDedup.ngramJaccardPairs(
+      fresh, idCol, textCol, ngram, threshold)
+    TextDedup.keepRepresentatives(fresh, idCol, intra)
+  }
+
+  /** Append a batch's shingles into their bucket partitions — the
+    * accepted-crawl path (existing files untouched; the lake is never
+    * re-shingled). Same docid-range overlap guard as
+    * [[Bm25Index.append]]: re-appending an indexed doc would double
+    * its postings; `force = true` takes that risk knowingly. Repeated
+    * appends leave one small file per batch per touched bucket —
+    * [[compact]] during maintenance windows. */
+  def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+      force: Boolean = false): ShingleIndex = {
+    val Array(st) = docs
+      .agg(count(col(idCol)).as("n"),
+        min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi"))
+      .collect()
+    val nNew = st.getLong(0)
+    if (nNew == 0L) return this
+    require(!st.isNullAt(1),
+      s"shingle append: every value of id column '$idCol' casts to null")
+    val (lo, hi) = (st.getLong(1), st.getLong(2))
+    if (!force) Bm25Index.readRanges(spark, path)
+      .find { case (l, h) => lo <= h && l <= hi }
+      .foreach { case (l, h) => throw new IllegalArgumentException(
+        s"shingle append: id range [$lo,$hi] intersects already-indexed " +
+        s"[$l,$h] — re-appending an indexed doc doubles its postings; " +
+        "use force=true only if the overlap is intentional")
+      }
+    keyed(docs, idCol, textCol)
+      .select(col("key"), col("id").as("old_id"), col("nsh"))
+      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "key")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    // postings first, stats second — a crash between leaves the sidecar
+    // undercounting nDocs (cosmetic), never stats-without-postings
+    ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
+      hashKeys)
+    Bm25Index.appendRange(spark, path, lo, hi)
+    new ShingleIndex(spark, path, nDocs + nNew, ngram, nBuckets, hashKeys)
+  }
+
+  /** The full per-crawl ingest step: gate the batch against the lake
+    * and itself ([[survivors]]), then index the accepted rows so the
+    * NEXT crawl dedups against them too. The survivor set is
+    * materialized (localCheckpoint) BEFORE the append mutates storage —
+    * the returned DataFrame must not lazily re-read an index that now
+    * contains the batch itself. Returns (survivors, grown index). */
+  def ingest(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): (DataFrame, ShingleIndex) = {
+    val surv = survivors(incoming, idCol, textCol, threshold)
+      .localCheckpoint()
+    (surv, appendBatch(surv, idCol, textCol))
+  }
+
+  /** Offline maintenance after repeated [[appendBatch]]es: rewrite each
+    * bucket key-sorted into a sibling directory, carry the sidecars,
+    * swap — [[Bm25Index.compact]]'s contract (maintenance windows only,
+    * not safe against concurrent readers). */
+  def compact(maxRecordsPerFile: Long = 5000000L): ShingleIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path)
+      .sortWithinPartitions("bucket", "key")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(tmp.toString)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    Seq("_stats", "_ranges").foreach { side =>
+      val src = new org.apache.hadoop.fs.Path(cur, side)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(tmp, side), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    new ShingleIndex(spark, path, nDocs, ngram, nBuckets, hashKeys)
+  }
+}
+
+object ShingleIndex {
+
+  /** Sentinel default: derive the bucket count from the corpus's
+    * shingle volume via [[Bm25Index.autoBuckets]] (same cube-root rule;
+    * a shingle posting and a term posting are the same storage unit). */
+  val AutoBuckets: Int = 0
+
+  /** Largest keyed-shingle row count [[ShingleIndex.probe]] will
+    * broadcast (~20 B/row → ≤ ~100 MB hashed relation per executor —
+    * the standard "dimension fits memory" budget). Above it the probe
+    * degrades to a shuffle join instead of risking executor OOM. */
+  val MaxBroadcastKeys: Long = 4000000L
+
+  private def writeStats(spark: SparkSession, path: String, nDocs: Long,
+      ngram: Int, nBuckets: Int, hashKeys: Boolean): Unit = {
+    import spark.implicits._
+    Seq((nDocs, ngram, nBuckets, hashKeys))
+      .toDF("n_docs", "ngram", "n_buckets", "hash_keys")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      ngram: Int = 3,
+      nBuckets: Int = AutoBuckets,
+      hashKeys: Boolean = true): ShingleIndex = {
+    val spark = docs.sparkSession
+    // stats pass first (and the empty guard BEFORE the postings write
+    // mutates the target path); the shingle lineage runs twice — once
+    // aggregated, once exploded — which a one-time build affords
+    val Array(st) = TextDedup.shingles(docs, idCol, textCol, ngram)
+      .agg(count(lit(1)).as("n"), sum(col("nsh")).as("tot"),
+        min(col("id").cast("long")).as("lo"),
+        max(col("id").cast("long")).as("hi"))
+      .collect()
+    require(st.getLong(0) > 0,
+      s"shingle index: no shinglable docs, refusing to build $path")
+    require(!st.isNullAt(2),
+      s"shingle index: every value of id column '$idCol' casts to null")
+    val nb = if (nBuckets == AutoBuckets) Bm25Index.autoBuckets(st.getLong(1))
+      else nBuckets
+    val idx = new ShingleIndex(spark, path, 0L, ngram, nb, hashKeys)
+    idx.keyed(docs, idCol, textCol)
+      .select(col("key"), col("id").as("old_id"), col("nsh"))
+      .withColumn("bucket", pmod(hash(col("key")), lit(nb)))
+      .sortWithinPartitions("bucket", "key")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeStats(spark, path, st.getLong(0), ngram, nb, hashKeys)
+    val rangesDir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
+    val fs = rangesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rangesDir)) fs.delete(rangesDir, true)
+    Bm25Index.appendRange(spark, path, st.getLong(2), st.getLong(3))
+    new ShingleIndex(spark, path, st.getLong(0), ngram, nb, hashKeys)
+  }
+
+  def load(spark: SparkSession, path: String): ShingleIndex = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      throw new graft.index.IndexNotFoundException(
+        s"no shingle index at $path")
+    val st = spark.read.parquet(dir.toString).head()
+    new ShingleIndex(spark, path, st.getLong(0), st.getInt(1),
+      st.getInt(2), st.getBoolean(3))
+  }
+}

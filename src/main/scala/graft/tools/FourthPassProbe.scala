@@ -161,6 +161,67 @@ object FourthPassProbe {
       }
     }
 
+    if (which == "all" || which == "shingleidx") {
+      // same 1M lake / 100k crawl shape as incdedup, but the lake
+      // lives ON DISK (as a 100 TB lake would) and its inverted
+      // shingle index is a STORED artifact: the per-crawl comparison
+      // is "scan the lake's text + re-shingle" (matchesAgainst)
+      // versus "read the stored postings" (probe)
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-shidx").toString
+      spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(50000)))): _*)
+          .as("text"))
+        .write.parquet(s"$tmpRoot/lake")
+      val lake = spark.read.parquet(s"$tmpRoot/lake")
+      val incoming = spark.range(2000000L, 2100000L).select(
+        col("id").as("doc_id"),
+        when(col("id") % 5 === 0,
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit(if (i == 39) "x" else "w"),
+              pmod(hash(pmod(col("id"), lit(1000000L)) * 53 + i),
+                lit(50000)))): _*))
+        .otherwise(
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit("n"), pmod(hash(col("id") * 59 + i), lit(50000)))): _*))
+          .as("text"))
+        .localCheckpoint(true)
+      incoming.count()
+      val idx = time("shingleidx: ONE-TIME lake index build, 1M docs") {
+        ShingleIndex.build(lake, "doc_id", "text", s"$tmpRoot/idx",
+          ngram = 3)
+      }
+      println(s"[probe]   buckets: ${idx.nBuckets}")
+      time("shingleidx: probe 100k crawl vs STORED index (warm #2)") {
+        idx.probe(incoming, "doc_id", "text", 0.5).count()
+        val m = idx.probe(incoming, "doc_id", "text", 0.5).count()
+        println(s"[probe]   cross matches: $m")
+      }
+      time("shingleidx: matchesAgainst 100k (lake text re-shingle, warm #2)") {
+        TextDedup.matchesAgainst(lake, incoming, "doc_id", "text",
+          n = 3, threshold = 0.5).count()
+        TextDedup.matchesAgainst(lake, incoming, "doc_id", "text",
+          n = 3, threshold = 0.5).count()
+      }
+      time("shingleidx: full per-crawl survivors via index (100k)") {
+        val s = idx.survivors(incoming, "doc_id", "text", 0.5).count()
+        println(s"[probe]   survivors: $s / 100000")
+      }
+      // the pruning floor: a 100-doc trickle batch opens only its
+      // shingles' buckets of the stored index
+      val small = incoming.limit(100).localCheckpoint(true)
+      small.count()
+      time("shingleidx: 100-doc trickle probe (bucket-pruned read)") {
+        val m = idx.probe(small, "doc_id", "text", 0.5).count()
+        println(s"[probe]   matches: $m")
+      }
+      time("shingleidx: matchesAgainst 100-doc trickle (full lake pass)") {
+        TextDedup.matchesAgainst(lake, small, "doc_id", "text",
+          n = 3, threshold = 0.5).count()
+      }
+    }
+
     if (which == "all" || which == "kmeansdist") {
       vecs.count()
       time("kmeans distributed: k=1024, 10 rounds over the 1M corpus") {

@@ -805,4 +805,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
   }
+
+  test("dedup_incremental: the lake's TEXT is never read at probe " +
+    "time — the base side comes entirely from the stored shingle " +
+    "index (postings scan, no text column), and every documents scan " +
+    "in the plan is the incoming batch (doc_id >= 250 pushed)") {
+    val plan = physical(run("dedup_incremental"))
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    // the index postings scan is present and text-free
+    val idxScans = scans.filter(_.contains("old_id"))
+    assert(idxScans.nonEmpty, plan)
+    idxScans.foreach(l => assert(!l.contains("text"), l))
+    // every corpus-text scan is the INCOMING half: the base filter
+    // doc_id < 250 appears in no scan, the incoming pushdown does
+    val docScans = scans.filter(_.contains("documents"))
+    assert(docScans.nonEmpty, plan)
+    docScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id,250)"), l)
+      assert(!l.contains("LessThan(doc_id,250)"), l)
+    }
+  }
 }
