@@ -79,6 +79,7 @@ object GraftExtensions {
     "mp3_media_for_id" -> (es => Mp3MediaBytes(es.head)),
     "ulaw_media_for_id" -> (es => UlawMediaBytes(es.head)),
     "webp_media_for_id" -> (es => WebpMediaBytes(es.head)),
+    "webp_pixel_media_for_id" -> (es => WebpPixelMediaBytes(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),
     "warc_records" -> (es => WarcRecords(es.head)),
     "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),

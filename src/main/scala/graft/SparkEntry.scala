@@ -1106,6 +1106,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lossless WebP / VP8L decode (r9): real entropy-coded streams —
+    // canonical prefix codes (normal + simple), LZ77 with the 2D
+    // distance map, color cache, meta-prefix tree groups, and all four
+    // transforms (predictor/cross-color/subtract-green/palette) —
+    // cycled across ids and reduced by the shared pixel_stats
+    // dispatch. Transforms are lossless re-encodings, so the oracle
+    // replays only the per-variant pixel CONTRACT, never the bytes: a
+    // single mis-inverted transform or mis-read code breaks the hash.
+    "webp_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 30)
+      docs.selectExpr("doc_id",
+          "pixel_stats(webp_pixel_media_for_id(CAST(doc_id AS BIGINT))) " +
+            "AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // image resize (r8): box-average downscale / nearest-neighbor
     // upscale to exact target dims, re-encoded as a REAL PNG and
     // reduced by the EXISTING pixel_stats kernel — the image twin of
@@ -7233,6 +7257,41 @@ object SparkEntry {
         |       CAST(sum(v) AS BIGINT) AS pix_sum,
         |       CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+
+    // the per-variant pixel contract re-derived analytically — the
+    // engine value went through real VP8L entropy decode + inverse
+    // transforms; the oracle never touches the bytes. Variants:
+    // id%7=6 palette (pal(j,c), index (x+2y+id)%n), 5 row-periodic
+    // (y%4 — the LZ77 copies), 1 four-channel (alpha = pix c=3),
+    // others the standard pix contract
+    "webp_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 AS v,
+        |         5 + (doc_id * 3) % 17 AS w, 4 + (doc_id * 5) % 13 AS h,
+        |         CASE WHEN doc_id % 7 = 1 THEN 4 ELSE 3 END AS ch,
+        |         5 + doc_id % 9 AS n
+        |  FROM ids),
+        |px AS (
+        |  SELECT p.doc_id, p.w, p.h, p.ch,
+        |    CASE
+        |      WHEN p.v = 6 THEN
+        |        ((xx.x + 2 * yy.y + p.doc_id) % p.n) * 7 + cc.c * 31 + 5
+        |      WHEN p.v = 5 THEN
+        |        xx.x * 3 + (yy.y % 4) * 5 + p.doc_id * 7 + cc.c * 11
+        |      ELSE xx.x * 3 + yy.y * 5 + p.doc_id * 7 + cc.c * 11
+        |    END % 256 AS val
+        |  FROM p,
+        |       LATERAL unnest(range(0, p.w)) AS xx(x),
+        |       LATERAL unnest(range(0, p.h)) AS yy(y),
+        |       LATERAL unnest(range(0, p.ch)) AS cc(c))
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(sum(val) AS BIGINT) AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM px GROUP BY doc_id, w, h, ch
         |ORDER BY doc_id""".stripMargin,
 
     // every resized pixel re-derived: floor cell boundaries with the

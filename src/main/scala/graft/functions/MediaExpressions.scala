@@ -206,16 +206,25 @@ object PixelStats {
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       JpegStats.statsToRow(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M')
-      graft.operators.Bmp.decode(bytes) match {
-        case Some(d) =>
-          var sum = 0L
-          var i = 0
-          while (i < d.pixels.length) { sum += d.pixels(i) & 0xff; i += 1 }
-          new GenericInternalRow(Array[Any](
-            d.width, d.height, d.channels, sum, d.pixels.length.toLong))
-        case None => null
-      }
+      decodedStats(graft.operators.Bmp.decode(bytes))
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F')
+      // RIFF/WEBP: real pixels for VP8L (lossless); VP8 lossy decodes
+      // to None inside Webp.decode (the documented seam) → null here
+      decodedStats(graft.operators.Webp.decode(bytes))
     else null
+
+  private def decodedStats(
+      d: Option[graft.operators.PngPixels.Decoded]): InternalRow =
+    d match {
+      case Some(dd) =>
+        var sum = 0L
+        var i = 0
+        while (i < dd.pixels.length) { sum += dd.pixels(i) & 0xff; i += 1 }
+        new GenericInternalRow(Array[Any](
+          dd.width, dd.height, dd.channels, sum, dd.pixels.length.toLong))
+      case None => null
+    }
 }
 
 /** media_features(bytes, dim) -> array<float>: THE feature stage of
@@ -310,6 +319,17 @@ object MediaFeatures {
           case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
         }
       else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' &&
+        bytes(11) == 'P')
+        // RIFF/WEBP: lossless VP8L decodes to real pixels → the same
+        // luminance histogram as the PNG/JPEG branch; lossy VP8 stays
+        // the external-codec seam
+        graft.operators.Webp.decode(bytes) match {
+          case Some(d) => imageHistogram(d, dim)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F')
         graft.operators.WavPcm.decode(bytes) match {
           case Some(d) =>
@@ -340,30 +360,34 @@ object MediaFeatures {
         }
       else graft.operators.PngPixels.decode(bytes)
         .orElse(graft.operators.JpegDc.decode(bytes)) match {
-        case Some(d) =>
-          val counts = new Array[Long](dim)
-          val px = d.pixels
-          val step = d.channels // alpha (2/4-channel PNG) never enters luma
-          var i = 0
-          if (d.channels >= 3) {
-            while (i < px.length) {
-              val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
-                114 * (px(i + 2) & 0xff)) / 1000
-              counts(luma * dim / 256) += 1
-              i += step
-            }
-          } else {
-            while (i < px.length) {
-              counts((px(i) & 0xff) * dim / 256) += 1
-              i += step
-            }
-          }
-          normalize(counts)
+        case Some(d) => imageHistogram(d, dim)
         case None =>
           graft.operators.Multimodal.FakeCodec.features(bytes, dim)
       }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       feats.map(x => x: Any))
+  }
+
+  private def imageHistogram(
+      d: graft.operators.PngPixels.Decoded, dim: Int): Array[Float] = {
+    val counts = new Array[Long](dim)
+    val px = d.pixels
+    val step = d.channels // alpha (2/4-channel) never enters luma
+    var i = 0
+    if (d.channels >= 3) {
+      while (i < px.length) {
+        val luma = (299 * (px(i) & 0xff) + 587 * (px(i + 1) & 0xff) +
+          114 * (px(i + 2) & 0xff)) / 1000
+        counts(luma * dim / 256) += 1
+        i += step
+      }
+    } else {
+      while (i < px.length) {
+        counts((px(i) & 0xff) * dim / 256) += 1
+        i += step
+      }
+    }
+    normalize(counts)
   }
 
   private def normalize(counts: Array[Long]): Array[Float] = {
@@ -975,6 +999,30 @@ case class BmpMediaBytes(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.operators.MediaFixtures$$.MODULE$$.bmpMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** webp_pixel_media_for_id(id) -> binary: the pixel-bearing LOSSLESS
+  * WebP fixture ([[graft.operators.MediaFixtures.webpPixelMediaFor]]
+  * — real VP8L streams cycling transforms/cache/LZ77/meta-groups). */
+case class WebpPixelMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "webp_pixel_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.webpPixelMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.webpPixelMediaFor($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -516,6 +516,71 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Pixel-bearing LOSSLESS WebP fixture (VP8L, [[Webp.encode]]):
+    * real entropy-coded streams whose decoded pixels follow closed
+    * forms the oracle replays analytically. `id % 7` cycles the
+    * coding features — the transforms and coding modes are lossless
+    * re-encodings, so the pixel contract is feature-independent:
+    *
+    *  - 0: meta-prefix image, two tree groups
+    *  - 1: subtract-green + a REAL alpha channel (4-channel output),
+    *       alpha = pix(id,x,y,3)
+    *  - 2: predictor transform, mode (bx+by+id) % 14 per 4-px block
+    *  - 3: cross-color transform, per-block signed multipliers
+    *  - 4: color cache (6 bits)
+    *  - 5: LZ77 row copies — pixels follow pix(id,x,y%4,c) so rows
+    *       repeat with period 4 (the 2D distance-map branch)
+    *  - 6: color indexing with 5..13 colors (4-bit packed indices),
+    *       palette entry j = [[PngPixels.pal]](j,c),
+    *       index (x + 2y + id) % nColors
+    *
+    * All other variants: pixel (x,y,c) = [[PngPixels.pix]](id,x,y,c),
+    * alpha 255, 3-channel output. */
+  def webpPixelMediaFor(id: Long): Array[Byte] = {
+    val w = (5 + (id * 3) % 17).toInt
+    val h = (4 + (id * 5) % 13).toInt
+    val variant = (id % 7).toInt
+    def std(x: Int, y: Int): Int = {
+      val a = if (variant == 1) PngPixels.pix(id, x, y, 3) else 255
+      (a << 24) | (PngPixels.pix(id, x, y, 0) << 16) |
+        (PngPixels.pix(id, x, y, 1) << 8) | PngPixels.pix(id, x, y, 2)
+    }
+    variant match {
+      case 5 =>
+        val argb = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = (i / w) % 4
+          0xff000000 | (PngPixels.pix(id, x, y, 0) << 16) |
+            (PngPixels.pix(id, x, y, 1) << 8) | PngPixels.pix(id, x, y, 2)
+        }
+        Webp.encode(argb, w, h, Webp.EncodeOptions(lzRowPeriod = 4))
+      case 6 =>
+        val n = (5 + id % 9).toInt
+        val pal = Array.tabulate(n)(j => 0xff000000 |
+          (PngPixels.pal(j, 0) << 16) | (PngPixels.pal(j, 1) << 8) |
+          PngPixels.pal(j, 2))
+        val argb = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          pal(((x + 2 * y + id) % n).toInt)
+        }
+        Webp.encode(argb, w, h, Webp.EncodeOptions(palette = Some(pal)))
+      case v =>
+        val argb = Array.tabulate(w * h)(i => std(i % w, i / w))
+        val opts = v match {
+          case 0 => Webp.EncodeOptions(metaSplit = true)
+          case 1 => Webp.EncodeOptions(subtractGreen = true,
+            alphaHint = true)
+          case 2 => Webp.EncodeOptions(predictorBits = 2,
+            predictorModeOf = (bx, by) => ((bx + by + id) % 14).toInt)
+          case 3 => Webp.EncodeOptions(colorBits = 2,
+            cteOf = (bx, by) => (((bx * 17 + id) % 256).toInt,
+              ((by * 23 + id) % 256).toInt,
+              (((bx + by) * 29 + id) % 256).toInt))
+          case _ => Webp.EncodeOptions(cacheBits = 6)
+        }
+        Webp.encode(argb, w, h, opts)
+    }
+  }
+
   /** G.711 µ-law WAV fixture: 8-bit samples `(i*7 + id*13) mod 256`
     * at flat interleaved index i, telephony-rate mono/stereo — the
     * decode expands through [[WavPcm.ulawToPcm]], whose formula the

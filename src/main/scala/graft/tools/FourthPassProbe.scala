@@ -222,6 +222,22 @@ object FourthPassProbe {
       }
     }
 
+    if (which == "all" || which == "webpdecode") {
+      // the pixel-decode-throughput probe shape: generate fixture
+      // bytes only vs generate + decode — the delta is the decode cost
+      graft.Graft.init(spark)
+      val n2 = 1000000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(webp_pixel_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("pixel_stats(webp_pixel_media_for_id(id)) AS st")
+        .agg(sum("st.pix_sum")).head()
+      genOnly(); genDecode() // warm
+      time("webp: gen-only, 1M VP8L images") { genOnly() }
+      time("webp: gen+decode, 1M VP8L images") { genDecode() }
+    }
+
     if (which == "all" || which == "kmeansdist") {
       vecs.count()
       time("kmeans distributed: k=1024, 10 rounds over the 1M corpus") {
