@@ -88,6 +88,73 @@ class IvfVectorIndex private (
 
   def count(): Long = df.count()
 
+  /** The drift RESPONDER — completes the loop [[graft.operators.Ivf
+    * .drift]] opens: re-cluster ONLY the flagged clusters' rows and
+    * rewrite ONLY their partitions. Mechanics:
+    *
+    *  1. read the drifted partitions (partition-pruned — untouched
+    *     clusters' files are never opened, let alone rewritten;
+    *     spec-pinned via file mtimes);
+    *  2. Lloyd-refine a LOCAL codebook over those rows,
+    *     [[graft.operators.Ivf.trainDistributed]] seeded from the
+    *     STORED centroids of the flagged clusters (a refinement of
+    *     the existing book, not a restart — ids keep their meaning);
+    *  3. reassign the rows among the refined centroids (local index →
+    *     the same global cluster ids), materialize BEFORE touching
+    *     storage, delete exactly the flagged `cluster=` directories,
+    *     append the reassigned rows, overwrite the `_centroids`
+    *     sidecar with the patched codebook.
+    *
+    * PQ codes are content-addressed (vector × the global PQ book), so
+    * rows keep their codes through reassignment — no re-encoding.
+    *
+    * Scope (the faiss trade, documented not hidden): rows of
+    * UNTOUCHED clusters are not revisited, so a stale row that would
+    * now prefer a refined centroid stays where it is until the next
+    * full rebuild — retrain-in-place buys recall in the drifted
+    * region for IO proportional to the drifted partitions, not the
+    * corpus. Same concurrency contract as [[compact]]: maintenance
+    * windows only. */
+  def retrainInPlace(
+      driftedClusters: Seq[Int], iters: Int = 5): IvfVectorIndex = {
+    require(driftedClusters.nonEmpty, "no drifted clusters given")
+    require(driftedClusters.forall(c =>
+      c >= 0 && c < model.centroids.length),
+      s"cluster ids out of range: $driftedClusters")
+    val drifted = driftedClusters.distinct.sorted
+    val rows = df.filter(
+      col("cluster").isin(drifted.map(Integer.valueOf): _*))
+    val seeds = drifted.map(model.centroids(_)).toArray
+    val local = Ivf.trainDistributed(
+      rows, "vector", k = drifted.length, iters = iters,
+      seeds = Some(seeds))
+    // local index -> global cluster id through a tiny literal array
+    val idMap = array(drifted.map(c => lit(c)): _*)
+    val reassigned = Ivf.assign(rows.drop("cluster"), "vector", local)
+      .withColumn("cluster",
+        element_at(idMap, col("cluster") + 1))
+      .localCheckpoint() // materialize BEFORE deleting source files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drifted.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"cluster=$c"), true)
+    }
+    reassigned.sortWithinPartitions("cluster", "docid")
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    val patched = model.centroids.clone()
+    drifted.zipWithIndex.foreach { case (g, i) =>
+      patched(g) = local.centroids(i)
+    }
+    import spark.implicits._
+    patched.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    graft.plans.AnnRouteRule.invalidate(path)
+    new IvfVectorIndex(spark, path, Ivf.Model(patched), pqModel)
+  }
+
   /** Offline maintenance: rewrite the data files at the target file
     * size (repeated appends leave one small file per append per
     * cluster; small files tax every scan's task scheduling). Rewrites

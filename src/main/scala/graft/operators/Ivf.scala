@@ -161,10 +161,17 @@ object Ivf {
       vecCol: String,
       k: Int,
       iters: Int = 10,
-      sampleSize: Int = 16384): Model = {
+      sampleSize: Int = 16384,
+      seeds: Option[Array[Array[Float]]] = None): Model = {
     require(k >= 1 && iters >= 1)
-    val seedSample = df.select(vecCol).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // explicit seeds (e.g. the STORED centroids in a retrain-in-place,
+    // IvfVectorIndex.retrainInPlace) skip the sample draw: Lloyd then
+    // REFINES the existing codebook instead of restarting it
+    seeds.foreach(s => require(s.length == k,
+      s"ivf trainDistributed: ${s.length} seeds for k=$k"))
+    val seedSample = seeds.getOrElse(
+      df.select(vecCol).limit(sampleSize)
+        .collect().map(_.getSeq[Float](0).toArray))
     require(seedSample.length >= k,
       s"ivf trainDistributed: need at least k=$k seed vectors, got ${seedSample.length}")
     val dim = seedSample(0).length
