@@ -83,6 +83,7 @@ object GraftExtensions {
     "gunzip" -> (es => Gunzip(es.head)),
     "warc_records" -> (es => WarcRecords(es.head)),
     "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),
+    "warczst_media_for_id" -> (es => WarcZstMediaBytes(es.head)),
     "jpeg_exif" -> (es => JpegExif(es.head)),
     "zip_entries" -> (es => ZipEntries(es.head)),
     "tar_entries" -> (es => TarEntries(es.head)),
@@ -96,6 +97,8 @@ object GraftExtensions {
     "zstd_meta" -> (es => ZstdMeta(es.head)),
     "media_kind" -> (es => MediaKind(es.head)),
     "zst_media_for_id" -> (es => ZstMediaBytes(es.head)),
+    "unzstd" -> (es => Unzstd(es.head)),
+    "zstfull_media_for_id" -> (es => ZstFullMediaBytes(es.head)),
     "sitemap_entries" -> (es => SitemapEntries(es.head)),
     "sitemap_media_for_id" -> (es => SitemapMediaText(es.head)),
     "parquet_media_for_id" -> (es => ParquetMediaBytes(es.head)),

@@ -1881,6 +1881,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // .warc.zst ingestion (r9): CommonCrawl's newer dump shape — the
+    // SAME closed-form WARC as warc_extract but through the from-
+    // scratch RFC 8878 decoder (unzstd) instead of gzip; fixture
+    // frames cycle raw/two-frame/skippable variants with checksums.
+    // The oracle is gzip/zstd/WARC-free: it replays the page's
+    // closed form only, so any decode defect breaks the match.
+    "warczst_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 120)
+        .selectExpr("doc_id",
+          "warc_records(unzstd(warczst_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS rs")
+        .selectExpr("doc_id", "size(rs) AS n_recs",
+          "filter(rs, r -> r.rec_type = 'response')[0] AS r")
+        .selectExpr("doc_id", "CAST(n_recs AS BIGINT) AS n_recs",
+          "r.target_uri AS uri",
+          "html_text(CAST(r.payload AS STRING)) AS txt")
+        .orderBy("doc_id")
+    }),
+
     // TIFF metadata triage (r8): the scan/archival image format —
     // parse_media now walks real TIFF 6.0 IFDs (both byte orders;
     // the entropy payload is the documented codec seam).
@@ -1968,6 +1988,26 @@ object SparkEntry {
     // .zst — declared size, window budget, dictionary requirement,
     // checksum, skippable frames, all from the RFC 8878 header bit
     // layout (block content is the documented codec seam).
+    // zstd BLOCK decode (r9): full RFC 8878 decompression — the
+    // frame-header triage below grew its block layer (FSE, Huffman
+    // literals, sequences, repeat offsets, checksums). Fixtures cycle
+    // five frame shapes incl. real LZ sequences through RLE-mode and
+    // repeat-mode tables with a cross-block match; the oracle replays
+    // only the CONTENT contract (repeat of a closed-form unit), so a
+    // single mis-decoded byte anywhere breaks the md5. External
+    // conformance against the reference zstd binary lives in
+    // ZstdDecodeSpec (every level decodes byte-identically).
+    "zstd_extract" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "CAST(unzstd(zstfull_media_for_id(CAST(doc_id AS BIGINT))) " +
+            "AS STRING) AS txt")
+        .selectExpr("doc_id", "CAST(length(txt) AS BIGINT) AS n_chars",
+          "md5(txt) AS digest")
+        .orderBy("doc_id")
+    }),
+
     "zstd_triage" -> ((s, dir) => {
       Graft.init(s)
       t(s, dir, "documents").filter(col("doc_id") < 96)
@@ -5230,6 +5270,19 @@ object SparkEntry {
         |   FROM unnest(range(0, 12)) AS j(j)) AS txt
         |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
 
+    // same closed form as warc_extract: the engine side swapped gzip
+    // for the from-scratch zstd frame decoder, the expected output
+    // did not change — that is the point
+    "warczst_extract" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_recs,
+        |  'http://site' || (doc_id % 37) || '.example.com/p/' || doc_id
+        |    AS uri,
+        |  'Page ' || doc_id || chr(10) ||
+        |  (SELECT string_agg('w' || ((doc_id * 7 + j.j) % 50), ' '
+        |     ORDER BY j.j)
+        |   FROM unnest(range(0, 12)) AS j(j)) AS txt
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
     // the oracle brute-forces ALL pairs with its own levenshtein —
     // verifying both the distance and that segment blocking lost no
     // pair
@@ -5257,6 +5310,19 @@ object SparkEntry {
 
     // the RFC 8878 bit layout re-derived field by field (FCS widths,
     // the 2-byte bias, window exponent/mantissa arithmetic)
+    // the engine decompressed REAL frames (sequences, checksums); the
+    // oracle rebuilds the content from its closed form and never
+    // touches the bytes
+    "zstd_extract" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |c AS (SELECT doc_id,
+        |        repeat('tok' || (doc_id % 9) || ' graft zstd unit ',
+        |               CAST(20 + doc_id % 50 AS INT)) AS txt
+        |      FROM ids)
+        |SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars,
+        |       md5(txt) AS digest
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "zstd_triage" ->
       """SELECT doc_id,
         |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0

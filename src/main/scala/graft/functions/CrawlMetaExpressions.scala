@@ -79,6 +79,65 @@ case class ZstMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** unzstd(bytes) -> binary: full RFC 8878 decompression
+  * ([[graft.operators.ZstdDecode.decompress]] — FSE, Huffman
+  * literals, sequences, repeat offsets, checksums, multi-frame).
+  * Malformed/dictionary input → null (the gunzip contract). */
+case class Unzstd(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "unzstd"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Unzstd.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.Unzstd$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Unzstd {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): Array[Byte] =
+    graft.operators.ZstdDecode.decompress(bytes).orNull
+}
+
+/** zstfull_media_for_id(id) -> binary: FULLY decodable zstd frames
+  * ([[MediaFixtures.zstFullMediaFor]] — raw/compressed blocks, real
+  * LZ sequences through RLE/repeat-mode tables, checksums,
+  * multi-frame and skippable variants). */
+case class ZstFullMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "zstfull_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.zstFullMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.zstFullMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** sitemap_entries(text) -> array<struct<loc, lastmod, priority>>:
   * sitemaps.org urlset/sitemapindex extraction — entity decoding,
   * CDATA, per-entry blocks, the 0.5 priority default ([[Sitemap

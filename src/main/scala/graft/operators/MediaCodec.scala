@@ -285,6 +285,23 @@ object MediaFixtures {
     Warc.warcGz(uri, html, s"software: graft-fixture $id")
   }
 
+  /** Zstd-framed WARC fixture — CommonCrawl's newer `.warc.zst` dump
+    * shape: the SAME closed-form two-record WARC as [[warcMediaFor]]
+    * but wrapped in a real zstd frame instead of gzip
+    * ([[Zstd.zstEncode]] variants 0-2 by id: raw block + checksum,
+    * two concatenated frames, skippable + compressed raw-literals
+    * block; the sequence variants need periodic content so the
+    * sequence machinery is exercised by `zstd_extract` and the
+    * external-conformance spec instead). */
+  def warcZstMediaFor(id: Long): Array[Byte] = {
+    val toks = (0 until 12).map(j => "w" + ((id * 7 + j) % 50)).mkString(" ")
+    val html =
+      s"<html><body><h1>Page $id</h1><p>$toks</p></body></html>"
+    val uri = s"http://site${id % 37}.example.com/p/$id"
+    val plain = Warc.warcPlain(uri, html, s"software: graft-fixture $id")
+    Zstd.zstEncode(plain, math.floorMod(id, 3).toInt)
+  }
+
   /** Standalone TIFF fixture: both byte orders by parity, closed-form
     * dims, IFD0 geometry tags ([[Tiff.tiff]]). */
   def tiffMediaFor(id: Long): Array[Byte] =
@@ -312,6 +329,20 @@ object MediaFixtures {
     * undeclared, 2-byte biased, 4-byte, 8-byte), dictionary-ID widths
     * (id%3), checksum parity, and id%3 leading skippable frames
     * ([[Zstd.zstHeader]]). */
+  /** FULLY decodable zstd fixture ([[Zstd.zstEncode]]): content is
+    * `unit(id)` repeated `reps(id)` times — a closed form the oracle
+    * replays with `repeat(...)` — encoded through the five frame
+    * variants (raw, two-frame, skippable+compressed, one real LZ
+    * sequence via RLE-mode tables, two blocks with repeat-mode tables
+    * and a cross-block match). */
+  def zstFullMediaFor(id: Long): Array[Byte] = {
+    val unit = s"tok${math.floorMod(id, 9)} graft zstd unit "
+    val reps = (20 + math.floorMod(id, 50)).toInt
+    val content = (unit * reps).getBytes("UTF-8")
+    Zstd.zstEncode(content, math.floorMod(id, 5).toInt,
+      period = unit.length)
+  }
+
   def zstMediaFor(id: Long): Array[Byte] = {
     val contentSize = (id % 4) match {
       case 0 => -1L

@@ -154,9 +154,10 @@ object Warc {
     out.toByteArray
   }
 
-  /** A gzipped two-record WARC (warcinfo + response) — the
-    * CommonCrawl file shape in miniature. */
-  def warcGz(uri: String, html: String, infoBody: String): Array[Byte] = {
+  /** The un-compressed two-record WARC (warcinfo + response) — the
+    * payload both compressed fixture shapes wrap. */
+  def warcPlain(uri: String, html: String, infoBody: String)
+      : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val info = record("warcinfo", "", infoBody.getBytes("UTF-8"),
       Seq("WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>"))
@@ -164,6 +165,11 @@ object Warc {
       Seq("WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000001>"))
     out.write(info, 0, info.length)
     out.write(resp, 0, resp.length)
-    gzip(out.toByteArray)
+    out.toByteArray
   }
+
+  /** A gzipped two-record WARC (warcinfo + response) — the
+    * CommonCrawl file shape in miniature. */
+  def warcGz(uri: String, html: String, infoBody: String): Array[Byte] =
+    gzip(warcPlain(uri, html, infoBody))
 }
