@@ -461,6 +461,20 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", k = 8)
         .orderBy("doc_id", "span_start")),
 
+    // suffix-array maximal repeats (r9): the EXACT form of
+    // ExactSubstr — per-position maximal duplicated-substring length,
+    // which the k-gram window pass cannot see (consecutive duplicated
+    // windows may have different partners). Distributed prefix
+    // doubling (log(cap) narrow-int sort rounds) + rank-walk LCP; the
+    // oracle brute-forces every substring length in [k, cap] over the
+    // same slice and takes the per-position max.
+    "suffix_maxrep" -> ((s, dir) =>
+      operators.SuffixArray.maxRepeat(
+        t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id", k = 5, cap = 20)
+        .orderBy("doc_id", "pos")),
+
     // the removal half: every covered token dropped from ALL copies,
     // untouched documents pass through verbatim — full-text hash oracle
     "substr_dedup_text" -> ((s, dir) =>
@@ -1901,9 +1915,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TIFF pixel decode (r9): the baseline 8-bit subset for REAL —
+    // gray, WhiteIsZero-inverted gray, chunky RGB; uncompressed and
+    // PackBits strips (a real run-length codec both ways), 1-4 rows
+    // per strip, both byte orders. The oracle replays the pixel sum
+    // analytically ((7x+13y+29c+31·id)%256) with no TIFF machinery;
+    // LZW/JPEG-compressed TIFF stays the documented codec seam.
+    "tiff_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 40)
+        .selectExpr("doc_id",
+          "pixel_stats(tiffpx_media_for_id(CAST(doc_id AS BIGINT))) AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // TIFF metadata triage (r8): the scan/archival image format —
-    // parse_media now walks real TIFF 6.0 IFDs (both byte orders;
-    // the entropy payload is the documented codec seam).
+    // parse_media walks real TIFF 6.0 IFDs (both byte orders); the
+    // baseline 8-bit pixel payload decodes for real via tiff_pixels
+    // above (LZW/JPEG payloads remain the codec seam).
     "tiff_meta" -> ((s, dir) => {
       Graft.init(s)
       t(s, dir, "documents").filter(col("doc_id") < 55)
@@ -3549,6 +3585,27 @@ object SparkEntry {
         |       CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the suffix-array answer brute-forced: EVERY substring length in
+    // [5, 20] at EVERY position counted corpus-wide, per-position max
+    // of the duplicated lengths — the engine got there through prefix
+    // doubling + LCP walks, the oracle by enumeration
+    "suffix_maxrep" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents WHERE doc_id < 150),
+        |p AS (SELECT doc_id, t, i.i AS pos
+        |      FROM d, LATERAL unnest(range(0, len(t))) AS i(i)),
+        |cand AS (SELECT doc_id, pos, l.l AS l,
+        |                array_to_string(t[pos+1:pos+l.l], ' ') AS sub
+        |         FROM p, LATERAL unnest(range(5, 21)) AS l(l)
+        |         WHERE pos + l.l <= len(t)),
+        |c AS (SELECT doc_id, pos, l,
+        |             count(*) OVER (PARTITION BY l, sub) AS cnt
+        |      FROM cand)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(max(l) AS BIGINT) AS rep_len
+        |FROM c WHERE cnt >= 2
+        |GROUP BY doc_id, pos ORDER BY doc_id, pos""".stripMargin,
 
     // the cleaned text re-built token-by-token: a token survives iff no
     // duplicated window covers its position; fully-covered docs end as
@@ -5508,6 +5565,26 @@ object SparkEntry {
         |     LATERAL unnest(range(0, 1 + d.doc_id % 3)) AS j(j)
         |WHERE d.doc_id < 60
         |ORDER BY d.doc_id, name""".stripMargin,
+
+    // the pixel sum replayed ANALYTICALLY from the fixture's closed
+    // form — the engine walked strips, undid PackBits, and inverted
+    // WhiteIsZero storage to get the same numbers from the bytes
+    "tiff_pixels" ->
+      """WITH d AS (SELECT doc_id,
+        |    6 + doc_id % 11 AS w, 4 + doc_id % 7 AS h,
+        |    CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS spp
+        |  FROM documents WHERE doc_id < 40),
+        |px AS (SELECT d.doc_id, d.w, d.h, d.spp,
+        |    (7 * x.x + 13 * y.y + 29 * c.c + 31 * d.doc_id) % 256 AS v
+        |  FROM d,
+        |    LATERAL unnest(range(0, d.w)) AS x(x),
+        |    LATERAL unnest(range(0, d.h)) AS y(y),
+        |    LATERAL unnest(range(0, d.spp)) AS c(c))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(spp AS BIGINT) AS channels,
+        |  CAST(sum(v) AS BIGINT) AS pix_sum,
+        |  CAST(count(*) AS BIGINT) AS pix_count
+        |FROM px GROUP BY doc_id, w, h, spp ORDER BY doc_id""".stripMargin,
 
     // IFD geometry tags re-derived in closed form (byte order varies
     // by parity — the engine walked both)

@@ -212,6 +212,11 @@ object PixelStats {
       // RIFF/WEBP: real pixels for VP8L (lossless); VP8 lossy decodes
       // to None inside Webp.decode (the documented seam) → null here
       decodedStats(graft.operators.Webp.decode(bytes))
+    else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+      (bytes(0) == 'M' && bytes(1) == 'M'))
+      // TIFF: real pixels for the baseline 8-bit subset (none /
+      // PackBits); LZW/JPEG/deflate payloads → None (the seam)
+      decodedStats(graft.operators.Tiff.decodePixels(bytes))
     else null
 
   private def decodedStats(

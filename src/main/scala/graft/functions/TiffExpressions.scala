@@ -79,6 +79,31 @@ case class TiffMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** tiffpx_media_for_id(id) -> binary: FULLY pixel-decodable TIFF
+  * ([[MediaFixtures.tiffPixelMediaFor]] — closed-form pixels through
+  * gray/inverted-gray/RGB, none/PackBits, multi-strip, both byte
+  * orders). */
+case class TiffPixelMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tiffpx_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.tiffPixelMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.tiffPixelMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** jpeg_exif_media_for_id(id) -> binary
   * ([[MediaFixtures.jpegExifMediaFor]] — decodable JPEG + APP1). */
 case class JpegExifMediaBytes(child: Expression) extends UnaryExpression {

@@ -308,6 +308,33 @@ object MediaFixtures {
     Tiff.tiff((20 + (id * 9) % 300).toInt, (15 + (id * 4) % 200).toInt,
       (1 + id % 4).toInt, littleEndian = id % 2 == 0)
 
+  /** Pixel-decodable TIFF fixture ([[Tiff.tiffWithPixels]]):
+    * closed-form pixels `(7x+13y+29c+31·id)%256`, photometric
+    * cycling gray / WhiteIsZero-inverted gray / chunky RGB (id%3),
+    * compression cycling none / PackBits / LZW / deflate (id%4, all
+    * byte-exact so ONE oracle covers them), horizontal predictor on
+    * the LZW/deflate ids where id%8 >= 4, 1-4 rows per strip, byte
+    * order by id%5. */
+  def tiffPixelMediaFor(id: Long): Array[Byte] = {
+    val photometric = math.floorMod(id, 3) match {
+      case 0 => 1
+      case 1 => 0
+      case _ => 2
+    }
+    val compression = math.floorMod(id, 4) match {
+      case 0 => 1
+      case 1 => 32773
+      case 2 => 5
+      case _ => 8
+    }
+    val predictor =
+      if ((compression == 5 || compression == 8) && id % 8 >= 4) 2 else 1
+    Tiff.tiffWithPixels(id, (6 + id % 11).toInt, (4 + id % 7).toInt,
+      photometric, compression,
+      rowsPerStrip = (1 + id % 4).toInt, littleEndian = id % 5 != 0,
+      predictor = predictor)
+  }
+
   /** JPEG-with-EXIF fixture: a REAL decodable baseline JPEG
     * ([[JpegDc.jpegWithPixels]], DC block contract at seed id) with an
     * APP1 Exif segment spliced after SOI — orientation/make/model/

@@ -4,9 +4,10 @@ package graft.operators
   * surfaces:
   *
   *  - standalone TIFF files (scans, archival imagery): width/height/
-  *    channels metadata from IFD0 (entropy payloads — LZW/packbits/
-  *    JPEG-in-TIFF — stay behind the codec seam, like every other
-  *    metadata triage here);
+  *    channels metadata from IFD0, plus REAL pixel decode of the
+  *    8-bit baseline subset ([[decodePixels]]: none/PackBits/LZW/
+  *    deflate strips + the horizontal predictor; JPEG-in-TIFF stays
+  *    the codec seam);
   *  - EXIF blocks inside JPEG APP1 segments ("Exif\0\0" + an embedded
   *    TIFF structure): orientation, camera make/model, timestamps,
   *    and the Exif-private sub-IFD — the metadata an image pipeline
@@ -59,6 +60,23 @@ object Tiff {
       case _ => None
     }
 
+    /** SHORT/LONG value list: inline when it fits the 4-byte value
+      * field, else at the pointed-to offset. */
+    def values(entry: (Int, Long, Int)): Option[Array[Long]] =
+      entry match {
+        case (typ, count, v) if (typ == 3 || typ == 4) &&
+            count >= 1 && count <= 65536 =>
+          val sz = if (typ == 3) 2 else 4
+          val off =
+            if (count * sz <= 4) v.toLong else base + u32(v)
+          if (off < 0 || off + count * sz > b.length) None
+          else Some(Array.tabulate(count.toInt) { i =>
+            if (typ == 3) u16((off + 2L * i).toInt).toLong
+            else u32((off + 4L * i).toInt)
+          })
+        case _ => None
+      }
+
     /** ASCII value (count includes the NUL); inline if count <= 4. */
     def ascii(entry: (Int, Long, Int)): Option[String] = entry match {
       case (2, count, v) if count >= 1 && count <= 4096 =>
@@ -95,6 +113,138 @@ object Tiff {
       if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
         spp <= 0 || spp > 16) return None
       Some(MediaCodec.Meta(w.toInt, h.toInt, spp.toInt, "tiff"))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL pixel decode of the lib-free TIFF 6.0 subset: 8-bit
+    * grayscale (PhotometricInterpretation 0 — WhiteIsZero, inverted
+    * on decode — and 1) and 8-bit chunky RGB (photometric 2,
+    * PlanarConfiguration 1); Compression 1 (none), 32773 (PackBits),
+    * 5 (LZW with the spec's early-change widths), 8/32946 (zlib
+    * deflate via the JDK Inflater); Predictor 2 (horizontal
+    * differencing) undone per row/channel; multi-strip via
+    * StripOffsets/StripByteCounts/RowsPerStrip, both byte orders.
+    * Out of subset (JPEG-in-TIFF payloads, planar, palette, sub-byte
+    * depths) → None — the remaining seam. Validator stance: any
+    * bound violation (strip overrun, short LZW/PackBits/deflate
+    * stream, trailing garbage, count mismatch) fails the FILE. */
+  def decodePixels(b: Array[Byte]): Option[PngPixels.Decoded] = {
+    try {
+      if (b == null) return None
+      val le = order(b, 0).getOrElse(return None)
+      val r = new Reader(b, 0, le)
+      if (r.u16(2) != 42) return None
+      val entries = r.ifdEntries(r.u32(4))
+      def num(tag: Int): Option[Long] = entries.get(tag).flatMap(r.numeric)
+      def arr(tag: Int): Option[Array[Long]] =
+        entries.get(tag).flatMap(r.values)
+      val w = num(256).getOrElse(return None)
+      val h = num(257).getOrElse(return None)
+      if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20) ||
+        w * h > (1L << 26)) return None
+      val spp = num(277).getOrElse(1L).toInt
+      val photometric = num(262).getOrElse(return None)
+      val expectSpp = photometric match {
+        case 0 | 1 => 1
+        case 2 => 3
+        case _ => return None // palette/other: out of subset
+      }
+      if (spp != expectSpp) return None
+      val bits = arr(258).getOrElse(Array.fill(spp)(1L))
+      if (bits.length != spp || bits.exists(_ != 8L)) return None
+      if (num(284).getOrElse(1L) != 1L) return None // chunky only
+      val compression = num(259).getOrElse(1L)
+      if (compression != 1L && compression != 32773L &&
+        compression != 5L && compression != 8L &&
+        compression != 32946L) return None
+      val predictor = num(317).getOrElse(1L)
+      if (predictor != 1L && predictor != 2L) return None
+      val offsets = arr(273).getOrElse(return None)
+      val counts = arr(279).getOrElse(return None)
+      if (offsets.length != counts.length || offsets.isEmpty) return None
+      val rowsPerStrip = num(278).getOrElse(h) min h
+      if (rowsPerStrip <= 0) return None
+      val nStrips = ((h + rowsPerStrip - 1) / rowsPerStrip).toInt
+      if (offsets.length != nStrips) return None
+      val rowBytes = (w * spp).toInt
+      val out = new Array[Byte]((w * h).toInt * spp)
+      var strip = 0
+      var outPos = 0
+      while (strip < nStrips) {
+        val rowsHere = (math.min(rowsPerStrip * (strip + 1), h) -
+          rowsPerStrip * strip).toInt
+        val want = rowsHere * rowBytes
+        val so = offsets(strip)
+        val sc = counts(strip)
+        if (so < 0 || sc < 0 || so + sc > b.length) return None
+        if (compression == 1L) {
+          if (sc != want) return None
+          System.arraycopy(b, so.toInt, out, outPos, want)
+        } else if (compression == 5L) { // LZW
+          val d = lzwDecode(b, so.toInt, (so + sc).toInt, want)
+            .getOrElse(return None)
+          System.arraycopy(d, 0, out, outPos, want)
+        } else if (compression == 8L || compression == 32946L) {
+          // (Adobe) deflate: a zlib stream per strip
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(b, so.toInt, sc.toInt)
+            var produced = 0
+            while (produced < want && !inf.finished()) {
+              val n = inf.inflate(out, outPos + produced, want - produced)
+              if (n == 0 && inf.needsInput()) return None // short stream
+              produced += n
+            }
+            if (produced != want) return None
+            // trailing data after the declared bytes fails the file
+            if (!inf.finished() &&
+              inf.inflate(new Array[Byte](1)) > 0) return None
+          } finally inf.end()
+        } else {
+          // PackBits: n in [0,127] copies n+1 literals, n in
+          // [-127,-1] repeats the next byte 1-n times, -128 is a noop
+          var ip = so.toInt
+          val end = (so + sc).toInt
+          var produced = 0
+          while (produced < want) {
+            if (ip >= end) return None
+            val n = b(ip); ip += 1
+            if (n >= 0) {
+              val len = n + 1
+              if (ip + len > end || produced + len > want) return None
+              System.arraycopy(b, ip, out, outPos + produced, len)
+              ip += len; produced += len
+            } else if (n != -128) {
+              val len = 1 - n
+              if (ip >= end || produced + len > want) return None
+              java.util.Arrays.fill(out, outPos + produced,
+                outPos + produced + len, b(ip))
+              ip += 1; produced += len
+            }
+          }
+          if (ip != end) return None // trailing garbage fails the file
+        }
+        if (predictor == 2L) {
+          // horizontal differencing: undo per row, per channel
+          var row = 0
+          while (row < rowsHere) {
+            val base = outPos + row * rowBytes
+            var x = spp
+            while (x < rowBytes) {
+              out(base + x) = (out(base + x) + out(base + x - spp)).toByte
+              x += 1
+            }
+            row += 1
+          }
+        }
+        outPos += want
+        strip += 1
+      }
+      if (photometric == 0L) { // WhiteIsZero: invert to intensity
+        var i = 0
+        while (i < out.length) { out(i) = (~out(i)).toByte; i += 1 }
+      }
+      Some(PngPixels.Decoded(w.toInt, h.toInt, spp, out))
     } catch { case _: Exception => None }
   }
 
@@ -187,6 +337,291 @@ object Tiff {
       if (typ == 3) { w16(value.toInt); w16(0) } else w32(value)
     }
     w32(0) // no next IFD
+    bos.toByteArray
+  }
+
+  /** TIFF-LZW decode (TIFF 6.0 §13): MSB-first codes, ClearCode 256,
+    * EOI 257, 9→12-bit widths with the spec's EARLY CHANGE (the width
+    * bumps one code sooner than generic LZW: at table sizes 510/1022/
+    * 2046). `want` bounds the output; any violation fails the strip. */
+  private def lzwDecode(b: Array[Byte], off: Int, end: Int,
+      want: Int): Option[Array[Byte]] = {
+    val Clear = 256
+    val Eoi = 257
+    val out = new Array[Byte](want)
+    var produced = 0
+    // string table as (prefix code, suffix byte); 258.. are dynamic
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = off.toLong * 8
+    val bitEnd = end.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > bitEnd) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        v = (v << 1) | ((b((bp >> 3).toInt) >> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(code: Int): Boolean = { // writes the code's string; false = bad
+      var c = code
+      var len = 0
+      while (c >= 258) { c = prefix(c); len += 1; if (len > 4096) return false }
+      len += 1
+      if (produced + len > want) return false
+      var pos = produced + len - 1
+      c = code
+      while (c >= 258) { out(pos) = suffix(c); pos -= 1; c = prefix(c) }
+      out(pos) = c.toByte
+      produced += len
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) return None // ran out before EOI
+      if (code == Clear) {
+        next = 258; width = 9; prev = -1
+      } else if (code == Eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code > 255) return None // first code after clear must be literal
+        if (produced >= want) return None
+        out(produced) = code.toByte; produced += 1
+        prev = code
+      } else {
+        if (code > next) return None
+        if (code == next) { // the KwK case
+          if (next >= 4096) return None
+          prefix(next) = prev; suffix(next) = firstByte(prev)
+          next += 1
+          if (!emit(code)) return None
+        } else {
+          if (next >= 4096) return None
+          prefix(next) = prev; suffix(next) = firstByte(code)
+          next += 1
+          if (!emit(code)) return None
+        }
+        prev = code
+        // EARLY CHANGE: bump when the NEXT code to assign is one
+        // short of the width's ceiling
+        if (next == 510 && width == 9) width = 10
+        else if (next == 1022 && width == 10) width = 11
+        else if (next == 2046 && width == 11) width = 12
+      }
+    }
+    if (produced != want) None else Some(out)
+  }
+
+  /** TIFF-LZW encode — the writer side of [[lzwDecode]], emitting the
+    * spec's early-change widths so a conformant reader round-trips. */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var curBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      cur = (cur << width) | code
+      curBits += width
+      while (curBits >= 8) {
+        out.write((cur >> (curBits - 8)) & 0xff)
+        curBits -= 8
+      }
+      cur &= (1 << curBits) - 1
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(Clear)
+    var i = 0
+    var prev = -1
+    while (i < data.length) {
+      val byte = data(i) & 0xff
+      if (prev == -1) prev = byte
+      else {
+        val key = (prev.toLong << 8) | byte
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // encoder's early change: width grows when the next code to
+          // ASSIGN reaches the width ceiling minus one
+          if (next == 511 && width == 9) width = 10
+          else if (next == 1023 && width == 10) width = 11
+          else if (next == 2047 && width == 11) width = 12
+          else if (next == 4095) { // table nearly full: reset
+            put(Clear)
+            dict.clear()
+            next = 258
+            width = 9
+          }
+          prev = byte
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) put(prev)
+    put(Eoi)
+    if (curBits > 0) out.write((cur << (8 - curBits)) & 0xff)
+    out.toByteArray
+  }
+
+  /** PackBits-encode one row (real run detection: runs >= 3 become
+    * repeat packets, the rest literal packets, both capped at 128). */
+  def packBits(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < row.length) {
+      var run = 1
+      while (i + run < row.length && run < 128 &&
+        row(i + run) == row(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(row(i))
+        i += run
+      } else {
+        var j = i
+        while (j < row.length && j - i < 128 &&
+          !(j + 2 < row.length && row(j) == row(j + 1) &&
+            row(j) == row(j + 2))) j += 1
+        out.write(j - i - 1)
+        out.write(row, i, j - i)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+
+  /** A FULLY decodable TIFF with closed-form pixels
+    * `(7x + 13y + 29c + 31·seed) % 256` — gray (photometric 1),
+    * inverted-storage gray (photometric 0: the file stores 255−v so
+    * decode must invert back to the same closed form), or chunky RGB
+    * (photometric 2, spp 3); `compression` 1 / 32773 (PackBits per
+    * row) / 5 (LZW) / 8 (deflate), optional horizontal-differencing
+    * `predictor`; strips of `rowsPerStrip` rows; both byte orders.
+    * Every variant is byte-exact, so ONE analytic oracle replays the
+    * pixel sum with no TIFF machinery. */
+  def tiffWithPixels(seed: Long, w: Int, h: Int, photometric: Int,
+      compression: Int, rowsPerStrip: Int, littleEndian: Boolean,
+      predictor: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0 && rowsPerStrip > 0)
+    require(Seq(1, 32773, 5, 8).contains(compression))
+    require(predictor == 1 || predictor == 2)
+    val spp = if (photometric == 2) 3 else 1
+    def px(x: Int, y: Int, c: Int): Int =
+      (((7L * x + 13L * y + 29L * c + 31L * seed) % 256L) + 256L)
+        .toInt % 256
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val raw = new java.io.ByteArrayOutputStream()
+      val y0 = s * rowsPerStrip
+      val y1 = math.min(y0 + rowsPerStrip, h)
+      val perRow = new java.io.ByteArrayOutputStream() // PackBits form
+      for (y <- y0 until y1) {
+        val row = new Array[Byte](w * spp)
+        for (x <- 0 until w; c <- 0 until spp) {
+          val v = px(x, y, c)
+          row(x * spp + c) =
+            (if (photometric == 0) 255 - v else v).toByte
+        }
+        if (predictor == 2) { // difference right-to-left
+          var x = row.length - 1
+          while (x >= spp) {
+            row(x) = (row(x) - row(x - spp)).toByte
+            x -= 1
+          }
+        }
+        raw.write(row, 0, row.length)
+        if (compression == 32773) perRow.write(packBits(row))
+      }
+      compression match {
+        case 1 => raw.toByteArray
+        case 32773 => perRow.toByteArray
+        case 5 => lzwEncode(raw.toByteArray)
+        case _ => // zlib deflate
+          val defl = new java.util.zip.Deflater()
+          try {
+            defl.setInput(raw.toByteArray); defl.finish()
+            val bb = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](4096)
+            while (!defl.finished())
+              bb.write(buf, 0, defl.deflate(buf))
+            bb.toByteArray
+          } finally defl.end()
+      }
+    }
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      else { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) {
+        bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+        bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+      } else {
+        bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+        bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+      }
+    // layout: header(8) | IFD (10 tags) | bits array (spp=3 only) |
+    // strip offsets | strip counts | strip data
+    val nTags = if (predictor == 2) 11 else 10
+    val ifdBytes = 2 + 12 * nTags + 4
+    var cursor = 8L + ifdBytes
+    val bitsOff = cursor
+    if (spp == 3) cursor += 2 * spp
+    val needOffArrays = nStrips > 1
+    val offsetsOff = cursor
+    if (needOffArrays) cursor += 4L * nStrips
+    val countsOff = cursor
+    if (needOffArrays) cursor += 4L * nStrips
+    val stripOffs = strips.scanLeft(cursor)((acc, st) => acc + st.length)
+
+    bos.write(if (littleEndian) 'I' else 'M')
+    bos.write(if (littleEndian) 'I' else 'M')
+    w16(42); w32(8)
+    def tag(t: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(t); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value.toInt); w16(0) }
+      else w32(value)
+    }
+    w16(nTags)
+    tag(256, 4, 1, w.toLong)
+    tag(257, 4, 1, h.toLong)
+    if (spp == 3) tag(258, 3, 3, bitsOff)
+    else tag(258, 3, 1, 8)
+    tag(259, 3, 1, compression.toLong)
+    tag(262, 3, 1, photometric.toLong)
+    tag(273, 4, nStrips,
+      if (needOffArrays) offsetsOff else stripOffs(0))
+    tag(277, 3, 1, spp.toLong)
+    tag(278, 4, 1, rowsPerStrip.toLong)
+    tag(279, 4, nStrips,
+      if (needOffArrays) countsOff else strips(0).length.toLong)
+    tag(284, 3, 1, 1)
+    if (predictor == 2) tag(317, 3, 1, 2)
+    w32(0) // no next IFD
+    if (spp == 3) { w16(8); w16(8); w16(8) }
+    if (needOffArrays) {
+      stripOffs.init.foreach(w32)
+      strips.foreach(st => w32(st.length.toLong))
+    }
+    strips.foreach(st => bos.write(st, 0, st.length))
     bos.toByteArray
   }
 

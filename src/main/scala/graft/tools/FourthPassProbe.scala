@@ -238,6 +238,55 @@ object FourthPassProbe {
       time("webp: gen+decode, 1M VP8L images") { genDecode() }
     }
 
+    if (which == "all" || which == "zstddecode") {
+      // decode throughput for the full RFC 8878 block layer: generate
+      // fixture frames only vs generate + decompress — the delta is
+      // the decode cost; variants cycle raw/multi-frame/skippable/
+      // RLE-sequence/repeat-mode shapes (~0.5-1.5 KB each)
+      graft.Graft.init(spark)
+      val n2 = 1000000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(zstfull_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("length(unzstd(zstfull_media_for_id(id))) AS l")
+        .agg(sum("l")).head()
+      genOnly(); genDecode() // warm
+      time("zstd: gen-only, 1M frames") { genOnly() }
+      time("zstd: gen+decode, 1M frames") { genDecode() }
+    }
+
+    if (which == "all" || which == "tiffdecode") {
+      // TIFF baseline pixel decode (strip walk + PackBits + inversion)
+      graft.Graft.init(spark)
+      val n2 = 1000000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(tiffpx_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("pixel_stats(tiffpx_media_for_id(id)) AS st")
+        .agg(sum("st.pix_sum")).head()
+      genOnly(); genDecode() // warm
+      time("tiff: gen-only, 1M images") { genOnly() }
+      time("tiff: gen+decode, 1M images") { genDecode() }
+    }
+
+    if (which == "all" || which == "suffixarray") {
+      // 1M tokens: 20k docs x 50 tokens from a narrow vocabulary so
+      // real repeats exist (every doc shares phrases with ~10 peers);
+      // k=10 cap=50 is the Lee et al. production regime (depth 64:
+      // 6 doubling rounds + 12 LCP-walk joins, all narrow integers)
+      val saDocs = spark.range(20000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 50).map(i =>
+          concat(lit("t"), pmod(hash((col("id") % 2000) * 53 + i),
+            lit(997)))): _*).as("text"))
+        .localCheckpoint(true)
+      saDocs.count()
+      time("suffix array: maxRepeat k=10 cap=50, 1M tokens") {
+        SuffixArray.maxRepeat(saDocs, "text", "doc_id", 10, 50).count()
+      }
+    }
+
     if (which == "all" || which == "kmeansdist") {
       vecs.count()
       time("kmeans distributed: k=1024, 10 rounds over the 1M corpus") {

@@ -299,6 +299,15 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("tiff_pixels: the strip-walk decode is an expression riding " +
+    "the scan — doc_id pushes down, no barrier, no join") {
+    val plan = physical(run("tiff_pixels"))
+    assert(plan.contains("LessThan(doc_id,40)"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("decontaminate: the shingle join broadcasts the (small) test " +
     "side — the 100 TB train side never shuffles, and no cartesian") {
     val plan = physical(run("decontaminate"))
@@ -777,6 +786,15 @@ class PlanAuditSpec extends SparkTestBase {
     // the archive listings explode through a real Generate node
     assert(physical(run("zip_extract")).contains("Generate explode"))
     assert(physical(run("tar_extract")).contains("Generate explode"))
+  }
+
+  test("suffix_maxrep: the prefix-doubling build has no cartesian " +
+    "product and no single-partition exchange — every round is a " +
+    "narrow-key sort/join, adjacency is dense-rank arithmetic") {
+    val plan = physical(run("suffix_maxrep"))
+    assert(!plan.contains("Cartesian"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
   }
 
   test("document/governance queries (mime, subtitles, parquet, ogg, " +
