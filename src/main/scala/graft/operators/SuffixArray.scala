@@ -97,7 +97,8 @@ object SuffixArray {
     val rankTables = scala.collection.mutable.ArrayBuffer(r0)
     var cur = r0
     var j = 0
-    while (j < levels) {
+    var allSingleton = false
+    while (j < levels && !allSingleton) {
       val step = 1L << j
       val shifted = cur.select(col("doc").as("__d2"),
         (col("pos") - step).as("__p2"), col("r").as("__r2"))
@@ -114,8 +115,15 @@ object SuffixArray {
         .localCheckpoint()
       rankTables += cur
       j += 1
+      // early stop: once every rank class is a singleton, the order
+      // is final and every inter-suffix LCP is already below the
+      // current depth — deeper rounds cannot change the answer. On
+      // real text this usually fires well before depth cap.
+      if (j < levels)
+        allSingleton = cur.groupBy(col("r"))
+          .count().filter(col("count") >= 2).head(1).isEmpty
     }
-    val fin = cur // ranks of the D-token prefixes, dense 0..C-1
+    val fin = cur // ranks of the depth-2^j prefixes, dense 0..C-1
 
     // class census: size + deterministic representative + a member's
     // suffix length (all members shorter than D are identical, so any
@@ -139,7 +147,7 @@ object SuffixArray {
 
     // binary LCP walk over levels (levels-1)..0 — strictly below D
     var walked = adj.withColumn("__acc", lit(0L))
-    var lvl = levels - 1
+    var lvl = rankTables.length - 2
     while (lvl >= 0) {
       val stepL = 1L << lvl
       val rj = rankTables(lvl)

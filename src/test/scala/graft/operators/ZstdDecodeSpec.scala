@@ -126,6 +126,27 @@ class ZstdDecodeSpec extends AnyFunSuite {
     assert(ZstdDecode.decompress(good.take(10)).isEmpty)
   }
 
+  test("reference-compressed .warc.zst end-to-end: a real zstd-binary-" +
+    "compressed WARC decodes and parses to the same records as the " +
+    "plain form — the CommonCrawl dump path with production frames") {
+    assume(haveZstd, "no zstd binary on this box")
+    for (id <- 0L until 6L; level <- Seq("-3", "-19", "--long=27")) {
+      val toks = (0 until 12).map(j => "w" + ((id * 7 + j) % 50))
+        .mkString(" ")
+      val html =
+        s"<html><body><h1>Page $id</h1><p>$toks</p></body></html>"
+      val plain = Warc.warcPlain(s"http://site$id.example.com/p/$id",
+        html, s"software: graft-fixture $id")
+      val zst = refCompress(plain, Seq(level, "--check"))
+      val dec = ZstdDecode.decompress(zst)
+        .getOrElse(fail(s"id=$id level=$level"))
+      assert(java.util.Arrays.equals(dec, plain))
+      val recs = Warc.parse(dec).getOrElse(fail("warc parse"))
+      assert(recs.length == 2)
+      assert(recs(1).recType == "response")
+    }
+  }
+
   test("zstd-framed WARC fixtures decode to byte-identical records " +
     "as the gzip form — the .warc.zst ingestion composition") {
     for (id <- 0L until 30L) {
