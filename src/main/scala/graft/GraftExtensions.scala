@@ -112,6 +112,7 @@ object GraftExtensions {
     "zip_media_for_id" -> (es => ZipMediaBytes(es.head)),
     "tiff_media_for_id" -> (es => TiffMediaBytes(es.head)),
     "tiffpx_media_for_id" -> (es => TiffPixelMediaBytes(es.head)),
+    "tiffjpeg_media_for_id" -> (es => TiffJpegMediaBytes(es.head)),
     "jpeg_exif_media_for_id" -> (es => JpegExifMediaBytes(es.head)),
     "url_normalize" -> (es => UrlNormalize(es.head)),
     "url_domain" -> (es => UrlDomain(es.head)),

@@ -1936,10 +1936,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JPEG-in-TIFF (r9): Compression 7 — the strip payload is a
+    // standalone baseline JPEG, so the full JpegDc entropy decoder
+    // runs inside the TIFF strip walk. Same DC block contract as
+    // jpeg_pixels, so the analytic oracle carries over verbatim.
+    "tiff_jpeg_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 30)
+        .selectExpr("doc_id",
+          "pixel_stats(tiffjpeg_media_for_id(CAST(doc_id AS BIGINT))) AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // TIFF metadata triage (r8): the scan/archival image format —
     // parse_media walks real TIFF 6.0 IFDs (both byte orders); the
-    // baseline 8-bit pixel payload decodes for real via tiff_pixels
-    // above (LZW/JPEG payloads remain the codec seam).
+    // pixel payload decodes for real via tiff_pixels (four lossless
+    // compressions) and tiff_jpeg_pixels (Compression 7) above.
     "tiff_meta" -> ((s, dir) => {
       Graft.init(s)
       t(s, dir, "documents").filter(col("doc_id") < 55)
@@ -5585,6 +5604,31 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS pix_sum,
         |  CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h, spp ORDER BY doc_id""".stripMargin,
+
+    // the jpeg_pixels DC-block-contract oracle carried over verbatim
+    // — the engine additionally walked the TIFF container and ran the
+    // full baseline JPEG decode inside the strip
+    "tiff_jpeg_pixels" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 6) AS w,
+        |         8 * (1 + doc_id % 5) AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM ids),
+        |blocks AS (
+        |  SELECT d.doc_id, d.w, d.h, d.ch,
+        |         (bx.x * 3 + by.y * 5 + d.doc_id * 7 + cc.c * 11) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w // 8)) AS bx(x),
+        |       LATERAL unnest(range(0, d.h // 8)) AS by(y),
+        |       LATERAL unnest(range(0, d.ch)) AS cc(c))
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(64 * sum(v) AS BIGINT) AS pix_sum,
+        |       CAST(64 * count(*) AS BIGINT) AS pix_count
+        |FROM blocks GROUP BY doc_id, w, h, ch
+        |ORDER BY doc_id""".stripMargin,
 
     // IFD geometry tags re-derived in closed form (byte order varies
     // by parity — the engine walked both)

@@ -363,6 +363,20 @@ object MediaFeatures {
             normalize(acc)
           case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
         }
+      else if (bytes.length >= 2 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I') ||
+          (bytes(0) == 'M' && bytes(1) == 'M')))
+        // TIFF: the baseline 8-bit subset decodes to real pixels →
+        // the same luminance histogram; JPEG-in-TIFF stays the seam
+        graft.operators.Tiff.decodePixels(bytes) match {
+          case Some(d) => imageHistogram(d, dim)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+        graft.operators.Bmp.decode(bytes) match {
+          case Some(d) => imageHistogram(d, dim)
+          case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
+        }
       else graft.operators.PngPixels.decode(bytes)
         .orElse(graft.operators.JpegDc.decode(bytes)) match {
         case Some(d) => imageHistogram(d, dim)

@@ -302,6 +302,21 @@ object MediaFixtures {
     Zstd.zstEncode(plain, math.floorMod(id, 3).toInt)
   }
 
+  /** JPEG-in-TIFF fixture (Compression 7, new-style): one strip
+    * holding a REAL decodable baseline JPEG under the same DC block
+    * contract as [[jpegMediaFor]] — so the jpeg_pixels analytic
+    * oracle form carries over unchanged; photometric 6 (YCbCr) for
+    * color, 1 for gray; byte order by id%3. */
+  def tiffJpegFor(id: Long): Array[Byte] = {
+    val w = 8 * (1 + id % 6).toInt
+    val h = 8 * (1 + id % 5).toInt
+    val ch = if (id % 2 == 0) 3 else 1
+    val jpeg = JpegDc.jpegWithPixels(id, w, h, ch)
+    Tiff.tiffContainer(w, h, ch, if (ch == 3) 6 else 1,
+      compression = 7, rowsPerStrip = h, littleEndian = id % 3 != 0,
+      predictor = 1, strips = Seq(jpeg))
+  }
+
   /** Standalone TIFF fixture: both byte orders by parity, closed-form
     * dims, IFD0 geometry tags ([[Tiff.tiff]]). */
   def tiffMediaFor(id: Long): Array[Byte] =

@@ -144,21 +144,25 @@ object Tiff {
         w * h > (1L << 26)) return None
       val spp = num(277).getOrElse(1L).toInt
       val photometric = num(262).getOrElse(return None)
+      val compression = num(259).getOrElse(1L)
       val expectSpp = photometric match {
         case 0 | 1 => 1
         case 2 => 3
+        case 6 => // YCbCr: only as the color space of JPEG strips
+          if (compression != 7L) return None
+          3
         case _ => return None // palette/other: out of subset
       }
       if (spp != expectSpp) return None
       val bits = arr(258).getOrElse(Array.fill(spp)(1L))
       if (bits.length != spp || bits.exists(_ != 8L)) return None
       if (num(284).getOrElse(1L) != 1L) return None // chunky only
-      val compression = num(259).getOrElse(1L)
       if (compression != 1L && compression != 32773L &&
-        compression != 5L && compression != 8L &&
+        compression != 5L && compression != 7L && compression != 8L &&
         compression != 32946L) return None
       val predictor = num(317).getOrElse(1L)
       if (predictor != 1L && predictor != 2L) return None
+      if (compression == 7L && predictor != 1L) return None
       val offsets = arr(273).getOrElse(return None)
       val counts = arr(279).getOrElse(return None)
       if (offsets.length != counts.length || offsets.isEmpty) return None
@@ -180,6 +184,17 @@ object Tiff {
         if (compression == 1L) {
           if (sc != want) return None
           System.arraycopy(b, so.toInt, out, outPos, want)
+        } else if (compression == 7L) {
+          // new-style JPEG-in-TIFF: each strip is a standalone
+          // interchange JPEG stream — the full baseline decoder runs
+          // per strip (the JPEGTables abbreviated form is out of
+          // subset and fails the geometry check below)
+          val slice = java.util.Arrays.copyOfRange(
+            b, so.toInt, (so + sc).toInt)
+          val d = JpegDc.decode(slice).getOrElse(return None)
+          if (d.width != w.toInt || d.height != rowsHere ||
+            d.channels != spp) return None
+          System.arraycopy(d.pixels, 0, out, outPos, want)
         } else if (compression == 5L) { // LZW
           val d = lzwDecode(b, so.toInt, (so + sc).toInt, want)
             .getOrElse(return None)
@@ -565,7 +580,17 @@ object Tiff {
           } finally defl.end()
       }
     }
+    tiffContainer(w, h, spp, photometric, compression, rowsPerStrip,
+      littleEndian, predictor, strips)
+  }
 
+  /** Assemble a single-IFD TIFF around already-encoded strips —
+    * shared by the pixel fixtures (closed-form strips) and the
+    * JPEG-in-TIFF fixture (each strip a standalone JFIF stream). */
+  def tiffContainer(w: Int, h: Int, spp: Int, photometric: Int,
+      compression: Int, rowsPerStrip: Int, littleEndian: Boolean,
+      predictor: Int, strips: Seq[Array[Byte]]): Array[Byte] = {
+    val nStrips = strips.length
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (littleEndian) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }

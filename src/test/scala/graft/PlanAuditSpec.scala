@@ -801,7 +801,8 @@ class PlanAuditSpec extends SparkTestBase {
     "robots, blocklist): projection/generate over the scan — doc_id " +
     "pushes down, no UDF, no mapPartitions, no join") {
     for (q <- Seq("mime_extract", "subtitle_cues", "parquet_triage",
-      "ogg_meta", "robots_filter", "blocklist_filter")) {
+      "ogg_meta", "robots_filter", "blocklist_filter",
+      "tiff_jpeg_pixels")) {
       val plan = physical(run(q))
       assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan"),
         s"$q: $plan")

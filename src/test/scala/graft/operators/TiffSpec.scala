@@ -191,6 +191,65 @@ class TiffSpec extends SparkTestBase {
     }
   }
 
+  test("JPEG-in-TIFF (Compression 7): the strip decodes through the " +
+    "full baseline JPEG path to the same pixels as the bare JPEG; " +
+    "geometry mismatches and predictor misuse fail the file") {
+    for (id <- 0L until 10L) {
+      val tif = MediaFixtures.tiffJpegFor(id)
+      val d = Tiff.decodePixels(tif).getOrElse(fail(s"id=$id"))
+      val w = 8 * (1 + id % 6).toInt; val h = 8 * (1 + id % 5).toInt
+      val ch = if (id % 2 == 0) 3 else 1
+      val direct = JpegDc.decode(
+        JpegDc.jpegWithPixels(id, w, h, ch)).get
+      assert(d.width == w && d.height == h && d.channels == ch)
+      assert(java.util.Arrays.equals(d.pixels, direct.pixels), s"id=$id")
+    }
+    // geometry lie: container says 16 wide, strip decodes 8 wide
+    val lying = Tiff.tiffContainer(16, 8, 1, 1, 7, 8, true, 1,
+      Seq(JpegDc.jpegWithPixels(1L, 8, 8, 1)))
+    assert(Tiff.decodePixels(lying).isEmpty)
+    // predictor 2 with JPEG strips is out of spec
+    val badPred = Tiff.tiffContainer(8, 8, 1, 1, 7, 8, true, 2,
+      Seq(JpegDc.jpegWithPixels(1L, 8, 8, 1)))
+    assert(Tiff.decodePixels(badPred).isEmpty)
+    // YCbCr photometric without JPEG compression rejects
+    val badPhoto = Tiff.tiffContainer(8, 8, 3, 6, 1, 8, true, 1,
+      Seq(new Array[Byte](8 * 8 * 3)))
+    assert(Tiff.decodePixels(badPhoto).isEmpty)
+  }
+
+  test("media_features routes TIFF (and BMP) through the real " +
+    "decode: the luminance histogram matches one computed from " +
+    "decodePixels directly, not the byte-sum fallback head") {
+    def histogram(d: PngPixels.Decoded, dim: Int): Array[Float] = {
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < d.pixels.length) {
+        val v =
+          if (d.channels >= 3)
+            (299 * (d.pixels(i) & 0xff) + 587 * (d.pixels(i + 1) & 0xff) +
+              114 * (d.pixels(i + 2) & 0xff)) / 1000
+          else d.pixels(i) & 0xff
+        counts(v * dim / 256) += 1
+        i += d.channels
+      }
+      val total = math.max(1L, counts.sum)
+      counts.map(_.toFloat / total)
+    }
+    for (id <- 0L until 8L) {
+      val tif = MediaFixtures.tiffPixelMediaFor(id)
+      val want = histogram(Tiff.decodePixels(tif).get, 12)
+      val got = graft.functions.MediaFeatures.compute(tif, 12)
+        .toFloatArray()
+      assert(got.sameElements(want), s"tiff id=$id")
+      val bmp = MediaFixtures.bmpMediaFor(id)
+      val wantB = histogram(Bmp.decode(bmp).get, 12)
+      val gotB = graft.functions.MediaFeatures.compute(bmp, 12)
+        .toFloatArray()
+      assert(gotB.sameElements(wantB), s"bmp id=$id")
+    }
+  }
+
   test("parse_media dispatches the tiff format; fixtures follow the " +
     "closed forms the oracle re-derives") {
     for (id <- 0L to 10L) {
