@@ -2046,8 +2046,9 @@ object SparkEntry {
     // zstd BLOCK decode (r9): full RFC 8878 decompression — the
     // frame-header triage below grew its block layer (FSE, Huffman
     // literals, sequences, repeat offsets, checksums). Fixtures cycle
-    // five frame shapes incl. real LZ sequences through RLE-mode and
-    // repeat-mode tables with a cross-block match; the oracle replays
+    // six frame shapes incl. real LZ sequences through RLE-mode and
+    // repeat-mode tables with a cross-block match and 4-stream
+    // Huffman literals; the oracle replays
     // only the CONTENT contract (repeat of a closed-form unit), so a
     // single mis-decoded byte anywhere breaks the md5. External
     // conformance against the reference zstd binary lives in

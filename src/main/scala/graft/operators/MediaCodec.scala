@@ -373,15 +373,15 @@ object MediaFixtures {
     * ([[Zstd.zstHeader]]). */
   /** FULLY decodable zstd fixture ([[Zstd.zstEncode]]): content is
     * `unit(id)` repeated `reps(id)` times — a closed form the oracle
-    * replays with `repeat(...)` — encoded through the five frame
+    * replays with `repeat(...)` — encoded through the six frame
     * variants (raw, two-frame, skippable+compressed, one real LZ
-    * sequence via RLE-mode tables, two blocks with repeat-mode tables
-    * and a cross-block match). */
+    * sequence via RLE-mode tables, repeat-mode tables with a
+    * cross-block match, 4-stream Huffman literals). */
   def zstFullMediaFor(id: Long): Array[Byte] = {
     val unit = s"tok${math.floorMod(id, 9)} graft zstd unit "
     val reps = (20 + math.floorMod(id, 50)).toInt
     val content = (unit * reps).getBytes("UTF-8")
-    Zstd.zstEncode(content, math.floorMod(id, 5).toInt,
+    Zstd.zstEncode(content, math.floorMod(id, 6).toInt,
       period = unit.length)
   }
 

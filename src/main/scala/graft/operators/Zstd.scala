@@ -181,6 +181,9 @@ object Zstd {
     *       reuses the tables via REPEAT mode (RLE tables pin each
     *       field to one CODE, so both sequences share LL/OF/ML codes
     *       and differ only in per-sequence extra bits)
+    *  - 5: HUFFMAN-compressed literals through the 4-stream layout
+    *       (direct-weights tree description, jump table, per-stream
+    *       backward bitstreams), zero sequences
     *
     * Sequence encoding needs no FSE encoder: RLE-mode tables pin each
     * code to one symbol, so the bitstream is exactly the extra bits
@@ -308,7 +311,7 @@ object Zstd {
       out.write(block, 0, block.length)
     }
 
-    math.floorMod(variant, 5) match {
+    math.floorMod(variant, 6) match {
       case 0 =>
         frameHeader(content.length, checksum = true)
         rawBlock(content, 0, content.length, last = true)
@@ -330,6 +333,51 @@ object Zstd {
         frameHeader(content.length, checksum = true)
         seqBlock(content.take(period), period, content.length - period,
           mode = 1, last = true)
+        checksumOf(content)
+      case 5 =>
+        // HUFFMAN-compressed literals (4 streams, direct-weights tree)
+        // with zero sequences. The tree gives all 128 low-ASCII
+        // symbols weight 1 — a legal canonical table whose assignment
+        // (weight groups ascending, symbols ascending, codes counting
+        // up) reduces to code(s) = s at 7 bits — so the encoder stays
+        // independent of the decoder while exercising the tree parse,
+        // the 4-stream jump table, and per-stream exact consumption.
+        require(content.length >= 4 && content.length < (1 << 14) &&
+          content.forall(b => (b & 0xff) < 128),
+          "low-ASCII content up to 16k required")
+        frameHeader(content.length, checksum = true)
+        val bb = new java.io.ByteArrayOutputStream()
+        val per = (content.length + 3) / 4
+        val counts = Array(per, per, per, content.length - 3 * per)
+        require(counts(3) >= 1,
+          s"4-stream split needs a non-empty 4th stream " +
+            s"(len=${content.length} gives ${counts(3)})")
+        var off = 0
+        val streams = counts.map { n =>
+          val part = java.util.Arrays.copyOfRange(content, off, off + n)
+          off += n
+          packBackward(part.toSeq.map(b => ((b & 0xff), 7)))
+        }
+        val comp = 1 + 64 + 6 + streams.map(_.length).sum
+        val h = 2L | (2L << 2) | (content.length.toLong << 4) |
+          (comp.toLong << 18)
+        bb.write((h & 0xff).toInt); bb.write(((h >> 8) & 0xff).toInt)
+        bb.write(((h >> 16) & 0xff).toInt); bb.write(((h >> 24) & 0xff).toInt)
+        bb.write(254) // direct weights, 127 explicit symbols...
+        val wts = new Array[Byte](64) // ...all weight 1 (2 per byte);
+        java.util.Arrays.fill(wts, 0x11.toByte) // symbol 127 implied
+        bb.write(wts, 0, 64)
+        for (k <- 0 until 3) {
+          bb.write(streams(k).length & 0xff)
+          bb.write((streams(k).length >> 8) & 0xff)
+        }
+        streams.foreach(s => bb.write(s, 0, s.length))
+        bb.write(0) // zero sequences
+        val block = bb.toByteArray
+        val hdr = (block.length << 3) | 4 | 1
+        out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+        out.write((hdr >> 16) & 0xff)
+        out.write(block, 0, block.length)
         checksumOf(content)
       case _ =>
         require(period >= 4 && content.length > 3 * period,

@@ -147,6 +147,26 @@ class ZstdDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("engine-written Huffman-literals frames (variant 5): the " +
+    "4-stream compressed-literals path round-trips and every " +
+    "single-byte corruption is caught or decodes to a size-consistent " +
+    "result") {
+    for (n <- Seq(7, 100, 421, 1469, 4001)) {
+      val content = Array.tabulate[Byte](n)(i => (32 + (i * 7) % 90).toByte)
+      val frame = Zstd.zstEncode(content, 5)
+      val dec = ZstdDecode.decompress(frame)
+        .getOrElse(fail(s"n=$n did not decode"))
+      assert(java.util.Arrays.equals(dec, content), s"n=$n")
+      assert(frame.length < n + 100, s"n=$n should compress 7/8")
+    }
+    val good = Zstd.zstEncode(
+      Array.tabulate[Byte](421)(i => (32 + (i * 7) % 90).toByte), 5)
+    for (i <- good.indices) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      ZstdDecode.decompress(bad) // must not throw or hang
+    }
+  }
+
   test("zstd-framed WARC fixtures decode to byte-identical records " +
     "as the gzip form — the .warc.zst ingestion composition") {
     for (id <- 0L until 30L) {
