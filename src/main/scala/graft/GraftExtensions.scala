@@ -106,6 +106,9 @@ object GraftExtensions {
     "eml_media_for_id" -> (es => EmlMediaBytes(es.head)),
     "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
+    "pdf_images" -> (es => PdfImages(es.head)),
+    "byte_sum" -> (es => ByteSum(es.head)),
+    "pdfimg_media_for_id" -> (es => PdfImgMediaBytes(es.head)),
     "tar_extract" -> (es => TarExtract(es(0), es(1))),
     "targz_media_for_id" -> (es => TarGzMediaBytes(es.head)),
     "zip_extract" -> (es => ZipExtract(es(0), es(1))),

@@ -2201,6 +2201,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PDF embedded-image extraction (r9): page-tree walk → /Resources
+    // /XObject image streams. DCTDecode payloads come out as complete
+    // JPEG files and route through the REAL entropy decoder
+    // (jpeg_stats); Flate payloads inflate to raw gray samples summed
+    // by byte_sum — two codecs composed behind one extraction op. The
+    // oracle re-derives both pixel contracts analytically (flat JPEG
+    // blocks / affine gray ramp), so a slip anywhere in the xref walk,
+    // stream inflate, Huffman decode, or sample order breaks the hash.
+    "pdf_images" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .selectExpr("doc_id",
+          "inline(pdf_images(pdfimg_media_for_id(CAST(doc_id AS BIGINT))))")
+        .selectExpr("doc_id", "CAST(page AS BIGINT) AS page", "name",
+          "CAST(width AS BIGINT) AS width",
+          "CAST(height AS BIGINT) AS height", "filter",
+          "CASE WHEN filter = 'DCTDecode' THEN jpeg_stats(data).pix_sum " +
+            "ELSE byte_sum(data) END AS pix_sum")
+        .orderBy("doc_id", "page", "name")
+    }),
+
     // tar.gz ingest (r8): the dataset-dump shape — gunzip (JDK
     // DEFLATE + CRC32) in front of the ustar header walk, checksums
     // verified per header. Composes three real codecs in one line.
@@ -5552,6 +5573,48 @@ object SparkEntry {
         |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
         |    AS text
         |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
+
+    // both embedded-image pixel contracts replayed analytically: the
+    // DCTDecode payload's flat-block sum (the engine ran the real
+    // JPEG entropy decode on bytes sliced out of the PDF) and the
+    // Flate gray ramp (the engine inflated raw samples) — the oracle
+    // never touches a byte of either
+    "pdf_images" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |imgs AS (
+        |  SELECT doc_id, p.p AS page, 2 * doc_id + p.p AS jid
+        |  FROM ids, LATERAL unnest(range(0, 1 + doc_id % 2)) AS p(p)),
+        |jpeg_sum AS (
+        |  SELECT j.doc_id, j.page, j.w, j.h,
+        |         64 * sum((bx.x * 3 + by.y * 5 + j.jid * 7 + cc.c * 11)
+        |                  % 256) AS pix_sum
+        |  FROM (SELECT doc_id, page, jid, 8 * (1 + jid % 6) AS w,
+        |               8 * (1 + jid % 5) AS h
+        |        FROM imgs WHERE jid % 2 = 0) j,
+        |       LATERAL unnest(range(0, j.w // 8)) AS bx(x),
+        |       LATERAL unnest(range(0, j.h // 8)) AS by(y),
+        |       LATERAL unnest(range(0, 3)) AS cc(c)
+        |  GROUP BY j.doc_id, j.page, j.w, j.h),
+        |gray_sum AS (
+        |  SELECT g.doc_id, g.page, g.w, g.h,
+        |         sum((xx.x * 3 + yy.y * 5 + g.jid * 7) % 256) AS pix_sum
+        |  FROM (SELECT doc_id, page, jid, 4 + jid % 13 AS w,
+        |               3 + jid % 11 AS h
+        |        FROM imgs WHERE jid % 2 = 1) g,
+        |       LATERAL unnest(range(0, g.w)) AS xx(x),
+        |       LATERAL unnest(range(0, g.h)) AS yy(y)
+        |  GROUP BY g.doc_id, g.page, g.w, g.h)
+        |SELECT doc_id, CAST(page AS BIGINT) AS page,
+        |       'Im' || page AS name, CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height, 'DCTDecode' AS filter,
+        |       CAST(pix_sum AS BIGINT) AS pix_sum
+        |FROM jpeg_sum
+        |UNION ALL
+        |SELECT doc_id, CAST(page AS BIGINT), 'Im' || page,
+        |       CAST(w AS BIGINT), CAST(h AS BIGINT), 'FlateDecode',
+        |       CAST(pix_sum AS BIGINT)
+        |FROM gray_sum
+        |ORDER BY doc_id, page, name""".stripMargin,
 
     // names/sizes/content in closed form — the engine gunzipped,
     // walked checksummed ustar headers, and sliced exact byte ranges

@@ -513,6 +513,39 @@ object MediaFixtures {
     Pdf.pdf(pages, deflate = id % 2 == 1, xrefStream = id % 4 >= 2)
   }
 
+  /** Image-bearing PDF fixture ([[Pdf.pdfWithImages]]): 1 + id%2
+    * pages, one image XObject per page with jid = 2*id + p — even
+    * jids embed the DC-only JPEG fixture verbatim (DCTDecode, pixel
+    * contract as [[jpegPixelMediaFor]] keyed by jid, 3 channels),
+    * odd jids a raw gray FlateDecode image with pixel
+    * (3x + 5y + 7*jid) mod 256 — so every extracted payload carries
+    * a closed-form pixel contract the oracle re-derives. */
+  def pdfImgMediaFor(id: Long): Array[Byte] = {
+    val nPages = (1 + id % 2).toInt
+    val pages = (0 until nPages).map { p =>
+      (0 until 2).map(k => s"pdfimg $id p$p l$k")
+    }
+    val images = (0 until nPages).map { p =>
+      val jid = 2 * id + p
+      if (jid % 2 == 0) {
+        val w = 8 * (1 + jid % 6).toInt
+        val h = 8 * (1 + jid % 5).toInt
+        Pdf.ImageSpec(p, w, h, jpeg = true,
+          JpegDc.jpegWithPixels(jid, w, h, 3))
+      } else {
+        val w = (4 + jid % 13).toInt
+        val h = (3 + jid % 11).toInt
+        val raw = Array.tabulate[Byte](w * h) { i =>
+          val x = i % w
+          val y = i / w
+          ((3 * x + 5 * y + 7 * jid) % 256).toByte
+        }
+        Pdf.ImageSpec(p, w, h, jpeg = false, raw)
+      }
+    }
+    Pdf.pdfWithImages(pages, images, deflate = id % 2 == 1)
+  }
+
   /** tar.gz fixture: 1 + id%3 closed-form text entries through the
     * ustar writer + gzip ([[Tar.tarGz]]) — the dataset-dump shape. */
   def tarGzMediaFor(id: Long): Array[Byte] = {

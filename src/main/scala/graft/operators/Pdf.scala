@@ -583,6 +583,61 @@ object Pdf {
       (pages.length, sb.toString)
     }
 
+  /** One embedded image XObject. `data` keeps the DCTDecode payload
+    * in its transfer encoding — a complete JPEG file, routable
+    * straight to [[JpegDc]] — and holds DECODED raw samples for
+    * Flate/unfiltered images, so pdf-to-pixels needs no second walk
+    * of the page tree. */
+  final case class PdfImage(page: Int, name: String, width: Int,
+      height: Int, filter: String, data: Array[Byte])
+
+  /** All image XObjects across the document, page-tree order then
+    * name order within a page. Non-image XObjects (forms) are
+    * skipped; an unsupported image filter fails the whole parse (a
+    * partial inventory would undercount a corpus silently). */
+  def images(bytes: Array[Byte]): Option[Vector[PdfImage]] =
+    withDoc(bytes) { doc =>
+      val out = Vector.newBuilder[PdfImage]
+      collectPages(doc).zipWithIndex.foreach { case (page, pi) =>
+        val res = doc.dictGet(page, "Resources") match {
+          case Some(PDict(d)) => d
+          case _ => Map.empty[String, PVal]
+        }
+        val xo = doc.dictGet(res, "XObject") match {
+          case Some(PDict(d)) => d
+          case _ => Map.empty[String, PVal]
+        }
+        xo.toSeq.sortBy(_._1).foreach { case (name, ref) =>
+          doc.resolve(ref) match {
+            case PStream(d, data)
+                if doc.dictGet(d, "Subtype").contains(PName("Image")) =>
+              val w = doc.dictGet(d, "Width") match {
+                case Some(PNum(n)) if n >= 1 && n <= 65536 => n.toInt
+                case _ => throw new Bad
+              }
+              val h = doc.dictGet(d, "Height") match {
+                case Some(PNum(n)) if n >= 1 && n <= 65536 => n.toInt
+                case _ => throw new Bad
+              }
+              val (filter, payload) = doc.dictGet(d, "Filter") match {
+                case Some(PName("DCTDecode")) |
+                  Some(PArr(Vector(PName("DCTDecode")))) =>
+                  ("DCTDecode", data)
+                case Some(PName("FlateDecode")) |
+                  Some(PArr(Vector(PName("FlateDecode")))) =>
+                  ("FlateDecode", inflate(data))
+                case None => ("", data)
+                case _ => throw new Bad // other image filters: whole parse fails
+              }
+              out += PdfImage(pi, name, w, h, filter, payload)
+            case PStream(_, _) => () // form XObject: not an image
+            case _ => throw new Bad
+          }
+        }
+      }
+      out.result()
+    }
+
   private def withDoc[A](bytes: Array[Byte])(f: Doc => A): Option[A] = {
     try {
       if (bytes == null || bytes.length < 16) return None
@@ -796,6 +851,94 @@ object Pdf {
     (1 to maxObj).foreach { n =>
       w(f"${offsets(n)}%010d 00000 n \n")
     }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefAt\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Fixture spec for one embedded image: `jpeg = true` embeds
+    * `data` verbatim under /Filter /DCTDecode (DeviceRGB); otherwise
+    * `data` is raw 8-bit gray samples, deflated under /FlateDecode
+    * (DeviceGray). */
+  final case class ImageSpec(page: Int, width: Int, height: Int,
+      jpeg: Boolean, data: Array[Byte])
+
+  /** The classic-xref writer with image XObjects: each spec becomes
+    * `/Im{k}` in its page's /Resources /XObject dict, painted by a
+    * `cm`+`Do` pair after the page's text — a complete spec-valid
+    * image-bearing PDF for the extraction path ([[images]]). */
+  def pdfWithImages(pageLines: Seq[Seq[String]], images: Seq[ImageSpec],
+      deflate: Boolean): Array[Byte] = {
+    require(pageLines.nonEmpty && pageLines.length <= 256)
+    require(images.forall(im => im.page >= 0 && im.page < pageLines.length))
+    val nPages = pageLines.length
+    val pageObj = (p: Int) => 4 + p
+    val contentObj = (p: Int) => 4 + nPages + p
+    val imageObj = (k: Int) => 4 + 2 * nPages + k
+    val byPage: Map[Int, Seq[(ImageSpec, Int)]] =
+      images.zipWithIndex.groupBy(_._1.page)
+    val objects = Vector.newBuilder[(Int, Array[Byte])]
+    objects += 1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes("ISO-8859-1")
+    objects += 2 -> (s"<< /Type /Pages /Kids [" +
+      (0 until nPages).map(p => s"${pageObj(p)} 0 R").mkString(" ") +
+      s"] /Count $nPages >>").getBytes("ISO-8859-1")
+    objects += 3 -> ("<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >>").getBytes("ISO-8859-1")
+    (0 until nPages).foreach { p =>
+      val xobj = byPage.getOrElse(p, Nil)
+        .map { case (_, k) => s"/Im$k ${imageObj(k)} 0 R" }.mkString(" ")
+      val xoEntry = if (xobj.isEmpty) "" else s"/XObject << $xobj >> "
+      objects += pageObj(p) -> (s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> $xoEntry>> " +
+        s"/Contents ${contentObj(p)} 0 R >>").getBytes("ISO-8859-1")
+    }
+    (0 until nPages).foreach { p =>
+      val ops = new StringBuilder(contentOps(pageLines(p)))
+      byPage.getOrElse(p, Nil).foreach { case (im, k) =>
+        ops.append(s"\nq ${im.width * 4} 0 0 ${im.height * 4} 72 120 cm " +
+          s"/Im$k Do Q")
+      }
+      val raw = ops.toString.getBytes("ISO-8859-1")
+      val (data, filter) =
+        if (deflate) (flate(raw), "/Filter /FlateDecode ") else (raw, "")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"<< ${filter}/Length ${data.length} >>\nstream\n"
+        .getBytes("ISO-8859-1"))
+      bos.write(data, 0, data.length)
+      bos.write("\nendstream".getBytes("ISO-8859-1"))
+      objects += contentObj(p) -> bos.toByteArray
+    }
+    images.zipWithIndex.foreach { case (im, k) =>
+      val (data, filter, cs) =
+        if (im.jpeg) (im.data, "/DCTDecode", "/DeviceRGB")
+        else (flate(im.data), "/FlateDecode", "/DeviceGray")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write((s"<< /Type /XObject /Subtype /Image " +
+        s"/Width ${im.width} /Height ${im.height} /ColorSpace $cs " +
+        s"/BitsPerComponent 8 /Filter $filter /Length ${data.length} " +
+        s">>\nstream\n").getBytes("ISO-8859-1"))
+      bos.write(data, 0, data.length)
+      bos.write("\nendstream".getBytes("ISO-8859-1"))
+      objects += imageObj(k) -> bos.toByteArray
+    }
+    val objs = objects.result().sortBy(_._1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val offsets = objs.map { case (num, body) =>
+      val off = out.size()
+      w(s"$num 0 obj\n")
+      out.write(body, 0, body.length)
+      w("\nendobj\n")
+      num -> off
+    }.toMap
+    val xrefAt = out.size()
+    val maxObj = objs.map(_._1).max
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to maxObj).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n")
     w(s"startxref\n$xrefAt\n")
     w("%%EOF\n")

@@ -112,6 +112,77 @@ class PdfSpec extends SparkTestBase {
     }
   }
 
+  test("embedded images round-trip the writer: geometry and filters " +
+    "survive, the DCTDecode payload is the JPEG byte-for-byte, Flate " +
+    "samples inflate back, and page text is untouched") {
+    for (deflate <- Seq(false, true)) {
+      val jpeg = JpegDc.jpegWithPixels(7L, 16, 8, 3)
+      val gray = Array.tabulate[Byte](5 * 4)(i => (i * 11 % 256).toByte)
+      val pages = Seq(Seq("with an image"), Seq("gray page"))
+      val b = Pdf.pdfWithImages(pages,
+        Seq(Pdf.ImageSpec(0, 16, 8, jpeg = true, jpeg),
+          Pdf.ImageSpec(1, 5, 4, jpeg = false, gray)), deflate)
+      val ims = Pdf.images(b).get
+      assert(ims.length == 2, s"deflate=$deflate")
+      assert(ims(0).page == 0 && ims(0).name == "Im0" &&
+        ims(0).width == 16 && ims(0).height == 8 &&
+        ims(0).filter == "DCTDecode" &&
+        java.util.Arrays.equals(ims(0).data, jpeg))
+      assert(ims(1).page == 1 && ims(1).name == "Im1" &&
+        ims(1).width == 5 && ims(1).height == 4 &&
+        ims(1).filter == "FlateDecode" &&
+        java.util.Arrays.equals(ims(1).data, gray))
+      // the JPEG payload decodes through the real entropy decoder
+      val d = JpegDc.decode(ims(0).data).get
+      assert(d.width == 16 && d.height == 8 && d.channels == 3)
+      // text extraction is undisturbed by the Do/cm operators
+      assert(Pdf.text(b).contains("with an image\ngray page"))
+      // an image-free writer output has an empty inventory
+      assert(Pdf.images(Pdf.pdf(pages, deflate)).get.isEmpty)
+    }
+  }
+
+  test("image fixtures follow the closed pixel contracts the oracle " +
+    "re-derives, and corruption never throws") {
+    for (id <- 0L to 6L) {
+      val ims = Pdf.images(MediaFixtures.pdfImgMediaFor(id)).get
+      assert(ims.length == 1 + id % 2, s"id=$id")
+      ims.zipWithIndex.foreach { case (im, p) =>
+        val jid = 2 * id + p
+        assert(im.page == p && im.name == s"Im$p")
+        if (jid % 2 == 0) {
+          assert(im.filter == "DCTDecode")
+          assert(im.width == 8 * (1 + jid % 6).toInt &&
+            im.height == 8 * (1 + jid % 5).toInt)
+          val d = JpegDc.decode(im.data).get
+          var expected = 0L
+          for (by <- 0 until im.height / 8; bx <- 0 until im.width / 8;
+               c <- 0 until 3)
+            expected += 64L * JpegDc.blockVal(jid, bx, by, c)
+          var got = 0L
+          d.pixels.foreach(px => got += px & 0xff)
+          assert(got == expected, s"id=$id jid=$jid")
+        } else {
+          assert(im.filter == "FlateDecode")
+          assert(im.width == (4 + jid % 13).toInt &&
+            im.height == (3 + jid % 11).toInt)
+          assert(im.data.length == im.width * im.height)
+          for (y <- 0 until im.height; x <- 0 until im.width)
+            assert((im.data(y * im.width + x) & 0xff) ==
+              (3 * x + 5 * y + 7 * jid) % 256, s"id=$id ($x,$y)")
+        }
+      }
+    }
+    val good = MediaFixtures.pdfImgMediaFor(3L)
+    var stride = 0
+    while (stride < good.length) {
+      val bad = good.clone(); bad(stride) = (bad(stride) ^ 0x41).toByte
+      Pdf.images(bad) // Option out, never a throw
+      stride += 7
+    }
+    assert(Pdf.images(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   /** Minimal complete one-page PDF around a given content stream. */
   private def handBuilt(content: String): Array[Byte] = {
     val objs = Seq(
