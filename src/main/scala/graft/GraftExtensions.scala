@@ -176,6 +176,7 @@ object GraftExtensions {
     "avi_av_features" -> (es => AviAvFeatures(es.head)),
     "avi_audio_wav" -> (es => AviAudioWav(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
+    "image_quality" -> (es => ImageQuality(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "web_pixel_media_for_id" -> (es => WebPixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),

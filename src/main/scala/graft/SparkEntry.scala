@@ -1076,6 +1076,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // image quality signals (r9): the LAION-curation measurements —
+    // brightness/contrast moments, Laplacian-variance sharpness, and
+    // distinct-gray-level degeneracy — as exact INTEGER moments over
+    // REAL decoded pixels (format-dispatched), so the oracle replays
+    // them hash-identically from both closed pixel contracts; the
+    // float scores are one division away downstream. Two decoder
+    // families ride one query: JPEG rows (flat-block contract) and
+    // PNG rows (per-pixel affine contract, all five scanline filters).
+    "image_quality" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 50)
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id < 25 " +
+            "THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "ELSE pixel_media_for_id(CAST(doc_id AS BIGINT)) END AS media")
+        .selectExpr("doc_id", "image_quality(media) AS q")
+        .selectExpr("doc_id", "CAST(q.width AS BIGINT) AS width",
+          "CAST(q.height AS BIGINT) AS height",
+          "CAST(q.channels AS BIGINT) AS channels",
+          "q.lum_sum", "q.lum_sq_sum", "q.lap_sq_sum",
+          "CAST(q.n_gray AS BIGINT) AS n_gray")
+        .orderBy("doc_id")
+    }),
+
     // perceptual image hashing (r8): dHash — decode → 9x8 box-average
     // grid → 64 gradient-sign bits, shipped as two 32-bit words so the
     // oracle assembles every value sign-safely. All-integer math, so
@@ -7393,6 +7417,62 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h, ch
         |ORDER BY doc_id""".stripMargin,
+
+    // every integer moment re-derived per pixel from BOTH closed
+    // contracts (flat JPEG blocks / affine PNG ramp): luminance via
+    // the repo-wide 299/587/114 floor-divide, the Laplacian through
+    // four neighbor self-joins over the interior — the engine decoded
+    // real entropy-coded bytes to get the same numbers
+    "image_quality" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 25 THEN 8 * (1 + doc_id % 6)
+        |         ELSE 8 + doc_id % 40 END AS w,
+        |    CASE WHEN doc_id < 25 THEN 8 * (1 + doc_id % 5)
+        |         ELSE 8 + doc_id % 30 END AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM documents WHERE doc_id < 50),
+        |base AS (
+        |  SELECT d.doc_id, d.w, d.h, d.ch, xx.x, yy.y,
+        |    CASE WHEN d.doc_id < 25
+        |      THEN (3 * (xx.x // 8) + 5 * (yy.y // 8) + 7 * d.doc_id) % 256
+        |      ELSE (3 * xx.x + 5 * yy.y + 7 * d.doc_id) % 256 END AS b
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.w)) AS xx(x),
+        |       LATERAL unnest(range(0, d.h)) AS yy(y)),
+        |lum AS (
+        |  SELECT doc_id, w, h, ch, x, y,
+        |    CASE WHEN ch = 3 THEN
+        |      (299 * b + 587 * ((b + 11) % 256) + 114 * ((b + 22) % 256))
+        |      // 1000
+        |    ELSE b END AS v
+        |  FROM base),
+        |moments AS (
+        |  SELECT doc_id, w, h, ch, sum(v) AS lum_sum,
+        |         sum(v * v) AS lum_sq_sum,
+        |         count(DISTINCT v) AS n_gray
+        |  FROM lum GROUP BY doc_id, w, h, ch),
+        |lap AS (
+        |  SELECT c.doc_id,
+        |         sum((4 * c.v - l.v - r.v - u.v - dn.v)
+        |             * (4 * c.v - l.v - r.v - u.v - dn.v)) AS lap_sq_sum
+        |  FROM lum c
+        |  JOIN lum l ON l.doc_id = c.doc_id AND l.x = c.x - 1 AND l.y = c.y
+        |  JOIN lum r ON r.doc_id = c.doc_id AND r.x = c.x + 1 AND r.y = c.y
+        |  JOIN lum u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+        |  JOIN lum dn ON dn.doc_id = c.doc_id AND dn.x = c.x
+        |    AND dn.y = c.y + 1
+        |  WHERE c.x >= 1 AND c.x <= c.w - 2 AND c.y >= 1 AND c.y <= c.h - 2
+        |  GROUP BY c.doc_id)
+        |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width,
+        |       CAST(m.h AS BIGINT) AS height,
+        |       CAST(m.ch AS BIGINT) AS channels,
+        |       CAST(m.lum_sum AS BIGINT) AS lum_sum,
+        |       CAST(m.lum_sq_sum AS BIGINT) AS lum_sq_sum,
+        |       CAST(COALESCE(lap.lap_sq_sum, 0) AS BIGINT) AS lap_sq_sum,
+        |       CAST(m.n_gray AS BIGINT) AS n_gray
+        |FROM moments m LEFT JOIN lap ON lap.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     // dHash re-derived all-integer: luminance from the pixel contract,
     // box cells by the floor-boundary membership join, floor-divide

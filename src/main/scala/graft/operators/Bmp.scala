@@ -63,6 +63,47 @@ object Bmp {
     bos.toByteArray
   }
 
+  /** Full BMP around an arbitrary raster-order RGB buffer (length
+    * w*h*3) — the general-purpose writer for tests and round trips;
+    * [[bmpWithPixels]] stays the closed-contract fixture form. */
+  def bmpFromRaster(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3, s"w=$w h=$h")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    bos.write('B'); bos.write('M')
+    le32(14 + 40 + dataSize)
+    le32(0)
+    le32(14 + 40)
+    le32(40)
+    le32(w)
+    le32(h)
+    le16(1)
+    le16(24)
+    le32(0)
+    le32(dataSize)
+    le32(2835); le32(2835)
+    le32(0); le32(0)
+    val pad = rowBytes - w * 3
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r
+      var x = 0
+      while (x < w) {
+        bos.write(rgb((y * w + x) * 3 + 2))
+        bos.write(rgb((y * w + x) * 3 + 1))
+        bos.write(rgb((y * w + x) * 3))
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bos.write(0); p += 1 }
+      r += 1
+    }
+    bos.toByteArray
+  }
+
   def isBmp(b: Array[Byte]): Boolean =
     b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 

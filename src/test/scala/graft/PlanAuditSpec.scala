@@ -773,7 +773,8 @@ class PlanAuditSpec extends SparkTestBase {
     "codec is a projection/generate over the scan — doc_id pushes " +
     "down, no UDF, no mapPartitions barrier, no join") {
     for (q <- Seq("zip_extract", "tar_extract", "pdf_text", "tiff_meta",
-      "jpeg_exif", "zstd_extract", "warczst_extract", "pdf_images")) {
+      "jpeg_exif", "zstd_extract", "warczst_extract", "pdf_images",
+      "image_quality")) {
       val plan = physical(run(q))
       assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan"),
         s"$q: $plan")
