@@ -177,6 +177,10 @@ object GraftExtensions {
     "avi_audio_wav" -> (es => AviAudioWav(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "image_quality" -> (es => ImageQuality(es.head)),
+    "sniff_charset" -> (es => SniffCharset(es.head)),
+    "decode_charset" -> (es => DecodeCharset(es.head)),
+    "fix_mojibake" -> (es => FixMojibake(es.head)),
+    "enc_media_for_id" -> (es => EncMediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "web_pixel_media_for_id" -> (es => WebPixelMediaBytes(es.head)),
     "jpeg_pixel_media_for_id" -> (es => JpegPixelMediaBytes(es.head)),

@@ -2225,6 +2225,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // charset triage (r9): the decode stage in front of every text
+    // op — BOM-driven UTF-16, strict-DFA-validated UTF-8, ASCII, and
+    // the WHATWG windows-1252 fallback, all as one map-only pass; the
+    // oracle replays label AND decoded text as closed forms, so a
+    // wrong verdict or a single mis-mapped byte breaks the hash.
+    "charset_decode" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)
+        .selectExpr("doc_id", "enc_media_for_id(CAST(doc_id AS BIGINT)) AS b")
+        .selectExpr("doc_id", "sniff_charset(b) AS charset",
+          "decode_charset(b) AS text")
+        .orderBy("doc_id")
+    }),
+
+    // mojibake repair (r9, the ftfy staple): undo UTF-8-read-as-1252
+    // double encoding, bounded at two rounds; three regimes ride one
+    // query — single mojibake, already-clean text (MUST be a fixed
+    // point), and double mojibake needing both rounds.
+    "fix_mojibake" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 120)
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 3 = 0 THEN " +
+            "concat('doc ', doc_id, ' cafÃ© " +
+            "â€™quote') " +
+            "WHEN doc_id % 3 = 1 THEN " +
+            "concat('doc ', doc_id, ' café clean') " +
+            "ELSE concat('doc ', doc_id, ' cafÃƒÂ© " +
+            "double') END AS garbled")
+        .selectExpr("doc_id", "garbled", "fix_mojibake(garbled) AS fixed")
+        .orderBy("doc_id")
+    }),
+
     // PDF embedded-image extraction (r9): page-tree walk → /Resources
     // /XObject image streams. DCTDecode payloads come out as complete
     // JPEG files and route through the REAL entropy decoder
@@ -5597,6 +5630,36 @@ object SparkEntry {
         |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
         |    AS text
         |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
+
+    // label and decoded text both replayed as closed forms — the
+    // engine sniffed and decoded real encoded bytes to get them
+    "charset_decode" ->
+      ("""SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8' WHEN 2 THEN 'cp1252'
+        |    WHEN 3 THEN 'utf-16le' ELSE 'utf-16be' END AS charset,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN 'doc ' || doc_id || ' plain ascii text'
+        |    ELSE 'doc ' || doc_id ||
+        |      ' café münchen ’quote’ €' ||
+        |      (doc_id % 10) END AS text
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""").stripMargin,
+
+    // garbled input re-built verbatim; the fixed column is the clean
+    // closed form per regime (single, fixed-point, double)
+    "fix_mojibake" ->
+      ("""SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'doc ' || doc_id ||
+        |    ' cafÃ© â€™quote'
+        |  WHEN doc_id % 3 = 1 THEN 'doc ' || doc_id || ' café clean'
+        |  ELSE 'doc ' || doc_id || ' cafÃƒÂ© double'
+        |  END AS garbled,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'doc ' || doc_id ||
+        |    ' café ’quote'
+        |  WHEN doc_id % 3 = 1 THEN 'doc ' || doc_id || ' café clean'
+        |  ELSE 'doc ' || doc_id || ' café double'
+        |  END AS fixed
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""").stripMargin,
 
     // both embedded-image pixel contracts replayed analytically: the
     // DCTDecode payload's flat-block sum (the engine ran the real

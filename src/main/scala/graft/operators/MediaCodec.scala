@@ -559,6 +559,35 @@ object MediaFixtures {
   /** ZIP fixture: 1 + id%3 text entries with closed-form names and
     * content; odd ids deflate, even ids store ([[Zip.zip]]) — both
     * extraction paths cycle through the corpus. */
+  /** Encoded-text fixture for the charset pipeline ([[Charset]]):
+    * one closed-form sentence (with é ü ’ € —
+    * all windows-1252-representable) cycled through five transfer
+    * encodings by id%5: pure ASCII, UTF-8, windows-1252, UTF-16LE
+    * and UTF-16BE with BOMs. The oracle replays both the sniffed
+    * label and the decoded text as closed forms. */
+  def encMediaFor(id: Long): Array[Byte] = {
+    import java.nio.charset.StandardCharsets._
+    val rich = s"doc $id caf\u00e9 m\u00fcnchen \u2019quote\u2019 " +
+      s"\u20ac${id % 10}"
+    math.floorMod(id, 5).toInt match {
+      case 0 => s"doc $id plain ascii text".getBytes(US_ASCII)
+      case 1 => rich.getBytes(UTF_8)
+      case 2 => Charset.cp1252Encode(rich).get
+      case 3 =>
+        val body = rich.getBytes(UTF_16LE)
+        val out = new Array[Byte](body.length + 2)
+        out(0) = 0xff.toByte; out(1) = 0xfe.toByte
+        System.arraycopy(body, 0, out, 2, body.length)
+        out
+      case _ =>
+        val body = rich.getBytes(UTF_16BE)
+        val out = new Array[Byte](body.length + 2)
+        out(0) = 0xfe.toByte; out(1) = 0xff.toByte
+        System.arraycopy(body, 0, out, 2, body.length)
+        out
+    }
+  }
+
   def zipMediaFor(id: Long): Array[Byte] = {
     val files = (0 until (1 + id % 3).toInt).map { j =>
       val text = s"file $j of archive $id " + "x" * ((id + j) % 9).toInt
