@@ -151,6 +151,8 @@ object GraftExtensions {
       intLit(es(1), "image_resize"), intLit(es(2), "image_resize"))),
     "wav_stats" -> (es => WavStats(es.head)),
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
+    "wav_vad" -> (es => WavVad(es(0), intLit(es(1), "wav_vad"),
+      intLit(es(2), "wav_vad"))),
     "wav_spectral" -> (es =>
       WavSpectral(es(0), intLit(es(1), "wav_spectral"))),
     "wav_gain_media_for_id" -> (es => WavGainMediaBytes(es.head)),
@@ -177,6 +179,7 @@ object GraftExtensions {
     "avi_audio_wav" -> (es => AviAudioWav(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "image_quality" -> (es => ImageQuality(es.head)),
+    "wavvad_media_for_id" -> (es => WavVadMediaBytes(es.head)),
     "sniff_charset" -> (es => SniffCharset(es.head)),
     "decode_charset" -> (es => DecodeCharset(es.head)),
     "fix_mojibake" -> (es => FixMojibake(es.head)),

@@ -2225,6 +2225,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // voice-activity detection (r9): the speech-curation front gate —
+    // energy-thresholded 64-frame windows over real decoded PCM,
+    // consecutive actives merged into segments with clipped-sample
+    // counts. Verdicts are integer-exact (sum_sq > thr*n), so the
+    // oracle replays every segment boundary, energy, and clip count
+    // from the sample contract with zero float tolerance.
+    "wav_vad" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 40)
+        .selectExpr("doc_id",
+          "explode(wav_vad(wavvad_media_for_id(CAST(doc_id AS BIGINT)), " +
+            "64, 10000)) AS v")
+        .selectExpr("doc_id", "CAST(v.seg AS BIGINT) AS seg",
+          "CAST(v.start_win AS BIGINT) AS start_win",
+          "CAST(v.n_win AS BIGINT) AS n_win", "v.sum_sq",
+          "CAST(v.n_clip AS BIGINT) AS n_clip")
+        .orderBy("doc_id", "seg")
+    }),
+
     // charset triage (r9): the decode stage in front of every text
     // op — BOM-driven UTF-16, strict-DFA-validated UTF-8, ASCII, and
     // the WHATWG windows-1252 fallback, all as one map-only pass; the
@@ -5630,6 +5649,46 @@ object SparkEntry {
         |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
         |    AS text
         |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
+
+    // every window energy, clip count, and gaps-and-islands merge
+    // re-derived from the sample contract — the engine got the same
+    // numbers out of a real RIFF decode + integer thresholding
+    "wav_vad" ->
+      """WITH wins AS (
+        |  SELECT doc_id, w.w AS w
+        |  FROM documents, LATERAL unnest(range(0, 12 + doc_id % 6)) AS w(w)
+        |  WHERE doc_id < 40 AND (w.w + doc_id) % 4 < 2),
+        |stats AS (
+        |  SELECT wn.doc_id, wn.w,
+        |    sum(CASE WHEN (64 * wn.w + kk.k) % 101 = 0 AND cc.c = 0
+        |      THEN CAST(32767 AS BIGINT) * 32767
+        |      ELSE CAST((131 * (64 * wn.w + kk.k) + 7 * wn.doc_id
+        |            + 5 * cc.c) % 4096 - 2048 AS BIGINT)
+        |        * ((131 * (64 * wn.w + kk.k) + 7 * wn.doc_id
+        |            + 5 * cc.c) % 4096 - 2048) END) AS sum_sq,
+        |    sum(CASE WHEN (64 * wn.w + kk.k) % 101 = 0 AND cc.c = 0
+        |      THEN 1 ELSE 0 END) AS n_clip
+        |  FROM wins wn,
+        |       LATERAL unnest(range(0, 64)) AS kk(k),
+        |       LATERAL unnest(range(0, 1 + wn.doc_id % 2)) AS cc(c)
+        |  GROUP BY wn.doc_id, wn.w),
+        |isl AS (
+        |  SELECT doc_id, w, sum_sq, n_clip,
+        |         w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+        |           AS grp
+        |  FROM stats),
+        |segs AS (
+        |  SELECT doc_id, grp, min(w) AS start_win, count(*) AS n_win,
+        |         sum(sum_sq) AS sum_sq, sum(n_clip) AS n_clip
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY start_win) - 1 AS BIGINT) AS seg,
+        |       CAST(start_win AS BIGINT) AS start_win,
+        |       CAST(n_win AS BIGINT) AS n_win,
+        |       CAST(sum_sq AS BIGINT) AS sum_sq,
+        |       CAST(n_clip AS BIGINT) AS n_clip
+        |FROM segs ORDER BY doc_id, seg""".stripMargin,
 
     // label and decoded text both replayed as closed forms — the
     // engine sniffed and decoded real encoded bytes to get them

@@ -272,6 +272,27 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** VAD fixture ([[WavPcm.vadSamp]] through [[WavPcm
+    * .wavFromSamples]]): whole 64-frame sections, loud/quiet per the
+    * (sec + id) mod 4 contract with hard-clipped samples in loud
+    * sections — speech-shaped audio whose every segment verdict the
+    * oracle re-derives. */
+  def wavVadMediaFor(id: Long): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val frames = 64 * (12 + id % 6).toInt
+    val samples = new Array[Short](frames * channels)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        samples(f * channels + c) = WavPcm.vadSamp(id, f, c).toShort
+        c += 1
+      }
+      f += 1
+    }
+    WavPcm.wavFromSamples(channels, 16000, samples)
+  }
+
   /** Gzipped two-record WARC fixture (warcinfo + response): the
     * response payload is a deterministic HTML page built entirely
     * from id (12 closed-form tokens), so the SQL oracle re-derives

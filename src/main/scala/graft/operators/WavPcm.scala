@@ -102,6 +102,77 @@ object WavPcm {
       }
     }
 
+  /** One merged run of voice-active windows ([[vad]]). */
+  final case class VadSegment(seg: Int, startWin: Int, nWin: Int,
+      sumSq: Long, nClip: Int)
+
+  /** Energy-based voice-activity detection — the speech-curation
+    * front gate (silence trimming, clip detection) a speech corpus
+    * runs before transcription or feature extraction.
+    *
+    * Windows of `winFrames` frames (tail partial window included);
+    * a window is ACTIVE iff its total energy exceeds `thrAvg` per
+    * sample — the integer-exact comparison `sumSq > thrAvg * n`, so
+    * an oracle replays every verdict without float tolerance.
+    * Consecutive active windows merge into segments carrying their
+    * total energy and the count of clipped samples (±32767/−32768 —
+    * the recording-chain defect a curator drops clips for).
+    * Map-only per row: at 100 TB the cost is the scan. */
+  def vad(bytes: Array[Byte], winFrames: Int, thrAvg: Int)
+      : Option[Array[VadSegment]] =
+    decode(bytes).map { d =>
+      val nWin = (d.frames + winFrames - 1) / winFrames
+      val out = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+      var seg = -1
+      var w = 0
+      while (w < nWin) {
+        val f0 = w * winFrames
+        val f1 = math.min(f0 + winFrames, d.frames)
+        var sumSq = 0L
+        var nClip = 0
+        var i = f0 * d.channels
+        val end = f1 * d.channels
+        while (i < end) {
+          val v = d.samples(i).toLong
+          sumSq += v * v
+          if (v == 32767 || v == -32768) nClip += 1
+          i += 1
+        }
+        val n = (end - f0 * d.channels).toLong
+        val active = sumSq > thrAvg * n
+        if (active) {
+          if (out.nonEmpty && out.last.startWin + out.last.nWin == w &&
+            seg == out.length - 1) {
+            val last = out.last
+            out(out.length - 1) = last.copy(nWin = last.nWin + 1,
+              sumSq = last.sumSq + sumSq, nClip = last.nClip + nClip)
+          } else {
+            seg = out.length
+            out += VadSegment(seg, w, 1, sumSq, nClip)
+          }
+        }
+        w += 1
+      }
+      out.toArray
+    }
+
+  /** The VAD fixture sample contract, replayed by the SQL oracle:
+    * 64-frame sections, a section is LOUD iff (sec + id) mod 4 < 2
+    * (so active runs span two windows and the merge logic is
+    * exercised), loud samples sweep ±2048 with a hard-clipped
+    * 32767 on channel 0 every 101st frame, quiet samples are ±3
+    * noise. */
+  def vadSamp(id: Long, frame: Int, c: Int): Int = {
+    val sec = frame / 64
+    if (math.floorMod(sec + id, 4L) < 2) {
+      if (frame % 101 == 0 && c == 0) 32767
+      // step 131 wraps the 4096 range inside every 64-frame window,
+      // so no loud window can land near zero energy (step 3 bottoms
+      // out at avg 3.1k — under any sane threshold; 131 at 1.36M)
+      else math.floorMod(131L * frame + 7L * id + 5L * c, 4096L).toInt - 2048
+    } else math.floorMod(frame + c, 7).toInt - 3
+  }
+
   /** Canonical RIFF/WAVE container around GIVEN interleaved PCM16
     * samples — the re-wrap half that lets any decoded audio track
     * (e.g. an AVI `auds` stream, [[Avi.decodeAv]]) flow into every

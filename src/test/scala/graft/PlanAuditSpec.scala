@@ -774,7 +774,7 @@ class PlanAuditSpec extends SparkTestBase {
     "down, no UDF, no mapPartitions barrier, no join") {
     for (q <- Seq("zip_extract", "tar_extract", "pdf_text", "tiff_meta",
       "jpeg_exif", "zstd_extract", "warczst_extract", "pdf_images",
-      "image_quality", "charset_decode", "fix_mojibake")) {
+      "image_quality", "charset_decode", "fix_mojibake", "wav_vad")) {
       val plan = physical(run(q))
       assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan"),
         s"$q: $plan")

@@ -284,4 +284,50 @@ class WavPcmSpec extends SparkTestBase {
     // dirty input -> None
     assert(WavPcm.resample("junk".getBytes, 8000).isEmpty)
   }
+
+  test("vad: segments match a brute-force replay of the fixture " +
+    "contract — boundaries, energies, clip counts") {
+    for (id <- 0L to 7L) {
+      val segs = WavPcm.vad(MediaFixtures.wavVadMediaFor(id), 64, 10000).get
+      val ch = (1 + id % 2).toInt
+      val nWin = (12 + id % 6).toInt
+      // reference: active windows from the section contract, merged
+      val active = (0 until nWin).filter(w => (w + id) % 4 < 2)
+      val runs = active.foldLeft(List.empty[List[Int]]) {
+        case (acc, w) if acc.nonEmpty && acc.head.head == w - 1 =>
+          (w :: acc.head) :: acc.tail
+        case (acc, w) => List(w) :: acc
+      }.map(_.reverse).reverse
+      assert(segs.length == runs.length, s"id=$id")
+      segs.zip(runs).zipWithIndex.foreach { case ((s, run), k) =>
+        assert(s.seg == k && s.startWin == run.head &&
+          s.nWin == run.length, s"id=$id seg=$k")
+        var ss = 0L
+        var clip = 0
+        for (w <- run; k2 <- 0 until 64; c <- 0 until ch) {
+          val v = WavPcm.vadSamp(id, 64 * w + k2, c)
+          ss += v.toLong * v
+          if (v == 32767 || v == -32768) clip += 1
+        }
+        assert(s.sumSq == ss && s.nClip == clip, s"id=$id seg=$k")
+      }
+    }
+  }
+
+  test("vad edges: pure silence is empty, all-loud is one segment, " +
+    "a partial tail window still counts, dirty bytes -> None") {
+    val silence = WavPcm.wavFromSamples(1, 8000, Array.fill[Short](640)(2))
+    assert(WavPcm.vad(silence, 64, 100).get.isEmpty)
+    val loud = WavPcm.wavFromSamples(1, 8000,
+      Array.tabulate[Short](640)(i => (if (i % 2 == 0) 1500 else -1500)))
+    val one = WavPcm.vad(loud, 64, 10000).get
+    assert(one.length == 1 && one(0).startWin == 0 && one(0).nWin == 10)
+    // 650 frames at win=64: an 11th, 10-frame window — loud too
+    val tail = WavPcm.wavFromSamples(1, 8000,
+      Array.tabulate[Short](650)(i => (if (i % 2 == 0) 1500 else -1500)))
+    val t = WavPcm.vad(tail, 64, 10000).get
+    assert(t.length == 1 && t(0).nWin == 11)
+    assert(t(0).sumSq == 650L * 1500 * 1500)
+    assert(WavPcm.vad("junk".getBytes, 64, 100).isEmpty)
+  }
 }
