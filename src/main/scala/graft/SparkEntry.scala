@@ -2225,6 +2225,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus snapshot diff (r9): the lake-maintenance primitive —
+    // added/removed/changed between two corpus versions. Content is
+    // reduced to a 64-bit hash MAP-SIDE, so the one id-keyed shuffle
+    // carries (id, hash) — never document text (the 100 TB shape).
+    // The "new" snapshot is a closed-form transform of the old (drop
+    // id%7, edit id%5, add id%11 under shifted ids), so the oracle
+    // re-derives every verdict by comparing full text.
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val next = docs.filter("doc_id % 7 != 0")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') " +
+            "ELSE text END AS text")
+        .unionAll(docs.filter("doc_id % 11 = 0")
+          .selectExpr("doc_id + 1000000 AS doc_id", "text"))
+      operators.CorpusDiff.diff(docs, next, "doc_id", "text")
+        .selectExpr("id AS doc_id", "status")
+        .orderBy("doc_id")
+    }),
+
     // voice-activity detection (r9): the speech-curation front gate —
     // energy-thresholded 64-frame windows over real decoded PCM,
     // consecutive actives merged into segments with clipped-sample
@@ -5649,6 +5669,28 @@ object SparkEntry {
         |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
         |    AS text
         |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle rebuilds the "new" snapshot and diffs by FULL TEXT
+    // (IS DISTINCT FROM) — the engine's map-side hash compare must
+    // reach the identical verdict set
+    "corpus_diff" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |d AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM d WHERE status != 'same'
+        |ORDER BY doc_id""".stripMargin,
 
     // every window energy, clip count, and gaps-and-islands merge
     // re-derived from the sample contract — the engine got the same
