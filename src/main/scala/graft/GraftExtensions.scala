@@ -180,6 +180,9 @@ object GraftExtensions {
     "media_for_id" -> (es => MediaBytes(es.head)),
     "image_quality" -> (es => ImageQuality(es.head)),
     "wavvad_media_for_id" -> (es => WavVadMediaBytes(es.head)),
+    "cdc_chunks" -> (es => CdcChunks(es(0), intLit(es(1), "cdc_chunks"),
+      intLit(es(2), "cdc_chunks"), intLit(es(3), "cdc_chunks"))),
+    "cdc_media_for_id" -> (es => CdcMediaBytes(es.head)),
     "sniff_charset" -> (es => SniffCharset(es.head)),
     "decode_charset" -> (es => DecodeCharset(es.head)),
     "fix_mojibake" -> (es => FixMojibake(es.head)),

@@ -2225,6 +2225,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // content-defined chunking dedup (r9): gear-CDC boundaries over
+    // an opaque binary column, then first-occurrence-keeps dedup on
+    // the chunk-content hash — the binary-dedup primitive (fixed
+    // blocking breaks on one inserted byte; CDC resynchronizes, so
+    // cross-blob shared runs chunk identically). Chunking is map-only
+    // on the scan; dedup is ONE hash-keyed shuffle. The oracle
+    // replays every verdict from actual blob slices — content, not
+    // hashes — and gates tiling by re-measuring blob lengths.
+    "cdc_dedup" -> ((s, dir) => {
+      Graft.init(s)
+      val chunks = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "posexplode(cdc_chunks(cdc_media_for_id(CAST(doc_id AS " +
+            "BIGINT)), 64, 256, 1024))")
+        .selectExpr("doc_id", "pos AS idx", "col.length AS length",
+          "col.hash AS hash")
+      val firsts = chunks.groupBy("hash")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("floc"))
+      chunks.join(firsts, "hash")
+        .withColumn("dup",
+          when(col("floc") === struct(col("doc_id"), col("idx")), 0L)
+            .otherwise(1L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("length").as("n_bytes"),
+          sum("dup").as("dup_chunks"),
+          sum(col("length") * col("dup")).as("bytes_saved"))
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff (r9): the lake-maintenance primitive —
     // added/removed/changed between two corpus versions. Content is
     // reduced to a 64-bit hash MAP-SIDE, so the one id-keyed shuffle
@@ -3386,6 +3417,26 @@ object SparkEntry {
     * (Verify substitutes `__AUX__` with the absolute dump dir) and
     * re-derives the result with DuckDB's own operators. */
   def auxiliary: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // cdc_dedup: the blobs and the engine's chunk geometry — the
+    // oracle re-derives every dedup verdict from actual BLOB SLICES
+    // (no engine hash is trusted) and gates tiling by re-measuring
+    // blob lengths
+    "cdc_blobs" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "cdc_media_for_id(CAST(doc_id AS BIGINT)) AS media")
+    }),
+    "cdc_chunks" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 60)
+        .selectExpr("doc_id",
+          "posexplode(cdc_chunks(cdc_media_for_id(CAST(doc_id AS " +
+            "BIGINT)), 64, 256, 1024))")
+        .selectExpr("doc_id", "pos AS idx", "col.offset AS offset",
+          "col.length AS length", "col.hash AS hash")
+    }),
 
     // bpe_encode: the learned merge list (idx, l, r) — training is
     // deterministic but driver-side-iterative, which SQL cannot
@@ -5669,6 +5720,35 @@ object SparkEntry {
         |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
         |    AS text
         |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
+
+    // dedup verdicts re-derived from ACTUAL chunk bytes (blob slices
+    // grouped by content — the engine's hashes never enter), n_bytes
+    // re-measured from the blob so non-tiling chunk geometry reads
+    // red; first-occurrence order is (doc_id, idx) on both sides
+    "cdc_dedup" ->
+      """WITH ch AS (SELECT doc_id, idx, "offset" AS off, length
+        |            FROM read_parquet('__AUX__/cdc_chunks/*.parquet')),
+        |bl AS (SELECT doc_id, media, hex(media) AS hx
+        |       FROM read_parquet('__AUX__/cdc_blobs/*.parquet')),
+        |sl AS (SELECT c.doc_id, c.idx, c.length,
+        |              substr(b.hx, c.off * 2 + 1, c.length * 2) AS content
+        |       FROM ch c JOIN bl b ON b.doc_id = c.doc_id),
+        |firsts AS (SELECT content, min(doc_id * 1000000 + idx) AS floc
+        |           FROM sl GROUP BY content),
+        |j AS (SELECT s.doc_id, s.length,
+        |             CASE WHEN s.doc_id * 1000000 + s.idx = f.floc
+        |                  THEN 0 ELSE 1 END AS dup
+        |      FROM sl s JOIN firsts f ON s.content = f.content),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks,
+        |               sum(dup) AS dup_chunks,
+        |               sum(length * dup) AS bytes_saved
+        |        FROM j GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+        |       CAST(octet_length(b.media) AS BIGINT) AS n_bytes,
+        |       CAST(t.dup_chunks AS BIGINT) AS dup_chunks,
+        |       CAST(t.bytes_saved AS BIGINT) AS bytes_saved
+        |FROM tot t JOIN bl b ON b.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the oracle rebuilds the "new" snapshot and diffs by FULL TEXT
     // (IS DISTINCT FROM) — the engine's map-side hash compare must

@@ -272,6 +272,25 @@ object MediaFixtures {
     WavPcm.wavWithSamples(id, frames, channels, rate)
   }
 
+  /** CDC fixture ([[Cdc]]): blobs assembled from a SHARED 17-segment
+    * pool (segment p: 256 + (p*37)%512 bytes, byte k =
+    * (k*31 + p*97) mod 251), so different docs genuinely share runs
+    * of content and content-defined chunks resynchronize across
+    * them — the dedup the declared query measures is real. */
+  def cdcMediaFor(id: Long): Array[Byte] = {
+    val nSeg = (4 + id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < nSeg) {
+      val p = math.floorMod(id * 3 + j * 5, 17L).toInt
+      val len = 256 + (p * 37) % 512
+      var k = 0
+      while (k < len) { bos.write((k * 31 + p * 97) % 251); k += 1 }
+      j += 1
+    }
+    bos.toByteArray
+  }
+
   /** VAD fixture ([[WavPcm.vadSamp]] through [[WavPcm
     * .wavFromSamples]]): whole 64-frame sections, loud/quiet per the
     * (sec + id) mod 4 contract with hard-clipped samples in loud

@@ -816,6 +816,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(physical(run("subtitle_cues")).contains("Generate explode"))
   }
 
+  test("cdc_dedup: chunking rides the scan (no pre-join shuffle of " +
+    "blob bytes), the dedup join is a hash equi-join on the chunk " +
+    "hash, nothing nested-loop") {
+    val plan = physical(run("cdc_dedup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("cdc_chunks"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    // exchanges carry (hash, ...) chunk rows — never the blob column
+    val firstEx = plan.indexOf("Exchange")
+    assert(firstEx >= 0 && !plan.substring(firstEx).contains("media#"),
+      plan)
+  }
+
   test("bloom_contains: the corpus plan has NO join at all — the " +
     "frozen filter rides as a plan literal and membership is a " +
     "per-row probe (the decontamination-as-broadcast shape)") {
