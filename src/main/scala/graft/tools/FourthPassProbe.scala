@@ -294,6 +294,66 @@ object FourthPassProbe {
       }
     }
 
+    if (which == "all" || which == "r9ops") {
+      // the round-9 single-pass operators, throughput at probe scale
+      val ids1m = spark.range(n).select(col("id")).localCheckpoint(true)
+      ids1m.count()
+      time("charset: sniff+decode 1M encoded docs (5 encodings)") {
+        ids1m.selectExpr(
+          "sniff_charset(enc_media_for_id(id)) AS cs",
+          "length(decode_charset(enc_media_for_id(id))) AS n")
+          .agg(count("cs"), sum("n")).head()
+      }
+      time("mojibake: fix 1M garbled strings (map-only)") {
+        ids1m.selectExpr(
+          "length(fix_mojibake(concat('doc ', id, ' cafÃ© " +
+            "â€™x'))) AS n")
+          .agg(sum("n")).head()
+      }
+      val ids200k = spark.range(200000L).select(col("id"))
+        .localCheckpoint(true)
+      ids200k.count()
+      time("image_quality: 200k mixed JPEG/PNG decodes + moments") {
+        ids200k.selectExpr(
+          "image_quality(CASE WHEN id % 2 = 0 " +
+            "THEN jpeg_pixel_media_for_id(id) " +
+            "ELSE pixel_media_for_id(id) END) AS q")
+          .agg(sum("q.lap_sq_sum")).head()
+      }
+      time("wav_vad: 200k clips (~1k frames each), segments + clips") {
+        ids200k.selectExpr(
+          "size(wav_vad(wavvad_media_for_id(id), 64, 10000)) AS s")
+          .agg(sum("s")).head()
+      }
+      time("pdf_images: extract+decode images of 200k PDFs") {
+        ids200k.selectExpr(
+          "size(pdf_images(pdfimg_media_for_id(id))) AS s")
+          .agg(sum("s")).head()
+      }
+      val blobs = spark.range(200000L)
+        .selectExpr("id", "cdc_media_for_id(id) AS media")
+        .localCheckpoint(true)
+      println(s"[probe] cdc blobs: ${blobs.count()}")
+      time("cdc: chunk 200k blobs (~460 MB) + hash-dedup stats") {
+        val ch = blobs
+          .selectExpr("id AS doc_id",
+            "posexplode(cdc_chunks(media, 64, 256, 1024))")
+          .selectExpr("doc_id", "pos AS idx", "col.length AS length",
+            "col.hash AS hash")
+        ch.groupBy("hash").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)), sum("c")).head()
+      }
+      val snapA = docs.select(col("doc_id"), col("text"))
+      val snapB = docs.filter("doc_id % 7 != 0")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') " +
+            "ELSE text END AS text")
+      time("corpus_diff: 1M vs 1M snapshots (hash-below-join)") {
+        CorpusDiff.diff(snapA, snapB, "doc_id", "text")
+          .groupBy("status").count().collect()
+      }
+    }
+
     if (which == "all" || which == "triplets") {
       // 10k labels (bounded label blocks) + 4096 LSH buckets
       val v10k = vecs.withColumn("label",
