@@ -2225,6 +2225,63 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // code-corpus quality gate (r9, The Stack / StarCoder family):
+    // per-file integer signals (line geometry, alpha/digit counts,
+    // autogen markers) and an integer-exact keep rule; the "code
+    // files" are built closed-form from the corpus (headers by id
+    // residue, one token per line, long-line and digit-block
+    // injections) so the oracle re-derives every signal and verdict
+    // from the same construction.
+    "code_quality" -> ((s, dir) => {
+      val code = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("text").isNotNull)
+        .selectExpr("doc_id",
+          "concat(" +
+            "CASE CAST(doc_id % 4 AS INT) " +
+            "WHEN 0 THEN '// SPDX-License-Identifier: MIT\\n' " +
+            "WHEN 1 THEN '/* Licensed under the Apache License, " +
+            "Version 2.0 */\\n' " +
+            "WHEN 2 THEN '// GNU General Public License v3\\n' " +
+            "ELSE '' END, " +
+            "CASE WHEN doc_id % 9 = 0 " +
+            "THEN '// AUTO-GENERATED; DO NOT EDIT\\n' ELSE '' END, " +
+            "translate(text, ' ', '\\n'), " +
+            "CASE WHEN doc_id % 6 = 0 " +
+            "THEN concat('\\n', repeat('ab12', 300)) " +
+            "WHEN doc_id % 6 = 3 " +
+            "THEN concat('\\n', repeat('0123456789\\n', 120)) " +
+            "ELSE '' END) AS code")
+      operators.CodeQuality.signals(code, "code")
+        .selectExpr("doc_id", "CAST(n_lines AS BIGINT) AS n_lines",
+          "CAST(max_line_len AS BIGINT) AS max_line_len",
+          "CAST(total_chars AS BIGINT) AS total_chars",
+          "CAST(alpha_chars AS BIGINT) AS alpha_chars",
+          "CAST(digit_chars AS BIGINT) AS digit_chars",
+          "autogen", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // license detection (r9): SPDX identifier extraction + phrase
+    // heuristics over the same constructed code files — the engine
+    // runs the real regex/contains chain; the oracle replays the
+    // expected label from the construction residues.
+    "license_detect" -> ((s, dir) => {
+      val code = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("text").isNotNull)
+        .selectExpr("doc_id",
+          "concat(" +
+            "CASE CAST(doc_id % 4 AS INT) " +
+            "WHEN 0 THEN '// SPDX-License-Identifier: MIT\\n' " +
+            "WHEN 1 THEN '/* Licensed under the Apache License, " +
+            "Version 2.0 */\\n' " +
+            "WHEN 2 THEN '// GNU General Public License v3\\n' " +
+            "ELSE '' END, " +
+            "translate(text, ' ', '\\n')) AS code")
+      code.select(col("doc_id"),
+          operators.CodeQuality.licenseOf(col("code")).as("license"))
+        .orderBy("doc_id")
+    }),
+
     // content-defined chunking dedup (r9): gear-CDC boundaries over
     // an opaque binary column, then first-occurrence-keeps dedup on
     // the chunk-content hash — the binary-dedup primitive (fixed
@@ -5720,6 +5777,59 @@ object SparkEntry {
         |        LATERAL unnest(range(0, 2 + (d.doc_id + p.p) % 3)) AS k(k))
         |    AS text
         |FROM documents d WHERE d.doc_id < 60 ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle rebuilds the code files with its own string
+    // machinery (chr(10) newlines, replace for translate) and
+    // recomputes every signal and the integer-exact keep verdict
+    "code_quality" ->
+      """WITH code AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+        |      WHEN 1 THEN '/* Licensed under the Apache License, ' ||
+        |        'Version 2.0 */' || chr(10)
+        |      WHEN 2 THEN '// GNU General Public License v3' || chr(10)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN '// AUTO-GENERATED; DO NOT EDIT' || chr(10)
+        |      ELSE '' END ||
+        |    replace(text, ' ', chr(10)) ||
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN chr(10) || repeat('ab12', 300)
+        |    WHEN doc_id % 6 = 3
+        |      THEN chr(10) || repeat('0123456789' || chr(10), 120)
+        |    ELSE '' END AS c
+        |  FROM documents WHERE text IS NOT NULL),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(string_split(c, chr(10))) AS n_lines,
+        |    list_max(list_transform(string_split(c, chr(10)),
+        |      x -> length(x))) AS max_line_len,
+        |    length(c) AS total_chars,
+        |    length(regexp_replace(c, '[^A-Za-z]', '', 'g'))
+        |      AS alpha_chars,
+        |    length(regexp_replace(c, '[^0-9]', '', 'g')) AS digit_chars,
+        |    (contains(lower(c), 'auto-generated')
+        |     OR contains(lower(c), 'do not edit')) AS autogen
+        |  FROM code)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(max_line_len AS BIGINT) AS max_line_len,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(alpha_chars AS BIGINT) AS alpha_chars,
+        |  CAST(digit_chars AS BIGINT) AS digit_chars, autogen,
+        |  (max_line_len <= 1000 AND total_chars <= n_lines * 100
+        |   AND alpha_chars * 4 >= total_chars AND NOT autogen) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // the construction fixes the label; the ENGINE ran the real
+    // SPDX regex + phrase heuristics to reach the same one
+    "license_detect" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |    WHEN 2 THEN 'GPL' ELSE NULL END AS license
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // dedup verdicts re-derived from ACTUAL chunk bytes (blob slices
     // grouped by content — the engine's hashes never enter), n_bytes
