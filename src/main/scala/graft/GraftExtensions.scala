@@ -153,6 +153,8 @@ object GraftExtensions {
     "wav_windows" -> (es => WavWindows(es(0), intLit(es(1), "wav_windows"))),
     "wav_vad" -> (es => WavVad(es(0), intLit(es(1), "wav_vad"),
       intLit(es(2), "wav_vad"))),
+    "wav_normalize" -> (es => WavNormalize(es(0),
+      intLit(es(1), "wav_normalize"))),
     "wav_spectral" -> (es =>
       WavSpectral(es(0), intLit(es(1), "wav_spectral"))),
     "wav_gain_media_for_id" -> (es => WavGainMediaBytes(es.head)),

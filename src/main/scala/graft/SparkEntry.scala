@@ -2333,6 +2333,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // peak normalization (r9): the gain-alignment step before any
+    // audio feature/fingerprint — sign·(|v|·peak/maxAbs) with Long
+    // truncating division of a non-negative quotient, so the oracle
+    // replays every output sample exactly; rewrapped as a WAV so
+    // wav_stats consumes it unchanged (the resample bridge pattern).
+    "wav_normalize_stats" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 30)
+        .selectExpr("doc_id",
+          "wav_stats(wav_normalize(" +
+            "wav_media_for_id(CAST(doc_id AS BIGINT)), 30000)) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
     // voice-activity detection (r9): the speech-curation front gate —
     // energy-thresholded 64-frame windows over real decoded PCM,
     // consecutive actives merged into segments with clipped-sample
@@ -5880,6 +5899,34 @@ object SparkEntry {
         |         ELSE 'same' END AS status
         |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status != 'same'
+        |ORDER BY doc_id""".stripMargin,
+
+    // every normalized sample re-derived: per-doc maxAbs over the
+    // sample contract, then sign·(|v|·30000 // maxAbs) — the engine
+    // decoded, scaled, re-wrapped, and re-decoded to the same sums
+    "wav_normalize_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 400 AS frames,
+        |         1 + doc_id % 2 AS ch
+        |  FROM documents WHERE doc_id < 30),
+        |smp AS (
+        |  SELECT d.doc_id, d.frames, d.ch,
+        |         (ii.i * 3 + d.doc_id * 7) % 4096 - 2048 AS v
+        |  FROM dims d,
+        |       LATERAL unnest(range(0, d.frames * d.ch)) AS ii(i)),
+        |mx AS (SELECT doc_id, max(abs(v)) AS maxabs
+        |       FROM smp GROUP BY doc_id),
+        |nv AS (
+        |  SELECT s.doc_id, s.frames, s.ch,
+        |         CASE WHEN s.v < 0
+        |           THEN -((-s.v) * 30000 // m.maxabs)
+        |           ELSE (s.v * 30000 // m.maxabs) END AS v
+        |  FROM smp s JOIN mx m ON m.doc_id = s.doc_id)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+        |       CAST(frames AS BIGINT) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(v * v) AS BIGINT) AS samp_energy
+        |FROM nv GROUP BY doc_id, ch, frames
         |ORDER BY doc_id""".stripMargin,
 
     // every window energy, clip count, and gaps-and-islands merge

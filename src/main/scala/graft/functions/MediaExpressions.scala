@@ -1680,6 +1680,45 @@ object WavResample {
     graft.operators.WavPcm.resample(bytes, dstRate).orNull
 }
 
+/** wav_normalize(bytes, targetPeak) -> binary: peak/gain
+  * normalization re-wrapped as a canonical WAV
+  * ([[graft.operators.WavPcm.normalize]] — integer-exact
+  * sign·(|v|·peak/maxAbs) contract), so normalized audio flows
+  * through every WAV kernel unchanged. Dirty bytes → null. */
+case class WavNormalize(child: Expression, targetPeak: Int)
+    extends UnaryExpression {
+  require(targetPeak >= 1 && targetPeak <= 32767,
+    s"targetPeak must be in [1, 32767], got $targetPeak")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_normalize"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavNormalize.compute(input.asInstanceOf[Array[Byte]], targetPeak)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WavNormalize$$.MODULE$$.compute(
+      |  $c, $targetPeak);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavNormalize {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte], targetPeak: Int): Array[Byte] =
+    graft.operators.WavPcm.normalize(bytes, targetPeak).orNull
+}
+
 case class AviAudioWav(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType

@@ -102,6 +102,42 @@ object WavPcm {
       }
     }
 
+  /** Peak (gain) normalization — the loudness-alignment step an
+    * audio corpus runs before features or fingerprints, re-wrapped
+    * as a canonical WAV so every kernel consumes it unchanged (the
+    * [[wavFromSamples]] bridge, like [[resample]]).
+    *
+    * INTEGER-EXACT contract the oracle replays verbatim:
+    * `v' = sign(v) * (|v| * targetPeak / maxAbs)` with Long
+    * truncating division of a NON-NEGATIVE quotient (so SQL `//`
+    * agrees for every sample, negatives included); an all-zero clip
+    * passes through unchanged. `targetPeak <= 32767` keeps every
+    * output in PCM16 range by construction. */
+  def normalize(bytes: Array[Byte], targetPeak: Int): Option[Array[Byte]] = {
+    require(targetPeak >= 1 && targetPeak <= 32767, s"peak $targetPeak")
+    decode(bytes).map { d =>
+      var maxAbs = 0L
+      var i = 0
+      while (i < d.samples.length) {
+        val a = math.abs(d.samples(i).toLong)
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      if (maxAbs == 0L) wavFromSamples(d.channels, d.sampleRate, d.samples)
+      else {
+        val out = new Array[Short](d.samples.length)
+        i = 0
+        while (i < out.length) {
+          val v = d.samples(i).toLong
+          val s = math.abs(v) * targetPeak / maxAbs
+          out(i) = (if (v < 0) -s else s).toShort
+          i += 1
+        }
+        wavFromSamples(d.channels, d.sampleRate, out)
+      }
+    }
+  }
+
   /** One merged run of voice-active windows ([[vad]]). */
   final case class VadSegment(seg: Int, startWin: Int, nWin: Int,
       sumSq: Long, nClip: Int)

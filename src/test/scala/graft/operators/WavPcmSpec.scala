@@ -314,6 +314,32 @@ class WavPcmSpec extends SparkTestBase {
     }
   }
 
+  test("normalize: peak lands exactly on target, the sign-split " +
+    "contract holds per sample, silence passes through, and the " +
+    "result round-trips every kernel") {
+    val b = MediaFixtures.wavMediaFor(5L)
+    val d0 = WavPcm.decode(b).get
+    val maxAbs = d0.samples.map(s => math.abs(s.toLong)).max
+    val n = WavPcm.normalize(b, 30000).get
+    val d1 = WavPcm.decode(n).get
+    assert(d1.channels == d0.channels && d1.frames == d0.frames)
+    assert(d1.samples.map(s => math.abs(s.toInt)).max == 30000)
+    d0.samples.zip(d1.samples).foreach { case (v, w) =>
+      val s = math.abs(v.toLong) * 30000 / maxAbs
+      assert(w.toLong == (if (v < 0) -s else s))
+    }
+    // silence: unchanged
+    val quiet = WavPcm.wavFromSamples(1, 8000, Array.fill[Short](100)(0))
+    val q = WavPcm.decode(WavPcm.normalize(quiet, 30000).get).get
+    assert(q.samples.forall(_ == 0))
+    // a full-scale negative clip normalizes without overflow
+    val hot = WavPcm.wavFromSamples(1, 8000,
+      Array[Short](-32768, 100, -100))
+    val h = WavPcm.decode(WavPcm.normalize(hot, 32767).get).get
+    assert(h.samples(0) == -32767)
+    assert(WavPcm.normalize("junk".getBytes, 30000).isEmpty)
+  }
+
   test("vad edges: pure silence is empty, all-loud is one segment, " +
     "a partial tail window still counts, dirty bytes -> None") {
     val silence = WavPcm.wavFromSamples(1, 8000, Array.fill[Short](640)(2))
