@@ -188,6 +188,7 @@ object GraftExtensions {
     "sniff_charset" -> (es => SniffCharset(es.head)),
     "decode_charset" -> (es => DecodeCharset(es.head)),
     "fix_mojibake" -> (es => FixMojibake(es.head)),
+    "sentence_split" -> (es => SentenceSplit(es.head)),
     "enc_media_for_id" -> (es => EncMediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "web_pixel_media_for_id" -> (es => WebPixelMediaBytes(es.head)),

@@ -2333,6 +2333,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sentence splitting (r9): rule-based boundaries with the
+    // abbreviation and decimal guards (punkt-lite) — the upstream of
+    // any sentence-level chunking/dedup. The constructed input
+    // plants the hazards (Dr., 3.14) next to real boundaries; the
+    // oracle replays the exact sentence list, so one over- or
+    // under-split anywhere breaks row counts and hashes.
+    "sentence_split" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)
+        .selectExpr("doc_id",
+          "concat('Alpha w', doc_id % 50, ' runs fast. ', " +
+            "'Dr. Smith met w', (doc_id * 3) % 50, ' there! ', " +
+            "'Pi is 3.14 not 4.', " +
+            "CASE WHEN doc_id % 2 = 0 " +
+            "THEN concat(' Is w', doc_id % 7, ' ok?') " +
+            "ELSE '' END) AS text")
+        .selectExpr("doc_id", "posexplode(sentence_split(text))")
+        .selectExpr("doc_id", "CAST(pos AS BIGINT) AS sent_idx",
+          "col AS sentence")
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // peak normalization (r9): the gain-alignment step before any
     // audio feature/fingerprint — sign·(|v|·peak/maxAbs) with Long
     // truncating division of a non-negative quotient, so the oracle
@@ -5900,6 +5922,22 @@ object SparkEntry {
         |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status != 'same'
         |ORDER BY doc_id""".stripMargin,
+
+    // the exact sentence list replayed from the construction — the
+    // engine's splitter had to honor both boundaries and both
+    // hazard guards to produce it
+    "sentence_split" ->
+      """SELECT doc_id, CAST(t.i AS BIGINT) AS sent_idx,
+        |  CASE t.i
+        |    WHEN 0 THEN 'Alpha w' || (doc_id % 50) || ' runs fast.'
+        |    WHEN 1 THEN 'Dr. Smith met w' || ((doc_id * 3) % 50) ||
+        |      ' there!'
+        |    WHEN 2 THEN 'Pi is 3.14 not 4.'
+        |    ELSE 'Is w' || (doc_id % 7) || ' ok?' END AS sentence
+        |FROM documents,
+        |     LATERAL unnest(range(0, 3 + CASE WHEN doc_id % 2 = 0
+        |       THEN 1 ELSE 0 END)) AS t(i)
+        |WHERE doc_id < 200 ORDER BY doc_id, sent_idx""".stripMargin,
 
     // every normalized sample re-derived: per-doc maxAbs over the
     // sample contract, then sign·(|v|·30000 // maxAbs) — the engine
