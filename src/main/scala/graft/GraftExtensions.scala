@@ -189,6 +189,8 @@ object GraftExtensions {
     "decode_charset" -> (es => DecodeCharset(es.head)),
     "fix_mojibake" -> (es => FixMojibake(es.head)),
     "sentence_split" -> (es => SentenceSplit(es.head)),
+    "winnow" -> (es => WinnowFp(es(0), intLit(es(1), "winnow"),
+      intLit(es(2), "winnow"))),
     "enc_media_for_id" -> (es => EncMediaBytes(es.head)),
     "pixel_media_for_id" -> (es => PixelMediaBytes(es.head)),
     "web_pixel_media_for_id" -> (es => WebPixelMediaBytes(es.head)),

@@ -2333,6 +2333,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // winnowing fingerprints (r9, Schleimer et al. 2003 — MOSS): the
+    // position-robust near-copy fingerprint. Token 4-gram hashes
+    // (the SQL-portable family), windows of 5, rightmost-min
+    // selection, consecutive dedupe — any shared run of >= 8 tokens
+    // must share a fingerprint. The oracle recomputes every gram
+    // hash, every window minimum, and every tie-break.
+    "winnow_fp" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 120 && col("text").isNotNull)
+        .selectExpr("doc_id", "posexplode(winnow(text, 4, 5))")
+        .selectExpr("doc_id", "CAST(col.pos AS BIGINT) AS pos",
+          "col.hash AS hash")
+        .orderBy("doc_id", "pos")
+    }),
+
     // sentence splitting (r9): rule-based boundaries with the
     // abbreviation and decimal guards (punkt-lite) — the upstream of
     // any sentence-level chunking/dedup. The constructed input
@@ -5922,6 +5938,60 @@ object SparkEntry {
         |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status != 'same'
         |ORDER BY doc_id""".stripMargin,
+
+    // full algorithm replay: the portable gram hashes, each window's
+    // minimum, the rightmost tie-break (max pos among the minima),
+    // and the dedupe — nothing engine-side is trusted
+    "winnow_fp" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |             FROM documents
+        |             WHERE doc_id < 120 AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT t.doc_id, g.i AS pos,
+        |         array_to_string(list_slice(t.ts, g.i + 1, g.i + 4), ' ')
+        |           AS gram
+        |  FROM tok t,
+        |       LATERAL unnest(range(0, greatest(len(t.ts) - 3, 0)))
+        |         AS g(i)),
+        |h0 AS (SELECT doc_id, pos,
+        |        list_reduce([0::BIGINT] ||
+        |          list_transform(string_split(gram, ''),
+        |                         c -> ascii(c)::BIGINT),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] ||
+        |          list_transform(string_split(gram, ''),
+        |                         c -> ascii(c)::BIGINT),
+        |          (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |       FROM grams),
+        |m1 AS (SELECT doc_id, pos,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM h0),
+        |m2 AS (SELECT doc_id, pos,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM m1),
+        |hh AS (SELECT doc_id, pos,
+        |         xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16)
+        |           AS hash
+        |       FROM m2),
+        |cnt AS (SELECT doc_id, count(*) AS m FROM hh GROUP BY doc_id),
+        |wins AS (SELECT c.doc_id, j.j
+        |         FROM cnt c,
+        |              LATERAL unnest(range(0, greatest(c.m - 4, 1)))
+        |                AS j(j)),
+        |wr AS (SELECT w.doc_id, w.j, h.pos, h.hash
+        |       FROM wins w JOIN hh h ON h.doc_id = w.doc_id
+        |        AND h.pos >= w.j AND h.pos <= w.j + 4),
+        |wmin AS (SELECT doc_id, j, min(hash) AS mh
+        |         FROM wr GROUP BY doc_id, j),
+        |wsel AS (SELECT wm.doc_id, wm.j, wm.mh, max(r.pos) AS pos
+        |         FROM wmin wm JOIN wr r ON r.doc_id = wm.doc_id
+        |          AND r.j = wm.j AND r.hash = wm.mh
+        |         GROUP BY wm.doc_id, wm.j, wm.mh)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(mh AS BIGINT) AS hash
+        |FROM wsel ORDER BY doc_id, pos""".stripMargin,
 
     // the exact sentence list replayed from the construction — the
     // engine's splitter had to honor both boundaries and both

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * members by multiply-add mixing with SplitMix64 constants — O(|sh|)
   * string hashes + O(k·|sh|) long arithmetic in a tight Java loop.
   */
-private[functions] object HashMix {
+private[graft] object HashMix {
   /** SplitMix64 — generates the per-position mixing constants. */
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
