@@ -2349,6 +2349,38 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // winnowing near-copy pairs (r9): the MOSS matching step —
+    // distinct (doc, fingerprint), ubiquitous fingerprints dropped
+    // (document frequency > 20: boilerplate/stop-fingerprints, the
+    // cap that bounds the self-join fanout at scale), then pairs
+    // sharing >= 2 fingerprints with the shared count. Inverted-
+    // index shape: the join key is the fingerprint hash — never
+    // all-pairs.
+    "winnow_pairs" -> ((s, dir) => {
+      Graft.init(s)
+      val base = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 120 && col("text").isNotNull)
+      // plant near-dups: every 5th doc returns PREFIX-SHIFTED under a
+      // new id — winnowing's shift robustness must still pair them
+      val corpus = base.unionAll(base.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id + 10000 AS doc_id",
+          "concat('pad1 pad2 pad3 ', text) AS text"))
+      val fp = corpus
+        .selectExpr("doc_id", "posexplode(winnow(text, 4, 5))")
+        .selectExpr("doc_id", "col.hash AS hash")
+        .distinct()
+      val rare = fp.groupBy("hash")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+        .select("hash")
+      val kept = fp.join(rare, "hash")
+      kept.as("a").join(kept.as("b"), "hash")
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // sentence splitting (r9): rule-based boundaries with the
     // abbreviation and decimal guards (punkt-lite) — the upstream of
     // any sentence-level chunking/dedup. The constructed input
@@ -5992,6 +6024,71 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
         |       CAST(mh AS BIGINT) AS hash
         |FROM wsel ORDER BY doc_id, pos""".stripMargin,
+
+    // the matching step replayed on top of the full winnow CTE:
+    // distinct doc-fingerprints, the df<=20 stop-fingerprint drop,
+    // and the shared-count pair rule
+    "winnow_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 120 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'pad1 pad2 pad3 ' || text
+        |  FROM documents
+        |  WHERE doc_id < 120 AND text IS NOT NULL AND doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM corpus),
+        |grams AS (
+        |  SELECT t.doc_id, g.i AS pos,
+        |         array_to_string(list_slice(t.ts, g.i + 1, g.i + 4), ' ')
+        |           AS gram
+        |  FROM tok t,
+        |       LATERAL unnest(range(0, greatest(len(t.ts) - 3, 0)))
+        |         AS g(i)),
+        |h0 AS (SELECT doc_id, pos,
+        |        list_reduce([0::BIGINT] ||
+        |          list_transform(string_split(gram, ''),
+        |                         c -> ascii(c)::BIGINT),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] ||
+        |          list_transform(string_split(gram, ''),
+        |                         c -> ascii(c)::BIGINT),
+        |          (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |       FROM grams),
+        |m1 AS (SELECT doc_id, pos,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM h0),
+        |m2 AS (SELECT doc_id, pos,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM m1),
+        |hh AS (SELECT doc_id, pos,
+        |         xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16)
+        |           AS hash
+        |       FROM m2),
+        |cnt AS (SELECT doc_id, count(*) AS m FROM hh GROUP BY doc_id),
+        |wins AS (SELECT c.doc_id, j.j
+        |         FROM cnt c,
+        |              LATERAL unnest(range(0, greatest(c.m - 4, 1)))
+        |                AS j(j)),
+        |wr AS (SELECT w.doc_id, w.j, h.pos, h.hash
+        |       FROM wins w JOIN hh h ON h.doc_id = w.doc_id
+        |        AND h.pos >= w.j AND h.pos <= w.j + 4),
+        |wmin AS (SELECT doc_id, j, min(hash) AS mh
+        |         FROM wr GROUP BY doc_id, j),
+        |fp AS (SELECT DISTINCT doc_id, mh AS hash FROM wmin),
+        |rare AS (SELECT hash FROM fp GROUP BY hash
+        |         HAVING count(*) <= 20),
+        |kept AS (SELECT f.doc_id, f.hash FROM fp f
+        |         JOIN rare r ON r.hash = f.hash)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.hash = b.hash
+        | AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the exact sentence list replayed from the construction — the
     // engine's splitter had to honor both boundaries and both
