@@ -343,6 +343,28 @@ object FourthPassProbe {
         ch.groupBy("hash").agg(count(lit(1)).as("c"))
           .agg(count(lit(1)), sum("c")).head()
       }
+      time("winnow: fingerprint 1M docs (k=4, w=5) + df-capped " +
+        "pair join") {
+        val fp = docs.selectExpr("doc_id",
+            "posexplode(winnow(text, 4, 5))")
+          .selectExpr("doc_id", "col.hash AS hash").distinct()
+        val rare = fp.groupBy("hash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select("hash")
+        val kept = fp.join(rare, "hash")
+        kept.as("a").join(kept.as("b"), "hash")
+          .where(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+      }
+      time("sentence_split: 1M docs (hazard-guarded punkt-lite)") {
+        docs.selectExpr("size(sentence_split(text)) AS s")
+          .agg(sum("s")).head()
+      }
+      time("wav_normalize: 200k clips decode+scale+rewrap+stats") {
+        ids200k.selectExpr(
+          "wav_stats(wav_normalize(wav_media_for_id(id), 30000)) AS st")
+          .agg(sum("st.samp_energy")).head()
+      }
       val snapA = docs.select(col("doc_id"), col("text"))
       val snapB = docs.filter("doc_id % 7 != 0")
         .selectExpr("doc_id",
