@@ -2333,6 +2333,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // embedding QA (r9): the per-dimension health table an embedding
+    // pipeline checks after every encoder batch — collapsed/dead
+    // dims, range drift, dim-wise moments. Values are QUANTIZED
+    // (floor(v*1000) as BIGINT) before any aggregation, so the sums
+    // are integer-exact and engine-order-independent — the oracle
+    // replays every number with zero float tolerance. One partial
+    // aggregate keyed by the 64 dims: map-side combine does all the
+    // work at any scale.
+    "embedding_qa" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .selectExpr("posexplode(embedding)")
+        .selectExpr("CAST(pos AS BIGINT) AS dim",
+          "CAST(floor(CAST(col AS DOUBLE) * 1000) AS BIGINT) AS q")
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("q_sum"),
+          sum(col("q") * col("q")).as("q_sq_sum"),
+          min("q").as("q_min"), max("q").as("q_max"),
+          sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .orderBy("dim")
+    }),
+
     // winnowing fingerprints (r9, Schleimer et al. 2003 — MOSS): the
     // position-robust near-copy fingerprint. Token 4-gram hashes
     // (the SQL-portable family), windows of 5, rightmost-min
@@ -5970,6 +5991,25 @@ object SparkEntry {
         |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status != 'same'
         |ORDER BY doc_id""".stripMargin,
+
+    // every moment re-derived over the same floor(v*1000)
+    // quantization — integer sums cannot disagree by float order
+    "embedding_qa" ->
+      """WITH q AS (
+        |  SELECT g.i AS dim,
+        |         CAST(floor(CAST(e.embedding[g.i + 1] AS DOUBLE)
+        |           * 1000) AS BIGINT) AS q
+        |  FROM embeddings e,
+        |       LATERAL unnest(range(0, 64)) AS g(i))
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(q) AS BIGINT) AS q_sum,
+        |       CAST(sum(q * q) AS BIGINT) AS q_sq_sum,
+        |       CAST(min(q) AS BIGINT) AS q_min,
+        |       CAST(max(q) AS BIGINT) AS q_max,
+        |       CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
 
     // full algorithm replay: the portable gram hashes, each window's
     // minimum, the rightmost tie-break (max pos among the minima),

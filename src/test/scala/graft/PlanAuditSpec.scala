@@ -816,6 +816,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(physical(run("subtitle_cues")).contains("Generate explode"))
   }
 
+  test("embedding_qa: ONE dim-keyed partial aggregate over the " +
+    "exploded quantized values — no join, map-side combine does " +
+    "the work") {
+    val plan = physical(run("embedding_qa"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate posexplode"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      plan)
+    assert(plan.split("Exchange").length <= 3, plan) // agg + order only
+  }
+
   test("cdc_dedup: chunking rides the scan (no pre-join shuffle of " +
     "blob bytes), the dedup join is a hash equi-join on the chunk " +
     "hash, nothing nested-loop") {
