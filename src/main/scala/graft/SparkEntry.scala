@@ -2333,6 +2333,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // contamination fraction (r9, the Llama-2-style report): per
+    // train doc, distinct 5-gram shingles and how many appear
+    // anywhere in the benchmark — the numbers behind "drop if > X%
+    // contaminated" and published contamination tables. Benchmark
+    // shingles broadcast; the train side never shuffles.
+    "contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Decontaminate.contaminationFraction(
+          docs.filter(col("doc_id") < 450), "doc_id", "text",
+          docs.filter(col("doc_id") >= 450 && col("doc_id") < 500),
+          "doc_id", "text", n = 5)
+        .orderBy("train_id")
+    }),
+
     // embedding QA (r9): the per-dimension health table an embedding
     // pipeline checks after every encoder batch — collapsed/dead
     // dims, range drift, dim-wise moments. Values are QUANTIZED
@@ -5991,6 +6005,35 @@ object SparkEntry {
         |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status != 'same'
         |ORDER BY doc_id""".stripMargin,
+
+    // numerator and denominator re-derived with DuckDB's own
+    // n-grams: distinct train shingles left-joined to the distinct
+    // benchmark set
+    "contamination_frac" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |            FROM documents
+        |            WHERE doc_id < 450 AND text IS NOT NULL),
+        |trg AS (SELECT DISTINCT doc_id,
+        |          array_to_string(list_slice(ts, g.i + 1, g.i + 5), ' ')
+        |            AS sh
+        |        FROM tr,
+        |          LATERAL unnest(range(0, greatest(len(ts) - 4, 0)))
+        |            AS g(i)),
+        |te AS (SELECT DISTINCT
+        |          array_to_string(list_slice(ts, g.i + 1, g.i + 5), ' ')
+        |            AS sh
+        |       FROM (SELECT string_split(text, ' ') AS ts
+        |             FROM documents
+        |             WHERE doc_id >= 450 AND doc_id < 500
+        |               AND text IS NOT NULL) x,
+        |         LATERAL unnest(range(0, greatest(len(ts) - 4, 0)))
+        |           AS g(i))
+        |SELECT t.doc_id AS train_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit
+        |FROM trg t LEFT JOIN te e ON e.sh = t.sh
+        |GROUP BY t.doc_id ORDER BY train_id""".stripMargin,
 
     // every moment re-derived over the same floor(v*1000)
     // quantization — integer sums cannot disagree by float order

@@ -53,6 +53,34 @@ object Decontaminate {
       .filter(col("shared") >= minHits)
   }
 
+  /** Per-train-document contamination FRACTION (the Llama-2-style
+    * eval report, vs [[overlaps]]' pairwise flag): each training
+    * document's distinct-shingle count and how many of them appear
+    * ANYWHERE in the benchmark — the numerator/denominator a
+    * pipeline thresholds ("drop documents > X% contaminated") and
+    * the per-benchmark contamination tables papers publish. Same
+    * broadcast inverted shape as [[overlaps]]: the benchmark's
+    * distinct shingles broadcast, the train side never shuffles
+    * (one left join + one train-doc-keyed aggregate). */
+  def contaminationFraction(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      test: DataFrame,
+      testIdCol: String,
+      testTextCol: String,
+      n: Int): DataFrame = {
+    val tr = TextDedup.shingles(train, trainIdCol, trainTextCol, n)
+      .select(col("id").as("train_id"), explode(col("sh")).as("shingle"))
+    val te = TextDedup.shingles(test, testIdCol, testTextCol, n)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    tr.join(broadcast(te), Seq("shingle"), "left")
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+  }
+
   /** The benchmark's distinct n-gram shingles collected to the driver —
     * the one-time prep for [[cleanWithSet]]. Bounded by the eval set's
     * size by definition (a benchmark is thousands of docs, not a

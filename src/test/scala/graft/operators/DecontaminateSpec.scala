@@ -35,6 +35,29 @@ class DecontaminateSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture should contain at least one leak pair")
   }
 
+  test("contaminationFraction equals brute-force per-doc counting, " +
+    "and the benchmark side is broadcast") {
+    val df = Decontaminate.contaminationFraction(train, "doc_id", "text",
+      evalSet, "doc_id", "text", n = 5)
+    val gotMap = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def sh(d: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      d.select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        r.getLong(0) -> toks.sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val bench = sh(evalSet).values.foldLeft(Set.empty[String])(_ ++ _)
+    val want = sh(train).collect { case (id, ss) if ss.nonEmpty =>
+      id -> (ss.size.toLong, ss.count(bench.contains).toLong)
+    }
+    assert(gotMap == want)
+    assert(want.values.exists(_._2 > 0), "fixture should be contaminated")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("clean() drops exactly the flagged training docs") {
     val flagged = Decontaminate.overlaps(train, "doc_id", "text",
         evalSet, "doc_id", "text", n = 5, minHits = 2)
