@@ -2333,6 +2333,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus datasheet (r9): the one-row "data card" summary a
+    // dataset release publishes — sizes, token totals, null/short
+    // counts, exact-dup rate, and the language mix — composed from
+    // the individually-proven signals in ONE aggregation pass over
+    // the corpus (map-side partials; a single reduce row).
+    "corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withSig = docs.withColumn("toks",
+          when(col("text").isNotNull, size(split(col("text"), " ")))
+            .otherwise(lit(0)))
+        .withColumn("lang", operators.TextAnalysis.langId("text", Map(
+          "de" -> Seq("join", "merge"),
+          "en" -> Seq("the", "a"),
+          "es" -> Seq("sort", "key"))))
+      withSig.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(col("toks").cast("long")).as("total_tokens"),
+        max(col("toks").cast("long")).as("max_doc_tokens"),
+        sum(when(col("toks") < 20 && col("text").isNotNull, 1L)
+          .otherwise(0L)).as("n_short"),
+        countDistinct("text").as("distinct_texts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_de"),
+        sum(when(col("lang") === "es", 1L).otherwise(0L)).as("n_es"))
+    }),
+
     // contamination fraction (r9, the Llama-2-style report): per
     // train doc, distinct 5-gram shingles and how many appear
     // anywhere in the benchmark — the numbers behind "drop if > X%
@@ -6005,6 +6032,46 @@ object SparkEntry {
         |  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status != 'same'
         |ORDER BY doc_id""".stripMargin,
+
+    // the whole datasheet re-aggregated in one pass, language rule
+    // included — any drifted count breaks the single-row hash
+    "corpus_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS toks
+        |  FROM documents),
+        |lng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+        |         WHEN s_en >= s_es THEN 'en' ELSE 'es' END AS lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('join', 'merge')))::DOUBLE
+        |        / greatest(len(string_split(text, ' ')), 1) AS s_de,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a')))::DOUBLE
+        |        / greatest(len(string_split(text, ' ')), 1) AS s_en,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('sort', 'key')))::DOUBLE
+        |        / greatest(len(string_split(text, ' ')), 1) AS s_es
+        |    FROM documents WHERE text IS NOT NULL) q)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN b.text IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_null,
+        |  CAST(sum(b.toks) AS BIGINT) AS total_tokens,
+        |  CAST(max(b.toks) AS BIGINT) AS max_doc_tokens,
+        |  CAST(sum(CASE WHEN b.toks < 20 AND b.text IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(count(DISTINCT b.text) AS BIGINT) AS distinct_texts,
+        |  CAST(sum(CASE WHEN l.lang = 'en' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN l.lang = 'de' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_de,
+        |  CAST(sum(CASE WHEN l.lang = 'es' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_es
+        |FROM base b LEFT JOIN lng l ON l.doc_id = b.doc_id""".stripMargin,
 
     // numerator and denominator re-derived with DuckDB's own
     // n-grams: distinct train shingles left-joined to the distinct
