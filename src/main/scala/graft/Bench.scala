@@ -127,19 +127,45 @@ object Bench {
       val best = if (a < 0 || b < 0) -1.0 else runs.filter(_ >= 0).min
       (name, best, runs)
     }
-    // repeatability of the BEST observations: mean ratio of the two
-    // smallest runs per query (1.0 = perfectly repeatable). Measured
-    // over best-two rather than the raw primary passes so a one-sided
-    // contention burst that the extra passes corrected doesn't keep
-    // tainting the artifact's headline stat; the raw primary-pass
-    // ratio is recorded alongside as "primary_spread".
+    // "spread" keeps its ORIGINAL (≤r8) definition — mean min/max ratio
+    // of the two PRIMARY passes — so the same-named key stays
+    // apples-to-apples across rounds (r9 silently redefined it to the
+    // best-two ratio, which mechanically inflates it once extra passes
+    // run; that quantity is still published, under its own name
+    // "best2_spread": repeatability of the two smallest observations
+    // after any corrective passes).
     val spreads = results.collect { case (_, best, runs) if best >= 0 =>
       val good = runs.filter(_ >= 0).sorted
       if (good.size < 2) 1.0
       else good(0) / math.max(good(1), 1e-9)
     }
-    val meanSpread =
+    val best2Spread =
       if (spreads.isEmpty) 1.0 else spreads.sum / spreads.size
+    val meanSpread = primaryRatio
+    // PER-QUERY FLOOR (added r10): with ~200 timed queries the suite
+    // total is roughly half session/scan floor — cross-round totals
+    // were starting to track suite SIZE, not plan cost. Measure the
+    // floor directly (median of repeated noop-sink runs) in two forms:
+    //   floor      — empty plan (spark.range(1)): pure job-submission +
+    //                noop-commit overhead, the cost every query pays;
+    //   floor_scan — minimal real input (1 row, 1 column off the
+    //                documents parquet): adds file-listing + footer
+    //                decode + one row-group touch, the cost every
+    //                table-reading query pays.
+    // The headline decomposes as value ≈ plan_cost + n × floor_scan.
+    def medianOf(runs: Seq[Double]): Double = {
+      val s = runs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
+    def timeNoop(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val floorEmpty = medianOf((1 to 7).map(_ => timeNoop(spark.range(1).toDF())))
+    val floorScan = medianOf((1 to 7).map(_ =>
+      timeNoop(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").limit(1))))
     // Locale.ROOT: comma-decimal default locales would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // stdout per-query precision is ADAPTIVE: the harness captures the
@@ -155,8 +181,9 @@ object Bench {
       results.map { case (k, v, _) => "\"" + k + "\":" + numAt(v, decimals) }
         .mkString("{", ",", "}")
     // window minus wrapper/footer slack; measured r6 tail layout
+    // (slack raised 120→230 in r10 for the floor/best2_spread fields)
     val budget = 1950
-    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 120)
+    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 230)
       .getOrElse {
         // last resort: per-query values only for queries above the
         // fold threshold, the rest folded into one bucket — nothing
@@ -173,7 +200,7 @@ object Bench {
             .mkString("{", ",", "}")
         }
         Seq(0.1, 0.25, 0.5, 1.0, 2.0).map(fold)
-          .find(_.length <= budget - 120)
+          .find(_.length <= budget - 230)
           // everything folded always fits: {"_fast_n":N,"_fast_total":X}
           .getOrElse(fold(Double.MaxValue))
       }
@@ -188,10 +215,12 @@ object Bench {
     // The "runs" pairs added in round 4 pushed the line past 2000 chars
     // and the artifact came back parsed:null in r4 AND r5 — raw runs now
     // live only in the bench.json file.
+    val stats =
+      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","spread":${num(meanSpread)},"primary_spread":${num(primaryRatio)},"retried":${needThird.size},"remeasured":$contended,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","spread":${num(meanSpread)},"primary_spread":${num(primaryRatio)},"retried":${needThird.size},"remeasured":$contended,"queries":$qs3,"runs":$raws,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs3,"runs":$raws,"sf":"$sfDir"}"""
     // Persist the full record first so the compact stdout line is the
     // LAST thing printed (fewer trailing chars eating into the tail
     // window; sbt still appends its own [success] footer).

@@ -85,8 +85,15 @@ class ShingleIndex private (
     val inc = keyed(incoming, idCol, textCol)
       .select(col("key"), col("id").as("new_id"), col("nsh").as("nsh_new"))
       .localCheckpoint()
-    val bSet = inc.select(pmod(hash(col("key")), lit(nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets rows
+    // ONE bounded aggregate (≤ nBuckets rows) yields BOTH the bucket
+    // prune set and the batch's key count — the broadcast-vs-shuffle
+    // decision used to burn a second count() job on the same
+    // checkpointed batch for a number this aggregate already knows
+    val bStats = inc
+      .groupBy(pmod(hash(col("key")), lit(nBuckets)).as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+    val bSet = bStats.map(_.getInt(0))
+    val nKeys = bStats.map(_.getLong(1)).sum
     val all = postings
     val base = if (bSet.length < nBuckets)
       all.filter(col("bucket").isin(bSet.map(Integer.valueOf).toSeq: _*))
@@ -97,7 +104,7 @@ class ShingleIndex private (
     // only exchange left is the candidate-pair aggregation — cost
     // proportional to real overlap, not lake size. An oversized batch
     // falls back to the shuffle join rather than OOMing executors.
-    val incJ = if (inc.count() <= ShingleIndex.MaxBroadcastKeys)
+    val incJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
       broadcast(inc) else inc
     incJ.join(
         base.select(col("key"), col("old_id"), col("nsh").as("nsh_old")),
@@ -117,14 +124,30 @@ class ShingleIndex private (
     * with no near-dup in the indexed lake, min-id-deduped within the
     * batch itself. Intra-batch pairing is [[TextDedup
     * .ngramJaccardPairs]] over the (small) batch only — the lake side
-    * comes entirely from [[probe]]. */
+    * comes entirely from [[probe]].
+    *
+    * `excludeSelf = true` ignores lake matches whose `old_id` is one of
+    * the batch's OWN ids — the replay-safety switch for streaming
+    * ingest: if a crashed attempt already appended this batch's
+    * shingles, a recompute would otherwise see every row as a dup of
+    * itself in the lake and deliver an empty (wrong) survivor set.
+    * With self-exclusion the recompute is deterministic regardless of
+    * whether the append landed (batch ids never legitimately collide
+    * with lake ids — the `_ranges` overlap guard enforces exactly
+    * that). One extra anti-join against the (small, broadcast) batch
+    * id set; off by default for the pure-batch path. */
   def survivors(
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
-    val vsBase = probe(incoming, idCol, textCol, threshold)
-      .select(col("new_id").as(idCol)).distinct()
+      threshold: Double,
+      excludeSelf: Boolean = false): DataFrame = {
+    val matches = probe(incoming, idCol, textCol, threshold)
+    val vsLake = if (!excludeSelf) matches
+      else matches.join(
+        broadcast(incoming.select(col(idCol).cast("long").as("__self"))),
+        matches("old_id").cast("long") === col("__self"), "left_anti")
+    val vsBase = vsLake.select(col("new_id").as(idCol)).distinct()
     val fresh = incoming.join(vsBase, Seq(idCol), "left_anti")
     val intra = TextDedup.ngramJaccardPairs(
       fresh, idCol, textCol, ngram, threshold)
@@ -157,16 +180,80 @@ class ShingleIndex private (
         s"[$l,$h] — re-appending an indexed doc doubles its postings; " +
         "use force=true only if the overlap is intentional")
       }
+    // the INTENDED range is recorded BEFORE the postings write: a crash
+    // (or task retry of this driver step) between the two leaves a range
+    // claim with missing postings, so a blind re-run of the same batch
+    // FAILS the overlap guard loudly — repair is explicit (re-append the
+    // named range with force=true, or remove its _ranges row) instead of
+    // the old ordering's silent posting-doubling. Stats stay last: a
+    // crash before them only undercounts nDocs (cosmetic).
+    Bm25Index.appendRange(spark, path, lo, hi)
     keyed(docs, idCol, textCol)
       .select(col("key"), col("id").as("old_id"), col("nsh"))
       .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
       .sortWithinPartitions("bucket", "key")
       .write.mode("append").partitionBy("bucket").parquet(path)
-    // postings first, stats second — a crash between leaves the sidecar
-    // undercounting nDocs (cosmetic), never stats-without-postings
     ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
       hashKeys)
-    Bm25Index.appendRange(spark, path, lo, hi)
+    new ShingleIndex(spark, path, nDocs + nNew, ngram, nBuckets, hashKeys)
+  }
+
+  /** Replay-safe [[appendBatch]]: if the batch's EXACT id range is
+    * already recorded in `_ranges`, the append is SKIPPED (a previous
+    * attempt claimed it) instead of throwing — the idempotent form the
+    * streaming ingest path retries through. The skip window where the
+    * range landed but the postings write crashed is detectable
+    * ([[missingRanges]]) and repairable ([[reconcile]]); a PARTIAL
+    * overlap still throws, because that is never a replay. */
+  def appendBatchIfAbsent(
+      docs: DataFrame, idCol: String, textCol: String): ShingleIndex = {
+    val Array(st) = docs
+      .agg(min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi"))
+      .collect()
+    if (st.isNullAt(0)) return this // empty batch: nothing to claim
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    if (Bm25Index.readRanges(spark, path).contains((lo, hi))) this
+    else appendBatch(docs, idCol, textCol)
+  }
+
+  /** Ranges recorded in `_ranges` with NO postings on disk — the
+    * footprint of a crash between [[appendBatch]]'s range claim and its
+    * postings write. One pruned pass over the postings (broadcast
+    * range-interval join, lake never shuffles). */
+  def missingRanges(): Seq[(Long, Long)] = {
+    val claimed = Bm25Index.readRanges(spark, path)
+    if (claimed.isEmpty) return Seq.empty
+    import spark.implicits._
+    val ranges = broadcast(claimed.toDF("lo", "hi"))
+    val present = ranges.join(postings,
+        col("old_id").cast("long").between(col("lo"), col("hi")), "left_semi")
+      .select("lo", "hi").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    claimed.filterNot(present)
+  }
+
+  /** Repair [[missingRanges]] from a recovery corpus (e.g. the
+    * delivered-survivors store the streaming path writes BEFORE it
+    * appends): re-shingles only the missing ranges' rows and lands
+    * their postings under the already-claimed ranges. No-op when
+    * nothing is missing. */
+  def reconcile(
+      recovery: DataFrame, idCol: String, textCol: String): ShingleIndex = {
+    val missing = missingRanges()
+    if (missing.isEmpty) return this
+    val inRange = missing
+      .map { case (lo, hi) => col(idCol).cast("long").between(lo, hi) }
+      .reduce(_ || _)
+    val docs = recovery.filter(inRange)
+    val nNew = docs.count()
+    keyed(docs, idCol, textCol)
+      .select(col("key"), col("id").as("old_id"), col("nsh"))
+      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "key")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
+      hashKeys)
     new ShingleIndex(spark, path, nDocs + nNew, ngram, nBuckets, hashKeys)
   }
 

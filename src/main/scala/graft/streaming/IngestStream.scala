@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{ShingleIndex, SimHash}
@@ -14,10 +14,9 @@ import graft.operators.{ShingleIndex, SimHash}
   *    state, append-mode legal, so exact and token-reshuffled dups of
   *    the base never even reach a micro-batch;
   *  - tier 2, per micro-batch (`foreachBatch`): near-dup survivors
-  *    against the GROWING persisted lake
-  *    ([[graft.operators.ShingleIndex.ingest]]) — each batch probes
-  *    the stored inverted shingle index, keeps min-id representatives
-  *    within itself, appends its accepted rows to the lake store, and
+  *    against the GROWING persisted lake ([[processBatch]]) — each
+  *    batch probes the stored inverted shingle index, keeps min-id
+  *    representatives within itself, delivers its accepted rows, and
   *    indexes their shingles so the NEXT micro-batch dedups against
   *    them. The lake corpus is never re-shingled.
   *
@@ -25,17 +24,36 @@ import graft.operators.{ShingleIndex, SimHash}
   * the same micro-batches through `filterAgainstExact` + `ingest`
   * sequentially.
   *
-  * Delivery semantics: the sink appends, so this path is
-  * at-least-once; a RETRIED micro-batch is surfaced loudly by the
-  * index's `_ranges` id-overlap guard (the retry tries to re-append
-  * already-indexed ids) instead of silently double-ingesting — a
-  * production deployment records delivered batch ids next to the
-  * store and skips them before calling [[ShingleIndex.ingest]]. */
+  * Delivery semantics: EXACTLY-ONCE-EFFECTIVE under Spark's
+  * at-least-once foreachBatch retries, keyed on the micro-batch id:
+  *
+  *  1. a `_batches` sidecar next to the index records every batch id
+  *     whose delivery fully committed — a replayed id returns
+  *     immediately;
+  *  2. survivors are recomputed with [[ShingleIndex.survivors]]'s
+  *     `excludeSelf` switch, so the recompute is deterministic even
+  *     when the crashed attempt already appended this batch's
+  *     shingles (without it, every row would look like a dup of
+  *     itself in the lake and the replay would deliver nothing);
+  *  3. survivors land in a batch-keyed partition directory
+  *     (`out/batch=<id>`, mode overwrite) BEFORE the index append — a
+  *     replay overwrites the same files with the same rows instead of
+  *     appending duplicates, and a crash after the append can never
+  *     strand accepted rows outside the store;
+  *  4. the index append is [[ShingleIndex.appendBatchIfAbsent]] — a
+  *     range already claimed by the crashed attempt is skipped, not
+  *     re-appended (no double postings) and not an error (no stuck
+  *     stream). The one skip window (range claimed, postings write
+  *     crashed) is detectable afterwards with
+  *     [[ShingleIndex.missingRanges]] and repairable from the
+  *     delivered store with [[ShingleIndex.reconcile]].
+  */
 object IngestStream {
 
   /** Start the two-tier ingest query. `indexPath` must hold an
     * already-built [[ShingleIndex]] over `base` (the one-time lake
-    * build); accepted rows land in `outPath` as appended parquet. */
+    * build); accepted rows land in `outPath/batch=<id>` partitions
+    * (readable as one parquet table at `outPath`). */
   def ingestQuery(
       stream: DataFrame,
       base: DataFrame,
@@ -45,20 +63,57 @@ object IngestStream {
       outPath: String,
       threshold: Double,
       checkpoint: String): StreamingQuery = {
-    val spark = stream.sparkSession
     val gated = SimHash.filterAgainstExact(base, stream, idCol, textCol)
     gated.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // reload per batch: cheap (one sidecar row) and always
-        // consistent with the appends earlier batches made
-        val idx = ShingleIndex.load(spark, indexPath)
-        val (surv, _) = idx.ingest(batch, idCol, textCol, threshold)
-        surv.write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, indexPath, outPath,
+          threshold)
       }
       .start()
+  }
+
+  /** One micro-batch delivery, idempotent on `batchId` — safe to call
+    * again with the same id after a crash at ANY point inside it (the
+    * scaladoc's four-step protocol). Exposed so specs can drive a
+    * replay directly. */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      outPath: String,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    if (deliveredBatches(spark, indexPath).contains(batchId)) return
+    // reload per batch: cheap (one sidecar row) and always consistent
+    // with the appends earlier batches made
+    val idx = ShingleIndex.load(spark, indexPath)
+    val surv = idx
+      .survivors(batch, idCol, textCol, threshold, excludeSelf = true)
+      .localCheckpoint() // pin BEFORE storage mutates under the plan
+    surv.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    idx.appendBatchIfAbsent(surv, idCol, textCol)
+    recordBatch(spark, indexPath, batchId)
+  }
+
+  /** Batch ids whose delivery fully committed (tiny sidecar: one row
+    * per micro-batch, read driver-side at batch start). */
+  def deliveredBatches(spark: SparkSession, indexPath: String): Set[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_batches")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Set.empty
+    spark.read.parquet(dir.toString)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def recordBatch(
+      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/_batches")
   }
 
   /** The batch twin of one micro-batch step, for parity checks and

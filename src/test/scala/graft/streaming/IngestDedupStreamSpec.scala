@@ -91,6 +91,103 @@ class IngestDedupStreamSpec extends SparkTestBase {
     assert(acc.toSet == streamed)
   }
 
+  test("exactly-once-effective replay: re-running a delivered batch id " +
+    "is a no-op at every crash point (no double postings, survivors " +
+    "unchanged)") {
+    import graft.operators.{Bm25Index => _, ShingleIndex}
+    import graft.streaming.IngestStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-replay").toString
+    val lakeBase = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "some other base document text that lives in the lake"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of lake 1
+      (11L, "a totally novel crawl document with distinctive words here"),
+      (12L, "a totally novel crawl document with distinctive words there")) // near-dup of 11, intra-batch
+      .toDF("doc_id", "text")
+    ShingleIndex.build(lakeBase, "doc_id", "text", s"$root/idx",
+      ngram = 3, nBuckets = 8)
+    def out(): Set[Long] = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    def nPostings(): Long =
+      spark.read.parquet(s"$root/idx").count()
+
+    // first delivery
+    IngestStream.processBatch(b1, 0L, "doc_id", "text",
+      s"$root/idx", s"$root/out", 0.5)
+    val surv0 = out()
+    val post0 = nPostings()
+    assert(surv0 == Set(11L)) // 10 dups the lake; 12 loses to 11 intra-batch
+    assert(IngestStream.deliveredBatches(spark, s"$root/idx") == Set(0L))
+
+    // replay of a COMMITTED batch: marker short-circuits everything
+    IngestStream.processBatch(b1, 0L, "doc_id", "text",
+      s"$root/idx", s"$root/out", 0.5)
+    assert(out() == surv0 && nPostings() == post0)
+
+    // crash window: append landed but the marker write died — drop the
+    // marker and replay. excludeSelf keeps the recompute deterministic
+    // (the index already holds batch 0's shingles), the out overwrite
+    // rewrites the same rows, appendBatchIfAbsent skips the claimed
+    // range instead of doubling postings or throwing.
+    val fs = new org.apache.hadoop.fs.Path(s"$root/idx/_batches")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/idx/_batches"), true)
+    IngestStream.processBatch(b1, 0L, "doc_id", "text",
+      s"$root/idx", s"$root/out", 0.5)
+    assert(out() == surv0, "replay changed the delivered survivors")
+    assert(nPostings() == post0, "replay doubled postings")
+    assert(IngestStream.deliveredBatches(spark, s"$root/idx") == Set(0L))
+
+    // and the stream still makes progress after the replay
+    IngestStream.processBatch(
+      Seq((20L, "completely fresh material arriving in the second batch"))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", s"$root/idx", s"$root/out", 0.5)
+    assert(out() == Set(11L, 20L))
+  }
+
+  test("range-claimed-but-postings-missing window is detectable and " +
+    "repairable from the delivered store (missingRanges/reconcile)") {
+    import graft.operators.ShingleIndex
+    import graft.streaming.IngestStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingest-reconcile").toString
+    val lakeBase = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val idx0 = ShingleIndex.build(lakeBase, "doc_id", "text",
+      s"$root/idx", ngram = 3, nBuckets = 8)
+    val b1 = Seq(
+      (10L, "a totally novel crawl document with distinctive words here"))
+      .toDF("doc_id", "text")
+    IngestStream.processBatch(b1, 0L, "doc_id", "text",
+      s"$root/idx", s"$root/out", 0.5)
+    assert(idx0.missingRanges().isEmpty)
+    // simulate the claim-without-postings crash: claim a range whose
+    // postings never landed
+    val b2 = Seq(
+      (20L, "completely fresh material arriving in the second batch"))
+      .toDF("doc_id", "text")
+    // a direct range claim with no postings write = the crash footprint
+    val claim = Seq((20L, 20L)).toDF("lo", "hi")
+    claim.coalesce(1).write.mode("append").parquet(s"$root/idx/_ranges")
+    val idx1 = ShingleIndex.load(spark, s"$root/idx")
+    assert(idx1.missingRanges() == Seq((20L, 20L)))
+    // deliver the recovery corpus (what out/batch=N would hold), repair
+    b2.write.mode("overwrite").parquet(s"$root/out/batch=1")
+    val idx2 = idx1.reconcile(
+      spark.read.parquet(s"$root/out"), "doc_id", "text")
+    assert(idx2.missingRanges().isEmpty)
+    // the repaired postings are live: a near-dup of doc 20 now gates
+    val probeHit = idx2.probe(
+      Seq((30L, "completely fresh material arriving in the third batch"))
+        .toDF("doc_id", "text"), "doc_id", "text", 0.5)
+    assert(probeHit.select("old_id").as[Long].collect().toSet == Set(20L))
+  }
+
   test("the same call gates a structured stream (stream-static " +
     "left-anti, no state), streamed == batch") {
     val want = SimHash.filterAgainstExact(base, incoming, "doc_id", "text")
