@@ -184,6 +184,21 @@ object SparkEntry {
       "doc_id", "text", path, ngram = 3)
   }
 
+  /** Load-or-train the PPMI random-indexing word-vector model over
+    * `documents` (shared by wordvec_knn / wordvec_similar and the aux
+    * dump). Training is bit-deterministic (WordVecSpec: long-quantized
+    * PPMI + associative long sums), so load ≡ retrain. */
+  private def wordVecModelAt(s: SparkSession, dir: String): DataFrame = {
+    val path = cachedIndexPath(dir, "documents", "wordvec64")
+    if (new java.io.File(path).exists) operators.WordVec.load(s, path)
+    else {
+      operators.WordVec.save(
+        operators.WordVec.train(t(s, dir, "documents"), "text",
+          dim = 64, window = 2, minCount = 2), path)
+      operators.WordVec.load(s, path)
+    }
+  }
+
   /** Load-or-build the IVF+PQ index over `embeddings` (shared by
     * ivfpq_knn / hybrid_index). Training is deterministic and the
     * codebooks round-trip bit-exact, so load ≡ rebuild. */
@@ -895,6 +910,56 @@ object SparkEntry {
         .select("vec").head().getSeq[Float](0).toArray
       operators.Knn.search(embedded, "vec", "doc_id", q, 10)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // the LEARNED text encoder (the last semantically-hollow seam of
+    // SURVEY S6): PPMI random-indexing word vectors trained from the
+    // corpus itself, stored as a parquet MODEL TABLE; documents are
+    // mean-pooled through a broadcast join, the query through the
+    // frozen driver-side encoder — cosine top-10, everything in double.
+    // The oracle re-derives BOTH the document vectors and the query
+    // vector in SQL from the dumped model (aux "wordvec_model"):
+    // nothing engine-side is trusted but the learned table itself.
+    "wordvec_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val model = wordVecModelAt(s, dir)
+      val q = operators.WordVec.encoder(model)
+        .encodeToDoubles("vector hash join")
+      operators.WordVec.encodeJoin(
+          t(s, dir, "documents"), "doc_id", "text", model)
+        .select(col("doc_id"), Graft.cosineSim(col("vec"), lit(q)).as("__s"))
+        .orderBy(desc("__s"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), round(col("__s"), 6).as("score"))
+    }),
+
+    // similar('text') through the LEARNED encoder — the reference's
+    // actual search UX (test_weaviate.py:38-44: encode a text query,
+    // rank by cosine) with the trained model swapped in at the
+    // TextEncoder seam and the corpus vectors produced by the
+    // codegen'd wordvec_embed expression (float at the seam, like any
+    // stored embedding column). The oracle re-derives the doc vectors
+    // WITH the float cast and the query vector from the dumped model.
+    "wordvec_similar" -> ((s, dir) => {
+      Graft.init(s)
+      val model = wordVecModelAt(s, dir)
+      val ref = operators.WordVec.modelRef(model)
+      TextEncoder.set(operators.MeanPoolEncoder(ref))
+      try {
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text"), col("n_chars"),
+            operators.WordVec.embed(ref, col("text")).as("vector"))
+          .createOrReplaceTempView("wv_txtai")
+        // similar('...') encodes the literal at ANALYSIS time (inside
+        // this sql() call), so the finally-reset below cannot race the
+        // lazy execution
+        s.sql("""
+          SELECT id, round(similar('vector hash join'), 6) AS score, n_chars
+          FROM wv_txtai
+          WHERE n_chars >= 100
+          ORDER BY similar('vector hash join') DESC, id
+          LIMIT 10""")
+      } finally TextEncoder.reset()
     }),
 
     // per-cluster embedding centroids (the aggregation step of IVF /
@@ -3656,6 +3721,16 @@ object SparkEntry {
       operators.Bpe.modelDf(s, m)
     }),
 
+    // wordvec_knn / wordvec_similar: the learned model table itself,
+    // exploded (word, pos, v) for SQL re-derivation — training is
+    // bit-deterministic (WordVecSpec), so this independent train
+    // equals the queries' model exactly
+    "wordvec_model" -> ((s, dir) =>
+      wordVecModelAt(s, dir)
+        .select(col("word"), posexplode(col("vec")))
+        .select(col("word"), col("pos").cast("long").as("pos"),
+          col("col").as("v"))),
+
     // hash_embed_knn: the hashed document embeddings
     "hash_embed_vecs" -> ((s, dir) => {
       Graft.init(s)
@@ -4440,6 +4515,59 @@ object SparkEntry {
         |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score
         |FROM e JOIN c USING (vec_id)
         |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // The learned encoder, re-derived END TO END from the dumped model
+    // table: tokenize every document in SQL, mean-pool the in-vocab
+    // occurrences per dimension, pool the query text the same way, and
+    // rank by cosine — the engine contributes nothing but the learned
+    // (word, pos, v) table itself.
+    "wordvec_knn" ->
+      """WITH model AS (SELECT word, pos, v::DOUBLE AS v
+        |               FROM read_parquet('__AUX__/wordvec_model/*.parquet')),
+        |tok AS (SELECT doc_id,
+        |               unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS word
+        |        FROM documents),
+        |dv AS (SELECT doc_id, pos, avg(v) AS v
+        |       FROM tok JOIN model USING (word) GROUP BY doc_id, pos),
+        |qt AS (SELECT unnest(regexp_extract_all(lower('vector hash join'),
+        |                                        '[a-z]+|[0-9]+')) AS word),
+        |q AS (SELECT pos, avg(v) AS v
+        |      FROM qt JOIN model USING (word) GROUP BY pos),
+        |dt AS (SELECT dv.doc_id, sum(dv.v * q.v) AS dp,
+        |              sqrt(sum(dv.v * dv.v)) AS nd
+        |       FROM dv JOIN q USING (pos) GROUP BY dv.doc_id),
+        |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
+        |SELECT doc_id, round(dp / (nd * (SELECT nq FROM qn)), 6) AS score
+        |FROM dt
+        |ORDER BY dp / (nd * (SELECT nq FROM qn)) DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
+    // wordvec_knn's oracle with the float cast at the TextEncoder seam
+    // (CAST AS REAL == the engine's toFloat) and the l1_sql_text
+    // filter/projection shape.
+    "wordvec_similar" ->
+      """WITH model AS (SELECT word, pos, v::DOUBLE AS v
+        |               FROM read_parquet('__AUX__/wordvec_model/*.parquet')),
+        |tok AS (SELECT doc_id,
+        |               unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS word
+        |        FROM documents),
+        |dv AS (SELECT doc_id, pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS v
+        |       FROM tok JOIN model USING (word) GROUP BY doc_id, pos),
+        |qt AS (SELECT unnest(regexp_extract_all(lower('vector hash join'),
+        |                                        '[a-z]+|[0-9]+')) AS word),
+        |q AS (SELECT pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS v
+        |      FROM qt JOIN model USING (word) GROUP BY pos),
+        |dt AS (SELECT dv.doc_id, sum(dv.v * q.v) AS dp,
+        |              sqrt(sum(dv.v * dv.v)) AS nd
+        |       FROM dv JOIN q USING (pos) GROUP BY dv.doc_id),
+        |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
+        |SELECT d.doc_id AS id,
+        |       round(dt.dp / (dt.nd * (SELECT nq FROM qn)), 6) AS score,
+        |       d.n_chars
+        |FROM dt JOIN documents d USING (doc_id)
+        |WHERE d.n_chars >= 100
+        |ORDER BY dt.dp / (dt.nd * (SELECT nq FROM qn)) DESC, d.doc_id
         |LIMIT 10""".stripMargin,
 
     // kNN re-derived over the engine-dumped hashed embeddings with

@@ -37,4 +37,14 @@ object Shim {
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
+
+  /** Register-or-REPLACE variant for functions bound to session state
+    * (e.g. a trained model captured in the builder): re-registration
+    * must rebind, not silently keep the stale capture. */
+  def replaceFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -852,6 +852,29 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("wordvec_knn: the corpus is encoded through a BROADCAST model " +
+    "join (the corpus never shuffles for the lookup) with a " +
+    "partial+final mean aggregate, and the ranking is a bounded " +
+    "TakeOrderedAndProject — no global sort, no cartesian") {
+    val plan = physical(run("wordvec_knn"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_vector_avg"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("wordvec_similar: the learned encode is a codegen'd projection " +
+    "riding the documents scan — NO join, NO shuffle before the " +
+    "top-k, no mapPartitions barrier (the frozen-model deployment " +
+    "shape)") {
+    val plan = physical(run("wordvec_similar"))
+    assert(plan.contains("wordvec_embed"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("dedup_incremental: the lake's TEXT is never read at probe " +
     "time — the base side comes entirely from the stored shingle " +
     "index (postings scan, no text column), and every documents scan " +
