@@ -292,6 +292,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S1–S5 + Q6 + F5 as ONE oracle-visible composition (the ops are
+    // API-shaped, so each previously had only a spec row): create with
+    // client batch knobs (S1/F5), schema validation rejecting a bad
+    // metric and a bad docid type (S2), bulk load (S3), an append whose
+    // docids CONTINUE from the offset (S4, weaviate.py:135-149), a
+    // create-reuse that must NOT clobber (S1, test_weaviate.py:97-113 —
+    // proven by all 400 rows surviving it), save → load of the copy
+    // with meta round-trip (S5), and the existence guard firing on an
+    // absent path (Q6). The oracle re-derives the engine's dense-docid
+    // assignment (row_number over the uid total order, append offset
+    // by the bulk count) and an integer vector checksum per row.
+    "index_lifecycle" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      def docsOf(lo: Int, hi: Int) = emb
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(lpad(col("vec_id").cast("string"), 6, "0").as("uid"),
+          col("embedding").as("vector"),
+          lit(null).cast("string").as("tags"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lifecycle-").toString
+      val cfg = index.IndexConfig(batch = index.BatchConfig(
+        batchSize = Some(128), numWorkers = 2))
+      val idx = index.VectorIndex.create(s, s"$root/idx", config = cfg)
+      idx.index(docsOf(0, 300))
+      idx.append(docsOf(300, 400))
+      // overwriteIndex=false is the RE-OPEN path (the default true
+      // mirrors the reference's overwrite_index and would drop it)
+      index.VectorIndex.create(s, s"$root/idx",
+        config = cfg.copy(overwriteIndex = false)) // reuse, no clobber
+      idx.save(s"$root/copy")
+      val loaded = index.VectorIndex.load(s, s"$root/copy")
+      val guardFired =
+        try { index.VectorIndex.load(s, s"$root/absent"); false }
+        catch { case _: index.IndexNotFoundException => true }
+      val rejects =
+        (try {
+          index.IndexSchema.validate(index.IndexSchema.core, "dot"); false
+        } catch { case _: index.SchemaValidationException => true }) &&
+        (try {
+          index.IndexSchema.validate(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("docid",
+                org.apache.spark.sql.types.StringType))), "cosine")
+          false
+        } catch { case _: index.SchemaValidationException => true })
+      loaded.df
+        .select(col("docid"), col("uid"),
+          aggregate(col("vector"), lit(0L),
+            (a, x) => a + floor(x * lit(1000.0)).cast("long"))
+            .as("vec_sum_milli"),
+          lit(guardFired).as("guard_fired"),
+          lit(rejects).as("schema_rejects"))
+        .orderBy("docid")
+    }),
+
     // L3 global hash aggregate (01_simple.ipynb:490, golden row at :482)
     "l3_agg" -> ((s, dir) =>
       t(s, dir, "documents").agg(
@@ -3905,6 +3961,29 @@ object SparkEntry {
       """SELECT doc_id,
         |       CASE WHEN doc_id < 100 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents WHERE doc_id BETWEEN 90 AND 109 ORDER BY doc_id""".stripMargin,
+
+    // the engine's dense-docid contract re-derived: bulk docids are
+    // row_number over the uid total order, append docids continue from
+    // the bulk count; the vector checksum is integer-exact; the two
+    // guard columns are literally true iff the engine's existence and
+    // schema-validation guards fired.
+    "index_lifecycle" ->
+      """WITH a AS (SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS uid, embedding
+        |           FROM embeddings WHERE vec_id < 300),
+        |b AS (SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS uid, embedding
+        |      FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+        |u AS (SELECT row_number() OVER (ORDER BY uid) - 1 AS docid, uid, embedding
+        |      FROM a
+        |      UNION ALL
+        |      SELECT (SELECT count(*) FROM a) + row_number() OVER (ORDER BY uid) - 1,
+        |             uid, embedding
+        |      FROM b)
+        |SELECT docid, uid,
+        |       CAST(list_sum(list_transform(embedding,
+        |            x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT))) AS BIGINT)
+        |         AS vec_sum_milli,
+        |       true AS guard_fired, true AS schema_rejects
+        |FROM u ORDER BY docid""".stripMargin,
 
     "l3_agg" ->
       """SELECT count(*) AS cnt, min(n_chars) AS min_len, max(n_chars) AS max_len,
