@@ -199,6 +199,21 @@ object SparkEntry {
     }
   }
 
+  /** Load-or-build the persisted winnow-fingerprint lake over the
+    * non-null documents (doc_id < 120) — winnow_incremental's stored
+    * side. Built once per dataset, loaded thereafter: the benched
+    * number is the per-crawl probe, not the one-time build. */
+  private def winnowIndexAt(s: SparkSession, dir: String)
+      : operators.WinnowIndex = {
+    val path = cachedIndexPath(dir, "documents", "winnow45")
+    if (new java.io.File(s"$path/_stats").exists)
+      operators.WinnowIndex.load(s, path)
+    else operators.WinnowIndex.build(
+      t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 120 && col("text").isNotNull),
+      "doc_id", "text", path, k = 4, w = 5, dfCap = 20, nBuckets = 16)
+  }
+
   /** Load-or-build the IVF+PQ index over `embeddings` (shared by
     * ivfpq_knn / hybrid_index). Training is deterministic and the
     * codebooks round-trip bit-exact, so load ≡ rebuild. */
@@ -2562,6 +2577,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    // winnow matching routed through the PERSISTED fingerprint lake
+    // (r10, the production-lifecycle twin of winnow_pairs): the lake's
+    // text is never re-read and never re-fingerprinted — the base side
+    // comes entirely from the stored bucket-partitioned postings, the
+    // stop-fingerprint cap is evaluated over the pruned lake read, and
+    // the incoming crawl (shift-planted near-copies + genuinely fresh
+    // docs) broadcasts into a map-side probe. Same fingerprint family
+    // as winnow_pairs, so the oracle recomputes every gram hash,
+    // window minimum, lake df, and shared count from scratch.
+    "winnow_incremental" -> ((s, dir) => {
+      Graft.init(s)
+      val idx = winnowIndexAt(s, dir)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val incoming = docs
+        .filter(col("doc_id") < 120 && col("text").isNotNull &&
+          col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id",
+          "concat('pad1 pad2 pad3 ', text) AS text")
+        .unionAll(docs.filter(
+          col("doc_id") >= 120 && col("doc_id") < 140 &&
+          col("text").isNotNull))
+      idx.probe(incoming, "doc_id", "text", minShared = 2)
+        .select(col("new_id"), col("old_id"), col("n_shared"))
+        .orderBy("new_id", "old_id")
     }),
 
     // sentence splitting (r9): rule-based boundaries with the
@@ -6385,6 +6426,74 @@ object SparkEntry {
     // the matching step replayed on top of the full winnow CTE:
     // distinct doc-fingerprints, the df<=20 stop-fingerprint drop,
     // and the shared-count pair rule
+    // winnow_pairs' full-algorithm machinery with the corpus split at
+    // the fingerprint level: lake = doc_id < 120, incoming = the
+    // shift-planted copies (+10000) and the fresh window [120, 140);
+    // the stop-fingerprint df is measured over the LAKE only (the
+    // stored index's semantics) and only cross-corpus pairs count.
+    "winnow_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 140 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'pad1 pad2 pad3 ' || text
+        |  FROM documents
+        |  WHERE doc_id < 120 AND text IS NOT NULL AND doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM corpus),
+        |grams AS (
+        |  SELECT t.doc_id, g.i AS pos,
+        |         array_to_string(list_slice(t.ts, g.i + 1, g.i + 4), ' ')
+        |           AS gram
+        |  FROM tok t,
+        |       LATERAL unnest(range(0, greatest(len(t.ts) - 3, 0)))
+        |         AS g(i)),
+        |h0 AS (SELECT doc_id, pos,
+        |        list_reduce([0::BIGINT] ||
+        |          list_transform(string_split(gram, ''),
+        |                         c -> ascii(c)::BIGINT),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] ||
+        |          list_transform(string_split(gram, ''),
+        |                         c -> ascii(c)::BIGINT),
+        |          (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |       FROM grams),
+        |m1 AS (SELECT doc_id, pos,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM h0),
+        |m2 AS (SELECT doc_id, pos,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM m1),
+        |hh AS (SELECT doc_id, pos,
+        |         xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16)
+        |           AS hash
+        |       FROM m2),
+        |cnt AS (SELECT doc_id, count(*) AS m FROM hh GROUP BY doc_id),
+        |wins AS (SELECT c.doc_id, j.j
+        |         FROM cnt c,
+        |              LATERAL unnest(range(0, greatest(c.m - 4, 1)))
+        |                AS j(j)),
+        |wr AS (SELECT w.doc_id, w.j, h.pos, h.hash
+        |       FROM wins w JOIN hh h ON h.doc_id = w.doc_id
+        |        AND h.pos >= w.j AND h.pos <= w.j + 4),
+        |wmin AS (SELECT doc_id, j, min(hash) AS mh
+        |         FROM wr GROUP BY doc_id, j),
+        |fp AS (SELECT DISTINCT doc_id, mh AS hash FROM wmin),
+        |lake AS (SELECT doc_id, hash FROM fp WHERE doc_id < 120),
+        |inc AS (SELECT doc_id, hash FROM fp WHERE doc_id >= 120),
+        |rare AS (SELECT hash FROM lake GROUP BY hash
+        |         HAVING count(*) <= 20)
+        |SELECT i.doc_id AS new_id, l.doc_id AS old_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM inc i
+        |JOIN rare r ON r.hash = i.hash
+        |JOIN lake l ON l.hash = i.hash
+        |GROUP BY i.doc_id, l.doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY new_id, old_id""".stripMargin,
+
     "winnow_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted winnowing-fingerprint index — [[ShingleIndex]]'s storage
+  * pattern applied to the MOSS near-copy matcher ([[Winnow]]):
+  * `winnow_pairs` proves the matching semantics, but as a pure
+  * function it re-fingerprints BOTH corpora on every call — at 100 TB
+  * the lake side must be a stored artifact, probed per crawl and
+  * appended per accepted batch, exactly like the shingle lake.
+  *
+  *  - postings `(hash, old_id)` — DISTINCT per document — live in
+  *    parquet partitioned by `bucket = pmod(hash(hash), nBuckets)`
+  *    and hash-sorted within files: a probe opens only its
+  *    fingerprints' buckets and row-group-skips inside them;
+  *  - `_stats` pins the fingerprint parameters (k, w, dfCap,
+  *    buckets) so a probe can never run with mismatched winnowing;
+  *  - `_ranges` records every build/append's docid interval with the
+  *    same claim-before-write ordering and overlap guard as
+  *    [[ShingleIndex.appendBatch]].
+  *
+  * The stop-fingerprint cap (document frequency > `dfCap`, the bound
+  * that keeps a boilerplate fingerprint from fanning the join out)
+  * is evaluated AT PROBE TIME over the lake's own postings: the
+  * bucket-pruned read delivers every lake posting of each candidate
+  * hash, so the df computed there is the exact lake-wide df — no
+  * separate sidecar to keep consistent across appends, and a hash
+  * that crosses the cap through growth starts being dropped
+  * automatically on the next probe. */
+class WinnowIndex private (
+    val spark: SparkSession,
+    val path: String,
+    val nDocs: Long,
+    val k: Int,
+    val w: Int,
+    val dfCap: Int,
+    val nBuckets: Int) {
+
+  def postings: DataFrame = spark.read.parquet(path)
+
+  /** DISTINCT (id, hash) winnow fingerprints of `docs` under THIS
+    * index's parameters (the `winnow` codegen expression rides the
+    * scan; distinct is per document — one shuffle on (id, hash)). */
+  private def fps(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.Graft.init(spark)
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .filter(col("__text").isNotNull)
+      .selectExpr("id", s"explode(winnow(__text, $k, $w)) AS f")
+      .select(col("id"), col("f.hash").as("hash"))
+      .distinct()
+  }
+
+  /** Cross-corpus near-copy pairs of an incoming batch against the
+    * INDEXED lake: (new_id, old_id, n_shared ≥ minShared), with the
+    * lake side read from the stored postings (bucket-pruned, never
+    * re-fingerprinted, never shuffled — the batch broadcasts into a
+    * map-side hash probe riding the postings scan when it fits,
+    * [[ShingleIndex.MaxBroadcastKeys]] budget). Lake fingerprints
+    * above `dfCap` document frequency are dropped (df measured over
+    * the full lake via the pruned read — see class doc). */
+  def probe(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2): DataFrame = {
+    val inc = fps(incoming, idCol, textCol)
+      .select(col("hash"), col("id").as("new_id"))
+      .localCheckpoint()
+    val bStats = inc
+      .groupBy(pmod(hash(col("hash")), lit(nBuckets)).as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+    val bSet = bStats.map(_.getInt(0))
+    val nKeys = bStats.map(_.getLong(1)).sum
+    val base0 = postings
+    val base = if (bSet.length < nBuckets)
+      base0.filter(col("bucket").isin(bSet.map(Integer.valueOf).toSeq: _*))
+    else base0
+    // lake-side df cap: one partial-aggregated pass over the pruned
+    // postings; survivors re-join the same scan
+    val rare = base.groupBy("hash")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+      .select("hash")
+    val incJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
+      broadcast(inc) else inc
+    incJ
+      .join(base.join(rare, Seq("hash")).select("hash", "old_id"), Seq("hash"))
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("new_id", "old_id", "n_shared")
+  }
+
+  /** Append a batch's fingerprints into their bucket partitions —
+    * claim-the-range-first ordering and the overlap guard, exactly
+    * [[ShingleIndex.appendBatch]]'s contract. */
+  def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+      force: Boolean = false): WinnowIndex = {
+    val Array(st) = docs
+      .agg(count(col(idCol)).as("n"),
+        min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi"))
+      .collect()
+    val nNew = st.getLong(0)
+    if (nNew == 0L) return this
+    require(!st.isNullAt(1),
+      s"winnow append: every value of id column '$idCol' casts to null")
+    val (lo, hi) = (st.getLong(1), st.getLong(2))
+    if (!force) Bm25Index.readRanges(spark, path)
+      .find { case (l, h) => lo <= h && l <= hi }
+      .foreach { case (l, h) => throw new IllegalArgumentException(
+        s"winnow append: id range [$lo,$hi] intersects already-indexed " +
+        s"[$l,$h] — re-appending an indexed doc doubles its postings; " +
+        "use force=true only if the overlap is intentional")
+      }
+    Bm25Index.appendRange(spark, path, lo, hi)
+    fps(docs, idCol, textCol)
+      .select(col("hash"), col("id").as("old_id"))
+      .withColumn("bucket", pmod(hash(col("hash")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "hash")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    WinnowIndex.writeStats(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
+    new WinnowIndex(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
+  }
+}
+
+object WinnowIndex {
+
+  private def writeStats(spark: SparkSession, path: String, nDocs: Long,
+      k: Int, w: Int, dfCap: Int, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, k, w, dfCap, nBuckets))
+      .toDF("n_docs", "k", "w", "df_cap", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 4,
+      w: Int = 5,
+      dfCap: Int = 20,
+      nBuckets: Int = ShingleIndex.AutoBuckets): WinnowIndex = {
+    val spark = docs.sparkSession
+    val Array(st) = docs
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(split(col(textCol), " "))), lit(0L))
+          .cast("long").as("toks"),
+        min(col(idCol).cast("long")).as("lo"),
+        max(col(idCol).cast("long")).as("hi"))
+      .collect()
+    require(st.getLong(0) > 0,
+      s"winnow index: empty corpus, refusing to build $path")
+    require(!st.isNullAt(2),
+      s"winnow index: every value of id column '$idCol' casts to null")
+    // winnowing keeps ~1/((w+1)/2) of the grams; size buckets on the
+    // selected-fingerprint volume, same cube-root rule as term postings
+    val nb = if (nBuckets == ShingleIndex.AutoBuckets)
+      Bm25Index.autoBuckets(math.max(1L, 2L * st.getLong(1) / (w + 1)))
+    else nBuckets
+    val idx = new WinnowIndex(spark, path, 0L, k, w, dfCap, nb)
+    idx.fps(docs, idCol, textCol)
+      .select(col("hash"), col("id").as("old_id"))
+      .withColumn("bucket", pmod(hash(col("hash")), lit(nb)))
+      .sortWithinPartitions("bucket", "hash")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeStats(spark, path, st.getLong(0), k, w, dfCap, nb)
+    val rangesDir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
+    val fs = rangesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rangesDir)) fs.delete(rangesDir, true)
+    Bm25Index.appendRange(spark, path, st.getLong(2), st.getLong(3))
+    new WinnowIndex(spark, path, st.getLong(0), k, w, dfCap, nb)
+  }
+
+  def load(spark: SparkSession, path: String): WinnowIndex = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      throw new graft.index.IndexNotFoundException(
+        s"no winnow index at $path")
+    val st = spark.read.parquet(dir.toString).head()
+    new WinnowIndex(spark, path, st.getLong(0), st.getInt(1),
+      st.getInt(2), st.getInt(3), st.getInt(4))
+  }
+}

@@ -875,6 +875,22 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("winnow_incremental: the lake is read ONLY as stored postings " +
+    "and NO scan in the probe plan reads text (the incoming batch's " +
+    "fingerprints are materialized once before the probe); the batch " +
+    "broadcasts into the postings probe") {
+    val plan = physical(run("winnow_incremental"))
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    val idxScans = scans.filter(_.contains("old_id"))
+    assert(idxScans.nonEmpty, plan)
+    // NO scan in the probe plan reads any text: the lake is postings,
+    // the incoming batch's fingerprints were materialized once
+    // (localCheckpoint) before the probe
+    scans.foreach(l => assert(!l.contains("text"), l))
+    assert(!scans.exists(_.contains("documents")), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("dedup_incremental: the lake's TEXT is never read at probe " +
     "time — the base side comes entirely from the stored shingle " +
     "index (postings scan, no text column), and every documents scan " +
