@@ -9,10 +9,13 @@ package graft.operators
   * data-offset field (which may skip color tables or gap bytes).
   *
   * Subset: 24-bit uncompressed (BI_RGB) with a 40-byte info header —
-  * the overwhelmingly common crawl BMP. Anything else (other depths,
-  * RLE compression, core/V4/V5 headers beyond their shared 40-byte
-  * prefix fields, truncated pixel data) → None, never a throw: the
-  * shared dirty-crawl-bytes contract.
+  * the overwhelmingly common crawl BMP — plus (r10, pinned by the
+  * CPython external fixture) 32-bit BI_BITFIELDS with contiguous
+  * 8-bit channel masks (the RGBA form real encoders emit under
+  * V4/V5 headers; a zero alpha mask decodes opaque RGB). Anything
+  * else (other depths, RLE compression, non-byte masks, truncated
+  * pixel data) → None, never a throw: the shared dirty-crawl-bytes
+  * contract.
   *
   * Writer emits the shared pixel contract [[PngPixels.pix]] (3
   * channels), so BMP rows join the same analytic oracles as PNG/JPEG;
@@ -129,26 +132,70 @@ object Bmp {
     val topDown = rawH < 0
     val h = math.abs(rawH)
     if (w <= 0 || h <= 0) return None
-    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    if (le16(26) != 1) return None
+    val bpp = le16(28)
+    val comp = le32(30)
     // untrusted dims: Long math + the shared decode cap
-    if (w.toLong * h * 3 > PngPixels.MaxDecodedBytes) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (dataOffset < 14 + headerSize ||
-      dataOffset.toLong + rowBytes.toLong * h > b.length) return None
-    val out = new Array[Byte](w * h * 3)
-    var r = 0
-    while (r < h) {
-      val y = if (topDown) r else h - 1 - r
-      val src = dataOffset + r * rowBytes
-      var x = 0
-      while (x < w) {
-        out((y * w + x) * 3) = b(src + x * 3 + 2)     // R
-        out((y * w + x) * 3 + 1) = b(src + x * 3 + 1) // G
-        out((y * w + x) * 3 + 2) = b(src + x * 3)     // B
-        x += 1
-      }
-      r += 1
+    if (w.toLong * h * 4 > PngPixels.MaxDecodedBytes) return None
+    (bpp, comp) match {
+      case (24, 0) => // classic BI_RGB 24bpp, BGR rows
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        if (dataOffset < 14 + headerSize ||
+          dataOffset.toLong + rowBytes.toLong * h > b.length) return None
+        val out = new Array[Byte](w * h * 3)
+        var r = 0
+        while (r < h) {
+          val y = if (topDown) r else h - 1 - r
+          val src = dataOffset + r * rowBytes
+          var x = 0
+          while (x < w) {
+            out((y * w + x) * 3) = b(src + x * 3 + 2)     // R
+            out((y * w + x) * 3 + 1) = b(src + x * 3 + 1) // G
+            out((y * w + x) * 3 + 2) = b(src + x * 3)     // B
+            x += 1
+          }
+          r += 1
+        }
+        Some(PngPixels.Decoded(w, h, 3, out))
+      case (32, 3) =>
+        // 32bpp BI_BITFIELDS (the form real encoders emit for RGBA):
+        // four LE32 channel masks follow the info header (or sit at
+        // the V4 header's fixed offsets — same place, byte 54). Each
+        // mask must be a contiguous 8-bit run for byte samples; the
+        // alpha mask may be 0 (opaque). No row padding at 32bpp.
+        if (headerSize < 52 || b.length < 70) return None
+        val masks = Array(le32(54), le32(58), le32(62), le32(66))
+        def shiftOf(m: Int): Int = {
+          if (m == 0) return -1
+          val sh = java.lang.Integer.numberOfTrailingZeros(m)
+          if ((m >>> sh) != 0xff) return -2 // not an 8-bit run
+          sh
+        }
+        val sh = masks.map(shiftOf)
+        if (sh.take(3).exists(_ < 0) || sh(3) == -2) return None
+        val hasAlpha = sh(3) >= 0
+        val ch = if (hasAlpha) 4 else 3
+        if (dataOffset < 14 + headerSize ||
+          dataOffset.toLong + 4L * w * h > b.length) return None
+        val out = new Array[Byte](w * h * ch)
+        var r = 0
+        while (r < h) {
+          val y = if (topDown) r else h - 1 - r
+          val src = dataOffset + r * w * 4
+          var x = 0
+          while (x < w) {
+            val v = le32(src + x * 4)
+            out((y * w + x) * ch) = ((v >>> sh(0)) & 0xff).toByte
+            out((y * w + x) * ch + 1) = ((v >>> sh(1)) & 0xff).toByte
+            out((y * w + x) * ch + 2) = ((v >>> sh(2)) & 0xff).toByte
+            if (hasAlpha)
+              out((y * w + x) * ch + 3) = ((v >>> sh(3)) & 0xff).toByte
+            x += 1
+          }
+          r += 1
+        }
+        Some(PngPixels.Decoded(w, h, ch, out))
+      case _ => None
     }
-    Some(PngPixels.Decoded(w, h, 3, out))
   }
 }

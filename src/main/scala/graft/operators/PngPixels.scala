@@ -13,8 +13,10 @@ package graft.operators
   *
   * Subset (r8 — the WEB subset, mirroring the JPEG chroma work): 8-bit
   * depth, color types 0 (grayscale), 2 (truecolor), 3 (palette — PLTE
-  * expansion to RGB), 4 (gray+alpha), 6 (RGBA), and BOTH interlace
-  * methods (none / Adam7 seven-pass). That is the whole color-type
+  * expansion to RGB, or RGBA when a tRNS chunk carries per-entry
+  * alpha; r10, pinned by the CPython external fixture), 4
+  * (gray+alpha), 6 (RGBA), and BOTH interlace methods (none / Adam7
+  * seven-pass). That is the whole color-type
   * grammar at depth 8 — a typical web PNG decodes. Anything else
   * (other depths, missing/short PLTE, out-of-range palette index,
   * truncated deflate) → None, never an exception.
@@ -250,6 +252,7 @@ object PngPixels {
     var pos = 8
     var w = 0; var h = 0; var colorType = -1; var interlace = 0
     var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     def beInt(o: Int): Int =
       ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
@@ -280,6 +283,12 @@ object PngPixels {
           if (len % 3 != 0 || len == 0 || len > 256 * 3 ||
             idat.size > 0) return None
           palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case "tRNS" if colorType == 3 =>
+          // palette alpha (spec §11.3.2): after PLTE, before IDAT, at
+          // most one entry per palette color; missing tail = opaque
+          if (palette == null || len > palette.length / 3 ||
+            idat.size > 0) return None
+          trns = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
@@ -382,19 +391,23 @@ object PngPixels {
       }
     }
     if (colorType != 3) return Some(Decoded(w, h, ch, stored))
-    // palette expansion: index sample -> PLTE RGB triple; an index
-    // past the palette end is a spec violation -> dirty, not a clamp
+    // palette expansion: index sample -> PLTE RGB triple (+ tRNS alpha
+    // when present -> RGBA); an index past the palette end is a spec
+    // violation -> dirty, not a clamp
     val nEntries = palette.length / 3
-    val out = new Array[Byte](w * h * 3)
+    val pch = if (trns != null) 4 else 3
+    val out = new Array[Byte](w * h * pch)
     var i = 0
     while (i < stored.length) {
       val idx = stored(i) & 0xff
       if (idx >= nEntries) return None
-      out(i * 3) = palette(idx * 3)
-      out(i * 3 + 1) = palette(idx * 3 + 1)
-      out(i * 3 + 2) = palette(idx * 3 + 2)
+      out(i * pch) = palette(idx * 3)
+      out(i * pch + 1) = palette(idx * 3 + 1)
+      out(i * pch + 2) = palette(idx * 3 + 2)
+      if (pch == 4)
+        out(i * pch + 3) = if (idx < trns.length) trns(idx) else 0xff.toByte
       i += 1
     }
-    Some(Decoded(w, h, 3, out))
+    Some(Decoded(w, h, pch, out))
   }
 }

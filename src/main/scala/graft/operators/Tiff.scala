@@ -145,15 +145,20 @@ object Tiff {
       val spp = num(277).getOrElse(1L).toInt
       val photometric = num(262).getOrElse(return None)
       val compression = num(259).getOrElse(1L)
-      val expectSpp = photometric match {
-        case 0 | 1 => 1
-        case 2 => 3
+      val okSpp = photometric match {
+        case 0 | 1 => spp == 1
+        case 2 =>
+          // RGB, or (r10, pinned by the CPython external fixture)
+          // RGBA when an ExtraSamples tag declares the 4th channel
+          // (8-bit chunky; alpha under JPEG strips stays out of
+          // subset — baseline JPEG has no 4th component to carry it)
+          spp == 3 || (spp == 4 && compression != 7L &&
+            arr(338).exists(_.length == 1))
         case 6 => // YCbCr: only as the color space of JPEG strips
-          if (compression != 7L) return None
-          3
-        case _ => return None // palette/other: out of subset
+          compression == 7L && spp == 3
+        case _ => false // palette/other: out of subset
       }
-      if (spp != expectSpp) return None
+      if (!okSpp) return None
       val bits = arr(258).getOrElse(Array.fill(spp)(1L))
       if (bits.length != spp || bits.exists(_ != 8L)) return None
       if (num(284).getOrElse(1L) != 1L) return None // chunky only
