@@ -80,6 +80,8 @@ object GraftExtensions {
     "ulaw_media_for_id" -> (es => UlawMediaBytes(es.head)),
     "webp_media_for_id" -> (es => WebpMediaBytes(es.head)),
     "webp_pixel_media_for_id" -> (es => WebpPixelMediaBytes(es.head)),
+    "vp8_media_for_id" -> (es => Vp8MediaBytes(es.head)),
+    "webp_yuv" -> (es => WebpYuv(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),
     "warc_records" -> (es => WarcRecords(es.head)),
     "warc_media_for_id" -> (es => WarcMediaBytes(es.head)),

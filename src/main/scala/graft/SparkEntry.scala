@@ -1304,6 +1304,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lossy VP8 pixels (r10): the RFC 6386 keyframe decoder + the
+    // VP8L-coded ALPH alpha path, driven over EXTERNAL fixture bytes
+    // (four real libwebp encodes + CPython's python.webp — no
+    // engine-written input anywhere). One row per decoded plane
+    // sample (plane 0=Y 1=U 2=V 3=alpha); the oracle replays the
+    // PINNED expected planes (libwebp's own decode, and for alpha the
+    // sibling PNG's tRNS — two independent encoders agreeing), so a
+    // single wrong sample anywhere in the boolean decode, dequant,
+    // IWHT/IDCT, intra prediction, or loop filter breaks the hash.
+    "webp_lossy_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 5)
+        .selectExpr("doc_id",
+          "posexplode(webp_yuv(vp8_media_for_id(CAST(doc_id AS BIGINT))))")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+          "CAST(col.plane AS BIGINT) AS plane",
+          "CAST(col.pos AS BIGINT) AS pos", "CAST(col.v AS BIGINT) AS v")
+        .orderBy("doc_id", "plane", "pos")
+    }),
+
     // image resize (r8): box-average downscale / nearest-neighbor
     // upscale to exact target dims, re-encoded as a REAL PNG and
     // reduced by the EXISTING pixel_stats kernel — the image twin of
@@ -3920,6 +3940,16 @@ object SparkEntry {
     "sql_text_qvec" -> ((s, dir) => {
       val v = TextEncoder.encode("machine learning")
       s.createDataFrame(Seq(Tuple1(v))).toDF("qv")
+    }),
+
+    // webp_lossy_pixels: the PINNED expected planes — external data
+    // (libwebp's decode of the fixture files + the PNG's tRNS alpha),
+    // embedded at build time, NOT engine output
+    "webp_lossy_expected" -> ((s, dir) => {
+      import s.implicits._
+      (0L until 5L).flatMap(id => operators.Vp8Fixtures.expectedRows(id)
+        .map { case (pl, pos, v) => (id, pl.toLong, pos.toLong, v.toLong) })
+        .toDF("doc_id", "plane", "pos", "v")
     }),
 
     // multimodal_meta: the generated media bytes, so the oracle can
@@ -8668,6 +8698,15 @@ object SparkEntry {
     // id%7=6 palette (pal(j,c), index (x+2y+id)%n), 5 row-periodic
     // (y%4 — the LZ77 copies), 1 four-channel (alpha = pix c=3),
     // others the standard pix contract
+    // every decoded plane sample must equal the pinned EXTERNAL
+    // expectation (libwebp's decode of the same foreign-encoder bytes;
+    // alpha doubly pinned by the PNG's tRNS) — VP8 decode is bit-exact
+    // by spec, so row-hash equality is the right bar, not a PSNR
+    "webp_lossy_pixels" ->
+      """SELECT doc_id, plane, pos, v
+        |FROM read_parquet('__AUX__/webp_lossy_expected/*.parquet')
+        |ORDER BY doc_id, plane, pos""".stripMargin,
+
     "webp_pixels" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
         |p AS (

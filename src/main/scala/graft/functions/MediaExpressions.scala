@@ -209,9 +209,10 @@ object PixelStats {
       decodedStats(graft.operators.Bmp.decode(bytes))
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F')
-      // RIFF/WEBP: real pixels for VP8L (lossless); VP8 lossy decodes
-      // to None inside Webp.decode (the documented seam) → null here
-      decodedStats(graft.operators.Webp.decode(bytes))
+      // RIFF/WEBP: real pixels for both coding families — VP8L through
+      // the lossless path, VP8 (lossy keyframe, r10) through the
+      // RFC 6386 decoder + documented YUV→RGB policy, alpha merged
+      decodedStats(graft.operators.Webp.decodeRgba(bytes))
     else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
       (bytes(0) == 'M' && bytes(1) == 'M'))
       // TIFF: real pixels for the baseline 8-bit subset (none /
@@ -327,10 +328,9 @@ object MediaFeatures {
         bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' &&
         bytes(11) == 'P')
-        // RIFF/WEBP: lossless VP8L decodes to real pixels → the same
-        // luminance histogram as the PNG/JPEG branch; lossy VP8 stays
-        // the external-codec seam
-        graft.operators.Webp.decode(bytes) match {
+        // RIFF/WEBP: VP8L and (r10) lossy VP8 both decode to real
+        // pixels → the same luminance histogram as the PNG/JPEG branch
+        graft.operators.Webp.decodeRgba(bytes) match {
           case Some(d) => imageHistogram(d, dim)
           case None => graft.operators.Multimodal.FakeCodec.features(bytes, dim)
         }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** vp8_media_for_id(id) -> binary: the embedded EXTERNAL lossy-WebP
+  * conformance fixture bytes ([[graft.operators.Vp8Fixtures]] — real
+  * libwebp/CPython files, never engine-written). */
+case class Vp8MediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vp8_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Vp8Fixtures.fileFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.Vp8Fixtures$$.MODULE$$.fileFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** webp_yuv(media) -> array<struct<plane int, pos int, v int>>: the
+  * decoded VP8 plane samples of a lossy WebP — plane 0=Y, 1=U, 2=V,
+  * 3=alpha (when an ALPH chunk is present) — the spec-level output
+  * surface of [[graft.operators.Vp8]] + the ALPH path, BEFORE any RGB
+  * policy, so an oracle can pin every sample. Null for VP8L-only or
+  * malformed bytes. Codegen'd per-row kernel: the decode rides the
+  * scan like every other media expression. */
+case class WebpYuv(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("plane", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webp_yuv"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebpYuv.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebpYuv$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WebpYuv {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    graft.operators.Webp.decodePlanes(bytes) match {
+      case None => null
+      case Some((_, _, planes)) =>
+        val total = planes.iterator.map(_._2.length).sum
+        val out = new Array[Any](total)
+        var o = 0
+        planes.foreach { case (plane, data) =>
+          var i = 0
+          while (i < data.length) {
+            out(o) = InternalRow(plane, i, data(i) & 0xff)
+            o += 1; i += 1
+          }
+        }
+        new GenericArrayData(out)
+    }
+}

@@ -600,6 +600,31 @@ object Webp {
     if (br.readBits(3) != 0) return None // version must be 0
     if (w.toLong * h > (1L << 24)) return None
 
+    val pixels = decodeArgbStream(br, w, h)
+    // ARGB → interleaved bytes (RGBA when the alpha hint is set)
+    val channels = if (alphaHint) 4 else 3
+    val out = new Array[Byte](w * h * channels)
+    var i = 0
+    var o = 0
+    while (i < pixels.length) {
+      val p = pixels(i)
+      out(o) = ((p >> 16) & 0xff).toByte
+      out(o + 1) = ((p >> 8) & 0xff).toByte
+      out(o + 2) = (p & 0xff).toByte
+      if (channels == 4) out(o + 3) = ((p >>> 24) & 0xff).toByte
+      o += channels
+      i += 1
+    }
+    Some(PngPixels.Decoded(w, h, channels, out))
+  }
+
+  /** The VP8L bitstream BODY (transform loop → entropy-coded image →
+    * inverse transforms) for a w×h image — the part shared by the
+    * standalone VP8L chunk (after its 5-byte header) and the ALPH
+    * chunk's compressed alpha (which has NO header: dimensions come
+    * from the container, RFC 9649 §Alpha). Returns full-size ARGB. */
+  private def decodeArgbStream(
+      br: BitReader, w: Int, h: Int): Array[Int] = {
     // transforms (each type at most once); color-indexing shrinks the
     // coded width for everything read after it
     var curW = w
@@ -651,21 +676,170 @@ object Webp {
       width = w2
     }
     if (width != w) throw Invalid
-    // ARGB → interleaved bytes (RGBA when the alpha hint is set)
-    val channels = if (alphaHint) 4 else 3
-    val out = new Array[Byte](w * h * channels)
-    var i = 0
-    var o = 0
-    while (i < pixels.length) {
-      val p = pixels(i)
-      out(o) = ((p >> 16) & 0xff).toByte
-      out(o + 1) = ((p >> 8) & 0xff).toByte
-      out(o + 2) = (p & 0xff).toByte
-      if (channels == 4) out(o + 3) = ((p >>> 24) & 0xff).toByte
-      o += channels
-      i += 1
+    pixels
+  }
+
+  /** Decode an ALPH chunk payload (RFC 9649): 1 header byte —
+    * 2 reserved, 2 preprocessing (record-only), 2 filtering, 2
+    * compression — then either raw w×h bytes (compression 0) or a
+    * header-less VP8L stream whose GREEN channel carries the alpha
+    * (compression 1). The prediction filter (none/horizontal/
+    * vertical/gradient) is undone per pixel with the spec's edge
+    * rules. Returns the w×h alpha plane, or None on dirty bytes. */
+  private[operators] def decodeAlphaPayload(
+      b: Array[Byte], start: Int, end: Int, w: Int, h: Int)
+      : Option[Array[Byte]] = {
+    try {
+      if (end - start < 1 || w <= 0 || h <= 0 ||
+        w.toLong * h > (1L << 24)) return None
+      val head = b(start) & 0xff
+      if ((head >> 6) != 0) return None // reserved bits
+      val filter = (head >> 2) & 3
+      val compression = head & 3
+      if (compression > 1) return None
+      val raw = new Array[Byte](w * h)
+      if (compression == 0) {
+        if (end - start - 1 < w * h) return None
+        System.arraycopy(b, start + 1, raw, 0, w * h)
+      } else {
+        val br = new BitReader(b, start + 1, end)
+        val argb = decodeArgbStream(br, w, h)
+        var i = 0
+        while (i < w * h) { raw(i) = ((argb(i) >> 8) & 0xff).toByte; i += 1 }
+      }
+      if (filter == 0) return Some(raw)
+      // in-place unfilter (libwebp utils/filters.c semantics)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = raw(y * w + x) & 0xff
+          val left = if (x > 0) out(y * w + x - 1) & 0xff else 0
+          val above = if (y > 0) out((y - 1) * w + x) & 0xff else 0
+          val pred = filter match {
+            case 1 => // horizontal: first px of a row predicts from above
+              if (x > 0) left else if (y > 0) above else 0
+            case 2 => // vertical: first row predicts from the left
+              if (y > 0) above else left
+            case _ => // gradient
+              if (x == 0 && y == 0) 0
+              else if (x == 0) above
+              else if (y == 0) left
+              else {
+                val al = out((y - 1) * w + x - 1) & 0xff
+                val g = left + above - al
+                if (g < 0) 0 else if (g > 255) 255 else g
+              }
+          }
+          out(y * w + x) = ((d + pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Decoded VP8 planes of a lossy WebP: (planeId, bytes) with
+    * 0=Y (w×h), 1=U, 2=V (both ceil(w/2)×ceil(h/2)), and 3=alpha
+    * (w×h, only when an ALPH chunk is present). This is the spec-level
+    * output surface — RFC 6386 ends at the YUV planes, so plane-exact
+    * conformance (and the webp_lossy_pixels oracle) lives here, before
+    * any RGB policy. None for VP8L-only or malformed files. */
+  def decodePlanes(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[(Int, Array[Byte])])] = {
+    try {
+      val c = walkContainer(bytes).getOrElse(return None)
+      if (c.vp8At < 0) return None
+      val yuv = Vp8.decodeFrame(bytes, c.vp8At, c.vp8Len)
+        .getOrElse(return None)
+      val base = Seq(0 -> yuv.y, 1 -> yuv.u, 2 -> yuv.v)
+      if (c.alphAt < 0) Some((yuv.width, yuv.height, base))
+      else decodeAlphaPayload(bytes, c.alphAt, c.alphAt + c.alphLen,
+          yuv.width, yuv.height) match {
+        case Some(a) => Some((yuv.width, yuv.height, base :+ (3 -> a)))
+        case None => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private final case class Chunks(
+      vp8At: Int, vp8Len: Int, alphAt: Int, alphLen: Int, hasVp8l: Boolean)
+
+  private def walkContainer(b: Array[Byte]): Option[Chunks] = {
+    if (b == null || b.length < 12 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var off = 12
+    var vp8At = -1; var vp8Len = 0
+    var alphAt = -1; var alphLen = 0
+    var hasVp8l = false
+    while (off + 8 <= b.length) {
+      val tag = new String(
+        Array(b(off), b(off + 1), b(off + 2), b(off + 3)), "US-ASCII")
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      tag match {
+        case "VP8 " => if (vp8At < 0) { vp8At = off + 8; vp8Len = size.toInt }
+        case "VP8L" => hasVp8l = true
+        case "ALPH" => if (alphAt < 0) { alphAt = off + 8; alphLen = size.toInt }
+        case "ANIM" | "ANMF" => return None // animation out of subset
+        case _ => ()
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
     }
-    Some(PngPixels.Decoded(w, h, channels, out))
+    Some(Chunks(vp8At, vp8Len, alphAt, alphLen, hasVp8l))
+  }
+
+  /** Full WebP container decode to interleaved pixels: VP8L chunks
+    * through the lossless path ([[decode]]), VP8 chunks through the
+    * [[Vp8]] keyframe decoder with an optional ALPH alpha plane.
+    * YUV 4:2:0 → RGB policy (documented, ours — the spec ends at the
+    * YUV planes): nearest-neighbor chroma upsample + the integer JFIF
+    * transform (×65536 fixed point, round-half-up) shared with the
+    * JPEG consumers. Returns RGBA when alpha is present, RGB
+    * otherwise; None for malformed or animated (ANIM) files. */
+  def decodeRgba(bytes: Array[Byte]): Option[PngPixels.Decoded] = {
+    try decodeRgba0(bytes)
+    catch { case _: Exception => None }
+  }
+
+  private def decodeRgba0(b: Array[Byte]): Option[PngPixels.Decoded] = {
+    val c = walkContainer(b).getOrElse(return None)
+    if (c.hasVp8l) return decode(b)
+    if (c.vp8At < 0) return None
+    val yuv = Vp8.decodeFrame(b, c.vp8At, c.vp8Len).getOrElse(return None)
+    val w = yuv.width; val h = yuv.height
+    val alpha = if (c.alphAt < 0) None else {
+      val a = decodeAlphaPayload(b, c.alphAt, c.alphAt + c.alphLen, w, h)
+      if (a.isEmpty) return None // a present-but-dirty ALPH fails the file
+      a
+    }
+    val ch = if (alpha.isDefined) 4 else 3
+    val cw = (w + 1) / 2
+    val out = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yy = yuv.y(y * w + x) & 0xff
+        val cb = (yuv.u((y >> 1) * cw + (x >> 1)) & 0xff) - 128
+        val cr = (yuv.v((y >> 1) * cw + (x >> 1)) & 0xff) - 128
+        @inline def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+        val o = (y * w + x) * ch
+        out(o) = cl(yy + ((91881 * cr + 32768) >> 16)).toByte
+        out(o + 1) = cl(yy - ((22554 * cb + 46802 * cr + 32768) >> 16)).toByte
+        out(o + 2) = cl(yy + ((116130 * cb + 32768) >> 16)).toByte
+        if (ch == 4) out(o + 3) = alpha.get(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngPixels.Decoded(w, h, ch, out))
   }
 
   // ---------------------------------------------------------------

@@ -852,6 +852,17 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("webp_lossy_pixels: the whole VP8 decode chain (container walk " +
+    "+ boolean decode + IDCT + prediction + loop filter + ALPH) is a " +
+    "codegen'd per-row expression riding the scan — no join, no " +
+    "object-serialization barrier") {
+    val plan = physical(run("webp_lossy_pixels"))
+    assert(plan.contains("webp_yuv"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("wordvec_knn: the corpus is encoded through a BROADCAST model " +
     "join (the corpus never shuffles for the lookup) with a " +
     "partial+final mean aggregate, and the ranking is a bounded " +

@@ -91,6 +91,32 @@ class ExternalFixturesSpec extends SparkTestBase {
     assert(n > 0 && sum.toDouble / n < 16.0, s"mean abs diff ${sum.toDouble / n}")
   }
 
+  test("CPython webp: the ALPH chunk's VP8L-coded alpha plane decodes " +
+    "to the PNG's tRNS alpha EXACTLY (cwebp encodes alpha losslessly " +
+    "— a cross-encoder byte-equality pin on the headerless VP8L path)") {
+    val full = Webp.decodeRgba(res("python.webp")).get
+    assert((full.width, full.height, full.channels) == ((16, 16, 4)))
+    (0 until 256).foreach { i =>
+      assert(full.pixels(i * 4 + 3) == pngPx.pixels(i * 4 + 3),
+        s"alpha differs at $i")
+    }
+    // and the color planes came through the byte-exact VP8 path: spot
+    // the full RGBA against libwebp's own decode, allowing only the
+    // YUV->RGB policy difference (libwebp: fancy upsampler; ours:
+    // nearest + integer JFIF) on non-transparent pixels
+    val ref = res("python_webp.rgba")
+    var sum = 0L; var n = 0L
+    (0 until 256).foreach { i =>
+      if ((ref(i * 4 + 3) & 0xff) == 255) (0 until 3).foreach { c =>
+        sum += math.abs((full.pixels(i * 4 + c) & 0xff) -
+          (ref(i * 4 + c) & 0xff))
+        n += 1
+      }
+    }
+    assert(n > 0 && sum.toDouble / n < 12.0,
+      s"mean abs diff vs libwebp RGBA ${sum.toDouble / n}")
+  }
+
   test("libwebp-encoded VP8L files (real cwebp-family encoder, four " +
     "content shapes) decode byte-exactly to the encoded pixels — the " +
     "external conformance pin the self-round-trip could not give") {
