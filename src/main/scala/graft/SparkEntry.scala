@@ -2116,6 +2116,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // segmented TIFF (r10): the archival layout grammar — TILED
+    // organization (16x16 tiles over a 20x21 image: a 2x2 grid with
+    // right+bottom padding cropped on placement), PlanarConfiguration
+    // 2 (one plane per segment run), and 16-bit samples (both byte
+    // orders; samples are px*257 so the 8-bit high-byte view stays on
+    // the classic contract) — across all four lossless compressions
+    // and the predictor. ONE analytic oracle covers all 64 variants
+    // because every axis preserves the same decoded pixel contract.
+    "tiff_tiled_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 64)
+        .selectExpr("doc_id",
+          "pixel_stats(tiffext_media_for_id(CAST(doc_id AS BIGINT))) AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // JPEG-in-TIFF (r9): Compression 7 — the strip payload is a
     // standalone baseline JPEG, so the full JpegDc entropy decoder
     // runs inside the TIFF strip walk. Same DC block contract as
@@ -6794,6 +6817,26 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS pix_sum,
         |  CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h, spp ORDER BY doc_id""".stripMargin,
+
+    // tiled/planar/16-bit all preserve the classic pixel contract in
+    // the 8-bit view (16-bit samples are px*257 — high byte == px),
+    // so one analytic form covers all 64 layout variants; the engine
+    // additionally walked tiles, planes, and 16-bit byte order
+    "tiff_tiled_pixels" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS spp
+        |  FROM documents WHERE doc_id < 64),
+        |px AS (SELECT d.doc_id, d.spp,
+        |    (7 * x.x + 13 * y.y + 29 * c.c + 31 * d.doc_id) % 256 AS v
+        |  FROM d,
+        |    LATERAL unnest(range(0, 20)) AS x(x),
+        |    LATERAL unnest(range(0, 21)) AS y(y),
+        |    LATERAL unnest(range(0, d.spp)) AS c(c))
+        |SELECT doc_id, CAST(20 AS BIGINT) AS width,
+        |  CAST(21 AS BIGINT) AS height, CAST(spp AS BIGINT) AS channels,
+        |  CAST(sum(v) AS BIGINT) AS pix_sum,
+        |  CAST(count(*) AS BIGINT) AS pix_count
+        |FROM px GROUP BY doc_id, spp ORDER BY doc_id""".stripMargin,
 
     // the jpeg_pixels DC-block-contract oracle carried over verbatim
     // — the engine additionally walked the TIFF container and ran the

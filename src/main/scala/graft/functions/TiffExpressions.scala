@@ -104,6 +104,29 @@ case class TiffPixelMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** tiffext_media_for_id(id) -> binary: SEGMENTED-grammar TIFF
+  * (tiled/planar/16-bit variants, [[MediaFixtures.tiffExtMediaFor]]). */
+case class TiffExtMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tiffext_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaFixtures.tiffExtMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.MediaFixtures$$.MODULE$$.tiffExtMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** tiffjpeg_media_for_id(id) -> binary: JPEG-in-TIFF (Compression 7)
   * with a REAL decodable baseline JPEG strip
   * ([[MediaFixtures.tiffJpegFor]]). */

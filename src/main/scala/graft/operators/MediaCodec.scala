@@ -390,6 +390,33 @@ object MediaFixtures {
       predictor = predictor)
   }
 
+  /** (r10) SEGMENTED-grammar TIFF fixture: the same pixel contract
+    * through tiled × planar × 16-bit × compression × byte-order ×
+    * predictor variants ([[Tiff.tiffWithPixelsExt]]; 16-bit samples
+    * are `px·257`, so the 8-bit high-byte view stays on the classic
+    * contract and ONE analytic oracle covers every variant). Image
+    * 20×21 with 16×16 tiles = a 2×2 grid with right+bottom padding. */
+  def tiffExtMediaFor(id: Long): Array[Byte] = {
+    val photometric = math.floorMod(id, 3) match {
+      case 0 => 1
+      case 1 => 0
+      case _ => 2
+    }
+    val compression = math.floorMod(id, 4) match {
+      case 0 => 1
+      case 1 => 32773
+      case 2 => 5
+      case _ => 8
+    }
+    Tiff.tiffWithPixelsExt(id, 20, 21, photometric, compression,
+      littleEndian = id % 5 != 0,
+      predictor = if (id % 8 >= 4) 2 else 1,
+      bps = if (id % 2 == 0) 8 else 16,
+      planar = if (math.floorMod(id, 7) < 3) 1 else 2,
+      tile = if (math.floorMod(id, 9) < 5) Some((16, 16)) else None,
+      rowsPerStrip = (3 + id % 5).toInt)
+  }
+
   /** JPEG-with-EXIF fixture: a REAL decodable baseline JPEG
     * ([[JpegDc.jpegWithPixels]], DC block contract at seed id) with an
     * APP1 Exif segment spliced after SOI — orientation/make/model/

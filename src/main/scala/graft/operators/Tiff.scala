@@ -160,6 +160,12 @@ object Tiff {
       }
       if (!okSpp) return None
       val bits = arr(258).getOrElse(Array.fill(spp)(1L))
+      // the r10 EXTENDED layouts — tiled organization (tags 322-325),
+      // planar configuration 2, 16-bit samples — take the segmented
+      // path; the classic chunky 8-bit strip path below is untouched
+      if (entries.contains(322) || num(284).getOrElse(1L) == 2L ||
+        bits.forall(_ == 16L))
+        return decodeSegmented(b, r, entries)
       if (bits.length != spp || bits.exists(_ != 8L)) return None
       if (num(284).getOrElse(1L) != 1L) return None // chunky only
       if (compression != 1L && compression != 32773L &&
@@ -265,6 +271,219 @@ object Tiff {
         while (i < out.length) { out(i) = (~out(i)).toByte; i += 1 }
       }
       Some(PngPixels.Decoded(w.toInt, h.toInt, spp, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** (r10) The SEGMENTED layout grammar — the archival variants the
+    * classic strip path leaves out, decoded through one segment
+    * abstraction: TILED organization (tags 322–325, tiles padded to
+    * the tile grid and cropped on placement; tile dims must be
+    * multiples of 16 per TIFF 6.0 §15), PlanarConfiguration 2 (one
+    * plane per segment run, segments ordered plane-major), and 16-bit
+    * samples (file byte order; exposed exactly via [[decodePixels16]],
+    * reduced to the high byte for the 8-bit [[PngPixels.Decoded]]
+    * view — the standard display reduction, documented). Compressions
+    * none/PackBits/LZW/deflate; Predictor 2 differences SAMPLES (not
+    * bytes) per row per channel at either depth. Same validator
+    * stance as the strip path: any bound violation fails the file. */
+  private def decodeSegmented(
+      b: Array[Byte], r: Reader, entries: Map[Int, (Int, Long, Int)])
+      : Option[PngPixels.Decoded] = {
+    decodeSamples(b, r, entries).map { case (w, h, spp, bps, samples) =>
+      val out = new Array[Byte](w * h * spp)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (if (bps == 16) samples(i) >> 8 else samples(i)).toByte
+        i += 1
+      }
+      PngPixels.Decoded(w, h, spp, out)
+    }
+  }
+
+  /** Exact sample decode of the segmented grammar:
+    * (w, h, spp, bitsPerSample, samples chunky row-major). */
+  def decodePixels16(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Int])] = {
+    try {
+      if (bytes == null) return None
+      val le = order(bytes, 0).getOrElse(return None)
+      val r = new Reader(bytes, 0, le)
+      if (r.u16(2) != 42) return None
+      decodeSamples(bytes, r, r.ifdEntries(r.u32(4)))
+    } catch { case _: Exception => None }
+  }
+
+  private def decodeSamples(
+      b: Array[Byte], r: Reader, entries: Map[Int, (Int, Long, Int)])
+      : Option[(Int, Int, Int, Int, Array[Int])] = {
+    try {
+      def num(tag: Int): Option[Long] = entries.get(tag).flatMap(r.numeric)
+      def arr(tag: Int): Option[Array[Long]] =
+        entries.get(tag).flatMap(r.values)
+      val w = num(256).getOrElse(return None).toInt
+      val h = num(257).getOrElse(return None).toInt
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+        w.toLong * h > (1L << 26)) return None
+      val spp = num(277).getOrElse(1L).toInt
+      val photometric = num(262).getOrElse(return None)
+      val okSpp = photometric match {
+        case 0 | 1 => spp == 1
+        case 2 => spp == 3 || (spp == 4 && arr(338).exists(_.length == 1))
+        case _ => false
+      }
+      if (!okSpp) return None
+      val bits = arr(258).getOrElse(Array.fill(spp)(8L))
+      if (bits.length != spp ||
+        !(bits.forall(_ == 8L) || bits.forall(_ == 16L))) return None
+      val bps = bits.head.toInt
+      val compression = num(259).getOrElse(1L)
+      if (compression != 1L && compression != 32773L &&
+        compression != 5L && compression != 8L &&
+        compression != 32946L) return None
+      val predictor = num(317).getOrElse(1L)
+      if (predictor != 1L && predictor != 2L) return None
+      val planar = num(284).getOrElse(1L)
+      if (planar != 1L && planar != 2L) return None
+      val tiled = entries.contains(322)
+      // strips and tiles must not coexist (TIFF 6.0)
+      if (tiled && entries.contains(273)) return None
+
+      val nPlanes = if (planar == 2L) spp else 1
+      val sppSeg = if (planar == 2L) 1 else spp
+      // segment grid
+      val (segW, segH, across, down) = if (tiled) {
+        val tw = num(322).getOrElse(return None).toInt
+        val th = num(323).getOrElse(return None).toInt
+        if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0) return None
+        (tw, th, (w + tw - 1) / tw, (h + th - 1) / th)
+      } else {
+        val rps = math.min(num(278).getOrElse(h.toLong), h.toLong).toInt
+        if (rps <= 0) return None
+        (w, rps, 1, (h + rps - 1) / rps)
+      }
+      val segsPerPlane = across * down
+      val offsets = arr(if (tiled) 324 else 273).getOrElse(return None)
+      val counts = arr(if (tiled) 325 else 279).getOrElse(return None)
+      if (offsets.length != counts.length ||
+        offsets.length != segsPerPlane * nPlanes) return None
+
+      val out = new Array[Int](w * h * spp)
+      val bytesPerSample = bps / 8
+      var seg = 0
+      while (seg < offsets.length) {
+        val plane = seg / segsPerPlane
+        val gi = seg % segsPerPlane
+        val tx = gi % across
+        val ty = gi / across
+        // tiles are PADDED to the grid; strips carry exact rows
+        val rowsHere =
+          if (tiled) segH
+          else (math.min(segH.toLong * (ty + 1), h.toLong) -
+            segH.toLong * ty).toInt
+        val rowSamples = segW * sppSeg
+        val want = rowsHere * rowSamples * bytesPerSample
+        val so = offsets(seg); val sc = counts(seg)
+        if (so < 0 || sc < 0 || so + sc > b.length) return None
+        val raw = new Array[Byte](want)
+        if (compression == 1L) {
+          if (sc != want) return None
+          System.arraycopy(b, so.toInt, raw, 0, want)
+        } else if (compression == 5L) {
+          val d = lzwDecode(b, so.toInt, (so + sc).toInt, want)
+            .getOrElse(return None)
+          System.arraycopy(d, 0, raw, 0, want)
+        } else if (compression == 8L || compression == 32946L) {
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(b, so.toInt, sc.toInt)
+            var produced = 0
+            while (produced < want && !inf.finished()) {
+              val n = inf.inflate(raw, produced, want - produced)
+              if (n == 0 && inf.needsInput()) return None
+              produced += n
+            }
+            if (produced != want) return None
+            if (!inf.finished() &&
+              inf.inflate(new Array[Byte](1)) > 0) return None
+          } finally inf.end()
+        } else { // PackBits
+          var ip = so.toInt
+          val end = (so + sc).toInt
+          var produced = 0
+          while (produced < want) {
+            if (ip >= end) return None
+            val n = b(ip); ip += 1
+            if (n >= 0) {
+              val len = n + 1
+              if (ip + len > end || produced + len > want) return None
+              System.arraycopy(b, ip, raw, produced, len)
+              ip += len; produced += len
+            } else if (n != -128) {
+              val len = 1 - n
+              if (ip >= end || produced + len > want) return None
+              java.util.Arrays.fill(raw, produced, produced + len, b(ip))
+              ip += 1; produced += len
+            }
+          }
+          if (ip != end) return None
+        }
+        // bytes -> samples (file byte order at 16-bit)
+        val le = b(0) == 'I'
+        val samples = new Array[Int](rowsHere * rowSamples)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) =
+            if (bps == 8) raw(i) & 0xff
+            else if (le) (raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)
+            else ((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)
+          i += 1
+        }
+        if (predictor == 2L) {
+          val mask = if (bps == 8) 0xff else 0xffff
+          var row = 0
+          while (row < rowsHere) {
+            val base = row * rowSamples
+            var x = sppSeg
+            while (x < rowSamples) {
+              samples(base + x) =
+                (samples(base + x) + samples(base + x - sppSeg)) & mask
+              x += 1
+            }
+            row += 1
+          }
+        }
+        // place (cropping padded tile edges)
+        val x0 = tx * segW
+        val y0 = ty * segH
+        var row = 0
+        while (row < rowsHere) {
+          val y = y0 + row
+          if (y < h) {
+            var sx = 0
+            while (sx < segW) {
+              val x = x0 + sx
+              if (x < w) {
+                var c = 0
+                while (c < sppSeg) {
+                  val ch = if (planar == 2L) plane else c
+                  out((y * w + x) * spp + ch) =
+                    samples(row * rowSamples + sx * sppSeg + c)
+                  c += 1
+                }
+              }
+              sx += 1
+            }
+          }
+          row += 1
+        }
+        seg += 1
+      }
+      if (photometric == 0L) { // WhiteIsZero: invert to intensity
+        val maxV = if (bps == 8) 255 else 65535
+        var i = 0
+        while (i < out.length) { out(i) = maxV - out(i); i += 1 }
+      }
+      Some((w, h, spp, bps, out))
     } catch { case _: Exception => None }
   }
 
@@ -587,6 +806,176 @@ object Tiff {
     }
     tiffContainer(w, h, spp, photometric, compression, rowsPerStrip,
       littleEndian, predictor, strips)
+  }
+
+  /** (r10) Fixture writer for the SEGMENTED grammar: tiled and/or
+    * planar and/or 16-bit variants of the same [[tiffWithPixels]]
+    * pixel contract — decoded sample `(x,y,c)` equals
+    * `px(x,y,c) * (bps==16 ? 257 : 1)` where `px` is the affine-mod
+    * contract, so the 8-bit high-byte view equals the classic
+    * contract EXACTLY and one analytic oracle family covers every
+    * variant. Tile dims must be multiples of 16 (spec); tile padding
+    * bytes are zero (decoder crops them). */
+  def tiffWithPixelsExt(seed: Long, w: Int, h: Int, photometric: Int,
+      compression: Int, littleEndian: Boolean, predictor: Int,
+      bps: Int, planar: Int, tile: Option[(Int, Int)],
+      rowsPerStrip: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && (bps == 8 || bps == 16))
+    require(Seq(1, 32773, 5, 8).contains(compression))
+    require(planar == 1 || planar == 2)
+    require(predictor == 1 || predictor == 2)
+    val spp = if (photometric == 2) 3 else 1
+    def px(x: Int, y: Int, c: Int): Int =
+      (((7L * x + 13L * y + 29L * c + 31L * seed) % 256L) + 256L)
+        .toInt % 256
+    def sample(x: Int, y: Int, c: Int): Int = {
+      val v = px(x, y, c)
+      val s = if (photometric == 0) 255 - v else v
+      if (bps == 16) s * 257 else s
+    }
+    val (segW, segH, across, down) = tile match {
+      case Some((tw, th)) =>
+        require(tw % 16 == 0 && th % 16 == 0)
+        (tw, th, (w + tw - 1) / tw, (h + th - 1) / th)
+      case None =>
+        (w, rowsPerStrip, 1, (h + rowsPerStrip - 1) / rowsPerStrip)
+    }
+    val nPlanes = if (planar == 2) spp else 1
+    val sppSeg = if (planar == 2) 1 else spp
+    val segs = for {
+      plane <- 0 until nPlanes
+      ty <- 0 until down
+      tx <- 0 until across
+    } yield {
+      val rowsHere = if (tile.isDefined) segH
+        else math.min(segH * (ty + 1), h) - segH * ty
+      val rowSamples = segW * sppSeg
+      val samples = new Array[Int](rowsHere * rowSamples)
+      for (row <- 0 until rowsHere; sx <- 0 until segW; c <- 0 until sppSeg) {
+        val x = tx * segW + sx
+        val y = ty * segH + row
+        val ch = if (planar == 2) plane else c
+        samples(row * rowSamples + sx * sppSeg + c) =
+          if (x < w && y < h) sample(x, y, ch) else 0
+      }
+      if (predictor == 2) {
+        val mask = if (bps == 8) 0xff else 0xffff
+        for (row <- 0 until rowsHere) {
+          val base = row * rowSamples
+          var x = rowSamples - 1
+          while (x >= sppSeg) {
+            samples(base + x) =
+              (samples(base + x) - samples(base + x - sppSeg)) & mask
+            x -= 1
+          }
+        }
+      }
+      val raw = new Array[Byte](samples.length * (bps / 8))
+      var i = 0
+      while (i < samples.length) {
+        if (bps == 8) raw(i) = samples(i).toByte
+        else if (littleEndian) {
+          raw(2 * i) = (samples(i) & 0xff).toByte
+          raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        } else {
+          raw(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+          raw(2 * i + 1) = (samples(i) & 0xff).toByte
+        }
+        i += 1
+      }
+      compression match {
+        case 1 => raw
+        case 32773 =>
+          // PackBits per ROW (byte rows) like the strip writer
+          val bb = new java.io.ByteArrayOutputStream()
+          val rowBytes = segW * sppSeg * (bps / 8)
+          for (row <- 0 until rowsHere)
+            bb.write(packBits(
+              java.util.Arrays.copyOfRange(raw, row * rowBytes,
+                (row + 1) * rowBytes)))
+          bb.toByteArray
+        case 5 => lzwEncode(raw)
+        case _ =>
+          val defl = new java.util.zip.Deflater()
+          try {
+            defl.setInput(raw); defl.finish()
+            val bb = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](4096)
+            while (!defl.finished()) bb.write(buf, 0, defl.deflate(buf))
+            bb.toByteArray
+          } finally defl.end()
+      }
+    }
+    // ---- container with the extended tags --------------------------
+    val nSegs = segs.length
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16v(v: Int): Unit =
+      if (littleEndian) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      else { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def w32v(v: Long): Unit =
+      if (littleEndian) {
+        bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+        bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+      } else {
+        bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+        bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+      }
+    val tiled = tile.isDefined
+    var nTags = 9 // 256,257,258,259,262,277,284 + loc(2 tags)
+    if (tiled) nTags += 2 // 322,323 (324/325 counted in loc)
+    else nTags += 1 // 278
+    if (predictor == 2) nTags += 1
+    val ifdBytes = 2 + 12 * nTags + 4
+    var cursor = 8L + ifdBytes
+    val bitsOff = cursor
+    if (spp > 1) cursor += 2L * spp
+    val needArrays = nSegs > 1
+    val offsetsOff = cursor
+    if (needArrays) cursor += 4L * nSegs
+    val countsOff = cursor
+    if (needArrays) cursor += 4L * nSegs
+    val segOffs = segs.scanLeft(cursor)((acc, st) => acc + st.length)
+    bos.write(if (littleEndian) 'I' else 'M')
+    bos.write(if (littleEndian) 'I' else 'M')
+    w16v(42); w32v(8)
+    def tagE(t: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16v(t); w16v(typ); w32v(count)
+      if (typ == 3 && count == 1) { w16v(value.toInt); w16v(0) }
+      else w32v(value)
+    }
+    w16v(nTags)
+    tagE(256, 4, 1, w.toLong)
+    tagE(257, 4, 1, h.toLong)
+    if (spp > 1) tagE(258, 3, spp.toLong, bitsOff)
+    else tagE(258, 3, 1, bps.toLong)
+    tagE(259, 3, 1, compression.toLong)
+    tagE(262, 3, 1, photometric.toLong)
+    if (!tiled) tagE(273, 4, nSegs.toLong,
+      if (needArrays) offsetsOff else segOffs(0))
+    tagE(277, 3, 1, spp.toLong)
+    if (!tiled) {
+      tagE(278, 4, 1, segH.toLong)
+      tagE(279, 4, nSegs.toLong,
+        if (needArrays) countsOff else segs(0).length.toLong)
+    }
+    tagE(284, 3, 1, planar.toLong)
+    if (predictor == 2) tagE(317, 3, 1, 2)
+    if (tiled) {
+      tagE(322, 4, 1, segW.toLong)
+      tagE(323, 4, 1, segH.toLong)
+      tagE(324, 4, nSegs.toLong,
+        if (needArrays) offsetsOff else segOffs(0))
+      tagE(325, 4, nSegs.toLong,
+        if (needArrays) countsOff else segs(0).length.toLong)
+    }
+    w32v(0)
+    if (spp > 1) (0 until spp).foreach(_ => w16v(bps))
+    if (needArrays) {
+      segOffs.init.foreach(w32v)
+      segs.foreach(st => w32v(st.length.toLong))
+    }
+    segs.foreach(st => bos.write(st, 0, st.length))
+    bos.toByteArray
   }
 
   /** Assemble a single-IFD TIFF around already-encoded strips —

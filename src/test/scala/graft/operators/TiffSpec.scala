@@ -116,6 +116,67 @@ class TiffSpec extends SparkTestBase {
     }
   }
 
+  test("segmented grammar (r10): tiled x planar x 16-bit x " +
+    "compression x byte order x predictor all round-trip the closed " +
+    "form positionally, and the 8-bit view equals the classic " +
+    "contract (high byte of v*257 == v)") {
+    def px(seed: Long, x: Int, y: Int, c: Int): Int =
+      ((7L * x + 13L * y + 29L * c + 31L * seed) % 256L).toInt
+    for (seed <- 0L to 1L; photometric <- Seq(0, 1, 2);
+        comp <- Seq(1, 32773, 5, 8); pred <- Seq(1, 2);
+        bps <- Seq(8, 16); planar <- Seq(1, 2);
+        tile <- Seq(None, Some((16, 16))); le <- Seq(true, false)) {
+      // 20x21 forces a 2x2 tile grid with right+bottom padding
+      val w = 20; val h = 21
+      val spp = if (photometric == 2) 3 else 1
+      val bytes = Tiff.tiffWithPixelsExt(seed, w, h, photometric, comp,
+        le, pred, bps, planar, tile, rowsPerStrip = 5)
+      val label = s"seed=$seed ph=$photometric c=$comp p=$pred " +
+        s"bps=$bps pl=$planar t=$tile le=$le"
+      // exact sample surface
+      val (dw, dh, dspp, dbps, samples) =
+        Tiff.decodePixels16(bytes).getOrElse(fail(s"16: $label"))
+      assert((dw, dh, dspp, dbps) == ((w, h, spp, bps)), label)
+      for (y <- Seq(0, 7, h - 1); x <- Seq(0, 9, w - 1); c <- 0 until spp) {
+        val want = px(seed, x, y, c) * (if (bps == 16) 257 else 1)
+        assert(samples((y * w + x) * spp + c) == want,
+          s"$label @($x,$y,$c)")
+      }
+      assert(samples.map(_.toLong).sum ==
+        (for (y <- 0 until h; x <- 0 until w; c <- 0 until spp)
+          yield px(seed, x, y, c).toLong *
+            (if (bps == 16) 257 else 1)).sum, label)
+      // byte view == classic contract at either depth
+      val d = Tiff.decodePixels(bytes).getOrElse(fail(s"8: $label"))
+      assert((d.width, d.height, d.channels) == ((w, h, spp)), label)
+      for (y <- Seq(0, h - 1); x <- Seq(0, w - 1); c <- 0 until spp)
+        assert((d.pixels((y * w + x) * spp + c) & 0xff) ==
+          px(seed, x, y, c), s"8bit $label @($x,$y,$c)")
+    }
+  }
+
+  test("segmented validator stance: non-multiple-of-16 tile dims, " +
+    "strip+tile coexistence, and truncated segment data all fail the " +
+    "file (None, never a throw)") {
+    val good = Tiff.tiffWithPixelsExt(1L, 20, 21, 1, 1, true, 1, 16, 1,
+      Some((16, 16)), 5)
+    assert(Tiff.decodePixels(good).isDefined)
+    // tile width 12: spec violation (tag 322 inline value)
+    val badTile = good.clone()
+    // find tag 322 in the IFD and overwrite its value with 12
+    val n = (badTile(8) & 0xff) | ((badTile(9) & 0xff) << 8)
+    var patched = false
+    (0 until n).foreach { i =>
+      val off = 10 + 12 * i
+      val tag = (badTile(off) & 0xff) | ((badTile(off + 1) & 0xff) << 8)
+      if (tag == 322) { badTile(off + 8) = 12; patched = true }
+    }
+    assert(patched)
+    assert(Tiff.decodePixels(badTile).isEmpty)
+    assert(Tiff.decodePixels16(good.take(good.length / 2)).isEmpty)
+    assert(Tiff.decodePixels16(Array[Byte](0, 1, 2)).isEmpty)
+  }
+
   test("TIFF-LZW bitstream: a hand-computed vector pins the " +
     "MSB-first packing and early-change widths, not just a " +
     "self-consistent round trip") {
