@@ -117,6 +117,7 @@ object GraftExtensions {
     "zip_media_for_id" -> (es => ZipMediaBytes(es.head)),
     "tiff_media_for_id" -> (es => TiffMediaBytes(es.head)),
     "tiffext_media_for_id" -> (es => TiffExtMediaBytes(es.head)),
+    "g4_media_for_id" -> (es => G4MediaBytes(es.head)),
     "tiffpx_media_for_id" -> (es => TiffPixelMediaBytes(es.head)),
     "tiffjpeg_media_for_id" -> (es => TiffJpegMediaBytes(es.head)),
     "jpeg_exif_media_for_id" -> (es => JpegExifMediaBytes(es.head)),

@@ -2139,6 +2139,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCITT Group 4 (r10): the scanned-document fax compression —
+    // ITU-T T.6 two-dimensional MMR decode over EXTERNAL fixture
+    // bytes (five real libtiff encodes incl. a multi-strip file, so
+    // per-strip reference-line resets are exercised; the T.4 run
+    // tables themselves were extracted from libtiff, see T4Tables).
+    // Stats over pixel_stats; the oracle replays them from the pinned
+    // exact bit rasters — one wrong mode/run anywhere desyncs MMR and
+    // breaks the hash.
+    "tiff_g4_pixels" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 5)
+        .selectExpr("doc_id",
+          "pixel_stats(g4_media_for_id(CAST(doc_id AS BIGINT))) AS st")
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("width"),
+          col("st.height").cast("long").as("height"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.pix_sum").as("pix_sum"),
+          col("st.pix_count").as("pix_count"))
+        .orderBy("doc_id")
+    }),
+
     // JPEG-in-TIFF (r9): Compression 7 — the strip payload is a
     // standalone baseline JPEG, so the full JpegDc entropy decoder
     // runs inside the TIFF strip walk. Same DC block contract as
@@ -3963,6 +3986,15 @@ object SparkEntry {
     "sql_text_qvec" -> ((s, dir) => {
       val v = TextEncoder.encode("machine learning")
       s.createDataFrame(Seq(Tuple1(v))).toDF("qv")
+    }),
+
+    // tiff_g4_pixels: the pinned exact bit rasters of the libtiff G4
+    // fixtures — external data, not engine output
+    "g4_expected" -> ((s, dir) => {
+      import s.implicits._
+      (0L until 5L).flatMap(id => operators.G4Fixtures.expectedRows(id)
+        .map { case (pos, bit) => (id, pos.toLong, bit.toLong) })
+        .toDF("doc_id", "pos", "bit")
     }),
 
     // webp_lossy_pixels: the PINNED expected planes — external data
@@ -6817,6 +6849,28 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS pix_sum,
         |  CAST(count(*) AS BIGINT) AS pix_count
         |FROM px GROUP BY doc_id, w, h, spp ORDER BY doc_id""".stripMargin,
+
+    // stats replayed from the pinned exact bit rasters (photometric 0:
+    // bit 1 = black = intensity 0); the engine ran the whole T.6 MMR
+    // decode to produce the same numbers
+    "tiff_g4_pixels" ->
+      """WITH e AS (SELECT doc_id, bit
+        |           FROM read_parquet('__AUX__/g4_expected/*.parquet')),
+        |d AS (SELECT DISTINCT doc_id,
+        |        CASE doc_id WHEN 0 THEN 200 WHEN 1 THEN 64
+        |             WHEN 2 THEN 96 WHEN 3 THEN 40 ELSE 33 END AS w,
+        |        CASE doc_id WHEN 0 THEN 120 WHEN 1 THEN 64
+        |             WHEN 2 THEN 60 WHEN 3 THEN 10 ELSE 21 END AS h
+        |      FROM e)
+        |SELECT e.doc_id, CAST(d.w AS BIGINT) AS width,
+        |       CAST(d.h AS BIGINT) AS height,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(sum(CASE WHEN e.bit = 1 THEN 0 ELSE 255 END) AS BIGINT)
+        |         AS pix_sum,
+        |       CAST(count(*) AS BIGINT) AS pix_count
+        |FROM e JOIN d USING (doc_id)
+        |GROUP BY e.doc_id, d.w, d.h
+        |ORDER BY e.doc_id""".stripMargin,
 
     // tiled/planar/16-bit all preserve the classic pixel contract in
     // the 8-bit view (16-bit samples are px*257 — high byte == px),

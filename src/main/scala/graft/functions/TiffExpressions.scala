@@ -127,6 +127,30 @@ case class TiffExtMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** g4_media_for_id(id) -> binary: EXTERNAL CCITT Group 4 fixture bytes
+  * ([[graft.operators.G4Fixtures]] — real libtiff encodes, never
+  * engine-written). */
+case class G4MediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "g4_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.G4Fixtures.fileFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.G4Fixtures$$.MODULE$$.fileFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** tiffjpeg_media_for_id(id) -> binary: JPEG-in-TIFF (Compression 7)
   * with a REAL decodable baseline JPEG strip
   * ([[MediaFixtures.tiffJpegFor]]). */

@@ -164,7 +164,7 @@ object Tiff {
       // planar configuration 2, 16-bit samples — take the segmented
       // path; the classic chunky 8-bit strip path below is untouched
       if (entries.contains(322) || num(284).getOrElse(1L) == 2L ||
-        bits.forall(_ == 16L))
+        bits.forall(_ == 16L) || num(259).getOrElse(1L) == 4L)
         return decodeSegmented(b, r, entries)
       if (bits.length != spp || bits.exists(_ != 8L)) return None
       if (num(284).getOrElse(1L) != 1L) return None // chunky only
@@ -274,6 +274,121 @@ object Tiff {
     } catch { case _: Exception => None }
   }
 
+  /** (r10) CCITT Group 4 (ITU-T T.6 MMR) decode — the scanned-document
+    * compression (TIFF Compression 4): pure two-dimensional coding
+    * against a reference line that starts all-white per segment, with
+    * Vertical(±3)/Horizontal/Pass modes and the T.4 run-length codes
+    * ([[graft.functions.T4Tables]], extracted from libtiff so the
+    * arbitrary Huffman assignments are transcription-error-proofed).
+    * Returns one byte per pixel (0 = white bit, 1 = black bit) for
+    * `h` rows, or None on any desync/overrun — MMR has no per-row
+    * resync, so the validator stance is all-or-nothing. */
+  private object G4 {
+    private def trie(codes: Seq[(String, Int)]): Map[(Int, Int), Int] =
+      codes.map { case (bits, run) =>
+        (bits.length, Integer.parseInt(bits, 2)) -> run
+      }.toMap
+    private val white = trie(graft.functions.T4Tables.White)
+    private val black = trie(graft.functions.T4Tables.Black)
+    // mode codes (T.6 §2.2.4): value by tree — V0, VR/VL 1-3, H, P
+    private val modes: Map[(Int, Int), Int] = Map(
+      (1, 1) -> 0, // V0
+      (3, 3) -> 1, (3, 2) -> -1, // VR1 / VL1
+      (3, 1) -> 9, // H
+      (4, 1) -> 8, // P
+      (6, 3) -> 2, (6, 2) -> -2, // VR2 / VL2
+      (7, 3) -> 3, (7, 2) -> -3) // VR3 / VL3
+
+    def decode(b: Array[Byte], off: Int, end: Int, w: Int, h: Int)
+        : Option[Array[Byte]] = {
+      val out = new Array[Byte](w * h)
+      var bitPos = off.toLong * 8
+      val bitEnd = end.toLong * 8
+      def readBit(): Int = {
+        if (bitPos >= bitEnd) return -1
+        val v = (b((bitPos >> 3).toInt) >> (7 - (bitPos & 7).toInt)) & 1
+        bitPos += 1
+        v
+      }
+      def readCode(tab: Map[(Int, Int), Int], maxLen: Int): Int = {
+        var acc = 0; var len = 0
+        while (len < maxLen) {
+          val bit = readBit()
+          if (bit < 0) return Int.MinValue
+          acc = (acc << 1) | bit; len += 1
+          tab.get((len, acc)) match {
+            case Some(v) => return v
+            case None => ()
+          }
+        }
+        Int.MinValue
+      }
+      def readRun(isWhite: Boolean): Int = {
+        var total = 0
+        while (true) {
+          val r = readCode(if (isWhite) white else black, 13)
+          if (r == Int.MinValue) return -1
+          total += r
+          if (r < 64) return total // terminating code ends the run
+        }
+        -1
+      }
+      val ref = new Array[Byte](w) // previous row (all-white start)
+      val cur = new Array[Byte](w)
+      var row = 0
+      while (row < h) {
+        java.util.Arrays.fill(cur, 0.toByte)
+        var a0 = -1
+        var color = 0 // 0 white, 1 black
+        while (a0 < w) {
+          // b1: first changing element on ref right of a0 with colour
+          // opposite the coding colour; b2: the next one after b1
+          var b1 = a0 + 1
+          if (b1 < 0) b1 = 0
+          while (b1 < w && !(refChanges(ref, b1) &&
+            (ref(b1) & 1) != color)) b1 += 1
+          var b2 = b1 + 1
+          while (b2 < w && !refChanges(ref, b2)) b2 += 1
+          val m = readCode(modes, 7)
+          if (m == Int.MinValue) return None
+          val s = math.max(a0, 0)
+          if (m == 8) { // pass: current colour extends past b2
+            if (b2 > w) return None
+            java.util.Arrays.fill(cur, s, b2, color.toByte)
+            a0 = b2
+          } else if (m == 9) { // horizontal: two explicit runs
+            val r1 = readRun(color == 0)
+            if (r1 < 0) return None
+            val r2 = readRun(color == 1)
+            if (r2 < 0) return None
+            if (s + r1 + r2 > w) return None
+            java.util.Arrays.fill(cur, s, s + r1, color.toByte)
+            java.util.Arrays.fill(cur, s + r1, s + r1 + r2,
+              (1 - color).toByte)
+            a0 = s + r1 + r2
+          } else { // vertical: a1 = b1 + m, colour flips
+            val a1 = b1 + m
+            if (a1 < s || a1 > w) return None
+            java.util.Arrays.fill(cur, s, a1, color.toByte)
+            color = 1 - color
+            a0 = a1
+          }
+        }
+        if (a0 != w) return None
+        System.arraycopy(cur, 0, out, row * w, w)
+        System.arraycopy(cur, 0, ref, 0, w)
+        row += 1
+      }
+      Some(out)
+    }
+
+    /** Is `i` a changing element of `row` (differs from its left
+      * neighbor; position 0 changes iff non-white — the imaginary
+      * left pixel is white)? */
+    @inline private def refChanges(row: Array[Byte], i: Int): Boolean =
+      if (i == 0) row(0) != 0 else row(i) != row(i - 1)
+  }
+
   /** (r10) The SEGMENTED layout grammar — the archival variants the
     * classic strip path leaves out, decoded through one segment
     * abstraction: TILED organization (tags 322–325, tiles padded to
@@ -332,16 +447,21 @@ object Tiff {
         case _ => false
       }
       if (!okSpp) return None
-      val bits = arr(258).getOrElse(Array.fill(spp)(8L))
-      if (bits.length != spp ||
-        !(bits.forall(_ == 8L) || bits.forall(_ == 16L))) return None
-      val bps = bits.head.toInt
       val compression = num(259).getOrElse(1L)
+      val bits = arr(258).getOrElse(Array.fill(spp)(8L))
+      val g4 = compression == 4L
+      // G4 is the bilevel fax codec: 1 bit/sample, one component
+      if (g4 && !(spp == 1 && bits.forall(_ == 1L) &&
+        (photometric == 0L || photometric == 1L))) return None
+      if (!g4 && (bits.length != spp ||
+        !(bits.forall(_ == 8L) || bits.forall(_ == 16L)))) return None
+      val bps = if (g4) 8 else bits.head.toInt // bilevel expands to 0/255
       if (compression != 1L && compression != 32773L &&
-        compression != 5L && compression != 8L &&
+        compression != 4L && compression != 5L && compression != 8L &&
         compression != 32946L) return None
       val predictor = num(317).getOrElse(1L)
       if (predictor != 1L && predictor != 2L) return None
+      if (g4 && predictor != 1L) return None
       val planar = num(284).getOrElse(1L)
       if (planar != 1L && planar != 2L) return None
       val tiled = entries.contains(322)
@@ -384,6 +504,28 @@ object Tiff {
         val want = rowsHere * rowSamples * bytesPerSample
         val so = offsets(seg); val sc = counts(seg)
         if (so < 0 || sc < 0 || so + sc > b.length) return None
+        if (g4) {
+          // T.6 MMR: decodes straight to one BIT per pixel; expand to
+          // the 0/255 sample convention (photometric handling below)
+          val bitsOut = G4.decode(b, so.toInt, (so + sc).toInt,
+            segW, rowsHere).getOrElse(return None)
+          val x0 = tx * segW; val y0 = ty * segH
+          var row0 = 0
+          while (row0 < rowsHere) {
+            val y = y0 + row0
+            if (y < h) {
+              var sx = 0
+              while (sx < segW) {
+                if (x0 + sx < w)
+                  out((y * w + x0 + sx) * spp) =
+                    (bitsOut(row0 * segW + sx) & 1) * 255
+                sx += 1
+              }
+            }
+            row0 += 1
+          }
+          seg += 1
+        } else {
         val raw = new Array[Byte](want)
         if (compression == 1L) {
           if (sc != want) return None
@@ -477,6 +619,7 @@ object Tiff {
           row += 1
         }
         seg += 1
+        }
       }
       if (photometric == 0L) { // WhiteIsZero: invert to intensity
         val maxV = if (bps == 8) 255 else 65535

@@ -117,6 +117,41 @@ class ExternalFixturesSpec extends SparkTestBase {
       s"mean abs diff vs libwebp RGBA ${sum.toDouble / n}")
   }
 
+  test("libtiff-encoded CCITT G4 files (real fax encoder, five " +
+    "patterns incl. multi-strip) decode bit-exactly: MMR modes, T.4 " +
+    "run codes, and per-strip reference-line resets all pinned by " +
+    "foreign bytes") {
+    Seq("g4_text", "g4_diag", "g4_multistrip", "g4_allwhite", "g4_checker")
+      .foreach { name =>
+        val want = res(s"$name.bits")
+        val d = Tiff.decodePixels(res(s"$name.tif"))
+          .getOrElse(fail(s"$name: decode returned None"))
+        assert(d.channels == 1, name)
+        assert(d.pixels.length == want.length, name)
+        // fixture photometric is 0 (WhiteIsZero): bit 1 -> intensity 0
+        var diffs = 0
+        want.indices.foreach { i =>
+          val wantPx = if (want(i) == 1) 0 else 255
+          if ((d.pixels(i) & 0xff) != wantPx) diffs += 1
+        }
+        assert(diffs == 0, s"$name: $diffs/${want.length} pixels differ")
+      }
+  }
+
+  test("G4 validator stance: truncated strips and corrupt code bits " +
+    "fail the file (None, never a throw), and a corruption sweep " +
+    "never crashes") {
+    val good = res("g4_text.tif")
+    assert(Tiff.decodePixels(good.take(good.length / 2)).isEmpty)
+    // flip bits through the strip area: either None or a successful
+    // decode of different bits — never an exception
+    (good.length - 200 until good.length by 7).foreach { i =>
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x44).toByte
+      Tiff.decodePixels(bad) // must not throw
+    }
+  }
+
   test("libwebp-encoded VP8L files (real cwebp-family encoder, four " +
     "content shapes) decode byte-exactly to the encoded pixels — the " +
     "external conformance pin the self-round-trip could not give") {
