@@ -118,6 +118,126 @@ case class VectorSumLong(
   override def prettyName: String = "vector_sum_long"
 }
 
+/** `token_window_pairs(tokens, k)` → array<string> of co-occurrence
+  * pairs "w c" (single-space joined, multiplicity preserved) at every
+  * offset 1..k — the codegen'd pair kernel behind
+  * [[graft.operators.WordVec.train]]. The equivalent
+  * `flatten(transform(sequence..., zip_with(slice...)))` higher-order
+  * pipeline evaluates its lambdas INTERPRETED per element (the
+  * [[TokenBigrams]] lesson, re-measured here: 312 s → 45 s for the
+  * 1M-doc training probe). Tokens come from the `[a-z]+|[0-9]+`
+  * tokenizer so they cannot contain the separator. */
+case class TokenWindowPairs(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1 && window <= 16, s"window $window")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_window_pairs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenWindowPairs.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      window)
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenWindowPairs$$.MODULE$$.compute($c, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenWindowPairs {
+  private val space = UTF8String.fromString(" ")
+
+  /** The kernel; public so generated code can call it. */
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      window: Int): GenericArrayData = {
+    val n = toks.numElements()
+    var total = 0
+    var k = 1
+    while (k <= window) { total += math.max(n - k, 0); k += 1 }
+    val out = new Array[Any](total)
+    var o = 0
+    k = 1
+    while (k <= window) {
+      var i = 0
+      while (i + k < n) {
+        out(o) = UTF8String.concat(
+          toks.getUTF8String(i), space, toks.getUTF8String(i + k))
+        o += 1
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `ri_contrib(context, ppmi_micros, dim)` → array<long>: one
+  * random-indexing contribution row, `ppmi · h(c, d)` with
+  * `h(c, d) = pmod(xxhash64(c, d), 2)·2 − 1` — BIT-IDENTICAL to the
+  * Column formulation (the kernel replays Spark's own XXH64 chain:
+  * string child at seed 42, then the int dimension index), but
+  * codegen'd: the `transform(sequence(...), d -> ...)` higher-order
+  * form evaluates its lambda interpreted, and at 12M PPMI rows × 64
+  * dims (~770M evals) it dominated the 1M-doc training probe. */
+case class RiContrib(left: Expression, right: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(dim >= 1 && dim <= 4096, s"dim $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ri_contrib"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, bigint), got $other")
+    }
+
+  override def nullSafeEval(c: Any, p: Any): Any =
+    RiContrib.compute(c.asInstanceOf[UTF8String], p.asInstanceOf[Long], dim)
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (c, p) =>
+      s"graft.functions.RiContrib$$.MODULE$$.compute($c, $p, $dim)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RiContrib {
+  /** The kernel; public so generated code can call it. Replays
+    * `xxhash64(c, d)` exactly: XXH64 over the string bytes at seed 42,
+    * then XXH64.hashInt of the dimension with that result as seed. */
+  def compute(c: UTF8String, ppmiMicros: Long, dim: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h0 = XXH64.hashUnsafeBytes(
+      c.getBaseObject, c.getBaseOffset, c.numBytes(), 42L)
+    val out = new Array[Any](dim)
+    var d = 0
+    while (d < dim) {
+      val v = XXH64.hashInt(d, h0)
+      out(d) = if (((v % 2) + 2) % 2 == 1L) ppmiMicros else -ppmiMicros
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Frozen mean-pool word-vector model — the learned-encoder twin of
   * [[UnigramModelRef]]'s model-as-reference-object pattern: the
   * bounded (word → dim-length vector) table rides into executors as

@@ -57,7 +57,12 @@ object WordVec {
       maxVocab: Int = 65536): DataFrame = {
     require(dim > 0 && window > 0)
     val toks = Bm25.tokens(col(textCol))
-    // vocabulary: bounded, deterministically tie-broken
+    // vocabulary: bounded, deterministically tie-broken. Bounded
+    // intermediates (vocab, pair counts, symmetrized counts) are
+    // PINNED with localCheckpoint: each feeds 2+ downstream jobs, and
+    // without the pin the 100M+-row pair stage re-executes once per
+    // consumer (measured 256 s → 27 s on the 1M-doc probe) — the
+    // DataMix materialize-bounded-lineage pattern.
     val vocab = docs
       .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -65,27 +70,26 @@ object WordVec {
       .orderBy(desc("cnt"), col("word"))
       .limit(maxVocab)
       .select("word")
+      .localCheckpoint()
     // co-occurrence pairs at offsets 1..window, generated MAP-SIDE by
-    // zipping each token array against its own k-shifted self — the
+    // the codegen'd TokenWindowPairs kernel (the HOF zip formulation
+    // evaluates interpreted and measured ~7× slower at 1M docs) — the
     // corpus never self-joins and shuffles exactly once (the groupBy)
-    val len = size(col("__t"))
     val pairs = docs
-      .select(toks.as("__t"))
-      .select(explode(flatten(transform(
-        sequence(lit(1), lit(window)),
-        k => zip_with(
-          slice(col("__t"), lit(1), greatest(len - k, lit(0))),
-          slice(col("__t"), k + lit(1), greatest(len - k, lit(0))),
-          (x, y) => struct(x.as("w"), y.as("c")))))).as("p"))
-      .select(col("p.w").as("w"), col("p.c").as("c"))
+      .select(explode(Shim.column(graft.functions.TokenWindowPairs(
+        Shim.expression(toks), window))).as("p"))
+      .select(substring_index(col("p"), " ", 1).as("w"),
+        substring_index(col("p"), " ", -1).as("c"))
       .join(broadcast(vocab.withColumnRenamed("word", "w")), Seq("w"), "left_semi")
       .join(broadcast(vocab.withColumnRenamed("word", "c")), Seq("c"), "left_semi")
       .groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // symmetrize on the COUNTED (bounded) table, not the raw pairs
     val sym = pairs
       .union(pairs.select(col("c").as("w"), col("w").as("c"), col("cnt")))
       .groupBy("w", "c").agg(sum(col("cnt")).as("cnt"))
-    val marg = sym.groupBy("w").agg(sum(col("cnt")).as("mw"))
+      .localCheckpoint()
+    val marg = sym.groupBy("w").agg(sum(col("cnt")).as("mw")).localCheckpoint()
     val totals = sym.agg(sum(col("cnt")).as("t"))
     // PPMI in integer micros: ln(cnt·T / (m(w)·m(c))), positive part —
     // quantized so the projection sum below is exact long arithmetic
@@ -101,13 +105,14 @@ object WordVec {
       .filter(col("ppmi_micros") > 0)
       .select("w", "c", "ppmi_micros")
     // random-indexing projection: context c owns the deterministic ±1
-    // hash vector h(c,·); v(w) = Σ_c ppmi(w,c)·h(c,·), summed in longs
-    val contrib = transform(
-      sequence(lit(0), lit(dim - 1)),
-      d => col("ppmi_micros") *
-        (pmod(xxhash64(col("c"), d), lit(2)) * lit(2L) - lit(1L)))
+    // hash vector h(c,·) = pmod(xxhash64(c,·),2)·2−1 via the codegen'd
+    // RiContrib kernel (bit-identical to the transform(...) HOF form,
+    // whose interpreted lambda dominated the 1M-doc training probe);
+    // v(w) = Σ_c ppmi(w,c)·h(c,·), summed in longs
     val sums = ppmi
-      .select(col("w"), contrib.as("contrib"))
+      .select(col("w"), Shim.column(graft.functions.RiContrib(
+        Shim.expression(col("c")),
+        Shim.expression(col("ppmi_micros")), dim)).as("contrib"))
       .groupBy("w")
       .agg(Shim.column(VectorSumLong(
         Shim.expression(col("contrib"))).toAggregateExpression()).as("s"))

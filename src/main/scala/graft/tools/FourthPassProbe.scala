@@ -271,6 +271,60 @@ object FourthPassProbe {
       time("tiff: gen+decode, 1M images") { genDecode() }
     }
 
+    if (which == "all" || which == "wordvec") {
+      // PPMI random-indexing training at 1M docs (~60M tokens, 5k+800
+      // vocab): pair generation is a map-side zip (no self-join), the
+      // corpus shuffles once into pair counts, everything after is
+      // vocab-bounded. Encoding = broadcast join + one partial mean.
+      docs.count()
+      val model = time("wordvec: train dim=64 win=2, 1M docs (60M tok)") {
+        WordVec.train(docs, "text", dim = 64, window = 2, minCount = 2)
+          .localCheckpoint(true)
+      }
+      println(s"[probe]   vocab = ${model.count()}")
+      time("wordvec: broadcast-join encode, 1M docs, warm") {
+        WordVec.encodeJoin(docs, "doc_id", "text", model)
+          .agg(sum(element_at(col("vec"), 1))).head()
+      }
+      val ref = WordVec.modelRef(model)
+      time("wordvec: frozen codegen encode, 1M docs (zero-join map)") {
+        docs.select(WordVec.embed(ref, col("text")).as("v"))
+          .agg(sum(element_at(col("v"), 1))).head()
+      }
+    }
+
+    if (which == "all" || which == "g4decode") {
+      // CCITT G4 MMR decode throughput over the embedded external
+      // fixtures (mixed sizes; ~34.9k px/5 files)
+      graft.Graft.init(spark)
+      val n2 = 1000000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(g4_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("pixel_stats(g4_media_for_id(id)) AS st")
+        .agg(sum("st.pix_sum")).head()
+      genOnly(); genDecode() // warm
+      time("g4: gen-only, 1M images") { genOnly() }
+      time("g4: gen+decode, 1M images") { genDecode() }
+    }
+
+    if (which == "all" || which == "vp8decode") {
+      // VP8 keyframe decode throughput over the embedded external
+      // fixtures (5 files, 72B..3.4KB)
+      graft.Graft.init(spark)
+      val n2 = 300000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(vp8_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("explode(webp_yuv(vp8_media_for_id(id))) AS s")
+        .agg(sum("s.v")).head()
+      genOnly() // warm the gen
+      time("vp8: gen-only, 300k images") { genOnly() }
+      time("vp8: gen+decode+explode, 300k images") { genDecode() }
+    }
+
     if (which == "all" || which == "suffixarray") {
       // 1M tokens: 20k docs x 50 tokens from a narrow vocabulary so
       // real repeats exist (every doc shares phrases with ~10 peers);
