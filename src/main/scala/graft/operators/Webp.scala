@@ -340,7 +340,13 @@ object Webp {
         i += 1
       }
       numGroups = mx + 1
-      if (numGroups > 1024) throw Invalid // sanity bound for fixtures
+      // bound: a valid stream can't reference more groups than the
+      // entropy image has cells, and each group allocates five prefix
+      // trees (~KBs) — 64k groups ≈ tens of MB, the same
+      // adversarial-allocation ceiling as MaxDecodedBytes. Real
+      // encoders emit far fewer (libwebp: dozens); the old 1024
+      // fixture bound could reject valid very-large images.
+      if (numGroups > math.min(huffImage.length, 65536)) throw Invalid
     }
     val groups = Array.fill(numGroups)(readGroup(cacheSize, br))
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
