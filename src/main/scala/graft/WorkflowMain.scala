@@ -31,9 +31,23 @@ object WorkflowMain {
 
   /** Execute a workflow request; returns the response JSON line. */
   def run(spark: SparkSession, reqPath: String, indexPath: String,
+      k: Int = 10): String =
+    runReq(spark,
+      spark.read.option("multiLine", "true").json(reqPath).head(),
+      indexPath, k)
+
+  /** The same contract over an in-memory request body — the form
+    * [[WorkflowServer]] serves per POST. */
+  def runJson(spark: SparkSession, body: String, indexPath: String,
       k: Int = 10): String = {
+    import spark.implicits._
+    runReq(spark, spark.read.json(spark.createDataset(Seq(body))).head(),
+      indexPath, k)
+  }
+
+  private def runReq(spark: SparkSession,
+      req: org.apache.spark.sql.Row, indexPath: String, k: Int): String = {
     Graft.init(spark)
-    val req = spark.read.option("multiLine", "true").json(reqPath).head()
     val name = req.getAs[String]("name")
     val elements = req.getSeq[String](req.fieldIndex("elements"))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

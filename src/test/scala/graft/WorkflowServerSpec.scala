@@ -1,0 +1,74 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** F3 as a LIVE socket: a real HTTP client drives the reference's
+  * POST /workflow request shapes (api.http:4-23) end to end against
+  * [[WorkflowServer]] — index over the wire, search over the wire,
+  * health probe, and the error contract. */
+class WorkflowServerSpec extends SparkTestBase {
+
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String)
+      : HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("the reference's POST /workflow shapes served over a real " +
+    "socket: index then search then keyword; health; bad requests " +
+    "are 400 with an error body, wrong method 405") {
+    val dir = Files.createTempDirectory("graft-wf-server").toString
+    val server = WorkflowServer.start(spark, dir, port = 0, k = 3)
+    val port = server.getAddress.getPort
+    try {
+      assert(get(port, "/health").body() == """{"status":"ok"}""")
+
+      val idx = post(port, "/workflow",
+        """{"name": "index",
+          | "elements": [
+          |   "US tops 5 million confirmed virus cases",
+          |   "Maine man wins lottery with a hash join",
+          |   "vector search engines rank by cosine"
+          | ]}""".stripMargin)
+      assert(idx.statusCode() == 200, idx.body())
+      assert(idx.body() == """{"name":"index","indexed":3}""")
+
+      // searching with an exact indexed text: self-match ranks first
+      // with score 1.0 under any encoder
+      val search = post(port, "/workflow",
+        """{"name": "search",
+          | "elements": ["vector search engines rank by cosine"]}"""
+          .stripMargin)
+      assert(search.statusCode() == 200, search.body())
+      assert(search.body().startsWith("""{"name":"search","results":[["""),
+        search.body())
+      assert(search.body().contains(""""uid":"000000002","docid":2,"score":1.0"""),
+        search.body())
+
+      val kw = post(port, "/workflow",
+        """{"name": "keyword", "elements": ["lottery hash"]}""")
+      assert(kw.statusCode() == 200, kw.body())
+      assert(kw.body().contains(""""docid":1"""), kw.body())
+
+      // error contract: unknown workflow name -> 400 with an error
+      // body, the stream stays serviceable afterwards
+      val bad = post(port, "/workflow", """{"name": "nope", "elements": []}""")
+      assert(bad.statusCode() == 400, bad.body())
+      assert(bad.body().contains("unknown workflow"), bad.body())
+      val notJson = post(port, "/workflow", "this is not json")
+      assert(notJson.statusCode() == 400, notJson.body())
+      assert(get(port, "/workflow").statusCode() == 405)
+      assert(get(port, "/health").body() == """{"status":"ok"}""")
+    } finally server.stop(0)
+  }
+}
