@@ -124,6 +124,34 @@ class WinnowIndex private (
     WinnowIndex.writeStats(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
     new WinnowIndex(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
   }
+
+  /** Offline maintenance after repeated [[appendBatch]]es: rewrite
+    * each bucket hash-sorted into a sibling directory, carry the
+    * sidecars, swap — [[ShingleIndex.compact]]'s contract
+    * (maintenance windows only, not safe against concurrent
+    * readers). */
+  def compact(maxRecordsPerFile: Long = 5000000L): WinnowIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path)
+      .sortWithinPartitions("bucket", "hash")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(tmp.toString)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    Seq("_stats", "_ranges").foreach { side =>
+      val src = new org.apache.hadoop.fs.Path(cur, side)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(tmp, side), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    new WinnowIndex(spark, path, nDocs, k, w, dfCap, nBuckets)
+  }
 }
 
 object WinnowIndex {

@@ -104,5 +104,16 @@ class WinnowIndexSpec extends SparkTestBase {
     assert(loaded.probe(batch, "doc_id", "text", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       after.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // compaction after the append preserves probe results + sidecars
+    val compacted = loaded.compact()
+    assert(compacted.nDocs == 31)
+    assert(compacted.probe(batch, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      after.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the overlap guard survived the swap (the _ranges sidecar carried)
+    val e2 = intercept[IllegalArgumentException] {
+      compacted.appendBatch(lake.limit(3), "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("doubles its postings"))
   }
 }

@@ -113,6 +113,45 @@ class WordVecSpec extends SparkTestBase {
       s"cat docs must outrank market docs: catMin=$catMin mktMax=$mktMax")
   }
 
+  test("the learned encoder drops into the F1 index workflow and the " +
+    "S6 search path end to end: index with MeanPoolEncoder, search an " +
+    "indexed text, self-match ranks first with score 1.0") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wv-wf").toString
+    val enc = WordVec.encoder(model)
+    val docs = corpus
+      .selectExpr("lpad(CAST(doc_id AS STRING), 6, '0') AS uid",
+        "text", "CAST(NULL AS STRING) AS tags")
+    val idx = Workflows.indexTextWorkflow(docs, "text", dir, enc)
+    assert(idx.count() == 12)
+    val hits = Workflows.searchWorkflow(idx, enc,
+      "the kitten purrs and chases its tail", 3).collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[String]("uid") == "000002", hits.mkString(";"))
+    assert(math.abs(hits.head.getAs[Double]("score") - 1.0) < 1e-6)
+  }
+
+  test("frozen encode on a STRUCTURED STREAM == batch, row for row " +
+    "(the wordvec_embed expression is a stateless map — the streaming " +
+    "deployment form)") {
+    val ref = WordVec.modelRef(model)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wv-stream").toString
+    corpus.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = src.select(col("doc_id"), WordVec.embed(ref, col("text")).as("v"))
+      .writeStream.format("memory").queryName("wv_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wv_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batch = corpus
+      .select(col("doc_id"), WordVec.embed(ref, col("text")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(streamed == batch && streamed.size == 12)
+  }
+
   test("save/load round-trips the model; registerSql binds the model " +
     "in SQL and re-registering rebinds") {
     val dir = java.nio.file.Files
