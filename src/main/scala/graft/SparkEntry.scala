@@ -1324,6 +1324,22 @@ object SparkEntry {
         .orderBy("doc_id", "plane", "pos")
     }),
 
+    // animated WebP (r10): ANIM/ANMF containers around REAL libwebp
+    // frame payloads composited to full-canvas snapshots — blend
+    // (exact-integer alpha formula), overwrite, dispose-to-background,
+    // lossless AND lossy+ALPH frames, odd canvas. One row per RGBA
+    // byte per frame; the oracle replays the pinned expected canvases.
+    "webp_anim_frames" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 2)
+        .selectExpr("doc_id",
+          "posexplode(webp_anim(anim_media_for_id(CAST(doc_id AS BIGINT))))")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+          "CAST(col.frame AS BIGINT) AS frame",
+          "CAST(col.pos AS BIGINT) AS pos", "CAST(col.v AS BIGINT) AS v")
+        .orderBy("doc_id", "frame", "pos")
+    }),
+
     // image resize (r8): box-average downscale / nearest-neighbor
     // upscale to exact target dims, re-encoded as a REAL PNG and
     // reduced by the EXISTING pixel_stats kernel — the image twin of
@@ -3995,6 +4011,15 @@ object SparkEntry {
       (0L until 5L).flatMap(id => operators.G4Fixtures.expectedRows(id)
         .map { case (pos, bit) => (id, pos.toLong, bit.toLong) })
         .toDF("doc_id", "pos", "bit")
+    }),
+
+    // webp_anim_frames: the pinned expected composited canvases
+    "webp_anim_expected" -> ((s, dir) => {
+      import s.implicits._
+      (0L until 2L).flatMap(id => operators.AnimWebpFixtures
+        .expectedRows(id)
+        .map { case (fr, pos, v) => (id, fr.toLong, pos.toLong, v.toLong) })
+        .toDF("doc_id", "frame", "pos", "v")
     }),
 
     // webp_lossy_pixels: the PINNED expected planes — external data
@@ -8795,6 +8820,13 @@ object SparkEntry {
     // id%7=6 palette (pal(j,c), index (x+2y+id)%n), 5 row-periodic
     // (y%4 — the LZ77 copies), 1 four-channel (alpha = pix c=3),
     // others the standard pix contract
+    // the pinned composited canvases (real libwebp frame payloads +
+    // the documented integer blend/dispose contract)
+    "webp_anim_frames" ->
+      """SELECT doc_id, frame, pos, v
+        |FROM read_parquet('__AUX__/webp_anim_expected/*.parquet')
+        |ORDER BY doc_id, frame, pos""".stripMargin,
+
     // every decoded plane sample must equal the pinned EXTERNAL
     // expectation (libwebp's decode of the same foreign-encoder bytes;
     // alpha doubly pinned by the PNG's tRNS) — VP8 decode is bit-exact

@@ -66,6 +66,82 @@ case class WebpYuv(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** anim_media_for_id(id) -> binary: the embedded animated-WebP
+  * conformance fixture bytes ([[graft.operators.AnimWebpFixtures]]). */
+case class AnimMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "anim_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.AnimWebpFixtures.fileFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.AnimWebpFixtures$$.MODULE$$.fileFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** webp_anim(media) -> array<struct<frame int, pos int, v int>>: the
+  * COMPOSITED animation canvases of an ANIM/ANMF WebP (one value per
+  * RGBA byte per frame snapshot) — [[graft.operators.Webp
+  * .decodeAnimation]]'s full output surface, so an oracle can pin
+  * every composited pixel. Null for stills/malformed bytes. */
+case class WebpAnim(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webp_anim"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebpAnim.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebpAnim$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WebpAnim {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    graft.operators.Webp.decodeAnimation(bytes) match {
+      case None => null
+      case Some((_, _, frames)) =>
+        val per = if (frames.isEmpty) 0 else frames.head.pixels.length
+        val out = new Array[Any](per * frames.size)
+        var o = 0
+        frames.zipWithIndex.foreach { case (f, fi) =>
+          var i = 0
+          while (i < f.pixels.length) {
+            out(o) = InternalRow(fi, i, f.pixels(i) & 0xff)
+            o += 1; i += 1
+          }
+        }
+        new GenericArrayData(out)
+    }
+}
+
 object WebpYuv {
   /** The kernel; public so generated code can call it. */
   def compute(bytes: Array[Byte]): GenericArrayData =

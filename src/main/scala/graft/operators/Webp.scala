@@ -801,6 +801,162 @@ object Webp {
     Some(Chunks(vp8At, vp8Len, alphAt, alphLen, hasVp8l))
   }
 
+  /** One composited animation frame: a full-canvas RGBA snapshot
+    * (the [[Gif.decodeComposited]] contract). */
+  final case class AnimFrame(durationMs: Int, pixels: Array[Byte])
+
+  /** Animated WebP (RFC 9649 ANIM/ANMF) decode to COMPOSITED canvas
+    * snapshots: every ANMF frame's image chunks (ALPH? + VP8|VP8L —
+    * each decoded by the same real codecs as stills) are painted onto
+    * the canvas at the frame rectangle, honoring the BLEND flag
+    * (alpha-blend vs overwrite) and DISPOSE flag (fill the rect with
+    * the ANIM background color after snapshotting). The alpha-blend
+    * is the container spec's formula fixed to exact integer
+    * arithmetic so an external oracle replays every pixel:
+    *
+    * {{{
+    * wS = Sa·255; wD = Da·(255−Sa); denom = wS + wD
+    * outA  = (denom + 127) / 255
+    * out.c = (Sc·wS + Dc·wD + denom/2) / denom   (0 when denom == 0)
+    * }}}
+    *
+    * Returns (canvasW, canvasH, frames); None for stills or malformed
+    * bytes (frame rect outside the canvas, odd offsets, bad payloads
+    * — all fail the FILE, the dirty-crawl-bytes contract). */
+  def decodeAnimation(bytes: Array[Byte])
+      : Option[(Int, Int, Vector[AnimFrame])] = {
+    try decodeAnimation0(bytes)
+    catch { case _: Exception => None }
+  }
+
+  private def decodeAnimation0(b: Array[Byte])
+      : Option[(Int, Int, Vector[AnimFrame])] = {
+    if (b == null || b.length < 30 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def le24(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+    var off = 12
+    var canvasW = -1; var canvasH = -1
+    var bg = 0L // BGRA from ANIM
+    var sawAnim = false
+    var canvas: Array[Byte] = null
+    val frames = Vector.newBuilder[AnimFrame]
+    var nFrames = 0
+    while (off + 8 <= b.length) {
+      val tag = new String(
+        Array(b(off), b(off + 1), b(off + 2), b(off + 3)), "US-ASCII")
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      val p = off + 8
+      tag match {
+        case "VP8X" =>
+          if (size < 10) return None
+          canvasW = le24(p + 4) + 1
+          canvasH = le24(p + 7) + 1
+          if (canvasW.toLong * canvasH * 4 > PngPixels.MaxDecodedBytes)
+            return None
+          canvas = new Array[Byte](canvasW * canvasH * 4)
+        case "ANIM" =>
+          if (size < 6) return None
+          bg = le32(p) // background color, byte order B,G,R,A
+          sawAnim = true
+        case "ANMF" =>
+          if (!sawAnim || canvas == null || size < 16) return None
+          nFrames += 1
+          if (nFrames.toLong * canvasW * canvasH * 4 >
+            PngPixels.MaxDecodedBytes) return None
+          val x0 = le24(p) * 2
+          val y0 = le24(p + 3) * 2
+          val fw = le24(p + 6) + 1
+          val fh = le24(p + 9) + 1
+          val dur = le24(p + 12)
+          val flags = b(p + 15) & 0xff
+          val blend = (flags & 2) == 0 // bit 1: 0 = alpha-blend
+          val dispose = (flags & 1) == 1 // bit 0: dispose to background
+          if (x0 + fw > canvasW || y0 + fh > canvasH) return None
+          // frame payload: image chunks after the 16-byte header —
+          // rewrap them as a standalone file for the still decoders
+          val sub = new java.io.ByteArrayOutputStream()
+          sub.write("RIFF????WEBP".getBytes("US-ASCII"))
+          sub.write(b, p + 16, (size - 16).toInt)
+          val fileBytes = sub.toByteArray
+          val riffLen = fileBytes.length - 8
+          fileBytes(4) = (riffLen & 0xff).toByte
+          fileBytes(5) = ((riffLen >> 8) & 0xff).toByte
+          fileBytes(6) = ((riffLen >> 16) & 0xff).toByte
+          fileBytes(7) = ((riffLen >> 24) & 0xff).toByte
+          val dec = decodeRgba(fileBytes).getOrElse(return None)
+          if (dec.width != fw || dec.height != fh) return None
+          // paint
+          var yy = 0
+          while (yy < fh) {
+            var xx = 0
+            while (xx < fw) {
+              val di = ((y0 + yy) * canvasW + (x0 + xx)) * 4
+              val si = (yy * fw + xx) * dec.channels
+              val sr = dec.pixels(si) & 0xff
+              val sg = dec.pixels(si + 1) & 0xff
+              val sb = dec.pixels(si + 2) & 0xff
+              val sa = if (dec.channels == 4) dec.pixels(si + 3) & 0xff
+                else 255
+              if (!blend || sa == 255) {
+                canvas(di) = sr.toByte
+                canvas(di + 1) = sg.toByte
+                canvas(di + 2) = sb.toByte
+                canvas(di + 3) = sa.toByte
+              } else {
+                val da = canvas(di + 3) & 0xff
+                val wS = sa * 255
+                val wD = da * (255 - sa)
+                val denom = wS + wD
+                if (denom == 0) {
+                  canvas(di) = 0; canvas(di + 1) = 0
+                  canvas(di + 2) = 0; canvas(di + 3) = 0
+                } else {
+                  canvas(di) = (((sr * wS + (canvas(di) & 0xff) * wD +
+                    denom / 2) / denom) & 0xff).toByte
+                  canvas(di + 1) = (((sg * wS + (canvas(di + 1) & 0xff) * wD +
+                    denom / 2) / denom) & 0xff).toByte
+                  canvas(di + 2) = (((sb * wS + (canvas(di + 2) & 0xff) * wD +
+                    denom / 2) / denom) & 0xff).toByte
+                  canvas(di + 3) = ((denom + 127) / 255).toByte
+                }
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+          frames += AnimFrame(dur, canvas.clone())
+          if (dispose) {
+            val br = ((bg >> 16) & 0xff).toInt
+            val bgc = ((bg >> 8) & 0xff).toInt
+            val bb = (bg & 0xff).toInt
+            val ba = ((bg >> 24) & 0xff).toInt
+            var y2 = y0
+            while (y2 < y0 + fh) {
+              var x2 = x0
+              while (x2 < x0 + fw) {
+                val di = (y2 * canvasW + x2) * 4
+                canvas(di) = br.toByte; canvas(di + 1) = bgc.toByte
+                canvas(di + 2) = bb.toByte; canvas(di + 3) = ba.toByte
+                x2 += 1
+              }
+              y2 += 1
+            }
+          }
+        case _ => ()
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    val out = frames.result()
+    if (!sawAnim || out.isEmpty) None
+    else Some((canvasW, canvasH, out))
+  }
+
   /** Full WebP container decode to interleaved pixels: VP8L chunks
     * through the lossless path ([[decode]]), VP8 chunks through the
     * [[Vp8]] keyframe decoder with an optional ALPH alpha plane.

@@ -117,6 +117,41 @@ class ExternalFixturesSpec extends SparkTestBase {
       s"mean abs diff vs libwebp RGBA ${sum.toDouble / n}")
   }
 
+  test("animated WebP: ANIM/ANMF containers around real libwebp frame " +
+    "payloads (lossless AND lossy+ALPH) composite byte-exactly — " +
+    "blend, overwrite, dispose-to-background, odd canvas") {
+    Seq("anim_lossless", "anim_lossy").foreach { name =>
+      val Array(w, h, n) = new String(res(s"$name.meta"), "US-ASCII")
+        .trim.split(" ").map(_.toInt)
+      val want = res(s"$name.frames")
+      val (gw, gh, frames) = Webp.decodeAnimation(res(s"$name.webp"))
+        .getOrElse(fail(s"$name: decode returned None"))
+      assert((gw, gh, frames.size) == ((w, h, n)), name)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val snap = want.slice(i * w * h * 4, (i + 1) * w * h * 4)
+        assert(f.pixels.toSeq == snap.toSeq, s"$name frame $i differs")
+        assert(f.durationMs == 40, name)
+      }
+    }
+    // stills are not animations; dirty frame rects fail the file
+    assert(Webp.decodeAnimation(res("python.webp")).isEmpty)
+    val bad = res("anim_lossless.webp").clone()
+    // grow the first frame's width past the canvas (ANMF hdr byte 6)
+    val anmf = {
+      var i = 12
+      var at = -1
+      while (at < 0) {
+        val tag = new String(bad.slice(i, i + 4), "US-ASCII")
+        if (tag == "ANMF") at = i
+        else i += 8 + ((bad(i + 4) & 0xff) | ((bad(i + 5) & 0xff) << 8)) +
+          (((bad(i + 4) & 0xff)) & 1)
+      }
+      at
+    }
+    bad(anmf + 8 + 6) = 0x7f
+    assert(Webp.decodeAnimation(bad).isEmpty)
+  }
+
   test("libtiff-encoded CCITT G4 files (real fax encoder, five " +
     "patterns incl. multi-strip) decode bit-exactly: MMR modes, T.4 " +
     "run codes, and per-strip reference-line resets all pinned by " +
