@@ -23,6 +23,15 @@ import graft.functions.Vp8Tables
   * (MV decode, reference buffers, golden/altref) are out of scope —
   * the documented seam stays for video streams.
   *
+  * Conformance coverage note: the external fixtures pin single-token-
+  * partition streams with segmentation (libwebp's default segments=4)
+  * — libwebp's encoder never emits >1 token partition (its
+  * `partitions` config field is documented as unused, verified
+  * empirically against 1.2.4), so the multi-partition path here
+  * (sizes table parse + per-MB-row partition selection, §9.5) is
+  * spec-implemented but externally unpinned until a libvpx-encoded
+  * sample is available.
+  *
   * Output is the YUV 4:2:0 planes cropped to the frame size; RGB
   * conversion policy belongs to the caller ([[Webp.decodeRgba]] uses
   * the JFIF-style integer transform shared with [[JpegDc]] users).
