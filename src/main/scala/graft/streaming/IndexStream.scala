@@ -16,9 +16,12 @@ import graft.index.VectorIndex
   *  - `upsert` (default): idempotent on `uid` under micro-batch REPLAY
   *    (a batch re-run after a failure rewrites the same uids last-wins),
   *    i.e. effectively-once for the searchable state.
-  *  - `append`: cheapest path, but a replayed batch appends its rows
-  *    again — at-least-once, duplicate uids possible. Use for sources
-  *    that never replay (or dedup downstream).
+  *  - `append`: cheapest path — O(batch) per batch. Replays of
+  *    COMMITTED batches are skipped via the [[BatchLedger]] sidecar
+  *    (closing foreachBatch's crash-before-checkpoint-commit window),
+  *    so duplicates require a crash in the MIDDLE of an append —
+  *    reconcile those with a maintenance upsert/compact, or use
+  *    `upsert` for strict idempotence.
   *
   * COST, stated plainly: the index is copy-on-write versioned parquet,
   * so `upsert` rewrites the current data version EVERY micro-batch —
@@ -50,12 +53,22 @@ object IndexStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // append mode keys on the batch id: a replayed COMMITTED batch
+        // is skipped instead of double-appending (upsert is naturally
+        // idempotent and skips the ledger read)
+        // ledger at the STABLE index root (dataDir moves per version)
+        val replay = mode == "append" &&
+          BatchLedger.delivered(batch.sparkSession, index.path,
+            checkpointDir).contains(batchId)
+        if (!batch.isEmpty && !replay) {
           // first batch into an empty index bootstraps it (docids from 0)
           if (!index.exists) index.index(batch)
           else if (mode == "upsert") index.upsert(batch)
           else index.append(batch)
+          if (mode == "append")
+            BatchLedger.record(batch.sparkSession, index.path,
+              checkpointDir, batchId)
         }
         () // Unit: the scala-2.13 foreachBatch overload is Unit-typed
       }
@@ -67,8 +80,9 @@ object IndexStream {
     * the STORED codebook (PQ-coded when the index carries codes) and
     * appended into its cluster partitions — O(batch) per batch, no
     * rewrite; the pruning contract never changes mid-stream.
-    * At-least-once (appends replay on failure): pair with upstream
-    * exactly-once sources or downstream id dedup; periodic
+    * Replays of committed batches are skipped via the [[BatchLedger]]
+    * sidecar; a crash mid-append can still duplicate — pair with
+    * upstream exactly-once sources or downstream id dedup; periodic
     * [[graft.index.IvfVectorIndex.compact]] absorbs the per-batch
     * small files during maintenance windows. */
   def ingestIvf(
@@ -82,8 +96,15 @@ object IndexStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) index.append(batch, vecCol, idCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = BatchLedger
+          .delivered(batch.sparkSession, index.path, checkpointDir)
+          .contains(batchId)
+        if (!batch.isEmpty && !replay) {
+          index.append(batch, vecCol, idCol)
+          BatchLedger.record(batch.sparkSession, index.path,
+            checkpointDir, batchId)
+        }
         ()
       }
       .start()

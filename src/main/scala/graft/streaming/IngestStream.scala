@@ -28,8 +28,9 @@ import graft.operators.{ShingleIndex, SimHash}
   * at-least-once foreachBatch retries, keyed on the micro-batch id:
   *
   *  1. a `_batches` sidecar next to the index records every batch id
-  *     whose delivery fully committed — a replayed id returns
-  *     immediately;
+  *     whose delivery fully committed (keyed by stream id = the
+  *     checkpoint location, so a NEW stream into the same store never
+  *     collides) — a replayed id returns immediately;
   *  2. survivors are recomputed with [[ShingleIndex.survivors]]'s
   *     `excludeSelf` switch, so the recompute is deterministic even
   *     when the crashed attempt already appended this batch's
@@ -69,7 +70,7 @@ object IngestStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexPath, outPath,
-          threshold)
+          threshold, streamId = checkpoint)
       }
       .start()
   }
@@ -85,9 +86,11 @@ object IngestStream {
       textCol: String,
       indexPath: String,
       outPath: String,
-      threshold: Double): Unit = {
+      threshold: Double,
+      streamId: String = "default"): Unit = {
     val spark = batch.sparkSession
-    if (deliveredBatches(spark, indexPath).contains(batchId)) return
+    if (BatchLedger.delivered(spark, indexPath, streamId)
+      .contains(batchId)) return
     // reload per batch: cheap (one sidecar row) and always consistent
     // with the appends earlier batches made
     val idx = ShingleIndex.load(spark, indexPath)
@@ -96,25 +99,13 @@ object IngestStream {
       .localCheckpoint() // pin BEFORE storage mutates under the plan
     surv.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     idx.appendBatchIfAbsent(surv, idCol, textCol)
-    recordBatch(spark, indexPath, batchId)
+    BatchLedger.record(spark, indexPath, streamId, batchId)
   }
 
-  /** Batch ids whose delivery fully committed (tiny sidecar: one row
-    * per micro-batch, read driver-side at batch start). */
-  def deliveredBatches(spark: SparkSession, indexPath: String): Set[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_batches")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return Set.empty
-    spark.read.parquet(dir.toString)
-      .collect().map(_.getLong(0)).toSet
-  }
-
-  private def recordBatch(
-      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .coalesce(1).write.mode("append").parquet(s"$indexPath/_batches")
-  }
+  /** Batch ids whose delivery fully committed ([[BatchLedger]]). */
+  def deliveredBatches(spark: SparkSession, indexPath: String,
+      streamId: String = "default"): Set[Long] =
+    BatchLedger.delivered(spark, indexPath, streamId)
 
   /** The batch twin of one micro-batch step, for parity checks and
     * backfills: gate against the base, ingest against the lake index. */

@@ -52,7 +52,10 @@ class IndexStreamSpec extends SparkTestBase {
     val q = IndexStream.ingest(stream, idx, tmp("graft-is-up-ck"))
     try q.processAllAvailable() finally q.stop()
     assert(idx.count() == 20, "upsert replay must not duplicate uids")
-    // append mode WOULD duplicate (the documented at-least-once trade)
+    // append mode from a NEW stream (fresh checkpoint = new stream id)
+    // appends again on purpose: the BatchLedger keys on (stream id,
+    // batch id), so a different logical stream never collides with a
+    // replay of this one
     val stream2 = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
       .parquet(srcDir)
@@ -60,6 +63,43 @@ class IndexStreamSpec extends SparkTestBase {
       mode = "append")
     try q2.processAllAvailable() finally q2.stop()
     assert(idx.count() == 40)
+  }
+
+  test("append mode survives a REAL checkpoint replay: deleting the " +
+    "commit marker replays the batch on restart, and the BatchLedger " +
+    "skips it instead of double-appending") {
+    val srcDir = tmp("graft-is-rp-src")
+    rows(0, 15).coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val idxDir = tmp("graft-is-rp-idx")
+    val ck = tmp("graft-is-rp-ck")
+    val idx = VectorIndex.create(spark, idxDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .parquet(srcDir)
+      val q = IndexStream.ingest(stream, idx, ck, mode = "append")
+      try q.processAllAvailable() finally {
+        q.stop(); q.awaitTermination() // fully release the checkpoint
+      }
+    }
+    runOnce()
+    assert(idx.count() == 15)
+    // simulate the crash-before-checkpoint-commit window: the batch's
+    // effects are on disk but Structured Streaming forgets the commit,
+    // so a restart REPLAYS batch 0 with the same batch id
+    val commits = new java.io.File(s"$ck/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    val crc = new java.io.File(commits, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    runOnce()
+    assert(idx.count() == 15,
+      "a replayed committed batch must not double-append")
+    // and genuinely new data still flows through the same stream
+    rows(15, 25).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(idx.count() == 25)
   }
 
   test("ingestIvf streams micro-batches into a cluster-partitioned " +
