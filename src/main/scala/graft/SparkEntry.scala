@@ -1340,6 +1340,31 @@ object SparkEntry {
         .orderBy("doc_id", "frame", "pos")
     }),
 
+    // animated-WebP scene diffs (r10): the gif_scene_cuts composition
+    // over the NEW container — decode ANIM/ANMF to composited
+    // canvases, then per-frame SAD against the previous snapshot via a
+    // (doc, pos, frame-1) equi-join (never all-pairs). The oracle
+    // re-derives every SAD from the PINNED canvases, so this checks
+    // decode AND the diff arithmetic, not a pass-through.
+    "webp_scene_diffs" -> ((s, dir) => {
+      Graft.init(s)
+      val px = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 2)
+        .selectExpr("doc_id",
+          "posexplode(webp_anim(anim_media_for_id(CAST(doc_id AS BIGINT))))")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+          "col.frame AS frame", "col.pos AS pos", "col.v AS v")
+      px.as("a")
+        .join(px.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.pos") === col("b.pos") &&
+            col("a.frame") === col("b.frame") + 1)
+        .groupBy(col("a.doc_id").as("doc_id"),
+          col("a.frame").cast("long").as("frame"))
+        .agg(sum(abs(col("a.v") - col("b.v"))).as("sad"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // image resize (r8): box-average downscale / nearest-neighbor
     // upscale to exact target dims, re-encoded as a REAL PNG and
     // reduced by the EXISTING pixel_stats kernel — the image twin of
@@ -8820,6 +8845,18 @@ object SparkEntry {
     // id%7=6 palette (pal(j,c), index (x+2y+id)%n), 5 row-periodic
     // (y%4 — the LZ77 copies), 1 four-channel (alpha = pix c=3),
     // others the standard pix contract
+    // re-derive the per-frame SADs from the pinned canvases — the
+    // engine value went through the full container decode + diff
+    "webp_scene_diffs" ->
+      """WITH e AS (SELECT doc_id, frame, pos, v
+        |           FROM read_parquet('__AUX__/webp_anim_expected/*.parquet'))
+        |SELECT a.doc_id, a.frame,
+        |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sad
+        |FROM e a JOIN e b
+        |  ON a.doc_id = b.doc_id AND a.pos = b.pos AND a.frame = b.frame + 1
+        |GROUP BY a.doc_id, a.frame
+        |ORDER BY a.doc_id, a.frame""".stripMargin,
+
     // the pinned composited canvases (real libwebp frame payloads +
     // the documented integer blend/dispose contract)
     "webp_anim_frames" ->
