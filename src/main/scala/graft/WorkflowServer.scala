@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   *  - `POST /workflow` — body `{"name": "index"|"search"|"keyword"|
   *    "hybrid", "elements": [...], "alpha": 0.5?}`; responds with
   *    [[WorkflowMain]]'s one-line JSON (200), or `{"error": "..."}`
-  *    with 400 on a bad request;
+  *    with 400 on a bad request (unknown workflow name, malformed
+  *    body, missing index) and 500 on a server-side fault;
   *  - `GET /health` — liveness probe, `{"status":"ok"}`.
   *
   * Requests execute SEQUENTIALLY on one shared SparkSession (executor
@@ -27,11 +28,31 @@ import org.apache.spark.sql.SparkSession
   * balancer, exactly like the reference's uvicorn workers. */
 object WorkflowServer {
 
+  /** JSON string-literal escaping for error bodies: `\` and `"` plus
+    * EVERY control char below 0x20 (tabs and friends in an exception
+    * message must not produce invalid JSON). */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Start serving; `port = 0` picks a free port (read it back from
-    * `getAddress.getPort`). Caller stops with `server.stop(0)`. */
+    * `getAddress.getPort`). Caller stops with `server.stop(0)`.
+    * Binds loopback by default (`bindAll = true` opts into exposing
+    * the unauthenticated endpoint beyond the local host). */
   def start(spark: SparkSession, indexPath: String, port: Int = 0,
-      k: Int = 10): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+      k: Int = 10, bindAll: Boolean = false): HttpServer = {
+    val addr =
+      if (bindAll) new InetSocketAddress(port)
+      else new InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, port)
+    val server = HttpServer.create(addr, 0)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -55,10 +76,18 @@ object WorkflowServer {
         }
       } catch {
         case e: Exception =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-            .replace("\\", "\\\\").replace("\"", "\\\"")
-            .replaceAll("[\r\n]", " ")
-          respond(ex, 400, s"""{"error":"$msg"}""")
+          // bad REQUESTS (unknown workflow, malformed body, missing
+          // index — everything a caller can fix) are 400; anything
+          // else is a server fault and reports 500, so clients can
+          // tell the two apart
+          val code = e match {
+            case _: IllegalArgumentException => 400
+            case _: graft.index.IndexNotFoundException => 400
+            case _ => 500
+          }
+          val msg = jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          respond(ex, code, s"""{"error":"$msg"}""")
       }
     })
 

@@ -163,8 +163,15 @@ object Bmp {
         // the V4 header's fixed offsets — same place, byte 54). Each
         // mask must be a contiguous 8-bit run for byte samples; the
         // alpha mask may be 0 (opaque). No row padding at 32bpp.
-        if (headerSize < 52 || b.length < 70) return None
-        val masks = Array(le32(54), le32(58), le32(62), le32(66))
+        // A 52-byte BITMAPV2INFOHEADER carries only the three color
+        // masks — reading byte 66 there would land past the header
+        // into gap/pixel data, so alpha is only read when the header
+        // actually contains it (V3+, >= 56 bytes).
+        val hasAlphaMask = headerSize >= 56
+        if (headerSize < 52 ||
+          b.length < (if (hasAlphaMask) 70 else 66)) return None
+        val masks = Array(le32(54), le32(58), le32(62),
+          if (hasAlphaMask) le32(66) else 0)
         def shiftOf(m: Int): Int = {
           if (m == 0) return -1
           val sh = java.lang.Integer.numberOfTrailingZeros(m)

@@ -164,7 +164,7 @@ object Tiff {
       // planar configuration 2, 16-bit samples — take the segmented
       // path; the classic chunky 8-bit strip path below is untouched
       if (entries.contains(322) || num(284).getOrElse(1L) == 2L ||
-        bits.forall(_ == 16L) || num(259).getOrElse(1L) == 4L)
+        (bits.nonEmpty && bits.forall(_ == 16L)) || compression == 4L)
         return decodeSegmented(b, r, entries)
       if (bits.length != spp || bits.exists(_ != 8L)) return None
       if (num(284).getOrElse(1L) != 1L) return None // chunky only

@@ -18,26 +18,70 @@ import org.apache.spark.sql.SparkSession
   * first batches of a NEW stream writing into the same store. The
   * stream id is the checkpoint location by convention: unique per
   * logical stream, stable across restarts (which is exactly the
-  * replay identity Structured Streaming's own commit log uses). */
+  * replay identity Structured Streaming's own commit log uses).
+  *
+  * Long-running streams stay O(1): each stream writes under its own
+  * `_batches/stream=<hash>/` directory (so `delivered` never lists or
+  * reads another stream's files), and `record` folds the directory
+  * down to ONE file whenever the per-batch appends reach
+  * `CompactEvery`. Compaction is crash-safe by construction because
+  * the ledger is a SET: the distinct snapshot is appended as a new
+  * file FIRST and the old files deleted after — a crash between the
+  * two leaves duplicate rows, which `delivered`'s Set collapses. */
 object BatchLedger {
 
-  /** Batch ids of `streamId` whose delivery fully committed (read
-    * driver-side at batch start; O(#batches) rows). */
-  def delivered(spark: SparkSession, storePath: String,
-      streamId: String): Set[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$storePath/_batches")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return Set.empty
-    spark.read.parquet(dir.toString)
-      .where(org.apache.spark.sql.functions.col("stream_id") === streamId)
-      .collect().map(_.getAs[Long]("batch_id")).toSet
+  /** Per-batch files tolerated before `record` folds the stream's
+    * directory down to one snapshot file. */
+  val CompactEvery = 16
+
+  /** Filesystem-safe per-stream subdirectory (stream ids are
+    * checkpoint paths, so they are hashed, not embedded). */
+  private def streamDir(storePath: String, streamId: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(streamId.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"$storePath/_batches/stream=$hex"
   }
 
-  /** Record a batch as fully delivered (the batch's LAST step). */
+  private def listParts(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+  }
+
+  /** Batch ids of `streamId` whose delivery fully committed (read
+    * driver-side at batch start; one bounded directory, O(#batches
+    * since the last compaction) files). */
+  def delivered(spark: SparkSession, storePath: String,
+      streamId: String): Set[Long] = {
+    val parts = listParts(spark, streamDir(storePath, streamId))
+    if (parts.isEmpty) return Set.empty
+    spark.read.parquet(parts.map(_.toString): _*)
+      .select("batch_id")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Record a batch as fully delivered (the batch's LAST step), then
+    * compact the stream's ledger directory if it has accumulated
+    * `compactEvery` per-batch files. */
   def record(spark: SparkSession, storePath: String, streamId: String,
-      batchId: Long): Unit = {
+      batchId: Long, compactEvery: Int = CompactEvery): Unit = {
     import spark.implicits._
+    val dir = streamDir(storePath, streamId)
     Seq((streamId, batchId)).toDF("stream_id", "batch_id")
-      .coalesce(1).write.mode("append").parquet(s"$storePath/_batches")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val parts = listParts(spark, dir)
+    if (parts.length >= compactEvery) {
+      // snapshot-first, delete-after: never a moment without the rows
+      val snapshot = spark.read.parquet(parts.map(_.toString): _*)
+        .select("stream_id", "batch_id").distinct()
+      snapshot.coalesce(1).write.mode("append").parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      parts.foreach(p => fs.delete(p, false))
+    }
   }
 }

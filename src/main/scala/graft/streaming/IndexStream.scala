@@ -17,11 +17,13 @@ import graft.index.VectorIndex
   *    (a batch re-run after a failure rewrites the same uids last-wins),
   *    i.e. effectively-once for the searchable state.
   *  - `append`: cheapest path — O(batch) per batch. Replays of
-  *    COMMITTED batches are skipped via the [[BatchLedger]] sidecar
-  *    (closing foreachBatch's crash-before-checkpoint-commit window),
-  *    so duplicates require a crash in the MIDDLE of an append —
-  *    reconcile those with a maintenance upsert/compact, or use
-  *    `upsert` for strict idempotence.
+  *    RECORDED batches are skipped via the [[BatchLedger]] sidecar.
+  *    The ledger row lands AFTER the append (there is no claim-first
+  *    range guard here, unlike `ShingleIndex.appendBatchIfAbsent`),
+  *    so a crash between the append and the record — not just one
+  *    mid-append — still double-appends on replay; reconcile with a
+  *    maintenance upsert/compact, or use `upsert` for strict
+  *    idempotence.
   *
   * COST, stated plainly: the index is copy-on-write versioned parquet,
   * so `upsert` rewrites the current data version EVERY micro-batch —

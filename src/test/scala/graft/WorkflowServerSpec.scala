@@ -71,4 +71,59 @@ class WorkflowServerSpec extends SparkTestBase {
       assert(get(port, "/health").body() == """{"status":"ok"}""")
     } finally server.stop(0)
   }
+
+  test("error contract per verb: search/keyword/hybrid against a " +
+    "missing index are 400 with an error body, and the session " +
+    "serves the next request") {
+    val dir = Files.createTempDirectory("graft-wf-absent").toString + "/none"
+    val server = WorkflowServer.start(spark, dir, port = 0, k = 3)
+    val port = server.getAddress.getPort
+    try {
+      Seq("search", "keyword", "hybrid").foreach { verb =>
+        val r = post(port, "/workflow",
+          s"""{"name": "$verb", "elements": ["anything at all"]}""")
+        assert(r.statusCode() == 400, s"$verb: ${r.body()}")
+        assert(r.body().startsWith("""{"error":""""), r.body())
+      }
+      // a body with no name field is a bad request, not a crash
+      val noName = post(port, "/workflow", """{"elements": ["x"]}""")
+      assert(noName.statusCode() == 400, noName.body())
+      // the single-tenant session survives all of the above: two
+      // sequential good requests reuse it end to end
+      val idx = post(port, "/workflow",
+        """{"name": "index", "elements": ["one doc", "two docs"]}""")
+      assert(idx.statusCode() == 200, idx.body())
+      val s2 = post(port, "/workflow",
+        """{"name": "search", "elements": ["one doc"]}""")
+      assert(s2.statusCode() == 200, s2.body())
+      assert(s2.body().contains(""""docid":0"""), s2.body())
+    } finally server.stop(0)
+  }
+
+  test("error bodies stay valid JSON when the message carries " +
+    "control characters (escaped as \\u00XX)") {
+    val dir = Files.createTempDirectory("graft-wf-esc").toString
+    val server = WorkflowServer.start(spark, dir, port = 0, k = 3)
+    val port = server.getAddress.getPort
+    try {
+      post(port, "/workflow",
+        """{"name": "index", "elements": ["alpha doc", "beta doc"]}""")
+      // a keyword query with only a TAB has no terms; the require()
+      // message interpolates the raw tab, which must come back as an
+      // escape sequence, never a literal control byte
+      val r = post(port, "/workflow",
+        "{\"name\": \"keyword\", \"elements\": [\"\\t\"]}")
+      assert(r.statusCode() == 400, r.body())
+      assert(!r.body().exists(_ < 0x20), "raw control byte in body")
+      assert(r.body().contains("\\u0009"), r.body())
+    } finally server.stop(0)
+  }
+
+  test("jsonEscape escapes every control character and the JSON " +
+    "specials, and nothing else") {
+    assert(WorkflowServer.jsonEscape("a\"b\\c\td\ne\u0001")
+      == "a\\\"b\\\\c\\u0009d\\u000ae\\u0001")
+    assert(WorkflowServer.jsonEscape("plain text stays") ==
+      "plain text stays")
+  }
 }
