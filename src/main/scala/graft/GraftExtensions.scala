@@ -170,6 +170,9 @@ object GraftExtensions {
     "wav_resample" -> (es =>
       WavResample(es(0), intLit(es(1), "wav_resample"))),
     "flac_wav" -> (es => FlacWav(es.head)),
+    "mp3_wav" -> (es => Mp3Wav(es.head)),
+    "mp3_conformance" -> (es => Mp3Conformance(es.head)),
+    "mp3_pcm_media_for_id" -> (es => Mp3PcmMediaBytes(es.head)),
     "flac_media_for_id" -> (es => FlacMediaBytes(es.head)),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),

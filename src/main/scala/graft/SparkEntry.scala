@@ -1675,6 +1675,66 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // REAL MP3 Layer III payload decode (r11): frame walk + bit
+    // reservoir, MPEG-1 and LSF side info + scalefactors, Huffman
+    // spectral decode with exact part2_3_length accounting,
+    // requantize, MS stereo, alias reduction, hybrid IMDCT, polyphase
+    // synthesis. Fixture 0 is the FOREIGN LAME encode (gsutil's
+    // test.mp3 — 45 frames of true digital silence); 1-4 are
+    // writer-assembled content streams (reservoir + scfsi, MS stereo,
+    // short + mixed blocks, LSF scalefac_compress ranges). Every
+    // column is a SPEC-DERIVED constant (frame/granule counts,
+    // bit-exact granule-channels, rates, sample counts) the oracle
+    // re-states analytically — nothing here is engine-pinned.
+    "mp3_conformance" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 5)
+        .selectExpr("doc_id",
+          "mp3_conformance(mp3_pcm_media_for_id(CAST(doc_id AS BIGINT))) AS c")
+        .selectExpr("doc_id",
+          "CAST(c.frames AS BIGINT) AS frames",
+          "CAST(c.granules AS BIGINT) AS granules",
+          "CAST(c.bits_exact AS BIGINT) AS bits_exact",
+          "CAST(c.reservoir_silent AS BIGINT) AS reservoir_silent",
+          "CAST(c.sample_rate AS BIGINT) AS sample_rate",
+          "CAST(c.channels AS BIGINT) AS channels",
+          "c.n_samples AS n_samples")
+        .orderBy("doc_id")
+    }),
+
+    // decoded-PCM statistics over the MP3→WAV bridge (mp3_wav), the
+    // flac_stats composition shape: the oracle re-aggregates the
+    // __AUX__ PCM dump sample for sample, so the bridge, the decode
+    // and the stats kernel must agree exactly.
+    "mp3_pcm_stats" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 5)
+        .selectExpr("doc_id",
+          "wav_stats(mp3_wav(mp3_pcm_media_for_id(CAST(doc_id AS BIGINT)))) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
+    // the VAD composition over MP3 content: per-64-frame-window
+    // energy + zero crossings on channel 0 through the bridge — the
+    // oracle re-derives every window from the PCM dump with lag(),
+    // exactly the wav_windows construction.
+    "mp3_windows" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 5)
+        .selectExpr("doc_id",
+          "explode(wav_windows(" +
+            "mp3_wav(mp3_pcm_media_for_id(CAST(doc_id AS BIGINT))), 64)) AS w")
+        .selectExpr("doc_id", "CAST(w.win AS BIGINT) AS win",
+          "w.energy", "w.zcr")
+        .orderBy("doc_id", "win")
+    }),
+
     // audio segmentation in the frequency domain (r8): spectral flux —
     // L1 distance between consecutive DFT magnitude spectra — the
     // audio twin of the GIF/AVI scene-cut SADs; same term-for-term
@@ -3915,6 +3975,22 @@ object SparkEntry {
           "col.length AS length", "col.hash AS hash")
     }),
 
+    // mp3_pcm_stats / mp3_windows: the decoded PCM itself — no
+    // foreign MP3 decoder exists in this container to produce an
+    // independent expectation (FIXTURES.md), so the dump pins the
+    // decode (validated in-spec by the reference chain) and the
+    // oracles re-derive the downstream kernels from it
+    "mp3_pcm" -> ((s, dir) => {
+      import s.implicits._
+      (0L to 4L).flatMap { id =>
+        val d = operators.Mp3Pcm.decode(
+          operators.Mp3Fixtures.mp3MediaFor(id)).get
+        d.pcm.iterator.zipWithIndex.map { case (v, i) =>
+          (id, i.toLong, v.toLong)
+        }
+      }.toDF("doc_id", "i", "v")
+    }),
+
     // bpe_encode: the learned merge list (idx, l, r) — training is
     // deterministic but driver-side-iterative, which SQL cannot
     // replay; the oracle re-applies the dumped merges canonically
@@ -5444,6 +5520,75 @@ object SparkEntry {
         |       CAST(sum(v * v) AS BIGINT) AS samp_energy
         |FROM smp GROUP BY doc_id, ch, rate, frames
         |ORDER BY doc_id""".stripMargin,
+
+    // MP3 conformance: every value is a SPEC-LEVEL constant — row 0
+    // is the foreign LAME silence file's structure (45 MPEG-2 frames,
+    // one granule each, all bit-exact, 45*576 samples), rows 1-4
+    // follow from the fixture constructions (4 frames * 2 granules
+    // mono; 3*2 stereo so 12 bit-exact granule-channels; 3*2 mono
+    // short/mixed; 3*1 LSF)
+    "mp3_conformance" ->
+      """SELECT CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS frames,
+        |       CAST(c2 AS BIGINT) AS granules, CAST(c3 AS BIGINT) AS bits_exact,
+        |       CAST(c4 AS BIGINT) AS reservoir_silent,
+        |       CAST(c5 AS BIGINT) AS sample_rate,
+        |       CAST(c6 AS BIGINT) AS channels, CAST(c7 AS BIGINT) AS n_samples
+        |FROM (VALUES
+        |  (0, 45, 45, 45, 0, 22050, 1, 25920),
+        |  (1, 4, 8, 8, 0, 44100, 1, 4608),
+        |  (2, 3, 6, 12, 0, 44100, 2, 3456),
+        |  (3, 3, 6, 6, 0, 44100, 1, 3456),
+        |  (4, 3, 3, 3, 0, 22050, 1, 1728))
+        |AS t(c0, c1, c2, c3, c4, c5, c6, c7)
+        |ORDER BY doc_id""".stripMargin,
+
+    // PCM statistics re-aggregated from the engine's sample dump —
+    // the decode itself has no independent oracle in this container
+    // (no foreign MP3 decoder exists; see FIXTURES.md), so the dump
+    // pins it and this query checks the bridge + stats composition
+    // sample for sample
+    "mp3_pcm_stats" ->
+      """WITH dims AS (
+        |  SELECT * FROM (VALUES (0, 1, 22050), (1, 1, 44100),
+        |    (2, 2, 44100), (3, 1, 44100), (4, 1, 22050))
+        |    AS d(doc_id, ch, rate)),
+        |pcm AS (SELECT doc_id, i, v
+        |        FROM read_parquet('__AUX__/mp3_pcm/*.parquet'))
+        |SELECT p.doc_id, CAST(d.ch AS BIGINT) AS channels,
+        |       CAST(d.rate AS BIGINT) AS sample_rate,
+        |       CAST(count(*) / d.ch AS BIGINT) AS n_frames,
+        |       CAST(sum(p.v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(p.v * p.v) AS BIGINT) AS samp_energy
+        |FROM pcm p JOIN dims d USING (doc_id)
+        |GROUP BY p.doc_id, d.ch, d.rate
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // per-window energy + zero crossings re-derived from the PCM dump
+    // (channel 0 = every ch-th interleaved sample), the wav_windows
+    // lag() construction at window 64
+    "mp3_windows" ->
+      """WITH dims AS (
+        |  SELECT * FROM (VALUES (0, 1), (1, 1), (2, 2), (3, 1), (4, 1))
+        |    AS d(doc_id, ch)),
+        |ch0 AS (
+        |  SELECT p.doc_id, p.i // d.ch AS f, p.v
+        |  FROM read_parquet('__AUX__/mp3_pcm/*.parquet') p
+        |  JOIN dims d USING (doc_id)
+        |  WHERE p.i % d.ch = 0),
+        |bounds AS (
+        |  SELECT doc_id, 64 * ((max(f) + 1) // 64) AS fullEnd FROM ch0
+        |  GROUP BY doc_id),
+        |lagged AS (
+        |  SELECT c.doc_id, c.f // 64 AS win, c.f, c.v,
+        |         lag(c.v) OVER (PARTITION BY c.doc_id ORDER BY c.f) AS pv
+        |  FROM ch0 c JOIN bounds b USING (doc_id)
+        |  WHERE c.f < b.fullEnd)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(sum(CASE WHEN f % 64 > 0 AND ((v >= 0) != (pv >= 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM lagged GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin,
 
     // per-window energy + zero-crossing re-derivation over the FLAC
     // bridge — identical construction to the wav_windows oracle at

@@ -152,6 +152,24 @@ class ExternalFixturesSpec extends SparkTestBase {
     assert(Webp.decodeAnimation(bad).isEmpty)
   }
 
+  test("LAME-encoded MPEG-2 Layer III (gsutil test.mp3, a real " +
+    "foreign MP3 encoder): 45 frames walk with the full LSF side-info " +
+    "+ reservoir chain bit-exact, and the payload decodes to exactly " +
+    "45x576 samples of digital silence") {
+    val b = res("lame_silence.mp3")
+    assert(b.length == 9436)
+    // LAME writes its tag inside the first frame's stuffing
+    assert(new String(b, 45, 4, "US-ASCII") == "LAME")
+    val (dec, st) = Mp3Pcm.decodeWithStats(b).get
+    assert(st == Mp3Pcm.Stats(45, 45, 45, 0, 22050, 1, 25920))
+    assert(dec.pcm.forall(_ == 0),
+      "a LAME silence encode must decode to true digital silence")
+    // the triage layer agrees with the payload decoder on structure
+    val m = Mp3.meta(b).get
+    assert(m.version == "MPEG2" && m.layer == 3 && m.nFrames == 45 &&
+      m.sampleRate == 22050 && m.channels == 1 && m.hasId3)
+  }
+
   test("libtiff-encoded CCITT G4 files (real fax encoder, five " +
     "patterns incl. multi-strip) decode bit-exactly: MMR modes, T.4 " +
     "run codes, and per-strip reference-line resets all pinned by " +
