@@ -58,7 +58,12 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     def waitForQuietBox(label: String, maxWaitSec: Int): Unit = {
-      val quietBelow = cpus.toDouble * 0.5
+      // r11: tightened 0.5 -> 0.25 of the core count. The r10 artifact
+      // recorded retried=67 / spread=0.726 with the re-measure guard
+      // firing and STILL measuring into the sweep — at 32 cores a
+      // draining duckdb oracle holds load ~8-14, under the old 16.0
+      // bar but far from quiet. The timeout still guarantees progress.
+      val quietBelow = math.max(4.0, cpus.toDouble * 0.25)
       val deadline = System.nanoTime() + maxWaitSec * 1000000000L
       var l = loadAvg()
       if (l < 0) return // no /proc: nothing to observe
@@ -77,6 +82,8 @@ object Bench {
     // query): a contention burst then penalizes DIFFERENT queries in
     // the two passes instead of hitting both runs of the same query
     val pass1 = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
+    // a sweep that spun up mid-run should not also taint pass 2
+    waitForQuietBox("between-passes", maxWaitSec = 300)
     val pass2 = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
     // SPREAD GUARD (added r8): min-of-2 was not enough in r7 — a box
     // draining its correctness sweep inflated the carried subset 1.35×
@@ -181,9 +188,10 @@ object Bench {
       results.map { case (k, v, _) => "\"" + k + "\":" + numAt(v, decimals) }
         .mkString("{", ",", "}")
     // window minus wrapper/footer slack; measured r6 tail layout
-    // (slack raised 120→230 in r10 for the floor/best2_spread fields)
+    // (slack raised 120→230 in r10 for the floor/best2_spread fields,
+    // →260 in r11 for value_net)
     val budget = 1950
-    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 230)
+    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 260)
       .getOrElse {
         // last resort: per-query values only for queries above the
         // fold threshold, the rest folded into one bucket — nothing
@@ -200,7 +208,7 @@ object Bench {
             .mkString("{", ",", "}")
         }
         Seq(0.1, 0.25, 0.5, 1.0, 2.0).map(fold)
-          .find(_.length <= budget - 230)
+          .find(_.length <= budget - 260)
           // everything folded always fits: {"_fast_n":N,"_fast_total":X}
           .getOrElse(fold(Double.MaxValue))
       }
@@ -215,8 +223,16 @@ object Bench {
     // The "runs" pairs added in round 4 pushed the line past 2000 chars
     // and the artifact came back parsed:null in r4 AND r5 — raw runs now
     // live only in the bench.json file.
+    // value_net (r11): the floor-SUBTRACTED headline the r10 verdict
+    // asked for — total minus n x floor_scan, the suite's plan cost
+    // with the per-query session/scan constant removed, so cross-round
+    // totals track plan regressions instead of suite size.
+    val totalForNet = results.map(_._2).filter(_ >= 0)
+    val valueNet =
+      if (floorScan < 0) -1.0
+      else math.max(0.0, totalForNet.sum - totalForNet.size * floorScan)
     val stats =
-      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)}"""
+      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)},"value_net":${num(valueNet)}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs,"sf":"$sfDir"}"""
     val full =

@@ -1675,6 +1675,36 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // F1+F2 END-TO-END (r11): the reference's index workflow
+    // ([nop, transform] -> batched sink, README.md:30-43) composed
+    // with its search workflow (transform -> search) as ONE declared
+    // query — raw text in, ranked uids out, through a real on-disk
+    // index lifecycle. The oracle re-derives every ranking from the
+    // DUMPED encoder outputs (doc vectors + query vectors, the S6
+    // seam), so the index sink, dense-docid assignment, load and
+    // cosine top-k must all agree with a from-scratch SQL ranking.
+    "workflow_e2e" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(lpad(col("doc_id").cast("string"), 6, "0").as("uid"),
+          col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-wf-e2e-").toString
+      val idx = operators.Workflows.indexTextWorkflow(
+        docs, "text", s"$root/idx")
+      val queries = Seq(
+        "vector search engines rank by cosine",
+        "the quick brown fox jumps",
+        "lottery ticket wins a prize")
+      queries.zipWithIndex.map { case (q, i) =>
+        operators.Workflows
+          .searchWorkflow(idx, graft.HashingEncoder(64), q, 5)
+          .select(lit(i.toLong).as("qid"), col("uid"),
+            round(col("score"), 6).as("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), desc("score"), col("uid"))
+    }),
+
     // REAL MP3 Layer III payload decode (r11): frame walk + bit
     // reservoir, MPEG-1 and LSF side info + scalefactors, Huffman
     // spectral decode with exact part2_3_length accounting,
@@ -3975,6 +4005,26 @@ object SparkEntry {
           "col.length AS length", "col.hash AS hash")
     }),
 
+    // workflow_e2e: the S6 encoder outputs (doc + query vectors) so
+    // the oracle re-ranks from scratch
+    "wf_doc_vecs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(lpad(col("doc_id").cast("string"), 6, "0").as("uid"),
+          col("text"))
+      graft.TextEncoder
+        .encodeColumn(docs, "text", "vec", graft.HashingEncoder(64))
+        .select("uid", "vec")
+    }),
+    "wf_query_vecs" -> ((s, dir) => {
+      import s.implicits._
+      val enc = graft.HashingEncoder(64)
+      Seq("vector search engines rank by cosine",
+        "the quick brown fox jumps",
+        "lottery ticket wins a prize")
+        .zipWithIndex.map { case (q, i) => (i.toLong, enc(q)) }
+        .toDF("qid", "qv")
+    }),
+
     // mp3_pcm_stats / mp3_windows: the decoded PCM itself — no
     // foreign MP3 decoder exists in this container to produce an
     // independent expectation (FIXTURES.md), so the dump pins the
@@ -5520,6 +5570,27 @@ object SparkEntry {
         |       CAST(sum(v * v) AS BIGINT) AS samp_energy
         |FROM smp GROUP BY doc_id, ch, rate, frames
         |ORDER BY doc_id""".stripMargin,
+
+    // workflow_e2e: from-scratch cosine ranking over the dumped
+    // encoder outputs — if the sink, docid assignment, save/load or
+    // search deviated anywhere, the uids or scores would differ
+    "workflow_e2e" ->
+      """WITH d AS (SELECT uid, vec::DOUBLE[] AS v
+        |           FROM read_parquet('__AUX__/wf_doc_vecs/*.parquet')),
+        |q AS (SELECT qid, qv::DOUBLE[] AS qv
+        |      FROM read_parquet('__AUX__/wf_query_vecs/*.parquet')),
+        |scored AS (
+        |  SELECT q.qid, d.uid,
+        |         list_cosine_similarity(d.v, q.qv) AS raw
+        |  FROM d CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, uid, raw,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY raw DESC, uid) AS rk
+        |  FROM scored)
+        |SELECT qid, uid, round(raw, 6) AS score
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY qid, raw DESC, uid""".stripMargin,
 
     // MP3 conformance: every value is a SPEC-LEVEL constant — row 0
     // is the foreign LAME silence file's structure (45 MPEG-2 frames,

@@ -197,7 +197,8 @@ object Mp3FramesWriter {
       modeExt: Int,
       grs: Seq[Seq[Seq[Gr]]],
       mainDataBegin: Seq[Int],
-      scfsi: Array[Array[Int]] = null): Array[Byte] = {
+      scfsi: Array[Array[Int]] = null,
+      protect: Boolean = false): Array[Byte] = {
     val rate = if (mpeg1) 44100 else 22050
     val kbps = (if (mpeg1)
       Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
@@ -241,8 +242,9 @@ object Mp3FramesWriter {
     //    main_data_begin(f) bytes before frame f's slot begins, so
     //    stuffing zeros go BETWEEN blocks (they are part of frame
     //    f-1's main data per 2.4.2.7)
+    val crcLen = if (protect) 2 else 0
     val frameLen = (if (mpeg1) 144000 * kbps / rate else 72000 * kbps / rate)
-    val slot = frameLen - 4 - sideLen
+    val slot = frameLen - 4 - crcLen - sideLen
     val combined = new java.io.ByteArrayOutputStream()
     f = 0
     while (f < grs.length) {
@@ -266,12 +268,15 @@ object Mp3FramesWriter {
     f = 0
     while (f < grs.length) {
       val mdb = mainDataBegin(f)
-      // header
+      // header (protection_bit = 1 means NO crc)
+      val hdr2 = (brIdx << 4) | (0 << 2) | (0 << 1) // no padding
+      val hdr3 = (if (stereo) (if (modeExt > 0) 1 else 0) else 3) << 6 |
+        (modeExt << 4)
       out.write(0xff)
-      out.write((0xe0 | ((if (mpeg1) 3 else 2) << 3) | (1 << 1) | 1))
-      out.write((brIdx << 4) | (0 << 2) | (0 << 1)) // no padding
-      out.write((if (stereo) (if (modeExt > 0) 1 else 0) else 3) << 6 |
-        (modeExt << 4))
+      out.write((0xe0 | ((if (mpeg1) 3 else 2) << 3) | (1 << 1) |
+        (if (protect) 0 else 1)))
+      out.write(hdr2)
+      out.write(hdr3)
       // side info
       val si = new BitW
       si.put(mdb, if (mpeg1) 9 else 8)
@@ -320,6 +325,13 @@ object Mp3FramesWriter {
       }
       val siBytes = si.toBytes
       require(siBytes.length == sideLen, s"side info ${siBytes.length}")
+      if (protect) {
+        // crc_check protects header bytes 2-3 + the side info (2.4.3.1)
+        val crc = Mp3Pcm.crc16(
+          Iterator(hdr2.toByte, hdr3.toByte) ++ siBytes.iterator)
+        out.write((crc >> 8) & 0xff)
+        out.write(crc & 0xff)
+      }
       out.write(siBytes)
       out.write(md, f * slot, slot)
       f += 1

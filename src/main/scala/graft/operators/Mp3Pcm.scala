@@ -121,6 +121,25 @@ object Mp3Pcm {
       modeExt, (b(pos + 1) & 1) == 0, frameLen)
   }
 
+  /** ISO 11172-3 §2.4.3.1 crc_check: CRC-16 (poly 0x8005, init
+    * 0xFFFF, MSB-first) over header bytes 2-3 plus the side info —
+    * exactly the bits the spec protects for Layer III. Public for the
+    * writer and the spec's independent pin vectors. */
+  def crc16(bytes: Iterator[Byte], init: Int = 0xffff): Int = {
+    var crc = init
+    bytes.foreach { byte =>
+      var k = 7
+      while (k >= 0) {
+        val bit = (byte >> k) & 1
+        val carry = (crc >>> 15) & 1
+        crc = (crc << 1) & 0xffff
+        if ((carry ^ bit) == 1) crc ^= 0x8005
+        k -= 1
+      }
+    }
+    crc
+  }
+
   private def readSideInfo(
       b: Array[Byte], off: Int, h: Header): (Array[Array[GrInfo]], Int) = {
     val bits = new Bits(b, off * 8)
@@ -242,6 +261,15 @@ object Mp3Pcm {
         if (lsf) (if (nCh == 1) 9 else 17) else (if (nCh == 1) 17 else 32)
       val crcLen = if (h.crc) 2 else 0
       if (pos + 4 + crcLen + sideLen > pos + h.frameLen) return None
+      if (h.crc) {
+        // a protected frame whose CRC disagrees is corrupt: fail the
+        // file (validator stance), never decode garbled side info
+        val stored = ((bytes(pos + 4) & 0xff) << 8) | (bytes(pos + 5) & 0xff)
+        val computed = crc16(
+          (Iterator(bytes(pos + 2), bytes(pos + 3)) ++
+            (0 until sideLen).iterator.map(i => bytes(pos + 6 + i))))
+        if (stored != computed) return None
+      }
       val (grs, mainDataBegin) = readSideInfo(bytes, pos + 4 + crcLen, h)
       // block_type 0 under window switching is forbidden (2.4.2.7)
       if (grs.exists(_.exists(g => g.windowSwitching && g.blockType == 0)))

@@ -222,6 +222,79 @@ object FourthPassProbe {
       }
     }
 
+    if (which == "all" || which == "winnowidx") {
+      // the r10 WinnowIndex earns its lake row: same 1M-lake / 100k-
+      // crawl shape as shingleidx, lake fingerprints PERSISTED and
+      // bucket-partitioned; the alternative per crawl is re-reading +
+      // re-fingerprinting the whole lake text (the winnow_pairs shape)
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory("graft-probe-wnidx").toString
+      spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(50000)))): _*)
+          .as("text"))
+        .write.parquet(s"$tmpRoot/lake")
+      val lake = spark.read.parquet(s"$tmpRoot/lake")
+      val incoming = spark.range(2000000L, 2100000L).select(
+        col("id").as("doc_id"),
+        when(col("id") % 5 === 0,
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit(if (i == 0) "shift pad " else "w"),
+              pmod(hash(pmod(col("id"), lit(1000000L)) * 53 + i),
+                lit(50000)))): _*))
+        .otherwise(
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit("n"), pmod(hash(col("id") * 59 + i), lit(50000)))): _*))
+          .as("text"))
+        .localCheckpoint(true)
+      incoming.count()
+      val idx = time("winnowidx: ONE-TIME lake fingerprint build, 1M docs") {
+        WinnowIndex.build(lake, "doc_id", "text", s"$tmpRoot/idx")
+      }
+      time("winnowidx: probe 100k crawl vs STORED index (warm #2)") {
+        idx.probe(incoming, "doc_id", "text", 2).count()
+        val m = idx.probe(incoming, "doc_id", "text", 2).count()
+        println(s"[probe]   cross matches: $m")
+      }
+      time("winnowidx: full-pass alternative (lake re-fingerprint + join, warm #2)") {
+        def full() = {
+          val lk = lake.selectExpr("doc_id AS old_id",
+              "posexplode(winnow(text, 4, 5))")
+            .selectExpr("old_id", "col.hash AS hash").distinct()
+          val rare = lk.groupBy("hash")
+            .agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+            .select("hash")
+          val inc = incoming.selectExpr("doc_id AS new_id",
+              "posexplode(winnow(text, 4, 5))")
+            .selectExpr("new_id", "col.hash AS hash").distinct()
+          lk.join(rare, "hash").join(inc, "hash")
+            .groupBy("new_id", "old_id")
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= 2).count()
+        }
+        full(); val m = full()
+        println(s"[probe]   full-pass matches: $m")
+      }
+      val small = incoming.limit(100).localCheckpoint(true)
+      small.count()
+      time("winnowidx: 100-doc trickle probe (bucket-pruned read)") {
+        val m = idx.probe(small, "doc_id", "text", 2).count()
+        println(s"[probe]   matches: $m")
+      }
+      val app = time("winnowidx: appendBatch 100k (claim-first, partitioned)") {
+        idx.appendBatch(incoming, "doc_id", "text")
+      }
+      time("winnowidx: compact after append") {
+        app.compact()
+      }
+      time("winnowidx: probe 100k vs compacted appended lake (warm #2)") {
+        val loaded = WinnowIndex.load(spark, s"$tmpRoot/idx")
+        loaded.probe(small, "doc_id", "text", 2).count()
+        val m = loaded.probe(small, "doc_id", "text", 2).count()
+        println(s"[probe]   matches incl. self-appended: $m")
+      }
+    }
+
     if (which == "all" || which == "webpdecode") {
       // the pixel-decode-throughput probe shape: generate fixture
       // bytes only vs generate + decode — the delta is the decode cost

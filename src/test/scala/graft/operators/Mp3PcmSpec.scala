@@ -534,6 +534,33 @@ class Mp3PcmSpec extends AnyFunSuite {
     }
   }
 
+  test("CRC-protected frames: the crc_check routine matches the " +
+    "independently-computed pin vectors, a protected stream " +
+    "round-trips to the same PCM as its unprotected twin, and one " +
+    "flipped side-info bit fails the file") {
+    // vectors computed outside the JVM (python, same spec definition)
+    assert(Mp3Pcm.crc16(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8).iterator)
+      == 0xcf5e)
+    assert(Mp3Pcm.crc16("graft".getBytes("US-ASCII").iterator) == 0x0ed5)
+    val gr = fixLongGr(9L, 170, 0)
+    def mk(protect: Boolean) = Mp3FramesWriter.stream(
+      mpeg1 = true, brIdx = 9, stereo = false, modeExt = 0,
+      grs = Seq(Seq(Seq(gr), Seq(gr.copy(count1Sel = 1)))),
+      mainDataBegin = Seq(0), protect = protect)
+    val plain = Mp3Pcm.decode(mk(false)).get
+    val prot = Mp3Pcm.decode(mk(true)).get
+    assert(java.util.Arrays.equals(plain.pcm, prot.pcm),
+      "CRC framing must not change the decode")
+    // corrupt one side-info bit: the CRC now disagrees -> None
+    val bad = mk(true)
+    bad(8) = (bad(8) ^ 0x10).toByte // inside side info (after 4+2 crc)
+    assert(Mp3Pcm.decode(bad).isEmpty, "CRC mismatch must fail the file")
+    // and corrupting the STORED crc itself also fails
+    val bad2 = mk(true)
+    bad2(4) = (bad2(4) ^ 0x01).toByte
+    assert(Mp3Pcm.decode(bad2).isEmpty)
+  }
+
   test("decode is deterministic and the wav bridge carries the exact " +
     "PCM (stats match the wav header fields)") {
     (0L to 4L).foreach { id =>
