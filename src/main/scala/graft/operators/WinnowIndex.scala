@@ -78,15 +78,29 @@ class WinnowIndex private (
     val base = if (bSet.length < nBuckets)
       base0.filter(col("bucket").isin(bSet.map(Integer.valueOf).toSeq: _*))
     else base0
-    // lake-side df cap: one partial-aggregated pass over the pruned
-    // postings; survivors re-join the same scan
-    val rare = base.groupBy("hash")
-      .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
-      .select("hash")
+    // lake-side df cap, evaluated candidates-first (r11): df only
+    // matters for hashes the BATCH carries, so the pruned postings
+    // scan semi-joins the batch's hash set before anything shuffles —
+    // the df aggregate then moves candidate postings, not the lake
+    // (the r11 1M-lake probe measured the lake-wide groupBy as the
+    // dominant probe cost at 100k-batch shape). Semantics unchanged:
+    // df(h) over `matched` equals df(h) over `base` for every hash the
+    // batch carries, because `matched` keeps ALL lake occurrences of
+    // those hashes; non-carried hashes never reached the pair join.
+    val incHashes = inc.select("hash").distinct()
+    val incHashesJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
+      broadcast(incHashes) else incHashes
+    val matched = base.join(incHashesJ, Seq("hash"))
+      .select("hash", "old_id")
+    val kept = matched
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("hash")))
+      .filter(col("__df") <= dfCap)
+      .select("hash", "old_id")
     val incJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
       broadcast(inc) else inc
     incJ
-      .join(base.join(rare, Seq("hash")).select("hash", "old_id"), Seq("hash"))
+      .join(kept, Seq("hash"))
       .groupBy("new_id", "old_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
