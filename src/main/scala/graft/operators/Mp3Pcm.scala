@@ -732,10 +732,24 @@ object Mp3Pcm {
     val ms = (h.modeExt & 2) == 2
     val intensity = (h.modeExt & 1) == 1
     val n = 576
+    // the MS region ends where the intensity region begins (the first
+    // scalefactor band lying entirely in the right channel's zero
+    // tail, 2.4.3.4.9) — intensity bands pan from the RAW left value,
+    // so MS must not touch them
+    val msEnd =
+      if (!intensity) n
+      else {
+        var bound = n
+        while (bound > 0 && isRaw(1)(bound - 1) == 0.0) bound -= 1
+        val sfbL = Mp3Tables.SfbLong(h.sampleRate)
+        var band = 0
+        while (band < 22 && sfbL(band) < bound) band += 1
+        sfbL(band)
+      }
     if (ms) {
       val invSqrt2 = 1.0 / math.sqrt(2.0)
       var i = 0
-      while (i < n) {
+      while (i < msEnd) {
         val m = xq(0)(i); val s = xq(1)(i)
         xq(0)(i) = (m + s) * invSqrt2
         xq(1)(i) = (m - s) * invSqrt2
@@ -744,15 +758,14 @@ object Mp3Pcm {
     }
     if (intensity) {
       val gr = grs(1)
-      // intensity bound: last nonzero line of the RIGHT channel
-      var bound = n
-      while (bound > 0 && isRaw(1)(bound - 1) == 0.0) bound -= 1
       val sfbL = Mp3Tables.SfbLong(h.sampleRate)
-      if (gr.blockType != 2) {
+      if (gr.blockType != 2 || !gr.windowSwitching) {
+        // pan every band from msEnd up, including the top band above
+        // the last transmitted scalefactor (its is_pos reads 0)
         var band = 0
-        while (band < 21) {
-          val lo = sfbL(band + 1)
-          if (lo >= bound) {
+        while (band < 22) {
+          val start = sfbL(band)
+          if (start >= msEnd) {
             val isPos = gr.scalefacL(band)
             val lsf = h.version != 1
             val illegal = if (lsf) false else isPos == 7
@@ -769,8 +782,8 @@ object Mp3Pcm {
                   val ratio = math.tan(isPos * math.Pi / 12.0)
                   (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
                 }
-              var i = lo
-              val hi = sfbL(math.min(band + 2, 22))
+              var i = start
+              val hi = sfbL(band + 1)
               while (i < hi) {
                 val v = xq(0)(i)
                 xq(0)(i) = v * kl
@@ -782,9 +795,13 @@ object Mp3Pcm {
           band += 1
         }
       }
-      // short-block intensity follows the same per-band panning over
-      // the short bands; rare in practice and exercised only by the
-      // spec tests (documented subset)
+      // short-block intensity (per-window bounds over the short
+      // bands) is NOT implemented: a granule that would need it —
+      // block_type 2 with mode_ext & 1 — decodes with the two
+      // channels left as requantized (no panning), which is also
+      // what the bound==full-spectrum case yields for long blocks.
+      // Stated here rather than silently approximated; no fixture in
+      // this container can pin it either way.
     }
   }
 

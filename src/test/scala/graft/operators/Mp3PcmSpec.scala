@@ -534,6 +534,73 @@ class Mp3PcmSpec extends AnyFunSuite {
     }
   }
 
+  test("MPEG-1 intensity stereo: bands above the right channel's " +
+    "zero tail pan the raw left spectrum by tan(is_pos*pi/12), MS " +
+    "stays below the intensity border — verified by superposition " +
+    "(the whole post-requantize chain is linear)") {
+    // left = low lines (0..39) + one isolated band-9 block (44..51);
+    // right = the same low lines only, so the intensity bound rounds
+    // up to the band-9 border (44.1 kHz sfb boundary 44)
+    val lowPairs = (0 until 20).map(p => (fv(11L, 2 * p, 5), fv(12L, 2 * p + 1, 5)))
+    val band9Vals = (0 until 4).map(p => (2 + p % 3, 1 + p % 2))
+    // the band-9 block must sit at LINES 44..51 in both the combined
+    // and the isolated stream, so superposition compares like lines
+    val combined = lowPairs ++ Seq.fill(2)((0, 0)) ++ band9Vals
+    val band9Pairs = Seq.fill(22)((0, 0)) ++ band9Vals
+    def gr(pairs: Seq[(Int, Int)], sf9: Int): Gr =
+      Gr(globalGain = 175, scalefacCompress = 15,
+        tableSelect = Seq(7, 10, 9), region0 = 8, region1 = 3,
+        scalefacL = (0 until 21).map(b => if (b == 9) sf9 else 0),
+        bigPairs = pairs)
+    val isPos = 2 // ratio = tan(pi/6): kl ~ 0.366, kr ~ 0.634
+    val ratio = math.tan(isPos * math.Pi / 12.0)
+    val (kl, kr) = (ratio / (1 + ratio), 1.0 / (1 + ratio))
+    def mono(pairs: Seq[(Int, Int)]) = Mp3Pcm.decode(
+      Mp3FramesWriter.stream(mpeg1 = true, brIdx = 9, stereo = false,
+        modeExt = 0,
+        grs = Seq(Seq(Seq(gr(pairs, 0)), Seq(gr(Seq.empty, 0)))),
+        mainDataBegin = Seq(0))).get.pcm
+    val low = mono(lowPairs)
+    val b9 = mono(band9Pairs)
+    // intensity-only stereo stream (mode_ext = 1): right carries the
+    // is_pos in its band-9 scalefactor slot
+    val st = Mp3Pcm.decode(Mp3FramesWriter.stream(
+      mpeg1 = true, brIdx = 11, stereo = true, modeExt = 1,
+      grs = Seq(Seq(
+        Seq(gr(combined, 0), gr(lowPairs, isPos)),
+        Seq(gr(Seq.empty, 0), gr(Seq.empty, isPos)))),
+      mainDataBegin = Seq(0))).get
+    assert(st.channels == 2)
+    var worst = 0.0
+    var i = 0
+    while (i < low.length) {
+      val l = st.pcm(2 * i).toDouble
+      val r = st.pcm(2 * i + 1).toDouble
+      worst = math.max(worst, math.abs(l - (low(i) + kl * b9(i))))
+      worst = math.max(worst, math.abs(r - (low(i) + kr * b9(i))))
+      i += 1
+    }
+    assert(worst <= 2.0, s"intensity superposition drift $worst LSB")
+    // is_pos 7 is the ILLEGAL marker: the band must pass through
+    // unpanned (left keeps the spectrum, right keeps its zeros)
+    val st7 = Mp3Pcm.decode(Mp3FramesWriter.stream(
+      mpeg1 = true, brIdx = 11, stereo = true, modeExt = 1,
+      grs = Seq(Seq(
+        Seq(gr(combined, 0), gr(lowPairs, 7)),
+        Seq(gr(Seq.empty, 0), gr(Seq.empty, 7)))),
+      mainDataBegin = Seq(0))).get
+    var worst7 = 0.0
+    i = 0
+    while (i < low.length) {
+      worst7 = math.max(worst7,
+        math.abs(st7.pcm(2 * i).toDouble - (low(i) + b9(i))))
+      worst7 = math.max(worst7,
+        math.abs(st7.pcm(2 * i + 1).toDouble - low(i)))
+      i += 1
+    }
+    assert(worst7 <= 2.0, s"illegal-position passthrough drift $worst7")
+  }
+
   test("CRC-protected frames: the crc_check routine matches the " +
     "independently-computed pin vectors, a protected stream " +
     "round-trips to the same PCM as its unprotected twin, and one " +
