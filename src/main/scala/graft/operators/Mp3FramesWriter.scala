@@ -198,8 +198,13 @@ object Mp3FramesWriter {
       grs: Seq[Seq[Seq[Gr]]],
       mainDataBegin: Seq[Int],
       scfsi: Array[Array[Int]] = null,
-      protect: Boolean = false): Array[Byte] = {
-    val rate = if (mpeg1) 44100 else 22050
+      protect: Boolean = false,
+      v25rate8: Boolean = false): Array[Byte] = {
+    // v25rate8 selects MPEG-2.5 at 8 kHz (version bits 00, sr index
+    // 2) — the LSF machinery is identical, but the 8 kHz band table
+    // is the spec's oddest (w=12 low bands, 2-line top bands)
+    require(!v25rate8 || !mpeg1, "v25rate8 implies an LSF stream")
+    val rate = if (mpeg1) 44100 else if (v25rate8) 8000 else 22050
     val kbps = (if (mpeg1)
       Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     else
@@ -269,11 +274,13 @@ object Mp3FramesWriter {
     while (f < grs.length) {
       val mdb = mainDataBegin(f)
       // header (protection_bit = 1 means NO crc)
-      val hdr2 = (brIdx << 4) | (0 << 2) | (0 << 1) // no padding
+      val hdr2 = (brIdx << 4) | ((if (v25rate8) 2 else 0) << 2) |
+        (0 << 1) // no padding
       val hdr3 = (if (stereo) (if (modeExt > 0) 1 else 0) else 3) << 6 |
         (modeExt << 4)
       out.write(0xff)
-      out.write((0xe0 | ((if (mpeg1) 3 else 2) << 3) | (1 << 1) |
+      out.write((0xe0 |
+        ((if (mpeg1) 3 else if (v25rate8) 0 else 2) << 3) | (1 << 1) |
         (if (protect) 0 else 1)))
       out.write(hdr2)
       out.write(hdr3)

@@ -601,6 +601,34 @@ class Mp3PcmSpec extends AnyFunSuite {
     assert(worst7 <= 2.0, s"illegal-position passthrough drift $worst7")
   }
 
+  test("MPEG-2.5 at 8 kHz: the rate-extension header parses, the " +
+    "spec's oddest band table drives requantize, and the reference " +
+    "chain reproduces the PCM") {
+    def gr(f: Int): Gr = {
+      val seed = 21L + f
+      // 8 kHz long bands: region0_count=8 ends at line 132, so 55
+      // pairs (110 lines) all ride table 7
+      Gr(globalGain = 172, scalefacCompress = 250,
+        tableSelect = Seq(7, 10, 9), region0 = 8, region1 = 3,
+        scalefacL = (0 until 21).map(b =>
+          if (b < 6) (b + f) % 8 else if (b < 11) 0 else (b + f) % 4),
+        bigPairs = (0 until 55).map(p =>
+          (fv(seed, 2 * p, 5), fv(seed + 3, 2 * p + 1, 5))),
+        quads = (0 until 5).map(q =>
+          (fv(seed, q, 1), fv(seed, q + 7, 1), fv(seed, q + 13, 1),
+            fv(seed, q + 19, 1))))
+    }
+    val grsSpec = (0 until 3).map(f => Seq(Seq(gr(f))))
+    val b = Mp3FramesWriter.stream(mpeg1 = false, brIdx = 8,
+      stereo = false, modeExt = 0, grs = grsSpec,
+      mainDataBegin = Seq(0, 16, 24), v25rate8 = true)
+    val (dec, st) = Mp3Pcm.decodeWithStats(b).get
+    assert(st.sampleRate == 8000 && st.frames == 3 &&
+      st.bitsExact == 3 && st.reservoirSilent == 0)
+    val want = refPcmMono(grsSpec, 8000, Array(0, 0, 0, 0))
+    assertPcmClose(dec.pcm, want, "v2.5-8kHz")
+  }
+
   test("CRC-protected frames: the crc_check routine matches the " +
     "independently-computed pin vectors, a protected stream " +
     "round-trips to the same PCM as its unprotected twin, and one " +
