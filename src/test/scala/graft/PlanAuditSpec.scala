@@ -729,6 +729,26 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("mp3_pcm_stats: the whole Layer III chain (reservoir + " +
+    "Huffman + IMDCT + synthesis -> WAV re-wrap -> stats) rides the " +
+    "scan as nested expressions — pushdown intact, no shuffle, no " +
+    "barrier") {
+    val plan = physical(run("mp3_pcm_stats"))
+    assert(plan.contains("LessThan(doc_id,5)"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
+  test("mp3_windows: decode feeds Generate (explode) with the filter " +
+    "pushed to the scan — the per-row codec shape at 100 TB") {
+    val plan = physical(run("mp3_windows"))
+    assert(plan.contains("LessThan(doc_id,5)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("mp4_frames: ISO-BMFF demux + per-sample JPEG decode is an " +
     "expression feeding Generate — no mapPartitions barrier, filter " +
     "pushed to the scan") {
