@@ -12,6 +12,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// JUnit XMLs from suites deleted since the last run otherwise survive
+// in target/test-reports and inflate external suite counts (this bit
+// three rounds running: ZstdDbgSpec r9, Mp3Dbg/Mp3QuickSpec r11).
+// Wipe the report dir before tests execute so reports match HEAD.
+Test / testOptions += {
+  val reports = target.value / "test-reports"
+  Tests.Setup(() => if (reports.exists) IO.delete(IO.listFiles(reports)))
+}
 // The driver parses ONE raw JSON line from `sbt "runMain graft.Bench"`
 // stdout. By default sbt routes forked-run output through its logger,
 // prefixing every line with "[info] " — which made BENCH_r01/r02

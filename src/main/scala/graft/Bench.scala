@@ -16,6 +16,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r12: the dedup_incremental 4.4->7.7s "regression" attributed.
+      // Spark's generated-class cache (CodeGenerator.cache) is a
+      // STATIC conf defaulting to 100 entries; a 208-query suite
+      // generates far more codegen units than that, so by the time
+      // pass 2 reaches a query, pass 1's classes are evicted and every
+      // run pays janino recompilation + fresh JIT (measured: 5.5s
+      // in-sweep vs 3.5s with the cache sized to the suite —
+      // tools/DedupIncProbe.scala). A production driver executing
+      // hundreds of distinct queries per session would set exactly
+      // this; it also removes the dominant pass-to-pass spread source.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)
@@ -77,7 +88,14 @@ object Bench {
     }
     waitForQuietBox("pre-run", maxWaitSec = 600)
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c — isolated-attribution runs (r12):
+    // measure a named subset with the full pass/guard machinery, so a
+    // flagged regression can be reproduced without the 200-query sweep
+    // competing for the box.
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
     // pass 1 then pass 2 over the whole suite (not back-to-back per
     // query): a contention burst then penalizes DIFFERENT queries in
     // the two passes instead of hitting both runs of the same query

@@ -25,6 +25,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp workspace for queries that exercise a real on-disk index
+    * lifecycle. Registered for recursive delete at JVM exit — bench
+    * and correctness runs construct these queries repeatedly, and
+    * without the hook every construction leaked an index directory
+    * into /tmp for the life of the box. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** The stored embedding of `vec_id = 0` — the flagship query vector
     * (the reference's single-query search path, weaviate.py:177). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
@@ -326,8 +343,7 @@ object SparkEntry {
         .select(lpad(col("vec_id").cast("string"), 6, "0").as("uid"),
           col("embedding").as("vector"),
           lit(null).cast("string").as("tags"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-lifecycle-").toString
+      val root = scratchDir("graft-lifecycle-")
       val cfg = index.IndexConfig(batch = index.BatchConfig(
         batchSize = Some(128), numWorkers = 2))
       val idx = index.VectorIndex.create(s, s"$root/idx", config = cfg)
@@ -1688,8 +1704,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(lpad(col("doc_id").cast("string"), 6, "0").as("uid"),
           col("text"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-wf-e2e-").toString
+      val root = scratchDir("graft-wf-e2e-")
       val idx = operators.Workflows.indexTextWorkflow(
         docs, "text", s"$root/idx")
       val queries = Seq(

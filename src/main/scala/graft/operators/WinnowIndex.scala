@@ -92,10 +92,20 @@ class WinnowIndex private (
       broadcast(incHashes) else incHashes
     val matched = base.join(incHashesJ, Seq("hash"))
       .select("hash", "old_id")
-    val kept = matched
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("hash")))
+    // df per candidate hash via groupBy (map-side partial aggregation:
+    // only (hash, count) pairs shuffle), then join the surviving hash
+    // set back. A Window.partitionBy(hash) here would funnel EVERY
+    // lake occurrence of a hot hash (df >> dfCap) into one task before
+    // filtering it out — reintroducing exactly the skew the cap exists
+    // to avoid. The survivors are <= the batch's distinct hashes, so
+    // the join-back broadcasts under the same budget as the semi-join.
+    val dfOk0 = matched.groupBy("hash")
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap)
+      .select("hash")
+    val dfOkJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
+      broadcast(dfOk0) else dfOk0
+    val kept = matched.join(dfOkJ, Seq("hash"))
       .select("hash", "old_id")
     val incJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
       broadcast(inc) else inc
