@@ -98,7 +98,10 @@ object Mp3FramesWriter {
             if (gr.blockType == 2 && !gr.mixedBlock) {
               val x = gr.scalefacS(slot / 3)(slot % 3); slot += 1; x
             } else if (gr.blockType == 2 && gr.mixedBlock) {
-              if (p == 0) { val x = gr.scalefacL(longB); longB += 1; x }
+              // flat counter, NOT "partition 0 == long": the n2 row's
+              // mixed partitions {15,18,0,0} cross the 6-band
+              // long/short boundary (mirrors Mp3Pcm.readScalefacLsf)
+              if (longB < 6) { val x = gr.scalefacL(longB); longB += 1; x }
               else { val x = gr.scalefacS(slot / 3)(slot % 3); slot += 1; x }
             } else { val x = gr.scalefacL(longB); longB += 1; x }
           require(slen(p) == 0 || (v >>> slen(p)) == 0,
@@ -148,10 +151,11 @@ object Mp3FramesWriter {
     }
     // --- big values (region split mirrors the decoder)
     val windowSwitching = gr.blockType != 0
+    val wsR1 = Mp3Pcm.wsRegion1Start(gr.blockType, gr.mixedBlock, rate)
     var i = 0
     gr.bigPairs.foreach { case (sx, sy) =>
       val region =
-        if (windowSwitching) (if (i < 36) 0 else 1)
+        if (windowSwitching) (if (i < wsR1) 0 else 1)
         else regionOf(i, gr, rate)
       val tab = gr.tableSelect(region)
       val ax = math.abs(sx); val ay = math.abs(sy)

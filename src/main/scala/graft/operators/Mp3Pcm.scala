@@ -274,6 +274,15 @@ object Mp3Pcm {
       // block_type 0 under window switching is forbidden (2.4.2.7)
       if (grs.exists(_.exists(g => g.windowSwitching && g.blockType == 0)))
         return None
+      // honest-subset reject: at MPEG-2.5 8 kHz no short-band boundary
+      // falls on the mixed long/short seam (3*sfbS(3) = 72, not 36),
+      // so the requantize/reorder/stereo geometry this decoder shares
+      // with every other rate would scale an 8 kHz mixed granule from
+      // the wrong band offsets. Reject the file rather than decode it
+      // wrong (same stance as unshipped Huffman tables).
+      if (h.sampleRate == 8000 &&
+          grs.exists(_.exists(g => g.windowSwitching && g.mixedBlock)))
+        return None
       val mdStart = pos + 4 + crcLen + sideLen
       val mdLen = h.frameLen - 4 - crcLen - sideLen
       reservoir.write(bytes, mdStart, mdLen)
@@ -476,14 +485,20 @@ object Mp3Pcm {
         p += 1
       }
     } else if (gr.blockType == 2 && gr.windowSwitching) {
-      // mixed: the first partition covers the long bands, the rest
-      // the short slots from sfb 3
-      var p = 0; var longLeft = nr(0); var b = 0; var slot = 9 // sfb3,w0
+      // mixed: a flat counter routes the first 6 values to the long
+      // bands (sfb 0-5) and everything after to the short slots from
+      // sfb 3 — INDEPENDENT of the partition boundaries. The n2 row's
+      // mixed partitions are {15,18,0,0}: its first partition crosses
+      // the long/short boundary, so "partition 0 == long bands" would
+      // misroute 9 scalefactors into scalefacL(6..14) and leave short
+      // slots 18..35 zero with bit accounting still exact (silently
+      // wrong PCM).
+      var p = 0; var b = 0; var slot = 9 // long sfb0; short sfb3,w0
       while (p < 4) {
         var k = 0
         while (k < nr(p)) {
           val v = if (slen(p) == 0) 0 else br.get(slen(p))
-          if (p == 0 && longLeft > 0) { gr.scalefacL(b) = v; b += 1; longLeft -= 1 }
+          if (b < 6) { gr.scalefacL(b) = v; b += 1 }
           else { gr.scalefacS(slot / 3)(slot % 3) = v; slot += 1 }
           k += 1
         }
@@ -566,6 +581,22 @@ object Mp3Pcm {
     * is rolled back (2.4.3.4.4); big-values overrun fails the file.
     * Returns false if an unshipped table is selected or the stream
     * overruns. */
+  /** Big-values region-1 start (line index) for window-switching
+    * granules, where region0_count is implicit (2.4.2.7): 8 for pure
+    * short blocks — 9 short band-slots, 3*sfbShort(3) = 36 at every
+    * rate except MPEG-2.5 8 kHz (72) — and 7 otherwise (block type
+    * 1/3 and mixed blocks) — sfbLong(8) = 36 at MPEG-1 rates but 54
+    * at the LSF rates. The flat 36 both the decoder and the writer
+    * used before r12 was only correct at MPEG-1 rates: at LSF it
+    * decoded lines 36..53 of a start/stop block with tableSelect(1)
+    * instead of tableSelect(0). Shared with [[Mp3FramesWriter]] so
+    * the serializer mirrors the split (the independent reference
+    * pipeline consumes field values, never this boundary). */
+  private[operators] def wsRegion1Start(
+      blockType: Int, mixed: Boolean, sampleRate: Int): Int =
+    if (blockType == 2 && !mixed) 3 * Mp3Tables.SfbShort(sampleRate)(3)
+    else Mp3Tables.SfbLong(sampleRate)(8)
+
   private def huffmanDecode(
       br: Bits, gr: GrInfo, h: Header, startBits: Int,
       out: Array[Double]): Boolean = {
@@ -573,7 +604,8 @@ object Mp3Pcm {
     val sfb = Mp3Tables.SfbLong(h.sampleRate)
     // region boundaries in line indices
     val (r1Start, r2Start) =
-      if (gr.windowSwitching) (36, 576)
+      if (gr.windowSwitching)
+        (wsRegion1Start(gr.blockType, gr.mixedBlock, h.sampleRate), 576)
       else (sfb(math.min(gr.region0 + 1, 22)),
         sfb(math.min(gr.region0 + 1 + gr.region1 + 1, 22)))
     val bigEnd = math.min(gr.bigValues * 2, 576)
@@ -721,10 +753,29 @@ object Mp3Pcm {
 
   // ---------------------------------------------------------- stereo
 
-  /** MS and intensity stereo (2.4.3.4.9). MS: mid/side over sqrt(2).
-    * Intensity: bands above the right channel's last nonzero line get
-    * panned by is_pos; position 7 (v1) / all-ones (LSF) is illegal
-    * and leaves the band as-is. */
+  /** MS and intensity stereo (2.4.3.4.9). MS: mid/side over sqrt(2),
+    * applied everywhere OUTSIDE the intensity region (intensity bands
+    * pan from the RAW left value, so MS must not touch them; an
+    * illegal-is_pos band — position 7 under MPEG-1 — stays as-is and
+    * is still excluded from MS).
+    *
+    * Long blocks: one bound at the first scalefactor band lying
+    * entirely in the right channel's zero tail; bands from there up
+    * pan by scalefacL is_pos (the top band above the last transmitted
+    * scalefactor reads is_pos 0).
+    *
+    * Short blocks (r12): PER-WINDOW bounds over the short bands —
+    * window w's intensity region starts at the first short band with
+    * no nonzero right-channel line at or above it IN THAT WINDOW, and
+    * pans by is_pos = scalefacS(sfb)(w). The short region is still in
+    * huffman (sfb, window, line) order here (stereo runs before
+    * reorderShort), where band b / window w occupies
+    * [3*sfbS(b) + w*width, +width) — the same layout requantize
+    * walked. A mixed block whose right channel is zero across the
+    * WHOLE short region extends the intensity region into the long
+    * head with long-band is_pos. (Mixed blocks at 8 kHz are rejected
+    * at side-info time — see the decode loop — so 3*sfbS(3) == 36
+    * holds for every granule that reaches this code.) */
   private def stereo(
       grs: Array[GrInfo], h: Header, isRaw: Array[Array[Double]],
       xq: Array[Array[Double]]): Unit = {
@@ -732,76 +783,115 @@ object Mp3Pcm {
     val ms = (h.modeExt & 2) == 2
     val intensity = (h.modeExt & 1) == 1
     val n = 576
-    // the MS region ends where the intensity region begins (the first
-    // scalefactor band lying entirely in the right channel's zero
-    // tail, 2.4.3.4.9) — intensity bands pan from the RAW left value,
-    // so MS must not touch them
-    val msEnd =
-      if (!intensity) n
-      else {
-        var bound = n
-        while (bound > 0 && isRaw(1)(bound - 1) == 0.0) bound -= 1
-        val sfbL = Mp3Tables.SfbLong(h.sampleRate)
-        var band = 0
-        while (band < 22 && sfbL(band) < bound) band += 1
-        sfbL(band)
-      }
-    if (ms) {
-      val invSqrt2 = 1.0 / math.sqrt(2.0)
-      var i = 0
-      while (i < msEnd) {
-        val m = xq(0)(i); val s = xq(1)(i)
-        xq(0)(i) = (m + s) * invSqrt2
-        xq(1)(i) = (m - s) * invSqrt2
+    val gr = grs(1)
+    val lsf = h.version != 1
+
+    // is_pos -> (kl, kr); pan fills [lo, hi) from the raw left value
+    def pan(isPos: Int, lo: Int, hi: Int): Unit = {
+      val illegal = if (lsf) false else isPos == 7
+      if (illegal) return
+      val (kl, kr) =
+        if (lsf) {
+          val io = if ((gr.scalefacCompress & 1) == 1)
+            math.pow(2.0, -0.25) else math.pow(2.0, -0.5)
+          if (isPos == 0) (1.0, 1.0)
+          else if ((isPos & 1) == 1)
+            (math.pow(io, (isPos + 1) / 2.0), 1.0)
+          else (1.0, math.pow(io, isPos / 2.0))
+        } else {
+          val ratio = math.tan(isPos * math.Pi / 12.0)
+          (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
+        }
+      var i = lo
+      while (i < hi) {
+        val v = xq(0)(i)
+        xq(0)(i) = v * kl
+        xq(1)(i) = v * kr
         i += 1
       }
     }
+
+    // inIs(i): line i belongs to the intensity region (excluded from
+    // MS whether or not its band's is_pos was legal to pan)
+    val inIs = new Array[Boolean](n)
     if (intensity) {
-      val gr = grs(1)
       val sfbL = Mp3Tables.SfbLong(h.sampleRate)
-      if (gr.blockType != 2 || !gr.windowSwitching) {
-        // pan every band from msEnd up, including the top band above
-        // the last transmitted scalefactor (its is_pos reads 0)
-        var band = 0
-        while (band < 22) {
-          val start = sfbL(band)
-          if (start >= msEnd) {
-            val isPos = gr.scalefacL(band)
-            val lsf = h.version != 1
-            val illegal = if (lsf) false else isPos == 7
-            if (!illegal) {
-              val (kl, kr) =
-                if (lsf) {
-                  val io = if ((gr.scalefacCompress & 1) == 1)
-                    math.pow(2.0, -0.25) else math.pow(2.0, -0.5)
-                  if (isPos == 0) (1.0, 1.0)
-                  else if ((isPos & 1) == 1)
-                    (math.pow(io, (isPos + 1) / 2.0), 1.0)
-                  else (1.0, math.pow(io, isPos / 2.0))
-                } else {
-                  val ratio = math.tan(isPos * math.Pi / 12.0)
-                  (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
-                }
-              var i = start
-              val hi = sfbL(band + 1)
-              while (i < hi) {
-                val v = xq(0)(i)
-                xq(0)(i) = v * kl
-                xq(1)(i) = v * kr
-                i += 1
-              }
+      if (gr.blockType == 2 && gr.windowSwitching) {
+        val sfbS = Mp3Tables.SfbShort(h.sampleRate)
+        val startBand = if (gr.mixedBlock) 3 else 0
+        val longEnd = if (gr.mixedBlock) 36 else 0
+        def blockLo(b: Int, w: Int): Int =
+          3 * sfbS(b) + w * (sfbS(b + 1) - sfbS(b))
+        var allShortZero = true
+        var w = 0
+        while (w < 3) {
+          var bound = 13
+          var b = 12
+          var stop = false
+          while (!stop && b >= startBand) {
+            val width = sfbS(b + 1) - sfbS(b)
+            val lo = blockLo(b, w)
+            var nz = false
+            var l = 0
+            while (l < width && !nz) {
+              if (isRaw(1)(lo + l) != 0.0) nz = true
+              l += 1
             }
+            if (nz) stop = true else { bound = b; b -= 1 }
           }
+          if (bound > startBand) allShortZero = false
+          b = bound
+          while (b <= 12) {
+            val width = sfbS(b + 1) - sfbS(b)
+            val lo = blockLo(b, w)
+            java.util.Arrays.fill(inIs, lo, lo + width, true)
+            pan(gr.scalefacS(b)(w), lo, lo + width)
+            b += 1
+          }
+          w += 1
+        }
+        if (gr.mixedBlock && allShortZero) {
+          // the zero tail reaches below the short region: continue
+          // into the long head with long-band is_pos
+          var boundLine = longEnd
+          while (boundLine > 0 && isRaw(1)(boundLine - 1) == 0.0)
+            boundLine -= 1
+          var band = 0
+          while (band < 22 && sfbL(band) < boundLine) band += 1
+          while (band < 22 && sfbL(band) < longEnd) {
+            val lo = sfbL(band)
+            val hi = math.min(sfbL(band + 1), longEnd)
+            java.util.Arrays.fill(inIs, lo, hi, true)
+            pan(gr.scalefacL(band), lo, hi)
+            band += 1
+          }
+        }
+      } else {
+        var boundLine = n
+        while (boundLine > 0 && isRaw(1)(boundLine - 1) == 0.0)
+          boundLine -= 1
+        var band = 0
+        while (band < 22 && sfbL(band) < boundLine) band += 1
+        while (band < 22) {
+          val lo = sfbL(band)
+          val hi = sfbL(band + 1)
+          java.util.Arrays.fill(inIs, lo, hi, true)
+          pan(gr.scalefacL(band), lo, hi)
           band += 1
         }
       }
-      // short-block intensity (per-window bounds over the short
-      // bands) is NOT implemented: a granule that would need it —
-      // block_type 2 with mode_ext & 1 — decodes with the two
-      // channels left as requantized (no panning), which is also
-      // what the bound==full-spectrum case yields for long blocks.
-      // Stated here rather than silently approximated; no fixture in
-      // this container can pin it either way.
+    }
+    if (ms) {
+      val invSqrt2 = 1.0 / math.sqrt(2.0)
+      var i = 0
+      while (i < n) {
+        if (!inIs(i)) {
+          val m = xq(0)(i); val s = xq(1)(i)
+          xq(0)(i) = (m + s) * invSqrt2
+          xq(1)(i) = (m - s) * invSqrt2
+        }
+        i += 1
+      }
     }
   }
 

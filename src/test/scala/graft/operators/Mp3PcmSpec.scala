@@ -656,6 +656,209 @@ class Mp3PcmSpec extends AnyFunSuite {
     assert(Mp3Pcm.decode(bad2).isEmpty)
   }
 
+  test("LSF n2-range mixed block: scalefactor routing is flat across " +
+    "the {15,18} partitions (first 6 long, rest short from sfb 3) — " +
+    "the reference chain consumes the FIELD values, so a partition-" +
+    "aligned misroute would shift the requantize exponents and break " +
+    "the PCM pin") {
+    // scalefac_compress = 505 -> n2 row: slen {1,2,0,0}, mixed
+    // partitions {15,18,0,0}. Partition 0 CROSSES the 6-band
+    // long/short seam: values 0-5 are long sfb 0-5, values 6-14 are
+    // short slots sfb3..5 x 3 windows, partition 1 fills sfb6..11.
+    def gr(f: Int): Gr = {
+      val seed = 31L + f
+      Gr(globalGain = 172, scalefacCompress = 505, blockType = 2,
+        mixedBlock = true, tableSelect = Seq(7, 10, 0),
+        subblockGain = Seq(0, 1, 0),
+        scalefacL = (0 until 21).map(b => if (b < 6) (b + f) % 2 else 0),
+        scalefacS = (0 until 13).map(s => (0 until 3).map { w =>
+          if (s < 3 || s > 11) 0
+          else if (s < 6) (s + w + f) % 2 // partition 0 tail, 1 bit
+          else (s + w + f) % 4 // partition 1, 2 bits
+        }),
+        // region boundary under window switching at LSF rates is
+        // sfbLong(8) = 54 (not 36): lines 0..53 ride tableSelect(0)
+        bigPairs = (0 until 54).map { p =>
+          val m = if (2 * p < 54) 5 else 7
+          (fv(seed, 2 * p, m), fv(seed + 4, 2 * p + 1, m))
+        },
+        quads = (0 until 4).map(q =>
+          (fv(seed, q, 1), fv(seed, q + 5, 1), fv(seed, q + 9, 1),
+            fv(seed, q + 13, 1))))
+    }
+    val grsSpec = (0 until 2).map(f => Seq(Seq(gr(f))))
+    val b = Mp3FramesWriter.stream(mpeg1 = false, brIdx = 8,
+      stereo = false, modeExt = 0, grs = grsSpec,
+      mainDataBegin = Seq(0, 0))
+    val (dec, st) = Mp3Pcm.decodeWithStats(b).get
+    assert(st.bitsExact == 2, "n2 mixed granules must stay bit-exact")
+    val want = refPcmMono(grsSpec, 22050, Array(0, 0, 0, 0))
+    assertPcmClose(dec.pcm, want, "lsf-n2-mixed")
+  }
+
+  test("window-switching big-values boundary: start/stop blocks use " +
+    "sfbLong(8) (54 at LSF rates, 36 at MPEG-1 rates; 72 for pure " +
+    "short at 8 kHz), pinned structurally and by a bit-exact LSF " +
+    "start/stop decode with content straddling lines 36..53") {
+    // structural: the spec-derived implicit region0_count (2.4.2.7)
+    assert(Mp3Pcm.wsRegion1Start(1, mixed = false, 44100) == 36)
+    assert(Mp3Pcm.wsRegion1Start(3, mixed = false, 44100) == 36)
+    assert(Mp3Pcm.wsRegion1Start(1, mixed = false, 22050) == 54)
+    assert(Mp3Pcm.wsRegion1Start(3, mixed = false, 22050) == 54)
+    assert(Mp3Pcm.wsRegion1Start(2, mixed = true, 22050) == 54)
+    assert(Mp3Pcm.wsRegion1Start(2, mixed = false, 22050) == 36)
+    assert(Mp3Pcm.wsRegion1Start(2, mixed = false, 8000) == 72)
+    // behavioral: an LSF start (1) then stop (3) block whose lines
+    // 36..53 carry values; the writer codes them with tableSelect(0)
+    // under the 54 boundary, and the decoder must re-walk the exact
+    // same split or the part2_3 accounting rejects the granule
+    def gr(f: Int): Gr = {
+      val seed = 41L + f
+      Gr(globalGain = 170, scalefacCompress = 250,
+        blockType = if (f == 0) 1 else 3,
+        tableSelect = Seq(7, 10, 0),
+        scalefacL = (0 until 21).map(b =>
+          if (b < 6) (b + f) % 8 else if (b < 11) 0 else (b + f) % 4),
+        bigPairs = (0 until 60).map { p =>
+          val m = if (2 * p < 54) 5 else 7
+          (fv(seed, 2 * p, m), fv(seed + 5, 2 * p + 1, m))
+        },
+        quads = (0 until 4).map(q =>
+          (fv(seed, q, 1), fv(seed, q + 5, 1), fv(seed, q + 9, 1),
+            fv(seed, q + 13, 1))))
+    }
+    val grsSpec = (0 until 2).map(f => Seq(Seq(gr(f))))
+    val b = Mp3FramesWriter.stream(mpeg1 = false, brIdx = 8,
+      stereo = false, modeExt = 0, grs = grsSpec,
+      mainDataBegin = Seq(0, 0))
+    val (dec, st) = Mp3Pcm.decodeWithStats(b).get
+    assert(st.bitsExact == 2, "start/stop granules must stay bit-exact")
+    val want = refPcmMono(grsSpec, 22050, Array(0, 0, 0, 0))
+    assertPcmClose(dec.pcm, want, "lsf-startstop")
+  }
+
+  test("short-block intensity stereo: per-window bounds over the " +
+    "short bands pan the raw left spectrum by scalefacS is_pos — " +
+    "verified by superposition, with is_pos 7 passing through " +
+    "unpanned") {
+    // 44.1 kHz pure short. Left = bands 0..2 in all windows (lines
+    // 0..35, shared with the right channel) + one isolated block in
+    // band 9 WINDOW 1 (huffman lines 3*66+18 .. +17 = 216..233).
+    // Right carries only the low bands, so every window's intensity
+    // bound lands at band 3 and band 9 w1 pans by ITS window's is_pos.
+    val lowPairs = (0 until 18).map(p =>
+      (fv(51L, 2 * p, 5), fv(52L, 2 * p + 1, 5)))
+    val b9Vals = (0 until 9).map(p => (2 + p % 3, 1 + p % 2))
+    val combined = lowPairs ++ Seq.fill(90)((0, 0)) ++ b9Vals
+    val b9Pairs = Seq.fill(108)((0, 0)) ++ b9Vals
+    def gr(pairs: Seq[(Int, Int)], isPos9w1: Int): Gr =
+      Gr(globalGain = 175, scalefacCompress = 15, blockType = 2,
+        tableSelect = Seq(7, 10, 0), subblockGain = Seq(0, 1, 0),
+        scalefacS = (0 until 13).map(s => (0 until 3).map(w =>
+          if (s == 9 && w == 1) isPos9w1 else 0)),
+        bigPairs = pairs)
+    def mono(pairs: Seq[(Int, Int)]) = Mp3Pcm.decode(
+      Mp3FramesWriter.stream(mpeg1 = true, brIdx = 9, stereo = false,
+        modeExt = 0,
+        grs = Seq(Seq(Seq(gr(pairs, 0)), Seq(gr(Seq.empty, 0)))),
+        mainDataBegin = Seq(0))).get.pcm
+    val low = mono(lowPairs)
+    val b9 = mono(b9Pairs)
+    val isPos = 2
+    val ratio = math.tan(isPos * math.Pi / 12.0)
+    val (kl, kr) = (ratio / (1 + ratio), 1.0 / (1 + ratio))
+    def stereoPcm(pos: Int) = Mp3Pcm.decode(Mp3FramesWriter.stream(
+      mpeg1 = true, brIdx = 11, stereo = true, modeExt = 1,
+      grs = Seq(Seq(
+        Seq(gr(combined, 0), gr(lowPairs, pos)),
+        Seq(gr(Seq.empty, 0), gr(Seq.empty, pos)))),
+      mainDataBegin = Seq(0))).get
+    val st = stereoPcm(isPos)
+    assert(st.channels == 2)
+    var worst = 0.0
+    var i = 0
+    while (i < low.length) {
+      val l = st.pcm(2 * i).toDouble
+      val r = st.pcm(2 * i + 1).toDouble
+      worst = math.max(worst, math.abs(l - (low(i) + kl * b9(i))))
+      worst = math.max(worst, math.abs(r - (low(i) + kr * b9(i))))
+      i += 1
+    }
+    assert(worst <= 2.0, s"short intensity superposition drift $worst")
+    // illegal marker: band passes through on the left, right stays 0
+    val st7 = stereoPcm(7)
+    var worst7 = 0.0
+    i = 0
+    while (i < low.length) {
+      worst7 = math.max(worst7,
+        math.abs(st7.pcm(2 * i).toDouble - (low(i) + b9(i))))
+      worst7 = math.max(worst7,
+        math.abs(st7.pcm(2 * i + 1).toDouble - low(i)))
+      i += 1
+    }
+    assert(worst7 <= 2.0, s"short illegal-position drift $worst7")
+  }
+
+  test("mixed-block intensity: a right channel that is zero through " +
+    "the whole short region extends the intensity region into the " +
+    "long head, panned by the long-band is_pos") {
+    // left = content in the long head only (lines 0..35); right =
+    // silent. allShortZero -> every short band pans (over zeros) and
+    // the long bands 0..5 pan by scalefacL is_pos.
+    val headPairs = (0 until 18).map(p =>
+      (fv(61L, 2 * p, 5), fv(62L, 2 * p + 1, 5)))
+    val isPos = 4
+    def gr(pairs: Seq[(Int, Int)], pos: Int): Gr =
+      Gr(globalGain = 175, scalefacCompress = 15, blockType = 2,
+        mixedBlock = true, tableSelect = Seq(7, 10, 0),
+        // the MPEG-1 mixed long head spans 8 bands (sfbL(8) = 36 at
+        // 44.1 kHz) — all of them carry the same is_pos here so the
+        // whole head pans by one (kl, kr)
+        scalefacL = (0 until 21).map(b => if (b < 8) pos else 0),
+        bigPairs = pairs)
+    val leftMono = Mp3Pcm.decode(
+      Mp3FramesWriter.stream(mpeg1 = true, brIdx = 9, stereo = false,
+        modeExt = 0,
+        grs = Seq(Seq(Seq(gr(headPairs, 0)), Seq(gr(Seq.empty, 0)))),
+        mainDataBegin = Seq(0))).get.pcm
+    val st = Mp3Pcm.decode(Mp3FramesWriter.stream(
+      mpeg1 = true, brIdx = 11, stereo = true, modeExt = 1,
+      grs = Seq(Seq(
+        Seq(gr(headPairs, 0), gr(Seq.empty, isPos)),
+        Seq(gr(Seq.empty, 0), gr(Seq.empty, isPos)))),
+      mainDataBegin = Seq(0))).get
+    val ratio = math.tan(isPos * math.Pi / 12.0)
+    val (kl, kr) = (ratio / (1 + ratio), 1.0 / (1 + ratio))
+    var worst = 0.0
+    var i = 0
+    while (i < leftMono.length) {
+      worst = math.max(worst,
+        math.abs(st.pcm(2 * i).toDouble - kl * leftMono(i)))
+      worst = math.max(worst,
+        math.abs(st.pcm(2 * i + 1).toDouble - kr * leftMono(i)))
+      i += 1
+    }
+    assert(worst <= 2.0, s"mixed long-head intensity drift $worst")
+  }
+
+  test("MPEG-2.5 8 kHz mixed blocks are rejected, never decoded " +
+    "wrong: no short-band boundary falls on the 36-line mixed seam " +
+    "there (3*sfbS(3) = 72)") {
+    def gr(mixed: Boolean): Gr =
+      Gr(globalGain = 170, scalefacCompress = 250, blockType = 2,
+        mixedBlock = mixed, tableSelect = Seq(7, 10, 0),
+        bigPairs = (0 until 18).map(p =>
+          (fv(71L, 2 * p, 5), fv(72L, 2 * p + 1, 5))))
+    def stream(mixed: Boolean) = Mp3FramesWriter.stream(
+      mpeg1 = false, brIdx = 8, stereo = false, modeExt = 0,
+      grs = Seq(Seq(Seq(gr(mixed)))), mainDataBegin = Seq(0),
+      v25rate8 = true)
+    assert(Mp3Pcm.decode(stream(mixed = true)).isEmpty,
+      "8 kHz mixed must reject")
+    assert(Mp3Pcm.decode(stream(mixed = false)).isDefined,
+      "8 kHz pure short must still decode")
+  }
+
   test("decode is deterministic and the wav bridge carries the exact " +
     "PCM (stats match the wav header fields)") {
     (0L to 4L).foreach { id =>
