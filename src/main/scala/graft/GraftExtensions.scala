@@ -173,6 +173,8 @@ object GraftExtensions {
     "mp3_wav" -> (es => Mp3Wav(es.head)),
     "mp3_conformance" -> (es => Mp3Conformance(es.head)),
     "mp3_pcm_media_for_id" -> (es => Mp3PcmMediaBytes(es.head)),
+    "mp3_coverage" -> (es => Mp3CoverageExpr(es.head)),
+    "mp3_coverage_media_for_id" -> (es => Mp3CoverageMediaBytes(es.head)),
     "flac_media_for_id" -> (es => FlacMediaBytes(es.head)),
     "wav_pcm_bytes" -> (es => WavPcmBytes(es.head)),
     "gif_frame_stats" -> (es => GifFrameStats(es.head)),

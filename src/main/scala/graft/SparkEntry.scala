@@ -1780,6 +1780,34 @@ object SparkEntry {
         .orderBy("doc_id", "win")
     }),
 
+    // MP3 decode-coverage TRIAGE (r12): side-info-only table census —
+    // per file, the granule-channels decodable by the shipped Huffman
+    // subset vs those blocked by each unshipped family (11-15, the
+    // 16-23/24-31 linbits families, reserved 4/14). The decoder
+    // REJECTS unshipped selections (FIXTURES.md §5); this query makes
+    // that honest boundary a measured per-file number. Fixtures 0-4
+    // are the all-shipped conformance streams; 5-7 deliberately
+    // select the unshipped families (incl. an unused-region table-16
+    // select that must NOT count, and the code-sharing LSF aliases).
+    // Every column is a spec-derived constant of the fixture
+    // construction, restated analytically by the oracle.
+    "mp3_coverage" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 8)
+        .selectExpr("doc_id",
+          "mp3_coverage(mp3_coverage_media_for_id(" +
+            "CAST(doc_id AS BIGINT))) AS c")
+        .selectExpr("doc_id",
+          "CAST(c.frames AS BIGINT) AS frames",
+          "CAST(c.granule_channels AS BIGINT) AS granule_channels",
+          "CAST(c.shipped AS BIGINT) AS shipped",
+          "CAST(c.fam11_15 AS BIGINT) AS fam11_15",
+          "CAST(c.fam16_23 AS BIGINT) AS fam16_23",
+          "CAST(c.fam24_31 AS BIGINT) AS fam24_31",
+          "CAST(c.invalid AS BIGINT) AS invalid")
+        .orderBy("doc_id")
+    }),
+
     // audio segmentation in the frequency domain (r8): spectral flux —
     // L1 distance between consecutive DFT magnitude spectra — the
     // audio twin of the GIF/AVI scene-cut SADs; same term-for-term
@@ -5625,6 +5653,33 @@ object SparkEntry {
         |  (2, 3, 6, 12, 0, 44100, 2, 3456),
         |  (3, 3, 6, 6, 0, 44100, 1, 3456),
         |  (4, 3, 3, 3, 0, 22050, 1, 1728))
+        |AS t(c0, c1, c2, c3, c4, c5, c6, c7)
+        |ORDER BY doc_id""".stripMargin,
+
+    // every value is a spec constant of the fixture construction:
+    // frame counts from the stream assembly, granule-channel counts
+    // from (frames x granules x channels), family counts from the
+    // table ids each fixture's side info selects and the region-use
+    // arithmetic (region r counts only when it starts below
+    // bigValues*2 — fixture 6's table-16 select sits in an unused
+    // region and must not taint its granule)
+    "mp3_coverage" ->
+      """SELECT CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS frames,
+        |       CAST(c2 AS BIGINT) AS granule_channels,
+        |       CAST(c3 AS BIGINT) AS shipped,
+        |       CAST(c4 AS BIGINT) AS fam11_15,
+        |       CAST(c5 AS BIGINT) AS fam16_23,
+        |       CAST(c6 AS BIGINT) AS fam24_31,
+        |       CAST(c7 AS BIGINT) AS invalid
+        |FROM (VALUES
+        |  (0, 45, 45, 45, 0, 0, 0, 0),
+        |  (1, 4, 8, 8, 0, 0, 0, 0),
+        |  (2, 3, 12, 12, 0, 0, 0, 0),
+        |  (3, 3, 6, 6, 0, 0, 0, 0),
+        |  (4, 3, 3, 3, 0, 0, 0, 0),
+        |  (5, 2, 4, 2, 1, 1, 1, 0),
+        |  (6, 2, 4, 2, 0, 0, 0, 2),
+        |  (7, 3, 3, 1, 0, 1, 1, 0))
         |AS t(c0, c1, c2, c3, c4, c5, c6, c7)
         |ORDER BY doc_id""".stripMargin,
 

@@ -97,6 +97,85 @@ object Mp3Conformance {
     }
 }
 
+/** mp3_coverage(bytes) -> struct: side-info-only Huffman-table TRIAGE
+  * ([[Mp3Pcm.coverage]]) — per file, how many granule-channels the
+  * shipped table subset decodes and how many each unshipped family
+  * (11-15, 16-23/24-31 linbits, reserved 4/14) blocks. This is the
+  * measured answer to "how much of a real crawl's MP3 audio decodes
+  * today" (FIXTURES.md §5): the decoder REJECTS unshipped selections
+  * rather than guessing, and this expression turns that honest
+  * boundary into a per-file number a curation pipeline can filter and
+  * aggregate on. */
+case class Mp3CoverageExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp3CoverageExpr.schema
+  override def prettyName: String = "mp3_coverage"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Mp3CoverageExpr.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = (InternalRow) graft.functions.Mp3CoverageExpr$$.MODULE$$.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Mp3CoverageExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("frames", IntegerType),
+    StructField("granule_channels", IntegerType),
+    StructField("shipped", IntegerType),
+    StructField("fam11_15", IntegerType),
+    StructField("fam16_23", IntegerType),
+    StructField("fam24_31", IntegerType),
+    StructField("invalid", IntegerType)))
+
+  def compute(bytes: Array[Byte]): InternalRow =
+    (try Mp3Pcm.coverage(bytes) catch { case _: Exception => None }) match {
+      case Some(c) => InternalRow(c.frames, c.granuleChannels, c.shipped,
+        c.fam11_15, c.fam16_23, c.fam24_31, c.invalid)
+      case None => null
+    }
+}
+
+/** mp3_coverage_media_for_id(id) -> binary: the triage fixture set —
+  * ids 0-4 are the payload-conformance fixtures (all-shipped
+  * selections), 5-7 are writer-assembled streams whose side info
+  * SELECTS the unshipped families (13/16/24, the reserved 4/14, and
+  * the LSF code-sharing aliases 17/22/25) with claimed-but-unemitted
+  * big values — parseable side info, deliberately undecodable
+  * payload. */
+case class Mp3CoverageMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp3_coverage_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Mp3Fixtures.mp3CoverageMediaFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.Mp3Fixtures$$.MODULE$$.mp3CoverageMediaFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** mp3_pcm_media_for_id(id) -> binary: the MP3 PAYLOAD-conformance
   * fixtures — id%5==0 is the FOREIGN LAME silence encode, 1-4 are the
   * writer-assembled content streams ([[Mp3Fixtures]]). Distinct from

@@ -56,7 +56,15 @@ object Mp3FramesWriter {
       scalefacL: Seq[Int] = Seq.fill(21)(0),
       scalefacS: Seq[Seq[Int]] = Seq.fill(13)(Seq(0, 0, 0)),
       bigPairs: Seq[(Int, Int)] = Seq.empty, // signed (x, y) pairs
-      quads: Seq[(Int, Int, Int, Int)] = Seq.empty) // signed 0/±1
+      quads: Seq[(Int, Int, Int, Int)] = Seq.empty, // signed 0/±1
+      // triage-only: claim this many big-value pairs in the side info
+      // WITHOUT emitting their codes — produces a granule that
+      // SELECTS its tableSelect ids (for mp3_coverage fixtures of the
+      // unshipped families) while being deliberately undecodable.
+      // Must stay 0 (and bigPairs empty when set) for decodable
+      // fixtures: part2_3_length will not account for the claimed
+      // pairs.
+      rawBigValues: Int = 0)
 
   private def huffCode(tab: Int, x: Int, y: Int): (Int, Int) = {
     val (xl, yl, packed) = Mp3Tables.Huff(tab)
@@ -307,7 +315,7 @@ object Mp3FramesWriter {
         while (c < nCh) {
           val gr = grs(f)(g)(c)
           si.put(part23(f)(g)(c), 12)
-          si.put(gr.bigPairs.length, 9)
+          si.put(math.max(gr.bigPairs.length, gr.rawBigValues), 9)
           si.put(gr.globalGain, 8)
           si.put(gr.scalefacCompress, if (mpeg1) 4 else 9)
           if (gr.blockType != 0) {

@@ -221,6 +221,90 @@ object Mp3Pcm {
     try decodeWithStats(bytes).map(_._2)
     catch { case _: Exception => None }
 
+  /** Huffman-table TRIAGE over side info only — no entropy decode, no
+    * reservoir: how much of a file's granule-channels the shipped
+    * table subset (1-10 + count1, FIXTURES.md §5) can decode, and
+    * which unshipped family blocks the rest. A granule-channel counts
+    * toward `shipped` iff none of its USED big-values regions (a
+    * region is used when it starts below bigValues*2) selects an
+    * unshipped table; otherwise it counts toward EVERY family it
+    * uses: 11-15 (no linbits), 16-23 / 24-31 (the two linbits
+    * families; 17-23 and 25-31 reuse 16/24's codes), and `invalid`
+    * for the reserved ids 4/14. part2_3_length == 0 granules are
+    * silent and always decodable. This measures TABLE coverage only —
+    * the walk applies the same framing checks as decode (header
+    * coherence, side-info fit) but not CRC or payload accounting. */
+  final case class Coverage(
+      frames: Int, granuleChannels: Int, shipped: Int,
+      fam11_15: Int, fam16_23: Int, fam24_31: Int, invalid: Int)
+
+  def coverage(bytes: Array[Byte]): Option[Coverage] = {
+    if (bytes == null || bytes.length < 4) return None
+    var pos = 0
+    var end = bytes.length
+    if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      if (bytes.length < 10) return None
+      if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None
+      pos = 10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f))
+      if (pos >= end) return None
+    }
+    if (end - pos > 128 && bytes(end - 128) == 'T' &&
+      bytes(end - 127) == 'A' && bytes(end - 126) == 'G') end -= 128
+    var rate = 0; var nCh = 0
+    var frames = 0; var gch = 0; var shipped = 0
+    var f11 = 0; var f16 = 0; var f24 = 0; var inv = 0
+    while (pos + 4 <= end) {
+      val h = parseHeader(bytes, pos)
+      if (h == null) return None
+      if (rate == 0) { rate = h.sampleRate; nCh = h.channels }
+      else if (rate != h.sampleRate || nCh != h.channels) return None
+      val lsf = h.version != 1
+      val sideLen =
+        if (lsf) (if (nCh == 1) 9 else 17) else (if (nCh == 1) 17 else 32)
+      val crcLen = if (h.crc) 2 else 0
+      if (pos + 4 + crcLen + sideLen > pos + h.frameLen) return None
+      val (grs, _) = readSideInfo(bytes, pos + 4 + crcLen, h)
+      val sfbL = Mp3Tables.SfbLong(h.sampleRate)
+      grs.foreach(_.foreach { gr =>
+        gch += 1
+        var g11 = false; var g16 = false; var g24 = false
+        var gInv = false
+        if (gr.part23 > 0 && gr.bigValues > 0) {
+          val bigEnd = math.min(gr.bigValues * 2, 576)
+          val starts =
+            if (gr.windowSwitching)
+              Array(0, wsRegion1Start(gr.blockType, gr.mixedBlock,
+                h.sampleRate), 576)
+            else Array(0, sfbL(math.min(gr.region0 + 1, 22)),
+              sfbL(math.min(gr.region0 + 1 + gr.region1 + 1, 22)))
+          var r = 0
+          while (r < 3) {
+            if (starts(r) < bigEnd) {
+              val tab = gr.tableSelect(r)
+              if (tab != 0 && !Mp3Tables.Huff.contains(tab)) {
+                if (tab == 4 || tab == 14) gInv = true
+                else if (tab <= 15) g11 = true
+                else if (tab <= 23) g16 = true
+                else g24 = true
+              }
+            }
+            r += 1
+          }
+        }
+        if (g11) f11 += 1
+        if (g16) f16 += 1
+        if (g24) f24 += 1
+        if (gInv) inv += 1
+        if (!(g11 || g16 || g24 || gInv)) shipped += 1
+      })
+      frames += 1
+      pos += h.frameLen
+    }
+    if (frames < 1 || pos != end) return None
+    Some(Coverage(frames, gch, shipped, f11, f16, f24, inv))
+  }
+
   def decodeWithStats(bytes: Array[Byte]): Option[(Decoded, Stats)] = {
     if (bytes == null || bytes.length < 4) return None
     var pos = 0

@@ -749,6 +749,16 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("mp3_coverage: the side-info-only table census rides the scan " +
+    "as a nested expression — pushdown intact, no shuffle (the crawl-" +
+    "triage shape: cheaper than decode, same distribution story)") {
+    val plan = physical(run("mp3_coverage"))
+    assert(plan.contains("LessThan(doc_id,8)"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("mp4_frames: ISO-BMFF demux + per-sample JPEG decode is an " +
     "expression feeding Generate — no mapPartitions barrier, filter " +
     "pushed to the scan") {

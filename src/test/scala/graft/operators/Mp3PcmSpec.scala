@@ -859,6 +859,34 @@ class Mp3PcmSpec extends AnyFunSuite {
       "8 kHz pure short must still decode")
   }
 
+  test("coverage triage: per-granule table census matches the " +
+    "fixture constructions, counts unshipped selections only in USED " +
+    "regions, and agrees with the decoder's reject boundary") {
+    def cov(id: Long) = Mp3Pcm.coverage(Mp3Fixtures.mp3CoverageMediaFor(id)).get
+    // all-shipped conformance fixtures: everything decodable
+    val expected = Seq(
+      (0L, 45, 45, 45, 0, 0, 0, 0),
+      (1L, 4, 8, 8, 0, 0, 0, 0),
+      (2L, 3, 12, 12, 0, 0, 0, 0),
+      (3L, 3, 6, 6, 0, 0, 0, 0),
+      (4L, 3, 3, 3, 0, 0, 0, 0),
+      (5L, 2, 4, 2, 1, 1, 1, 0),
+      (6L, 2, 4, 2, 0, 0, 0, 2),
+      (7L, 3, 3, 1, 0, 1, 1, 0))
+    expected.foreach { case (id, fr, g, sh, a, b, c, i) =>
+      val cv = cov(id)
+      assert(cv == Mp3Pcm.Coverage(fr, g, sh, a, b, c, i), s"id $id: $cv")
+    }
+    // the triage fixtures are exactly the decoder's reject set: files
+    // whose every granule is shipped decode, the others return None
+    (0L to 7L).foreach { id =>
+      val decodes = Mp3Pcm.decode(Mp3Fixtures.mp3CoverageMediaFor(id)).isDefined
+      val cv = cov(id)
+      val allShipped = cv.shipped == cv.granuleChannels
+      assert(decodes == allShipped, s"id $id: decode=$decodes cov=$cv")
+    }
+  }
+
   test("decode is deterministic and the wav bridge carries the exact " +
     "PCM (stats match the wav header fields)") {
     (0L to 4L).foreach { id =>
