@@ -23,8 +23,15 @@ object Verify {
     var failures = 0
     // engine-computed intermediates some oracles re-derive results from
     // (seeded hash families the oracle can't recompute); dumped first so
-    // a later query failure still leaves the oracle inputs in place
-    val auxDir = new java.io.File(outDir, "_aux").getAbsolutePath
+    // a later query failure still leaves the oracle inputs in place.
+    // A SIBLING of outDir (r12), not a child: the driver treats every
+    // directory under outDir as a query result, so an in-tree dump
+    // surfaced as a permanent no-oracle row in the correctness
+    // artifact. The oracle SQL reads the dump via the absolute path
+    // Verify substitutes for __AUX__, so its location is free.
+    val auxDir = new java.io.File(
+      new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "__aux"
+    ).getAbsolutePath
     SparkEntry.auxiliary.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")

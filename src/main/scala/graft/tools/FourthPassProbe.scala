@@ -382,6 +382,30 @@ object FourthPassProbe {
       time("g4: gen+decode, 1M images") { genDecode() }
     }
 
+    if (which == "all" || which == "mp3decode") {
+      // MP3 Layer III full-payload decode throughput over the
+      // conformance fixtures (mixed MPEG-1 content / MS stereo /
+      // short+mixed blocks / LSF, plus the 45-frame LAME silence),
+      // the per-row scan-riding shape of the mp3_* queries; the
+      // side-info-only coverage triage is timed alongside to show
+      // what a crawl census costs vs a full decode
+      graft.Graft.init(spark)
+      val n2 = 300000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(mp3_pcm_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("wav_stats(mp3_wav(mp3_pcm_media_for_id(id))) AS st")
+        .agg(sum("st.samp_energy")).head()
+      def genTriage() = spark.range(n2)
+        .selectExpr("mp3_coverage(mp3_coverage_media_for_id(id)) AS c")
+        .agg(sum("c.shipped")).head()
+      genOnly(); genDecode(); genTriage() // warm
+      time("mp3: gen-only, 300k files") { genOnly() }
+      time("mp3: gen+full decode+stats, 300k files") { genDecode() }
+      time("mp3: gen+coverage triage, 300k files") { genTriage() }
+    }
+
     if (which == "all" || which == "vp8decode") {
       // VP8 keyframe decode throughput over the embedded external
       // fixtures (5 files, 72B..3.4KB)

@@ -100,6 +100,77 @@ class WorkflowServerSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("concurrent requests serialize on the single-tenant session: " +
+    "overlapping searches (and a health probe in the middle) all " +
+    "answer 200 with byte-identical bodies to the sequential run, " +
+    "and overlapping index requests leave a consistent store") {
+    val dir = Files.createTempDirectory("graft-wf-conc").toString
+    val server = WorkflowServer.start(spark, dir, port = 0, k = 3)
+    val port = server.getAddress.getPort
+    try {
+      val idx = post(port, "/workflow",
+        """{"name": "index",
+          | "elements": [
+          |   "US tops 5 million confirmed virus cases",
+          |   "Maine man wins lottery with a hash join",
+          |   "vector search engines rank by cosine"
+          | ]}""".stripMargin)
+      assert(idx.statusCode() == 200, idx.body())
+      val query =
+        """{"name": "search",
+          | "elements": ["vector search engines rank by cosine"]}"""
+          .stripMargin
+      val sequential = post(port, "/workflow", query)
+      assert(sequential.statusCode() == 200)
+      // 8 overlapping searches from 8 client threads; the single
+      // worker must queue them — every response identical to the
+      // sequential baseline, none dropped, no 500s
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val tasks = (1 to 8).map(_ =>
+          (() => post(port, "/workflow", query)):
+            java.util.concurrent.Callable[
+              java.net.http.HttpResponse[String]])
+        val health = pool.submit(
+          (() => get(port, "/health")):
+            java.util.concurrent.Callable[
+              java.net.http.HttpResponse[String]])
+        val rs = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+        rs.foreach { r =>
+          assert(r.statusCode() == 200, r.body())
+          assert(r.body() == sequential.body(), r.body())
+        }
+        assert(health.get().statusCode() == 200)
+        // overlapping INDEX requests: the scaladoc's race scenario —
+        // serialized by the executor, so both complete and the store
+        // stays consistent (the second overwrite wins; a follow-up
+        // search answers from a well-formed index, never a torn one)
+        val idxBody1 =
+          """{"name": "index", "elements": ["alpha doc", "beta doc"]}"""
+        val idxBody2 =
+          """{"name": "index", "elements": ["gamma doc", "delta doc", "epsilon doc"]}"""
+        val both = pool.invokeAll(Seq(
+          (() => post(port, "/workflow", idxBody1)):
+            java.util.concurrent.Callable[
+              java.net.http.HttpResponse[String]],
+          (() => post(port, "/workflow", idxBody2)):
+            java.util.concurrent.Callable[
+              java.net.http.HttpResponse[String]]).asJava)
+          .asScala.map(_.get())
+        assert(both.forall(_.statusCode() == 200),
+          both.map(_.body()).mkString(" | "))
+        val after = post(port, "/workflow",
+          """{"name": "search", "elements": ["alpha doc"]}""")
+        assert(after.statusCode() == 200, after.body())
+        // whichever index ran last, the store answers with a full
+        // result set of ITS corpus (2 or 3 docs, k=3)
+        val n = after.body().sliding(7).count(_ == """"uid":"""")
+        assert(n == 2 || n == 3, after.body())
+      } finally pool.shutdownNow()
+    } finally server.stop(0)
+  }
+
   test("error bodies stay valid JSON when the message carries " +
     "control characters (escaped as \\u00XX)") {
     val dir = Files.createTempDirectory("graft-wf-esc").toString
