@@ -82,6 +82,8 @@ object GraftExtensions {
     "webp_pixel_media_for_id" -> (es => WebpPixelMediaBytes(es.head)),
     "vp8_media_for_id" -> (es => Vp8MediaBytes(es.head)),
     "webp_yuv" -> (es => WebpYuv(es.head)),
+    "vp8_ivf_media_for_id" -> (es => Vp8IvfMediaBytes(es.head)),
+    "vp8_ivf_frames" -> (es => Vp8IvfFrames(es.head)),
     "anim_media_for_id" -> (es => AnimMediaBytes(es.head)),
     "webp_anim" -> (es => WebpAnim(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),

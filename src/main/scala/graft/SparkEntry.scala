@@ -1340,6 +1340,29 @@ object SparkEntry {
         .orderBy("doc_id", "plane", "pos")
     }),
 
+    // VP8 INTER frames (r12): the IVF fixture — a REAL libwebp
+    // 48x32 keyframe followed by two writer-assembled pure-MC
+    // interframes (frame 1: integer mv (16,32); frame 2: sub-pel
+    // (4,6) chained off frame 1 — Vp8Fixtures.ivfFor). One row per
+    // plane sample per frame. The oracle re-derives frame 1 as a
+    // replicated-edge integer shift of the PINNED frame-0 planes
+    // (libwebp's own decode, the webp_lossy_expected aux) and frame 2
+    // by the full two-pass six-tap interpolation in SQL — so the
+    // reference-buffer routing, the MV plumbing and every MC rounding
+    // step must match an implementation that shares nothing with the
+    // engine.
+    "vp8_inter_frames" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 1)
+        .selectExpr(
+          "explode(vp8_ivf_frames(vp8_ivf_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS p")
+        .selectExpr("CAST(p.frame AS BIGINT) AS frame",
+          "CAST(p.plane AS BIGINT) AS plane",
+          "CAST(p.pos AS BIGINT) AS pos", "CAST(p.v AS BIGINT) AS v")
+        .orderBy("frame", "plane", "pos")
+    }),
+
     // animated WebP (r10): ANIM/ANMF containers around REAL libwebp
     // frame payloads composited to full-canvas snapshots — blend
     // (exact-integer alpha formula), overwrite, dispose-to-background,
@@ -9158,6 +9181,80 @@ object SparkEntry {
       """SELECT doc_id, plane, pos, v
         |FROM read_parquet('__AUX__/webp_lossy_expected/*.parquet')
         |ORDER BY doc_id, plane, pos""".stripMargin,
+
+    // frame 0 = the PINNED external planes (fixture 1); frame 1 = an
+    // integer MC shift with replicated edges; frame 2 = the two-pass
+    // six-tap interpolation (luma fractions x=6/y=4, chroma x=3/y=2)
+    // computed from scratch over frame 1 — the RFC 6386 §18 rounding
+    // ((sum + 64) >> 7, 8-bit clamped intermediate) restated in SQL
+    "vp8_inter_frames" ->
+      """WITH dims AS (
+        |  SELECT * FROM (VALUES (0, 48, 32), (1, 24, 16), (2, 24, 16))
+        |    AS d(plane, w, h)),
+        |ref0 AS (
+        |  SELECT r.plane,
+        |         CAST(r.pos % d.w AS BIGINT) AS x,
+        |         CAST(r.pos // d.w AS BIGINT) AS y, r.v
+        |  FROM read_parquet('__AUX__/webp_lossy_expected/*.parquet') r
+        |  JOIN dims d ON d.plane = r.plane
+        |  WHERE r.doc_id = 1 AND r.plane < 3),
+        |grid AS (
+        |  SELECT d.plane, d.w, d.h, x.range AS x, y.range AS y
+        |  FROM dims d, range(0, 48) x, range(0, 32) y
+        |  WHERE x.range < d.w AND y.range < d.h),
+        |f1 AS (
+        |  SELECT g.plane, g.w, g.h, g.x, g.y, r.v
+        |  FROM grid g JOIN ref0 r ON r.plane = g.plane
+        |    AND r.x = LEAST(g.w - 1, GREATEST(0,
+        |          g.x + CASE WHEN g.plane = 0 THEN 4 ELSE 2 END))
+        |    AND r.y = LEAST(g.h - 1, GREATEST(0,
+        |          g.y + CASE WHEN g.plane = 0 THEN 2 ELSE 1 END))),
+        |taps AS (
+        |  SELECT * FROM (VALUES
+        |    (6, 0, 1), (6, 1, -8), (6, 2, 36), (6, 3, 108),
+        |    (6, 4, -11), (6, 5, 2),
+        |    (4, 0, 3), (4, 1, -16), (4, 2, 77), (4, 3, 77),
+        |    (4, 4, -16), (4, 5, 3),
+        |    (3, 0, 0), (3, 1, -9), (3, 2, 93), (3, 3, 50),
+        |    (3, 4, -6), (3, 5, 0),
+        |    (2, 0, 2), (2, 1, -11), (2, 2, 108), (2, 3, 36),
+        |    (2, 4, -8), (2, 5, 1)) AS t(frac, k, wt)),
+        |rows2 AS (
+        |  SELECT d.plane, d.w, d.h, x.range AS x, y.range AS yy
+        |  FROM dims d, range(0, 48) x, range(-2, 35) y
+        |  WHERE x.range < d.w AND y.range <= d.h + 2),
+        |h2 AS (
+        |  SELECT g.plane, g.x, g.yy,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(
+        |      (SUM(t.wt * r.v) + 64) / 128.0) AS BIGINT))) AS v
+        |  FROM rows2 g
+        |  JOIN taps t ON t.frac = CASE WHEN g.plane = 0 THEN 6 ELSE 3 END
+        |  JOIN f1 r ON r.plane = g.plane
+        |    AND r.x = LEAST(g.w - 1, GREATEST(0, g.x - 2 + t.k))
+        |    AND r.y = LEAST(g.h - 1, GREATEST(0, g.yy))
+        |  GROUP BY g.plane, g.x, g.yy),
+        |f2 AS (
+        |  SELECT g.plane, g.w, g.x, g.y,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(
+        |      (SUM(t.wt * h.v) + 64) / 128.0) AS BIGINT))) AS v
+        |  FROM grid g
+        |  JOIN taps t ON t.frac = CASE WHEN g.plane = 0 THEN 4 ELSE 2 END
+        |  JOIN h2 h ON h.plane = g.plane AND h.x = g.x
+        |    AND h.yy = g.y - 2 + t.k
+        |  GROUP BY g.plane, g.w, g.x, g.y),
+        |allf AS (
+        |  SELECT CAST(0 AS BIGINT) AS frame, r.plane,
+        |         CAST(r.y * d.w + r.x AS BIGINT) AS pos,
+        |         CAST(r.v AS BIGINT) AS v
+        |  FROM ref0 r JOIN dims d ON d.plane = r.plane
+        |  UNION ALL
+        |  SELECT 1, plane, CAST(y * w + x AS BIGINT),
+        |         CAST(v AS BIGINT) FROM f1
+        |  UNION ALL
+        |  SELECT 2, plane, CAST(y * w + x AS BIGINT),
+        |         CAST(v AS BIGINT) FROM f2)
+        |SELECT frame, CAST(plane AS BIGINT) AS plane, pos, v
+        |FROM allf ORDER BY frame, plane, pos""".stripMargin,
 
     "webp_pixels" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),

@@ -66,6 +66,90 @@ case class WebpYuv(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** vp8_ivf_media_for_id(id) -> binary: the IVF inter-frame fixture —
+  * a real libwebp keyframe followed by writer-assembled pure-MC
+  * interframes with spec-constant MVs ([[graft.operators.Vp8Fixtures
+  * .ivfFor]]). */
+case class Vp8IvfMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vp8_ivf_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Vp8Fixtures.ivfFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.Vp8Fixtures$$.MODULE$$.ivfFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** vp8_ivf_frames(media) -> array<struct<frame,plane,pos,v>>: every
+  * plane sample of every decoded frame of a VP8 IVF stream —
+  * [[graft.operators.Vp8Inter.decodeIvf]]'s full output surface
+  * (reference buffers, inter modes, motion compensation), so an
+  * oracle can re-derive frame N from frame N-1 and the fixture's MV
+  * constants. Null for malformed streams or any frame outside the
+  * decoded subset. */
+case class Vp8IvfFrames(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("plane", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vp8_ivf_frames"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Vp8IvfFrames.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Vp8IvfFrames$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Vp8IvfFrames {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    graft.operators.Vp8Inter.decodeIvf(bytes) match {
+      case None => null
+      case Some(frames) =>
+        val total = frames.iterator
+          .map(f => f.y.length + f.u.length + f.v.length).sum
+        val out = new Array[Any](total)
+        var o = 0
+        frames.zipWithIndex.foreach { case (f, fi) =>
+          Seq((0, f.y), (1, f.u), (2, f.v)).foreach { case (pl, data) =>
+            var i = 0
+            while (i < data.length) {
+              out(o) = InternalRow(fi, pl, i, data(i) & 0xff)
+              o += 1; i += 1
+            }
+          }
+        }
+        new GenericArrayData(out)
+    }
+}
+
 /** anim_media_for_id(id) -> binary: the embedded animated-WebP
   * conformance fixture bytes ([[graft.operators.AnimWebpFixtures]]). */
 case class AnimMediaBytes(child: Expression) extends UnaryExpression {

@@ -18,10 +18,16 @@ import graft.functions.Vp8Tables
   * against system libwebp's decode of real libwebp-encoded files
   * (ExternalFixturesSpec), not a PSNR hand-wave.
   *
-  * Keyframes only: WebP stills ARE keyframes (a VP8 chunk in a WebP
-  * container is always a keyframe by spec), so inter-frame tools
-  * (MV decode, reference buffers, golden/altref) are out of scope —
-  * the documented seam stays for video streams.
+  * Inter frames (r12): full §16-§18 support behind [[decodeSequence]]
+  * / [[Vp8Inter.decodeIvf]] — reference buffers (last/golden/altref
+  * with refresh/copy/sign-bias plumbing), persistent entropy context,
+  * the near-MV survey and contextual mv_ref coding, NEW/SPLIT motion
+  * vectors, and two-pass 6-tap / bilinear sub-pixel motion
+  * compensation. The single-frame WebP path ([[decodeFrame]]) remains
+  * keyframe-only by the container's own rule. Inter conformance is
+  * self-pinned (writer + independent MC spec-math + linearity — see
+  * [[Vp8Inter]]'s scaladoc for what stays externally unpinned until a
+  * libvpx encode exists).
   *
   * Conformance coverage note: the external fixtures pin single-token-
   * partition streams with segmentation (libwebp's default segments=4)
@@ -44,7 +50,7 @@ object Vp8 {
   /** §7: the boolean arithmetic decoder. Reads zeros past the end
     * (a truncated stream decodes deterministically — callers bound
     * trust elsewhere). */
-  private final class Bool(b: Array[Byte], start: Int, end: Int) {
+  private[operators] final class Bool(b: Array[Byte], start: Int, end: Int) {
     private var range = 255
     private var value = 0
     private var shift = 0 // bits consumed of the current byte window
@@ -147,39 +153,108 @@ object Vp8 {
   private final class MbInfo {
     var segment = 0
     var skip = false // the coded mb_skip_coeff flag
-    var yMode = 0
+    var yMode = 0 // intra 0-4; inter modes Vp8Inter.ModeNearest..Split
     var uvMode = 0
     val bModes = new Array[Int](16)
     var hasCoeffs = false // any nonzero coefficient actually decoded
     var filterLevel = 0
+    // inter fields (r12): 0 intra, 1 last, 2 golden, 3 altref
+    var refFrame = 0
+    var mvPacked = 0 // eighth-pel (row << 16 | col), Vp8Inter packing
+    val bMvs = new Array[Int](16) // per-4x4 MVs (split; else replicated)
+  }
+
+  /** Cross-frame state for inter-frame sequences (r12): the three
+    * reference plane sets and the persistent entropy context
+    * (coefficient, MV and intra-mode probabilities survive frames
+    * whose refresh_entropy_probs is set; keyframes reset them). */
+  private final class SeqState {
+    var width = 0; var height = 0
+    var lastY: Plane = null; var lastU: Plane = null; var lastV: Plane = null
+    var goldY: Plane = null; var goldU: Plane = null; var goldV: Plane = null
+    var altY: Plane = null; var altU: Plane = null; var altV: Plane = null
+    val signBias = Array(0, 0, 0, 0) // by ref id (golden/altref coded)
+    var coeffProbs: Array[Int] = null // null = spec defaults
+    var mvProbs: Array[Array[Int]] = null
+    var yModeProbs: Array[Int] = null
+    var uvModeProbs: Array[Int] = null
+    def resetEntropy(): Unit = {
+      coeffProbs = null
+      mvProbs = Array(Vp8Inter.MvDefaultProbs(0).clone(),
+        Vp8Inter.MvDefaultProbs(1).clone())
+      yModeProbs = Vp8Inter.InterYModeProbs.clone()
+      uvModeProbs = Vp8Inter.InterUvModeProbs.clone()
+    }
+    resetEntropy()
+  }
+
+  /** Decode a sequence of frames (frame 0 must be a keyframe) sharing
+    * reference buffers and entropy state — the IVF path
+    * ([[Vp8Inter.decodeIvf]]). None if ANY frame fails (validator
+    * stance: a stream is decoded whole or not at all). */
+  private[operators] def decodeSequence(
+      b: Array[Byte], frames: Seq[(Int, Int)]): Option[Seq[Yuv]] = {
+    if (frames.isEmpty) return None
+    val st = new SeqState
+    val out = Seq.newBuilder[Yuv]
+    var i = 0
+    while (i < frames.length) {
+      val (o, l) = frames(i)
+      decode0(b, o, l, st) match {
+        case Some(y) => out += y
+        case None => return None
+      }
+      i += 1
+    }
+    Some(out.result())
   }
 
   /** Decode one keyframe from `b(off until off+len)`. None on
     * non-keyframes, version > 3, or any malformed stream. */
   def decodeFrame(b: Array[Byte], off: Int, len: Int): Option[Yuv] = {
-    try decode0(b, off, len)
+    try decode0(b, off, len, null)
     catch { case _: Exception => None }
   }
 
   /** Spec-only variant that lets malformed-stream exceptions escape
     * (conformance debugging; production callers use [[decodeFrame]]). */
   private[operators] def decodeFrameUnsafe(
-      b: Array[Byte], off: Int, len: Int): Option[Yuv] = decode0(b, off, len)
+      b: Array[Byte], off: Int, len: Int): Option[Yuv] =
+    decode0(b, off, len, null)
 
-  private def decode0(b: Array[Byte], off: Int, len: Int): Option[Yuv] = {
-    if (len < 10 || off < 0 || off + len > b.length) return None
+  private def decode0(b: Array[Byte], off: Int, len: Int,
+      st: SeqState): Option[Yuv] = {
+    if (len < 4 || off < 0 || off + len > b.length) return None
     val tag = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16)
     val keyframe = (tag & 1) == 0
     val version = (tag >> 1) & 7
     val part0Len = tag >> 5
-    if (!keyframe || version > 3) return None
-    if ((b(off + 3) & 0xff) != 0x9d || (b(off + 4) & 0xff) != 0x01 ||
-      (b(off + 5) & 0xff) != 0x2a) return None
-    val w = ((b(off + 6) & 0xff) | ((b(off + 7) & 0xff) << 8)) & 0x3fff
-    val h = ((b(off + 8) & 0xff) | ((b(off + 9) & 0xff) << 8)) & 0x3fff
-    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
-    val part0 = off + 10
+    if (version > 3) return None
+    // an interframe needs a sequence context with a decoded keyframe
+    if (!keyframe && (st == null || st.lastY == null)) return None
+    var w = 0; var h = 0
+    var part0 = 0
+    if (keyframe) {
+      if (len < 10) return None
+      if ((b(off + 3) & 0xff) != 0x9d || (b(off + 4) & 0xff) != 0x01 ||
+        (b(off + 5) & 0xff) != 0x2a) return None
+      w = ((b(off + 6) & 0xff) | ((b(off + 7) & 0xff) << 8)) & 0x3fff
+      h = ((b(off + 8) & 0xff) | ((b(off + 9) & 0xff) << 8)) & 0x3fff
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+      part0 = off + 10
+      if (st != null) {
+        // a keyframe mid-sequence must not resize (buffer contract)
+        if (st.width != 0 && (st.width != w || st.height != h))
+          return None
+        st.width = w; st.height = h
+        st.resetEntropy()
+        st.signBias(2) = 0; st.signBias(3) = 0
+      }
+    } else {
+      w = st.width; h = st.height
+      part0 = off + 3
+    }
     if (part0 + part0Len > off + len) return None
     val hd = new Bool(b, part0, part0 + part0Len)
 
@@ -187,8 +262,10 @@ object Vp8 {
     val mbH = (h + 15) / 16
 
     // ---- frame header (§9.2–§9.11) --------------------------------
-    hd.literal(1) // color space (0 for WebP)
-    hd.literal(1) // clamping type
+    if (keyframe) {
+      hd.literal(1) // color space (0 for WebP)
+      hd.literal(1) // clamping type
+    }
     var segEnabled = false
     var segUpdateMap = false
     var segAbsDelta = false
@@ -292,10 +369,28 @@ object Vp8 {
       s += 1
     }
 
-    hd.literal(1) // refresh_entropy_probs (keyframe: stream state only)
+    // ---- reference refresh plan (§9.7, interframes) ----------------
+    var refreshGolden = keyframe
+    var refreshAlt = keyframe
+    var refreshLast = true
+    var copyGolden = 0
+    var copyAlt = 0
+    if (!keyframe) {
+      refreshGolden = hd.literal(1) == 1
+      refreshAlt = hd.literal(1) == 1
+      if (!refreshGolden) copyGolden = hd.literal(2)
+      if (!refreshAlt) copyAlt = hd.literal(2)
+      st.signBias(2) = hd.literal(1)
+      st.signBias(3) = hd.literal(1)
+    }
+    val refreshEntropy = hd.literal(1) == 1
+    if (!keyframe) refreshLast = hd.literal(1) == 1
 
     // ---- coefficient probability updates (§13.4) -------------------
-    val coeffProbs = Vp8Tables.CoeffProbs.clone()
+    // base = the persistent context (defaults after a keyframe reset)
+    val coeffProbs =
+      if (st != null && st.coeffProbs != null) st.coeffProbs.clone()
+      else Vp8Tables.CoeffProbs.clone()
     var ci = 0
     while (ci < 1056) {
       if (hd.bool(Vp8Tables.CoeffUpdateProbs(ci)) == 1)
@@ -305,12 +400,61 @@ object Vp8 {
     val mbNoCoeffSkip = hd.bool(128) == 1
     val probSkipFalse = if (mbNoCoeffSkip) hd.literal(8) else 0
 
+    // ---- interframe mode/MV probabilities (§9.10-§9.11, §17.2) -----
+    var probIntra = 0; var probLast = 0; var probGf = 0
+    val yModeProbs =
+      if (st != null) st.yModeProbs.clone() else null
+    val uvModeProbs =
+      if (st != null) st.uvModeProbs.clone() else null
+    val mvProbs =
+      if (st != null) Array(st.mvProbs(0).clone(), st.mvProbs(1).clone())
+      else null
+    if (!keyframe) {
+      probIntra = hd.literal(8)
+      probLast = hd.literal(8)
+      probGf = hd.literal(8)
+      if (hd.bool(128) == 1) {
+        var i = 0
+        while (i < 4) { yModeProbs(i) = hd.literal(8); i += 1 }
+      }
+      if (hd.bool(128) == 1) {
+        var i = 0
+        while (i < 3) { uvModeProbs(i) = hd.literal(8); i += 1 }
+      }
+      var c = 0
+      while (c < 2) {
+        var i = 0
+        while (i < 19) {
+          if (hd.bool(Vp8Inter.MvUpdateProbs(c)(i)) == 1) {
+            val x = hd.literal(7)
+            mvProbs(c)(i) = if (x != 0) x << 1 else 1
+          }
+          i += 1
+        }
+        c += 1
+      }
+    }
+    // persistence: refresh keeps this frame's context for the next
+    if (st != null && refreshEntropy) {
+      st.coeffProbs = coeffProbs.clone()
+      if (!keyframe) {
+        st.mvProbs = Array(mvProbs(0).clone(), mvProbs(1).clone())
+        st.yModeProbs = yModeProbs.clone()
+        st.uvModeProbs = uvModeProbs.clone()
+      }
+    } else if (st != null && keyframe) st.coeffProbs = null
+
     // ---- per-MB mode parse (first partition, §11) ------------------
     val mbs = Array.fill(mbW * mbH)(new MbInfo)
     // above/left 4x4 mode rows for the kf bmode contexts
     val aboveModes = Array.fill(4 * mbW)(0) // B_DC
     val leftModes = new Array[Int](4)
     val ymodeToB = Array(0, 2, 3, 1) // DC->B_DC, V->B_VE, H->B_HE, TM->B_TM
+    // neighbor survey state for the near-MV search (out-of-frame
+    // reads handled inside findNearMvs as the intra border)
+    val nbRefs = new Array[Int](mbW * mbH)
+    val nbModes = new Array[Int](mbW * mbH)
+    val nbMvs = new Array[Int](mbW * mbH)
     var mby = 0
     while (mby < mbH) {
       java.util.Arrays.fill(leftModes, 0)
@@ -320,38 +464,134 @@ object Vp8 {
         if (segUpdateMap)
           mb.segment = hd.tree(SegmentTree, segTreeProbs, 0)
         if (mbNoCoeffSkip) mb.skip = hd.bool(probSkipFalse) == 1
-        mb.yMode = hd.tree(KfYModeTree, KfYModeProbs, 0)
-        if (mb.yMode == 4) { // B_PRED: 16 contextual sub-modes
-          var sb = 0
-          while (sb < 16) {
-            val r = sb >> 2; val c = sb & 3
-            val above = if (r == 0) aboveModes(4 * mbx + c)
-              else mb.bModes(sb - 4)
-            val left = if (c == 0) leftModes(r) else mb.bModes(sb - 1)
-            val m = hd.tree(BModeTree, Vp8Tables.KfBModeProbs,
-              (above * 10 + left) * 9)
-            mb.bModes(sb) = m
-            if (r == 3) aboveModes(4 * mbx + c) = m
-            if (c == 3) leftModes(r) = m
-            sb += 1
+        val interMb = !keyframe && hd.bool(probIntra) == 1
+        if (!interMb) {
+          // intra: keyframes use the contextual kf trees; interframes
+          // use the frame-level mode probabilities and the fixed
+          // (non-contextual) B_PRED sub-mode distribution (§11.3)
+          mb.yMode =
+            if (keyframe) hd.tree(KfYModeTree, KfYModeProbs, 0)
+            else hd.tree(Vp8Inter.InterYModeTree, yModeProbs, 0)
+          if (mb.yMode == 4) { // B_PRED: 16 sub-modes
+            var sb = 0
+            while (sb < 16) {
+              val r = sb >> 2; val c = sb & 3
+              val m =
+                if (keyframe) {
+                  val above = if (r == 0) aboveModes(4 * mbx + c)
+                    else mb.bModes(sb - 4)
+                  val left = if (c == 0) leftModes(r) else mb.bModes(sb - 1)
+                  hd.tree(BModeTree, Vp8Tables.KfBModeProbs,
+                    (above * 10 + left) * 9)
+                } else hd.tree(BModeTree, Vp8Inter.InterBModeProbs, 0)
+              mb.bModes(sb) = m
+              if (r == 3) aboveModes(4 * mbx + c) = m
+              if (c == 3) leftModes(r) = m
+              sb += 1
+            }
+          } else {
+            val bm = ymodeToB(mb.yMode)
+            java.util.Arrays.fill(mb.bModes, bm)
+            var k = 0
+            while (k < 4) {
+              aboveModes(4 * mbx + k) = bm; leftModes(k) = bm; k += 1
+            }
           }
+          mb.uvMode =
+            if (keyframe) hd.tree(UvModeTree, KfUvModeProbs, 0)
+            else hd.tree(UvModeTree, uvModeProbs, 0)
+          mb.refFrame = 0
+          mb.mvPacked = 0
         } else {
-          val bm = ymodeToB(mb.yMode)
-          java.util.Arrays.fill(mb.bModes, bm)
+          // ---- inter MB (§16): reference, mode, motion vectors ----
+          mb.refFrame =
+            if (hd.bool(probLast) == 0) 1
+            else if (hd.bool(probGf) == 0) 2 else 3
+          val idx = mby * mbW + mbx
+          val (best, nearest, near, cnt) = Vp8Inter.findNearMvs(
+            mbx, mby, mbW, mbH, mb.refFrame,
+            nbRefs, nbModes, nbMvs, st.signBias)
+          val p = Array(
+            Vp8Inter.ModeContexts(cnt(0))(0),
+            Vp8Inter.ModeContexts(cnt(1))(1),
+            Vp8Inter.ModeContexts(cnt(2))(2),
+            Vp8Inter.ModeContexts(cnt(3))(3))
+          mb.yMode = hd.tree(Vp8Inter.MvRefTree, p, 0)
+          mb.yMode match {
+            case Vp8Inter.ModeZero => mb.mvPacked = 0
+            case Vp8Inter.ModeNearest => mb.mvPacked = nearest
+            case Vp8Inter.ModeNear => mb.mvPacked = near
+            case Vp8Inter.ModeNew =>
+              val dr = readMvComponent(hd, mvProbs(0)) * 2
+              val dc = readMvComponent(hd, mvProbs(1)) * 2
+              mb.mvPacked = Vp8Inter.packMv(
+                Vp8Inter.mvRow(best) + dr, Vp8Inter.mvCol(best) + dc)
+            case Vp8Inter.ModeSplit =>
+              val kind = hd.tree(Vp8Inter.MbSplitTree,
+                Vp8Inter.MbSplitProbs, 0)
+              val map = Vp8Inter.MbSplits(kind)
+              val nPart = Vp8Inter.MbSplitCount(kind)
+              val done = new Array[Boolean](nPart)
+              var k = 0
+              while (k < 16) {
+                val part = map(k)
+                if (!done(part)) {
+                  done(part) = true
+                  val lmv = if ((k & 3) != 0) mb.bMvs(k - 1)
+                    else if (mbx == 0) 0
+                    else mbs(idx - 1).bMvs(k + 3)
+                  val amv = if ((k >> 2) != 0) mb.bMvs(k - 4)
+                    else if (mby == 0) 0
+                    else mbs(idx - mbW).bMvs(k + 12)
+                  val ctx = Vp8Inter.subMvContext(lmv, amv)
+                  val leaf = hd.tree(Vp8Inter.SubMvRefTree,
+                    Vp8Inter.SubMvRefProbs(ctx), 0)
+                  val v = leaf match {
+                    case Vp8Inter.SubLeft => lmv
+                    case Vp8Inter.SubAbove => amv
+                    case Vp8Inter.SubZero => 0
+                    case _ =>
+                      val dr = readMvComponent(hd, mvProbs(0)) * 2
+                      val dc = readMvComponent(hd, mvProbs(1)) * 2
+                      Vp8Inter.packMv(Vp8Inter.mvRow(best) + dr,
+                        Vp8Inter.mvCol(best) + dc)
+                  }
+                  var j = 0
+                  while (j < 16) {
+                    if (map(j) == part) mb.bMvs(j) = v
+                    j += 1
+                  }
+                }
+                k += 1
+              }
+              mb.mvPacked = mb.bMvs(15)
+            case other =>
+              throw new IllegalStateException(s"mv mode $other")
+          }
+          if (mb.yMode != Vp8Inter.ModeSplit)
+            java.util.Arrays.fill(mb.bMvs, mb.mvPacked)
+          // the kf sub-mode context rows see an inter MB as B_DC
           var k = 0
           while (k < 4) {
-            aboveModes(4 * mbx + k) = bm; leftModes(k) = bm; k += 1
+            aboveModes(4 * mbx + k) = 0; leftModes(k) = 0; k += 1
           }
+          mb.uvMode = 0
         }
-        mb.uvMode = hd.tree(UvModeTree, KfUvModeProbs, 0)
+        nbRefs(mby * mbW + mbx) = mb.refFrame
+        nbModes(mby * mbW + mbx) = mb.yMode
+        nbMvs(mby * mbW + mbx) = mb.mvPacked
         // loop-filter level for this MB (§15.1)
         var lvl = if (!segEnabled) filterLevel
           else if (segAbsDelta) segLf(mb.segment)
           else filterLevel + segLf(mb.segment)
         lvl = math.max(0, math.min(63, lvl))
         if (lfDeltaEnabled) {
-          lvl += refLfDeltas(0) // keyframes predict from INTRA_FRAME
-          if (mb.yMode == 4) lvl += modeLfDeltas(0) // B_PRED delta
+          lvl += refLfDeltas(mb.refFrame)
+          if (mb.yMode == 4) lvl += modeLfDeltas(0)
+          else if (mb.yMode == Vp8Inter.ModeZero) lvl += modeLfDeltas(1)
+          else if (mb.yMode == Vp8Inter.ModeSplit) lvl += modeLfDeltas(3)
+          else if (mb.yMode >= Vp8Inter.ModeNearest)
+            lvl += modeLfDeltas(2)
           lvl = math.max(0, math.min(63, lvl))
         }
         mb.filterLevel = lvl
@@ -653,7 +893,7 @@ object Vp8 {
       var mbx = 0
       while (mbx < mbW) {
         val mb = mbs(mby * mbW + mbx)
-        val hasY2 = mb.yMode != 4
+        val hasY2 = mb.yMode != 4 && mb.yMode != Vp8Inter.ModeSplit
         java.util.Arrays.fill(coeffs, 0)
         java.util.Arrays.fill(lastNz, 0)
         if (mb.skip) {
@@ -726,7 +966,65 @@ object Vp8 {
 
         // ---- predict + add residue --------------------------------
         val bx = mbx * 16; val by = mby * 16
-        if (mb.yMode == 4) {
+        val cx = mbx * 8; val cy = mby * 8
+        if (mb.refFrame != 0) {
+          // ---- inter prediction (§18): MC from the chosen reference
+          val (ry, ru, rv) = mb.refFrame match {
+            case 1 => (st.lastY, st.lastU, st.lastV)
+            case 2 => (st.goldY, st.goldU, st.goldV)
+            case _ => (st.altY, st.altU, st.altV)
+          }
+          val sixtap = version == 0
+          val fpMask = if (version == 3) ~7 else ~0
+          if (mb.yMode != Vp8Inter.ModeSplit) {
+            val cl = Vp8Inter.clampMvMc(mb.mvPacked, mbx, mby, mbW, mbH)
+            val mr = Vp8Inter.mvRow(cl) & fpMask
+            val mc = Vp8Inter.mvCol(cl) & fpMask
+            mcBlock(yPlane, ry, bx, by, 16, 16, mr, mc, sixtap)
+            val cmr = Vp8Inter.chromaMv(mr) & fpMask
+            val cmc = Vp8Inter.chromaMv(mc) & fpMask
+            mcBlock(uPlane, ru, cx, cy, 8, 8, cmr, cmc, sixtap)
+            mcBlock(vPlane, rv, cx, cy, 8, 8, cmr, cmc, sixtap)
+          } else {
+            // per-4x4 luma MVs; each 4x4 chroma block averages its
+            // four covering luma sub-MVs (round away from zero)
+            val clamped = new Array[Int](16)
+            var k = 0
+            while (k < 16) {
+              clamped(k) =
+                Vp8Inter.clampMvMc(mb.bMvs(k), mbx, mby, mbW, mbH)
+              val mr = Vp8Inter.mvRow(clamped(k)) & fpMask
+              val mc = Vp8Inter.mvCol(clamped(k)) & fpMask
+              mcBlock(yPlane, ry, bx + (k & 3) * 4, by + (k >> 2) * 4,
+                4, 4, mr, mc, sixtap)
+              k += 1
+            }
+            var ci2 = 0
+            while (ci2 < 4) {
+              val r = ci2 >> 1; val c = ci2 & 1
+              val yo = r * 8 + c * 2
+              var sr = 0; var sc = 0
+              Seq(yo, yo + 1, yo + 4, yo + 5).foreach { j =>
+                sr += Vp8Inter.mvRow(clamped(j))
+                sc += Vp8Inter.mvCol(clamped(j))
+              }
+              val cmr = Vp8Inter.chromaMvSplit(sr) & fpMask
+              val cmc = Vp8Inter.chromaMvSplit(sc) & fpMask
+              mcBlock(uPlane, ru, cx + c * 4, cy + r * 4, 4, 4,
+                cmr, cmc, sixtap)
+              mcBlock(vPlane, rv, cx + c * 4, cy + r * 4, 4, 4,
+                cmr, cmc, sixtap)
+              ci2 += 1
+            }
+          }
+          var sb = 0
+          while (sb < 16) {
+            if (lastNz(sb) > 0 || (hasY2 && coeffs(sb * 16) != 0))
+              idctAdd(yPlane, bx + (sb & 3) * 4, by + (sb >> 2) * 4,
+                coeffs, sb * 16)
+            sb += 1
+          }
+        } else if (mb.yMode == 4) {
           var sb = 0
           while (sb < 16) {
             val x0 = bx + (sb & 3) * 4; val y0 = by + (sb >> 2) * 4
@@ -744,9 +1042,10 @@ object Vp8 {
             sb += 1
           }
         }
-        val cx = mbx * 8; val cy = mby * 8
-        predBlock(uPlane, cx, cy, 8, mb.uvMode, mby > 0, mbx > 0)
-        predBlock(vPlane, cx, cy, 8, mb.uvMode, mby > 0, mbx > 0)
+        if (mb.refFrame == 0) {
+          predBlock(uPlane, cx, cy, 8, mb.uvMode, mby > 0, mbx > 0)
+          predBlock(vPlane, cx, cy, 8, mb.uvMode, mby > 0, mbx > 0)
+        }
         var cb = 0
         while (cb < 4) {
           val xo = (cb & 1) * 4; val yo = (cb >> 1) * 4
@@ -773,6 +1072,30 @@ object Vp8 {
         sharpness)
     }
 
+    // ---- reference buffer update (§9.7) -----------------------------
+    if (st != null) {
+      // copies resolve against the PRE-refresh buffers
+      val (cgY, cgU, cgV) = copyGolden match {
+        case 1 => (st.lastY, st.lastU, st.lastV)
+        case 2 => (st.altY, st.altU, st.altV)
+        case _ => (st.goldY, st.goldU, st.goldV)
+      }
+      val (caY, caU, caV) = copyAlt match {
+        case 1 => (st.lastY, st.lastU, st.lastV)
+        case 2 => (st.goldY, st.goldU, st.goldV)
+        case _ => (st.altY, st.altU, st.altV)
+      }
+      if (refreshGolden) {
+        st.goldY = yPlane; st.goldU = uPlane; st.goldV = vPlane
+      } else { st.goldY = cgY; st.goldU = cgU; st.goldV = cgV }
+      if (refreshAlt) {
+        st.altY = yPlane; st.altU = uPlane; st.altV = vPlane
+      } else { st.altY = caY; st.altU = caU; st.altV = caV }
+      if (refreshLast) {
+        st.lastY = yPlane; st.lastU = uPlane; st.lastV = vPlane
+      }
+    }
+
     // ---- crop -------------------------------------------------------
     val y = new Array[Byte](w * h)
     var r = 0
@@ -795,6 +1118,153 @@ object Vp8 {
       r += 1
     }
     Some(Yuv(w, h, y, u, v))
+  }
+
+  // ---- §17.2 MV component decode -------------------------------------
+
+  /** One MV component in pre-doubling units: short values ride the
+    * small tree (probs 2..8), long values spell bits 0-2 then 9..4
+    * with bit 3 implicit when no higher bit is set, then the sign. */
+  private[operators] def readMvComponent(bd: Bool, p: Array[Int]): Int = {
+    var x = 0
+    if (bd.bool(p(0)) == 1) { // long vector
+      var i = 0
+      while (i < 3) { x += bd.bool(p(9 + i)) << i; i += 1 }
+      i = 9
+      while (i > 3) { x += bd.bool(p(9 + i)) << i; i -= 1 }
+      if ((x & 0xfff0) == 0 || bd.bool(p(9 + 3)) == 1) x += 8
+    } else x = bd.tree(Vp8Inter.SmallMvTree, p, 2)
+    if (x != 0 && bd.bool(p(1)) == 1) -x else x
+  }
+
+  // ---- §18 motion compensation ---------------------------------------
+
+  /** Predict a w×h block of `dst` at (dx0, dy0) from `ref` displaced
+    * by an eighth-pel MV, with the two-pass 6-tap (or bilinear)
+    * sub-pixel interpolation. Reads clamp to the reference plane —
+    * identical to the reference decoder's replicated border extension
+    * for every MV the parse-time/MC-time clamps admit. The first-pass
+    * intermediate is rounded and clamped to 8 bits, as the spec's
+    * filter_common does. */
+  private def mcBlock(dst: Plane, ref: Plane, dx0: Int, dy0: Int,
+      w: Int, h: Int, mvr: Int, mvc: Int, sixtap: Boolean): Unit = {
+    val ix = dx0 + (mvc >> 3); val iy = dy0 + (mvr >> 3)
+    val xf = mvc & 7; val yf = mvr & 7
+    @inline def src(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= ref.w) ref.w - 1 else x
+      val cy = if (y < 0) 0 else if (y >= ref.h) ref.h - 1 else y
+      ref.get(cx, cy)
+    }
+    if (xf == 0 && yf == 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { dst.set(dx0 + x, dy0 + y, src(ix + x, iy + y)); x += 1 }
+        y += 1
+      }
+      return
+    }
+    if (sixtap) {
+      val fx = Vp8Inter.SubpelFilters(xf)
+      val fy = Vp8Inter.SubpelFilters(yf)
+      if (yf == 0) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var k = 0
+            while (k < 6) { s += fx(k) * src(ix + x - 2 + k, iy + y); k += 1 }
+            dst.set(dx0 + x, dy0 + y, clamp255((s + 64) >> 7))
+            x += 1
+          }
+          y += 1
+        }
+      } else if (xf == 0) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var k = 0
+            while (k < 6) { s += fy(k) * src(ix + x, iy + y - 2 + k); k += 1 }
+            dst.set(dx0 + x, dy0 + y, clamp255((s + 64) >> 7))
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val tmp = new Array[Int](w * (h + 5))
+        var y = 0
+        while (y < h + 5) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var k = 0
+            while (k < 6) { s += fx(k) * src(ix + x - 2 + k, iy + y - 2); k += 1 }
+            tmp(y * w + x) = clamp255((s + 64) >> 7)
+            x += 1
+          }
+          y += 1
+        }
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var k = 0
+            while (k < 6) { s += fy(k) * tmp((y + k) * w + x); k += 1 }
+            dst.set(dx0 + x, dy0 + y, clamp255((s + 64) >> 7))
+            x += 1
+          }
+          y += 1
+        }
+      }
+    } else {
+      val fx = Vp8Inter.BilinearFilters(xf)
+      val fy = Vp8Inter.BilinearFilters(yf)
+      if (yf == 0) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = fx(0) * src(ix + x, iy + y) + fx(1) * src(ix + x + 1, iy + y)
+            dst.set(dx0 + x, dy0 + y, clamp255((s + 64) >> 7))
+            x += 1
+          }
+          y += 1
+        }
+      } else if (xf == 0) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = fy(0) * src(ix + x, iy + y) + fy(1) * src(ix + x, iy + y + 1)
+            dst.set(dx0 + x, dy0 + y, clamp255((s + 64) >> 7))
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val tmp = new Array[Int](w * (h + 1))
+        var y = 0
+        while (y < h + 1) {
+          var x = 0
+          while (x < w) {
+            val s = fx(0) * src(ix + x, iy + y) + fx(1) * src(ix + x + 1, iy + y)
+            tmp(y * w + x) = clamp255((s + 64) >> 7)
+            x += 1
+          }
+          y += 1
+        }
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = fy(0) * tmp(y * w + x) + fy(1) * tmp((y + 1) * w + x)
+            dst.set(dx0 + x, dy0 + y, clamp255((s + 64) >> 7))
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
   }
 
   // ---- §15 loop filter ---------------------------------------------
@@ -901,7 +1371,10 @@ object Vp8 {
           val hevT = if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0
           val mbEdge = (lvl + 2) * 2 + interior
           val sbEdge = lvl * 2 + interior
-          val inner = mb.hasCoeffs || mb.yMode == 4
+          // inner edges filter when residue exists or the MB is
+          // sub-partitioned (B_PRED intra or SPLITMV inter, §15.2)
+          val inner = mb.hasCoeffs || mb.yMode == 4 ||
+            mb.yMode == Vp8Inter.ModeSplit
           val bx = mbx * 16; val by = mby * 16
           val cx = mbx * 8; val cy = mby * 8
           if (simple) {

@@ -315,6 +315,46 @@ object Vp8Fixtures {
   def fileFor(id: Long): Array[Byte] =
     byId((id % byId.size).toInt).file
 
+  /** IVF inter-frame fixture (r12): fixture 1's REAL libwebp keyframe
+    * (48x32 — a multiple of 16, so the cropped planes ARE the
+    * reference buffers) followed by two writer-assembled pure-MC
+    * interframes with every MB NEW and skipped:
+    *
+    *   frame 1: mv (16, 32) eighth-pel = 2 px down, 4 px right —
+    *            integer everywhere (chroma mv (8, 16) = 1 px, 2 px);
+    *   frame 2: mv (4, 6) — luma fractions (yf 4, xf 6), chroma mv
+    *            (2, 3) (yf 2, xf 3): the full two-pass 6-tap on both
+    *            plane resolutions, chained off frame 1.
+    *
+    * These constants are what the vp8_inter_frames oracle re-derives
+    * in SQL from the externally-pinned frame-0 planes. */
+  def ivfFor(id: Long): Array[Byte] = {
+    val f = byId(1)
+    val key = {
+      val b = f.file
+      def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      var off = 12
+      var found: Array[Byte] = null
+      while (found == null && off + 8 <= b.length) {
+        val tag = new String(b.slice(off, off + 4), "US-ASCII")
+        val size = le32(off + 4)
+        if (tag == "VP8 ") found = b.slice(off + 8, off + 8 + size)
+        else off += 8 + size + (size & 1)
+      }
+      require(found != null, "fixture 1 has no VP8 chunk")
+      found
+    }
+    val mbW = f.w / 16; val mbH = f.h / 16
+    def allNew(mv: Int) = Array.fill(mbW * mbH)(
+      Vp8Inter.WMb(Vp8Inter.ModeNew, mv = mv))
+    val f1 = Vp8Inter.buildInterFrame(mbW, mbH,
+      allNew(Vp8Inter.packMv(16, 32)))
+    val f2 = Vp8Inter.buildInterFrame(mbW, mbH,
+      allNew(Vp8Inter.packMv(4, 6)))
+    Vp8Inter.buildIvf(f.w, f.h, Seq(key, f1, f2))
+  }
+
   /** Expected rows (plane, pos, v) for one fixture id — the oracle's
     * source of truth (pinned external bytes, not engine output). */
   def expectedRows(id: Long): Seq[(Int, Int, Int)] = {

@@ -759,6 +759,17 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
+  test("vp8_inter_frames: the whole IVF sequence decode (reference " +
+    "buffers + MC) is one per-row expression feeding Generate — " +
+    "no shuffle before the final sort, pushdown intact") {
+    val plan = physical(run("vp8_inter_frames"))
+    assert(plan.contains("LessThan(doc_id,1)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("mp4_frames: ISO-BMFF demux + per-sample JPEG decode is an " +
     "expression feeding Generate — no mapPartitions barrier, filter " +
     "pushed to the scan") {
