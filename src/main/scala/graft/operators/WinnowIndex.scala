@@ -90,15 +90,21 @@ class WinnowIndex private (
     val incHashes = inc.select("hash").distinct()
     val incHashesJ = if (nKeys <= ShingleIndex.MaxBroadcastKeys)
       broadcast(incHashes) else incHashes
+    // candidate postings materialized ONCE (localCheckpoint): both the
+    // df aggregate and the join-back read the same blocks instead of
+    // re-running the pruned postings scan + semi-join (measured 2x the
+    // probe cost when recomputed). df per candidate hash then goes
+    // through a partial-aggregated groupBy — only (hash, count) pairs
+    // shuffle — and the surviving hash set joins back. A
+    // Window.partitionBy(hash) here would funnel EVERY lake occurrence
+    // of a hot hash (df >> dfCap) into one task before filtering it
+    // out, reintroducing exactly the skew the cap exists to avoid; the
+    // materialized candidates stay partition-parallel. The survivors
+    // are <= the batch's distinct hashes, so the join-back broadcasts
+    // under the same budget as the semi-join.
     val matched = base.join(incHashesJ, Seq("hash"))
       .select("hash", "old_id")
-    // df per candidate hash via groupBy (map-side partial aggregation:
-    // only (hash, count) pairs shuffle), then join the surviving hash
-    // set back. A Window.partitionBy(hash) here would funnel EVERY
-    // lake occurrence of a hot hash (df >> dfCap) into one task before
-    // filtering it out — reintroducing exactly the skew the cap exists
-    // to avoid. The survivors are <= the batch's distinct hashes, so
-    // the join-back broadcasts under the same budget as the semi-join.
+      .localCheckpoint()
     val dfOk0 = matched.groupBy("hash")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap)

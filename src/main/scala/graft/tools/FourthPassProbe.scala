@@ -406,6 +406,24 @@ object FourthPassProbe {
       time("mp3: gen+coverage triage, 300k files") { genTriage() }
     }
 
+    if (which == "all" || which == "vp8inter") {
+      // VP8 IVF sequence decode throughput (keyframe + 2 pure-MC
+      // interframes per file): the per-row scan-riding shape of
+      // vp8_inter_frames — MC cost rides the same distribution story
+      // as every codec (no exchange, executor-linear)
+      graft.Graft.init(spark)
+      val n2 = 100000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(vp8_ivf_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("explode(vp8_ivf_frames(vp8_ivf_media_for_id(id))) AS s")
+        .agg(sum("s.v")).head()
+      genOnly(); genDecode() // warm
+      time("vp8inter: gen-only, 100k 3-frame sequences") { genOnly() }
+      time("vp8inter: gen+decode+explode, 100k sequences") { genDecode() }
+    }
+
     if (which == "all" || which == "vp8decode") {
       // VP8 keyframe decode throughput over the embedded external
       // fixtures (5 files, 72B..3.4KB)
