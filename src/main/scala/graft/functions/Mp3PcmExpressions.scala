@@ -141,7 +141,7 @@ object Mp3CoverageExpr {
     StructField("invalid", IntegerType)))
 
   def compute(bytes: Array[Byte]): InternalRow =
-    (try Mp3Pcm.coverage(bytes) catch { case _: Exception => None }) match {
+    Mp3Pcm.coverage(bytes) match {
       case Some(c) => InternalRow(c.frames, c.granuleChannels, c.shipped,
         c.fam11_15, c.fam16_23, c.fam24_31, c.invalid)
       case None => null

@@ -238,7 +238,10 @@ object Mp3Pcm {
       frames: Int, granuleChannels: Int, shipped: Int,
       fam11_15: Int, fam16_23: Int, fam24_31: Int, invalid: Int)
 
-  def coverage(bytes: Array[Byte]): Option[Coverage] = {
+  def coverage(bytes: Array[Byte]): Option[Coverage] =
+    try coverage0(bytes) catch { case _: Exception => None }
+
+  private def coverage0(bytes: Array[Byte]): Option[Coverage] = {
     if (bytes == null || bytes.length < 4) return None
     var pos = 0
     var end = bytes.length

@@ -928,18 +928,22 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("winnow_incremental: the lake is read ONLY as stored postings " +
-    "and NO scan in the probe plan reads text (the incoming batch's " +
-    "fingerprints are materialized once before the probe); the batch " +
-    "broadcasts into the postings probe") {
+    "and NO scan in the probe plan reads text; the candidate postings " +
+    "are materialized once (r12: the df cap and the pair join share " +
+    "one pruned postings read), so the final plan joins checkpointed " +
+    "candidates with the broadcast batch — no file scan at all") {
     val plan = physical(run("winnow_incremental"))
     val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
-    val idxScans = scans.filter(_.contains("old_id"))
-    assert(idxScans.nonEmpty, plan)
-    // NO scan in the probe plan reads any text: the lake is postings,
-    // the incoming batch's fingerprints were materialized once
-    // (localCheckpoint) before the probe
+    // the candidate materialization consumed the pruned postings scan
+    // BEFORE this plan: nothing left re-reads the lake or any text —
+    // a documents/text FileScan here would mean the probe re-derives
+    // fingerprints from raw text (the exact cost the index exists to
+    // avoid)
     scans.foreach(l => assert(!l.contains("text"), l))
     assert(!scans.exists(_.contains("documents")), plan)
+    // both probe inputs are the materialized RDDs; the batch side
+    // broadcasts into the pair join
+    assert(plan.contains("Scan ExistingRDD"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }
 

@@ -29,7 +29,9 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.mp3MediaFor(6L),
     MediaFixtures.ulawMediaFor(9L),
     MediaFixtures.webpMediaFor(3L),
-    MediaFixtures.warcMediaFor(5L))
+    MediaFixtures.warcMediaFor(5L),
+    Vp8Fixtures.ivfFor(0L),
+    Mp3Fixtures.mp3CoverageMediaFor(5L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
     val random = (0 until 40).map { _ =>
@@ -91,6 +93,9 @@ class CodecFuzzSpec extends SparkTestBase {
       check("GifCompositeStats")(
         graft.functions.GifCompositeStats.compute(b))
       check("GifFrameStats")(graft.functions.GifFrameStats.compute(b))
+      check("Vp8Inter.decodeIvf")(Vp8Inter.decodeIvf(b))
+      check("Mp3Pcm.coverage")(Mp3Pcm.coverage(b))
+      check("Mp3Pcm.decode")(Mp3Pcm.decode(b))
     }
   }
 
