@@ -395,13 +395,18 @@ object Vp8Inter {
     * `mv` (eighth-pel packed) is required for NEW (the delta is
     * derived against the spec-predicted best MV); `subMvs` gives the
     * 16 per-4x4 MVs for SPLIT with `splitKind` the partition map id
-    * (every 4x4 of one partition must share its partition's MV). */
+    * (every 4x4 of one partition must share its partition's MV).
+    * `acY` (±1; needs nParts > 1 and a non-SPLIT mode) codes one
+    * quantized AC coefficient at position 1 of luma block 0 — the
+    * minimal CONTENT-bearing residual, so the inter predict + residue
+    * composition and the inter-path dequant become pinnable. */
   final case class WMb(
       mode: Int,
       refFrame: Int = 1, // 1 last, 2 golden, 3 altref
       mv: Int = 0,
       splitKind: Int = 3,
-      subMvs: Array[Int] = null)
+      subMvs: Array[Int] = null,
+      acY: Int = 0)
 
   /** Assemble one interframe: no segmentation, loop filter off,
     * every MB inter-coded with the given modes/MVs and NO residual
@@ -590,14 +595,36 @@ object Vp8Inter {
           while (mx < mbW) {
             val m = mbs(my * mbW + mx)
             val hasY2 = m.mode != ModeSplit
-            // probability offsets: type*264 + (band(first)*3 + ctx)*11
-            // with ctx pinned at 0 by the all-zero residue
-            if (hasY2) pe.put(0, cp(1 * 264)) // Y2: band 0
+            require(m.acY == 0 || hasY2, "acY needs a non-SPLIT mode")
+            // probability offsets: type*264 + (band(n)*3 + ctx)*11.
+            // All cross-MB nonzero contexts stay 0: the only nonzero
+            // block is block 0, which sits in neither the bottom row
+            // nor the right column of its MB, so nothing propagates
+            // into the above/left context arrays.
+            if (hasY2) pe.put(0, cp(1 * 264)) // Y2: band 0, ctx 0
             val yOff = if (hasY2) 0 * 264 + (1 * 3) * 11 // band(1) = 1
               else 3 * 264 // no-Y2 Y: band 0
+            if (m.acY != 0) {
+              // block 0 codes ONE at n=1 (band 1, ctx 0): not-EOB,
+              // not-ZERO, token ONE, sign; then EOB at n=2 (band
+              // Bands(2)=2, ctx 1 after a just-coded one)
+              pe.put(1, cp(yOff))
+              pe.put(1, cp(yOff + 1))
+              pe.put(0, cp(yOff + 2))
+              pe.put(if (m.acY < 0) 1 else 0, 128)
+              pe.put(0, cp(0 * 264 + (2 * 3 + 1) * 11))
+              // blocks 1 and 4 see the nonzero neighbor: ctx 1
+              val yOffC1 = 0 * 264 + (1 * 3 + 1) * 11
+              var k = 1
+              while (k < 16) {
+                pe.put(0, cp(if (k == 1 || k == 4) yOffC1 else yOff))
+                k += 1
+              }
+            } else {
+              var k = 0
+              while (k < 16) { pe.put(0, cp(yOff)); k += 1 }
+            }
             var k = 0
-            while (k < 16) { pe.put(0, cp(yOff)); k += 1 }
-            k = 0
             while (k < 8) { pe.put(0, cp(2 * 264)); k += 1 }
             mx += 1
           }

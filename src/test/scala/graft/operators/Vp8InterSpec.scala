@@ -426,6 +426,79 @@ class Vp8InterSpec extends AnyFunSuite {
     }
   }
 
+  test("inter residuals: a content-bearing token stream (one quantized " +
+    "AC coefficient per chosen MB) decodes to MC prediction + the " +
+    "spec-math inverse DCT — the predict/residue composition and the " +
+    "inter-path dequant, pinned with real coefficients") {
+    val mvs = Array(packMv(0, 0), packMv(8, 16), packMv(0, 2),
+      packMv(4, 4), packMv(16, 8), packMv(8, 8))
+    val wmbs = mvs.zipWithIndex.map { case (mv, i) =>
+      val ac = if (i == 0) 1 else if (i == 4) -1 else 0
+      if (mv == 0) WMb(ModeZero, acY = ac)
+      else WMb(ModeNew, mv = mv, acY = ac)
+    }
+    val inter = Vp8Inter.buildInterFrame(MbW, MbH, wmbs, nParts = 2)
+    val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload, inter))).getOrElse(fail("decode None"))
+    val w = key.width; val h = key.height
+    // expected: the full MC (the writer resolves each MB's effective
+    // MV the same way the NEW/ZERO test already pinned)...
+    def mvOf(m: Int): Int = mvs(m)
+    val (ey, eu, ev) = expectedFullMc(mvOf, sixtap = true)
+    // ...plus the spec-math §14.4 inverse DCT of ONE coefficient at
+    // zigzag position 1 (coeffs index 1), dequantized with the AC
+    // factor of the frame's y_ac_qi = 40, added into luma block 0 of
+    // MBs 0 and 4
+    val acq = graft.functions.Vp8Tables.AcQLookup(40)
+    def idct4(in: Array[Int]): Array[Int] = {
+      val S = 35468; val C = 20091
+      val tmp = new Array[Int](16)
+      for (i <- 0 until 4) {
+        val a1 = in(i) + in(8 + i)
+        val b1 = in(i) - in(8 + i)
+        val c1 = ((in(4 + i) * S) >> 16) -
+          (in(12 + i) + ((in(12 + i) * C) >> 16))
+        val d1 = (in(4 + i) + ((in(4 + i) * C) >> 16)) +
+          ((in(12 + i) * S) >> 16)
+        tmp(i) = a1 + d1; tmp(12 + i) = a1 - d1
+        tmp(4 + i) = b1 + c1; tmp(8 + i) = b1 - c1
+      }
+      val out = new Array[Int](16)
+      for (i <- 0 until 4) {
+        val a1 = tmp(4 * i) + tmp(4 * i + 2)
+        val b1 = tmp(4 * i) - tmp(4 * i + 2)
+        val c1 = ((tmp(4 * i + 1) * S) >> 16) -
+          (tmp(4 * i + 3) + ((tmp(4 * i + 3) * C) >> 16))
+        val d1 = (tmp(4 * i + 1) + ((tmp(4 * i + 1) * C) >> 16)) +
+          ((tmp(4 * i + 3) * S) >> 16)
+        out(4 * i) = (a1 + d1 + 4) >> 3
+        out(4 * i + 3) = (a1 - d1 + 4) >> 3
+        out(4 * i + 1) = (b1 + c1 + 4) >> 3
+        out(4 * i + 2) = (b1 - c1 + 4) >> 3
+      }
+      out
+    }
+    Seq((0, 1), (4, -1)).foreach { case (m, sgn) =>
+      val coefs = new Array[Int](16)
+      coefs(1) = sgn * acq
+      val d = idct4(coefs)
+      val bx = (m % MbW) * 16; val by = (m / MbW) * 16
+      for (y <- 0 until 4; x <- 0 until 4)
+        ey((by + y) * w + bx + x) = math.max(0, math.min(255,
+          ey((by + y) * w + bx + x) + d(y * 4 + x)))
+    }
+    assertPlane(frames(1).y, ey, w, "residue Y")
+    assertPlane(frames(1).u, eu, w / 2, "residue U")
+    assertPlane(frames(1).v, ev, w / 2, "residue V")
+    // the residue genuinely changed pixels vs the pure-MC frame
+    val pure = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload,
+        Vp8Inter.buildInterFrame(MbW, MbH, wmbs.map(_.copy(acY = 0)),
+          nParts = 2)))).get(1)
+    assert(!java.util.Arrays.equals(frames(1).y, pure.y),
+      "residue must be visible")
+  }
+
   // ---- 5. validator stance -------------------------------------------
 
   test("validator stance: a standalone interframe and an IVF that " +
