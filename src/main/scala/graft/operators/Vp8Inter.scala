@@ -129,6 +129,8 @@ object Vp8Inter {
     * decoder's mode ids (DC=0 V=1 H=2 TM=3 B_PRED=4). */
   private[operators] val InterYModeTree =
     Array(-0, 2, 4, 6, -1, -2, -3, -4)
+  /** UV mode tree (same shape for key and inter frames, §11.2). */
+  private[operators] val InterUvModeTree = Array(-0, 2, -1, 4, -2, -3)
 
   // ---- MV packing ---------------------------------------------------
 
@@ -399,14 +401,19 @@ object Vp8Inter {
     * `acY` (±1; needs nParts > 1 and a non-SPLIT mode) codes one
     * quantized AC coefficient at position 1 of luma block 0 — the
     * minimal CONTENT-bearing residual, so the inter predict + residue
-    * composition and the inter-path dequant become pinnable. */
+    * composition and the inter-path dequant become pinnable.
+    * `intraYMode` (0-3, not B_PRED) makes the MB INTRA-coded inside
+    * the interframe — the §11.3 inter-frame intra parse path (frame-
+    * level mode probabilities, not the keyframe's contextual trees);
+    * `mode`/`mv` are ignored then and uv is DC. */
   final case class WMb(
       mode: Int,
       refFrame: Int = 1, // 1 last, 2 golden, 3 altref
       mv: Int = 0,
       splitKind: Int = 3,
       subMvs: Array[Int] = null,
-      acY: Int = 0)
+      acY: Int = 0,
+      intraYMode: Int = -1)
 
   /** Assemble one interframe: no segmentation, loop filter off,
     * every MB inter-coded with the given modes/MVs and NO residual
@@ -488,6 +495,19 @@ object Vp8Inter {
         val idx = mby * mbW + mbx
         val m = mbs(idx)
         if (useSkip) e.put(1, probSkipFalse) // mb_skip_coeff = true
+        if (m.intraYMode >= 0) {
+          require(m.intraYMode < 4, "B_PRED writing not supported")
+          require(m.acY == 0, "intra MBs carry no acY here")
+          e.put(0, probIntra) // intra MB inside the interframe
+          writeTreePath(e, InterYModeTree, InterYModeProbs, 0,
+            m.intraYMode)
+          writeTreePath(e, InterUvModeTree, InterUvModeProbs, 0, 0)
+          refs(idx) = 0
+          modes(idx) = m.intraYMode
+          mvs(idx) = 0
+          java.util.Arrays.fill(sub(idx), 0)
+          mbx += 1
+        } else {
         e.put(1, probIntra) // inter
         if (m.refFrame == 1) e.put(0, probLast)
         else {
@@ -566,6 +586,7 @@ object Vp8Inter {
         mvs(idx) = mbMv
         if (m.mode != ModeSplit) java.util.Arrays.fill(sub(idx), mbMv)
         mbx += 1
+        }
       }
       mby += 1
     }

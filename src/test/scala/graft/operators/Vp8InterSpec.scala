@@ -499,6 +499,32 @@ class Vp8InterSpec extends AnyFunSuite {
       "residue must be visible")
   }
 
+  test("intra MBs inside an interframe (§11.3 frame-level mode " +
+    "probabilities): a top row of DC_PRED MBs over fresh borders " +
+    "decodes to the spec's flat 128 while the bottom row ZERO-MVs " +
+    "the reference through untouched") {
+    // top row intra DC (above row is the 127/129 frame border, left
+    // neighbors are themselves flat): every Y/U/V sample is exactly
+    // 128. Bottom row ZERO-mv inter: the keyframe's pixels.
+    val wmbs = Array.tabulate(MbW * MbH)(m =>
+      if (m < MbW) WMb(ModeZero, intraYMode = 0) else WMb(ModeZero))
+    val inter = Vp8Inter.buildInterFrame(MbW, MbH, wmbs)
+    val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload, inter))).getOrElse(fail("decode None"))
+    val w = key.width; val h = key.height; val cw = w / 2; val ch = h / 2
+    val got = frames(1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = if (y < 16) 128 else key.y(y * w + x) & 0xff
+      assert((got.y(y * w + x) & 0xff) == want, s"Y ($x,$y)")
+    }
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val wu = if (y < 8) 128 else key.u(y * cw + x) & 0xff
+      val wv = if (y < 8) 128 else key.v(y * cw + x) & 0xff
+      assert((got.u(y * cw + x) & 0xff) == wu, s"U ($x,$y)")
+      assert((got.v(y * cw + x) & 0xff) == wv, s"V ($x,$y)")
+    }
+  }
+
   // ---- 5. validator stance -------------------------------------------
 
   test("validator stance: a standalone interframe and an IVF that " +
