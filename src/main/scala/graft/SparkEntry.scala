@@ -2439,7 +2439,7 @@ object SparkEntry {
       Graft.init(s)
       t(s, dir, "documents").filter(col("doc_id") < 170)
         .selectExpr("doc_id",
-          ("CASE CAST(doc_id % 17 AS INT) " +
+          ("CASE CAST(doc_id % 18 AS INT) " +
             "WHEN 0 THEN pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 1 THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 2 THEN bmp_media_for_id(CAST(doc_id AS BIGINT)) " +
@@ -2456,6 +2456,7 @@ object SparkEntry {
             "WHEN 13 THEN zip_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 14 THEN targz_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 15 THEN zst_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 16 THEN vp8_ivf_media_for_id(CAST(doc_id AS BIGINT)) " +
             "ELSE parquet_media_for_id(CAST(doc_id AS BIGINT)) " +
             "END AS blob"))
         .selectExpr("doc_id", "media_kind(blob) AS kind")
@@ -6444,13 +6445,14 @@ object SparkEntry {
     // signature collision between families flips a row
     "media_route" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 17 AS INT)
+        |  CASE CAST(doc_id % 18 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
         |    WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'gif'
         |    WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'mp3'
         |    WHEN 9 THEN 'ogg' WHEN 10 THEN 'avi' WHEN 11 THEN 'mp4'
         |    WHEN 12 THEN 'pdf' WHEN 13 THEN 'zip' WHEN 14 THEN 'gzip'
-        |    WHEN 15 THEN 'zstd' ELSE 'parquet' END AS kind
+        |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf'
+        |    ELSE 'parquet' END AS kind
         |FROM documents WHERE doc_id < 170 ORDER BY doc_id""".stripMargin,
 
     // the RFC 8878 bit layout re-derived field by field (FCS widths,

@@ -281,6 +281,8 @@ object MediaKind {
     else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) "tiff"
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else if (b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F')
+      "ivf" // libvpx's VP8 video container (Vp8Inter.decodeIvf)
     else if (at(0) == 0xff && (at(1) & 0xe0) == 0xe0) "mp3"
     else if (b.length >= 262 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r') "tar"

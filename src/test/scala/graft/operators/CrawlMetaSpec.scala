@@ -93,6 +93,7 @@ class CrawlMetaSpec extends SparkTestBase {
     assert(kind(MediaFixtures.oggMediaFor(3L)) == "ogg")
     assert(kind(MediaFixtures.mp3MediaFor(2L)) == "mp3") // ID3 header
     assert(kind(MediaFixtures.mp3MediaFor(3L)) == "mp3") // frame sync
+    assert(kind(Vp8Fixtures.ivfFor(0L)) == "ivf") // DKIF (r12)
     assert(kind(null) == "unknown")
     assert(kind("no".getBytes) == "unknown")
     assert(kind("random text bytes here".getBytes) == "unknown")
