@@ -105,7 +105,7 @@ object Vp8 {
   // 4x4 modes: DC=0 TM=1 VE=2 HE=3 RD=4 VR=5 LD=6 VL=7 HD=8 HU=9
   private val BModeTree = Array(
     -0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
-  private val SegmentTree = Array(2, 4, -0, -1, -2, -3)
+  private[operators] val SegmentTree = Array(2, 4, -0, -1, -2, -3)
   // tokens: 0..4 literal, 5..10 categories, 11 EOB
   private val TokenTree = Array(
     -11, 2, -0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6,
@@ -164,10 +164,46 @@ object Vp8 {
     val bMvs = new Array[Int](16) // per-4x4 MVs (split; else replicated)
   }
 
+  /** Frame features that PERSIST across interframes (RFC 6386 §9.3,
+    * §9.4; libvpx decodeframe.c + init_frame): segment feature data
+    * (quantizer / loop-filter adjustments plus the abs-vs-delta
+    * mode), segment tree probabilities, the per-macroblock segment
+    * map, and the reference/mode loop-filter deltas. Keyframes reset
+    * all of them to defaults; an interframe header only overwrites
+    * the pieces whose update flags are set:
+    *  - update_mb_segmentation_data = 1 zeroes then re-reads the
+    *    feature data (absent entries become 0, per libvpx's memset);
+    *  - update_mb_segmentation_map = 1 resets the tree probs to 255
+    *    then re-reads them and recodes every MB's segment id;
+    *  - segmentation enabled with update_mb_segmentation_map = 0
+    *    reuses the previous frame's segment map (the normal output
+    *    of real encoders on interframes);
+    *  - mode_ref_lf_delta_update = 1 overwrites ONLY the delta
+    *    entries whose per-entry flag is set; the rest persist. */
+  private final class Features {
+    var segAbsDelta = false
+    val segQuant = new Array[Int](4)
+    val segLf = new Array[Int](4)
+    val segTreeProbs = Array(255, 255, 255)
+    var segmentMap: Array[Int] = null // mbW*mbH ids; null = never coded
+    val refLfDeltas = new Array[Int](4)
+    val modeLfDeltas = new Array[Int](4)
+    def reset(): Unit = {
+      segAbsDelta = false
+      java.util.Arrays.fill(segQuant, 0)
+      java.util.Arrays.fill(segLf, 0)
+      segTreeProbs(0) = 255; segTreeProbs(1) = 255; segTreeProbs(2) = 255
+      segmentMap = null
+      java.util.Arrays.fill(refLfDeltas, 0)
+      java.util.Arrays.fill(modeLfDeltas, 0)
+    }
+  }
+
   /** Cross-frame state for inter-frame sequences (r12): the three
-    * reference plane sets and the persistent entropy context
+    * reference plane sets, the persistent entropy context
     * (coefficient, MV and intra-mode probabilities survive frames
-    * whose refresh_entropy_probs is set; keyframes reset them). */
+    * whose refresh_entropy_probs is set; keyframes reset them) and
+    * the persistent frame features (r13, [[Features]]). */
   private final class SeqState {
     var width = 0; var height = 0
     var lastY: Plane = null; var lastU: Plane = null; var lastV: Plane = null
@@ -178,6 +214,7 @@ object Vp8 {
     var mvProbs: Array[Array[Int]] = null
     var yModeProbs: Array[Int] = null
     var uvModeProbs: Array[Int] = null
+    val features = new Features
     def resetEntropy(): Unit = {
       coeffProbs = null
       mvProbs = Array(Vp8Inter.MvDefaultProbs(0).clone(),
@@ -244,11 +281,12 @@ object Vp8 {
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
       part0 = off + 10
       if (st != null) {
-        // a keyframe mid-sequence must not resize (buffer contract)
-        if (st.width != 0 && (st.width != w || st.height != h))
-          return None
+        // a mid-sequence keyframe MAY resize (legal VP8, r13): it
+        // refreshes all three reference buffers with the new frame,
+        // so no stale-dimension plane survives it
         st.width = w; st.height = h
         st.resetEntropy()
+        st.features.reset()
         st.signBias(2) = 0; st.signBias(3) = 0
       }
     } else {
@@ -266,27 +304,30 @@ object Vp8 {
       hd.literal(1) // color space (0 for WebP)
       hd.literal(1) // clamping type
     }
+    // persistent features: the sequence's (interframes inherit) or a
+    // fresh default set for a standalone keyframe decode
+    val ft = if (st != null) st.features else new Features
     var segEnabled = false
     var segUpdateMap = false
-    var segAbsDelta = false
-    val segQuant = new Array[Int](4)
-    val segLf = new Array[Int](4)
-    val segTreeProbs = Array(255, 255, 255)
     if (hd.bool(128) == 1) {
       segEnabled = true
       segUpdateMap = hd.bool(128) == 1
       val updateData = hd.bool(128) == 1
       if (updateData) {
-        segAbsDelta = hd.bool(128) == 1
+        ft.segAbsDelta = hd.bool(128) == 1
+        // entries without a coded value become 0 (libvpx memsets the
+        // feature data before re-reading it on update)
         var i = 0
-        while (i < 4) { segQuant(i) = hd.signedLiteralIf(7); i += 1 }
+        while (i < 4) { ft.segQuant(i) = hd.signedLiteralIf(7); i += 1 }
         i = 0
-        while (i < 4) { segLf(i) = hd.signedLiteralIf(6); i += 1 }
+        while (i < 4) { ft.segLf(i) = hd.signedLiteralIf(6); i += 1 }
       }
       if (segUpdateMap) {
+        // tree probs reset to 255 on every map update, then coded
         var i = 0
         while (i < 3) {
-          if (hd.bool(128) == 1) segTreeProbs(i) = hd.literal(8)
+          ft.segTreeProbs(i) =
+            if (hd.bool(128) == 1) hd.literal(8) else 255
           i += 1
         }
       }
@@ -295,16 +336,17 @@ object Vp8 {
     val filterLevel = hd.literal(6)
     val sharpness = hd.literal(3)
     var lfDeltaEnabled = false
-    val refLfDeltas = new Array[Int](4)
-    val modeLfDeltas = new Array[Int](4)
     if (hd.bool(128) == 1) {
       lfDeltaEnabled = true
       if (hd.bool(128) == 1) {
+        // only the entries whose flag is set are overwritten; the
+        // rest keep their inherited values (libvpx has no memset
+        // here, unlike the segment feature data)
         var i = 0
         while (i < 4) {
           if (hd.bool(128) == 1) {
             val v = hd.literal(6)
-            refLfDeltas(i) = if (hd.bool(128) == 1) -v else v
+            ft.refLfDeltas(i) = if (hd.bool(128) == 1) -v else v
           }
           i += 1
         }
@@ -312,7 +354,7 @@ object Vp8 {
         while (i < 4) {
           if (hd.bool(128) == 1) {
             val v = hd.literal(6)
-            modeLfDeltas(i) = if (hd.bool(128) == 1) -v else v
+            ft.modeLfDeltas(i) = if (hd.bool(128) == 1) -v else v
           }
           i += 1
         }
@@ -351,8 +393,8 @@ object Vp8 {
     var s = 0
     while (s < 4) {
       val base = if (!segEnabled) yAcQi
-        else if (segAbsDelta) segQuant(s)
-        else yAcQi + segQuant(s)
+        else if (ft.segAbsDelta) ft.segQuant(s)
+        else yAcQi + ft.segQuant(s)
       val q = clampQ(base)
       dq(s)(0) = Vp8Tables.DcQLookup(clampQ(q + yDcDelta))
       dq(s)(1) = Vp8Tables.AcQLookup(q)
@@ -445,6 +487,9 @@ object Vp8 {
     } else if (st != null && keyframe) st.coeffProbs = null
 
     // ---- per-MB mode parse (first partition, §11) ------------------
+    if (segEnabled && segUpdateMap &&
+        (ft.segmentMap == null || ft.segmentMap.length != mbW * mbH))
+      ft.segmentMap = new Array[Int](mbW * mbH)
     val mbs = Array.fill(mbW * mbH)(new MbInfo)
     // above/left 4x4 mode rows for the kf bmode contexts
     val aboveModes = Array.fill(4 * mbW)(0) // B_DC
@@ -461,8 +506,15 @@ object Vp8 {
       var mbx = 0
       while (mbx < mbW) {
         val mb = mbs(mby * mbW + mbx)
-        if (segUpdateMap)
-          mb.segment = hd.tree(SegmentTree, segTreeProbs, 0)
+        if (segEnabled) {
+          if (segUpdateMap) {
+            mb.segment = hd.tree(SegmentTree, ft.segTreeProbs, 0)
+            ft.segmentMap(mby * mbW + mbx) = mb.segment
+          } else if (ft.segmentMap != null)
+            // map not recoded this frame: the previous frame's
+            // segment assignment for this MB is reused (§9.3)
+            mb.segment = ft.segmentMap(mby * mbW + mbx)
+        }
         if (mbNoCoeffSkip) mb.skip = hd.bool(probSkipFalse) == 1
         val interMb = !keyframe && hd.bool(probIntra) == 1
         if (!interMb) {
@@ -582,16 +634,18 @@ object Vp8 {
         nbMvs(mby * mbW + mbx) = mb.mvPacked
         // loop-filter level for this MB (§15.1)
         var lvl = if (!segEnabled) filterLevel
-          else if (segAbsDelta) segLf(mb.segment)
-          else filterLevel + segLf(mb.segment)
+          else if (ft.segAbsDelta) ft.segLf(mb.segment)
+          else filterLevel + ft.segLf(mb.segment)
         lvl = math.max(0, math.min(63, lvl))
         if (lfDeltaEnabled) {
-          lvl += refLfDeltas(mb.refFrame)
-          if (mb.yMode == 4) lvl += modeLfDeltas(0)
-          else if (mb.yMode == Vp8Inter.ModeZero) lvl += modeLfDeltas(1)
-          else if (mb.yMode == Vp8Inter.ModeSplit) lvl += modeLfDeltas(3)
+          lvl += ft.refLfDeltas(mb.refFrame)
+          if (mb.yMode == 4) lvl += ft.modeLfDeltas(0)
+          else if (mb.yMode == Vp8Inter.ModeZero)
+            lvl += ft.modeLfDeltas(1)
+          else if (mb.yMode == Vp8Inter.ModeSplit)
+            lvl += ft.modeLfDeltas(3)
           else if (mb.yMode >= Vp8Inter.ModeNearest)
-            lvl += modeLfDeltas(2)
+            lvl += ft.modeLfDeltas(2)
           lvl = math.max(0, math.min(63, lvl))
         }
         mb.filterLevel = lvl
@@ -1074,23 +1128,32 @@ object Vp8 {
 
     // ---- reference buffer update (§9.7) -----------------------------
     if (st != null) {
-      // copies resolve against the PRE-refresh buffers
-      val (cgY, cgU, cgV) = copyGolden match {
-        case 1 => (st.lastY, st.lastU, st.lastV)
-        case 2 => (st.altY, st.altU, st.altV)
-        case _ => (st.goldY, st.goldU, st.goldV)
+      // libvpx swap_frame_buffers order (r13, was pre-frame-resolved):
+      // 1. the ALTREF copy lands first (sources: pre-frame last or
+      //    pre-frame golden);
+      // 2. the GOLDEN copy lands second — source 2 (altref) reads the
+      //    JUST-UPDATED altref, so copyAlt=1 + copyGolden=2 ends with
+      //    golden == the pre-frame LAST frame;
+      // 3. the refresh assignments (new frame) land after both
+      //    copies. Copies are only coded when the matching refresh
+      //    bit is 0, so the refresh-vs-copy interleaving is exactly
+      //    the deployed decoders' sequence.
+      if (copyAlt == 1) {
+        st.altY = st.lastY; st.altU = st.lastU; st.altV = st.lastV
+      } else if (copyAlt == 2) {
+        st.altY = st.goldY; st.altU = st.goldU; st.altV = st.goldV
       }
-      val (caY, caU, caV) = copyAlt match {
-        case 1 => (st.lastY, st.lastU, st.lastV)
-        case 2 => (st.goldY, st.goldU, st.goldV)
-        case _ => (st.altY, st.altU, st.altV)
+      if (copyGolden == 1) {
+        st.goldY = st.lastY; st.goldU = st.lastU; st.goldV = st.lastV
+      } else if (copyGolden == 2) {
+        st.goldY = st.altY; st.goldU = st.altU; st.goldV = st.altV
       }
       if (refreshGolden) {
         st.goldY = yPlane; st.goldU = uPlane; st.goldV = vPlane
-      } else { st.goldY = cgY; st.goldU = cgU; st.goldV = cgV }
+      }
       if (refreshAlt) {
         st.altY = yPlane; st.altU = uPlane; st.altV = vPlane
-      } else { st.altY = caY; st.altU = caU; st.altV = caV }
+      }
       if (refreshLast) {
         st.lastY = yPlane; st.lastU = uPlane; st.lastV = vPlane
       }

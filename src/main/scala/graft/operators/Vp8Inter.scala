@@ -415,6 +415,25 @@ object Vp8Inter {
       acY: Int = 0,
       intraYMode: Int = -1)
 
+  /** Segmentation header block for [[buildInterFrame]] (r13): the
+    * §9.3 syntax. With `updateMap`, `map` (one segment id per MB)
+    * is recoded with the default (255) tree probabilities; with
+    * `updateData`, `quant`/`lf` give the four per-segment feature
+    * values (`absDelta` selects absolute vs delta semantics). A
+    * frame with neither update flag — `WSeg()` — is the normal
+    * encoder output this writer exists to pin: segmentation stays
+    * enabled and the decoder must reuse the INHERITED map and
+    * feature data. */
+  final case class WSeg(
+      updateMap: Boolean = false,
+      updateData: Boolean = false,
+      absDelta: Boolean = false,
+      quant: Array[Int] = Array(0, 0, 0, 0),
+      lf: Array[Int] = Array(0, 0, 0, 0),
+      map: Array[Int] = null)
+
+  private val SegTreeDefault = Array(255, 255, 255)
+
   /** Assemble one interframe: no segmentation, loop filter off,
     * every MB inter-coded with the given modes/MVs and NO residual
     * energy. With `nParts = 1` (default) every MB is skipped and the
@@ -436,25 +455,75 @@ object Vp8Inter {
       refreshGolden: Boolean = false, refreshAlt: Boolean = false,
       refreshLast: Boolean = true,
       signBiasGolden: Int = 0, signBiasAlt: Int = 0,
-      version: Int = 0, nParts: Int = 1): Array[Byte] = {
+      version: Int = 0, nParts: Int = 1,
+      seg: WSeg = null,
+      filterLevel: Int = 0,
+      lfDeltaEnabled: Boolean = false,
+      lfDeltaUpdate: Array[Int] = null, // 8 = ref(4) ++ mode(4)
+      copyGolden: Int = 0, copyAlt: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= 3, "vp8 version 0-3")
     require(Seq(1, 2, 4, 8).contains(nParts), "1/2/4/8 token partitions")
     require(mbs.length == mbW * mbH, "one WMb per macroblock")
+    require(copyGolden >= 0 && copyGolden <= 2 && !(copyGolden != 0 &&
+      refreshGolden), "copyGolden only without refreshGolden")
+    require(copyAlt >= 0 && copyAlt <= 2 && !(copyAlt != 0 &&
+      refreshAlt), "copyAlt only without refreshAlt")
+    require(seg == null || !seg.updateMap ||
+      (seg.map != null && seg.map.length == mbW * mbH &&
+        seg.map.forall(s => s >= 0 && s < 4)),
+      "updateMap needs a per-MB segment id array")
+    require(lfDeltaUpdate == null ||
+      (lfDeltaEnabled && lfDeltaUpdate.length == 8),
+      "lfDeltaUpdate: 8 entries, only with lfDeltaEnabled")
     val e = new BoolEnc
     // ---- frame header (§9) ----
-    e.put(0, 128) // segmentation disabled
+    def signedIf(v: Int, n: Int): Unit = {
+      if (v == 0) e.put(0, 128)
+      else {
+        e.put(1, 128)
+        e.literal(math.abs(v), n)
+        e.put(if (v < 0) 1 else 0, 128)
+      }
+    }
+    if (seg == null) e.put(0, 128) // segmentation disabled
+    else {
+      e.put(1, 128)
+      e.put(if (seg.updateMap) 1 else 0, 128)
+      e.put(if (seg.updateData) 1 else 0, 128)
+      if (seg.updateData) {
+        e.put(if (seg.absDelta) 1 else 0, 128)
+        seg.quant.foreach(signedIf(_, 7))
+        seg.lf.foreach(signedIf(_, 6))
+      }
+      if (seg.updateMap) {
+        var k = 0
+        while (k < 3) { e.put(0, 128); k += 1 } // default tree probs
+      }
+    }
     e.literal(0, 1) // normal loop filter
-    e.literal(0, 6) // filter level 0 (off)
+    e.literal(filterLevel, 6)
     e.literal(0, 3) // sharpness
-    e.put(0, 128) // no lf deltas
+    if (!lfDeltaEnabled) e.put(0, 128) // no lf deltas
+    else {
+      e.put(1, 128)
+      if (lfDeltaUpdate == null) e.put(0, 128) // enabled, no update
+      else {
+        e.put(1, 128)
+        lfDeltaUpdate.foreach { d =>
+          e.put(1, 128)
+          e.literal(math.abs(d), 6)
+          e.put(if (d < 0) 1 else 0, 128)
+        }
+      }
+    }
     e.literal(Integer.numberOfTrailingZeros(nParts), 2) // log2(nParts)
-    e.literal(40, 7) // y_ac_qi (unused: every MB skips)
+    e.literal(40, 7) // y_ac_qi (the acY residue dequant base)
     var i = 0
     while (i < 5) { e.put(0, 128); i += 1 } // no quant deltas
     e.put(if (refreshGolden) 1 else 0, 128)
     e.put(if (refreshAlt) 1 else 0, 128)
-    if (!refreshGolden) e.literal(0, 2) // no copy to golden
-    if (!refreshAlt) e.literal(0, 2) // no copy to altref
+    if (!refreshGolden) e.literal(copyGolden, 2)
+    if (!refreshAlt) e.literal(copyAlt, 2)
     e.put(signBiasGolden, 128)
     e.put(signBiasAlt, 128)
     e.put(1, 128) // refresh_entropy_probs
@@ -494,6 +563,9 @@ object Vp8Inter {
       while (mbx < mbW) {
         val idx = mby * mbW + mbx
         val m = mbs(idx)
+        if (seg != null && seg.updateMap) // segment id precedes skip
+          writeTreePath(e, Vp8.SegmentTree, SegTreeDefault, 0,
+            seg.map(idx))
         if (useSkip) e.put(1, probSkipFalse) // mb_skip_coeff = true
         if (m.intraYMode >= 0) {
           require(m.intraYMode < 4, "B_PRED writing not supported")

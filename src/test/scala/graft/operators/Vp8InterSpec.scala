@@ -237,6 +237,38 @@ class Vp8InterSpec extends AnyFunSuite {
     (ey, eu, ev)
   }
 
+  /** Spec-math §14.4 inverse DCT (restated independently of the
+    * decoder; shared by the residual and the r13 persistence
+    * pins). */
+  private def idct4(in: Array[Int]): Array[Int] = {
+    val S = 35468; val C = 20091
+    val tmp = new Array[Int](16)
+    for (i <- 0 until 4) {
+      val a1 = in(i) + in(8 + i)
+      val b1 = in(i) - in(8 + i)
+      val c1 = ((in(4 + i) * S) >> 16) -
+        (in(12 + i) + ((in(12 + i) * C) >> 16))
+      val d1 = (in(4 + i) + ((in(4 + i) * C) >> 16)) +
+        ((in(12 + i) * S) >> 16)
+      tmp(i) = a1 + d1; tmp(12 + i) = a1 - d1
+      tmp(4 + i) = b1 + c1; tmp(8 + i) = b1 - c1
+    }
+    val out = new Array[Int](16)
+    for (i <- 0 until 4) {
+      val a1 = tmp(4 * i) + tmp(4 * i + 2)
+      val b1 = tmp(4 * i) - tmp(4 * i + 2)
+      val c1 = ((tmp(4 * i + 1) * S) >> 16) -
+        (tmp(4 * i + 3) + ((tmp(4 * i + 3) * C) >> 16))
+      val d1 = (tmp(4 * i + 1) + ((tmp(4 * i + 1) * C) >> 16)) +
+        ((tmp(4 * i + 3) * S) >> 16)
+      out(4 * i) = (a1 + d1 + 4) >> 3
+      out(4 * i + 3) = (a1 - d1 + 4) >> 3
+      out(4 * i + 1) = (b1 + c1 + 4) >> 3
+      out(4 * i + 2) = (b1 - c1 + 4) >> 3
+    }
+    out
+  }
+
   // ---- 4. whole-pipeline pins ----------------------------------------
 
   test("NEW/ZERO/NEAREST motion over a real keyframe: the decoded " +
@@ -450,34 +482,6 @@ class Vp8InterSpec extends AnyFunSuite {
     // factor of the frame's y_ac_qi = 40, added into luma block 0 of
     // MBs 0 and 4
     val acq = graft.functions.Vp8Tables.AcQLookup(40)
-    def idct4(in: Array[Int]): Array[Int] = {
-      val S = 35468; val C = 20091
-      val tmp = new Array[Int](16)
-      for (i <- 0 until 4) {
-        val a1 = in(i) + in(8 + i)
-        val b1 = in(i) - in(8 + i)
-        val c1 = ((in(4 + i) * S) >> 16) -
-          (in(12 + i) + ((in(12 + i) * C) >> 16))
-        val d1 = (in(4 + i) + ((in(4 + i) * C) >> 16)) +
-          ((in(12 + i) * S) >> 16)
-        tmp(i) = a1 + d1; tmp(12 + i) = a1 - d1
-        tmp(4 + i) = b1 + c1; tmp(8 + i) = b1 - c1
-      }
-      val out = new Array[Int](16)
-      for (i <- 0 until 4) {
-        val a1 = tmp(4 * i) + tmp(4 * i + 2)
-        val b1 = tmp(4 * i) - tmp(4 * i + 2)
-        val c1 = ((tmp(4 * i + 1) * S) >> 16) -
-          (tmp(4 * i + 3) + ((tmp(4 * i + 3) * C) >> 16))
-        val d1 = (tmp(4 * i + 1) + ((tmp(4 * i + 1) * C) >> 16)) +
-          ((tmp(4 * i + 3) * S) >> 16)
-        out(4 * i) = (a1 + d1 + 4) >> 3
-        out(4 * i + 3) = (a1 - d1 + 4) >> 3
-        out(4 * i + 1) = (b1 + c1 + 4) >> 3
-        out(4 * i + 2) = (b1 - c1 + 4) >> 3
-      }
-      out
-    }
     Seq((0, 1), (4, -1)).foreach { case (m, sgn) =>
       val coefs = new Array[Int](16)
       coefs(1) = sgn * acq
@@ -541,4 +545,119 @@ class Vp8InterSpec extends AnyFunSuite {
     assert(Vp8Inter.decodeIvf(okIvf.dropRight(5)).isEmpty, "truncated")
     assert(Vp8Inter.decodeIvf(null).isEmpty)
   }
+
+  // ---- 6. persistent frame features + ref plumbing (r13) -------------
+
+  /** clamp-add the acY residual (a ONE at coefficient index 1,
+    * dequantized with `acq`) into luma block 0 of MB `m`. */
+  private def addAcResidual(ey: Array[Int], w: Int, m: Int,
+      acq: Int): Unit = {
+    val coefs = new Array[Int](16)
+    coefs(1) = acq
+    val d = idct4(coefs)
+    val bx = (m % MbW) * 16; val by = (m / MbW) * 16
+    for (y <- 0 until 4; x <- 0 until 4)
+      ey((by + y) * w + bx + x) = math.max(0, math.min(255,
+        ey((by + y) * w + bx + x) + d(y * 4 + x)))
+  }
+
+  private def clampQ(q: Int): Int = math.max(0, math.min(127, q))
+
+  test("segmentation persists across interframes (RFC 6386 \u00a79.3): " +
+    "an update frame codes the map + per-segment quant deltas; the " +
+    "next frame keeps segmentation enabled WITHOUT any update and " +
+    "must dequantize with the inherited map and feature data") {
+    val map = Array(0, 1, 2, 0, 1, 2)
+    val quant = Array(0, 60, -20, 0)
+    val wmbs = Array.fill(MbW * MbH)(WMb(ModeZero, acY = 1))
+    val f1 = Vp8Inter.buildInterFrame(MbW, MbH, wmbs, nParts = 2,
+      seg = Vp8Inter.WSeg(updateMap = true, updateData = true,
+        quant = quant, map = map))
+    val f2 = Vp8Inter.buildInterFrame(MbW, MbH, wmbs, nParts = 2,
+      seg = Vp8Inter.WSeg()) // enabled, nothing recoded: inherit
+    val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload, f1, f2))).getOrElse(fail("decode None"))
+    val w = key.width
+    def segAcq(m: Int): Int =
+      graft.functions.Vp8Tables.AcQLookup(clampQ(40 + quant(map(m))))
+    // load-bearing only if the segment quantizers actually differ
+    assert(segAcq(0) != segAcq(1) && segAcq(0) != segAcq(2))
+    val ey = key.y.map(_ & 0xff)
+    for (m <- 0 until MbW * MbH) addAcResidual(ey, w, m, segAcq(m))
+    assertPlane(frames(1).y, ey, w, "update-frame Y")
+    for (m <- 0 until MbW * MbH) addAcResidual(ey, w, m, segAcq(m))
+    assertPlane(frames(2).y, ey, w, "inherited-segmentation Y")
+    // chroma carries no residual: both frames pass it through
+    assertPlane(frames(2).u, key.u.map(_ & 0xff), w / 2, "U untouched")
+  }
+
+  test("loop-filter deltas persist across interframes (\u00a79.4): an " +
+    "update frame sets ref deltas that cancel the frame filter " +
+    "level; the next frame enables deltas WITHOUT an update and " +
+    "must stay unfiltered; a control frame without deltas shows " +
+    "the filter would otherwise have changed pixels") {
+    val wmbs = Array.fill(MbW * MbH)(WMb(ModeZero, acY = 1))
+    val lfd = Array(-63, -63, -63, -63, 0, 0, 0, 0)
+    def fr(enabled: Boolean, upd: Array[Int]) =
+      Vp8Inter.buildInterFrame(MbW, MbH, wmbs, nParts = 2,
+        filterLevel = 32, lfDeltaEnabled = enabled, lfDeltaUpdate = upd)
+    val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload, fr(true, lfd), fr(true, null),
+        fr(false, null)))).getOrElse(fail("decode None"))
+    val w = key.width
+    val acq = graft.functions.Vp8Tables.AcQLookup(40)
+    val ey = key.y.map(_ & 0xff)
+    for (m <- 0 until MbW * MbH) addAcResidual(ey, w, m, acq)
+    assertPlane(frames(1).y, ey, w, "cancelled-filter Y (update)")
+    for (m <- 0 until MbW * MbH) addAcResidual(ey, w, m, acq)
+    assertPlane(frames(2).y, ey, w, "cancelled-filter Y (inherited)")
+    // control: the same content with lf deltas DISABLED runs the
+    // level-32 filter and must differ from the unfiltered math
+    for (m <- 0 until MbW * MbH) addAcResidual(ey, w, m, acq)
+    val gotY = frames(3).y.map(_ & 0xff)
+    assert(gotY.toSeq != ey.toSeq,
+      "control frame must actually be filtered")
+  }
+
+  test("reference-buffer copy ordering (\u00a79.7 / libvpx " +
+    "swap_frame_buffers): copyAlt=1 + copyGolden=2 in one frame " +
+    "lands the PRE-frame last in golden, because golden's copy " +
+    "reads the JUST-UPDATED altref") {
+    val resid = Array.fill(MbW * MbH)(WMb(ModeZero, acY = 1))
+    val f1 = Vp8Inter.buildInterFrame(MbW, MbH, resid, nParts = 2)
+    val skip = Array.fill(MbW * MbH)(WMb(ModeZero))
+    val f2 = Vp8Inter.buildInterFrame(MbW, MbH, skip,
+      refreshLast = false, copyAlt = 1, copyGolden = 2)
+    val fromGold = Array.fill(MbW * MbH)(WMb(ModeZero, refFrame = 2))
+    val f3 = Vp8Inter.buildInterFrame(MbW, MbH, fromGold)
+    val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload, f1, f2, f3)))
+      .getOrElse(fail("decode None"))
+    assert(!java.util.Arrays.equals(frames(1).y, frames(0).y),
+      "f1 must differ from the keyframe for the pin to bite")
+    // under pre-frame-resolved copies golden would be the KEYFRAME
+    assert(java.util.Arrays.equals(frames(3).y, frames(1).y), "Y")
+    assert(java.util.Arrays.equals(frames(3).u, frames(1).u), "U")
+    assert(java.util.Arrays.equals(frames(3).v, frames(1).v), "V")
+  }
+
+  test("a mid-sequence keyframe may change dimensions (r13): the " +
+    "sequence re-keys at 16x16 after 48x32 frames, and an " +
+    "interframe after the new keyframe predicts from it") {
+    val tinyPayload = vp8Chunk(res("vp8_tiny.webp"))
+    val tiny = Vp8.decodeFrame(tinyPayload, 0, tinyPayload.length).get
+    assert(tiny.width == 16 && tiny.height == 16)
+    val inter48 = Vp8Inter.buildInterFrame(MbW, MbH,
+      Array.fill(MbW * MbH)(WMb(ModeZero)))
+    val inter16 = Vp8Inter.buildInterFrame(1, 1, Array(WMb(ModeZero)))
+    val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+      key.height, Seq(keyPayload, inter48, tinyPayload, inter16)))
+      .getOrElse(fail("decode None"))
+    assert(frames(2).width == 16 && frames(2).height == 16)
+    assert(java.util.Arrays.equals(frames(2).y, tiny.y), "re-key Y")
+    assert(java.util.Arrays.equals(frames(3).y, tiny.y), "inter Y")
+    assert(java.util.Arrays.equals(frames(3).u, tiny.u), "inter U")
+    assert(java.util.Arrays.equals(frames(3).v, tiny.v), "inter V")
+  }
+
 }
