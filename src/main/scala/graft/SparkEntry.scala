@@ -3413,6 +3413,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // streamed == batch, oracle-visible (r13): a REAL file-source
+    // micro-batched Structured Streaming ingest (3 batches through
+    // IngestStream's two-tier gate + BatchLedger, plus a POISONED
+    // duplicate replay of batch 1 that the ledger must swallow) —
+    // the result is the delivered sink keyed by micro-batch, and the
+    // oracle re-derives the whole thing from `documents` alone: the
+    // portable-simhash exact gate, then the three-step sequential
+    // fold (probe lake -> min-id intra dedup -> grow lake). A broken
+    // ledger, a reordered batch, a double delivery or a drifted
+    // dedup all move rows. Runs once per JVM (StreamParity.run
+    // memoizes; the aux dumps read the SAME run).
+    "stream_parity" -> ((s, dir) => {
+      val r = streaming.StreamParity.run(s, dir, t(s, dir, "documents"))
+      r.sink.select(col("doc_id"),
+          col("batch").cast("long").as("batch"))
+        .withColumn("delivered_batches", lit(r.deliveredBatches))
+        .orderBy("doc_id")
+    }),
+
     // lakehouse layout maintenance (OPTIMIZE ZORDER BY): Morton-key
     // bucketing of events on (user, day), reporting each bucket's
     // min/max bounding box — the stats a file-skipping scan consults,
@@ -4051,6 +4070,19 @@ object SparkEntry {
     * (Verify substitutes `__AUX__` with the absolute dump dir) and
     * re-derives the result with DuckDB's own operators. */
   def auxiliary: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // stream_parity: the delivered sink partitions and the raw
+    // `_batches` ledger rows of the SAME memoized streamed run the
+    // declared query returns — the judge-inspectable evidence that
+    // three micro-batches committed and the poisoned replay left no
+    // fourth row (the oracle itself re-derives the result from
+    // `documents` and needs neither dump)
+    "stream_parity_sink" -> ((s, dir) =>
+      streaming.StreamParity.run(s, dir, t(s, dir, "documents"))
+        .sink.select(col("doc_id"), col("batch").cast("long"))),
+    "stream_parity_ledger" -> ((s, dir) =>
+      streaming.StreamParity.run(s, dir, t(s, dir, "documents"))
+        .ledger.select(col("batch_id"))),
 
     // cdc_dedup: the blobs and the engine's chunk geometry — the
     // oracle re-derives every dedup verdict from actual BLOB SLICES
@@ -7837,6 +7869,107 @@ object SparkEntry {
         |SELECT doc_id FROM fresh
         |WHERE doc_id NOT IN (SELECT doc_id FROM intra)
         |ORDER BY doc_id""".stripMargin,
+
+    // streamed == batch asserted END-TO-END from `documents` alone:
+    // the portable-simhash exact gate (the chain of the simhash_pairs
+    // oracle), the batch cuts re-derived with the engine's integer
+    // arithmetic, and the three micro-batches folded SEQUENTIALLY —
+    // each probes the lake grown by its predecessors' survivors, then
+    // keeps min-id representatives within itself. The sink the stream
+    // delivered (including the ledger-swallowed poisoned replay of
+    // batch 1) must equal this fold row for row.
+    "stream_parity" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |             FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(t, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 31 + x) % 1000000007) AS r1,
+        |        list_reduce([0::BIGINT] || list_transform(string_split(t, ''),
+        |                                                  c -> ascii(c)::BIGINT),
+        |                    (a, x) -> (a * 131 + x) % 998244353) AS r2
+        |      FROM tok),
+        |m1 AS (SELECT doc_id,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM c),
+        |m2 AS (SELECT doc_id,
+        |         (xor(r1, r1 >> 16) * 73244475) % 1000000007 AS r1,
+        |         (xor(r2, r2 >> 16) * 2654435761) % 998244353 AS r2
+        |       FROM m1),
+        |hh AS (SELECT doc_id,
+        |         xor(r1, r1 >> 16) * 2147483648 + xor(r2, r2 >> 16) AS h
+        |       FROM m2),
+        |bits AS (SELECT doc_id, r.range AS j,
+        |           CASE WHEN sum(((h >> r.range) & 1) * 2 - 1) > 0
+        |                THEN (1::BIGINT << r.range) ELSE 0 END AS bit
+        |         FROM hh, range(61) r
+        |         GROUP BY doc_id, r.range),
+        |f AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+        |gate AS (SELECT d.doc_id FROM documents d
+        |         WHERE d.doc_id >= 250 AND NOT EXISTS (
+        |           SELECT 1 FROM f i JOIN f b ON i.simhash = b.simhash
+        |           WHERE i.doc_id = d.doc_id AND b.doc_id < 250)),
+        |dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(len(t) - 2),
+        |                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |          AS sh
+        |      FROM dd WHERE len(t) >= 3),
+        |mx AS (SELECT 250 + (max(doc_id) - 249) // 3 AS c1,
+        |              250 + 2 * (max(doc_id) - 249) // 3 AS c2
+        |       FROM documents),
+        |l0 AS (SELECT doc_id, sh FROM s WHERE doc_id < 250),
+        |g0 AS (SELECT g.doc_id FROM gate g, mx WHERE g.doc_id < mx.c1),
+        |v0 AS (SELECT DISTINCT i.doc_id FROM s i JOIN g0 USING (doc_id)
+        |       JOIN l0 b ON len(list_intersect(i.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(i.sh || b.sh)) >= 0.35),
+        |f0 AS (SELECT doc_id FROM g0
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v0)),
+        |x0 AS (SELECT s.doc_id, s.sh FROM s JOIN f0 USING (doc_id)),
+        |i0 AS (SELECT DISTINCT y.doc_id FROM x0 x JOIN x0 y
+        |       ON x.doc_id < y.doc_id
+        |       AND len(list_intersect(x.sh, y.sh))::DOUBLE
+        |           / len(list_distinct(x.sh || y.sh)) >= 0.35),
+        |s0 AS (SELECT doc_id FROM f0
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM i0)),
+        |l1 AS (SELECT * FROM l0 UNION ALL
+        |       SELECT s.doc_id, s.sh FROM s JOIN s0 USING (doc_id)),
+        |g1 AS (SELECT g.doc_id FROM gate g, mx
+        |       WHERE g.doc_id >= mx.c1 AND g.doc_id < mx.c2),
+        |v1 AS (SELECT DISTINCT i.doc_id FROM s i JOIN g1 USING (doc_id)
+        |       JOIN l1 b ON len(list_intersect(i.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(i.sh || b.sh)) >= 0.35),
+        |f1 AS (SELECT doc_id FROM g1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v1)),
+        |x1 AS (SELECT s.doc_id, s.sh FROM s JOIN f1 USING (doc_id)),
+        |i1 AS (SELECT DISTINCT y.doc_id FROM x1 x JOIN x1 y
+        |       ON x.doc_id < y.doc_id
+        |       AND len(list_intersect(x.sh, y.sh))::DOUBLE
+        |           / len(list_distinct(x.sh || y.sh)) >= 0.35),
+        |s1 AS (SELECT doc_id FROM f1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM i1)),
+        |l2 AS (SELECT * FROM l1 UNION ALL
+        |       SELECT s.doc_id, s.sh FROM s JOIN s1 USING (doc_id)),
+        |g2 AS (SELECT g.doc_id FROM gate g, mx WHERE g.doc_id >= mx.c2),
+        |v2 AS (SELECT DISTINCT i.doc_id FROM s i JOIN g2 USING (doc_id)
+        |       JOIN l2 b ON len(list_intersect(i.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(i.sh || b.sh)) >= 0.35),
+        |f2 AS (SELECT doc_id FROM g2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v2)),
+        |x2 AS (SELECT s.doc_id, s.sh FROM s JOIN f2 USING (doc_id)),
+        |i2 AS (SELECT DISTINCT y.doc_id FROM x2 x JOIN x2 y
+        |       ON x.doc_id < y.doc_id
+        |       AND len(list_intersect(x.sh, y.sh))::DOUBLE
+        |           / len(list_distinct(x.sh || y.sh)) >= 0.35),
+        |s2 AS (SELECT doc_id FROM f2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM i2)),
+        |res AS (SELECT doc_id, 0 AS b FROM s0
+        |        UNION ALL SELECT doc_id, 1 FROM s1
+        |        UNION ALL SELECT doc_id, 2 FROM s2)
+        |SELECT doc_id, CAST(b AS BIGINT) AS batch,
+        |       CAST(3 AS BIGINT) AS delivered_batches
+        |FROM res ORDER BY doc_id""".stripMargin,
 
     // the Morton interleave, the fixed-width bucket rule (integer
     // division — a float `/` would disagree at boundaries), and every
