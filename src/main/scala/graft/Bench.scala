@@ -158,34 +158,11 @@ object Bench {
         waitForQuietBox("re-measure", maxWaitSec = 600)
         ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
       }
-    val results = ordered.map { case (name, _) =>
-      val (a, b) = (pass1(name), pass2(name))
-      // a third/fourth-pass failure never erases two good runs; a
-      // failure in either primary pass still reports -1, never a
-      // flattering time
-      val runs = Seq(a, b) ++ pass3.get(name) ++ pass4.get(name)
-      val best = if (a < 0 || b < 0) -1.0 else runs.filter(_ >= 0).min
-      (name, best, runs)
-    }
-    // "spread" keeps its ORIGINAL (≤r8) definition — mean min/max ratio
-    // of the two PRIMARY passes — so the same-named key stays
-    // apples-to-apples across rounds (r9 silently redefined it to the
-    // best-two ratio, which mechanically inflates it once extra passes
-    // run; that quantity is still published, under its own name
-    // "best2_spread": repeatability of the two smallest observations
-    // after any corrective passes).
-    val spreads = results.collect { case (_, best, runs) if best >= 0 =>
-      val good = runs.filter(_ >= 0).sorted
-      if (good.size < 2) 1.0
-      else good(0) / math.max(good(1), 1e-9)
-    }
-    val best2Spread =
-      if (spreads.isEmpty) 1.0 else spreads.sum / spreads.size
-    val meanSpread = primaryRatio
-    // PER-QUERY FLOOR (added r10): with ~200 timed queries the suite
-    // total is roughly half session/scan floor — cross-round totals
-    // were starting to track suite SIZE, not plan cost. Measure the
-    // floor directly (median of repeated noop-sink runs) in two forms:
+    // PER-QUERY FLOOR (added r10; measured BEFORE the isolation pass
+    // below, which needs floor_scan to separate plan drift from the
+    // session constant): with ~200 timed queries the suite total is
+    // roughly half session/scan floor — cross-round totals were
+    // starting to track suite SIZE, not plan cost. Two forms:
     //   floor      — empty plan (spark.range(1)): pure job-submission +
     //                noop-commit overhead, the cost every query pays;
     //   floor_scan — minimal real input (1 row, 1 column off the
@@ -206,6 +183,106 @@ object Bench {
     val floorScan = medianOf((1 to 7).map(_ =>
       timeNoop(spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id").limit(1))))
+
+    // AUTO-ISOLATED DRIFT RE-MEASURE (r13, the r12 verdict's ask): a
+    // query can look regressed for two reasons a sweep cannot tell
+    // apart — a real plan change, or the box contending with itself
+    // while 200+ other queries interleave. The harness now settles
+    // the question in the SAME artifact: at sweep end it flags
+    //   (a) queries whose best-of-passes regressed >25% against the
+    //       previous round's committed bench.json (read from the
+    //       output path BEFORE overwriting it), and
+    //   (b) queries whose two primary passes disagree >25% after
+    //       floor subtraction (net, so sub-floor noise queries don't
+    //       flood the set),
+    // waits for a quiet box, and re-runs each flagged query ALONE
+    // (back-to-back, min of 2). Both numbers land in bench.json —
+    // the in-sweep best under "queries"/"runs", the isolated number
+    // under "isolated" — and the isolated observation also joins the
+    // per-query min, so one contended sweep can no longer
+    // manufacture a round's watch item.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val priorQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(benchOut)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+        _.group(1).split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.replace("\"", "") -> v.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val bestPrim = ordered.map { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      val runs = Seq(a, b) ++ pass3.get(name) ++ pass4.get(name)
+      name -> (if (a < 0 || b < 0) -1.0 else runs.filter(_ >= 0).min)
+    }.toMap
+    def netOf(v: Double): Double =
+      math.max(v - math.max(floorScan, 0.0), 1e-3)
+    val regressed = ordered.map(_._1).filter { n =>
+      val b = bestPrim(n)
+      b >= 0 && priorQueries.get(n)
+        .exists(p => b > 1.25 * p && b - p > 0.05)
+    }
+    val noisy = ordered.map(_._1).filter { n =>
+      val prim = Seq(pass1(n), pass2(n)).filter(_ >= 0).map(netOf)
+      prim.size == 2 && prim.min / prim.max < 0.75 && prim.max > 0.05
+    }
+    val flaggedAll = (regressed ++ noisy).distinct
+    // bound the sweep-end cost; regressions outrank noise, and a cap
+    // is never silent
+    val flagged = flaggedAll.take(40)
+    if (flaggedAll.size > flagged.size)
+      System.err.println(s"[bench] isolation cap: re-measuring 40 of " +
+        s"${flaggedAll.size} flagged (dropped: " +
+        s"${flaggedAll.drop(40).mkString(",")})")
+    val isolated: Map[String, Double] =
+      if (flagged.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] isolated re-measure of " +
+          s"${flagged.size} flagged queries (" +
+          s"${regressed.size} regressed vs prior, ${noisy.size} " +
+          s"noisy): ${flagged.mkString(",")}")
+        waitForQuietBox("isolated", maxWaitSec = 300)
+        val fns = ordered.toMap
+        flagged.map { n =>
+          val fn = fns(n)
+          val good = Seq(once(n, fn), once(n, fn)).filter(_ >= 0)
+          n -> (if (good.isEmpty) -1.0 else good.min)
+        }.toMap
+      }
+
+    val results = ordered.map { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      // a third/fourth-pass failure never erases two good runs; a
+      // failure in either primary pass still reports -1, never a
+      // flattering time. The isolated observation (clean box, no
+      // interleaved sweep) joins the min like any corrective pass.
+      val runs = Seq(a, b) ++ pass3.get(name) ++ pass4.get(name) ++
+        isolated.get(name).filter(_ >= 0)
+      val best = if (a < 0 || b < 0) -1.0 else runs.filter(_ >= 0).min
+      (name, best, runs)
+    }
+    // "spread" keeps its ORIGINAL (≤r8) definition — mean min/max ratio
+    // of the two PRIMARY passes — so the same-named key stays
+    // apples-to-apples across rounds (r9 silently redefined it to the
+    // best-two ratio, which mechanically inflates it once extra passes
+    // run; that quantity is still published, under its own name
+    // "best2_spread": repeatability of the two smallest observations
+    // after any corrective passes).
+    val spreads = results.collect { case (_, best, runs) if best >= 0 =>
+      val good = runs.filter(_ >= 0).sorted
+      if (good.size < 2) 1.0
+      else good(0) / math.max(good(1), 1e-9)
+    }
+    val best2Spread =
+      if (spreads.isEmpty) 1.0 else spreads.sum / spreads.size
+    val meanSpread = primaryRatio
     // Locale.ROOT: comma-decimal default locales would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // stdout per-query precision is ADAPTIVE: the harness captures the
@@ -279,12 +356,17 @@ object Bench {
       s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)},"value_net":${num(valueNet)}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs,"sf":"$sfDir"}"""
+    // isolated re-measurements (bench.json only): the clean-box
+    // numbers for every flagged query, next to the in-sweep ones
+    val isolatedJson = flagged
+      .map(n => "\"" + n + "\":" + num(isolated.getOrElse(n, -1.0)))
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs3,"runs":$raws,"net_spreads":$netSpreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs3,"runs":$raws,"net_spreads":$netSpreads,"isolated":$isolatedJson,"flagged_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // Persist the full record first so the compact stdout line is the
     // LAST thing printed (fewer trailing chars eating into the tail
     // window; sbt still appends its own [success] footer).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val out = benchOut
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
