@@ -84,6 +84,7 @@ object GraftExtensions {
     "webp_yuv" -> (es => WebpYuv(es.head)),
     "vp8_ivf_media_for_id" -> (es => Vp8IvfMediaBytes(es.head)),
     "vp8_ivf_frames" -> (es => Vp8IvfFrames(es.head)),
+    "ivf_meta" -> (es => IvfMeta(es.head)),
     "anim_media_for_id" -> (es => AnimMediaBytes(es.head)),
     "webp_anim" -> (es => WebpAnim(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),

@@ -2463,6 +2463,66 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Crawl-wide media census (r13): ONE report row per media kind,
+    // joining the O(1) magic-byte routing with the per-format
+    // decodability triage — the per-family MP3 decodable/blocked
+    // granule-channel counts (mp3_coverage riding the routed blobs)
+    // and the VP8 keyframe/interframe split (ivf_meta: container
+    // header + frame tag bits, no entropy decode). The blob column
+    // cycles the same 18 fixture families as media_route, with the
+    // mp3 arm drawing the 8 coverage-triage fixtures so the MP3
+    // columns are content-bearing. Every triage is a codegen'd
+    // per-row expression riding the scan; the report itself is one
+    // 18-key groupBy — at crawl scale this is a single map-side-
+    // combined pass over the blobs.
+    "media_census" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 170)
+        .selectExpr("doc_id",
+          ("CASE CAST(doc_id % 18 AS INT) " +
+            "WHEN 0 THEN pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 1 THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 2 THEN bmp_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 3 THEN webp_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 4 THEN tiff_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 5 THEN gif_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 6 THEN wav_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 7 THEN flac_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 8 THEN mp3_coverage_media_for_id(" +
+              "CAST(doc_id DIV 18 AS BIGINT)) " +
+            "WHEN 9 THEN ogg_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 10 THEN avi_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 11 THEN mp4_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 12 THEN pdf_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 13 THEN zip_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 14 THEN targz_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 15 THEN zst_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 16 THEN vp8_ivf_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "ELSE parquet_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "END AS blob"))
+        .selectExpr("media_kind(blob) AS kind", "blob")
+        .selectExpr("kind",
+          "CASE WHEN kind = 'mp3' THEN mp3_coverage(blob) END AS c",
+          "CASE WHEN kind = 'ivf' THEN ivf_meta(blob) END AS v")
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("c.granule_channels").cast("long")), lit(0L))
+            .as("mp3_gch"),
+          coalesce(sum(col("c.shipped").cast("long")), lit(0L))
+            .as("mp3_shipped"),
+          coalesce(sum((col("c.fam11_15") + col("c.fam16_23") +
+            col("c.fam24_31")).cast("long")), lit(0L))
+            .as("mp3_blocked"),
+          coalesce(sum(col("c.invalid").cast("long")), lit(0L))
+            .as("mp3_invalid"),
+          coalesce(sum(col("v.keyframes").cast("long")), lit(0L))
+            .as("vp8_keyframes"),
+          coalesce(sum(col("v.interframes").cast("long")), lit(0L))
+            .as("vp8_interframes"))
+        .orderBy("kind")
+    }),
+
     // Zstd frame-header triage (r8): CommonCrawl's newer dumps ship
     // .zst — declared size, window budget, dictionary requirement,
     // checksum, skippable frames, all from the RFC 8878 header bit
@@ -6486,6 +6546,44 @@ object SparkEntry {
         |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf'
         |    ELSE 'parquet' END AS kind
         |FROM documents WHERE doc_id < 170 ORDER BY doc_id""".stripMargin,
+
+    // the routing restated from the id cycle, the MP3 columns from
+    // the mp3_coverage fixture constants (the same VALUES rows that
+    // oracle pins per file, here folded over the census's fixture
+    // cycle), and the VP8 split from the ivf fixture's 1-keyframe +
+    // 2-interframe construction
+    "media_census" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 170),
+        |k AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 18 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
+        |    WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'gif'
+        |    WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'mp3'
+        |    WHEN 9 THEN 'ogg' WHEN 10 THEN 'avi' WHEN 11 THEN 'mp4'
+        |    WHEN 12 THEN 'pdf' WHEN 13 THEN 'zip' WHEN 14 THEN 'gzip'
+        |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf'
+        |    ELSE 'parquet' END AS kind
+        |  FROM ids),
+        |cov AS (SELECT * FROM (VALUES
+        |  (0, 45, 45, 0, 0), (1, 8, 8, 0, 0), (2, 12, 12, 0, 0),
+        |  (3, 6, 6, 0, 0), (4, 3, 3, 0, 0), (5, 4, 2, 3, 0),
+        |  (6, 4, 2, 0, 2), (7, 3, 1, 2, 0))
+        |  AS t(fid, gch, shipped, blocked, inval)),
+        |mc AS (SELECT i.doc_id, c.gch, c.shipped, c.blocked, c.inval
+        |       FROM ids i JOIN cov c
+        |         ON c.fid = (i.doc_id // 18) % 8
+        |       WHERE i.doc_id % 18 = 8)
+        |SELECT k.kind, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(mc.gch), 0) AS BIGINT) AS mp3_gch,
+        |  CAST(coalesce(sum(mc.shipped), 0) AS BIGINT) AS mp3_shipped,
+        |  CAST(coalesce(sum(mc.blocked), 0) AS BIGINT) AS mp3_blocked,
+        |  CAST(coalesce(sum(mc.inval), 0) AS BIGINT) AS mp3_invalid,
+        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 18 = 16
+        |    THEN 1 END), 0) AS BIGINT) AS vp8_keyframes,
+        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 18 = 16
+        |    THEN 2 END), 0) AS BIGINT) AS vp8_interframes
+        |FROM k LEFT JOIN mc USING (doc_id)
+        |GROUP BY k.kind ORDER BY k.kind""".stripMargin,
 
     // the RFC 8878 bit layout re-derived field by field (FCS widths,
     // the 2-byte bias, window exponent/mantissa arithmetic)

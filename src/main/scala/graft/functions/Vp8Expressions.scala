@@ -245,3 +245,57 @@ object WebpYuv {
         new GenericArrayData(out)
     }
 }
+
+/** ivf_meta(media) -> struct<width,height,frames,keyframes,
+  * interframes>: the O(frame-count) IVF triage — container header +
+  * per-frame VP8 tag bits only, no entropy decode — the census twin
+  * of `mp3_coverage`: a crawl report can state its VP8
+  * keyframe/interframe split without paying for pixel decode.
+  * Null for non-IVF bytes or truncated frame tables. */
+case class IvfMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false),
+    StructField("keyframes", IntegerType, nullable = false),
+    StructField("interframes", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_meta"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfMeta.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.IvfMeta$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object IvfMeta {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): InternalRow =
+    try {
+      graft.operators.Vp8Inter.parseIvf(bytes) match {
+        case None => null
+        case Some((w, h, frames)) =>
+          var key = 0; var inter = 0
+          frames.foreach { case (o, l) =>
+            // VP8 frame tag bit 0: 0 = keyframe, 1 = interframe
+            if (l >= 3) {
+              if ((bytes(o) & 1) == 0) key += 1 else inter += 1
+            }
+          }
+          InternalRow(w, h, frames.size, key, inter)
+      }
+    } catch { case _: Exception => null }
+}

@@ -94,6 +94,7 @@ class CodecFuzzSpec extends SparkTestBase {
         graft.functions.GifCompositeStats.compute(b))
       check("GifFrameStats")(graft.functions.GifFrameStats.compute(b))
       check("Vp8Inter.decodeIvf")(Vp8Inter.decodeIvf(b))
+      check("IvfMeta.compute")(graft.functions.IvfMeta.compute(b))
       check("Mp3Pcm.coverage")(Mp3Pcm.coverage(b))
       check("Mp3Pcm.decode")(Mp3Pcm.decode(b))
     }

@@ -641,6 +641,22 @@ class Vp8InterSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(frames(3).v, frames(1).v), "V")
   }
 
+  test("ivf_meta triage: header + frame tag bits only — the census " +
+    "fixture reads 1 keyframe + 2 interframes without decoding") {
+    val m = graft.functions.IvfMeta.compute(Vp8Fixtures.ivfFor(0L))
+    assert(m != null)
+    assert((m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3),
+      m.getInt(4)) == ((48, 32, 3, 1, 2)))
+    // a re-keyed stream counts both keyframes
+    val tinyPayload2 = vp8Chunk(res("vp8_tiny.webp"))
+    val two = Vp8Inter.buildIvf(48, 32, Seq(keyPayload,
+      Vp8Inter.buildInterFrame(MbW, MbH,
+        Array.fill(MbW * MbH)(WMb(ModeZero))), tinyPayload2))
+    val m2 = graft.functions.IvfMeta.compute(two)
+    assert(m2.getInt(2) == 3 && m2.getInt(3) == 2 && m2.getInt(4) == 1)
+    assert(graft.functions.IvfMeta.compute("nope".getBytes) == null)
+  }
+
   test("a mid-sequence keyframe may change dimensions (r13): the " +
     "sequence re-keys at 16x16 after 48x32 frames, and an " +
     "interframe after the new keyframe predicts from it") {
