@@ -295,8 +295,7 @@ class ShingleIndex private (
           new org.apache.hadoop.fs.Path(tmp, side), false,
           spark.sparkContext.hadoopConfiguration)
     }
-    fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
     new ShingleIndex(spark, path, nDocs, ngram, nBuckets, hashKeys)
   }
 }
@@ -360,6 +359,7 @@ object ShingleIndex {
   }
 
   def load(spark: SparkSession, path: String): ShingleIndex = {
+    Bm25Index.recoverGeneration(spark, path) // mid-compact crash repair
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir))

@@ -178,8 +178,7 @@ class WinnowIndex private (
           new org.apache.hadoop.fs.Path(tmp, side), false,
           spark.sparkContext.hadoopConfiguration)
     }
-    fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
     new WinnowIndex(spark, path, nDocs, k, w, dfCap, nBuckets)
   }
 }
@@ -235,6 +234,7 @@ object WinnowIndex {
   }
 
   def load(spark: SparkSession, path: String): WinnowIndex = {
+    Bm25Index.recoverGeneration(spark, path) // mid-compact crash repair
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir))
