@@ -583,6 +583,30 @@ object Pdf {
       (pages.length, sb.toString)
     }
 
+  /** Probe-only phase split of [[extract]] (tools/PdfProbe, r13):
+    * total decoded content-stream bytes WITHOUT running the operator
+    * interpreter — isolates xref + object graph + page tree + inflate
+    * from [[runContent]]'s cost. */
+  private[graft] def contentLength(bytes: Array[Byte]): Option[Long] =
+    withDoc(bytes) { doc =>
+      var total = 0L
+      collectPages(doc).foreach { page =>
+        doc.dictGet(page, "Contents").foreach {
+          case PStream(d, data) =>
+            total += decodeStream(d, data, doc).length
+          case PArr(items) => items.foreach { it =>
+            doc.resolve(it) match {
+              case PStream(d, data) =>
+                total += decodeStream(d, data, doc).length
+              case _ => throw new Bad
+            }
+          }
+          case _ => throw new Bad
+        }
+      }
+      total
+    }
+
   /** One embedded image XObject. `data` keeps the DCTDecode payload
     * in its transfer encoding — a complete JPEG file, routable
     * straight to [[JpegDc]] — and holds DECODED raw samples for
@@ -693,20 +717,33 @@ object Pdf {
       case _ => throw new Bad // other filters out of subset
     }
 
+  // One zlib Inflater per executor thread, reset() between streams
+  // (r13): a PDF decode inflates SEVERAL streams per file (an xref
+  // stream, object streams, one content stream per page), and
+  // Inflater construction/end() is a native malloc/free pair — the
+  // PdfProbe phase split showed it as a measurable slice of both the
+  // object-graph and content phases. reset() reuses the native
+  // buffer; a corrupt stream that leaves the inflater mid-state is
+  // handled by reset() on the NEXT use (reset is unconditional).
+  private val tlInflater =
+    new ThreadLocal[java.util.zip.Inflater] {
+      override def initialValue(): java.util.zip.Inflater =
+        new java.util.zip.Inflater() // zlib-wrapped
+    }
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new java.util.zip.Inflater() // zlib-wrapped
-    try {
-      inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) throw new Bad
-        out.write(buf, 0, n)
-        if (out.size() > PngPixels.MaxDecodedBytes) throw new Bad
-      }
-      out.toByteArray
-    } finally inf.end()
+    val inf = tlInflater.get()
+    inf.reset()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) throw new Bad
+      out.write(buf, 0, n)
+      if (out.size() > PngPixels.MaxDecodedBytes) throw new Bad
+    }
+    out.toByteArray
   }
 
   // --------------------------------------------------------- content ops
