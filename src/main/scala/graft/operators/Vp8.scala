@@ -103,7 +103,7 @@ object Vp8 {
   private val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
   private val KfUvModeProbs = Array(142, 114, 183)
   // 4x4 modes: DC=0 TM=1 VE=2 HE=3 RD=4 VR=5 LD=6 VL=7 HD=8 HU=9
-  private val BModeTree = Array(
+  private[operators] val BModeTree = Array(
     -0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
   private[operators] val SegmentTree = Array(2, 4, -0, -1, -2, -3)
   // tokens: 0..4 literal, 5..10 categories, 11 EOB

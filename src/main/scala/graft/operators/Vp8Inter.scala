@@ -413,7 +413,8 @@ object Vp8Inter {
       splitKind: Int = 3,
       subMvs: Array[Int] = null,
       acY: Int = 0,
-      intraYMode: Int = -1)
+      intraYMode: Int = -1,
+      bModes: Array[Int] = null) // 16 sub-modes when intraYMode == 4
 
   /** Segmentation header block for [[buildInterFrame]] (r13): the
     * §9.3 syntax. With `updateMap`, `map` (one segment id per MB)
@@ -568,11 +569,26 @@ object Vp8Inter {
             seg.map(idx))
         if (useSkip) e.put(1, probSkipFalse) // mb_skip_coeff = true
         if (m.intraYMode >= 0) {
-          require(m.intraYMode < 4, "B_PRED writing not supported")
+          require(m.intraYMode <= 4, "intra y mode 0-4")
+          require(m.intraYMode < 4 || (m.bModes != null &&
+            m.bModes.length == 16 &&
+            m.bModes.forall(b => b >= 0 && b <= 9)),
+            "B_PRED needs 16 sub-modes 0-9")
           require(m.acY == 0, "intra MBs carry no acY here")
           e.put(0, probIntra) // intra MB inside the interframe
           writeTreePath(e, InterYModeTree, InterYModeProbs, 0,
             m.intraYMode)
+          if (m.intraYMode == 4) {
+            // B_PRED sub-modes: the FIXED non-contextual interframe
+            // distribution (§11.3) — unlike the keyframe path, no
+            // above/left mode contexts are consulted (r13)
+            var sb2 = 0
+            while (sb2 < 16) {
+              writeTreePath(e, Vp8.BModeTree, InterBModeProbs, 0,
+                m.bModes(sb2))
+              sb2 += 1
+            }
+          }
           writeTreePath(e, InterUvModeTree, InterUvModeProbs, 0, 0)
           refs(idx) = 0
           modes(idx) = m.intraYMode
@@ -687,7 +703,11 @@ object Vp8Inter {
           var mx = 0
           while (mx < mbW) {
             val m = mbs(my * mbW + mx)
-            val hasY2 = m.mode != ModeSplit
+            // B_PRED MBs have no Y2 block (same rule the decoder
+            // applies: yMode 4 and SPLIT skip the WHT plane)
+            val hasY2 =
+              if (m.intraYMode >= 0) m.intraYMode < 4
+              else m.mode != ModeSplit
             require(m.acY == 0 || hasY2, "acY needs a non-SPLIT mode")
             // probability offsets: type*264 + (band(n)*3 + ctx)*11.
             // All cross-MB nonzero contexts stay 0: the only nonzero

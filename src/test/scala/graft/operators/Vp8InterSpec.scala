@@ -641,6 +641,57 @@ class Vp8InterSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(frames(3).v, frames(1).v), "V")
   }
 
+  test("B_PRED inside an interframe (§11.3 FIXED sub-mode " +
+    "probabilities, r13): the top-left MB codes 16 B_DC sub-modes " +
+    "over fresh frame borders and reconstructs the spec's CHAINED " +
+    "per-4x4 DC values (row 0 = 128, rows 1-3 = 129) while the rest " +
+    "ZERO-mvs the reference through; with 2 token partitions the " +
+    "MB's no-Y2 block layout is load-bearing in the token stream") {
+    val wmbs = Array.tabulate(MbW * MbH)(m =>
+      if (m == 0) WMb(ModeZero, intraYMode = 4,
+        bModes = Array.fill(16)(0)) // all B_DC
+      else WMb(ModeZero))
+    // spec-math chained B_DC (§12.3: dc = (4 above + 4 left + 4) >> 3)
+    // over the frame borders: above row 127, left column 129
+    val mbPix = Array.ofDim[Int](16, 16)
+    for (r <- 0 until 4; c <- 0 until 4) {
+      var sum = 4
+      for (k <- 0 until 4) {
+        sum += (if (r == 0) 127 else mbPix(4 * r - 1)(4 * c + k))
+        sum += (if (c == 0) 129 else mbPix(4 * r + k)(4 * c - 1))
+      }
+      val dc = sum >> 3
+      for (y <- 0 until 4; x <- 0 until 4)
+        mbPix(4 * r + y)(4 * c + x) = dc
+    }
+    // the chain must actually produce structure, not one flat value
+    assert(mbPix(0)(0) == 128 && mbPix(15)(0) == 129,
+      s"chained DC shape: ${mbPix(0)(0)}/${mbPix(15)(0)}")
+    for (parts <- Seq(1, 2)) {
+      val inter = Vp8Inter.buildInterFrame(MbW, MbH, wmbs,
+        nParts = parts)
+      val frames = Vp8Inter.decodeIvf(Vp8Inter.buildIvf(key.width,
+        key.height, Seq(keyPayload, inter)))
+        .getOrElse(fail(s"decode None (parts=$parts)"))
+      val got = frames(1)
+      val w = key.width
+      for (y <- 0 until key.height; x <- 0 until w) {
+        val want = if (y < 16 && x < 16) mbPix(y)(x)
+          else key.y(y * w + x) & 0xff
+        assert((got.y(y * w + x) & 0xff) == want,
+          s"Y ($x,$y) parts=$parts")
+      }
+      // the B_PRED MB's chroma is DC over the same fresh borders: 128
+      val cw = w / 2
+      for (y <- 0 until key.height / 2; x <- 0 until cw) {
+        val wu = if (y < 8 && x < 8) 128 else key.u(y * cw + x) & 0xff
+        val wv = if (y < 8 && x < 8) 128 else key.v(y * cw + x) & 0xff
+        assert((got.u(y * cw + x) & 0xff) == wu, s"U ($x,$y) parts=$parts")
+        assert((got.v(y * cw + x) & 0xff) == wv, s"V ($x,$y) parts=$parts")
+      }
+    }
+  }
+
   test("ivf_meta triage: header + frame tag bits only — the census " +
     "fixture reads 1 keyframe + 2 interframes without decoding") {
     val m = graft.functions.IvfMeta.compute(Vp8Fixtures.ivfFor(0L))
