@@ -98,9 +98,29 @@ object SimHash {
       base: DataFrame,
       incoming: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val baseFp = fingerprints(base, idCol, textCol)
+      textCol: String): DataFrame =
+    filterAgainstExactFp(
+      baseFingerprints(base, idCol, textCol), incoming, textCol)
+
+  /** The distinct base-fingerprint column [[filterAgainstExact]]
+    * derives internally, exposed so a LONG-LIVED consumer can
+    * materialize it once (r13): a stream-static join re-executes the
+    * whole static subtree on EVERY micro-batch, and re-fingerprinting
+    * a 100k-doc base corpus per batch was the measured per-batch cost
+    * driver of the streaming ingest (BASELINE r13 streaming probe —
+    * the fix is one localCheckpoint of this frame before the stream
+    * starts, [[graft.streaming.IngestStream.ingestQuery]]). */
+  def baseFingerprints(
+      base: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprints(base, idCol, textCol)
       .select(col("simhash").as("__sim_base")).distinct()
+
+  /** [[filterAgainstExact]] against an already-derived (and usually
+    * materialized) [[baseFingerprints]] frame. */
+  def filterAgainstExactFp(
+      baseFp: DataFrame,
+      incoming: DataFrame,
+      textCol: String): DataFrame = {
     val toks = array_distinct(split(col(textCol), " "))
     val withSim = incoming.withColumn("__sim",
       when(size(toks) > 0,

@@ -64,7 +64,15 @@ object IngestStream {
       outPath: String,
       threshold: Double,
       checkpoint: String): StreamingQuery = {
-    val gated = SimHash.filterAgainstExact(base, stream, idCol, textCol)
+    // materialize the gate's static side ONCE (r13): a stream-static
+    // join re-executes the whole static subtree per micro-batch, so
+    // without this every batch re-fingerprints the full base corpus —
+    // the measured per-batch cost driver at the 100k-base probe shape
+    // (BASELINE r13; localCheckpoint pins the distinct fingerprint
+    // set to executor storage for the life of the query)
+    val baseFp = SimHash.baseFingerprints(base, idCol, textCol)
+      .localCheckpoint()
+    val gated = SimHash.filterAgainstExactFp(baseFp, stream, textCol)
     gated.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
