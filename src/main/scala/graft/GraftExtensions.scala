@@ -85,6 +85,9 @@ object GraftExtensions {
     "vp8_ivf_media_for_id" -> (es => Vp8IvfMediaBytes(es.head)),
     "vp8_ivf_frames" -> (es => Vp8IvfFrames(es.head)),
     "ivf_meta" -> (es => IvfMeta(es.head)),
+    "webm_media_for_id" -> (es => WebmMediaBytes(es.head)),
+    "webm_meta" -> (es => WebmMeta(es.head)),
+    "webm_frames" -> (es => WebmFrames(es.head)),
     "anim_media_for_id" -> (es => AnimMediaBytes(es.head)),
     "webp_anim" -> (es => WebpAnim(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),

@@ -1363,6 +1363,47 @@ object SparkEntry {
         .orderBy("frame", "plane", "pos")
     }),
 
+    // WebM (Matroska) demux + VP8 decode (r13): the SAME pinned
+    // 3-frame sequence as vp8_inter_frames, through the EBML
+    // container path instead of IVF — so the identical SQL oracle
+    // (MC re-derived from the libwebp-pinned keyframe planes) pins
+    // the demux end-to-end: a mis-parsed element size, block offset
+    // or lacing byte shifts the VP8 payload and breaks every sample
+    "webm_frames" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 1)
+        .selectExpr(
+          "explode(webm_frames(webm_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS p")
+        .selectExpr("CAST(p.frame AS BIGINT) AS frame",
+          "CAST(p.plane AS BIGINT) AS plane",
+          "CAST(p.pos AS BIGINT) AS pos", "CAST(p.v AS BIGINT) AS v")
+        .orderBy("frame", "plane", "pos")
+    }),
+
+    // WebM container triage (r13): EBML walk only — DocType, track
+    // inventory, declared dims, cluster/block counts and the
+    // container-flag keyframe/interframe split, over the four
+    // writer container shapes (cluster splits, Void padding,
+    // open-size Segment, single cluster)
+    "webm_meta" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 8)
+        .selectExpr("doc_id",
+          "webm_meta(webm_media_for_id(CAST(doc_id AS BIGINT))) AS m")
+        .selectExpr("doc_id", "m.doc_type",
+          "m.timecode_scale",
+          "CAST(m.n_tracks AS BIGINT) AS n_tracks",
+          "CAST(m.vp8_track AS BIGINT) AS vp8_track",
+          "CAST(m.width AS BIGINT) AS width",
+          "CAST(m.height AS BIGINT) AS height",
+          "CAST(m.clusters AS BIGINT) AS clusters",
+          "CAST(m.blocks AS BIGINT) AS blocks",
+          "CAST(m.keyframes AS BIGINT) AS keyframes",
+          "CAST(m.interframes AS BIGINT) AS interframes")
+        .orderBy("doc_id")
+    }),
+
     // animated WebP (r10): ANIM/ANMF containers around REAL libwebp
     // frame payloads composited to full-canvas snapshots — blend
     // (exact-integer alpha formula), overwrite, dispose-to-background,
@@ -4378,6 +4419,81 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by vp8_inter_frames AND webm_frames (r13): the same
+    * pinned 3-frame sequence rides both containers, so ONE from-
+    * scratch SQL re-derivation (keyframe planes from the libwebp-
+    * pinned aux, frame 1 an integer MC shift, frame 2 the two-pass
+    * six-tap interpolation) pins the IVF parse and the EBML demux
+    * alike. */
+  private val Vp8InterFramesOracleSql =
+    """WITH dims AS (
+        |  SELECT * FROM (VALUES (0, 48, 32), (1, 24, 16), (2, 24, 16))
+        |    AS d(plane, w, h)),
+        |ref0 AS (
+        |  SELECT r.plane,
+        |         CAST(r.pos % d.w AS BIGINT) AS x,
+        |         CAST(r.pos // d.w AS BIGINT) AS y, r.v
+        |  FROM read_parquet('__AUX__/webp_lossy_expected/*.parquet') r
+        |  JOIN dims d ON d.plane = r.plane
+        |  WHERE r.doc_id = 1 AND r.plane < 3),
+        |grid AS (
+        |  SELECT d.plane, d.w, d.h, x.range AS x, y.range AS y
+        |  FROM dims d, range(0, 48) x, range(0, 32) y
+        |  WHERE x.range < d.w AND y.range < d.h),
+        |f1 AS (
+        |  SELECT g.plane, g.w, g.h, g.x, g.y, r.v
+        |  FROM grid g JOIN ref0 r ON r.plane = g.plane
+        |    AND r.x = LEAST(g.w - 1, GREATEST(0,
+        |          g.x + CASE WHEN g.plane = 0 THEN 4 ELSE 2 END))
+        |    AND r.y = LEAST(g.h - 1, GREATEST(0,
+        |          g.y + CASE WHEN g.plane = 0 THEN 2 ELSE 1 END))),
+        |taps AS (
+        |  SELECT * FROM (VALUES
+        |    (6, 0, 1), (6, 1, -8), (6, 2, 36), (6, 3, 108),
+        |    (6, 4, -11), (6, 5, 2),
+        |    (4, 0, 3), (4, 1, -16), (4, 2, 77), (4, 3, 77),
+        |    (4, 4, -16), (4, 5, 3),
+        |    (3, 0, 0), (3, 1, -9), (3, 2, 93), (3, 3, 50),
+        |    (3, 4, -6), (3, 5, 0),
+        |    (2, 0, 2), (2, 1, -11), (2, 2, 108), (2, 3, 36),
+        |    (2, 4, -8), (2, 5, 1)) AS t(frac, k, wt)),
+        |rows2 AS (
+        |  SELECT d.plane, d.w, d.h, x.range AS x, y.range AS yy
+        |  FROM dims d, range(0, 48) x, range(-2, 35) y
+        |  WHERE x.range < d.w AND y.range <= d.h + 2),
+        |h2 AS (
+        |  SELECT g.plane, g.x, g.yy,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(
+        |      (SUM(t.wt * r.v) + 64) / 128.0) AS BIGINT))) AS v
+        |  FROM rows2 g
+        |  JOIN taps t ON t.frac = CASE WHEN g.plane = 0 THEN 6 ELSE 3 END
+        |  JOIN f1 r ON r.plane = g.plane
+        |    AND r.x = LEAST(g.w - 1, GREATEST(0, g.x - 2 + t.k))
+        |    AND r.y = LEAST(g.h - 1, GREATEST(0, g.yy))
+        |  GROUP BY g.plane, g.x, g.yy),
+        |f2 AS (
+        |  SELECT g.plane, g.w, g.x, g.y,
+        |    LEAST(255, GREATEST(0, CAST(FLOOR(
+        |      (SUM(t.wt * h.v) + 64) / 128.0) AS BIGINT))) AS v
+        |  FROM grid g
+        |  JOIN taps t ON t.frac = CASE WHEN g.plane = 0 THEN 4 ELSE 2 END
+        |  JOIN h2 h ON h.plane = g.plane AND h.x = g.x
+        |    AND h.yy = g.y - 2 + t.k
+        |  GROUP BY g.plane, g.w, g.x, g.y),
+        |allf AS (
+        |  SELECT CAST(0 AS BIGINT) AS frame, r.plane,
+        |         CAST(r.y * d.w + r.x AS BIGINT) AS pos,
+        |         CAST(r.v AS BIGINT) AS v
+        |  FROM ref0 r JOIN dims d ON d.plane = r.plane
+        |  UNION ALL
+        |  SELECT 1, plane, CAST(y * w + x AS BIGINT),
+        |         CAST(v AS BIGINT) FROM f1
+        |  UNION ALL
+        |  SELECT 2, plane, CAST(y * w + x AS BIGINT),
+        |         CAST(v AS BIGINT) FROM f2)
+        |SELECT frame, CAST(plane AS BIGINT) AS plane, pos, v
+        |FROM allf ORDER BY frame, plane, pos""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "knn_topk" ->
@@ -9420,74 +9536,29 @@ object SparkEntry {
     // six-tap interpolation (luma fractions x=6/y=4, chroma x=3/y=2)
     // computed from scratch over frame 1 — the RFC 6386 §18 rounding
     // ((sum + 64) >> 7, 8-bit clamped intermediate) restated in SQL
-    "vp8_inter_frames" ->
-      """WITH dims AS (
-        |  SELECT * FROM (VALUES (0, 48, 32), (1, 24, 16), (2, 24, 16))
-        |    AS d(plane, w, h)),
-        |ref0 AS (
-        |  SELECT r.plane,
-        |         CAST(r.pos % d.w AS BIGINT) AS x,
-        |         CAST(r.pos // d.w AS BIGINT) AS y, r.v
-        |  FROM read_parquet('__AUX__/webp_lossy_expected/*.parquet') r
-        |  JOIN dims d ON d.plane = r.plane
-        |  WHERE r.doc_id = 1 AND r.plane < 3),
-        |grid AS (
-        |  SELECT d.plane, d.w, d.h, x.range AS x, y.range AS y
-        |  FROM dims d, range(0, 48) x, range(0, 32) y
-        |  WHERE x.range < d.w AND y.range < d.h),
-        |f1 AS (
-        |  SELECT g.plane, g.w, g.h, g.x, g.y, r.v
-        |  FROM grid g JOIN ref0 r ON r.plane = g.plane
-        |    AND r.x = LEAST(g.w - 1, GREATEST(0,
-        |          g.x + CASE WHEN g.plane = 0 THEN 4 ELSE 2 END))
-        |    AND r.y = LEAST(g.h - 1, GREATEST(0,
-        |          g.y + CASE WHEN g.plane = 0 THEN 2 ELSE 1 END))),
-        |taps AS (
-        |  SELECT * FROM (VALUES
-        |    (6, 0, 1), (6, 1, -8), (6, 2, 36), (6, 3, 108),
-        |    (6, 4, -11), (6, 5, 2),
-        |    (4, 0, 3), (4, 1, -16), (4, 2, 77), (4, 3, 77),
-        |    (4, 4, -16), (4, 5, 3),
-        |    (3, 0, 0), (3, 1, -9), (3, 2, 93), (3, 3, 50),
-        |    (3, 4, -6), (3, 5, 0),
-        |    (2, 0, 2), (2, 1, -11), (2, 2, 108), (2, 3, 36),
-        |    (2, 4, -8), (2, 5, 1)) AS t(frac, k, wt)),
-        |rows2 AS (
-        |  SELECT d.plane, d.w, d.h, x.range AS x, y.range AS yy
-        |  FROM dims d, range(0, 48) x, range(-2, 35) y
-        |  WHERE x.range < d.w AND y.range <= d.h + 2),
-        |h2 AS (
-        |  SELECT g.plane, g.x, g.yy,
-        |    LEAST(255, GREATEST(0, CAST(FLOOR(
-        |      (SUM(t.wt * r.v) + 64) / 128.0) AS BIGINT))) AS v
-        |  FROM rows2 g
-        |  JOIN taps t ON t.frac = CASE WHEN g.plane = 0 THEN 6 ELSE 3 END
-        |  JOIN f1 r ON r.plane = g.plane
-        |    AND r.x = LEAST(g.w - 1, GREATEST(0, g.x - 2 + t.k))
-        |    AND r.y = LEAST(g.h - 1, GREATEST(0, g.yy))
-        |  GROUP BY g.plane, g.x, g.yy),
-        |f2 AS (
-        |  SELECT g.plane, g.w, g.x, g.y,
-        |    LEAST(255, GREATEST(0, CAST(FLOOR(
-        |      (SUM(t.wt * h.v) + 64) / 128.0) AS BIGINT))) AS v
-        |  FROM grid g
-        |  JOIN taps t ON t.frac = CASE WHEN g.plane = 0 THEN 4 ELSE 2 END
-        |  JOIN h2 h ON h.plane = g.plane AND h.x = g.x
-        |    AND h.yy = g.y - 2 + t.k
-        |  GROUP BY g.plane, g.w, g.x, g.y),
-        |allf AS (
-        |  SELECT CAST(0 AS BIGINT) AS frame, r.plane,
-        |         CAST(r.y * d.w + r.x AS BIGINT) AS pos,
-        |         CAST(r.v AS BIGINT) AS v
-        |  FROM ref0 r JOIN dims d ON d.plane = r.plane
-        |  UNION ALL
-        |  SELECT 1, plane, CAST(y * w + x AS BIGINT),
-        |         CAST(v AS BIGINT) FROM f1
-        |  UNION ALL
-        |  SELECT 2, plane, CAST(y * w + x AS BIGINT),
-        |         CAST(v AS BIGINT) FROM f2)
-        |SELECT frame, CAST(plane AS BIGINT) AS plane, pos, v
-        |FROM allf ORDER BY frame, plane, pos""".stripMargin,
+    "vp8_inter_frames" -> Vp8InterFramesOracleSql,
+
+    // the EBML/Matroska demux pinned by the SAME MC re-derivation:
+    // any mis-parsed element size or block offset shifts the VP8
+    // payload and breaks every decoded sample
+    "webm_frames" -> Vp8InterFramesOracleSql,
+
+    // the four writer container shapes restated as constants of the
+    // fixture construction (id%4: 2-block clusters / per-frame
+    // clusters + Void / open-size Segment / one cluster)
+    "webm_meta" ->
+      """SELECT doc_id, 'webm' AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS timecode_scale,
+        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(1 AS BIGINT) AS vp8_track,
+        |  CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 3
+        |       WHEN 3 THEN 1 ELSE 2 END AS BIGINT) AS clusters,
+        |  CAST(3 AS BIGINT) AS blocks,
+        |  CAST(1 AS BIGINT) AS keyframes,
+        |  CAST(2 AS BIGINT) AS interframes
+        |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
+
 
     "webp_pixels" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),

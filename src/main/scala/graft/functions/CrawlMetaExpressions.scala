@@ -283,6 +283,20 @@ object MediaKind {
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
     else if (b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F')
       "ivf" // libvpx's VP8 video container (Vp8Inter.decodeIvf)
+    else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf &&
+      at(3) == 0xa3) {
+      // EBML (r13): split webm vs generic matroska by the DocType
+      // string, which sits in the first few dozen header bytes
+      val lim = math.min(b.length - 4, 64)
+      var i = 4
+      var webm = false
+      while (!webm && i < lim) {
+        webm = b(i) == 'w' && b(i + 1) == 'e' && b(i + 2) == 'b' &&
+          b(i + 3) == 'm'
+        i += 1
+      }
+      if (webm) "webm" else "matroska"
+    }
     else if (at(0) == 0xff && (at(1) & 0xe0) == 0xe0) "mp3"
     else if (b.length >= 262 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r') "tar"

@@ -128,9 +128,11 @@ case class Vp8IvfFrames(child: Expression) extends UnaryExpression {
 }
 
 object Vp8IvfFrames {
-  /** The kernel; public so generated code can call it. */
-  def compute(bytes: Array[Byte]): GenericArrayData =
-    graft.operators.Vp8Inter.decodeIvf(bytes) match {
+  /** (frame, plane, pos, v) rows for a decoded sequence — shared by
+    * the IVF and WebM (r13) container expressions. */
+  private[functions] def packFrames(
+      decoded: Option[Seq[graft.operators.Vp8.Yuv]]): GenericArrayData =
+    decoded match {
       case None => null
       case Some(frames) =>
         val total = frames.iterator
@@ -148,6 +150,10 @@ object Vp8IvfFrames {
         }
         new GenericArrayData(out)
     }
+
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    packFrames(graft.operators.Vp8Inter.decodeIvf(bytes))
 }
 
 /** anim_media_for_id(id) -> binary: the embedded animated-WebP
@@ -298,4 +304,120 @@ object IvfMeta {
           InternalRow(w, h, frames.size, key, inter)
       }
     } catch { case _: Exception => null }
+}
+
+/** webm_media_for_id(id) -> binary: the WebM container fixture (r13)
+  * — the SAME pinned 3-frame VP8 sequence as `vp8_ivf_media_for_id`,
+  * muxed through [[graft.operators.Webm.build]] with container-shape
+  * variants cycling by id ([[graft.operators.Vp8Fixtures.webmFor]]). */
+case class WebmMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "webm_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Vp8Fixtures.webmFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.Vp8Fixtures$$.MODULE$$.webmFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** webm_meta(media) -> struct: the Matroska/WebM container triage
+  * (r13) — EBML walk only, no VP8 decode: DocType, timecode scale,
+  * track inventory, the VP8 track's declared dims, cluster/block
+  * counts and the container-flag keyframe/interframe split. Null for
+  * non-EBML bytes or anything outside [[graft.operators.Webm]]'s
+  * documented subset. */
+case class WebmMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("doc_type", StringType, nullable = false),
+    StructField("timecode_scale", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("vp8_track", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("clusters", IntegerType, nullable = false),
+    StructField("blocks", IntegerType, nullable = false),
+    StructField("keyframes", IntegerType, nullable = false),
+    StructField("interframes", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "webm_meta"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebmMeta.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebmMeta$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WebmMeta {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): InternalRow =
+    graft.operators.Webm.meta(bytes) match {
+      case None => null
+      case Some(m) => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(m.docType),
+        m.timecodeScale, m.nTracks, m.vp8Track, m.width, m.height,
+        m.nClusters, m.nBlocks, m.keyframes, m.interframes)
+    }
+}
+
+/** webm_frames(media) -> array<struct<frame,plane,pos,v>>: every
+  * plane sample of every VP8 frame demuxed from a WebM container
+  * (r13) — the [[Vp8IvfFrames]] surface through the Matroska path,
+  * so the same SQL oracle pins both containers. */
+case class WebmFrames(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("plane", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webm_frames"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebmFrames.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebmFrames$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WebmFrames {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    Vp8IvfFrames.packFrames(graft.operators.Webm.decode(bytes))
 }

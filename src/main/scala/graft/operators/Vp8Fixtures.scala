@@ -328,7 +328,10 @@ object Vp8Fixtures {
     *
     * These constants are what the vp8_inter_frames oracle re-derives
     * in SQL from the externally-pinned frame-0 planes. */
-  def ivfFor(id: Long): Array[Byte] = {
+  /** The shared 3-frame VP8 sequence (keyframe + the two MC
+    * interframes the oracle re-derives) behind BOTH container
+    * fixtures: (width, height, frame payloads). */
+  private lazy val interSeq: (Int, Int, Seq[Array[Byte]]) = {
     val f = byId(1)
     val key = {
       val b = f.file
@@ -352,7 +355,29 @@ object Vp8Fixtures {
       allNew(Vp8Inter.packMv(16, 32)))
     val f2 = Vp8Inter.buildInterFrame(mbW, mbH,
       allNew(Vp8Inter.packMv(4, 6)))
-    Vp8Inter.buildIvf(f.w, f.h, Seq(key, f1, f2))
+    (f.w, f.h, Seq(key, f1, f2))
+  }
+
+  def ivfFor(id: Long): Array[Byte] = {
+    val (w, h, frames) = interSeq
+    Vp8Inter.buildIvf(w, h, frames)
+  }
+
+  /** The SAME 3-frame sequence muxed as WebM (r13) — container-shape
+    * variants cycle by id so the triage and the skip paths are
+    * load-bearing: id%4 = 0 two-block clusters; 1 one cluster per
+    * frame + a Void element between top-level children; 2 an
+    * OPEN-size Segment (live-mux form); 3 one cluster for all. */
+  def webmFor(id: Long): Array[Byte] = {
+    val (w, h, frames) = interSeq
+    ((id % 4).toInt: @unchecked) match {
+      case 0 => Webm.build(w, h, frames, clusterEvery = 2)
+      case 1 => Webm.build(w, h, frames, clusterEvery = 1,
+        padVoid = true)
+      case 2 => Webm.build(w, h, frames, clusterEvery = 2,
+        openSegment = true)
+      case 3 => Webm.build(w, h, frames, clusterEvery = 3)
+    }
   }
 
   /** Expected rows (plane, pos, v) for one fixture id — the oracle's

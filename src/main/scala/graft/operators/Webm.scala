@@ -1,0 +1,332 @@
+package graft.operators
+
+/** Minimal Matroska/WebM demuxer for VP8 (r13) — the container VP8
+  * video actually ships in on the web, completing the r10-r12 codec
+  * arc (VP8 intra → inter → IVF → WebM). Structure from PUBLIC specs
+  * only: RFC 9559 (EBML) and the Matroska/WebM element registry;
+  * the extracted payloads feed [[Vp8.decodeSequence]] unchanged, so
+  * every pixel-level pin of the VP8 decoder carries over.
+  *
+  * Subset (validator stance — None on anything outside it):
+  *  - EBML header with DocType "webm" or "matroska";
+  *  - ONE Segment (the only element allowed an unknown size — real
+  *    live-muxed WebM leaves it open);
+  *  - Info/TimecodeScale, Tracks/TrackEntry (number, type, CodecID,
+  *    Video pixel dims), Cluster/Timecode/SimpleBlock;
+  *  - SimpleBlock only, no lacing (flags & 0x06 must be 0);
+  *  - unknown elements with a KNOWN size are skipped (SeekHead, Cues,
+  *    Tags, Void, CRC-32, …) — the register is open-ended by design;
+  *  - frames are taken in storage order from the FIRST VP8 track.
+  *
+  * Reference behavior anchor: the reference engine (weaviate.py)
+  * stores opaque media blobs; this demuxer is part of the
+  * LLM-pipeline brief's multimodal column story (triage + decode at
+  * scan cost), like `ivf_meta`/`vp8_ivf_frames` before it. */
+object Webm {
+
+  // ---- element ids (Matroska registry, marker bits kept) ----------
+  private val IdEbml = 0x1A45DFA3L
+  private val IdDocType = 0x4282L
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTimecodeScale = 0x2AD7B1L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackNumber = 0xD7L
+  private val IdTrackType = 0x83L
+  private val IdCodecId = 0x86L
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+  private val IdCluster = 0x1F43B675L
+  private val IdTimecode = 0xE7L
+  private val IdSimpleBlock = 0xA3L
+
+  private final class Bad extends RuntimeException
+
+  /** Parsed container summary — the triage surface (`webm_meta`). */
+  final case class Meta(
+      docType: String,
+      timecodeScale: Long,
+      nTracks: Int,
+      vp8Track: Int, // track number, -1 if no VP8 track
+      width: Int,
+      height: Int,
+      nClusters: Int,
+      nBlocks: Int, // SimpleBlocks of the VP8 track
+      keyframes: Int,
+      interframes: Int)
+
+  /** One VP8 frame payload: byte range + container-level flags. */
+  final case class Block(off: Int, len: Int, keyframe: Boolean,
+      timecode: Long)
+
+  private final class Rd(val b: Array[Byte], var pos: Int,
+      val end: Int) {
+    def bad(): Nothing = throw new Bad
+    def u8(): Int = {
+      if (pos >= end) bad(); val v = b(pos) & 0xff; pos += 1; v
+    }
+    /** EBML element ID: length from the leading-one marker, marker
+      * bits KEPT (ids are conventionally quoted with them). */
+    def readId(): Long = {
+      val first = u8()
+      val len =
+        if ((first & 0x80) != 0) 1
+        else if ((first & 0x40) != 0) 2
+        else if ((first & 0x20) != 0) 3
+        else if ((first & 0x10) != 0) 4
+        else bad()
+      var v = first.toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | u8(); i += 1 }
+      v
+    }
+    /** EBML size vint: marker bit CLEARED; all-ones = unknown (-1). */
+    def readSize(): Long = {
+      val first = u8()
+      var len = 0
+      var mask = 0x80
+      while (mask != 0 && (first & mask) == 0) { len += 1; mask >>= 1 }
+      if (mask == 0) bad()
+      var v = (first & (mask - 1)).toLong
+      var i = 0
+      var allOnes = (first & (mask - 1)) == (mask - 1)
+      while (i < len) {
+        val x = u8()
+        if (x != 0xff) allOnes = false
+        v = (v << 8) | x
+        i += 1
+      }
+      if (allOnes) -1L else v
+    }
+    def uint(n: Int): Long = {
+      if (n <= 0 || n > 8) bad()
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | u8(); i += 1 }
+      v
+    }
+    def str(n: Int): String = {
+      if (pos + n > end) bad()
+      val s = new String(b, pos, n, "US-ASCII"); pos += n; s
+    }
+  }
+
+  /** Walk `rd` until `end`, calling `f(id, size, payloadStart)`;
+    * `f` returns the position to continue from (normally start+size).
+    * Unknown-size children are rejected. */
+  private def walk(rd: Rd)(f: (Long, Int, Int) => Unit): Unit = {
+    while (rd.pos < rd.end) {
+      val id = rd.readId()
+      val size = rd.readSize()
+      if (size < 0 || rd.pos + size > rd.end) rd.bad()
+      val start = rd.pos
+      f(id, size.toInt, start)
+      rd.pos = start + size.toInt
+    }
+  }
+
+  private def parse0(b: Array[Byte])
+      : (Meta, Vector[Block]) = {
+    if (b == null || b.length < 8) throw new Bad
+    val rd = new Rd(b, 0, b.length)
+    // EBML header
+    if (rd.readId() != IdEbml) rd.bad()
+    val hdrSize = rd.readSize()
+    if (hdrSize < 0 || rd.pos + hdrSize > b.length) rd.bad()
+    var docType = "matroska"
+    locally {
+      val h = new Rd(b, rd.pos, rd.pos + hdrSize.toInt)
+      walk(h) { (id, size, start) =>
+        if (id == IdDocType) docType = h.str(size).takeWhile(_ != '\u0000')
+      }
+    }
+    rd.pos += hdrSize.toInt
+    // Segment (the only unknown-size element tolerated)
+    if (rd.readId() != IdSegment) rd.bad()
+    val segSize = rd.readSize()
+    val segEnd =
+      if (segSize < 0) b.length
+      else {
+        if (rd.pos + segSize > b.length) rd.bad()
+        rd.pos + segSize.toInt
+      }
+    var tcScale = 1000000L
+    var nTracks = 0
+    var vp8Track = -1
+    var width = 0; var height = 0
+    var nClusters = 0; var nBlocks = 0
+    var keyframes = 0; var interframes = 0
+    val blocks = Vector.newBuilder[Block]
+    val seg = new Rd(b, rd.pos, segEnd)
+    walk(seg) { (id, size, start) =>
+      if (id == IdInfo) {
+        val in = new Rd(b, start, start + size)
+        walk(in) { (iid, isz, ist) =>
+          if (iid == IdTimecodeScale) tcScale = in.uint(isz)
+        }
+      } else if (id == IdTracks) {
+        val tr = new Rd(b, start, start + size)
+        walk(tr) { (tid, tsz, tst) =>
+          if (tid == IdTrackEntry) {
+            nTracks += 1
+            var num = -1; var typ = -1; var codec = ""
+            var w0 = 0; var h0 = 0
+            val te = new Rd(b, tst, tst + tsz)
+            walk(te) { (eid, esz, est) =>
+              if (eid == IdTrackNumber) num = te.uint(esz).toInt
+              else if (eid == IdTrackType) typ = te.uint(esz).toInt
+              else if (eid == IdCodecId) codec = te.str(esz)
+              else if (eid == IdVideo) {
+                val vd = new Rd(b, est, est + esz)
+                walk(vd) { (vid, vsz, vst) =>
+                  if (vid == IdPixelWidth) w0 = vd.uint(vsz).toInt
+                  else if (vid == IdPixelHeight) h0 = vd.uint(vsz).toInt
+                }
+              }
+            }
+            if (codec == "V_VP8" && typ == 1 && vp8Track < 0) {
+              if (num <= 0) te.bad()
+              vp8Track = num; width = w0; height = h0
+            }
+          }
+        }
+      } else if (id == IdCluster) {
+        nClusters += 1
+        var clusterTc = 0L
+        val cl = new Rd(b, start, start + size)
+        walk(cl) { (cid, csz, cst) =>
+          if (cid == IdTimecode) clusterTc = cl.uint(csz)
+          else if (cid == IdSimpleBlock) {
+            val sb = new Rd(b, cst, cst + csz)
+            // track number vint (marker CLEARED, like a size)
+            val track = sb.readSize()
+            if (track <= 0) sb.bad()
+            val relTc = ((sb.u8() << 8) | sb.u8()).toShort.toLong
+            val flags = sb.u8()
+            if ((flags & 0x06) != 0) sb.bad() // lacing out of subset
+            if (track == vp8Track) {
+              nBlocks += 1
+              val key = (flags & 0x80) != 0
+              if (key) keyframes += 1 else interframes += 1
+              blocks += Block(sb.pos, cst + csz - sb.pos, key,
+                clusterTc + relTc)
+            }
+          }
+        }
+      }
+      // every other element (SeekHead, Cues, Tags, Void, CRC-32, …)
+      // is skipped by size — the registry is open-ended
+    }
+    (Meta(docType, tcScale, nTracks, vp8Track, width, height,
+      nClusters, nBlocks, keyframes, interframes), blocks.result())
+  }
+
+  /** Container triage — header/track/cluster walk, no VP8 decode. */
+  def meta(b: Array[Byte]): Option[Meta] =
+    try Some(parse0(b)._1) catch { case _: Exception => None }
+
+  /** The VP8 track's frame byte ranges, storage order. */
+  def vp8Blocks(b: Array[Byte]): Option[Vector[Block]] =
+    try {
+      val (m, blocks) = parse0(b)
+      if (m.vp8Track < 0) None else Some(blocks)
+    } catch { case _: Exception => None }
+
+  /** Decode every VP8 frame of the first video track (the IVF path's
+    * container twin): None unless the whole sequence decodes and the
+    * container flags agree with the frame tags (a keyframe flagged as
+    * inter — or vice versa — is a malformed mux). */
+  def decode(b: Array[Byte]): Option[Seq[Vp8.Yuv]] =
+    try {
+      vp8Blocks(b).filter(_.nonEmpty).flatMap { blocks =>
+        val tagsAgree = blocks.forall { bl =>
+          bl.len >= 3 && ((b(bl.off) & 1) == 0) == bl.keyframe
+        }
+        if (!tagsAgree) None
+        else Vp8.decodeSequence(b, blocks.map(bl => (bl.off, bl.len)))
+      }
+    } catch { case _: Exception => None }
+
+  // ---- writer (fixture mux; shares only the registry constants) ---
+
+  private def vintSize(v: Long): Array[Byte] = {
+    // shortest size encoding whose all-ones pattern is not hit
+    var len = 1
+    while (len <= 8 && (v >= (1L << (7 * len)) - 1)) len += 1
+    require(len <= 8, s"vint too large: $v")
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var x = v
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out(0) = (out(0) | (0x80 >> (len - 1))).toByte
+    out
+  }
+
+  private def idBytes(id: Long): Array[Byte] = {
+    val len = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    val out = new Array[Byte](len)
+    var i = len - 1; var x = id
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  private def elem(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ vintSize(payload.length.toLong) ++ payload
+
+  private def uintBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    val out = new Array[Byte](len)
+    var i = len - 1; var x = v
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  /** Assemble a minimal WebM file around VP8 frame payloads.
+    * `clusterEvery` splits blocks into clusters; `padVoid` inserts a
+    * Void element between top-level children (the skip path). */
+  def build(w: Int, h: Int, frames: Seq[Array[Byte]],
+      clusterEvery: Int = 2, padVoid: Boolean = false,
+      docType: String = "webm",
+      openSegment: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty && clusterEvery > 0)
+    val hdr = elem(IdEbml,
+      elem(0x4286L, uintBytes(1)) ++ // EBMLVersion
+        elem(0x42F7L, uintBytes(1)) ++ // EBMLReadVersion
+        elem(0x42F2L, uintBytes(4)) ++ // EBMLMaxIDLength
+        elem(0x42F3L, uintBytes(8)) ++ // EBMLMaxSizeLength
+        elem(IdDocType, docType.getBytes("US-ASCII")) ++
+        elem(0x4287L, uintBytes(2)) ++ // DocTypeVersion
+        elem(0x4285L, uintBytes(2))) // DocTypeReadVersion
+    val info = elem(IdInfo, elem(IdTimecodeScale, uintBytes(1000000L)))
+    val track = elem(IdTracks, elem(IdTrackEntry,
+      elem(IdTrackNumber, uintBytes(1)) ++
+        elem(0x73C5L, uintBytes(1)) ++ // TrackUID
+        elem(IdTrackType, uintBytes(1)) ++
+        elem(IdCodecId, "V_VP8".getBytes("US-ASCII")) ++
+        elem(IdVideo,
+          elem(IdPixelWidth, uintBytes(w.toLong)) ++
+            elem(IdPixelHeight, uintBytes(h.toLong)))))
+    val voidEl =
+      if (padVoid) elem(0xECL, new Array[Byte](7)) else Array.empty[Byte]
+    val clusters = frames.zipWithIndex.grouped(clusterEvery).map { grp =>
+      val tc0 = grp.head._2.toLong * 40L
+      val blocks = grp.map { case (payload, i) =>
+        val key = (payload(0) & 1) == 0
+        val rel = (i * 40L - tc0).toShort
+        elem(IdSimpleBlock,
+          vintSize(1L) ++ // track 1
+            Array(((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+              (if (key) 0x80 else 0x00).toByte) ++ payload)
+      }.reduce(_ ++ _)
+      elem(IdCluster, elem(IdTimecode, uintBytes(tc0)) ++ blocks)
+    }.reduce(_ ++ _)
+    val segBody = info ++ voidEl ++ track ++ clusters
+    // live muxers leave the Segment size OPEN (1-byte all-ones vint)
+    if (openSegment)
+      hdr ++ idBytes(IdSegment) ++ Array(0xff.toByte) ++ segBody
+    else hdr ++ elem(IdSegment, segBody)
+  }
+}

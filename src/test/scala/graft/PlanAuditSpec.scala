@@ -979,4 +979,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
   }
+  test("webm_frames: the EBML demux + whole-sequence VP8 decode is " +
+    "one codegen'd expression feeding Generate — no mapPartitions, " +
+    "no shuffle, filter pushed to the scan") {
+    val plan = physical(run("webm_frames"))
+    assert(plan.contains("LessThan(doc_id,1)"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
 }

@@ -31,6 +31,7 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.webpMediaFor(3L),
     MediaFixtures.warcMediaFor(5L),
     Vp8Fixtures.ivfFor(0L),
+    Vp8Fixtures.webmFor(1L),
     Mp3Fixtures.mp3CoverageMediaFor(5L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
@@ -95,6 +96,8 @@ class CodecFuzzSpec extends SparkTestBase {
       check("GifFrameStats")(graft.functions.GifFrameStats.compute(b))
       check("Vp8Inter.decodeIvf")(Vp8Inter.decodeIvf(b))
       check("IvfMeta.compute")(graft.functions.IvfMeta.compute(b))
+      check("Webm.meta")(Webm.meta(b))
+      check("Webm.decode")(Webm.decode(b))
       check("Mp3Pcm.coverage")(Mp3Pcm.coverage(b))
       check("Mp3Pcm.decode")(Mp3Pcm.decode(b))
     }

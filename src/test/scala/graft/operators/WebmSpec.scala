@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Matroska/WebM demuxer (r13): every container shape the writer
+  * emits must demux to the SAME frames the IVF container carries (the
+  * VP8 decode itself is pinned elsewhere — byte-exact libwebp
+  * keyframes + the spec-math MC interframes), the triage must read
+  * the registry fields, and everything outside the documented subset
+  * must reject with None, never throw. */
+class WebmSpec extends AnyFunSuite {
+
+  private lazy val ivfFrames =
+    Vp8Inter.decodeIvf(Vp8Fixtures.ivfFor(0L)).get
+
+  test("all four container-shape variants demux + decode to exactly " +
+    "the IVF fixture's frames (clusters split, Void padding, " +
+    "open-size Segment, single cluster)") {
+    (0L until 4L).foreach { id =>
+      val b = Vp8Fixtures.webmFor(id)
+      val m = Webm.meta(b).getOrElse(fail(s"meta None (id=$id)"))
+      assert(m.docType == "webm" && m.vp8Track == 1, s"id=$id")
+      assert(m.width == 48 && m.height == 32, s"id=$id")
+      assert(m.nBlocks == 3 && m.keyframes == 1 && m.interframes == 2,
+        s"id=$id: $m")
+      assert(m.nClusters == (if (id % 4 == 1) 3
+        else if (id % 4 == 3) 1 else 2), s"id=$id clusters")
+      assert(m.timecodeScale == 1000000L)
+      val frames = Webm.decode(b).getOrElse(fail(s"decode None id=$id"))
+      assert(frames.length == ivfFrames.length)
+      frames.zip(ivfFrames).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(java.util.Arrays.equals(a.y, e.y), s"id=$id Y frame $i")
+        assert(java.util.Arrays.equals(a.u, e.u), s"id=$id U frame $i")
+        assert(java.util.Arrays.equals(a.v, e.v), s"id=$id V frame $i")
+      }
+    }
+  }
+
+  test("matroska DocType parses and is reported distinctly; " +
+    "media_kind splits webm vs matroska on the DocType") {
+    val (w, h, fr) = (48, 32,
+      Webm.vp8Blocks(Vp8Fixtures.webmFor(0L)).get)
+    val webm = Vp8Fixtures.webmFor(0L)
+    val mkv = Webm.build(48, 32,
+      fr.map(b => webm.slice(b.off, b.off + b.len)),
+      docType = "matroska")
+    assert(Webm.meta(mkv).get.docType == "matroska")
+    assert(graft.functions.MediaKind.kind(webm) == "webm")
+    assert(graft.functions.MediaKind.kind(mkv) == "matroska")
+  }
+
+  test("subset boundaries reject with None: lacing flags, a " +
+    "container/frame keyframe-flag mismatch, a truncated cluster, " +
+    "and a mux with no VP8 track") {
+    val good = Vp8Fixtures.webmFor(0L)
+    // flip the lacing bits of the first SimpleBlock: find its flags
+    // byte via the parser's own block table (flags = payload off - 1)
+    val blocks = Webm.vp8Blocks(good).get
+    val laced = good.clone()
+    laced(blocks.head.off - 1) =
+      (laced(blocks.head.off - 1) | 0x02).toByte
+    assert(Webm.decode(laced).isEmpty, "lacing must reject")
+    // keyframe flag lies about the frame tag
+    val lying = good.clone()
+    lying(blocks.head.off - 1) =
+      (lying(blocks.head.off - 1) & 0x7f).toByte
+    assert(Webm.meta(lying).nonEmpty, "meta still parses")
+    assert(Webm.decode(lying).isEmpty,
+      "container/frame keyframe disagreement must reject")
+    // truncation anywhere rejects
+    assert(Webm.decode(good.dropRight(5)).isEmpty)
+    assert(Webm.meta(good.take(20)).isEmpty)
+    // a V_VP9 mux has no decodable track here
+    val fr = blocks.map(b => good.slice(b.off, b.off + b.len))
+    val vp9ish = {
+      val b = Webm.build(48, 32, fr)
+      val i = b.indexOfSlice("V_VP8".getBytes("US-ASCII"))
+      b(i + 4) = '9'.toByte; b
+    }
+    assert(Webm.decode(vp9ish).isEmpty, "no VP8 track -> None")
+    assert(Webm.meta(vp9ish).get.vp8Track == -1)
+  }
+
+  test("the SQL surface: webm_frames equals vp8_ivf_frames row for " +
+    "row on the shared sequence; webm_meta triages at scan cost") {
+    val wf = graft.functions.WebmFrames.compute(Vp8Fixtures.webmFor(0L))
+    val vf = graft.functions.Vp8IvfFrames.compute(Vp8Fixtures.ivfFor(0L))
+    assert(wf != null && vf != null)
+    assert(wf.numElements() == vf.numElements())
+    var i = 0
+    while (i < wf.numElements()) {
+      assert(wf.array(i) == vf.array(i), s"row $i")
+      i += 1
+    }
+  }
+}
