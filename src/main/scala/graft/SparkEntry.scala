@@ -1381,6 +1381,31 @@ object SparkEntry {
         .orderBy("frame", "plane", "pos")
     }),
 
+    // WebM scene-cut candidates (r13): per-frame luma SAD against the
+    // previous decoded frame — the video-segmentation/dedup signal a
+    // training-data curator runs over crawled video, composed from
+    // the demux + decode + a (pos, frame-1) equi-join (never
+    // all-pairs); the gif/avi/webp-anim scene-cut discipline on the
+    // THIRD container family
+    "webm_scene_cuts" -> ((s, dir) => {
+      Graft.init(s)
+      val px = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 1)
+        .selectExpr(
+          "explode(webm_frames(webm_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS p")
+        .selectExpr("p.frame AS frame", "p.plane AS plane",
+          "p.pos AS pos", "p.v AS v")
+        .filter(col("plane") === 0)
+      px.as("a")
+        .join(px.as("b"),
+          col("a.pos") === col("b.pos") &&
+            col("a.frame") === col("b.frame") + 1)
+        .groupBy(col("a.frame").cast("long").as("frame"))
+        .agg(sum(abs(col("a.v") - col("b.v"))).as("sad"))
+        .orderBy("frame")
+    }),
+
     // WebM container triage (r13): EBML walk only — DocType, track
     // inventory, declared dims, cluster/block counts and the
     // container-flag keyframe/interframe split, over the four
@@ -9542,6 +9567,16 @@ object SparkEntry {
     // any mis-parsed element size or block offset shifts the VP8
     // payload and breaks every decoded sample
     "webm_frames" -> Vp8InterFramesOracleSql,
+
+    // the SADs re-derived from the same from-scratch MC derivation
+    // (the shared inner query), restricted to luma — decode AND the
+    // diff arithmetic are both checked, not a pass-through
+    "webm_scene_cuts" -> ("WITH f AS (" + Vp8InterFramesOracleSql +
+      """) SELECT a.frame, CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sad
+        |FROM f a JOIN f b
+        |  ON a.plane = 0 AND b.plane = 0 AND a.pos = b.pos
+        |  AND a.frame = b.frame + 1
+        |GROUP BY a.frame ORDER BY a.frame""".stripMargin),
 
     // the four writer container shapes restated as constants of the
     // fixture construction (id%4: 2-block clusters / per-frame
