@@ -424,6 +424,28 @@ object FourthPassProbe {
       time("vp8inter: gen+decode+explode, 100k sequences") { genDecode() }
     }
 
+    if (which == "all" || which == "webm") {
+      // WebM demux cost on top of the same VP8 sequences (r13): the
+      // EBML walk (webm_meta) should be scan-cost, and the full
+      // demux+decode should track the IVF decode number — the
+      // container adds a header walk, not a second decode
+      graft.Graft.init(spark)
+      val n2 = 100000L
+      def genOnly() = spark.range(n2)
+        .selectExpr("length(webm_media_for_id(id)) AS l")
+        .agg(sum("l")).head()
+      def genMeta() = spark.range(n2)
+        .selectExpr("webm_meta(webm_media_for_id(id)) AS m")
+        .agg(sum("m.blocks")).head()
+      def genDecode() = spark.range(n2)
+        .selectExpr("explode(webm_frames(webm_media_for_id(id))) AS s")
+        .agg(sum("s.v")).head()
+      genOnly(); genMeta(); genDecode() // warm
+      time("webm: gen-only, 100k containers") { genOnly() }
+      time("webm: gen+meta triage, 100k containers") { genMeta() }
+      time("webm: gen+demux+decode+explode, 100k containers") { genDecode() }
+    }
+
     if (which == "all" || which == "vp8decode") {
       // VP8 keyframe decode throughput over the embedded external
       // fixtures (5 files, 72B..3.4KB)
