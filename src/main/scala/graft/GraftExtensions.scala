@@ -88,6 +88,8 @@ object GraftExtensions {
     "webm_media_for_id" -> (es => WebmMediaBytes(es.head)),
     "webm_meta" -> (es => WebmMeta(es.head)),
     "webm_frames" -> (es => WebmFrames(es.head)),
+    "webm_subs_media_for_id" -> (es => WebmSubsMediaBytes(es.head)),
+    "webm_subtitles" -> (es => WebmSubtitles(es.head)),
     "anim_media_for_id" -> (es => AnimMediaBytes(es.head)),
     "webp_anim" -> (es => WebpAnim(es.head)),
     "gunzip" -> (es => Gunzip(es.head)),

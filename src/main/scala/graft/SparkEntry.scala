@@ -1425,8 +1425,26 @@ object SparkEntry {
           "CAST(m.clusters AS BIGINT) AS clusters",
           "CAST(m.blocks AS BIGINT) AS blocks",
           "CAST(m.keyframes AS BIGINT) AS keyframes",
-          "CAST(m.interframes AS BIGINT) AS interframes")
+          "CAST(m.interframes AS BIGINT) AS interframes",
+          "CAST(m.sub_track AS BIGINT) AS sub_track",
+          "CAST(m.cues AS BIGINT) AS cues")
         .orderBy("doc_id")
+    }),
+
+    // WebM subtitle extraction (r13): the transcript half of the
+    // video+text multimodal pair — BlockGroup cues of the S_TEXT
+    // track demuxed to (start_ms, end_ms, text) rows at scan cost,
+    // over fixtures whose timings and UTF-8 text are id-derived
+    // closed forms the oracle restates
+    "webm_subtitle_cues" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 12)
+        .selectExpr("doc_id",
+          "explode(webm_subtitles(webm_subs_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS c")
+        .selectExpr("doc_id", "CAST(c.idx AS BIGINT) AS idx",
+          "c.start_ms", "c.end_ms", "c.text")
+        .orderBy("doc_id", "idx")
     }),
 
     // animated WebP (r10): ANIM/ANMF containers around REAL libwebp
@@ -9591,8 +9609,23 @@ object SparkEntry {
         |       WHEN 3 THEN 1 ELSE 2 END AS BIGINT) AS clusters,
         |  CAST(3 AS BIGINT) AS blocks,
         |  CAST(1 AS BIGINT) AS keyframes,
-        |  CAST(2 AS BIGINT) AS interframes
+        |  CAST(2 AS BIGINT) AS interframes,
+        |  CAST(-1 AS BIGINT) AS sub_track,
+        |  CAST(0 AS BIGINT) AS cues
         |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
+
+    // timings and text restated from the fixture's closed forms
+    // (900k + 40*(id%7) start, +500 + 20*(id%5) duration, 2-4 cues,
+    // UTF-8 text with a non-ASCII code point through the demux)
+    "webm_subtitle_cues" ->
+      """SELECT d.doc_id, kk.k AS idx,
+        |  CAST(900 * kk.k + (d.doc_id % 7) * 40 AS BIGINT) AS start_ms,
+        |  CAST(900 * kk.k + (d.doc_id % 7) * 40
+        |       + 500 + (d.doc_id % 5) * 20 AS BIGINT) AS end_ms,
+        |  'cue ' || (d.doc_id % 9) || ' ' || kk.k || ' ü' AS text
+        |FROM documents d,
+        |     LATERAL unnest(range(0, 2 + d.doc_id % 3)) AS kk(k)
+        |WHERE d.doc_id < 12 ORDER BY d.doc_id, idx""".stripMargin,
 
 
     "webp_pixels" ->

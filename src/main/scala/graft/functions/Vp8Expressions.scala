@@ -265,7 +265,9 @@ case class IvfMeta(child: Expression) extends UnaryExpression {
     StructField("height", IntegerType, nullable = false),
     StructField("frames", IntegerType, nullable = false),
     StructField("keyframes", IntegerType, nullable = false),
-    StructField("interframes", IntegerType, nullable = false)))
+    StructField("interframes", IntegerType, nullable = false),
+    StructField("sub_track", IntegerType, nullable = false),
+    StructField("cues", IntegerType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "ivf_meta"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -349,7 +351,9 @@ case class WebmMeta(child: Expression) extends UnaryExpression {
     StructField("clusters", IntegerType, nullable = false),
     StructField("blocks", IntegerType, nullable = false),
     StructField("keyframes", IntegerType, nullable = false),
-    StructField("interframes", IntegerType, nullable = false)))
+    StructField("interframes", IntegerType, nullable = false),
+    StructField("sub_track", IntegerType, nullable = false),
+    StructField("cues", IntegerType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "webm_meta"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -379,7 +383,8 @@ object WebmMeta {
       case Some(m) => InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(m.docType),
         m.timecodeScale, m.nTracks, m.vp8Track, m.width, m.height,
-        m.nClusters, m.nBlocks, m.keyframes, m.interframes)
+        m.nClusters, m.nBlocks, m.keyframes, m.interframes,
+        m.subTrack, m.nCues)
     }
 }
 
@@ -420,4 +425,80 @@ object WebmFrames {
   /** The kernel; public so generated code can call it. */
   def compute(bytes: Array[Byte]): GenericArrayData =
     Vp8IvfFrames.packFrames(graft.operators.Webm.decode(bytes))
+}
+
+
+/** webm_subs_media_for_id(id) -> binary: the WebM fixture with a
+  * subtitle track (r13) — video + 2-4 S_TEXT/UTF8 cues with
+  * id-derived timings ([[graft.operators.Vp8Fixtures.webmSubsFor]]). */
+case class WebmSubsMediaBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "webm_subs_media_for_id"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Vp8Fixtures.webmSubsFor(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.Vp8Fixtures$$.MODULE$$.webmSubsFor($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** webm_subtitles(media) -> array<struct<idx,start_ms,end_ms,text>>:
+  * the cues of a WebM's first S_TEXT subtitle track (r13) —
+  * BlockGroup timecodes scaled to milliseconds, text decoded UTF-8.
+  * Null when the container has no subtitle track or is malformed. */
+case class WebmSubtitles(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webm_subtitles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebmSubtitles.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WebmSubtitles$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WebmSubtitles {
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    graft.operators.Webm.subtitleCues(bytes) match {
+      case None => null
+      case Some(cues) =>
+        val out = new Array[Any](cues.length)
+        var i = 0
+        while (i < cues.length) {
+          val (s0, e0, txt) = cues(i)
+          out(i) = InternalRow(i, s0, e0,
+            org.apache.spark.unsafe.types.UTF8String.fromString(txt))
+          i += 1
+        }
+        new GenericArrayData(out)
+    }
 }

@@ -368,6 +368,20 @@ object Vp8Fixtures {
     * load-bearing: id%4 = 0 two-block clusters; 1 one cluster per
     * frame + a Void element between top-level children; 2 an
     * OPEN-size Segment (live-mux form); 3 one cluster for all. */
+  /** WebM with a SUBTITLE track (r13): the same video sequence plus
+    * 2-4 S_TEXT/UTF8 cues with id-derived timings and UTF-8 text —
+    * the video+transcript shape a multimodal curator extracts. */
+  def webmSubsFor(id: Long): Array[Byte] = {
+    val (w, h, frames) = interSeq
+    val n = 2 + (id % 3).toInt
+    val subs = (0 until n).map { k =>
+      val start = 900L * k + (id % 7) * 40L
+      val end = start + 500L + (id % 5) * 20L
+      (start, end, s"cue ${id % 9} $k \u00fc")
+    }
+    Webm.build(w, h, frames, clusterEvery = 2, subs = subs)
+  }
+
   def webmFor(id: Long): Array[Byte] = {
     val (w, h, frames) = interSeq
     ((id % 4).toInt: @unchecked) match {

@@ -41,6 +41,9 @@ object Webm {
   private val IdCluster = 0x1F43B675L
   private val IdTimecode = 0xE7L
   private val IdSimpleBlock = 0xA3L
+  private val IdBlockGroup = 0xA0L
+  private val IdBlock = 0xA1L
+  private val IdBlockDuration = 0x9BL
 
   private final class Bad extends RuntimeException
 
@@ -55,7 +58,13 @@ object Webm {
       nClusters: Int,
       nBlocks: Int, // SimpleBlocks of the VP8 track
       keyframes: Int,
-      interframes: Int)
+      interframes: Int,
+      subTrack: Int, // first S_TEXT track number, -1 if none (r13)
+      nCues: Int)
+
+  /** One subtitle cue (S_TEXT track): timecodes in TimecodeScale
+    * units, text bytes at [off, off+len). */
+  final case class Cue(startTc: Long, durTc: Long, off: Int, len: Int)
 
   /** One VP8 frame payload: byte range + container-level flags. */
   final case class Block(off: Int, len: Int, keyframe: Boolean,
@@ -127,7 +136,7 @@ object Webm {
   }
 
   private def parse0(b: Array[Byte])
-      : (Meta, Vector[Block]) = {
+      : (Meta, Vector[Block], Vector[Cue]) = {
     if (b == null || b.length < 8) throw new Bad
     val rd = new Rd(b, 0, b.length)
     // EBML header
@@ -154,10 +163,12 @@ object Webm {
     var tcScale = 1000000L
     var nTracks = 0
     var vp8Track = -1
+    var subTrack = -1
     var width = 0; var height = 0
     var nClusters = 0; var nBlocks = 0
     var keyframes = 0; var interframes = 0
     val blocks = Vector.newBuilder[Block]
+    val cues = Vector.newBuilder[Cue]
     val seg = new Rd(b, rd.pos, segEnd)
     walk(seg) { (id, size, start) =>
       if (id == IdInfo) {
@@ -188,6 +199,10 @@ object Webm {
             if (codec == "V_VP8" && typ == 1 && vp8Track < 0) {
               if (num <= 0) te.bad()
               vp8Track = num; width = w0; height = h0
+            } else if (codec.startsWith("S_TEXT/") && typ == 0x11 &&
+                subTrack < 0) {
+              if (num <= 0) te.bad()
+              subTrack = num
             }
           }
         }
@@ -211,15 +226,41 @@ object Webm {
               if (key) keyframes += 1 else interframes += 1
               blocks += Block(sb.pos, cst + csz - sb.pos, key,
                 clusterTc + relTc)
+            } else if (track == subTrack) {
+              // a duration-less subtitle block: zero-length cue
+              cues += Cue(clusterTc + relTc, 0L, sb.pos,
+                cst + csz - sb.pos)
             }
+          } else if (cid == IdBlockGroup) {
+            // the duration-carrying block form subtitles ship in
+            var bOff = -1; var bLen = 0; var bTrack = -1L
+            var bRel = 0L; var dur = 0L
+            val bg = new Rd(b, cst, cst + csz)
+            walk(bg) { (gid, gsz, gst) =>
+              if (gid == IdBlock) {
+                val bk = new Rd(b, gst, gst + gsz)
+                bTrack = bk.readSize()
+                if (bTrack <= 0) bk.bad()
+                bRel = ((bk.u8() << 8) | bk.u8()).toShort.toLong
+                val flags = bk.u8()
+                if ((flags & 0x06) != 0) bk.bad() // lacing
+                bOff = bk.pos; bLen = gst + gsz - bk.pos
+              } else if (gid == IdBlockDuration) dur = bg.uint(gsz)
+            }
+            if (bTrack == subTrack && bOff >= 0)
+              cues += Cue(clusterTc + bRel, dur, bOff, bLen)
+            // BlockGroups of other tracks are skipped (subset: the
+            // VP8 track ships SimpleBlocks only)
           }
         }
       }
       // every other element (SeekHead, Cues, Tags, Void, CRC-32, …)
       // is skipped by size — the registry is open-ended
     }
+    val cueList = cues.result()
     (Meta(docType, tcScale, nTracks, vp8Track, width, height,
-      nClusters, nBlocks, keyframes, interframes), blocks.result())
+      nClusters, nBlocks, keyframes, interframes, subTrack,
+      cueList.length), blocks.result(), cueList)
   }
 
   /** Container triage — header/track/cluster walk, no VP8 decode. */
@@ -229,8 +270,23 @@ object Webm {
   /** The VP8 track's frame byte ranges, storage order. */
   def vp8Blocks(b: Array[Byte]): Option[Vector[Block]] =
     try {
-      val (m, blocks) = parse0(b)
+      val (m, blocks, _) = parse0(b)
       if (m.vp8Track < 0) None else Some(blocks)
+    } catch { case _: Exception => None }
+
+  /** Subtitle cues of the first S_TEXT track (r13): (start_ms,
+    * end_ms, text), timecodes scaled by TimecodeScale (ns/unit).
+    * None when the container has no subtitle track. */
+  def subtitleCues(b: Array[Byte])
+      : Option[Vector[(Long, Long, String)]] =
+    try {
+      val (m, _, cues) = parse0(b)
+      if (m.subTrack < 0) None
+      else Some(cues.map { c =>
+        val startMs = c.startTc * m.timecodeScale / 1000000L
+        val endMs = (c.startTc + c.durTc) * m.timecodeScale / 1000000L
+        (startMs, endMs, new String(b, c.off, c.len, "UTF-8"))
+      })
     } catch { case _: Exception => None }
 
   /** Decode every VP8 frame of the first video track (the IVF path's
@@ -290,7 +346,8 @@ object Webm {
   def build(w: Int, h: Int, frames: Seq[Array[Byte]],
       clusterEvery: Int = 2, padVoid: Boolean = false,
       docType: String = "webm",
-      openSegment: Boolean = false): Array[Byte] = {
+      openSegment: Boolean = false,
+      subs: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
     require(frames.nonEmpty && clusterEvery > 0)
     val hdr = elem(IdEbml,
       elem(0x4286L, uintBytes(1)) ++ // EBMLVersion
@@ -301,14 +358,22 @@ object Webm {
         elem(0x4287L, uintBytes(2)) ++ // DocTypeVersion
         elem(0x4285L, uintBytes(2))) // DocTypeReadVersion
     val info = elem(IdInfo, elem(IdTimecodeScale, uintBytes(1000000L)))
-    val track = elem(IdTracks, elem(IdTrackEntry,
+    val videoEntry = elem(IdTrackEntry,
       elem(IdTrackNumber, uintBytes(1)) ++
         elem(0x73C5L, uintBytes(1)) ++ // TrackUID
         elem(IdTrackType, uintBytes(1)) ++
         elem(IdCodecId, "V_VP8".getBytes("US-ASCII")) ++
         elem(IdVideo,
           elem(IdPixelWidth, uintBytes(w.toLong)) ++
-            elem(IdPixelHeight, uintBytes(h.toLong)))))
+            elem(IdPixelHeight, uintBytes(h.toLong))))
+    val subEntry =
+      if (subs.isEmpty) Array.empty[Byte]
+      else elem(IdTrackEntry,
+        elem(IdTrackNumber, uintBytes(2)) ++
+          elem(0x73C5L, uintBytes(2)) ++ // TrackUID
+          elem(IdTrackType, uintBytes(0x11)) ++ // subtitle
+          elem(IdCodecId, "S_TEXT/UTF8".getBytes("US-ASCII")))
+    val track = elem(IdTracks, videoEntry ++ subEntry)
     val voidEl =
       if (padVoid) elem(0xECL, new Array[Byte](7)) else Array.empty[Byte]
     val clusters = frames.zipWithIndex.grouped(clusterEvery).map { grp =>
@@ -323,7 +388,23 @@ object Webm {
       }.reduce(_ ++ _)
       elem(IdCluster, elem(IdTimecode, uintBytes(tc0)) ++ blocks)
     }.reduce(_ ++ _)
-    val segBody = info ++ voidEl ++ track ++ clusters
+    // subtitle cues: one cluster per cue, cue start as the cluster
+    // timecode (TimecodeScale 1e6 ns = 1 ms/unit), a BlockGroup with
+    // the text Block + BlockDuration — the S_TEXT shipping form
+    val subClusters =
+      if (subs.isEmpty) Array.empty[Byte]
+      else subs.map { case (startMs, endMs, text) =>
+        require(endMs >= startMs, "cue must not end before it starts")
+        val blk = elem(IdBlock,
+          vintSize(2L) ++ Array(0.toByte, 0.toByte, 0.toByte) ++
+            text.getBytes("UTF-8"))
+        elem(IdCluster,
+          elem(IdTimecode, uintBytes(startMs)) ++
+            elem(IdBlockGroup,
+              blk ++ elem(IdBlockDuration,
+                uintBytes(endMs - startMs))))
+      }.reduce(_ ++ _)
+    val segBody = info ++ voidEl ++ track ++ clusters ++ subClusters
     // live muxers leave the Segment size OPEN (1-byte all-ones vint)
     if (openSegment)
       hdr ++ idBytes(IdSegment) ++ Array(0xff.toByte) ++ segBody

@@ -32,6 +32,7 @@ class CodecFuzzSpec extends SparkTestBase {
     MediaFixtures.warcMediaFor(5L),
     Vp8Fixtures.ivfFor(0L),
     Vp8Fixtures.webmFor(1L),
+    Vp8Fixtures.webmSubsFor(3L),
     Mp3Fixtures.mp3CoverageMediaFor(5L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
@@ -98,6 +99,7 @@ class CodecFuzzSpec extends SparkTestBase {
       check("IvfMeta.compute")(graft.functions.IvfMeta.compute(b))
       check("Webm.meta")(Webm.meta(b))
       check("Webm.decode")(Webm.decode(b))
+      check("Webm.subtitleCues")(Webm.subtitleCues(b))
       check("Mp3Pcm.coverage")(Mp3Pcm.coverage(b))
       check("Mp3Pcm.decode")(Mp3Pcm.decode(b))
     }

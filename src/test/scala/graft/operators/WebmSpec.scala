@@ -93,4 +93,31 @@ class WebmSpec extends AnyFunSuite {
       i += 1
     }
   }
+
+  test("subtitle track (r13): S_TEXT BlockGroup cues demux to " +
+    "(start_ms, end_ms, UTF-8 text) without disturbing the video " +
+    "track; a video-only mux reports no subtitle surface") {
+    val b = Vp8Fixtures.webmSubsFor(5L) // 4 cues, offsets 5%7=5, 5%5=0
+    val m = Webm.meta(b).get
+    assert(m.nTracks == 2 && m.subTrack == 2 && m.nCues == 4, s"$m")
+    assert(m.vp8Track == 1 && m.nBlocks == 3 && m.keyframes == 1)
+    val cues = Webm.subtitleCues(b).get
+    assert(cues.length == 4)
+    cues.zipWithIndex.foreach { case ((s0, e0, txt), k) =>
+      assert(s0 == 900L * k + 200L, s"cue $k start")
+      assert(e0 == s0 + 500L, s"cue $k end")
+      assert(txt == s"cue 5 $k \u00fc", s"cue $k text")
+    }
+    // the video track decodes identically with the cues interleaved
+    val withSubs = Webm.decode(b).get
+    val plain = Webm.decode(Vp8Fixtures.webmFor(0L)).get
+    withSubs.zip(plain).foreach { case (a, e) =>
+      assert(java.util.Arrays.equals(a.y, e.y))
+    }
+    // no subtitle track -> None (not an empty list)
+    assert(Webm.subtitleCues(Vp8Fixtures.webmFor(0L)).isEmpty)
+    // truncating inside a BlockGroup rejects the whole parse
+    assert(Webm.meta(b.dropRight(3)).isEmpty)
+  }
+
 }
