@@ -2561,9 +2561,9 @@ object SparkEntry {
     // combined pass over the blobs.
     "media_census" -> ((s, dir) => {
       Graft.init(s)
-      t(s, dir, "documents").filter(col("doc_id") < 170)
+      t(s, dir, "documents").filter(col("doc_id") < 190)
         .selectExpr("doc_id",
-          ("CASE CAST(doc_id % 18 AS INT) " +
+          ("CASE CAST(doc_id % 19 AS INT) " +
             "WHEN 0 THEN pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 1 THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 2 THEN bmp_media_for_id(CAST(doc_id AS BIGINT)) " +
@@ -2573,7 +2573,7 @@ object SparkEntry {
             "WHEN 6 THEN wav_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 7 THEN flac_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 8 THEN mp3_coverage_media_for_id(" +
-              "CAST(doc_id DIV 18 AS BIGINT)) " +
+              "CAST(doc_id DIV 19 AS BIGINT)) " +
             "WHEN 9 THEN ogg_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 10 THEN avi_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 11 THEN mp4_media_for_id(CAST(doc_id AS BIGINT)) " +
@@ -2582,12 +2582,14 @@ object SparkEntry {
             "WHEN 14 THEN targz_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 15 THEN zst_media_for_id(CAST(doc_id AS BIGINT)) " +
             "WHEN 16 THEN vp8_ivf_media_for_id(CAST(doc_id AS BIGINT)) " +
+            "WHEN 17 THEN webm_media_for_id(CAST(doc_id AS BIGINT)) " +
             "ELSE parquet_media_for_id(CAST(doc_id AS BIGINT)) " +
             "END AS blob"))
         .selectExpr("media_kind(blob) AS kind", "blob")
         .selectExpr("kind",
           "CASE WHEN kind = 'mp3' THEN mp3_coverage(blob) END AS c",
-          "CASE WHEN kind = 'ivf' THEN ivf_meta(blob) END AS v")
+          "CASE WHEN kind = 'ivf' THEN ivf_meta(blob) END AS v",
+          "CASE WHEN kind = 'webm' THEN webm_meta(blob) END AS wm")
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -2600,9 +2602,15 @@ object SparkEntry {
             .as("mp3_blocked"),
           coalesce(sum(col("c.invalid").cast("long")), lit(0L))
             .as("mp3_invalid"),
-          coalesce(sum(col("v.keyframes").cast("long")), lit(0L))
+          // both video containers report their frame-type split into
+          // the same census columns (ivf via the tag-bit triage,
+          // webm via the container flags — each row's kind says
+          // which container the numbers came from)
+          (coalesce(sum(col("v.keyframes").cast("long")), lit(0L)) +
+            coalesce(sum(col("wm.keyframes").cast("long")), lit(0L)))
             .as("vp8_keyframes"),
-          coalesce(sum(col("v.interframes").cast("long")), lit(0L))
+          (coalesce(sum(col("v.interframes").cast("long")), lit(0L)) +
+            coalesce(sum(col("wm.interframes").cast("long")), lit(0L)))
             .as("vp8_interframes"))
         .orderBy("kind")
     }),
@@ -6712,15 +6720,15 @@ object SparkEntry {
     // cycle), and the VP8 split from the ivf fixture's 1-keyframe +
     // 2-interframe construction
     "media_census" ->
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 170),
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 190),
         |k AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 18 AS INT)
+        |  CASE CAST(doc_id % 19 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
         |    WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'gif'
         |    WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'mp3'
         |    WHEN 9 THEN 'ogg' WHEN 10 THEN 'avi' WHEN 11 THEN 'mp4'
         |    WHEN 12 THEN 'pdf' WHEN 13 THEN 'zip' WHEN 14 THEN 'gzip'
-        |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf'
+        |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf' WHEN 17 THEN 'webm'
         |    ELSE 'parquet' END AS kind
         |  FROM ids),
         |cov AS (SELECT * FROM (VALUES
@@ -6730,16 +6738,16 @@ object SparkEntry {
         |  AS t(fid, gch, shipped, blocked, inval)),
         |mc AS (SELECT i.doc_id, c.gch, c.shipped, c.blocked, c.inval
         |       FROM ids i JOIN cov c
-        |         ON c.fid = (i.doc_id // 18) % 8
-        |       WHERE i.doc_id % 18 = 8)
+        |         ON c.fid = (i.doc_id // 19) % 8
+        |       WHERE i.doc_id % 19 = 8)
         |SELECT k.kind, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(mc.gch), 0) AS BIGINT) AS mp3_gch,
         |  CAST(coalesce(sum(mc.shipped), 0) AS BIGINT) AS mp3_shipped,
         |  CAST(coalesce(sum(mc.blocked), 0) AS BIGINT) AS mp3_blocked,
         |  CAST(coalesce(sum(mc.inval), 0) AS BIGINT) AS mp3_invalid,
-        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 18 = 16
+        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 19 IN (16, 17)
         |    THEN 1 END), 0) AS BIGINT) AS vp8_keyframes,
-        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 18 = 16
+        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 19 IN (16, 17)
         |    THEN 2 END), 0) AS BIGINT) AS vp8_interframes
         |FROM k LEFT JOIN mc USING (doc_id)
         |GROUP BY k.kind ORDER BY k.kind""".stripMargin,

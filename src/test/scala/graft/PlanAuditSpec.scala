@@ -971,7 +971,7 @@ class PlanAuditSpec extends SparkTestBase {
     "aggregated groupBy (a single map-side-combined pass at crawl " +
     "scale)") {
     val plan = physical(run("media_census"))
-    assert(plan.contains("LessThan(doc_id,170)"), plan)
+    assert(plan.contains("LessThan(doc_id,190)"), plan)
     assert(plan.contains("HashAggregate"), plan)
     // exactly one shuffle: the 18-key kind aggregate (plus its sort)
     val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
