@@ -474,7 +474,9 @@ class Bm25Index private (
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    // bucket-repartitioned first — see ShingleIndex.compact (r13)
     spark.read.parquet(path)
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -281,7 +281,13 @@ class ShingleIndex private (
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    // repartition ON the bucket first (r13): without it each read
+    // task writes its own slice into every bucket dir it holds rows
+    // for, and "compaction" barely reduced the file count — now a
+    // bucket's rows land in one task, giving whole-bucket key-sorted
+    // files (split only by maxRecordsPerFile)
     spark.read.parquet(path)
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "key")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

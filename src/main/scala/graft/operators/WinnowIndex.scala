@@ -164,7 +164,9 @@ class WinnowIndex private (
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    // bucket-repartitioned first — see ShingleIndex.compact (r13)
     spark.read.parquet(path)
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "hash")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -63,7 +63,8 @@ object IngestStream {
       indexPath: String,
       outPath: String,
       threshold: Double,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery = {
     // materialize the gate's static side ONCE (r13): a stream-static
     // join re-executes the whole static subtree per micro-batch, so
     // without this every batch re-fingerprints the full base corpus —
@@ -78,7 +79,7 @@ object IngestStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexPath, outPath,
-          threshold, streamId = checkpoint)
+          threshold, streamId = checkpoint, compactEvery = compactEvery)
       }
       .start()
   }
@@ -95,7 +96,8 @@ object IngestStream {
       indexPath: String,
       outPath: String,
       threshold: Double,
-      streamId: String = "default"): Unit = {
+      streamId: String = "default",
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (BatchLedger.delivered(spark, indexPath, streamId)
       .contains(batchId)) return
@@ -106,8 +108,22 @@ object IngestStream {
       .survivors(batch, idCol, textCol, threshold, excludeSelf = true)
       .localCheckpoint() // pin BEFORE storage mutates under the plan
     surv.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-    idx.appendBatchIfAbsent(surv, idCol, textCol)
+    val grown = idx.appendBatchIfAbsent(surv, idCol, textCol)
     BatchLedger.record(spark, indexPath, streamId, batchId)
+    // in-stream lake maintenance (r13): every append leaves one small
+    // file per touched bucket, so a long-lived micro-batched stream
+    // fragments its own postings and every later probe pays the file
+    // listing. With the compaction swap now crash-safe (two renames,
+    // old generation retained, load-time repair) it can run AT BATCH
+    // BOUNDARIES inside the single writer: after every
+    // `compactEvery`-th delivered batch, AFTER the ledger records the
+    // delivery — a kill mid-compact replays as an already-delivered
+    // batch whose compact simply re-runs. 0 disables (the default:
+    // offline maintenance windows).
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      grown.compact()
+      ()
+    }
   }
 
   /** Batch ids whose delivery fully committed ([[BatchLedger]]). */

@@ -205,4 +205,64 @@ class IngestDedupStreamSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("in-stream lake compaction (r13): compactEvery folds the " +
+    "fragmented postings back to one file per bucket at batch " +
+    "boundaries, with accepted rows identical to the uncompacted run") {
+    import graft.operators.ShingleIndex
+    import graft.streaming.IngestStream
+    def run(root: String, every: Int): Set[Long] = {
+      val lakeBase = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "some other base document text that lives in the lake"))
+        .toDF("doc_id", "text")
+      ShingleIndex.build(lakeBase, "doc_id", "text", s"$root/idx",
+        ngram = 3, nBuckets = 4)
+      val batches = (0 until 4).map { k =>
+        Seq((100L + 2 * k, s"novel subject number $k alpha beta gamma"),
+          (101L + 2 * k, s"unrelated topic $k delta epsilon zeta eta"))
+          .toDF("doc_id", "text")
+      }
+      val inDir = s"$root/in"
+      batches.head.coalesce(1).write.mode("append").parquet(inDir)
+      val q = IngestStream.ingestQuery(
+        spark.readStream.schema(batches.head.schema).parquet(inDir),
+        lakeBase, "doc_id", "text", s"$root/idx", s"$root/out",
+        threshold = 0.5, checkpoint = s"$root/ckpt",
+        compactEvery = every)
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b =>
+          b.coalesce(1).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.read.parquet(s"$root/out").select("doc_id")
+        .as[Long].collect().toSet
+    }
+    def bucketFiles(root: String): Map[String, Int] = {
+      val idx = new java.io.File(s"$root/idx")
+      idx.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-autocompact-off").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-autocompact-on").toString
+    val plain = run(rootA, every = 0)
+    val compacted = run(rootB, every = 2)
+    assert(plain == compacted, s"$plain vs $compacted")
+    // without compaction the touched buckets accumulate per-append
+    // files; with it the LAST boundary compact (after batch 3) folds
+    // every bucket to a single file
+    assert(bucketFiles(rootA).values.max > 1, bucketFiles(rootA).toString)
+    assert(bucketFiles(rootB).values.forall(_ == 1),
+      bucketFiles(rootB).toString)
+    // the compacted lake still answers consistently
+    assert(graft.operators.ShingleIndex
+      .load(spark, s"$rootB/idx").nDocs ==
+      graft.operators.ShingleIndex.load(spark, s"$rootA/idx").nDocs)
+  }
+
 }
