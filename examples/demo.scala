@@ -149,6 +149,13 @@ spark.sql("SELECT d.frame, d.sad FROM (SELECT explode(gif_frame_diffs(gif_media_
 val gifFrames = graft.operators.Multimodal.sampleFrames(spark.range(0, 5).selectExpr("id AS doc_id", "gif_media_for_id(id) AS media"), "media", 8)
 println(s"sampled REAL gif frames: " + gifFrames.selectExpr("sum(size(frames))").head().getLong(0))
 
+// 4g. multimodal, VIDEO leg (r13): WebM/Matroska demux — container
+//     triage at scan cost, full VP8 inter-frame decode, scene-cut
+//     SADs, and S_TEXT subtitle transcripts, all from SQL
+spark.sql("SELECT media_kind(webm_media_for_id(CAST(0 AS BIGINT))) AS kind, webm_meta(webm_media_for_id(CAST(0 AS BIGINT))).keyframes AS keyframes, webm_meta(webm_media_for_id(CAST(0 AS BIGINT))).interframes AS interframes").show()
+spark.sql("SELECT c.idx, c.start_ms, c.end_ms, c.text FROM (SELECT explode(webm_subtitles(webm_subs_media_for_id(CAST(3 AS BIGINT)))) AS c)").show(3, false)
+println(s"webm decoded plane samples: " + spark.sql("SELECT size(webm_frames(webm_media_for_id(CAST(0 AS BIGINT)))) AS n").head().getInt(0))
+
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))
 println(s"after delete: ${idx.count()}")
