@@ -31,6 +31,7 @@ object StreamIngestProbe {
     val nBase = args.headOption.map(_.toLong).getOrElse(100000L)
     val batches = args.lift(1).map(_.toInt).getOrElse(10)
     val perBatch = args.lift(2).map(_.toLong).getOrElse(10000L)
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,13 +91,14 @@ object StreamIngestProbe {
 
     val schema = base.schema
     val (_, streamS) = time(s"STREAM: $batches micro-batches through " +
-      "file source + ledger") {
+      s"file source + ledger (compactEvery=$compactEvery)") {
       val q = IngestStream.ingestQuery(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(inDir.getAbsolutePath + "/*"),
         base, "doc_id", "text", s"$root/idx_stream", s"$root/out_stream",
-        threshold = 0.35, checkpoint = s"$root/ckpt")
+        threshold = 0.35, checkpoint = s"$root/ckpt",
+        compactEvery = compactEvery)
       try q.processAllAvailable() finally q.stop()
     }
 
