@@ -217,6 +217,14 @@ object Bench {
         }.toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+    // A silent parse-to-empty would disable the regression arm with
+    // no diagnostic (ADVICE r13) — say so on stderr when the prior
+    // artifact exists but yielded nothing.
+    if (priorQueries.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(benchOut)))
+      System.err.println(s"[bench] WARNING: prior $benchOut exists but " +
+        "parsed to an empty query map — regression flagging is OFF " +
+        "this sweep (format drift?)")
     val bestPrim = ordered.map { case (name, _) =>
       val (a, b) = (pass1(name), pass2(name))
       val runs = Seq(a, b) ++ pass3.get(name) ++ pass4.get(name)

@@ -265,9 +265,7 @@ case class IvfMeta(child: Expression) extends UnaryExpression {
     StructField("height", IntegerType, nullable = false),
     StructField("frames", IntegerType, nullable = false),
     StructField("keyframes", IntegerType, nullable = false),
-    StructField("interframes", IntegerType, nullable = false),
-    StructField("sub_track", IntegerType, nullable = false),
-    StructField("cues", IntegerType, nullable = false)))
+    StructField("interframes", IntegerType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "ivf_meta"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

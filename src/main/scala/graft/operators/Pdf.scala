@@ -725,14 +725,36 @@ object Pdf {
   // object-graph and content phases. reset() reuses the native
   // buffer; a corrupt stream that leaves the inflater mid-state is
   // handled by reset() on the NEXT use (reset is unconditional).
+  // Lifecycle bound (r14): each Inflater pins one native zlib buffer
+  // for its thread's lifetime — sized for a single production deploy
+  // with a bounded executor pool (32 task threads = 32 buffers). The
+  // JVM-exit path frees them natively; for host JVMs that reload
+  // classloaders (repeated embedded runs), `endInflaters()` releases
+  // the tracked set explicitly.
+  private val liveInflaters =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.util.zip.Inflater]()
   private val tlInflater =
-    new ThreadLocal[java.util.zip.Inflater] {
-      override def initialValue(): java.util.zip.Inflater =
-        new java.util.zip.Inflater() // zlib-wrapped
+    ThreadLocal.withInitial[java.util.zip.Inflater] { () =>
+      val inf = new java.util.zip.Inflater() // zlib-wrapped
+      liveInflaters.add(inf)
+      inf
     }
 
+  /** Release every thread's cached native zlib buffer (idempotent;
+    * threads allocate a fresh one on next use). For classloader-
+    * reload hosts; a normal Spark executor never needs to call it. */
+  def endInflaters(): Unit = {
+    val it = liveInflaters.iterator()
+    while (it.hasNext) { it.next().end(); it.remove() }
+    tlInflater.remove()
+  }
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = tlInflater.get()
+    var inf = tlInflater.get()
+    if (!liveInflaters.contains(inf)) { // ended by endInflaters()
+      tlInflater.remove(); inf = tlInflater.get()
+    }
     inf.reset()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream()

@@ -54,7 +54,23 @@ object IngestStream {
   /** Start the two-tier ingest query. `indexPath` must hold an
     * already-built [[ShingleIndex]] over `base` (the one-time lake
     * build); accepted rows land in `outPath/batch=<id>` partitions
-    * (readable as one parquet table at `outPath`). */
+    * (readable as one parquet table at `outPath`).
+    *
+    * Gate semantics — START-TIME SNAPSHOT of the base: the static
+    * side's fingerprints are materialized once (localCheckpoint)
+    * before the stream starts, so rows added to the base corpus
+    * AFTER `ingestQuery` returns are NOT gated against — by design:
+    * the growing side of the dedup is the lake index (tier 2), which
+    * every micro-batch reloads; the base is the immutable historical
+    * corpus. Re-run `ingestQuery` to re-snapshot a changed base.
+    *
+    * Fault scope: `localCheckpoint` blocks live in executor storage —
+    * lost executors lose blocks, failing a LONG-LIVED query. On a
+    * cluster where executor churn is expected over the query's
+    * lifetime, swap the pin for `persist(DISK_ONLY)` on a replicated
+    * store or a reliable `checkpoint()` (same plan, different
+    * storage durability); single-box and bounded-lifetime streams
+    * keep the cheaper localCheckpoint. */
   def ingestQuery(
       stream: DataFrame,
       base: DataFrame,

@@ -28,6 +28,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("media triage structs fully materialize: ivf_meta/webm_meta " +
+    "schemas match their returned row arity (no field-pruning mask)") {
+    Graft.init(spark)
+    // collect() forces UnsafeProjection over EVERY declared field; a
+    // schema/row arity mismatch throws here even when census queries
+    // prune to a subset (the r13 IvfMeta 7-field/5-row latent bug)
+    val iv = spark.sql(
+      "SELECT ivf_meta(vp8_ivf_media_for_id(0L)) AS m").head().getStruct(0)
+    assert(iv.length == 5)
+    assert(iv.getInt(0) == 48 && iv.getInt(1) == 32 && iv.getInt(2) == 3)
+    assert(iv.getInt(3) == 1 && iv.getInt(4) == 2)
+    val wm = spark.sql(
+      "SELECT webm_meta(webm_media_for_id(0L)) AS m").head().getStruct(0)
+    assert(wm.length == 12)
+    assert(wm.getString(0) == "webm" && wm.getInt(4) == 48)
+  }
+
   test("L1-style SQL: similar() + score filter + order + limit") {
     Graft.init(spark)
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
