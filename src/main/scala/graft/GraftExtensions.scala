@@ -197,6 +197,7 @@ object GraftExtensions {
     "mp4_multi_media_for_id" -> (es => Mp4MultiMediaBytes(es.head)),
     "avi_frame_diffs" -> (es => AviFrameDiffs(es.head)),
     "avi_av_features" -> (es => AviAvFeatures(es.head)),
+    "avi_meta" -> (es => AviMetaExpr(es.head)),
     "avi_audio_wav" -> (es => AviAudioWav(es.head)),
     "media_for_id" -> (es => MediaBytes(es.head)),
     "image_quality" -> (es => ImageQuality(es.head)),

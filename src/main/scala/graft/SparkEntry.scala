@@ -246,6 +246,74 @@ object SparkEntry {
     }
   }
 
+  /** The reference's own POST /workflow payloads (api.http:4-23) —
+    * the six headlines its index request ships and the search
+    * request's query string, POSTed verbatim at the live F3 socket
+    * by `workflow_rest`. */
+  private val WfRestElements = Seq(
+    "US tops 5 million confirmed virus cases",
+    "Canadas last fully intact ice shelf has suddenly collapsed, " +
+      "forming a Manhattan-sized iceberg",
+    "Beijing mobilises invasion craft along coast as Taiwan tensions escalate",
+    "The National Park Service warns against sacrificing slower " +
+      "friends in a bear attack",
+    "Maine man wins $1M from $25 lottery ticket",
+    "Make huge profits without work, earn up to $100,000 a day")
+  private val WfRestQuery = "feel good story"
+
+  /** Minimal driver-side HTTP POST with a JSON body — the external
+    * client of the `workflow_rest` declared query (no new deps; the
+    * JDK client is the test-side twin of WorkflowServer's JDK
+    * HttpServer). Fails loudly on any non-200. */
+  private def httpPostJson(url: String, body: String): String = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(300000)
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(code == 200, s"POST $url -> $code: $resp")
+    resp
+  }
+
+  /** The crawl_report blob cycle (r14): the media_census 19-kind
+    * routing with the avi arm swapped to the MIXED A/V fixtures so
+    * the census's audio-structure columns are content-bearing.
+    * Shared by the declared query and its `crawl_blobs` aux dump so
+    * the oracle's magic-byte router re-derivation sees EXACTLY the
+    * bytes the engine routed. */
+  private val CrawlBlobSql: String =
+    "CASE CAST(doc_id % 19 AS INT) " +
+      "WHEN 0 THEN pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 1 THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 2 THEN bmp_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 3 THEN webp_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 4 THEN tiff_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 5 THEN gif_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 6 THEN wav_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 7 THEN flac_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 8 THEN mp3_coverage_media_for_id(" +
+        "CAST(doc_id DIV 19 AS BIGINT)) " +
+      "WHEN 9 THEN ogg_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 10 THEN avi_av_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 11 THEN mp4_multi_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 12 THEN pdf_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 13 THEN zip_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 14 THEN targz_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 15 THEN zst_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 16 THEN vp8_ivf_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "WHEN 17 THEN webm_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "ELSE parquet_media_for_id(CAST(doc_id AS BIGINT)) " +
+      "END"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * exact top-10 cosine kNN — the reference's hot read path
     * (weaviate.py:175-201) as one Spark plan. */
@@ -1410,7 +1478,11 @@ object SparkEntry {
     // inventory, declared dims, cluster/block counts and the
     // container-flag keyframe/interframe split, over the four
     // writer container shapes (cluster splits, Void padding,
-    // open-size Segment, single cluster)
+    // open-size Segment, single cluster). r14: ids 4-7 are A/V —
+    // the audio-track triage columns (TrackEntry/Audio codec id,
+    // channels, sample rate, packet count; pure EBML walk, packet
+    // decode stays behind the Vorbis/Opus seam) must see the audio
+    // half real-web WebM ships alongside the video.
     "webm_meta" -> ((s, dir) => {
       Graft.init(s)
       t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 8)
@@ -1427,7 +1499,12 @@ object SparkEntry {
           "CAST(m.keyframes AS BIGINT) AS keyframes",
           "CAST(m.interframes AS BIGINT) AS interframes",
           "CAST(m.sub_track AS BIGINT) AS sub_track",
-          "CAST(m.cues AS BIGINT) AS cues")
+          "CAST(m.cues AS BIGINT) AS cues",
+          "CAST(m.audio_track AS BIGINT) AS audio_track",
+          "m.audio_codec",
+          "CAST(m.audio_channels AS BIGINT) AS audio_channels",
+          "CAST(m.audio_rate AS BIGINT) AS audio_rate",
+          "CAST(m.audio_blocks AS BIGINT) AS audio_blocks")
         .orderBy("doc_id")
     }),
 
@@ -1825,6 +1902,46 @@ object SparkEntry {
             round(col("score"), 6).as("score"))
       }.reduce(_ unionByName _)
         .orderBy(col("qid"), desc("score"), col("uid"))
+    }),
+
+    // F3 LIVE (r14): the REST workflow entry driven over a REAL
+    // socket — boots WorkflowServer on an ephemeral loopback port,
+    // POSTs the reference's own two api.http payloads (api.http:4-23:
+    // `{"name":"index","elements":[...6 headlines...]}` then
+    // `{"name":"search","elements":["feel good story"]}`), and parses
+    // the live JSON responses back into rows. The oracle re-derives
+    // the expected ranking from the DUMPED encoder outputs
+    // (wf_rest_doc_vecs / wf_rest_query_vecs, the S6 seam), so the
+    // HTTP framing, request parse, index sink, dense-docid
+    // assignment, save/load, cosine top-k AND the JSON response
+    // encoding must all agree with a from-scratch SQL ranking — the
+    // last spec-only SURVEY §2 row (F3) made oracle-visible.
+    "workflow_rest" -> ((s, dir) => {
+      Graft.init(s)
+      TextEncoder.reset() // the server's search path encodes with the
+                          // registered encoder; pin the default
+      val root = scratchDir("graft-wf-rest-")
+      val server = WorkflowServer.start(s, s"$root/idx", port = 0, k = 5)
+      try {
+        val url =
+          s"http://127.0.0.1:${server.getAddress.getPort}/workflow"
+        val idxResp = httpPostJson(url, WfRestElements
+          .map(e => "\"" + e + "\"")
+          .mkString("{\"name\": \"index\", \"elements\": [", ", ", "]}"))
+        val searchResp = httpPostJson(url,
+          s"""{"name": "search", "elements": ["$WfRestQuery"]}""")
+        import s.implicits._
+        val indexed = s.read.json(s.createDataset(Seq(idxResp)))
+          .select(col("indexed")).head().getLong(0)
+        s.read.json(s.createDataset(Seq(searchResp)))
+          .select(posexplode(col("results")).as(Seq("qid", "hits")))
+          .select(col("qid").cast("long").as("qid"),
+            posexplode(col("hits")).as(Seq("rk", "h")))
+          .select(col("qid"), (col("rk") + 1).cast("long").as("rank"),
+            col("h.uid").as("uid"), col("h.docid").as("docid"),
+            col("h.score").as("score"), lit(indexed).as("indexed"))
+          .orderBy("qid", "rank")
+      } finally WorkflowServer.shutdown(server)
     }),
 
     // REAL MP3 Layer III payload decode (r11): frame walk + bit
@@ -2612,6 +2729,124 @@ object SparkEntry {
           (coalesce(sum(col("v.interframes").cast("long")), lit(0L)) +
             coalesce(sum(col("wm.interframes").cast("long")), lit(0L)))
             .as("vp8_interframes"))
+        .orderBy("kind")
+    }),
+
+    // UNIFIED CRAWL CENSUS (r14, the r13 verdict's #4): ONE report
+    // joining kind routing, per-family decodability and container
+    // A/V structure — the first query a 100 TB crawl actually runs.
+    // The schema subsumes the per-format triage columns: the
+    // media_census mp3/vp8 splits, webm_meta's A/V track fields,
+    // avi_meta (new r14: RIFF header+chunk-table walk, no decode),
+    // mp4/ogg track structure, zstd_triage's declared-size/checksum/
+    // dict fields and parquet_triage's row/row-group counts. The avi
+    // and mp4 arms route the MIXED A/V fixtures so the audio columns
+    // are content-bearing. The ORACLE re-derives `kind` from the BLOB
+    // BYTES themselves (a from-scratch magic-byte router in DuckDB
+    // over the dumped blobs — stronger than restating the id cycle)
+    // and every structural column from the fixtures' closed forms.
+    // Scale: each triage is a codegen'd per-row expression riding
+    // the scan; the report is one 19-key groupBy — a single
+    // map-side-combined pass. The wav/flac columns ride their exact
+    // stats kernels (O(samples)); a production census swaps in
+    // header-only kernels there — mp3/avi/webm/ivf/mp4/ogg/zstd/
+    // parquet columns already ARE header-only.
+    "crawl_report" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 190)
+        .selectExpr("doc_id", s"$CrawlBlobSql AS blob")
+        .selectExpr("media_kind(blob) AS kind", "blob")
+        .selectExpr("kind",
+          "CAST(length(blob) AS BIGINT) AS nbytes",
+          "CASE WHEN kind = 'mp3' THEN mp3_coverage(blob) END AS c",
+          "CASE WHEN kind = 'ivf' THEN ivf_meta(blob) END AS v",
+          "CASE WHEN kind = 'webm' THEN webm_meta(blob) END AS wm",
+          "CASE WHEN kind = 'avi' THEN avi_meta(blob) END AS am",
+          "CASE WHEN kind = 'mp4' THEN mp4_meta(blob) END AS m4",
+          "CASE WHEN kind = 'ogg' THEN ogg_meta(blob) END AS og",
+          "CASE WHEN kind = 'wav' THEN wav_stats(blob) END AS ws",
+          "CASE WHEN kind = 'flac' THEN wav_stats(flac_wav(blob)) " +
+            "END AS fs",
+          "CASE WHEN kind = 'zstd' THEN zstd_meta(blob) END AS zs",
+          "CASE WHEN kind = 'parquet' THEN parquet_meta(blob) END AS pq")
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nbytes")).as("bytes"),
+          coalesce(sum(col("c.granule_channels").cast("long")), lit(0L))
+            .as("mp3_gch"),
+          coalesce(sum(col("c.shipped").cast("long")), lit(0L))
+            .as("mp3_shipped"),
+          coalesce(sum((col("c.fam11_15") + col("c.fam16_23") +
+            col("c.fam24_31")).cast("long")), lit(0L)).as("mp3_blocked"),
+          coalesce(sum(col("c.invalid").cast("long")), lit(0L))
+            .as("mp3_invalid"),
+          (coalesce(sum(col("v.keyframes").cast("long")), lit(0L)) +
+            coalesce(sum(col("wm.keyframes").cast("long")), lit(0L)))
+            .as("vp8_keyframes"),
+          (coalesce(sum(col("v.interframes").cast("long")), lit(0L)) +
+            coalesce(sum(col("wm.interframes").cast("long")), lit(0L)))
+            .as("vp8_interframes"),
+          // A/V structure: tracks seen by each container's triage
+          // (pure-audio formats count as one audio stream each)
+          (coalesce(sum(when(col("v").isNotNull, 1L)), lit(0L)) +
+            coalesce(sum(when(col("wm.vp8_track") > 0, 1L)), lit(0L)) +
+            coalesce(sum(when(col("am.video_chunks") > 0, 1L)), lit(0L)) +
+            coalesce(sum(expr(
+              "size(filter(m4, t -> t.handler = 'vide'))").cast("long")),
+              lit(0L))).as("video_tracks"),
+          (coalesce(sum(when(col("wm.audio_track") > 0, 1L)), lit(0L)) +
+            coalesce(sum(when(col("am.audio_channels") > 0, 1L)), lit(0L)) +
+            coalesce(sum(expr(
+              "size(filter(m4, t -> t.handler = 'soun'))").cast("long")),
+              lit(0L)) +
+            coalesce(sum(when(col("og").isNotNull, 1L)), lit(0L)) +
+            coalesce(sum(when(col("ws").isNotNull, 1L)), lit(0L)) +
+            coalesce(sum(when(col("fs").isNotNull, 1L)), lit(0L)) +
+            coalesce(sum(when(col("c").isNotNull, 1L)), lit(0L)))
+            .as("audio_tracks"),
+          (coalesce(sum(col("wm.audio_channels").cast("long")), lit(0L)) +
+            coalesce(sum(col("am.audio_channels").cast("long")), lit(0L)) +
+            coalesce(sum(expr("aggregate(filter(m4, " +
+              "t -> t.handler = 'soun'), 0L, (a, t) -> a + t.channels)")),
+              lit(0L)) +
+            coalesce(sum(col("og.channels").cast("long")), lit(0L)) +
+            coalesce(sum(col("ws.channels").cast("long")), lit(0L)) +
+            coalesce(sum(col("fs.channels").cast("long")), lit(0L)))
+            .as("audio_channels"),
+          greatest(
+            coalesce(max(col("wm.audio_rate").cast("long")), lit(0L)),
+            coalesce(max(col("am.audio_rate").cast("long")), lit(0L)),
+            coalesce(max(expr("aggregate(filter(m4, " +
+              "t -> t.handler = 'soun'), 0L, " +
+              "(a, t) -> greatest(a, CAST(t.sample_rate AS BIGINT)))")),
+              lit(0L)),
+            coalesce(max(col("og.sample_rate").cast("long")), lit(0L)),
+            coalesce(max(col("ws.sample_rate").cast("long")), lit(0L)),
+            coalesce(max(col("fs.sample_rate").cast("long")), lit(0L)))
+            .as("audio_hz_max"),
+          (coalesce(sum(col("v.frames").cast("long")), lit(0L)) +
+            coalesce(sum(col("wm.blocks").cast("long")), lit(0L)) +
+            coalesce(sum(col("am.video_chunks").cast("long")), lit(0L)) +
+            coalesce(sum(expr("aggregate(filter(m4, " +
+              "t -> t.handler = 'vide'), 0L, (a, t) -> a + t.n_samples)")),
+              lit(0L))).as("video_frames"),
+          (coalesce(sum(col("wm.audio_blocks").cast("long")), lit(0L)) +
+            coalesce(sum(col("am.audio_chunks").cast("long")), lit(0L)) +
+            coalesce(sum(expr("aggregate(filter(m4, " +
+              "t -> t.handler = 'soun'), 0L, (a, t) -> a + t.n_samples)")),
+              lit(0L)) +
+            coalesce(sum(col("og.packets").cast("long")), lit(0L)))
+            .as("audio_units"),
+          coalesce(sum(col("zs.content_size")), lit(0L))
+            .as("zstd_declared"),
+          coalesce(sum(when(col("zs.has_checksum"), 1L)), lit(0L))
+            .as("zstd_checksummed"),
+          coalesce(sum(when(col("zs.dict_id") > 0, 1L)), lit(0L))
+            .as("zstd_dict"),
+          coalesce(sum(col("pq.num_rows")), lit(0L)).as("table_rows"),
+          coalesce(sum(col("pq.row_groups").cast("long")), lit(0L))
+            .as("row_groups"))
         .orderBy("kind")
     }),
 
@@ -4276,6 +4511,33 @@ object SparkEntry {
         .toDF("qid", "qv")
     }),
 
+    // crawl_report: the routed blobs themselves, so the oracle can
+    // re-derive the KIND of every blob from its magic bytes (a
+    // from-scratch router re-implementation in DuckDB) and the byte
+    // sizes — nothing about routing is taken from id arithmetic
+    "crawl_blobs" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").filter(col("doc_id") < 190)
+        .selectExpr("doc_id", s"$CrawlBlobSql AS blob")
+    }),
+
+    // workflow_rest: the S6 encoder outputs for the reference's own
+    // api.http payloads, so the oracle re-ranks the live HTTP
+    // responses from scratch (docids are derivable: uid is the
+    // zero-padded element position and the sink assigns dense docids
+    // in input order)
+    "wf_rest_doc_vecs" -> ((s, dir) => {
+      import s.implicits._
+      val enc = graft.HashingEncoder(64)
+      WfRestElements.zipWithIndex
+        .map { case (t0, i) => (f"$i%09d", enc(t0)) }
+        .toDF("uid", "vec")
+    }),
+    "wf_rest_query_vecs" -> ((s, dir) => {
+      import s.implicits._
+      Seq((0L, graft.HashingEncoder(64)(WfRestQuery))).toDF("qid", "qv")
+    }),
+
     // mp3_pcm_stats / mp3_windows: the decoded PCM itself — no
     // foreign MP3 decoder exists in this container to produce an
     // independent expectation (FIXTURES.md), so the dump pins the
@@ -5918,6 +6180,32 @@ object SparkEntry {
         |FROM ranked WHERE rk <= 5
         |ORDER BY qid, raw DESC, uid""".stripMargin,
 
+    // workflow_rest: the LIVE-socket F3 responses re-derived from the
+    // dumped encoder outputs — rank order, uids, dense docids (uid =
+    // element position = docid by the sink's input-order assignment),
+    // rounded scores and the indexed count all re-computed in SQL
+    "workflow_rest" ->
+      """WITH d AS (SELECT uid, vec::DOUBLE[] AS v
+        |           FROM read_parquet('__AUX__/wf_rest_doc_vecs/*.parquet')),
+        |q AS (SELECT qid, qv::DOUBLE[] AS qv
+        |      FROM read_parquet('__AUX__/wf_rest_query_vecs/*.parquet')),
+        |n AS (SELECT count(*) AS indexed FROM d),
+        |scored AS (
+        |  SELECT q.qid, d.uid,
+        |         list_cosine_similarity(d.v, q.qv) AS raw
+        |  FROM d CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, uid, raw,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY raw DESC, uid) AS rk
+        |  FROM scored)
+        |SELECT r.qid, CAST(r.rk AS BIGINT) AS rank, r.uid,
+        |       CAST(r.uid AS BIGINT) AS docid,
+        |       round(r.raw, 6) AS score, n.indexed
+        |FROM ranked r CROSS JOIN n
+        |WHERE r.rk <= 5
+        |ORDER BY r.qid, r.rk""".stripMargin,
+
     // MP3 conformance: every value is a SPEC-LEVEL constant — row 0
     // is the foreign LAME silence file's structure (45 MPEG-2 frames,
     // one granule each, all bit-exact, 45*576 samples), rows 1-4
@@ -6751,6 +7039,109 @@ object SparkEntry {
         |    THEN 2 END), 0) AS BIGINT) AS vp8_interframes
         |FROM k LEFT JOIN mc USING (doc_id)
         |GROUP BY k.kind ORDER BY k.kind""".stripMargin,
+
+    // crawl_report: `kind` is re-derived FROM THE DUMPED BLOB BYTES
+    // by a from-scratch magic-byte router in DuckDB (PNG/JPEG/GIF/
+    // BMP/RIFF-subtype/FLAC/OGG/ZIP/GZIP/ZSTD/PDF/PAR1-with-trailer/
+    // ftyp/TIFF/IVF/EBML-with-DocType-scan/MP3-sync — the same
+    // registry MediaKind implements), byte sizes from octet_length,
+    // and every structural column from the fixtures' closed forms
+    // (the same arithmetic the per-format triage oracles pin)
+    "crawl_report" ->
+      """WITH b AS (SELECT doc_id, octet_length(blob) AS nbytes,
+        |                  left(hex(blob), 136) AS h,
+        |                  right(hex(blob), 8) AS tl
+        |           FROM read_parquet('__AUX__/crawl_blobs/*.parquet')),
+        |k AS (SELECT doc_id AS i, nbytes,
+        |  CASE
+        |    WHEN left(h, 8) = '89504E47' THEN 'png'
+        |    WHEN left(h, 4) = 'FFD8' THEN 'jpeg'
+        |    WHEN left(h, 8) = '47494638' THEN 'gif'
+        |    WHEN left(h, 4) = '424D' THEN 'bmp'
+        |    WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+        |      THEN 'wav'
+        |    WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '57454250'
+        |      THEN 'webp'
+        |    WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '41564920'
+        |      THEN 'avi'
+        |    WHEN left(h, 8) = '664C6143' THEN 'flac'
+        |    WHEN left(h, 8) = '4F676753' THEN 'ogg'
+        |    WHEN left(h, 8) = '504B0304' THEN 'zip'
+        |    WHEN left(h, 4) = '1F8B' THEN 'gzip'
+        |    WHEN left(h, 8) = '28B52FFD' THEN 'zstd'
+        |    WHEN substr(h, 1, 1) = '5' AND substr(h, 3, 6) = '2A4D18'
+        |      THEN 'zstd'
+        |    WHEN left(h, 6) = '494433' THEN 'mp3'
+        |    WHEN left(h, 10) = '255044462D' THEN 'pdf'
+        |    WHEN left(h, 8) = '50415231' AND tl = '50415231' THEN 'parquet'
+        |    WHEN substr(h, 9, 8) = '66747970' THEN 'mp4'
+        |    WHEN left(h, 8) = '49492A00' OR left(h, 8) = '4D4D002A'
+        |      THEN 'tiff'
+        |    WHEN left(h, 8) = '444B4946' THEN 'ivf'
+        |    WHEN left(h, 8) = '1A45DFA3'
+        |      THEN CASE WHEN position('7765626D' IN h) > 0
+        |                THEN 'webm' ELSE 'matroska' END
+        |    WHEN left(h, 2) = 'FF' AND substr(h, 3, 1) IN ('E', 'F')
+        |      THEN 'mp3'
+        |    ELSE 'unknown' END AS kind
+        |  FROM b),
+        |cov AS (SELECT * FROM (VALUES
+        |  (0, 45, 45, 0, 0), (1, 8, 8, 0, 0), (2, 12, 12, 0, 0),
+        |  (3, 6, 6, 0, 0), (4, 3, 3, 0, 0), (5, 4, 2, 3, 0),
+        |  (6, 4, 2, 0, 2), (7, 3, 1, 2, 0))
+        |  AS t(fid, gch, shipped, blocked, inval)),
+        |f AS (SELECT k.i, k.kind, k.nbytes,
+        |  c.gch, c.shipped, c.blocked, c.inval
+        |  FROM k LEFT JOIN cov c
+        |    ON k.kind = 'mp3' AND c.fid = (k.i // 19) % 8)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nbytes) AS BIGINT) AS bytes,
+        |  CAST(coalesce(sum(gch), 0) AS BIGINT) AS mp3_gch,
+        |  CAST(coalesce(sum(shipped), 0) AS BIGINT) AS mp3_shipped,
+        |  CAST(coalesce(sum(blocked), 0) AS BIGINT) AS mp3_blocked,
+        |  CAST(coalesce(sum(inval), 0) AS BIGINT) AS mp3_invalid,
+        |  CAST(sum(CASE WHEN kind IN ('ivf', 'webm') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS vp8_keyframes,
+        |  CAST(sum(CASE WHEN kind IN ('ivf', 'webm') THEN 2 ELSE 0 END)
+        |    AS BIGINT) AS vp8_interframes,
+        |  CAST(sum(CASE WHEN kind IN ('ivf', 'webm', 'avi') THEN 1
+        |    WHEN kind = 'mp4' THEN 2 ELSE 0 END) AS BIGINT)
+        |    AS video_tracks,
+        |  CAST(sum(CASE WHEN kind = 'webm' AND i % 8 >= 4 THEN 1
+        |    WHEN kind IN ('avi', 'mp4', 'ogg', 'wav', 'flac', 'mp3')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS audio_tracks,
+        |  CAST(sum(CASE WHEN kind = 'webm' AND i % 8 >= 4 THEN 1 + i % 2
+        |    WHEN kind IN ('avi', 'mp4', 'ogg', 'wav', 'flac')
+        |      THEN 1 + i % 2 ELSE 0 END) AS BIGINT) AS audio_channels,
+        |  CAST(coalesce(max(CASE
+        |    WHEN kind = 'webm' AND i % 8 >= 4 THEN
+        |      CASE WHEN i % 2 = 0 THEN 44100 ELSE 48000 END
+        |    WHEN kind = 'ogg' THEN
+        |      CASE WHEN i % 2 = 1 THEN 48000 ELSE 8000 * (1 + i % 3) END
+        |    WHEN kind IN ('avi', 'mp4', 'wav', 'flac')
+        |      THEN 8000 * (1 + i % 3) END), 0) AS BIGINT) AS audio_hz_max,
+        |  CAST(sum(CASE WHEN kind IN ('ivf', 'webm') THEN 3
+        |    WHEN kind = 'avi' THEN 2 + i % 3
+        |    WHEN kind = 'mp4' THEN (2 + i % 3) + (5 + i % 7)
+        |    ELSE 0 END) AS BIGINT) AS video_frames,
+        |  CAST(sum(CASE WHEN kind = 'webm' AND i % 8 >= 4 THEN 2 + i % 3
+        |    WHEN kind = 'avi' THEN 2 + i % 3
+        |    WHEN kind = 'mp4' THEN 30 + i % 20
+        |    WHEN kind = 'ogg' THEN 1 + (1 + i % 3) * (2 + i % 2)
+        |    ELSE 0 END) AS BIGINT) AS audio_units,
+        |  CAST(sum(CASE WHEN kind = 'zstd' THEN
+        |      CASE CAST(i % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 300 + i
+        |        WHEN 2 THEN 70000 + i ELSE 5000000000 + i END
+        |    ELSE 0 END) AS BIGINT) AS zstd_declared,
+        |  CAST(sum(CASE WHEN kind = 'zstd' AND i % 2 = 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS zstd_checksummed,
+        |  CAST(sum(CASE WHEN kind = 'zstd' AND i % 3 <> 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS zstd_dict,
+        |  CAST(sum(CASE WHEN kind = 'parquet' THEN 100 + i % 50 ELSE 0
+        |    END) AS BIGINT) AS table_rows,
+        |  CAST(sum(CASE WHEN kind = 'parquet' THEN 1 + i % 2 ELSE 0
+        |    END) AS BIGINT) AS row_groups
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
 
     // the RFC 8878 bit layout re-derived field by field (FCS widths,
     // the 2-byte bias, window exponent/mantissa arithmetic)
@@ -9604,23 +9995,41 @@ object SparkEntry {
         |  AND a.frame = b.frame + 1
         |GROUP BY a.frame ORDER BY a.frame""".stripMargin),
 
-    // the four writer container shapes restated as constants of the
+    // the writer container shapes restated as constants of the
     // fixture construction (id%4: 2-block clusters / per-frame
-    // clusters + Void / open-size Segment / one cluster)
+    // clusters + Void / open-size Segment / one cluster; ids 4-7
+    // add the A/V audio track: codec/channels/rate by id%2, 2+id%3
+    // packets clustered in pairs so total clusters = video + ceil)
     "webm_meta" ->
-      """SELECT doc_id, 'webm' AS doc_type,
+      """WITH f AS (
+        |  SELECT doc_id, doc_id >= 4 AS av,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 3
+        |         WHEN 3 THEN 1 ELSE 2 END AS vclusters,
+        |    2 + doc_id % 3 AS apackets
+        |  FROM documents WHERE doc_id < 8)
+        |SELECT doc_id, 'webm' AS doc_type,
         |  CAST(1000000 AS BIGINT) AS timecode_scale,
-        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(CASE WHEN av THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
         |  CAST(1 AS BIGINT) AS vp8_track,
         |  CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
-        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 3
-        |       WHEN 3 THEN 1 ELSE 2 END AS BIGINT) AS clusters,
+        |  CAST(vclusters + CASE WHEN av
+        |       THEN (apackets + 1) // 2 ELSE 0 END AS BIGINT) AS clusters,
         |  CAST(3 AS BIGINT) AS blocks,
         |  CAST(1 AS BIGINT) AS keyframes,
         |  CAST(2 AS BIGINT) AS interframes,
         |  CAST(-1 AS BIGINT) AS sub_track,
-        |  CAST(0 AS BIGINT) AS cues
-        |FROM documents WHERE doc_id < 8 ORDER BY doc_id""".stripMargin,
+        |  CAST(0 AS BIGINT) AS cues,
+        |  CAST(CASE WHEN av THEN 3 ELSE -1 END AS BIGINT) AS audio_track,
+        |  CASE WHEN NOT av THEN ''
+        |       WHEN doc_id % 2 = 0 THEN 'A_VORBIS'
+        |       ELSE 'A_OPUS' END AS audio_codec,
+        |  CAST(CASE WHEN av THEN 1 + doc_id % 2 ELSE 0 END AS BIGINT)
+        |    AS audio_channels,
+        |  CAST(CASE WHEN NOT av THEN 0 WHEN doc_id % 2 = 0 THEN 44100
+        |       ELSE 48000 END AS BIGINT) AS audio_rate,
+        |  CAST(CASE WHEN av THEN apackets ELSE 0 END AS BIGINT)
+        |    AS audio_blocks
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // timings and text restated from the fixture's closed forms
     // (900k + 40*(id%7) start, +500 + 20*(id%5) duration, 2-4 cues,

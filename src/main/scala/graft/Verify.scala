@@ -32,7 +32,15 @@ object Verify {
     val auxDir = new java.io.File(
       new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "__aux"
     ).getAbsolutePath
-    SparkEntry.auxiliary.foreach { case (name, fn) =>
+    // opt-in comma-separated name filter for fast local iteration on a
+    // single query; the driver never sets it, so its runs dump everything.
+    // The filter also selects aux dumps (by aux name), so iterating on
+    // one query doesn't pay for every other query's intermediates.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.auxiliary
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>
@@ -40,10 +48,6 @@ object Verify {
         failures += 1
       }
     }
-    // opt-in comma-separated name filter for fast local iteration on a
-    // single query; the driver never sets it, so its runs dump everything
-    val only = sys.env.get("GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

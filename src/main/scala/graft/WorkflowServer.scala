@@ -91,10 +91,29 @@ object WorkflowServer {
       }
     })
 
-    // sequential by contract (see scaladoc): one worker thread
-    server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    // sequential by contract (see scaladoc): one worker thread.
+    // DAEMON, so an embedding JVM (sbt runMain, a notebook) can exit
+    // after `server.stop(0)` even if the caller forgets [[shutdown]]
+    // — a non-daemon pool thread outlives HttpServer.stop and hangs
+    // the host otherwise (found by the r14 workflow_rest verify run).
+    server.setExecutor(java.util.concurrent.Executors
+      .newSingleThreadExecutor { (r: Runnable) =>
+        val t = new Thread(r, "workflow-server-worker")
+        t.setDaemon(true)
+        t
+      })
     server.start()
     server
+  }
+
+  /** Stop serving AND release the worker thread ([[start]] owns the
+    * executor, HttpServer.stop does not). */
+  def shutdown(server: HttpServer): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdownNow(); ()
+      case _ => ()
+    }
   }
 
   /** `sbt "runMain graft.WorkflowServer <indexPath> [port] [k]"` —

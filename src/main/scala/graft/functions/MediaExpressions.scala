@@ -1567,6 +1567,59 @@ case class AviAvMediaBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** avi_meta(bytes) -> struct<width:int, height:int,
+  * us_per_frame:int, streams:int, video_chunks:int, audio_chunks:int,
+  * audio_channels:int, audio_rate:int, audio_bytes:bigint>: the AVI
+  * container TRIAGE (r14) — RIFF header + chunk-table walk with NO
+  * JPEG/PCM decode ([[graft.operators.Avi.meta]]), the AVI face of
+  * `webm_meta`/`ivf_meta` for the crawl census. Null for non-AVI or
+  * structurally broken bytes. */
+case class AviMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AviMetaExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "avi_meta"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AviMetaExpr.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AviMetaExpr$$.MODULE$$.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AviMetaExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("us_per_frame", IntegerType, nullable = false),
+    StructField("streams", IntegerType, nullable = false),
+    StructField("video_chunks", IntegerType, nullable = false),
+    StructField("audio_chunks", IntegerType, nullable = false),
+    StructField("audio_channels", IntegerType, nullable = false),
+    StructField("audio_rate", IntegerType, nullable = false),
+    StructField("audio_bytes", LongType, nullable = false)))
+
+  /** The kernel; public so generated code can call it. */
+  def compute(bytes: Array[Byte]): InternalRow =
+    graft.operators.Avi.meta(bytes) match {
+      case None => null
+      case Some(m) => InternalRow(m.width, m.height, m.usPerFrame,
+        m.nStreams, m.videoChunks, m.audioChunks, m.audioChannels,
+        m.audioRate, m.audioBytes)
+    }
+}
+
 /** avi_av_features(bytes) -> struct<n_frames:int, pix_sum:bigint,
   * a_channels:int, a_rate:int, a_samples:bigint, a_sum:bigint,
   * a_abs_sum:bigint>: BOTH tracks of a mixed-track AVI decoded in one

@@ -334,9 +334,12 @@ case class WebmMediaBytes(child: Expression) extends UnaryExpression {
 /** webm_meta(media) -> struct: the Matroska/WebM container triage
   * (r13) — EBML walk only, no VP8 decode: DocType, timecode scale,
   * track inventory, the VP8 track's declared dims, cluster/block
-  * counts and the container-flag keyframe/interframe split. Null for
-  * non-EBML bytes or anything outside [[graft.operators.Webm]]'s
-  * documented subset. */
+  * counts and the container-flag keyframe/interframe split; since
+  * r14 also the audio-track triage (TrackEntry/Audio: codec id,
+  * channels, sample rate, packet count — real-web WebM is A/V and
+  * packet DECODE stays behind the documented Vorbis/Opus seam).
+  * Null for non-EBML bytes or anything outside
+  * [[graft.operators.Webm]]'s documented subset. */
 case class WebmMeta(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -351,7 +354,12 @@ case class WebmMeta(child: Expression) extends UnaryExpression {
     StructField("keyframes", IntegerType, nullable = false),
     StructField("interframes", IntegerType, nullable = false),
     StructField("sub_track", IntegerType, nullable = false),
-    StructField("cues", IntegerType, nullable = false)))
+    StructField("cues", IntegerType, nullable = false),
+    StructField("audio_track", IntegerType, nullable = false),
+    StructField("audio_codec", StringType, nullable = false),
+    StructField("audio_channels", IntegerType, nullable = false),
+    StructField("audio_rate", IntegerType, nullable = false),
+    StructField("audio_blocks", IntegerType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "webm_meta"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -382,7 +390,9 @@ object WebmMeta {
         org.apache.spark.unsafe.types.UTF8String.fromString(m.docType),
         m.timecodeScale, m.nTracks, m.vp8Track, m.width, m.height,
         m.nClusters, m.nBlocks, m.keyframes, m.interframes,
-        m.subTrack, m.nCues)
+        m.subTrack, m.nCues, m.audioTrack,
+        org.apache.spark.unsafe.types.UTF8String.fromString(m.audioCodec),
+        m.audioChannels, m.audioRate, m.nAudioBlocks)
     }
 }
 

@@ -87,6 +87,93 @@ object Avi {
     id.length == 4 && id(0).isDigit && id(1).isDigit &&
       id(2) == 'w' && id(3) == 'b'
 
+  /** Container triage summary (r14) — header + chunk-table walk, NO
+    * JPEG/PCM decode: the AVI face of `webm_meta`/`ivf_meta`, so a
+    * crawl census can state an AVI's A/V structure at scan cost. */
+  final case class Meta(
+      width: Int, height: Int, usPerFrame: Int,
+      nStreams: Int, // declared in avih
+      videoChunks: Int, // NNdc/NNdb chunks inside movi
+      audioChunks: Int, // NNwb chunks of the routed PCM16 stream
+      audioChannels: Int, audioRate: Int, // 0/0 when no PCM16 stream
+      audioBytes: Long) // payload bytes of those chunks
+
+  /** Triage walk: the same RIFF grammar as [[decodeAv]] (strl stream
+    * routing, movi/rec nesting, depth cap, word alignment) but chunks
+    * are COUNTED, never decoded — O(chunk table), not O(pixels). */
+  def meta(b: Array[Byte]): Option[Meta] =
+    try meta0(b) catch { case _: Exception => None }
+
+  private def meta0(b: Array[Byte]): Option[Meta] = {
+    if (!isAvi(b) || b.length < 24) return None
+    val riffSize = le32(b, 4)
+    if (riffSize < 4 || 8L + riffSize > b.length) return None
+    val end = 8 + riffSize
+    var width = -1; var height = -1; var usPerFrame = -1
+    var nStreams = 0
+    var videoChunks = 0; var audioChunks = 0
+    var audioCh = 0; var audioRate = 0; var audioBytes = 0L
+    val streamTypes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var audioStream = -1
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int,
+        strl: Int): Boolean = {
+      if (depth > 8) return false
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourcc(b, i)
+        val size = le32(b, i + 4)
+        if (size < 0 || i + 8 + size.toLong > to) return false
+        val body = i + 8
+        if (id == "LIST") {
+          if (size < 4) return false
+          val listType = fourcc(b, body)
+          val isMovi = listType == "movi" || (inMovi && listType == "rec ")
+          if (listType == "strl") {
+            val sIdx = streamTypes.length
+            streamTypes += "????"
+            if (!walk(body + 4, body + size, inMovi = false, depth + 1, sIdx))
+              return false
+          } else if (listType == "hdrl" || isMovi) {
+            if (!walk(body + 4, body + size, isMovi, depth + 1, -1))
+              return false
+          }
+        } else if (id == "avih") {
+          if (size < 40) return false
+          usPerFrame = le32(b, body)
+          nStreams = le32(b, body + 24)
+          width = le32(b, body + 32)
+          height = le32(b, body + 36)
+          if (width <= 0 || height <= 0 || usPerFrame < 0) return false
+        } else if (id == "strh" && strl >= 0) {
+          if (size < 8) return false
+          streamTypes(strl) = fourcc(b, body)
+        } else if (id == "strf" && strl >= 0 &&
+            streamTypes(strl) == "auds" && audioStream < 0) {
+          if (size >= 16 && le16(b, body) == 1 && le16(b, body + 14) == 16) {
+            val ch = le16(b, body + 2)
+            val rate = le32(b, body + 4)
+            if (ch >= 1 && ch <= 8 && rate > 0) {
+              audioStream = strl; audioCh = ch; audioRate = rate
+            }
+          }
+        } else if (inMovi && isAudioChunk(id)) {
+          val sNum = (id(0) - '0') * 10 + (id(1) - '0')
+          if (sNum == audioStream) {
+            audioChunks += 1; audioBytes += size.toLong
+          }
+        } else if (inMovi && isVideoChunk(id)) {
+          videoChunks += 1
+        }
+        i = body + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, end, inMovi = false, depth = 0, strl = -1)) return None
+    if (width < 0 || videoChunks == 0) return None
+    Some(Meta(width, height, usPerFrame, nStreams, videoChunks,
+      audioChunks, audioCh, audioRate, audioBytes))
+  }
+
   private def decode0(b: Array[Byte]): Option[DecodedAv] = {
     if (!isAvi(b) || b.length < 24) return None
     val riffSize = le32(b, 4)

@@ -384,13 +384,27 @@ object Vp8Fixtures {
 
   def webmFor(id: Long): Array[Byte] = {
     val (w, h, frames) = interSeq
+    // r14: ids with id%8 >= 4 are A/V — the same four container
+    // shapes plus an audio track whose triage fields are id-derived
+    // closed forms (codec/channels/rate by id%2, 2+id%3 packets of
+    // opaque bytes the demuxer must count but never decode)
+    val audio =
+      if (id % 8 < 4) None
+      else Some(Webm.AudioMux(
+        codec = if (id % 2 == 0) "A_VORBIS" else "A_OPUS",
+        channels = 1 + (id % 2).toInt,
+        rate = if (id % 2 == 0) 44100 else 48000,
+        packets = (0 until (2 + (id % 3)).toInt).map(k =>
+          Array.tabulate(16)(j => ((id + 31L * k + j) % 251).toByte))))
     ((id % 4).toInt: @unchecked) match {
-      case 0 => Webm.build(w, h, frames, clusterEvery = 2)
+      case 0 => Webm.build(w, h, frames, clusterEvery = 2,
+        audio = audio)
       case 1 => Webm.build(w, h, frames, clusterEvery = 1,
-        padVoid = true)
+        padVoid = true, audio = audio)
       case 2 => Webm.build(w, h, frames, clusterEvery = 2,
-        openSegment = true)
-      case 3 => Webm.build(w, h, frames, clusterEvery = 3)
+        openSegment = true, audio = audio)
+      case 3 => Webm.build(w, h, frames, clusterEvery = 3,
+        audio = audio)
     }
   }
 

@@ -38,6 +38,9 @@ object Webm {
   private val IdVideo = 0xE0L
   private val IdPixelWidth = 0xB0L
   private val IdPixelHeight = 0xBAL
+  private val IdAudio = 0xE1L
+  private val IdSamplingFrequency = 0xB5L
+  private val IdChannels = 0x9FL
   private val IdCluster = 0x1F43B675L
   private val IdTimecode = 0xE7L
   private val IdSimpleBlock = 0xA3L
@@ -60,7 +63,14 @@ object Webm {
       keyframes: Int,
       interframes: Int,
       subTrack: Int, // first S_TEXT track number, -1 if none (r13)
-      nCues: Int)
+      nCues: Int,
+      // audio-track triage (r14): TrackEntry/Audio walk, no decode —
+      // real-web WebM is A/V and a census must see both halves
+      audioTrack: Int, // first A_* track number, -1 if none
+      audioCodec: String, // its CodecID ("" if none)
+      audioChannels: Int, // 0 if none
+      audioRate: Int, // SamplingFrequency in Hz, 0 if none
+      nAudioBlocks: Int) // SimpleBlocks of the audio track
 
   /** One subtitle cue (S_TEXT track): timecodes in TimecodeScale
     * units, text bytes at [off, off+len). */
@@ -119,6 +129,12 @@ object Webm {
       if (pos + n > end) bad()
       val s = new String(b, pos, n, "US-ASCII"); pos += n; s
     }
+    /** EBML float: 4 or 8 bytes IEEE-754 (0-size = 0.0 per spec). */
+    def f(n: Int): Double =
+      if (n == 0) 0.0
+      else if (n == 4) java.lang.Float.intBitsToFloat(uint(4).toInt).toDouble
+      else if (n == 8) java.lang.Double.longBitsToDouble(uint(8))
+      else bad()
   }
 
   /** Walk `rd` until `end`, calling `f(id, size, payloadStart)`;
@@ -164,6 +180,11 @@ object Webm {
     var nTracks = 0
     var vp8Track = -1
     var subTrack = -1
+    var audioTrack = -1
+    var audioCodec = ""
+    var audioChannels = 0
+    var audioRate = 0
+    var nAudioBlocks = 0
     var width = 0; var height = 0
     var nClusters = 0; var nBlocks = 0
     var keyframes = 0; var interframes = 0
@@ -183,6 +204,7 @@ object Webm {
             nTracks += 1
             var num = -1; var typ = -1; var codec = ""
             var w0 = 0; var h0 = 0
+            var ch0 = 0; var rate0 = 0
             val te = new Rd(b, tst, tst + tsz)
             walk(te) { (eid, esz, est) =>
               if (eid == IdTrackNumber) num = te.uint(esz).toInt
@@ -194,6 +216,13 @@ object Webm {
                   if (vid == IdPixelWidth) w0 = vd.uint(vsz).toInt
                   else if (vid == IdPixelHeight) h0 = vd.uint(vsz).toInt
                 }
+              } else if (eid == IdAudio) {
+                val ad = new Rd(b, est, est + esz)
+                walk(ad) { (aid, asz, ast) =>
+                  if (aid == IdChannels) ch0 = ad.uint(asz).toInt
+                  else if (aid == IdSamplingFrequency)
+                    rate0 = math.round(ad.f(asz)).toInt
+                }
               }
             }
             if (codec == "V_VP8" && typ == 1 && vp8Track < 0) {
@@ -203,6 +232,14 @@ object Webm {
                 subTrack < 0) {
               if (num <= 0) te.bad()
               subTrack = num
+            } else if (codec.startsWith("A_") && typ == 2 &&
+                audioTrack < 0) {
+              // triage only (TrackEntry/Audio: codec id, channels,
+              // rate) — packet DECODE stays behind the documented
+              // Vorbis/Opus seam (COVERAGE.md)
+              if (num <= 0) te.bad()
+              audioTrack = num; audioCodec = codec
+              audioChannels = ch0; audioRate = rate0
             }
           }
         }
@@ -230,6 +267,8 @@ object Webm {
               // a duration-less subtitle block: zero-length cue
               cues += Cue(clusterTc + relTc, 0L, sb.pos,
                 cst + csz - sb.pos)
+            } else if (track == audioTrack) {
+              nAudioBlocks += 1 // packet counted, never decoded
             }
           } else if (cid == IdBlockGroup) {
             // the duration-carrying block form subtitles ship in
@@ -260,7 +299,8 @@ object Webm {
     val cueList = cues.result()
     (Meta(docType, tcScale, nTracks, vp8Track, width, height,
       nClusters, nBlocks, keyframes, interframes, subTrack,
-      cueList.length), blocks.result(), cueList)
+      cueList.length, audioTrack, audioCodec, audioChannels,
+      audioRate, nAudioBlocks), blocks.result(), cueList)
   }
 
   /** Container triage — header/track/cluster walk, no VP8 decode. */
@@ -340,14 +380,24 @@ object Webm {
     out
   }
 
+  /** Audio mux input for [[build]]: codec id ("A_VORBIS"/"A_OPUS"),
+    * channel count, sample rate (Hz), and opaque packet payloads
+    * (SHIPPED, never decoded — the triage boundary). */
+  final case class AudioMux(codec: String, channels: Int, rate: Int,
+      packets: Seq[Array[Byte]])
+
   /** Assemble a minimal WebM file around VP8 frame payloads.
     * `clusterEvery` splits blocks into clusters; `padVoid` inserts a
-    * Void element between top-level children (the skip path). */
+    * Void element between top-level children (the skip path);
+    * `audio` muxes an A/V file: an audio TrackEntry (track 3) with
+    * the Audio element (channels + 4-byte-float SamplingFrequency)
+    * and its packets as unlaced SimpleBlocks in their own clusters. */
   def build(w: Int, h: Int, frames: Seq[Array[Byte]],
       clusterEvery: Int = 2, padVoid: Boolean = false,
       docType: String = "webm",
       openSegment: Boolean = false,
-      subs: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      subs: Seq[(Long, Long, String)] = Nil,
+      audio: Option[AudioMux] = None): Array[Byte] = {
     require(frames.nonEmpty && clusterEvery > 0)
     val hdr = elem(IdEbml,
       elem(0x4286L, uintBytes(1)) ++ // EBMLVersion
@@ -373,7 +423,22 @@ object Webm {
           elem(0x73C5L, uintBytes(2)) ++ // TrackUID
           elem(IdTrackType, uintBytes(0x11)) ++ // subtitle
           elem(IdCodecId, "S_TEXT/UTF8".getBytes("US-ASCII")))
-    val track = elem(IdTracks, videoEntry ++ subEntry)
+    val audioEntry = audio match {
+      case None => Array.empty[Byte]
+      case Some(a) => elem(IdTrackEntry,
+        elem(IdTrackNumber, uintBytes(3)) ++
+          elem(0x73C5L, uintBytes(3)) ++ // TrackUID
+          elem(IdTrackType, uintBytes(2)) ++ // audio
+          elem(IdCodecId, a.codec.getBytes("US-ASCII")) ++
+          elem(IdAudio,
+            elem(IdSamplingFrequency, {
+              val bits = java.lang.Float.floatToIntBits(a.rate.toFloat)
+              Array(((bits >> 24) & 0xff).toByte,
+                ((bits >> 16) & 0xff).toByte,
+                ((bits >> 8) & 0xff).toByte, (bits & 0xff).toByte)
+            }) ++ elem(IdChannels, uintBytes(a.channels.toLong))))
+    }
+    val track = elem(IdTracks, videoEntry ++ subEntry ++ audioEntry)
     val voidEl =
       if (padVoid) elem(0xECL, new Array[Byte](7)) else Array.empty[Byte]
     val clusters = frames.zipWithIndex.grouped(clusterEvery).map { grp =>
@@ -404,7 +469,26 @@ object Webm {
               blk ++ elem(IdBlockDuration,
                 uintBytes(endMs - startMs))))
       }.reduce(_ ++ _)
-    val segBody = info ++ voidEl ++ track ++ clusters ++ subClusters
+    // audio packets: unlaced SimpleBlocks, 20 ms apart, clustered in
+    // packet pairs — the structural twin of the video clusters
+    val audioClusters = audio match {
+      case None => Array.empty[Byte]
+      case Some(a) =>
+        require(a.packets.nonEmpty, "audio mux needs packets")
+        a.packets.zipWithIndex.grouped(2).map { grp =>
+          val tc0 = grp.head._2.toLong * 20L
+          val blocks = grp.map { case (p, i) =>
+            val rel = (i * 20L - tc0).toShort
+            elem(IdSimpleBlock,
+              vintSize(3L) ++ // track 3
+                Array(((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+                  0x80.toByte) ++ p) // audio blocks are all "key"
+          }.reduce(_ ++ _)
+          elem(IdCluster, elem(IdTimecode, uintBytes(tc0)) ++ blocks)
+        }.reduce(_ ++ _)
+    }
+    val segBody =
+      info ++ voidEl ++ track ++ clusters ++ subClusters ++ audioClusters
     // live muxers leave the Segment size OPEN (1-byte all-ones vint)
     if (openSegment)
       hdr ++ idBytes(IdSegment) ++ Array(0xff.toByte) ++ segBody

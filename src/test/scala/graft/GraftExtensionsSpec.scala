@@ -41,7 +41,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(iv.getInt(3) == 1 && iv.getInt(4) == 2)
     val wm = spark.sql(
       "SELECT webm_meta(webm_media_for_id(0L)) AS m").head().getStruct(0)
-    assert(wm.length == 12)
+    assert(wm.length == 17)
     assert(wm.getString(0) == "webm" && wm.getInt(4) == 48)
   }
 

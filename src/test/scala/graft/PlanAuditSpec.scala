@@ -979,6 +979,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
   }
+  test("crawl_report (r14): the unified census is the media_census " +
+    "shape — all 11 per-format triages ride the scan as codegen'd " +
+    "expressions, ONE kind-keyed shuffle, no mapPartitions") {
+    val plan = physical(run("crawl_report"))
+    assert(plan.contains("LessThan(doc_id,190)"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"want 1 kind-shuffle, got $exchanges\n" + plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    // the new avi triage expression is on the scan side, not a join
+    assert(plan.contains("avi_meta"), plan)
+  }
   test("webm_frames: the EBML demux + whole-sequence VP8 decode is " +
     "one codegen'd expression feeding Generate — no mapPartitions, " +
     "no shuffle, filter pushed to the scan") {

@@ -69,7 +69,7 @@ class WorkflowServerSpec extends SparkTestBase {
       assert(notJson.statusCode() == 400, notJson.body())
       assert(get(port, "/workflow").statusCode() == 405)
       assert(get(port, "/health").body() == """{"status":"ok"}""")
-    } finally server.stop(0)
+    } finally WorkflowServer.shutdown(server)
   }
 
   test("error contract per verb: search/keyword/hybrid against a " +
@@ -97,7 +97,7 @@ class WorkflowServerSpec extends SparkTestBase {
         """{"name": "search", "elements": ["one doc"]}""")
       assert(s2.statusCode() == 200, s2.body())
       assert(s2.body().contains(""""docid":0"""), s2.body())
-    } finally server.stop(0)
+    } finally WorkflowServer.shutdown(server)
   }
 
   test("concurrent requests serialize on the single-tenant session: " +
@@ -168,7 +168,7 @@ class WorkflowServerSpec extends SparkTestBase {
         val n = after.body().sliding(7).count(_ == """"uid":"""")
         assert(n == 2 || n == 3, after.body())
       } finally pool.shutdownNow()
-    } finally server.stop(0)
+    } finally WorkflowServer.shutdown(server)
   }
 
   test("error bodies stay valid JSON when the message carries " +
@@ -187,7 +187,7 @@ class WorkflowServerSpec extends SparkTestBase {
       assert(r.statusCode() == 400, r.body())
       assert(!r.body().exists(_ < 0x20), "raw control byte in body")
       assert(r.body().contains("\\u0009"), r.body())
-    } finally server.stop(0)
+    } finally WorkflowServer.shutdown(server)
   }
 
   test("jsonEscape escapes every control character and the JSON " +

@@ -390,6 +390,42 @@ class AviSpec extends SparkTestBase {
       .head().isNullAt(0))
   }
 
+  test("avi_meta triage (r14): header + chunk-table walk only — " +
+    "counts agree with the full decode on A/V and video-only " +
+    "containers, and no pixel/PCM decode happens (corrupt frame " +
+    "payloads still triage)") {
+    (0L until 6L).foreach { id =>
+      val av = MediaFixtures.aviAvMediaFor(id)
+      val m = Avi.meta(av).getOrElse(fail(s"meta None id=$id"))
+      val d = Avi.decodeAv(av).get
+      assert(m.videoChunks == d.video.frames.length, s"id=$id")
+      assert(m.videoChunks == (2 + id % 3).toInt, s"id=$id")
+      assert(m.audioChunks == m.videoChunks, s"id=$id (1 01wb/frame)")
+      assert(m.audioChannels == d.audio.get.channels, s"id=$id")
+      assert(m.audioRate == d.audio.get.sampleRate, s"id=$id")
+      assert(m.audioBytes == 2L * d.audio.get.samples.length, s"id=$id")
+      assert(m.nStreams == 2 && m.width == d.video.width)
+      // video-only: audio fields report the no-audio sentinel
+      val vo = Avi.meta(MediaFixtures.aviMediaFor(id)).get
+      assert(vo.nStreams == 1 && vo.audioChunks == 0 &&
+        vo.audioChannels == 0 && vo.audioRate == 0 && vo.audioBytes == 0L)
+    }
+    // triage never decodes: corrupting every JPEG payload byte leaves
+    // meta intact while the decoder rejects
+    val b = MediaFixtures.aviAvMediaFor(1L)
+    val m0 = Avi.meta(b).get
+    val broken = b.clone()
+    // find the first 00dc chunk and zero its payload
+    val idx = broken.indexOfSlice("00dc".getBytes("US-ASCII"))
+    assert(idx > 0)
+    java.util.Arrays.fill(broken, idx + 8, idx + 16, 0.toByte)
+    assert(Avi.decodeAv(broken).isEmpty, "decode must reject")
+    assert(Avi.meta(broken).contains(m0), "triage must not care")
+    // dirty bytes reject, never throw
+    assert(Avi.meta("RIFFxxxx".getBytes).isEmpty)
+    assert(Avi.meta(b.take(30)).isEmpty)
+  }
+
   test("media_features on AVI bytes is the L1-normalized luminance " +
     "histogram over ALL decoded frames — not the byte-sum fallback") {
     graft.Graft.init(spark)

@@ -94,6 +94,46 @@ class WebmSpec extends AnyFunSuite {
     }
   }
 
+  test("audio-track triage (r14): TrackEntry/Audio codec/channels/" +
+    "rate parse from the EBML walk, packets are counted but never " +
+    "decoded, and the video track demuxes identically around them") {
+    (4L until 8L).foreach { id =>
+      val b = Vp8Fixtures.webmFor(id)
+      val m = Webm.meta(b).getOrElse(fail(s"meta None (id=$id)"))
+      assert(m.nTracks == 2 && m.audioTrack == 3, s"id=$id: $m")
+      assert(m.audioCodec ==
+        (if (id % 2 == 0) "A_VORBIS" else "A_OPUS"), s"id=$id")
+      assert(m.audioChannels == 1 + (id % 2).toInt, s"id=$id")
+      assert(m.audioRate ==
+        (if (id % 2 == 0) 44100 else 48000), s"id=$id")
+      assert(m.nAudioBlocks == 2 + (id % 3).toInt, s"id=$id")
+      // the video half is untouched by the interleaved audio
+      assert(m.vp8Track == 1 && m.nBlocks == 3 && m.keyframes == 1)
+      val avFrames = Webm.decode(b).getOrElse(fail(s"decode id=$id"))
+      val plain = Webm.decode(Vp8Fixtures.webmFor(id % 4)).get
+      avFrames.zip(plain).foreach { case (a, e) =>
+        assert(java.util.Arrays.equals(a.y, e.y), s"id=$id")
+      }
+    }
+    // a video-only mux reports the no-audio sentinel row
+    val m0 = Webm.meta(Vp8Fixtures.webmFor(0L)).get
+    assert(m0.audioTrack == -1 && m0.audioCodec == "" &&
+      m0.audioChannels == 0 && m0.audioRate == 0 && m0.nAudioBlocks == 0)
+    // splicing a WIDER SamplingFrequency element into the mux without
+    // fixing the enclosing Audio/TrackEntry sizes must reject (the
+    // structural validator stance), never misread neighboring bytes
+    val av = Vp8Fixtures.webmFor(4L)
+    val i4 = av.indexOfSlice(Array(0xB5.toByte, 0x84.toByte))
+    assert(i4 > 0, "4-byte SamplingFrequency element present")
+    val bits = java.lang.Double.doubleToLongBits(44100.0)
+    val wide = av.take(i4) ++ Array(0xB5.toByte, 0x88.toByte) ++
+      (0 until 8).map(j => ((bits >> (56 - 8 * j)) & 0xff).toByte) ++
+      av.drop(i4 + 6)
+    // the parent TrackEntry/Audio sizes no longer match -> the walk
+    // must reject rather than misread (structural validator stance)
+    assert(Webm.meta(wide).isEmpty)
+  }
+
   test("subtitle track (r13): S_TEXT BlockGroup cues demux to " +
     "(start_ms, end_ms, UTF-8 text) without disturbing the video " +
     "track; a video-only mux reports no subtitle surface") {
