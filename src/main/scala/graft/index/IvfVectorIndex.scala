@@ -72,7 +72,17 @@ class IvfVectorIndex private (
     * files into the matching `cluster=` partitions; optionally PQ-code
     * them when the index carries codes. Unprobed clusters still never
     * open; a drifted corpus wants a rebuild, not an append — same
-    * trade faiss documents for IVF. */
+    * trade faiss documents for IVF.
+    *
+    * Crash footprint: the existing generation is never touched (pure
+    * file adds; in-flight task output lives under `_temporary`, which
+    * readers ignore), so an interrupted append leaves the old rows
+    * fully readable — spec-pinned in IvfIndexCrashSpec. What it does
+    * NOT have is the postings lakes' `_ranges` replay ledger: a crash
+    * during job commit can land a visible SUBSET of the batch, and a
+    * blind re-run appends the whole batch again (duplicate docids).
+    * Recovery contract: re-append after `df.filter` shows the batch's
+    * docids absent, or dedup by docid at read, or rebuild. */
   def append(docs: DataFrame, vecCol: String, idCol: String): IvfVectorIndex = {
     val assigned = Ivf.assign(docs, vecCol, model)
       .withColumnRenamed(vecCol, "vector")
@@ -121,6 +131,11 @@ class IvfVectorIndex private (
     require(driftedClusters.forall(c =>
       c >= 0 && c < model.centroids.length),
       s"cluster ids out of range: $driftedClusters")
+    // settle any older interrupted retrain BEFORE reading the live
+    // tree: the k-means refinement below runs eager Spark jobs over
+    // the drifted partitions, and a committed-but-unapplied staging
+    // would leave it training on a superseded generation
+    IvfVectorIndex.completeRetrain(spark, path)
     val drifted = driftedClusters.distinct.sorted
     val rows = df.filter(
       col("cluster").isin(drifted.map(Integer.valueOf): _*))
@@ -133,14 +148,30 @@ class IvfVectorIndex private (
     val reassigned = Ivf.assign(rows.drop("cluster"), "vector", local)
       .withColumn("cluster",
         element_at(idMap, col("cluster") + 1))
-      .localCheckpoint() // materialize BEFORE deleting source files
+    // Crash-safe commit (r14): the old delete-then-append lost the
+    // drifted clusters' rows if the JVM died between the partition
+    // delete and the append (the reassigned rows lived only in
+    // executor-memory checkpoint blocks). Now the protocol is staged
+    // roll-forward, mirroring [[Generations]]:
+    //   1. write the reassigned rows AND the patched codebook whole
+    //      into `<path>/_retrain` (underscore dir — invisible to the
+    //      partition reader, same filesystem so renames are renames);
+    //   2. drop a COMMIT marker — the point of no return;
+    //   3. per drifted cluster: delete live `cluster=c`, rename the
+    //      staged one in; then swap the codebook sidecar; then delete
+    //      the staging dir. Every step idempotent.
+    // A crash BEFORE the marker rolls back at next load (index
+    // untouched); a crash AFTER it rolls FORWARD at next load
+    // ([[IvfVectorIndex.completeRetrain]]) — some clusters old, some
+    // new mid-commit is fine because the staged data is the complete
+    // row set of every drifted cluster.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    drifted.foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"cluster=$c"), true)
-    }
+    val staging = new org.apache.hadoop.fs.Path(path, "_retrain")
+    if (fs.exists(staging)) fs.delete(staging, true)
     reassigned.sortWithinPartitions("cluster", "docid")
-      .write.mode("append").partitionBy("cluster").parquet(path)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/_retrain/data")
     val patched = model.centroids.clone()
     drifted.zipWithIndex.foreach { case (g, i) =>
       patched(g) = local.centroids(i)
@@ -150,19 +181,27 @@ class IvfVectorIndex private (
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
-    graft.plans.AnnRouteRule.invalidate(path)
+      .write.mode("overwrite").parquet(s"$path/_retrain/centroids")
+    fs.create(new org.apache.hadoop.fs.Path(staging, "COMMIT")).close()
+    IvfVectorIndex.completeRetrain(spark, path)
     new IvfVectorIndex(spark, path, Ivf.Model(patched), pqModel)
   }
 
   /** Offline maintenance: rewrite the data files at the target file
     * size (repeated appends leave one small file per append per
     * cluster; small files tax every scan's task scheduling). Rewrites
-    * into a sibling directory then swaps — NOT safe against concurrent
-    * readers (this index trades the flat [[VectorIndex]]'s versioned
-    * storage for partition layout; compact during a maintenance
-    * window, or rebuild to a fresh path). */
+    * into a sibling directory then swaps via the two-rename
+    * [[Generations.swap]] (r14 — was delete-then-rename, whose crash
+    * window left NO readable index on disk); every [[IvfVectorIndex
+    * .load]] runs the matching repair. Still NOT safe against
+    * concurrent readers (this index trades the flat [[VectorIndex]]'s
+    * versioned storage for partition layout; compact during a
+    * maintenance window, or rebuild to a fresh path). */
   def compact(maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
+    // settle any interrupted retrain first: the sibling rewrite below
+    // carries only data + codebook sidecars, so a pending `_retrain`
+    // staging dir would be silently dropped by the swap
+    IvfVectorIndex.completeRetrain(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
@@ -175,16 +214,16 @@ class IvfVectorIndex private (
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")
       .parquet(tmp.toString)
-    // carry the codebook sidecars over, then swap
+    // carry the codebook sidecars over, then swap; `_pq` before
+    // `_centroids` — the generation-complete marker lands last
     val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_centroids", "_pq").foreach { sub =>
+    Seq("_pq", "_centroids").foreach { sub =>
       val src = new org.apache.hadoop.fs.Path(cur, sub)
       if (fs.exists(src)) org.apache.hadoop.fs.FileUtil.copy(
         fs, src, fs, new org.apache.hadoop.fs.Path(tmp, sub),
         false, spark.sparkContext.hadoopConfiguration)
     }
-    fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    Generations.swap(spark, path)
     graft.plans.AnnRouteRule.invalidate(path)
     this
   }
@@ -243,8 +282,63 @@ object IvfVectorIndex {
     new IvfVectorIndex(spark, path, model, pqModel)
   }
 
-  /** Open an index, recovering the persisted codebook(s). */
+  /** Roll an interrupted [[IvfVectorIndex.retrainInPlace]] to a
+    * consistent state — called by every [[load]] (and by retrain and
+    * compact before they start):
+    *
+    *  - staging present WITHOUT its COMMIT marker → the crash hit
+    *    before the point of no return: roll BACK (delete staging; the
+    *    live index was never touched);
+    *  - staging present WITH the marker → roll FORWARD, each step
+    *    idempotent: per staged `cluster=c` delete the live partition
+    *    and rename the staged one in (a re-run skips clusters whose
+    *    staged dir is already gone), then swap the staged codebook
+    *    into `_centroids` (delete live, rename staged — a crash
+    *    between the two re-runs the rename next load), then delete
+    *    the staging dir.
+    *
+    * No-op when no staging dir exists — the hot path costs one
+    * exists() probe. */
+  private[index] def completeRetrain(
+      spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path, "_retrain")
+    if (!fs.exists(staging)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "COMMIT"))) {
+      fs.delete(staging, true) // uncommitted: the live index is intact
+      return
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir)
+        .filter(_.getPath.getName.startsWith("cluster="))
+        .foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+          if (fs.exists(live)) fs.delete(live, true)
+          require(fs.rename(st.getPath, live),
+            s"retrain recovery: cannot promote ${st.getPath}")
+        }
+    }
+    val cenStaged = new org.apache.hadoop.fs.Path(staging, "centroids")
+    if (fs.exists(cenStaged)) {
+      val cenLive = new org.apache.hadoop.fs.Path(path, "_centroids")
+      if (fs.exists(cenLive)) fs.delete(cenLive, true)
+      require(fs.rename(cenStaged, cenLive),
+        "retrain recovery: cannot swap the codebook sidecar")
+    }
+    fs.delete(staging, true)
+    graft.plans.AnnRouteRule.invalidate(path)
+    ()
+  }
+
+  /** Open an index, recovering the persisted codebook(s); runs the
+    * two maintenance repairs first (mid-compact swap, mid-retrain
+    * commit) so a crashed maintenance window never leaves an
+    * unreadable index. */
   def load(spark: SparkSession, path: String): IvfVectorIndex = {
+    Generations.recover(spark, path, "_centroids")
+    completeRetrain(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(sub: String) =

@@ -783,57 +783,20 @@ object Bm25Index {
   }
 
   /** Crash-safe generation swap for compaction, shared by the three
-    * postings lakes (BM25 / shingle / winnow) — the BatchLedger
-    * snapshot-first discipline applied to the directory swap (r13).
-    * The freshly written sibling `<path>.compact` replaces the live
-    * directory via TWO renames with the old generation retained,
-    * never delete-then-rename (whose crash window left NO readable
-    * index on disk):
-    *
-    *   1. rename(live, `<path>.old`) — old generation retired whole;
-    *   2. rename(`<path>.compact`, live) — new generation promoted;
-    *   3. delete(`<path>.old`).
-    *
-    * Crash anywhere: before 1 the live index is untouched (a partial
-    * sibling is overwritten by the next compact); between 1 and 2
-    * the old generation survives complete at `.old` and
-    * [[recoverGeneration]] — called by every load — renames it back;
-    * after 2 the new generation is live and the stray `.old` is
-    * reaped by the next load or swap. */
+    * postings lakes (BM25 / shingle / winnow) — now the generic
+    * [[graft.index.Generations.swap]] (r14: the IVF vector index
+    * adopted the same protocol), keyed on `_stats` as the
+    * generation-complete marker. */
   private[operators] def swapGenerations(
-      spark: SparkSession, path: String): Unit = {
-    val cur = new org.apache.hadoop.fs.Path(path)
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    if (fs.exists(old)) fs.delete(old, true) // stray from a past crash
-    require(fs.rename(cur, old), s"compact swap: cannot retire $cur")
-    require(fs.rename(tmp, cur), s"compact swap: cannot promote $tmp")
-    fs.delete(old, true)
-    ()
-  }
+      spark: SparkSession, path: String): Unit =
+    graft.index.Generations.swap(spark, path)
 
-  /** Load-time repair for [[swapGenerations]]'s one crash window: if
-    * the live directory is GONE but a complete old generation sits at
-    * `<path>.old`, rename it back (the completed `.compact` sibling,
-    * if any, is simply overwritten by the next compact — recovering
-    * the OLD generation is always consistent). When the live index is
-    * healthy, a stray `.old` is reaped. No-op otherwise. */
+  /** Load-time repair for [[swapGenerations]]'s one crash window —
+    * [[graft.index.Generations.recover]] with the lakes' `_stats`
+    * marker. */
   private[operators] def recoverGeneration(
-      spark: SparkSession, path: String): Unit = {
-    val cur = new org.apache.hadoop.fs.Path(path)
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    val liveStats = new org.apache.hadoop.fs.Path(s"$path/_stats")
-    if (!fs.exists(cur) &&
-        fs.exists(new org.apache.hadoop.fs.Path(path + ".old/_stats"))) {
-      require(fs.rename(old, cur),
-        s"compact recovery: cannot restore $old to $cur")
-    } else if (fs.exists(liveStats) && fs.exists(old)) {
-      fs.delete(old, true) // crash after promotion: reap the leftover
-      ()
-    }
-  }
+      spark: SparkSession, path: String): Unit =
+    graft.index.Generations.recover(spark, path, "_stats")
 
   /** `_ranges` sidecar: one (lo, hi) docid interval per build/append —
     * the [[Bm25Index.append]] overlap guard's memory. Tiny (O(appends)
