@@ -201,6 +201,96 @@ object SparkEntry {
       "doc_id", "text", path, ngram = 3)
   }
 
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Load-or-build the MERGED twin of [[shingleIndexAt]]'s lake: the
+    * same doc_id < 250 corpus built as TWO disjoint shards absorbed
+    * by file-level merge ([[operators.IndexMerge]], r14 — the 100 TB
+    * shard-parallel build shape). Merge is result-identical to the
+    * monolithic build, so `dedup_shard_merge` shares
+    * `dedup_incremental`'s oracle verbatim. */
+  private def shingleMergedIndexAt(s: SparkSession, dir: String)
+      : operators.ShingleIndex = {
+    val path = cachedIndexPath(dir, "documents", "shinglemerge3")
+    val shardB = path + "_shard_b"
+    if (new java.io.File(s"$path/_stats").exists &&
+        !new java.io.File(s"$path/_merge_pending").exists &&
+        !new java.io.File(shardB).exists)
+      operators.ShingleIndex.load(s, path)
+    else {
+      rmTree(path); rmTree(shardB)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val a = operators.ShingleIndex.build(
+        docs.filter(col("doc_id") < 125), "doc_id", "text", path,
+        ngram = 3, nBuckets = 16)
+      val b = operators.ShingleIndex.build(
+        docs.filter(col("doc_id") >= 125 && col("doc_id") < 250),
+        "doc_id", "text", shardB, ngram = 3, nBuckets = 16)
+      a.merge(b)
+    }
+  }
+
+  /** Load-or-build the MERGED twin of [[bm25IndexAt]]: `documents`
+    * split at the median doc_id into two shard indexes (same bucket
+    * count), absorbed by file-level merge. BM25 stats flow through
+    * the merge exactly (n and Σdl sum; per-term df is computed from
+    * the merged postings at query time), so `bm25_shard_merge`
+    * shares `bm25_index_topk`'s full-corpus oracle verbatim. */
+  private def bm25MergedIndexAt(s: SparkSession, dir: String)
+      : operators.Bm25Index = {
+    val path = cachedIndexPath(dir, "documents", "bm25merge_64")
+    val shardB = path + "_shard_b"
+    if (new java.io.File(s"$path/_stats").exists &&
+        !new java.io.File(s"$path/_merge_pending").exists &&
+        !new java.io.File(shardB).exists)
+      operators.Bm25Index.load(s, path)
+    else {
+      rmTree(path); rmTree(shardB)
+      val docs = t(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val a = operators.Bm25Index.build(
+        docs.filter(col("doc_id") <= mid), "text", "doc_id", path,
+        nBuckets = 64)
+      val b = operators.Bm25Index.build(
+        docs.filter(col("doc_id") > mid), "text", "doc_id", shardB,
+        nBuckets = 64)
+      a.merge(b)
+    }
+  }
+
+  /** Load-or-build the MERGED twin of the IVF index over
+    * `embeddings`: codebook trained ONCE on the full table
+    * (deterministic), then two disjoint vec_id shards built with the
+    * SHARED book and merged as pure cluster-file moves. Search over
+    * the merged index probes the same clusters with the same exact
+    * cosine as `ivf_knn`, so it shares that oracle (and the
+    * `ivf_candidates` aux) verbatim. */
+  private def ivfMergedIndexAt(s: SparkSession, dir: String)
+      : index.IvfVectorIndex = {
+    val path = cachedIndexPath(dir, "embeddings", "ivfmerge_16")
+    val shardB = path + "_shard_b"
+    if (new java.io.File(s"$path/_centroids").exists &&
+        !new java.io.File(shardB).exists)
+      index.IvfVectorIndex.load(s, path)
+    else {
+      rmTree(path); rmTree(shardB)
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Ivf.train(emb, "embedding", k = 16)
+      val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      val a = index.IvfVectorIndex.build(
+        emb.filter(col("vec_id") <= mid), "embedding", "vec_id", path, model)
+      val b = index.IvfVectorIndex.build(
+        emb.filter(col("vec_id") > mid), "embedding", "vec_id", shardB, model)
+      a.merge(b)
+    }
+  }
+
   /** Load-or-train the PPMI random-indexing word-vector model over
     * `documents` (shared by wordvec_knn / wordvec_similar and the aux
     * dump). Training is bit-deterministic (WordVecSpec: long-quantized
@@ -3800,6 +3890,40 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // shard-parallel index build + file-level merge (r14): the SAME
+    // lake as dedup_incremental, built as two disjoint docid shards
+    // and absorbed by IndexMerge's marker protocol — pure renames, no
+    // posting rewritten. The probe result must equal the monolithic
+    // lake's (the oracle is dedup_incremental's verbatim); at 100 TB
+    // this is the build shape (shards in parallel with local sorts,
+    // merge is O(files) metadata).
+    "dedup_shard_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      shingleMergedIndexAt(s, dir)
+        .survivors(docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", threshold = 0.35)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // the BM25 twin: (n, Σdl) sum through the merge, per-term df is
+    // computed from the merged postings at query time — so the merged
+    // shards score IDENTICALLY to the monolithic index and the oracle
+    // is bm25_index_topk's full-corpus SQL verbatim
+    "bm25_shard_merge" -> ((s, dir) =>
+      bm25MergedIndexAt(s, dir).search(Seq("vector", "hash", "join"), 10)),
+
+    // the vector twin: one shared codebook (trained once,
+    // deterministic), shard indexes merged as cluster-file moves;
+    // search probes the same clusters with the same exact cosine as
+    // ivf_knn, sharing its oracle + candidates aux
+    "ivf_shard_merge" -> ((s, dir) => {
+      Graft.init(s)
+      ivfMergedIndexAt(s, dir)
+        .search(queryVec(s, dir), 10, nprobe = 4)
+        .select(col("docid").as("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // streamed == batch, oracle-visible (r13): a REAL file-source
     // micro-batched Structured Streaming ingest (3 batches through
     // IngestStream's two-tier gate + BatchLedger, plus a POISONED
@@ -4807,7 +4931,20 @@ object SparkEntry {
         |SELECT frame, CAST(plane AS BIGINT) AS plane, pos, v
         |FROM allf ORDER BY frame, plane, pos""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  // The shard-merge queries are RESULT-IDENTICAL to their monolithic
+  // twins by construction (file-level merge moves postings between
+  // directories without touching a row), so they share the twins'
+  // oracles verbatim — the sharpest possible check: the merged-shard
+  // engine result must hash-match the full-corpus re-derivation.
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    m ++ Map(
+      "dedup_shard_merge" -> m("dedup_incremental"),
+      "bm25_shard_merge" -> m("bm25_index_topk"),
+      "ivf_shard_merge" -> m("ivf_knn"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "knn_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -98,6 +98,46 @@ class IvfVectorIndex private (
 
   def count(): Long = df.count()
 
+  /** Absorb `other` — a shard built with the SAME codebooks (IVF
+    * centroids and, when coded, the PQ books, bit-equal) — by pure
+    * file moves: every shard assigns vectors with the shared book, so
+    * shard A's `cluster=7` and shard B's `cluster=7` are disjoint row
+    * sets of the same merged partition. The 100 TB build shape: train
+    * the codebook once on a sample, broadcast it, build shard indexes
+    * in parallel (each a local sort + write), merge as O(files)
+    * renames.
+    *
+    * Unlike the postings lakes there is no stats or ledger state to
+    * tear: a crash mid-merge leaves some rows still in `other` —
+    * both directories remain individually consistent and re-running
+    * `merge` completes the move (idempotent). `other`'s directory is
+    * deleted on completion. */
+  def merge(other: IvfVectorIndex): IvfVectorIndex = {
+    require(model.centroids.length == other.model.centroids.length &&
+      model.centroids.zip(other.model.centroids)
+        .forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "ivf merge: shards must be built with the SAME IVF codebook " +
+      "(bit-equal centroids) — differing books assign the same vector " +
+      "to different clusters and the merged partitions would lie")
+    require(pqModel.isDefined == other.pqModel.isDefined &&
+      pqModel.zip(other.pqModel).forall { case (a, b) =>
+        a.codebooks.length == b.codebooks.length &&
+        a.codebooks.zip(b.codebooks).forall { case (ba, bb) =>
+          ba.zip(bb).forall { case (ca, cb) =>
+            java.util.Arrays.equals(ca, cb) } }
+      },
+      "ivf merge: PQ codebooks must match (or both be absent)")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfVectorIndex.completeRetrain(spark, path)
+    IvfVectorIndex.completeRetrain(spark, other.path)
+    graft.operators.IndexMerge.movePartitionFiles(
+      fs, new org.apache.hadoop.fs.Path(other.path), dst, "cluster=")
+    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
+    graft.plans.AnnRouteRule.invalidate(other.path)
+    this
+  }
+
   /** The drift RESPONDER — completes the loop [[graft.operators.Ivf
     * .drift]] opens: re-cluster ONLY the flagged clusters' rows and
     * rewrite ONLY their partitions. Mechanics:

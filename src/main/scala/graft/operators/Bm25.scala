@@ -484,7 +484,12 @@ class Bm25Index private (
       .parquet(tmp.toString)
     val cur = new org.apache.hadoop.fs.Path(path)
     // carry every sidecar: stats, append id-ranges, metadata store
-    Seq("_stats", "_ranges", "_meta").foreach { side =>
+    // `_batches` is the streaming-delivery ledger (BatchLedger):
+    // dropping it on compact stays CORRECT (replays re-skip via the
+    // `_ranges` claim and the batch-keyed output overwrite) but turns
+    // a replayed batch's ledger short-circuit into a full survivor
+    // recompute — carry it (r14)
+    Seq("_stats", "_ranges", "_meta", "_batches").foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -493,6 +498,48 @@ class Bm25Index private (
     }
     Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
     new Bm25Index(spark, path, n, sumdl, nBuckets)
+  }
+
+  /** Absorb `other` — a shard built with the SAME bucket count over a
+    * DISJOINT docid range — by pure file moves ([[IndexMerge]]'s
+    * shard-parallel build story: terms bucket by the same content
+    * hash in every shard, so the merged partition is just both file
+    * sets). BM25 scoring stays exact through the merge by
+    * construction: per-term df is computed from the merged postings
+    * at query time, and the global (n, Σdl) sum into `_stats` via the
+    * crash-safe marker protocol (claim ranges → `_merge_pending` with
+    * the post-merge stats → move files → move `_meta` shard files →
+    * rewrite stats → delete source → delete marker; every load rolls
+    * an interrupted merge forward). The `_meta` sidecars concatenate
+    * at file level too — shards hold disjoint docid ranges, so their
+    * docid-sorted meta files keep row-group min/max pruning intact. */
+  def merge(other: Bm25Index): Bm25Index = {
+    require(other.nBuckets == nBuckets,
+      s"bm25 merge: bucket-count mismatch ($nBuckets vs " +
+      s"${other.nBuckets}); shards must be built with the same buckets")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
+      if (src != other.path) Bm25Index.completeMerge(spark, path)
+    }
+    val (postN, postSum) = IndexMerge.readMarker(fs, dst) match {
+      case Some((_, stats)) => (stats(0), stats(1))
+      case None =>
+        IndexMerge.claimRanges(spark, path, other.path)
+        val s = (n + other.n, sumdl + other.sumdl)
+        IndexMerge.writeMarker(fs, dst, other.path,
+          Seq(s._1, s._2, nBuckets.toLong))
+        s
+    }
+    val srcP = new org.apache.hadoop.fs.Path(other.path)
+    IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
+    IndexMerge.moveFlatFiles(fs,
+      new org.apache.hadoop.fs.Path(srcP, "_meta"),
+      new org.apache.hadoop.fs.Path(dst, "_meta"))
+    Bm25Index.writeStats(spark, path, postN, postSum, nBuckets)
+    fs.delete(srcP, true)
+    IndexMerge.deleteMarker(fs, dst)
+    new Bm25Index(spark, path, postN, postSum, nBuckets)
   }
 
   /** Docid-sorted metadata sidecar (`path/_meta`): `cols` keyed by
@@ -851,8 +898,28 @@ object Bm25Index {
     new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nb)
   }
 
+  /** Roll an interrupted [[Bm25Index.merge]] forward — called by every
+    * [[load]]; the marker carries the post-merge (n, Σdl, buckets) so
+    * each step is idempotent from any crash point. */
+  private[operators] def completeMerge(
+      spark: SparkSession, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
+      val srcP = new org.apache.hadoop.fs.Path(src)
+      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
+      IndexMerge.moveFlatFiles(fs,
+        new org.apache.hadoop.fs.Path(srcP, "_meta"),
+        new org.apache.hadoop.fs.Path(dst, "_meta"))
+      writeStats(spark, path, stats(0), stats(1), stats(2).toInt)
+      fs.delete(srcP, true)
+      IndexMerge.deleteMarker(fs, dst)
+    }
+  }
+
   def load(spark: SparkSession, path: String): Bm25Index = {
     recoverGeneration(spark, path) // mid-compact crash repair
+    completeMerge(spark, path) // mid-merge crash roll-forward
     val st = spark.read.parquet(s"$path/_stats").head()
     new Bm25Index(spark, path, st.getLong(0), st.getLong(1), st.getInt(2))
   }

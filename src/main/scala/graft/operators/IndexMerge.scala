@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** File-level shard merge for the hash-partitioned index families —
+  * the 100 TB INDEX BUILD story. A monolithic build of any of the
+  * lakes shuffles the whole corpus's postings once; at petabyte scale
+  * the right shape is shard-parallel: each worker (or each crawl
+  * segment) builds its own index over its docid slice with purely
+  * LOCAL sorts, and the shards then merge as O(files) namenode
+  * renames — no posting is read, decoded, shuffled, or rewritten,
+  * because every family partitions by a CONTENT hash (`bucket =
+  * pmod(hash(term|key), nBuckets)` or `cluster = nearest centroid`)
+  * that is identical across shards built with the same parameters:
+  * shard A's `bucket=7` files and shard B's `bucket=7` files are
+  * disjoint row sets of the SAME merged partition, so the merged
+  * index is just both file sets under one directory.
+  *
+  * Query-time stats stay exact through a merge by construction:
+  * BM25's per-term df is computed from the (merged) postings at
+  * search time, and the global (n, sumdl) are summed into `_stats`
+  * by the marker protocol below. Compaction later folds the merged
+  * small files — the usual maintenance story, not a merge cost.
+  *
+  * Crash safety mirrors [[graft.index.IvfVectorIndex]]'s staged
+  * retrain: a `_merge_pending` marker written BEFORE any file moves
+  * carries the post-merge stats and the source path, every step
+  * (move, stats overwrite, source delete) is idempotent, and each
+  * family's `load` rolls an interrupted merge forward. */
+object IndexMerge {
+
+  /** Move every data file under `src`'s `prefix*` partition dirs into
+    * the matching dirs of `dst` (created on demand). Idempotent: a
+    * re-run moves whatever is left. Spark part-file names carry a
+    * per-job UUID so collisions don't occur in practice; a colliding
+    * name gets a disambiguating prefix rather than clobbering. */
+  private[graft] def movePartitionFiles(
+      fs: FileSystem, src: Path, dst: Path, prefix: String): Long = {
+    if (!fs.exists(src)) return 0L
+    var moved = 0L
+    fs.listStatus(src)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .foreach { part =>
+        val target = new Path(dst, part.getPath.getName)
+        if (!fs.exists(target)) fs.mkdirs(target)
+        fs.listStatus(part.getPath).filter(_.isFile).foreach { f =>
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            val to0 = new Path(target, name)
+            val to = if (!fs.exists(to0)) to0
+              else new Path(target, s"merged-${System.nanoTime()}-$name")
+            require(fs.rename(f.getPath, to),
+              s"index merge: cannot move ${f.getPath} to $to")
+            moved += 1
+          }
+        }
+      }
+    moved
+  }
+
+  /** Move the plain data files directly under `src` into `dst`
+    * (created on demand) — the sidecar twin of [[movePartitionFiles]]
+    * for flat dirs like BM25's `_meta`. Idempotent; no-op when `src`
+    * is absent. */
+  private[graft] def moveFlatFiles(
+      fs: FileSystem, src: Path, dst: Path): Long = {
+    if (!fs.exists(src)) return 0L
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    var moved = 0L
+    fs.listStatus(src).filter(_.isFile).foreach { f =>
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val to0 = new Path(dst, name)
+        val to = if (!fs.exists(to0)) to0
+          else new Path(dst, s"merged-${System.nanoTime()}-$name")
+        require(fs.rename(f.getPath, to),
+          s"index merge: cannot move ${f.getPath} to $to")
+        moved += 1
+      }
+    }
+    moved
+  }
+
+  /** Write the `_merge_pending` marker: `src` plus the post-merge
+    * stat longs, one per line. Single small create — effectively
+    * atomic at the granularity the protocol needs (a torn marker
+    * fails parse and [[readMarker]] treats it as absent, i.e. the
+    * crash window collapses into "before the marker"). */
+  private[graft] def writeMarker(
+      fs: FileSystem, dst: Path, src: String, stats: Seq[Long]): Unit = {
+    val out = fs.create(new Path(dst, "_merge_pending"), true)
+    try out.write((src + "\n" + stats.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a pending-merge marker: (src path, post-merge stats), or
+    * None when absent or torn. A torn marker (the crash hit during
+    * the marker write itself — BEFORE any file moved) is deleted on
+    * read: the protocol's state is then exactly "ranges claimed, no
+    * marker", which a re-run of the same merge resumes value-
+    * idempotently. */
+  private[graft] def readMarker(
+      fs: FileSystem, dst: Path): Option[(String, Seq[Long])] = {
+    val p = new Path(dst, "_merge_pending")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val lines = raw.split("\n").filter(_.nonEmpty)
+    val parsed =
+      if (lines.length < 2) None
+      else try Some((lines.head, lines.tail.toSeq.map(_.toLong)))
+      catch { case _: NumberFormatException => None }
+    if (parsed.isEmpty) fs.delete(p, false) // torn: roll back to no-marker
+    parsed
+  }
+
+  private[graft] def deleteMarker(fs: FileSystem, dst: Path): Unit = {
+    fs.delete(new Path(dst, "_merge_pending"), false); ()
+  }
+
+  /** The shared range-ledger step: every (lo, hi) docid claim of
+    * `src` is appended to `dst`'s `_ranges` unless already there
+    * (value-level idempotence for replays); a PARTIAL overlap with
+    * dst's existing claims throws — merging an already-indexed doc
+    * range would double its postings. */
+  private[graft] def claimRanges(
+      spark: SparkSession, dstPath: String, srcPath: String): Unit = {
+    val mine = Bm25Index.readRanges(spark, dstPath)
+    val theirs = Bm25Index.readRanges(spark, srcPath)
+    theirs.foreach { case (lo, hi) =>
+      if (!mine.contains((lo, hi))) {
+        mine.find { case (l, h) => lo <= h && l <= hi }.foreach {
+          case (l, h) => throw new IllegalArgumentException(
+            s"index merge: source range [$lo,$hi] intersects " +
+            s"already-indexed [$l,$h] — shards must cover disjoint " +
+            "docid ranges")
+        }
+        Bm25Index.appendRange(spark, dstPath, lo, hi)
+      }
+    }
+  }
+}

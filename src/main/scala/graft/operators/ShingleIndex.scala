@@ -273,6 +273,91 @@ class ShingleIndex private (
     (surv, appendBatch(surv, idCol, textCol))
   }
 
+  /** `(fileCount, bytes)` of the `bucket=*` postings tree — the part
+    * of the lake [[compact]] can actually defragment (the `_ranges` /
+    * `_batches` sidecars also grow a tiny file per append, but they
+    * are driver-side reads, never scan inputs, and a post-compact
+    * lake must read as "no compaction needed"). One two-level listing
+    * — the same walk every post-append probe already pays to list the
+    * fragmented postings, so reading it once per batch adds nothing
+    * asymptotic. */
+  def storageFootprint(): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.isFile)
+    (stats.length.toLong, stats.map(_.getLen).sum)
+  }
+
+  /** The auto-compaction trigger ([[IngestStream]]'s `AutoCompact`
+    * cadence, r14 — the [[Bm25Index.autoBuckets]] pattern applied to
+    * WHEN instead of HOW MANY): compact when the on-disk file count
+    * exceeds `slack ×` the IDEAL layout's file count, where ideal =
+    * `max(nBuckets, bytes / targetFileBytes)` — one file per bucket
+    * until buckets outgrow the target file size, then size-bounded
+    * files. The rule self-scales: a growing lake raises the ideal
+    * count, so compaction (a full rewrite, cost ∝ lake size) fires
+    * ever less often while the small-file tax per probe stays bounded
+    * at `slack ×` optimal. `slack = 4` measured on the streaming
+    * probe's curve at both the 100k- and 1M-doc base shapes
+    * (BASELINE.md r14): within noise of the best fixed cadence at
+    * each shape, without the caller having to know the shape. */
+  def shouldCompact(
+      slack: Double = 4.0,
+      targetFileBytes: Long = 256L << 20): Boolean = {
+    val (files, bytes) = storageFootprint()
+    val ideal = math.max(nBuckets.toLong,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    files > slack * ideal
+  }
+
+  /** Absorb `other` — a shard built with IDENTICAL shingle parameters
+    * over a DISJOINT docid range — into this index by pure file moves
+    * ([[IndexMerge]]): shard postings bucket by the same content hash,
+    * so shard A's `bucket=7` and shard B's `bucket=7` are disjoint row
+    * sets of the same merged partition. No posting is read or
+    * rewritten; the merge costs O(files) renames however big the
+    * shards are — the 100 TB build shape (shards build in parallel
+    * with local sorts, merge is metadata).
+    *
+    * Crash-safe roll-forward: `other`'s ranges are claimed in
+    * `_ranges` first (value-idempotent), then a `_merge_pending`
+    * marker carrying the post-merge stats row and the source path is
+    * the point of no return — every load completes an interrupted
+    * merge ([[ShingleIndex.completeMerge]]). `other`'s directory is
+    * deleted on completion; re-using its handle is an error. */
+  def merge(other: ShingleIndex): ShingleIndex = {
+    require(other.ngram == ngram && other.nBuckets == nBuckets &&
+      other.hashKeys == hashKeys,
+      s"shingle merge: parameter mismatch — this=(ngram=$ngram," +
+      s"buckets=$nBuckets,hashKeys=$hashKeys) other=(ngram=${other.ngram}," +
+      s"buckets=${other.nBuckets},hashKeys=${other.hashKeys}); shards " +
+      "must be built with identical parameters")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an interrupted merge of a DIFFERENT source must finish first
+    IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
+      if (src != other.path) ShingleIndex.completeMerge(spark, path)
+    }
+    val postN = IndexMerge.readMarker(fs, dst) match {
+      case Some((_, stats)) => stats.head // resuming: post-stats fixed
+      case None =>
+        IndexMerge.claimRanges(spark, path, other.path)
+        val n = nDocs + other.nDocs
+        IndexMerge.writeMarker(fs, dst, other.path,
+          Seq(n, ngram.toLong, nBuckets.toLong, if (hashKeys) 1L else 0L))
+        n
+    }
+    IndexMerge.movePartitionFiles(
+      fs, new org.apache.hadoop.fs.Path(other.path), dst, "bucket=")
+    ShingleIndex.writeStats(spark, path, postN, ngram, nBuckets, hashKeys)
+    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
+    IndexMerge.deleteMarker(fs, dst)
+    new ShingleIndex(spark, path, postN, ngram, nBuckets, hashKeys)
+  }
+
   /** Offline maintenance after repeated [[appendBatch]]es: rewrite each
     * bucket key-sorted into a sibling directory, carry the sidecars,
     * swap — [[Bm25Index.compact]]'s contract (maintenance windows only,
@@ -294,7 +379,11 @@ class ShingleIndex private (
       .partitionBy("bucket")
       .parquet(tmp.toString)
     val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_stats", "_ranges").foreach { side =>
+    // `_batches`: the BatchLedger sidecar the streaming ingest keeps
+    // next to the postings — must survive in-stream compaction or a
+    // post-compact replay loses its short-circuit (still correct via
+    // the `_ranges` claim, but recomputes the whole survivor set)
+    Seq("_stats", "_ranges", "_batches").foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -364,8 +453,29 @@ object ShingleIndex {
     new ShingleIndex(spark, path, st.getLong(0), ngram, nb, hashKeys)
   }
 
+  /** Roll an interrupted [[ShingleIndex.merge]] forward — called by
+    * every [[load]]: the marker carries the full post-merge stats row
+    * and the source path, so every step (move remaining files, rewrite
+    * `_stats` from the marker, delete the drained source, delete the
+    * marker) is idempotent from any crash point. No-op without a
+    * marker. */
+  private[operators] def completeMerge(
+      spark: SparkSession, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
+      IndexMerge.movePartitionFiles(
+        fs, new org.apache.hadoop.fs.Path(src), dst, "bucket=")
+      writeStats(spark, path, stats(0), stats(1).toInt, stats(2).toInt,
+        stats(3) == 1L)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      IndexMerge.deleteMarker(fs, dst)
+    }
+  }
+
   def load(spark: SparkSession, path: String): ShingleIndex = {
     Bm25Index.recoverGeneration(spark, path) // mid-compact crash repair
+    completeMerge(spark, path) // mid-merge crash roll-forward
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir))

@@ -173,7 +173,7 @@ class WinnowIndex private (
       .partitionBy("bucket")
       .parquet(tmp.toString)
     val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_stats", "_ranges").foreach { side =>
+    Seq("_stats", "_ranges", "_batches").foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -182,6 +182,39 @@ class WinnowIndex private (
     }
     Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
     new WinnowIndex(spark, path, nDocs, k, w, dfCap, nBuckets)
+  }
+
+  /** Absorb `other` — a shard with IDENTICAL winnowing parameters over
+    * a DISJOINT docid range — by pure file moves: [[ShingleIndex
+    * .merge]]'s protocol over the fingerprint lake (same marker
+    * roll-forward, same range claims; the probe-time df cap stays
+    * exact because lake-wide df is computed from the merged postings
+    * at probe time, never stored). */
+  def merge(other: WinnowIndex): WinnowIndex = {
+    require(other.k == k && other.w == w && other.dfCap == dfCap &&
+      other.nBuckets == nBuckets,
+      s"winnow merge: parameter mismatch — this=($k,$w,$dfCap,$nBuckets) " +
+      s"other=(${other.k},${other.w},${other.dfCap},${other.nBuckets})")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
+      if (src != other.path) WinnowIndex.completeMerge(spark, path)
+    }
+    val postN = IndexMerge.readMarker(fs, dst) match {
+      case Some((_, stats)) => stats.head
+      case None =>
+        IndexMerge.claimRanges(spark, path, other.path)
+        val n = nDocs + other.nDocs
+        IndexMerge.writeMarker(fs, dst, other.path,
+          Seq(n, k.toLong, w.toLong, dfCap.toLong, nBuckets.toLong))
+        n
+    }
+    IndexMerge.movePartitionFiles(
+      fs, new org.apache.hadoop.fs.Path(other.path), dst, "bucket=")
+    WinnowIndex.writeStats(spark, path, postN, k, w, dfCap, nBuckets)
+    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
+    IndexMerge.deleteMarker(fs, dst)
+    new WinnowIndex(spark, path, postN, k, w, dfCap, nBuckets)
   }
 }
 
@@ -235,8 +268,26 @@ object WinnowIndex {
     new WinnowIndex(spark, path, st.getLong(0), k, w, dfCap, nb)
   }
 
+  /** Roll an interrupted [[WinnowIndex.merge]] forward — called by
+    * every [[load]] ([[ShingleIndex.completeMerge]]'s idempotent
+    * steps with the winnow stats row). */
+  private[operators] def completeMerge(
+      spark: SparkSession, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
+      IndexMerge.movePartitionFiles(
+        fs, new org.apache.hadoop.fs.Path(src), dst, "bucket=")
+      writeStats(spark, path, stats(0), stats(1).toInt, stats(2).toInt,
+        stats(3).toInt, stats(4).toInt)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      IndexMerge.deleteMarker(fs, dst)
+    }
+  }
+
   def load(spark: SparkSession, path: String): WinnowIndex = {
     Bm25Index.recoverGeneration(spark, path) // mid-compact crash repair
+    completeMerge(spark, path) // mid-merge crash roll-forward
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir))

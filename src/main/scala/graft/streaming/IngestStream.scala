@@ -51,6 +51,16 @@ import graft.operators.{ShingleIndex, SimHash}
   */
 object IngestStream {
 
+  /** Sentinel for `compactEvery`: derive the compaction cadence from
+    * the lake's own fragmentation instead of a caller-pinned batch
+    * count — after each delivered batch, compact iff
+    * [[ShingleIndex.shouldCompact]] (file count > slack × the ideal
+    * layout). The measured r13 optimum at the 100k-base probe shape
+    * (`compactEvery = 3`) and the r14 1M-base optimum both sit on the
+    * rule's default curve (BASELINE.md r14), so callers no longer
+    * need to know their shape. */
+  val AutoCompact: Int = -1
+
   /** Start the two-tier ingest query. `indexPath` must hold an
     * already-built [[ShingleIndex]] over `base` (the one-time lake
     * build); accepted rows land in `outPath/batch=<id>` partitions
@@ -135,8 +145,11 @@ object IngestStream {
     // `compactEvery`-th delivered batch, AFTER the ledger records the
     // delivery — a kill mid-compact replays as an already-delivered
     // batch whose compact simply re-runs. 0 disables (the default:
-    // offline maintenance windows).
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+    // offline maintenance windows); [[AutoCompact]] (r14) lets the
+    // lake's own fragmentation decide.
+    if (compactEvery == AutoCompact) {
+      if (grown.shouldCompact()) { grown.compact(); () }
+    } else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       grown.compact()
       ()
     }

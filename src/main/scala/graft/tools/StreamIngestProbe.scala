@@ -31,7 +31,10 @@ object StreamIngestProbe {
     val nBase = args.headOption.map(_.toLong).getOrElse(100000L)
     val batches = args.lift(1).map(_.toInt).getOrElse(10)
     val perBatch = args.lift(2).map(_.toLong).getOrElse(10000L)
-    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
+    val compactEvery = args.lift(3) match {
+      case Some("auto") => IngestStream.AutoCompact
+      case other => other.map(_.toInt).getOrElse(0)
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

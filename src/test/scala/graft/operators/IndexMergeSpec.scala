@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Shard-parallel build + file-level merge for the persisted index
+  * families (r14): shards built with identical parameters over
+  * disjoint docid ranges merge as pure file renames, and the merged
+  * index is RESULT-IDENTICAL to one built monolithically over the
+  * union — postings, searches, probes, and stats. Crash windows of
+  * the marker protocol roll forward at load. */
+class IndexMergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "some other corpus document text that lives in the lake"),
+    (3L, "a third document with enough distinct words to shingle"),
+    (4L, "and a fourth one closing out the miniature test corpus"),
+    (10L, "vector search with hash joins is a database topic"),
+    (11L, "the lazy dog sleeps while the quick brown fox jumps"),
+    (12L, "hash partitioned vector indexes merge by file moves"),
+    (13L, "closing documents mention the corpus one final time"))
+    .toDF("doc_id", "text")
+
+  private def scratch(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-merge-$tag").toString
+
+  private def postingRows(path: String): Set[String] =
+    spark.read.parquet(path).collect().map(_.toString).toSet
+
+  test("shingle shards merge file-level into the monolithic index: " +
+    "postings identical, survivors identical, stats summed") {
+    val root = scratch("shingle")
+    ShingleIndex.build(corpus, "doc_id", "text", s"$root/whole",
+      ngram = 3, nBuckets = 8)
+    val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
+      "doc_id", "text", s"$root/a", ngram = 3, nBuckets = 8)
+    val b = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/b", ngram = 3, nBuckets = 8)
+    val merged = a.merge(b)
+    assert(postingRows(s"$root/a") == postingRows(s"$root/whole"))
+    assert(merged.nDocs == 8)
+    assert(!new java.io.File(s"$root/b").exists, "source drained")
+    assert(!new java.io.File(s"$root/a/_merge_pending").exists)
+    // probe equality against the monolith
+    val incoming = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"),
+      (21L, "hash partitioned vector indexes merge by file renames"),
+      (22L, "an entirely novel incoming document with fresh words"))
+      .toDF("doc_id", "text")
+    def surv(idx: ShingleIndex): Set[Long] = idx
+      .survivors(incoming, "doc_id", "text", 0.35)
+      .select("doc_id").as[Long].collect().toSet
+    val whole = ShingleIndex.load(spark, s"$root/whole")
+    assert(surv(merged) == surv(whole))
+    // reload round-trips the merged stats
+    assert(ShingleIndex.load(spark, s"$root/a").nDocs == 8)
+  }
+
+  test("bm25 shards merge file-level: search and facet results equal " +
+    "the monolithic index, (n, sumdl) summed, _meta concatenated") {
+    val root = scratch("bm25")
+    val whole = Bm25Index.build(corpus, "text", "doc_id",
+      s"$root/whole", nBuckets = 8)
+    val a = Bm25Index.build(corpus.filter($"doc_id" < 10), "text",
+      "doc_id", s"$root/a", nBuckets = 8)
+      .writeMeta(corpus.filter($"doc_id" < 10), "doc_id", Seq("text"))
+    val b = Bm25Index.build(corpus.filter($"doc_id" >= 10), "text",
+      "doc_id", s"$root/b", nBuckets = 8)
+      .writeMeta(corpus.filter($"doc_id" >= 10), "doc_id", Seq("text"))
+    val merged = a.merge(b)
+    assert(merged.n == whole.n && merged.sumdl == whole.sumdl)
+    def top(idx: Bm25Index): Seq[(Long, Long)] = idx
+      .search(Seq("quick", "vector", "corpus"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(merged) == top(whole))
+    // meta survived the merge at file level: all 8 docids fetchable
+    assert(merged.meta.count() == 8)
+    assert(Bm25Index.load(spark, s"$root/a").n == 8)
+  }
+
+  test("winnow shards merge file-level: near-copy pairs equal the " +
+    "monolithic lake") {
+    val root = scratch("winnow")
+    val whole = WinnowIndex.build(corpus, "doc_id", "text",
+      s"$root/whole", k = 4, w = 5, nBuckets = 8)
+    val a = WinnowIndex.build(corpus.filter($"doc_id" < 10),
+      "doc_id", "text", s"$root/a", k = 4, w = 5, nBuckets = 8)
+    val b = WinnowIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/b", k = 4, w = 5, nBuckets = 8)
+    val merged = a.merge(b)
+    val incoming = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    def pairs(idx: WinnowIndex): Set[(Long, Long)] = idx
+      .probe(incoming, "doc_id", "text", minShared = 1)
+      .select("new_id", "old_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(merged) == pairs(whole) && pairs(merged).nonEmpty)
+    assert(merged.nDocs == 8)
+  }
+
+  test("ivf shards built with the SAME codebook merge as pure file " +
+    "moves: searches equal the monolithic index") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == i % 3 * 2) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(emb, "embedding", k = 3, sampleSize = 200)
+    val root = scratch("ivf")
+    val whole = graft.index.IvfVectorIndex.build(
+      emb, "embedding", "vec_id", s"$root/whole", model)
+    val a = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" < 60), "embedding", "vec_id", s"$root/a", model)
+    val b = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" >= 60), "embedding", "vec_id", s"$root/b", model)
+    val merged = a.merge(b)
+    assert(merged.count() == 120)
+    assert(!new java.io.File(s"$root/b").exists)
+    val q = Array.tabulate(8)(d => if (d == 2) 1.0f else 0.0f)
+    def top(ix: graft.index.IvfVectorIndex): Seq[Long] = ix
+      .search(q, 10, nprobe = 2).select("docid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top(merged) == top(whole))
+  }
+
+  test("guards: parameter mismatch and overlapping docid ranges throw") {
+    val root = scratch("guards")
+    val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
+      "doc_id", "text", s"$root/a", ngram = 3, nBuckets = 8)
+    val bWrongParams = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/bp", ngram = 4, nBuckets = 8)
+    intercept[IllegalArgumentException] { a.merge(bWrongParams) }
+    val bOverlap = ShingleIndex.build(corpus.filter($"doc_id" >= 3),
+      "doc_id", "text", s"$root/bo", ngram = 3, nBuckets = 8)
+    intercept[IllegalArgumentException] { a.merge(bOverlap) }
+    // ivf: differing codebooks refuse
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(_ => rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val m1 = Ivf.train(emb, "embedding", k = 2, sampleSize = 50)
+    val m2 = Ivf.Model(m1.centroids.map(_.map(v => v + 0.5f)))
+    val ia = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" < 20), "embedding", "vec_id", s"$root/ia", m1)
+    val ib = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" >= 20), "embedding", "vec_id", s"$root/ib", m2)
+    intercept[IllegalArgumentException] { ia.merge(ib) }
+  }
+
+  test("merge crash AFTER the marker (files partially moved): load " +
+    "rolls the merge forward — postings equal the monolith, stats " +
+    "correct, source drained, marker gone") {
+    val root = scratch("crash")
+    ShingleIndex.build(corpus, "doc_id", "text", s"$root/whole",
+      ngram = 3, nBuckets = 8)
+    val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
+      "doc_id", "text", s"$root/a", ngram = 3, nBuckets = 8)
+    val b = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/b", ngram = 3, nBuckets = 8)
+    // the crash footprint, planted by hand: ranges claimed, marker
+    // written, exactly ONE source file moved, then death
+    val fs = new org.apache.hadoop.fs.Path(s"$root/a")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMerge.claimRanges(spark, s"$root/a", s"$root/b")
+    IndexMerge.writeMarker(fs, new org.apache.hadoop.fs.Path(s"$root/a"),
+      s"$root/b", Seq(8L, 3L, 8L, 1L))
+    val srcBucket = new java.io.File(s"$root/b").listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val srcFile = srcBucket.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dstDir = new java.io.File(s"$root/a", srcBucket.getName)
+    java.nio.file.Files.move(srcFile.toPath,
+      new java.io.File(dstDir, srcFile.getName).toPath)
+    // load must complete the merge
+    val recovered = ShingleIndex.load(spark, s"$root/a")
+    assert(recovered.nDocs == 8)
+    assert(postingRows(s"$root/a") == postingRows(s"$root/whole"))
+    assert(!new java.io.File(s"$root/b").exists)
+    assert(!new java.io.File(s"$root/a/_merge_pending").exists)
+  }
+
+  test("a torn marker rolls back on read and the merge re-runs " +
+    "value-idempotently") {
+    val root = scratch("torn")
+    val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
+      "doc_id", "text", s"$root/a", ngram = 3, nBuckets = 8)
+    val b = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/b", ngram = 3, nBuckets = 8)
+    // crash DURING the marker write: ranges already claimed, marker torn
+    IndexMerge.claimRanges(spark, s"$root/a", s"$root/b")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/a/_merge_pending"),
+      "gar\nbage\nnot-a-long\n".getBytes)
+    val reloaded = ShingleIndex.load(spark, s"$root/a") // rolls back
+    assert(!new java.io.File(s"$root/a/_merge_pending").exists)
+    assert(reloaded.nDocs == 4, "torn marker must not corrupt stats")
+    // the re-run resumes cleanly (range claims already present)
+    val merged = reloaded.merge(ShingleIndex.load(spark, s"$root/b"))
+    assert(merged.nDocs == 8)
+    a.hashCode(); b.hashCode()
+  }
+}

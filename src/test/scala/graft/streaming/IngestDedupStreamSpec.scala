@@ -265,4 +265,52 @@ class IngestDedupStreamSpec extends SparkTestBase {
       graft.operators.ShingleIndex.load(spark, s"$rootA/idx").nDocs)
   }
 
+  test("AutoCompact cadence (r14): the fragmentation rule fires " +
+    "compaction without a caller-pinned batch count, accepted rows " +
+    "identical to the never-compact run, and the delivery ledger " +
+    "survives the compact") {
+    import graft.operators.ShingleIndex
+    import graft.streaming.IngestStream
+    def run(root: String, every: Int): Set[Long] = {
+      val lakeBase = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "some other base document text that lives in the lake"))
+        .toDF("doc_id", "text")
+      ShingleIndex.build(lakeBase, "doc_id", "text", s"$root/idx",
+        ngram = 3, nBuckets = 4)
+      // enough distinct batches that the footprint crosses the rule's
+      // slack x ideal line at least once mid-stream
+      (0 until 8).foreach { k =>
+        IngestStream.processBatch(
+          Seq((100L + 2 * k, s"novel subject number $k alpha beta gamma"),
+            (101L + 2 * k, s"unrelated topic $k delta epsilon zeta eta"))
+            .toDF("doc_id", "text"),
+          k.toLong, "doc_id", "text", s"$root/idx", s"$root/out", 0.5,
+          compactEvery = every)
+      }
+      spark.read.parquet(s"$root/out").select("doc_id")
+        .as[Long].collect().toSet
+    }
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-autorule-off").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-autorule-on").toString
+    val plain = run(rootA, every = 0)
+    val auto = run(rootB, every = IngestStream.AutoCompact)
+    assert(plain == auto && auto.size == 16, s"$plain vs $auto")
+    def files(root: String): Long = ShingleIndex
+      .load(spark, s"$root/idx").storageFootprint()._1
+    // the rule fired at least once: the auto lake is materially less
+    // fragmented than the never-compacted one
+    assert(files(rootB) < files(rootA),
+      s"auto=${files(rootB)} plain=${files(rootA)}")
+    // and right after a compact the rule reports no further need
+    val idxB = ShingleIndex.load(spark, s"$rootB/idx").compact()
+    assert(!idxB.shouldCompact())
+    // the ledger survived in-stream compaction: every delivered batch
+    // id still short-circuits a replay
+    assert(IngestStream.deliveredBatches(spark, s"$rootB/idx") ==
+      (0L until 8L).toSet)
+  }
+
 }
