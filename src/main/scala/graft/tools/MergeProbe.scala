@@ -100,11 +100,13 @@ object MergeProbe {
     }
     println(f"[mergeprobe] shingle: monolithic $smono%.1f s vs " +
       f"parallel-shard max(${sShardTimes.max}%.1f) + merge $sMergeT%.2f s")
+    // Bm25.TokenPattern splits "w123" into "w" + "123": search digit
+    // terms (every doc contains "w", so it matches but scores ~0)
     println(s"[mergeprobe] merged shingle nDocs=" +
       s"${ShingleIndex.load(spark, s"$root/sh_s0").nDocs} " +
       s"(expect $nDocs); bm25 probe check: " +
       Bm25Index.load(spark, s"$root/bm25_s0")
-        .search(Seq("w100", "w200"), 5).count() + " rows"
+        .search(Seq("100", "200"), 5).count() + " rows"
     )
     snb.hashCode()
 
