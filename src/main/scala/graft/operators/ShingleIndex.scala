@@ -85,6 +85,14 @@ class ShingleIndex private (
     val inc = keyed(incoming, idCol, textCol)
       .select(col("key"), col("id").as("new_id"), col("nsh").as("nsh_new"))
       .localCheckpoint()
+    probeKeyed(inc, threshold)
+  }
+
+  /** [[probe]]'s core over the ALREADY-KEYED batch `(key, new_id,
+    * nsh_new)` — split out (r14) so [[survivors]] can shingle the
+    * batch once and reuse the checkpointed keys for both the lake
+    * probe and the intra-batch pass. */
+  private def probeKeyed(inc: DataFrame, threshold: Double): DataFrame = {
     // ONE bounded aggregate (≤ nBuckets rows) yields BOTH the bucket
     // prune set and the batch's key count — the broadcast-vs-shuffle
     // decision used to burn a second count() job on the same
@@ -142,15 +150,27 @@ class ShingleIndex private (
       textCol: String,
       threshold: Double,
       excludeSelf: Boolean = false): DataFrame = {
-    val matches = probe(incoming, idCol, textCol, threshold)
+    // ONE shingle pass for BOTH tiers (r14): the lake probe and the
+    // intra-batch pass share the checkpointed keyed set — the intra
+    // self-join then shuffles 8-byte hashed keys instead of
+    // re-shingling the batch and shuffling shingle strings (~40% of
+    // the per-crawl survivors cost at the sf0.1 shape)
+    val inc = keyed(incoming, idCol, textCol)
+      .select(col("key"), col("id").as("new_id"), col("nsh").as("nsh_new"))
+      .localCheckpoint()
+    val matches = probeKeyed(inc, threshold)
     val vsLake = if (!excludeSelf) matches
       else matches.join(
         broadcast(incoming.select(col(idCol).cast("long").as("__self"))),
         matches("old_id").cast("long") === col("__self"), "left_anti")
     val vsBase = vsLake.select(col("new_id").as(idCol)).distinct()
     val fresh = incoming.join(vsBase, Seq(idCol), "left_anti")
-    val intra = TextDedup.ngramJaccardPairs(
-      fresh, idCol, textCol, ngram, threshold)
+    val freshKeyed = inc
+      .join(broadcast(vsBase.select(col(idCol).as("__dup"))),
+        inc("new_id") === col("__dup"), "left_anti")
+      .select(col("key"), col("new_id").as("id"),
+        col("nsh_new").as("nsh"))
+    val intra = TextDedup.ngramJaccardPairsKeyed(freshKeyed, threshold)
     TextDedup.keepRepresentatives(fresh, idCol, intra)
   }
 

@@ -102,6 +102,44 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[ngramJaccardPairs]] over PRE-KEYED exploded shingles
+    * `(key, id, nsh)` — the shape [[ShingleIndex]] already computes
+    * (and localCheckpoints) for its lake probe, so the intra-batch
+    * near-dup pass of [[ShingleIndex.survivors]] reuses it instead of
+    * re-shingling the batch (r14: ~40% of the per-crawl survivors
+    * cost was the second shingle pass + a string-keyed shuffle; the
+    * reused keys are 8-byte longs when the index hashes keys, so the
+    * self-join shuffles fixed-width rows). Key collisions under
+    * xxhash64 are the same accepted risk as the lake probe itself —
+    * a false pair needs enough colliding shingles to cross the
+    * jaccard threshold. Same hot-shingle df cap, same output
+    * (id_a < id_b, jaccard). */
+  def ngramJaccardPairsKeyed(
+      keyed: DataFrame,
+      threshold: Double,
+      maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
+    var exploded = keyed.select(col("key"), col("id"), col("nsh"))
+    maxShingleDf.foreach { cap =>
+      val hot = exploded.groupBy("key").count()
+        .filter(col("count") > cap).select("key")
+      exploded = exploded.join(broadcast(hot), Seq("key"), "left_anti")
+    }
+    val a = exploded.select(col("key"), col("id").as("id_a"),
+      col("nsh").as("nsh_a"))
+    val b = exploded.select(col("key"), col("id").as("id_b"),
+      col("nsh").as("nsh_b"))
+    a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("nsh_a"), col("nsh_b")).cast("double") >=
+          greatest(col("nsh_a"), col("nsh_b")) * threshold)
+      .groupBy("id_a", "nsh_a", "id_b", "nsh_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact-duplicate groups by full-text hash: (text-group key, ids).
     * One hash-partitioned groupBy — the trivially-scalable exact dedup. */
   def exactDupGroups(

@@ -34,6 +34,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fast == brute && fast.nonEmpty)
   }
 
+  test("ngramJaccardPairsKeyed over xxhash64'd shingles == the string " +
+    "pairs (the ShingleIndex.survivors reuse path, r14)") {
+    val want = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val keyed = TextDedup.shingles(docs, "doc_id", "text", 3)
+      .select(col("id"), explode(col("sh")).as("__s"), col("nsh"))
+      .select(xxhash64(col("__s")).as("key"), col("id"), col("nsh"))
+    val got = TextDedup.ngramJaccardPairsKeyed(keyed, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(got == want && want.nonEmpty)
+    // and with RAW string keys (hashKeys=false lakes) — same again
+    val strKeyed = TextDedup.shingles(docs, "doc_id", "text", 3)
+      .select(col("id"), explode(col("sh")).as("key"), col("nsh"))
+    val gotStr = TextDedup.ngramJaccardPairsKeyed(
+      strKeyed.select(col("key"), col("id"), col("nsh")), 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(gotStr == want)
+  }
+
   test("exactDupGroups finds planted duplicates; dedupExact keeps min id") {
     val d = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"), (3L, "unique one"),
