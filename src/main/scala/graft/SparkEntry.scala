@@ -3912,6 +3912,20 @@ object SparkEntry {
     "bm25_shard_merge" -> ((s, dir) =>
       bm25MergedIndexAt(s, dir).search(Seq("vector", "hash", "join"), 10)),
 
+    // streamed keyword lake == batch-built (r14): base index built
+    // over doc_id < 250, the rest streamed through a REAL file-source
+    // micro-batched IndexStream.ingestKeyword (claim-first replay-safe
+    // appends + BatchLedger), plus a POISONED full-content replay of
+    // batch 1 that both guards must swallow — if either protection
+    // failed, postings and (n, Σdl) would double and every score
+    // would shift. The grown index holds every document, so the
+    // search hash-matches the FULL-CORPUS bm25 oracle: streamed ==
+    // batch is the checked claim. Runs once per JVM (memoized).
+    "keyword_stream_topk" -> ((s, dir) =>
+      streaming.KeywordStreamParity
+        .indexAt(s, dir, t(s, dir, "documents"))
+        .search(Seq("vector", "hash", "join"), 10)),
+
     // the vector twin: one shared codebook (trained once,
     // deterministic), shard indexes merged as cluster-file moves;
     // search probes the same clusters with the same exact cosine as
@@ -4941,7 +4955,10 @@ object SparkEntry {
     m ++ Map(
       "dedup_shard_merge" -> m("dedup_incremental"),
       "bm25_shard_merge" -> m("bm25_index_topk"),
-      "ivf_shard_merge" -> m("ivf_knn"))
+      "ivf_shard_merge" -> m("ivf_knn"),
+      // streamed == batch-built: the grown lake holds every document,
+      // so the full-corpus BM25 re-derivation IS the parity oracle
+      "keyword_stream_topk" -> m("bm25_index_topk"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

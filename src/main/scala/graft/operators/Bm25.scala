@@ -463,6 +463,107 @@ class Bm25Index private (
     new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
   }
 
+  /** Replay-safe [[append]] for the STREAMING ingest path
+    * ([[graft.streaming.IndexStream.ingestKeyword]]) — [[ShingleIndex
+    * .appendBatchIfAbsent]]'s contract on the keyword lake:
+    *
+    *  - the batch's EXACT docid range already claimed in `_ranges` →
+    *    the append is SKIPPED (a previous attempt claimed it), not an
+    *    error — the idempotent form foreachBatch retries through; a
+    *    PARTIAL overlap still throws (never a replay);
+    *  - otherwise the range is claimed FIRST (unlike [[append]]'s
+    *    postings-first ordering — claim-first is what makes the
+    *    replay check sound: a crash between postings and a trailing
+    *    claim would let the replay silently double the postings),
+    *    then postings land, then stats.
+    *
+    * The one skip window (range claimed, postings write crashed) is
+    * detectable afterwards with [[missingRanges]] and repairable from
+    * the source-of-truth corpus with [[reconcile]]. */
+  def appendIfAbsent(
+      docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
+    val (nNew, sumdlNew) = (st.getLong(0), st.getLong(1))
+    if (nNew == 0L) return this
+    require(!st.isNullAt(2),
+      s"bm25 append: every value of id column '$idCol' casts to null")
+    val (lo, hi) = (st.getLong(2), st.getLong(3))
+    val claimed = Bm25Index.readRanges(spark, path)
+    if (claimed.contains((lo, hi))) return this // replay: already ours
+    claimed.find { case (l, h) => lo <= h && l <= hi }
+      .foreach { case (l, h) => throw new IllegalArgumentException(
+        s"bm25 append: id range [$lo,$hi] intersects already-indexed " +
+        s"[$l,$h] — a partial overlap is never a replay")
+      }
+    Bm25Index.appendRange(spark, path, lo, hi) // claim BEFORE postings
+    Bm25.postings(docs, textCol, idCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "term")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+    graft.Keyword.invalidateIndex(path)
+    new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+  }
+
+  /** Ranges recorded in `_ranges` with NO postings on disk — the
+    * footprint of a crash between [[appendIfAbsent]]'s range claim
+    * and its postings write ([[ShingleIndex.missingRanges]]'s check
+    * over the keyword lake; one pruned pass, the lake never
+    * shuffles). */
+  def missingRanges(): Seq[(Long, Long)] = {
+    val claimed = Bm25Index.readRanges(spark, path)
+    if (claimed.isEmpty) return Seq.empty
+    import spark.implicits._
+    val ranges = broadcast(claimed.toDF("lo", "hi"))
+    val present = ranges.join(postings,
+        col("docid").between(col("lo"), col("hi")), "left_semi")
+      .select("lo", "hi").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    claimed.filterNot(present)
+  }
+
+  /** Repair [[missingRanges]] from a recovery corpus (the streamed
+    * batches' source of truth): re-tokenizes ONLY the missing
+    * ranges' rows, lands their postings under the already-claimed
+    * ranges, and adds their (n, Σdl) to the stats the skipped append
+    * never counted. No-op when nothing is missing. */
+  def reconcile(
+      recovery: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    val missing = missingRanges()
+    if (missing.isEmpty) return this
+    val inRange = missing
+      .map { case (lo, hi) => col(idCol).cast("long").between(lo, hi) }
+      .reduce(_ || _)
+    val docs = recovery.filter(inRange)
+    val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
+    val (nNew, sumdlNew) = (st.getLong(0), st.getLong(1))
+    Bm25.postings(docs, textCol, idCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .sortWithinPartitions("bucket", "term")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+    graft.Keyword.invalidateIndex(path)
+    new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+  }
+
+  /** `(fileCount, bytes)` of the `bucket=*` postings tree
+    * ([[ShingleIndex.storageFootprint]]). */
+  def storageFootprint(): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    IndexMerge.bucketFootprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The auto-compaction trigger ([[ShingleIndex.shouldCompact]]'s
+    * rule over the keyword lake — same measured curve, BASELINE
+    * r14). */
+  def shouldCompact(
+      slack: Double = 4.0,
+      targetFileBytes: Long = 256L << 20): Boolean = {
+    val (files, bytes) = storageFootprint()
+    IndexMerge.needsCompact(files, bytes, nBuckets, slack, targetFileBytes)
+  }
+
   /** Offline maintenance after repeated [[append]]s (each leaves one
     * small file per touched bucket; small files tax listing and lose
     * the term-sorted row-group layout across files): rewrite each

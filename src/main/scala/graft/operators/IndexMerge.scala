@@ -124,6 +124,32 @@ object IndexMerge {
     fs.delete(new Path(dst, "_merge_pending"), false); ()
   }
 
+  /** `(fileCount, bytes)` of a lake's `bucket=*` postings tree — the
+    * part compaction can defragment (sidecars grow a tiny file per
+    * append too, but they are driver-side reads and a just-compacted
+    * lake must read as "no compaction needed"). One two-level
+    * listing — the same walk every post-append probe already pays. */
+  private[graft] def bucketFootprint(
+      fs: FileSystem, path: Path): (Long, Long) = {
+    val stats = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.isFile)
+    (stats.length.toLong, stats.map(_.getLen).sum)
+  }
+
+  /** The auto-compaction trigger shared by the bucket-partitioned
+    * lakes: compact when the file count exceeds `slack ×` the IDEAL
+    * layout's count, ideal = `max(nBuckets, bytes/targetFileBytes)`.
+    * Self-scaling — see [[ShingleIndex.shouldCompact]] for the
+    * measured curve (BASELINE r14). */
+  private[graft] def needsCompact(files: Long, bytes: Long,
+      nBuckets: Int, slack: Double, targetFileBytes: Long): Boolean = {
+    val ideal = math.max(nBuckets.toLong,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    files > slack * ideal
+  }
+
   /** The shared range-ledger step: every (lo, hi) docid claim of
     * `src` is appended to `dst`'s `_ranges` unless already there
     * (value-level idempotence for replays); a PARTIAL overlap with

@@ -303,12 +303,8 @@ class ShingleIndex private (
     * asymptotic. */
   def storageFootprint(): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats = fs.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .flatMap(d => fs.listStatus(d.getPath))
-      .filter(_.isFile)
-    (stats.length.toLong, stats.map(_.getLen).sum)
+    IndexMerge.bucketFootprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   /** The auto-compaction trigger ([[IngestStream]]'s `AutoCompact`
@@ -328,9 +324,7 @@ class ShingleIndex private (
       slack: Double = 4.0,
       targetFileBytes: Long = 256L << 20): Boolean = {
     val (files, bytes) = storageFootprint()
-    val ideal = math.max(nBuckets.toLong,
-      (bytes + targetFileBytes - 1) / targetFileBytes)
-    files > slack * ideal
+    IndexMerge.needsCompact(files, bytes, nBuckets, slack, targetFileBytes)
   }
 
   /** Absorb `other` — a shard built with IDENTICAL shingle parameters

@@ -112,6 +112,70 @@ object IndexStream {
       .start()
   }
 
+  /** Continuous KEYWORD-index ingestion — the BM25 lake kept fresh by
+    * the crawl stream, completing the sink triangle ([[ingest]]:
+    * vectors, [[graft.streaming.IngestStream]]: the dedup lake, this:
+    * the postings lake). Each micro-batch appends its postings via
+    * [[graft.operators.Bm25Index.appendIfAbsent]] — the claim-FIRST
+    * replay-safe append — so delivery is exactly-once-effective under
+    * foreachBatch retries through two independent guards: the
+    * [[BatchLedger]] short-circuit, and the `_ranges` exact-claim
+    * skip that holds even if the ledger record itself crashed. The
+    * one skip window (range claimed, postings crashed) is detectable
+    * with `missingRanges` and repairable with `reconcile` from the
+    * stream's source of truth.
+    *
+    * `compactEvery` — [[IngestStream]]'s in-stream maintenance knob,
+    * same semantics: 0 never, N = every N delivered batches,
+    * [[IngestStream.AutoCompact]] = when the lake's own fragmentation
+    * crosses the measured rule ([[graft.operators.Bm25Index
+    * .shouldCompact]]). Scoring correctness does not depend on the
+    * cadence — df/n/Σdl are exact at every point — only probe cost
+    * does. */
+  def ingestKeyword(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    require(docs.isStreaming,
+      "IndexStream.ingestKeyword needs a streaming DataFrame")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        keywordBatch(batch, batchId, textCol, idCol, indexPath,
+          streamId = checkpointDir, compactEvery = compactEvery)
+      }
+      .start()
+  }
+
+  /** One keyword micro-batch delivery, idempotent on `batchId` —
+    * exposed so specs (and backfills) can drive a replay directly. */
+  def keywordBatch(
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      streamId: String = "default",
+      compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    if (BatchLedger.delivered(spark, indexPath, streamId)
+      .contains(batchId)) return
+    val grown = graft.operators.Bm25Index.load(spark, indexPath)
+      .appendIfAbsent(batch, textCol, idCol)
+    BatchLedger.record(spark, indexPath, streamId, batchId)
+    if (compactEvery == IngestStream.AutoCompact) {
+      if (grown.shouldCompact()) { grown.compact(); () }
+    } else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      grown.compact()
+      ()
+    }
+  }
+
   /** Raw-TEXT ingestion: batch-encode `textCol` into the `vector`
     * column through the S6 encoder seam (distributed mapPartitions,
     * [[graft.TextEncoder.encodeColumn]]), then ingest. The default

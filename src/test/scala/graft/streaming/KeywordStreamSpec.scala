@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Bm25Index
+
+/** Continuous keyword-index ingest (r14): micro-batches append their
+  * postings into the BM25 lake with claim-first replay safety; the
+  * grown lake scores identically to a batch build over the union,
+  * replays are swallowed by BOTH guards independently, the skip
+  * window reconciles from the source corpus, and the auto-compact
+  * cadence bounds fragmentation without changing any score. */
+class KeywordStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "vector search with hash joins is a database topic"))
+    .toDF("doc_id", "text")
+
+  private def b1 = Seq(
+    (10L, "hash partitioned vector indexes merge by file moves"),
+    (11L, "the lazy dog sleeps through the vector lecture"))
+    .toDF("doc_id", "text")
+
+  private def b2 = Seq(
+    (20L, "a second micro batch arrives with fresh vector terms"),
+    (21L, "joins and hashes and foxes conclude the corpus"))
+    .toDF("doc_id", "text")
+
+  private def scratch(tag: String) = java.nio.file.Files
+    .createTempDirectory(s"graft-kwstream-$tag").toString
+
+  test("streamed appends == batch build over the union: scores, " +
+    "stats, and df all match") {
+    val root = scratch("parity")
+    Bm25Index.build(base, "text", "doc_id", s"$root/idx", nBuckets = 8)
+    IndexStream.keywordBatch(b1, 0L, "text", "doc_id", s"$root/idx")
+    IndexStream.keywordBatch(b2, 1L, "text", "doc_id", s"$root/idx")
+    val grown = Bm25Index.load(spark, s"$root/idx")
+    val whole = Bm25Index.build(base.union(b1).union(b2), "text",
+      "doc_id", s"$root/whole", nBuckets = 8)
+    assert(grown.n == whole.n && grown.sumdl == whole.sumdl)
+    def top(idx: Bm25Index) = idx.search(Seq("vector", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(grown) == top(whole) && top(grown).nonEmpty)
+  }
+
+  test("replays are swallowed by BOTH guards independently: the " +
+    "ledger short-circuit, and the range claim when the ledger " +
+    "record itself crashed") {
+    val root = scratch("replay")
+    Bm25Index.build(base, "text", "doc_id", s"$root/idx", nBuckets = 8)
+    IndexStream.keywordBatch(b1, 0L, "text", "doc_id", s"$root/idx")
+    val n0 = spark.read.parquet(s"$root/idx").count()
+    val st0 = Bm25Index.load(spark, s"$root/idx").n
+    // guard 1: committed batch id — ledger short-circuits
+    IndexStream.keywordBatch(b1, 0L, "text", "doc_id", s"$root/idx")
+    assert(spark.read.parquet(s"$root/idx").count() == n0)
+    // guard 2: ledger lost (crash between append and record) — the
+    // exact range claim still skips the re-append
+    val fs = new org.apache.hadoop.fs.Path(s"$root/idx/_batches")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/idx/_batches"), true)
+    IndexStream.keywordBatch(b1, 0L, "text", "doc_id", s"$root/idx")
+    assert(spark.read.parquet(s"$root/idx").count() == n0,
+      "range claim must skip the replayed postings")
+    assert(Bm25Index.load(spark, s"$root/idx").n == st0,
+      "stats must not double")
+    // and the stream still makes progress afterwards
+    IndexStream.keywordBatch(b2, 1L, "text", "doc_id", s"$root/idx")
+    assert(Bm25Index.load(spark, s"$root/idx").n == st0 + 2)
+  }
+
+  test("skip window (range claimed, postings crashed) is detectable " +
+    "and reconciles from the source corpus") {
+    val root = scratch("reconcile")
+    Bm25Index.build(base, "text", "doc_id", s"$root/idx", nBuckets = 8)
+    val idx = Bm25Index.load(spark, s"$root/idx")
+    assert(idx.missingRanges().isEmpty)
+    // the crash footprint: a claim whose postings never landed
+    Seq((10L, 11L)).toDF("lo", "hi").coalesce(1)
+      .write.mode("append").parquet(s"$root/idx/_ranges")
+    assert(idx.missingRanges() == Seq((10L, 11L)))
+    val repaired = idx.reconcile(b1, "text", "doc_id")
+    assert(repaired.missingRanges().isEmpty)
+    val whole = Bm25Index.build(base.union(b1), "text", "doc_id",
+      s"$root/whole", nBuckets = 8)
+    def top(ix: Bm25Index) = ix.search(Seq("vector", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(repaired) == top(whole))
+  }
+
+  test("a real file-source stream with AutoCompact: all batches land, " +
+    "search sees them, fragmentation stays bounded, ledger survives") {
+    val root = scratch("stream")
+    Bm25Index.build(base, "text", "doc_id", s"$root/idx", nBuckets = 4)
+    val inDir = s"$root/in"
+    // letters-only tags: the tokenizer splits "alpha3" into
+    // "alpha" + "3", so a digit suffix would never form a term
+    val batches = (0 until 6).map { k =>
+      val tag = ('a' + k).toChar
+      Seq((100L + 2 * k, s"streaming vector batch number alpha$tag"),
+        (101L + 2 * k, s"hash join stream topic gamma$tag"))
+        .toDF("doc_id", "text")
+    }
+    batches.head.coalesce(1).write.mode("append").parquet(inDir)
+    val q = IndexStream.ingestKeyword(
+      spark.readStream.schema(batches.head.schema).parquet(inDir),
+      "text", "doc_id", s"$root/idx", s"$root/ckpt",
+      compactEvery = IngestStream.AutoCompact)
+    try {
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val grown = Bm25Index.load(spark, s"$root/idx")
+    assert(grown.n == 2 + 12)
+    // every streamed doc is searchable
+    val hits = grown.search(Seq("alphad"), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(106L))
+    // the auto rule fired: fewer bucket files than one-per-append
+    val never = scratch("never")
+    Bm25Index.build(base, "text", "doc_id", s"$never/idx", nBuckets = 4)
+    batches.zipWithIndex.foreach { case (b, k) =>
+      IndexStream.keywordBatch(b, k.toLong, "text", "doc_id", s"$never/idx")
+    }
+    val fNever = Bm25Index.load(spark, s"$never/idx").storageFootprint()._1
+    assert(grown.storageFootprint()._1 < fNever,
+      s"auto=${grown.storageFootprint()._1} never=$fNever")
+    assert(!grown.shouldCompact() || grown.compact().shouldCompact() == false)
+    // delivered ids survived the in-stream compacts
+    assert(BatchLedger.delivered(spark, s"$root/idx", s"$root/ckpt") ==
+      (0L until 6L).toSet)
+  }
+}
