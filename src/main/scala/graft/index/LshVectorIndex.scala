@@ -45,6 +45,27 @@ class LshVectorIndex private (
   }
 
   def count(): Long = df.count()
+
+  /** Absorb `other` — a shard built with the SAME hyperplanes (dim,
+    * nbits, seed fully determine them) — by pure bucket-file moves:
+    * identical planes assign identical buckets, so shard A's
+    * `bucket=5` and shard B's `bucket=5` are disjoint row sets of the
+    * same merged partition ([[IvfVectorIndex.merge]]'s contract — no
+    * stats or ledger to tear; a crash mid-merge leaves both
+    * directories individually consistent and a re-run completes the
+    * move). `other`'s directory is deleted on completion. */
+  def merge(other: LshVectorIndex): LshVectorIndex = {
+    require(lsh == other.lsh,
+      s"lsh merge: shards must share hyperplanes — this=$lsh " +
+      s"other=${other.lsh} (different planes bucket the same vector " +
+      "differently and the merged partitions would lie)")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.IndexMerge.movePartitionFiles(
+      fs, new org.apache.hadoop.fs.Path(other.path), dst, "bucket=")
+    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
+    this
+  }
 }
 
 object LshVectorIndex {

@@ -125,6 +125,39 @@ class IndexMergeSpec extends SparkTestBase {
     assert(top(merged) == top(whole))
   }
 
+  test("lsh shards built with the SAME hyperplanes merge as pure " +
+    "file moves: searches equal the monolithic index; differing " +
+    "planes refuse") {
+    import graft.operators.HyperplaneLsh
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(_ => rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val lsh = HyperplaneLsh(dim = 16, nbits = 3, seed = 5L)
+    val root = scratch("lsh")
+    val whole = graft.index.LshVectorIndex.build(
+      emb, "embedding", "vec_id", s"$root/whole", lsh)
+    val a = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" < 50), "embedding", "vec_id", s"$root/a", lsh)
+    val b = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" >= 50), "embedding", "vec_id", s"$root/b", lsh)
+    val merged = a.merge(b)
+    assert(merged.count() == 100)
+    assert(!new java.io.File(s"$root/b").exists)
+    val q = Array.tabulate(16)(d => if (d < 4) 1.0f else -0.2f)
+    def top(ix: graft.index.LshVectorIndex): Seq[Long] = ix
+      .search(q, 8, probes = 2).select("docid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top(merged) == top(whole) && top(merged).nonEmpty)
+    // differing planes refuse
+    val c = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" >= 50), "embedding", "vec_id", s"$root/c",
+      HyperplaneLsh(dim = 16, nbits = 3, seed = 6L))
+    intercept[IllegalArgumentException] {
+      graft.index.LshVectorIndex.load(spark, s"$root/whole").merge(c)
+    }
+  }
+
   test("guards: parameter mismatch and overlapping docid ranges throw") {
     val root = scratch("guards")
     val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
