@@ -156,6 +156,18 @@ spark.sql("SELECT media_kind(webm_media_for_id(CAST(0 AS BIGINT))) AS kind, webm
 spark.sql("SELECT c.idx, c.start_ms, c.end_ms, c.text FROM (SELECT explode(webm_subtitles(webm_subs_media_for_id(CAST(3 AS BIGINT)))) AS c)").show(3, false)
 println(s"webm decoded plane samples: " + spark.sql("SELECT size(webm_frames(webm_media_for_id(CAST(0 AS BIGINT)))) AS n").head().getInt(0))
 
+// 4h. shard-parallel index build (r14): two BM25 shards over disjoint
+//     docid halves merge by PURE FILE RENAMES — no posting read or
+//     rewritten — and the merged lake scores identically to a
+//     monolithic build (df computed from merged postings at query
+//     time; n and sumdl sum through the crash-safe marker protocol)
+val mroot = java.nio.file.Files.createTempDirectory("graft-demo-merge").toString
+val halfId = allDocs.agg(max(col("doc_id"))).head().getLong(0) / 2
+val shardA = graft.operators.Bm25Index.build(allDocs.filter(col("doc_id") <= halfId).select("doc_id", "text"), "text", "doc_id", s"$mroot/a", nBuckets = 16)
+val shardB = graft.operators.Bm25Index.build(allDocs.filter(col("doc_id") > halfId).select("doc_id", "text"), "text", "doc_id", s"$mroot/b", nBuckets = 16)
+val mergedIdx = shardA.merge(shardB)
+println(s"merged bm25 shards: n=${mergedIdx.n}; top hit: " + mergedIdx.search(Seq("vector", "hash", "join"), 1).head())
+
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))
 println(s"after delete: ${idx.count()}")
