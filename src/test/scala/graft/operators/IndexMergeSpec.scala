@@ -158,6 +158,35 @@ class IndexMergeSpec extends SparkTestBase {
     }
   }
 
+  test("partition pruning SURVIVES the merge: a search over the " +
+    "merged bm25 lake still prunes to the query terms' bucket " +
+    "partitions, and the merged ivf search prunes to probed clusters") {
+    val root = scratch("prune")
+    val a = Bm25Index.build(corpus.filter($"doc_id" < 10), "text",
+      "doc_id", s"$root/a", nBuckets = 8)
+    val b = Bm25Index.build(corpus.filter($"doc_id" >= 10), "text",
+      "doc_id", s"$root/b", nBuckets = 8)
+    val plan = a.merge(b).search(Seq("vector", "hash", "corpus"), 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*".r
+      .findFirstIn(plan).isDefined, plan)
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == i % 2 * 2) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(emb, "embedding", k = 2, sampleSize = 100)
+    val ia = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" < 40), "embedding", "vec_id", s"$root/ia", model)
+    val ib = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" >= 40), "embedding", "vec_id", s"$root/ib", model)
+    val q = Array.tabulate(8)(d => if (d == 0) 1.0f else 0.0f)
+    val iplan = ia.merge(ib).search(q, 5, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*".r
+      .findFirstIn(iplan).isDefined, iplan)
+  }
+
   test("guards: parameter mismatch and overlapping docid ranges throw") {
     val root = scratch("guards")
     val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
