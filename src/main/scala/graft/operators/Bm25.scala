@@ -572,6 +572,9 @@ class Bm25Index private (
     * [[graft.index.IvfVectorIndex.compact]] — maintenance windows
     * only, not safe against concurrent readers. */
   def compact(maxRecordsPerFile: Long = 5000000L): Bm25Index = {
+    // settle any interrupted merge first — the sibling rewrite would
+    // drop a pending `_merge_pending` (ShingleIndex.compact's note)
+    Bm25Index.completeMerge(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")

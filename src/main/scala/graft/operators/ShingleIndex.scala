@@ -377,6 +377,10 @@ class ShingleIndex private (
     * swap — [[Bm25Index.compact]]'s contract (maintenance windows only,
     * not safe against concurrent readers). */
   def compact(maxRecordsPerFile: Long = 5000000L): ShingleIndex = {
+    // settle any interrupted merge first: the sibling rewrite carries
+    // only the sidecar list below, so a pending `_merge_pending` (and
+    // its not-yet-moved source files) would be dropped by the swap
+    ShingleIndex.completeMerge(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")

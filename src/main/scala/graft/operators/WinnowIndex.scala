@@ -161,6 +161,9 @@ class WinnowIndex private (
     * (maintenance windows only, not safe against concurrent
     * readers). */
   def compact(maxRecordsPerFile: Long = 5000000L): WinnowIndex = {
+    // settle any interrupted merge first — the sibling rewrite would
+    // drop a pending `_merge_pending` (ShingleIndex.compact's note)
+    WinnowIndex.completeMerge(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
