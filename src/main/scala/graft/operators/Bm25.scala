@@ -450,8 +450,12 @@ class Bm25Index private (
         s"[$l,$h] — re-appending an indexed doc double-counts its " +
         "postings; use force=true only if the overlap is intentional")
       }
+    // repartition ON the bucket (r14) — one file per touched bucket
+    // per append instead of tasks x buckets slivers (ShingleIndex
+    // .appendBatch's note; the batch-sized shuffle is the cheap side)
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("append").partitionBy("bucket").parquet(path)
     // postings first, stats second: a crash in between leaves the
@@ -498,6 +502,7 @@ class Bm25Index private (
     Bm25Index.appendRange(spark, path, lo, hi) // claim BEFORE postings
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("append").partitionBy("bucket").parquet(path)
     Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
@@ -988,9 +993,16 @@ object Bm25Index {
     // bucket into disjoint term ranges, so a query's term filter prunes
     // row groups INSIDE its matched buckets too (partition pruning
     // picks the buckets; the sort makes the within-bucket read
-    // proportional to the matched posting lists). Local sort only.
+    // proportional to the matched posting lists). The write is
+    // bucket-repartitioned (r14): without it every task writes a
+    // sliver into every bucket dir — tasks x buckets files, which at
+    // cluster scale (1e5 tasks x 4096 buckets) is a catastrophic file
+    // count. One postings shuffle buys whole-bucket term-sorted files;
+    // the bucket count scales cube-root with the corpus, so write
+    // parallelism scales too.
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nb)))
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeStats(spark, path, st.getLong(0), st.getLong(1), nb)

@@ -208,9 +208,16 @@ class ShingleIndex private (
     // the old ordering's silent posting-doubling. Stats stay last: a
     // crash before them only undercounts nDocs (cosmetic).
     Bm25Index.appendRange(spark, path, lo, hi)
+    // repartition ON the bucket (r14): without it every shuffle task
+    // writes its own sliver into every bucket dir it holds rows for —
+    // tasks x buckets small files PER APPEND (measured 2k+ files per
+    // 10k-doc batch), which is the fragmentation the compact cadence
+    // then has to clean. One small shuffle of the batch's postings
+    // buys one file per touched bucket per append.
     keyed(docs, idCol, textCol)
       .select(col("key"), col("id").as("old_id"), col("nsh"))
       .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "key")
       .write.mode("append").partitionBy("bucket").parquet(path)
     ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
@@ -270,6 +277,7 @@ class ShingleIndex private (
     keyed(docs, idCol, textCol)
       .select(col("key"), col("id").as("old_id"), col("nsh"))
       .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "key")
       .write.mode("append").partitionBy("bucket").parquet(path)
     ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
@@ -461,6 +469,7 @@ object ShingleIndex {
     idx.keyed(docs, idCol, textCol)
       .select(col("key"), col("id").as("old_id"), col("nsh"))
       .withColumn("bucket", pmod(hash(col("key")), lit(nb)))
+      .repartition(col("bucket")) // r14: see Bm25Index.build's note
       .sortWithinPartitions("bucket", "key")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeStats(spark, path, st.getLong(0), ngram, nb, hashKeys)

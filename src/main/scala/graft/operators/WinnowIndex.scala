@@ -149,6 +149,7 @@ class WinnowIndex private (
     fps(docs, idCol, textCol)
       .select(col("hash"), col("id").as("old_id"))
       .withColumn("bucket", pmod(hash(col("hash")), lit(nBuckets)))
+      .repartition(col("bucket")) // r14: see ShingleIndex.appendBatch
       .sortWithinPartitions("bucket", "hash")
       .write.mode("append").partitionBy("bucket").parquet(path)
     WinnowIndex.writeStats(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
@@ -261,6 +262,7 @@ object WinnowIndex {
     idx.fps(docs, idCol, textCol)
       .select(col("hash"), col("id").as("old_id"))
       .withColumn("bucket", pmod(hash(col("hash")), lit(nb)))
+      .repartition(col("bucket")) // r14: see Bm25Index.build's note
       .sortWithinPartitions("bucket", "hash")
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeStats(spark, path, st.getLong(0), k, w, dfCap, nb)
