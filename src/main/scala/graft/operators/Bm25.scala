@@ -560,10 +560,10 @@ class Bm25Index private (
   }
 
   /** The auto-compaction trigger ([[ShingleIndex.shouldCompact]]'s
-    * rule over the keyword lake — same measured curve, BASELINE
+    * rule over the keyword lake — same measured calibration, BASELINE
     * r14). */
   def shouldCompact(
-      slack: Double = 4.0,
+      slack: Double = 16.0,
       targetFileBytes: Long = 256L << 20): Boolean = {
     val (files, bytes) = storageFootprint()
     IndexMerge.needsCompact(files, bytes, nBuckets, slack, targetFileBytes)

@@ -324,12 +324,22 @@ class ShingleIndex private (
     * files. The rule self-scales: a growing lake raises the ideal
     * count, so compaction (a full rewrite, cost ∝ lake size) fires
     * ever less often while the small-file tax per probe stays bounded
-    * at `slack ×` optimal. `slack = 4` measured on the streaming
-    * probe's curve at both the 100k- and 1M-doc base shapes
-    * (BASELINE.md r14): within noise of the best fixed cadence at
-    * each shape, without the caller having to know the shape. */
+    * at `slack ×` optimal.
+    *
+    * `slack = 16` is calibrated from BOTH r14 probe sweeps
+    * (BASELINE.md): with the old sliver writes (tasks × buckets files
+    * per append) the tax was so steep that ANY cadence won and slack 4
+    * matched the measured optimum; with the bucket-repartitioned
+    * writes (exactly one file per bucket per append) the measured
+    * per-probe tax is ~0.5 ms/file while a rewrite costs seconds per
+    * 10⁷ postings, putting the break-even at ~20+ appends — slack 4
+    * then FIRES TOO EARLY and pays rewrites that save nothing (106 vs
+    * 76 s at the 1M shape). 16 sits just under the measured
+    * break-even: a clean-append stream compacts every ~16 batches,
+    * while a legacy sliver-fragmented lake (32× the file growth)
+    * still triggers almost immediately. */
   def shouldCompact(
-      slack: Double = 4.0,
+      slack: Double = 16.0,
       targetFileBytes: Long = 256L << 20): Boolean = {
     val (files, bytes) = storageFootprint()
     IndexMerge.needsCompact(files, bytes, nBuckets, slack, targetFileBytes)

@@ -139,6 +139,7 @@ object IndexStream {
       indexPath: String,
       checkpointDir: String,
       compactEvery: Int = 0,
+      compactSlack: Double = 16.0,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
     require(docs.isStreaming,
       "IndexStream.ingestKeyword needs a streaming DataFrame")
@@ -147,7 +148,8 @@ object IndexStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         keywordBatch(batch, batchId, textCol, idCol, indexPath,
-          streamId = checkpointDir, compactEvery = compactEvery)
+          streamId = checkpointDir, compactEvery = compactEvery,
+          compactSlack = compactSlack)
       }
       .start()
   }
@@ -161,7 +163,8 @@ object IndexStream {
       idCol: String,
       indexPath: String,
       streamId: String = "default",
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      compactSlack: Double = 16.0): Unit = {
     val spark = batch.sparkSession
     if (BatchLedger.delivered(spark, indexPath, streamId)
       .contains(batchId)) return
@@ -169,7 +172,7 @@ object IndexStream {
       .appendIfAbsent(batch, textCol, idCol)
     BatchLedger.record(spark, indexPath, streamId, batchId)
     if (compactEvery == IngestStream.AutoCompact) {
-      if (grown.shouldCompact()) { grown.compact(); () }
+      if (grown.shouldCompact(compactSlack)) { grown.compact(); () }
     } else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       grown.compact()
       ()

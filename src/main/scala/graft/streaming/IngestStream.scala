@@ -55,10 +55,12 @@ object IngestStream {
     * the lake's own fragmentation instead of a caller-pinned batch
     * count — after each delivered batch, compact iff
     * [[ShingleIndex.shouldCompact]] (file count > slack × the ideal
-    * layout). The measured r13 optimum at the 100k-base probe shape
-    * (`compactEvery = 3`) and the r14 1M-base optimum both sit on the
-    * rule's default curve (BASELINE.md r14), so callers no longer
-    * need to know their shape. */
+    * layout; `compactSlack` overrides the measured default). With the
+    * r14 bucket-repartitioned writes each append adds exactly one
+    * file per touched bucket, so the default calibration fires every
+    * ~16 batches — and almost immediately on a legacy
+    * sliver-fragmented lake, where files accumulate 32× faster
+    * (both curves measured, BASELINE.md r14). */
   val AutoCompact: Int = -1
 
   /** Start the two-tier ingest query. `indexPath` must hold an
@@ -90,7 +92,8 @@ object IngestStream {
       outPath: String,
       threshold: Double,
       checkpoint: String,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      compactSlack: Double = 16.0): StreamingQuery = {
     // materialize the gate's static side ONCE (r13): a stream-static
     // join re-executes the whole static subtree per micro-batch, so
     // without this every batch re-fingerprints the full base corpus —
@@ -105,7 +108,8 @@ object IngestStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexPath, outPath,
-          threshold, streamId = checkpoint, compactEvery = compactEvery)
+          threshold, streamId = checkpoint, compactEvery = compactEvery,
+          compactSlack = compactSlack)
       }
       .start()
   }
@@ -123,7 +127,8 @@ object IngestStream {
       outPath: String,
       threshold: Double,
       streamId: String = "default",
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      compactSlack: Double = 16.0): Unit = {
     val spark = batch.sparkSession
     if (BatchLedger.delivered(spark, indexPath, streamId)
       .contains(batchId)) return
@@ -148,7 +153,7 @@ object IngestStream {
     // offline maintenance windows); [[AutoCompact]] (r14) lets the
     // lake's own fragmentation decide.
     if (compactEvery == AutoCompact) {
-      if (grown.shouldCompact()) { grown.compact(); () }
+      if (grown.shouldCompact(compactSlack)) { grown.compact(); () }
     } else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       grown.compact()
       ()

@@ -278,15 +278,17 @@ class IngestDedupStreamSpec extends SparkTestBase {
         .toDF("doc_id", "text")
       ShingleIndex.build(lakeBase, "doc_id", "text", s"$root/idx",
         ngram = 3, nBuckets = 4)
-      // enough distinct batches that the footprint crosses the rule's
-      // slack x ideal line at least once mid-stream
+      // a tight slack so the footprint crosses the rule's line at
+      // least once within 8 batches (the production default of 16
+      // files/bucket would need ~16 appends — the no-fire side of the
+      // default is asserted below)
       (0 until 8).foreach { k =>
         IngestStream.processBatch(
           Seq((100L + 2 * k, s"novel subject number $k alpha beta gamma"),
             (101L + 2 * k, s"unrelated topic $k delta epsilon zeta eta"))
             .toDF("doc_id", "text"),
           k.toLong, "doc_id", "text", s"$root/idx", s"$root/out", 0.5,
-          compactEvery = every)
+          compactEvery = every, compactSlack = 1.5)
       }
       spark.read.parquet(s"$root/out").select("doc_id")
         .as[Long].collect().toSet
@@ -304,9 +306,14 @@ class IngestDedupStreamSpec extends SparkTestBase {
     // fragmented than the never-compacted one
     assert(files(rootB) < files(rootA),
       s"auto=${files(rootB)} plain=${files(rootA)}")
-    // and right after a compact the rule reports no further need
+    // and right after a compact the rule reports no further need even
+    // at the test's tight slack — while the never-compacted lake's
+    // 8-append fragmentation stays BELOW the production default
+    // threshold (clean appends add one file per bucket per batch;
+    // ~16 appends reach it, 8 must not)
     val idxB = ShingleIndex.load(spark, s"$rootB/idx").compact()
-    assert(!idxB.shouldCompact())
+    assert(!idxB.shouldCompact(1.5))
+    assert(!ShingleIndex.load(spark, s"$rootA/idx").shouldCompact())
     // the ledger survived in-stream compaction: every delivered batch
     // id still short-circuits a replay
     assert(IngestStream.deliveredBatches(spark, s"$rootB/idx") ==

@@ -109,7 +109,7 @@ class KeywordStreamSpec extends SparkTestBase {
     val q = IndexStream.ingestKeyword(
       spark.readStream.schema(batches.head.schema).parquet(inDir),
       "text", "doc_id", s"$root/idx", s"$root/ckpt",
-      compactEvery = IngestStream.AutoCompact)
+      compactEvery = IngestStream.AutoCompact, compactSlack = 1.5)
     try {
       q.processAllAvailable()
       batches.tail.foreach { b =>
@@ -132,7 +132,11 @@ class KeywordStreamSpec extends SparkTestBase {
     val fNever = Bm25Index.load(spark, s"$never/idx").storageFootprint()._1
     assert(grown.storageFootprint()._1 < fNever,
       s"auto=${grown.storageFootprint()._1} never=$fNever")
-    assert(!grown.shouldCompact() || grown.compact().shouldCompact() == false)
+    // the production default must NOT fire on 6 clean appends (one
+    // file per bucket per batch — the r14 calibration's no-fire side)
+    assert(!Bm25Index.load(spark, s"$never/idx").shouldCompact())
+    assert(!grown.shouldCompact(1.5) ||
+      !grown.compact().shouldCompact(1.5))
     // delivered ids survived the in-stream compacts
     assert(BatchLedger.delivered(spark, s"$root/idx", s"$root/ckpt") ==
       (0L until 6L).toSet)
