@@ -212,6 +212,24 @@ class IvfVectorIndex private (
     reassigned.sortWithinPartitions("cluster", "docid")
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/_retrain/data")
+    // A drifted cluster that ends refinement with ZERO reassigned rows
+    // (routine k-means: another refined centroid stole everything,
+    // e.g. after an earlier retrain moved a neighbor onto its rows)
+    // gets NO `cluster=c` dir from partitionBy — and the roll-forward
+    // promotes only staged dirs, so its LIVE partition would survive
+    // while its rows also land in the staged neighbors: duplicates.
+    // Stage an explicit EMPTY dir for every such cluster; the promote
+    // step then replaces the live partition with "no rows", which is
+    // exactly the refinement's verdict. (Empty dirs keep the promote
+    // loop idempotent where a cluster list in the marker would not:
+    // once renamed in, the staged dir is gone and a re-run skips it —
+    // re-deleting from a list would destroy an already-promoted
+    // partition.)
+    drifted.foreach { c =>
+      val stagedPart = new org.apache.hadoop.fs.Path(
+        s"$path/_retrain/data/cluster=$c")
+      if (!fs.exists(stagedPart)) fs.mkdirs(stagedPart)
+    }
     val patched = model.centroids.clone()
     drifted.zipWithIndex.foreach { case (g, i) =>
       patched(g) = local.centroids(i)

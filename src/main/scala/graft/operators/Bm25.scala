@@ -472,18 +472,32 @@ class Bm25Index private (
     * .appendBatchIfAbsent]]'s contract on the keyword lake:
     *
     *  - the batch's EXACT docid range already claimed in `_ranges` →
-    *    the append is SKIPPED (a previous attempt claimed it), not an
-    *    error — the idempotent form foreachBatch retries through; a
-    *    PARTIAL overlap still throws (never a replay);
-    *  - otherwise the range is claimed FIRST (unlike [[append]]'s
-    *    postings-first ordering — claim-first is what makes the
-    *    replay check sound: a crash between postings and a trailing
-    *    claim would let the replay silently double the postings),
-    *    then postings land, then stats.
+    *    a previous attempt owned this batch: the replay VERIFIES the
+    *    attempt finished and completes whatever is missing (postings
+    *    and/or the stats write — see below) instead of blind-skipping;
+    *    a PARTIAL overlap still throws (never a replay);
+    *  - otherwise a `_stats_pending/<lo>_<hi>` flag carrying the
+    *    (pre, post) stats totals lands first, then the range claim
+    *    (claim-before-postings is what makes the replay check sound:
+    *    a crash between postings and a trailing claim would let the
+    *    replay silently double the postings), then postings, then
+    *    stats, then the flag delete.
     *
-    * The one skip window (range claimed, postings write crashed) is
-    * detectable afterwards with [[missingRanges]] and repairable from
-    * the source-of-truth corpus with [[reconcile]]. */
+    * The pending flag closes BOTH residual crash windows of the r14
+    * protocol (the advisor's finding): a crash between the postings
+    * write and the stats write used to leave `n`/`Σdl` permanently
+    * undercounting — the replay hit the exact-claim skip, and
+    * [[missingRanges]] could not see it (postings exist for the
+    * range). Now a replay that finds the flag still present knows the
+    * previous attempt died mid-append and FINISHES it from the
+    * replayed batch itself: postings absent → write them; stats still
+    * at the flagged pre-totals → commit the flagged post-totals; stats
+    * already at the post-totals → only the flag delete was lost.
+    * Anything else means out-of-band writes landed between crash and
+    * replay (violating the single-writer stream contract) and throws
+    * rather than guessing. [[missingRanges]]/[[reconcile]] remain the
+    * repair when the stream itself is gone and recovery must come from
+    * the source corpus. */
   def appendIfAbsent(
       docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
     val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
@@ -493,22 +507,58 @@ class Bm25Index private (
       s"bm25 append: every value of id column '$idCol' casts to null")
     val (lo, hi) = (st.getLong(2), st.getLong(3))
     val claimed = Bm25Index.readRanges(spark, path)
-    if (claimed.contains((lo, hi))) return this // replay: already ours
+    if (claimed.contains((lo, hi))) // replay: already ours — finish it
+      return finishReplayedAppend(docs, textCol, idCol, lo, hi)
     claimed.find { case (l, h) => lo <= h && l <= hi }
       .foreach { case (l, h) => throw new IllegalArgumentException(
         s"bm25 append: id range [$lo,$hi] intersects already-indexed " +
         s"[$l,$h] — a partial overlap is never a replay")
       }
+    Bm25Index.writePendingStats(spark, path, lo, hi,
+      n, sumdl, n + nNew, sumdl + sumdlNew)
     Bm25Index.appendRange(spark, path, lo, hi) // claim BEFORE postings
+    writeBatchPostings(docs, textCol, idCol)
+    Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+    Bm25Index.deletePendingStats(spark, path, lo, hi)
+    graft.Keyword.invalidateIndex(path)
+    new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+  }
+
+  private def writeBatchPostings(
+      docs: DataFrame, textCol: String, idCol: String): Unit =
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("append").partitionBy("bucket").parquet(path)
-    Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
-    graft.Keyword.invalidateIndex(path)
-    new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
-  }
+
+  /** Complete an [[appendIfAbsent]] whose exact range claim is already
+    * recorded: no flag → the previous attempt fully committed (plain
+    * replay skip); flag present → finish the interrupted append from
+    * the replayed batch (see [[appendIfAbsent]]'s crash-window table).
+    * Callers hold a FRESHLY LOADED index (the streaming path loads per
+    * batch) so `n`/`sumdl` here reflect the on-disk `_stats`. */
+  private def finishReplayedAppend(
+      docs: DataFrame, textCol: String, idCol: String,
+      lo: Long, hi: Long): Bm25Index =
+    Bm25Index.readPendingStats(spark, path, lo, hi) match {
+      case None => this
+      case Some((nPre, sumdlPre, nPost, sumdlPost)) =>
+        if (postings.filter(col("docid").between(lo, hi)).isEmpty)
+          writeBatchPostings(docs, textCol, idCol)
+        if (n == nPre && sumdl == sumdlPre)
+          Bm25Index.writeStats(spark, path, nPost, sumdlPost, nBuckets)
+        else if (!(n == nPost && sumdl == sumdlPost))
+          throw new IllegalStateException(
+            s"bm25 replay of [$lo,$hi]: on-disk stats ($n, $sumdl) match " +
+            s"neither the flagged pre-append ($nPre, $sumdlPre) nor " +
+            s"post-append ($nPost, $sumdlPost) totals — out-of-band " +
+            "writes landed since the crash; reconcile from the source " +
+            "corpus instead of replaying")
+        Bm25Index.deletePendingStats(spark, path, lo, hi)
+        graft.Keyword.invalidateIndex(path)
+        new Bm25Index(spark, path, nPost, sumdlPost, nBuckets)
+    }
 
   /** Ranges recorded in `_ranges` with NO postings on disk — the
     * footprint of a crash between [[appendIfAbsent]]'s range claim
@@ -547,6 +597,11 @@ class Bm25Index private (
       .sortWithinPartitions("bucket", "term")
       .write.mode("append").partitionBy("bucket").parquet(path)
     Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
+    // postings missing ⇒ the crash preceded the stats write too, so the
+    // incremental add above is exact; the repaired ranges' in-flight
+    // flags (if any) are now settled
+    missing.foreach { case (lo, hi) =>
+      Bm25Index.deletePendingStats(spark, path, lo, hi) }
     graft.Keyword.invalidateIndex(path)
     new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
   }
@@ -598,7 +653,8 @@ class Bm25Index private (
     // `_ranges` claim and the batch-keyed output overwrite) but turns
     // a replayed batch's ledger short-circuit into a full survivor
     // recompute — carry it (r14)
-    Seq("_stats", "_ranges", "_meta", "_batches").foreach { side =>
+    Seq("_stats", "_ranges", "_meta", "_batches", "_stats_pending")
+      .foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -648,6 +704,11 @@ class Bm25Index private (
     Bm25Index.writeStats(spark, path, postN, postSum, nBuckets)
     fs.delete(srcP, true)
     IndexMerge.deleteMarker(fs, dst)
+    // the merge changed the postings set and n/Σdl: a live
+    // keyword_score registration backed by this path must fail loudly
+    // for re-registration instead of scoring with pre-merge stats —
+    // same contract as append/appendIfAbsent/reconcile
+    graft.Keyword.invalidateIndex(path)
     new Bm25Index(spark, path, postN, postSum, nBuckets)
   }
 
@@ -973,6 +1034,59 @@ object Bm25Index {
       .coalesce(1).write.mode("append").parquet(s"$path/_ranges")
   }
 
+  private def pendingStatsPath(path: String, lo: Long, hi: Long) =
+    new org.apache.hadoop.fs.Path(path, s"_stats_pending/r_${lo}_$hi")
+
+  /** `_stats_pending/<range>` flag — [[Bm25Index.appendIfAbsent]]'s
+    * in-flight marker, written BEFORE the range claim and deleted
+    * after the stats commit. Carries (nPre, sumdlPre, nPost,
+    * sumdlPost) so a replay can tell "stats not yet applied" from
+    * "only the flag delete was lost". Single small create, terminated
+    * like [[IndexMerge.writeMarker]]. */
+  private[operators] def writePendingStats(
+      spark: SparkSession, path: String, lo: Long, hi: Long,
+      nPre: Long, sumdlPre: Long, nPost: Long, sumdlPost: Long): Unit = {
+    val p = pendingStatsPath(path, lo, hi)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$nPre\n$sumdlPre\n$nPost\n$sumdlPost\nend\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read an in-flight append flag: (nPre, sumdlPre, nPost,
+    * sumdlPost), or None when absent. A torn flag cannot coexist with
+    * the range claim (the flag write strictly precedes the claim and
+    * nothing rewrites it), so a parse failure here means out-of-band
+    * tampering — throw rather than guess at stats arithmetic. */
+  private[operators] def readPendingStats(
+      spark: SparkSession, path: String, lo: Long, hi: Long)
+      : Option[(Long, Long, Long, Long)] = {
+    val p = pendingStatsPath(path, lo, hi)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val lines = raw.split("\n").filter(_.nonEmpty)
+    require(lines.length == 5 && lines(4) == "end",
+      s"bm25: malformed stats-pending flag at $p — refusing to guess; " +
+      "remove it and reconcile from the source corpus")
+    Some((lines(0).toLong, lines(1).toLong, lines(2).toLong,
+      lines(3).toLong))
+  }
+
+  private[operators] def deletePendingStats(
+      spark: SparkSession, path: String, lo: Long, hi: Long): Unit = {
+    val p = pendingStatsPath(path, lo, hi)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    ()
+  }
+
   def build(
       docs: DataFrame,
       textCol: String,
@@ -1030,6 +1144,7 @@ object Bm25Index {
       writeStats(spark, path, stats(0), stats(1), stats(2).toInt)
       fs.delete(srcP, true)
       IndexMerge.deleteMarker(fs, dst)
+      graft.Keyword.invalidateIndex(path) // stats changed under the path
     }
   }
 

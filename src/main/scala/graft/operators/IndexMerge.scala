@@ -83,24 +83,31 @@ object IndexMerge {
   }
 
   /** Write the `_merge_pending` marker: `src` plus the post-merge
-    * stat longs, one per line. Single small create — effectively
-    * atomic at the granularity the protocol needs (a torn marker
-    * fails parse and [[readMarker]] treats it as absent, i.e. the
-    * crash window collapses into "before the marker"). */
+    * stat longs, one per line, closed by an `end` terminator line.
+    * Single small create — effectively atomic at the granularity the
+    * protocol needs (a torn marker fails parse and [[readMarker]]
+    * treats it as absent, i.e. the crash window collapses into
+    * "before the marker"). The terminator is load-bearing: the
+    * families write 4–6 lines, so a marker torn exactly at a LINE
+    * boundary (src plus a stat prefix) would otherwise parse as a
+    * short-but-valid stats list and index past its end in
+    * completeMerge — wedging every subsequent load. */
   private[graft] def writeMarker(
       fs: FileSystem, dst: Path, src: String, stats: Seq[Long]): Unit = {
     val out = fs.create(new Path(dst, "_merge_pending"), true)
-    try out.write((src + "\n" + stats.mkString("\n") + "\n")
+    try out.write((src + "\n" + stats.mkString("\n") + "\nend\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** Read a pending-merge marker: (src path, post-merge stats), or
-    * None when absent or torn. A torn marker (the crash hit during
-    * the marker write itself — BEFORE any file moved) is deleted on
-    * read: the protocol's state is then exactly "ranges claimed, no
-    * marker", which a re-run of the same merge resumes value-
-    * idempotently. */
+    * None when absent or torn — torn meaning missing/garbled stats OR
+    * a missing `end` terminator (a crash mid-write can land any
+    * prefix, including one torn at a line boundary). A torn marker
+    * (the crash hit during the marker write itself — BEFORE any file
+    * moved) is deleted on read: the protocol's state is then exactly
+    * "ranges claimed, no marker", which a re-run of the same merge
+    * resumes value-idempotently. */
   private[graft] def readMarker(
       fs: FileSystem, dst: Path): Option[(String, Seq[Long])] = {
     val p = new Path(dst, "_merge_pending")
@@ -113,8 +120,8 @@ object IndexMerge {
     } finally in.close()
     val lines = raw.split("\n").filter(_.nonEmpty)
     val parsed =
-      if (lines.length < 2) None
-      else try Some((lines.head, lines.tail.toSeq.map(_.toLong)))
+      if (lines.length < 3 || lines.last != "end") None
+      else try Some((lines.head, lines.tail.init.toSeq.map(_.toLong)))
       catch { case _: NumberFormatException => None }
     if (parsed.isEmpty) fs.delete(p, false) // torn: roll back to no-marker
     parsed

@@ -195,4 +195,24 @@ class KeywordScoreSpec extends SparkTestBase {
     val after = Keyword.model("vector")
     assert(after != before, "post-append stats must reflect the growth")
   }
+
+  test("Bm25Index.merge invalidates the DESTINATION's keyword_score " +
+    "registration: a merged-under lake must not keep scoring with " +
+    "pre-merge n/Σdl (r15)") {
+    import spark.implicits._
+    import graft.operators.Bm25Index
+    val a = Seq((1L, "vector hash"), (2L, "join scan")).toDF("id", "text")
+    val b = Seq((10L, "vector vector lake"), (11L, "merge files"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kwmerge").toString
+    val idxA = Bm25Index.build(a, "text", "id", s"$dir/a", nBuckets = 4)
+    val idxB = Bm25Index.build(b, "text", "id", s"$dir/b", nBuckets = 4)
+    Keyword.registerIndex(idxA)
+    Keyword.model("vector") // resolves against the pre-merge index
+    val merged = idxA.merge(idxB)
+    val e = intercept[IllegalStateException] { Keyword.model("vector") }
+    assert(e.getMessage.contains("re-register"), e.getMessage)
+    Keyword.registerIndex(merged)
+    assert(Keyword.model("vector") != null)
+  }
 }

@@ -174,6 +174,67 @@ class IvfIndexCrashSpec extends SparkTestBase {
     assert(idx.model.centroids.length == 3)
   }
 
+  test("retrain that EMPTIES a drifted cluster deletes its live " +
+    "partition — no duplicate docids (NORMAL path, r15: zero " +
+    "reassigned rows → partitionBy stages no dir for it)") {
+    def vec(deg: Double): Seq[Float] = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfcrash-zerorow").toString + "/idx"
+    // hand codebook: c0 at 0°, c1 at 90° on the unit circle
+    val model = Ivf.Model(Array(vec(0).toArray, vec(90).toArray))
+    // rows at 44° assign to cluster 0 (cos 44° > cos 46°); one row at
+    // 60° assigns to cluster 1
+    val docs = (Seq(0L, 1L, 2L).map(id => (id, vec(44))) :+
+      ((3L, vec(60)))).toDF("vec_id", "embedding")
+    val idx = IvfVectorIndex.build(docs, "embedding", "vec_id", path, model)
+    assert(rows(path) == Set((0L, 0), (1L, 0), (2L, 0), (3L, 1)))
+    // single-cluster retrain walks c1 onto its own row at 60° — now
+    // cluster 0's rows at 44° sit NEARER c1 (16°) than their own
+    // centroid (44°): the legitimate drift precondition
+    val patched = idx.retrainInPlace(Seq(1), iters = 3)
+    assert(patched.model.nearest(vec(44).toArray).head == 1)
+    // full retrain: Lloyd from seeds {0°, 60°} hands ALL four rows to
+    // the refined c1; c0 attracts nothing and keeps its seed. The
+    // staged write therefore has NO cluster=0 data dir — without the
+    // explicit empty-dir staging, cluster 0's live partition (rows
+    // 0,1,2 — ALSO reassigned into the staged cluster 1) survives the
+    // commit and the index reads 7 rows with duplicated docids.
+    val after = patched.retrainInPlace(Seq(0, 1), iters = 3)
+    val live = rows(path)
+    assert(live.map(_._1) == Set(0L, 1L, 2L, 3L),
+      s"duplicated or lost docids: $live")
+    assert(live.size == 4, s"stale emptied-cluster partition: $live")
+    assert(live.forall(_._2 == 1), s"all rows belong to cluster 1: $live")
+    assert(after.count() == 4)
+    assert(IvfVectorIndex.load(spark, path).count() == 4)
+  }
+
+  test("retrain crash AFTER the marker with an EMPTY staged cluster " +
+    "dir: load deletes the emptied cluster's live partition (the " +
+    "crash twin of the zero-reassigned-rows case)") {
+    val (path, _) = freshIndex("emptystaged")
+    val before = rows(path)
+    // footprint: every row of clusters 0 and 1 was reassigned into the
+    // staged cluster 0; cluster 1 emptied, staged as an explicit empty
+    // dir; marker written; death before any promote
+    spark.read.parquet(path)
+      .filter($"cluster".isin(0, 1))
+      .withColumn("cluster", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("cluster").parquet(s"$path/_retrain/data")
+    new java.io.File(s"$path/_retrain/data/cluster=1").mkdirs()
+    new java.io.File(s"$path/_retrain/COMMIT").createNewFile()
+    val idx = IvfVectorIndex.load(spark, path)
+    val live = rows(path)
+    assert(!new java.io.File(s"$path/_retrain").exists)
+    assert(live.map(_._1) == before.map(_._1), "no rows lost or duplicated")
+    assert(!live.exists(_._2 == 1), "emptied cluster's live partition gone")
+    assert(live.count(_._2 == 0) ==
+      before.count(r => r._2 == 0 || r._2 == 1))
+    assert(idx.count() == live.size)
+  }
+
   test("interrupted APPEND leaves the old generation fully readable " +
     "(in-flight task output is invisible to readers)") {
     val (path, idx) = freshIndex("append")

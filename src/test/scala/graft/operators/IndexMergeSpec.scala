@@ -263,4 +263,29 @@ class IndexMergeSpec extends SparkTestBase {
     assert(merged.nDocs == 8)
     a.hashCode(); b.hashCode()
   }
+
+  test("a marker torn at a LINE boundary (src + short stats, all " +
+    "parseable) is still detected as torn — the terminator is load-" +
+    "bearing (r15)") {
+    val root = scratch("linetorn")
+    val a = ShingleIndex.build(corpus.filter($"doc_id" < 10),
+      "doc_id", "text", s"$root/a", ngram = 3, nBuckets = 8)
+    val b = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/b", ngram = 3, nBuckets = 8)
+    IndexMerge.claimRanges(spark, s"$root/a", s"$root/b")
+    // the crash landed exactly after the first stat's newline: every
+    // line parses, but the stats list is short — under the pre-r15
+    // rules this read as a VALID marker and completeMerge indexed
+    // past stats(0), wedging every subsequent load
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/a/_merge_pending"),
+      s"$root/b\n8\n".getBytes("UTF-8"))
+    val reloaded = ShingleIndex.load(spark, s"$root/a") // must not throw
+    assert(!new java.io.File(s"$root/a/_merge_pending").exists,
+      "line-torn marker rolled back")
+    assert(reloaded.nDocs == 4)
+    val merged = reloaded.merge(ShingleIndex.load(spark, s"$root/b"))
+    assert(merged.nDocs == 8)
+    a.hashCode(); b.hashCode()
+  }
 }

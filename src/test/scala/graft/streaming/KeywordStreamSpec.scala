@@ -92,6 +92,100 @@ class KeywordStreamSpec extends SparkTestBase {
     assert(top(repaired) == top(whole))
   }
 
+  private def plantPendingFlag(root: String, lo: Long, hi: Long,
+      nPre: Long, sPre: Long, nPost: Long, sPost: Long): Unit = {
+    val dir = new java.io.File(s"$root/idx/_stats_pending")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/idx/_stats_pending/r_${lo}_$hi"),
+      s"$nPre\n$sPre\n$nPost\n$sPost\nend\n".getBytes("UTF-8"))
+    ()
+  }
+
+  private def overwriteStats(root: String,
+      n: Long, sumdl: Long, nb: Int): Unit = {
+    Seq((n, sumdl, nb)).toDF("n", "sumdl", "n_buckets")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/idx/_stats")
+    ()
+  }
+
+  test("stats crash window (postings landed, stats write crashed): " +
+    "the replay FINISHES the stats commit instead of blind-skipping " +
+    "into a permanent undercount (r15)") {
+    val root = scratch("statswin")
+    val pre = Bm25Index.build(base, "text", "doc_id", s"$root/idx",
+      nBuckets = 8)
+    val post = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    // rewind to the crash footprint: postings + claim present, stats
+    // still pre-append, in-flight flag present
+    overwriteStats(root, pre.n, pre.sumdl, 8)
+    plantPendingFlag(root, 10L, 11L, pre.n, pre.sumdl, post.n, post.sumdl)
+    assert(Bm25Index.load(spark, s"$root/idx").n == pre.n, "footprint set")
+    val rowsBefore = spark.read.parquet(s"$root/idx").count()
+    val replayed = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    assert(replayed.n == post.n && replayed.sumdl == post.sumdl,
+      "replay must repair the undercounted stats")
+    assert(spark.read.parquet(s"$root/idx").count() == rowsBefore,
+      "no posting doubles")
+    assert(!new java.io.File(s"$root/idx/_stats_pending/r_10_11").exists)
+    // scores now match the monolithic build exactly
+    val whole = Bm25Index.build(base.union(b1), "text", "doc_id",
+      s"$root/whole", nBuckets = 8)
+    def top(ix: Bm25Index) = ix.search(Seq("vector", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(Bm25Index.load(spark, s"$root/idx")) == top(whole))
+  }
+
+  test("claim crash window (claimed + flagged, postings never landed): " +
+    "the replay completes the WHOLE append from the replayed batch") {
+    val root = scratch("claimwin")
+    val pre = Bm25Index.build(base, "text", "doc_id", s"$root/idx",
+      nBuckets = 8)
+    val whole = Bm25Index.build(base.union(b1), "text", "doc_id",
+      s"$root/whole", nBuckets = 8)
+    // footprint: flag written, range claimed, death before postings
+    plantPendingFlag(root, 10L, 11L, pre.n, pre.sumdl, whole.n, whole.sumdl)
+    Seq((10L, 11L)).toDF("lo", "hi").coalesce(1)
+      .write.mode("append").parquet(s"$root/idx/_ranges")
+    assert(pre.missingRanges() == Seq((10L, 11L)))
+    val replayed = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    assert(replayed.n == whole.n && replayed.sumdl == whole.sumdl)
+    assert(replayed.missingRanges().isEmpty)
+    assert(!new java.io.File(s"$root/idx/_stats_pending/r_10_11").exists)
+    def top(ix: Bm25Index) = ix.search(Seq("vector", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(replayed) == top(whole))
+  }
+
+  test("flag-delete crash window (append fully committed, flag " +
+    "survives): the replay verifies and settles without double-" +
+    "counting; an out-of-band mutation fails loudly") {
+    val root = scratch("flagwin")
+    Bm25Index.build(base, "text", "doc_id", s"$root/idx", nBuckets = 8)
+    val pre = Bm25Index.load(spark, s"$root/idx")
+    val post = pre.appendIfAbsent(b1, "text", "doc_id")
+    plantPendingFlag(root, 10L, 11L, pre.n, pre.sumdl, post.n, post.sumdl)
+    val rowsBefore = spark.read.parquet(s"$root/idx").count()
+    val replayed = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    assert(replayed.n == post.n && replayed.sumdl == post.sumdl,
+      "settled, not double-counted")
+    assert(spark.read.parquet(s"$root/idx").count() == rowsBefore)
+    assert(!new java.io.File(s"$root/idx/_stats_pending/r_10_11").exists)
+    // stats matching NEITHER flagged total = out-of-band writes since
+    // the crash: refuse to guess
+    plantPendingFlag(root, 10L, 11L, 999L, 999L, 998L, 998L)
+    val e = intercept[IllegalStateException] {
+      Bm25Index.load(spark, s"$root/idx")
+        .appendIfAbsent(b1, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("reconcile"), e.getMessage)
+  }
+
   test("a real file-source stream with AutoCompact: all batches land, " +
     "search sees them, fragmentation stays bounded, ledger survives") {
     val root = scratch("stream")
