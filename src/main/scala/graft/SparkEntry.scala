@@ -291,6 +291,63 @@ object SparkEntry {
     }
   }
 
+  /** Load-or-build the MERGED twin of [[winnowIndexAt]]'s fingerprint
+    * lake (r15 — the last two merge surfaces go oracle-visible): the
+    * same doc_id < 120 corpus built as TWO disjoint shards with
+    * identical winnowing parameters, absorbed by file-level merge.
+    * Probe-time df caps come from the merged postings, so the probe
+    * is result-identical to the monolithic lake and
+    * `winnow_shard_merge` shares `winnow_incremental`'s oracle
+    * verbatim. */
+  private def winnowMergedIndexAt(s: SparkSession, dir: String)
+      : operators.WinnowIndex = {
+    val path = cachedIndexPath(dir, "documents", "winnowmerge45")
+    val shardB = path + "_shard_b"
+    if (new java.io.File(s"$path/_stats").exists &&
+        !new java.io.File(s"$path/_merge_pending").exists &&
+        !new java.io.File(shardB).exists)
+      operators.WinnowIndex.load(s, path)
+    else {
+      rmTree(path); rmTree(shardB)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 120 && col("text").isNotNull)
+      val a = operators.WinnowIndex.build(
+        docs.filter(col("doc_id") < 60), "doc_id", "text", path,
+        k = 4, w = 5, dfCap = 20, nBuckets = 16)
+      val b = operators.WinnowIndex.build(
+        docs.filter(col("doc_id") >= 60), "doc_id", "text", shardB,
+        k = 4, w = 5, dfCap = 20, nBuckets = 16)
+      a.merge(b)
+    }
+  }
+
+  /** Load-or-build the MERGED twin of the bucket-partitioned LSH
+    * vector index over `embeddings` (r15): the SAME hyperplanes as
+    * `ann_lsh` (dim/nbits/seed fully determine them), two disjoint
+    * vec_id shards absorbed as pure bucket-file moves. Identical
+    * planes assign identical buckets, so the merged search probes the
+    * same candidate set with the same exact cosine as `ann_lsh` and
+    * shares its oracle + `ann_lsh_candidates` aux verbatim. */
+  private def lshMergedIndexAt(s: SparkSession, dir: String)
+      : index.LshVectorIndex = {
+    val path = cachedIndexPath(dir, "embeddings", "lshmerge_6_42")
+    val shardB = path + "_shard_b"
+    val lsh = operators.HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
+    if (new java.io.File(s"$path/_lsh_meta.json").exists &&
+        !new java.io.File(shardB).exists)
+      index.LshVectorIndex.load(s, path, Some(lsh))
+    else {
+      rmTree(path); rmTree(shardB)
+      val emb = t(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      val a = index.LshVectorIndex.build(
+        emb.filter(col("vec_id") <= mid), "embedding", "vec_id", path, lsh)
+      val b = index.LshVectorIndex.build(
+        emb.filter(col("vec_id") > mid), "embedding", "vec_id", shardB, lsh)
+      a.merge(b)
+    }
+  }
+
   /** Load-or-train the PPMI random-indexing word-vector model over
     * `documents` (shared by wordvec_knn / wordvec_similar and the aux
     * dump). Training is bit-deterministic (WordVecSpec: long-quantized
@@ -3938,6 +3995,42 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // the winnow twin (r15 — the last two merge surfaces go
+    // oracle-visible): the fingerprint lake built as two disjoint
+    // shards and file-merged; probe-time df caps read the MERGED
+    // postings, so the probe result equals the monolithic lake's and
+    // the oracle is winnow_incremental's from-scratch re-derivation
+    // (every gram hash, window minimum, lake df, shared count)
+    "winnow_shard_merge" -> ((s, dir) => {
+      Graft.init(s)
+      val idx = winnowMergedIndexAt(s, dir)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val incoming = docs
+        .filter(col("doc_id") < 120 && col("text").isNotNull &&
+          col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 10000 AS doc_id",
+          "concat('pad1 pad2 pad3 ', text) AS text")
+        .unionAll(docs.filter(
+          col("doc_id") >= 120 && col("doc_id") < 140 &&
+          col("text").isNotNull))
+      idx.probe(incoming, "doc_id", "text", minShared = 2)
+        .select(col("new_id"), col("old_id"), col("n_shared"))
+        .orderBy("new_id", "old_id")
+    }),
+
+    // the hyperplane-LSH twin (r15): shards bucketized with the SAME
+    // seeded planes merge as pure bucket-file moves, so the merged
+    // search probes exactly ann_lsh's candidate set and re-ranks it
+    // with the same exact cosine — sharing ann_lsh's oracle and its
+    // ann_lsh_candidates aux verbatim
+    "lsh_shard_merge" -> ((s, dir) => {
+      Graft.init(s)
+      lshMergedIndexAt(s, dir)
+        .search(queryVec(s, dir), 10, probes = 2)
+        .select(col("docid").as("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // streamed == batch, oracle-visible (r13): a REAL file-source
     // micro-batched Structured Streaming ingest (3 batches through
     // IngestStream's two-tier gate + BatchLedger, plus a POISONED
@@ -4956,6 +5049,8 @@ object SparkEntry {
       "dedup_shard_merge" -> m("dedup_incremental"),
       "bm25_shard_merge" -> m("bm25_index_topk"),
       "ivf_shard_merge" -> m("ivf_knn"),
+      "winnow_shard_merge" -> m("winnow_incremental"),
+      "lsh_shard_merge" -> m("ann_lsh"),
       // streamed == batch-built: the grown lake holds every document,
       // so the full-corpus BM25 re-derivation IS the parity oracle
       "keyword_stream_topk" -> m("bm25_index_topk"))
