@@ -57,6 +57,48 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def medianOf(runs: Seq[Double]): Double = {
+      val s = runs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
+    def timeNoop(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    // SENTINEL DRIFT (r15, the r14 verdict's ask): BENCH_r14 was
+    // captured in a host-steal window (four untouched queries +20-60%)
+    // and proving that required cross-referencing BASELINE.md's clean
+    // sweep by hand. A FIXED workload — one scan + hash + aggregate
+    // over documents, independent of the suite and of round-to-round
+    // code churn in the operators — is re-measured (median of 3) at
+    // sweep START, MID (right after pass 1, before any quiet-wait can
+    // mask what pass 1 ran under) and END. The artifact then carries
+    //   sentinel_drift   = max/min over the checkpoints (1.0 = steady
+    //                      box; the r14 steal window would have read
+    //                      ~1.2-1.6), and
+    //   value_net_adj    = value_net × min/mean — the headline rescaled
+    //                      by the average steal factor the sentinel saw,
+    // so a steal-window artifact SELF-LABELS instead of needing a
+    // cross-referenced adjudication.
+    def sentinelOnce(): Double = timeNoop(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        // pmod-bounded: summing raw xxhash64 longs overflows ANSI math
+        .selectExpr("pmod(xxhash64(text), 1000003) AS h", "doc_id")
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(64L)).as("g"))
+        .agg(org.apache.spark.sql.functions.sum("h").as("hs"),
+          org.apache.spark.sql.functions.count("*").as("n")))
+    // min-of-3 per checkpoint: steal inflates even the best run, while
+    // a single GC/JIT hiccup only moves the median/mean — min is the
+    // "what this box could do right now" signal drift should compare
+    def sentinel(label: String): Double = {
+      val good = (1 to 3).map(_ => sentinelOnce()).filter(_ >= 0)
+      val v = if (good.isEmpty) -1.0 else good.min
+      System.err.println(f"[bench] sentinel $label: $v%.3f s")
+      v
+    }
     // CLEAN-BOX STAGGER (added r9): the driver launches bench while
     // the box still drains its correctness sweep (duckdb/pyspark
     // processes), which inflated r7 35% and tripped the r8 third-pass
@@ -111,10 +153,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
     waitForQuietBox("post-warm", maxWaitSec = 120)
+    // codegen-warm + JIT-settle the sentinel itself before timing it
+    // (two runs: one compiles, one JITs — the start checkpoint must
+    // not read warm-up slope as box drift)
+    sentinelOnce(); sentinelOnce()
+    val sentinelStart = sentinel("start")
     // pass 1 then pass 2 over the whole suite (not back-to-back per
     // query): a contention burst then penalizes DIFFERENT queries in
     // the two passes instead of hitting both runs of the same query
     val pass1 = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
+    // mid checkpoint BEFORE the quiet-wait: it must witness the
+    // conditions pass 1 actually ran under, not the settled box
+    val sentinelMid = sentinel("mid")
     // a sweep that spun up mid-run should not also taint pass 2
     waitForQuietBox("between-passes", maxWaitSec = 300)
     val pass2 = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
@@ -170,15 +220,22 @@ object Bench {
     //                decode + one row-group touch, the cost every
     //                table-reading query pays.
     // The headline decomposes as value ≈ plan_cost + n × floor_scan.
-    def medianOf(runs: Seq[Double]): Double = {
-      val s = runs.sorted; if (s.isEmpty) -1.0 else s(s.size / 2)
-    }
-    def timeNoop(df: => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
-    }
+    val sentinelEnd = sentinel("end")
+    val sentinelVals =
+      Seq(sentinelStart, sentinelMid, sentinelEnd).filter(_ >= 0)
+    val sentinelDrift =
+      if (sentinelVals.size < 2) 1.0
+      else sentinelVals.max / math.max(sentinelVals.min, 1e-9)
+    // annotate-don't-abort: the sweep's numbers are still the best
+    // observations available; the artifact just stops pretending the
+    // box was steady (the driver's contract needs A number each round)
+    val driftExceeded = sentinelDrift > 1.3
+    if (driftExceeded)
+      System.err.println(f"[bench] WARNING: sentinel drift " +
+        f"$sentinelDrift%.2fx across the sweep (start=$sentinelStart%.3f " +
+        f"mid=$sentinelMid%.3f end=$sentinelEnd%.3f) — a host-steal " +
+        "window overlapped this run; prefer value_net_adj and the " +
+        "isolated re-measures when reading this artifact")
     val floorEmpty = medianOf((1 to 7).map(_ => timeNoop(spark.range(1).toDF())))
     val floorScan = medianOf((1 to 7).map(_ =>
       timeNoop(spark.read.parquet(s"$sfDir/documents.parquet")
@@ -307,9 +364,9 @@ object Bench {
         .mkString("{", ",", "}")
     // window minus wrapper/footer slack; measured r6 tail layout
     // (slack raised 120→230 in r10 for the floor/best2_spread fields,
-    // →260 in r11 for value_net)
+    // →260 in r11 for value_net, →360 in r15 for the sentinel fields)
     val budget = 1950
-    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 260)
+    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 360)
       .getOrElse {
         // last resort: per-query values only for queries above the
         // fold threshold, the rest folded into one bucket — nothing
@@ -326,7 +383,7 @@ object Bench {
             .mkString("{", ",", "}")
         }
         Seq(0.1, 0.25, 0.5, 1.0, 2.0).map(fold)
-          .find(_.length <= budget - 260)
+          .find(_.length <= budget - 360)
           // everything folded always fits: {"_fast_n":N,"_fast_total":X}
           .getOrElse(fold(Double.MaxValue))
       }
@@ -360,8 +417,15 @@ object Bench {
     val valueNet =
       if (floorScan < 0) -1.0
       else math.max(0.0, totalForNet.sum - totalForNet.size * floorScan)
+    // the drift-normalized headline (r15): value_net rescaled by the
+    // sentinel's best/mean — what the suite would have cost had the
+    // whole sweep run at the sentinel's best-observed box conditions
+    val valueNetAdj =
+      if (valueNet < 0 || sentinelVals.isEmpty) valueNet
+      else valueNet * (sentinelVals.min /
+        math.max(sentinelVals.sum / sentinelVals.size, 1e-9))
     val stats =
-      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)},"value_net":${num(valueNet)}"""
+      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)},"value_net":${num(valueNet)},"sentinel_drift":${num(sentinelDrift)},"value_net_adj":${num(valueNetAdj)},"drift_exceeded":$driftExceeded"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs,"sf":"$sfDir"}"""
     // isolated re-measurements (bench.json only): the clean-box
@@ -370,7 +434,7 @@ object Bench {
       .map(n => "\"" + n + "\":" + num(isolated.getOrElse(n, -1.0)))
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs3,"runs":$raws,"net_spreads":$netSpreads,"isolated":$isolatedJson,"flagged_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"sentinel":{"start":${num(sentinelStart)},"mid":${num(sentinelMid)},"end":${num(sentinelEnd)}},"queries":$qs3,"runs":$raws,"net_spreads":$netSpreads,"isolated":$isolatedJson,"flagged_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     // Persist the full record first so the compact stdout line is the
     // LAST thing printed (fewer trailing chars eating into the tail
     // window; sbt still appends its own [success] footer).
