@@ -3983,6 +3983,21 @@ object SparkEntry {
         .indexAt(s, dir, t(s, dir, "documents"))
         .search(Seq("vector", "hash", "join"), 10)),
 
+    // the production topology END-TO-END (r15): three per-segment
+    // ingestKeyword streams run concurrently into three shard lakes,
+    // one absorbs a poisoned full-content replay, and the lakes then
+    // file-merge into one index — parallel streaming ingest + replay
+    // guards + metadata merge pinned as ONE lifecycle. The merged
+    // index holds every document exactly once, so the search
+    // hash-matches the same full-corpus oracle as bm25_index_topk;
+    // a double-delivered batch, a lost segment, or a merge that
+    // dropped/doubled stats would all shift the scores and break the
+    // hash. Runs once per JVM (memoized).
+    "keyword_stream_merge" -> ((s, dir) =>
+      streaming.KeywordStreamParity
+        .mergedIndexAt(s, dir, t(s, dir, "documents"))
+        .search(Seq("vector", "hash", "join"), 10)),
+
     // the vector twin: one shared codebook (trained once,
     // deterministic), shard indexes merged as cluster-file moves;
     // search probes the same clusters with the same exact cosine as
@@ -5053,7 +5068,10 @@ object SparkEntry {
       "lsh_shard_merge" -> m("ann_lsh"),
       // streamed == batch-built: the grown lake holds every document,
       // so the full-corpus BM25 re-derivation IS the parity oracle
-      "keyword_stream_topk" -> m("bm25_index_topk"))
+      "keyword_stream_topk" -> m("bm25_index_topk"),
+      // parallel segment streams -> shard lakes -> file merge: the
+      // merged lake holds every document exactly once, same oracle
+      "keyword_stream_merge" -> m("bm25_index_topk"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -38,6 +38,93 @@ object KeywordStreamParity {
       docs: DataFrame): Bm25Index =
     cache.getOrElseUpdate(sfKey, runOnce(spark, docs))
 
+  private val mergedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Bm25Index]
+
+  /** The PRODUCTION topology end-to-end (r15, the r14 verdict's ask —
+    * composing the round's two new surfaces): the corpus is split
+    * into three docid SEGMENTS, each segment runs its OWN
+    * [[IndexStream.ingestKeyword]] stream into its own shard lake
+    * (all three streams live in the session concurrently — the
+    * per-segment-ingest shape), one stream gets a poisoned
+    * full-content replay that its claim/ledger guards must swallow,
+    * and the shard lakes then absorb into one index via the
+    * file-level [[Bm25Index.merge]]. The merged index holds every
+    * document exactly once, so a top-k search hash-matches the same
+    * full-corpus oracle as `bm25_index_topk` — pinning the WHOLE
+    * lifecycle (parallel streams → replay guards → metadata merge),
+    * not just its halves. One run per (JVM, dataset), memoized. */
+  def mergedIndexAt(spark: SparkSession, sfKey: String,
+      docs: DataFrame): Bm25Index =
+    mergedCache.getOrElseUpdate(sfKey, runMergedOnce(spark, docs))
+
+  private def runMergedOnce(
+      spark: SparkSession, docs: DataFrame): Bm25Index = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kw_shard_stream").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root)))
+    val cols = docs.select(col("doc_id"), col("text"))
+    val maxId = cols.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    val segments = 3
+    val width = maxId / segments + 1
+    val t0 = System.currentTimeMillis() - 3600000L
+
+    // lay out every segment's seed + stream input first, then run the
+    // three streams CONCURRENTLY (started together, drained together)
+    case class Seg(idx: Int, indexPath: String, checkpoint: String,
+      inDir: java.io.File, schema: org.apache.spark.sql.types.StructType,
+      replayLo: Long, replayHi: Long)
+    val segs = (0 until segments).map { sId =>
+      val lo = sId * width
+      val hiEx = math.min((sId + 1) * width, maxId + 1)
+      val seg = cols.filter(col("doc_id") >= lo && col("doc_id") < hiEx)
+      val seedHi = lo + (hiEx - lo) / 2
+      val indexPath = s"$root/shard_$sId"
+      // seed build: the shard lake must exist before its stream feeds it
+      Bm25Index.build(seg.filter(col("doc_id") < seedHi),
+        "text", "doc_id", indexPath, nBuckets = 16)
+      // two micro-batch files per segment, mtimes ascending
+      val inDir = new java.io.File(root, s"input_$sId"); inDir.mkdirs()
+      val mid = seedHi + (hiEx - seedHi) / 2
+      Seq((seedHi, mid), (mid, hiEx)).zipWithIndex.foreach {
+        case ((blo, bhi), k) =>
+          val stage = s"$root/stage_${sId}_$k"
+          seg.filter(col("doc_id") >= blo && col("doc_id") < bhi)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"shard stream: no part file in $stage"))
+          val dst = new java.io.File(inDir, s"b$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(t0 + k * 60000L),
+            s"shard stream: cannot stamp mtime on $dst")
+      }
+      Seg(sId, indexPath, s"$root/checkpoint_$sId", inDir,
+        seg.schema, seedHi, mid)
+    }
+    // all three per-segment streams run in the session at once
+    val queries = segs.map { sg =>
+      IndexStream.ingestKeyword(
+        spark.readStream.schema(sg.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(sg.inDir.getAbsolutePath),
+        "text", "doc_id", sg.indexPath, sg.checkpoint)
+    }
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+    // poisoned replay on the MIDDLE segment: batch 0's full content
+    // again under the same stream id — both guards must swallow it
+    val sg1 = segs(1)
+    IndexStream.keywordBatch(
+      cols.filter(col("doc_id") >= sg1.replayLo &&
+        col("doc_id") < sg1.replayHi),
+      0L, "text", "doc_id", sg1.indexPath, streamId = sg1.checkpoint)
+    // the periodic merge: shard lakes absorb into one index by file
+    // renames; disjoint docid ranges make the claims compose
+    segs.map(sg => Bm25Index.load(spark, sg.indexPath))
+      .reduce(_ merge _)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
     f.delete(); ()

@@ -264,6 +264,42 @@ class IndexMergeSpec extends SparkTestBase {
     a.hashCode(); b.hashCode()
   }
 
+  test("many-shard merge trips the PRODUCTION auto-compact rule; " +
+    "compact settles the cycle and changes no result (r15 — the " +
+    "fan-in × fragmentation interaction, measured in BASELINE.md)") {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, hash, lit, pmod}
+    val root = scratch("fanincycle")
+    // 48 docs of 40 hashed terms each — every shard touches all 4
+    // buckets, so a 24-shard merge carries ~24 files per bucket:
+    // past the production rule (slack 16 × ideal 4 = 64 files)
+    val docs = spark.range(0L, 48L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), pmod(hash(col("id") * 61 + i), lit(500)))): _*)
+        .as("text"))
+    val whole = Bm25Index.build(docs, "text", "doc_id",
+      s"$root/whole", nBuckets = 4)
+    val shards = (0 until 24).map { sId =>
+      Bm25Index.build(
+        docs.filter(col("doc_id") >= sId * 2 && col("doc_id") < sId * 2 + 2),
+        "text", "doc_id", s"$root/s$sId", nBuckets = 4)
+    }
+    val merged = shards.reduce(_ merge _)
+    assert(merged.n == whole.n && merged.sumdl == whole.sumdl)
+    val (filesPre, _) = merged.storageFootprint()
+    assert(filesPre > 64, s"fan-in fragmentation expected: $filesPre files")
+    assert(merged.shouldCompact(),
+      "the production rule must fire after a many-shard merge")
+    def top(ix: Bm25Index) = ix.search(Seq("100", "200", "33"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = top(merged)
+    assert(before == top(whole))
+    val compacted = merged.compact()
+    assert(!compacted.shouldCompact(), "one compact settles the cycle")
+    val (filesPost, _) = compacted.storageFootprint()
+    assert(filesPost <= 4, s"one file per bucket expected: $filesPost")
+    assert(top(compacted) == before, "compaction changes no score")
+  }
+
   test("a marker torn at a LINE boundary (src + short stats, all " +
     "parseable) is still detected as torn — the terminator is load-" +
     "bearing (r15)") {
