@@ -86,26 +86,62 @@ object IndexStream {
     * sidecar; a crash mid-append can still duplicate — pair with
     * upstream exactly-once sources or downstream id dedup; periodic
     * [[graft.index.IvfVectorIndex.compact]] absorbs the per-batch
-    * small files during maintenance windows. */
+    * small files during maintenance windows.
+    *
+    * IN-STREAM RETRAIN (r15): `retrainEvery = N` closes the drift
+    * loop inside the stream — every N delivered batches the batch is
+    * drift-scored against the lake ([[graft.operators.Ivf.drift]]:
+    * two map passes + bounded aggregates), and clusters whose
+    * incoming `drift_frac` crosses `driftFrac` are re-clustered in
+    * place ([[graft.index.IvfVectorIndex.retrainInPlace]] — staged,
+    * crash-safe, partition-pruned). Running the retrain INSIDE
+    * `foreachBatch` is the concurrency design, not a convenience:
+    * micro-batch callbacks are serialized by Structured Streaming, so
+    * the retrain's partition swap can never interleave with an
+    * in-flight append of the same stream — the "generation swap vs
+    * append" race is excluded by construction rather than locked
+    * around, and later batches assign with the PATCHED codebook the
+    * retrain returned (the stream tracks the live index through the
+    * maintenance, exactly like a caller of retrainInPlace must).
+    * Out-of-band writers remain excluded — same single-writer
+    * contract as every lake. */
   def ingestIvf(
       docs: DataFrame,
       index: graft.index.IvfVectorIndex,
       vecCol: String,
       idCol: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      retrainEvery: Int = 0,
+      driftFrac: Double = 0.5): StreamingQuery = {
     require(docs.isStreaming, "IndexStream.ingestIvf needs a streaming DataFrame")
+    // the stream's view of the index survives retrains: retrainInPlace
+    // returns the index with the PATCHED codebook, and appends after a
+    // retrain must assign with it (foreachBatch is serialized, so the
+    // var is only ever touched by one in-flight batch)
+    var live = index
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val replay = BatchLedger
-          .delivered(batch.sparkSession, index.path, checkpointDir)
+          .delivered(batch.sparkSession, live.path, checkpointDir)
           .contains(batchId)
         if (!batch.isEmpty && !replay) {
-          index.append(batch, vecCol, idCol)
-          BatchLedger.record(batch.sparkSession, index.path,
+          live.append(batch, vecCol, idCol)
+          BatchLedger.record(batch.sparkSession, live.path,
             checkpointDir, batchId)
+          if (retrainEvery > 0 && (batchId + 1) % retrainEvery == 0) {
+            val report = graft.operators.Ivf.drift(
+              live.df.withColumnRenamed("vector", vecCol),
+              batch, vecCol, live.model)
+            val drifted = report
+              .filter(org.apache.spark.sql.functions.col("n_new") > 0 &&
+                org.apache.spark.sql.functions.col("drift_frac") >=
+                  driftFrac)
+              .select("cluster").collect().map(_.getInt(0)).toSeq
+            if (drifted.nonEmpty) live = live.retrainInPlace(drifted)
+          }
         }
         ()
       }

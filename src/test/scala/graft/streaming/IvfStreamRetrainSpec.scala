@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Ivf
+import graft.index.IvfVectorIndex
+
+/** IVF streaming WITH in-stream drift-triggered retrain (r15, the r14
+  * verdict's ask): `ingestIvf` and `retrainInPlace` were each pinned
+  * alone — this drives a retrain in the middle of a live append
+  * stream. The design answer to the "generation swap vs in-flight
+  * append" race is serialization by construction: the retrain runs
+  * INSIDE foreachBatch (like the keyword lake's in-stream compaction),
+  * so it can never interleave with an append of the same stream, and
+  * later batches assign with the patched codebook the retrain
+  * returned. The spec plants real drift and checks the whole pass:
+  * retrain actually fired mid-stream, zero rows lost, no docid
+  * duplicated, the old rows stay readable, and the patched codebook
+  * both persisted and routed the post-retrain appends. */
+class IvfStreamRetrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft-ivfstream-$tag").toString
+
+  private def vec(deg: Double): Seq[Float] = Seq(
+    math.cos(math.toRadians(deg)).toFloat,
+    math.sin(math.toRadians(deg)).toFloat)
+
+  test("drift-triggered retrain fires BETWEEN appends of a live " +
+    "stream: zero rows lost, codebook patched, post-retrain batches " +
+    "assign with the patched book") {
+    // hand codebook: two tight clusters at 0° and 90°
+    val model = Ivf.Model(Array(vec(0).toArray, vec(90).toArray))
+    val idxDir = tmp("idx")
+    // seed lake: 200 rows ON the centroids (±2°) — a high, tight
+    // reference band for the drift detector
+    val seed = (0L until 200L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 90.0
+      (i, vec(base + (if (i % 4 < 2) 2.0 else -2.0)))
+    }.toDF("vec_id", "embedding")
+    IvfVectorIndex.build(seed, "embedding", "vec_id", idxDir, model)
+    val idx = IvfVectorIndex.load(spark, idxDir)
+    val cenBefore = spark.read.parquet(s"$idxDir/_centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+
+    // four micro-batches: 0-1 on-distribution, 2-3 DRIFTED to 40°
+    // (cos 40° ≈ 0.766 to the nearest centroid — far below the seed
+    // band's mean − 2σ, so batch 2's drift check must flag cluster 0)
+    val srcDir = new java.io.File(tmp("src"))
+    val t0 = System.currentTimeMillis() - 3600000L
+    val batches = Seq(
+      (1000L until 1010L).map(i => (i, vec(if (i % 2 == 0) 1.0 else 91.0))),
+      (1010L until 1020L).map(i => (i, vec(if (i % 2 == 0) 359.0 else 89.0))),
+      (1020L until 1030L).map(i => (i, vec(40.0))),
+      (1030L until 1040L).map(i => (i, vec(41.0))))
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val stage = tmp(s"stage$k")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + k * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.getAbsolutePath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
+      tmp("ck"), retrainEvery = 1, driftFrac = 0.5)
+    try q.processAllAvailable() finally q.stop()
+
+    val loaded = IvfVectorIndex.load(spark, idxDir)
+    // zero lost, zero duplicated — through a retrain that rewrote the
+    // drifted partitions mid-stream
+    val ids = loaded.df.select("docid").as[Long].collect()
+    assert(ids.length == 240, s"rows lost or doubled: ${ids.length}")
+    assert(ids.distinct.length == 240, "duplicated docids")
+    assert(!new java.io.File(s"$idxDir/_retrain").exists,
+      "staging settled")
+    // the codebook was actually patched mid-stream (cluster 0 walked
+    // toward the 40° mass)
+    val cenAfter = spark.read.parquet(s"$idxDir/_centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    assert(cenAfter != cenBefore, "retrain must have fired")
+    // old generation still readable and searchable: a seed row
+    // self-matches at score 1
+    val qv = seed.filter($"vec_id" === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val top = loaded.search(qv, 1, nprobe = 2).select("docid", "score").head()
+    assert(top.getLong(0) == 0L && math.abs(top.getDouble(1) - 1.0) < 1e-6)
+    // post-retrain appends rode the PATCHED book: the drifted rows are
+    // findable by probing the cluster nearest to them under the new
+    // codebook
+    val drifted = loaded.search(vec(40.5).toArray, 5,
+      nprobe = 1).select("docid").as[Long].collect().toSet
+    assert(drifted.exists(id => id >= 1020L && id < 1040L),
+      s"drifted rows must be probe-reachable: $drifted")
+  }
+}
