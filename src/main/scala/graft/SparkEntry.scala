@@ -431,9 +431,11 @@ object SparkEntry {
     resp
   }
 
-  /** The crawl_report blob cycle (r14): the media_census 19-kind
-    * routing with the avi arm swapped to the MIXED A/V fixtures so
-    * the census's audio-structure columns are content-bearing.
+  /** The crawl_report blob cycle (r14): the 19-kind fixture routing
+    * (the r13 media_census cycle — that query retired into
+    * crawl_report in r15, COVERAGE.md's adjudication) with the avi
+    * arm swapped to the MIXED A/V fixtures so the census's
+    * audio-structure columns are content-bearing.
     * Shared by the declared query and its `crawl_blobs` aux dump so
     * the oracle's magic-byte router re-derivation sees EXACTLY the
     * bytes the engine routed. */
@@ -2811,79 +2813,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Crawl-wide media census (r13): ONE report row per media kind,
-    // joining the O(1) magic-byte routing with the per-format
-    // decodability triage — the per-family MP3 decodable/blocked
-    // granule-channel counts (mp3_coverage riding the routed blobs)
-    // and the VP8 keyframe/interframe split (ivf_meta: container
-    // header + frame tag bits, no entropy decode). The blob column
-    // cycles the same 18 fixture families as media_route, with the
-    // mp3 arm drawing the 8 coverage-triage fixtures so the MP3
-    // columns are content-bearing. Every triage is a codegen'd
-    // per-row expression riding the scan; the report itself is one
-    // 18-key groupBy — at crawl scale this is a single map-side-
-    // combined pass over the blobs.
-    "media_census" -> ((s, dir) => {
-      Graft.init(s)
-      t(s, dir, "documents").filter(col("doc_id") < 190)
-        .selectExpr("doc_id",
-          ("CASE CAST(doc_id % 19 AS INT) " +
-            "WHEN 0 THEN pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 1 THEN jpeg_pixel_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 2 THEN bmp_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 3 THEN webp_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 4 THEN tiff_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 5 THEN gif_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 6 THEN wav_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 7 THEN flac_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 8 THEN mp3_coverage_media_for_id(" +
-              "CAST(doc_id DIV 19 AS BIGINT)) " +
-            "WHEN 9 THEN ogg_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 10 THEN avi_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 11 THEN mp4_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 12 THEN pdf_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 13 THEN zip_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 14 THEN targz_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 15 THEN zst_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 16 THEN vp8_ivf_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "WHEN 17 THEN webm_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "ELSE parquet_media_for_id(CAST(doc_id AS BIGINT)) " +
-            "END AS blob"))
-        .selectExpr("media_kind(blob) AS kind", "blob")
-        .selectExpr("kind",
-          "CASE WHEN kind = 'mp3' THEN mp3_coverage(blob) END AS c",
-          "CASE WHEN kind = 'ivf' THEN ivf_meta(blob) END AS v",
-          "CASE WHEN kind = 'webm' THEN webm_meta(blob) END AS wm")
-        .groupBy("kind")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum(col("c.granule_channels").cast("long")), lit(0L))
-            .as("mp3_gch"),
-          coalesce(sum(col("c.shipped").cast("long")), lit(0L))
-            .as("mp3_shipped"),
-          coalesce(sum((col("c.fam11_15") + col("c.fam16_23") +
-            col("c.fam24_31")).cast("long")), lit(0L))
-            .as("mp3_blocked"),
-          coalesce(sum(col("c.invalid").cast("long")), lit(0L))
-            .as("mp3_invalid"),
-          // both video containers report their frame-type split into
-          // the same census columns (ivf via the tag-bit triage,
-          // webm via the container flags — each row's kind says
-          // which container the numbers came from)
-          (coalesce(sum(col("v.keyframes").cast("long")), lit(0L)) +
-            coalesce(sum(col("wm.keyframes").cast("long")), lit(0L)))
-            .as("vp8_keyframes"),
-          (coalesce(sum(col("v.interframes").cast("long")), lit(0L)) +
-            coalesce(sum(col("wm.interframes").cast("long")), lit(0L)))
-            .as("vp8_interframes"))
-        .orderBy("kind")
-    }),
-
-    // UNIFIED CRAWL CENSUS (r14, the r13 verdict's #4): ONE report
-    // joining kind routing, per-family decodability and container
-    // A/V structure — the first query a 100 TB crawl actually runs.
-    // The schema subsumes the per-format triage columns: the
-    // media_census mp3/vp8 splits, webm_meta's A/V track fields,
+    // UNIFIED CRAWL CENSUS (r14, the r13 verdict's #4; since r15 the
+    // CANONICAL census — media_census retired into it, COVERAGE.md's
+    // adjudication): ONE report joining kind routing, per-family
+    // decodability and container A/V structure — the first query a
+    // 100 TB crawl actually runs. The schema subsumes the per-format
+    // triage columns: media_census's mp3/vp8 splits (a strict column
+    // subset, which is why retiring it loses nothing),
+    // webm_meta's A/V track fields,
     // avi_meta (new r14: RIFF header+chunk-table walk, no decode),
     // mp4/ogg track structure, zstd_triage's declared-size/checksum/
     // dict fields and parquet_triage's row/row-group counts. The avi
@@ -7268,44 +7205,6 @@ object SparkEntry {
         |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf'
         |    ELSE 'parquet' END AS kind
         |FROM documents WHERE doc_id < 170 ORDER BY doc_id""".stripMargin,
-
-    // the routing restated from the id cycle, the MP3 columns from
-    // the mp3_coverage fixture constants (the same VALUES rows that
-    // oracle pins per file, here folded over the census's fixture
-    // cycle), and the VP8 split from the ivf fixture's 1-keyframe +
-    // 2-interframe construction
-    "media_census" ->
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 190),
-        |k AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 19 AS INT)
-        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
-        |    WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'gif'
-        |    WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'mp3'
-        |    WHEN 9 THEN 'ogg' WHEN 10 THEN 'avi' WHEN 11 THEN 'mp4'
-        |    WHEN 12 THEN 'pdf' WHEN 13 THEN 'zip' WHEN 14 THEN 'gzip'
-        |    WHEN 15 THEN 'zstd' WHEN 16 THEN 'ivf' WHEN 17 THEN 'webm'
-        |    ELSE 'parquet' END AS kind
-        |  FROM ids),
-        |cov AS (SELECT * FROM (VALUES
-        |  (0, 45, 45, 0, 0), (1, 8, 8, 0, 0), (2, 12, 12, 0, 0),
-        |  (3, 6, 6, 0, 0), (4, 3, 3, 0, 0), (5, 4, 2, 3, 0),
-        |  (6, 4, 2, 0, 2), (7, 3, 1, 2, 0))
-        |  AS t(fid, gch, shipped, blocked, inval)),
-        |mc AS (SELECT i.doc_id, c.gch, c.shipped, c.blocked, c.inval
-        |       FROM ids i JOIN cov c
-        |         ON c.fid = (i.doc_id // 19) % 8
-        |       WHERE i.doc_id % 19 = 8)
-        |SELECT k.kind, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(coalesce(sum(mc.gch), 0) AS BIGINT) AS mp3_gch,
-        |  CAST(coalesce(sum(mc.shipped), 0) AS BIGINT) AS mp3_shipped,
-        |  CAST(coalesce(sum(mc.blocked), 0) AS BIGINT) AS mp3_blocked,
-        |  CAST(coalesce(sum(mc.inval), 0) AS BIGINT) AS mp3_invalid,
-        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 19 IN (16, 17)
-        |    THEN 1 END), 0) AS BIGINT) AS vp8_keyframes,
-        |  CAST(coalesce(sum(CASE WHEN k.doc_id % 19 IN (16, 17)
-        |    THEN 2 END), 0) AS BIGINT) AS vp8_interframes
-        |FROM k LEFT JOIN mc USING (doc_id)
-        |GROUP BY k.kind ORDER BY k.kind""".stripMargin,
 
     // crawl_report: `kind` is re-derived FROM THE DUMPED BLOB BYTES
     // by a from-scratch magic-byte router in DuckDB (PNG/JPEG/GIF/

@@ -966,22 +966,10 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!l.contains("LessThan(doc_id,250)"), l)
     }
   }
-  test("media_census: routing + per-format triage are codegen'd " +
-    "per-row expressions on the scan; the report is ONE partial-" +
-    "aggregated groupBy (a single map-side-combined pass at crawl " +
-    "scale)") {
-    val plan = physical(run("media_census"))
-    assert(plan.contains("LessThan(doc_id,190)"), plan)
-    assert(plan.contains("HashAggregate"), plan)
-    // exactly one shuffle: the 18-key kind aggregate (plus its sort)
-    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"want 1 kind-shuffle, got $exchanges\n" + plan)
-    assert(!plan.contains("SerializeFromObject") &&
-      !plan.contains("MapPartitions"), plan)
-  }
-  test("crawl_report (r14): the unified census is the media_census " +
-    "shape — all 11 per-format triages ride the scan as codegen'd " +
-    "expressions, ONE kind-keyed shuffle, no mapPartitions") {
+  test("crawl_report (r14; the canonical census since media_census " +
+    "retired into it in r15): all 11 per-format triages ride the " +
+    "scan as codegen'd expressions, ONE kind-keyed shuffle, no " +
+    "mapPartitions") {
     val plan = physical(run("crawl_report"))
     assert(plan.contains("LessThan(doc_id,190)"), plan)
     assert(plan.contains("HashAggregate"), plan)
