@@ -592,8 +592,12 @@ class Bm25Index private (
     val docs = recovery.filter(inRange)
     val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
     val (nNew, sumdlNew) = (st.getLong(0), st.getLong(1))
+    // bucket-repartitioned like every other postings write (r15 —
+    // reconcile had missed the r14 sliver fix): one file per touched
+    // bucket, not tasks × buckets
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("append").partitionBy("bucket").parquet(path)
     Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
@@ -678,31 +682,56 @@ class Bm25Index private (
     * an interrupted merge forward). The `_meta` sidecars concatenate
     * at file level too — shards hold disjoint docid ranges, so their
     * docid-sorted meta files keep row-group min/max pruning intact. */
-  def merge(other: Bm25Index): Bm25Index = {
-    require(other.nBuckets == nBuckets,
+  def merge(other: Bm25Index): Bm25Index = mergeAll(Seq(other))
+
+  /** Multi-way [[merge]] (r15): absorb MANY shards under ONE claims
+    * pass, ONE marker, ONE stats write. The pairwise chain pays
+    * ~4-5 small metadata Spark jobs per shard (measured ~0.6 s/call:
+    * 36 s of pure metadata for a 64-shard merge — BASELINE r15);
+    * the 100 TB build merges hundreds of segment shards, so the
+    * metadata must amortize. Crash protocol unchanged in shape: all
+    * sources' range claims land in one validated append
+    * ([[IndexMerge.claimRangesAll]] — partial overlaps between
+    * shards throw), the `_merge_pending` marker carries the FULL
+    * source list (tab-joined) plus the post-merge stats, then
+    * per-source moves + deletes (each idempotent — a re-run skips
+    * drained sources), stats rewrite, marker delete; every load
+    * rolls an interrupted multi-way merge forward exactly like a
+    * pairwise one. */
+  def mergeAll(others: Seq[Bm25Index]): Bm25Index = {
+    if (others.isEmpty) return this
+    others.foreach { o => require(o.nBuckets == nBuckets,
       s"bm25 merge: bucket-count mismatch ($nBuckets vs " +
-      s"${other.nBuckets}); shards must be built with the same buckets")
+      s"${o.nBuckets}); shards must be built with the same buckets") }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcs = others.map(_.path)
+    // a pending marker for a DIFFERENT source set is an older
+    // interrupted merge: settle it before starting this one; the SAME
+    // set means this call is the interrupted merge's re-run — resume
+    // with the marker's post-stats
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (src != other.path) Bm25Index.completeMerge(spark, path)
+      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
+        Bm25Index.completeMerge(spark, path)
     }
     val (postN, postSum) = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => (stats(0), stats(1))
       case None =>
-        IndexMerge.claimRanges(spark, path, other.path)
-        val s = (n + other.n, sumdl + other.sumdl)
-        IndexMerge.writeMarker(fs, dst, other.path,
+        IndexMerge.claimRangesAll(spark, path, srcs)
+        val s = (n + others.map(_.n).sum, sumdl + others.map(_.sumdl).sum)
+        IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
           Seq(s._1, s._2, nBuckets.toLong))
         s
     }
-    val srcP = new org.apache.hadoop.fs.Path(other.path)
-    IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
-    IndexMerge.moveFlatFiles(fs,
-      new org.apache.hadoop.fs.Path(srcP, "_meta"),
-      new org.apache.hadoop.fs.Path(dst, "_meta"))
+    srcs.foreach { sp =>
+      val srcP = new org.apache.hadoop.fs.Path(sp)
+      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
+      IndexMerge.moveFlatFiles(fs,
+        new org.apache.hadoop.fs.Path(srcP, "_meta"),
+        new org.apache.hadoop.fs.Path(dst, "_meta"))
+      fs.delete(srcP, true)
+    }
     Bm25Index.writeStats(spark, path, postN, postSum, nBuckets)
-    fs.delete(srcP, true)
     IndexMerge.deleteMarker(fs, dst)
     // the merge changed the postings set and n/Σdl: a live
     // keyword_score registration backed by this path must fail loudly
@@ -1028,9 +1057,15 @@ object Bm25Index {
   }
 
   private[operators] def appendRange(spark: SparkSession, path: String,
-      lo: Long, hi: Long): Unit = {
+      lo: Long, hi: Long): Unit =
+    appendRanges(spark, path, Seq((lo, hi)))
+
+  /** Batch form of [[appendRange]] — one parquet append regardless of
+    * how many claims land (the multi-way merge's one-write claims). */
+  private[operators] def appendRanges(spark: SparkSession, path: String,
+      ranges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    Seq((lo, hi)).toDF("lo", "hi")
+    ranges.toDF("lo", "hi")
       .coalesce(1).write.mode("append").parquet(s"$path/_ranges")
   }
 
@@ -1128,21 +1163,24 @@ object Bm25Index {
     new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nb)
   }
 
-  /** Roll an interrupted [[Bm25Index.merge]] forward — called by every
-    * [[load]]; the marker carries the post-merge (n, Σdl, buckets) so
-    * each step is idempotent from any crash point. */
+  /** Roll an interrupted [[Bm25Index.merge]]/[[Bm25Index.mergeAll]]
+    * forward — called by every [[load]]; the marker carries the full
+    * source list and the post-merge (n, Σdl, buckets) so each step is
+    * idempotent from any crash point (drained sources skip). */
   private[operators] def completeMerge(
       spark: SparkSession, path: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
-      val srcP = new org.apache.hadoop.fs.Path(src)
-      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
-      IndexMerge.moveFlatFiles(fs,
-        new org.apache.hadoop.fs.Path(srcP, "_meta"),
-        new org.apache.hadoop.fs.Path(dst, "_meta"))
+      IndexMerge.splitSrcs(src).foreach { sp =>
+        val srcP = new org.apache.hadoop.fs.Path(sp)
+        IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
+        IndexMerge.moveFlatFiles(fs,
+          new org.apache.hadoop.fs.Path(srcP, "_meta"),
+          new org.apache.hadoop.fs.Path(dst, "_meta"))
+        fs.delete(srcP, true)
+      }
       writeStats(spark, path, stats(0), stats(1), stats(2).toInt)
-      fs.delete(srcP, true)
       IndexMerge.deleteMarker(fs, dst)
       graft.Keyword.invalidateIndex(path) // stats changed under the path
     }

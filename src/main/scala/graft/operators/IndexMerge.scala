@@ -34,14 +34,27 @@ object IndexMerge {
     * the matching dirs of `dst` (created on demand). Idempotent: a
     * re-run moves whatever is left. Spark part-file names carry a
     * per-job UUID so collisions don't occur in practice; a colliding
-    * name gets a disambiguating prefix rather than clobbering. */
+    * name gets a disambiguating prefix rather than clobbering.
+    *
+    * Renames run in PARALLEL across partition dirs (r15): the fan-in
+    * sweep measured the serial loop at a flat ~4.4 ms per rename —
+    * 36 s for a 64-shard merge's 8192 files, pure driver-side
+    * metadata latency with zero data motion. Each rename is an
+    * independent namenode/filesystem op (Hadoop `FileSystem` handles
+    * are thread-safe; this is the same trick the S3A committers use
+    * for their commit-phase renames), so a bounded pool turns the
+    * serial tail into latency ÷ parallelism. Files WITHIN one
+    * partition dir stay on one thread — the exists()-probe collision
+    * fallback is only race-free per directory. */
   private[graft] def movePartitionFiles(
       fs: FileSystem, src: Path, dst: Path, prefix: String): Long = {
     if (!fs.exists(src)) return 0L
-    var moved = 0L
-    fs.listStatus(src)
+    val parts = fs.listStatus(src)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .foreach { part =>
+    val moved = new java.util.concurrent.atomic.LongAdder
+    java.util.stream.IntStream.range(0, parts.length).parallel()
+      .forEach { pi =>
+        val part = parts(pi)
         val target = new Path(dst, part.getPath.getName)
         if (!fs.exists(target)) fs.mkdirs(target)
         fs.listStatus(part.getPath).filter(_.isFile).foreach { f =>
@@ -52,11 +65,11 @@ object IndexMerge {
               else new Path(target, s"merged-${System.nanoTime()}-$name")
             require(fs.rename(f.getPath, to),
               s"index merge: cannot move ${f.getPath} to $to")
-            moved += 1
+            moved.increment()
           }
         }
       }
-    moved
+    moved.sum()
   }
 
   /** Move the plain data files directly under `src` into `dst`
@@ -129,6 +142,60 @@ object IndexMerge {
 
   private[graft] def deleteMarker(fs: FileSystem, dst: Path): Unit = {
     fs.delete(new Path(dst, "_merge_pending"), false); ()
+  }
+
+  /** Multi-way markers (r15): a marker's src line may carry SEVERAL
+    * source paths, tab-joined — the fan-in sweep measured the
+    * pairwise chain at ~0.6 s per merge call (claims read/append +
+    * stats write + load, each a small Spark job), which at 64 shards
+    * was 36 s of pure metadata; a multi-way merge pays those jobs
+    * ONCE. Tab because marker lines split on newline and no temp or
+    * lake path contains a tab (enforced at write). */
+  private[graft] def joinSrcs(srcs: Seq[String]): String = {
+    require(srcs.nonEmpty && srcs.forall(s =>
+      !s.contains('\t') && !s.contains('\n')),
+      s"index merge: source paths must not contain tab/newline: $srcs")
+    srcs.mkString("\t")
+  }
+
+  private[graft] def splitSrcs(srcLine: String): Seq[String] =
+    srcLine.split('\t').toSeq.filter(_.nonEmpty)
+
+  /** The multi-way claims step: every (lo, hi) docid claim of every
+    * source lands in `dst`'s `_ranges` in ONE append (the sources'
+    * ledgers are read in one multi-path scan), after in-memory
+    * validation — a PARTIAL overlap with dst's claims or BETWEEN two
+    * sources throws; exact duplicates of already-claimed ranges are
+    * skipped (value-level idempotence for interrupted re-runs, same
+    * contract as [[claimRanges]]). */
+  private[graft] def claimRangesAll(
+      spark: SparkSession, dstPath: String, srcPaths: Seq[String]): Unit = {
+    val mine = Bm25Index.readRanges(spark, dstPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = srcPaths.map(s => new Path(s"$s/_ranges"))
+      .filter(d => d.getFileSystem(conf).exists(d))
+      .map(_.toString)
+    val theirs =
+      if (dirs.isEmpty) Seq.empty[(Long, Long)]
+      else spark.read.parquet(dirs: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val fresh = theirs.distinct.filterNot(mine.toSet)
+    fresh.foreach { case (lo, hi) =>
+      mine.find { case (l, h) => lo <= h && l <= hi }.foreach {
+        case (l, h) => throw new IllegalArgumentException(
+          s"index merge: source range [$lo,$hi] intersects " +
+          s"already-indexed [$l,$h] — shards must cover disjoint " +
+          "docid ranges")
+      }
+    }
+    fresh.sorted.sliding(2).foreach {
+      case Seq((l1, h1), (l2, _)) if l2 <= h1 =>
+        throw new IllegalArgumentException(
+          s"index merge: source ranges [$l1,$h1] and [$l2,...] " +
+          "intersect — shards must cover disjoint docid ranges")
+      case _ => ()
+    }
+    if (fresh.nonEmpty) Bm25Index.appendRanges(spark, dstPath, fresh)
   }
 
   /** `(fileCount, bytes)` of a lake's `bucket=*` postings tree — the

@@ -231,7 +231,19 @@ class ShingleIndex private (
     * streaming ingest path retries through. The skip window where the
     * range landed but the postings write crashed is detectable
     * ([[missingRanges]]) and repairable ([[reconcile]]); a PARTIAL
-    * overlap still throws, because that is never a replay. */
+    * overlap still throws, because that is never a replay.
+    *
+    * Unlike [[Bm25Index.appendIfAbsent]] (r15), the blind skip here
+    * does NOT carry a stats-finish protocol — deliberately: the BM25
+    * lake's (n, Σdl) are SCORE-BEARING, so its
+    * postings-landed-stats-crashed window permanently shifted every
+    * score and needed the `_stats_pending` flag; this lake's only
+    * mutable stat is `nDocs`, which no probe or survivor read ever
+    * consults (Jaccard is per-pair, the df cap is computed from the
+    * merged postings at probe time) — the same window here
+    * undercounts a display count until the next build/compact, which
+    * is the documented cosmetic trade of [[appendBatch]]'s
+    * stats-last ordering. */
   def appendBatchIfAbsent(
       docs: DataFrame, idCol: String, textCol: String): ShingleIndex = {
     val Array(st) = docs
@@ -360,32 +372,45 @@ class ShingleIndex private (
     * the point of no return — every load completes an interrupted
     * merge ([[ShingleIndex.completeMerge]]). `other`'s directory is
     * deleted on completion; re-using its handle is an error. */
-  def merge(other: ShingleIndex): ShingleIndex = {
-    require(other.ngram == ngram && other.nBuckets == nBuckets &&
-      other.hashKeys == hashKeys,
-      s"shingle merge: parameter mismatch — this=(ngram=$ngram," +
-      s"buckets=$nBuckets,hashKeys=$hashKeys) other=(ngram=${other.ngram}," +
-      s"buckets=${other.nBuckets},hashKeys=${other.hashKeys}); shards " +
-      "must be built with identical parameters")
+  def merge(other: ShingleIndex): ShingleIndex = mergeAll(Seq(other))
+
+  /** Multi-way [[merge]] (r15) — [[Bm25Index.mergeAll]]'s one-claims-
+    * pass / one-marker / one-stats-write shape over the shingle lake;
+    * the pairwise chain's per-call metadata jobs dominate a
+    * many-shard merge (BASELINE r15). */
+  def mergeAll(others: Seq[ShingleIndex]): ShingleIndex = {
+    if (others.isEmpty) return this
+    others.foreach { other =>
+      require(other.ngram == ngram && other.nBuckets == nBuckets &&
+        other.hashKeys == hashKeys,
+        s"shingle merge: parameter mismatch — this=(ngram=$ngram," +
+        s"buckets=$nBuckets,hashKeys=$hashKeys) other=(ngram=${other.ngram}," +
+        s"buckets=${other.nBuckets},hashKeys=${other.hashKeys}); shards " +
+        "must be built with identical parameters")
+    }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an interrupted merge of a DIFFERENT source must finish first
+    val srcs = others.map(_.path)
+    // an interrupted merge of a DIFFERENT source set must finish first
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (src != other.path) ShingleIndex.completeMerge(spark, path)
+      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
+        ShingleIndex.completeMerge(spark, path)
     }
     val postN = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => stats.head // resuming: post-stats fixed
       case None =>
-        IndexMerge.claimRanges(spark, path, other.path)
-        val n = nDocs + other.nDocs
-        IndexMerge.writeMarker(fs, dst, other.path,
+        IndexMerge.claimRangesAll(spark, path, srcs)
+        val n = nDocs + others.map(_.nDocs).sum
+        IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
           Seq(n, ngram.toLong, nBuckets.toLong, if (hashKeys) 1L else 0L))
         n
     }
-    IndexMerge.movePartitionFiles(
-      fs, new org.apache.hadoop.fs.Path(other.path), dst, "bucket=")
+    srcs.foreach { sp =>
+      val srcP = new org.apache.hadoop.fs.Path(sp)
+      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
+      fs.delete(srcP, true)
+    }
     ShingleIndex.writeStats(spark, path, postN, ngram, nBuckets, hashKeys)
-    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
     IndexMerge.deleteMarker(fs, dst)
     new ShingleIndex(spark, path, postN, ngram, nBuckets, hashKeys)
   }
@@ -501,11 +526,13 @@ object ShingleIndex {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
-      IndexMerge.movePartitionFiles(
-        fs, new org.apache.hadoop.fs.Path(src), dst, "bucket=")
+      IndexMerge.splitSrcs(src).foreach { sp =>
+        IndexMerge.movePartitionFiles(
+          fs, new org.apache.hadoop.fs.Path(sp), dst, "bucket=")
+        fs.delete(new org.apache.hadoop.fs.Path(sp), true)
+      }
       writeStats(spark, path, stats(0), stats(1).toInt, stats(2).toInt,
         stats(3) == 1L)
-      fs.delete(new org.apache.hadoop.fs.Path(src), true)
       IndexMerge.deleteMarker(fs, dst)
     }
   }

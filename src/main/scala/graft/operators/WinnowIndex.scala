@@ -194,29 +194,42 @@ class WinnowIndex private (
     * roll-forward, same range claims; the probe-time df cap stays
     * exact because lake-wide df is computed from the merged postings
     * at probe time, never stored). */
-  def merge(other: WinnowIndex): WinnowIndex = {
-    require(other.k == k && other.w == w && other.dfCap == dfCap &&
-      other.nBuckets == nBuckets,
-      s"winnow merge: parameter mismatch — this=($k,$w,$dfCap,$nBuckets) " +
-      s"other=(${other.k},${other.w},${other.dfCap},${other.nBuckets})")
+  def merge(other: WinnowIndex): WinnowIndex = mergeAll(Seq(other))
+
+  /** Multi-way [[merge]] (r15) — [[Bm25Index.mergeAll]]'s one-claims-
+    * pass / one-marker / one-stats-write shape over the fingerprint
+    * lake; the pairwise chain's per-call metadata jobs dominate a
+    * many-shard merge (BASELINE r15). */
+  def mergeAll(others: Seq[WinnowIndex]): WinnowIndex = {
+    if (others.isEmpty) return this
+    others.foreach { other =>
+      require(other.k == k && other.w == w && other.dfCap == dfCap &&
+        other.nBuckets == nBuckets,
+        s"winnow merge: parameter mismatch — this=($k,$w,$dfCap,$nBuckets) " +
+        s"other=(${other.k},${other.w},${other.dfCap},${other.nBuckets})")
+    }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcs = others.map(_.path)
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (src != other.path) WinnowIndex.completeMerge(spark, path)
+      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
+        WinnowIndex.completeMerge(spark, path)
     }
     val postN = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => stats.head
       case None =>
-        IndexMerge.claimRanges(spark, path, other.path)
-        val n = nDocs + other.nDocs
-        IndexMerge.writeMarker(fs, dst, other.path,
+        IndexMerge.claimRangesAll(spark, path, srcs)
+        val n = nDocs + others.map(_.nDocs).sum
+        IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
           Seq(n, k.toLong, w.toLong, dfCap.toLong, nBuckets.toLong))
         n
     }
-    IndexMerge.movePartitionFiles(
-      fs, new org.apache.hadoop.fs.Path(other.path), dst, "bucket=")
+    srcs.foreach { sp =>
+      val srcP = new org.apache.hadoop.fs.Path(sp)
+      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
+      fs.delete(srcP, true)
+    }
     WinnowIndex.writeStats(spark, path, postN, k, w, dfCap, nBuckets)
-    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
     IndexMerge.deleteMarker(fs, dst)
     new WinnowIndex(spark, path, postN, k, w, dfCap, nBuckets)
   }
@@ -281,11 +294,13 @@ object WinnowIndex {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
-      IndexMerge.movePartitionFiles(
-        fs, new org.apache.hadoop.fs.Path(src), dst, "bucket=")
+      IndexMerge.splitSrcs(src).foreach { sp =>
+        IndexMerge.movePartitionFiles(
+          fs, new org.apache.hadoop.fs.Path(sp), dst, "bucket=")
+        fs.delete(new org.apache.hadoop.fs.Path(sp), true)
+      }
       writeStats(spark, path, stats(0), stats(1).toInt, stats(2).toInt,
         stats(3).toInt, stats(4).toInt)
-      fs.delete(new org.apache.hadoop.fs.Path(src), true)
       IndexMerge.deleteMarker(fs, dst)
     }
   }

@@ -156,10 +156,13 @@ object IndexStream {
     * replay-safe append — so delivery is exactly-once-effective under
     * foreachBatch retries through two independent guards: the
     * [[BatchLedger]] short-circuit, and the `_ranges` exact-claim
-    * skip that holds even if the ledger record itself crashed. The
-    * one skip window (range claimed, postings crashed) is detectable
-    * with `missingRanges` and repairable with `reconcile` from the
-    * stream's source of truth.
+    * check that holds even if the ledger record itself crashed. Since
+    * r15 the exact-claim path FINISHES an interrupted append rather
+    * than blind-skipping (the `_stats_pending` flag tells a committed
+    * append from a crashed one), so a replayed batch repairs both the
+    * missing-postings and the missing-stats windows in place;
+    * `missingRanges`/`reconcile` remain the out-of-band repair when
+    * the stream itself is gone.
     *
     * `compactEvery` — [[IngestStream]]'s in-stream maintenance knob,
     * same semantics: 0 never, N = every N delivered batches,

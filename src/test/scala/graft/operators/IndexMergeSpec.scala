@@ -283,7 +283,9 @@ class IndexMergeSpec extends SparkTestBase {
         docs.filter(col("doc_id") >= sId * 2 && col("doc_id") < sId * 2 + 2),
         "text", "doc_id", s"$root/s$sId", nBuckets = 4)
     }
-    val merged = shards.reduce(_ merge _)
+    // the r15 multi-way form: one claims pass, one marker, one stats
+    // write for the whole fan-in
+    val merged = shards.head.mergeAll(shards.tail)
     assert(merged.n == whole.n && merged.sumdl == whole.sumdl)
     val (filesPre, _) = merged.storageFootprint()
     assert(filesPre > 64, s"fan-in fragmentation expected: $filesPre files")
@@ -299,6 +301,48 @@ class IndexMergeSpec extends SparkTestBase {
     assert(filesPost <= 4, s"one file per bucket expected: $filesPost")
     assert(top(compacted) == before, "compaction changes no score")
   }
+
+  test("multi-way merge crash AFTER the marker (one source drained, " +
+    "two untouched): load rolls ALL listed sources forward — " +
+    "postings equal the monolith, stats correct, sources gone (r15)") {
+    val root = scratch("multicrash")
+    Bm25Index.build(corpus, "text", "doc_id", s"$root/whole", nBuckets = 8)
+    val a = Bm25Index.build(corpus.filter($"doc_id" < 3), "text",
+      "doc_id", s"$root/a", nBuckets = 8)
+    val b = Bm25Index.build(corpus.filter($"doc_id" >= 3 && $"doc_id" < 10),
+      "text", "doc_id", s"$root/b", nBuckets = 8)
+    val c = Bm25Index.build(corpus.filter($"doc_id" >= 10 && $"doc_id" < 12),
+      "text", "doc_id", s"$root/c", nBuckets = 8)
+    val d = Bm25Index.build(corpus.filter($"doc_id" >= 12), "text",
+      "doc_id", s"$root/d", nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(s"$root/a")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // footprint: claims landed, multi-src marker written, source b
+    // fully drained, c and d untouched, death before stats
+    IndexMerge.claimRangesAll(spark, s"$root/a",
+      Seq(s"$root/b", s"$root/c", s"$root/d"))
+    IndexMerge.writeMarker(fs, new org.apache.hadoop.fs.Path(s"$root/a"),
+      IndexMerge.joinSrcs(Seq(s"$root/b", s"$root/c", s"$root/d")),
+      Seq(whole(root).n, whole(root).sumdl, 8L))
+    IndexMerge.movePartitionFiles(fs,
+      new org.apache.hadoop.fs.Path(s"$root/b"),
+      new org.apache.hadoop.fs.Path(s"$root/a"), "bucket=")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/b"), true)
+    // load must finish c and d too
+    val recovered = Bm25Index.load(spark, s"$root/a")
+    assert(recovered.n == whole(root).n &&
+      recovered.sumdl == whole(root).sumdl)
+    assert(!new java.io.File(s"$root/c").exists)
+    assert(!new java.io.File(s"$root/d").exists)
+    assert(!new java.io.File(s"$root/a/_merge_pending").exists)
+    def top(ix: Bm25Index) = ix.search(Seq("quick", "vector", "corpus"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(recovered) == top(whole(root)))
+    a.hashCode(); b.hashCode(); c.hashCode(); d.hashCode()
+  }
+
+  private def whole(root: String): Bm25Index =
+    Bm25Index.load(spark, s"$root/whole")
 
   test("a marker torn at a LINE boundary (src + short stats, all " +
     "parseable) is still detected as torn — the terminator is load-" +
