@@ -93,6 +93,17 @@ class IvfVectorIndex private (
     }
     coded.sortWithinPartitions("cluster", "docid")
       .write.mode("append").partitionBy("cluster").parquet(path)
+    // note the batch's docid interval in `_ranges` (r15) — the ledger
+    // the shard-merge disjointness guard reads. Noted AFTER the data
+    // write (stats-last analogue): a crash in between leaves this
+    // batch invisible to the guard, never a false claim; per-append
+    // replay protection stays the caller's job (BatchLedger on the
+    // streaming path), unchanged contract.
+    val Array(idr) = docs.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
+    if (!idr.isNullAt(0))
+      graft.operators.IndexMerge.recordRange(
+        spark, path, idr.getLong(0), idr.getLong(1))
     this
   }
 
@@ -112,29 +123,48 @@ class IvfVectorIndex private (
     * both directories remain individually consistent and re-running
     * `merge` completes the move (idempotent). `other`'s directory is
     * deleted on completion. */
-  def merge(other: IvfVectorIndex): IvfVectorIndex = {
-    require(model.centroids.length == other.model.centroids.length &&
-      model.centroids.zip(other.model.centroids)
-        .forall { case (a, b) => java.util.Arrays.equals(a, b) },
-      "ivf merge: shards must be built with the SAME IVF codebook " +
-      "(bit-equal centroids) — differing books assign the same vector " +
-      "to different clusters and the merged partitions would lie")
-    require(pqModel.isDefined == other.pqModel.isDefined &&
-      pqModel.zip(other.pqModel).forall { case (a, b) =>
-        a.codebooks.length == b.codebooks.length &&
-        a.codebooks.zip(b.codebooks).forall { case (ba, bb) =>
-          ba.zip(bb).forall { case (ca, cb) =>
-            java.util.Arrays.equals(ca, cb) } }
-      },
-      "ivf merge: PQ codebooks must match (or both be absent)")
+  def merge(other: IvfVectorIndex): IvfVectorIndex = mergeAll(Seq(other))
+
+  /** Multi-way [[merge]] (r15): absorb many shards in one call —
+    * docid-range claims validate ONCE over every source's `_ranges`
+    * ledger ([[graft.operators.IndexMerge.claimRangesAll]], the same
+    * guard the postings lakes enforce: a PARTIAL overlap between
+    * shards throws instead of silently duplicating docids; indexes
+    * built before the ledger existed merge unchecked — unknowable),
+    * then each source's cluster files move in (renames parallel per
+    * partition dir). A crash mid-way leaves every directory
+    * individually consistent and a re-run completes the move (claims
+    * are value-idempotent, moves skip drained sources). */
+  def mergeAll(others: Seq[IvfVectorIndex]): IvfVectorIndex = {
+    if (others.isEmpty) return this
+    others.foreach { other =>
+      require(model.centroids.length == other.model.centroids.length &&
+        model.centroids.zip(other.model.centroids)
+          .forall { case (a, b) => java.util.Arrays.equals(a, b) },
+        "ivf merge: shards must be built with the SAME IVF codebook " +
+        "(bit-equal centroids) — differing books assign the same vector " +
+        "to different clusters and the merged partitions would lie")
+      require(pqModel.isDefined == other.pqModel.isDefined &&
+        pqModel.zip(other.pqModel).forall { case (a, b) =>
+          a.codebooks.length == b.codebooks.length &&
+          a.codebooks.zip(b.codebooks).forall { case (ba, bb) =>
+            ba.zip(bb).forall { case (ca, cb) =>
+              java.util.Arrays.equals(ca, cb) } }
+        },
+        "ivf merge: PQ codebooks must match (or both be absent)")
+    }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IvfVectorIndex.completeRetrain(spark, path)
-    IvfVectorIndex.completeRetrain(spark, other.path)
-    graft.operators.IndexMerge.movePartitionFiles(
-      fs, new org.apache.hadoop.fs.Path(other.path), dst, "cluster=")
-    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
-    graft.plans.AnnRouteRule.invalidate(other.path)
+    others.foreach(o => IvfVectorIndex.completeRetrain(spark, o.path))
+    graft.operators.IndexMerge.claimRangesAll(
+      spark, path, others.map(_.path))
+    others.foreach { o =>
+      graft.operators.IndexMerge.movePartitionFiles(
+        fs, new org.apache.hadoop.fs.Path(o.path), dst, "cluster=")
+      fs.delete(new org.apache.hadoop.fs.Path(o.path), true)
+      graft.plans.AnnRouteRule.invalidate(o.path)
+    }
     this
   }
 
@@ -274,8 +304,9 @@ class IvfVectorIndex private (
       .parquet(tmp.toString)
     // carry the codebook sidecars over, then swap; `_pq` before
     // `_centroids` — the generation-complete marker lands last
+    // (`_ranges` is the shard-merge disjointness ledger, r15)
     val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_pq", "_centroids").foreach { sub =>
+    Seq("_ranges", "_pq", "_centroids").foreach { sub =>
       val src = new org.apache.hadoop.fs.Path(cur, sub)
       if (fs.exists(src)) org.apache.hadoop.fs.FileUtil.copy(
         fs, src, fs, new org.apache.hadoop.fs.Path(tmp, sub),
@@ -318,6 +349,13 @@ object IvfVectorIndex {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")
       .parquet(path)
+    // fresh build: reset the docid-range ledger to this corpus's
+    // interval (r15) — [[mergeAll]]'s shard-disjointness guard
+    val Array(idr) = docs.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
+    if (!idr.isNullAt(0))
+      graft.operators.IndexMerge.resetRange(
+        spark, path, idr.getLong(0), idr.getLong(1))
     import spark.implicits._
     model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq

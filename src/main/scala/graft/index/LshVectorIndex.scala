@@ -41,6 +41,14 @@ class LshVectorIndex private (
       .withColumnRenamed(vecCol, "vector")
       .withColumnRenamed(idCol, "docid")
       .write.mode("append").partitionBy("bucket").parquet(path)
+    // docid-interval note for the shard-merge disjointness guard
+    // (r15) — after the data write, same contract as
+    // [[IvfVectorIndex.append]]
+    val Array(idr) = docs.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
+    if (!idr.isNullAt(0))
+      graft.operators.IndexMerge.recordRange(
+        spark, path, idr.getLong(0), idr.getLong(1))
     this
   }
 
@@ -54,16 +62,30 @@ class LshVectorIndex private (
     * stats or ledger to tear; a crash mid-merge leaves both
     * directories individually consistent and a re-run completes the
     * move). `other`'s directory is deleted on completion. */
-  def merge(other: LshVectorIndex): LshVectorIndex = {
-    require(lsh == other.lsh,
-      s"lsh merge: shards must share hyperplanes — this=$lsh " +
-      s"other=${other.lsh} (different planes bucket the same vector " +
-      "differently and the merged partitions would lie)")
+  def merge(other: LshVectorIndex): LshVectorIndex = mergeAll(Seq(other))
+
+  /** Multi-way [[merge]] (r15): one docid-disjointness claims pass
+    * over every source's `_ranges` ledger (PARTIAL overlaps between
+    * shards throw — the postings lakes' guard, now uniform across
+    * all five families; pre-ledger indexes merge unchecked), then
+    * per-source bucket-file moves. */
+  def mergeAll(others: Seq[LshVectorIndex]): LshVectorIndex = {
+    if (others.isEmpty) return this
+    others.foreach { other =>
+      require(lsh == other.lsh,
+        s"lsh merge: shards must share hyperplanes — this=$lsh " +
+        s"other=${other.lsh} (different planes bucket the same vector " +
+        "differently and the merged partitions would lie)")
+    }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.operators.IndexMerge.movePartitionFiles(
-      fs, new org.apache.hadoop.fs.Path(other.path), dst, "bucket=")
-    fs.delete(new org.apache.hadoop.fs.Path(other.path), true)
+    graft.operators.IndexMerge.claimRangesAll(
+      spark, path, others.map(_.path))
+    others.foreach { o =>
+      graft.operators.IndexMerge.movePartitionFiles(
+        fs, new org.apache.hadoop.fs.Path(o.path), dst, "bucket=")
+      fs.delete(new org.apache.hadoop.fs.Path(o.path), true)
+    }
     this
   }
 }
@@ -94,6 +116,14 @@ object LshVectorIndex {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
       .parquet(path)
+    // fresh build: reset the docid-range ledger (r15) — the
+    // [[LshVectorIndex.mergeAll]] shard-disjointness guard's memory
+    val Array(idr) = docs.agg(
+      org.apache.spark.sql.functions.min(col(idCol).cast("long")),
+      org.apache.spark.sql.functions.max(col(idCol).cast("long"))).collect()
+    if (!idr.isNullAt(0))
+      graft.operators.IndexMerge.resetRange(
+        spark, path, idr.getLong(0), idr.getLong(1))
     val fs = metaPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath(path), true)

@@ -224,6 +224,22 @@ object IndexMerge {
     files > slack * ideal
   }
 
+  /** Reset a lake's `_ranges` ledger to exactly one claim — the
+    * build-time step (exposed here for the vector indexes, which live
+    * outside the operators package). */
+  private[graft] def resetRange(
+      spark: SparkSession, path: String, lo: Long, hi: Long): Unit = {
+    val dir = new Path(s"$path/_ranges")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    Bm25Index.appendRange(spark, path, lo, hi)
+  }
+
+  /** Append one claim — the vector indexes' append-time step. */
+  private[graft] def recordRange(
+      spark: SparkSession, path: String, lo: Long, hi: Long): Unit =
+    Bm25Index.appendRange(spark, path, lo, hi)
+
   /** The shared range-ledger step: every (lo, hi) docid claim of
     * `src` is appended to `dst`'s `_ranges` unless already there
     * (value-level idempotence for replays); a PARTIAL overlap with

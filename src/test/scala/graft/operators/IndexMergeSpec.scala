@@ -209,6 +209,18 @@ class IndexMergeSpec extends SparkTestBase {
     val ib = graft.index.IvfVectorIndex.build(
       emb.filter($"vec_id" >= 20), "embedding", "vec_id", s"$root/ib", m2)
     intercept[IllegalArgumentException] { ia.merge(ib) }
+    // r15: the vector families enforce the SAME docid-disjointness
+    // guard as the postings lakes — overlapping shard ranges refuse
+    val iOverlap = graft.index.IvfVectorIndex.build(
+      emb.filter($"vec_id" >= 10), "embedding", "vec_id", s"$root/io", m1)
+    intercept[IllegalArgumentException] { ia.merge(iOverlap) }
+    import graft.operators.HyperplaneLsh
+    val lsh = HyperplaneLsh(dim = 4, nbits = 2, seed = 9L)
+    val la = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" < 20), "embedding", "vec_id", s"$root/la", lsh)
+    val lo = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" >= 10), "embedding", "vec_id", s"$root/lo", lsh)
+    intercept[IllegalArgumentException] { la.merge(lo) }
   }
 
   test("merge crash AFTER the marker (files partially moved): load " +
