@@ -120,9 +120,11 @@ object KeywordStreamParity {
         col("doc_id") < sg1.replayHi),
       0L, "text", "doc_id", sg1.indexPath, streamId = sg1.checkpoint)
     // the periodic merge: shard lakes absorb into one index by file
-    // renames; disjoint docid ranges make the claims compose
-    segs.map(sg => Bm25Index.load(spark, sg.indexPath))
-      .reduce(_ merge _)
+    // renames — the r15 multi-way form (one claims pass over all
+    // segment ledgers, one marker, one stats write); disjoint docid
+    // segments make the claims compose
+    val loaded = segs.map(sg => Bm25Index.load(spark, sg.indexPath))
+    loaded.head.mergeAll(loaded.tail)
   }
 
   private def rmTree(f: java.io.File): Unit = {

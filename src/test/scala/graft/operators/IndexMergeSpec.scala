@@ -185,6 +185,17 @@ class IndexMergeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*".r
       .findFirstIn(iplan).isDefined, iplan)
+    // and the lsh family (r15): probed-bucket pruning survives too
+    import graft.operators.HyperplaneLsh
+    val lsh = HyperplaneLsh(dim = 8, nbits = 3, seed = 11L)
+    val la = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" < 40), "embedding", "vec_id", s"$root/lpa", lsh)
+    val lb = graft.index.LshVectorIndex.build(
+      emb.filter($"vec_id" >= 40), "embedding", "vec_id", s"$root/lpb", lsh)
+    val lplan = la.merge(lb).search(q, 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*".r
+      .findFirstIn(lplan).isDefined, lplan)
   }
 
   test("guards: parameter mismatch and overlapping docid ranges throw") {
