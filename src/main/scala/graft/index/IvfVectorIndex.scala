@@ -155,6 +155,8 @@ class IvfVectorIndex private (
     }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.IndexMerge.requireDistinctSources(
+      path, others.map(_.path))
     IvfVectorIndex.completeRetrain(spark, path)
     others.foreach(o => IvfVectorIndex.completeRetrain(spark, o.path))
     graft.operators.IndexMerge.claimRangesAll(

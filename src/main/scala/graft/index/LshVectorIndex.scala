@@ -79,6 +79,8 @@ class LshVectorIndex private (
     }
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.IndexMerge.requireDistinctSources(
+      path, others.map(_.path))
     graft.operators.IndexMerge.claimRangesAll(
       spark, path, others.map(_.path))
     others.foreach { o =>

@@ -706,6 +706,7 @@ class Bm25Index private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcs = others.map(_.path)
+    graft.operators.IndexMerge.requireDistinctSources(path, srcs)
     // a pending marker for a DIFFERENT source set is an older
     // interrupted merge: settle it before starting this one; the SAME
     // set means this call is the interrupted merge's re-run — resume

@@ -158,6 +158,20 @@ object IndexMerge {
     srcs.mkString("\t")
   }
 
+  /** Shared mergeAll precondition: a source that IS the destination
+    * (or appears twice) would rename its files onto themselves via
+    * the collision fallback and then DELETE the destination tree —
+    * refuse loudly before any claim or move. */
+  private[graft] def requireDistinctSources(
+      dstPath: String, srcs: Seq[String]): Unit = {
+    require(!srcs.contains(dstPath),
+      s"index merge: source list contains the destination ($dstPath) " +
+      "— merging an index into itself would delete it")
+    require(srcs.distinct.size == srcs.size,
+      s"index merge: duplicate source paths: $srcs — each shard may " +
+      "be absorbed once")
+  }
+
   private[graft] def splitSrcs(srcLine: String): Seq[String] =
     srcLine.split('\t').toSeq.filter(_.nonEmpty)
 

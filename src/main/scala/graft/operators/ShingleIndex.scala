@@ -391,6 +391,7 @@ class ShingleIndex private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcs = others.map(_.path)
+    graft.operators.IndexMerge.requireDistinctSources(path, srcs)
     // an interrupted merge of a DIFFERENT source set must finish first
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
       if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)

@@ -211,6 +211,7 @@ class WinnowIndex private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcs = others.map(_.path)
+    graft.operators.IndexMerge.requireDistinctSources(path, srcs)
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
       if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
         WinnowIndex.completeMerge(spark, path)

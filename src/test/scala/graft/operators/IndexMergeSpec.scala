@@ -232,6 +232,11 @@ class IndexMergeSpec extends SparkTestBase {
     val lo = graft.index.LshVectorIndex.build(
       emb.filter($"vec_id" >= 10), "embedding", "vec_id", s"$root/lo", lsh)
     intercept[IllegalArgumentException] { la.merge(lo) }
+    // self-merge / duplicate sources refuse BEFORE any claim or move
+    // (the collision fallback would rename files onto themselves and
+    // then delete the destination tree)
+    intercept[IllegalArgumentException] { la.merge(la) }
+    intercept[IllegalArgumentException] { la.mergeAll(Seq(lo, lo)) }
   }
 
   test("merge crash AFTER the marker (files partially moved): load " +
