@@ -113,7 +113,8 @@ object IndexStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       retrainEvery: Int = 0,
-      driftFrac: Double = 0.5): StreamingQuery = {
+      driftFrac: Double = 0.5,
+      minShare: Double = 0.05): StreamingQuery = {
     require(docs.isStreaming, "IndexStream.ingestIvf needs a streaming DataFrame")
     // the stream's view of the index survives retrains: retrainInPlace
     // returns the index with the PATCHED codebook, and appends after a
@@ -135,8 +136,18 @@ object IndexStream {
             val report = graft.operators.Ivf.drift(
               live.df.withColumnRenamed("vector", vecCol),
               batch, vecCol, live.model)
+            // flag on drift_frac AND incoming mass share (r15,
+            // RetrainRecallProbe's finding): frac alone also flags
+            // low-mass clusters a few strays landed in, and retraining
+            // those moves their centroids toward the strays — queries
+            // then probe the refined strays-cluster while the actual
+            // drifted mass sits in an unretrained one, COSTING recall
+            // (measured 0.56 → 0.24 @ nprobe=1). Retrain only where a
+            // meaningful share of the batch actually lives.
+            val batchN = math.max(1L, batch.count())
             val drifted = report
-              .filter(org.apache.spark.sql.functions.col("n_new") > 0 &&
+              .filter(org.apache.spark.sql.functions.col("n_new") >=
+                org.apache.spark.sql.functions.lit(minShare * batchN) &&
                 org.apache.spark.sql.functions.col("drift_frac") >=
                   driftFrac)
               .select("cluster").collect().map(_.getInt(0)).toSeq
