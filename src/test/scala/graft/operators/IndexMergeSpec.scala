@@ -330,6 +330,43 @@ class IndexMergeSpec extends SparkTestBase {
     assert(top(compacted) == before, "compaction changes no score")
   }
 
+  test("property: ANY random shard split mergeAll-s back to the " +
+    "monolithic index — postings set, stats, and search identical " +
+    "(3 seeded trials, 2-6 shards)") {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, hash, lit, pmod}
+    val docs = spark.range(0L, 30L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 20).map(i =>
+        concat(lit("w"), pmod(hash(col("id") * 31 + i), lit(200)))): _*)
+        .as("text"))
+    val root = scratch("prop")
+    val whole = Bm25Index.build(docs, "text", "doc_id",
+      s"$root/whole", nBuckets = 4)
+    def top(ix: Bm25Index) = ix.search(Seq("10", "55", "199"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wholeTop = top(whole)
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      val nShards = 2 + rnd.nextInt(5)
+      // random strictly-increasing cut points over [1, 30)
+      val cuts = (0L +: Seq.fill(nShards - 1)(1L + rnd.nextInt(29).toLong)
+        .distinct.sorted) :+ 30L
+      val shards = cuts.sliding(2).zipWithIndex.flatMap {
+        case (Seq(lo, hi), i) if lo < hi =>
+          Some(Bm25Index.build(
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "text", "doc_id", s"$root/t${trial}_s$i", nBuckets = 4))
+        case _ => None
+      }.toSeq
+      val merged = shards.head.mergeAll(shards.tail)
+      assert(merged.n == whole.n && merged.sumdl == whole.sumdl,
+        s"trial $trial (${shards.size} shards): stats diverge")
+      assert(postingRows(s"$root/t${trial}_s0") ==
+        postingRows(s"$root/whole"),
+        s"trial $trial: postings diverge")
+      assert(top(merged) == wholeTop, s"trial $trial: search diverges")
+    }
+  }
+
   test("multi-way merge crash AFTER the marker (one source drained, " +
     "two untouched): load rolls ALL listed sources forward — " +
     "postings equal the monolith, stats correct, sources gone (r15)") {
