@@ -237,6 +237,13 @@ class IndexMergeSpec extends SparkTestBase {
     // then delete the destination tree)
     intercept[IllegalArgumentException] { la.merge(la) }
     intercept[IllegalArgumentException] { la.mergeAll(Seq(lo, lo)) }
+    // r15: overlap BETWEEN two sources (both disjoint from the
+    // destination) is caught by the multi-way claims pass too
+    val s1 = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
+      "doc_id", "text", s"$root/s1", ngram = 3, nBuckets = 8)
+    val s2 = ShingleIndex.build(corpus.filter($"doc_id" >= 12),
+      "doc_id", "text", s"$root/s2", ngram = 3, nBuckets = 8)
+    intercept[IllegalArgumentException] { a.mergeAll(Seq(s1, s2)) }
   }
 
   test("merge crash AFTER the marker (files partially moved): load " +

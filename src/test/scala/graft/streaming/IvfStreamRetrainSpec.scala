@@ -100,4 +100,48 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     assert(drifted.exists(id => id >= 1020L && id < 1040L),
       s"drifted rows must be probe-reachable: $drifted")
   }
+
+  test("the mass-share gate holds: a batch with a LONE drifted stray " +
+    "(below minShare) does NOT trigger a retrain — the codebook " +
+    "stays put (r15, RetrainRecallProbe's finding encoded)") {
+    // THREE centroids; the stray will be the ONLY row landing in
+    // cluster 2, so its per-cluster drift_frac is a full 1.0 — the
+    // frac-only rule (pre-r15) would have retrained cluster 2 on one
+    // stray; the share gate must block it
+    val model = Ivf.Model(
+      Array(vec(0).toArray, vec(90).toArray, vec(180).toArray))
+    val idxDir = tmp("strays-idx")
+    val seed = (0L until 100L).map { i =>
+      (i, vec(if (i % 2 == 0) 2.0 else 88.0))
+    }.toDF("vec_id", "embedding")
+    IvfVectorIndex.build(seed, "embedding", "vec_id", idxDir, model)
+    val idx = IvfVectorIndex.load(spark, idxDir)
+    val cenBefore = spark.read.parquet(s"$idxDir/_centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    // one batch: 29 on-distribution rows + ONE stray at 150° (nearest
+    // c2, drift_frac 1.0 there) carrying 1/30 of the batch — under
+    // the 5% default share
+    val rows = (2000L until 2029L).map(i =>
+      (i, vec(if (i % 2 == 0) 1.0 else 89.0))) :+ ((2029L, vec(150.0)))
+    val srcDir = new java.io.File(tmp("strays-src"))
+    val stage = tmp("strays-stage")
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(srcDir, "b0.parquet").toPath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.getAbsolutePath).schema)
+      .parquet(srcDir.getAbsolutePath)
+    val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
+      tmp("strays-ck"), retrainEvery = 1, driftFrac = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    val cenAfter = spark.read.parquet(s"$idxDir/_centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    assert(cenAfter == cenBefore,
+      "a lone stray must not walk the codebook")
+    assert(IvfVectorIndex.load(spark, idxDir).count() == 130,
+      "the batch itself still lands")
+  }
 }
