@@ -135,7 +135,8 @@ class IvfVectorIndex private (
     * partition dir). A crash mid-way leaves every directory
     * individually consistent and a re-run completes the move (claims
     * are value-idempotent, moves skip drained sources). */
-  def mergeAll(others: Seq[IvfVectorIndex]): IvfVectorIndex = {
+  def mergeAll(others: Seq[IvfVectorIndex],
+      compact: Boolean = false): IvfVectorIndex = {
     if (others.isEmpty) return this
     others.foreach { other =>
       require(model.centroids.length == other.model.centroids.length &&
@@ -156,7 +157,9 @@ class IvfVectorIndex private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.operators.IndexMerge.requireDistinctSources(
-      path, others.map(_.path))
+      spark, path, others.map(_.path))
+    graft.operators.IndexMerge.requireQuiesced(
+      spark, path, others.map(_.path))
     IvfVectorIndex.completeRetrain(spark, path)
     others.foreach(o => IvfVectorIndex.completeRetrain(spark, o.path))
     graft.operators.IndexMerge.claimRangesAll(
@@ -167,7 +170,29 @@ class IvfVectorIndex private (
       fs.delete(new org.apache.hadoop.fs.Path(o.path), true)
       graft.plans.AnnRouteRule.invalidate(o.path)
     }
-    this
+    // opt-in post-step (r16) — see Bm25Index.mergeAll's note
+    if (compact && shouldCompact()) this.compact() else this
+  }
+
+  /** `(fileCount, bytes)` of the `cluster=*` data tree — the part a
+    * many-shard merge fragments (each shard leaves its own files in
+    * every cluster partition). */
+  def storageFootprint(): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.operators.IndexMerge.bucketFootprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      prefix = "cluster=")
+  }
+
+  /** The auto-compaction trigger ([[graft.operators.ShingleIndex
+    * .shouldCompact]]'s measured rule, ideal = one file per cluster
+    * until clusters outgrow the target file size). */
+  def shouldCompact(
+      slack: Double = 16.0,
+      targetFileBytes: Long = 256L << 20): Boolean = {
+    val (files, bytes) = storageFootprint()
+    graft.operators.IndexMerge.needsCompact(
+      files, bytes, model.centroids.length, slack, targetFileBytes)
   }
 
   /** The drift RESPONDER — completes the loop [[graft.operators.Ivf

@@ -69,7 +69,8 @@ class LshVectorIndex private (
     * shards throw — the postings lakes' guard, now uniform across
     * all five families; pre-ledger indexes merge unchecked), then
     * per-source bucket-file moves. */
-  def mergeAll(others: Seq[LshVectorIndex]): LshVectorIndex = {
+  def mergeAll(others: Seq[LshVectorIndex],
+      compact: Boolean = false): LshVectorIndex = {
     if (others.isEmpty) return this
     others.foreach { other =>
       require(lsh == other.lsh,
@@ -80,7 +81,9 @@ class LshVectorIndex private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.operators.IndexMerge.requireDistinctSources(
-      path, others.map(_.path))
+      spark, path, others.map(_.path))
+    graft.operators.IndexMerge.requireQuiesced(
+      spark, path, others.map(_.path))
     graft.operators.IndexMerge.claimRangesAll(
       spark, path, others.map(_.path))
     others.foreach { o =>
@@ -88,7 +91,61 @@ class LshVectorIndex private (
         fs, new org.apache.hadoop.fs.Path(o.path), dst, "bucket=")
       fs.delete(new org.apache.hadoop.fs.Path(o.path), true)
     }
-    this
+    // opt-in post-step (r16) — see Bm25Index.mergeAll's note
+    if (compact && shouldCompact()) this.compact() else this
+  }
+
+  /** `(fileCount, bytes)` of the `bucket=*` data tree. */
+  def storageFootprint(): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.operators.IndexMerge.bucketFootprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The auto-compaction trigger ([[graft.operators.ShingleIndex
+    * .shouldCompact]]'s measured rule; ideal = one file per occupied
+    * LSH bucket — 2^nbits is the CEILING of occupied buckets, so the
+    * actual partition-dir count from one listing is the base). */
+  def shouldCompact(
+      slack: Double = 16.0,
+      targetFileBytes: Long = 256L << 20): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nOccupied = fs.listStatus(p)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val (files, bytes) = storageFootprint()
+    graft.operators.IndexMerge.needsCompact(
+      files, bytes, math.max(1, nOccupied), slack, targetFileBytes)
+  }
+
+  /** Offline maintenance after appends/merges fragment the bucket
+    * partitions: rewrite each bucket whole into a sibling directory,
+    * carry the sidecars, swap via the two-rename [[Generations.swap]]
+    * ([[IvfVectorIndex.compact]]'s contract — maintenance windows
+    * only, not safe against concurrent readers; every [[LshVectorIndex
+    * .load]] runs the matching crash repair). */
+  def compact(maxRecordsPerFile: Long = 5000000L): LshVectorIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "docid")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(tmp.toString)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    // `_lsh_meta.json` last: it is the generation-complete marker
+    Seq("_ranges", "_lsh_meta.json").foreach { side =>
+      val src = new org.apache.hadoop.fs.Path(cur, side)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(tmp, side), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    Generations.swap(spark, path)
+    new LshVectorIndex(spark, path, lsh)
   }
 }
 
@@ -141,6 +198,9 @@ object LshVectorIndex {
     * silently probe the wrong buckets). */
   def load(spark: SparkSession, path: String,
       lsh: Option[HyperplaneLsh] = None): LshVectorIndex = {
+    // mid-compact crash repair ([[Generations]]; the meta sidecar is
+    // the generation-complete marker)
+    Generations.recover(spark, path, "_lsh_meta.json")
     val stored = readMeta(spark, path)
     (stored, lsh) match {
       case (Some(s), Some(l)) =>

@@ -577,13 +577,71 @@ class Bm25Index private (
     claimed.filterNot(present)
   }
 
+  /** Settle orphaned `_stats_pending` flags for the OTHER crash
+    * window — postings LANDED but the stats write crashed (r16,
+    * ADVICE r15: [[missingRanges]] cannot see this window because the
+    * range's postings exist, so with the stream gone the flag used to
+    * sit orphaned and `n`/`Σdl` undercounted forever). For each flag
+    * whose range has postings on disk:
+    *
+    *  - on-disk stats == the flagged PRE-totals → the stats write
+    *    died: commit the flagged post-totals, delete the flag;
+    *  - on-disk stats == the flagged POST-totals → only the flag
+    *    delete was lost: delete the flag;
+    *  - anything else → left in place (out-of-band writes landed
+    *    since the crash; corpus-level reconcile or the operator must
+    *    adjudicate — guessing at stats arithmetic corrupts scores).
+    *
+    * Flags whose range has NO postings are left for
+    * [[missingRanges]]/[[reconcile]] — that is the claim-only window.
+    * Loops to a fixpoint: settling one flag's stats can make the next
+    * flag's pre-totals current (chained crashes). */
+  def settlePendingStats(): Bm25Index = {
+    var cur = this
+    var pending = Bm25Index.listPendingStats(spark, path)
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      pending = pending.filter { case (lo, hi) =>
+        Bm25Index.readPendingStats(spark, path, lo, hi) match {
+          case None => false
+          case Some((nPre, sPre, nPost, sPost)) =>
+            val landed = !cur.postings
+              .filter(col("docid").between(lo, hi)).isEmpty
+            if (!landed) true // claim-only window: reconcile's job
+            else if (cur.n == nPre && cur.sumdl == sPre) {
+              Bm25Index.writeStats(spark, path, nPost, sPost, nBuckets)
+              Bm25Index.deletePendingStats(spark, path, lo, hi)
+              graft.Keyword.invalidateIndex(path)
+              cur = new Bm25Index(spark, path, nPost, sPost, nBuckets)
+              progress = true
+              false
+            } else if (cur.n == nPost && cur.sumdl == sPost) {
+              Bm25Index.deletePendingStats(spark, path, lo, hi)
+              false
+            } else true // ambiguous: never guess
+        }
+      }
+    }
+    cur
+  }
+
   /** Repair [[missingRanges]] from a recovery corpus (the streamed
-    * batches' source of truth): re-tokenizes ONLY the missing
-    * ranges' rows, lands their postings under the already-claimed
-    * ranges, and adds their (n, Σdl) to the stats the skipped append
-    * never counted. No-op when nothing is missing. */
+    * batches' source of truth): first settles any orphaned
+    * postings-landed `_stats_pending` flags ([[settlePendingStats]] —
+    * whose window [[missingRanges]] cannot see), then re-tokenizes
+    * ONLY the missing ranges' rows, lands their postings under the
+    * already-claimed ranges, and adds their (n, Σdl) to the stats the
+    * skipped append never counted. No-op when nothing is missing or
+    * flagged. */
   def reconcile(
       recovery: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    // settle BEFORE the missing-range repair: settling compares the
+    // flags' absolute pre/post totals against the CURRENT stats, and
+    // the repair below shifts them
+    val settled = settlePendingStats()
+    if (settled ne this)
+      return settled.reconcile(recovery, textCol, idCol)
     val missing = missingRanges()
     if (missing.isEmpty) return this
     val inRange = missing
@@ -698,7 +756,8 @@ class Bm25Index private (
     * drained sources), stats rewrite, marker delete; every load
     * rolls an interrupted multi-way merge forward exactly like a
     * pairwise one. */
-  def mergeAll(others: Seq[Bm25Index]): Bm25Index = {
+  def mergeAll(others: Seq[Bm25Index],
+      compact: Boolean = false): Bm25Index = {
     if (others.isEmpty) return this
     others.foreach { o => require(o.nBuckets == nBuckets,
       s"bm25 merge: bucket-count mismatch ($nBuckets vs " +
@@ -706,20 +765,30 @@ class Bm25Index private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcs = others.map(_.path)
-    graft.operators.IndexMerge.requireDistinctSources(path, srcs)
+    graft.operators.IndexMerge.requireDistinctSources(spark, path, srcs)
+    IndexMerge.requireQuiesced(spark, path, srcs)
     // a pending marker for a DIFFERENT source set is an older
     // interrupted merge: settle it before starting this one; the SAME
     // set means this call is the interrupted merge's re-run — resume
-    // with the marker's post-stats
+    // with the marker's post-stats. Settling REWRITES `_stats` on
+    // disk, so the handle's (n, sumdl) are stale past it — re-read
+    // rather than computing the new post-merge totals from stale
+    // fields (ADVICE r15: the old marker's contribution was silently
+    // dropped from the new totals).
+    var (curN, curSum) = (n, sumdl)
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
+      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet) {
         Bm25Index.completeMerge(spark, path)
+        val st = spark.read.parquet(s"$path/_stats").head()
+        curN = st.getLong(0); curSum = st.getLong(1)
+      }
     }
     val (postN, postSum) = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => (stats(0), stats(1))
       case None =>
         IndexMerge.claimRangesAll(spark, path, srcs)
-        val s = (n + others.map(_.n).sum, sumdl + others.map(_.sumdl).sum)
+        val s = (curN + others.map(_.n).sum,
+          curSum + others.map(_.sumdl).sum)
         IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
           Seq(s._1, s._2, nBuckets.toLong))
         s
@@ -739,7 +808,13 @@ class Bm25Index private (
     // for re-registration instead of scoring with pre-merge stats —
     // same contract as append/appendIfAbsent/reconcile
     graft.Keyword.invalidateIndex(path)
-    new Bm25Index(spark, path, postN, postSum, nBuckets)
+    val merged = new Bm25Index(spark, path, postN, postSum, nBuckets)
+    // opt-in post-step (r16): a hundreds-of-shards merge leaves the
+    // lake with per-shard file fragmentation — a measured ~3× probe
+    // tax at S=256 (BASELINE r15) until compaction folds it. The flag
+    // wires the existing shouldCompact→compact cycle into the merge
+    // itself so a big fan-in cannot silently stay in the taxed state.
+    if (compact && merged.shouldCompact()) merged.compact() else merged
   }
 
   /** Docid-sorted metadata sidecar (`path/_meta`): `cols` keyed by
@@ -1113,6 +1188,23 @@ object Bm25Index {
       "remove it and reconcile from the source corpus")
     Some((lines(0).toLong, lines(1).toLong, lines(2).toLong,
       lines(3).toLong))
+  }
+
+  /** All in-flight append flags under `_stats_pending/` — the
+    * load-time sweep's inventory (one directory listing; names carry
+    * the range, `r_<lo>_<hi>`). */
+  private[operators] def listPendingStats(
+      spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(path, "_stats_pending")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case name if name.startsWith("r_") =>
+        val parts = name.stripPrefix("r_").split('_')
+        require(parts.length == 2,
+          s"bm25: unparseable stats-pending flag name $name at $dir")
+        (parts(0).toLong, parts(1).toLong)
+      }
   }
 
   private[operators] def deletePendingStats(

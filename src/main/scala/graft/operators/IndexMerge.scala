@@ -161,15 +161,81 @@ object IndexMerge {
   /** Shared mergeAll precondition: a source that IS the destination
     * (or appears twice) would rename its files onto themselves via
     * the collision fallback and then DELETE the destination tree —
-    * refuse loudly before any claim or move. */
+    * refuse loudly before any claim or move. Paths are compared
+    * FULLY QUALIFIED (`fs.makeQualified`: scheme + authority +
+    * working-dir resolution), not as raw strings — a trailing slash,
+    * a `./` prefix, or a `file:/…` spelling of the destination is
+    * still the destination, and letting an alias through is exactly
+    * the self-delete this guard exists to prevent (ADVICE r15). */
   private[graft] def requireDistinctSources(
-      dstPath: String, srcs: Seq[String]): Unit = {
-    require(!srcs.contains(dstPath),
-      s"index merge: source list contains the destination ($dstPath) " +
-      "— merging an index into itself would delete it")
-    require(srcs.distinct.size == srcs.size,
-      s"index merge: duplicate source paths: $srcs — each shard may " +
-      "be absorbed once")
+      spark: SparkSession, dstPath: String, srcs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new Path(p)
+      val uri = hp.getFileSystem(conf).makeQualified(hp).toUri
+      // null vs empty authority both mean "local": fold them so
+      // `file:/x` and `file:///x` compare equal
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}" +
+        uri.getPath
+    }
+    val dstQ = qualified(dstPath)
+    val srcQ = srcs.map(qualified)
+    srcQ.zip(srcs).find(_._1 == dstQ).foreach { case (_, raw) =>
+      throw new IllegalArgumentException(
+        s"index merge: source list contains the destination ($raw " +
+        s"resolves to $dstQ) — merging an index into itself would " +
+        "delete it")
+    }
+    val dup = srcQ.groupBy(identity).collectFirst {
+      case (q, hits) if hits.size > 1 => q
+    }
+    dup.foreach { q => throw new IllegalArgumentException(
+      s"index merge: duplicate source paths (resolve to $q): $srcs — " +
+      "each shard may be absorbed once")
+    }
+  }
+
+  /** The merge QUIESCE guard (r16): [[Bm25Index.mergeAll]] and its
+    * four siblings DELETE every source tree after draining it — a
+    * source whose ingest stream is still live can race the merge (a
+    * claim-first append mid-write to a tree being renamed away), so
+    * the handshake is explicit rather than conventional:
+    *
+    *  - a path that was never stream-fed (no `_batches` delivery
+    *    ledger) has no stream to race by the single-writer contract —
+    *    allowed;
+    *  - a stream-fed path needs a `_quiesced` marker, written by
+    *    [[graft.streaming.Quiesce.mark]] (or the stop-helper
+    *    [[graft.streaming.IndexStream.stopAndQuiesce]]) AFTER the
+    *    stream stopped; every streaming delivery clears the marker at
+    *    batch ENTRY, so a restarted stream un-quiesces its lake
+    *    before any effect lands and a concurrent merge refuses.
+    *
+    * The guard covers the DESTINATION too: the merge rewrites dst's
+    * `_stats`/`_ranges`, which races a live dst stream identically.
+    *
+    * Lifecycle of a checkpoint restarted against a merged-away shard
+    * path: the source tree (ledger included) is gone, so the restart
+    * re-delivers from its checkpointed offsets into a FRESH lake at
+    * that path — it does not corrupt the merged index (which lives at
+    * the destination), but the re-built shard is a new, unmerged
+    * index. Retire the checkpoint with the shard; a segment's stream
+    * must not outlive its merge. */
+  private[graft] def requireQuiesced(
+      spark: SparkSession, dstPath: String, srcs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    (dstPath +: srcs).foreach { p =>
+      val ledger = new Path(p, "_batches")
+      val fs = ledger.getFileSystem(conf)
+      if (fs.exists(ledger) &&
+          !fs.exists(new Path(p, graft.streaming.Quiesce.Marker)))
+        throw new IllegalStateException(
+          s"index merge: $p was stream-fed (_batches ledger present) " +
+          "but carries no _quiesced marker — its ingest stream may " +
+          "still be live, and merging would delete the tree under a " +
+          "mid-flight append. Stop the stream and mark the lake " +
+          "(IndexStream.stopAndQuiesce / Quiesce.mark) before merging.")
+    }
   }
 
   private[graft] def splitSrcs(srcLine: String): Seq[String] =
@@ -177,23 +243,91 @@ object IndexMerge {
 
   /** The multi-way claims step: every (lo, hi) docid claim of every
     * source lands in `dst`'s `_ranges` in ONE append (the sources'
-    * ledgers are read in one multi-path scan), after in-memory
-    * validation — a PARTIAL overlap with dst's claims or BETWEEN two
-    * sources throws; exact duplicates of already-claimed ranges are
-    * skipped (value-level idempotence for interrupted re-runs, same
-    * contract as [[claimRanges]]). */
+    * ledgers are read in one multi-path scan, attributed back to
+    * their source via `input_file_name`), after in-memory validation.
+    * The overlap rules are SOURCE-AWARE (r16, both ADVICE r15
+    * findings):
+    *
+    *  - ranges WITHIN one source may interleave freely — a shard
+    *    whose batches carried non-monotonic ids (file-source
+    *    ordering) records overlapping per-batch (min,max) envelopes
+    *    over perfectly distinct docids, and rejecting it would
+    *    permanently strand a legitimately built shard;
+    *  - ANY overlap BETWEEN two different sources throws, and the
+    *    most blatant case — two sources claiming the IDENTICAL
+    *    range — is detected explicitly instead of silently collapsed
+    *    by a distinct() (the pre-r16 bug: two shards that indexed the
+    *    same docid slice merged without error, duplicating every
+    *    docid's postings and double-counting stats);
+    *  - against the DESTINATION's claims, exact duplicates are
+    *    skipped (value-level idempotence for interrupted re-runs,
+    *    same contract as [[claimRanges]]) and partial overlaps throw. */
   private[graft] def claimRangesAll(
       spark: SparkSession, dstPath: String, srcPaths: Seq[String]): Unit = {
     val mine = Bm25Index.readRanges(spark, dstPath)
     val conf = spark.sparkContext.hadoopConfiguration
-    val dirs = srcPaths.map(s => new Path(s"$s/_ranges"))
-      .filter(d => d.getFileSystem(conf).exists(d))
-      .map(_.toString)
-    val theirs =
-      if (dirs.isEmpty) Seq.empty[(Long, Long)]
-      else spark.read.parquet(dirs: _*)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
-    val fresh = theirs.distinct.filterNot(mine.toSet)
+    val dirs = srcPaths
+      .map(s => (s, new Path(s"$s/_ranges")))
+      .filter { case (_, d) => d.getFileSystem(conf).exists(d) }
+    if (dirs.isEmpty) return
+    // scheme-insensitive URI paths: input_file_name() reports
+    // `file:///…` where makeQualified says `file:/…` — compare the
+    // path component only
+    def uriPath(s: String): String = new Path(s).toUri.getPath
+    val dirPaths = dirs.map { case (src, d) =>
+      (src, uriPath(d.getFileSystem(conf).makeQualified(d).toString))
+    }
+    val attributed = spark.read
+      .parquet(dirs.map(_._2.toString): _*)
+      .select(org.apache.spark.sql.functions.col("lo"),
+        org.apache.spark.sql.functions.col("hi"),
+        org.apache.spark.sql.functions.input_file_name().as("file"))
+      .collect().map { r =>
+        val f = uriPath(r.getString(2))
+        val src = dirPaths.collectFirst {
+          case (s, dp) if f.startsWith(dp + "/") => s
+        }.getOrElse(throw new IllegalStateException(
+          s"index merge: claim file $f matches no source ledger dir " +
+          s"of ${dirPaths.map(_._2)}"))
+        (r.getLong(0), r.getLong(1), src)
+      }.toIndexedSeq
+    // per-source distinct: a replay artifact may duplicate a row
+    // inside ONE ledger; that is never a cross-shard double-index
+    val bySrc = attributed.groupBy(_._3)
+      .map { case (src, rs) => src -> rs.map(t => (t._1, t._2)).distinct }
+    // exact duplicates across two DIFFERENT sources — never a replay
+    // (replay dedup applies only against the destination's claims)
+    bySrc.toSeq.flatMap { case (src, rs) => rs.map(r => (r, src)) }
+      .groupBy(_._1)
+      .collectFirst { case ((lo, hi), owners) if owners.size > 1 =>
+        throw new IllegalArgumentException(
+          s"index merge: range [$lo,$hi] is claimed by " +
+          s"${owners.size} distinct sources " +
+          s"(${owners.map(_._2).mkString(", ")}) — two shards " +
+          "indexed the identical docid slice; merging would " +
+          "duplicate every docid's postings and double-count stats")
+      }
+    // sweep for any overlap between ranges of DIFFERENT sources:
+    // sorted by lo, tracking each source's running max hi — O(R·S)
+    // driver-side over ledger rows (O(appends), never corpus-sized)
+    val sorted = bySrc.toSeq
+      .flatMap { case (src, rs) => rs.map { case (lo, hi) => (lo, hi, src) } }
+      .sortBy(t => (t._1, t._2))
+    val maxHi = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    sorted.foreach { case (lo, hi, src) =>
+      maxHi.foreach { case (osrc, (ohi, olo)) =>
+        if (osrc != src && ohi >= lo)
+          throw new IllegalArgumentException(
+            s"index merge: source range [$lo,$hi] of $src intersects " +
+            s"[$olo,$ohi] of $osrc — shards must cover disjoint " +
+            "docid ranges")
+      }
+      if (maxHi.get(src).forall(_._1 < hi)) maxHi(src) = (hi, lo)
+    }
+    // against the destination: exact dups skip (resume idempotence),
+    // partial overlaps throw
+    val mineSet = mine.toSet
+    val fresh = sorted.map(t => (t._1, t._2)).distinct.filterNot(mineSet)
     fresh.foreach { case (lo, hi) =>
       mine.find { case (l, h) => lo <= h && l <= hi }.foreach {
         case (l, h) => throw new IllegalArgumentException(
@@ -201,13 +335,6 @@ object IndexMerge {
           s"already-indexed [$l,$h] — shards must cover disjoint " +
           "docid ranges")
       }
-    }
-    fresh.sorted.sliding(2).foreach {
-      case Seq((l1, h1), (l2, _)) if l2 <= h1 =>
-        throw new IllegalArgumentException(
-          s"index merge: source ranges [$l1,$h1] and [$l2,...] " +
-          "intersect — shards must cover disjoint docid ranges")
-      case _ => ()
     }
     if (fresh.nonEmpty) Bm25Index.appendRanges(spark, dstPath, fresh)
   }
@@ -218,9 +345,9 @@ object IndexMerge {
     * lake must read as "no compaction needed"). One two-level
     * listing — the same walk every post-append probe already pays. */
   private[graft] def bucketFootprint(
-      fs: FileSystem, path: Path): (Long, Long) = {
+      fs: FileSystem, path: Path, prefix: String = "bucket="): (Long, Long) = {
     val stats = fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(_.isFile)
     (stats.length.toLong, stats.map(_.getLen).sum)

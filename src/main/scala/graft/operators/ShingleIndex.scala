@@ -378,7 +378,8 @@ class ShingleIndex private (
     * pass / one-marker / one-stats-write shape over the shingle lake;
     * the pairwise chain's per-call metadata jobs dominate a
     * many-shard merge (BASELINE r15). */
-  def mergeAll(others: Seq[ShingleIndex]): ShingleIndex = {
+  def mergeAll(others: Seq[ShingleIndex],
+      compact: Boolean = false): ShingleIndex = {
     if (others.isEmpty) return this
     others.foreach { other =>
       require(other.ngram == ngram && other.nBuckets == nBuckets &&
@@ -391,17 +392,24 @@ class ShingleIndex private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcs = others.map(_.path)
-    graft.operators.IndexMerge.requireDistinctSources(path, srcs)
-    // an interrupted merge of a DIFFERENT source set must finish first
+    graft.operators.IndexMerge.requireDistinctSources(spark, path, srcs)
+    IndexMerge.requireQuiesced(spark, path, srcs)
+    // an interrupted merge of a DIFFERENT source set must finish
+    // first; settling rewrites `_stats`, so re-read rather than trust
+    // the handle's nDocs past it (ADVICE r15 — Bm25Index.mergeAll's
+    // note)
+    var curN = nDocs
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
+      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet) {
         ShingleIndex.completeMerge(spark, path)
+        curN = spark.read.parquet(s"$path/_stats").head().getLong(0)
+      }
     }
     val postN = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => stats.head // resuming: post-stats fixed
       case None =>
         IndexMerge.claimRangesAll(spark, path, srcs)
-        val n = nDocs + others.map(_.nDocs).sum
+        val n = curN + others.map(_.nDocs).sum
         IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
           Seq(n, ngram.toLong, nBuckets.toLong, if (hashKeys) 1L else 0L))
         n
@@ -413,7 +421,10 @@ class ShingleIndex private (
     }
     ShingleIndex.writeStats(spark, path, postN, ngram, nBuckets, hashKeys)
     IndexMerge.deleteMarker(fs, dst)
-    new ShingleIndex(spark, path, postN, ngram, nBuckets, hashKeys)
+    val merged = new ShingleIndex(spark, path, postN, ngram, nBuckets,
+      hashKeys)
+    // opt-in post-step (r16) — see Bm25Index.mergeAll's note
+    if (compact && merged.shouldCompact()) merged.compact() else merged
   }
 
   /** Offline maintenance after repeated [[appendBatch]]es: rewrite each

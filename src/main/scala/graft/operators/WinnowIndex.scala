@@ -200,7 +200,8 @@ class WinnowIndex private (
     * pass / one-marker / one-stats-write shape over the fingerprint
     * lake; the pairwise chain's per-call metadata jobs dominate a
     * many-shard merge (BASELINE r15). */
-  def mergeAll(others: Seq[WinnowIndex]): WinnowIndex = {
+  def mergeAll(others: Seq[WinnowIndex],
+      compact: Boolean = false): WinnowIndex = {
     if (others.isEmpty) return this
     others.foreach { other =>
       require(other.k == k && other.w == w && other.dfCap == dfCap &&
@@ -211,16 +212,22 @@ class WinnowIndex private (
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcs = others.map(_.path)
-    graft.operators.IndexMerge.requireDistinctSources(path, srcs)
+    graft.operators.IndexMerge.requireDistinctSources(spark, path, srcs)
+    IndexMerge.requireQuiesced(spark, path, srcs)
+    // settling an older interrupted merge rewrites `_stats` — re-read
+    // rather than trust the handle's nDocs past it (ADVICE r15)
+    var curN = nDocs
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet)
+      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet) {
         WinnowIndex.completeMerge(spark, path)
+        curN = spark.read.parquet(s"$path/_stats").head().getLong(0)
+      }
     }
     val postN = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => stats.head
       case None =>
         IndexMerge.claimRangesAll(spark, path, srcs)
-        val n = nDocs + others.map(_.nDocs).sum
+        val n = curN + others.map(_.nDocs).sum
         IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
           Seq(n, k.toLong, w.toLong, dfCap.toLong, nBuckets.toLong))
         n
@@ -232,7 +239,26 @@ class WinnowIndex private (
     }
     WinnowIndex.writeStats(spark, path, postN, k, w, dfCap, nBuckets)
     IndexMerge.deleteMarker(fs, dst)
-    new WinnowIndex(spark, path, postN, k, w, dfCap, nBuckets)
+    val merged = new WinnowIndex(spark, path, postN, k, w, dfCap, nBuckets)
+    // opt-in post-step (r16) — see Bm25Index.mergeAll's note
+    if (compact && merged.shouldCompact()) merged.compact() else merged
+  }
+
+  /** `(fileCount, bytes)` of the `bucket=*` fingerprint tree
+    * ([[ShingleIndex.storageFootprint]]). */
+  def storageFootprint(): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    IndexMerge.bucketFootprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The auto-compaction trigger ([[ShingleIndex.shouldCompact]]'s
+    * measured rule over the fingerprint lake). */
+  def shouldCompact(
+      slack: Double = 16.0,
+      targetFileBytes: Long = 256L << 20): Boolean = {
+    val (files, bytes) = storageFootprint()
+    IndexMerge.needsCompact(files, bytes, nBuckets, slack, targetFileBytes)
   }
 }
 

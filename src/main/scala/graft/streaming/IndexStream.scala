@@ -56,6 +56,8 @@ object IndexStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // un-quiesce first — a concurrent merge must refuse, not race
+        Quiesce.clear(batch.sparkSession, index.path)
         // append mode keys on the batch id: a replayed COMMITTED batch
         // is skipped instead of double-appending (upsert is naturally
         // idempotent and skips the ledger read)
@@ -125,6 +127,8 @@ object IndexStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // un-quiesce first — a concurrent merge must refuse, not race
+        Quiesce.clear(batch.sparkSession, live.path)
         val replay = BatchLedger
           .delivered(batch.sparkSession, live.path, checkpointDir)
           .contains(batchId)
@@ -216,6 +220,10 @@ object IndexStream {
       compactEvery: Int = 0,
       compactSlack: Double = 16.0): Unit = {
     val spark = batch.sparkSession
+    // un-quiesce FIRST — before any effect lands — so a concurrent
+    // shard merge refuses this lake instead of racing the append
+    // ([[Quiesce]], r16)
+    Quiesce.clear(spark, indexPath)
     if (BatchLedger.delivered(spark, indexPath, streamId)
       .contains(batchId)) return
     val grown = graft.operators.Bm25Index.load(spark, indexPath)
@@ -227,6 +235,22 @@ object IndexStream {
       grown.compact()
       ()
     }
+  }
+
+  /** Drain and retire a lake's ingest stream ahead of a shard merge
+    * (r16): process whatever the source already holds, stop the
+    * query, then write the [[Quiesce]] marker the merge guard
+    * ([[graft.operators.IndexMerge.requireQuiesced]]) demands of
+    * every stream-fed participant. Order matters — the marker lands
+    * strictly AFTER the last batch's effects, so it can never coexist
+    * with an in-flight append of this stream; a later RESTART of the
+    * stream clears it again at batch entry. */
+  def stopAndQuiesce(query: StreamingQuery,
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination()
+    Quiesce.mark(spark, indexPath)
   }
 
   /** Raw-TEXT ingestion: batch-encode `textCol` into the `vector`

@@ -130,6 +130,10 @@ object IngestStream {
       compactEvery: Int = 0,
       compactSlack: Double = 16.0): Unit = {
     val spark = batch.sparkSession
+    // un-quiesce FIRST — before any effect lands — so a concurrent
+    // shard merge refuses this lake instead of racing the append
+    // ([[Quiesce]], r16)
+    Quiesce.clear(spark, indexPath)
     if (BatchLedger.delivered(spark, indexPath, streamId)
       .contains(batchId)) return
     // reload per batch: cheap (one sidecar row) and always consistent

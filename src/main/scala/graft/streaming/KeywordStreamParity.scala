@@ -110,15 +110,26 @@ object KeywordStreamParity {
           .parquet(sg.inDir.getAbsolutePath),
         "text", "doc_id", sg.indexPath, sg.checkpoint)
     }
-    try queries.foreach(_.processAllAvailable())
-    finally queries.foreach(_.stop())
+    // drain + stop + QUIESCE (r16): the merge guard refuses a
+    // stream-fed shard without the `_quiesced` marker, so the
+    // handshake is part of the pinned topology, not test scaffolding
+    try queries.zip(segs).foreach { case (q, sg) =>
+      IndexStream.stopAndQuiesce(q, spark, sg.indexPath)
+    } finally queries.foreach(_.stop())
     // poisoned replay on the MIDDLE segment: batch 0's full content
-    // again under the same stream id — both guards must swallow it
+    // again under the same stream id — both guards must swallow it.
+    // The delivery CLEARS the shard's quiesce marker at entry (any
+    // restarted writer un-quiesces its lake before its first effect),
+    // so the shard is re-marked once the replay returns.
     val sg1 = segs(1)
     IndexStream.keywordBatch(
       cols.filter(col("doc_id") >= sg1.replayLo &&
         col("doc_id") < sg1.replayHi),
       0L, "text", "doc_id", sg1.indexPath, streamId = sg1.checkpoint)
+    require(!Quiesce.isMarked(spark, sg1.indexPath),
+      "keyword shard stream: the replay delivery must have cleared " +
+      "the quiesce marker at batch entry")
+    Quiesce.mark(spark, sg1.indexPath)
     // the periodic merge: shard lakes absorb into one index by file
     // renames — the r15 multi-way form (one claims pass over all
     // segment ledgers, one marker, one stats write); disjoint docid

@@ -91,6 +91,10 @@ object ShardStreamProbe {
       threads.foreach(_.start())
       threads.foreach(_.join())
     }
+    // quiesce handshake (r16): the segment deliveries are done, so
+    // mark each lake writer-free before the merge guard checks it
+    (0 until segments).foreach(s =>
+      graft.streaming.Quiesce.mark(spark, s"$root/seg$s"))
     val handles = (0 until segments).map(s =>
       Bm25Index.load(spark, s"$root/seg$s"))
     val (merged, mergeT) = time(s"mergeAll of $segments segment lakes") {

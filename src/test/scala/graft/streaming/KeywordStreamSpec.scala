@@ -186,6 +186,67 @@ class KeywordStreamSpec extends SparkTestBase {
     assert(e.getMessage.contains("reconcile"), e.getMessage)
   }
 
+  test("orphaned stats flag with the stream GONE (postings landed, " +
+    "stats crashed, no replay coming): reconcile settles it (r16 — " +
+    "pre-fix the flag sat invisible to missingRanges forever)") {
+    val root = scratch("orphanflag")
+    val pre = Bm25Index.build(base, "text", "doc_id", s"$root/idx",
+      nBuckets = 8)
+    val post = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    // the crash footprint: postings + claim present, stats still
+    // pre-append, in-flight flag present — and the stream is gone, so
+    // the ONLY repair path is reconcile
+    overwriteStats(root, pre.n, pre.sumdl, 8)
+    plantPendingFlag(root, 10L, 11L, pre.n, pre.sumdl, post.n, post.sumdl)
+    val idx = Bm25Index.load(spark, s"$root/idx")
+    assert(idx.missingRanges().isEmpty,
+      "this window is invisible to missingRanges — postings exist")
+    val rowsBefore = spark.read.parquet(s"$root/idx").count()
+    val repaired = idx.reconcile(base.union(b1), "text", "doc_id")
+    assert(repaired.n == post.n && repaired.sumdl == post.sumdl,
+      s"reconcile left stats undercounting: ${repaired.n}/" +
+      s"${repaired.sumdl} vs ${post.n}/${post.sumdl}")
+    assert(spark.read.parquet(s"$root/idx").count() == rowsBefore,
+      "settling must not touch postings")
+    assert(!new java.io.File(s"$root/idx/_stats_pending/r_10_11").exists)
+    val whole = Bm25Index.build(base.union(b1), "text", "doc_id",
+      s"$root/whole", nBuckets = 8)
+    def top(ix: Bm25Index) = ix.search(Seq("vector", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(Bm25Index.load(spark, s"$root/idx")) == top(whole))
+  }
+
+  test("BOTH stream-gone windows at once: an orphaned postings-landed " +
+    "flag AND a claim-only missing range reconcile in one call") {
+    val root = scratch("bothwin")
+    val pre = Bm25Index.build(base, "text", "doc_id", s"$root/idx",
+      nBuckets = 8)
+    val post = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    // window 1: b1's postings landed, stats write crashed
+    overwriteStats(root, pre.n, pre.sumdl, 8)
+    plantPendingFlag(root, 10L, 11L, pre.n, pre.sumdl, post.n, post.sumdl)
+    // window 2: b2's claim + flag landed, postings never did
+    val whole = Bm25Index.build(base.union(b1).union(b2), "text",
+      "doc_id", s"$root/whole", nBuckets = 8)
+    plantPendingFlag(root, 20L, 21L, post.n, post.sumdl, whole.n,
+      whole.sumdl)
+    Seq((20L, 21L)).toDF("lo", "hi").coalesce(1)
+      .write.mode("append").parquet(s"$root/idx/_ranges")
+    val idx = Bm25Index.load(spark, s"$root/idx")
+    assert(idx.missingRanges() == Seq((20L, 21L)))
+    val repaired = idx.reconcile(base.union(b1).union(b2), "text",
+      "doc_id")
+    assert(repaired.n == whole.n && repaired.sumdl == whole.sumdl)
+    assert(repaired.missingRanges().isEmpty)
+    assert(!new java.io.File(s"$root/idx/_stats_pending/r_10_11").exists)
+    assert(!new java.io.File(s"$root/idx/_stats_pending/r_20_21").exists)
+    def top(ix: Bm25Index) = ix.search(Seq("vector", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(Bm25Index.load(spark, s"$root/idx")) == top(whole))
+  }
+
   test("a real file-source stream with AutoCompact: all batches land, " +
     "search sees them, fragmentation stays bounded, ledger survives") {
     val root = scratch("stream")
