@@ -291,6 +291,41 @@ object SparkEntry {
     }
   }
 
+  /** Load-or-build the GROWN IVF index over `embeddings` (r16 —
+    * codebook grow for novel drift, oracle-visible): codebook
+    * trained on the BASE slice (vec_id < 250), index built over it,
+    * the rest appended with the STORED book (the pruning contract —
+    * this is the "drift" mass), then
+    * [[graft.index.IvfVectorIndex.growClusters]] adds two cells with
+    * the old centroids frozen and captures movers lake-wide. The
+    * declared search probes the grown book; the oracle re-ranks the
+    * engine-dumped probed candidacy (`ivf_grow_candidates`, read from
+    * the grown index's own STORAGE — assignment == routing is the
+    * grow invariant, so storage is the candidacy) by exact cosine. */
+  private def ivfGrownIndexAt(s: SparkSession, dir: String)
+      : index.IvfVectorIndex = {
+    val path = cachedIndexPath(dir, "embeddings", "ivfgrow_8p2")
+    val done = new java.io.File(s"$path/_centroids").exists &&
+      !new java.io.File(s"$path/_retrain").exists &&
+      (try index.IvfVectorIndex.load(s, path).model.centroids.length == 10
+       catch { case _: Exception => false })
+    if (done) index.IvfVectorIndex.load(s, path)
+    else {
+      rmTree(path)
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 250)
+      val model = operators.Ivf.train(base, "embedding", k = 8)
+      val idx = index.IvfVectorIndex.build(
+        base, "embedding", "vec_id", path, model)
+      idx.append(emb.filter(col("vec_id") >= 250), "embedding", "vec_id")
+      val loaded = index.IvfVectorIndex.load(s, path)
+      val flagged = loaded.df.filter(col("docid") >= 250)
+        .select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      loaded.growClusters(flagged, add = 2)
+    }
+  }
+
   /** Load-or-build the MERGED twin of [[winnowIndexAt]]'s fingerprint
     * lake (r15 — the last two merge surfaces go oracle-visible): the
     * same doc_id < 120 corpus built as TWO disjoint shards with
@@ -3947,6 +3982,26 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // codebook GROW for novel drift (r16): the index's codebook is
+    // trained on the base slice only, the rest arrives through the
+    // stored-book append path, and growClusters allocates new frozen-
+    // book cells that capture movers LAKE-WIDE — after the grow,
+    // every row's stored partition IS its nearest patched centroid
+    // (assignment == routing, the recall invariant the r15 probe
+    // showed relocation breaks). The search probes the grown book;
+    // the oracle re-ranks the dumped probed candidacy (read from the
+    // grown index's own storage) by exact cosine — a row left behind
+    // by the capture, a moved old centroid, or a dropped/duplicated
+    // docid through the staged commit would all change the candidate
+    // set or the scores and break the hash.
+    "ivf_grow_knn" -> ((s, dir) => {
+      Graft.init(s)
+      ivfGrownIndexAt(s, dir)
+        .search(queryVec(s, dir), 10, nprobe = 4)
+        .select(col("docid").as("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // the winnow twin (r15 — the last two merge surfaces go
     // oracle-visible): the fingerprint lake built as two disjoint
     // shards and file-merged; probe-time df caps read the MERGED
@@ -4814,6 +4869,17 @@ object SparkEntry {
           col("cluster").isin(probes: _*).as("probed"))
     }),
 
+    // ivf_grow_knn: per-vector cluster assignment of the GROWN index,
+    // read from its own storage (the grow invariant makes storage the
+    // candidacy), + whether the query probes it under the grown book
+    "ivf_grow_candidates" -> ((s, dir) => {
+      Graft.init(s)
+      val idx = ivfGrownIndexAt(s, dir)
+      val probes = idx.model.nearest(queryVec(s, dir), 4)
+      idx.df.select(col("docid").as("vec_id"), col("cluster"),
+        col("cluster").isin(probes: _*).as("probed"))
+    }),
+
     // ivf_batch: per-query probed-cluster candidacy for the 5 queries
     "ivf_batch_candidates" -> ((s, dir) => {
       Graft.init(s)
@@ -5647,6 +5713,21 @@ object SparkEntry {
     // engine-side, like ann_lsh's hyperplanes).
     "ivf_knn" ->
       """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ivf_candidates/*.parquet')
+        |           WHERE probed),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6) AS score
+        |FROM e JOIN c USING (vec_id)
+        |ORDER BY list_cosine_similarity(e.v, (SELECT qv FROM q)) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Exact-cosine re-rank of the GROWN index's probed candidate set
+    // (assignment dumped from the grown index's own storage — the
+    // grow invariant is assignment == routing, so the dumped
+    // partitions ARE the probed candidacy).
+    "ivf_grow_knn" ->
+      """WITH c AS (SELECT vec_id FROM read_parquet('__AUX__/ivf_grow_candidates/*.parquet')
         |           WHERE probed),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -245,23 +245,40 @@ class IvfVectorIndex private (
     val reassigned = Ivf.assign(rows.drop("cluster"), "vector", local)
       .withColumn("cluster",
         element_at(idMap, col("cluster") + 1))
-    // Crash-safe commit (r14): the old delete-then-append lost the
-    // drifted clusters' rows if the JVM died between the partition
-    // delete and the append (the reassigned rows lived only in
-    // executor-memory checkpoint blocks). Now the protocol is staged
-    // roll-forward, mirroring [[Generations]]:
-    //   1. write the reassigned rows AND the patched codebook whole
-    //      into `<path>/_retrain` (underscore dir — invisible to the
-    //      partition reader, same filesystem so renames are renames);
-    //   2. drop a COMMIT marker — the point of no return;
-    //   3. per drifted cluster: delete live `cluster=c`, rename the
-    //      staged one in; then swap the codebook sidecar; then delete
-    //      the staging dir. Every step idempotent.
-    // A crash BEFORE the marker rolls back at next load (index
-    // untouched); a crash AFTER it rolls FORWARD at next load
-    // ([[IvfVectorIndex.completeRetrain]]) — some clusters old, some
-    // new mid-commit is fine because the staged data is the complete
-    // row set of every drifted cluster.
+    val patched = model.centroids.clone()
+    drifted.zipWithIndex.foreach { case (g, i) =>
+      patched(g) = local.centroids(i)
+    }
+    stageAndCommit(drifted, reassigned, patched)
+  }
+
+  /** The staged roll-forward commit shared by [[retrainInPlace]] and
+    * [[growClusters]] (r14, factored r16): the old delete-then-append
+    * lost the touched clusters' rows if the JVM died between the
+    * partition delete and the append (the reassigned rows lived only
+    * in executor-memory checkpoint blocks). Protocol, mirroring
+    * [[Generations]]:
+    *
+    *   1. write the reassigned rows AND the patched codebook whole
+    *      into `<path>/_retrain` (underscore dir — invisible to the
+    *      partition reader, same filesystem so renames are renames);
+    *   2. drop a COMMIT marker — the point of no return;
+    *   3. per touched cluster: delete live `cluster=c`, rename the
+    *      staged one in; then swap the codebook sidecar; then delete
+    *      the staging dir. Every step idempotent.
+    *
+    * A crash BEFORE the marker rolls back at next load (index
+    * untouched); a crash AFTER it rolls FORWARD at next load
+    * ([[IvfVectorIndex.completeRetrain]]) — some clusters old, some
+    * new mid-commit is fine because the staged data is the complete
+    * row set of every touched cluster. `touched` may include ids past
+    * the current codebook (the grow path's NEW clusters): their live
+    * partitions simply do not exist yet and the promote renames them
+    * in. */
+  private def stageAndCommit(
+      touched: Seq[Int],
+      reassigned: DataFrame,
+      patched: Array[Array[Float]]): IvfVectorIndex = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path, "_retrain")
@@ -269,7 +286,7 @@ class IvfVectorIndex private (
     reassigned.sortWithinPartitions("cluster", "docid")
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/_retrain/data")
-    // A drifted cluster that ends refinement with ZERO reassigned rows
+    // A touched cluster that ends refinement with ZERO reassigned rows
     // (routine k-means: another refined centroid stole everything,
     // e.g. after an earlier retrain moved a neighbor onto its rows)
     // gets NO `cluster=c` dir from partitionBy — and the roll-forward
@@ -282,14 +299,10 @@ class IvfVectorIndex private (
     // once renamed in, the staged dir is gone and a re-run skips it —
     // re-deleting from a list would destroy an already-promoted
     // partition.)
-    drifted.foreach { c =>
+    touched.foreach { c =>
       val stagedPart = new org.apache.hadoop.fs.Path(
         s"$path/_retrain/data/cluster=$c")
       if (!fs.exists(stagedPart)) fs.mkdirs(stagedPart)
-    }
-    val patched = model.centroids.clone()
-    drifted.zipWithIndex.foreach { case (g, i) =>
-      patched(g) = local.centroids(i)
     }
     import spark.implicits._
     patched.zipWithIndex
@@ -300,6 +313,126 @@ class IvfVectorIndex private (
     fs.create(new org.apache.hadoop.fs.Path(staging, "COMMIT")).close()
     IvfVectorIndex.completeRetrain(spark, path)
     new IvfVectorIndex(spark, path, Ivf.Model(patched), pqModel)
+  }
+
+  /** The drift responder for NOVEL mass — GROW the codebook instead of
+    * moving it (r16, the r15 probe's finding): when incoming vectors
+    * form genuinely new modes, [[retrainInPlace]] can only RELOCATE
+    * the flagged centroids toward them, which measurably COSTS recall
+    * (queries then probe the refined strays-cluster while related
+    * base mass sits in unretrained ones — 0.564 → 0.413 @ nprobe=1
+    * even mass-gated, BASELINE r15).
+    *
+    * Why the obvious grow is also wrong, and this one is not: the
+    * same probe's headline finding is that stored-book IVF recall is
+    * SELF-CONSISTENT — queries and rows route with the same codebook,
+    * so however stale the book, a query lands in the cell its
+    * neighbors were assigned to. Any partial change that moves SOME
+    * of a mode's rows into new cells while routing-equivalent rows
+    * stay behind breaks that agreement (measured: seeding new cells
+    * from only the flagged partitions' rows scored 0.202 @ nprobe=1 —
+    * BELOW both no-maintenance 0.447 and relocate 0.288). The
+    * recall-safe grow is FROZEN-BOOK COMPETITIVE:
+    *
+    *  1. existing centroids never move — a row whose nearest stored
+    *     centroid was `c` still has nearest OLD centroid `c` under
+    *     the patched book, so the only possible reassignment is
+    *     old cell → new cell;
+    *  2. `add` new centroids are seeded farthest-first from the
+    *     flagged clusters' rows (pruned read — the flagging batch's
+    *     novel mass was just appended there; each pick is the row
+    *     with the lowest nearest-centroid cosine vs stored ∪ picked,
+    *     so the second seed finds the second novel mode) and refined
+    *     by Lloyd rounds that recompute ONLY the new cells from the
+    *     candidate rows they win against the frozen book;
+    *  3. movers are then captured LAKE-WIDE: one map-only pass scores
+    *     every row against the patched book (the same full-scan
+    *     class as [[graft.operators.Ivf.drift]]'s reference side),
+    *     and every partition holding a row that now routes to a new
+    *     cell is rewritten through the staged roll-forward of
+    *     [[retrainInPlace]] — so after the commit, assignment ==
+    *     routing for EVERY row of the lake, restoring exact
+    *     self-consistency with a strictly better-fitting book.
+    *
+    * IO: training is pruned to the flagged partitions; the capture
+    * pass is map-only over the lake (no shuffle); the rewrite reads
+    * and writes only partitions that actually contain movers. PQ
+    * codes are content-addressed, so rows keep their codes; the
+    * patched codebook has `k + add` rows and [[search]]'s pruning
+    * contract extends to the new cells automatically. Same
+    * concurrency contract as [[compact]]: maintenance windows or
+    * inside the single-writer stream
+    * ([[graft.streaming.IndexStream.ingestIvf]]'s `growMeanRatio`
+    * wires the drift report's shape to this choice). */
+  def growClusters(
+      driftedClusters: Seq[Int], add: Int,
+      iters: Int = 5): IvfVectorIndex = {
+    require(driftedClusters.nonEmpty, "no drifted clusters given")
+    require(add >= 1, s"growClusters: add=$add must be >= 1")
+    require(driftedClusters.forall(c =>
+      c >= 0 && c < model.centroids.length),
+      s"cluster ids out of range: $driftedClusters")
+    IvfVectorIndex.completeRetrain(spark, path)
+    val drifted = driftedClusters.distinct.sorted
+    val k0 = model.centroids.length
+    val candidates = df.filter(
+      col("cluster").isin(drifted.map(Integer.valueOf): _*))
+    // farthest-first seeds for the new cells
+    import org.apache.spark.sql.graftshim.Shim
+    val newSeeds = scala.collection.mutable.ArrayBuffer
+      .empty[Array[Float]]
+    (0 until add).foreach { _ =>
+      val book = model.centroids ++ newSeeds
+      val far = candidates.select(col("docid"), col("vector"),
+          Shim.column(graft.functions.CentroidCosine(
+            Shim.expression(col("vector")), book)).as("__cos"))
+        .orderBy(col("__cos").asc_nulls_last, col("docid").asc)
+        .select(col("vector"), col("__cos")).limit(1).collect()
+      require(far.nonEmpty && !far(0).isNullAt(0),
+        "growClusters: flagged clusters hold no rows to seed from")
+      newSeeds += far(0).getSeq[Float](0).toArray
+    }
+    // competitive Lloyd: assign candidates against frozen ∪ new, then
+    // recompute ONLY the new cells from the rows they won — one
+    // codegen'd map + one add-row aggregate per round
+    val dim = model.dim
+    def normalize(v: Array[Double]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * v(i); i += 1 }
+      val n = if (s > 0) math.sqrt(s) else 1.0
+      Array.tabulate(dim)(i => (v(i) / n).toFloat)
+    }
+    var newC: Array[Array[Float]] = newSeeds.toArray
+    var it = 0
+    while (it < iters) {
+      val won = Ivf.assign(candidates.drop("cluster"), "vector",
+          Ivf.Model(model.centroids ++ newC))
+        .filter(col("cluster") >= k0)
+        .groupBy("cluster")
+        .agg(graft.Graft.vectorAvg(col("vector")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      newC = Array.tabulate(add) { i =>
+        won.get(k0 + i).map(normalize).getOrElse(newC(i))
+      }
+      it += 1
+    }
+    val patched = model.centroids ++ newC
+    val patchedModel = Ivf.Model(patched)
+    // lake-wide capture: which partitions hold rows that now route to
+    // a new cell? One map pass, a bounded (≤ k) distinct
+    val touched = Ivf.assign(
+        df.withColumnRenamed("cluster", "__old"), "vector", patchedModel)
+      .filter(col("cluster") >= k0 && col("cluster") =!= col("__old"))
+      .select("__old").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) // nothing routes to the new cells: keep the
+      return this        // stored book — adding dead cells buys nothing
+    val rows = df.filter(
+      col("cluster").isin(touched.map(Integer.valueOf): _*))
+    val reassigned = Ivf.assign(rows.drop("cluster"), "vector",
+      patchedModel)
+    stageAndCommit(touched ++ (k0 until k0 + add), reassigned, patched)
   }
 
   /** Offline maintenance: rewrite the data files at the target file

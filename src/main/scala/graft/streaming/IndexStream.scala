@@ -90,13 +90,20 @@ object IndexStream {
     * [[graft.index.IvfVectorIndex.compact]] absorbs the per-batch
     * small files during maintenance windows.
     *
-    * IN-STREAM RETRAIN (r15): `retrainEvery = N` closes the drift
-    * loop inside the stream — every N delivered batches the batch is
-    * drift-scored against the lake ([[graft.operators.Ivf.drift]]:
-    * two map passes + bounded aggregates), and clusters whose
-    * incoming `drift_frac` crosses `driftFrac` are re-clustered in
-    * place ([[graft.index.IvfVectorIndex.retrainInPlace]] — staged,
-    * crash-safe, partition-pruned). Running the retrain INSIDE
+    * IN-STREAM RETRAIN (r15) / GROW (r16): `retrainEvery = N` closes
+    * the drift loop inside the stream — every N delivered batches the
+    * batch is drift-scored against the lake
+    * ([[graft.operators.Ivf.drift]]: two map passes + bounded
+    * aggregates), and flagged clusters (incoming `drift_frac` ≥
+    * `driftFrac` AND incoming share ≥ `minShare` of the batch) get
+    * the response the report's SHAPE calls for: a cluster whose
+    * incoming mean cosine collapsed below `growMeanRatio ×` its
+    * reference mean holds NOVEL mass — the codebook GROWS a new cell
+    * for it ([[graft.index.IvfVectorIndex.growClusters]], frozen-book
+    * capture, measured recall ≥ no-maintenance where relocation
+    * measured BELOW it); mid-band drift keeps the relocate response
+    * ([[graft.index.IvfVectorIndex.retrainInPlace]] — staged,
+    * crash-safe, partition-pruned). Running the maintenance INSIDE
     * `foreachBatch` is the concurrency design, not a convenience:
     * micro-batch callbacks are serialized by Structured Streaming, so
     * the retrain's partition swap can never interleave with an
@@ -116,7 +123,8 @@ object IndexStream {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       retrainEvery: Int = 0,
       driftFrac: Double = 0.5,
-      minShare: Double = 0.05): StreamingQuery = {
+      minShare: Double = 0.05,
+      growMeanRatio: Double = 0.5): StreamingQuery = {
     require(docs.isStreaming, "IndexStream.ingestIvf needs a streaming DataFrame")
     // the stream's view of the index survives retrains: retrainInPlace
     // returns the index with the PATCHED codebook, and appends after a
@@ -154,8 +162,33 @@ object IndexStream {
                 org.apache.spark.sql.functions.lit(minShare * batchN) &&
                 org.apache.spark.sql.functions.col("drift_frac") >=
                   driftFrac)
-              .select("cluster").collect().map(_.getInt(0)).toSeq
-            if (drifted.nonEmpty) live = live.retrainInPlace(drifted)
+              .select("cluster", "ref_mean_cos", "new_mean_cos")
+              .collect()
+              .map(r => (r.getInt(0),
+                if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+                if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+              .toSeq
+            // choose the RESPONSE from the report's shape (r16, the
+            // r15/r16 probe's finding): NOVEL mass sits far outside
+            // the cluster's own tightness — its incoming mean cosine
+            // collapses relative to the reference mean (measured
+            // ~0.2 vs ~0.65 for new modes, ~0.68 vs ~0.75 for a
+            // gradual shift of the cluster's own mass). Moving a
+            // centroid toward novel mass costs recall even
+            // mass-gated (0.564 no-maintenance vs 0.413 relocated
+            // @ nprobe=1, BASELINE r15) — GROW new cells for it
+            // (frozen-book capture, recall-safe by construction);
+            // keep the relocate response for mid-band drift, where
+            // the cluster's own mass is what moved. A cluster with
+            // no reference mass at all is novel by definition.
+            val (novel, moved) = drifted.partition { case (_, rm, nm) =>
+              rm.isNaN || nm < growMeanRatio * rm
+            }
+            if (novel.nonEmpty)
+              live = live.growClusters(novel.map(_._1),
+                add = novel.size)
+            if (moved.nonEmpty)
+              live = live.retrainInPlace(moved.map(_._1))
           }
         }
         ()

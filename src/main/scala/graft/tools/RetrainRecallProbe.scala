@@ -92,7 +92,8 @@ object RetrainRecallProbe {
       .collect()
     report.sortBy(_.getInt(0)).foreach { r =>
       println(s"[recall] report cluster=${r.get(0)} n_ref=${r.get(1)} " +
-        s"n_new=${r.get(3)} drift_frac=${r.get(5)}")
+        s"ref_mean=${r.get(2)} n_new=${r.get(3)} new_mean=${r.get(4)} " +
+        s"drift_frac=${r.get(5)}")
     }
     def flaggedBy(minFrac: Double, minShare: Double): Seq[Int] = report
       .filter(r => !r.isNullAt(3) && r.getLong(3) > minShare * nDrift &&
@@ -125,6 +126,27 @@ object RetrainRecallProbe {
             f"${recall(retrained, p)}%.3f (retrain $sec%.1f s, " +
             f"${flagged.size} clusters)")
         }
+    }
+    // GROW instead of move (r16): same flags as the mass-gated
+    // strategy, but novel mass gets NEW centroids — the response
+    // IndexStream.ingestIvf picks when drift_frac >= growFrac
+    locally {
+      val flagged = flaggedBy(0.5, 0.05)
+      println(s"[recall] strategy 'grow (frac>=0.5 & share>=5%)': " +
+        s"clusters $flagged")
+      val p3 = s"$root/idx_grow"
+      val cp = IvfVectorIndex.build(baseDf, "vector", "docid", p3, model)
+      cp.append(driftDf, "vector", "docid")
+      val t0 = System.nanoTime()
+      val grown = IvfVectorIndex.load(spark, p3)
+        .growClusters(flagged, add = 2, iters = 5)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Seq(1, 2).foreach { p =>
+        println(f"[recall]   nprobe=$p after GROW: " +
+          f"${recall(grown, p)}%.3f (grow $sec%.1f s, " +
+          f"${flagged.size} flagged -> +2 cells, " +
+          f"k=${grown.model.centroids.length})")
+      }
     }
     // the ceiling: a full retrain + rebuild over the union
     val fullModel = Ivf.train(allDf, "vector", k = 16, sampleSize = 16384)
@@ -170,6 +192,11 @@ object RetrainRecallProbe {
       gIdx.df.withColumnRenamed("vector", "v"),
       gradDrift.withColumnRenamed("vector", "v"), "v", gIdx.model)
       .collect()
+    gReport.sortBy(_.getInt(0)).foreach { r =>
+      println(s"[recall] GRADUAL report cluster=${r.get(0)} " +
+        s"n_ref=${r.get(1)} ref_mean=${r.get(2)} n_new=${r.get(3)} " +
+        s"new_mean=${r.get(4)} drift_frac=${r.get(5)}")
+    }
     val gFlagged = gReport
       .filter(r => !r.isNullAt(3) && r.getLong(3) > 0.05 * nDrift &&
         !r.isNullAt(5) && r.getDouble(5) >= 0.5)
@@ -186,6 +213,53 @@ object RetrainRecallProbe {
       println(f"[recall] GRADUAL nprobe=$p: before $b%.3f -> " +
         f"after retrain $a%.3f (full-rebuild ceiling " +
         f"${recallG(gFull, p)}%.3f)")
+    }
+    // THE STREAM POLICY row (r16): what IndexStream.ingestIvf with
+    // (driftFrac=0.5, minShare=0.05, growFrac=0.9) actually does in
+    // each scenario — grow the near-1 frac flags, relocate the
+    // mid-band flags, touch nothing otherwise. The r15 verdict's bar:
+    // maintained recall >= no-maintenance in BOTH scenarios.
+    def policy(flags: Seq[(Int, Double, Double)], path: String,
+        idx: IvfVectorIndex): IvfVectorIndex = {
+      // IndexStream.ingestIvf's rule: novel mass collapses the
+      // incoming mean cosine relative to the reference mean
+      val (novel, moved) = flags.partition { case (_, rm, nm) =>
+        rm.isNaN || nm < 0.5 * rm
+      }
+      var cur = idx
+      if (novel.nonEmpty)
+        cur = cur.growClusters(novel.map(_._1), add = novel.size)
+      if (moved.nonEmpty) cur = cur.retrainInPlace(moved.map(_._1))
+      println(s"[recall] policy at $path: grow=${novel.map(_._1)} " +
+        s"relocate=${moved.map(_._1)}")
+      cur
+    }
+    def flagsOf(rep: Array[org.apache.spark.sql.Row])
+        : Seq[(Int, Double, Double)] = rep
+      .filter(r => !r.isNullAt(3) && r.getLong(3) > 0.05 * nDrift &&
+        !r.isNullAt(5) && r.getDouble(5) >= 0.5)
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toSeq
+    val aFlags = flagsOf(report)
+    val pA = s"$root/policy_novel"
+    IvfVectorIndex.build(baseDf, "vector", "docid", pA, model)
+      .append(driftDf, "vector", "docid")
+    val polA = policy(aFlags, pA, IvfVectorIndex.load(spark, pA))
+    Seq(1, 2).foreach { p =>
+      println(f"[recall] POLICY novel-modes nprobe=$p: maintained " +
+        f"${recall(polA, p)}%.3f vs no-maintenance " +
+        f"${before.toMap.apply(p)}%.3f")
+    }
+    val gFlags = flagsOf(gReport)
+    val pG = s"$root/policy_grad"
+    IvfVectorIndex.build(baseDf, "vector", "docid", pG, model)
+      .append(gradDrift, "vector", "docid")
+    val polG = policy(gFlags, pG, IvfVectorIndex.load(spark, pG))
+    Seq(1, 2).foreach { p =>
+      println(f"[recall] POLICY gradual nprobe=$p: maintained " +
+        f"${recallG(polG, p)}%.3f vs no-maintenance " +
+        f"${gBefore.toMap.apply(p)}%.3f")
     }
     spark.stop()
   }

@@ -144,4 +144,68 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     assert(IvfVectorIndex.load(spark, idxDir).count() == 130,
       "the batch itself still lands")
   }
+
+  test("NOVEL mass GROWS the codebook in-stream instead of moving " +
+    "it (r16): the report's collapsed incoming mean routes the " +
+    "response to growClusters — old centroids bit-frozen, new cell " +
+    "live, novel rows probe-reachable at nprobe=1") {
+    val model = Ivf.Model(Array(vec(0).toArray, vec(90).toArray))
+    val idxDir = tmp("grow-idx")
+    val seed = (0L until 200L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 90.0
+      (i, vec(base + (if (i % 4 < 2) 2.0 else -2.0)))
+    }.toDF("vec_id", "embedding")
+    IvfVectorIndex.build(seed, "embedding", "vec_id", idxDir, model)
+    val idx = IvfVectorIndex.load(spark, idxDir)
+    // two micro-batches: 0 on-distribution, 1 a NOVEL mode at ~200° —
+    // best stored cosine ≈ cos(110°) ≈ −0.34, so the incoming mean
+    // collapses vs the reference mean (~1.0): the policy must GROW
+    // (a relocate would drag a centroid 110° off its own mass)
+    val srcDir = new java.io.File(tmp("grow-src"))
+    val t0 = System.currentTimeMillis() - 3600000L
+    val batches = Seq(
+      (3000L until 3020L).map(i => (i, vec(if (i % 2 == 0) 1.0 else 89.0))),
+      (3020L until 3040L).map(i => (i, vec(200.0 + (i % 3).toDouble))))
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val stage = tmp(s"grow-stage$k")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + k * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.getAbsolutePath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
+      tmp("grow-ck"), retrainEvery = 1, driftFrac = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    val loaded = IvfVectorIndex.load(spark, idxDir)
+    assert(loaded.model.centroids.length == 3,
+      s"novel mass must ADD a cell, got k=${loaded.model.centroids.length}")
+    // the old centroids did not move — grow, not relocate
+    (0 until 2).foreach { c =>
+      assert(java.util.Arrays.equals(
+        loaded.model.centroids(c), model.centroids(c)),
+        s"old centroid $c moved — the policy relocated instead of growing")
+    }
+    import spark.implicits._
+    val ids = loaded.df.select("docid").as[Long].collect()
+    assert(ids.length == 240 && ids.distinct.length == 240,
+      s"rows lost or doubled: ${ids.length}")
+    // the novel rows live whole in the new cell and are reachable at
+    // nprobe=1
+    val inNew = loaded.df.filter(
+        org.apache.spark.sql.functions.col("cluster") === 2)
+      .select("docid").as[Long].collect().toSet
+    assert(inNew == (3020L until 3040L).toSet,
+      s"new cell must hold exactly the novel mode: $inNew")
+    val top = loaded.search(vec(201.0).toArray, 5, nprobe = 1)
+      .select("docid").as[Long].collect()
+    assert(top.nonEmpty && top.forall(id => id >= 3020L && id < 3040L),
+      s"novel probe: ${top.toSeq}")
+  }
 }
