@@ -117,6 +117,8 @@ object GraftExtensions {
     "subtitle_media_for_id" -> (es => SubtitleMediaText(es.head)),
     "eml_media_for_id" -> (es => EmlMediaBytes(es.head)),
     "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),
+    "ogg_vorbis_media_for_id" -> (es => OggVorbisMediaBytes(es.head)),
+    "vorbis_wav" -> (es => VorbisWav(es.head)),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
     "pdf_images" -> (es => PdfImages(es.head)),
     "byte_sum" -> (es => ByteSum(es.head)),

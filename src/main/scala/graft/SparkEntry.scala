@@ -3080,6 +3080,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Ogg/Vorbis PACKET decode (r16 — the triage seam graduates):
+    // real Vorbis I streams (from-scratch encoder/decoder pair —
+    // codebooks, floor1 synthesis, residue, IMDCT, lapped
+    // overlap-add) decode through the same wav bridge as MP3/FLAC,
+    // and the stats ride the full chain: Ogg page CRC walk → packet
+    // reassembly → header parse → per-packet synthesis → RIFF wrap →
+    // wav_stats. channels/rate/n_frames are closed-form in the
+    // fixture id; samp_sum/samp_energy re-aggregate the engine-dumped
+    // PCM (the mp3_pcm_stats pattern — no foreign Vorbis decoder
+    // exists in this container; FIXTURES.md records what one would
+    // pin)
+    "ogg_pcm_stats" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 8)
+        .selectExpr("doc_id",
+          "wav_stats(vorbis_wav(ogg_vorbis_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
+    // the VAD composition over Ogg/Vorbis content — per-64-frame
+    // energy + zero crossings through the bridge, the oracle
+    // re-derives every window from the PCM dump with lag()
+    "ogg_windows" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 8)
+        .selectExpr("doc_id",
+          "explode(wav_windows(vorbis_wav(ogg_vorbis_media_for_id(" +
+            "CAST(doc_id AS BIGINT))), 64)) AS w")
+        .selectExpr("doc_id", "CAST(w.win AS BIGINT) AS win",
+          "w.energy", "w.zcr")
+        .orderBy("doc_id", "win")
+    }),
+
     // Blocklist filtering (r8): the C4 "bad words" rule shape — one
     // Aho-Corasick pass per document finds every listed phrase
     // simultaneously (the naive form is |patterns| regex scans; at
@@ -4786,6 +4826,23 @@ object SparkEntry {
       (0L to 4L).flatMap { id =>
         val d = operators.Mp3Pcm.decode(
           operators.Mp3Fixtures.mp3MediaFor(id)).get
+        d.pcm.iterator.zipWithIndex.map { case (v, i) =>
+          (id, i.toLong, v.toLong)
+        }
+      }.toDF("doc_id", "i", "v")
+    }),
+
+    // ogg_pcm_stats / ogg_windows: the decoded Vorbis PCM — the
+    // mp3_pcm pattern (no foreign Vorbis decoder in this container;
+    // the decode itself is pinned in VorbisSpec against the spec's
+    // worked codeword example and an analytic windowed-cosine
+    // synthesis), so the dump pins decode determinism and the oracles
+    // re-derive the downstream kernels from it
+    "vorbis_pcm" -> ((s, dir) => {
+      import s.implicits._
+      (0L to 7L).flatMap { id =>
+        val d = operators.Vorbis.decodeOgg(
+          functions.OggVorbisMediaBytes.compute(id)).get
         d.pcm.iterator.zipWithIndex.map { case (v, i) =>
           (id, i.toLong, v.toLong)
         }
@@ -7507,6 +7564,46 @@ object SparkEntry {
         |  CAST((1 + doc_id % 3) * 960 * (1 + doc_id % 4) AS BIGINT)
         |    AS last_granule
         |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin,
+
+    // Vorbis decode dimensions are closed-form in the fixture id
+    // (mono; rate 8000·(1+id%3); frames (2+id%4)·128 — one 128-sample
+    // window per packet after the lap primer); sums re-aggregate the
+    // engine-dumped PCM, the mp3_pcm_stats construction
+    "ogg_pcm_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+        |pcm AS (SELECT doc_id, i, v
+        |        FROM read_parquet('__AUX__/vorbis_pcm/*.parquet'))
+        |SELECT d.doc_id,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(8000 * (1 + d.doc_id % 3) AS BIGINT) AS sample_rate,
+        |       CAST((2 + d.doc_id % 4) * 128 AS BIGINT) AS n_frames,
+        |       CAST(sum(p.v) AS BIGINT) AS samp_sum,
+        |       CAST(sum(p.v * p.v) AS BIGINT) AS samp_energy
+        |FROM ids d JOIN pcm p USING (doc_id)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // per-window energy + zero crossings re-derived from the PCM dump
+    // with lag() — the wav_windows construction at window 64 (mono:
+    // every sample is channel 0)
+    "ogg_windows" ->
+      """WITH pcm AS (SELECT doc_id, i AS f, v
+        |             FROM read_parquet('__AUX__/vorbis_pcm/*.parquet')
+        |             WHERE doc_id < 8),
+        |bounds AS (
+        |  SELECT doc_id, 64 * ((max(f) + 1) // 64) AS fullEnd FROM pcm
+        |  GROUP BY doc_id),
+        |lagged AS (
+        |  SELECT c.doc_id, c.f // 64 AS win, c.f, c.v,
+        |         lag(c.v) OVER (PARTITION BY c.doc_id ORDER BY c.f) AS pv
+        |  FROM pcm c JOIN bounds b USING (doc_id)
+        |  WHERE c.f < b.fullEnd)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(sum(CASE WHEN f % 64 > 0 AND ((v >= 0) != (pv >= 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM lagged GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin,
 
     // the automaton's verdict vs four independent substring tests —
     // a fail-link or output-propagation bug flips a row

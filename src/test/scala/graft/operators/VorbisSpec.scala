@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vorbis I decode pinned from both sides (r16): the spec's own
+  * worked codeword example, an ANALYTIC synthesis pin (single
+  * spectral line → the decoded PCM must equal the closed-form
+  * windowed-cosine overlap, computed here with raw trig — not the
+  * decoder's code paths), the encoder/decoder pair round-trip over
+  * real Ogg pages, and the dirty-byte boundaries. */
+class VorbisSpec extends AnyFunSuite {
+
+  test("codeword assignment reproduces the spec's §3.2.1 worked " +
+    "example: lengths [2,4,4,4,4,2,3,3]") {
+    val cw = Vorbis.codewordTable(Array(2, 4, 4, 4, 4, 2, 3, 3))
+    val got = cw.map { case (c, l) =>
+      (0 until l).map(b => (c >>> (l - 1 - b)) & 1).mkString }
+    assert(got.toSeq == Seq("00", "0100", "0101", "0110", "0111",
+      "10", "110", "111"))
+  }
+
+  test("a codebook round-trips: every entry's written codeword " +
+    "decodes back to the entry, through the LSB-first stream") {
+    val lengths = Array.fill(47)(6) ++ Array.fill(34)(7)
+    val cw = Vorbis.codewordTable(lengths)
+    val w = new Vorbis.BitWriter
+    val order = Seq(0, 80, 46, 47, 1, 33, 79, 13)
+    order.foreach(e => Vorbis.writeCodeword(w, cw(e)._1, cw(e)._2))
+    val book = Vorbis.Codebook(1, 81, lengths, 0, null)
+    assert(book.valid)
+    val r = new Vorbis.BitReader(w.bytes)
+    order.foreach(e => assert(book.decodeScalar(r) == e))
+  }
+
+  test("over-subscribed codeword lengths are rejected") {
+    val book = Vorbis.Codebook(1, 3, Array(1, 1, 1), 0, null)
+    assert(!book.valid)
+  }
+
+  test("bitpacking is LSB-first and round-trips through the writer") {
+    val w = new Vorbis.BitWriter
+    w.write(5, 3); w.write(0x1a3, 9); w.writeLong(0x0f0f0f0fL, 32)
+    val r = new Vorbis.BitReader(w.bytes)
+    assert(r.read(3) == 5)
+    assert(r.read(9) == 0x1a3)
+    assert(r.readLong(32) == 0x0f0f0f0fL)
+  }
+
+  test("float32 pack/unpack round-trips the encoder's constants") {
+    Seq(64.0f, -64.0f, 1.0f, 0.25f, -3.5f).foreach { v =>
+      assert(Vorbis.float32Unpack(Vorbis.float32Pack(v)) == v)
+    }
+  }
+
+  test("the fixture stream decodes: mono, right rate, one PCM window " +
+    "per packet after the primer, deterministic") {
+    val bytes = VorbisEnc.fixture(16000L, nPackets = 5, seed = 7L)
+    val d = Vorbis.decodeOgg(bytes).getOrElse(fail("no decode"))
+    assert(d.channels == 1 && d.sampleRate == 16000L)
+    assert(d.packets == 5)
+    assert(d.pcm.length == 4 * VorbisEnc.N2,
+      "first packet primes the lap and emits nothing")
+    val d2 = Vorbis.decodeOgg(VorbisEnc.fixture(16000L, 5, 7L)).get
+    assert(d.pcm.toSeq == d2.pcm.toSeq, "decode is deterministic")
+    assert(d.pcm.exists(_ != 0), "the stream carries signal")
+  }
+
+  test("ANALYTIC pin: a single spectral line decodes to the closed-" +
+    "form windowed cosine overlap (raw trig here, no decoder code)") {
+    val n2 = VorbisEnc.N2
+    val k0 = 9
+    // two identical packets, one active line at k0 with digit 2 →
+    // residue +Q; flat floor at dB index 254
+    val digits = Array.fill(n2)(1)
+    digits(k0) = 2
+    val (id, comment, setup) = VorbisEnc.headers(8000L)
+    val p = VorbisEnc.audioPacket(digits)
+    val stream = VorbisEnc.oggStream(8000L, Seq(id, comment, setup, p, p),
+      n2)
+    val d = Vorbis.decodeOgg(stream).getOrElse(fail("no decode"))
+    assert(d.pcm.length == n2)
+    val n = 2 * n2
+    val amp = VorbisEnc.Q.toDouble *
+      (0.8278826 * math.exp(0.0622535662 * (254 - 255)))
+    def w(i: Int): Double = {
+      val s = math.sin(math.Pi / n * (i + 0.5))
+      math.sin(math.Pi / 2 * s * s)
+    }
+    def imdctLine(i: Int): Double =
+      amp * math.cos(math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * k0 + 1))
+    (0 until n2).foreach { s =>
+      val expected = w(n2 + s) * imdctLine(n2 + s) + w(s) * imdctLine(s)
+      val got = d.pcm(s) / 32767.0
+      assert(math.abs(got - expected) < 2.0 / 32767.0,
+        s"sample $s: got $got expected $expected")
+    }
+  }
+
+  test("a packet split across 255-lacing continuations reassembles") {
+    // pad one audio packet past 255 bytes by activating many lines
+    val digits = Array.tabulate(VorbisEnc.N2)(i => (i % 3))
+    val (id, comment, setup) = VorbisEnc.headers(8000L)
+    val p = VorbisEnc.audioPacket(digits)
+    val stream = VorbisEnc.oggStream(8000L,
+      Seq(id, comment, setup, p, p, p), VorbisEnc.N2)
+    val packets = Vorbis.oggPackets(stream).getOrElse(fail("no packets"))
+    assert(packets.length == 6)
+    assert(packets(3).toSeq == p.toSeq)
+    assert(Vorbis.decodeOgg(stream).isDefined)
+  }
+
+  test("dirty bytes reject, never throw: flipped payload byte (CRC), " +
+    "truncation, two block sizes, floor0") {
+    val good = VorbisEnc.fixture(16000L, 4, 3L)
+    val flipped = good.clone()
+    flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x5a).toByte
+    assert(Vorbis.decodeOgg(flipped).isEmpty, "CRC must catch the flip")
+    assert(Vorbis.decodeOgg(good.take(good.length / 3)).isEmpty)
+    assert(Vorbis.decodeOgg(Array[Byte](1, 2, 3)).isEmpty)
+    // two block sizes in the id header → honest-subset rejection.
+    // blocksizes live in the LAST page-framed copy of the id packet:
+    // patch byte 28 of the id packet, re-CRC via re-paging
+    val (id, comment, setup) = VorbisEnc.headers(16000L)
+    val id2 = id.clone(); id2(28) = 0x98.toByte // bs0=2^8, bs1=2^9
+    val digits = Array.fill(VorbisEnc.N2)(1)
+    val p = VorbisEnc.audioPacket(digits)
+    val stream2 = VorbisEnc.oggStream(16000L,
+      Seq(id2, comment, setup, p, p), VorbisEnc.N2)
+    assert(Vorbis.decodeOgg(stream2).isEmpty)
+  }
+
+  test("the container walk still triages the vorbis fixture " +
+    "(ogg_meta compatibility: codec, channels, rate)") {
+    val bytes = VorbisEnc.fixture(24000L, 4, 11L)
+    val m = Ogg.parse(bytes).getOrElse(fail("no meta"))
+    assert(m.codec == "vorbis" && m.channels == 1 &&
+      m.sampleRate == 24000L)
+    assert(m.packets == 3 + 4) // 3 headers + 4 audio
+  }
+}
