@@ -119,6 +119,8 @@ object GraftExtensions {
     "ogg_media_for_id" -> (es => OggMediaBytes(es.head)),
     "ogg_vorbis_media_for_id" -> (es => OggVorbisMediaBytes(es.head)),
     "vorbis_wav" -> (es => VorbisWav(es.head)),
+    "webm_vorbis_media_for_id" -> (es => WebmVorbisMediaBytes(es.head)),
+    "webm_vorbis_wav" -> (es => WebmVorbisWav(es.head)),
     "pdf_media_for_id" -> (es => PdfMediaBytes(es.head)),
     "pdf_images" -> (es => PdfImages(es.head)),
     "byte_sum" -> (es => ByteSum(es.head)),

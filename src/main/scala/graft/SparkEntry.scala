@@ -3106,6 +3106,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SAME Vorbis stream through the OTHER container (r16): the
+    // WebM fixture muxes the identical audio packets as an A_VORBIS
+    // track (headers Xiph-laced in CodecPrivate, packets as
+    // SimpleBlocks beside the pinned VP8 video), so the decoded PCM —
+    // and therefore this query's every value — must equal
+    // ogg_pcm_stats' and the oracle is SHARED verbatim. A CodecPrivate
+    // lacing bug, a block mis-attribution between the A/V tracks, or
+    // any divergence between the two container paths breaks the hash.
+    "webm_pcm_stats" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 8)
+        .selectExpr("doc_id",
+          "wav_stats(webm_vorbis_wav(webm_vorbis_media_for_id(" +
+            "CAST(doc_id AS BIGINT)))) AS st")
+        .select(col("doc_id"),
+          col("st.channels").cast("long").as("channels"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.samp_sum").as("samp_sum"),
+          col("st.samp_energy").as("samp_energy"))
+        .orderBy("doc_id")
+    }),
+
     // the VAD composition over Ogg/Vorbis content — per-64-frame
     // energy + zero crossings through the bridge, the oracle
     // re-derives every window from the PCM dump with lag()
@@ -5131,7 +5154,11 @@ object SparkEntry {
       "keyword_stream_topk" -> m("bm25_index_topk"),
       // parallel segment streams -> shard lakes -> file merge: the
       // merged lake holds every document exactly once, same oracle
-      "keyword_stream_merge" -> m("bm25_index_topk"))
+      "keyword_stream_merge" -> m("bm25_index_topk"),
+      // one Vorbis stream, two containers (r16): the WebM mux carries
+      // the identical audio packets, so the decoded PCM — and every
+      // stat — must equal the Ogg path's; the oracle is shared
+      "webm_pcm_stats" -> m("ogg_pcm_stats"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

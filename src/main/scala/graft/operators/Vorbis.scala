@@ -1015,6 +1015,60 @@ object Vorbis {
     * the lap cache and emits nothing (§1.3.2). */
   def decodeOgg(bytes: Array[Byte]): Option[Decoded] = {
     val packets = oggPackets(bytes).getOrElse(return None)
+    decodePackets(packets)
+  }
+
+  /** Decode Vorbis from a WebM container (r16 — [[Webm]]'s audio
+    * triage graduates to packet decode): the three header packets
+    * come Xiph-laced from the track's CodecPrivate (the Matroska
+    * shipping form), the audio packets from the track's SimpleBlocks;
+    * the synthesis loop is [[decodePackets]], byte-identical to the
+    * Ogg path — the same stream in either container must decode to
+    * the same PCM (VorbisSpec pins the equality). */
+  def decodeWebm(bytes: Array[Byte]): Option[Decoded] = {
+    val (codec, cp, blocks) = Webm.audioPackets(bytes)
+      .getOrElse(return None)
+    if (codec != "A_VORBIS") return None
+    val headers = xiphLacedPackets(cp).getOrElse(return None)
+    if (headers.length != 3) return None
+    decodePackets(headers ++ blocks)
+  }
+
+  /** Matroska CodecPrivate for Vorbis: byte 0 = packet count − 1
+    * (must be 2), then the first two packets' sizes Xiph-laced
+    * (255-continued), then the packets back to back — the last one
+    * takes the remainder. */
+  def xiphLacedPackets(cp: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (cp == null || cp.length < 3 || (cp(0) & 0xff) != 2) return None
+    var o = 1
+    val sizes = new Array[Int](2)
+    var i = 0
+    while (i < 2) {
+      var s = 0
+      var continue = true
+      while (continue) {
+        if (o >= cp.length) return None
+        val v = cp(o) & 0xff
+        s += v
+        o += 1
+        continue = v == 255
+      }
+      sizes(i) = s
+      i += 1
+    }
+    if (o + sizes(0) + sizes(1) > cp.length) return None
+    val p0 = java.util.Arrays.copyOfRange(cp, o, o + sizes(0))
+    val p1 = java.util.Arrays.copyOfRange(cp, o + sizes(0),
+      o + sizes(0) + sizes(1))
+    val p2 = java.util.Arrays.copyOfRange(cp,
+      o + sizes(0) + sizes(1), cp.length)
+    if (p2.isEmpty) return None
+    Some(Seq(p0, p1, p2))
+  }
+
+  /** The container-independent synthesis loop: packets(0..2) are the
+    * id/comment/setup headers, the rest audio. */
+  def decodePackets(packets: Seq[Array[Byte]]): Option[Decoded] = {
     if (packets.length < 4) return None
     val (channels, rate, bs0, bs1) = parseIdHeader(packets(0))
       .getOrElse(return None)
@@ -1306,12 +1360,12 @@ object VorbisEnc {
     out.toByteArray
   }
 
-  /** Deterministic fixture stream: `nPackets` audio packets whose
-    * residue digits follow a seeded pattern (a few active partitions
-    * per packet, the rest silent class-0). */
-  def fixture(rate: Long, nPackets: Int, seed: Long): Array[Byte] = {
-    val (id, comment, setup) = headers(rate)
-    val audio = (0 until nPackets).map { k =>
+  /** The seeded audio-packet sequence shared by BOTH container
+    * fixtures (a few active partitions per packet, the rest silent
+    * class-0) — same (rate, nPackets, seed) ⇒ same packet bytes, so
+    * Ogg and WebM wrappings of one stream must decode identically. */
+  def audioPackets(nPackets: Int, seed: Long): Seq[Array[Byte]] =
+    (0 until nPackets).map { k =>
       val digits = Array.fill(N2)(1) // 1 = component 0
       var j = 0
       while (j < 12) {
@@ -1325,6 +1379,41 @@ object VorbisEnc {
       }
       audioPacket(digits)
     }
-    oggStream(rate, Seq(id, comment, setup) ++ audio, VorbisEnc.N2)
+
+  /** Deterministic fixture stream: `nPackets` audio packets in real
+    * Ogg pages. */
+  def fixture(rate: Long, nPackets: Int, seed: Long): Array[Byte] = {
+    val (id, comment, setup) = headers(rate)
+    oggStream(rate, Seq(id, comment, setup) ++
+      audioPackets(nPackets, seed), VorbisEnc.N2)
+  }
+
+  /** Matroska CodecPrivate carrying the three header packets,
+    * Xiph-laced ([[Vorbis.xiphLacedPackets]]'s exact inverse). */
+  def codecPrivate(rate: Long): Array[Byte] = {
+    val (id, comment, setup) = headers(rate)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(2) // packet count - 1
+    Seq(id, comment).foreach { p =>
+      var rest = p.length
+      while (rest >= 255) { out.write(255); rest -= 255 }
+      out.write(rest)
+    }
+    out.write(id, 0, id.length)
+    out.write(comment, 0, comment.length)
+    out.write(setup, 0, setup.length)
+    out.toByteArray
+  }
+
+  /** The WebM twin of [[fixture]]: the SAME audio packets for the
+    * same (rate, nPackets, seed), muxed as an A_VORBIS track (headers
+    * in CodecPrivate, packets as SimpleBlocks) beside the standard
+    * pinned VP8 video sequence — the cross-container decode-equality
+    * fixture. */
+  def webmFixture(rate: Long, nPackets: Int, seed: Long): Array[Byte] = {
+    val (w, h, frames) = Vp8Fixtures.interSeq
+    Webm.build(w, h, frames, clusterEvery = 2,
+      audio = Some(Webm.AudioMux("A_VORBIS", 1, rate.toInt,
+        audioPackets(nPackets, seed), codecPrivate(rate))))
   }
 }

@@ -331,7 +331,7 @@ object Vp8Fixtures {
   /** The shared 3-frame VP8 sequence (keyframe + the two MC
     * interframes the oracle re-derives) behind BOTH container
     * fixtures: (width, height, frame payloads). */
-  private lazy val interSeq: (Int, Int, Seq[Array[Byte]]) = {
+  private[operators] lazy val interSeq: (Int, Int, Seq[Array[Byte]]) = {
     val f = byId(1)
     val key = {
       val b = f.file

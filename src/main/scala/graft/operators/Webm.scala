@@ -39,6 +39,7 @@ object Webm {
   private val IdPixelWidth = 0xB0L
   private val IdPixelHeight = 0xBAL
   private val IdAudio = 0xE1L
+  private val IdCodecPrivate = 0x63A2L
   private val IdSamplingFrequency = 0xB5L
   private val IdChannels = 0x9FL
   private val IdCluster = 0x1F43B675L
@@ -346,6 +347,73 @@ object Webm {
 
   // ---- writer (fixture mux; shares only the registry constants) ---
 
+  /** Audio-track PACKET extraction (r16 — the Vorbis decode seam
+    * graduates): the first A_* audio track's CodecID, its
+    * CodecPrivate bytes (for Vorbis: the three Xiph-laced header
+    * packets), and its SimpleBlock payloads in cluster order. The
+    * walk mirrors [[parse0]]'s grammar (same vint/size/lacing rules,
+    * same dirty-byte rejection) but keeps the payload RANGES the
+    * triage pass only counted. None when no audio track or dirty. */
+  def audioPackets(b: Array[Byte])
+      : Option[(String, Array[Byte], Vector[Array[Byte]])] =
+    try {
+      if (b == null || b.length < 8) return None
+      val rd = new Rd(b, 0, b.length)
+      if (rd.readId() != IdEbml) return None
+      val hdrSize = rd.readSize()
+      if (hdrSize < 0 || rd.pos + hdrSize > b.length) return None
+      rd.pos += hdrSize.toInt
+      if (rd.readId() != IdSegment) return None
+      val segSize = rd.readSize()
+      val segEnd =
+        if (segSize < 0) b.length
+        else if (rd.pos + segSize > b.length) return None
+        else rd.pos + segSize.toInt
+      var audioTrack = -1L
+      var codec = ""
+      var cp = Array.empty[Byte]
+      val packets = Vector.newBuilder[Array[Byte]]
+      val seg = new Rd(b, rd.pos, segEnd)
+      walk(seg) { (id, size, start) =>
+        if (id == IdTracks) {
+          val tr = new Rd(b, start, start + size)
+          walk(tr) { (tid, tsz, tst) =>
+            if (tid == IdTrackEntry) {
+              var num = -1L; var typ = -1; var cid = ""
+              var priv = Array.empty[Byte]
+              val te = new Rd(b, tst, tst + tsz)
+              walk(te) { (eid, esz, est) =>
+                if (eid == IdTrackNumber) num = te.uint(esz)
+                else if (eid == IdTrackType) typ = te.uint(esz).toInt
+                else if (eid == IdCodecId) cid = te.str(esz)
+                else if (eid == IdCodecPrivate)
+                  priv = java.util.Arrays.copyOfRange(b, est, est + esz)
+              }
+              if (cid.startsWith("A_") && typ == 2 && audioTrack < 0) {
+                audioTrack = num; codec = cid; cp = priv
+              }
+            }
+          }
+        } else if (id == IdCluster && audioTrack > 0) {
+          val cl = new Rd(b, start, start + size)
+          walk(cl) { (cid2, csz, cst) =>
+            if (cid2 == IdSimpleBlock) {
+              val sb = new Rd(b, cst, cst + csz)
+              val track = sb.readSize()
+              if (track <= 0) sb.bad()
+              sb.u8(); sb.u8() // relative timecode
+              val flags = sb.u8()
+              if ((flags & 0x06) != 0) sb.bad() // lacing out of subset
+              if (track == audioTrack)
+                packets += java.util.Arrays.copyOfRange(
+                  b, sb.pos, cst + csz)
+            }
+          }
+        }
+      }
+      if (audioTrack < 0) None else Some((codec, cp, packets.result()))
+    } catch { case _: Bad | _: ArrayIndexOutOfBoundsException => None }
+
   private def vintSize(v: Long): Array[Byte] = {
     // shortest size encoding whose all-ones pattern is not hit
     var len = 1
@@ -384,7 +452,8 @@ object Webm {
     * channel count, sample rate (Hz), and opaque packet payloads
     * (SHIPPED, never decoded — the triage boundary). */
   final case class AudioMux(codec: String, channels: Int, rate: Int,
-      packets: Seq[Array[Byte]])
+      packets: Seq[Array[Byte]],
+      codecPrivate: Array[Byte] = Array.empty)
 
   /** Assemble a minimal WebM file around VP8 frame payloads.
     * `clusterEvery` splits blocks into clusters; `padVoid` inserts a
@@ -430,6 +499,9 @@ object Webm {
           elem(0x73C5L, uintBytes(3)) ++ // TrackUID
           elem(IdTrackType, uintBytes(2)) ++ // audio
           elem(IdCodecId, a.codec.getBytes("US-ASCII")) ++
+          (if (a.codecPrivate.nonEmpty)
+            elem(IdCodecPrivate, a.codecPrivate)
+          else Array.empty[Byte]) ++
           elem(IdAudio,
             elem(IdSamplingFrequency, {
               val bits = java.lang.Float.floatToIntBits(a.rate.toFloat)

@@ -129,6 +129,37 @@ class VorbisSpec extends AnyFunSuite {
     assert(Vorbis.decodeOgg(stream2).isEmpty)
   }
 
+  test("one stream, two containers: the WebM mux of the SAME packets " +
+    "decodes to byte-identical PCM (CodecPrivate Xiph lacing + audio " +
+    "SimpleBlocks vs Ogg pages)") {
+    val ogg = Vorbis.decodeOgg(VorbisEnc.fixture(16000L, 5, 9L))
+      .getOrElse(fail("ogg decode"))
+    val webm = Vorbis.decodeWebm(VorbisEnc.webmFixture(16000L, 5, 9L))
+      .getOrElse(fail("webm decode"))
+    assert(webm.channels == ogg.channels &&
+      webm.sampleRate == ogg.sampleRate)
+    assert(webm.pcm.toSeq == ogg.pcm.toSeq,
+      "the two container paths must synthesize identical PCM")
+    // the CodecPrivate round-trips through the Xiph lacing exactly
+    val (id, comment, setup) = VorbisEnc.headers(16000L)
+    val laced = Vorbis.xiphLacedPackets(VorbisEnc.codecPrivate(16000L))
+      .getOrElse(fail("lacing"))
+    assert(laced(0).toSeq == id.toSeq)
+    assert(laced(1).toSeq == comment.toSeq)
+    assert(laced(2).toSeq == setup.toSeq)
+    // torn CodecPrivate (truncated mid-lacing) rejects
+    val cp = VorbisEnc.codecPrivate(16000L)
+    assert(Vorbis.xiphLacedPackets(cp.take(cp.length / 2)).isEmpty ||
+      Vorbis.decodeWebm(VorbisEnc.webmFixture(16000L, 5, 9L)
+        .take(200)).isEmpty)
+    // an Opus-labeled track refuses the vorbis decode
+    val opusWebm = Webm.build(48, 32,
+      Seq(Array.fill(32)(0x01.toByte)), audio = Some(
+        Webm.AudioMux("A_OPUS", 1, 48000,
+          VorbisEnc.audioPackets(2, 1L), VorbisEnc.codecPrivate(16000L))))
+    assert(Vorbis.decodeWebm(opusWebm).isEmpty)
+  }
+
   test("the container walk still triages the vorbis fixture " +
     "(ogg_meta compatibility: codec, channels, rate)") {
     val bytes = VorbisEnc.fixture(24000L, 4, 11L)
