@@ -466,7 +466,8 @@ class IvfVectorIndex private (
     // `_centroids` — the generation-complete marker lands last
     // (`_ranges` is the shard-merge disjointness ledger, r15)
     val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_ranges", "_pq", "_centroids").foreach { sub =>
+    Seq("_ranges", "_batches", "_quiesced", "_pq", "_centroids")
+      .foreach { sub =>
       val src = new org.apache.hadoop.fs.Path(cur, sub)
       if (fs.exists(src)) org.apache.hadoop.fs.FileUtil.copy(
         fs, src, fs, new org.apache.hadoop.fs.Path(tmp, sub),

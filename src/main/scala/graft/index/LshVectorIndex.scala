@@ -137,7 +137,8 @@ class LshVectorIndex private (
       .parquet(tmp.toString)
     val cur = new org.apache.hadoop.fs.Path(path)
     // `_lsh_meta.json` last: it is the generation-complete marker
-    Seq("_ranges", "_lsh_meta.json").foreach { side =>
+    Seq("_ranges", "_batches", "_quiesced", "_lsh_meta.json")
+      .foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,

@@ -715,7 +715,10 @@ class Bm25Index private (
     // `_ranges` claim and the batch-keyed output overwrite) but turns
     // a replayed batch's ledger short-circuit into a full survivor
     // recompute — carry it (r14)
-    Seq("_stats", "_ranges", "_meta", "_batches", "_stats_pending")
+    // `_quiesced` (r16) rides along: a quiesced lake must not become
+    // unmergeable just because maintenance compacted it
+    Seq("_stats", "_ranges", "_meta", "_batches", "_stats_pending",
+        "_quiesced")
       .foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))

@@ -220,7 +220,16 @@ object IndexMerge {
     * that path — it does not corrupt the merged index (which lives at
     * the destination), but the re-built shard is a new, unmerged
     * index. Retire the checkpoint with the shard; a segment's stream
-    * must not outlive its merge. */
+    * must not outlive its merge.
+    *
+    * Scope, stated honestly: the marker is an advisory handshake, not
+    * a lock — it catches the realistic failure (merging a lake whose
+    * stream was never stopped, or restarted since the drain), but a
+    * stream deliberately restarted in the instants BETWEEN this check
+    * and the source delete can still race; "do not restart a
+    * segment's stream while its merge is in flight" remains part of
+    * the single-writer contract, now written down instead of
+    * implicit. */
   private[graft] def requireQuiesced(
       spark: SparkSession, dstPath: String, srcs: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

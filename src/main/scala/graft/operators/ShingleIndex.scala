@@ -456,7 +456,7 @@ class ShingleIndex private (
     // next to the postings — must survive in-stream compaction or a
     // post-compact replay loses its short-circuit (still correct via
     // the `_ranges` claim, but recomputes the whole survivor set)
-    Seq("_stats", "_ranges", "_batches").foreach { side =>
+    Seq("_stats", "_ranges", "_batches", "_quiesced").foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,

@@ -333,6 +333,10 @@ object Vorbis {
         val delta = float32Unpack(r.readLong(32))
         val valueBits = r.read(4) + 1
         val seqP = r.readBool()
+        // allocation bomb guard: a garbage header can claim 2^20
+        // entries × 2^16 dims — cap the materialized table (real
+        // Vorbis books are a few thousand values)
+        if (entries.toLong * dims > (1L << 22)) return None
         val nVals =
           if (lookupType == 1) lookup1Values(entries, dims)
           else entries * dims
@@ -687,13 +691,15 @@ object Vorbis {
                   }
                 } else {
                   // type 1 (and 2 via the interleave wrapper):
-                  // sequential
+                  // sequential; a book whose dims do not divide the
+                  // partition size must not write past the partition
                   var i = 0
                   while (i < res.partitionSize) {
                     val v = b.decodeVector(r)
                     if (v == null) return null
                     var d = 0
-                    while (d < b.dims) {
+                    while (d < b.dims && i < res.partitionSize &&
+                        offset + i < n) {
                       out(j)(offset + i) += v(d)
                       i += 1
                       d += 1
@@ -808,6 +814,9 @@ object Vorbis {
     val bs1 = 1 << r.read(4)
     if (r.read(1) != 1) return None // framing
     if (channels <= 0 || rate <= 0) return None
+    // §4.2.1: block sizes must lie in [64, 8192] (also keeps n2 > 0
+    // through every synthesis division downstream)
+    if (bs0 < 64 || bs0 > 8192 || bs1 < 64 || bs1 > 8192) return None
     Some((channels, rate, bs0, bs1))
   }
 
@@ -879,6 +888,27 @@ object Vorbis {
     }
     if (r.read(1) != 1) return None // framing
     if (r.eof) return None
+    // cross-validate every book REFERENCE against the book list —
+    // the spec's "an out of range book number is an error" rules,
+    // and exactly what a garbage header needs to index out of bounds
+    val okFloors = floors.forall { f =>
+      val classes = f.classDims.indices
+      classes.forall { c =>
+        (f.classSubclasses(c) == 0 ||
+          (f.classMasterbooks(c) >= 0 &&
+            f.classMasterbooks(c) < nBooks)) &&
+        f.subclassBooks(c).forall(b => b >= -1 && b < nBooks)
+      }
+    }
+    val okResidues = residues.forall { res =>
+      res.classbook >= 0 && res.classbook < nBooks &&
+      books(res.classbook).dims >= 1 &&
+      res.books.forall(_.forall(b => b >= -1 && b < nBooks)) &&
+      // every referenced value book must carry a VQ table (§8.6.2:
+      // residue books with no lookup are an error)
+      res.books.forall(_.forall(b => b < 0 || books(b).vq != null))
+    }
+    if (!okFloors || !okResidues) return None
     Some(Setup(channels, rate, blocksize, books, floors, residues,
       mappings, modes))
   }

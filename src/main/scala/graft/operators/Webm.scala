@@ -412,7 +412,7 @@ object Webm {
         }
       }
       if (audioTrack < 0) None else Some((codec, cp, packets.result()))
-    } catch { case _: Bad | _: ArrayIndexOutOfBoundsException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def vintSize(v: Long): Array[Byte] = {
     // shortest size encoding whose all-ones pattern is not hit

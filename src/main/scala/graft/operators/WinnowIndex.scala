@@ -177,7 +177,7 @@ class WinnowIndex private (
       .partitionBy("bucket")
       .parquet(tmp.toString)
     val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_stats", "_ranges", "_batches").foreach { side =>
+    Seq("_stats", "_ranges", "_batches", "_quiesced").foreach { side =>
       val src = new org.apache.hadoop.fs.Path(cur, side)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,

@@ -33,7 +33,9 @@ class CodecFuzzSpec extends SparkTestBase {
     Vp8Fixtures.ivfFor(0L),
     Vp8Fixtures.webmFor(1L),
     Vp8Fixtures.webmSubsFor(3L),
-    Mp3Fixtures.mp3CoverageMediaFor(5L))
+    Mp3Fixtures.mp3CoverageMediaFor(5L),
+    VorbisEnc.fixture(16000L, 4, 5L),
+    VorbisEnc.webmFixture(16000L, 4, 5L))
 
   private def dirtyInputs: Seq[Array[Byte]] = {
     val random = (0 until 40).map { _ =>
@@ -102,6 +104,9 @@ class CodecFuzzSpec extends SparkTestBase {
       check("Webm.subtitleCues")(Webm.subtitleCues(b))
       check("Mp3Pcm.coverage")(Mp3Pcm.coverage(b))
       check("Mp3Pcm.decode")(Mp3Pcm.decode(b))
+      check("Vorbis.decodeOgg")(Vorbis.decodeOgg(b))
+      check("Vorbis.decodeWebm")(Vorbis.decodeWebm(b))
+      check("Webm.audioPackets")(Webm.audioPackets(b))
     }
   }
 

@@ -249,6 +249,30 @@ class MergeGuardSpec extends SparkTestBase {
     assert(merged.n == 8L)
   }
 
+  test("the quiesce marker SURVIVES a compact: maintenance must not " +
+    "make a drained lake unmergeable") {
+    val root = scratch("quiescecompact")
+    Bm25Index.build(corpus.filter($"doc_id" < 10), "text", "doc_id",
+      s"$root/src", nBuckets = 8)
+    IndexStream.keywordBatch(
+      corpus.filter($"doc_id" >= 10), 0L, "text", "doc_id",
+      s"$root/src", streamId = s"$root/ckpt")
+    Quiesce.mark(spark, s"$root/src")
+    Bm25Index.load(spark, s"$root/src").compact()
+    assert(Quiesce.isMarked(spark, s"$root/src"),
+      "compact dropped the quiesce marker")
+    // a disjoint-docid destination: the compacted quiesced lake must
+    // merge into it without re-marking
+    Bm25Index.build(
+      Seq((100L, "a fresh destination document about nothing shared"),
+        (101L, "and another destination row to receive the shards"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", s"$root/dst", nBuckets = 8)
+    val merged = Bm25Index.load(spark, s"$root/dst").mergeAll(
+      Seq(Bm25Index.load(spark, s"$root/src")))
+    assert(merged.n == 2 + 8, s"merged n=${merged.n}")
+  }
+
   // ---------------------------------------------------------------
   // compact-aware merge (r15 verdict ask #4)
   // ---------------------------------------------------------------
