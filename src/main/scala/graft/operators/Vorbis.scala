@@ -1390,6 +1390,94 @@ object VorbisEnc {
     out.toByteArray
   }
 
+  /** STEREO profile (r16 — pins the square-polar coupling path): two
+    * channels, one coupling step (magnitude = channel 0, angle =
+    * channel 1), the same floor/books, residue type 2 over the
+    * interleaved 2·N2 vector. */
+  def stereoHeaders(rate: Long): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val id = Ogg.vorbisId(2, rate).clone()
+    id(28) = 0x88.toByte
+    val comment = Array[Byte](3, 'v', 'o', 'r', 'b', 'i', 's',
+      0, 0, 0, 0, 0, 0, 0, 0, 1)
+    val w = new Vorbis.BitWriter
+    w.write(3 - 1, 8)
+    writeScalarBook(w, 1, floorLengths)
+    writeScalarBook(w, 2, classLengths)
+    writePartBook(w)
+    w.write(0, 6); w.write(0, 16) // time
+    w.write(0, 6)  // floor count - 1
+    w.write(1, 16) // floor type 1
+    w.write(1, 5); w.write(0, 4)
+    w.write(2 - 1, 3); w.write(0, 2); w.write(0 + 1, 8)
+    w.write(2 - 1, 2); w.write(7, 4); w.write(42, 7); w.write(85, 7)
+    w.write(0, 6)  // residue count - 1
+    w.write(2, 16) // residue type 2
+    w.write(0, 24)
+    w.write(2 * N2, 24)   // end: the INTERLEAVED vector length
+    w.write(16 - 1, 24)
+    w.write(2 - 1, 6)
+    w.write(1, 8)
+    w.write(0, 3); w.write(0, 1)
+    w.write(1, 3); w.write(0, 1)
+    w.write(2, 8)
+    w.write(0, 6)  // mapping count - 1
+    w.write(0, 16) // mapping type 0
+    w.write(0, 1)  // one submap
+    w.write(1, 1)  // coupling present
+    w.write(0, 8)  // steps - 1
+    w.write(0, 1)  // magnitude = channel 0 (ilog(ch-1) = 1 bit)
+    w.write(1, 1)  // angle = channel 1
+    w.write(0, 2)  // reserved
+    w.write(0, 8); w.write(0, 8); w.write(0, 8) // time/floor/residue
+    w.write(0, 6)
+    w.write(0, 1); w.write(0, 16); w.write(0, 16); w.write(0, 8)
+    w.write(1, 1)
+    val setup = Array[Byte](5, 'v', 'o', 'r', 'b', 'i', 's') ++ w.bytes
+    (id, comment, setup)
+  }
+
+  /** One STEREO audio packet over the interleaved digit vector
+    * (length 2·N2; even index = magnitude channel's line, odd = angle
+    * channel's — the type-2 interleave order). Both channels carry
+    * the flat max floor. */
+  def stereoAudioPacket(digits: Array[Int]): Array[Byte] = {
+    require(digits.length == 2 * N2)
+    val w = new Vorbis.BitWriter
+    w.write(0, 1)
+    // floors, channel 0 then 1
+    (0 until 2).foreach { _ =>
+      w.write(1, 1)
+      w.write(127, 7); w.write(127, 7)
+      Vorbis.writeCodeword(w, floorCw(0)._1, floorCw(0)._2)
+      Vorbis.writeCodeword(w, floorCw(0)._1, floorCw(0)._2)
+    }
+    val partSize = 16
+    val partitions = 2 * N2 / partSize // 16
+    val classes = Array.tabulate(partitions) { p =>
+      if ((p * partSize until (p + 1) * partSize)
+          .exists(k => digits(k) != 1)) 1 else 0
+    }
+    var p = 0
+    while (p < partitions) {
+      if (p % 2 == 0) {
+        val t = classes(p) * 2 + classes(p + 1)
+        Vorbis.writeCodeword(w, classCw(t)._1, classCw(t)._2)
+      }
+      if (classes(p) == 1) {
+        var v = 0
+        while (v < partSize / 4) {
+          val off = p * partSize + v * 4
+          val e = partEntry(Array(digits(off), digits(off + 1),
+            digits(off + 2), digits(off + 3)))
+          Vorbis.writeCodeword(w, partCw(e)._1, partCw(e)._2)
+          v += 1
+        }
+      }
+      p += 1
+    }
+    w.bytes
+  }
+
   /** The seeded audio-packet sequence shared by BOTH container
     * fixtures (a few active partitions per packet, the rest silent
     * class-0) — same (rate, nPackets, seed) ⇒ same packet bytes, so

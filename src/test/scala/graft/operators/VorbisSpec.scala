@@ -96,6 +96,104 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("STEREO square-polar coupling decodes per the spec's inverse: " +
+    "(mag,ang)=(+Q,0) puts the SAME line on both channels; " +
+    "(mag,ang)=(+Q,+Q) puts it on the magnitude channel only") {
+    val n2 = VorbisEnc.N2
+    val n = 2 * n2
+    val k0 = 5
+    val (id, comment, setup) = VorbisEnc.stereoHeaders(8000L)
+    val amp = VorbisEnc.Q.toDouble *
+      (0.8278826 * math.exp(0.0622535662 * (254 - 255)))
+    def w(i: Int): Double = {
+      val s = math.sin(math.Pi / n * (i + 0.5))
+      math.sin(math.Pi / 2 * s * s)
+    }
+    def line(i: Int): Double =
+      amp * math.cos(math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * k0 + 1))
+    def decode(magDigit: Int, angDigit: Int) = {
+      val digits = Array.fill(2 * n2)(1)
+      digits(2 * k0) = magDigit     // interleave: even = channel 0
+      digits(2 * k0 + 1) = angDigit // odd = channel 1
+      val p = VorbisEnc.stereoAudioPacket(digits)
+      Vorbis.decodeOgg(VorbisEnc.oggStream(8000L,
+        Seq(id, comment, setup, p, p), n2))
+        .getOrElse(fail("stereo decode"))
+    }
+    // case 1: mag=+Q, ang=0 → new_A = M, new_M = M + A = Q on BOTH
+    val both = decode(2, 1)
+    assert(both.channels == 2 && both.pcm.length == 2 * n2)
+    (0 until n2).foreach { s =>
+      val expected = w(n2 + s) * line(n2 + s) + w(s) * line(s)
+      val l = both.pcm(2 * s) / 32767.0
+      val r = both.pcm(2 * s + 1) / 32767.0
+      assert(math.abs(l - expected) < 2.0 / 32767.0, s"L at $s")
+      assert(math.abs(r - expected) < 2.0 / 32767.0, s"R at $s")
+    }
+    // case 2: mag=+Q, ang=+Q → new_M = Q, new_A = Q - Q = 0:
+    // the line lives on channel 0 only
+    val solo = decode(2, 2)
+    (0 until n2).foreach { s =>
+      val expected = w(n2 + s) * line(n2 + s) + w(s) * line(s)
+      val l = solo.pcm(2 * s) / 32767.0
+      val r = solo.pcm(2 * s + 1) / 32767.0
+      assert(math.abs(l - expected) < 2.0 / 32767.0, s"L at $s")
+      assert(math.abs(r) < 2.0 / 32767.0, s"R must be silent at $s")
+    }
+  }
+
+  test("codebook grammar paths the fixtures don't use: ORDERED " +
+    "lengths, SPARSE entries, and lookup type 1 all parse and decode") {
+    // ordered: 2 entries of len 1 (read as: curlen=1, number=2)
+    val w1 = new Vorbis.BitWriter
+    w1.write(0x564342, 24); w1.write(1, 16); w1.write(2, 24)
+    w1.write(1, 1)        // ordered
+    w1.write(0, 5)        // initial length - 1 = 0 -> len 1
+    w1.write(2, Vorbis.ilog(2)) // number with ilog(entries - 0) bits
+    w1.write(0, 4)        // lookup 0
+    val r1 = new Vorbis.BitReader(w1.bytes)
+    val b1 = Vorbis.readCodebook(r1).getOrElse(fail("ordered parse"))
+    assert(b1.lengths.toSeq == Seq(1, 1))
+    // sparse: 3 entries, middle unused; used ones len 1
+    val w2 = new Vorbis.BitWriter
+    w2.write(0x564342, 24); w2.write(1, 16); w2.write(3, 24)
+    w2.write(0, 1)        // unordered
+    w2.write(1, 1)        // sparse
+    w2.write(1, 1); w2.write(0, 5) // entry 0: used, len 1
+    w2.write(0, 1)                 // entry 1: unused
+    w2.write(1, 1); w2.write(0, 5) // entry 2: used, len 1
+    w2.write(0, 4)
+    val b2 = Vorbis.readCodebook(new Vorbis.BitReader(w2.bytes))
+      .getOrElse(fail("sparse parse"))
+    assert(b2.lengths.toSeq == Seq(1, 0, 1))
+    val wv = new Vorbis.BitWriter
+    val cw2 = Vorbis.codewordTable(b2.lengths)
+    Vorbis.writeCodeword(wv, cw2(2)._1, cw2(2)._2)
+    Vorbis.writeCodeword(wv, cw2(0)._1, cw2(0)._2)
+    val rv = new Vorbis.BitReader(wv.bytes)
+    assert(b2.decodeScalar(rv) == 2 && b2.decodeScalar(rv) == 0)
+    // lookup type 1: 4 entries, dims 2 -> lookup1_values = 2, the
+    // multiplicands index by (entry / 2^d) % 2 — check the §3.2.2
+    // unrolling against hand values
+    assert(Vorbis.lookup1Values(4, 2) == 2)
+    val w3 = new Vorbis.BitWriter
+    w3.write(0x564342, 24); w3.write(2, 16); w3.write(4, 24)
+    w3.write(0, 1); w3.write(0, 1)
+    (0 until 4).foreach(_ => w3.write(1, 5)) // all len 2
+    w3.write(1, 4) // lookup type 1
+    w3.writeLong(Vorbis.float32Pack(0f), 32)  // min 0
+    w3.writeLong(Vorbis.float32Pack(1f), 32)  // delta 1
+    w3.write(0, 4) // value bits - 1 = 0 -> 1 bit
+    w3.write(0, 1) // not sequential
+    w3.write(0, 1); w3.write(1, 1) // mults = [0, 1]
+    val b3 = Vorbis.readCodebook(new Vorbis.BitReader(w3.bytes))
+      .getOrElse(fail("lookup1 parse"))
+    // entry e, dim d -> mults[(e / 2^d) % 2]: e0=[0,0] e1=[1,0]
+    // e2=[0,1] e3=[1,1]
+    assert(b3.vq.map(_.toSeq).toSeq == Seq(Seq(0f, 0f), Seq(1f, 0f),
+      Seq(0f, 1f), Seq(1f, 1f)))
+  }
+
   test("a packet split across 255-lacing continuations reassembles") {
     // pad one audio packet past 255 bytes by activating many lines
     val digits = Array.tabulate(VorbisEnc.N2)(i => (i % 3))
