@@ -92,6 +92,43 @@ class IvfGrowSpec extends SparkTestBase {
     assert(IvfVectorIndex.load(spark, path).model.centroids.length == 4)
   }
 
+  test("grow on an IVF+PQ index: codes ride the capture untouched " +
+    "(content-addressed), searchAdc works against the grown book") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfgrow-pq").toString + "/idx"
+    val ref = (around(0, 60, 0L) ++ around(2, 60, 100L))
+      .toDF("vec_id", "embedding")
+    val model = graft.operators.Ivf.train(ref, "embedding", k = 2,
+      sampleSize = 200)
+    val pq = graft.operators.Pq.train(ref, "embedding", m = 8, ksub = 16)
+    IvfVectorIndex.build(ref, "embedding", "vec_id", path, model,
+      Some(pq))
+    val novel = around(6, 40, 300L).toDF("vec_id", "embedding")
+    IvfVectorIndex.load(spark, path)
+      .append(novel, "embedding", "vec_id")
+    val codesBefore = spark.read.parquet(path)
+      .select("docid", "code").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val loaded = IvfVectorIndex.load(spark, path)
+    val homes = loaded.df.filter(col("docid") >= 300L)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    val grown = loaded.growClusters(homes, add = 1)
+    assert(grown.model.centroids.length == 3)
+    assert(grown.pqModel.isDefined, "PQ book must survive the grow")
+    // every row keeps its code byte-for-byte — codes are a function
+    // of (vector, PQ book), not of the cluster id
+    val codesAfter = spark.read.parquet(path)
+      .select("docid", "code").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codesAfter == codesBefore)
+    // the two-phase ADC search probes the NEW cell and finds novel rows
+    val q = Array.tabulate(8)(d => if (d == 6) 1.0f else 0.0f)
+    val top = IvfVectorIndex.load(spark, path)
+      .searchAdc(q, 5, nprobe = 1)
+      .select("docid").collect().map(_.getLong(0))
+    assert(top.nonEmpty && top.forall(_ >= 300L), top.toSeq.toString)
+  }
+
   test("grow crash BEFORE the COMMIT marker: staging (with its new " +
     "cell and grown codebook) rolled back, index byte-identical") {
     val (path, _) = freshIndex("precommit")
