@@ -283,7 +283,14 @@ class IvfVectorIndex private (
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path, "_retrain")
     if (fs.exists(staging)) fs.delete(staging, true)
-    reassigned.sortWithinPartitions("cluster", "docid")
+    // repartition ON the cluster before partitionBy (r16 — the r14
+    // postings-lake lesson applied to the staging write): without it
+    // every read task writes a sliver into every staged cluster dir
+    // it holds rows for — tasks × clusters files, the measured cost
+    // driver of a many-partition grow (GrowScaleProbe); one shuffle
+    // of the touched rows buys whole-partition docid-sorted files
+    reassigned.repartition(col("cluster"))
+      .sortWithinPartitions("cluster", "docid")
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/_retrain/data")
     // A touched cluster that ends refinement with ZERO reassigned rows
