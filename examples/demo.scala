@@ -156,6 +156,12 @@ spark.sql("SELECT media_kind(webm_media_for_id(CAST(0 AS BIGINT))) AS kind, webm
 spark.sql("SELECT c.idx, c.start_ms, c.end_ms, c.text FROM (SELECT explode(webm_subtitles(webm_subs_media_for_id(CAST(3 AS BIGINT)))) AS c)").show(3, false)
 println(s"webm decoded plane samples: " + spark.sql("SELECT size(webm_frames(webm_media_for_id(CAST(0 AS BIGINT)))) AS n").head().getInt(0))
 
+// 4g2. multimodal, AUDIO-CODEC leg (r16): real Vorbis I packet decode
+//     behind the Ogg page walk AND the same stream through a WebM
+//     mux (CodecPrivate Xiph lacing) — identical PCM either way
+println(s"vorbis decoded frames: " + spark.sql("SELECT sum(wav_stats(vorbis_wav(ogg_vorbis_media_for_id(CAST(id AS BIGINT)))).n_frames) AS f FROM range(4)").head().getLong(0))
+println(s"webm==ogg vorbis pcm: " + spark.sql("SELECT bool_and(wav_stats(vorbis_wav(ogg_vorbis_media_for_id(CAST(id AS BIGINT)))).samp_energy = wav_stats(webm_vorbis_wav(webm_vorbis_media_for_id(CAST(id AS BIGINT)))).samp_energy) AS eq FROM range(3)").head().getBoolean(0))
+
 // 4h. shard-parallel index build (r14): two BM25 shards over disjoint
 //     docid halves merge by PURE FILE RENAMES — no posting read or
 //     rewritten — and the merged lake scores identically to a
