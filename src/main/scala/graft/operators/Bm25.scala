@@ -398,7 +398,7 @@ class Bm25Index private (
     val path: String,
     val n: Long,
     val sumdl: Long,
-    val nBuckets: Int) {
+    val nBuckets: Int) extends org.apache.spark.internal.Logging {
 
   /** Derived exactly as a full rebuild would: one double division over
     * the exact long totals — so build(A)+append(B) scores are
@@ -623,8 +623,45 @@ class Bm25Index private (
         }
       }
     }
+    // SURFACE what could not be settled (r17, ADVICE r16: flags judged
+    // ambiguous were silently left in place, so a permanent stats
+    // undercount could persist invisibly across repeated reconcile
+    // calls) — the operator must learn adjudication is needed instead
+    // of discovering it via score drift. Claim-only leftovers are
+    // missingRanges/reconcile's job and stay quiet here.
+    val ambiguous = cur.ambiguousPendingStats()
+    ambiguous.foreach { case (lo, hi, nPre, sPre, nPost, sPost) =>
+      cur.logWarning(
+        s"bm25 $path: stats-pending flag [$lo,$hi] is AMBIGUOUS — " +
+        s"on-disk stats (n=${cur.n}, sumdl=${cur.sumdl}) match neither " +
+        s"its pre-totals ($nPre, $sPre) nor its post-totals " +
+        s"($nPost, $sPost); out-of-band writes landed since the crash. " +
+        "n/sumdl may undercount this range. Adjudicate from the source " +
+        "corpus (rebuild stats or delete the flag) — " +
+        "ambiguousPendingStats() lists these programmatically.")
+    }
     cur
   }
+
+  /** In-flight `_stats_pending` flags [[settlePendingStats]] CANNOT
+    * adjudicate (r17): the range's postings are on disk but the
+    * current stats match neither the flag's pre- nor post-totals —
+    * out-of-band writes landed since the crash, so any arithmetic
+    * would be a guess. Each row is (lo, hi, nPre, sumdlPre, nPost,
+    * sumdlPost); non-empty means `n`/`Σdl` may undercount and the
+    * operator must adjudicate from the source corpus. Settle and
+    * reconcile WARN with this list; this surfaces it programmatically
+    * (monitoring, a maintenance job's refuse-to-proceed gate). */
+  def ambiguousPendingStats(): Seq[(Long, Long, Long, Long, Long, Long)] =
+    Bm25Index.listPendingStats(spark, path).flatMap { case (lo, hi) =>
+      Bm25Index.readPendingStats(spark, path, lo, hi).collect {
+        case (nPre, sPre, nPost, sPost)
+          if !(n == nPre && sumdl == sPre) &&
+             !(n == nPost && sumdl == sPost) &&
+             !postings.filter(col("docid").between(lo, hi)).isEmpty =>
+          (lo, hi, nPre, sPre, nPost, sPost)
+      }
+    }
 
   /** Repair [[missingRanges]] from a recovery corpus (the streamed
     * batches' source of truth): first settles any orphaned

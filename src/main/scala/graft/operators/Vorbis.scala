@@ -1142,15 +1142,44 @@ object Vorbis {
 
   /** Reassemble the logical packets of a single-stream Ogg (verified
     * CRC, lacing continuations across pages — [[Ogg.parse]]'s walk,
-    * but returning the bytes). */
+    * but returning the bytes).
+    *
+    * Page-LEVEL integrity is checked too (r17 — CRC alone only proves
+    * each surviving page is intact, not that every page survived): the
+    * sequence numbers (bytes 18–21, Ogg framing §Page header) must be
+    * consecutive per the single stream, the serial (bytes 14–17) must
+    * not change mid-stream, and the continued-packet flag (header-type
+    * bit 0x01) must agree with the lacing state carried across the
+    * page boundary. A stream missing or reordering a WHOLE page —
+    * every remaining page individually CRC-valid — would otherwise
+    * silently splice two packet fragments into one garbage packet (or
+    * drop packets), instead of the documented dirty-bytes-return-None
+    * behavior. */
   def oggPackets(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
     val packets = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val cur = new java.io.ByteArrayOutputStream()
     var open = false
     var o = 0
+    var lastSeq = -1L
+    var serial = -1L
     while (o + 27 <= b.length) {
       if (!(b(o) == 'O' && b(o + 1) == 'g' && b(o + 2) == 'g' &&
           b(o + 3) == 'S') || b(o + 4) != 0) return None
+      val htype = b(o + 5) & 0xff
+      val pageSerial = (b(o + 14) & 0xffL) | ((b(o + 15) & 0xffL) << 8) |
+        ((b(o + 16) & 0xffL) << 16) | ((b(o + 17) & 0xffL) << 24)
+      val seq = (b(o + 18) & 0xffL) | ((b(o + 19) & 0xffL) << 8) |
+        ((b(o + 20) & 0xffL) << 16) | ((b(o + 21) & 0xffL) << 24)
+      if (lastSeq < 0) serial = pageSerial
+      else {
+        if (pageSerial != serial) return None // multiplexed/foreign page
+        if (seq != lastSeq + 1) return None   // a page is missing/reordered
+      }
+      lastSeq = seq
+      // continued flag vs the carried lacing state: a page claiming to
+      // continue a packet needs one open; a page NOT claiming it while
+      // one is open means the continuation page was lost
+      if (((htype & 0x01) != 0) != open) return None
       val nSegs = b(o + 26) & 0xff
       if (o + 27 + nSegs > b.length) return None
       val laces = Array.tabulate(nSegs)(j => b(o + 27 + j) & 0xff)

@@ -353,7 +353,15 @@ object Webm {
     * packets), and its SimpleBlock payloads in cluster order. The
     * walk mirrors [[parse0]]'s grammar (same vint/size/lacing rules,
     * same dirty-byte rejection) but keeps the payload RANGES the
-    * triage pass only counted. None when no audio track or dirty. */
+    * triage pass only counted. None when no audio track or dirty.
+    *
+    * TWO passes over the segment (r17): Matroska permits Clusters
+    * BEFORE the Tracks element (the spec orders nothing at segment
+    * level; live muxes emit Tracks late), so the track number is
+    * resolved in a first pass over the whole segment and the blocks
+    * are extracted in a second — a single forward walk gated on
+    * `audioTrack > 0` silently dropped every audio packet of a
+    * leading cluster and decoded short. */
   def audioPackets(b: Array[Byte])
       : Option[(String, Array[Byte], Vector[Array[Byte]])] =
     try {
@@ -369,12 +377,12 @@ object Webm {
         if (segSize < 0) b.length
         else if (rd.pos + segSize > b.length) return None
         else rd.pos + segSize.toInt
+      val segStart = rd.pos
       var audioTrack = -1L
       var codec = ""
       var cp = Array.empty[Byte]
-      val packets = Vector.newBuilder[Array[Byte]]
-      val seg = new Rd(b, rd.pos, segEnd)
-      walk(seg) { (id, size, start) =>
+      // PASS 1: resolve the first A_* audio track, wherever Tracks sits
+      walk(new Rd(b, segStart, segEnd)) { (id, size, start) =>
         if (id == IdTracks) {
           val tr = new Rd(b, start, start + size)
           walk(tr) { (tid, tsz, tst) =>
@@ -394,7 +402,13 @@ object Webm {
               }
             }
           }
-        } else if (id == IdCluster && audioTrack > 0) {
+        }
+      }
+      if (audioTrack < 0) return None
+      // PASS 2: collect the track's SimpleBlocks in cluster order
+      val packets = Vector.newBuilder[Array[Byte]]
+      walk(new Rd(b, segStart, segEnd)) { (id, size, start) =>
+        if (id == IdCluster) {
           val cl = new Rd(b, start, start + size)
           walk(cl) { (cid2, csz, cst) =>
             if (cid2 == IdSimpleBlock) {
@@ -411,7 +425,7 @@ object Webm {
           }
         }
       }
-      if (audioTrack < 0) None else Some((codec, cp, packets.result()))
+      Some((codec, cp, packets.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def vintSize(v: Long): Array[Byte] = {

@@ -207,6 +207,67 @@ class VorbisSpec extends AnyFunSuite {
     assert(Vorbis.decodeOgg(stream).isDefined)
   }
 
+  test("page-level integrity (r17): a LOST whole page, a reordered " +
+    "page, and a lying continued-flag all return None — CRC alone " +
+    "cannot catch them (every surviving page stays individually valid)") {
+    val (id, comment, setup) = VorbisEnc.headers(8000L)
+    val digits = Array.tabulate(VorbisEnc.N2)(i => (i % 3))
+    val p = VorbisEnc.audioPacket(digits)
+    val stream = VorbisEnc.oggStream(8000L,
+      Seq(id, comment, setup, p, p, p), VorbisEnc.N2)
+    assert(Vorbis.oggPackets(stream).isDefined, "control: intact stream")
+    // walk the page boundaries
+    def pageSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+      var o = 0
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      while (o + 27 <= b.length) {
+        val nSegs = b(o + 26) & 0xff
+        val bodyLen = (0 until nSegs).map(j => b(o + 27 + j) & 0xff).sum
+        val total = 27 + nSegs + bodyLen
+        spans += ((o, total))
+        o += total
+      }
+      spans.toSeq
+    }
+    val spans = pageSpans(stream)
+    assert(spans.length == 5) // BOS, headers, 3 audio pages
+    // drop the MIDDLE audio page whole: remaining pages all CRC-valid
+    val (dropO, dropL) = spans(3)
+    val lost = stream.take(dropO) ++ stream.drop(dropO + dropL)
+    assert(Vorbis.oggPackets(lost).isEmpty,
+      "a missing page must fail the sequence check, not splice")
+    assert(Vorbis.decodeOgg(lost).isEmpty)
+    // swap the two middle audio pages (each individually CRC-valid)
+    val (aO, aL) = spans(2)
+    val (bO, bL) = spans(3)
+    val swapped = stream.take(aO) ++
+      stream.slice(bO, bO + bL) ++ stream.slice(aO, aO + aL) ++
+      stream.drop(bO + bL)
+    assert(Vorbis.oggPackets(swapped).isEmpty,
+      "reordered pages must fail the sequence check")
+    // a page claiming continuation (0x01) with no packet open: patch
+    // the header-type byte and re-CRC so only the LIE is wrong
+    val lying = stream.clone()
+    lying(dropO + 5) = (lying(dropO + 5) | 0x01).toByte
+    val crc = Ogg.crc(lying, dropO, dropL, dropO + 22)
+    var cc = crc; var i = 0
+    while (i < 4) {
+      lying(dropO + 22 + i) = (cc & 0xff).toByte; cc >>= 8; i += 1
+    }
+    assert(Vorbis.oggPackets(lying).isEmpty,
+      "continued-flag must agree with the carried lacing state")
+    // a foreign serial spliced mid-stream is not this stream's page
+    val alien = stream.clone()
+    alien(dropO + 14) = (alien(dropO + 14) ^ 0x7f).toByte
+    val crc2 = Ogg.crc(alien, dropO, dropL, dropO + 22)
+    cc = crc2; i = 0
+    while (i < 4) {
+      alien(dropO + 22 + i) = (cc & 0xff).toByte; cc >>= 8; i += 1
+    }
+    assert(Vorbis.oggPackets(alien).isEmpty,
+      "a serial change mid-stream must reject")
+  }
+
   test("dirty bytes reject, never throw: flipped payload byte (CRC), " +
     "truncation, two block sizes, floor0") {
     val good = VorbisEnc.fixture(16000L, 4, 3L)

@@ -134,6 +134,70 @@ class WebmSpec extends AnyFunSuite {
     assert(Webm.meta(wide).isEmpty)
   }
 
+  test("clusters BEFORE the Tracks element (r17): Matroska orders " +
+    "nothing at segment level, so audioPackets must resolve the track " +
+    "first and then extract — not gate a single forward walk") {
+    val orig = graft.operators.VorbisEnc.webmFixture(16000L, 5, 9L)
+    val (codec0, cp0, pk0) =
+      Webm.audioPackets(orig).getOrElse(fail("control demux"))
+    assert(pk0.nonEmpty)
+    // reorder the segment's top-level children: move ALL Clusters
+    // ahead of everything else (EBML elements are self-delimiting, so
+    // byte-level reordering of siblings is structurally valid)
+    def vlen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      n
+    }
+    def readId(b: Array[Byte], p: Int): (Long, Int) = {
+      val n = vlen(b(p) & 0xff)
+      var v = 0L
+      (0 until n).foreach(i => v = (v << 8) | (b(p + i) & 0xff))
+      (v, n)
+    }
+    def readSize(b: Array[Byte], p: Int): (Long, Int) = {
+      val n = vlen(b(p) & 0xff)
+      var v = (b(p) & 0xff & (0xff >> n)).toLong
+      (1 until n).foreach(i => v = (v << 8) | (b(p + i) & 0xff))
+      (v, n)
+    }
+    // skip the EBML header, enter the Segment
+    val (ebmlId, en) = readId(orig, 0)
+    assert(ebmlId == 0x1A45DFA3L)
+    val (ebmlSz, esn) = readSize(orig, en)
+    var p = en + esn + ebmlSz.toInt
+    val (segId, sn) = readId(orig, p)
+    assert(segId == 0x18538067L)
+    val (segSz, ssn) = readSize(orig, p + sn)
+    val segStart = p + sn + ssn
+    val segEnd = segStart + segSz.toInt
+    // collect top-level child spans
+    var q = segStart
+    val clusters = Vector.newBuilder[Array[Byte]]
+    val rest = Vector.newBuilder[Array[Byte]]
+    while (q < segEnd) {
+      val (cid, cn) = readId(orig, q)
+      val (csz, csn) = readSize(orig, q + cn)
+      val end = q + cn + csn + csz.toInt
+      val span = java.util.Arrays.copyOfRange(orig, q, end)
+      if (cid == 0x1F43B675L) clusters += span else rest += span
+      q = end
+    }
+    assert(clusters.result().nonEmpty, "fixture has clusters")
+    val reordered = orig.slice(0, segStart) ++
+      clusters.result().flatten ++ rest.result().flatten
+    assert(reordered.length == orig.length, "pure reordering")
+    val (codec1, cp1, pk1) = Webm.audioPackets(reordered)
+      .getOrElse(fail("clusters-first demux must succeed"))
+    assert(codec1 == codec0)
+    assert(cp1.toSeq == cp0.toSeq)
+    assert(pk1.length == pk0.length,
+      "leading clusters' packets must not be dropped")
+    pk1.zip(pk0).foreach { case (a, e) =>
+      assert(java.util.Arrays.equals(a, e))
+    }
+  }
+
   test("subtitle track (r13): S_TEXT BlockGroup cues demux to " +
     "(start_ms, end_ms, UTF-8 text) without disturbing the video " +
     "track; a video-only mux reports no subtitle surface") {

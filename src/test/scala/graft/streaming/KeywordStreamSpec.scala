@@ -247,6 +247,40 @@ class KeywordStreamSpec extends SparkTestBase {
     assert(top(Bm25Index.load(spark, s"$root/idx")) == top(whole))
   }
 
+  test("AMBIGUOUS stats flag is surfaced, never guessed and never " +
+    "silently dropped (r17, ADVICE r16: a flag matching neither its " +
+    "pre- nor post-totals used to sit invisible across reconciles, a " +
+    "permanent undercount found only via score drift)") {
+    val root = scratch("ambig")
+    val pre = Bm25Index.build(base, "text", "doc_id", s"$root/idx",
+      nBuckets = 8)
+    val post = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b1, "text", "doc_id")
+    val post2 = Bm25Index.load(spark, s"$root/idx")
+      .appendIfAbsent(b2, "text", "doc_id")
+    // the footprint: b1's flag survived its crash AND an out-of-band
+    // append (b2) landed after — on-disk stats match neither total
+    plantPendingFlag(root, 10L, 11L, pre.n, pre.sumdl, post.n, post.sumdl)
+    val idx = Bm25Index.load(spark, s"$root/idx")
+    assert(idx.ambiguousPendingStats() ==
+      Seq((10L, 11L, pre.n, pre.sumdl, post.n, post.sumdl)),
+      "the unresolvable flag must be listed programmatically")
+    val settled = idx.settlePendingStats()
+    assert(settled.n == post2.n && settled.sumdl == post2.sumdl,
+      "settle must never guess at ambiguous stats arithmetic")
+    assert(new java.io.File(s"$root/idx/_stats_pending/r_10_11").exists,
+      "the flag stays in place for adjudication")
+    assert(settled.ambiguousPendingStats().nonEmpty,
+      "still surfaced after settle")
+    // reconcile cannot see it as missing (postings exist) — but it
+    // must remain surfaced afterwards, not silently swallowed
+    val rec = settled.reconcile(base.union(b1).union(b2), "text",
+      "doc_id")
+    assert(rec.ambiguousPendingStats().nonEmpty)
+    // a genuinely settleable flag is NOT flagged ambiguous (control)
+    assert(idx.missingRanges().isEmpty)
+  }
+
   test("a real file-source stream with AutoCompact: all batches land, " +
     "search sees them, fragmentation stays bounded, ledger survives") {
     val root = scratch("stream")
