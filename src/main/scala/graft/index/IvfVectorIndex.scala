@@ -161,14 +161,25 @@ class IvfVectorIndex private (
     graft.operators.IndexMerge.requireQuiesced(
       spark, path, others.map(_.path))
     IvfVectorIndex.completeRetrain(spark, path)
-    others.foreach(o => IvfVectorIndex.completeRetrain(spark, o.path))
-    graft.operators.IndexMerge.claimRangesAll(
-      spark, path, others.map(_.path))
-    others.foreach { o =>
+    // ownership rename BEFORE the claims read (r17 — see
+    // [[graft.operators.IndexMerge.takeOwnership]]); the vector
+    // families have no marker protocol, so a re-run of a completed
+    // merge sees neither tree: allowMissing keeps that idempotent
+    val owned = graft.operators.IndexMerge.takeOwnership(
+      spark, others.map(_.path), allowMissing = true)
+    owned.foreach(o => IvfVectorIndex.completeRetrain(spark, o))
+    try graft.operators.IndexMerge.claimRangesAll(spark, path, owned)
+    catch {
+      case e: Throwable => // refused before any move: hand back
+        others.foreach(o =>
+          graft.operators.IndexMerge.releaseOwnership(spark, o.path))
+        throw e
+    }
+    owned.zip(others).foreach { case (o, orig) =>
       graft.operators.IndexMerge.movePartitionFiles(
-        fs, new org.apache.hadoop.fs.Path(o.path), dst, "cluster=")
-      fs.delete(new org.apache.hadoop.fs.Path(o.path), true)
-      graft.plans.AnnRouteRule.invalidate(o.path)
+        fs, new org.apache.hadoop.fs.Path(o), dst, "cluster=")
+      fs.delete(new org.apache.hadoop.fs.Path(o), true)
+      graft.plans.AnnRouteRule.invalidate(orig.path)
     }
     // opt-in post-step (r16) — see Bm25Index.mergeAll's note
     if (compact && shouldCompact()) this.compact() else this

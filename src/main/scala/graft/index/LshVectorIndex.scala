@@ -84,12 +84,23 @@ class LshVectorIndex private (
       spark, path, others.map(_.path))
     graft.operators.IndexMerge.requireQuiesced(
       spark, path, others.map(_.path))
-    graft.operators.IndexMerge.claimRangesAll(
-      spark, path, others.map(_.path))
-    others.foreach { o =>
+    // ownership rename BEFORE the claims read (r17 — see
+    // [[graft.operators.IndexMerge.takeOwnership]]); no marker
+    // protocol here, so allowMissing keeps completed-merge re-runs
+    // idempotent
+    val owned = graft.operators.IndexMerge.takeOwnership(
+      spark, others.map(_.path), allowMissing = true)
+    try graft.operators.IndexMerge.claimRangesAll(spark, path, owned)
+    catch {
+      case e: Throwable => // refused before any move: hand back
+        others.foreach(o =>
+          graft.operators.IndexMerge.releaseOwnership(spark, o.path))
+        throw e
+    }
+    owned.foreach { o =>
       graft.operators.IndexMerge.movePartitionFiles(
-        fs, new org.apache.hadoop.fs.Path(o.path), dst, "bucket=")
-      fs.delete(new org.apache.hadoop.fs.Path(o.path), true)
+        fs, new org.apache.hadoop.fs.Path(o), dst, "bucket=")
+      fs.delete(new org.apache.hadoop.fs.Path(o), true)
     }
     // opt-in post-step (r16) — see Bm25Index.mergeAll's note
     if (compact && shouldCompact()) this.compact() else this

@@ -809,31 +809,46 @@ class Bm25Index private (
     IndexMerge.requireQuiesced(spark, path, srcs)
     // a pending marker for a DIFFERENT source set is an older
     // interrupted merge: settle it before starting this one; the SAME
-    // set means this call is the interrupted merge's re-run — resume
-    // with the marker's post-stats. Settling REWRITES `_stats` on
-    // disk, so the handle's (n, sumdl) are stale past it — re-read
-    // rather than computing the new post-merge totals from stale
-    // fields (ADVICE r15: the old marker's contribution was silently
-    // dropped from the new totals).
+    // set (markers record the OWNED sibling names since r17) means
+    // this call is the interrupted merge's re-run — resume with the
+    // marker's post-stats. Settling REWRITES `_stats` on disk, so the
+    // handle's (n, sumdl) are stale past it — re-read rather than
+    // computing the new post-merge totals from stale fields (ADVICE
+    // r15: the old marker's contribution was silently dropped from
+    // the new totals).
+    val ownedSet = srcs.map(IndexMerge.ownedPath).toSet
     var (curN, curSum) = (n, sumdl)
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet) {
+      if (IndexMerge.splitSrcs(src).toSet != ownedSet) {
         Bm25Index.completeMerge(spark, path)
         val st = spark.read.parquet(s"$path/_stats").head()
         curN = st.getLong(0); curSum = st.getLong(1)
       }
     }
+    // take ownership BEFORE reading any claim (r17 — the rename is
+    // the atomic point a restarted source stream can no longer race
+    // past; a resume tolerates already-drained sources)
+    val resume = IndexMerge.readMarker(fs, dst)
+      .exists(m => IndexMerge.splitSrcs(m._1).toSet == ownedSet)
+    val owned = IndexMerge.takeOwnership(spark, srcs,
+      allowMissing = resume)
     val (postN, postSum) = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => (stats(0), stats(1))
       case None =>
-        IndexMerge.claimRangesAll(spark, path, srcs)
-        val s = (curN + others.map(_.n).sum,
-          curSum + others.map(_.sumdl).sum)
-        IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
-          Seq(s._1, s._2, nBuckets.toLong))
-        s
+        try {
+          IndexMerge.claimRangesAll(spark, path, owned)
+          val s = (curN + others.map(_.n).sum,
+            curSum + others.map(_.sumdl).sum)
+          IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(owned),
+            Seq(s._1, s._2, nBuckets.toLong))
+          s
+        } catch {
+          case e: Throwable => // refused before any move: hand back
+            srcs.foreach(s => IndexMerge.releaseOwnership(spark, s))
+            throw e
+        }
     }
-    srcs.foreach { sp =>
+    owned.foreach { sp =>
       val srcP = new org.apache.hadoop.fs.Path(sp)
       IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
       IndexMerge.moveFlatFiles(fs,

@@ -222,14 +222,17 @@ object IndexMerge {
     * index. Retire the checkpoint with the shard; a segment's stream
     * must not outlive its merge.
     *
-    * Scope, stated honestly: the marker is an advisory handshake, not
-    * a lock — it catches the realistic failure (merging a lake whose
-    * stream was never stopped, or restarted since the drain), but a
-    * stream deliberately restarted in the instants BETWEEN this check
-    * and the source delete can still race; "do not restart a
-    * segment's stream while its merge is in flight" remains part of
-    * the single-writer contract, now written down instead of
-    * implicit. */
+    * Scope (r17): for SOURCES this check is now only the early,
+    * friendly error — the authoritative guard is [[takeOwnership]]'s
+    * rename-then-re-check, which closes the r16 check-then-delete
+    * window entirely (a stream restarted after this check passed
+    * either clears the marker before the rename, which the
+    * post-rename re-check catches, or delivers into a fresh tree at
+    * the original path that the merge never touches). The DESTINATION
+    * cannot be renamed (the merge's output lands there), so for dst
+    * the marker remains an advisory handshake: "do not restart the
+    * destination's stream while its merge is in flight" stays part
+    * of the single-writer contract. */
   private[graft] def requireQuiesced(
       spark: SparkSession, dstPath: String, srcs: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -249,6 +252,106 @@ object IndexMerge {
 
   private[graft] def splitSrcs(srcLine: String): Seq[String] =
     srcLine.split('\t').toSeq.filter(_.nonEmpty)
+
+  /** Suffix of a source tree a merge has taken OWNERSHIP of (r17). */
+  private[graft] val OwnedSuffix = ".__merging"
+
+  /** The owned sibling name for a merge source. */
+  private[graft] def ownedPath(src: String): String = {
+    val s = if (src.endsWith("/") && src.length > 1) src.dropRight(1)
+      else src
+    s + OwnedSuffix
+  }
+
+  /** Take ATOMIC ownership of every merge source (r17 — closes the
+    * check-then-delete window the r16 quiesce guard documented at its
+    * own introduction): each source tree is RENAMED to
+    * `<src>.__merging` (same-filesystem rename — atomic) BEFORE any
+    * claim is read or file moved, so a stream deliberately restarted
+    * after [[requireQuiesced]] passed finds NO lake at its configured
+    * path — its next delivery bootstraps a fresh, unmerged lake there
+    * (the documented restart lifecycle) instead of appending into a
+    * tree mid-delete. After the rename the quiesce state is
+    * re-checked INSIDE the owned tree: a `_batches` ledger without
+    * the `_quiesced` marker means a restarted stream's batch ENTRY
+    * (which clears the marker before any effect lands) won the race
+    * to the rename — the tree is handed back and the merge refuses.
+    * A batch entry that fires after the rename is a no-op delete on a
+    * path that no longer exists, so the two outcomes are exhaustive:
+    * either the merge sees the cleared marker and refuses, or the
+    * restarted stream delivers into a fresh tree the merge never
+    * touches.
+    *
+    * Idempotent across crashes: a re-run whose source already sits at
+    * the owned sibling ADOPTS it (orig gone + owned present = this
+    * merge's own interrupted run); `allowMissing` lets a resume
+    * tolerate sources already drained and deleted. Both-exist is an
+    * unresolvable manual state (an older interrupted merge's tree
+    * AND a freshly rebuilt lake) and throws. On any refusal the
+    * sources taken so far are handed back ([[releaseOwnership]]).
+    *
+    * Scope, stated honestly: the DESTINATION cannot be renamed (the
+    * merge's output must land at its path), so dst keeps the advisory
+    * handshake of [[requireQuiesced]] only. */
+  private[graft] def takeOwnership(
+      spark: SparkSession, srcs: Seq[String],
+      allowMissing: Boolean): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val held = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      srcs.map { s =>
+        val orig = new Path(s)
+        val owned = new Path(ownedPath(s))
+        val fs = orig.getFileSystem(conf)
+        val origExists = fs.exists(orig)
+        val ownedExists = fs.exists(owned)
+        if (origExists && ownedExists)
+          throw new IllegalStateException(
+            s"index merge: BOTH $s and ${ownedPath(s)} exist — an " +
+            "older interrupted merge left its owned tree next to a " +
+            "freshly (re)built lake. Finish or discard the owned " +
+            "tree by hand before merging this source again.")
+        if (origExists) {
+          require(fs.rename(orig, owned),
+            s"index merge: cannot take ownership of $s")
+          held += s
+        } else if (!ownedExists && !allowMissing)
+          throw new IllegalStateException(
+            s"index merge: source $s does not exist (and no owned " +
+            "sibling to adopt)")
+        if (ownedExists) held += s // adopted: hand back too on refusal
+        // authoritative re-check, post-rename: the marker can no
+        // longer change under us (clears target the original path)
+        if (fs.exists(owned) &&
+            fs.exists(new Path(owned, "_batches")) &&
+            !fs.exists(new Path(owned, graft.streaming.Quiesce.Marker)))
+          throw new IllegalStateException(
+            s"index merge: $s lost its _quiesced marker between the " +
+            "guard and the ownership rename — its ingest stream " +
+            "restarted since the drain. The tree was handed back; " +
+            "stop the stream and quiesce the lake before merging.")
+        ownedPath(s)
+      }
+    } catch {
+      case e: Throwable =>
+        held.foreach(s => releaseOwnership(spark, s))
+        throw e
+    }
+  }
+
+  /** Hand an owned source tree back to its original path (the merge
+    * refused or failed validation before any file moved). No-op when
+    * the owned tree is gone or the original path is occupied again
+    * (a restarted stream's fresh lake must not be clobbered — the
+    * owned tree then stays for manual adjudication, which
+    * [[takeOwnership]]'s both-exist guard reports on the next run). */
+  private[graft] def releaseOwnership(
+      spark: SparkSession, src: String): Unit = {
+    val owned = new Path(ownedPath(src))
+    val orig = new Path(src)
+    val fs = owned.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(owned) && !fs.exists(orig)) { fs.rename(owned, orig); () }
+  }
 
   /** The multi-way claims step: every (lo, hi) docid claim of every
     * source lands in `dst`'s `_ranges` in ONE append (the sources'

@@ -398,23 +398,37 @@ class ShingleIndex private (
     // first; settling rewrites `_stats`, so re-read rather than trust
     // the handle's nDocs past it (ADVICE r15 — Bm25Index.mergeAll's
     // note)
+    val ownedSet = srcs.map(IndexMerge.ownedPath).toSet
     var curN = nDocs
     IndexMerge.readMarker(fs, dst).foreach { case (src, _) =>
-      if (IndexMerge.splitSrcs(src).toSet != srcs.toSet) {
+      if (IndexMerge.splitSrcs(src).toSet != ownedSet) {
         ShingleIndex.completeMerge(spark, path)
         curN = spark.read.parquet(s"$path/_stats").head().getLong(0)
       }
     }
+    // ownership rename BEFORE the claims read (r17 — see
+    // [[IndexMerge.takeOwnership]]); markers record the owned names
+    val resume = IndexMerge.readMarker(fs, dst)
+      .exists(m => IndexMerge.splitSrcs(m._1).toSet == ownedSet)
+    val owned = IndexMerge.takeOwnership(spark, srcs,
+      allowMissing = resume)
     val postN = IndexMerge.readMarker(fs, dst) match {
       case Some((_, stats)) => stats.head // resuming: post-stats fixed
       case None =>
-        IndexMerge.claimRangesAll(spark, path, srcs)
-        val n = curN + others.map(_.nDocs).sum
-        IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(srcs),
-          Seq(n, ngram.toLong, nBuckets.toLong, if (hashKeys) 1L else 0L))
-        n
+        try {
+          IndexMerge.claimRangesAll(spark, path, owned)
+          val n = curN + others.map(_.nDocs).sum
+          IndexMerge.writeMarker(fs, dst, IndexMerge.joinSrcs(owned),
+            Seq(n, ngram.toLong, nBuckets.toLong,
+              if (hashKeys) 1L else 0L))
+          n
+        } catch {
+          case e: Throwable => // refused before any move: hand back
+            srcs.foreach(s => IndexMerge.releaseOwnership(spark, s))
+            throw e
+        }
     }
-    srcs.foreach { sp =>
+    owned.foreach { sp =>
       val srcP = new org.apache.hadoop.fs.Path(sp)
       IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
       fs.delete(srcP, true)

@@ -259,8 +259,20 @@ object IndexStream {
     Quiesce.clear(spark, indexPath)
     if (BatchLedger.delivered(spark, indexPath, streamId)
       .contains(batchId)) return
-    val grown = graft.operators.Bm25Index.load(spark, indexPath)
-      .appendIfAbsent(batch, textCol, idCol)
+    // bootstrap a FRESH lake when none exists (r17): the first-ever
+    // delivery, or — the documented merge lifecycle — a checkpoint
+    // restarted against a shard path the merge renamed away and
+    // deleted: the restart re-delivers from its offsets into a fresh,
+    // unmerged lake here and never touches the merged destination
+    val statsP = new org.apache.hadoop.fs.Path(indexPath, "_stats")
+    val lakeFs = statsP.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val grown =
+      if (!lakeFs.exists(statsP)) {
+        if (batch.isEmpty) return // nothing to bootstrap from
+        graft.operators.Bm25Index.build(batch, textCol, idCol, indexPath)
+      } else graft.operators.Bm25Index.load(spark, indexPath)
+        .appendIfAbsent(batch, textCol, idCol)
     BatchLedger.record(spark, indexPath, streamId, batchId)
     if (compactEvery == IngestStream.AutoCompact) {
       if (grown.shouldCompact(compactSlack)) { grown.compact(); () }

@@ -231,6 +231,123 @@ class MergeGuardSpec extends SparkTestBase {
     assert(!Quiesce.isMarked(spark, s"$root/dst"))
   }
 
+  // ---------------------------------------------------------------
+  // ownership rename closes the quiesce TOCTOU (r17, verdict r16 #2)
+  // ---------------------------------------------------------------
+
+  test("restart-in-window footprint (marker cleared AFTER the guard " +
+    "passed): ownership refuses and hands the tree back — pre-r17 the " +
+    "same step order (guard, then moves+delete) destroyed the lake " +
+    "under the restarted stream") {
+    val root = scratch("toctou")
+    Bm25Index.build(corpus.filter($"doc_id" < 10), "text", "doc_id",
+      s"$root/dst", nBuckets = 8)
+    Bm25Index.build(corpus.filter($"doc_id" >= 10 && $"doc_id" < 12),
+      "text", "doc_id", s"$root/src", nBuckets = 8)
+    IndexStream.keywordBatch(
+      corpus.filter($"doc_id" >= 12), 0L, "text", "doc_id",
+      s"$root/src", streamId = s"$root/ckpt")
+    Quiesce.mark(spark, s"$root/src")
+    // the TOCTOU: the advisory guard passes...
+    IndexMerge.requireQuiesced(spark, s"$root/dst", Seq(s"$root/src"))
+    // ...and the stream restarts IN the window — its batch entry
+    // clears the marker before any effect lands
+    Quiesce.clear(spark, s"$root/src")
+    // pre-r17, mergeAll's next steps were claims + moves + source
+    // delete: the lake died under the live stream. r17's next step is
+    // the ownership rename, whose post-rename re-check catches the
+    // cleared marker, refuses, and hands the tree back untouched.
+    val e = intercept[IllegalStateException] {
+      IndexMerge.takeOwnership(spark, Seq(s"$root/src"),
+        allowMissing = false)
+    }
+    assert(e.getMessage.contains("restarted since the drain"),
+      e.getMessage)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/src")),
+      "the source tree must be handed back to its original path")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/src${IndexMerge.OwnedSuffix}")),
+      "no owned sibling may linger after the refusal")
+    // the full public surface refuses identically (entry-guard path)
+    val e2 = intercept[IllegalStateException] {
+      Bm25Index.load(spark, s"$root/dst").mergeAll(
+        Seq(Bm25Index.load(spark, s"$root/src")))
+    }
+    assert(e2.getMessage.contains("_quiesced"))
+  }
+
+  test("a stream restarted AFTER the ownership rename bootstraps a " +
+    "FRESH lake at the original path; the owned tree and the merge " +
+    "are untouched by its deliveries") {
+    val root = scratch("postrename")
+    Bm25Index.build(corpus.filter($"doc_id" < 10), "text", "doc_id",
+      s"$root/dst", nBuckets = 8)
+    Bm25Index.build(corpus.filter($"doc_id" >= 10 && $"doc_id" < 13),
+      "text", "doc_id", s"$root/src", nBuckets = 8)
+    IndexStream.keywordBatch(
+      corpus.filter($"doc_id" === 13), 0L, "text", "doc_id",
+      s"$root/src", streamId = s"$root/ckpt")
+    Quiesce.mark(spark, s"$root/src")
+    val src = Bm25Index.load(spark, s"$root/src")
+    val preRows = spark.read.parquet(s"$root/src").count()
+    // ownership taken (what mergeAll does before reading claims)
+    val owned = IndexMerge.takeOwnership(spark, Seq(s"$root/src"),
+      allowMissing = false)
+    // the restarted stream delivers to its configured (original) path:
+    // batch entry's marker clear is a no-op on a missing tree and the
+    // delivery bootstraps a fresh, unmerged lake there
+    IndexStream.keywordBatch(
+      corpus.filter($"doc_id" === 13), 1L, "text", "doc_id",
+      s"$root/src", streamId = s"$root/ckpt")
+    assert(spark.read.parquet(owned.head).count() == preRows,
+      "the owned tree must not see the restarted stream's delivery")
+    val fresh = Bm25Index.load(spark, s"$root/src")
+    assert(fresh.n == 1L, s"fresh lake expected 1 doc, got ${fresh.n}")
+    // hand the owned tree back (merge abandoned) — refuses to clobber
+    // the fresh lake, keeping the state adjudicable
+    IndexMerge.releaseOwnership(spark, s"$root/src")
+    assert(fs0(root).exists(new org.apache.hadoop.fs.Path(
+      s"$root/src${IndexMerge.OwnedSuffix}")),
+      "release must not clobber the restarted stream's fresh lake")
+    // ...and a new merge attempt reports the unresolvable both-exist
+    // state instead of guessing
+    val e = intercept[IllegalStateException] {
+      IndexMerge.takeOwnership(spark, Seq(s"$root/src"),
+        allowMissing = false)
+    }
+    assert(e.getMessage.contains("BOTH"), e.getMessage)
+    assert(src.path == s"$root/src") // silence unused-val lint
+  }
+
+  test("pre-marker crash resume: a re-run ADOPTS the owned tree and " +
+    "completes; the merged lake equals the full-corpus build") {
+    val root = scratch("adopt")
+    Bm25Index.build(corpus.filter($"doc_id" < 10), "text", "doc_id",
+      s"$root/dst", nBuckets = 8)
+    val b = Bm25Index.build(corpus.filter($"doc_id" >= 10), "text",
+      "doc_id", s"$root/src", nBuckets = 8)
+    // crash footprint: ownership taken, death before claims/marker
+    IndexMerge.takeOwnership(spark, Seq(s"$root/src"),
+      allowMissing = false)
+    assert(!fs0(root).exists(new org.apache.hadoop.fs.Path(s"$root/src")))
+    // the re-run (same-process handles, the driver-retry shape)
+    val merged = Bm25Index.load(spark, s"$root/dst").mergeAll(Seq(b))
+    val whole = Bm25Index.build(corpus, "text", "doc_id",
+      s"$root/whole", nBuckets = 8)
+    assert(merged.n == whole.n && merged.sumdl == whole.sumdl)
+    def top(ix: Bm25Index) = ix.search(Seq("quick", "vector"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(merged) == top(whole))
+    assert(!fs0(root).exists(new org.apache.hadoop.fs.Path(
+      s"$root/src${IndexMerge.OwnedSuffix}")),
+      "the adopted tree is drained and deleted by the completed merge")
+  }
+
+  private def fs0(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   test("the quiesce guard covers the DESTINATION too — a stream-fed " +
     "dst must be marked before absorbing shards") {
     val root = scratch("quiescedst")
