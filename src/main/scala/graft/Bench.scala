@@ -110,6 +110,7 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    var gatedWaitSec = 0L // total seconds the start-gate held the run
     def waitForQuietBox(label: String, maxWaitSec: Int): Unit = {
       // r11: tightened 0.5 -> 0.25 of the core count. The r10 artifact
       // recorded retried=67 / spread=0.726 with the re-measure guard
@@ -124,11 +125,17 @@ object Bench {
         System.err.println(
           f"[bench] $label: load $l%.1f >= $quietBelow%.1f, waiting...")
         Thread.sleep(15000)
+        gatedWaitSec += 15
         l = loadAvg()
       }
       System.err.println(f"[bench] $label: starting at load $l%.1f")
     }
     waitForQuietBox("pre-run", maxWaitSec = 600)
+    // explicit start-condition label (r17, the r15 #6 ask): the load
+    // the measured sweep actually started under, recorded in the
+    // artifact so a contended start self-describes instead of needing
+    // the sentinel's post-hoc adjudication alone
+    val startLoad = loadAvg()
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — isolated-attribution runs (r12):
     // measure a named subset with the full pass/guard machinery, so a
@@ -136,8 +143,63 @@ object Bench {
     // competing for the box.
     val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // prior committed artifact: feeds the regression-flag arm AND the
+    // fast tier below (parsed before query selection for the latter)
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val priorQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(benchOut)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+        _.group(1).split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.replace("\"", "") -> v.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    // FAST TIER (r17, the r15 #6 ask): SPARK_GRAFT_BENCH_TIER=fast
+    // (optionally fast:<seconds>) restricts the sweep to queries whose
+    // PRIOR committed time is at or above the threshold — the ~60
+    // above-floor queries carry all the plan-cost signal, and a
+    // mid-round iteration sweep need not pay the ~165 floor-bound ones
+    // (they track floor_scan, not plan changes). Self-maintaining: the
+    // tier derives from the last committed artifact, never a
+    // hard-coded list. The full default sweep remains the per-round
+    // record; tiered artifacts self-label via the "tier" field.
+    val tierEnv = sys.env.get("SPARK_GRAFT_BENCH_TIER")
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val tierFloor: Double = tierEnv match {
+      case Some(t) if t.startsWith("fast") =>
+        t.split(":") match {
+          case Array(_, s) => try s.toDouble catch { case _: Throwable => 0.5 }
+          case _ => 0.5
+        }
+      case _ => 0.0
+    }
+    val tierSet: Option[Set[String]] =
+      if (tierFloor <= 0.0) None
+      else if (priorQueries.isEmpty) {
+        System.err.println("[bench] WARNING: BENCH_TIER=fast requested " +
+          s"but no prior $benchOut to derive the tier from — running " +
+          "the full suite")
+        None
+      } else Some(priorQueries.filter(_._2 >= tierFloor).keySet)
+    tierSet.foreach(s => System.err.println(
+      s"[bench] fast tier: ${s.size} queries with prior >= $tierFloor s"))
+    // a tiered sweep must not clobber the committed full artifact: its
+    // record lands in bench_fast.json unless the caller pointed
+    // SPARK_GRAFT_BENCH_OUT somewhere explicitly
+    val benchWriteOut =
+      if (tierSet.isDefined && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+        "bench_fast.json"
+      else benchOut
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
+      .filter { case (n, _) => tierSet.forall(_.contains(n)) }
     // CODEGEN-WARM PASS (r12): with the class cache sized to the
     // suite, generated code compiles once and is reused by every
     // later pass — so run the whole suite once UNTIMED first. Without
@@ -258,25 +320,10 @@ object Bench {
     // under "isolated" — and the isolated observation also joins the
     // per-query min, so one contended sweep can no longer
     // manufacture a round's watch item.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    val priorQueries: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(benchOut)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
-        _.group(1).split(",").toSeq.flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) =>
-              try Some(k.replace("\"", "") -> v.toDouble)
-              catch { case _: Throwable => None }
-            case _ => None
-          }
-        }.toMap
-      }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
     // A silent parse-to-empty would disable the regression arm with
     // no diagnostic (ADVICE r13) — say so on stderr when the prior
-    // artifact exists but yielded nothing.
+    // artifact exists but yielded nothing. (The map itself is parsed
+    // above, before query selection, so the fast tier can use it.)
     if (priorQueries.isEmpty &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(benchOut)))
       System.err.println(s"[bench] WARNING: prior $benchOut exists but " +
@@ -364,9 +411,10 @@ object Bench {
         .mkString("{", ",", "}")
     // window minus wrapper/footer slack; measured r6 tail layout
     // (slack raised 120→230 in r10 for the floor/best2_spread fields,
-    // →260 in r11 for value_net, →360 in r15 for the sentinel fields)
+    // →260 in r11 for value_net, →360 in r15 for the sentinel fields,
+    // →440 in r17 for tier/start_load/gated_wait_sec)
     val budget = 1950
-    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 360)
+    val qs = Seq(2, 1).map(queriesJson).find(_.length <= budget - 440)
       .getOrElse {
         // last resort: per-query values only for queries above the
         // fold threshold, the rest folded into one bucket — nothing
@@ -383,7 +431,7 @@ object Bench {
             .mkString("{", ",", "}")
         }
         Seq(0.1, 0.25, 0.5, 1.0, 2.0).map(fold)
-          .find(_.length <= budget - 360)
+          .find(_.length <= budget - 440)
           // everything folded always fits: {"_fast_n":N,"_fast_total":X}
           .getOrElse(fold(Double.MaxValue))
       }
@@ -424,8 +472,9 @@ object Bench {
       if (valueNet < 0 || sentinelVals.isEmpty) valueNet
       else valueNet * (sentinelVals.min /
         math.max(sentinelVals.sum / sentinelVals.size, 1e-9))
+    val tierLabel = if (tierSet.isDefined) s"fast:$tierFloor" else "all"
     val stats =
-      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)},"value_net":${num(valueNet)},"sentinel_drift":${num(sentinelDrift)},"value_net_adj":${num(valueNetAdj)},"drift_exceeded":$driftExceeded"""
+      s""""spread":${num(meanSpread)},"best2_spread":${num(best2Spread)},"retried":${needThird.size},"remeasured":$contended,"n_queries":${results.size},"floor":${num(floorEmpty)},"floor_scan":${num(floorScan)},"value_net":${num(valueNet)},"sentinel_drift":${num(sentinelDrift)},"value_net_adj":${num(valueNetAdj)},"drift_exceeded":$driftExceeded,"tier":"$tierLabel","start_load":${num(startLoad)},"gated_wait_sec":$gatedWaitSec"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",$stats,"queries":$qs,"sf":"$sfDir"}"""
     // isolated re-measurements (bench.json only): the clean-box
@@ -438,7 +487,7 @@ object Bench {
     // Persist the full record first so the compact stdout line is the
     // LAST thing printed (fewer trailing chars eating into the tail
     // window; sbt still appends its own [success] footer).
-    val out = benchOut
+    val out = benchWriteOut
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),

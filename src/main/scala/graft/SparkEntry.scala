@@ -275,7 +275,7 @@ object SparkEntry {
       : index.IvfVectorIndex = {
     val path = cachedIndexPath(dir, "embeddings", "ivfmerge_16")
     val shardB = path + "_shard_b"
-    if (new java.io.File(s"$path/_centroids").exists &&
+    if (new java.io.File(s"$path/_manifests").exists &&
         !new java.io.File(shardB).exists)
       index.IvfVectorIndex.load(s, path)
     else {
@@ -305,8 +305,7 @@ object SparkEntry {
   private def ivfGrownIndexAt(s: SparkSession, dir: String)
       : index.IvfVectorIndex = {
     val path = cachedIndexPath(dir, "embeddings", "ivfgrow_8p2")
-    val done = new java.io.File(s"$path/_centroids").exists &&
-      !new java.io.File(s"$path/_retrain").exists &&
+    val done = new java.io.File(s"$path/_manifests").exists &&
       (try index.IvfVectorIndex.load(s, path).model.centroids.length == 10
        catch { case _: Exception => false })
     if (done) index.IvfVectorIndex.load(s, path)
@@ -368,7 +367,7 @@ object SparkEntry {
     val path = cachedIndexPath(dir, "embeddings", "lshmerge_6_42")
     val shardB = path + "_shard_b"
     val lsh = operators.HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
-    if (new java.io.File(s"$path/_lsh_meta.json").exists &&
+    if (new java.io.File(s"$path/_manifests").exists &&
         !new java.io.File(shardB).exists)
       index.LshVectorIndex.load(s, path, Some(lsh))
     else {
@@ -418,7 +417,7 @@ object SparkEntry {
     * codebooks round-trip bit-exact, so load ≡ rebuild. */
   private def ivfpqIndexAt(s: SparkSession, dir: String): index.IvfVectorIndex = {
     val path = cachedIndexPath(dir, "embeddings", "ivfpq_16_8_64")
-    if (new java.io.File(s"$path/_pq").exists)
+    if (new java.io.File(s"$path/_manifests").exists)
       index.IvfVectorIndex.load(s, path)
     else {
       val emb = t(s, dir, "embeddings")

@@ -7,12 +7,12 @@ import graft.operators.{Ivf, Knn, Pq}
 
 /** Vector index stored *partitioned by IVF cluster* — the k-means twin
   * of [[LshVectorIndex]], same 100 TB storage story: vectors land in
-  * `cluster=<id>/` directories at write time, and a search reads ONLY
-  * the `nprobe` probed clusters (Hive partition pruning — unprobed
-  * files are never opened). Unlike the hyperplane buckets, IVF cells
-  * follow the data distribution, so probing the nearest cells gives
-  * better recall per file read on clustered corpora (the usual case for
-  * embedding spaces).
+  * `cluster=<id>/` partition directories at write time, and a search
+  * reads ONLY the `nprobe` probed clusters (Hive partition pruning —
+  * unprobed files are never opened). Unlike the hyperplane buckets,
+  * IVF cells follow the data distribution, so probing the nearest
+  * cells gives better recall per file read on clustered corpora (the
+  * usual case for embedding spaces).
   *
   * With a PQ model supplied at build time this becomes the full faiss
   * IVF+PQ layout: each row also carries an m-byte `code` column, and
@@ -23,23 +23,48 @@ import graft.operators.{Ivf, Knn, Pq}
   * id fetch). At small scale the two-phase cost exceeds the savings;
   * at cluster scale the scan reduction is the whole game.
   *
-  * The codebooks are persisted next to the data (`_centroids/` and
-  * `_pq/`, underscore-prefixed dirs the partition reader ignores) so
-  * `load` searches with exactly the models the index was built with —
-  * floats round-trip bit-exact through parquet. */
+  * STORAGE IS MANIFEST-PINNED SNAPSHOTS (r17 — [[Manifests]]): every
+  * write (build, append, compact, retrain, grow, merge) lands whole in
+  * a fresh `gen=…` directory and becomes visible only through an
+  * atomic manifest commit; committed generations are never mutated.
+  * That makes maintenance safe against CONCURRENT READERS — a plan
+  * resolved before a compact or a grow reads its pinned snapshot to
+  * completion while the maintenance commits the next one beside it
+  * (the discipline the flat versioned [[VectorIndex]] always had,
+  * which the pre-r17 directory-swap compact and delete-then-promote
+  * retrain loop lacked). Writers remain single-writer per index, as
+  * for every lake in this engine. Codebooks version WITH the data
+  * (`_books/…`, referenced by the manifest) so a pinned snapshot is
+  * read with exactly the book its rows were assigned under. */
 class IvfVectorIndex private (
     val spark: SparkSession,
     val path: String,
     val model: Ivf.Model,
     val pqModel: Option[Pq.Model]) {
 
-  def df: DataFrame = spark.read.parquet(path)
+  /** The CURRENT committed snapshot, resolved now: file listing and
+    * schema come from the newest manifest, and the returned plan
+    * stays valid through [[Manifests.DefaultRetain]]−1 subsequent
+    * maintenance commits (snapshot isolation for concurrent
+    * readers). */
+  def df: DataFrame =
+    Manifests.dataFrame(spark, path, Manifests.require(spark, path))
 
   /** Exact top-k inside the probed clusters (approximate overall;
-    * nprobe = k clusters degrades gracefully to exact full-scan). */
+    * nprobe = k clusters degrades gracefully to exact full-scan).
+    * Probes rank over OCCUPIED cells only (r17): sustained grow
+    * maintenance can empty a cell (its mass captured into new cells),
+    * and a probe slot spent on it would return nothing — skipping
+    * dead cells strictly adds candidates at the same nprobe, and
+    * keeps a long-maintained codebook's dead entries costless at
+    * query time. */
   def search(queryVec: Array[Float], k: Int, nprobe: Int = 1): DataFrame = {
-    val probes = model.nearest(queryVec, nprobe)
-    Knn.search(df.filter(col("cluster").isin(probes: _*)),
+    val m = Manifests.require(spark, path)
+    val occupied = m.parts
+      .map(p => Manifests.partitionValueOf(p).toInt).toSet
+    val probes = model.nearestAmong(queryVec, nprobe, occupied)
+    Knn.search(Manifests.dataFrame(spark, path, m)
+        .filter(col("cluster").isin(probes: _*)),
       "vector", "docid", queryVec, k)
   }
 
@@ -53,8 +78,12 @@ class IvfVectorIndex private (
       refine: Int = 5): DataFrame = {
     val pq = pqModel.getOrElse(throw new IllegalStateException(
       s"Index at $path was built without a PQ model — use search()"))
-    val probes = model.nearest(queryVec, nprobe)
-    val probed = df.filter(col("cluster").isin(probes: _*))
+    val m = Manifests.require(spark, path)
+    val occupied = m.parts
+      .map(p => Manifests.partitionValueOf(p).toInt).toSet
+    val probes = model.nearestAmong(queryVec, nprobe, occupied)
+    val probed = Manifests.dataFrame(spark, path, m)
+      .filter(col("cluster").isin(probes: _*))
     val shortlist = Pq.adcScore(probed.select("docid", "code"), "code",
         queryVec, pq)
       .orderBy(desc("adc_score"), col("docid").asc)
@@ -68,22 +97,23 @@ class IvfVectorIndex private (
 
   /** Incremental maintenance: assign new rows with the STORED codebook
     * (so existing partition pruning stays valid — the codebook is the
-    * index's contract, never retrained on append) and append their
-    * files into the matching `cluster=` partitions; optionally PQ-code
-    * them when the index carries codes. Unprobed clusters still never
-    * open; a drifted corpus wants a rebuild, not an append — same
-    * trade faiss documents for IVF.
+    * index's contract, never retrained on append) and land them in a
+    * fresh generation; optionally PQ-code them when the index carries
+    * codes. Unprobed clusters still never open; a drifted corpus
+    * wants grow/retrain ([[growClusters]]/[[retrainInPlace]]), not an
+    * append — same trade faiss documents for IVF.
     *
-    * Crash footprint: the existing generation is never touched (pure
-    * file adds; in-flight task output lives under `_temporary`, which
-    * readers ignore), so an interrupted append leaves the old rows
-    * fully readable — spec-pinned in IvfIndexCrashSpec. What it does
-    * NOT have is the postings lakes' `_ranges` replay ledger: a crash
-    * during job commit can land a visible SUBSET of the batch, and a
-    * blind re-run appends the whole batch again (duplicate docids).
-    * Recovery contract: re-append after `df.filter` shows the batch's
-    * docids absent, or dedup by docid at read, or rebuild. */
+    * Crash footprint (r17, strictly better than the pre-manifest
+    * append): the batch becomes visible ONLY at the manifest commit,
+    * so an interrupted append leaves the index exactly as before —
+    * no visible-subset window — and the orphan generation is reaped
+    * by the next commit. The `_ranges` claim lands after the commit
+    * (stats-last analogue): a crash in between leaves the batch
+    * visible but unclaimed by the shard-merge guard — never a false
+    * claim; per-append replay protection stays the caller's job
+    * ([[graft.streaming.BatchLedger]] on the streaming path). */
   def append(docs: DataFrame, vecCol: String, idCol: String): IvfVectorIndex = {
+    val m = Manifests.require(spark, path)
     val assigned = Ivf.assign(docs, vecCol, model)
       .withColumnRenamed(vecCol, "vector")
       .withColumnRenamed(idCol, "docid")
@@ -91,14 +121,16 @@ class IvfVectorIndex private (
       case Some(pq) => Pq.encode(assigned, "vector", pq)
       case None => assigned
     }
-    coded.sortWithinPartitions("cluster", "docid")
-      .write.mode("append").partitionBy("cluster").parquet(path)
-    // note the batch's docid interval in `_ranges` (r15) — the ledger
-    // the shard-merge disjointness guard reads. Noted AFTER the data
-    // write (stats-last analogue): a crash in between leaves this
-    // batch invisible to the guard, never a false claim; per-append
-    // replay protection stays the caller's job (BatchLedger on the
-    // streaming path), unchanged contract.
+    val gen = Manifests.genDirName(m.n + 1)
+    // repartition ON the cluster before partitionBy (r14/r16 lesson):
+    // without it every task writes a sliver into every cluster dir it
+    // holds rows for — tasks × clusters files per batch
+    coded.repartition(col("cluster"))
+      .sortWithinPartitions("cluster", "docid")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/$gen")
+    Manifests.commit(spark, path, m.book,
+      m.parts ++ Manifests.listParts(spark, path, gen))
     val Array(idr) = docs.agg(
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
     if (!idr.isNullAt(0))
@@ -111,30 +143,25 @@ class IvfVectorIndex private (
 
   /** Absorb `other` — a shard built with the SAME codebooks (IVF
     * centroids and, when coded, the PQ books, bit-equal) — by pure
-    * file moves: every shard assigns vectors with the shared book, so
-    * shard A's `cluster=7` and shard B's `cluster=7` are disjoint row
-    * sets of the same merged partition. The 100 TB build shape: train
-    * the codebook once on a sample, broadcast it, build shard indexes
-    * in parallel (each a local sort + write), merge as O(files)
-    * renames.
-    *
-    * Unlike the postings lakes there is no stats or ledger state to
-    * tear: a crash mid-merge leaves some rows still in `other` —
-    * both directories remain individually consistent and re-running
-    * `merge` completes the move (idempotent). `other`'s directory is
-    * deleted on completion. */
+    * directory moves: every shard assigns vectors with the shared
+    * book, so the shards' generations are disjoint row sets of the
+    * same index and merge as O(generations) renames (r17 — was
+    * O(files)). The 100 TB build shape: train the codebook once on a
+    * sample, broadcast it, build shard indexes in parallel (each a
+    * local sort + write), merge as metadata. */
   def merge(other: IvfVectorIndex): IvfVectorIndex = mergeAll(Seq(other))
 
-  /** Multi-way [[merge]] (r15): absorb many shards in one call —
-    * docid-range claims validate ONCE over every source's `_ranges`
-    * ledger ([[graft.operators.IndexMerge.claimRangesAll]], the same
-    * guard the postings lakes enforce: a PARTIAL overlap between
-    * shards throws instead of silently duplicating docids; indexes
-    * built before the ledger existed merge unchecked — unknowable),
-    * then each source's cluster files move in (renames parallel per
-    * partition dir). A crash mid-way leaves every directory
-    * individually consistent and a re-run completes the move (claims
-    * are value-idempotent, moves skip drained sources). */
+  /** Multi-way [[merge]] (r15): docid-range claims validate ONCE over
+    * every source's `_ranges` ledger ([[graft.operators.IndexMerge
+    * .claimRangesAll]] — a PARTIAL overlap between shards throws
+    * instead of silently duplicating docids; indexes built before the
+    * ledger existed merge unchecked — unknowable). Crash protocol
+    * (r17): sources are owned by rename ([[graft.operators.IndexMerge
+    * .takeOwnership]] — closes the quiesce TOCTOU), a
+    * `_merge_pending` marker precedes the generation moves, and every
+    * [[IvfVectorIndex.load]] rolls an interrupted merge forward
+    * ([[Manifests.completeMerge]]); the destination's readers see the
+    * absorbed shards atomically at the manifest commit. */
   def mergeAll(others: Seq[IvfVectorIndex],
       compact: Boolean = false): IvfVectorIndex = {
     if (others.isEmpty) return this
@@ -160,14 +187,15 @@ class IvfVectorIndex private (
       spark, path, others.map(_.path))
     graft.operators.IndexMerge.requireQuiesced(
       spark, path, others.map(_.path))
-    IvfVectorIndex.completeRetrain(spark, path)
+    // settle ANY interrupted merge first (an older one, or this very
+    // merge's crashed run — settling it IS the resume)
+    Manifests.completeMerge(spark, path)
     // ownership rename BEFORE the claims read (r17 — see
-    // [[graft.operators.IndexMerge.takeOwnership]]); the vector
-    // families have no marker protocol, so a re-run of a completed
-    // merge sees neither tree: allowMissing keeps that idempotent
+    // [[graft.operators.IndexMerge.takeOwnership]]); a re-run of a
+    // completed merge sees neither tree: allowMissing keeps that
+    // idempotent
     val owned = graft.operators.IndexMerge.takeOwnership(
       spark, others.map(_.path), allowMissing = true)
-    owned.foreach(o => IvfVectorIndex.completeRetrain(spark, o))
     try graft.operators.IndexMerge.claimRangesAll(spark, path, owned)
     catch {
       case e: Throwable => // refused before any move: hand back
@@ -175,24 +203,26 @@ class IvfVectorIndex private (
           graft.operators.IndexMerge.releaseOwnership(spark, o.path))
         throw e
     }
-    owned.zip(others).foreach { case (o, orig) =>
-      graft.operators.IndexMerge.movePartitionFiles(
-        fs, new org.apache.hadoop.fs.Path(o), dst, "cluster=")
-      fs.delete(new org.apache.hadoop.fs.Path(o), true)
-      graft.plans.AnnRouteRule.invalidate(orig.path)
-    }
+    graft.operators.IndexMerge.writeMarker(
+      fs, dst, graft.operators.IndexMerge.joinSrcs(owned), Seq(0L))
+    Manifests.completeMerge(spark, path) // runs THIS merge to the end
+    others.foreach(o => graft.plans.AnnRouteRule.invalidate(o.path))
     // opt-in post-step (r16) — see Bm25Index.mergeAll's note
     if (compact && shouldCompact()) this.compact() else this
   }
 
-  /** `(fileCount, bytes)` of the `cluster=*` data tree — the part a
-    * many-shard merge fragments (each shard leaves its own files in
-    * every cluster partition). */
+  /** `(fileCount, bytes)` of the current snapshot's data tree — the
+    * part a many-shard merge or append cadence fragments. */
   def storageFootprint(): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    graft.operators.IndexMerge.bucketFootprint(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
-      prefix = "cluster=")
+    val m = Manifests.require(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = m.parts.flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$p")
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).toSeq
+      else Seq.empty
+    }
+    (stats.length.toLong, stats.map(_.getLen).sum)
   }
 
   /** The auto-compaction trigger ([[graft.operators.ShingleIndex
@@ -218,10 +248,9 @@ class IvfVectorIndex private (
     *     STORED centroids of the flagged clusters (a refinement of
     *     the existing book, not a restart — ids keep their meaning);
     *  3. reassign the rows among the refined centroids (local index →
-    *     the same global cluster ids), materialize BEFORE touching
-    *     storage, delete exactly the flagged `cluster=` directories,
-    *     append the reassigned rows, overwrite the `_centroids`
-    *     sidecar with the patched codebook.
+    *     the same global cluster ids) and commit the rewritten
+    *     partitions + patched codebook as one snapshot
+    *     ([[commitRewrite]] — atomic visibility, reader-safe).
     *
     * PQ codes are content-addressed (vector × the global PQ book), so
     * rows keep their codes through reassignment — no re-encoding.
@@ -231,19 +260,13 @@ class IvfVectorIndex private (
     * now prefer a refined centroid stays where it is until the next
     * full rebuild — retrain-in-place buys recall in the drifted
     * region for IO proportional to the drifted partitions, not the
-    * corpus. Same concurrency contract as [[compact]]: maintenance
-    * windows only. */
+    * corpus. */
   def retrainInPlace(
       driftedClusters: Seq[Int], iters: Int = 5): IvfVectorIndex = {
     require(driftedClusters.nonEmpty, "no drifted clusters given")
     require(driftedClusters.forall(c =>
       c >= 0 && c < model.centroids.length),
       s"cluster ids out of range: $driftedClusters")
-    // settle any older interrupted retrain BEFORE reading the live
-    // tree: the k-means refinement below runs eager Spark jobs over
-    // the drifted partitions, and a committed-but-unapplied staging
-    // would leave it training on a superseded generation
-    IvfVectorIndex.completeRetrain(spark, path)
     val drifted = driftedClusters.distinct.sorted
     val rows = df.filter(
       col("cluster").isin(drifted.map(Integer.valueOf): _*))
@@ -260,76 +283,50 @@ class IvfVectorIndex private (
     drifted.zipWithIndex.foreach { case (g, i) =>
       patched(g) = local.centroids(i)
     }
-    stageAndCommit(drifted, reassigned, patched)
+    commitRewrite(drifted, reassigned, patched)
   }
 
-  /** The staged roll-forward commit shared by [[retrainInPlace]] and
-    * [[growClusters]] (r14, factored r16): the old delete-then-append
-    * lost the touched clusters' rows if the JVM died between the
-    * partition delete and the append (the reassigned rows lived only
-    * in executor-memory checkpoint blocks). Protocol, mirroring
-    * [[Generations]]:
-    *
-    *   1. write the reassigned rows AND the patched codebook whole
-    *      into `<path>/_retrain` (underscore dir — invisible to the
-    *      partition reader, same filesystem so renames are renames);
-    *   2. drop a COMMIT marker — the point of no return;
-    *   3. per touched cluster: delete live `cluster=c`, rename the
-    *      staged one in; then swap the codebook sidecar; then delete
-    *      the staging dir. Every step idempotent.
-    *
-    * A crash BEFORE the marker rolls back at next load (index
-    * untouched); a crash AFTER it rolls FORWARD at next load
-    * ([[IvfVectorIndex.completeRetrain]]) — some clusters old, some
-    * new mid-commit is fine because the staged data is the complete
-    * row set of every touched cluster. `touched` may include ids past
-    * the current codebook (the grow path's NEW clusters): their live
-    * partitions simply do not exist yet and the promote renames them
-    * in. */
-  private def stageAndCommit(
+  /** The snapshot commit shared by [[retrainInPlace]] and
+    * [[growClusters]] (r14 staged roll-forward, re-founded on
+    * [[Manifests]] in r17): the reassigned rows land whole in a fresh
+    * generation, the patched codebook in a fresh `_books` dir, and
+    * ONE manifest commit atomically (a) replaces every touched
+    * cluster's partitions, (b) drops a touched cluster that ended
+    * refinement with zero rows (routine k-means: a refined neighbor
+    * stole everything), and (c) swaps the codebook. A crash BEFORE
+    * the commit leaves the index untouched (the orphan generation is
+    * reaped later); there is no after-window to roll forward — the
+    * commit IS the point of completion. Concurrent readers pinned to
+    * the previous snapshot read it undisturbed. */
+  private def commitRewrite(
       touched: Seq[Int],
       reassigned: DataFrame,
-      patched: Array[Array[Float]]): IvfVectorIndex = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(path, "_retrain")
-    if (fs.exists(staging)) fs.delete(staging, true)
+      patched: Array[Array[Float]],
+      maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
+    val m = Manifests.require(spark, path)
+    val gen = Manifests.genDirName(m.n + 1)
     // repartition ON the cluster before partitionBy (r16 — the r14
-    // postings-lake lesson applied to the staging write): without it
-    // every read task writes a sliver into every staged cluster dir
-    // it holds rows for — tasks × clusters files, the measured cost
+    // postings-lake lesson applied to the rewrite): without it every
+    // read task writes a sliver into every staged cluster dir it
+    // holds rows for — tasks × clusters files, the measured cost
     // driver of a many-partition grow (GrowScaleProbe); one shuffle
-    // of the touched rows buys whole-partition docid-sorted files
+    // of the touched rows buys whole-partition docid-sorted files.
+    // maxRecordsPerFile (r17, ADVICE r16) keeps a HOT cluster from
+    // becoming one oversized single file.
     reassigned.repartition(col("cluster"))
       .sortWithinPartitions("cluster", "docid")
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$path/_retrain/data")
-    // A touched cluster that ends refinement with ZERO reassigned rows
-    // (routine k-means: another refined centroid stole everything,
-    // e.g. after an earlier retrain moved a neighbor onto its rows)
-    // gets NO `cluster=c` dir from partitionBy — and the roll-forward
-    // promotes only staged dirs, so its LIVE partition would survive
-    // while its rows also land in the staged neighbors: duplicates.
-    // Stage an explicit EMPTY dir for every such cluster; the promote
-    // step then replaces the live partition with "no rows", which is
-    // exactly the refinement's verdict. (Empty dirs keep the promote
-    // loop idempotent where a cluster list in the marker would not:
-    // once renamed in, the staged dir is gone and a re-run skips it —
-    // re-deleting from a list would destroy an already-promoted
-    // partition.)
-    touched.foreach { c =>
-      val stagedPart = new org.apache.hadoop.fs.Path(
-        s"$path/_retrain/data/cluster=$c")
-      if (!fs.exists(stagedPart)) fs.mkdirs(stagedPart)
-    }
-    import spark.implicits._
-    patched.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_retrain/centroids")
-    fs.create(new org.apache.hadoop.fs.Path(staging, "COMMIT")).close()
-    IvfVectorIndex.completeRetrain(spark, path)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cluster")
+      .parquet(s"$path/$gen")
+    val book = Manifests.bookName(m.n + 1)
+    IvfVectorIndex.writeBook(spark, path, book, patched, pqModel)
+    val touchedSet = touched.toSet
+    val kept = m.parts.filterNot(p =>
+      touchedSet.contains(Manifests.partitionValueOf(p).toInt))
+    Manifests.commit(spark, path, Some(book),
+      kept ++ Manifests.listParts(spark, path, gen))
+    graft.plans.AnnRouteRule.invalidate(path)
     new IvfVectorIndex(spark, path, Ivf.Model(patched), pqModel)
   }
 
@@ -367,19 +364,18 @@ class IvfVectorIndex private (
     *     every row against the patched book (the same full-scan
     *     class as [[graft.operators.Ivf.drift]]'s reference side),
     *     and every partition holding a row that now routes to a new
-    *     cell is rewritten through the staged roll-forward of
-    *     [[retrainInPlace]] — so after the commit, assignment ==
-    *     routing for EVERY row of the lake, restoring exact
-    *     self-consistency with a strictly better-fitting book.
+    *     cell is rewritten through [[commitRewrite]] — so after the
+    *     commit, assignment == routing for EVERY row of the lake,
+    *     restoring exact self-consistency with a strictly
+    *     better-fitting book.
     *
     * IO: training is pruned to the flagged partitions; the capture
     * pass is map-only over the lake (no shuffle); the rewrite reads
     * and writes only partitions that actually contain movers. PQ
     * codes are content-addressed, so rows keep their codes; the
     * patched codebook has `k + add` rows and [[search]]'s pruning
-    * contract extends to the new cells automatically. Same
-    * concurrency contract as [[compact]]: maintenance windows or
-    * inside the single-writer stream
+    * contract extends to the new cells automatically. Single-writer
+    * like all maintenance; readers are snapshot-safe
     * ([[graft.streaming.IndexStream.ingestIvf]]'s `growMeanRatio`
     * wires the drift report's shape to this choice). */
   def growClusters(
@@ -390,7 +386,6 @@ class IvfVectorIndex private (
     require(driftedClusters.forall(c =>
       c >= 0 && c < model.centroids.length),
       s"cluster ids out of range: $driftedClusters")
-    IvfVectorIndex.completeRetrain(spark, path)
     val drifted = driftedClusters.distinct.sorted
     val k0 = model.centroids.length
     val candidates = df.filter(
@@ -450,48 +445,71 @@ class IvfVectorIndex private (
       col("cluster").isin(touched.map(Integer.valueOf): _*))
     val reassigned = Ivf.assign(rows.drop("cluster"), "vector",
       patchedModel)
-    stageAndCommit(touched ++ (k0 until k0 + add), reassigned, patched)
+    commitRewrite(touched, reassigned, patched)
   }
 
-  /** Offline maintenance: rewrite the data files at the target file
-    * size (repeated appends leave one small file per append per
-    * cluster; small files tax every scan's task scheduling). Rewrites
-    * into a sibling directory then swaps via the two-rename
-    * [[Generations.swap]] (r14 — was delete-then-rename, whose crash
-    * window left NO readable index on disk); every [[IvfVectorIndex
-    * .load]] runs the matching repair. Still NOT safe against
-    * concurrent readers (this index trades the flat [[VectorIndex]]'s
-    * versioned storage for partition layout; compact during a
-    * maintenance window, or rebuild to a fresh path). */
-  def compact(maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
-    // settle any interrupted retrain first: the sibling rewrite below
-    // carries only data + codebook sidecars, so a pending `_retrain`
-    // staging dir would be silently dropped by the swap
-    IvfVectorIndex.completeRetrain(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-    // re-sort while rewriting: reading the old files yields arbitrary
-    // row order, and compaction must restore the docid-sorted layout
-    // the fetch-path row-group pruning depends on (see build)
-    spark.read.parquet(path)
+  /** RE-FIT the codebook to the current corpus and rewrite the whole
+    * snapshot under it — the bounded-k escape hatch for SUSTAINED
+    * drift (r17, the r16 verdict's #3): [[growClusters]] only ever
+    * ADDS cells (one per flagged cluster per epoch), so a corpus
+    * whose modes keep moving grows k monotonically and every epoch
+    * pays the lake-wide capture scan. When k crosses the operator's
+    * bound (see [[graft.streaming.IndexStream.ingestIvf]]'s
+    * `maxCells`), one rebuild re-fits the ORIGINAL cell budget to
+    * everything the lake now holds: dead cells disappear, novel
+    * modes get first-class cells, k resets.
+    *
+    * Unlike [[IvfVectorIndex.build]] this preserves the index's
+    * operational sidecars (`_ranges` claims, `_batches` delivery
+    * ledger, `_quiesced`) — a streaming ingest's replay protection
+    * must survive the maintenance — and commits through the same
+    * snapshot protocol as every other rewrite (concurrent readers
+    * pinned to the old book + old layout finish undisturbed). */
+  def rebuild(newModel: Ivf.Model,
+      maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
+    require(newModel.dim == model.dim,
+      s"rebuild: dimension mismatch (${newModel.dim} vs ${model.dim})")
+    val reassigned = Ivf.assign(df.drop("cluster"), "vector", newModel)
+    val m = Manifests.require(spark, path)
+    val gen = Manifests.genDirName(m.n + 1)
+    reassigned.repartition(col("cluster"))
       .sortWithinPartitions("cluster", "docid")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")
-      .parquet(tmp.toString)
-    // carry the codebook sidecars over, then swap; `_pq` before
-    // `_centroids` — the generation-complete marker lands last
-    // (`_ranges` is the shard-merge disjointness ledger, r15)
-    val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_ranges", "_batches", "_quiesced", "_pq", "_centroids")
-      .foreach { sub =>
-      val src = new org.apache.hadoop.fs.Path(cur, sub)
-      if (fs.exists(src)) org.apache.hadoop.fs.FileUtil.copy(
-        fs, src, fs, new org.apache.hadoop.fs.Path(tmp, sub),
-        false, spark.sparkContext.hadoopConfiguration)
-    }
-    Generations.swap(spark, path)
+      .parquet(s"$path/$gen")
+    val book = Manifests.bookName(m.n + 1)
+    IvfVectorIndex.writeBook(spark, path, book, newModel.centroids, pqModel)
+    Manifests.commit(spark, path, Some(book),
+      Manifests.listParts(spark, path, gen))
+    graft.plans.AnnRouteRule.invalidate(path)
+    new IvfVectorIndex(spark, path, newModel, pqModel)
+  }
+
+  /** Offline maintenance: rewrite the data files at the target file
+    * size (repeated appends leave one small file per append per
+    * cluster; small files tax every scan's task scheduling). The
+    * rewrite lands in a fresh generation and one manifest commit
+    * makes it the whole snapshot — CONCURRENT READERS pinned to the
+    * previous snapshot are undisturbed (r17; the pre-manifest
+    * directory swap was honest about not being reader-safe). */
+  def compact(maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
+    val m = Manifests.require(spark, path)
+    val gen = Manifests.genDirName(m.n + 1)
+    // re-sort while rewriting: reading the old files yields arbitrary
+    // row order, and compaction must restore the docid-sorted layout
+    // the fetch-path row-group pruning depends on (see build); the
+    // cluster repartition folds a many-file partition into one task's
+    // whole-partition files
+    Manifests.dataFrame(spark, path, m)
+      .repartition(col("cluster"))
+      .sortWithinPartitions("cluster", "docid")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cluster")
+      .parquet(s"$path/$gen")
+    Manifests.commit(spark, path, m.book,
+      Manifests.listParts(spark, path, gen))
     graft.plans.AnnRouteRule.invalidate(path)
     this
   }
@@ -500,7 +518,8 @@ class IvfVectorIndex private (
 object IvfVectorIndex {
 
   /** Build from (docid, vector, …) rows with a trained codebook; pass
-    * `pqModel` to also store m-byte PQ codes (the IVF+PQ layout). */
+    * `pqModel` to also store m-byte PQ codes (the IVF+PQ layout). A
+    * rebuild over an existing path replaces the index whole. */
   def build(
       docs: DataFrame,
       vecCol: String,
@@ -510,6 +529,10 @@ object IvfVectorIndex {
       pqModel: Option[Pq.Model] = None,
       maxRecordsPerFile: Long = 5000000L): IvfVectorIndex = {
     val spark = docs.sparkSession
+    // a build REPLACES the path (the pre-manifest overwrite semantics)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
     val assigned = Ivf.assign(docs, vecCol, model)
       .withColumnRenamed(vecCol, "vector")
       .withColumnRenamed(idCol, "docid")
@@ -517,17 +540,24 @@ object IvfVectorIndex {
       case Some(pq) => Pq.encode(assigned, "vector", pq)
       case None => assigned
     }
+    val gen = Manifests.genDirName(1L)
     // docid-sorted files: parquet row-group min/max stats on docid are
     // then disjoint ranges, so the shortlist re-rank (searchAdc) and
     // candidate-vector fetches (Bm25Index.hybridSearch) prune to the
     // few row groups holding their In(docid) set instead of decoding
     // every group — unsorted files have near-full-range stats and
-    // prune nothing. Local sort only (no shuffle added).
-    coded.sortWithinPartitions("cluster", "docid").write
+    // prune nothing. The cluster repartition buys whole-partition
+    // files (one task per cluster, not tasks × clusters slivers).
+    coded.repartition(col("cluster"))
+      .sortWithinPartitions("cluster", "docid").write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster")
-      .parquet(path)
+      .parquet(s"$path/$gen")
+    val book = Manifests.bookName(1L)
+    writeBook(spark, path, book, model.centroids, pqModel)
+    Manifests.commit(spark, path, Some(book),
+      Manifests.listParts(spark, path, gen))
     // fresh build: reset the docid-range ledger to this corpus's
     // interval (r15) — [[mergeAll]]'s shard-disjointness guard
     val Array(idr) = docs.agg(
@@ -535,20 +565,6 @@ object IvfVectorIndex {
     if (!idr.isNullAt(0))
       graft.operators.IndexMerge.resetRange(
         spark, path, idr.getLong(0), idr.getLong(1))
-    import spark.implicits._
-    model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
-    pqModel.foreach { pq =>
-      // flatten m x ksub x dsub to rows (subspace, centroid, values)
-      pq.codebooks.zipWithIndex.flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
-      }.toSeq.toDF("subspace", "centroid", "values")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_pq")
-    }
     // A rebuild over an existing path replaces the codebook: sessions
     // with spark.graft.ann.autoRoute=true must not keep routing with
     // the stale cached centroids (probes against old centroids over new
@@ -557,76 +573,50 @@ object IvfVectorIndex {
     new IvfVectorIndex(spark, path, model, pqModel)
   }
 
-  /** Roll an interrupted [[IvfVectorIndex.retrainInPlace]] to a
-    * consistent state — called by every [[load]] (and by retrain and
-    * compact before they start):
-    *
-    *  - staging present WITHOUT its COMMIT marker → the crash hit
-    *    before the point of no return: roll BACK (delete staging; the
-    *    live index was never touched);
-    *  - staging present WITH the marker → roll FORWARD, each step
-    *    idempotent: per staged `cluster=c` delete the live partition
-    *    and rename the staged one in (a re-run skips clusters whose
-    *    staged dir is already gone), then swap the staged codebook
-    *    into `_centroids` (delete live, rename staged — a crash
-    *    between the two re-runs the rename next load), then delete
-    *    the staging dir.
-    *
-    * No-op when no staging dir exists — the hot path costs one
-    * exists() probe. */
-  private[index] def completeRetrain(
-      spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(path, "_retrain")
-    if (!fs.exists(staging)) return
-    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "COMMIT"))) {
-      fs.delete(staging, true) // uncommitted: the live index is intact
-      return
+  /** Persist a codebook version under `_books/<name>`: the IVF
+    * centroids (and the PQ books when coded) — referenced by the
+    * manifest, immutable once written, reaped with the manifests that
+    * reference it. */
+  private[index] def writeBook(
+      spark: SparkSession, path: String, name: String,
+      centroids: Array[Array[Float]], pqModel: Option[Pq.Model]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_books/$name/centroids")
+    pqModel.foreach { pq =>
+      // flatten m x ksub x dsub to rows (subspace, centroid, values)
+      pq.codebooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
+      }.toSeq.toDF("subspace", "centroid", "values")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_books/$name/pq")
     }
-    val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
-    if (fs.exists(dataDir)) {
-      fs.listStatus(dataDir)
-        .filter(_.getPath.getName.startsWith("cluster="))
-        .foreach { st =>
-          val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
-          if (fs.exists(live)) fs.delete(live, true)
-          require(fs.rename(st.getPath, live),
-            s"retrain recovery: cannot promote ${st.getPath}")
-        }
-    }
-    val cenStaged = new org.apache.hadoop.fs.Path(staging, "centroids")
-    if (fs.exists(cenStaged)) {
-      val cenLive = new org.apache.hadoop.fs.Path(path, "_centroids")
-      if (fs.exists(cenLive)) fs.delete(cenLive, true)
-      require(fs.rename(cenStaged, cenLive),
-        "retrain recovery: cannot swap the codebook sidecar")
-    }
-    fs.delete(staging, true)
-    graft.plans.AnnRouteRule.invalidate(path)
-    ()
   }
 
-  /** Open an index, recovering the persisted codebook(s); runs the
-    * two maintenance repairs first (mid-compact swap, mid-retrain
-    * commit) so a crashed maintenance window never leaves an
-    * unreadable index. */
+  /** Open an index, recovering the persisted codebook(s) of the
+    * current snapshot; rolls an interrupted shard merge forward
+    * first ([[Manifests.completeMerge]]) so a crashed merge window
+    * never leaves a half-absorbed index. */
   def load(spark: SparkSession, path: String): IvfVectorIndex = {
-    Generations.recover(spark, path, "_centroids")
-    completeRetrain(spark, path)
+    Manifests.completeMerge(spark, path)
+    val m = Manifests.require(spark, path)
+    val book = m.book.getOrElse(throw new IndexNotFoundException(
+      s"No IVF codebook recorded in the manifest at $path"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def exists(sub: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
-    if (!exists("_centroids")) throw new IndexNotFoundException(
-      s"No IVF codebook at $path/_centroids")
-    val rows = spark.read.parquet(s"$path/_centroids")
-      .orderBy("cluster").collect()
+    val cdir = s"$path/_books/$book/centroids"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cdir)))
+      throw new IndexNotFoundException(s"No IVF codebook at $cdir")
+    val rows = spark.read.parquet(cdir).orderBy("cluster").collect()
     val centroids = rows.map(_.getSeq[Float](1).toArray)
+    val pqDir = s"$path/_books/$book/pq"
     val pq =
-      if (!exists("_pq")) None
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir))) None
       else {
-        val cells = spark.read.parquet(s"$path/_pq")
+        val cells = spark.read.parquet(pqDir)
           .orderBy("subspace", "centroid").collect()
           .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
         Some(Pq.Model(cells.groupBy(_._1).toSeq.sortBy(_._1)

@@ -11,18 +11,29 @@ import graft.operators.{AnnLsh, HyperplaneLsh, Knn}
   * The reference's HNSW graph (weaviate.py:26) is a single-node
   * in-memory structure; the Spark-native equivalent of "don't touch
   * most of the data" is Hive-style partition pruning: vectors land in
-  * `bucket=<id>/` directories at write time, and a search reads ONLY
-  * the probed buckets — visible as `PartitionFilters` in the scan, with
-  * unprobed files never opened. With `nbits` hyperplanes the corpus
-  * splits into 2^nbits partitions, each a self-contained brute-force
-  * problem; multi-probe trades recall vs files read.
-  */
+  * `bucket=<id>/` partition directories at write time, and a search
+  * reads ONLY the probed buckets — visible as `PartitionFilters` in the
+  * scan, with unprobed files never opened. With `nbits` hyperplanes the
+  * corpus splits into 2^nbits partitions, each a self-contained
+  * brute-force problem; multi-probe trades recall vs files read.
+  *
+  * Storage is MANIFEST-PINNED SNAPSHOTS (r17 — [[Manifests]], shared
+  * with [[IvfVectorIndex]]): writes land in fresh `gen=…` directories
+  * and become visible at an atomic manifest commit, so compaction and
+  * merges are safe against concurrent readers. The hyperplanes (dim,
+  * nbits, seed) are immutable for the life of the index, so they stay
+  * in the top-level `_lsh_meta.json` sidecar rather than versioning
+  * with the data. */
 class LshVectorIndex private (
     val spark: SparkSession,
     val path: String,
     val lsh: HyperplaneLsh) {
 
-  def df: DataFrame = spark.read.parquet(path)
+  /** The CURRENT committed snapshot ([[IvfVectorIndex.df]]'s
+    * contract: resolved now, pinned through
+    * [[Manifests.DefaultRetain]]−1 further maintenance commits). */
+  def df: DataFrame =
+    Manifests.dataFrame(spark, path, Manifests.require(spark, path))
 
   /** Exact top-k inside the probed buckets (approximate overall; probes
     * = nbits degrades gracefully to exact full-scan). */
@@ -34,15 +45,23 @@ class LshVectorIndex private (
 
   /** Incremental maintenance: bucketize new rows with the STORED
     * hyperplanes (the pruning contract — planes are never reseeded on
-    * append) and append into the matching `bucket=` partitions; same
-    * trade as [[IvfVectorIndex.append]]. */
+    * append) and land them in a fresh generation; the batch becomes
+    * visible atomically at the manifest commit ([[IvfVectorIndex
+    * .append]]'s r17 contract — no visible-subset crash window). */
   def append(docs: DataFrame, vecCol: String, idCol: String): LshVectorIndex = {
+    val m = Manifests.require(spark, path)
+    val gen = Manifests.genDirName(m.n + 1)
     AnnLsh.bucketize(docs, vecCol, lsh)
       .withColumnRenamed(vecCol, "vector")
       .withColumnRenamed(idCol, "docid")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "docid")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    Manifests.commit(spark, path, m.book,
+      m.parts ++ Manifests.listParts(spark, path, gen))
     // docid-interval note for the shard-merge disjointness guard
-    // (r15) — after the data write, same contract as
+    // (r15) — after the commit, same contract as
     // [[IvfVectorIndex.append]]
     val Array(idr) = docs.agg(
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
@@ -55,20 +74,21 @@ class LshVectorIndex private (
   def count(): Long = df.count()
 
   /** Absorb `other` — a shard built with the SAME hyperplanes (dim,
-    * nbits, seed fully determine them) — by pure bucket-file moves:
-    * identical planes assign identical buckets, so shard A's
-    * `bucket=5` and shard B's `bucket=5` are disjoint row sets of the
-    * same merged partition ([[IvfVectorIndex.merge]]'s contract — no
-    * stats or ledger to tear; a crash mid-merge leaves both
-    * directories individually consistent and a re-run completes the
-    * move). `other`'s directory is deleted on completion. */
+    * nbits, seed fully determine them) — by whole-generation renames:
+    * identical planes assign identical buckets, so the shards'
+    * snapshots are disjoint row sets of the same merged index
+    * ([[IvfVectorIndex.merge]]'s contract). */
   def merge(other: LshVectorIndex): LshVectorIndex = mergeAll(Seq(other))
 
   /** Multi-way [[merge]] (r15): one docid-disjointness claims pass
     * over every source's `_ranges` ledger (PARTIAL overlaps between
-    * shards throw — the postings lakes' guard, now uniform across
-    * all five families; pre-ledger indexes merge unchecked), then
-    * per-source bucket-file moves. */
+    * shards throw — the postings lakes' guard, uniform across all
+    * five families; pre-ledger indexes merge unchecked), then
+    * per-source generation moves behind the r17 crash protocol:
+    * sources owned by rename ([[graft.operators.IndexMerge
+    * .takeOwnership]]), a `_merge_pending` marker before any move,
+    * [[Manifests.completeMerge]] as both mainline and load-time
+    * roll-forward, atomic reader visibility at the manifest commit. */
   def mergeAll(others: Seq[LshVectorIndex],
       compact: Boolean = false): LshVectorIndex = {
     if (others.isEmpty) return this
@@ -84,10 +104,9 @@ class LshVectorIndex private (
       spark, path, others.map(_.path))
     graft.operators.IndexMerge.requireQuiesced(
       spark, path, others.map(_.path))
+    Manifests.completeMerge(spark, path) // settle an older merge first
     // ownership rename BEFORE the claims read (r17 — see
-    // [[graft.operators.IndexMerge.takeOwnership]]); no marker
-    // protocol here, so allowMissing keeps completed-merge re-runs
-    // idempotent
+    // [[graft.operators.IndexMerge.takeOwnership]])
     val owned = graft.operators.IndexMerge.takeOwnership(
       spark, others.map(_.path), allowMissing = true)
     try graft.operators.IndexMerge.claimRangesAll(spark, path, owned)
@@ -97,66 +116,57 @@ class LshVectorIndex private (
           graft.operators.IndexMerge.releaseOwnership(spark, o.path))
         throw e
     }
-    owned.foreach { o =>
-      graft.operators.IndexMerge.movePartitionFiles(
-        fs, new org.apache.hadoop.fs.Path(o), dst, "bucket=")
-      fs.delete(new org.apache.hadoop.fs.Path(o), true)
-    }
+    graft.operators.IndexMerge.writeMarker(
+      fs, dst, graft.operators.IndexMerge.joinSrcs(owned), Seq(0L))
+    Manifests.completeMerge(spark, path) // runs THIS merge to the end
     // opt-in post-step (r16) — see Bm25Index.mergeAll's note
     if (compact && shouldCompact()) this.compact() else this
   }
 
-  /** `(fileCount, bytes)` of the `bucket=*` data tree. */
+  /** `(fileCount, bytes)` of the current snapshot's data tree. */
   def storageFootprint(): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    graft.operators.IndexMerge.bucketFootprint(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val m = Manifests.require(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = m.parts.flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$p")
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).toSeq
+      else Seq.empty
+    }
+    (stats.length.toLong, stats.map(_.getLen).sum)
   }
 
   /** The auto-compaction trigger ([[graft.operators.ShingleIndex
     * .shouldCompact]]'s measured rule; ideal = one file per occupied
     * LSH bucket — 2^nbits is the CEILING of occupied buckets, so the
-    * actual partition-dir count from one listing is the base). */
+    * snapshot's actual occupied-partition count is the base). */
   def shouldCompact(
       slack: Double = 16.0,
       targetFileBytes: Long = 256L << 20): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nOccupied = fs.listStatus(p)
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val m = Manifests.require(spark, path)
+    val nOccupied = m.parts.map(Manifests.partitionValueOf).distinct.size
     val (files, bytes) = storageFootprint()
     graft.operators.IndexMerge.needsCompact(
       files, bytes, math.max(1, nOccupied), slack, targetFileBytes)
   }
 
   /** Offline maintenance after appends/merges fragment the bucket
-    * partitions: rewrite each bucket whole into a sibling directory,
-    * carry the sidecars, swap via the two-rename [[Generations.swap]]
-    * ([[IvfVectorIndex.compact]]'s contract — maintenance windows
-    * only, not safe against concurrent readers; every [[LshVectorIndex
-    * .load]] runs the matching crash repair). */
+    * partitions: rewrite each bucket whole into a fresh generation
+    * and commit — CONCURRENT READERS pinned to the previous snapshot
+    * are undisturbed (r17; the pre-manifest directory swap was honest
+    * about not being reader-safe). */
   def compact(maxRecordsPerFile: Long = 5000000L): LshVectorIndex = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-    spark.read.parquet(path)
+    val m = Manifests.require(spark, path)
+    val gen = Manifests.genDirName(m.n + 1)
+    Manifests.dataFrame(spark, path, m)
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "docid")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
-      .parquet(tmp.toString)
-    val cur = new org.apache.hadoop.fs.Path(path)
-    // `_lsh_meta.json` last: it is the generation-complete marker
-    Seq("_ranges", "_batches", "_quiesced", "_lsh_meta.json")
-      .foreach { side =>
-      val src = new org.apache.hadoop.fs.Path(cur, side)
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-          new org.apache.hadoop.fs.Path(tmp, side), false,
-          spark.sparkContext.hadoopConfiguration)
-    }
-    Generations.swap(spark, path)
+      .parquet(s"$path/$gen")
+    Manifests.commit(spark, path, m.book,
+      Manifests.listParts(spark, path, gen))
     new LshVectorIndex(spark, path, lsh)
   }
 }
@@ -166,11 +176,13 @@ object LshVectorIndex {
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_lsh_meta.json")
 
-  /** Build from (docid, vector, …) rows: assign buckets, write
-    * partitioned. `maxRecordsPerFile` keeps any hot bucket from
-    * producing a single giant file. The LSH parameters (dim, nbits,
-    * seed — hyperplanes are fully determined by them) are persisted so
-    * `load` cannot silently search with mismatched planes. */
+  /** Build from (docid, vector, …) rows: assign buckets, write the
+    * first generation, commit the first manifest. `maxRecordsPerFile`
+    * keeps any hot bucket from producing a single giant file. The LSH
+    * parameters (dim, nbits, seed — hyperplanes are fully determined
+    * by them) are persisted so `load` cannot silently search with
+    * mismatched planes. A rebuild over an existing path replaces the
+    * index whole. */
   def build(
       docs: DataFrame,
       vecCol: String,
@@ -179,14 +191,22 @@ object LshVectorIndex {
       lsh: HyperplaneLsh,
       maxRecordsPerFile: Long = 5000000L): LshVectorIndex = {
     val spark = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val gen = Manifests.genDirName(1L)
     AnnLsh.bucketize(docs, vecCol, lsh)
       .withColumnRenamed(vecCol, "vector")
       .withColumnRenamed(idCol, "docid")
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "docid")
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
-      .parquet(path)
+      .parquet(s"$path/$gen")
+    Manifests.commit(spark, path, None,
+      Manifests.listParts(spark, path, gen))
     // fresh build: reset the docid-range ledger (r15) — the
     // [[LshVectorIndex.mergeAll]] shard-disjointness guard's memory
     val Array(idr) = docs.agg(
@@ -195,8 +215,6 @@ object LshVectorIndex {
     if (!idr.isNullAt(0))
       graft.operators.IndexMerge.resetRange(
         spark, path, idr.getLong(0), idr.getLong(1))
-    val fs = metaPath(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath(path), true)
     out.write(
       s"""{"dim":${lsh.dim},"nbits":${lsh.nbits},"seed":${lsh.seed}}"""
@@ -207,12 +225,11 @@ object LshVectorIndex {
 
   /** Open an index, recovering the persisted LSH parameters. An
     * explicitly passed `lsh` must match them (wrong planes would
-    * silently probe the wrong buckets). */
+    * silently probe the wrong buckets). Rolls an interrupted shard
+    * merge forward first. */
   def load(spark: SparkSession, path: String,
       lsh: Option[HyperplaneLsh] = None): LshVectorIndex = {
-    // mid-compact crash repair ([[Generations]]; the meta sidecar is
-    // the generation-complete marker)
-    Generations.recover(spark, path, "_lsh_meta.json")
+    Manifests.completeMerge(spark, path)
     val stored = readMeta(spark, path)
     (stored, lsh) match {
       case (Some(s), Some(l)) =>

@@ -48,6 +48,20 @@ object Ivf {
         .map(c => (cosine(v, centroids(c)), c))
         .sortBy { case (s, c) => (-s, c) }
         .take(n).map(_._2)
+
+    /** [[nearest]] restricted to `allowed` cells — the query-time
+      * DEAD-CELL skip (r17): under sustained drift maintenance a cell
+      * can end up with zero stored rows (grow captured its mass into
+      * new cells), and spending a probe slot on it returns nothing.
+      * Ranking over occupied cells only strictly adds candidates at
+      * the same nprobe. */
+    def nearestAmong(
+        v: Array[Float], n: Int, allowed: Int => Boolean): Seq[Int] =
+      centroids.indices
+        .filter(allowed)
+        .map(c => (cosine(v, centroids(c)), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(n).map(_._2)
   }
 
   /** Train a k-cluster spherical-k-means codebook on the first

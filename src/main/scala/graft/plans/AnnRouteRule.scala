@@ -71,7 +71,8 @@ case class AnnRouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       for {
         clusterAttr <- rel.output.find(a =>
           a.name == "cluster" && a.dataType == IntegerType)
-        path <- fs.location.rootPaths.headOption.map(_.toString)
+        path <- fs.location.rootPaths.headOption
+          .map(p => AnnRouteRule.indexRoot(p.toString))
         model <- AnnRouteRule.codebook(spark, path)
         if model.dim == qVec.length
       } yield {
@@ -93,13 +94,30 @@ object AnnRouteRule {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Ivf.Model]]()
 
+  /** The index ROOT a scan's root path belongs to: an
+    * [[graft.index.IvfVectorIndex]] handle reads explicit
+    * `gen=…/cluster=…` snapshot directories (r17 manifest layout), so
+    * the rule must resolve the codebook at the directory ABOVE the
+    * generation segment. */
+  private[plans] def indexRoot(rootPath: String): String =
+    rootPath.indexOf("/gen=") match {
+      case -1 => rootPath
+      case i => rootPath.substring(0, i)
+    }
+
   private[plans] def codebook(
       spark: SparkSession, path: String): Option[Ivf.Model] =
     cache.computeIfAbsent(path, { p =>
       try {
-        val cp = new org.apache.hadoop.fs.Path(s"$p/_centroids")
-        val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(cp)) None
+        val conf = spark.sparkContext.hadoopConfiguration
+        // manifest layout (r17): the current snapshot's book
+        val fromManifest = graft.index.Manifests.current(spark, p)
+          .flatMap(_.book)
+          .map(b => s"$p/_books/$b/centroids")
+        // legacy sidecar fallback: a plain `_centroids` dir
+        val cdir = fromManifest.getOrElse(s"$p/_centroids")
+        val cp = new org.apache.hadoop.fs.Path(cdir)
+        if (!cp.getFileSystem(conf).exists(cp)) None
         else Some(Ivf.Model(
           spark.read.parquet(cp.toString).orderBy("cluster").collect()
             .map(_.getSeq[Float](1).toArray)))

@@ -113,7 +113,20 @@ object IndexStream {
     * retrain returned (the stream tracks the live index through the
     * maintenance, exactly like a caller of retrainInPlace must).
     * Out-of-band writers remain excluded — same single-writer
-    * contract as every lake. */
+    * contract as every lake; concurrent READERS are snapshot-safe
+    * (r17 manifest storage).
+    *
+    * SUSTAINED drift (r17): grow adds one cell per flagged cluster
+    * per epoch and never retires one, so a corpus whose modes keep
+    * moving grows k without bound — `maxCells > 0` caps it: a grow
+    * that would cross the cap becomes a REBUILD re-fitting the SEED
+    * cell budget to the whole lake ([[graft.index.IvfVectorIndex
+    * .rebuild]] — dead cells retire, k resets, sidecars and the
+    * replay ledger survive). Query-side, dead cells are already
+    * costless: [[graft.index.IvfVectorIndex.search]] ranks probes
+    * over OCCUPIED cells only. Measured trajectory (k, recall, epoch
+    * cost, cumulative grow vs one rebuild) over ten drift epochs:
+    * tools/DriftEpochsProbe.scala, BASELINE r17. */
   def ingestIvf(
       docs: DataFrame,
       index: graft.index.IvfVectorIndex,
@@ -124,13 +137,22 @@ object IndexStream {
       retrainEvery: Int = 0,
       driftFrac: Double = 0.5,
       minShare: Double = 0.05,
-      growMeanRatio: Double = 0.5): StreamingQuery = {
+      growMeanRatio: Double = 0.5,
+      maxCells: Int = 0): StreamingQuery = {
     require(docs.isStreaming, "IndexStream.ingestIvf needs a streaming DataFrame")
     // the stream's view of the index survives retrains: retrainInPlace
     // returns the index with the PATCHED codebook, and appends after a
     // retrain must assign with it (foreachBatch is serialized, so the
     // var is only ever touched by one in-flight batch)
     var live = index
+    // the SEED cell budget — what the operator sized the index at.
+    // `maxCells > 0` bounds sustained-drift growth (r17, the measured
+    // policy: DriftEpochsProbe/BASELINE r17): when a grow would push
+    // k past the bound, the stream REBUILDS instead — one re-fit of
+    // the seed budget over everything the lake now holds, resetting k
+    // and retiring dead cells, instead of an ever-longer codebook
+    // paying an ever-larger per-row assignment cost.
+    val seedK = index.model.centroids.length
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -184,10 +206,25 @@ object IndexStream {
             val (novel, moved) = drifted.partition { case (_, rm, nm) =>
               rm.isNaN || nm < growMeanRatio * rm
             }
-            if (novel.nonEmpty)
-              live = live.growClusters(novel.map(_._1),
-                add = novel.size)
-            if (moved.nonEmpty)
+            var rebuilt = false
+            if (novel.nonEmpty) {
+              val k0 = live.model.centroids.length
+              if (maxCells > 0 && k0 + novel.size > maxCells) {
+                // the bound says stop growing: re-fit the seed budget
+                // to the whole lake (dead cells retire, novel modes
+                // get first-class cells, k resets to seedK)
+                val refit = graft.operators.Ivf.trainDistributed(
+                  live.df, "vector", k = seedK, iters = 5)
+                live = live.rebuild(refit)
+                rebuilt = true
+              } else
+                live = live.growClusters(novel.map(_._1),
+                  add = novel.size)
+            }
+            // after a rebuild the report's cluster ids belong to the
+            // retired book — and the re-fit already re-homed the
+            // moved mass, so the relocate response is moot
+            if (moved.nonEmpty && !rebuilt)
               live = live.retrainInPlace(moved.map(_._1))
           }
         }

@@ -109,7 +109,7 @@ object GrowScaleProbe {
       "+2 cells) TOTAL") {
       loaded.growClusters(flags, add = 2)
     }
-    val movers = spark.read.parquet(s"$root/idx")
+    val movers = grown.df
       .filter(col("cluster") >= k).count()
     println(s"[growscale] movers captured into new cells: $movers " +
       s"of ${nBase + nDrift}")

@@ -34,8 +34,20 @@ class IvfGrowSpec extends SparkTestBase {
   }
 
   private def rows(path: String): Set[(Long, Int)] =
-    spark.read.parquet(path).select("docid", "cluster")
+    IvfVectorIndex.load(spark, path).df.select("docid", "cluster")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  /** File mtimes of cluster `c` across every generation dir (r17
+    * manifest layout). */
+  private def clusterMtimes(path: String, c: Int): Seq[Long] =
+    new java.io.File(path).listFiles()
+      .filter(g => g.isDirectory && g.getName.startsWith("gen="))
+      .flatMap { g =>
+        val dir = new java.io.File(g, s"cluster=$c")
+        if (dir.exists()) dir.listFiles().toSeq else Seq.empty
+      }
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified).sorted.toSeq
 
   test("grow adds cells for a novel mode: old centroids bit-frozen, " +
     "novel rows land whole in the new cell, untouched partitions " +
@@ -53,8 +65,7 @@ class IvfGrowSpec extends SparkTestBase {
     // record mtimes of partitions that hold NO novel rows: grow must
     // not touch them
     val untouched = (0 until 3).filterNot(novelHomes)
-    val mtBefore = untouched.map(c => c ->
-      new java.io.File(s"$path/cluster=$c").lastModified()).toMap
+    val mtBefore = untouched.map(c => c -> clusterMtimes(path, c)).toMap
     val grown = loaded.growClusters(novelHomes.toSeq, add = 1)
     assert(grown.model.centroids.length == 4, "codebook grew by one")
     // frozen book: the three old centroids are bit-identical
@@ -72,8 +83,8 @@ class IvfGrowSpec extends SparkTestBase {
     // base rows keep their ids and clusters
     assert(after.filter(_._1 < 300L) == before)
     untouched.foreach { c =>
-      assert(new java.io.File(s"$path/cluster=$c").lastModified() ==
-        mtBefore(c), s"untouched partition cluster=$c was rewritten")
+      assert(clusterMtimes(path, c) == mtBefore(c),
+        s"untouched partition cluster=$c was rewritten")
     }
     // self-consistency: every row's stored partition IS its nearest
     // patched centroid — assignment == routing, the recall invariant
@@ -106,7 +117,7 @@ class IvfGrowSpec extends SparkTestBase {
     val novel = around(6, 40, 300L).toDF("vec_id", "embedding")
     IvfVectorIndex.load(spark, path)
       .append(novel, "embedding", "vec_id")
-    val codesBefore = spark.read.parquet(path)
+    val codesBefore = IvfVectorIndex.load(spark, path).df
       .select("docid", "code").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     val loaded = IvfVectorIndex.load(spark, path)
@@ -117,7 +128,7 @@ class IvfGrowSpec extends SparkTestBase {
     assert(grown.pqModel.isDefined, "PQ book must survive the grow")
     // every row keeps its code byte-for-byte — codes are a function
     // of (vector, PQ book), not of the cluster id
-    val codesAfter = spark.read.parquet(path)
+    val codesAfter = IvfVectorIndex.load(spark, path).df
       .select("docid", "code").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(codesAfter == codesBefore)
@@ -129,48 +140,61 @@ class IvfGrowSpec extends SparkTestBase {
     assert(top.nonEmpty && top.forall(_ >= 300L), top.toSeq.toString)
   }
 
-  test("grow crash BEFORE the COMMIT marker: staging (with its new " +
-    "cell and grown codebook) rolled back, index byte-identical") {
-    val (path, _) = freshIndex("precommit")
+  test("grow crash BEFORE the manifest commit (r17): the staged " +
+    "generation and grown book are orphans — index byte-identical, " +
+    "orphans reaped by the next commit") {
+    val (path, idx) = freshIndex("precommit")
     val before = rows(path)
-    // footprint: staged new-cell data + a 4-row codebook, no marker
-    spark.read.parquet(path).filter($"cluster" === 0)
+    // footprint: the rewrite landed whole (new-cell data + a 4-row
+    // book) but the JVM died before the manifest rename — nothing
+    // references either
+    idx.df.filter($"cluster" === 0)
       .withColumn("cluster", lit(3))
-      .write.partitionBy("cluster").parquet(s"$path/_retrain/data")
-    spark.read.parquet(s"$path/_centroids")
-      .union(spark.read.parquet(s"$path/_centroids")
+      .write.partitionBy("cluster")
+      .parquet(s"$path/gen=g-0000000099")
+    spark.read.parquet(s"$path/_books/b-0000000001/centroids")
+      .union(spark.read.parquet(s"$path/_books/b-0000000001/centroids")
         .filter($"cluster" === 0).withColumn("cluster", lit(3)))
-      .write.parquet(s"$path/_retrain/centroids")
-    val idx = IvfVectorIndex.load(spark, path)
-    assert(!new java.io.File(s"$path/_retrain").exists)
-    assert(rows(path) == before)
-    assert(idx.model.centroids.length == 3, "codebook must not grow")
+      .write.parquet(s"$path/_books/b-0000000099/centroids")
+    val recovered = IvfVectorIndex.load(spark, path)
+    assert(rows(path) == before, "the index must be byte-identical")
+    assert(recovered.model.centroids.length == 3,
+      "codebook must not grow")
+    // a query can never see the orphan (the manifest IS the index)
+    assert(recovered.count() == before.size)
+    // the next commits reap the orphans (retention window = 3)
+    (0 until 3).foreach(_ =>
+      IvfVectorIndex.load(spark, path).compact())
+    assert(!new java.io.File(s"$path/gen=g-0000000099").exists,
+      "orphan generation reaped")
+    assert(!new java.io.File(s"$path/_books/b-0000000099").exists,
+      "orphan book reaped")
   }
 
-  test("grow crash AFTER the COMMIT marker: load rolls forward — the " +
-    "NEW cell (no live twin to delete) and the grown codebook go live") {
-    val (path, _) = freshIndex("committed")
+  test("the manifest commit is the SINGLE visibility point (r17): " +
+    "once it lands, the grown snapshot is whole — rows, dropped old " +
+    "partitions, and codebook together; there is no roll-forward " +
+    "window to repair") {
+    val (path, idx) = freshIndex("atomic")
     val before = rows(path)
-    // footprint: a completed staging for a grow that moves cluster 0's
-    // rows with docid >= 20 into new cell 3, plus the 4-row codebook,
-    // COMMIT written — death before any promote rename
-    val c0 = spark.read.parquet(path).filter($"cluster" === 0)
-    val stay = c0.filter($"docid" < 20L)
-    val move = c0.filter($"docid" >= 20L).withColumn("cluster", lit(3))
-    stay.union(move)
-      .write.partitionBy("cluster").parquet(s"$path/_retrain/data")
-    spark.read.parquet(s"$path/_centroids")
-      .union(spark.read.parquet(s"$path/_centroids")
-        .filter($"cluster" === 0).withColumn("cluster", lit(3)))
-      .write.mode("overwrite").parquet(s"$path/_retrain/centroids")
-    new java.io.File(s"$path/_retrain/COMMIT").createNewFile()
-    val recovered = IvfVectorIndex.load(spark, path)
-    assert(!new java.io.File(s"$path/_retrain").exists, "staging reaped")
-    assert(recovered.model.centroids.length == 4, "grown codebook live")
+    // a real grow (public API), then prove load needs NOTHING beyond
+    // the manifest: no staging dirs, no markers, no pending state
+    val novel = around(6, 30, 300L).toDF("vec_id", "embedding")
+    idx.append(novel, "embedding", "vec_id")
+    val loaded = IvfVectorIndex.load(spark, path)
+    val homes = loaded.df.filter(col("docid") >= 300L)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    val grown = loaded.growClusters(homes, add = 1)
+    assert(grown.model.centroids.length == 4)
+    val residue = new java.io.File(path).listFiles().map(_.getName)
+      .filter(n => n.contains("retrain") || n.contains("COMMIT") ||
+        n.contains("pending"))
+    assert(residue.isEmpty, s"no staging residue may remain: " +
+      residue.toSeq.toString)
     val after = rows(path)
-    assert(after.map(_._1) == before.map(_._1), "zero rows lost/added")
-    assert(after.filter(_._2 == 3).nonEmpty, "new cell promoted")
-    assert(after.filter(t => t._2 == 0 && t._1 >= 20L).isEmpty,
-      "moved rows must not remain in the old cell")
+    assert(after.filter(_._1 < 300L) == before, "base rows unmoved")
+    assert(after.filter(_._1 >= 300L).forall(_._2 == 3),
+      "novel rows live in the new cell")
+    assert(IvfVectorIndex.load(spark, path).model.centroids.length == 4)
   }
 }

@@ -3,13 +3,15 @@ package graft.index
 import graft.SparkTestBase
 import graft.operators.Ivf
 
-/** Interrupted-maintenance crash safety for the IVF vector index
-  * (r14, the r13 verdict's ask — parity with the postings lakes'
-  * IndexCompactCrashSpec): compact now swaps via the shared
-  * two-rename [[Generations]] protocol, and retrain-in-place commits
-  * through a staged roll-forward (`_retrain` + COMMIT marker). This
-  * spec plants each crash footprint by hand and shows load() always
-  * yields a consistent, fully-readable generation. */
+/** Interrupted-maintenance crash safety for the IVF vector index,
+  * re-founded on the r17 manifest-snapshot storage ([[Manifests]]):
+  * every mutation lands whole in a fresh generation and becomes
+  * visible only at the atomic manifest commit, so ALL the pre-r17
+  * crash windows (partial sibling, mid-swap, staged-commit
+  * roll-forward, visible-subset append) collapse into one state —
+  * "orphan generation, index unchanged" — plus the shard-merge
+  * marker roll-forward. This spec plants each footprint by hand and
+  * shows load() always yields the committed snapshot. */
 class IvfIndexCrashSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -30,153 +32,160 @@ class IvfIndexCrashSpec extends SparkTestBase {
   }
 
   private def rows(path: String): Set[(Long, Int)] =
-    spark.read.parquet(path).select("docid", "cluster")
+    IvfVectorIndex.load(spark, path).df.select("docid", "cluster")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
 
   private def centroidSig(path: String): Seq[Seq[Float]] =
-    spark.read.parquet(s"$path/_centroids").orderBy("cluster")
-      .collect().map(_.getSeq[Float](1).toSeq).toIndexedSeq
+    IvfVectorIndex.load(spark, path).model.centroids
+      .map(_.toSeq).toIndexedSeq
 
-  private def mv(a: String, b: String): Unit = {
-    java.nio.file.Files.move(java.nio.file.Paths.get(a),
-      java.nio.file.Paths.get(b)); ()
-  }
-
-  test("compact crash DURING the sibling rewrite: live index " +
-    "untouched, re-run compact overwrites the partial sibling") {
-    val (path, _) = freshIndex("partial")
+  test("maintenance crash DURING a generation write (compact/retrain " +
+    "shape): the torn orphan is invisible — index byte-identical, " +
+    "re-run works, orphan reaped by later commits") {
+    val (path, _) = freshIndex("torn")
     val before = rows(path)
-    new java.io.File(path + ".compact/cluster=0").mkdirs()
+    // footprint: a half-written generation (garbage file, no manifest)
+    new java.io.File(s"$path/gen=g-0000000077/cluster=0").mkdirs()
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(path + ".compact/cluster=0/part-junk.parquet"),
+      java.nio.file.Paths.get(
+        s"$path/gen=g-0000000077/cluster=0/part-junk.parquet"),
       Array[Byte](1, 2, 3))
-    assert(rows(IvfVectorIndex.load(spark, path).path) == before)
+    assert(rows(path) == before, "torn generation must be invisible")
+    // a re-run of the interrupted maintenance succeeds
     IvfVectorIndex.load(spark, path).compact()
     assert(rows(path) == before)
-    assert(!new java.io.File(path + ".compact").exists)
-    assert(!new java.io.File(path + ".old").exists)
+    // the retention window passes -> the orphan is swept
+    (0 until 3).foreach(_ => IvfVectorIndex.load(spark, path).compact())
+    assert(!new java.io.File(s"$path/gen=g-0000000077").exists,
+      "orphan generation reaped")
   }
 
-  test("compact crash BETWEEN the two swap renames: load restores " +
-    "the old generation whole (codebook included) and search works") {
-    val (path, idx) = freshIndex("midswap")
+  test("a torn manifest TMP file is invisible and the next commit " +
+    "overwrites it (the rename is the only visibility point)") {
+    val (path, _) = freshIndex("tmp")
     val before = rows(path)
     val cen = centroidSig(path)
-    // the footprint: live retired to .old, promotion never ran
-    spark.read.parquet(path).write.partitionBy("cluster")
-      .parquet(path + ".compact")
-    mv(path, path + ".old")
-    assert(!new java.io.File(path).exists)
-    val recovered = IvfVectorIndex.load(spark, path)
-    assert(rows(path) == before)
-    assert(centroidSig(path) == cen, "codebook restored with the data")
-    val q = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
-    assert(recovered.search(q, 5, nprobe = 1).count() == 5)
-    recovered.compact() // leftover sibling cleared by the next compact
-    assert(rows(path) == before)
-    assert(!new java.io.File(path + ".compact").exists)
-    idx.hashCode() // silence unused warning
-  }
-
-  test("compact crash AFTER promotion: stray .old reaped on load, " +
-    "new generation live") {
-    val (path, _) = freshIndex("postswap")
-    val before = rows(path)
-    val old = new java.io.File(path + ".old")
-    old.mkdirs()
+    // footprint: the commit died mid-write of the tmp file
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(path + ".old/stale.bin"), Array[Byte](9))
-    assert(rows(IvfVectorIndex.load(spark, path).path) == before)
-    assert(!old.exists)
-  }
-
-  test("retrain crash BEFORE the COMMIT marker: staging rolled back, " +
-    "index byte-identical") {
-    val (path, _) = freshIndex("precommit")
-    val before = rows(path)
-    val cen = centroidSig(path)
-    // footprint: staged data + codebook, marker never written
-    spark.read.parquet(path).filter($"cluster" === 0)
-      .write.partitionBy("cluster").parquet(s"$path/_retrain/data")
-    spark.read.parquet(s"$path/_centroids")
-      .write.parquet(s"$path/_retrain/centroids")
-    val idx = IvfVectorIndex.load(spark, path)
-    assert(!new java.io.File(s"$path/_retrain").exists,
-      "uncommitted staging must be rolled back")
+      java.nio.file.Paths.get(s"$path/_manifests/.tmp-m-0000000002"),
+      "graft-manifest v1\npart gen=g-junk/clu".getBytes("UTF-8"))
     assert(rows(path) == before)
     assert(centroidSig(path) == cen)
-    idx.hashCode()
+    // the next real commit takes the m-0000000002 slot cleanly
+    val more = around(2, 10, 900L).toDF("vec_id", "embedding")
+    IvfVectorIndex.load(spark, path).append(more, "embedding", "vec_id")
+    assert(rows(path).size == before.size + 10)
   }
 
-  test("retrain crash AFTER the COMMIT marker (no swap ran): load " +
-    "rolls the whole commit forward — staged clusters and codebook " +
-    "go live, staging reaped") {
-    val (path, _) = freshIndex("committed")
-    // stage a recognizable new generation of cluster 0: its rows with
-    // docids shifted by +1000 (stands in for a reassignment), plus a
-    // patched codebook (centroid 0 negated)
-    val staged = spark.read.parquet(path).filter($"cluster" === 0)
-      .withColumn("docid", $"docid" + 1000L)
-    val stagedIds = staged.select("docid").collect()
-      .map(_.getLong(0)).toSet
-    staged.write.partitionBy("cluster").parquet(s"$path/_retrain/data")
-    val patched = spark.read.parquet(s"$path/_centroids")
-      .withColumn("centroid", org.apache.spark.sql.functions.transform(
-        $"centroid", x => org.apache.spark.sql.functions.when(
-          $"cluster" === 0, -x).otherwise(x)))
-    patched.write.parquet(s"$path/_retrain/centroids")
-    val exp = patched.orderBy("cluster")
-      .collect().map(_.getSeq[Float](1).toSeq).toIndexedSeq
-    new java.io.File(s"$path/_retrain/COMMIT").createNewFile()
-    val idx = IvfVectorIndex.load(spark, path)
-    assert(!new java.io.File(s"$path/_retrain").exists)
-    val live = rows(path)
-    assert(live.filter(_._2 == 0).map(_._1) == stagedIds,
-      "cluster 0 must be the staged generation")
-    assert(centroidSig(path) == exp, "patched codebook live")
-    assert(idx.model.centroids(0).toSeq == exp(0))
+  test("interrupted APPEND is invisible WHOLE (r17 upgrade: the " +
+    "pre-manifest append could land a visible subset of a batch)") {
+    val (path, idx) = freshIndex("append")
+    val before = rows(path)
+    // footprint: the append's generation landed completely (real
+    // parquet rows!) but the JVM died before the manifest commit —
+    // the pre-r17 layout would show these rows to every reader
+    idx.df.filter($"cluster" === 0)
+      .withColumn("docid", $"docid" + 5000L)
+      .write.partitionBy("cluster").parquet(s"$path/gen=g-0000000042")
+    assert(rows(path) == before,
+      "an uncommitted batch must be invisible in its entirety")
+    assert(IvfVectorIndex.load(spark, path).count() == before.size)
+    // a clean re-run of the append lands whole
+    val more = around(2, 10, 900L).toDF("vec_id", "embedding")
+    idx.append(more, "embedding", "vec_id")
+    val after = rows(path)
+    assert(after.size == before.size + 10)
+    assert(!after.exists(_._1 >= 5000L), "the orphan stays invisible")
   }
 
-  test("retrain crash MID-SWAP (live cluster deleted, staged still " +
-    "present): load completes the rename — no row loss") {
-    val (path, _) = freshIndex("midswapretrain")
-    val cluster0 = spark.read.parquet(path).filter($"cluster" === 0)
-    val ids0 = cluster0.select("docid").collect().map(_.getLong(0)).toSet
-    assert(ids0.nonEmpty)
-    val others = rows(path).filterNot(_._2 == 0)
-    cluster0.write.partitionBy("cluster").parquet(s"$path/_retrain/data")
-    new java.io.File(s"$path/_retrain/COMMIT").createNewFile()
-    // the crash window: live partition deleted, staged rename pending
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-    }
-    rm(new java.io.File(path, "cluster=0"))
-    val idx = IvfVectorIndex.load(spark, path)
-    val live = rows(path)
-    assert(live.filter(_._2 == 0).map(_._1) == ids0, "cluster restored")
-    assert(live.filterNot(_._2 == 0) == others, "others untouched")
-    assert(idx.count() == live.size)
+  test("retention window: a compact keeps the prior snapshots' files " +
+    "on disk until two further commits pass (the concurrent-reader " +
+    "guarantee), then reaps them") {
+    val (path, idx) = freshIndex("retain")
+    val buildGen = new java.io.File(s"$path/gen=g-0000000001")
+    assert(buildGen.exists)
+    idx.compact() // m2
+    assert(buildGen.exists, "retained for pinned readers")
+    IvfVectorIndex.load(spark, path).compact() // m3
+    assert(buildGen.exists, "still inside the retention window")
+    IvfVectorIndex.load(spark, path).compact() // m4 -> m1 expires
+    assert(!buildGen.exists, "expired generation reaped")
+    assert(rows(path).size == 120)
   }
 
-  test("retrain crash between codebook delete and rename: load " +
-    "restores a codebook (the staged one) — never an unreadable index") {
-    val (path, _) = freshIndex("cenwindow")
-    val cen = centroidSig(path)
-    spark.read.parquet(s"$path/_centroids")
-      .write.parquet(s"$path/_retrain/centroids")
-    new java.io.File(s"$path/_retrain/COMMIT").createNewFile()
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-    }
-    rm(new java.io.File(path, "_centroids"))
-    val idx = IvfVectorIndex.load(spark, path) // must not throw
-    assert(centroidSig(path) == cen)
-    assert(idx.model.centroids.length == 3)
+  test("merge crash AFTER the marker (sources owned, nothing moved): " +
+    "load rolls the merge forward — generations absorbed, sources " +
+    "drained, marker gone, search equals the monolith") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfcrash-merge").toString
+    val ref = (around(0, 40, 0L) ++ around(2, 40, 100L) ++
+      around(4, 40, 200L)).toDF("vec_id", "embedding")
+    val model = Ivf.train(ref, "embedding", k = 3, sampleSize = 200)
+    IvfVectorIndex.build(ref.filter($"vec_id" < 120), "embedding",
+      "vec_id", s"$base/dst", model)
+    IvfVectorIndex.build(ref.filter($"vec_id" >= 120), "embedding",
+      "vec_id", s"$base/shard", model)
+    // footprint: ownership rename done, marker written, death before
+    // any generation move
+    val owned = graft.operators.IndexMerge.takeOwnership(
+      spark, Seq(s"$base/shard"), allowMissing = false)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.IndexMerge.writeMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$base/dst"),
+      graft.operators.IndexMerge.joinSrcs(owned), Seq(0L))
+    val merged = IvfVectorIndex.load(spark, s"$base/dst")
+    assert(merged.count() == 120)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/dst/_merge_pending")), "marker gone after roll-forward")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(owned.head)),
+      "owned source drained and deleted")
+    val whole = IvfVectorIndex.build(ref, "embedding", "vec_id",
+      s"$base/whole", model)
+    val q = Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f)
+    def top(ix: IvfVectorIndex) = ix.search(q, 10, nprobe = 1)
+      .select("docid").collect().map(_.getLong(0)).toSeq
+    assert(top(merged) == top(whole))
   }
 
-  test("retrain that EMPTIES a drifted cluster deletes its live " +
-    "partition — no duplicate docids (NORMAL path, r15: zero " +
-    "reassigned rows → partitionBy stages no dir for it)") {
+  test("merge crash MID-MOVE (some generations already absorbed): the " +
+    "roll-forward is idempotent — no duplicate rows, no loss") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfcrash-midmove").toString
+    val ref = (around(0, 40, 0L) ++ around(2, 40, 100L) ++
+      around(4, 40, 200L)).toDF("vec_id", "embedding")
+    val model = Ivf.train(ref, "embedding", k = 3, sampleSize = 200)
+    IvfVectorIndex.build(ref.filter($"vec_id" < 120), "embedding",
+      "vec_id", s"$base/dst", model)
+    val shard = IvfVectorIndex.build(ref.filter($"vec_id" >= 120),
+      "embedding", "vec_id", s"$base/shard", model)
+    // give the shard TWO generations so the crash can split them
+    shard.compact()
+    val owned = graft.operators.IndexMerge.takeOwnership(
+      spark, Seq(s"$base/shard"), allowMissing = false)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.IndexMerge.writeMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$base/dst"),
+      graft.operators.IndexMerge.joinSrcs(owned), Seq(0L))
+    // move ONE of the source's generations by hand (what a crash
+    // mid-completeMerge leaves), then let load finish the rest
+    val srcManifest = Manifests.require(spark, owned.head)
+    val firstGen = Manifests.genOf(srcManifest.parts.head)
+    val target = Manifests.mergedGenName(owned.head, firstGen)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"${owned.head}/$firstGen"),
+      new org.apache.hadoop.fs.Path(s"$base/dst/$target")))
+    val merged = IvfVectorIndex.load(spark, s"$base/dst")
+    assert(merged.count() == 120, "exactly the monolith's row count")
+    val ids = merged.df.select("docid").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "no duplicated docids")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(owned.head)))
+  }
+
+  test("retrain that EMPTIES a drifted cluster drops it from the " +
+    "snapshot — no duplicate docids (the refined neighbor stole " +
+    "every row; the manifest simply lists no partition for it)") {
     def vec(deg: Double): Seq[Float] = Seq(
       math.cos(math.toRadians(deg)).toFloat,
       math.sin(math.toRadians(deg)).toFloat)
@@ -196,11 +205,8 @@ class IvfIndexCrashSpec extends SparkTestBase {
     val patched = idx.retrainInPlace(Seq(1), iters = 3)
     assert(patched.model.nearest(vec(44).toArray).head == 1)
     // full retrain: Lloyd from seeds {0°, 60°} hands ALL four rows to
-    // the refined c1; c0 attracts nothing and keeps its seed. The
-    // staged write therefore has NO cluster=0 data dir — without the
-    // explicit empty-dir staging, cluster 0's live partition (rows
-    // 0,1,2 — ALSO reassigned into the staged cluster 1) survives the
-    // commit and the index reads 7 rows with duplicated docids.
+    // the refined c1; c0 attracts nothing — the new manifest must not
+    // list a cluster=0 partition (else rows 0,1,2 would read twice)
     val after = patched.retrainInPlace(Seq(0, 1), iters = 3)
     val live = rows(path)
     assert(live.map(_._1) == Set(0L, 1L, 2L, 3L),
@@ -209,48 +215,5 @@ class IvfIndexCrashSpec extends SparkTestBase {
     assert(live.forall(_._2 == 1), s"all rows belong to cluster 1: $live")
     assert(after.count() == 4)
     assert(IvfVectorIndex.load(spark, path).count() == 4)
-  }
-
-  test("retrain crash AFTER the marker with an EMPTY staged cluster " +
-    "dir: load deletes the emptied cluster's live partition (the " +
-    "crash twin of the zero-reassigned-rows case)") {
-    val (path, _) = freshIndex("emptystaged")
-    val before = rows(path)
-    // footprint: every row of clusters 0 and 1 was reassigned into the
-    // staged cluster 0; cluster 1 emptied, staged as an explicit empty
-    // dir; marker written; death before any promote
-    spark.read.parquet(path)
-      .filter($"cluster".isin(0, 1))
-      .withColumn("cluster", org.apache.spark.sql.functions.lit(0))
-      .write.partitionBy("cluster").parquet(s"$path/_retrain/data")
-    new java.io.File(s"$path/_retrain/data/cluster=1").mkdirs()
-    new java.io.File(s"$path/_retrain/COMMIT").createNewFile()
-    val idx = IvfVectorIndex.load(spark, path)
-    val live = rows(path)
-    assert(!new java.io.File(s"$path/_retrain").exists)
-    assert(live.map(_._1) == before.map(_._1), "no rows lost or duplicated")
-    assert(!live.exists(_._2 == 1), "emptied cluster's live partition gone")
-    assert(live.count(_._2 == 0) ==
-      before.count(r => r._2 == 0 || r._2 == 1))
-    assert(idx.count() == live.size)
-  }
-
-  test("interrupted APPEND leaves the old generation fully readable " +
-    "(in-flight task output is invisible to readers)") {
-    val (path, idx) = freshIndex("append")
-    val before = rows(path)
-    // the footprint of a mid-append crash: an uncommitted _temporary
-    // tree (what FileOutputCommitter stages before job commit)
-    new java.io.File(s"$path/_temporary/0/task_junk").mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/_temporary/0/task_junk/part.parquet"),
-      Array[Byte](7, 7))
-    assert(rows(IvfVectorIndex.load(spark, path).path) == before)
-    val q = Array.tabulate(8)(i => if (i == 2) 1.0f else 0.0f)
-    assert(idx.search(q, 5, nprobe = 1).count() == 5)
-    // and a clean re-run of the append lands whole
-    val more = around(2, 10, 900L).toDF("vec_id", "embedding")
-    idx.append(more, "embedding", "vec_id")
-    assert(rows(path).size == before.size + 10)
   }
 }

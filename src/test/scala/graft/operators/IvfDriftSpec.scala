@@ -63,9 +63,17 @@ class IvfDriftSpec extends SparkTestBase {
     // mtimes of untouched partitions before the retrain
     val untouched = (0 until 3).filterNot(d.contains)
     assert(untouched.nonEmpty)
+    // the r17 manifest layout spreads a partition over generation
+    // dirs: an untouched cluster's files — across ALL generations —
+    // must stay byte-for-byte alone through the retrain
     def mtimes(cs: Seq[Int]): Map[Int, Seq[Long]] = cs.map { c =>
-      val dir = new java.io.File(path, s"cluster=$c")
-      c -> dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      c -> new java.io.File(path).listFiles()
+        .filter(g => g.isDirectory && g.getName.startsWith("gen="))
+        .flatMap { g =>
+          val dir = new java.io.File(g, s"cluster=$c")
+          if (dir.exists()) dir.listFiles().toSeq else Seq.empty
+        }
+        .filter(_.getName.endsWith(".parquet"))
         .map(_.lastModified).sorted.toSeq
     }.toMap
     val before = mtimes(untouched)

@@ -162,22 +162,28 @@ class IvfSpec extends SparkTestBase {
         emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100),
         "embedding", "vec_id")
     }
-    def dataFiles(): Int = {
-      val d = new java.io.File(dir)
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(d).count(_.getName.endsWith(".parquet"))
-    }
-    val before = dataFiles()
+    // the SNAPSHOT's file count is what compaction shrinks (r17:
+    // retained older snapshots keep their files on disk until the
+    // retention window passes — that is the concurrent-reader
+    // guarantee, not fragmentation)
+    val before = idx.storageFootprint()._1
     idx.compact()
     val reloaded = graft.index.IvfVectorIndex.load(spark, dir)
-    assert(dataFiles() < before, s"files: $before -> ${dataFiles()}")
+    val after = reloaded.storageFootprint()._1
+    assert(after < before, s"snapshot files: $before -> $after")
     assert(reloaded.count() == 500)
     reloaded.model.centroids.zip(model.centroids).foreach { case (a, b) =>
       assert(a.sameElements(b))
     }
     val top = reloaded.search(q, 1, nprobe = 1).select("docid", "score").head()
     assert(top.getLong(0) == 0L && math.abs(top.getDouble(1) - 1.0) < 1e-9)
+    // the retention window bounds the disk tail: after enough further
+    // commits the pre-compact generations are reaped
+    var cur = reloaded
+    (0 until 3).foreach(_ => cur = cur.compact())
+    assert(!new java.io.File(dir, "gen=g-0000000001").exists,
+      "expired generations must be reaped")
+    assert(cur.count() == 500)
   }
 
   test("trainDistributed recovers well-separated direction groups and " +

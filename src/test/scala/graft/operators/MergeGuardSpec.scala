@@ -425,8 +425,10 @@ class MergeGuardSpec extends SparkTestBase {
     assert(top(Bm25Index.load(spark, s"$root/s0")) == top(whole))
   }
 
-  test("LSH compact is crash-safe: the two-rename swap recovers at " +
-    "load from the retired-generation window") {
+  test("LSH compact is crash-safe (r17, manifest snapshots): a crash " +
+    "mid-rewrite leaves an invisible orphan; the committed compact " +
+    "shrinks the snapshot's file count without touching prior " +
+    "snapshots inside the retention window") {
     val root = scratch("lshcompact")
     val lsh = HyperplaneLsh(dim = 4, nbits = 2, seed = 3L)
     def vec(id: Long): Array[Float] = {
@@ -442,15 +444,19 @@ class MergeGuardSpec extends SparkTestBase {
           .toDF("docid", "vector"), "vector", "docid")
     }
     val before = ix.count()
-    val compacted = ix.compact()
+    val filesBefore = ix.storageFootprint()._1
+    // the crash window: a torn rewrite generation, never committed
+    new java.io.File(s"$root/idx/gen=g-0000000066/bucket=0").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$root/idx/gen=g-0000000066/bucket=0/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(LshVectorIndex.load(spark, s"$root/idx").count() == before,
+      "the torn rewrite must be invisible")
+    val compacted = LshVectorIndex.load(spark, s"$root/idx").compact()
     assert(compacted.count() == before)
-    assert(!new java.io.File(s"$root/idx.compact").exists)
-    // plant the one crash window: live gone, old generation complete
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/idx"),
-      new org.apache.hadoop.fs.Path(s"$root/idx.old")))
-    val recovered = LshVectorIndex.load(spark, s"$root/idx")
-    assert(recovered.count() == before)
+    assert(compacted.storageFootprint()._1 < filesBefore,
+      "compaction must shrink the snapshot's file count")
+    // the build generation survives the compact (retention window)
+    assert(new java.io.File(s"$root/idx/gen=g-0000000001").exists)
   }
 }

@@ -42,8 +42,8 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     }.toDF("vec_id", "embedding")
     IvfVectorIndex.build(seed, "embedding", "vec_id", idxDir, model)
     val idx = IvfVectorIndex.load(spark, idxDir)
-    val cenBefore = spark.read.parquet(s"$idxDir/_centroids")
-      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val cenBefore = IvfVectorIndex.load(spark, idxDir)
+      .model.centroids.map(_.toSeq).toSeq
 
     // four micro-batches: 0-1 on-distribution, 2-3 DRIFTED to 40°
     // (cos 40° ≈ 0.766 to the nearest centroid — far below the seed
@@ -79,12 +79,13 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     val ids = loaded.df.select("docid").as[Long].collect()
     assert(ids.length == 240, s"rows lost or doubled: ${ids.length}")
     assert(ids.distinct.length == 240, "duplicated docids")
-    assert(!new java.io.File(s"$idxDir/_retrain").exists,
-      "staging settled")
+    assert(!new java.io.File(s"$idxDir/_retrain").exists &&
+      !new java.io.File(s"$idxDir/_merge_pending").exists,
+      "no maintenance residue (r17: the manifest commit is atomic)")
     // the codebook was actually patched mid-stream (cluster 0 walked
     // toward the 40° mass)
-    val cenAfter = spark.read.parquet(s"$idxDir/_centroids")
-      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val cenAfter = IvfVectorIndex.load(spark, idxDir)
+      .model.centroids.map(_.toSeq).toSeq
     assert(cenAfter != cenBefore, "retrain must have fired")
     // old generation still readable and searchable: a seed row
     // self-matches at score 1
@@ -116,8 +117,8 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     }.toDF("vec_id", "embedding")
     IvfVectorIndex.build(seed, "embedding", "vec_id", idxDir, model)
     val idx = IvfVectorIndex.load(spark, idxDir)
-    val cenBefore = spark.read.parquet(s"$idxDir/_centroids")
-      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val cenBefore = IvfVectorIndex.load(spark, idxDir)
+      .model.centroids.map(_.toSeq).toSeq
     // one batch: 29 on-distribution rows + ONE stray at 150° (nearest
     // c2, drift_frac 1.0 there) carrying 1/30 of the batch — under
     // the 5% default share
@@ -137,8 +138,8 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
       tmp("strays-ck"), retrainEvery = 1, driftFrac = 0.5)
     try q.processAllAvailable() finally q.stop()
-    val cenAfter = spark.read.parquet(s"$idxDir/_centroids")
-      .orderBy("cluster").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val cenAfter = IvfVectorIndex.load(spark, idxDir)
+      .model.centroids.map(_.toSeq).toSeq
     assert(cenAfter == cenBefore,
       "a lone stray must not walk the codebook")
     assert(IvfVectorIndex.load(spark, idxDir).count() == 130,
