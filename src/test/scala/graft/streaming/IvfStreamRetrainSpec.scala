@@ -209,4 +209,88 @@ class IvfStreamRetrainSpec extends SparkTestBase {
     assert(top.nonEmpty && top.forall(id => id >= 3020L && id < 3040L),
       s"novel probe: ${top.toSeq}")
   }
+
+  test("maxCells bounds sustained growth (r17): a grow that would " +
+    "cross the cap becomes a REBUILD — k resets to the seed budget, " +
+    "the replay ledger survives, every mode stays probe-reachable") {
+    // seed budget k=2; maxCells=3 so the FIRST novel epoch grows to 3
+    // and the SECOND (k would hit 4) must rebuild back to k=2 re-fit
+    // over everything
+    val model = Ivf.Model(Array(vec(0).toArray, vec(90).toArray))
+    val idxDir = tmp("cap-idx")
+    val seed = (0L until 200L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 90.0
+      (i, vec(base + (if (i % 4 < 2) 2.0 else -2.0)))
+    }.toDF("vec_id", "embedding")
+    IvfVectorIndex.build(seed, "embedding", "vec_id", idxDir, model)
+    val idx = IvfVectorIndex.load(spark, idxDir)
+    // two novel epochs at ~200° and ~280° (collapsed incoming mean vs
+    // reference → the grow response both times)
+    val srcDir = new java.io.File(tmp("cap-src"))
+    val t0 = System.currentTimeMillis() - 3600000L
+    val batches = Seq(
+      (4000L until 4020L).map(i => (i, vec(200.0 + (i % 3).toDouble))),
+      (4020L until 4040L).map(i => (i, vec(280.0 + (i % 3).toDouble))))
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val stage = tmp(s"cap-stage$k")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + k * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.getAbsolutePath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
+      tmp("cap-ck"), retrainEvery = 1, driftFrac = 0.5, maxCells = 3)
+    try q.processAllAvailable() finally q.stop()
+    val loaded = IvfVectorIndex.load(spark, idxDir)
+    assert(loaded.model.centroids.length == 2,
+      s"the over-cap grow must REBUILD at the seed budget, got " +
+      s"k=${loaded.model.centroids.length}")
+    import spark.implicits._
+    val ids = loaded.df.select("docid").as[Long].collect()
+    assert(ids.length == 240 && ids.distinct.length == 240,
+      s"rows lost or doubled through the rebuild: ${ids.length}")
+    // the rebuild preserved the operational sidecars (unlike a
+    // from-scratch build, which wipes the path): the delivery ledger
+    // keeps replay protection, the range claims keep the merge guard
+    assert(new java.io.File(s"$idxDir/_batches").exists,
+      "the delivery ledger must survive the rebuild")
+    assert(new java.io.File(s"$idxDir/_ranges").exists,
+      "the docid-range claims must survive the rebuild")
+    // every mode (seed 0°/90°, novel 200°, novel 280°) is reachable
+    // under the re-fit book
+    val reFit = IvfVectorIndex.load(spark, idxDir)
+    Seq(1.0, 89.0, 201.0, 281.0).foreach { deg =>
+      val got = reFit.search(vec(deg).toArray, 3, nprobe = 2)
+        .select("docid").as[Long].collect()
+      assert(got.nonEmpty, s"mode at $deg° unreachable after rebuild")
+    }
+  }
+
+  test("dead cells cost nothing at query time (r17): a cell with no " +
+    "stored rows never receives a probe slot — the ranking skips to " +
+    "the nearest OCCUPIED cell") {
+    // k=3 book, but NO data near the 180° centroid: its partition
+    // never exists. A query AT 180° under nprobe=1 used to probe the
+    // dead cell and return nothing useful; it must now rank only the
+    // occupied cells
+    val model = Ivf.Model(
+      Array(vec(0).toArray, vec(90).toArray, vec(180).toArray))
+    val idxDir = tmp("dead-idx")
+    val docs = (0L until 100L).map { i =>
+      (i, vec(if (i % 2 == 0) 2.0 else 88.0))
+    }.toDF("vec_id", "embedding")
+    val idx = IvfVectorIndex.build(docs, "embedding", "vec_id",
+      idxDir, model)
+    val got = idx.search(vec(150.0).toArray, 5, nprobe = 1)
+      .select("docid").collect().map(_.getLong(0))
+    assert(got.length == 5,
+      s"a probe slot must never land on an empty cell: ${got.toSeq}")
+  }
 }
