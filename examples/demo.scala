@@ -174,6 +174,18 @@ val shardB = graft.operators.Bm25Index.build(allDocs.filter(col("doc_id") > half
 val mergedIdx = shardA.merge(shardB)
 println(s"merged bm25 shards: n=${mergedIdx.n}; top hit: " + mergedIdx.search(Seq("vector", "hash", "join"), 1).head())
 
+// 4i. snapshot isolation (r17): the cluster-partitioned ANN index is
+//     manifest-pinned — a reader opened BEFORE maintenance reads its
+//     exact snapshot while a compact commits the next one beside it
+val ivfRoot = java.nio.file.Files.createTempDirectory("graft-demo-ivf").toString + "/ivf"
+val demoEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+val ivfModel = graft.operators.Ivf.train(demoEmb, "embedding", k = 8)
+val ivfIdx = graft.index.IvfVectorIndex.build(demoEmb, "embedding", "vec_id", ivfRoot, ivfModel)
+val pinnedReader = graft.index.IvfVectorIndex.load(spark, ivfRoot).df
+graft.index.IvfVectorIndex.load(spark, ivfRoot).compact()
+val qv = demoEmb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+println(s"snapshot reader across a concurrent compact: ${pinnedReader.count()} rows; post-compact self-match: " + graft.index.IvfVectorIndex.load(spark, ivfRoot).search(qv, 1, nprobe = 2).select("docid", "score").head())
+
 // 5. mutate: delete + upsert (reference: N+1 HTTP loop / uid remap)
 idx.deleteUids(Seq("0", "1"))
 println(s"after delete: ${idx.count()}")
