@@ -2,9 +2,15 @@ package graft.index
 
 import org.apache.spark.sql.SparkSession
 
-/** Crash-safe directory-generation swap, shared by every persisted
-  * index family (the three postings lakes via [[graft.operators
-  * .Bm25Index]] and the IVF vector index): a maintenance rewrite
+/** Crash-safe directory-generation swap, used by the POSTINGS lakes
+  * ([[graft.operators.Bm25Index]] and its two siblings) for compact.
+  * The vector indexes moved OFF this protocol in r17 — their storage
+  * is manifest-pinned snapshots ([[Manifests]]), which besides crash
+  * safety also gives concurrent-reader isolation (a swap rename
+  * breaks a reader's resolved file paths even when both generations
+  * survive; the lakes therefore keep the documented
+  * maintenance-window contract for compact, the natural next
+  * candidate for the manifest treatment). A maintenance rewrite
   * lands whole in a `<path>.compact` sibling and replaces the live
   * directory via TWO renames with the old generation retained —
   * never delete-then-rename, whose crash window leaves NO readable

@@ -106,6 +106,26 @@ class ConcurrentReaderSpec extends SparkTestBase {
     assert(IvfVectorIndex.load(spark, path).count() == expect)
   }
 
+  test("a reader pinned on the merge DESTINATION reads its snapshot " +
+    "through a concurrent shard absorption; a fresh load sees the " +
+    "merged corpus") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-reader-merge").toString
+    val ref = (around(0, 40, 0L) ++ around(2, 40, 100L) ++
+      around(4, 40, 200L)).toDF("vec_id", "embedding")
+    val model = Ivf.train(ref, "embedding", k = 3, sampleSize = 200)
+    val dst = IvfVectorIndex.build(ref.filter(col("vec_id") < 120),
+      "embedding", "vec_id", s"$base/dst", model)
+    val shard = IvfVectorIndex.build(ref.filter(col("vec_id") >= 120),
+      "embedding", "vec_id", s"$base/shard", model)
+    val pinned = IvfVectorIndex.load(spark, s"$base/dst").df
+    dst.mergeAll(Seq(shard))
+    assert(pinned.count() == 60,
+      "the pinned reader must see the pre-merge snapshot exactly")
+    assert(IvfVectorIndex.load(spark, s"$base/dst").count() == 120,
+      "a fresh reader sees the absorbed shard")
+  }
+
   test("an LSH reader pinned before maintenance reads its snapshot " +
     "through a concurrent compact + append; bucket pruning still " +
     "shows in the fresh index's plan") {
