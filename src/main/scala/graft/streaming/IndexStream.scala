@@ -126,7 +126,19 @@ object IndexStream {
     * costless: [[graft.index.IvfVectorIndex.search]] ranks probes
     * over OCCUPIED cells only. Measured trajectory (k, recall, epoch
     * cost, cumulative grow vs one rebuild) over ten drift epochs:
-    * tools/DriftEpochsProbe.scala, BASELINE r17. */
+    * tools/DriftEpochsProbe.scala, BASELINE r17.
+    *
+    * `compactEvery` is [[ingestKeyword]]'s in-stream compaction knob
+    * brought to this sink (r17): under manifest storage every
+    * delivered batch commits one generation, so an uncompacted
+    * long-running stream grows the snapshot's file count AND the
+    * manifest part-list linearly with batches (per-query listing
+    * cost, measured: tools/ManifestTailProbe, BASELINE r17). `N > 0`
+    * compacts after every Nth delivered batch;
+    * [[IngestStream.AutoCompact]] applies [[graft.index
+    * .IvfVectorIndex.shouldCompact]]'s measured fragmentation rule;
+    * `0` (default) leaves compaction to offline maintenance.
+    * Correctness never depends on the cadence. */
   def ingestIvf(
       docs: DataFrame,
       index: graft.index.IvfVectorIndex,
@@ -138,7 +150,8 @@ object IndexStream {
       driftFrac: Double = 0.5,
       minShare: Double = 0.05,
       growMeanRatio: Double = 0.5,
-      maxCells: Int = 0): StreamingQuery = {
+      maxCells: Int = 0,
+      compactEvery: Int = 0): StreamingQuery = {
     require(docs.isStreaming, "IndexStream.ingestIvf needs a streaming DataFrame")
     // the stream's view of the index survives retrains: retrainInPlace
     // returns the index with the PATCHED codebook, and appends after a
@@ -226,6 +239,22 @@ object IndexStream {
             // moved mass, so the relocate response is moot
             if (moved.nonEmpty && !rebuilt)
               live = live.retrainInPlace(moved.map(_._1))
+          }
+          // in-stream compaction cadence (r17 — [[ingestKeyword]]'s
+          // knob brought to the IVF sink): under manifest storage
+          // every delivered batch commits a new generation, so the
+          // snapshot's file count AND its manifest part-list grow
+          // linearly with batches until a compact folds them — at
+          // high batch counts that is per-query listing cost, not
+          // just small-file tax (measured: tools/ManifestTailProbe,
+          // BASELINE r17). AutoCompact applies the measured
+          // fragmentation rule; correctness never depends on the
+          // cadence.
+          if (compactEvery == IngestStream.AutoCompact) {
+            if (live.shouldCompact()) live = live.compact()
+          } else if (compactEvery > 0 &&
+              (batchId + 1) % compactEvery == 0) {
+            live = live.compact()
           }
         }
         ()

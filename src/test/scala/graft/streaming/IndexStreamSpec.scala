@@ -127,6 +127,51 @@ class IndexStreamSpec extends SparkTestBase {
       math.abs(top.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("ingestIvf compactEvery folds streamed generations in-flight " +
+    "(r17): the snapshot's file count lands at one-file-per-occupied-" +
+    "cluster instead of growing with the batch count, and contents + " +
+    "search are unchanged") {
+    val model = graft.operators.Ivf.train(emb, "embedding", 4)
+    def streamInto(compactEvery: Int): graft.index.IvfVectorIndex = {
+      val idxDir = tmp("graft-is-ce-idx")
+      graft.index.IvfVectorIndex.build(
+        emb.filter(col("vec_id") < 100), "embedding", "vec_id",
+        idxDir, model)
+      val idx = graft.index.IvfVectorIndex.load(spark, idxDir)
+      val srcDir = tmp("graft-is-ce-src")
+      emb.filter(col("vec_id") >= 100)
+        .select("vec_id", "embedding")
+        .repartition(6).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = IndexStream.ingestIvf(stream, idx, "embedding", "vec_id",
+        tmp("graft-is-ce-ck"), compactEvery = compactEvery)
+      try q.processAllAvailable() finally q.stop()
+      idx
+    }
+    val loose = streamInto(compactEvery = 0)
+    val tight = streamInto(compactEvery = 2) // 6 batches → folds at 2,4,6
+    val (looseFiles, _) = loose.storageFootprint()
+    val (tightFiles, _) = tight.storageFootprint()
+    // uncompacted: every delivered batch adds ≥1 file per touched
+    // cluster; the cadence folds the tree back to the compact ideal
+    assert(tightFiles <= model.centroids.length,
+      s"expected one file per occupied cluster, got $tightFiles")
+    assert(looseFiles > tightFiles,
+      s"control should be fragmented ($looseFiles vs $tightFiles)")
+    // contents and search identical either way
+    assert(tight.count() == emb.count() && loose.count() == emb.count())
+    val qv = emb.filter(col("vec_id") === 321)
+      .select("embedding").head().getSeq[Float](0).toArray
+    for (idx <- Seq(loose, tight)) {
+      val top = idx.search(qv, 1, nprobe = 1)
+        .select("docid", "score").head()
+      assert(top.getLong(0) == 321L &&
+        math.abs(top.getDouble(1) - 1.0) < 1e-9)
+    }
+  }
+
   test("ingestText encodes through the S6 seam; stream result matches " +
     "the batch indexTextWorkflow vectors") {
     val docs = spark.read
