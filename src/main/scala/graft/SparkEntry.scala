@@ -382,6 +382,41 @@ object SparkEntry {
     }
   }
 
+  /** Load-or-build the LSH index fed by the STREAMING sink (r17 —
+    * [[streaming.IndexStream.ingestLsh]]): base build on the low
+    * half, then the high half delivered as real micro-batches through
+    * the sink's BatchLedger + in-stream compaction cadence. Same
+    * seeded planes as `ann_lsh`, so the search shares its oracle and
+    * `ann_lsh_candidates` aux verbatim — a lost batch, a double
+    * delivery, or a fold that drops rows all move the result. */
+  private def lshStreamedIndexAt(s: SparkSession, dir: String)
+      : index.LshVectorIndex = {
+    val path = cachedIndexPath(dir, "embeddings", "lshstream_6_42")
+    val lsh = operators.HyperplaneLsh(dim = 64, nbits = 6, seed = 42L)
+    if (new java.io.File(s"$path/_manifests").exists)
+      index.LshVectorIndex.load(s, path, Some(lsh))
+    else {
+      rmTree(path)
+      val emb = t(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      index.LshVectorIndex.build(
+        emb.filter(col("vec_id") <= mid), "embedding", "vec_id", path, lsh)
+      val idx = index.LshVectorIndex.load(s, path, Some(lsh))
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft-lshstream-src").toString
+      emb.filter(col("vec_id") > mid).select("vec_id", "embedding")
+        .repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-lshstream-ck").toString
+      val q = streaming.IndexStream.ingestLsh(stream, idx, "embedding",
+        "vec_id", ck, compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      index.LshVectorIndex.load(s, path, Some(lsh))
+    }
+  }
+
   /** Load-or-train the PPMI random-indexing word-vector model over
     * `documents` (shared by wordvec_knn / wordvec_similar and the aux
     * dump). Training is bit-deterministic (WordVecSpec: long-quantized
@@ -4100,6 +4135,20 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // the STREAMING-sink twin (r17 — ingestLsh): the lake fed by real
+    // micro-batches through the BatchLedger with the in-stream
+    // compaction cadence must search exactly like the batch-
+    // bucketized ann_lsh — same seeded planes, same probe set, same
+    // oracle + candidates aux verbatim; a lost batch, a double
+    // delivery or a lossy fold all move rows
+    "lsh_stream_knn" -> ((s, dir) => {
+      Graft.init(s)
+      lshStreamedIndexAt(s, dir)
+        .search(queryVec(s, dir), 10, probes = 2)
+        .select(col("docid").as("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // streamed == batch, oracle-visible (r13): a REAL file-source
     // micro-batched Structured Streaming ingest (3 batches through
     // IngestStream's two-tier gate + BatchLedger, plus a POISONED
@@ -5148,6 +5197,11 @@ object SparkEntry {
       "ivf_shard_merge" -> m("ivf_knn"),
       "winnow_shard_merge" -> m("winnow_incremental"),
       "lsh_shard_merge" -> m("ann_lsh"),
+      // streamed == batch-bucketized (r17): the ingestLsh-fed lake
+      // holds every vector bucketized with ann_lsh's planes, so the
+      // probed candidate set — and the exact-cosine re-rank — is
+      // identical; oracle + aux shared verbatim
+      "lsh_stream_knn" -> m("ann_lsh"),
       // streamed == batch-built: the grown lake holds every document,
       // so the full-corpus BM25 re-derivation IS the parity oracle
       "keyword_stream_topk" -> m("bm25_index_topk"),

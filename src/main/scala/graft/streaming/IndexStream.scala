@@ -262,6 +262,60 @@ object IndexStream {
       .start()
   }
 
+  /** Continuous ingestion into a BUCKET-partitioned LSH index
+    * ([[ingestIvf]]'s twin, r17 — the last persisted index family
+    * without a stream sink). Much simpler than the IVF sink by
+    * design: the hyperplanes are immutable for the life of the index
+    * (the pruning contract — [[graft.index.LshVectorIndex.append]]
+    * bucketizes with the STORED planes), so there is NO drift
+    * maintenance, no grow/relocate policy, no codebook lifecycle —
+    * data-distribution shift costs LSH balance, not correctness, and
+    * rebalancing means building a new index, an offline decision.
+    * What remains is exactly the ingest contract: [[BatchLedger]]
+    * replay protection (at-least-once delivery, effects-once), the
+    * quiesce handshake (un-quiesce at batch ENTRY so a concurrent
+    * merge refuses instead of racing), and `compactEvery` —
+    * [[ingestIvf]]'s in-stream cadence with the same semantics
+    * (0 never, N = every N delivered batches, [[IngestStream
+    * .AutoCompact]] = the measured fragmentation rule) against the
+    * same measured manifest tail (tools/ManifestTailProbe, BASELINE
+    * r17). Maintenance runs inside the serialized `foreachBatch`, so
+    * fold-vs-append races are excluded by construction; concurrent
+    * readers are snapshot-pinned (r17 manifest storage). */
+  def ingestLsh(
+      docs: DataFrame,
+      index: graft.index.LshVectorIndex,
+      vecCol: String,
+      idCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0): StreamingQuery = {
+    require(docs.isStreaming, "IndexStream.ingestLsh needs a streaming DataFrame")
+    var live = index
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Quiesce.clear(batch.sparkSession, live.path)
+        val replay = BatchLedger
+          .delivered(batch.sparkSession, live.path, checkpointDir)
+          .contains(batchId)
+        if (!batch.isEmpty && !replay) {
+          live = live.append(batch, vecCol, idCol)
+          BatchLedger.record(batch.sparkSession, live.path,
+            checkpointDir, batchId)
+          if (compactEvery == IngestStream.AutoCompact) {
+            if (live.shouldCompact()) live = live.compact()
+          } else if (compactEvery > 0 &&
+              (batchId + 1) % compactEvery == 0) {
+            live = live.compact()
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous KEYWORD-index ingestion — the BM25 lake kept fresh by
     * the crawl stream, completing the sink triangle ([[ingest]]:
     * vectors, [[graft.streaming.IngestStream]]: the dedup lake, this:

@@ -172,6 +172,56 @@ class IndexStreamSpec extends SparkTestBase {
     }
   }
 
+  test("ingestLsh streams micro-batches into a bucket-partitioned " +
+    "index with the STORED hyperplanes (r17): rows searchable via " +
+    "pruned probes, a replayed batch is skipped, and compactEvery " +
+    "folds the generations") {
+    val lsh = graft.operators.HyperplaneLsh(dim = 64, nbits = 3, seed = 7L)
+    val idxDir = tmp("graft-is-lsh-idx")
+    graft.index.LshVectorIndex.build(
+      emb.filter(col("vec_id") < 100).select("vec_id", "embedding"),
+      "embedding", "vec_id", idxDir, lsh)
+    val idx = graft.index.LshVectorIndex.load(spark, idxDir)
+    val srcDir = tmp("graft-is-lsh-src")
+    emb.filter(col("vec_id") >= 100)
+      .select("vec_id", "embedding")
+      .repartition(6).write.mode("overwrite").parquet(srcDir)
+    val ck = tmp("graft-is-lsh-ck")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = IndexStream.ingestLsh(stream, idx, "embedding", "vec_id",
+        ck, compactEvery = 2)
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    runOnce()
+    assert(idx.count() == emb.count())
+    // 6 batches at compactEvery=2 → the last fold lands the tree at
+    // one file per OCCUPIED bucket (2^3 = 8 possible)
+    val (files, _) = idx.storageFootprint()
+    assert(files <= 8, s"expected ≤ one file per bucket, got $files")
+    // stored-planes contract: a streamed row self-matches at 1.0
+    // through the pruned probe scan
+    val qv = emb.filter(col("vec_id") === 321)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val top = idx.search(qv, 1, probes = 2).select("docid", "score").head()
+    assert(top.getLong(0) == 321L &&
+      math.abs(top.getDouble(1) - 1.0) < 1e-9)
+    // force a GENUINE replay: deleting the newest commit marker makes
+    // the restart re-deliver the last batch with the SAME batch id —
+    // the BatchLedger must skip it
+    val commits = new java.io.File(s"$ck/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    val crc = new java.io.File(commits, s".${last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    runOnce()
+    assert(idx.count() == emb.count(),
+      "a replayed committed batch must not double-append")
+  }
+
   test("ingestText encodes through the S6 seam; stream result matches " +
     "the batch indexTextWorkflow vectors") {
     val docs = spark.read
