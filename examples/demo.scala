@@ -174,6 +174,14 @@ val shardB = graft.operators.Bm25Index.build(allDocs.filter(col("doc_id") > half
 val mergedIdx = shardA.merge(shardB)
 println(s"merged bm25 shards: n=${mergedIdx.n}; top hit: " + mergedIdx.search(Seq("vector", "hash", "join"), 1).head())
 
+// 4h'. the postings lakes share the manifest-snapshot discipline
+//      (r17): a reader pinned before a concurrent compact reads its
+//      exact snapshot — maintenance windows are not part of the
+//      keyword lake's contract either
+val pinnedPostings = graft.operators.Bm25Index.load(spark, s"$mroot/a").postings
+graft.operators.Bm25Index.load(spark, s"$mroot/a").compact()
+println(s"bm25 reader across a concurrent compact: ${pinnedPostings.count()} postings; post-compact top hit: " + graft.operators.Bm25Index.load(spark, s"$mroot/a").search(Seq("vector", "hash", "join"), 1).head())
+
 // 4i. snapshot isolation (r17): the cluster-partitioned ANN index is
 //     manifest-pinned — a reader opened BEFORE maintenance reads its
 //     exact snapshot while a compact commits the next one beside it

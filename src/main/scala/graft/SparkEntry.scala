@@ -174,7 +174,7 @@ object SparkEntry {
     * bm25_index_topk / hybrid_index / keyword-routed SQL). */
   private def bm25IndexAt(s: SparkSession, dir: String): operators.Bm25Index = {
     val path = cachedIndexPath(dir, "documents", "bm25v2_64")
-    val idx = if (new java.io.File(s"$path/_stats").exists)
+    val idx = if (new java.io.File(s"$path/_manifests").exists)
       operators.Bm25Index.load(s, path)
     else operators.Bm25Index.build(
       t(s, dir, "documents"), "text", "doc_id", path, nBuckets = 64)
@@ -193,7 +193,7 @@ object SparkEntry {
   private def shingleIndexAt(s: SparkSession, dir: String)
       : operators.ShingleIndex = {
     val path = cachedIndexPath(dir, "documents", "shingle3")
-    if (new java.io.File(s"$path/_stats").exists)
+    if (new java.io.File(s"$path/_manifests").exists)
       operators.ShingleIndex.load(s, path)
     else operators.ShingleIndex.build(
       t(s, dir, "documents").select("doc_id", "text")
@@ -219,7 +219,7 @@ object SparkEntry {
       : operators.ShingleIndex = {
     val path = cachedIndexPath(dir, "documents", "shinglemerge3")
     val shardB = path + "_shard_b"
-    if (new java.io.File(s"$path/_stats").exists &&
+    if (new java.io.File(s"$path/_manifests").exists &&
         !new java.io.File(s"$path/_merge_pending").exists &&
         !new java.io.File(shardB).exists)
       operators.ShingleIndex.load(s, path)
@@ -246,7 +246,7 @@ object SparkEntry {
       : operators.Bm25Index = {
     val path = cachedIndexPath(dir, "documents", "bm25merge_64")
     val shardB = path + "_shard_b"
-    if (new java.io.File(s"$path/_stats").exists &&
+    if (new java.io.File(s"$path/_manifests").exists &&
         !new java.io.File(s"$path/_merge_pending").exists &&
         !new java.io.File(shardB).exists)
       operators.Bm25Index.load(s, path)
@@ -337,7 +337,7 @@ object SparkEntry {
       : operators.WinnowIndex = {
     val path = cachedIndexPath(dir, "documents", "winnowmerge45")
     val shardB = path + "_shard_b"
-    if (new java.io.File(s"$path/_stats").exists &&
+    if (new java.io.File(s"$path/_manifests").exists &&
         !new java.io.File(s"$path/_merge_pending").exists &&
         !new java.io.File(shardB).exists)
       operators.WinnowIndex.load(s, path)
@@ -439,7 +439,7 @@ object SparkEntry {
   private def winnowIndexAt(s: SparkSession, dir: String)
       : operators.WinnowIndex = {
     val path = cachedIndexPath(dir, "documents", "winnow45")
-    if (new java.io.File(s"$path/_stats").exists)
+    if (new java.io.File(s"$path/_manifests").exists)
       operators.WinnowIndex.load(s, path)
     else operators.WinnowIndex.build(
       t(s, dir, "documents").select("doc_id", "text")

@@ -3,16 +3,18 @@ package graft.index
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Snapshot storage for the PARTITION-LAYOUT index families
-  * ([[IvfVectorIndex]], [[LshVectorIndex]]) — the versioned-read
-  * discipline the flat [[VectorIndex]] already had, brought to the
+/** Snapshot storage for the PARTITION-LAYOUT index families — the
+  * vector indexes ([[IvfVectorIndex]], [[LshVectorIndex]]) and, since
+  * later in r17, the three postings lakes
+  * ([[graft.operators.Bm25Index]], [[graft.operators.ShingleIndex]],
+  * [[graft.operators.WinnowIndex]]) — the versioned-read discipline
+  * the flat [[VectorIndex]] already had, brought to the
   * cluster/bucket-partitioned layouts so maintenance is safe against
-  * CONCURRENT READERS (r17; until r16 compact swapped the live
-  * directory and retrain/grow deleted live partitions mid-commit, so
-  * a scan overlapping a maintenance window could observe a
-  * half-swapped layout or die on vanished files — at 100 TB a
-  * multi-minute scan overlapping maintenance is the normal case, not
-  * the exception).
+  * CONCURRENT READERS (until r17 compact swapped the live directory
+  * and retrain/grow deleted live partitions mid-commit, so a scan
+  * overlapping a maintenance window could observe a half-swapped
+  * layout or die on vanished files — at 100 TB a multi-minute scan
+  * overlapping maintenance is the normal case, not the exception).
   *
   * Layout (all under the index root):
   *
@@ -73,7 +75,10 @@ object Manifests {
   val DefaultRetain = 3
 
   private[index] def manifestName(n: Long) = f"m-$n%010d"
-  private[index] def genDirName(n: Long) = f"gen=g-$n%010d"
+  /** Generation-directory name for commit `n` — public because the
+    * postings lakes ([[graft.operators.Bm25Index]] and siblings)
+    * share the storage convention (r17). */
+  def genDirName(n: Long) = f"gen=g-$n%010d"
   private[index] def bookName(n: Long) = f"b-$n%010d"
 
   /** The `gen=…` component of a part line. */

@@ -392,7 +392,24 @@ object Bm25 {
   * `bucket = pmod(hash(term), nBuckets)` so a keyword query opens ONLY
   * its terms' buckets (Hive partition pruning — same 100 TB storage
   * story as [[graft.index.LshVectorIndex]]), with the corpus stats in a
-  * `_stats` sidecar the partition reader ignores. */
+  * `_stats` sidecar the partition reader ignores.
+  *
+  * STORAGE IS MANIFEST-PINNED SNAPSHOTS (r17 — [[graft.index
+  * .Manifests]], the vector families' discipline brought to the
+  * postings lakes): every postings write (build, append, streamed
+  * batch, compact, merge) lands whole in a fresh `gen=…` directory
+  * and becomes visible only at an atomic manifest commit, so
+  * [[compact]] and [[mergeAll]] are safe against CONCURRENT READERS —
+  * a query plan resolved before the maintenance reads its pinned
+  * snapshot to completion (until r17 compact swapped the live
+  * directory out from under in-flight probes; the contract was
+  * "maintenance windows only"). Writers stay single-writer per lake.
+  * The driver-read sidecars (`_stats`, `_ranges`, `_meta`,
+  * `_batches`, `_stats_pending`, `_quiesced`) remain top-level and
+  * unversioned: they are resolved at load/maintenance time, never by
+  * a pinned scan — a [[Bm25Index]] handle captures (n, Σdl) at load,
+  * so a concurrent append moves neither a pinned plan nor a pinned
+  * handle's scoring. */
 class Bm25Index private (
     val spark: SparkSession,
     val path: String,
@@ -405,7 +422,14 @@ class Bm25Index private (
     * bit-identical to build(A∪B). */
   val avgdl: Double = sumdl.toDouble / n
 
-  def postings: DataFrame = spark.read.parquet(path)
+  /** The CURRENT committed snapshot's postings, resolved now and
+    * pinned ([[graft.index.Manifests.DefaultRetain]]−1 further
+    * maintenance commits of validity — the vector families'
+    * reader contract). */
+  def postings: DataFrame = {
+    val m = graft.index.Manifests.require(spark, path)
+    graft.index.Manifests.dataFrame(spark, path, m)
+  }
 
   /** Incremental append — the growing-corpus path (a day's crawl lands
     * without re-tokenizing the existing 100 TB): the new docs' postings
@@ -452,12 +476,12 @@ class Bm25Index private (
       }
     // repartition ON the bucket (r14) — one file per touched bucket
     // per append instead of tasks x buckets slivers (ShingleIndex
-    // .appendBatch's note; the batch-sized shuffle is the cheap side)
-    Bm25.postings(docs, textCol, idCol)
-      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "term")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // .appendBatch's note; the batch-sized shuffle is the cheap side).
+    // The batch lands whole in a fresh generation and becomes visible
+    // at the manifest commit (r17) — an interrupted append leaves the
+    // index exactly as before, and the orphan generation is reaped by
+    // the next commit.
+    writeBatchPostings(docs, textCol, idCol)
     // postings first, stats second: a crash in between leaves the
     // sidecar undercounting (scores slightly conservative), never a
     // stats-without-postings index
@@ -525,12 +549,19 @@ class Bm25Index private (
   }
 
   private def writeBatchPostings(
-      docs: DataFrame, textCol: String, idCol: String): Unit =
+      docs: DataFrame, textCol: String, idCol: String): Unit = {
+    val m = graft.index.Manifests.require(spark, path)
+    val gen = graft.index.Manifests.genDirName(m.n + 1)
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, m.book,
+      m.parts ++ graft.index.Manifests.listParts(spark, path, gen))
+    ()
+  }
 
   /** Complete an [[appendIfAbsent]] whose exact range claim is already
     * recorded: no flag → the previous attempt fully committed (plain
@@ -687,14 +718,10 @@ class Bm25Index private (
     val docs = recovery.filter(inRange)
     val Array(st) = Bm25.statsRaw(docs, textCol, idCol).collect()
     val (nNew, sumdlNew) = (st.getLong(0), st.getLong(1))
-    // bucket-repartitioned like every other postings write (r15 —
-    // reconcile had missed the r14 sliver fix): one file per touched
-    // bucket, not tasks × buckets
-    Bm25.postings(docs, textCol, idCol)
-      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "term")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // through the same generation write as every other postings
+    // landing (r17): bucket-repartitioned (the r14 sliver fix),
+    // atomically visible at the manifest commit
+    writeBatchPostings(docs, textCol, idCol)
     Bm25Index.writeStats(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
     // postings missing ⇒ the crash preceded the stats write too, so the
     // incremental add above is exact; the repaired ranges' in-flight
@@ -705,12 +732,19 @@ class Bm25Index private (
     new Bm25Index(spark, path, n + nNew, sumdl + sumdlNew, nBuckets)
   }
 
-  /** `(fileCount, bytes)` of the `bucket=*` postings tree
-    * ([[ShingleIndex.storageFootprint]]). */
+  /** `(fileCount, bytes)` of the current snapshot's postings tree —
+    * the part a many-shard merge or append cadence fragments
+    * ([[graft.index.IvfVectorIndex.storageFootprint]]). */
   def storageFootprint(): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    IndexMerge.bucketFootprint(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val m = graft.index.Manifests.require(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = m.parts.flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$p")
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).toSeq
+      else Seq.empty
+    }
+    (stats.length.toLong, stats.map(_.getLen).sum)
   }
 
   /** The auto-compaction trigger ([[ShingleIndex.shouldCompact]]'s
@@ -725,61 +759,49 @@ class Bm25Index private (
 
   /** Offline maintenance after repeated [[append]]s (each leaves one
     * small file per touched bucket; small files tax listing and lose
-    * the term-sorted row-group layout across files): rewrite each
-    * bucket's postings term-sorted into a sibling directory, carry the
-    * stats sidecar, swap. Same concurrency contract as
-    * [[graft.index.IvfVectorIndex.compact]] — maintenance windows
-    * only, not safe against concurrent readers. */
+    * the term-sorted row-group layout across files): rewrite the
+    * whole lake term-sorted into ONE fresh generation and commit —
+    * readers pinned to the fragmented snapshot finish undisturbed
+    * (r17, [[graft.index.Manifests]]; until then this swapped the
+    * live directory and was documented "maintenance windows only").
+    * Sidecars never move: they live beside the generations, not
+    * inside them — the pre-r17 compact had to copy six of them and a
+    * missed one was a latent bug class, now structurally gone. */
   def compact(maxRecordsPerFile: Long = 5000000L): Bm25Index = {
-    // settle any interrupted merge first — the sibling rewrite would
-    // drop a pending `_merge_pending` (ShingleIndex.compact's note)
+    // settle any interrupted merge first — compacting under a pending
+    // marker would fold moved-in generations the roll-forward still
+    // expects to commit (ShingleIndex.compact's note)
     Bm25Index.completeMerge(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val m = graft.index.Manifests.require(spark, path)
+    val gen = graft.index.Manifests.genDirName(m.n + 1)
     // bucket-repartitioned first — see ShingleIndex.compact (r13)
-    spark.read.parquet(path)
+    graft.index.Manifests.dataFrame(spark, path, m)
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
-      .parquet(tmp.toString)
-    val cur = new org.apache.hadoop.fs.Path(path)
-    // carry every sidecar: stats, append id-ranges, metadata store
-    // `_batches` is the streaming-delivery ledger (BatchLedger):
-    // dropping it on compact stays CORRECT (replays re-skip via the
-    // `_ranges` claim and the batch-keyed output overwrite) but turns
-    // a replayed batch's ledger short-circuit into a full survivor
-    // recompute — carry it (r14)
-    // `_quiesced` (r16) rides along: a quiesced lake must not become
-    // unmergeable just because maintenance compacted it
-    Seq("_stats", "_ranges", "_meta", "_batches", "_stats_pending",
-        "_quiesced")
-      .foreach { side =>
-      val src = new org.apache.hadoop.fs.Path(cur, side)
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-          new org.apache.hadoop.fs.Path(tmp, side), false,
-          spark.sparkContext.hadoopConfiguration)
-    }
-    Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, m.book,
+      graft.index.Manifests.listParts(spark, path, gen))
     new Bm25Index(spark, path, n, sumdl, nBuckets)
   }
 
   /** Absorb `other` — a shard built with the SAME bucket count over a
-    * DISJOINT docid range — by pure file moves ([[IndexMerge]]'s
-    * shard-parallel build story: terms bucket by the same content
-    * hash in every shard, so the merged partition is just both file
-    * sets). BM25 scoring stays exact through the merge by
-    * construction: per-term df is computed from the merged postings
-    * at query time, and the global (n, Σdl) sum into `_stats` via the
-    * crash-safe marker protocol (claim ranges → `_merge_pending` with
-    * the post-merge stats → move files → move `_meta` shard files →
-    * rewrite stats → delete source → delete marker; every load rolls
-    * an interrupted merge forward). The `_meta` sidecars concatenate
-    * at file level too — shards hold disjoint docid ranges, so their
-    * docid-sorted meta files keep row-group min/max pruning intact. */
+    * DISJOINT docid range — by whole-generation directory moves
+    * (r17, was per-bucket file moves; [[IndexMerge]]'s shard-parallel
+    * build story: terms bucket by the same content hash in every
+    * shard, so the merged snapshot is just both part sets). BM25
+    * scoring stays exact through the merge by construction: per-term
+    * df is computed from the merged postings at query time, and the
+    * global (n, Σdl) sum into `_stats` via the crash-safe marker
+    * protocol (claim ranges → `_merge_pending` with the post-merge
+    * stats → move generations → ONE manifest commit → move `_meta`
+    * shard files → rewrite stats → delete source → delete marker;
+    * every load rolls an interrupted merge forward). The `_meta`
+    * sidecars concatenate at file level too — shards hold disjoint
+    * docid ranges, so their docid-sorted meta files keep row-group
+    * min/max pruning intact. */
   def merge(other: Bm25Index): Bm25Index = mergeAll(Seq(other))
 
   /** Multi-way [[merge]] (r15): absorb MANY shards under ONE claims
@@ -848,21 +870,13 @@ class Bm25Index private (
             throw e
         }
     }
-    owned.foreach { sp =>
-      val srcP = new org.apache.hadoop.fs.Path(sp)
-      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
-      IndexMerge.moveFlatFiles(fs,
-        new org.apache.hadoop.fs.Path(srcP, "_meta"),
-        new org.apache.hadoop.fs.Path(dst, "_meta"))
-      fs.delete(srcP, true)
-    }
-    Bm25Index.writeStats(spark, path, postN, postSum, nBuckets)
-    IndexMerge.deleteMarker(fs, dst)
-    // the merge changed the postings set and n/Σdl: a live
-    // keyword_score registration backed by this path must fail loudly
-    // for re-registration instead of scoring with pre-merge stats —
-    // same contract as append/appendIfAbsent/reconcile
-    graft.Keyword.invalidateIndex(path)
+    // runs THIS merge to the end (the marker makes the mainline a
+    // roll-forward too, r17 — [[graft.index.Manifests.completeMerge]]
+    // shape): move each source's generations whole, ONE manifest
+    // commit (the destination's readers see the absorbed shards
+    // atomically; pinned readers are undisturbed), move `_meta` shard
+    // files, write the post-merge stats, delete sources + marker
+    Bm25Index.completeMerge(spark, path)
     val merged = new Bm25Index(spark, path, postN, postSum, nBuckets)
     // opt-in post-step (r16): a hundreds-of-shards merge leaves the
     // lake with per-shard file fragmentation — a measured ~3× probe
@@ -1159,22 +1173,6 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
-  /** Crash-safe generation swap for compaction, shared by the three
-    * postings lakes (BM25 / shingle / winnow) — now the generic
-    * [[graft.index.Generations.swap]] (r14: the IVF vector index
-    * adopted the same protocol), keyed on `_stats` as the
-    * generation-complete marker. */
-  private[operators] def swapGenerations(
-      spark: SparkSession, path: String): Unit =
-    graft.index.Generations.swap(spark, path)
-
-  /** Load-time repair for [[swapGenerations]]'s one crash window —
-    * [[graft.index.Generations.recover]] with the lakes' `_stats`
-    * marker. */
-  private[operators] def recoverGeneration(
-      spark: SparkSession, path: String): Unit =
-    graft.index.Generations.recover(spark, path, "_stats")
-
   /** `_ranges` sidecar: one (lo, hi) docid interval per build/append —
     * the [[Bm25Index.append]] overlap guard's memory. Tiny (O(appends)
     * rows), read driver-side only. */
@@ -1297,32 +1295,56 @@ object Bm25Index {
     // count. One postings shuffle buys whole-bucket term-sorted files;
     // the bucket count scales cube-root with the corpus, so write
     // parallelism scales too.
+    // a rebuild over an existing path replaces the index whole
+    // (pre-r17 behavior via mode=overwrite; now an explicit reset so
+    // the manifest store restarts at generation 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val gen = graft.index.Manifests.genDirName(1L)
     Bm25.postings(docs, textCol, idCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nb)))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "term")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, None,
+      graft.index.Manifests.listParts(spark, path, gen))
     writeStats(spark, path, st.getLong(0), st.getLong(1), nb)
     // fresh build: reset the range log to exactly this corpus's interval
-    val rangesDir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
-    val fs = rangesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(rangesDir)) fs.delete(rangesDir, true)
     appendRange(spark, path, st.getLong(2), st.getLong(3))
     new Bm25Index(spark, path, st.getLong(0), st.getLong(1), nb)
   }
 
   /** Roll an interrupted [[Bm25Index.merge]]/[[Bm25Index.mergeAll]]
-    * forward — called by every [[load]]; the marker carries the full
-    * source list and the post-merge (n, Σdl, buckets) so each step is
-    * idempotent from any crash point (drained sources skip). */
+    * forward — called by every [[load]] (and by `mergeAll` itself,
+    * where the just-written marker makes the mainline merge a
+    * roll-forward too). [[graft.index.Manifests.completeMerge]]'s
+    * shape plus the lake's own two steps (`_meta` shard-file moves
+    * and the post-merge stats rewrite the marker carries); every step
+    * is idempotent from any crash point: generation moves skip
+    * already-moved dirs, the manifest commit dedups part lines,
+    * `_meta` moves skip moved files, drained sources skip, and the
+    * stats write repeats the same totals. */
   private[operators] def completeMerge(
       spark: SparkSession, path: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
-      IndexMerge.splitSrcs(src).foreach { sp =>
+      val srcs = IndexMerge.splitSrcs(src)
+      val m = graft.index.Manifests.require(spark, path)
+      val moved = srcs.flatMap { s =>
+        // a source is movable while its manifest store survives; a
+        // tree already drained (or torn by a crashed delete) is
+        // finished by the delete below
+        if (graft.index.Manifests.current(spark, s).isDefined)
+          graft.index.Manifests.moveGenerations(spark, s, path)
+        else Vector.empty
+      }
+      if (moved.nonEmpty)
+        graft.index.Manifests.commit(spark, path, m.book, m.parts ++ moved)
+      srcs.foreach { sp =>
         val srcP = new org.apache.hadoop.fs.Path(sp)
-        IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
         IndexMerge.moveFlatFiles(fs,
           new org.apache.hadoop.fs.Path(srcP, "_meta"),
           new org.apache.hadoop.fs.Path(dst, "_meta"))
@@ -1335,7 +1357,6 @@ object Bm25Index {
   }
 
   def load(spark: SparkSession, path: String): Bm25Index = {
-    recoverGeneration(spark, path) // mid-compact crash repair
     completeMerge(spark, path) // mid-merge crash roll-forward
     val st = spark.read.parquet(s"$path/_stats").head()
     new Bm25Index(spark, path, st.getLong(0), st.getLong(1), st.getInt(2))

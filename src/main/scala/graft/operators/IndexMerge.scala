@@ -3,13 +3,14 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** File-level shard merge for the hash-partitioned index families —
+/** Shard-merge machinery for the hash-partitioned index families —
   * the 100 TB INDEX BUILD story. A monolithic build of any of the
   * lakes shuffles the whole corpus's postings once; at petabyte scale
   * the right shape is shard-parallel: each worker (or each crawl
   * segment) builds its own index over its docid slice with purely
-  * LOCAL sorts, and the shards then merge as O(files) namenode
-  * renames — no posting is read, decoded, shuffled, or rewritten,
+  * LOCAL sorts, and the shards then merge as O(generations) namenode
+  * renames + one manifest commit (r17; was O(files) renames) — no
+  * posting is read, decoded, shuffled, or rewritten,
   * because every family partitions by a CONTENT hash (`bucket =
   * pmod(hash(term|key), nBuckets)` or `cluster = nearest centroid`)
   * that is identical across shards built with the same parameters:
@@ -24,58 +25,18 @@ import org.apache.spark.sql.SparkSession
   * small files — the usual maintenance story, not a merge cost.
   *
   * Crash safety mirrors [[graft.index.IvfVectorIndex]]'s staged
-  * retrain: a `_merge_pending` marker written BEFORE any file moves
+  * retrain: a `_merge_pending` marker written BEFORE any moves
   * carries the post-merge stats and the source path, every step
-  * (move, stats overwrite, source delete) is idempotent, and each
-  * family's `load` rolls an interrupted merge forward. */
+  * (generation move, manifest commit, stats overwrite, source
+  * delete) is idempotent, and each family's `load` rolls an
+  * interrupted merge forward. */
 object IndexMerge {
 
-  /** Move every data file under `src`'s `prefix*` partition dirs into
-    * the matching dirs of `dst` (created on demand). Idempotent: a
-    * re-run moves whatever is left. Spark part-file names carry a
-    * per-job UUID so collisions don't occur in practice; a colliding
-    * name gets a disambiguating prefix rather than clobbering.
-    *
-    * Renames run in PARALLEL across partition dirs (r15): the fan-in
-    * sweep measured the serial loop at a flat ~4.4 ms per rename —
-    * 36 s for a 64-shard merge's 8192 files, pure driver-side
-    * metadata latency with zero data motion. Each rename is an
-    * independent namenode/filesystem op (Hadoop `FileSystem` handles
-    * are thread-safe; this is the same trick the S3A committers use
-    * for their commit-phase renames), so a bounded pool turns the
-    * serial tail into latency ÷ parallelism. Files WITHIN one
-    * partition dir stay on one thread — the exists()-probe collision
-    * fallback is only race-free per directory. */
-  private[graft] def movePartitionFiles(
-      fs: FileSystem, src: Path, dst: Path, prefix: String): Long = {
-    if (!fs.exists(src)) return 0L
-    val parts = fs.listStatus(src)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-    val moved = new java.util.concurrent.atomic.LongAdder
-    java.util.stream.IntStream.range(0, parts.length).parallel()
-      .forEach { pi =>
-        val part = parts(pi)
-        val target = new Path(dst, part.getPath.getName)
-        if (!fs.exists(target)) fs.mkdirs(target)
-        fs.listStatus(part.getPath).filter(_.isFile).foreach { f =>
-          val name = f.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith(".")) {
-            val to0 = new Path(target, name)
-            val to = if (!fs.exists(to0)) to0
-              else new Path(target, s"merged-${System.nanoTime()}-$name")
-            require(fs.rename(f.getPath, to),
-              s"index merge: cannot move ${f.getPath} to $to")
-            moved.increment()
-          }
-        }
-      }
-    moved.sum()
-  }
-
   /** Move the plain data files directly under `src` into `dst`
-    * (created on demand) — the sidecar twin of [[movePartitionFiles]]
-    * for flat dirs like BM25's `_meta`. Idempotent; no-op when `src`
-    * is absent. */
+    * (created on demand) — for flat sidecar dirs like BM25's `_meta`
+    * (data generations move whole via [[graft.index.Manifests
+    * .moveGenerations]] since r17). Idempotent; no-op when `src` is
+    * absent. */
   private[graft] def moveFlatFiles(
       fs: FileSystem, src: Path, dst: Path): Long = {
     if (!fs.exists(src)) return 0L
@@ -449,20 +410,6 @@ object IndexMerge {
       }
     }
     if (fresh.nonEmpty) Bm25Index.appendRanges(spark, dstPath, fresh)
-  }
-
-  /** `(fileCount, bytes)` of a lake's `bucket=*` postings tree — the
-    * part compaction can defragment (sidecars grow a tiny file per
-    * append too, but they are driver-side reads and a just-compacted
-    * lake must read as "no compaction needed"). One two-level
-    * listing — the same walk every post-append probe already pays. */
-  private[graft] def bucketFootprint(
-      fs: FileSystem, path: Path, prefix: String = "bucket="): (Long, Long) = {
-    val stats = fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .flatMap(d => fs.listStatus(d.getPath))
-      .filter(_.isFile)
-    (stats.length.toLong, stats.map(_.getLen).sum)
   }
 
   /** The auto-compaction trigger shared by the bucket-partitioned

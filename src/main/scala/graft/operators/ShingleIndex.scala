@@ -47,7 +47,33 @@ class ShingleIndex private (
     val nBuckets: Int,
     val hashKeys: Boolean) {
 
-  def postings: DataFrame = spark.read.parquet(path)
+  /** The CURRENT committed snapshot's postings (r17 — manifest-pinned
+    * like [[Bm25Index.postings]]: maintenance is safe against
+    * concurrent readers; a resolved probe plan reads its snapshot to
+    * completion while compact/merge commit the next one beside it). */
+  def postings: DataFrame = {
+    val m = graft.index.Manifests.require(spark, path)
+    graft.index.Manifests.dataFrame(spark, path, m)
+  }
+
+  /** Land a batch's keyed postings whole in a fresh generation and
+    * commit (r17 — the batch becomes visible atomically; an
+    * interrupted write leaves an orphan the next commit reaps). */
+  private def writePostingsGeneration(
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val m = graft.index.Manifests.require(spark, path)
+    val gen = graft.index.Manifests.genDirName(m.n + 1)
+    keyed(docs, idCol, textCol)
+      .select(col("key"), col("id").as("old_id"), col("nsh"))
+      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "key")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, m.book,
+      m.parts ++ graft.index.Manifests.listParts(spark, path, gen))
+    ()
+  }
 
   /** Exploded keyed shingles of `docs`: (key, id, nsh) under THIS
     * index's shingle parameters. */
@@ -214,12 +240,7 @@ class ShingleIndex private (
     // 10k-doc batch), which is the fragmentation the compact cadence
     // then has to clean. One small shuffle of the batch's postings
     // buys one file per touched bucket per append.
-    keyed(docs, idCol, textCol)
-      .select(col("key"), col("id").as("old_id"), col("nsh"))
-      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "key")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    writePostingsGeneration(docs, idCol, textCol)
     ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
       hashKeys)
     new ShingleIndex(spark, path, nDocs + nNew, ngram, nBuckets, hashKeys)
@@ -286,12 +307,7 @@ class ShingleIndex private (
       .reduce(_ || _)
     val docs = recovery.filter(inRange)
     val nNew = docs.count()
-    keyed(docs, idCol, textCol)
-      .select(col("key"), col("id").as("old_id"), col("nsh"))
-      .withColumn("bucket", pmod(hash(col("key")), lit(nBuckets)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "key")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    writePostingsGeneration(docs, idCol, textCol)
     ShingleIndex.writeStats(spark, path, nDocs + nNew, ngram, nBuckets,
       hashKeys)
     new ShingleIndex(spark, path, nDocs + nNew, ngram, nBuckets, hashKeys)
@@ -313,18 +329,24 @@ class ShingleIndex private (
     (surv, appendBatch(surv, idCol, textCol))
   }
 
-  /** `(fileCount, bytes)` of the `bucket=*` postings tree — the part
-    * of the lake [[compact]] can actually defragment (the `_ranges` /
-    * `_batches` sidecars also grow a tiny file per append, but they
-    * are driver-side reads, never scan inputs, and a post-compact
-    * lake must read as "no compaction needed"). One two-level listing
-    * — the same walk every post-append probe already pays to list the
-    * fragmented postings, so reading it once per batch adds nothing
-    * asymptotic. */
+  /** `(fileCount, bytes)` of the current snapshot's postings tree —
+    * the part of the lake [[compact]] can actually defragment (the
+    * `_ranges` / `_batches` sidecars also grow a tiny file per
+    * append, but they are driver-side reads, never scan inputs, and a
+    * post-compact lake must read as "no compaction needed"). One
+    * listing over the manifest's part dirs — the same walk every
+    * post-append probe already pays, so reading it once per batch
+    * adds nothing asymptotic. */
   def storageFootprint(): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    IndexMerge.bucketFootprint(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val m = graft.index.Manifests.require(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = m.parts.flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$p")
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).toSeq
+      else Seq.empty
+    }
+    (stats.length.toLong, stats.map(_.getLen).sum)
   }
 
   /** The auto-compaction trigger ([[IngestStream]]'s `AutoCompact`
@@ -358,11 +380,11 @@ class ShingleIndex private (
   }
 
   /** Absorb `other` — a shard built with IDENTICAL shingle parameters
-    * over a DISJOINT docid range — into this index by pure file moves
-    * ([[IndexMerge]]): shard postings bucket by the same content hash,
-    * so shard A's `bucket=7` and shard B's `bucket=7` are disjoint row
-    * sets of the same merged partition. No posting is read or
-    * rewritten; the merge costs O(files) renames however big the
+    * over a DISJOINT docid range — into this index by whole-generation
+    * directory moves (r17, was per-bucket file moves): shard postings
+    * bucket by the same content hash, so the merged snapshot is just
+    * both part sets. No posting is read or rewritten; the merge costs
+    * O(generations) renames + ONE manifest commit however big the
     * shards are — the 100 TB build shape (shards build in parallel
     * with local sorts, merge is metadata).
     *
@@ -428,56 +450,44 @@ class ShingleIndex private (
             throw e
         }
     }
-    owned.foreach { sp =>
-      val srcP = new org.apache.hadoop.fs.Path(sp)
-      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
-      fs.delete(srcP, true)
-    }
-    ShingleIndex.writeStats(spark, path, postN, ngram, nBuckets, hashKeys)
-    IndexMerge.deleteMarker(fs, dst)
+    // runs THIS merge to the end (r17 — whole-generation moves + ONE
+    // manifest commit; pinned readers of the destination are
+    // undisturbed, new readers see the absorbed shards atomically)
+    ShingleIndex.completeMerge(spark, path)
     val merged = new ShingleIndex(spark, path, postN, ngram, nBuckets,
       hashKeys)
     // opt-in post-step (r16) — see Bm25Index.mergeAll's note
     if (compact && merged.shouldCompact()) merged.compact() else merged
   }
 
-  /** Offline maintenance after repeated [[appendBatch]]es: rewrite each
-    * bucket key-sorted into a sibling directory, carry the sidecars,
-    * swap — [[Bm25Index.compact]]'s contract (maintenance windows only,
-    * not safe against concurrent readers). */
+  /** Offline maintenance after repeated [[appendBatch]]es: rewrite
+    * the whole lake key-sorted into ONE fresh generation and commit —
+    * [[Bm25Index.compact]]'s r17 contract (safe against concurrent
+    * readers: a probe pinned to the fragmented snapshot finishes
+    * undisturbed; sidecars — `_stats`, `_ranges`, `_batches`,
+    * `_quiesced` — never move, so nothing can be forgotten by a
+    * copy list). */
   def compact(maxRecordsPerFile: Long = 5000000L): ShingleIndex = {
-    // settle any interrupted merge first: the sibling rewrite carries
-    // only the sidecar list below, so a pending `_merge_pending` (and
-    // its not-yet-moved source files) would be dropped by the swap
+    // settle any interrupted merge first: compacting under a pending
+    // marker would fold moved-in generations the roll-forward still
+    // expects to commit
     ShingleIndex.completeMerge(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val m = graft.index.Manifests.require(spark, path)
+    val gen = graft.index.Manifests.genDirName(m.n + 1)
     // repartition ON the bucket first (r13): without it each read
     // task writes its own slice into every bucket dir it holds rows
     // for, and "compaction" barely reduced the file count — now a
     // bucket's rows land in one task, giving whole-bucket key-sorted
     // files (split only by maxRecordsPerFile)
-    spark.read.parquet(path)
+    graft.index.Manifests.dataFrame(spark, path, m)
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "key")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
-      .parquet(tmp.toString)
-    val cur = new org.apache.hadoop.fs.Path(path)
-    // `_batches`: the BatchLedger sidecar the streaming ingest keeps
-    // next to the postings — must survive in-stream compaction or a
-    // post-compact replay loses its short-circuit (still correct via
-    // the `_ranges` claim, but recomputes the whole survivor set)
-    Seq("_stats", "_ranges", "_batches", "_quiesced").foreach { side =>
-      val src = new org.apache.hadoop.fs.Path(cur, side)
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-          new org.apache.hadoop.fs.Path(tmp, side), false,
-          spark.sparkContext.hadoopConfiguration)
-    }
-    Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, m.book,
+      graft.index.Manifests.listParts(spark, path, gen))
     new ShingleIndex(spark, path, nDocs, ngram, nBuckets, hashKeys)
   }
 }
@@ -526,17 +536,23 @@ object ShingleIndex {
       s"shingle index: every value of id column '$idCol' casts to null")
     val nb = if (nBuckets == AutoBuckets) Bm25Index.autoBuckets(st.getLong(1))
       else nBuckets
+    // a rebuild over an existing path replaces the index whole (r17:
+    // explicit reset so the manifest store restarts at generation 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val gen = graft.index.Manifests.genDirName(1L)
     val idx = new ShingleIndex(spark, path, 0L, ngram, nb, hashKeys)
     idx.keyed(docs, idCol, textCol)
       .select(col("key"), col("id").as("old_id"), col("nsh"))
       .withColumn("bucket", pmod(hash(col("key")), lit(nb)))
       .repartition(col("bucket")) // r14: see Bm25Index.build's note
       .sortWithinPartitions("bucket", "key")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, None,
+      graft.index.Manifests.listParts(spark, path, gen))
     writeStats(spark, path, st.getLong(0), ngram, nb, hashKeys)
-    val rangesDir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
-    val fs = rangesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(rangesDir)) fs.delete(rangesDir, true)
     Bm25Index.appendRange(spark, path, st.getLong(2), st.getLong(3))
     new ShingleIndex(spark, path, st.getLong(0), ngram, nb, hashKeys)
   }
@@ -552,11 +568,17 @@ object ShingleIndex {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
-      IndexMerge.splitSrcs(src).foreach { sp =>
-        IndexMerge.movePartitionFiles(
-          fs, new org.apache.hadoop.fs.Path(sp), dst, "bucket=")
-        fs.delete(new org.apache.hadoop.fs.Path(sp), true)
+      val srcs = IndexMerge.splitSrcs(src)
+      val m = graft.index.Manifests.require(spark, path)
+      val moved = srcs.flatMap { s =>
+        if (graft.index.Manifests.current(spark, s).isDefined)
+          graft.index.Manifests.moveGenerations(spark, s, path)
+        else Vector.empty
       }
+      if (moved.nonEmpty)
+        graft.index.Manifests.commit(spark, path, m.book, m.parts ++ moved)
+      srcs.foreach(sp =>
+        fs.delete(new org.apache.hadoop.fs.Path(sp), true))
       writeStats(spark, path, stats(0), stats(1).toInt, stats(2).toInt,
         stats(3) == 1L)
       IndexMerge.deleteMarker(fs, dst)
@@ -564,7 +586,6 @@ object ShingleIndex {
   }
 
   def load(spark: SparkSession, path: String): ShingleIndex = {
-    Bm25Index.recoverGeneration(spark, path) // mid-compact crash repair
     completeMerge(spark, path) // mid-merge crash roll-forward
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -37,7 +37,13 @@ class WinnowIndex private (
     val dfCap: Int,
     val nBuckets: Int) {
 
-  def postings: DataFrame = spark.read.parquet(path)
+  /** The CURRENT committed snapshot's fingerprints (r17 —
+    * manifest-pinned like [[Bm25Index.postings]]: maintenance is safe
+    * against concurrent readers). */
+  def postings: DataFrame = {
+    val m = graft.index.Manifests.require(spark, path)
+    graft.index.Manifests.dataFrame(spark, path, m)
+  }
 
   /** DISTINCT (id, hash) winnow fingerprints of `docs` under THIS
     * index's parameters (the `winnow` codegen expression rides the
@@ -146,54 +152,49 @@ class WinnowIndex private (
         "use force=true only if the overlap is intentional")
       }
     Bm25Index.appendRange(spark, path, lo, hi)
+    val m = graft.index.Manifests.require(spark, path)
+    val gen = graft.index.Manifests.genDirName(m.n + 1)
     fps(docs, idCol, textCol)
       .select(col("hash"), col("id").as("old_id"))
       .withColumn("bucket", pmod(hash(col("hash")), lit(nBuckets)))
       .repartition(col("bucket")) // r14: see ShingleIndex.appendBatch
       .sortWithinPartitions("bucket", "hash")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, m.book,
+      m.parts ++ graft.index.Manifests.listParts(spark, path, gen))
     WinnowIndex.writeStats(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
     new WinnowIndex(spark, path, nDocs + nNew, k, w, dfCap, nBuckets)
   }
 
   /** Offline maintenance after repeated [[appendBatch]]es: rewrite
-    * each bucket hash-sorted into a sibling directory, carry the
-    * sidecars, swap — [[ShingleIndex.compact]]'s contract
-    * (maintenance windows only, not safe against concurrent
-    * readers). */
+    * the whole lake hash-sorted into ONE fresh generation and commit
+    * — [[ShingleIndex.compact]]'s r17 contract (safe against
+    * concurrent readers; sidecars never move). */
   def compact(maxRecordsPerFile: Long = 5000000L): WinnowIndex = {
-    // settle any interrupted merge first — the sibling rewrite would
-    // drop a pending `_merge_pending` (ShingleIndex.compact's note)
+    // settle any interrupted merge first (ShingleIndex.compact's note)
     WinnowIndex.completeMerge(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val m = graft.index.Manifests.require(spark, path)
+    val gen = graft.index.Manifests.genDirName(m.n + 1)
     // bucket-repartitioned first — see ShingleIndex.compact (r13)
-    spark.read.parquet(path)
+    graft.index.Manifests.dataFrame(spark, path, m)
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "hash")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
-      .parquet(tmp.toString)
-    val cur = new org.apache.hadoop.fs.Path(path)
-    Seq("_stats", "_ranges", "_batches", "_quiesced").foreach { side =>
-      val src = new org.apache.hadoop.fs.Path(cur, side)
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-          new org.apache.hadoop.fs.Path(tmp, side), false,
-          spark.sparkContext.hadoopConfiguration)
-    }
-    Bm25Index.swapGenerations(spark, path) // two-rename, crash-safe
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, m.book,
+      graft.index.Manifests.listParts(spark, path, gen))
     new WinnowIndex(spark, path, nDocs, k, w, dfCap, nBuckets)
   }
 
   /** Absorb `other` — a shard with IDENTICAL winnowing parameters over
-    * a DISJOINT docid range — by pure file moves: [[ShingleIndex
-    * .merge]]'s protocol over the fingerprint lake (same marker
-    * roll-forward, same range claims; the probe-time df cap stays
-    * exact because lake-wide df is computed from the merged postings
-    * at probe time, never stored). */
+    * a DISJOINT docid range — by whole-generation directory moves
+    * (r17): [[ShingleIndex.merge]]'s protocol over the fingerprint
+    * lake (same marker roll-forward, same range claims; the
+    * probe-time df cap stays exact because lake-wide df is computed
+    * from the merged postings at probe time, never stored). */
   def merge(other: WinnowIndex): WinnowIndex = mergeAll(Seq(other))
 
   /** Multi-way [[merge]] (r15) — [[Bm25Index.mergeAll]]'s one-claims-
@@ -245,24 +246,26 @@ class WinnowIndex private (
             throw e
         }
     }
-    owned.foreach { sp =>
-      val srcP = new org.apache.hadoop.fs.Path(sp)
-      IndexMerge.movePartitionFiles(fs, srcP, dst, "bucket=")
-      fs.delete(srcP, true)
-    }
-    WinnowIndex.writeStats(spark, path, postN, k, w, dfCap, nBuckets)
-    IndexMerge.deleteMarker(fs, dst)
+    // runs THIS merge to the end (r17 — whole-generation moves + ONE
+    // manifest commit; pinned destination readers undisturbed)
+    WinnowIndex.completeMerge(spark, path)
     val merged = new WinnowIndex(spark, path, postN, k, w, dfCap, nBuckets)
     // opt-in post-step (r16) — see Bm25Index.mergeAll's note
     if (compact && merged.shouldCompact()) merged.compact() else merged
   }
 
-  /** `(fileCount, bytes)` of the `bucket=*` fingerprint tree
+  /** `(fileCount, bytes)` of the current snapshot's fingerprint tree
     * ([[ShingleIndex.storageFootprint]]). */
   def storageFootprint(): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    IndexMerge.bucketFootprint(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val m = graft.index.Manifests.require(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = m.parts.flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$p")
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).toSeq
+      else Seq.empty
+    }
+    (stats.length.toLong, stats.map(_.getLen).sum)
   }
 
   /** The auto-compaction trigger ([[ShingleIndex.shouldCompact]]'s
@@ -311,17 +314,23 @@ object WinnowIndex {
     val nb = if (nBuckets == ShingleIndex.AutoBuckets)
       Bm25Index.autoBuckets(math.max(1L, 2L * st.getLong(1) / (w + 1)))
     else nBuckets
+    // a rebuild over an existing path replaces the index whole (r17:
+    // explicit reset so the manifest store restarts at generation 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val gen = graft.index.Manifests.genDirName(1L)
     val idx = new WinnowIndex(spark, path, 0L, k, w, dfCap, nb)
     idx.fps(docs, idCol, textCol)
       .select(col("hash"), col("id").as("old_id"))
       .withColumn("bucket", pmod(hash(col("hash")), lit(nb)))
       .repartition(col("bucket")) // r14: see Bm25Index.build's note
       .sortWithinPartitions("bucket", "hash")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$gen")
+    graft.index.Manifests.commit(spark, path, None,
+      graft.index.Manifests.listParts(spark, path, gen))
     writeStats(spark, path, st.getLong(0), k, w, dfCap, nb)
-    val rangesDir = new org.apache.hadoop.fs.Path(s"$path/_ranges")
-    val fs = rangesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(rangesDir)) fs.delete(rangesDir, true)
     Bm25Index.appendRange(spark, path, st.getLong(2), st.getLong(3))
     new WinnowIndex(spark, path, st.getLong(0), k, w, dfCap, nb)
   }
@@ -334,11 +343,17 @@ object WinnowIndex {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.readMarker(fs, dst).foreach { case (src, stats) =>
-      IndexMerge.splitSrcs(src).foreach { sp =>
-        IndexMerge.movePartitionFiles(
-          fs, new org.apache.hadoop.fs.Path(sp), dst, "bucket=")
-        fs.delete(new org.apache.hadoop.fs.Path(sp), true)
+      val srcs = IndexMerge.splitSrcs(src)
+      val m = graft.index.Manifests.require(spark, path)
+      val moved = srcs.flatMap { s =>
+        if (graft.index.Manifests.current(spark, s).isDefined)
+          graft.index.Manifests.moveGenerations(spark, s, path)
+        else Vector.empty
       }
+      if (moved.nonEmpty)
+        graft.index.Manifests.commit(spark, path, m.book, m.parts ++ moved)
+      srcs.foreach(sp =>
+        fs.delete(new org.apache.hadoop.fs.Path(sp), true))
       writeStats(spark, path, stats(0), stats(1).toInt, stats(2).toInt,
         stats(3).toInt, stats(4).toInt)
       IndexMerge.deleteMarker(fs, dst)
@@ -346,7 +361,6 @@ object WinnowIndex {
   }
 
   def load(spark: SparkSession, path: String): WinnowIndex = {
-    Bm25Index.recoverGeneration(spark, path) // mid-compact crash repair
     completeMerge(spark, path) // mid-merge crash roll-forward
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -159,4 +159,72 @@ class ConcurrentReaderSpec extends SparkTestBase {
     assert(AnnLsh.bucketize(docs.limit(1), "embedding", lsh)
       .columns.contains("bucket")) // seam sanity
   }
+
+  test("the POSTINGS LAKES join the discipline (r17): a BM25 search " +
+    "and a shingle probe pinned before maintenance read their exact " +
+    "snapshots through a concurrent compact AND a concurrent shard " +
+    "merge; fresh loads see the merged corpus") {
+    import graft.operators.{Bm25Index, ShingleIndex}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "some other corpus document text that lives in the lake"),
+      (3L, "a third document with enough distinct words to shingle"),
+      (4L, "and a fourth one closing out the miniature test corpus"),
+      (10L, "vector search with hash joins is a database topic"),
+      (11L, "the lazy dog sleeps while the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-reader-lakes").toString
+    // ---- BM25: build + append (fragments the lake), pin, maintain
+    Bm25Index.build(corpus.filter(col("doc_id") <= 2), "text",
+        "doc_id", s"$base/bm", nBuckets = 4)
+      .append(corpus.filter(col("doc_id") === 3 || col("doc_id") === 4),
+        "text", "doc_id")
+    val bmShard = Bm25Index.build(corpus.filter(col("doc_id") >= 10),
+      "text", "doc_id", s"$base/bmshard", nBuckets = 4)
+    val pinnedPostings = Bm25Index.load(spark, s"$base/bm").postings
+    val pinnedSearch = Bm25Index.load(spark, s"$base/bm")
+      .search(Seq("quick", "corpus"), 5)
+    val expectPostings = Bm25Index.load(spark, s"$base/bm").postings
+      .collect().map(_.toString).toSet
+    val expectTop = Bm25Index.load(spark, s"$base/bm")
+      .search(Seq("quick", "corpus"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // maintenance UNDER the open reader: compact, then shard merge
+    val bmCompacted = Bm25Index.load(spark, s"$base/bm").compact()
+    bmCompacted.mergeAll(Seq(bmShard))
+    assert(pinnedPostings.collect().map(_.toString).toSet
+      == expectPostings,
+      "the pinned BM25 snapshot must be read exactly")
+    assert(pinnedSearch.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == expectTop,
+      "a pinned BM25 search plan must return its snapshot's ranking")
+    val bmFresh = Bm25Index.load(spark, s"$base/bm")
+    assert(bmFresh.n == 6, "fresh reader sees the merged corpus")
+    assert(bmFresh.search(Seq("vector"), 3).collect()
+      .map(_.getLong(0)).contains(10L))
+    // ---- shingle: pin a probe, compact + merge underneath it
+    ShingleIndex.build(corpus.filter(col("doc_id") <= 4), "doc_id",
+      "text", s"$base/sh", ngram = 3, nBuckets = 4)
+    val shShard = ShingleIndex.build(corpus.filter(col("doc_id") >= 10),
+      "doc_id", "text", s"$base/shshard", ngram = 3, nBuckets = 4)
+    val incoming = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val pinnedProbe = ShingleIndex.load(spark, s"$base/sh")
+      .probe(incoming, "doc_id", "text", threshold = 0.3)
+    val expectProbe = ShingleIndex.load(spark, s"$base/sh")
+      .probe(incoming, "doc_id", "text", threshold = 0.3)
+      .collect().map(_.toString).toSet
+    val shCompacted = ShingleIndex.load(spark, s"$base/sh").compact()
+    shCompacted.mergeAll(Seq(shShard))
+    assert(pinnedProbe.collect().map(_.toString).toSet == expectProbe,
+      "the pinned shingle probe must read its snapshot exactly")
+    // fresh probe sees the merged lake: doc 11 shares the fox shingles
+    val freshPairs = ShingleIndex.load(spark, s"$base/sh")
+      .probe(incoming, "doc_id", "text", threshold = 0.3)
+      .select("old_id").collect().map(_.getLong(0)).toSet
+    assert(freshPairs.contains(11L),
+      s"merged shard must serve fresh probes, got $freshPairs")
+  }
 }

@@ -224,18 +224,17 @@ class Bm25Spec extends SparkTestBase {
     def top(i: Bm25Index) = i.search(Seq("vector", "hash", "join"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val before = top(idx)
-    def parquetFiles(): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(dir))
-    }
-    val filesBefore = parquetFiles()
+    // count the current SNAPSHOT's files (r17): retention keeps prior
+    // generations on disk for pinned readers, so a raw tree walk
+    // would see old + new together until manifests roll past the
+    // window — the snapshot footprint is what compaction shrinks
+    val (filesBefore, _) = idx.storageFootprint()
     val compacted = idx.compact()
     assert(compacted.n == idx.n && compacted.sumdl == idx.sumdl)
     assert(top(compacted) == before)
     // three writes into overlapping buckets collapse to one pass
-    assert(parquetFiles() < filesBefore, s"$filesBefore -> ${parquetFiles()}")
+    val (filesAfter, _) = compacted.storageFootprint()
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
     // a reload of the compacted path agrees
     val re = Bm25Index.load(spark, dir)
     assert(re.n == idx.n && top(re) == before)

@@ -1,15 +1,18 @@
 package graft.operators
 
 import graft.SparkTestBase
+import graft.index.Manifests
 
-/** Kill-mid-compact crash safety for the three postings lakes (r13,
-  * the r12 verdict's ask): compaction rewrites the whole index into a
-  * `.compact` sibling and swaps it live. The swap is now TWO renames
-  * with the old generation retained (`Bm25Index.swapGenerations`) —
-  * never delete-then-rename — and every load() runs the repair
-  * (`recoverGeneration`). This spec interrupts the procedure at each
-  * crash point and shows the index always reads a CONSISTENT
-  * generation, mirroring BatchLedger's snapshot-first design. */
+/** Kill-mid-compact crash safety for the three postings lakes —
+  * rewritten in r17 for the manifest-snapshot storage (the pre-r17
+  * protocol swapped the live directory through two renames; the spec
+  * used to interrupt that swap at each rename). Under manifests the
+  * compact rewrite lands whole in a fresh `gen=…` directory and the
+  * atomic manifest commit is the only visibility point, so the crash
+  * surface is simpler: anything that dies BEFORE the commit leaves
+  * the lake bit-identical to before (the torn generation is an
+  * invisible orphan, reaped once manifests roll past the retention
+  * window), and there is no moment without a readable index. */
 class IndexCompactCrashSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -20,99 +23,110 @@ class IndexCompactCrashSpec extends SparkTestBase {
     (4L, "and a fourth one closing out the miniature test corpus"))
     .toDF("doc_id", "text")
 
+  private def moreDocs(lo: Long, n: Int) = (0 until n).map(i =>
+      (lo + i, s"extra filler document number ${lo + i} with words " +
+        s"alpha beta gamma delta epsilon zeta"))
+    .toDF("doc_id", "text")
+
   private def scratch(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-crash-$tag").toString
 
-  private def rows(path: String): Set[String] =
-    spark.read.parquet(path).collect().map(_.toString).toSet
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
 
-  private def mv(a: String, b: String): Unit = {
-    java.nio.file.Files.move(java.nio.file.Paths.get(a),
-      java.nio.file.Paths.get(b)); ()
-  }
-
-  test("crash DURING the sibling rewrite (partial .compact on disk): " +
-    "the live shingle index is untouched and a re-run compact " +
-    "overwrites the partial sibling") {
+  test("crash DURING the compact rewrite (partial uncommitted gen on " +
+    "disk): the live shingle snapshot is bit-identical, a re-run " +
+    "compact succeeds, and the orphan generation is reaped once " +
+    "manifests roll past retention") {
     val root = scratch("partial")
     val path = s"$root/idx"
-    ShingleIndex.build(docs, "doc_id", "text", path, ngram = 3,
+    val idx = ShingleIndex.build(docs, "doc_id", "text", path, ngram = 3,
       nBuckets = 4)
-    val before = rows(path)
-    // the crash footprint: a half-written sibling (one garbage file)
-    val tmp = new java.io.File(path + ".compact/bucket=0")
-    tmp.mkdirs()
+    val before = rows(idx.postings)
+    // the crash footprint: a torn generation directory that no
+    // manifest references (the rewrite died mid-write)
+    val m = Manifests.require(spark, path)
+    val orphan = Manifests.genDirName(m.n + 1)
+    val tornDir = new java.io.File(s"$path/$orphan/bucket=0")
+    tornDir.mkdirs()
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(path + ".compact/bucket=0/part-junk.parquet"),
+      java.nio.file.Paths.get(s"$path/$orphan/bucket=0/part-junk.parquet"),
       Array[Byte](1, 2, 3))
-    // reads are unaffected: the live directory never changed
-    assert(rows(ShingleIndex.load(spark, path).path) == before)
-    // and a re-run compact simply overwrites the partial sibling
-    ShingleIndex.load(spark, path).compact()
-    assert(rows(path) == before)
-    assert(!new java.io.File(path + ".compact").exists,
-      "promoted sibling must be gone")
-    assert(!new java.io.File(path + ".old").exists,
-      "retired generation must be reaped")
+    // reads are unaffected: the committed snapshot never references it
+    assert(rows(ShingleIndex.load(spark, path).postings) == before)
+    // a re-run compact overwrites the torn generation in place (same
+    // next-gen name) and commits it whole
+    val compacted = ShingleIndex.load(spark, path).compact()
+    assert(rows(compacted.postings) == before)
+    // roll enough commits for retention to pass the pre-compact
+    // manifests out of the window, then check nothing torn survived:
+    // every on-disk generation is manifest-referenced
+    var cur = compacted
+    (0 until Manifests.DefaultRetain + 1).foreach { i =>
+      cur = cur.appendBatch(moreDocs(100L + i * 10, 2), "doc_id", "text")
+    }
+    val live = Manifests.require(spark, path).parts
+      .map(Manifests.genOf).toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName).toSet
+    // retained older manifests may hold more gens; the torn orphan
+    // (never committed) must be gone
+    assert(!onDisk.contains(orphan) || live.contains(orphan),
+      s"torn orphan $orphan survived retention: $onDisk")
   }
 
-  test("crash BETWEEN the two swap renames (live dir gone, old " +
-    "generation at .old, completed .compact present): load repairs " +
-    "by restoring the old generation") {
-    val root = scratch("midswap")
+  test("a COMPLETE but uncommitted compact generation stays invisible " +
+    "(the crash-before-commit window): the lake reads the fragmented " +
+    "snapshot, without duplicates from the orphan") {
+    val root = scratch("uncommitted")
     val path = s"$root/idx"
-    ShingleIndex.build(docs, "doc_id", "text", path, ngram = 3,
+    val idx = ShingleIndex.build(docs, "doc_id", "text", path, ngram = 3,
       nBuckets = 4)
-    val before = rows(path)
-    // write a COMPLETE compact sibling (what step 2 would promote),
-    // then simulate the crash: live renamed away, promotion never ran
-    spark.read.parquet(path).write.partitionBy("bucket")
-      .parquet(path + ".compact")
-    mv(path, path + ".old")
-    assert(!new java.io.File(path).exists)
-    val idx = ShingleIndex.load(spark, path) // must repair, not throw
-    assert(rows(idx.path) == before, "old generation restored whole")
-    // the leftover sibling is inert and the NEXT compact clears it
-    idx.compact()
-    assert(rows(path) == before)
-    assert(!new java.io.File(path + ".compact").exists)
+    val before = rows(idx.postings)
+    // write the full compacted tree exactly where compact would, but
+    // crash before the manifest commit
+    val m = Manifests.require(spark, path)
+    val gen = Manifests.genDirName(m.n + 1)
+    Manifests.dataFrame(spark, path, m)
+      .repartition(org.apache.spark.sql.functions.col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$path/$gen")
+    // every posting exists TWICE on disk now — but the snapshot read
+    // sees exactly the committed set, once
+    assert(rows(ShingleIndex.load(spark, path).postings) == before,
+      "uncommitted compact output must not double postings")
   }
 
-  test("crash AFTER promotion (stray .old next to a healthy live " +
-    "dir): load reads the new generation and reaps the leftover") {
-    val root = scratch("postswap")
-    val path = s"$root/idx"
-    ShingleIndex.build(docs, "doc_id", "text", path, ngram = 3,
-      nBuckets = 4)
-    val before = rows(path)
-    val old = new java.io.File(path + ".old")
-    old.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path + ".old/stale.bin"), Array[Byte](9))
-    assert(rows(ShingleIndex.load(spark, path).path) == before)
-    assert(!old.exists, "stray retired generation reaped on load")
-  }
-
-  test("the same mid-swap repair holds for the winnow and BM25 " +
-    "lakes (shared swap + shared recovery)") {
+  test("the same crash-before-commit invisibility holds for the " +
+    "winnow and BM25 lakes (shared manifest storage)") {
     // winnow
     val wroot = scratch("winnow")
     val wpath = s"$wroot/idx"
-    WinnowIndex.build(docs, "doc_id", "text", wpath, k = 3, w = 4,
-      nBuckets = 4)
-    val wbefore = rows(wpath)
-    mv(wpath, wpath + ".old")
-    assert(rows(WinnowIndex.load(spark, wpath).path) == wbefore)
+    val wIdx = WinnowIndex.build(docs, "doc_id", "text", wpath, k = 3,
+      w = 4, nBuckets = 4)
+    val wbefore = rows(wIdx.postings)
+    val wm = Manifests.require(spark, wpath)
+    Manifests.dataFrame(spark, wpath, wm)
+      .repartition(org.apache.spark.sql.functions.col("bucket"))
+      .write.partitionBy("bucket")
+      .parquet(s"$wpath/${Manifests.genDirName(wm.n + 1)}")
+    assert(rows(WinnowIndex.load(spark, wpath).postings) == wbefore)
     // bm25
     val broot = scratch("bm25")
     val bpath = s"$broot/idx"
-    Bm25Index.build(docs, "text", "doc_id", bpath, nBuckets = 4)
-    val bbefore = rows(bpath)
-    mv(bpath, bpath + ".old")
-    assert(rows(Bm25Index.load(spark, bpath).path) == bbefore)
-    // and a full compact round-trips both through the new swap
-    WinnowIndex.load(spark, wpath).compact()
-    Bm25Index.load(spark, bpath).compact()
-    assert(rows(wpath) == wbefore && rows(bpath) == bbefore)
+    val bIdx = Bm25Index.build(docs, "text", "doc_id", bpath, nBuckets = 4)
+    val bbefore = rows(bIdx.postings)
+    val bm = Manifests.require(spark, bpath)
+    Manifests.dataFrame(spark, bpath, bm)
+      .repartition(org.apache.spark.sql.functions.col("bucket"))
+      .write.partitionBy("bucket")
+      .parquet(s"$bpath/${Manifests.genDirName(bm.n + 1)}")
+    assert(rows(Bm25Index.load(spark, bpath).postings) == bbefore)
+    // and a real compact round-trips both (the orphan's next-gen slot
+    // is simply overwritten and committed)
+    assert(rows(WinnowIndex.load(spark, wpath).compact().postings)
+      == wbefore)
+    assert(rows(Bm25Index.load(spark, bpath).compact().postings)
+      == bbefore)
   }
 }

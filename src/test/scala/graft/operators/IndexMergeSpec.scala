@@ -25,8 +25,14 @@ class IndexMergeSpec extends SparkTestBase {
   private def scratch(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-merge-$tag").toString
 
-  private def postingRows(path: String): Set[String] =
-    spark.read.parquet(path).collect().map(_.toString).toSet
+  private def postingRows(path: String): Set[String] = {
+    // through the manifest (r17): the raw tree now carries the
+    // internal `gen` partition column, whose values legitimately
+    // differ between a merged lake and a monolithic one
+    val m = graft.index.Manifests.require(spark, path)
+    graft.index.Manifests.dataFrame(spark, path, m)
+      .collect().map(_.toString).toSet
+  }
 
   test("shingle shards merge file-level into the monolithic index: " +
     "postings identical, survivors identical, stats summed") {
@@ -256,21 +262,18 @@ class IndexMergeSpec extends SparkTestBase {
       "doc_id", "text", s"$root/a", ngram = 3, nBuckets = 8)
     val b = ShingleIndex.build(corpus.filter($"doc_id" >= 10),
       "doc_id", "text", s"$root/b", ngram = 3, nBuckets = 8)
-    // the crash footprint, planted by hand: ranges claimed, marker
-    // written, exactly ONE source file moved, then death
+    // the crash footprint, planted by hand (r17 manifest protocol):
+    // ranges claimed, marker written, the source's GENERATIONS moved
+    // into the destination — then death BEFORE the manifest commit
+    // that would make them visible (the moved data sits unreferenced)
     val fs = new org.apache.hadoop.fs.Path(s"$root/a")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.claimRanges(spark, s"$root/a", s"$root/b")
     IndexMerge.writeMarker(fs, new org.apache.hadoop.fs.Path(s"$root/a"),
       s"$root/b", Seq(8L, 3L, 8L, 1L))
-    val srcBucket = new java.io.File(s"$root/b").listFiles()
-      .filter(_.getName.startsWith("bucket=")).head
-    val srcFile = srcBucket.listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val dstDir = new java.io.File(s"$root/a", srcBucket.getName)
-    java.nio.file.Files.move(srcFile.toPath,
-      new java.io.File(dstDir, srcFile.getName).toPath)
-    // load must complete the merge
+    graft.index.Manifests.moveGenerations(spark, s"$root/b", s"$root/a")
+    // the uncommitted move is invisible — and load must complete the
+    // merge: re-derive the part lines (moves skip), commit, drain
     val recovered = ShingleIndex.load(spark, s"$root/a")
     assert(recovered.nDocs == 8)
     assert(postingRows(s"$root/a") == postingRows(s"$root/whole"))
@@ -389,17 +392,15 @@ class IndexMergeSpec extends SparkTestBase {
       "doc_id", s"$root/d", nBuckets = 8)
     val fs = new org.apache.hadoop.fs.Path(s"$root/a")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // footprint: claims landed, multi-src marker written, source b
-    // fully drained, c and d untouched, death before stats
+    // footprint (r17 manifest protocol): claims landed, multi-src
+    // marker written, source b's generations already moved in, c and
+    // d untouched — death before the manifest commit and stats
     IndexMerge.claimRangesAll(spark, s"$root/a",
       Seq(s"$root/b", s"$root/c", s"$root/d"))
     IndexMerge.writeMarker(fs, new org.apache.hadoop.fs.Path(s"$root/a"),
       IndexMerge.joinSrcs(Seq(s"$root/b", s"$root/c", s"$root/d")),
       Seq(whole(root).n, whole(root).sumdl, 8L))
-    IndexMerge.movePartitionFiles(fs,
-      new org.apache.hadoop.fs.Path(s"$root/b"),
-      new org.apache.hadoop.fs.Path(s"$root/a"), "bucket=")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/b"), true)
+    graft.index.Manifests.moveGenerations(spark, s"$root/b", s"$root/a")
     // load must finish c and d too
     val recovered = Bm25Index.load(spark, s"$root/a")
     assert(recovered.n == whole(root).n &&

@@ -164,17 +164,21 @@ class MergeGuardSpec extends SparkTestBase {
       "doc_id", s"$root/b", nBuckets = 8)
     // the handle that will be reused after the in-process failure
     val stale = Bm25Index.load(spark, s"$root/dst")
-    // plant the failure footprint of mergeAll(Seq(a)): claims landed,
-    // marker written, files moved, source drained — death BEFORE the
-    // stats write and marker delete
+    // plant the failure footprint of mergeAll(Seq(a)) under the r17
+    // manifest protocol: claims landed, marker written, generations
+    // moved AND committed, `_meta` moved, source drained — death
+    // BEFORE the stats write and marker delete (the only states a
+    // drained source can coexist with is post-commit)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMerge.claimRangesAll(spark, s"$root/dst", Seq(s"$root/a"))
     IndexMerge.writeMarker(fs, new org.apache.hadoop.fs.Path(s"$root/dst"),
       s"$root/a", Seq(stale.n + a.n, stale.sumdl + a.sumdl, 8L))
-    IndexMerge.movePartitionFiles(fs,
-      new org.apache.hadoop.fs.Path(s"$root/a"),
-      new org.apache.hadoop.fs.Path(s"$root/dst"), "bucket=")
+    val m0 = graft.index.Manifests.require(spark, s"$root/dst")
+    val moved = graft.index.Manifests
+      .moveGenerations(spark, s"$root/a", s"$root/dst")
+    graft.index.Manifests.commit(spark, s"$root/dst", m0.book,
+      m0.parts ++ moved)
     IndexMerge.moveFlatFiles(fs,
       new org.apache.hadoop.fs.Path(s"$root/a/_meta"),
       new org.apache.hadoop.fs.Path(s"$root/dst/_meta"))

@@ -241,10 +241,17 @@ class IngestDedupStreamSpec extends SparkTestBase {
         .as[Long].collect().toSet
     }
     def bucketFiles(root: String): Map[String, Int] = {
-      val idx = new java.io.File(s"$root/idx")
-      idx.listFiles().filter(_.getName.startsWith("bucket="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      // per-bucket counts of the CURRENT snapshot (r17: the tree is
+      // gen=…/bucket=…, and retention keeps old generations for
+      // pinned readers — only the manifest's parts are the lake)
+      val m = graft.index.Manifests.require(spark, s"$root/idx")
+      m.parts.groupBy(p => p.substring(p.indexOf('/') + 1))
+        .map { case (b, parts) =>
+          b -> parts.map { p =>
+            new java.io.File(s"$root/idx/$p").listFiles()
+              .count(_.getName.endsWith(".parquet"))
+          }.sum
+        }
     }
     val rootA = java.nio.file.Files
       .createTempDirectory("graft-autocompact-off").toString
