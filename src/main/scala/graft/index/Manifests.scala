@@ -214,14 +214,53 @@ object Manifests {
     * a plain Hive-layout read — and the internal `gen` column
     * dropped. The file listing is resolved NOW, against directories
     * no later commit mutates: the returned plan is a pinned snapshot,
-    * valid until `retain` further commits expire it. */
+    * valid until `retain` further commits expire it.
+    *
+    * Scan roots are GENERATION directories, not part directories
+    * (r17 late, measured on the fan-in sweep): a fragmented lake's
+    * manifest holds gens × partitions part lines, and handing Spark
+    * thousands of root paths made every resolve pay a per-root
+    * listing round (S=64 BM25 probe measured 19.6 s vs ~1 s on gen
+    * roots — BASELINE). A committed generation is normally
+    * referenced WHOLE, so one root per gen lists the same files; the
+    * exception is a retrain/grow commit, whose part list keeps a
+    * SUBSET of older generations (the untouched clusters) — those
+    * partial gens contribute a partition-column whitelist predicate
+    * that Catalyst prunes with at planning time, so the replaced
+    * partitions' files are listed but never read. */
   def dataFrame(
       spark: SparkSession, path: String, m: Manifest): DataFrame = {
     scala.Predef.require(m.parts.nonEmpty,
       s"index manifest ${m.n} at $path lists no data")
-    spark.read.option("basePath", path)
-      .parquet(m.parts.map(p => s"$path/$p"): _*)
-      .drop("gen")
+    import org.apache.spark.sql.functions.{col, lit}
+    val head = m.parts.head
+    val sub = head.substring(head.indexOf('/') + 1)
+    val partCol = sub.substring(0, sub.indexOf('='))
+    def partPred(ps: Seq[String]): org.apache.spark.sql.Column = {
+      val vals = ps.map(partitionValueOf)
+      if (vals.forall(_.matches("-?\\d+")))
+        col(partCol).isin(vals.map(_.toInt): _*)
+      else col(partCol).cast("string").isin(vals: _*)
+    }
+    // one driver listing per gen decides full vs partial reference
+    val listed = m.parts.groupBy(genOf).toSeq.sortBy(_._1).map {
+      case (g, ps) =>
+        (g, ps, listParts(spark, path, g).toSet == ps.toSet)
+    }
+    val base = spark.read.option("basePath", path)
+      .parquet(listed.map { case (g, _, _) => s"$path/$g" }: _*)
+    val pruned =
+      if (listed.forall(_._3)) base
+      else {
+        val fullGens = listed.collect {
+          case (g, _, true) => g.stripPrefix("gen=") }
+        val fullPred = if (fullGens.isEmpty) lit(false)
+          else col("gen").isin(fullGens: _*)
+        base.filter(listed.collect { case (g, ps, false) =>
+          col("gen").equalTo(g.stripPrefix("gen=")).and(partPred(ps))
+        }.foldLeft(fullPred)(_ or _))
+      }
+    pruned.drop("gen")
   }
 
   /** Deterministic destination name for a generation absorbed from a

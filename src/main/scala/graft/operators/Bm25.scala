@@ -451,9 +451,9 @@ class Bm25Index private (
     * ingest pattern, never false-positive). `force = true` skips the
     * guard for callers interleaving id ranges ON PURPOSE — the
     * double-count risk is then theirs. Repeated appends leave one
-    * small file per append per bucket; rebuild (or copy-[[compact]])
-    * during maintenance windows, as [[graft.index.IvfVectorIndex
-    * .compact]] documents for the vector twin.
+    * small file per append per bucket; [[compact]] folds them — safe
+    * against concurrent readers since r17, so no maintenance window
+    * is needed.
     *
     * Appending also invalidates any `keyword_score` registration of
     * this index ([[graft.Keyword.invalidateIndex]]) — the pre-append
