@@ -189,7 +189,15 @@ class ShingleIndex private (
       else matches.join(
         broadcast(incoming.select(col(idCol).cast("long").as("__self"))),
         matches("old_id").cast("long") === col("__self"), "left_anti")
+    // materialized (r17 optimization round): vsBase feeds TWO
+    // downstream anti-joins (`fresh` and `freshKeyed`), and without
+    // the checkpoint each one re-executes the whole lake-probe chain
+    // (pruned postings scan + broadcast join + pair aggregate) to
+    // build its broadcast side — the probe ran twice per survivors
+    // call. vsBase is bounded by the batch's id count, so the
+    // materialization is tiny; the probe now executes exactly once.
     val vsBase = vsLake.select(col("new_id").as(idCol)).distinct()
+      .localCheckpoint()
     val fresh = incoming.join(vsBase, Seq(idCol), "left_anti")
     val freshKeyed = inc
       .join(broadcast(vsBase.select(col(idCol).as("__dup"))),

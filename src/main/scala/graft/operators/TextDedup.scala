@@ -69,37 +69,26 @@ object TextDedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    var exploded = sh.select(col("id"), col("nsh"),
-      explode(col("sh")).as("shingle"))
-    maxShingleDf.foreach { cap =>
-      // hot-shingle detection as a hash aggregation + broadcast
-      // anti-join. Measured against the tempting alternative — a
-      // frameless count().over(Window.partitionBy(shingle)) riding the
-      // join's shuffle — and the window LOST by ~1.5x: WindowExec must
-      // SORT the exploded rows by shingle string, while this hash agg
-      // never sorts and the anti-join stays broadcast. Keep the agg.
-      val hot = exploded.groupBy("shingle").count()
-        .filter(col("count") > cap).select("shingle")
-      exploded = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
-    val a = exploded.select(col("shingle"), col("id").as("id_a"),
-      col("nsh").as("nsh_a"))
-    val b = exploded.select(col("shingle"), col("id").as("id_b"),
-      col("nsh").as("nsh_b"))
-    // size-ratio prune: jaccard ≥ t forces min(|A|,|B|)/max(|A|,|B|) ≥ t,
-    // so mismatched-size pairs drop during the join probe instead of
-    // flooding the pair-count aggregate
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("nsh_a"), col("nsh_b")).cast("double") >=
-          greatest(col("nsh_a"), col("nsh_b")) * threshold)
-      .groupBy("id_a", "nsh_a", "id_b", "nsh_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("nsh_a") + col("nsh_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // ONE shingle pass, materialized (r17 optimization round): the
+    // hot-shingle cap and BOTH self-join sides consume the same
+    // exploded set, and before this the plan recomputed
+    // scan→shingle→explode once per consumer (4 subtrees in the
+    // captured physical plan — at 100 TB that is four full corpus
+    // scans plus four shingle passes for one logical pass). The keys
+    // are xxhash64(shingle) longs, not shingle strings, so every
+    // downstream exchange moves 8-byte fixed-width keys instead of
+    // ~n-word strings (guide §2.3 "narrower types") — the same
+    // accepted-collision trade as [[ShingleIndex]]'s lake keys and
+    // [[ngramJaccardPairsKeyed]], pinned hashed == exact by
+    // PipelineOpsSpec on real corpora (a false intersection needs a
+    // 64-bit collision INSIDE one candidate pair's shingle sets).
+    // Lineage is released when the result's reference drops (the
+    // DataMix localCheckpoint pattern used across the repo).
+    val keyed = shingles(docs, idCol, textCol, n)
+      .select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("key"), col("id"), col("nsh"))
+      .localCheckpoint()
+    ngramJaccardPairsKeyed(keyed, threshold, maxShingleDf)
   }
 
   /** [[ngramJaccardPairs]] over PRE-KEYED exploded shingles
