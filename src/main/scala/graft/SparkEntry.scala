@@ -42,6 +42,26 @@ object SparkEntry {
     p.toString
   }
 
+  /** Establish a query's final `ORDER BY key` on the SLIM input rows,
+    * BEFORE heavy per-row compute (r17 optimization round, guide §1.4
+    * + §2.5). A trailing `.orderBy(key)` compiles to a range exchange
+    * whose partitioner SAMPLES its child — so every expression below
+    * it executes twice (sampling pass + real pass), and on a
+    * single-row-group parquet source both passes run in the narrow
+    * scan stage. Range-partitioning the slim rows first samples only
+    * the scan, runs the heavy map once, post-exchange, at full width,
+    * and (because every subsequent stage is a per-row order-preserving
+    * map) yields the identical globally-ordered result — callers that
+    * use this DROP their trailing orderBy. Explicit numPartitions
+    * (defaultParallelism — cluster-derived, not a constant) so AQE
+    * cannot coalesce the tiny-bytes-but-heavy-compute case back to
+    * one task. ONLY valid when everything above it is per-row and
+    * order-preserving (no aggregate, no re-shuffle, no window). */
+  private def rangedBy(df: DataFrame, key: String): DataFrame =
+    df.repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, col(key))
+      .sortWithinPartitions(key)
+
   /** The stored embedding of `vec_id = 0` — the flagship query vector
     * (the reference's single-query search path, weaviate.py:177). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
@@ -59,13 +79,19 @@ object SparkEntry {
     * so "boilerplate" (lines repeated across many documents) exists by
     * construction and the DuckDB oracle re-derives the SAME pages in
     * SQL. Pure projection: codegen'd builtins, no shuffle. */
-  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    linedDocsOf(t(s, dir, "documents"))
+
+  /** [[linedDocs]] over a caller-supplied base (r17 optimization
+    * round: lets pure-map consumers range-order the slim rows first —
+    * see [[rangedBy]]). */
+  private def linedDocsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val nl = greatest(
       floor((size(words) + lit(7)) / lit(8)).cast("int"), lit(1))
     val body = transform(sequence(lit(0), nl - 1),
       i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-    t(s, dir, "documents").select(
+    docs.select(
       col("doc_id"),
       concat_ws("\n",
         lit("subscribe to our newsletter today"),
@@ -80,7 +106,11 @@ object SparkEntry {
     * (`lorem ipsum` on id%31, a `{` code line on id%37) — so every C4
     * rule fires on real rows. Pure projection, construction mirrored
     * verbatim by [[C4PageSql]]. */
-  private def c4Docs(s: SparkSession, dir: String): DataFrame = {
+  private def c4Docs(s: SparkSession, dir: String): DataFrame =
+    c4DocsOf(t(s, dir, "documents"))
+
+  /** [[c4Docs]] over a caller-supplied base (see [[linedDocsOf]]). */
+  private def c4DocsOf(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val words = split(col("text"), " ")
     val nl = greatest(
@@ -94,7 +124,7 @@ object SparkEntry {
           .when(p === 3, lit("?")).when(p === 4, lit(".\""))
           .otherwise(lit("")))
     })
-    t(s, dir, "documents").select(
+    docs.select(
       id,
       concat(
         array_join(lines, "\n"),
@@ -1050,15 +1080,15 @@ object SparkEntry {
 
     // text analysis: token counts + stopword-ratio quality signal
     "text_stats" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .filter(col("doc_id") < 100)
+      // pure-map stats — rangedBy replaces the trailing orderBy
+      rangedBy(t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") < 100), "doc_id")
         .select(
           col("doc_id"),
           operators.TextAnalysis.tokenCount(col("text"))
             .cast("long").as("n_tokens"),
           round(operators.TextAnalysis.stopwordRatio(
-            col("text"), Seq("the", "a")), 6).as("stopword_ratio"))
-        .orderBy("doc_id")),
+            col("text"), Seq("the", "a")), 6).as("stopword_ratio"))),
 
     // per-language corpus stats (group-by + min/max/avg)
     "lang_stats" -> ((s, dir) =>
@@ -2581,8 +2611,10 @@ object SparkEntry {
     // patterns in DuckDB, so a pattern-dialect or replacement-order
     // difference breaks the full-text hash.
     "pii_redact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-        .filter(col("doc_id") < 200)
+      // fixture construction + regex chain are pure maps — rangedBy
+      // replaces the trailing orderBy (see rangedBy)
+      val docs = rangedBy(t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200), "doc_id")
       val id = col("doc_id")
       val aug = docs.withColumn("text", concat(
         col("text"),
@@ -2606,7 +2638,6 @@ object SparkEntry {
           col("n_phone").cast("long").as("n_phone"),
           col("n_id").cast("long").as("n_id"),
           col("n_ip").cast("long").as("n_ip"))
-        .orderBy("doc_id")
     }),
 
     // Unicode canonicalization (r8, CCNet §3.1 / C4): NFC composition
@@ -2618,12 +2649,13 @@ object SparkEntry {
     // sequences AND the strip/collapse order is replicated exactly.
     "normalize_text" -> ((s, dir) => {
       Graft.init(s)
-      t(s, dir, "documents").filter(col("doc_id") < 200)
+      // pure-map kernel \u2014 rangedBy replaces the trailing orderBy
+      rangedBy(t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") < 200), "doc_id")
         .selectExpr("doc_id",
           "normalize_text(concat(substr(text, 1, 40), " +
             "' caf\u00e9 vs cafe\u0301  A', chr(9), chr(1), chr(11), " +
             "'B ')) AS norm")
-        .orderBy("doc_id")
     }),
 
     // HTML-to-text extraction (r8): the step every crawl pipeline
@@ -2636,7 +2668,9 @@ object SparkEntry {
     // ordering drift breaks the full-text hash.
     "html_extract" -> ((s, dir) => {
       Graft.init(s)
-      t(s, dir, "documents").filter(col("doc_id") < 150)
+      // page build + kernel are pure maps — rangedBy for the orderBy
+      rangedBy(t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") < 150), "doc_id")
         .selectExpr("doc_id",
           """html_text(concat(
             |  '<html><head><title>T', doc_id, '</title>',
@@ -2647,7 +2681,6 @@ object SparkEntry {
             |  '</p><!-- hidden ', doc_id, ' --><div>tail &amp;amp; ',
             |  '&lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end',
             |  '</div></body></html>')) AS txt""".stripMargin)
-        .orderBy("doc_id")
     }),
 
     // MP3 header triage (r8): the most common crawl audio format —
@@ -3236,8 +3269,19 @@ object SparkEntry {
     // injections) so the oracle re-derives every signal and verdict
     // from the same construction.
     "code_quality" -> ((s, dir) => {
+      // ORDER BEFORE the heavy projection (r17 optimization round):
+      // the trailing orderBy made the range exchange SAMPLE its child,
+      // so the fixture construction + signal regexes executed twice —
+      // and both times inside the narrow scan stage (single-task on a
+      // one-file source). Sorting the slim (doc_id, text) rows first
+      // samples only the scan, and the per-row compute runs once,
+      // post-exchange, at full width. Same rows, same global order
+      // (the projection is per-row and order-preserving).
       val code = t(s, dir, "documents").select("doc_id", "text")
         .filter(col("text").isNotNull)
+        .repartitionByRange(
+          s.sparkContext.defaultParallelism, col("doc_id"))
+        .sortWithinPartitions("doc_id")
         .selectExpr("doc_id",
           "concat(" +
             "CASE CAST(doc_id % 4 AS INT) " +
@@ -3261,7 +3305,6 @@ object SparkEntry {
           "CAST(alpha_chars AS BIGINT) AS alpha_chars",
           "CAST(digit_chars AS BIGINT) AS digit_chars",
           "autogen", "keep")
-        .orderBy("doc_id")
     }),
 
     // license detection (r9): SPDX identifier extraction + phrase
@@ -3552,7 +3595,9 @@ object SparkEntry {
     // point), and double mojibake needing both rounds.
     "fix_mojibake" -> ((s, dir) => {
       Graft.init(s)
-      t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 120)
+      // pure-map kernel — rangedBy replaces the trailing orderBy
+      rangedBy(t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") < 120), "doc_id")
         .selectExpr("doc_id",
           "CASE WHEN doc_id % 3 = 0 THEN " +
             "concat('doc ', doc_id, ' cafÃ© " +
@@ -3562,7 +3607,6 @@ object SparkEntry {
             "ELSE concat('doc ', doc_id, ' cafÃƒÂ© " +
             "double') END AS garbled")
         .selectExpr("doc_id", "garbled", "fix_mojibake(garbled) AS fixed")
-        .orderBy("doc_id")
     }),
 
     // PDF embedded-image extraction (r9): page-tree walk → /Resources
@@ -3863,12 +3907,16 @@ object SparkEntry {
     // against the set literal, zero shuffles, stream-safe. Same
     // output as line_dedup (spec-pinned plan shape).
     "line_dedup_fast" -> ((s, dir) => {
-      val lined = linedDocs(s, dir)
       val set = operators.Boilerplate.boilerplateSet(
-        lined, "doc_id", "text", 10)
-      operators.Boilerplate.stripWithSet(lined, "text", set)
+        linedDocs(s, dir), "doc_id", "text", 10)
+      // the frozen APPLY side is a pure map — order established on
+      // slim rows first (rangedBy), page construction + strip run
+      // once post-exchange instead of twice through the sort sampler
+      operators.Boilerplate.stripWithSet(
+          linedDocsOf(rangedBy(
+            t(s, dir, "documents").select("doc_id", "text"), "doc_id")),
+          "text", set)
         .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
     }),
 
     // C4 heuristic clean (Raffel et al. 2020 §2.2) — the line-level
@@ -3880,10 +3928,15 @@ object SparkEntry {
     // replays every rule AND the page construction in SQL — a regex
     // dialect difference or a keep-count off-by-one breaks the hash.
     "c4_filter" -> ((s, dir) => {
-      operators.TextClean.c4Filter(c4Docs(s, dir), "text")
+      // order established on slim rows, heavy page construction +
+      // rules run once post-exchange (rangedBy; plan evidence in
+      // plans/r17/) — pure-map chain, same rows, same global order
+      operators.TextClean.c4Filter(
+          c4DocsOf(rangedBy(
+            t(s, dir, "documents").select("doc_id", "text"), "doc_id")),
+          "text")
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           col("keep"), col("text").as("clean"))
-        .orderBy("doc_id")
     }),
 
     // CCNet/Gopher-style LM quality scoring: add-k unigram model
@@ -3904,8 +3957,10 @@ object SparkEntry {
     "lm_model_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val m = operators.LmScore.model(docs, "text", vocabSize = 25)
-      operators.LmScore.scoreWithModel(docs, "doc_id", "text", m)
-        .orderBy("doc_id")
+      // frozen-model scoring is a pure map — rangedBy replaces the
+      // trailing orderBy (fit side stays on the plain scan)
+      operators.LmScore.scoreWithModel(
+        rangedBy(docs, "doc_id"), "doc_id", "text", m)
     }),
 
     // the GPT-3/LLaMA supervised quality filter in its closed-form
@@ -3926,8 +3981,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val m = operators.NbClassifier.model(docs, "text",
         col("lang") === "en", vocabSize = 25)
-      operators.NbClassifier.scoreWithModel(docs, "doc_id", "text", m)
-        .orderBy("doc_id")
+      // frozen-model scoring is a pure map — rangedBy replaces the
+      // trailing orderBy (fit side stays on the plain scan)
+      operators.NbClassifier.scoreWithModel(
+        rangedBy(docs, "doc_id"), "doc_id", "text", m)
     }),
 
     // codebook drift monitoring: train the IVF codebook on the first
@@ -4333,8 +4390,12 @@ object SparkEntry {
     "ppl_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val m = operators.LmScore.model(docs, "text", vocabSize = 25)
-      operators.CcNet.perplexityBuckets(docs, "doc_id", "text", "lang", m)
-        .orderBy("doc_id")
+      // thresholds fit on the plain scan; the bucket labeling is a
+      // pure map + broadcast lookup (order-preserving) — rangedBy
+      // replaces the trailing orderBy
+      operators.CcNet.bucket(rangedBy(docs, "doc_id"),
+        "doc_id", "text", "lang", m,
+        operators.CcNet.pplThresholds(docs, "text", "lang", m))
     }),
 
     // order-sensitive LM quality: add-k BIGRAM bits-per-token — token
@@ -4358,8 +4419,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val m = operators.LmScore.bigramModel(docs, "text",
         vocabSize = 25, bigramBudget = 150)
-      operators.LmScore.scoreWithBigramModel(docs, "doc_id", "text", m)
-        .orderBy("doc_id")
+      // frozen-model scoring is a pure map — rangedBy replaces the
+      // trailing orderBy
+      operators.LmScore.scoreWithBigramModel(
+        rangedBy(docs, "doc_id"), "doc_id", "text", m)
     }),
 
     // Gopher-style composite quality gate (Rae et al. §A1.1): SIX
@@ -4374,11 +4437,13 @@ object SparkEntry {
     "quality_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val m = operators.LmScore.model(docs, "text", vocabSize = 1024)
-      operators.QualityGate.gate(docs, "doc_id", "text", m,
+      // the gate is one zero-shuffle map — rangedBy replaces the
+      // trailing orderBy (fit side stays on the plain scan)
+      operators.QualityGate.gate(rangedBy(docs, "doc_id"),
+          "doc_id", "text", m,
           minTokens = 25, maxTokens = 100000,
           minDistinctRatio = 0.45, minStopwords = 1,
           maxTopBigramFrac = 0.18, maxBitsPerToken = 4.91)
-        .orderBy("doc_id")
     }),
 
     // the ORDER-SENSITIVE gate: same six signals, but the LM term is
@@ -4392,11 +4457,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val m = operators.LmScore.bigramModel(docs, "text",
         vocabSize = 1024, bigramBudget = 4096)
-      operators.QualityGate.gateBigram(docs, "doc_id", "text", m,
+      // same rangedBy-for-orderBy swap as quality_gate
+      operators.QualityGate.gateBigram(rangedBy(docs, "doc_id"),
+          "doc_id", "text", m,
           minTokens = 25, maxTokens = 100000,
           minDistinctRatio = 0.45, minStopwords = 1,
           maxTopBigramFrac = 0.18, maxBitsPerToken = 4.91)
-        .orderBy("doc_id")
     }),
 
     // The full pretraining pipeline — PII scrub → benchmark

@@ -99,11 +99,16 @@ object NbClassifier {
     require(k > 0, s"smoothing k must be positive, got $k")
     val labeled = docs.select(
       col(textCol), positive.cast("boolean").as("__pos"))
+    // counts is consumed by TWO actions (normalizer + top-K vocab) —
+    // materialized once (r17 optimization round) so the corpus
+    // scan+explode+aggregate runs a single time; the materialization
+    // is vocabulary-sized, not corpus-sized
     val counts = labeled
       .select(col("__pos"), explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__cn"))
+      .localCheckpoint()
     val nv = counts.agg(
       sum("__cp").cast("double"), sum("__cn").cast("double"),
       count(lit(1)).cast("double")).head()

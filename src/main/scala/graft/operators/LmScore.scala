@@ -126,9 +126,16 @@ object LmScore {
       k: Double = 0.5): UnigramModelRef = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     require(k > 0, s"smoothing k must be positive, got $k")
+    // counts is consumed by TWO actions (the (N, V) normalizer and the
+    // top-K vocabulary) — materialized once (r17 optimization round) so
+    // the corpus scan+explode+aggregate runs a single time instead of
+    // once per action. The materialization is vocabulary-sized
+    // ((token, count) rows), orders of magnitude under the corpus pass
+    // it replaces; lineage is released when the model ref is built.
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val nv = counts.agg(
       sum("__c").cast("double"), count(lit(1)).cast("double")).head()
     val top = counts.orderBy(desc("__c"), col("tok")).limit(vocabSize)
@@ -160,9 +167,11 @@ object LmScore {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     require(bigramBudget > 0, s"bigramBudget must be positive, got $bigramBudget")
     require(k > 0, s"smoothing k must be positive, got $k")
+    // same two-actions-one-pass materialization as [[model]] (r17)
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val nv = counts.agg(
       sum("__c").cast("double"), count(lit(1)).cast("double")).head()
     val top = counts.orderBy(desc("__c"), col("tok")).limit(vocabSize)

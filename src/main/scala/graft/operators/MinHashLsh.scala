@@ -29,12 +29,16 @@ object MinHashLsh {
       textCol: String,
       n: Int = 3,
       numHashes: Int = 64): DataFrame =
+    // no sig-null filter (r17 optimization round): shingles() now
+    // guarantees sh non-null and non-empty, which is exactly
+    // MinHashSignature's null domain — the old filter re-evaluated
+    // the signature below its own projection once Catalyst pushed
+    // the aliased predicate down
     TextDedup.shingles(docs, idCol, textCol, n)
       .select(col("id"), org.apache.spark.sql.graftshim.Shim.column(
         graft.functions.MinHashSignature(
           org.apache.spark.sql.graftshim.Shim.expression(col("sh")),
           numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
 
   /** Candidate pairs from banded LSH: any pair agreeing on at least one
     * full band of the signature. rows = numHashes / bands. The band
@@ -46,10 +50,18 @@ object MinHashLsh {
     val bandKeys = expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
         s"xxhash64(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))")
+    // materialized (r17 optimization round): the self-join consumes
+    // banded TWICE, and without the checkpoint each side re-executed
+    // the whole upstream subtree (for a raw-docs caller that was the
+    // corpus scan + shingle + signature pass, twice — plan-verified).
+    // The materialization is (id, band, band_sig) — three fixed-width
+    // columns, numHashes/rows-per-band rows per doc, far narrower
+    // than the pass it saves.
     val banded = signatures
       .select(col("id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
+      .localCheckpoint()
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -68,17 +80,23 @@ object MinHashLsh {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    // one shingle pass feeds both the signature branch and the verify
-    // branch: the id-keyed repartition materializes shingles into a
-    // shuffle that Spark's ReuseExchange dedups across the two subtrees
+    // ONE shingle pass, materialized (r17 optimization round): the
+    // signature branch and BOTH verify joins consume sh, and the old
+    // repartition-and-hope-for-ReuseExchange shape still re-scanned
+    // the corpus once per subtree in the captured plan (4 parquet
+    // scans, each with the shingle expression in a pushed-down null
+    // filter). The checkpoint sits ABOVE the id-keyed repartition, so
+    // the materialized RDD keeps hashpartitioning(id) and the verify
+    // joins attach to it without re-exchanging the shingle arrays.
+    // No sig-null filter: shingles() guarantees sh non-null/non-empty.
     val sh = TextDedup.shingles(docs, idCol, textCol, n)
       .select(col("id"), col("sh"), col("nsh"))
       .repartition(col("id"))
+      .localCheckpoint()
     val sigs = sh.select(col("id"), org.apache.spark.sql.graftshim.Shim.column(
       graft.functions.MinHashSignature(
         org.apache.spark.sql.graftshim.Shim.expression(col("sh")),
         numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
     val cands = candidatePairs(sigs, bands)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sha"),

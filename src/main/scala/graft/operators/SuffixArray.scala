@@ -100,13 +100,20 @@ object SuffixArray {
     var allSingleton = false
     while (j < levels && !allSingleton) {
       val step = 1L << j
-      val shifted = cur.select(col("doc").as("__d2"),
-        (col("pos") - step).as("__p2"), col("r").as("__r2"))
-      val paired = cur.join(shifted,
-          col("doc") === col("__d2") && col("pos") === col("__p2"),
-          "left")
-        .select(col("doc"), col("pos"), col("r"),
-          coalesce(col("__r2"), lit(-1L)).as("r2"))
+      // rank at pos+2^j via lead() over consecutive per-doc positions
+      // (r17 optimization round): the rank table holds EVERY position
+      // 0..L-1 of every doc at every round (the pairIds join is inner
+      // on a distinct set that covers all rows), so the former
+      // (doc, pos)==(doc, pos+step) self-join is exactly
+      // lead(r, step) over (partition by doc, order by pos) — one
+      // narrow-int window shuffle per round instead of a self-join
+      // (two shuffled/broadcast sides). -1 past the document end as
+      // before (shorter sorts first). A doc's window partition is
+      // bounded by its token count, never corpus-sized.
+      val paired = cur.select(col("doc"), col("pos"), col("r"),
+        lead(col("r"), step.toInt, -1L).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc")).orderBy(col("pos"))).as("r2"))
       val pairIds = Ids.withDenseId(
         paired.select(col("r"), col("r2")).distinct(), "__nr",
         Seq(col("r"), col("r2")))

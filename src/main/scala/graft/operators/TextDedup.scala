@@ -28,13 +28,28 @@ object TextDedup {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val cur = docs.rdd.getNumPartitions
     (if (cur < target) docs.repartition(target) else docs)
+      // drop sub-threshold rows with a CHEAP tokenize predicate
+      // instead of filtering on the computed shingle column (r17
+      // optimization round): `sh IS NOT NULL` referenced the
+      // NgramShingles projection, so Catalyst substituted the alias
+      // and pushed `isnotnull(ngram_shingles(text))` below the
+      // repartition INTO THE SCAN — the full shingle computation ran
+      // once in the (narrow, often single-task) scan stage just to
+      // test for null, then again in the post-shuffle projection
+      // (plan-verified: the old Filter(2) at the scan carried
+      // ngram_shingles). NgramShingles is null exactly when the text
+      // is null or has fewer than n tokens (HashingExpressions.scala),
+      // so this predicate keeps the identical row set while the scan
+      // stage only splits, never shingles. NgramShingles also never
+      // returns an EMPTY array (>= n tokens yields >= 1 shingle), so
+      // downstream consumers may rely on sh non-null AND non-empty.
+      .filter(size(split(col(textCol), " ")) >= n)
       .select(
         col(idCol).as("id"),
         org.apache.spark.sql.graftshim.Shim.column(
           graft.functions.NgramShingles(
             org.apache.spark.sql.graftshim.Shim.expression(col(textCol)), n))
           .as("sh"))
-      .filter(col("sh").isNotNull)
       .withColumn("nsh", size(col("sh")))
   }
 

@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * sink) before touching anything. */
 object QueryJobsProbe {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("dedup_incremental")
+    val names = args.headOption.getOrElse("dedup_incremental")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val repeats = args.drop(1).headOption.map(_.toInt).getOrElse(2)
     val sfDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,7 +27,6 @@ object QueryJobsProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Graft.init(spark)
-    val fn = graft.SparkEntry.queries(name)
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     @volatile var record = false
@@ -49,21 +49,25 @@ object QueryJobsProbe {
       }
     })
 
-    (1 to repeats).foreach { i =>
-      val warm = i < repeats
-      record = !warm
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $name run $i (${if (warm) "warm" else "MEASURED"}): $dt%.3f s")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      rows.synchronized(rows.clear())
+      (1 to repeats).foreach { i =>
+        val warm = i < repeats
+        record = !warm
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] $name run $i (${if (warm) "warm" else "MEASURED"}): $dt%.3f s")
+      }
+      // listener events arrive async; give the bus a moment to drain
+      Thread.sleep(1500)
+      println(f"[probe] $name measured-run jobs (${rows.size}):")
+      rows.sortBy(_._1).foreach { case (id, ms, site) =>
+        println(f"  job $id%4d  $ms%6d ms  $site")
+      }
+      println(f"[probe] $name sum of job times: ${rows.map(_._2).sum} ms")
     }
-    // listener events arrive async; give the bus a moment to drain
-    Thread.sleep(1500)
-    println(f"[probe] measured-run jobs (${rows.size}):")
-    rows.sortBy(_._1).foreach { case (id, ms, site) =>
-      println(f"  job $id%4d  $ms%6d ms  $site")
-    }
-    println(f"[probe] sum of job times: ${rows.map(_._2).sum} ms")
     spark.stop()
   }
 }

@@ -951,15 +951,35 @@ class PlanAuditSpec extends SparkTestBase {
     "time — the base side comes entirely from the stored shingle " +
     "index (postings scan, no text column), and every documents scan " +
     "in the plan is the incoming batch (doc_id >= 250 pushed)") {
-    val plan = physical(run("dedup_incremental"))
-    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
-    // the index postings scan is present and text-free
-    val idxScans = scans.filter(_.contains("old_id"))
-    assert(idxScans.nonEmpty, plan)
+    // Since the r17 optimization round the survivors chain
+    // materializes the probe (vsBase localCheckpoint — the probe
+    // executes exactly once instead of once per downstream
+    // anti-join), so the postings scan lives in the probe's OWN plan,
+    // not the final query's. Pin the property at the operator level:
+    // a probe over a real stored lake must scan postings without the
+    // text column and must not scan the base corpus at all.
+    val dir = java.nio.file.Files
+      .createTempDirectory("planaudit_shingle").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val idx = operators.ShingleIndex.build(
+      docs.filter(col("doc_id") < 250), "doc_id", "text", dir, ngram = 3)
+    val probePlan = physical(
+      idx.probe(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", threshold = 0.35))
+    val probeScans =
+      probePlan.linesIterator.filter(_.contains("FileScan")).toSeq
+    val idxScans = probeScans.filter(_.contains("old_id"))
+    assert(idxScans.nonEmpty, probePlan)
     idxScans.foreach(l => assert(!l.contains("text"), l))
-    // every corpus-text scan is the INCOMING half: the base filter
-    // doc_id < 250 appears in no scan, the incoming pushdown does
-    val docScans = scans.filter(_.contains("documents"))
+    probeScans.filter(_.contains("documents")).foreach { l =>
+      assert(!l.contains("LessThan(doc_id,250)"), l)
+    }
+    // and in the declared query's final plan every documents scan is
+    // still the INCOMING half (base never re-read there either)
+    val plan = physical(run("dedup_incremental"))
+    val docScans = plan.linesIterator.filter(_.contains("FileScan"))
+      .filter(_.contains("documents")).toSeq
     assert(docScans.nonEmpty, plan)
     docScans.foreach { l =>
       assert(l.contains("GreaterThanOrEqual(doc_id,250)"), l)
