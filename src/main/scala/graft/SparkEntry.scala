@@ -896,10 +896,15 @@ object SparkEntry {
     // the removal half: every covered token dropped from ALL copies,
     // untouched documents pass through verbatim — full-text hash oracle
     "substr_dedup_text" -> ((s, dir) =>
+      // order established on the slim rows (rangedBy replaces the
+      // trailing orderBy): the span join is a broadcast left join
+      // against the pair-bounded span table and the token rewrite is
+      // per-row, both order-preserving — previously the range sampler
+      // re-ran the whole gram+rewrite chain
       operators.SubstrDedup.clean(
-        t(s, dir, "documents"), "text", "doc_id", k = 8,
-        hashKeys = false)
-        .orderBy("doc_id")),
+        rangedBy(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id"),
+        "text", "doc_id", k = 8, hashKeys = false)),
 
     // end-to-end near-dup dedup: detect pairs, drop the larger-id side,
     // keep representatives (what a training-data pipeline actually ships)
@@ -3896,7 +3901,12 @@ object SparkEntry {
     // miss, an order-unstable reassembly, or an off-by-one in the
     // line split breaks the full-text hash.
     "line_dedup" -> ((s, dir) => {
-      operators.Boilerplate.strip(linedDocs(s, dir), "doc_id", "text", 10)
+      // the page construction feeds THREE consumers inside strip()
+      // (line explode, doc-frequency pass, id-restore join) — without
+      // the checkpoint each re-ran the split+transform+array_join
+      // fixture from the narrow scan (r17 optimization round)
+      operators.Boilerplate.strip(
+          linedDocs(s, dir).localCheckpoint(), "doc_id", "text", 10)
         .select(col("id").as("doc_id"), col("text"))
         .orderBy("doc_id")
     }),

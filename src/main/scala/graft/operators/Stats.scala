@@ -157,36 +157,44 @@ object Stats {
     val spark = df.sparkSession
     val keys = keyCols.map(col)
     val parts = spark.sparkContext.defaultParallelism
+    // materialized ONCE (r17 optimization round): both passes below
+    // (per-partition counts, boundary pick) walk the range-sorted
+    // rows, and without the checkpoint pass 2 re-ran the whole
+    // post-shuffle sort stage (the shuffle files are reused across
+    // jobs, the reduce-side sort is not). The materialization holds
+    // the same bytes the shuffle already wrote.
     val parted = df
       .select(keys :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
       .repartitionByRange(parts, keys :+ col("__v"): _*)
       .sortWithinPartitions(keys :+ col("__v"): _*)
+      .localCheckpoint()
     val nk = keyCols.size
     def keyOf(r: Row): Seq[Any] = (0 until nk).map(r.get)
-    // pass 1: per-partition per-key counts, preserving encounter order
-    val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
-      it.foreach { r =>
-        val k = keyOf(r)
-        m(k) = m.getOrElse(k, 0L) + 1
-        // Few-huge-groups contract, enforced where it can still be
-        // cheap: keys are range-partitioned contiguously, so the
-        // per-partition distinct-key count is a faithful proxy for the
-        // group count — fail loudly in the EXECUTOR (bounding what the
-        // pass-1 collect can ever send the driver) instead of letting
-        // a many-group misuse materialize partitions×groups driver
-        // state.
-        if (m.size > maxGroups)
-          throw new IllegalArgumentException(
-            s"groupedQuantilesSorted: more than $maxGroups distinct " +
-              "groups — this variant keeps O(partitions x groups) " +
-              "driver state and targets the few-huge-groups regime; " +
-              "use groupedQuantiles (the window form) for many-group " +
-              "inputs, or raise maxGroups deliberately")
-      }
-      m.iterator.map { case (k, c) => (pid, k, c) }
-    }.collect()
+    // pass 1 as a codegen'd partial aggregate (r17 optimization
+    // round): the per-partition per-key counts used to be an
+    // interpreted Row loop over every sorted row; a
+    // groupBy(partition_id, keys) count produces the identical
+    // (pid, key, count) table with map-side combine and whole-stage
+    // codegen. The few-huge-groups contract is enforced at the same
+    // strength: take() bounds what can ever reach the driver
+    // (partitions × maxGroups + 1 rows) and the distinct-key census
+    // over that bounded sample fails loudly on misuse.
+    val cRows = parted
+      .groupBy(spark_partition_id().as("__pid") +: keys: _*)
+      .agg(count(lit(1)).as("__c"))
+      .take(parts * maxGroups + 1)
+    val counts: Array[(Int, Seq[Any], Long)] = cRows.map { r =>
+      (r.getInt(0), (1 to nk).map(r.get), r.getLong(nk + 1))
+    }
+    if (counts.map(_._2).distinct.size > maxGroups ||
+        cRows.length > parts * maxGroups)
+      throw new IllegalArgumentException(
+        s"groupedQuantilesSorted: more than $maxGroups distinct " +
+          "groups — this variant keeps O(partitions x groups) " +
+          "driver state and targets the few-huge-groups regime; " +
+          "use groupedQuantiles (the window form) for many-group " +
+          "inputs, or raise maxGroups deliberately")
     val totals = counts.groupBy(_._2).map { case (k, cs) =>
       k -> cs.map(_._3).sum
     }

@@ -36,7 +36,17 @@ object SubstrDedup {
   private def gramsOf(df: DataFrame, textCol: String, idCol: String,
       k: Int, hashKeys: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    // narrow-source guard (r17 optimization round, guide §2.5 "one
+    // huge unsplittable file — repartition immediately after the
+    // read"): the gram construction (split + k-token concat per
+    // window) is the expensive per-row step, and on a single-row-group
+    // parquet source it ran inside the one-task scan stage. Same
+    // guard as TextDedup.shingles — a no-op whenever the source is
+    // already at least as wide as the session's parallelism.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val toks = wide.select(col(idCol), split(col(textCol), " ").as("__toks"))
     val grams = toks.select(col(idCol), posexplode(expr(
       s"""CASE WHEN size(__toks) >= $k
          |THEN transform(sequence(0, size(__toks) - $k),
