@@ -140,10 +140,11 @@ class PipelineSpec extends SparkTestBase {
       "pipeline must not leave CacheManager entries")
     val after = spark.sparkContext.getPersistentRDDs.size
     // one run leaves at most its OWN checkpoint blocks pending GC:
-    // the clean-corpus boundary plus the (tiny, eager) mixThresholds
-    // table — both reclaimed by the ContextCleaner, never CacheManager
-    // registrations
-    assert(after <= before + 3,
+    // the clean-corpus boundary, the (tiny, eager) mixThresholds
+    // table, and (r17) the model fitter's vocabulary-sized counts
+    // materialization — all reclaimed by the ContextCleaner, never
+    // CacheManager registrations
+    assert(after <= before + 4,
       s"checkpoint RDDs must be reclaimable: $before -> $after")
   }
 }
