@@ -95,9 +95,12 @@ object SuffixArray {
       l
     } // depth after the rounds: 2^levels; level tables r_0 .. r_levels
     val rankTables = scala.collection.mutable.ArrayBuffer(r0)
+    // total position count, computed ONCE over the materialized level-0
+    // table — the per-round singleton test compares against it (r17)
+    val totalRows = r0.count()
     var cur = r0
     var j = 0
-    var allSingleton = false
+    var allSingleton = totalRows == 0L
     while (j < levels && !allSingleton) {
       val step = 1L << j
       // rank at pos+2^j via lead() over consecutive per-doc positions
@@ -126,9 +129,13 @@ object SuffixArray {
       // is final and every inter-suffix LCP is already below the
       // current depth — deeper rounds cannot change the answer. On
       // real text this usually fires well before depth cap.
+      // Ranks are DENSE 0..C-1, so all-singleton ⇔ max(r)+1 == rows —
+      // one narrow partial-max over the materialized table instead of
+      // the former groupBy+shuffle+head census (r17 optimization
+      // round: one fewer exchange per doubling round).
       if (j < levels)
-        allSingleton = cur.groupBy(col("r"))
-          .count().filter(col("count") >= 2).head(1).isEmpty
+        allSingleton =
+          cur.agg(max(col("r"))).head().getLong(0) + 1L == totalRows
     }
     val fin = cur // ranks of the depth-2^j prefixes, dense 0..C-1
 
