@@ -54,47 +54,51 @@ object PageRank {
     val nodes = e.select(col("src").as("h"))
       .union(e.select(col("dst").as("h")))
       .distinct()
-      .cache() // reused every iteration (left side of the re-expand)
-    val n = nodes.count().toDouble // bounded: one long on the driver
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    // r17 optimization round: the loop used to join edges⋈ranks⋈outdeg
-    // EVERY iteration — but edges⋈outdeg is iteration-invariant, so it
-    // is paid once here and cached (guide §2.4: two operations keyed
-    // the same way share one exchange; an invariant join inside a loop
-    // shares it across ALL rounds). Same terms, same r/deg arithmetic.
-    val eDeg = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .cache() // reused every iteration
-    // the DANGLING-NODE SET is static too (nodes with no out-edges):
-    // the per-round ranks⋈outdeg LEFT ANTI join becomes a semi-join
-    // against this small cached set — same row set, one fewer
-    // corpus-churning anti-join per round
-    val dangNodes = nodes
-      .join(outdeg.select(col("src").as("h")), Seq("h"), "left_anti")
-      .cache() // reused every iteration
-    var ranks = nodes.select(col("h"), lit(1.0 / n).as("r"))
+    // r17 optimization round (second session): the rank table CARRIES
+    // the static per-node out-degree (null ⇔ dangling) through every
+    // round — it is re-materialized each round anyway, so the extra
+    // double column is free, and it deletes two per-round node-keyed
+    // joins outright (guide §2.4):
+    //   · the dangling-mass semi-join against a cached dangling set
+    //     becomes a FILTER + one-row aggregate on the rank table;
+    //   · the nodes⋈contribs re-expand reads the rank table itself
+    //     (it already holds every node), so the cached `nodes` table
+    //     is no longer referenced inside the loop at all.
+    // The contribution join reads deg from the rank row, so the
+    // cached edges⋈outdeg (eDeg) table is gone too. Arithmetic is
+    // term-identical: same r/deg divisions, same sum sets.
+    val nodeDeg = nodes
+      .join(outdeg.withColumnRenamed("src", "h"), Seq("h"), "left")
+      .select(col("h"), col("deg"))
       .localCheckpoint()
+    val n = nodeDeg.count().toDouble // bounded: one long on the driver
+    // cheap projection over the materialized node table — each round-1
+    // consumer re-runs only the column append, never the node derivation
+    var ranks = nodeDeg.select(col("h"), lit(1.0 / n).as("r"), col("deg"))
     var it = 0
     while (it < iterations) {
       // mass parked on dangling nodes (no out-edges), as ONE row
       val dang = ranks
-        .join(dangNodes, Seq("h"), "left_semi")
+        .filter(col("deg").isNull)
         .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
-      val contribs = eDeg
-        .join(ranks.withColumnRenamed("h", "src"), "src")
+      val contribs = e
+        .join(ranks.select(col("h").as("src"), col("r"), col("deg")),
+          "src")
         .groupBy(col("dst").as("h"))
         .agg(sum(col("r") / col("deg")).as("__c"))
-      val next = nodes
+      val next = ranks.select(col("h"), col("deg"))
         .join(contribs, Seq("h"), "left")
         .crossJoin(broadcast(dang))
         .select(col("h"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n)))
-            .as("r"))
+            .as("r"),
+          col("deg"))
       it += 1
       // checkpoint cadence, measured both ways and kept at 1: each
-      // round references `ranks` THREE times (contribution join,
-      // dangling anti-join, node re-expand), so uncheckpointed
+      // round references `ranks` THREE times (dangling filter,
+      // contribution join, node re-expand), so uncheckpointed
       // lineage grows ~3^cadence — cadence 3 measured 37.7 s vs
       // 22.8 s at 4.8M edges, and cadence 5 blew a 21-node toy graph
       // from 3.9 s to 13 s. Per-round materialization is the
@@ -106,9 +110,6 @@ object PageRank {
         else next
     }
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    eDeg.unpersist(blocking = false)
-    dangNodes.unpersist(blocking = false)
     ranks.select(col("h").as("host"), round(col("r"), 6).as("rank"))
   }
 }

@@ -170,7 +170,6 @@ object Stats {
       .sortWithinPartitions(keys :+ col("__v"): _*)
       .localCheckpoint()
     val nk = keyCols.size
-    def keyOf(r: Row): Seq[Any] = (0 until nk).map(r.get)
     // pass 1 as a codegen'd partial aggregate (r17 optimization
     // round): the per-partition per-key counts used to be an
     // interpreted Row loop over every sorted row; a
@@ -180,13 +179,29 @@ object Stats {
     // strength: take() bounds what can ever reach the driver
     // (partitions × maxGroups + 1 rows) and the distinct-key census
     // over that bounded sample fails loudly on misuse.
-    val cRows = parted
+    //
+    // __mid = monotonically_increasing_id() = (partition index << 33)
+    // + row index within the partition, evaluated on the CHECKPOINTED
+    // rows before the aggregate's exchange. Rows of one (pid, key) are
+    // contiguous within their partition (the partition is sorted by
+    // (keys, __v)), so min(__mid) is the key's first row in that
+    // partition and the row at per-key local index i has
+    // __mid = min + i. Both passes below iterate the same materialized
+    // blocks in the same order, so the ids are stable across jobs —
+    // the same two-pass determinism the old mapPartitions pair relied
+    // on, now expressed so pass 2 can be a codegen'd filter instead of
+    // an interpreted per-row rank loop.
+    val withMid = parted.withColumn("__mid", monotonically_increasing_id())
+    val cRows = withMid
       .groupBy(spark_partition_id().as("__pid") +: keys: _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__m0"))
       .take(parts * maxGroups + 1)
     val counts: Array[(Int, Seq[Any], Long)] = cRows.map { r =>
       (r.getInt(0), (1 to nk).map(r.get), r.getLong(nk + 1))
     }
+    val firstMid: Map[(Int, Seq[Any]), Long] = cRows.map { r =>
+      ((r.getInt(0), (1 to nk).map(r.get): Seq[Any]), r.getLong(nk + 2))
+    }.toMap
     if (counts.map(_._2).distinct.size > maxGroups ||
         cRows.length > parts * maxGroups)
       throw new IllegalArgumentException(
@@ -213,22 +228,35 @@ object Stats {
         Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
       }.toSet
     }
-    val bBoundary = spark.sparkContext.broadcast(boundary)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val picked = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
-      it.flatMap { r =>
-        val k = keyOf(r)
-        val idx = local.getOrElse(k, 0L)
-        local(k) = idx + 1
-        val rank = bOffsets.value.getOrElse((pid, k), 0L) + idx
-        if (bBoundary.value.get(k).exists(_.contains(rank)))
-          Some((k, rank, r.getDouble(nk)))
-        else None
-      }
-    }.collect()
-    val byKey = picked.groupBy(_._1).map { case (k, rows) =>
-      k -> rows.map(r => r._2 -> r._3).toMap
+    // pass 2 (r17 optimization round, second session): the driver
+    // already knows, for every boundary rank b of key k, WHICH
+    // partition holds it (the offsets prefix sums) and its per-key
+    // local index — so it can name the exact row id:
+    //   __mid(b, k) = firstMid(pid, k) + (b - offset(pid, k)).
+    // The boundary pick is then a codegen'd scan + InSet filter over
+    // the checkpointed rows collecting <= 2·|ps|·groups rows, instead
+    // of the former interpreted Row loop that hashed every key and
+    // consulted two broadcast maps per row.
+    val targetMid: Map[(Seq[Any], Long), Long] = boundary.toSeq.flatMap {
+      case (k, ranks) =>
+        // this key's per-partition segments in rank order:
+        // (pid, global start offset, count)
+        val segs = counts.filter(_._2 == k).sortBy(_._1)
+          .map { case (pid, _, c) => (pid, offsets((pid, k)), c) }
+        ranks.toSeq.map { b =>
+          val (pid, off, _) =
+            segs.find { case (_, o, c) => o <= b && b < o + c }.get
+          ((k, b), firstMid((pid, k)) + (b - off))
+        }
+    }.toMap
+    val mids = targetMid.values.toSeq.distinct.map(lit)
+    val picked: Map[Long, Double] = withMid
+      .filter(col("__mid").isin(mids: _*))
+      .select(col("__mid"), col("__v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byKey = boundary.map { case (k, ranks) =>
+      k -> ranks.map(b => b -> picked(targetMid((k, b)))).toMap
     }
     val keySchema = org.apache.spark.sql.types.StructType(
       df.select(keys: _*).schema.fields)

@@ -101,6 +101,29 @@ object SuffixArray {
     var cur = r0
     var j = 0
     var allSingleton = totalRows == 0L
+    // alternating encoded rounds (r17 optimization round, second
+    // session): mid-loop ranks only need to be ORDER-PRESERVING and
+    // injective per (r, r2) pair — density is required only by the
+    // early-stop test and by the final adjacency trick. When the
+    // incoming ranks are dense 0..C-1 and C is small enough that
+    // (C-1)·(C+1)+C fits a long (C+1 <= 3,037,000,499 — checked, with
+    // the withDenseId path as the at-scale fallback), the doubled rank
+    // is just the PACKED PAIR  r·(C+1) + (r2+1)  — lexicographic in
+    // (r, r2) by construction, computed as a pure projection. That
+    // skips the whole distinct → range-sample-sort → zipWithIndex →
+    // re-join densification (4 jobs + 3 exchanges) on every other
+    // round; the following round densifies as before (its withDenseId
+    // input is the distinct ENCODED pairs — same table size) and
+    // re-establishes the early-stop signal. The LCP walk below only
+    // ever compares rank EQUALITY, which the injective encoding
+    // preserves, so encoded tables serve it unchanged.
+    var curDense = true // cur's ranks are dense 0..C-1
+    // max rank value of cur (valid whenever curDense): r0 is dense over
+    // the distinct-token table, so its max is one cheap partial-max job
+    var curMax =
+      if (totalRows == 0L) -1L
+      else r0.agg(max(col("r"))).head().getLong(0)
+    val encodeLimit = 3037000499L - 1L // (curMax+2)^2 must fit a long
     while (j < levels && !allSingleton) {
       val step = 1L << j
       // rank at pos+2^j via lead() over consecutive per-doc positions
@@ -117,12 +140,24 @@ object SuffixArray {
         lead(col("r"), step.toInt, -1L).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc")).orderBy(col("pos"))).as("r2"))
-      val pairIds = Ids.withDenseId(
-        paired.select(col("r"), col("r2")).distinct(), "__nr",
-        Seq(col("r"), col("r2")))
-      cur = paired.join(pairIds, Seq("r", "r2"))
-        .select(col("doc"), col("pos"), col("__nr").as("r"))
-        .localCheckpoint()
+      if (curDense && curMax <= encodeLimit) {
+        // packed-pair round: mult = C+1 = curMax+2 distinct values of
+        // r2+1 (r2 ranges over -1..curMax), so r·mult + (r2+1) is
+        // injective and lexicographic. No distinct, no sort, no ids.
+        val mult = curMax + 2L
+        cur = paired.select(col("doc"), col("pos"),
+          (col("r") * lit(mult) + col("r2") + lit(1L)).as("r"))
+          .localCheckpoint()
+        curDense = false // injective but sparse; next round densifies
+      } else {
+        val pairIds = Ids.withDenseId(
+          paired.select(col("r"), col("r2")).distinct(), "__nr",
+          Seq(col("r"), col("r2")))
+        cur = paired.join(pairIds, Seq("r", "r2"))
+          .select(col("doc"), col("pos"), col("__nr").as("r"))
+          .localCheckpoint()
+        curDense = true
+      }
       rankTables += cur
       j += 1
       // early stop: once every rank class is a singleton, the order
@@ -132,12 +167,31 @@ object SuffixArray {
       // Ranks are DENSE 0..C-1, so all-singleton ⇔ max(r)+1 == rows —
       // one narrow partial-max over the materialized table instead of
       // the former groupBy+shuffle+head census (r17 optimization
-      // round: one fewer exchange per doubling round).
-      if (j < levels)
-        allSingleton =
-          cur.agg(max(col("r"))).head().getLong(0) + 1L == totalRows
+      // round: one fewer exchange per doubling round). Encoded rounds
+      // skip the test (no cheap density signal); the next densified
+      // round re-checks, so the stop fires at most one round later
+      // than before — strictly cheaper than the densification the
+      // encoded round skipped. The max() also refreshes curMax for
+      // the next round's encode guard.
+      if (curDense && j < levels) {
+        curMax = cur.agg(max(col("r"))).head().getLong(0)
+        allSingleton = curMax + 1L == totalRows
+      }
     }
-    val fin = cur // ranks of the depth-2^j prefixes, dense 0..C-1
+    // the adjacency trick below (class r joined with class r+1) needs
+    // DENSE final ranks; if the loop ended on an encoded round,
+    // densify once — the same equality classes (the encoding is
+    // injective) in the same order (it is monotone), so this is a
+    // pure re-labeling.
+    val fin =
+      if (curDense) cur
+      else {
+        val ids = Ids.withDenseId(
+          cur.select(col("r")).distinct(), "__nr", Seq(col("r")))
+        cur.join(ids, "r")
+          .select(col("doc"), col("pos"), col("__nr").as("r"))
+          .localCheckpoint()
+      } // ranks of the depth-2^j prefixes, dense 0..C-1
 
     // class census: size + deterministic representative + a member's
     // suffix length (all members shorter than D are identical, so any
