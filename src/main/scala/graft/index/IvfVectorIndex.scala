@@ -610,17 +610,24 @@ object IvfVectorIndex {
     val cdir = s"$path/_books/$book/centroids"
     if (!fs.exists(new org.apache.hadoop.fs.Path(cdir)))
       throw new IndexNotFoundException(s"No IVF codebook at $cdir")
-    val rows = spark.read.parquet(cdir).orderBy("cluster").collect()
-    val centroids = rows.map(_.getSeq[Float](1).toArray)
+    // k-row codebooks: driver-direct reads (no Spark job per load —
+    // two jobs plus their scheduling gaps per IVF construction before,
+    // r17 optimization round). Same sort keys as the former orderBy.
+    val rows = DriverParquet.groups(spark, cdir)
+      .sortBy(_.getInteger("cluster", 0))
+    val centroids = rows.map(g => DriverParquet.floatArray(g, "centroid"))
+      .toArray
     val pqDir = s"$path/_books/$book/pq"
     val pq =
       if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir))) None
       else {
-        val cells = spark.read.parquet(pqDir)
-          .orderBy("subspace", "centroid").collect()
-          .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+        val cells = DriverParquet.groups(spark, pqDir)
+          .sortBy(g => (g.getInteger("subspace", 0),
+            g.getInteger("centroid", 0)))
+          .map(g => (g.getInteger("subspace", 0),
+            DriverParquet.floatArray(g, "values")))
         Some(Pq.Model(cells.groupBy(_._1).toSeq.sortBy(_._1)
-          .map(_._2.map(_._2)).toArray))
+          .map(_._2.map(_._2).toArray).toArray))
       }
     new IvfVectorIndex(spark, path, Ivf.Model(centroids), pq)
   }

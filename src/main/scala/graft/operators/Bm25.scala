@@ -1358,7 +1358,11 @@ object Bm25Index {
 
   def load(spark: SparkSession, path: String): Bm25Index = {
     completeMerge(spark, path) // mid-merge crash roll-forward
-    val st = spark.read.parquet(s"$path/_stats").head()
-    new Bm25Index(spark, path, st.getLong(0), st.getLong(1), st.getInt(2))
+    // one-row sidecar: driver-direct read (no Spark job per load —
+    // the index-routed query family constructs an index per query,
+    // r17 optimization round). Re-read every call, never cached.
+    val st = graft.index.DriverParquet.groups(spark, s"$path/_stats").head
+    new Bm25Index(spark, path, st.getLong("n", 0), st.getLong("sumdl", 0),
+      st.getInteger("n_buckets", 0))
   }
 }

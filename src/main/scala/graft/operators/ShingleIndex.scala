@@ -600,8 +600,10 @@ object ShingleIndex {
     if (!fs.exists(dir))
       throw new graft.index.IndexNotFoundException(
         s"no shingle index at $path")
-    val st = spark.read.parquet(dir.toString).head()
-    new ShingleIndex(spark, path, st.getLong(0), st.getInt(1),
-      st.getInt(2), st.getBoolean(3))
+    // one-row sidecar: driver-direct read (no Spark job per load, r17)
+    val st = graft.index.DriverParquet.groups(spark, dir.toString).head
+    new ShingleIndex(spark, path, st.getLong("n_docs", 0),
+      st.getInteger("ngram", 0), st.getInteger("n_buckets", 0),
+      st.getBoolean("hash_keys", 0))
   }
 }

@@ -367,8 +367,10 @@ object WinnowIndex {
     if (!fs.exists(dir))
       throw new graft.index.IndexNotFoundException(
         s"no winnow index at $path")
-    val st = spark.read.parquet(dir.toString).head()
-    new WinnowIndex(spark, path, st.getLong(0), st.getInt(1),
-      st.getInt(2), st.getInt(3), st.getInt(4))
+    // one-row sidecar: driver-direct read (no Spark job per load, r17)
+    val st = graft.index.DriverParquet.groups(spark, dir.toString).head
+    new WinnowIndex(spark, path, st.getLong("n_docs", 0),
+      st.getInteger("k", 0), st.getInteger("w", 0),
+      st.getInteger("df_cap", 0), st.getInteger("n_buckets", 0))
   }
 }
