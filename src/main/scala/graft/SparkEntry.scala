@@ -3904,7 +3904,11 @@ object SparkEntry {
       // the page construction feeds THREE consumers inside strip()
       // (line explode, doc-frequency pass, id-restore join) — without
       // the checkpoint each re-ran the split+transform+array_join
-      // fixture from the narrow scan (r17 optimization round)
+      // fixture from the narrow scan (r17 optimization round).
+      // (Second session: widening the construction with rangedBy
+      // before the checkpoint was MEASURED WORSE — 0.94 → 1.27 s —
+      // the added exchange + its sampler cost more than the 208 ms
+      // single-task construction it parallelized; reverted.)
       operators.Boilerplate.strip(
           linedDocs(s, dir).localCheckpoint(), "doc_id", "text", 10)
         .select(col("id").as("doc_id"), col("text"))
@@ -4540,11 +4544,17 @@ object SparkEntry {
       val gcfg = operators.Pipeline.GateConfig(minTokens = 25,
         maxTokens = 100000, minDistinctRatio = 0.45, minStopwords = 1,
         maxTopBigramFrac = 0.18, maxBitsPerToken = 4.91)
+      // gate chain computed ONCE (r17 optimization round, second
+      // session): the threshold fit and the final mix used to each run
+      // the whole redact→decontaminate→quality-gate chain
+      // (ingestFilter re-derives ingestGate over the same rows — the
+      // probe showed the gate's single-task scan passes twice);
+      // materialized, the fit and applyMix read the same gated rows.
+      // applyMix(ingestGate(...)) is ingestFilter's exact definition.
       val gated = operators.Pipeline.ingestGate(train, "text", bench,
-        shingleN = 5, minHits = 2, m, gcfg)
+        shingleN = 5, minHits = 2, m, gcfg).localCheckpoint()
       val th = operators.DataMix.mixThresholds(gated, "lang", 0.5, 120)
-      operators.Pipeline.ingestFilter(train, "doc_id", "text", "lang",
-          bench, shingleN = 5, minHits = 2, m, gcfg, th)
+      operators.DataMix.applyMix(gated, "doc_id", "lang", th)
         .orderBy("doc_id")
     }),
 

@@ -44,7 +44,12 @@ object SimHash {
           graft.functions.SimHash64(
             org.apache.spark.sql.graftshim.Shim.expression(col("__toks"))))
           .as("simhash"))
-      .filter(col("simhash").isNotNull)
+    // no simhash-null filter: SimHash64 is null ONLY for an empty
+    // token array, which `size(__toks) > 0` above already excludes —
+    // the filter was dead code, and Catalyst alias-substituted it into
+    // the scan as `isnotnull(simhash64(array_distinct(split(text))))`,
+    // evaluating the whole fingerprint in the single-task scan stage
+    // just to test for null (the minhash_signature lesson, r17).
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming. */
@@ -62,6 +67,12 @@ object SimHash {
     // i.e. an exact-duplicate equi-join, not an all-pairs degeneration)
     val mask = if (width == 64) -1L else (1L << width) - 1
     val fp = fingerprints(docs, idCol, textCol)
+    // materialized ONCE (r17 optimization round, second session): the
+    // blocked table feeds BOTH sides of the self-join below, and each
+    // side re-ran the whole scan → fingerprint → explode chain (the
+    // minhash candidatePairs lesson — ReuseExchange does not dedup
+    // across the join's two differently-projected sides). Narrow rows
+    // (four longs per block entry), blocks·corpus bounded.
     val blocked = fp.select(
       col("id"), col("simhash"),
       posexplode(expr(
@@ -69,6 +80,7 @@ object SimHash {
           s"shiftright(simhash, b * $width) & ${mask}L)")))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
+      .localCheckpoint()
     val a = blocked.select(col("block"), col("block_val"),
       col("id").as("id_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("block"), col("block_val"),

@@ -128,6 +128,13 @@ object TextDedup {
         .filter(col("count") > cap).select("key")
       exploded = exploded.join(broadcast(hot), Seq("key"), "left_anti")
     }
+    // (r17 second session: pre-partitioning the capped set by key so
+    // the two join sides share one exchange was MEASURED WORSE — the
+    // family rose ~20-30% — because AQE broadcasts one side of this
+    // join at candidate-table sizes, leaving the other side
+    // unshuffled; the explicit repartition forced the full shuffle
+    // and blocked that conversion. Reverted: Ensure-inserted
+    // exchanges + AQE's own join choice win here.)
     val a = exploded.select(col("key"), col("id").as("id_a"),
       col("nsh").as("nsh_a"))
     val b = exploded.select(col("key"), col("id").as("id_b"),
