@@ -140,7 +140,11 @@ object SuffixArray {
         lead(col("r"), step.toInt, -1L).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc")).orderBy(col("pos"))).as("r2"))
-      if (curDense && curMax <= encodeLimit) {
+      if (curDense && curMax <= encodeLimit && j < levels - 1) {
+        // (j < levels-1: the FINAL round always densifies directly —
+        // fin must be dense for the adjacency trick, so an encoded
+        // last round would just pay the same densification as a
+        // separate extra pass plus one more checkpoint)
         // packed-pair round: mult = C+1 = curMax+2 distinct values of
         // r2+1 (r2 ranges over -1..curMax), so r·mult + (r2+1) is
         // injective and lexicographic. No distinct, no sort, no ids.

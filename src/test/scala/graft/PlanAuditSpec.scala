@@ -632,19 +632,44 @@ class PlanAuditSpec extends SparkTestBase {
       !plan.contains("MapPartitions"), plan)
   }
 
-  test("ingest_filter: the corpus side is never shuffled — scrub, " +
-    "shingle filter, and gate fuse into the scan as per-row maps and " +
-    "the mix is a broadcast-threshold filter: no window, no " +
-    "sort-merge join, no cartesian, no barrier on the corpus path") {
+  // r17 optimization round (second session): the query now
+  // materializes the gated corpus ONCE (the threshold fit and the
+  // final mix used to each re-run the whole gate chain), so the pin
+  // splits across that boundary exactly like pretrain_pipeline's —
+  // the gate subtree keeps every fusion property, and the final plan
+  // must read ONLY the materialized corpus.
+  test("ingest_filter: the gate subtree never shuffles the corpus — " +
+    "scrub, shingle filter, and gate fuse into the scan as per-row " +
+    "maps: no window, no sort-merge join, no cartesian, no barrier") {
+    import graft.operators._
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet").select("doc_id", "text", "lang")
+    val m = LmScore.model(TextClean.redactPii(docs, "text"), "text",
+      vocabSize = 1024)
+    val plan = physical(Pipeline.ingestGate(docs, "text",
+      Seq("never present shingle text here x"), 5, 2, m))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    assert(plan.contains("unigram_bits") || plan.contains("UnigramBits"),
+      plan)
+  }
+
+  test("ingest_filter: downstream of the gated-corpus boundary " +
+    "nothing re-reads the raw files — ZERO FileScans in the final " +
+    "plan and the mix is a broadcast-threshold filter: no window, no " +
+    "sort-merge join, no cartesian") {
     val plan = physical(run("ingest_filter"))
+    assert(!plan.contains("FileScan"), plan)
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SerializeFromObject") &&
       !plan.contains("MapPartitions"), plan)
-    assert(plan.contains("unigram_bits") || plan.contains("UnigramBits"),
-      plan)
   }
 
   test("quality_gate: six signals and the keep boolean in ONE corpus " +
