@@ -44,8 +44,16 @@ object Bm25 {
     docs
       .select(col(idCol).cast("long").as("docid"),
         tokens(col(textCol)).as("__toks"))
+      // explode_outer + isnotnull, not explode (r18): the non-outer
+      // explode over the __toks attribute triggers Catalyst's
+      // InferFiltersFromGenerate, whose alias-substituted predicate
+      // re-ran the full tokenize in the scan (see
+      // TextDedup.explodedShingles). Row-identical: tokens() elements
+      // are regexp matches (never null), so the isnotnull(term) filter
+      // drops exactly the null/empty-array rows explode dropped.
       .select(col("docid"), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("term"))
+        explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("docid", "dl", "term")
       .agg(count(lit(1)).as("tf"))
 

@@ -38,15 +38,20 @@ object Decontaminate {
       n: Int,
       minHits: Int = 2,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
-    var tr = TextDedup.shingles(train, trainIdCol, trainTextCol, n)
-      .select(col("id").as("train_id"), explode(col("sh")).as("shingle"))
+    // TextDedup.explodedShingles, not a bare explode (r18): the
+    // non-outer explode's inferred generate filter re-ran the full
+    // shingle kernel inside BOTH scans (plan-verified — this was why
+    // decontaminate/contamination_frac missed the r17 cheap-predicate
+    // win; see explodedShingles' scaladoc for the equivalence proof)
+    var tr = TextDedup.explodedShingles(train, trainIdCol, trainTextCol, n)
+      .select(col("id").as("train_id"), col("shingle"))
     maxShingleDf.foreach { cap =>
       val hot = tr.groupBy("shingle").count()
         .filter(col("count") > cap).select("shingle")
       tr = tr.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
-    val te = TextDedup.shingles(test, testIdCol, testTextCol, n)
-      .select(col("id").as("test_id"), explode(col("sh")).as("shingle"))
+    val te = TextDedup.explodedShingles(test, testIdCol, testTextCol, n)
+      .select(col("id").as("test_id"), col("shingle"))
     tr.join(broadcast(te), Seq("shingle"))
       .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("shared"))
@@ -70,10 +75,11 @@ object Decontaminate {
       testIdCol: String,
       testTextCol: String,
       n: Int): DataFrame = {
-    val tr = TextDedup.shingles(train, trainIdCol, trainTextCol, n)
-      .select(col("id").as("train_id"), explode(col("sh")).as("shingle"))
-    val te = TextDedup.shingles(test, testIdCol, testTextCol, n)
-      .select(explode(col("sh")).as("shingle")).distinct()
+    // explodedShingles, not explode: see [[overlaps]]' note
+    val tr = TextDedup.explodedShingles(train, trainIdCol, trainTextCol, n)
+      .select(col("id").as("train_id"), col("shingle"))
+    val te = TextDedup.explodedShingles(test, testIdCol, testTextCol, n)
+      .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))
     tr.join(broadcast(te), Seq("shingle"), "left")
       .groupBy("train_id")
@@ -91,8 +97,9 @@ object Decontaminate {
       testIdCol: String,
       testTextCol: String,
       n: Int): Seq[String] =
-    TextDedup.shingles(test, testIdCol, testTextCol, n)
-      .select(explode(col("sh")).as("shingle")).distinct()
+    // explodedShingles, not explode: see [[overlaps]]' note
+    TextDedup.explodedShingles(test, testIdCol, testTextCol, n)
+      .select(col("shingle")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
 
   /** Stateless leak filter against a pre-collected benchmark shingle

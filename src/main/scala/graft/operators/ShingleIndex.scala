@@ -79,8 +79,11 @@ class ShingleIndex private (
     * index's shingle parameters. */
   private def keyed(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = TextDedup.shingles(docs, idCol, textCol, ngram)
-      .select(col("id"), explode(col("sh")).as("__shingle"), col("nsh"))
+    // explodedShingles, not a bare explode (r18): the non-outer
+    // explode's inferred generate filter re-ran the shingle kernel in
+    // the scan — see TextDedup.explodedShingles' scaladoc
+    val sh = TextDedup.explodedShingles(docs, idCol, textCol, ngram)
+      .withColumnRenamed("shingle", "__shingle")
     val k = if (hashKeys) xxhash64(col("__shingle")) else col("__shingle")
     sh.select(k.as("key"), col("id"), col("nsh"))
   }

@@ -99,12 +99,36 @@ object TextDedup {
     // 64-bit collision INSIDE one candidate pair's shingle sets).
     // Lineage is released when the result's reference drops (the
     // DataMix localCheckpoint pattern used across the repo).
-    val keyed = shingles(docs, idCol, textCol, n)
-      .select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+    val keyed = explodedShingles(docs, idCol, textCol, n)
       .select(xxhash64(col("shingle")).as("key"), col("id"), col("nsh"))
       .localCheckpoint()
     ngramJaccardPairsKeyed(keyed, threshold, maxShingleDf)
   }
+
+  /** [[shingles]] exploded to one row per (doc, shingle):
+    * `(id, shingle, nsh)`.
+    *
+    * Uses `explode_outer` + a cheap `isnotnull(shingle)` filter rather
+    * than plain `explode` (r18 optimization round): Catalyst's
+    * InferFiltersFromGenerate derives `size(sh) > 0 AND isnotnull(sh)`
+    * from a NON-outer explode over an attribute, and predicate
+    * pushdown then alias-substitutes it below the shingle projection
+    * INTO THE SCAN — re-evaluating the full `ngram_shingles(text)`
+    * kernel once per row just to test for null, the exact
+    * expensive-expression-in-scan pattern the r17 cheap tokenize
+    * predicate removed (plan-verified: every r18 before-plan of an
+    * explode consumer carried `isnotnull(ngram_shingles(text))` in its
+    * scan condition). The rule skips OUTER generates, and equivalence
+    * is unconditional on shingles' contract: `sh` is non-null and
+    * non-empty (so outer emits no extra null row) and shingle elements
+    * are never null (a shingle is a concat of split tokens — so the
+    * isnotnull filter drops nothing and explode would never have
+    * emitted a null element either). Row-identical, oracle-verified. */
+  private[operators] def explodedShingles(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .select(col("id"), explode_outer(col("sh")).as("shingle"), col("nsh"))
+      .filter(col("shingle").isNotNull)
 
   /** [[ngramJaccardPairs]] over PRE-KEYED exploded shingles
     * `(key, id, nsh)` — the shape [[ShingleIndex]] already computes
@@ -196,11 +220,13 @@ object TextDedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val bs = shingles(base, idCol, textCol, n)
-      .select(col("id").as("old_id"), explode(col("sh")).as("shingle"),
+    // explodedShingles, not explode: see its scaladoc (the inferred
+    // generate filter re-ran the shingle kernel in both scans)
+    val bs = explodedShingles(base, idCol, textCol, n)
+      .select(col("id").as("old_id"), col("shingle"),
         col("nsh").as("nsh_old"))
-    val is = shingles(incoming, idCol, textCol, n)
-      .select(col("id").as("new_id"), explode(col("sh")).as("shingle"),
+    val is = explodedShingles(incoming, idCol, textCol, n)
+      .select(col("id").as("new_id"), col("shingle"),
         col("nsh").as("nsh_new"))
     is.join(bs, "shingle")
       // size-ratio prune, as in ngramJaccardPairs
