@@ -27,17 +27,9 @@ object Bench {
       // hundreds of distinct queries per session would set exactly
       // this; it also removes the dominant pass-to-pass spread source.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // r17 optimization round: let AQE re-optimize (coalesce) the
-      // plans under .cache()d tables — off by default
-      // (canChangeCachedPlanOutputPartitioning=false), which pinned
-      // every cached iteration table (PageRank edges/degrees,
-      // Components labels) at the static shuffle-partition count, so
-      // each of the ~8 per-iteration broadcast builds scanned 32
-      // near-empty cached partitions. AQE derives the count from
-      // actual bytes — the scale-adaptive choice at any data size
-      // (guide §2.2/§2.5), not a local[32] constant.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      // (r18: the cached-plan AQE conf the r17 bench session set here
+      // moved into Graft.init — the library session — so the timed
+      // configuration is the oracle-verified one; see Graft.scala.)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)

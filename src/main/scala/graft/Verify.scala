@@ -19,6 +19,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-level engine init up front (r18): queries call
+    // Graft.init themselves as needed, but initializing HERE makes the
+    // whole dump run under the library session configuration
+    // (cached-plan AQE conf included) from the first query — the
+    // oracle-verified configuration is exactly the benched one.
+    Graft.init(spark)
     new java.io.File(outDir).mkdirs()
     var failures = 0
     // engine-computed intermediates some oracles re-derive results from

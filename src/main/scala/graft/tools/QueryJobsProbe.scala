@@ -24,9 +24,7 @@ object QueryJobsProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // mirror the bench session (see Bench.scala)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      // (the cached-plan AQE conf is set by Graft.init since r18)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Graft.init(spark)
