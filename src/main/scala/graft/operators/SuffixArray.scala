@@ -82,7 +82,10 @@ object SuffixArray {
     // doubling rounds compound into a plan tree deep enough to blow
     // the planner's recursion (the PageRank lineage lesson applies
     // verbatim to prefix doubling)
-    val tok0 = Ids.withDenseId(
+    // withDenseIdCounted: the vocabulary size falls out of the dense-id
+    // prefix sums, so the level-0 max-rank job is free (r18 — every
+    // densification's count/max used to be a separate partial-max job)
+    val (tok0, vocabSize) = Ids.withDenseIdCounted(
       toks.select(col("__tok")).distinct(), "r", Seq(col("__tok")))
     val r0 = toks.join(tok0, "__tok")
       .select(col(idCol).as("doc"), col("pos"), col("r"))
@@ -118,11 +121,10 @@ object SuffixArray {
     // ever compares rank EQUALITY, which the injective encoding
     // preserves, so encoded tables serve it unchanged.
     var curDense = true // cur's ranks are dense 0..C-1
-    // max rank value of cur (valid whenever curDense): r0 is dense over
-    // the distinct-token table, so its max is one cheap partial-max job
-    var curMax =
-      if (totalRows == 0L) -1L
-      else r0.agg(max(col("r"))).head().getLong(0)
+    // max rank value of cur (valid whenever curDense): dense ranks over
+    // the distinct-token table, so max = vocabulary size - 1 — known
+    // from the dense-id assignment itself, no job
+    var curMax = vocabSize - 1L
     val encodeLimit = 3037000499L - 1L // (curMax+2)^2 must fit a long
     while (j < levels && !allSingleton) {
       val step = 1L << j
@@ -154,13 +156,17 @@ object SuffixArray {
           .localCheckpoint()
         curDense = false // injective but sparse; next round densifies
       } else {
-        val pairIds = Ids.withDenseId(
+        // withDenseIdCounted: the distinct-pair count IS the dense
+        // class count C, so the early-stop census below needs no
+        // separate max job over the materialized round (r18)
+        val (pairIds, nClasses) = Ids.withDenseIdCounted(
           paired.select(col("r"), col("r2")).distinct(), "__nr",
           Seq(col("r"), col("r2")))
         cur = paired.join(pairIds, Seq("r", "r2"))
           .select(col("doc"), col("pos"), col("__nr").as("r"))
           .localCheckpoint()
         curDense = true
+        curMax = nClasses - 1L
       }
       rankTables += cur
       j += 1
@@ -175,12 +181,11 @@ object SuffixArray {
       // skip the test (no cheap density signal); the next densified
       // round re-checks, so the stop fires at most one round later
       // than before — strictly cheaper than the densification the
-      // encoded round skipped. The max() also refreshes curMax for
-      // the next round's encode guard.
-      if (curDense && j < levels) {
-        curMax = cur.agg(max(col("r"))).head().getLong(0)
+      // encoded round skipped. curMax is maintained by the
+      // densification's own count (r18): the all-singleton test is
+      // now pure driver arithmetic, zero jobs per round.
+      if (curDense && j < levels)
         allSingleton = curMax + 1L == totalRows
-      }
     }
     // the adjacency trick below (class r joined with class r+1) needs
     // DENSE final ranks; if the loop ended on an encoded round,
@@ -255,7 +260,11 @@ object SuffixArray {
         greatest(coalesce(col("__lr"), lit(0L)),
           coalesce(col("__ll"), lit(0L))).as("__nbr"))
 
-    val docLen = toks.groupBy(col(idCol).as("doc"))
+    // doc lengths from the MATERIALIZED level-0 rank table, not from
+    // `toks` (r18): r0 holds exactly one row per (doc, pos), so the
+    // counts are identical, while the toks form re-ran the corpus
+    // scan + split + posexplode one more full time
+    val docLen = r0.groupBy(col("doc"))
       .agg(count(lit(1)).as("__len"))
     fin.join(perClass, "r")
       .join(docLen, "doc")
